@@ -1,0 +1,44 @@
+"""Composite operators the engine adds on top of Spark built-ins.
+
+Each operator is a pure ``DataFrame -> DataFrame`` function (the
+reference's processor contract, `base_processor.py:39-51`, without the
+class ceremony) designed around one-shuffle plans that survive scale.
+"""
+
+from local_stream_stack_spark.operators.events import (
+    latest_per_key,
+    asof_join,
+    sessionize,
+)
+from local_stream_stack_spark.operators.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    minhash_lsh_candidates,
+    simhash64,
+    ngram_jaccard_pairs,
+)
+from local_stream_stack_spark.operators.similarity import (
+    with_vector_norm,
+    cosine_topk_bruteforce,
+    lsh_bucket_topk,
+)
+from local_stream_stack_spark.operators.text import (
+    with_text_stats,
+    lang_id_scores,
+)
+
+__all__ = [
+    "latest_per_key",
+    "asof_join",
+    "sessionize",
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "simhash64",
+    "ngram_jaccard_pairs",
+    "with_vector_norm",
+    "cosine_topk_bruteforce",
+    "lsh_bucket_topk",
+    "with_text_stats",
+    "lang_id_scores",
+]

@@ -1,0 +1,154 @@
+"""Keyed event-stream operators (batch form).
+
+Re-expresses the reference's Kafka data semantics relationally:
+latest-per-key is the compacted-topic view (last record per key wins,
+`/root/reference/sample_kafka_process.sh:165-192`), tombstones delete a
+key (`:206-215`). The as-of join and sessionization are the standard
+event-analytics composites Spark lacks as primitives (SURVEY.md §2B).
+
+All three are one-shuffle plans: partitionBy(key) + a linear
+per-partition pass. That is the formulation that holds at 100 TB —
+no inequality joins, no per-row Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def latest_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    desc: bool = True,
+) -> DataFrame:
+    """Latest (or earliest) record per key: Kafka log-compaction view.
+
+    ``order_by`` must end in a unique column (e.g. event_id / offset)
+    so the winner is deterministic. One shuffle on ``keys``; Spark
+    plans a WindowGroupLimit so executors keep 1 row per key before
+    the final filter.
+    """
+    ordering = [F.col(c).desc() if desc else F.col(c).asc() for c in order_by]
+    w = Window.partitionBy(*keys).orderBy(*ordering)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    tolerance: str | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, the nearest right row with
+    ``right_ts <= left_ts`` within the same ``on`` key.
+
+    Union + sort + last_value(ignore nulls) pattern: tag both sides,
+    union, and carry the latest right-side payload forward over a
+    per-key event-time ordering. One shuffle on the key; linear scan.
+    This avoids the inequality-join explosion entirely, which is the
+    only formulation that survives 100 TB.
+
+    The right side is first reduced to one row per (key, ts) — the max
+    over ``right_cols``' first column — so ties are deterministic.
+
+    Output: all left columns + ``right_ts`` (as column "right_ts") +
+    ``right_cols``. If ``tolerance`` (SQL interval string, e.g.
+    ``"INTERVAL 1 HOUR"``) is set, matches older than it are nulled.
+    """
+    tie_col = right_cols[0]
+    r1 = right.groupBy(on, right_ts).agg(
+        *[F.max(c).alias(c) for c in right_cols]
+    )
+
+    left_payload = [c for c in left.columns if c not in (on, left_ts)]
+    l_tagged = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in left_payload],
+        *[F.lit(None).cast(r1.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(r1.schema[right_ts].dataType).alias("__r_ts"),
+    )
+    r_tagged = r1.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.col(right_ts).alias("__r_ts"),
+    )
+
+    # Right rows sort before left rows at equal ts (asof is inclusive);
+    # tie_col breaks any residual tie deterministically.
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__is_left", tie_col if tie_col in left.columns else F.lit(0))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l_tagged.unionByName(r_tagged).select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in right_cols
+        ],
+        F.last("__r_ts", ignorenulls=True).over(w).alias("__f_ts"),
+    )
+    out = filled.filter(F.col("__is_left") == 1)
+    if tolerance is not None:
+        too_old = F.col("__f_ts") < F.col("__ts") - F.expr(tolerance)
+        out = out.select(
+            "*",
+            *[
+                F.when(too_old, F.lit(None)).otherwise(F.col(f"__f_{c}")).alias(f"__t_{c}")
+                for c in right_cols
+            ],
+            F.when(too_old, F.lit(None)).otherwise(F.col("__f_ts")).alias("__t_ts"),
+        )
+        final_prefix = "__t_"
+    else:
+        final_prefix = "__f_"
+    return out.select(
+        F.col("__k").alias(on),
+        F.col("__ts").alias(left_ts),
+        *[F.col(c) for c in left_payload],
+        *[F.col(f"{final_prefix}{c}").alias(c) for c in right_cols],
+        F.col(f"{final_prefix}ts").alias("right_ts"),
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap: str = "INTERVAL 30 MINUTE",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign gaps-and-islands session ids per key (batch twin of
+    streaming session windows).
+
+    A new session starts when the gap to the previous event exceeds
+    ``gap``. Adds a ``session_id`` column (1-based per key). One
+    shuffle on ``key``.
+    """
+    order_cols = [ts] + ([order_tiebreak] if order_tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag(ts).over(w)
+    new_session = F.when(
+        prev_ts.isNull() | (F.col(ts) > prev_ts + F.expr(gap)), F.lit(1)
+    ).otherwise(F.lit(0))
+    return df.withColumn("__new", new_session).withColumn(
+        "session_id", F.sum("__new").over(run).cast("bigint")
+    ).drop("__new")

@@ -1,0 +1,120 @@
+"""Text-analysis operators for training-data pipelines.
+
+North-star operators over the ``documents`` table: token counting,
+quality scoring (length / punctuation / character-class ratios),
+n-gram-heuristic language ID, and document fingerprinting. All pure
+``pyspark.sql.functions`` — regex + arithmetic stay inside whole-stage
+codegen; no Python in the hot path, so these run at scan speed on any
+corpus size.
+
+Regex patterns use explicit ASCII classes ([A-Za-z], [0-9]) so Java
+(Spark) and RE2 (DuckDB oracle) agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword markers for the n-gram heuristic.
+# Word-boundary-ish patterns that Java regex and RE2 treat identically.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "to"],
+    "es": ["el", "la", "los", "es", "una"],
+    "fr": ["le", "les", "est", "une", "dans"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace tokens (0 for empty/blank strings)."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(text), r" +"))
+    )
+
+
+def wordlike_count(text: Column) -> Column:
+    """BPE-ish segment count: letter runs, digit runs, single symbols."""
+    return F.regexp_count(text, F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add token/char-class statistics and a composite quality score.
+
+    quality_score in [0,1]: rewards alpha-dominated text with moderate
+    token length, penalizes digit/punct-heavy strings — the standard
+    cheap pre-filter shape for LLM corpus cleaning.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_alpha = F.regexp_count(t, F.lit("[A-Za-z]"))
+    n_digit = F.regexp_count(t, F.lit("[0-9]"))
+    n_space = F.regexp_count(t, F.lit(" "))
+    n_punct = F.regexp_count(t, F.lit("[.,;:!?'\"()\\[\\]{}-]"))
+    n_tok = token_count(t)
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    return (
+        df.withColumn("n_chars_calc", n_chars)
+        .withColumn("n_tokens", n_tok)
+        .withColumn("n_wordlike", wordlike_count(t))
+        .withColumn("alpha_ratio", n_alpha.cast("double") / safe_chars)
+        .withColumn("digit_ratio", n_digit.cast("double") / safe_chars)
+        .withColumn("punct_ratio", n_punct.cast("double") / safe_chars)
+        .withColumn("space_ratio", n_space.cast("double") / safe_chars)
+        .withColumn(
+            "avg_token_len",
+            F.when(n_tok > 0, (n_chars - n_space).cast("double") / n_tok.cast("double")),
+        )
+        .withColumn(
+            "quality_score",
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.least(
+                        F.lit(1.0),
+                        F.col("alpha_ratio")
+                        - F.col("digit_ratio")
+                        - F.col("punct_ratio") * 0.5,
+                    ),
+                ),
+                6,
+            ),
+        )
+    )
+
+
+def lang_marker_score(text: Column, lang: str) -> Column:
+    """Count of language-marker stopwords (space-delimited) in text."""
+    words = LANG_MARKERS[lang]
+    pat = "(^| )(" + "|".join(words) + ")( |$)"
+    return F.regexp_count(F.lower(text), F.lit(pat))
+
+
+def lang_id_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of marker scores, 'und' if all 0.
+
+    Ties break by fixed priority (en > es > fr > de) so the prediction
+    is deterministic. Latin-script languages only — the 'zh' rows score
+    0 everywhere and classify as 'und', which the oracle reproduces.
+    """
+    t = F.col(text_col)
+    scored = df
+    for lang in LANG_MARKERS:
+        scored = scored.withColumn(f"score_{lang}", lang_marker_score(t, lang))
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_MARKERS:  # dict order = fixed priority
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return scored.withColumn("predicted_lang", pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: raw md5, normalized md5 (lower + collapsed
+    whitespace), and a 64-bit hash of the normalized form."""
+    t = F.col(text_col)
+    norm = F.regexp_replace(F.lower(F.trim(t)), r"\s+", " ")
+    return (
+        df.withColumn("md5_raw", F.md5(t))
+        .withColumn("md5_norm", F.md5(norm))
+        .withColumn("hash64", F.xxhash64(norm))
+    )

@@ -1,0 +1,404 @@
+"""Event-stream operators in their batch (replay) form.
+
+These re-express the reference's Kafka data semantics relationally
+(SURVEY.md §2 A15-A17): latest-per-key = log compaction
+(`sample_kafka_process.sh:165-192`), tombstone delete = null/marker
+payload (`sample_kafka_process.sh:206-215`), plus the streaming
+operator family (tumbling/sliding/session windows, dedup, as-of and
+range joins) that Structured Streaming runs incrementally — identical
+logical plans run here in batch so the DuckDB oracle can check them.
+The live-streaming execution of the same operators lives in
+``local_stream_stack_spark.streaming`` and is covered by pytest with
+bounded sources.
+
+All timestamps are emitted as epoch microseconds (BIGINT): Spark reads
+the ns parquet as us-truncated TIMESTAMP, DuckDB as TIMESTAMP_NS; the
+driver data is us-granular so both agree on epoch_us.
+
+Scale notes: every operator here is a single shuffle on its key
+(user_id) or on the window bucket; as-of uses the union+last_value
+pattern (one shuffle, no range explosion) rather than an inequality
+join, which is the 100 TB-safe formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from local_stream_stack_spark.catalog import load_table
+from local_stream_stack_spark.operators.events import (
+    latest_per_key,
+    asof_join,
+    sessionize,
+)
+from local_stream_stack_spark.queries.registry import query
+from local_stream_stack_spark.session import configure_for_oracle
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle(spark)
+    return load_table(spark, sf_dir, "events")
+
+
+@query(
+    "latest_per_key",
+    oracle="""
+    SELECT user_id, event_id, event_type, value,
+           CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) t
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def latest_per_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka log-compaction view: last record per key wins
+    (`sample_kafka_process.sh:165-192`, README.md:131-176)."""
+    e = _events(spark, sf_dir)
+    return (
+        latest_per_key(e, keys=["user_id"], order_by=["ts", "event_id"])
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "compaction_tombstone",
+    oracle="""
+    SELECT user_id, event_id, event_type, value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) t
+    WHERE rn = 1 AND event_type <> 'error'
+    ORDER BY user_id
+    """,
+)
+def compaction_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction + tombstone delete: after latest-per-key, keys whose
+    latest record is a tombstone disappear from the view
+    (`sample_kafka_process.sh:206-215` uses null payloads; the events
+    table has no null values, so 'error' stands in as the marker)."""
+    e = _events(spark, sf_dir)
+    return (
+        latest_per_key(e, keys=["user_id"], order_by=["ts", "event_id"])
+        .filter(F.col("event_type") != "error")
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "asof_join_events",
+    oracle="""
+    WITH v1 AS (
+      SELECT user_id, ts, MAX(event_id) AS view_event_id
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, ts
+    ),
+    tagged AS (
+      SELECT user_id, ts, NULL::BIGINT AS purchase_id, view_event_id, ts AS view_ts,
+             0 AS is_left
+      FROM v1
+      UNION ALL
+      SELECT user_id, ts, event_id AS purchase_id, NULL::BIGINT, NULL::TIMESTAMP_NS,
+             1 AS is_left
+      FROM events WHERE event_type = 'purchase'
+    ),
+    filled AS (
+      SELECT user_id, ts, purchase_id, is_left,
+             LAST_VALUE(view_event_id IGNORE NULLS) OVER w AS view_event_id,
+             LAST_VALUE(view_ts IGNORE NULLS) OVER w AS view_ts
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_left, purchase_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT purchase_id, user_id,
+           CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS purchase_ts_us,
+           view_event_id,
+           CAST(epoch_us(CAST(view_ts AS TIMESTAMP)) AS BIGINT) AS view_ts_us
+    FROM filled
+    WHERE is_left = 1
+    ORDER BY purchase_id
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each 'purchase' matched to the nearest-earlier 'view'
+    of the same user (SURVEY §2B joins — no native Spark asof).
+
+    Implemented with the union + last_value(ignore nulls) pattern: one
+    shuffle on user_id, linear scan per partition — never an
+    inequality join, which would explode at scale. Right side is
+    deduped to one row per (user, ts) so ties are deterministic.
+    """
+    e = _events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase")
+    views = e.filter(F.col("event_type") == "view")
+    joined = asof_join(
+        left=purchases.select("user_id", "ts", F.col("event_id").alias("purchase_id")),
+        right=views.select("user_id", "ts", F.col("event_id").alias("view_event_id")),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["view_event_id"],
+        tolerance=None,
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        "view_event_id",
+        F.unix_micros("right_ts").alias("view_ts_us"),
+    ).orderBy("purchase_id")
+
+
+@query(
+    "range_join_views_before_purchase",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           COUNT(v.event_id) AS n_views_1h,
+           COALESCE(CAST(ROUND(SUM(CAST(v.value AS DECIMAL(18,6))), 4) AS DOUBLE), 0.0) AS sum_view_value
+    FROM events p
+    LEFT JOIN events v
+      ON p.user_id = v.user_id
+     AND v.event_type = 'view'
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+     AND v.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id
+    ORDER BY purchase_id
+    """,
+)
+def range_join_views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal range join: views in the hour before each purchase.
+
+    Equi-join on user_id carries the range predicate as a join filter,
+    so Spark executes a hash join + filter (not a BNLJ). At 100 TB the
+    same plan holds because the equi-key bounds the pair space; for
+    key-skewed data AQE skew-join splits the hot user.
+    """
+    e = _events(spark, sf_dir)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"), F.col("event_id").alias("v_id"), F.col("value").alias("v_value")
+    )
+    return (
+        p.join(
+            v,
+            (F.col("p_user") == F.col("v_user"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("v_ts") < F.col("p_ts")),
+            "left",
+        )
+        .groupBy("purchase_id", F.col("p_user").alias("user_id"))
+        .agg(
+            F.count("v_id").alias("n_views_1h"),
+            F.coalesce(
+                F.expr("CAST(ROUND(SUM(CAST(v_value AS DECIMAL(18,6))), 4) AS DOUBLE)"),
+                F.lit(0.0),
+            ).alias("sum_view_value"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           CAST(epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS BIGINT) AS session_start_us,
+           CAST(epoch_us(CAST(MAX(ts) AS TIMESTAMP)) AS BIGINT) AS session_end_us
+    FROM numbered
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gaps-and-islands, 30-min inactivity gap).
+
+    The batch twin of streaming session windows: lag + cumulative sum
+    over one user_id shuffle. See streaming/ops.py for the
+    session_window streaming form of the same operator.
+    """
+    e = _events(spark, sf_dir)
+    sess = sessionize(
+        e, key="user_id", ts="ts", gap="INTERVAL 30 MINUTE", order_tiebreak="event_id"
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.unix_micros(F.max("ts")).alias("session_end_us"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query(
+    "tumbling_window_agg",
+    oracle="""
+    SELECT CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 3600) * 3600 AS BIGINT) AS window_start_s,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregate — the batch twin of
+    `groupBy(F.window("ts", "1 hour"))` in Structured Streaming
+    (SURVEY §2B streaming-only rows)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr("CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start_s", "event_type")
+    )
+
+
+@query(
+    "sliding_window_agg",
+    oracle="""
+    WITH buckets AS (
+      SELECT CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 1800) * 1800 AS BIGINT) AS b0, value
+      FROM events
+    ),
+    assigned AS (
+      SELECT b0 AS window_start_s, value FROM buckets
+      UNION ALL
+      SELECT b0 - 1800 AS window_start_s, value FROM buckets
+    )
+    SELECT window_start_s, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+    FROM assigned
+    GROUP BY window_start_s
+    ORDER BY window_start_s
+    """,
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h width, 30 min slide): each event lands in 2
+    windows. F.window expands rows exactly like the oracle's 2-bucket
+    union — row growth = width/slide, a constant, so scale-safe."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr("CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_s"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start_s")
+    )
+
+
+@query(
+    "session_window_agg",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS BIGINT) AS session_start_us,
+           CAST(epoch_us(CAST(MAX(ts) AS TIMESTAMP)) AS BIGINT) + 1800000000
+             AS session_end_us,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start_us
+    """,
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.session_window (30-min gap) in batch mode — the native Spark
+    session operator whose streaming form closes sessions at the
+    watermark. Session end = last event + gap (Spark semantics: a new
+    event at exactly prev+gap starts a NEW session, hence the >= in
+    the oracle's island split)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
+
+
+@query(
+    "dedup_keys",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-level dedup — batch twin of streaming
+    `dropDuplicates(["user_id","event_type"])` (keys-only output so the
+    result is deterministic; value columns of dropDuplicates are
+    first-seen and non-deterministic in batch)."""
+    e = _events(spark, sf_dir)
+    return e.select("user_id", "event_type").distinct()

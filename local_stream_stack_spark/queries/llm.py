@@ -1,0 +1,360 @@
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal column plumbing (north-star operators; the reference has no
+analog — contract from /root/repo/BASELINE.json).
+
+Oracle notes:
+- md5 is identical in Spark and DuckDB -> exact-dedup oracles are exact.
+- char-class regex counts use ASCII classes both regex engines agree on.
+- vector math: Spark computes sequential double accumulation via
+  aggregate/zip_with; the oracle mirrors it with list_reduce /
+  list_cosine_similarity and a 6-dp round to absorb last-ulp libm
+  differences.
+- MinHash/SimHash/LSH internals hash with xxhash64 (no DuckDB
+  equivalent) -> rows-only driver check + deterministic pytest
+  fixtures in tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from local_stream_stack_spark.catalog import load_table
+from local_stream_stack_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from local_stream_stack_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    lsh_bucket_topk,
+    norm2,
+)
+from local_stream_stack_spark.operators.text import (
+    fingerprint,
+    lang_id_scores,
+    with_text_stats,
+)
+from local_stream_stack_spark.queries.registry import query
+from local_stream_stack_spark.session import configure_for_oracle
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure_for_oracle(spark)
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id, content_hash, n_copies
+    FROM (
+      SELECT doc_id, md5(text) AS content_hash,
+             COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies,
+             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents
+    ) t
+    WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: canonical (min-id) doc per
+    md5(text), with its copy count. One shuffle on the hash."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        exact_dedup(d, content_cols=["text"], id_col="doc_id")
+        .select("doc_id", "content_hash", "n_copies")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, lang, text FROM documents WHERE n_chars <= 200
+    ),
+    gram_sets AS (
+      SELECT DISTINCT doc_id, lang,
+             unnest([substr(text, CAST(i AS INT), 3)
+                     for i in generate_series(1, length(text) - 2)]) AS g
+      FROM docs
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM gram_sets GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      FROM gram_sets a
+      JOIN gram_sets b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, common,
+           ca.n AS n_a, cb.n AS n_b,
+           CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE) AS jaccard
+    FROM pairs
+    JOIN counts ca ON id_a = ca.doc_id
+    JOIN counts cb ON id_b = cb.doc_id
+    WHERE CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE) >= 0.12
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (same-language block,
+    short docs). Inverted-index join on shared grams — the exact
+    verification stage; at corpus scale run it only on LSH candidates
+    (dedup_minhash_lsh)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") <= 200)
+    return (
+        ngram_jaccard_pairs(
+            d, id_col="doc_id", text_col="text", n=3,
+            block_cols=["lang"], min_jaccard=0.12,
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query("dedup_minhash_lsh", oracle=None)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32 perms) + LSH(8 bands x 4 rows) candidate pairs with
+    their exact signature-agreement fraction. Hash internals are
+    engine-specific -> rows-only check; tests/test_dedup.py pins
+    behavior on synthetic near-dups."""
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, id_col="doc_id", text_col="text", n_hashes=32)
+    cands = minhash_lsh_candidates(sigs, id_col="doc_id", bands=8, rows_per_band=4)
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        cands.join(a, "id_a").join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda v: v,
+                    )
+                ).cast("double")
+                / 32.0
+            ).alias("sig_agreement"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query("dedup_simhash", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints per document (near-dup = small
+    Hamming distance). xxhash64-based -> rows-only check."""
+    d = _t(spark, sf_dir, "documents")
+    return simhash64(d, id_col="doc_id", text_col="text").orderBy("doc_id")
+
+
+@query(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id, label,
+           CAST(len(embedding) AS INT) AS dim,
+           ROUND(sqrt(list_reduce(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                 (a, b) -> a + b)), 6) AS l2_norm
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector plumbing: dimension + L2 norm via built-in higher-order
+    array functions (sequential double accumulation, no UDF)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(norm2(F.col("embedding")), 6).alias("l2_norm"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "sim_bruteforce_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, corpus_id,
+             ROUND(list_reduce(list_transform(generate_series(1, len(qv)),
+                     i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)),
+                   (a, b) -> a + b)
+               / (sqrt(list_reduce(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b))
+                * sqrt(list_reduce(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b))),
+               6) AS cosine_sim
+      FROM c, q
+      WHERE corpus_id <> query_id
+    ),
+    ranked AS (
+      SELECT query_id, corpus_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, corpus_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, corpus_id, cosine_sim, rk
+    FROM ranked WHERE rk <= 10
+    ORDER BY query_id, rk
+    """,
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for 5 query vectors: the
+    correctness baseline for similarity search. Query side broadcast;
+    corpus streamed once. At scale, replace with sim_lsh_topk."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    scored = cosine_topk_bruteforce(
+        queries=q,
+        corpus=e,
+        query_id="vec_id",
+        corpus_id="vec_id",
+        query_vec="embedding",
+        corpus_vec="embedding",
+        k=11,  # allow for the self-match dropped below
+        round_dp=6,
+    ).filter(F.col("query_id") != F.col("corpus_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("corpus_id"))
+    return (
+        scored.drop("rk")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "corpus_id", "cosine_sim", "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
+@query("sim_lsh_topk", oracle=None)
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH (4 tables x 8
+    bits): the 100 TB path — equi-join on (table, bucket) instead of a
+    cross product. Recall vs brute force is pinned in
+    tests/test_similarity.py."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return (
+        lsh_bucket_topk(
+            queries=q,
+            corpus=e,
+            query_id="vec_id",
+            corpus_id="vec_id",
+            query_vec="embedding",
+            corpus_vec="embedding",
+            dim=64,
+            k=10,
+            n_tables=4,
+            n_planes=8,
+        )
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .orderBy("query_id", "rk")
+    )
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+           LENGTH(text) AS n_chars_calc,
+           CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                ELSE len(regexp_extract_all(text, '[^ ]+')) END AS INT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT)
+             AS n_wordlike,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+             / GREATEST(LENGTH(text), 1) AS alpha_ratio,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+             / GREATEST(LENGTH(text), 1) AS digit_ratio,
+           ROUND(GREATEST(0.0, LEAST(1.0,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / GREATEST(LENGTH(text), 1)
+             - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / GREATEST(LENGTH(text), 1)
+             - CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')) AS DOUBLE)
+               / GREATEST(LENGTH(text), 1) * 0.5)), 6) AS quality_score
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality statistics: token counts, char-class ratios, and a
+    composite quality score — the cheap corpus-cleaning pre-filter."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        with_text_stats(d, "text")
+        .select(
+            "doc_id",
+            "n_chars_calc",
+            "n_tokens",
+            "n_wordlike",
+            "alpha_ratio",
+            "digit_ratio",
+            "quality_score",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "lang_id",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE
+             WHEN GREATEST(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+             WHEN s_en = GREATEST(s_en, s_es, s_fr, s_de) THEN 'en'
+             WHEN s_es = GREATEST(s_en, s_es, s_fr, s_de) THEN 'es'
+             WHEN s_fr = GREATEST(s_en, s_es, s_fr, s_de) THEN 'fr'
+             ELSE 'de'
+           END AS predicted_lang
+    FROM (
+      SELECT doc_id, lang,
+        len(regexp_extract_all(lower(text), '(^| )(the|and|of|is|to)( |$)')) AS s_en,
+        len(regexp_extract_all(lower(text), '(^| )(el|la|los|es|una)( |$)')) AS s_es,
+        len(regexp_extract_all(lower(text), '(^| )(le|les|est|une|dans)( |$)')) AS s_fr,
+        len(regexp_extract_all(lower(text), '(^| )(der|die|und|ist|nicht)( |$)')) AS s_de
+      FROM documents
+    ) t
+    ORDER BY doc_id
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID with deterministic tie-breaking."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        lang_id_scores(d, "text")
+        .select("doc_id", "lang", "predicted_lang")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS md5_raw,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS md5_norm,
+           LENGTH(text) AS n_chars_calc,
+           strlen(text) AS n_bytes
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (raw + normalized md5) and the
+    byte-vs-char length pair used by multimodal binary plumbing."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        fingerprint(d, "text")
+        .select(
+            "doc_id",
+            "md5_raw",
+            "md5_norm",
+            F.length("text").alias("n_chars_calc"),
+            F.octet_length("text").cast("bigint").alias("n_bytes"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,143 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every registered query on Spark and its oracle SQL on DuckDB at
+the given sf dir, then compares: row count, column names, and
+order-insensitive values (columns sorted by name, rows sorted, cells
+canonicalized). Reports exact-match and isclose-match per query so
+float risk is visible before the real gate runs.
+
+Usage: python tools/check_parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+from datetime import date, datetime
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from local_stream_stack_spark.catalog import TABLES
+from local_stream_stack_spark.queries import QUERIES
+from local_stream_stack_spark.session import get_spark
+
+
+def canon(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, float):
+        return float(v)
+    if isinstance(v, int):
+        return int(v)
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(canon(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, canon(x)) for k, x in v.items()))
+    return str(v)
+
+
+def sortable(row):
+    return tuple((x is None, str(type(x)), str(x)) for x in row)
+
+
+def cells_equal(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True, True
+        exact = a == b
+        close = math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12)
+        return exact, close
+    eq = a == b
+    return eq, eq
+
+
+def compare(spark_rows, spark_cols, duck_rows, duck_cols):
+    issues = []
+    if len(spark_rows) != len(duck_rows):
+        return [f"row count {len(spark_rows)} vs {len(duck_rows)}"], False, False
+    if sorted(spark_cols) != sorted(duck_cols):
+        return [f"columns {sorted(spark_cols)} vs {sorted(duck_cols)}"], False, False
+    s_idx = [spark_cols.index(c) for c in sorted(spark_cols)]
+    d_idx = [duck_cols.index(c) for c in sorted(duck_cols)]
+    s = sorted(
+        (tuple(canon(r[i]) for i in s_idx) for r in spark_rows), key=sortable
+    )
+    d = sorted(
+        (tuple(canon(r[i]) for i in d_idx) for r in duck_rows), key=sortable
+    )
+    all_exact = all_close = True
+    n_bad = 0
+    for sr, dr in zip(s, d):
+        for a, b in zip(sr, dr):
+            exact, close = cells_equal(a, b)
+            all_exact &= exact
+            all_close &= close
+            if not close and n_bad < 3:
+                issues.append(f"cell {a!r} vs {b!r}")
+                n_bad += 1
+    return issues, all_exact, all_close
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="parity-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    n_pass = n_fail = n_noracle = 0
+    for name, spec in QUERIES.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, sf_dir)
+            spark_cols = sdf.columns
+            spark_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:
+            print(f"FAIL  {name}: SPARK ERROR {type(ex).__name__}: {str(ex)[:300]}")
+            n_fail += 1
+            continue
+        if spec.oracle is None:
+            print(
+                f"rows  {name}: {len(spark_rows)} rows (no oracle) "
+                f"[{time.time()-t0:.1f}s]"
+            )
+            n_noracle += 1
+            continue
+        try:
+            rel = con.sql(spec.oracle)
+            duck_cols = list(rel.columns)
+            duck_rows = rel.fetchall()
+        except Exception as ex:
+            print(f"FAIL  {name}: DUCKDB ERROR {type(ex).__name__}: {str(ex)[:300]}")
+            n_fail += 1
+            continue
+        issues, exact, close = compare(spark_rows, spark_cols, duck_rows, duck_cols)
+        dt = time.time() - t0
+        if close or exact:
+            tag = "EXACT" if exact else "close"
+            print(f"pass  {name}: {len(spark_rows)} rows {tag} [{dt:.1f}s]")
+            n_pass += 1
+        else:
+            print(f"FAIL  {name}: {'; '.join(issues[:5])} [{dt:.1f}s]")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
