@@ -48,18 +48,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":
         return spark.read.parquet(path)
-    try:
-        df = spark.read.parquet(path)
-        df.schema["ts"]  # force schema resolution
-        if df.schema["ts"].dataType.typeName() == "long":
-            raise ValueError("nanos-as-long read")
-        return df
-    except Exception:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+    # The conf only changes how TIMESTAMP(NANOS) columns are decoded
+    # (as long), so setting it up front is safe for every other table
+    # and avoids a throwaway failed read just to probe the footer.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if df.schema["ts"].dataType.typeName() == "long":
         from pyspark.sql import functions as F
 
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:

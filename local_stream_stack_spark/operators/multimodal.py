@@ -1,0 +1,102 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+North-star operator family. Convention: a modality column is
+``binary`` (image/audio/video bytes) beside a ``map<string,string>``
+metadata column (the reference's metadata-map convention,
+`schema_manager.py:40`). The Spark-side plumbing — schema, Arrow batch
+shape, partition-friendly mapInPandas signature — is real and tested;
+the actual codec calls are STUBBED (image/audio libraries are not in
+this container) behind ``decode_stub``: a deterministic fake that
+derives "features" from the byte content, or NotImplementedError for
+the real path.
+
+Scale notes: binary payloads ride in parquet alongside metadata, so
+pruning/pushdown still applies to the metadata columns; decode runs in
+mapInPandas (Arrow-batched, one Python worker per core, no
+driver-side collection). Feature extraction over 100 TB of media is
+scan-shaped: no shuffle at all until a later aggregate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "id bigint, modality string, n_bytes int, checksum string, "
+    "width int, height int, duration_ms int"
+)
+
+
+def attach_binary_payload(
+    df: DataFrame, text_col: str, id_col: str, modality: str = "image"
+) -> DataFrame:
+    """Build a multimodal-shaped frame from a text table (test
+    harness): payload = utf-8 bytes, metadata map with modality tag."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.create_map(
+            F.lit("modality"), F.lit(modality),
+            F.lit("source_col"), F.lit(text_col),
+        ).alias("meta"),
+    )
+
+
+def decode_stub(payload: bytes, modality: str) -> dict:
+    """Deterministic fake decode. REAL DECODE NOT IMPLEMENTED —
+    requires image/audio codecs not present in this container; swap
+    this function for PIL/libav calls in production."""
+    if modality not in ("image", "audio", "video"):
+        raise NotImplementedError(f"unknown modality {modality!r}")
+    n = len(payload)
+    # fake dimensions derived from content so tests are deterministic
+    head = sum(payload[:16]) if n else 0
+    if modality == "image":
+        return {"width": 16 + head % 64, "height": 16 + n % 64, "duration_ms": 0}
+    return {"width": 0, "height": 0, "duration_ms": 100 + (head + n) % 10_000}
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over (id, payload, meta) frames.
+
+    Arrow-batched: each Python worker receives pandas batches, decodes
+    per row (stub), and emits a typed feature frame. This is the
+    canonical slow-path shape — batch-level Python, never row-at-a-time
+    UDF, never collect().
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+                modality = (r["meta"] or {}).get("modality", "image")
+                feats = decode_stub(payload, modality)
+                rows.append(
+                    {
+                        "id": r["id"],
+                        "modality": modality,
+                        "n_bytes": len(payload),
+                        "checksum": hashlib.md5(payload).hexdigest(),
+                        **feats,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id",
+                    "modality",
+                    "n_bytes",
+                    "checksum",
+                    "width",
+                    "height",
+                    "duration_ms",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)

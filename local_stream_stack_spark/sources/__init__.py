@@ -1,0 +1,32 @@
+"""Sources and sinks: Kafka (with security option parity), files,
+rate, memory — batch and streaming forms of each where Spark supports
+them (SURVEY.md §2B scans/sources/sinks)."""
+
+from local_stream_stack_spark.sources.kafka import (
+    KafkaSecurityConfig,
+    KafkaReader,
+    KafkaWriter,
+    build_security_options,
+)
+from local_stream_stack_spark.sources.files import FileSource, RateSource
+from local_stream_stack_spark.sources.sinks import (
+    ConsoleSink,
+    MemorySink,
+    ParquetSink,
+    ForeachBatchSink,
+    NoopSink,
+)
+
+__all__ = [
+    "KafkaSecurityConfig",
+    "KafkaReader",
+    "KafkaWriter",
+    "build_security_options",
+    "FileSource",
+    "RateSource",
+    "ConsoleSink",
+    "MemorySink",
+    "ParquetSink",
+    "ForeachBatchSink",
+    "NoopSink",
+]

@@ -1,0 +1,170 @@
+"""Streaming operators: event-time windows with watermarks, stateful
+dedup, latest-per-key materialization, stream-static joins.
+
+SURVEY.md §2B streaming rows marked ✗ in the reference (its surface
+stops at micro-batch execution + checkpointing + offset replay;
+watermarks/windows/state are absent). Each function here composes a
+standard Structured Streaming plan:
+
+- watermark bounds state size — REQUIRED for production windows; the
+  state store would otherwise grow without bound at 100 TB/day
+- window aggregates shuffle once on (window, keys)
+- latest-per-key uses foreachBatch + an idempotent overwrite, the
+  exactly-once materialization pattern for compacted-topic views
+  (reference data semantics A15/A16, `sample_kafka_process.sh:165-215`)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    keys: Sequence[str] = (),
+    watermark: str = "2 hours",
+    agg_value: str | None = "value",
+) -> DataFrame:
+    """Tumbling event-time window aggregate with a watermark.
+
+    In append mode a window emits once the watermark passes its end —
+    late rows beyond the watermark are dropped (bounded state).
+    """
+    aggs = [F.count("*").alias("n_events")]
+    if agg_value:
+        aggs.append(F.sum(agg_value).alias("sum_value"))
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), *keys)
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            "n_events",
+            *(["sum_value"] if agg_value else []),
+        )
+    )
+
+
+def sliding_windowed_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+    agg_value: str = "value",
+) -> DataFrame:
+    """Sliding window: each event lands in window/slide windows (row
+    expansion is a constant factor — scale-safe)."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("w"))
+        .agg(F.count("*").alias("n_events"), F.sum(agg_value).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_windowed_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    keys: Sequence[str] = ("user_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows (gap-based); a session closes — and emits, in
+    append mode — when the watermark passes last_event + gap."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), *keys)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            *keys,
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stateful exactly-once dedup on event keys, with state expiry at
+    the watermark (dropDuplicatesWithinWatermark — unbounded-state-safe,
+    unlike plain dropDuplicates on a stream)."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def latest_per_key_stream(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    target_table: str,
+    checkpoint_location: str,
+    tombstone_predicate: str | None = None,
+):
+    """Materialize a compacted (latest-per-key) view of a stream.
+
+    foreachBatch: per micro-batch, reduce to latest per key, merge
+    with the existing view, drop tombstones, and atomically replace
+    the target temp view. Exactly-once per epoch via the checkpoint;
+    the merge itself is idempotent (max-by-order wins), so replayed
+    epochs converge — the reference's compacted-topic semantics
+    (A15/A16) without Kafka.
+
+    At scale the target would be a keyed table (Delta/Iceberg MERGE);
+    the in-memory temp view keeps the pattern testable here.
+    """
+    from local_stream_stack_spark.operators.events import latest_per_key
+
+    spark = df.sparkSession
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        latest = latest_per_key(
+            batch_df, keys=list(keys), order_by=[order_col]
+        )
+        try:
+            current = spark.table(target_table)
+            merged = latest_per_key(
+                current.unionByName(latest), keys=list(keys), order_by=[order_col]
+            )
+        except Exception:
+            merged = latest
+        if tombstone_predicate:
+            merged = merged.filter(f"NOT ({tombstone_predicate})")
+        # materialize before replacing the view the next epoch reads
+        rows = merged.collect()
+        spark.createDataFrame(rows, merged.schema).createOrReplaceTempView(
+            target_table
+        )
+
+    return (
+        df.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_location)
+        .start()
+    )
+
+
+def stream_static_join(
+    stream: DataFrame, static: DataFrame, on: str | list, how: str = "inner"
+) -> DataFrame:
+    """Stream-static join: the static side re-reads per micro-batch
+    and broadcasts when small — the standard dim-enrichment pattern."""
+    return stream.join(F.broadcast(static), on, how)

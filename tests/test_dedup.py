@@ -1,0 +1,101 @@
+"""Dedup operator tests on synthetic near/exact duplicates (the
+driver's documents table has no dups, so behavior is pinned here)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from local_stream_stack_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill in the afternoon sun"
+)
+NEAR = BASE.replace("afternoon", "evening")  # one-word change
+OTHER = (
+    "completely unrelated text about distributed query engines and "
+    "columnar storage formats for large analytical workloads"
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, BASE), (3, NEAR), (4, OTHER)],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs(spark), content_cols=["text"], id_col="doc_id")
+    rows = {r.doc_id: r.n_copies for r in out.collect()}
+    assert rows == {1: 2, 3: 1, 4: 1}  # doc 2 collapsed into doc 1
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    sigs = minhash_signatures(
+        _docs(spark), id_col="doc_id", text_col="text", n_hashes=32
+    )
+    # identical docs -> identical signatures
+    sig_map = {r.doc_id: tuple(r.sig) for r in sigs.collect()}
+    assert sig_map[1] == sig_map[2]
+    assert len(sig_map[1]) == 32
+    # near-dup pair agrees on most components; unrelated pair doesn't
+    agree_near = sum(a == b for a, b in zip(sig_map[1], sig_map[3]))
+    agree_other = sum(a == b for a, b in zip(sig_map[1], sig_map[4]))
+    assert agree_near > 20
+    assert agree_other < 8
+
+    cands = minhash_lsh_candidates(sigs, id_col="doc_id", bands=8, rows_per_band=4)
+    pairs = {(r.id_a, r.id_b) for r in cands.collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_minhash_deterministic_across_runs(spark):
+    a = minhash_signatures(_docs(spark), "doc_id", "text", n_hashes=16).collect()
+    b = minhash_signatures(_docs(spark), "doc_id", "text", n_hashes=16).collect()
+    assert {r.doc_id: tuple(r.sig) for r in a} == {r.doc_id: tuple(r.sig) for r in b}
+
+
+def test_simhash_hamming(spark):
+    out = {r.doc_id: r.simhash for r in simhash64(_docs(spark), "doc_id", "text").collect()}
+    assert out[1] == out[2]
+
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert hamming(out[1], out[3]) <= 12  # near-dup: small distance
+    assert hamming(out[1], out[4]) > 12  # unrelated: large distance
+
+
+def test_ngram_jaccard_exact_values(spark):
+    out = ngram_jaccard_pairs(
+        _docs(spark), id_col="doc_id", text_col="text", n=3, min_jaccard=0.0
+    )
+    rows = {(r.id_a, r.id_b): r for r in out.collect()}
+    # identical docs: jaccard exactly 1
+    assert rows[(1, 2)].jaccard == 1.0
+
+    # verify against a python-computed golden for the near pair
+    def grams(s):
+        return {s[i : i + 3] for i in range(len(s) - 2)}
+
+    a, b = grams(BASE), grams(NEAR)
+    expected = len(a & b) / len(a | b)
+    assert abs(rows[(1, 3)].jaccard - expected) < 1e-12
+    assert rows[(1, 3)].common == len(a & b)
+
+
+def test_exact_dedup_multi_column(spark):
+    df = spark.createDataFrame(
+        [(1, "ab", "c"), (2, "a", "bc")], "id long, a string, b string"
+    )
+    out = exact_dedup(df, content_cols=["a", "b"], id_col="id")
+    # unit separator keeps ("ab","c") != ("a","bc")
+    assert out.count() == 2

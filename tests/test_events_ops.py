@@ -1,0 +1,93 @@
+"""Composite event operators: latest-per-key (compaction), tombstones,
+as-of join, sessionize — golden tests on the reference's own
+compaction fixture (README.md:157-176, sample_kafka_process.sh:194-215)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from local_stream_stack_spark.operators.events import (
+    asof_join,
+    latest_per_key,
+    sessionize,
+)
+
+
+def _ts(minute: int, second: int = 0):
+    return datetime(2024, 1, 1, 10, minute, second)
+
+
+def test_latest_per_key_compaction_fixture(spark):
+    """Reference walkthrough: user123 gets two updates then a
+    tombstone; compacted view keeps only the latest per key."""
+    rows = [
+        ("user123", '{"name":"Alice","city":"New York"}', 1),
+        ("user123", '{"name":"Alice","city":"London","status":"active"}', 2),
+        ("user123", None, 3),  # tombstone
+        ("user456", '{"name":"Bob"}', 4),
+    ]
+    df = spark.createDataFrame(rows, "key string, value string, offset long")
+    latest = latest_per_key(df, keys=["key"], order_by=["offset"])
+    got = {(r.key, r.value) for r in latest.collect()}
+    assert got == {("user123", None), ("user456", '{"name":"Bob"}')}
+
+    # tombstone filter: user123's latest is null => key disappears
+    compacted = latest.filter(F.col("value").isNotNull())
+    assert [r.key for r in compacted.collect()] == ["user456"]
+
+
+def test_latest_per_key_deterministic_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("k", "a", 1, 10), ("k", "b", 1, 11)],
+        "key string, value string, ts long, offset long",
+    )
+    latest = latest_per_key(df, keys=["key"], order_by=["ts", "offset"])
+    assert latest.first().value == "b"  # higher offset wins at equal ts
+
+
+def test_asof_join_golden(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), 100), (1, _ts(20), 101), (2, _ts(15), 102)],
+        "user_id int, ts timestamp, purchase_id int",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(5), 900), (1, _ts(10), 901), (1, _ts(18), 902), (2, _ts(16), 903)],
+        "user_id int, ts timestamp, view_id int",
+    )
+    out = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["view_id"],
+    )
+    got = {(r.purchase_id, r.view_id) for r in out.collect()}
+    # purchase@10 matches view@10 (asof inclusive), purchase@20 -> view@18,
+    # user2 purchase@15 has no earlier view -> null
+    assert got == {(100, 901), (101, 902), (102, None)}
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(30), 1)], "user_id int, ts timestamp, purchase_id int"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(0), 9)], "user_id int, ts timestamp, view_id int"
+    )
+    out = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["view_id"], tolerance="INTERVAL 10 MINUTES",
+    )
+    assert out.first().view_id is None  # 30 min gap > 10 min tolerance
+
+
+def test_sessionize_islands(spark):
+    rows = [
+        (1, _ts(0)), (1, _ts(10)), (1, _ts(50)),  # gap 40min -> new session
+        (2, _ts(5)),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = sessionize(df, key="user_id", ts="ts", gap="INTERVAL 30 MINUTE")
+    sessions = {(r.user_id, r.ts.minute): r.session_id for r in out.collect()}
+    assert sessions[(1, 0)] == 1 and sessions[(1, 10)] == 1
+    assert sessions[(1, 50)] == 2
+    assert sessions[(2, 5)] == 1

@@ -1,0 +1,157 @@
+"""Structured Streaming operators driven by bounded file sources and
+memory sinks (SURVEY.md §5: no Kafka in CI -> deterministic replays).
+Each test writes a small parquet input, starts the streaming query,
+processAllAvailable(), and asserts the sink table."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from local_stream_stack_spark.streaming.ops import (
+    dedup_within_watermark,
+    latest_per_key_stream,
+    session_windowed_counts,
+    stream_static_join,
+    windowed_counts,
+)
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _ts(h, m=0):
+    return datetime(2024, 1, 1, h, m)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="stream-test-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_input(spark, tmpdir, rows):
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    path = f"{tmpdir}/in"
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _run_stream(spark, out_df, name, tmpdir, output_mode="append"):
+    q = (
+        out_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{tmpdir}/cp-{name}")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+def test_windowed_counts_stream(spark, tmpdir):
+    rows = [
+        (1, _ts(10, 5), 1, "view", 1.0),
+        (2, _ts(10, 20), 1, "view", 2.0),
+        (3, _ts(11, 5), 2, "click", 3.0),
+        (4, _ts(13, 0), 2, "click", 4.0),  # advances watermark past 10-12h
+    ]
+    path = _write_input(spark, tmpdir, rows)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+    out = windowed_counts(stream, ts_col="ts", window="1 hour", watermark="1 hour")
+    table = _run_stream(spark, out, "win_counts", tmpdir)
+    got = {
+        (r.window_start.hour, r.n_events, r.sum_value) for r in table.collect()
+    }
+    # append mode emits only windows the watermark has closed:
+    # max ts 13:00, watermark 1h -> 12:00 closes the 10h and 11h windows
+    assert (10, 2, 3.0) in got
+    assert (11, 1, 3.0) in got
+    assert all(h != 13 for h, _, _ in got)  # 13h window still open
+
+
+def test_session_window_stream(spark, tmpdir):
+    rows = [
+        (1, _ts(10, 0), 1, "view", 1.0),
+        (2, _ts(10, 10), 1, "view", 1.0),  # same session (10 min gap)
+        (3, _ts(12, 0), 1, "view", 1.0),  # new session
+        (4, _ts(20, 0), 9, "view", 1.0),  # watermark pusher
+    ]
+    path = _write_input(spark, tmpdir, rows)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+    out = session_windowed_counts(
+        stream, ts_col="ts", gap="30 minutes", keys=("user_id",), watermark="1 hour"
+    )
+    table = _run_stream(spark, out, "sess_counts", tmpdir)
+    got = {
+        (r.user_id, r.session_start.hour, r.n_events)
+        for r in table.collect()
+        if r.user_id == 1
+    }
+    assert got == {(1, 10, 2), (1, 12, 1)}
+
+
+def test_dedup_within_watermark_stream(spark, tmpdir):
+    rows = [
+        (1, _ts(10, 0), 1, "view", 1.0),
+        (1, _ts(10, 1), 1, "view", 1.0),  # duplicate event_id
+        (2, _ts(10, 2), 1, "view", 1.0),
+    ]
+    path = _write_input(spark, tmpdir, rows)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+    out = dedup_within_watermark(stream, keys=["event_id"], ts_col="ts", watermark="1 hour")
+    table = _run_stream(spark, out, "dedup_out", tmpdir)
+    ids = sorted(r.event_id for r in table.collect())
+    assert ids == [1, 2]
+
+
+def test_latest_per_key_stream_upsert(spark, tmpdir):
+    """Compacted-view materialization: last record per key wins,
+    tombstones delete the key (reference A15/A16 semantics)."""
+    rows = [
+        (1, _ts(10, 0), 1, "update", 1.0),
+        (2, _ts(10, 5), 1, "update", 2.0),
+        (3, _ts(10, 1), 2, "update", 5.0),
+        (4, _ts(10, 6), 2, "delete", 0.0),  # tombstone marker
+    ]
+    path = _write_input(spark, tmpdir, rows)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+    q = latest_per_key_stream(
+        stream,
+        keys=["user_id"],
+        order_col="ts",
+        target_table="compacted_view",
+        checkpoint_location=f"{tmpdir}/cp-compact",
+        tombstone_predicate="event_type = 'delete'",
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.user_id, r.value) for r in spark.table("compacted_view").collect()}
+    assert got == {(1, 2.0)}  # user 2 tombstoned; user 1 latest value
+
+
+def test_stream_static_join(spark, tmpdir, sf_dir):
+    rows = [(1, _ts(10, 0), 3, "view", 1.0)]
+    path = _write_input(spark, tmpdir, rows)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+    static = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_nationkey"
+    )
+    joined = stream_static_join(stream, static, on="user_id")
+    table = _run_stream(spark, joined, "enriched", tmpdir)
+    row = table.first()
+    assert row.user_id == 3 and row.c_name is not None
