@@ -28,6 +28,12 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q10_returned_revenue",
+    "q18_large_orders",
+    "percentile_stats",
+    "grouping_sets_revenue",
     "hash_agg_stats",
     "topk_per_group",
     "window_ranking",
@@ -40,6 +46,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "sim_bruteforce_topk",
     "sim_lsh_topk",
+    "sim_ivf_topk",
+    "multimodal_features",
     "text_stats",
     "lang_id",
 ]

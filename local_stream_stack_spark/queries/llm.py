@@ -27,7 +27,12 @@ from local_stream_stack_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash64,
 )
+from local_stream_stack_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_features,
+)
 from local_stream_stack_spark.operators.similarity import (
+    cosine,
     cosine_topk_bruteforce,
     lsh_bucket_topk,
     norm2,
@@ -261,6 +266,162 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("query_id") != F.col("corpus_id"))
         .orderBy("query_id", "rk")
     )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
+    SELECT id_a, id_b, label_a, label_b, cosine_sim
+    FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.label AS label_a, b.label AS label_b,
+             ROUND(list_reduce(list_transform(generate_series(1, len(a.embedding)),
+                     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                   (x, y) -> x + y)
+               / (sqrt(list_reduce(list_transform(a.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x,y) -> x+y))
+                * sqrt(list_reduce(list_transform(b.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x,y) -> x+y))),
+               6) AS cosine_sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ) t
+    WHERE cosine_sim >= 0.40
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact, threshold 0.40 — this
+    synthetic corpus has no true near-dups; max pairwise cosine is
+    ~0.51). All-pairs is the verification stage: at corpus scale,
+    generate candidates with sim_lsh_topk's bucket join first and run
+    this exact cosine only on co-bucketed pairs."""
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("label_a"),
+        F.col("embedding").alias("__va"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("__vb"),
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "label_a",
+            "label_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= 0.40)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query("sim_ivf_topk", oracle=None)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-10: coarse cells = per-label mean
+    centroids; each query probes its nprobe=3 nearest centroids and
+    searches only those cells. The centroid table is tiny and
+    broadcast; the cell scan is an equi-join on label — the
+    inverted-file shape that avoids the cross product at corpus scale.
+    Float mean accumulation is partition-order dependent -> rows-only
+    check; recall is pinned in tests/test_similarity.py."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "embeddings")
+    # per-label mean centroid via posexplode + per-dimension avg
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("avg_val"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "avg_val"))),
+                lambda s: s.avg_val.cast("float"),
+            ).alias("centroid")
+        )
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("cent_sim"), F.asc("label")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("cent_sim", cosine(F.col("__qv"), F.col("centroid")))
+        .withColumn("__pr", F.row_number().over(wq))
+        .filter(F.col("__pr") <= 3)
+        .select("query_id", "__qv", "label")
+    )
+    c = e.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("label"),
+        F.col("embedding").alias("__cv"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("corpus_id")
+    )
+    return (
+        c.join(F.broadcast(probes), on="label")
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine_sim"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .orderBy("query_id", "rk")
+    )
+
+
+@query(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha256_hex,
+           substr(base64(encode(text)), 1, 24) AS b64_head,
+           map_meta['modality'][1] AS modality
+    FROM (
+      SELECT doc_id, text, MAP {'modality': 'image'} AS map_meta
+      FROM documents
+    ) t
+    ORDER BY doc_id
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing, oracle-checkable half: opaque
+    binary payload + typed metadata map, with byte-length, sha-256 and
+    a base64 head over the binary column. The payload here is utf-8
+    text bytes (no codecs in the container); a real image/audio column
+    is byte-identical plumbing."""
+    d = _t(spark, sf_dir, "documents")
+    mm = attach_binary_payload(d, text_col="text", id_col="doc_id")
+    return mm.select(
+        F.col("id").alias("doc_id"),
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        F.sha2(F.col("payload"), 256).alias("sha256_hex"),
+        F.substring(F.base64("payload"), 1, 24).alias("b64_head"),
+        F.col("meta")["modality"].alias("modality"),
+    ).orderBy("doc_id")
+
+
+@query("multimodal_features", oracle=None)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/feature-extract plumbing: Arrow-batched
+    mapInPandas over (id, payload, meta) with a typed feature schema.
+    The decode itself is a deterministic stub (no codecs in this
+    container; see operators/multimodal.py) -> rows-only check; batch
+    shape and schema are pinned in tests/test_multimodal.py."""
+    d = _t(spark, sf_dir, "documents")
+    mm = attach_binary_payload(d, text_col="text", id_col="doc_id")
+    return extract_features(mm).orderBy("id")
 
 
 @query(

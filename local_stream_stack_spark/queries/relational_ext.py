@@ -1,0 +1,473 @@
+"""Extended relational coverage: correlated/EXISTS shapes, multi-way
+join aggregations, OR-of-ANDs predicate pushes, scalar-subquery
+thresholds, exact percentiles/statistics, and GROUPING SETS.
+
+These widen SURVEY.md §2B beyond the minimum slice: every classic
+TPC-H query shape expressible over the harness tables (no partsupp /
+l_shipmode / l_commitdate columns exist, so Q2/Q12-like shapes are out
+of scope) gets an oracle-checked entry.
+
+Determinism follows queries/relational.py: money/quantity aggregates
+run over DECIMAL (exact, order-independent), rounded before the final
+DOUBLE cast; thresholds that would involve float division are
+rewritten as exact cross-multiplied decimal comparisons.
+
+Scale notes (100 TB): every query is scan -> (broadcastable dim joins)
+-> partial+final hash aggregate. Fact-fact joins (orders x lineitem)
+shuffle on the join key only after pushed-down filters cut the fact
+side; semi/anti forms never materialize the probe payload.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from local_stream_stack_spark.catalog import load_table
+from local_stream_stack_spark.queries.registry import query
+from local_stream_stack_spark.queries.relational import (
+    DISC_PRICE,
+    PRICE_DEC,
+    QTY_DEC,
+    _sum_round,
+)
+from local_stream_stack_spark.session import configure_for_oracle
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure_for_oracle(spark)
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped: EXISTS with a correlated non-equi condition ->
+    left-semi join. The probe (lineitem) payload is never carried
+    past the join, so shuffle volume is keys only."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP '1997-07-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP '1997-10-01 00:00:00'"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q7_nation_volume",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year, {_sum_round("volume")} AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             EXTRACT(year FROM l_shipdate) AS l_year,
+             {DISC_PRICE} AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        AND n1.n_name <> n2.n_name
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped: 5-way join (two broadcast dims, two fact
+    shuffles) with a nation-pair filter and per-year rollup."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    nations = ("NATION_1", "NATION_2", "NATION_3")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin(*nations))
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin(*nations))
+    joined = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            F.expr(DISC_PRICE).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.expr(_sum_round("volume")).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q10_returned_revenue",
+    oracle=f"""
+    SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+    FROM (
+      SELECT c_custkey, c_name, {_sum_round(DISC_PRICE)} AS revenue,
+             c_acctbal, n_name
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ) t
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: returned-item revenue per customer, top 20.
+    Revenue is decimal-rounded BEFORE ranking, with c_custkey as the
+    tiebreaker, so the top-k set is deterministic on both engines."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP '1997-10-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP '1998-01-01 00:00:00'"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.expr(_sum_round(DISC_PRICE)).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT CAST(100.0 * promo / total AS DOUBLE) AS promo_revenue_pct
+    FROM (
+      SELECT
+        CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN {DISC_PRICE}
+                            ELSE CAST(0 AS DECIMAL(24,6)) END), 2) AS DOUBLE) AS promo,
+        {_sum_round(DISC_PRICE)} AS total
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    ) t
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped: promo revenue share for one month.
+    Conditional aggregate over a broadcastable part join; both sums
+    decimal-rounded before the one double division."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP '1997-09-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP '1997-10-01 00:00:00'"))
+    )
+    p = _t(spark, sf_dir, "part")
+    promo = (
+        f"CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN {DISC_PRICE} "
+        f"ELSE CAST(0 AS DECIMAL(24,6)) END), 2) AS DOUBLE)"
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.expr(promo).alias("promo"),
+            F.expr(_sum_round(DISC_PRICE)).alias("total"),
+        )
+        .select(
+            (F.lit(100.0) * F.col("promo") / F.col("total")).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+@query(
+    "q17_small_qty_revenue",
+    oracle=f"""
+    SELECT CAST(ROUND(SUM({PRICE_DEC}), 2) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (
+      SELECT l_partkey AS agg_partkey,
+             SUM({QTY_DEC}) AS sum_qty, COUNT(*) AS cnt_qty
+      FROM lineitem GROUP BY l_partkey
+    ) pa ON agg_partkey = l_partkey
+    WHERE p_brand = 'Brand#5'
+      AND {QTY_DEC} * 5 * cnt_qty < sum_qty
+    """,
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped: revenue from small-quantity orders below 20%%
+    of the per-part average. The float threshold qty < 0.2*avg is
+    rewritten as the exact decimal cross-multiplication
+    5*qty*cnt < sum, so membership can't flip on last-ulp division."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
+    per_part = li.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
+        F.expr(f"SUM({QTY_DEC})").alias("sum_qty"),
+        F.count("*").alias("cnt_qty"),
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(per_part, F.col("agg_partkey") == F.col("l_partkey"))
+        .filter(F.expr(f"{QTY_DEC} * 5 * cnt_qty < sum_qty"))
+        .agg(
+            (F.expr(f"CAST(ROUND(SUM({PRICE_DEC}), 2) AS DOUBLE)") / 7.0).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle=f"""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+           CAST(ROUND(SUM({QTY_DEC}), 2) AS DOUBLE) AS sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    HAVING SUM({QTY_DEC}) > 180
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: large-volume orders (sum qty > 180), top 100
+    by price. HAVING over an exact decimal sum; o_orderkey tiebreak."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.expr(f"SUM({QTY_DEC})").alias("__sum_qty_dec"))
+        .filter(F.col("__sum_qty_dec") > 180)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.expr("CAST(ROUND(__sum_qty_dec, 2) AS DOUBLE)").alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "q19_or_predicates",
+    oracle=f"""
+    SELECT {_sum_round(DISC_PRICE)} AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped: disjunction of brand/size/quantity conjuncts.
+    Catalyst extracts the common p_brand IN (...) prefilter and pushes
+    it below the join; the OR evaluates post-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(F.expr(_sum_round(DISC_PRICE)).alias("revenue"))
+    )
+
+
+@query(
+    "q22_idle_customers",
+    oracle="""
+    WITH threshold AS (
+      SELECT CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(14,2))), 2) AS DOUBLE)
+               / COUNT(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n_name, COUNT(*) AS numcust,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(14,2))), 2) AS DOUBLE)
+             AS totacctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (SELECT avg_bal FROM threshold)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: rich customers with no recent orders, per
+    nation. Scalar-subquery threshold (deterministic decimal avg) +
+    left-anti join against the filtered orders. (Every customer in the
+    harness data has SOME order, so the classic no-orders-ever form
+    would be vacuously empty.)"""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.expr("TIMESTAMP '2000-01-01 00:00:00'")
+    )
+    n = _t(spark, sf_dir, "nation")
+    avg_bal_row = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.expr(
+                    "CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(14,2))), 2) AS DOUBLE)"
+                )
+                / F.count("*")
+            ).alias("avg_bal")
+        )
+    )
+    rich = c.join(
+        F.broadcast(avg_bal_row), F.col("c_acctbal") > F.col("avg_bal"), "inner"
+    )
+    idle = rich.join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+    return (
+        idle.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.expr(
+                "CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(14,2))), 2) AS DOUBLE)"
+            ).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "percentile_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(median(l_quantity), 4) AS median_qty,
+           ROUND(quantile_cont(l_quantity, 0.90), 4) AS p90_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+           ROUND(stddev_samp(l_quantity), 3) AS sd_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 3) AS corr_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (sort-based, not sketches) plus
+    sample stddev and correlation per return flag. The rounding
+    absorbs last-ulp differences in the engines' merge order; see
+    approx_distinct_parts for the sketch-based HLL variant."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+            F.round(F.expr("percentile(l_quantity, 0.90)"), 4).alias("p90_qty"),
+            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias(
+                "p25_price"
+            ),
+            F.round(F.stddev_samp("l_quantity"), 3).alias("sd_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 3).alias(
+                "corr_qty_price"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           {_sum_round(DISC_PRICE)} AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with GROUPING() markers — the explicit form of
+    rollup (see rollup_revenue / cube_qty for the sugar variants)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+            F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+            F.expr(_sum_round(DISC_PRICE)).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+    )

@@ -92,6 +92,34 @@ def test_ngram_jaccard_exact_values(spark):
     assert rows[(1, 3)].common == len(a & b)
 
 
+def test_word_shingles(spark):
+    from local_stream_stack_spark.operators.dedup import word_shingles
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "  x   y  "), (3, "one"), (4, "")],
+        "id long, text string",
+    )
+    out = {
+        r.id: sorted(r.sh)
+        for r in df.select("id", word_shingles("text", 3).alias("sh")).collect()
+    }
+    assert out[1] == ["a b c", "b c d"]
+    assert out[2] == []  # only 2 tokens, k=3
+    assert out[3] == []
+    assert out[4] == []
+
+
+def test_minhash_word_mode_near_dups(spark):
+    sigs = minhash_signatures(
+        _docs(spark), "doc_id", "text", n_hashes=32, shingle_k=3, shingle="word"
+    )
+    sig_map = {r.doc_id: tuple(r.sig) for r in sigs.collect()}
+    assert sig_map[1] == sig_map[2]  # identical docs
+    agree_near = sum(a == b for a, b in zip(sig_map[1], sig_map[3]))
+    agree_other = sum(a == b for a, b in zip(sig_map[1], sig_map[4]))
+    assert agree_near > agree_other
+
+
 def test_exact_dedup_multi_column(spark):
     df = spark.createDataFrame(
         [(1, "ab", "c"), (2, "a", "bc")], "id long, a string, b string"

@@ -100,6 +100,47 @@ def test_lsh_recall_vs_bruteforce(spark, emb):
     assert hits / total >= 0.5, f"LSH recall {hits}/{total} below floor"
 
 
+def test_ivf_recall_vs_bruteforce(spark, sf_dir, emb):
+    """IVF (label-centroid cells, nprobe=3 of 10) recall floor. Probing
+    30% of cells on near-random vectors should still recover a
+    meaningful share of the true top-10."""
+    from local_stream_stack_spark.queries import QUERIES
+
+    k = 10
+    brute = cosine_topk_bruteforce(
+        queries=emb.filter(F.col("vec_id") < 5),
+        corpus=emb,
+        query_id="vec_id",
+        corpus_id="vec_id",
+        query_vec="embedding",
+        corpus_vec="embedding",
+        k=k + 1,
+    ).filter(F.col("query_id") != F.col("corpus_id"))
+    true_sets: dict[int, set] = {}
+    for r in brute.collect():
+        if r.rk <= k:
+            true_sets.setdefault(r.query_id, set()).add(r.corpus_id)
+    approx_sets: dict[int, set] = {}
+    for r in QUERIES["sim_ivf_topk"].fn(spark, sf_dir).collect():
+        approx_sets.setdefault(r.query_id, set()).add(r.corpus_id)
+    hits = total = 0
+    for qid, truth in true_sets.items():
+        total += len(truth)
+        hits += len(truth & approx_sets.get(qid, set()))
+    assert total > 0
+    assert hits / total >= 0.25, f"IVF recall {hits}/{total} below floor"
+    # scores that ARE returned must be exact cosines
+    vectors = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()
+    }
+    for r in QUERIES["sim_ivf_topk"].fn(spark, sf_dir).limit(10).collect():
+        q, c = vectors[r.query_id], vectors[r.corpus_id]
+        expected = round(
+            float(np.dot(q, c) / (np.linalg.norm(q) * np.linalg.norm(c))), 6
+        )
+        assert abs(r.cosine_sim - expected) < 1e-9
+
+
 def test_lsh_scores_are_true_cosines(spark, emb):
     """Approximation affects WHICH pairs are scored, never the score:
     every returned cosine must equal the exact cosine."""
