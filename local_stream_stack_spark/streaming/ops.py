@@ -168,3 +168,79 @@ def stream_static_join(
     """Stream-static join: the static side re-reads per micro-batch
     and broadcasts when small — the standard dim-enrichment pattern."""
     return stream.join(F.broadcast(static), on, how)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "1 hour",
+    lower: str = "INTERVAL 0 SECONDS",
+    upper: str = "INTERVAL 30 MINUTES",
+) -> DataFrame:
+    """Stream-stream equi-key join with a time-interval condition.
+
+    Both sides carry watermarks and the join condition bounds
+    right_ts within [left_ts + lower, left_ts + upper], so Spark can
+    expire buffered state on both sides — the only unbounded-state-
+    safe form of a stream-stream join. Column names on the right are
+    suffixed ``_r`` to keep the output schema unambiguous.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    rw = rw.select([F.col(c).alias(f"{c}_r") for c in rw.columns])
+    cond = (
+        (F.col(key) == F.col(f"{key}_r"))
+        & (F.col(f"{right_ts}_r") >= F.expr(f"{left_ts} + {lower}"))
+        & (F.col(f"{right_ts}_r") <= F.expr(f"{left_ts} + {upper}"))
+    )
+    return lw.join(rw, cond)
+
+
+def running_totals_with_state(
+    df: DataFrame,
+    key: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Arbitrary stateful op via applyInPandasWithState: per-key
+    running event count and value sum, emitted every micro-batch.
+
+    This is the custom-operator escape hatch the reference's
+    OffsetManager only gestures at (`offset_manager.py:46-103` is a
+    no-op placeholder): real keyed state, Arrow-batched, with
+    watermark-driven expiry. State per key is two floats — scale is
+    bounded by distinct keys, not events.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key} bigint, n_events bigint, sum_value double"
+    state_schema = "n bigint, s double"
+
+    def update(
+        keys: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf[value_col].sum())
+        state.update((n, s))
+        yield pd.DataFrame({key: [keys[0]], "n_events": [n], "sum_value": [s]})
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

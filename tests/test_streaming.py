@@ -16,8 +16,10 @@ from pyspark.sql import types as T
 from local_stream_stack_spark.streaming.ops import (
     dedup_within_watermark,
     latest_per_key_stream,
+    running_totals_with_state,
     session_windowed_counts,
     stream_static_join,
+    stream_stream_interval_join,
     windowed_counts,
 )
 
@@ -142,6 +144,51 @@ def test_latest_per_key_stream_upsert(spark, tmpdir):
     q.stop()
     got = {(r.user_id, r.value) for r in spark.table("compacted_view").collect()}
     assert got == {(1, 2.0)}  # user 2 tombstoned; user 1 latest value
+
+
+def test_stream_stream_interval_join(spark, tmpdir):
+    """Views joined to purchases by the same user within 30 min."""
+    views = [
+        (1, _ts(10, 0), 1, "view", 1.0),
+        (2, _ts(10, 0), 2, "view", 1.0),
+    ]
+    buys = [
+        (10, _ts(10, 20), 1, "purchase", 9.0),  # within 30 min of view 1
+        (11, _ts(12, 0), 2, "purchase", 9.0),  # too late for view 2
+        (12, _ts(23, 0), 9, "purchase", 0.0),  # watermark pusher
+    ]
+    lpath = _write_input(spark, tmpdir, views)
+    rpath = f"{tmpdir}/in_r"
+    spark.createDataFrame(buys, EVENT_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(rpath)
+    left = spark.readStream.schema(EVENT_SCHEMA).parquet(lpath)
+    right = spark.readStream.schema(EVENT_SCHEMA).parquet(rpath)
+    joined = stream_stream_interval_join(
+        left,
+        right,
+        key="user_id",
+        watermark="1 hour",
+        upper="INTERVAL 30 MINUTES",
+    )
+    table = _run_stream(spark, joined, "ss_join", tmpdir)
+    got = {(r.event_id, r.event_id_r) for r in table.collect()}
+    assert got == {(1, 10)}
+
+
+def test_running_totals_with_state(spark, tmpdir):
+    rows = [
+        (1, _ts(10, 0), 1, "view", 1.0),
+        (2, _ts(10, 5), 1, "view", 2.5),
+        (3, _ts(10, 6), 2, "view", 4.0),
+    ]
+    path = _write_input(spark, tmpdir, rows)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+    out = running_totals_with_state(stream, key="user_id", value_col="value")
+    table = _run_stream(spark, out, "running_totals", tmpdir, output_mode="update")
+    got = {(r.user_id, r.n_events, r.sum_value) for r in table.collect()}
+    assert (1, 2, 3.5) in got
+    assert (2, 1, 4.0) in got
 
 
 def test_stream_static_join(spark, tmpdir, sf_dir):
