@@ -173,11 +173,19 @@ def minhash_lsh_candidates(
     """LSH banding: docs agreeing on all rows of any band become a
     candidate pair (id_a < id_b).
 
-    Explode signatures into (band, band_hash) keys and self-join on the
-    band key — candidates are generated by hash-bucket collision, never
-    by comparing all pairs. With ``carry_sig`` the full signatures ride
-    through the join as ``sig_a``/``sig_b`` so the verification stage
-    needs no extra joins back to the signature table.
+    Explode signatures into (band, band_hash) keys, group by bucket,
+    and expand ordered pairs WITHIN each bucket via array functions —
+    candidates are generated by hash-bucket collision, never by
+    comparing all pairs. A single groupBy replaces the earlier
+    band-key self-join, so the signature subtree has ONE lineage (the
+    self-join form computed it twice; Spark's exchange reuse did not
+    fire across the differently-aliased sides). Bucket member lists
+    stay small by LSH design (size the band bits so buckets are
+    O(100) rows at the target corpus); a pathological hot bucket
+    would surface here as one big row — monitor bucket sizes before
+    raising band width. With ``carry_sig`` the full signatures ride
+    in the member structs so the verification stage needs no join
+    back to the signature table.
     """
     banded = sig_df.select(
         F.col(id_col),
@@ -199,29 +207,43 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select(id_col, "sig", "bk.band", "bk.bh")
-    carry_a = [F.col("sig").alias("sig_a")] if carry_sig else []
-    carry_b = [F.col("sig").alias("sig_b")] if carry_sig else []
-    a = banded.select(F.col(id_col).alias("id_a"), *carry_a, F.col("band"), F.col("bh"))
-    b = banded.select(
-        F.col(id_col).alias("id_b"),
-        *carry_b,
-        F.col("band").alias("band_b"),
-        F.col("bh").alias("bh_b"),
+    member = (
+        F.struct(F.col(id_col).alias("id"), F.col("sig").alias("sig"))
+        if carry_sig
+        else F.struct(F.col(id_col).alias("id"))
     )
-    out_cols = ["id_a", "id_b"] + (["sig_a", "sig_b"] if carry_sig else [])
-    pairs = a.join(
-        b,
-        (F.col("band") == F.col("band_b"))
-        & (F.col("bh") == F.col("bh_b"))
-        & (F.col("id_a") < F.col("id_b")),
-    ).select(*out_cols)
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.array_sort(F.collect_list(member)).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+    # ordered pairs (i < j) within the id-sorted member list
+    pair_arr = F.flatten(
+        F.transform(
+            "ms",
+            lambda m, i: F.transform(
+                F.slice("ms", i + F.lit(2), F.size("ms")),
+                lambda m2: F.struct(m.alias("a"), m2.alias("b")),
+            ),
+        )
+    )
+    pairs = buckets.select(F.explode(pair_arr).alias("p"))
     if carry_sig:
         # same (id_a, id_b) always carries identical sigs, so the
         # group-by dedups pairs that collided in multiple bands
-        return pairs.groupBy("id_a", "id_b").agg(
-            F.first("sig_a").alias("sig_a"), F.first("sig_b").alias("sig_b")
+        return (
+            pairs.select(
+                F.col("p.a.id").alias("id_a"),
+                F.col("p.b.id").alias("id_b"),
+                F.col("p.a.sig").alias("sig_a"),
+                F.col("p.b.sig").alias("sig_b"),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.first("sig_a").alias("sig_a"), F.first("sig_b").alias("sig_b"))
         )
-    return pairs.distinct()
+    return pairs.select(
+        F.col("p.a.id").alias("id_a"), F.col("p.b.id").alias("id_b")
+    ).distinct()
 
 
 def ngram_jaccard_pairs(

@@ -191,13 +191,18 @@ def lsh_bucket_topk(
     sim = cosine(F.col("__qv"), F.col("__cv"))
     if round_dp is not None:
         sim = F.round(sim, round_dp)
-    # dedup pairs that collide in several tables BEFORE the cosine —
-    # the (query, corpus) pair is the unit of verification work
+    # score at the join output, then dedup multi-table collisions on
+    # the SCALAR — aggregating doubles rides the codegen'd hash
+    # aggregate, while deduping first (first(vector) buffers) forces a
+    # sort aggregate over array payloads. A pair colliding in t
+    # tables recomputes its cosine t<=n_tables times (64 mults each)
+    # — far cheaper than sorting vector payloads; max() == the
+    # deterministic per-pair value.
     scored = (
         cb.join(F.broadcast(qb), on=["table", "bucket"])
-        .groupBy("query_id", "corpus_id")
-        .agg(F.first("__qv").alias("__qv"), F.first("__cv").alias("__cv"))
         .select("query_id", "corpus_id", sim.alias("cosine_sim"))
+        .groupBy("query_id", "corpus_id")
+        .agg(F.max("cosine_sim").alias("cosine_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("corpus_id"))
     return (

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from local_stream_stack_spark.catalog import load_table
+from local_stream_stack_spark.operators.partitioning import spread_narrow_input
 from local_stream_stack_spark.queries.registry import query
 from local_stream_stack_spark.session import configure_for_oracle
 
@@ -551,7 +552,7 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY ROLLUP: hierarchical subtotals + grand total."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = spread_narrow_input(_t(spark, sf_dir, "lineitem"))
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
@@ -577,7 +578,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cube_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY CUBE: all grouping-set combinations."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = spread_narrow_input(_t(spark, sf_dir, "lineitem"))
     return (
         li.cube("l_returnflag", "l_linestatus")
         .agg(

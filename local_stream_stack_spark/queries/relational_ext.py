@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from local_stream_stack_spark.catalog import load_table
+from local_stream_stack_spark.operators.partitioning import spread_narrow_input
 from local_stream_stack_spark.queries.registry import query
 from local_stream_stack_spark.queries.relational import (
     DISC_PRICE,
@@ -455,8 +456,12 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS with GROUPING() markers — the explicit form of
-    rollup (see rollup_revenue / cube_qty for the sugar variants)."""
-    li = _t(spark, sf_dir, "lineitem")
+    rollup (see rollup_revenue / cube_qty for the sugar variants).
+    The Expand operator triples every input row before the partial
+    aggregate, so a narrow (single-row-group) input is spread across
+    slots first; exact decimal sums keep the result order-independent
+    and the spread is a no-op on well-partitioned inputs."""
+    li = spread_narrow_input(_t(spark, sf_dir, "lineitem"))
     return (
         li.groupingSets(
             [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
