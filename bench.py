@@ -32,6 +32,9 @@ HEADLINE = [
     "q7_nation_volume",
     "q10_returned_revenue",
     "q18_large_orders",
+    "q2_top_supplier_per_part",
+    "q13_order_count_dist",
+    "q21_waiting_suppliers",
     "percentile_stats",
     "grouping_sets_revenue",
     "hash_agg_stats",
@@ -42,8 +45,12 @@ HEADLINE = [
     "asof_join_events",
     "sessionize_events",
     "tumbling_window_agg",
+    "pivot_returnflag",
+    "explode_token_counts",
+    "array_hof_order_lines",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "sim_bruteforce_topk",
     "sim_lsh_topk",
     "sim_ivf_topk",
