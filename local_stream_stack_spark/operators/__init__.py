@@ -26,8 +26,18 @@ from local_stream_stack_spark.operators.text import (
     with_text_stats,
     lang_id_scores,
 )
+from local_stream_stack_spark.operators.joins import (
+    salted_join,
+    write_bucketed,
+)
+from local_stream_stack_spark.operators.partitioning import (
+    spread_narrow_input,
+)
 
 __all__ = [
+    "salted_join",
+    "write_bucketed",
+    "spread_narrow_input",
     "latest_per_key",
     "asof_join",
     "sessionize",

@@ -1,0 +1,94 @@
+"""Join strategy helpers beyond Catalyst's defaults: salting for
+skewed keys and bucketed (pre-shuffled) co-located joins.
+
+SURVEY.md §2B plans all join KINDS on Spark built-ins (the reference
+implements no joins at all — no `join` call anywhere in
+`pyspark_stream/`); this module adds the two *physical* strategies a
+100 TB deployment needs when AQE alone is not enough:
+
+- ``salted_join``: explicit key salting. AQE's skew-join splits
+  oversized partitions of a sort-merge join, but it cannot help when
+  one logical key's rows must still meet one reducer (e.g. a hot
+  entity id joining a replicable dimension). Salting spreads ONE hot
+  key across ``salt`` reducers by replicating the small side.
+- ``write_bucketed`` / bucketed reads: pre-shuffle both fact tables
+  into the same bucket layout so repeated joins on the bucket key
+  skip the exchange entirely — the classic fact-fact co-location
+  strategy when the same join runs per-batch/per-day.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SALTABLE = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"}
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Equi-join with the left side's keys salted across ``salt``
+    sub-keys and the right side replicated ``salt``-fold.
+
+    Semantics are identical to ``left.join(right, on, how)`` for
+    inner/left/left_semi joins (each left row joins exactly one
+    replica of each matching right row). Right/full/anti joins are
+    rejected: replication would duplicate unmatched right rows.
+
+    The salt is derived from a hash of the whole left row (not
+    rand()), so retried tasks produce identical output — required
+    for deterministic results and speculative execution.
+
+    Scale: use when one/few left keys dominate (hot user, null-ish
+    default key) and the right side is too big to broadcast but small
+    enough to replicate ``salt``×. Shuffle volume: left unchanged,
+    right × salt. AQE skew-join handles the symmetric big-big case;
+    this handles the replicable-right case it cannot.
+    """
+    if how not in _SALTABLE:
+        raise ValueError(
+            f"salted_join supports {sorted(_SALTABLE)}; got how={how!r}"
+        )
+    if salt < 2:
+        return left.join(right, list(on), how)
+    on = list(on)
+    salt_col = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)
+    ).cast("int")
+    l2 = left.withColumn("__salt", salt_col)
+    r2 = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    joined = l2.join(r2, on + ["__salt"], how)
+    return joined.drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: Sequence[str] | str,
+    buckets: int = 8,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) table.
+
+    Both sides of a repeated fact-fact join written with the SAME
+    (key, buckets) layout join with NO exchange and (if sorted) NO
+    sort — the shuffle is paid once at write time instead of on
+    every query. Bucket count should be sized so one bucket of the
+    larger table fits an executor core's working set at the target
+    scale (e.g. 100 TB / 4096 buckets ≈ 25 GB per bucket pre-split).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    writer = df.write.format("parquet").mode(mode).bucketBy(buckets, *keys)
+    if sort:
+        writer = writer.sortBy(*keys)
+    writer.saveAsTable(table)

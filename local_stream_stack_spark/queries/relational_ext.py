@@ -476,3 +476,37 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle=f"""
+    SELECT o_orderpriority, {_sum_round(DISC_PRICE)} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (operators/joins.py): lineitem's join key
+    salted 8-ways, orders replicated 8x, then the revenue rollup. The
+    oracle is the PLAIN join — salting must be semantically invisible.
+    Use when a hot key would otherwise pin one reducer; see
+    salted_join docstring for when AQE skew-join suffices instead."""
+    from local_stream_stack_spark.operators.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    ).select("l_orderkey", "o_orderpriority")
+    return (
+        salted_join(li, o, on=["l_orderkey"], how="inner", salt=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr(_sum_round(DISC_PRICE)).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -124,3 +124,54 @@ def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("last3_total"),
         F.count("*").over(Window.partitionBy("o_custkey")).alias("n_orders"),
     )
+
+
+@query(
+    "window_distribution",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           ROUND(CAST(o_totalprice AS DOUBLE)
+             - CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER p, 2)
+                    AS DOUBLE) / COUNT(*) OVER p,
+             4) AS delta_from_prio_avg
+    FROM orders
+    WHERE o_orderkey <= 2000
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey),
+           p AS (PARTITION BY o_orderpriority)
+    ORDER BY o_orderkey
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist plus an unbounded-frame analytic
+    (delta from partition average) — the distribution-rank surface.
+    percent_rank/cume_dist are integer-ratio doubles (rank/n), so the
+    6-dp round is engine-stable; the partition average is the exact
+    decimal-sum/count form (a plain double AVG would be summation-
+    order dependent across engines). The o_orderkey filter keeps the
+    oracle result small without changing the shapes."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    p = Window.partitionBy("o_orderpriority")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.round(
+                F.col("o_totalprice").cast("double")
+                - F.expr(
+                    "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))) "
+                    "OVER (PARTITION BY o_orderpriority), 2) AS DOUBLE)"
+                )
+                / F.count("*").over(p),
+                4,
+            ).alias("delta_from_prio_avg"),
+        )
+        .orderBy("o_orderkey")
+    )
