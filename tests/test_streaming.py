@@ -202,3 +202,80 @@ def test_stream_static_join(spark, tmpdir, sf_dir):
     table = _run_stream(spark, joined, "enriched", tmpdir)
     row = table.first()
     assert row.user_id == 3 and row.c_name is not None
+
+
+def test_checkpoint_recovery_no_reprocessing(spark, tmpdir):
+    """SURVEY.md §2B 'checkpoint-based recovery': restarting a query
+    from its checkpoint must pick up only NEW files — no duplicate
+    output rows from already-committed micro-batches."""
+    in_dir = f"{tmpdir}/in"
+    out_dir = f"{tmpdir}/out"
+    cp = f"{tmpdir}/cp"
+    rows1 = [(1, _ts(10, 0), 1, "view", 1.0), (2, _ts(10, 5), 2, "view", 2.0)]
+    spark.createDataFrame(rows1, EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    def start():
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(in_dir)
+        return (
+            stream.select("event_id", "user_id", "value")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", cp)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(out_dir).count() == 2
+
+    # new file lands while the query is DOWN; restart from checkpoint
+    rows2 = [(3, _ts(11, 0), 1, "click", 3.0)]
+    spark.createDataFrame(rows2, EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 3  # 2 old + 1 new, no reprocessing
+    assert {r.event_id for r in out.collect()} == {1, 2, 3}
+
+
+def test_foreach_batch_sink(spark, tmpdir):
+    """foreachBatch: per-micro-batch custom writer (the escape hatch
+    for sinks Structured Streaming lacks natively)."""
+    from local_stream_stack_spark.sources.sinks import ForeachBatchSink
+
+    rows = [(1, _ts(10, 0), 1, "view", 1.0), (2, _ts(10, 5), 2, "click", 2.0)]
+    path = _write_input(spark, tmpdir, rows)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+    seen: list[tuple[int, int]] = []
+
+    def handle(batch_df, batch_id):
+        seen.append((batch_id, batch_df.count()))
+
+    sink = ForeachBatchSink(fn=handle, checkpoint_location=f"{tmpdir}/cp-feb")
+    q = sink.write(stream.select("event_id", "event_type"))
+    q.processAllAvailable()
+    q.stop()
+    assert sum(n for _, n in seen) == 2
+
+
+def test_output_mode_complete_rewrites_full_result(spark, tmpdir):
+    """complete mode re-emits the whole aggregate each batch — the
+    mode for small dashboards, never for large state."""
+    rows = [
+        (1, _ts(10, 0), 1, "view", 1.0),
+        (2, _ts(10, 5), 1, "view", 2.0),
+        (3, _ts(11, 0), 2, "click", 3.0),
+    ]
+    path = _write_input(spark, tmpdir, rows)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+    agg = stream.groupBy("user_id").agg(F.count("*").alias("n"))
+    table = _run_stream(spark, agg, "complete_agg", tmpdir, output_mode="complete")
+    got = {(r.user_id, r.n) for r in table.collect()}
+    assert got == {(1, 2), (2, 1)}
