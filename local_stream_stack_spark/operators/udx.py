@@ -1,0 +1,93 @@
+"""User-defined function surface: vectorized UDF, grouped-map UDAF,
+and Python UDTF.
+
+SURVEY.md §2B "UDF/UDAF/UDTF surface": the reference's only extension
+mechanism is the whole-DataFrame processor class
+(`base_processor.py:39-51`, loaded by dotted path,
+`streaming_pipeline.py:103-143`). The engine keeps that (pipeline.py)
+and adds the column-level Spark-native tiers:
+
+- scalar `pandas_udf` (Arrow-batched) — see operators/similarity.py
+  `_lsh_buckets_udf` for the production use;
+- grouped-map UDAF via `applyInPandas` (this module);
+- table function via `@udtf` (this module).
+
+Scale notes (100 TB): `applyInPandas` shuffles once on the grouping
+key and streams each group through one Python worker as Arrow
+batches — per-group memory is the constraint, so it is for
+small-to-medium groups (here: per-user event histories), never for a
+global group. A UDTF is a narrow per-row flatMap (no shuffle, no
+state); rows cross to Python in Arrow batches.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import udtf
+
+TRIMMED_SCHEMA = (
+    "user_id bigint, n_events bigint, sum_cents bigint, trimmed_mean double"
+)
+
+
+def _trimmed_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-group trimmed mean over integer cents.
+
+    All arithmetic is int64 (cents), so the result is exact and
+    independent of pandas' row order — required for the DuckDB oracle
+    hash compare. The one division happens on exact integers.
+    """
+    import numpy as np
+
+    # floor(x*100 + 0.5): identical IEEE ops to the oracle's SQL form
+    # (numpy .round() would use half-even, DuckDB ROUND half-away —
+    # this form is the one both engines compute bit-identically)
+    cents = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64")
+    cents = pd.Series(cents)
+    n = len(cents)
+    total = int(cents.sum())
+    if n > 2:
+        tm = (total - int(cents.min()) - int(cents.max())) / (100.0 * (n - 2))
+    else:
+        tm = total / (100.0 * n)
+    return pd.DataFrame(
+        {
+            "user_id": [int(pdf["user_id"].iloc[0])],
+            "n_events": [n],
+            "sum_cents": [total],
+            "trimmed_mean": [tm],
+        }
+    )
+
+
+def trimmed_stats_per_user(df: DataFrame) -> DataFrame:
+    """Grouped-map UDAF: per-user robust (min/max-trimmed) mean of
+    ``value``, computed in pandas. ONE shuffle on user_id; each group
+    crosses the Python boundary as a single Arrow batch."""
+    return df.groupBy("user_id").applyInPandas(_trimmed_stats, TRIMMED_SCHEMA)
+
+
+@udtf(returnType="pos int, token string, token_len int")
+class TokenizeUdtf:
+    """Python UDTF: one input string -> one row per whitespace token.
+
+    The table-function tier of the UDF surface. Functionally
+    equivalent to explode(split(...)) — which is what production code
+    should use (JVM-side); the UDTF exists to cover the extension
+    point for logic that genuinely needs Python per-row expansion.
+    """
+
+    def eval(self, text: str):  # noqa: D102 — contract fixed by Spark
+        if text is None:
+            return
+        pos = 0
+        for tok in text.split():
+            yield pos, tok, len(tok)
+            pos += 1
+
+
+def register_udtfs(spark) -> None:
+    """Register the UDTF surface for SQL use (LATERAL joins etc.)."""
+    spark.udtf.register("tokenize", TokenizeUdtf)

@@ -18,6 +18,7 @@ from local_stream_stack_spark.queries import relational  # noqa: F401
 from local_stream_stack_spark.queries import relational_ext  # noqa: F401
 from local_stream_stack_spark.queries import tpch_rest  # noqa: F401
 from local_stream_stack_spark.queries import collections_funcs  # noqa: F401
+from local_stream_stack_spark.queries import extensions  # noqa: F401
 from local_stream_stack_spark.queries import windows  # noqa: F401
 from local_stream_stack_spark.queries import events_ops  # noqa: F401
 from local_stream_stack_spark.queries import llm  # noqa: F401

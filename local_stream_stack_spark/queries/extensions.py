@@ -1,0 +1,114 @@
+"""Extension-surface queries: grouped-map UDAF (applyInPandas),
+Python UDTF (LATERAL), and the spark.sql() API path.
+
+SURVEY.md §2B "UDF/UDAF/UDTF surface" — the reference's extension
+point is the processor class (`base_processor.py:39-51`); these cover
+the Spark-native tiers, each with a DuckDB oracle. ``sql_api_revenue``
+additionally proves the SQL entry path: the EXACT same SQL string runs
+on Spark (temp views) and DuckDB.
+
+Determinism: the UDAF works on integer cents derived via
+floor(x*100 + 0.5) — the same IEEE ops on both engines — so sums are
+exact; the UDTF tokenizes single-space-ish prose identically to the
+oracle's regex split after trim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from local_stream_stack_spark.catalog import load_table
+from local_stream_stack_spark.operators.udx import (
+    register_udtfs,
+    trimmed_stats_per_user,
+)
+from local_stream_stack_spark.queries.registry import query
+from local_stream_stack_spark.session import configure_for_oracle
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure_for_oracle(spark)
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "udaf_trimmed_stats",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, SUM(cents) AS sum_cents,
+           CASE WHEN COUNT(*) > 2
+                THEN (SUM(cents) - MIN(cents) - MAX(cents))
+                     / (100.0 * (COUNT(*) - 2))
+                ELSE SUM(cents) / (100.0 * COUNT(*))
+           END AS trimmed_mean
+    FROM (
+      SELECT user_id,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ) t
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def udaf_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDAF via applyInPandas: per-user min/max-trimmed
+    mean of event values, computed on exact integer cents. One
+    shuffle on user_id; each user's history crosses to Python as one
+    Arrow batch (see operators/udx.py scale notes)."""
+    e = _t(spark, sf_dir, "events").select("user_id", "value")
+    return trimmed_stats_per_user(e).orderBy("user_id")
+
+
+@query(
+    "udtf_tokenize",
+    oracle="""
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS token,
+           CAST(LENGTH(toks[i]) AS INT) AS token_len
+    FROM (
+      SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS toks
+      FROM documents WHERE doc_id <= 50
+    ) t,
+    UNNEST(generate_series(1, len(toks))) AS u(i)
+    ORDER BY doc_id, pos
+    """,
+)
+def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF through SQL LATERAL: text -> (pos, token, len)
+    rows. Production tokenization should stay JVM-side
+    (explode_token_counts); this covers the UDTF extension tier."""
+    register_udtfs(spark)
+    _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 50).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token, t.token_len
+        FROM __udtf_docs d, LATERAL tokenize(d.text) t
+        ORDER BY d.doc_id, t.pos
+        """
+    )
+
+
+_SHARED_SQL = """
+SELECT n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                      * (CAST(1 AS DECIMAL(2,0))
+                         - CAST(l_discount AS DECIMAL(6,4)))), 2)
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+@query("sql_api_revenue", oracle=_SHARED_SQL)
+def sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.sql() entry path: the IDENTICAL SQL string runs on Spark
+    (over temp views) and on DuckDB as the oracle — dialect-portable
+    ANSI SQL with exact decimal aggregation."""
+    for name in ("lineitem", "supplier", "nation"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_SHARED_SQL)
