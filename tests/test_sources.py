@@ -1,0 +1,73 @@
+"""File source format coverage (SURVEY.md §2B scans row: parquet/
+CSV/JSON batch + file streaming): round-trips through FileSource."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import types as T
+
+from local_stream_stack_spark.sources.files import FileSource
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+ROWS = [(1, "a", 1.5), (2, "b", -2.0), (3, None, 0.25)]
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="src-test-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "json", "csv", "orc"])
+def test_batch_roundtrip(spark, tmpdir, fmt):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    path = f"{tmpdir}/{fmt}"
+    writer = df.write.format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.save(path)
+    opts = {"header": "true"} if fmt == "csv" else {}
+    src = FileSource(path=path, format=fmt, schema=SCHEMA, options=opts)
+    back = src.read_batch(spark)
+    assert back.schema == SCHEMA
+    assert sorted((r.k, r.name, r.score) for r in back.collect()) == sorted(ROWS)
+
+
+def test_unsupported_format_rejected():
+    with pytest.raises(ValueError):
+        FileSource(path="/tmp/x", format="avro")
+
+
+def test_json_stream_source(spark, tmpdir):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    path = f"{tmpdir}/jsonstream"
+    df.coalesce(1).write.format("json").save(path)
+    src = FileSource(path=path, format="json", schema=SCHEMA)
+    stream = src.read_stream(spark)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("json_src")
+        .option("checkpointLocation", f"{tmpdir}/cp")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert spark.table("json_src").count() == 3
+
+
+def test_stream_requires_schema(tmpdir):
+    src = FileSource(path=tmpdir, format="json")
+    with pytest.raises(ValueError):
+        src.read_stream(None)
