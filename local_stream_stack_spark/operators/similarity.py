@@ -88,6 +88,102 @@ def cosine_topk_bruteforce(
     )
 
 
+def cosine_allpairs_threshold(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    extra_cols: list[str] | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """All-pairs cosine >= threshold, vectorized (the exact-verify stage
+    of near-dup dedup).
+
+    The corpus is collected and broadcast as a numpy matrix; each
+    partition scores its rows against the full matrix with a
+    dimension-at-a-time accumulation loop, which reproduces the
+    sequential left-fold addition order of ``dot_double`` (and of the
+    DuckDB ``list_reduce`` oracle) bit-for-bit: ``acc += a[i]*b[i]`` in
+    index order per pair, just batched across pairs. Norms likewise.
+    The raw double ratio dot/(na*nb) is emitted and the final
+    ``F.round`` happens JVM-side so decimal rounding semantics are
+    identical to the expression form; the in-UDF prefilter keeps a
+    1e-6 margin below the threshold so no pair that could round up is
+    dropped.
+
+    Scale note (100 TB): broadcast-all-pairs is the verify stage only —
+    generate candidates with ``lsh_bucket_topk``'s bucket join first and
+    run exact cosine on co-bucketed pairs; this function is for corpora
+    that fit an executor (it is still O(n^2) work, distributed O(n/p)
+    rows x n matrix per task).
+    """
+    extra_cols = extra_cols or []
+    rows = corpus.select(id_col, vec_col, *extra_cols).collect()
+    ids = [r[0] for r in rows]
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    extras = {c: [r[c] for r in rows] for c in extra_cols}
+    n, dim = mat.shape
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast((ids, mat, extras))
+    pre_cut = threshold - 1e-6
+
+    out_fields = [f"id_a {corpus.schema[id_col].dataType.simpleString()}",
+                  f"id_b {corpus.schema[id_col].dataType.simpleString()}"]
+    for c in extra_cols:
+        t = corpus.schema[c].dataType.simpleString()
+        out_fields += [f"{c}_a {t}", f"{c}_b {t}"]
+    out_fields.append("cosine_raw double")
+    out_schema = ", ".join(out_fields)
+
+    def score(batches):
+        b_ids, b_mat, b_extras = bc.value
+        # sequential-fold norms, vectorized across vectors
+        acc = np.zeros(len(b_mat))
+        for i in range(b_mat.shape[1]):
+            acc += b_mat[:, i] * b_mat[:, i]
+        b_norms = np.sqrt(acc)
+        id_to_pos = {v: p for p, v in enumerate(b_ids)}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a_pos = np.array([id_to_pos[v] for v in pdf[id_col]])
+            A = b_mat[a_pos]
+            # fold-order dot: acc += a[i]*b[i], i ascending — batched
+            dots = np.zeros((len(A), len(b_mat)))
+            for i in range(A.shape[1]):
+                dots += A[:, i, None] * b_mat[None, :, i]
+            sims = dots / (b_norms[a_pos][:, None] * b_norms[None, :])
+            ai, bi = np.nonzero(
+                (sims >= pre_cut)
+                & (a_pos[:, None] < np.arange(len(b_mat))[None, :])
+            )
+            data = {
+                "id_a": [b_ids[a_pos[i]] for i in ai],
+                "id_b": [b_ids[j] for j in bi],
+            }
+            for c, vals in b_extras.items():
+                data[f"{c}_a"] = [vals[a_pos[i]] for i in ai]
+                data[f"{c}_b"] = [vals[j] for j in bi]
+            data["cosine_raw"] = sims[ai, bi]
+            yield pd.DataFrame(data)
+
+    par = sc.defaultParallelism
+    pairs = (
+        corpus.select(id_col)
+        .repartition(par, id_col)
+        .mapInPandas(score, schema=out_schema)
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            *[f"{c}_{s}" for c in extra_cols for s in ("a", "b")],
+            F.round(F.col("cosine_raw"), round_dp).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def _hyperplanes(n_tables: int, n_planes: int, dim: int, seed: int = 42):
     """Deterministic pseudo-random unit-free hyperplanes (list of list
     of list of float literals). Gaussian components via Python's

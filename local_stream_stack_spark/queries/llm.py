@@ -33,6 +33,7 @@ from local_stream_stack_spark.operators.multimodal import (
 )
 from local_stream_stack_spark.operators.similarity import (
     cosine,
+    cosine_allpairs_threshold,
     cosine_topk_bruteforce,
     dot_double,
     lsh_bucket_topk,
@@ -294,44 +295,16 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact, threshold 0.40 — this
     synthetic corpus has no true near-dups; max pairwise cosine is
-    ~0.51). All-pairs is the verification stage: at corpus scale,
-    generate candidates with sim_lsh_topk's bucket join first and run
-    this exact cosine only on co-bucketed pairs."""
+    ~0.51). Vectorized all-pairs (numpy, dimension-at-a-time fold so
+    values are bit-identical to the DuckDB list_reduce oracle). At
+    corpus scale this is the verification stage: generate candidates
+    with sim_lsh_topk's bucket join first and run exact cosine only on
+    co-bucketed pairs."""
     e = _t(spark, sf_dir, "embeddings")
-    # Precompute each vector's norm ONCE before the pair join (IEEE
-    # sqrt of the same fold is the same double wherever computed, so
-    # this is bit-identical to the per-pair form the oracle uses) —
-    # per-pair work drops to one dot fold + one divide. Repartition
-    # the streamed side so the nested-loop spreads across all slots
-    # instead of the single input row-group's one partition.
-    par = spark.sparkContext.defaultParallelism
-    a = e.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("label").alias("label_a"),
-        F.col("embedding").alias("__va"),
-        norm2(F.col("embedding")).alias("__na"),
-    ).repartition(par, "id_a")
-    b = e.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("label").alias("label_b"),
-        F.col("embedding").alias("__vb"),
-        norm2(F.col("embedding")).alias("__nb"),
-    )
-    sim = dot_double(F.col("__va"), F.col("__vb")) / (
-        F.col("__na") * F.col("__nb")
-    )
-    return (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            "label_a",
-            "label_b",
-            F.round(sim, 6).alias("cosine_sim"),
-        )
-        .filter(F.col("cosine_sim") >= 0.40)
-        .orderBy("id_a", "id_b")
-    )
+    return cosine_allpairs_threshold(
+        e, id_col="vec_id", vec_col="embedding", threshold=0.40,
+        extra_cols=["label"],
+    ).orderBy("id_a", "id_b")
 
 
 @query("sim_ivf_topk", oracle=None)
