@@ -244,3 +244,64 @@ def running_totals_with_state(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def transform_with_state_supported() -> bool:
+    """Spark 4's transformWithStateInPandas needs a protobuf-backed
+    driver-side Python runner; absent google.protobuf it crashes at
+    query start, so callers gate on this and fall back to
+    ``running_totals_with_state`` (applyInPandasWithState)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_totals_transform_with_state(
+    df: DataFrame,
+    key: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key running totals on Spark 4's transformWithState API —
+    the successor to applyInPandasWithState: named state variables
+    (value/list/map state), timers, TTL, and RocksDB-backed state.
+
+    Same semantics as ``running_totals_with_state``; requires the
+    RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) and a working
+    google.protobuf (see ``transform_with_state_supported``). At 100 TB
+    this is the preferred arbitrary-state path: RocksDB spills keyed
+    state off-heap and changelog-checkpoints incrementally, so state
+    scales with distinct keys per partition, not heap.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.totals = handle.getValueState("totals", "n bigint, s double")
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            n, s = self.totals.get() if self.totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf[value_col].sum())
+            self.totals.update((n, s))
+            yield pd.DataFrame(
+                {key: [key_tuple[0]], "n_events": [n], "sum_value": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key).transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=f"{key} bigint, n_events bigint, sum_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

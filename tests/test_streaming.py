@@ -279,3 +279,41 @@ def test_output_mode_complete_rewrites_full_result(spark, tmpdir):
     table = _run_stream(spark, agg, "complete_agg", tmpdir, output_mode="complete")
     got = {(r.user_id, r.n) for r in table.collect()}
     assert got == {(1, 2), (2, 1)}
+
+
+def test_transform_with_state_running_totals(spark, tmpdir):
+    """Spark 4 transformWithStateInPandas (named state vars + RocksDB
+    state store). Skips where the protobuf-backed Python runner is
+    unavailable; applyInPandasWithState above covers the same
+    semantics on the older API."""
+    from local_stream_stack_spark.streaming.ops import (
+        running_totals_transform_with_state,
+        transform_with_state_supported,
+    )
+
+    if not transform_with_state_supported():
+        pytest.skip("google.protobuf unavailable: transformWithState runner cannot start")
+    rows = [
+        (1, _ts(10, 0), 1, "view", 10.0),
+        (2, _ts(10, 5), 1, "view", 5.0),
+        (3, _ts(11, 0), 2, "click", 7.0),
+    ]
+    path = _write_input(spark, tmpdir, rows)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+        out = running_totals_transform_with_state(
+            stream.select("user_id", "value"), key="user_id", value_col="value"
+        )
+        table = _run_stream(spark, out, "tws_totals", tmpdir, output_mode="update")
+        got = {(r.user_id, r.n_events, r.sum_value) for r in table.collect()}
+        assert got == {(1, 2, 15.0), (2, 1, 7.0)}
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
