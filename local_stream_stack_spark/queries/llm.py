@@ -510,3 +510,121 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_LANG_SCORE_SQL = """
+      SELECT doc_id, text,
+        CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+             ELSE len(regexp_extract_all(text, '[^ ]+')) END AS n_tokens,
+        ROUND(GREATEST(0.0, LEAST(1.0,
+          CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / GREATEST(LENGTH(text), 1)
+          - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / GREATEST(LENGTH(text), 1)
+          - CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')) AS DOUBLE)
+            / GREATEST(LENGTH(text), 1) * 0.5)), 6) AS quality_score,
+        CASE
+          WHEN GREATEST(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+          WHEN s_en = GREATEST(s_en, s_es, s_fr, s_de) THEN 'en'
+          WHEN s_es = GREATEST(s_en, s_es, s_fr, s_de) THEN 'es'
+          WHEN s_fr = GREATEST(s_en, s_es, s_fr, s_de) THEN 'fr'
+          ELSE 'de'
+        END AS predicted_lang
+      FROM (
+        SELECT doc_id, text,
+          len(regexp_extract_all(lower(text), '(^| )(the|and|of|is|to)( |$)')) AS s_en,
+          len(regexp_extract_all(lower(text), '(^| )(el|la|los|es|una)( |$)')) AS s_es,
+          len(regexp_extract_all(lower(text), '(^| )(le|les|est|une|dans)( |$)')) AS s_fr,
+          len(regexp_extract_all(lower(text), '(^| )(der|die|und|ist|nicht)( |$)')) AS s_de
+        FROM documents
+      ) raw
+"""
+
+
+@query(
+    "curation_pipeline",
+    oracle=f"""
+    WITH scored AS ({_LANG_SCORE_SQL}),
+    filtered AS (
+      SELECT doc_id, n_tokens, quality_score, predicted_lang,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS norm_hash
+      FROM scored
+      WHERE quality_score >= 0.80 AND n_tokens >= 10 AND predicted_lang = 'en'
+    )
+    SELECT doc_id, predicted_lang, n_tokens, quality_score, n_copies
+    FROM (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY norm_hash ORDER BY doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY norm_hash) AS n_copies
+      FROM filtered
+    ) d
+    WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation: quality filter -> language
+    filter -> exact dedup on whitespace-normalized content, composed
+    from the individual operators. One narrow scan + one shuffle (the
+    dedup window on the content hash); filters run before the shuffle
+    so at 100 TB the exchanged volume is the filtered survivor set,
+    not the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    scored = lang_id_scores(with_text_stats(d, "text"), "text")
+    filtered = scored.filter(
+        (F.col("quality_score") >= 0.80)
+        & (F.col("n_tokens") >= 10)
+        & (F.col("predicted_lang") == "en")
+    ).withColumn(
+        "norm_hash",
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("norm_hash").orderBy("doc_id")
+    return (
+        filtered.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "n_copies", F.count("*").over(Window.partitionBy("norm_hash"))
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            "doc_id", "predicted_lang", "n_tokens", "quality_score", "n_copies"
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "corpus_stats_by_lang",
+    oracle=f"""
+    WITH scored AS ({_LANG_SCORE_SQL})
+    SELECT predicted_lang,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 2) AS avg_tokens,
+           MIN(quality_score) AS min_quality,
+           MAX(quality_score) AS max_quality
+    FROM scored
+    GROUP BY predicted_lang
+    ORDER BY predicted_lang
+    """,
+)
+def corpus_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics (the coverage report a curation
+    run emits). Aggregates are integer sums and min/max only — order-
+    independent, so the result is bit-stable under any partitioning;
+    avg is derived from the integer sum, not a float accumulation."""
+    d = _t(spark, sf_dir, "documents")
+    scored = lang_id_scores(with_text_stats(d, "text"), "text")
+    return (
+        scored.groupBy("predicted_lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                F.sum("n_tokens").cast("double") / F.count("*"), 2
+            ).alias("avg_tokens"),
+            F.min("quality_score").alias("min_quality"),
+            F.max("quality_score").alias("max_quality"),
+        )
+        .orderBy("predicted_lang")
+    )
