@@ -82,8 +82,15 @@ def q2_top_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2-shaped: per part, the region-local supplier with the
     maximum supplied quantity (per-(part,supplier) lineitem aggregate
     standing in for partsupp). The correlated MAX subquery
-    decorrelates to a per-part aggregate joined back on equality —
-    exact decimal sums make the equality safe."""
+    decorrelates to a max-over-partition window + equality filter —
+    ONE pass over the eligible set (the aggregate-and-join-back form
+    computed the whole ps/supplier subtree twice; exchange reuse does
+    not fire across differently-aliased sides). Exact decimal sums
+    make the equality safe, and the window's partition key equals the
+    upstream aggregate's leading key so AQE coalesces without an extra
+    exchange."""
+    from pyspark.sql.window import Window
+
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
@@ -103,15 +110,10 @@ def q2_top_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     eligible = ps.join(
         F.broadcast(asia_sup), F.col("ps_suppkey") == F.col("s_suppkey")
     )
-    per_part_max = eligible.groupBy(
-        F.col("ps_partkey").alias("max_partkey")
-    ).agg(F.max("ps_qty").alias("max_qty"))
+    w = Window.partitionBy("ps_partkey")
     return (
-        eligible.join(
-            per_part_max,
-            (F.col("ps_partkey") == F.col("max_partkey"))
-            & (F.col("ps_qty") == F.col("max_qty")),
-        )
+        eligible.withColumn("max_qty", F.max("ps_qty").over(w))
+        .filter(F.col("ps_qty") == F.col("max_qty"))
         .join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
         .select(
             "s_name",
