@@ -241,15 +241,20 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the per-part average. The float threshold qty < 0.2*avg is
     rewritten as the exact decimal cross-multiplication
     5*qty*cnt < sum, so membership can't flip on last-ulp division."""
+    from pyspark.sql.window import Window
+
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
-    per_part = li.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
-        F.expr(f"SUM({QTY_DEC})").alias("sum_qty"),
-        F.count("*").alias("cnt_qty"),
-    )
+    # The per-part average only matters for parts surviving the brand
+    # filter, and the broadcast join keeps every lineitem of those
+    # parts — so a window over l_partkey AFTER the join sees complete
+    # groups. One lineitem scan and one (brand-filtered, tiny) shuffle
+    # instead of a full-table aggregate joined back.
+    w = Window.partitionBy("l_partkey")
     return (
         li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(per_part, F.col("agg_partkey") == F.col("l_partkey"))
+        .withColumn("sum_qty", F.expr(f"SUM({QTY_DEC})").over(w))
+        .withColumn("cnt_qty", F.count("*").over(w))
         .filter(F.expr(f"{QTY_DEC} * 5 * cnt_qty < sum_qty"))
         .agg(
             (F.expr(f"CAST(ROUND(SUM({PRICE_DEC}), 2) AS DOUBLE)") / 7.0).alias(

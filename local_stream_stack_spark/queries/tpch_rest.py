@@ -285,12 +285,21 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST({DISC_PRICE} AS DECIMAL(24,6))").alias("value"),
         )
     )
+    from pyspark.sql.window import Window
+
+    # Nation total = sum of the per-part decimal sums (exact), via an
+    # empty-partition window over the post-aggregate — one pass over
+    # the natl subtree instead of aggregating it twice. The single-
+    # partition exchange holds |parts supplied by one nation| narrow
+    # rows.
     per_part = natl.groupBy("l_partkey").agg(F.sum("value").alias("value_dec"))
-    threshold = natl.agg(
-        F.expr("SUM(value) * CAST(0.001 AS DECIMAL(6,4))").alias("threshold")
-    )
     return (
-        per_part.join(F.broadcast(threshold))
+        per_part.withColumn(
+            "threshold",
+            F.expr(
+                "SUM(value_dec) OVER () * CAST(0.001 AS DECIMAL(6,4))"
+            ),
+        )
         .filter(F.col("value_dec") > F.col("threshold"))
         .select(
             F.col("l_partkey").alias("ps_partkey"),
@@ -405,12 +414,21 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.expr("TIMESTAMP '1997-04-01 00:00:00'"))
     )
     s = _t(spark, sf_dir, "supplier")
+    from pyspark.sql.window import Window
+
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.expr(f"SUM({DISC_PRICE})").alias("total_dec")
     )
-    max_rev = revenue.agg(F.max("total_dec").alias("max_dec"))
+    # Global max via an empty-partition window over the POST-aggregate
+    # (one row per supplier in the quarter) — avoids recomputing the
+    # lineitem subtree for the scalar subquery. The single-partition
+    # exchange holds |suppliers| narrow rows, fine at any SF; the
+    # lineitem scan happens once.
     return (
-        revenue.join(F.broadcast(max_rev), F.col("total_dec") == F.col("max_dec"))
+        revenue.withColumn(
+            "max_dec", F.max("total_dec").over(Window.partitionBy())
+        )
+        .filter(F.col("total_dec") == F.col("max_dec"))
         .join(s, F.col("s_suppkey") == F.col("supplier_no"))
         .select(
             "s_suppkey",
@@ -507,14 +525,18 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").isin("NATION_2", "NATION_5")
     )
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    from pyspark.sql.window import Window
+
+    # Per-part yearly total = sum of the per-(supplier,part) decimal
+    # sums (exact), via a window keyed on the aggregate's own leading
+    # key — one filtered-lineitem scan instead of two.
     sp = li.groupBy("l_suppkey", "l_partkey").agg(
         F.expr(f"SUM({QTY_DEC})").alias("qty")
     )
-    pt = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        F.expr(f"SUM({QTY_DEC})").alias("total")
-    )
     dominant = (
-        sp.join(pt, F.col("t_partkey") == F.col("l_partkey"))
+        sp.withColumn(
+            "total", F.sum("qty").over(Window.partitionBy("l_partkey"))
+        )
         .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .filter(F.expr("qty * 4 > total"))
         .select("l_suppkey")
