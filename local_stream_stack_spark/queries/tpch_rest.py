@@ -579,36 +579,39 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21-shaped: suppliers who were the ONLY late shipper on a
     finished multi-supplier order (shipped >60 days after order date,
-    standing in for receipt>commit). The EXISTS becomes a left-semi
-    and the correlated NOT EXISTS a left-anti join, both keyed on
-    l_orderkey so l1 is not re-shuffled between them."""
+    standing in for receipt>commit). The EXISTS / NOT-EXISTS pair
+    rewrites to per-order distinct-supplier counts over ONE window
+    keyed on l_orderkey: EXISTS(other supplier) == distinct suppliers
+    >= 2; NOT EXISTS(other late supplier) == exactly one distinct
+    late supplier. One lineitem scan and one shuffle replace the
+    three-scan semi+anti form; per-group state is the order's supplier
+    set (lines-per-order is bounded, so collect_set stays tiny)."""
+    from pyspark.sql.window import Window
+
     s = _t(spark, sf_dir, "supplier")
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     n = _t(spark, sf_dir, "nation").filter(
         F.col("n_name").isin("NATION_1", "NATION_4")
     )
-    l1 = (
+    w = Window.partitionBy("l_orderkey")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    waited = (
         li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
         .select("l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate")
-    )
-    l2 = li.select(
-        F.col("l_orderkey").alias("x_orderkey"),
-        F.col("l_suppkey").alias("x_suppkey"),
-        F.col("l_shipdate").alias("x_shipdate"),
-    )
-    waited = l1.join(
-        l2,
-        (F.col("x_orderkey") == F.col("l_orderkey"))
-        & (F.col("x_suppkey") != F.col("l_suppkey")),
-        "left_semi",
-    ).join(
-        l2,
-        (F.col("x_orderkey") == F.col("l_orderkey"))
-        & (F.col("x_suppkey") != F.col("l_suppkey"))
-        & (F.col("x_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
-        "left_anti",
+        .withColumn("__late", late)
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supp",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("__late"), F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
+        .filter(
+            F.col("__late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+        )
     )
     return (
         waited.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
