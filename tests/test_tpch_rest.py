@@ -69,7 +69,10 @@ def test_q16_anti_join_in_plan(spark):
     assert "LeftAnti" in plan
 
 
-def test_q21_semi_and_anti_in_plan(spark):
+def test_q21_single_lineitem_scan_window_form(spark):
+    """The exists/not-exists pair is decorrelated to one l_orderkey
+    window — lineitem must appear exactly once in the physical plan
+    (the semi+anti form scanned it three times)."""
     plan = (
         QUERIES["q21_waiting_suppliers"]
         .fn(spark, SF)
@@ -77,7 +80,8 @@ def test_q21_semi_and_anti_in_plan(spark):
         .executedPlan()
         .toString()
     )
-    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
     assert "CartesianProduct" not in plan
 
 
