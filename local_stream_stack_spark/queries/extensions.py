@@ -112,3 +112,45 @@ def sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("lineitem", "supplier", "nation"):
         _t(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(_SHARED_SQL)
+
+
+@query(
+    "exact_quantile_distributed",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+           ROUND(quantile_cont(l_extendedprice, 0.90), 4) AS p90_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def exact_quantile_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantiles via distributed bin-refinement — the 100 TB form.
+
+    ``percentile_stats`` uses Spark's exact ``percentile`` aggregate,
+    which buffers every group value in one reducer; with 3 groups that
+    is a parallelism collapse and an OOM at scale. This variant
+    (operators/quantiles.exact_quantile) computes the identical
+    interpolated answer with three codegen passes whose shuffles carry
+    only aggregate state + an O(n/bins) residual — exactness without
+    the memory cliff. Same oracle as quantile_cont.
+    """
+    from local_stream_stack_spark.operators.quantiles import exact_quantile
+
+    li = _t(spark, sf_dir, "lineitem")
+    p25 = exact_quantile(
+        li, "l_extendedprice", 0.25, ["l_returnflag"], out_col="p25_price"
+    )
+    p90 = exact_quantile(
+        li, "l_extendedprice", 0.90, ["l_returnflag"], out_col="p90_price"
+    )
+    return (
+        p25.join(p90, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.round("p25_price", 4).alias("p25_price"),
+            F.round("p90_price", 4).alias("p90_price"),
+        )
+        .orderBy("l_returnflag")
+    )

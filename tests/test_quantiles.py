@@ -1,0 +1,61 @@
+"""exact_quantile must equal Spark's exact percentile aggregate."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from local_stream_stack_spark.operators.quantiles import exact_quantile
+
+
+def _check(spark, rows, q, bins=64):
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {
+        r.k: r.out
+        for r in exact_quantile(df, "v", q, ["k"], bins=bins, out_col="out").collect()
+    }
+    want = {
+        r.k: r.p
+        for r in df.groupBy("k")
+        .agg(F.expr(f"percentile(v, {q})").alias("p"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], rel_tol=1e-12, abs_tol=1e-12), (
+            k,
+            got[k],
+            want[k],
+        )
+
+
+@pytest.mark.parametrize("q", [0.0, 0.25, 0.5, 0.9, 1.0])
+def test_random_groups(spark, q):
+    rng = random.Random(7)
+    rows = [
+        (k, rng.uniform(-100, 100))
+        for k in ("a", "b", "c")
+        for _ in range(rng.randrange(1, 200))
+    ]
+    _check(spark, rows, q)
+
+
+def test_skewed_single_value_bin(spark):
+    # 95% identical values: the heavy bin must still resolve exactly
+    rows = [("a", 5.0)] * 95 + [("a", float(i)) for i in range(5)]
+    _check(spark, rows, 0.5, bins=8)
+
+
+def test_single_row_and_constant_groups(spark):
+    rows = [("one", 3.25), ("const", 2.0), ("const", 2.0), ("const", 2.0)]
+    for q in (0.0, 0.3, 1.0):
+        _check(spark, rows, q)
+
+
+def test_integerish_ties_across_bins(spark):
+    rows = [("a", float(v)) for v in [1, 1, 1, 2, 2, 3, 3, 3, 3, 10]]
+    for q in (0.1, 0.5, 0.75):
+        _check(spark, rows, q, bins=4)
