@@ -36,6 +36,7 @@ HEADLINE = [
     "q13_order_count_dist",
     "q21_waiting_suppliers",
     "percentile_stats",
+    "exact_quantile_distributed",
     "grouping_sets_revenue",
     "hash_agg_stats",
     "topk_per_group",
@@ -45,6 +46,7 @@ HEADLINE = [
     "asof_join_events",
     "sessionize_events",
     "tumbling_window_agg",
+    "stream_tumbling_counts",
     "pivot_returnflag",
     "explode_token_counts",
     "array_hof_order_lines",

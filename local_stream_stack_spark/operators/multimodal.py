@@ -100,3 +100,72 @@ def extract_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake resize. REAL RESIZE NOT IMPLEMENTED — swap
+    for PIL/opencv in production. The fake derives output bytes from
+    (payload, target dims) so tests can assert determinism and
+    size-dependence without a codec."""
+    import hashlib
+
+    seed = hashlib.md5(payload + f"{width}x{height}".encode()).digest()
+    out_len = max(16, min(len(payload), (width * height) // 64))
+    return (seed * (out_len // len(seed) + 1))[:out_len]
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """mapInPandas resize over (id, payload, meta): same schema out,
+    payload replaced, meta annotated with the target dims. Scan-shaped
+    (no shuffle); Arrow moves the binary columns in batches."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = [
+                resize_stub(bytes(p) if p is not None else b"", width, height)
+                for p in out["payload"]
+            ]
+            out["meta"] = [
+                {**(m or {}), "resized_to": f"{width}x{height}"}
+                for m in out["meta"]
+            ]
+            yield out
+
+    return df.mapInPandas(run, schema=df.schema)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """mapInPandas frame sampling: one input video row expands to one
+    row per sampled frame (frame_idx, frame_ms, frame payload bytes).
+    REAL FRAME EXTRACTION NOT IMPLEMENTED — the stub derives per-frame
+    bytes from (payload, frame_idx); swap for libav in production.
+
+    Row-expanding UDF shape: output cardinality = duration/every_ms
+    per input, decided executor-side — the driver never sees payloads.
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+                modality = (r["meta"] or {}).get("modality", "video")
+                duration = decode_stub(payload, modality)["duration_ms"]
+                for idx, ms in enumerate(range(0, max(duration, 1), every_ms)):
+                    rows.append(
+                        {
+                            "id": r["id"],
+                            "frame_idx": idx,
+                            "frame_ms": ms,
+                            "frame": hashlib.md5(
+                                payload + idx.to_bytes(4, "big")
+                            ).digest(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["id", "frame_idx", "frame_ms", "frame"])
+
+    return df.mapInPandas(
+        run, schema="id bigint, frame_idx int, frame_ms int, frame binary"
+    )

@@ -398,6 +398,23 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query("multimodal_frame_sample", oracle=None)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-expanding multimodal op: video frame sampling via
+    mapInPandas (one input row -> duration/interval frame rows, with
+    per-frame payload bytes derived executor-side). Decode/extract are
+    deterministic stubs (no codecs in container) -> rows-only check;
+    expansion arithmetic is pinned in tests/test_multimodal.py."""
+    from local_stream_stack_spark.operators.multimodal import sample_frames
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    mm = attach_binary_payload(d, text_col="text", id_col="doc_id", modality="video")
+    frames = sample_frames(mm, every_ms=1000)
+    return frames.select(
+        "id", "frame_idx", "frame_ms", F.md5("frame").alias("frame_md5")
+    ).orderBy("id", "frame_idx")
+
+
 @query("multimodal_features", oracle=None)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/feature-extract plumbing: Arrow-batched

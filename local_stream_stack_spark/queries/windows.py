@@ -175,3 +175,43 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+                 PARTITION BY user_id
+                 ORDER BY CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS trailing_1h_sum
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE BETWEEN frame: per-user trailing-1-hour value sum keyed on
+    event-time seconds (value-based frame, peers included — unlike the
+    rowsBetween frames in window_frames). DECIMAL accumulation keeps
+    the within-frame sum order-independent for the oracle compare."""
+    e = _t(spark, sf_dir, "events")
+    e = e.withColumn("__epoch_s", F.floor(F.unix_micros("ts") / 1_000_000))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("__epoch_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .over(w)
+            .cast("double")
+            .alias("trailing_1h_sum"),
+        )
+        .orderBy("event_id")
+    )

@@ -66,6 +66,42 @@ def get_spark(
     return spark
 
 
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile.
+
+    An external driver may import the engine from a directory that is
+    on the DRIVER's sys.path only (``__spark_entry__.py`` self-inserts
+    it). Worker processes spawn with the JVM's environment, so a
+    mapInPandas/pandas_udf closure that references a module here would
+    die with ModuleNotFoundError. addPyFile distributes a zip of the
+    package and prepends it to every worker's sys.path — the standard
+    Spark mechanism for shipping job code, and exactly what a real
+    cluster submit does with --py-files.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_lss_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    import local_stream_stack_spark as pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    parent = os.path.dirname(pkg_dir)
+    zpath = os.path.join(
+        tempfile.mkdtemp(prefix="lss-pyfiles-"), "local_stream_stack_spark.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _, files in os.walk(pkg_dir):
+            for f in files:
+                if not f.endswith(".py"):
+                    continue
+                full = os.path.join(root, f)
+                z.write(full, os.path.relpath(full, parent))
+    sc.addPyFile(zpath)
+    sc._lss_pkg_shipped = True
+
+
 def configure_for_oracle(spark: SparkSession) -> SparkSession:
     """Runtime-settable conf for a session we did NOT create.
 
@@ -74,6 +110,7 @@ def configure_for_oracle(spark: SparkSession) -> SparkSession:
     DuckDB comparison depends on (timezone, ANSI-interval parsing) and
     the AQE switches that are safe to flip at runtime.
     """
+    ensure_package_shipped(spark)
     for k, v in (
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),

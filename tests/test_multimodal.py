@@ -46,3 +46,39 @@ def test_feature_extraction_is_deterministic(spark, sf_dir):
     a = {r.id: (r.checksum, r.width, r.height) for r in extract_features(mm).collect()}
     b = {r.id: (r.checksum, r.width, r.height) for r in extract_features(mm).collect()}
     assert a == b
+
+
+def test_resize_images_schema_and_determinism(spark, sf_dir):
+    from local_stream_stack_spark.operators.multimodal import resize_images
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(8)
+    mm = attach_binary_payload(docs, text_col="text", id_col="doc_id")
+    out = resize_images(mm, 32, 32)
+    assert out.schema == mm.schema
+    rows = {r.id: (bytes(r.payload), dict(r.meta)) for r in out.collect()}
+    again = {r.id: (bytes(r.payload), dict(r.meta)) for r in resize_images(mm, 32, 32).collect()}
+    assert rows == again
+    other = {r.id: bytes(r.payload) for r in resize_images(mm, 64, 64).collect()}
+    for i, (payload, meta) in rows.items():
+        assert meta["resized_to"] == "32x32"
+        assert payload != other[i]  # dims feed the stub
+
+
+def test_sample_frames_expansion(spark, sf_dir):
+    from local_stream_stack_spark.operators.multimodal import (
+        decode_stub,
+        sample_frames,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(6)
+    mm = attach_binary_payload(docs, text_col="text", id_col="doc_id", modality="video")
+    frames = sample_frames(mm, every_ms=1000).collect()
+    originals = {r.doc_id: r.text.encode("utf-8") for r in docs.collect()}
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.id, []).append((r.frame_idx, r.frame_ms))
+    for i, payload in originals.items():
+        duration = decode_stub(payload, "video")["duration_ms"]
+        expect = len(range(0, max(duration, 1), 1000))
+        assert len(by_id[i]) == expect
+        assert by_id[i] == [(k, k * 1000) for k in range(expect)]
