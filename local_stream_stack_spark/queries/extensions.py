@@ -154,3 +154,48 @@ def exact_quantile_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "pipeline_yaml_batch",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           UPPER(SUBSTR(text, 1, 40)) AS head_upper
+    FROM documents
+    WHERE n_chars > 100 AND lang = 'en'
+    ORDER BY doc_id
+    """,
+)
+def pipeline_yaml_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core surface under the oracle: a YAML pipeline
+    (source -> ordered processor chain -> sink; mirrors
+    `streaming_pipeline.py:145-219`) built from config and run as a
+    bounded batch replay. The returned frame is the pipeline's
+    pre-sink plan — one lazy composition, so Catalyst optimizes across
+    processor boundaries exactly like hand-written DataFrame code."""
+    import yaml
+
+    from local_stream_stack_spark.pipeline import Pipeline
+
+    configure_for_oracle(spark)
+    cfg = yaml.safe_load(f"""
+name: docs-curation-replay
+source:
+  type: parquet
+  path: {sf_dir}/documents.parquet
+  streaming: false
+processors:
+  - name: filter
+    params:
+      predicate: "n_chars > 100 AND lang = 'en'"
+  - name: with_column
+    params:
+      name: head_upper
+      expr: "upper(substring(text, 1, 40))"
+  - name: select
+    params:
+      columns: [doc_id, lang, n_chars, head_upper]
+sink:
+  type: noop
+""")
+    return Pipeline(spark, cfg).dataframe().orderBy("doc_id")
