@@ -515,3 +515,41 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "approx_percentile_qty",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(quantile_disc(l_quantity, 0.25) AS DOUBLE) AS p25_qty,
+           CAST(quantile_disc(l_quantity, 0.50) AS DOUBLE) AS p50_qty,
+           CAST(quantile_disc(l_quantity, 0.90) AS DOUBLE) AS p90_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def approx_percentile_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles — the mergeable, partial+final path
+    that replaces exact percentile at 100 TB (see
+    exact_quantile_distributed for the exact-at-scale alternative).
+    approx_percentile's GK sketch at accuracy 10000 bounds rank error
+    to n/10000; on a discrete column whose per-value runs dwarf that
+    bound it returns the exact discrete quantile, so quantile_disc is
+    a legitimate oracle here (verified at sf0.001/0.01/0.1)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_quantity, array(0.25, 0.5, 0.9), 10000)"
+            ).alias("aps")
+        )
+        .select(
+            "l_returnflag",
+            F.col("aps")[0].cast("double").alias("p25_qty"),
+            F.col("aps")[1].cast("double").alias("p50_qty"),
+            F.col("aps")[2].cast("double").alias("p90_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

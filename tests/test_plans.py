@@ -75,3 +75,33 @@ def test_no_cartesian_in_range_join(spark):
     plan = _plan(spark, "range_join_views_before_purchase")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exact_quantile_broadcasts_and_avoids_object_agg(spark):
+    """The distributed exact quantile must (a) broadcast the tiny
+    per-key extent/bin tables, (b) never plan the value-buffering
+    ObjectHashAggregate that exact percentile() uses, and (c) keep
+    codegen hash aggregates for the counting passes."""
+    plan = _plan(spark, "exact_quantile_distributed")
+    assert "BroadcastHashJoin" in plan
+    assert "ObjectHashAggregate" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_approx_percentile_is_partial_final(spark):
+    """Sketch percentile merges partial state map-side — two
+    ObjectHashAggregate levels around the exchange, never a sort."""
+    plan = _plan(spark, "approx_percentile_qty")
+    assert plan.count("ObjectHashAggregate") >= 2
+
+
+def test_pipeline_yaml_prunes_to_selected_columns(spark):
+    """Catalyst optimizes ACROSS processor boundaries: the final
+    select's pruning reaches the parquet scan even though the filter
+    and projection were configured as separate YAML processors."""
+    plan = _plan(spark, "pipeline_yaml_batch")
+    read_schema = plan.split("ReadSchema")[1][:500]
+    assert "text" in read_schema and "n_chars" in read_schema
+    # `source` exists in documents but no processor touches it
+    assert "source" not in read_schema
+    assert "PushedFilters: [" in plan
