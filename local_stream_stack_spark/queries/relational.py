@@ -751,3 +751,31 @@ def case_when_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "set_ops_bag",
+    oracle="""
+    WITH a AS (SELECT c_custkey % 100 AS k FROM customer),
+         b AS (SELECT s_suppkey % 100 AS k FROM supplier)
+    SELECT 'union_all' AS op, k FROM (SELECT k FROM a UNION ALL SELECT k FROM b)
+    UNION ALL
+    SELECT 'intersect_all' AS op, k FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+    UNION ALL
+    SELECT 'except_all' AS op, k FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+    ORDER BY op, k
+    """,
+)
+def set_ops_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops (multiplicity-preserving): unionAll,
+    intersectAll, exceptAll — the ALL variants set_ops' distinct forms
+    don't cover. intersect/except-all plan as aggregated count joins
+    (no row explosion): shuffle carries (value, count), scale-safe."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    a = c.select((F.col("c_custkey") % 100).alias("k"))
+    b = s.select((F.col("s_suppkey") % 100).alias("k"))
+    u = a.unionAll(b).select(F.lit("union_all").alias("op"), "k")
+    i = a.intersectAll(b).select(F.lit("intersect_all").alias("op"), "k")
+    e = a.exceptAll(b).select(F.lit("except_all").alias("op"), "k")
+    return u.unionByName(i).unionByName(e).orderBy("op", "k")
