@@ -97,10 +97,21 @@ def q2_top_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
 
-    ps = li.groupBy(
-        F.col("l_partkey").alias("ps_partkey"),
-        F.col("l_suppkey").alias("ps_suppkey"),
-    ).agg(F.expr(f"SUM({QTY_DEC})").alias("ps_qty"))
+    # Hash-partition by part BEFORE the (part, supp) aggregate: a
+    # partitioning on a prefix of the grouping keys satisfies both the
+    # aggregate's and the window's required distribution, so the plan
+    # runs ONE exchange instead of agg-shuffle + window-shuffle.
+    # Map-side combine loses nothing here: (part, supp) pairs are
+    # nearly unique per row, so the partial aggregate couldn't shrink
+    # the shuffle anyway (same at partsupp scale).
+    ps = (
+        li.repartition("l_partkey")
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(F.expr(f"SUM({QTY_DEC})").alias("ps_qty"))
+    )
 
     asia_sup = (
         s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -530,8 +541,12 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-part yearly total = sum of the per-(supplier,part) decimal
     # sums (exact), via a window keyed on the aggregate's own leading
     # key — one filtered-lineitem scan instead of two.
-    sp = li.groupBy("l_suppkey", "l_partkey").agg(
-        F.expr(f"SUM({QTY_DEC})").alias("qty")
+    # partition by part first: a prefix partitioning satisfies both
+    # the (supp, part) aggregate and the per-part window -> 1 exchange
+    sp = (
+        li.repartition("l_partkey")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.expr(f"SUM({QTY_DEC})").alias("qty"))
     )
     dominant = (
         sp.withColumn(

@@ -105,3 +105,15 @@ def test_pipeline_yaml_prunes_to_selected_columns(spark):
     # `source` exists in documents but no processor touches it
     assert "source" not in read_schema
     assert "PushedFilters: [" in plan
+
+
+def test_q2_prefix_partitioning_merges_agg_and_window_shuffle(spark):
+    """repartition(part) before the (part, supp) aggregate satisfies
+    both the aggregate's and the per-part window's distribution: the
+    plan must not contain a second non-broadcast exchange between the
+    aggregate and the window."""
+    plan = _plan(spark, "q2_top_supplier_per_part")
+    # exactly one shuffle exchange feeds the agg+window subtree; the
+    # rest are broadcasts (dims) and the final orderBy's range exchange
+    shuffles = plan.count("Exchange hashpartitioning")
+    assert shuffles == 1, plan[:2000]
