@@ -27,7 +27,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from local_stream_stack_spark.catalog import load_table
-from local_stream_stack_spark.operators.partitioning import spread_narrow_input
 from local_stream_stack_spark.queries.registry import query
 from local_stream_stack_spark.session import configure_for_oracle
 
@@ -551,13 +550,21 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUP BY ROLLUP: hierarchical subtotals + grand total."""
-    li = spread_narrow_input(_t(spark, sf_dir, "lineitem"))
+    """GROUP BY ROLLUP: hierarchical subtotals + grand total.
+
+    Two-level: collapse to the finest grouping first (9 groups, exact
+    decimal partials), then rollup the aggregate — the Expand triples
+    9 rows instead of the fact scan (see grouping_sets_revenue)."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.expr(f"SUM({DISC_PRICE})").alias("__rev"),
+        F.count("*").alias("__cnt"),
+    )
     return (
-        li.rollup("l_returnflag", "l_linestatus")
+        base.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.expr(f"{_sum_round(DISC_PRICE)}").alias("revenue"),
-            F.count("*").alias("n"),
+            F.expr("CAST(ROUND(SUM(__rev), 2) AS DOUBLE)").alias("revenue"),
+            F.sum("__cnt").alias("n"),
         )
         .orderBy(
             F.col("l_returnflag").asc_nulls_first(),
@@ -577,15 +584,16 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cube_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUP BY CUBE: all grouping-set combinations."""
-    li = spread_narrow_input(_t(spark, sf_dir, "lineitem"))
+    """GROUP BY CUBE: all grouping-set combinations (two-level — see
+    grouping_sets_revenue; the Expand quadruples 9 aggregate rows, not
+    the fact scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.expr("SUM(CAST(l_quantity AS DECIMAL(14,2)))").alias("__qty")
+    )
     return (
-        li.cube("l_returnflag", "l_linestatus")
-        .agg(
-            F.expr("CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(14,2))), 2) AS DOUBLE)").alias(
-                "sum_qty"
-            )
-        )
+        base.cube("l_returnflag", "l_linestatus")
+        .agg(F.expr("CAST(ROUND(SUM(__qty), 2) AS DOUBLE)").alias("sum_qty"))
         .orderBy(
             F.col("l_returnflag").asc_nulls_first(),
             F.col("l_linestatus").asc_nulls_first(),
