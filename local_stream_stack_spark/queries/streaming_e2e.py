@@ -206,3 +206,92 @@ def stream_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "stream_sliding_counts",
+    oracle="""
+    WITH buckets AS (
+      SELECT CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 1800) * 1800 AS BIGINT) AS b0, value
+      FROM events
+    ),
+    assigned AS (
+      SELECT b0 AS window_start_s, value FROM buckets
+      UNION ALL
+      SELECT b0 - 1800 AS window_start_s, value FROM buckets
+    )
+    SELECT window_start_s, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+    FROM assigned
+    GROUP BY window_start_s
+    ORDER BY window_start_s
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live sliding-window aggregate (1 h width / 30 min slide) on the
+    micro-batch engine, complete mode — each event expands into
+    width/slide windows executor-side; the oracle is the batch
+    2-bucket union."""
+    s = _events_stream(spark, sf_dir)
+    out = (
+        s.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(
+                "CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)"
+            ).alias("sum_value"),
+        )
+    )
+    table = _run_to_table(out, "stream_sliding", "complete")
+    return table.select(
+        F.unix_timestamp("w.start").alias("window_start_s"),
+        "n_events",
+        "sum_value",
+    ).orderBy("window_start_s")
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS BIGINT) AS session_start_us,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start_us
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live session windows (30-min gap) on the micro-batch engine,
+    complete mode: merging gap-based session state is the hardest
+    streaming-window case (sessions merge as late events bridge gaps);
+    the bounded replay must converge to the batch gaps-and-islands
+    oracle."""
+    s = _events_stream(spark, sf_dir)
+    out = (
+        s.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    table = _run_to_table(out, "stream_session", "complete")
+    return table.select(
+        "user_id",
+        F.unix_micros("w.start").alias("session_start_us"),
+        "n_events",
+    ).orderBy("user_id", "session_start_us")
