@@ -117,3 +117,16 @@ def test_q2_prefix_partitioning_merges_agg_and_window_shuffle(spark):
     # rest are broadcasts (dims) and the final orderBy's range exchange
     shuffles = plan.count("Exchange hashpartitioning")
     assert shuffles == 1, plan[:2000]
+
+
+def test_grouping_sets_expand_runs_over_aggregate(spark):
+    """Two-level grouping sets: the Expand operator's subtree must
+    contain a HashAggregate before the parquet scan (Expand multiplies
+    9 aggregate rows), not sit directly on the fact scan."""
+    plan = _plan(spark, "grouping_sets_revenue")
+    assert "Expand" in plan
+    below_expand = plan.split("Expand", 1)[1]
+    agg_pos = below_expand.find("HashAggregate")
+    scan_pos = below_expand.find("Scan parquet")
+    assert agg_pos != -1 and scan_pos != -1
+    assert agg_pos < scan_pos, below_expand[:1500]

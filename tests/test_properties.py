@@ -1,0 +1,71 @@
+"""Hypothesis property tests for composite operators.
+
+Each property drives a composite operator (built from many Spark
+primitives) against an independent formulation on randomized inputs —
+the same strategy as the DuckDB oracle gate, but over a much wider
+input space than the fixed harness tables.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, HealthCheck, strategies as st
+from pyspark.sql import functions as F
+
+from local_stream_stack_spark.operators.events import latest_per_key
+from local_stream_stack_spark.operators.quantiles import exact_quantile
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    values=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, width=32), min_size=1, max_size=60
+    ),
+    q=st.floats(0.0, 1.0),
+)
+def test_exact_quantile_matches_percentile(spark, values, q):
+    df = spark.createDataFrame([("k", float(v)) for v in values], "k string, v double")
+    got = exact_quantile(df, "v", q, ["k"], bins=16, out_col="out").collect()[0].out
+    want = (
+        df.groupBy("k").agg(F.expr(f"percentile(v, {q})").alias("p")).collect()[0].p
+    )
+    assert math.isclose(got, want, rel_tol=1e-9, abs_tol=1e-9), (values, q, got, want)
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 5),      # key
+            st.integers(0, 100),    # order/offset
+            st.integers(0, 999),    # payload
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_latest_per_key_matches_python(spark, rows):
+    # make (key, order) unique so the winner is well-defined
+    seen = {}
+    for k, o, p in rows:
+        seen[(k, o)] = p
+    uniq = [(k, o, p) for (k, o), p in seen.items()]
+    df = spark.createDataFrame(uniq, "k long, off long, payload long")
+    got = {
+        (r.k, r.off, r.payload)
+        for r in latest_per_key(df, keys=["k"], order_by=["off"]).collect()
+    }
+    want = set()
+    by_key = {}
+    for k, o, p in uniq:
+        if k not in by_key or o > by_key[k][1]:
+            by_key[k] = (k, o, p)
+    want = set(by_key.values())
+    assert got == want

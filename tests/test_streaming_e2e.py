@@ -50,3 +50,52 @@ def test_stream_queries_rerunnable(spark, sf_dir):
     # memory-sink names are sequenced: a second invocation in the same
     # session must not collide with the first run's query name
     assert stream_dedup_keys(spark, sf_dir).count() > 0
+
+
+def test_stream_tumbling_multi_batch_converges(spark, sf_dir, tmp_path):
+    """Force MULTIPLE micro-batches (maxFilesPerTrigger=1 over a
+    4-file split) and check windowed state merges across batches to
+    the exact batch aggregate — the single-file replay above only
+    proves the one-batch case."""
+    from pyspark.sql import functions as F
+    from local_stream_stack_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    in_dir = str(tmp_path / "split")
+    events.repartition(4).write.mode("overwrite").parquet(in_dir)
+
+    schema = events.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    out = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("multi_batch_tumbling")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # >1 micro-batch actually ran
+    assert len(q.recentProgress) > 1
+    got = {
+        (r["w"].start, r.event_type): r.n_events
+        for r in spark.table("multi_batch_tumbling").collect()
+    }
+    want = {
+        (r["w"].start, r.event_type): r.n_events
+        for r in events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .collect()
+    }
+    assert got == want
