@@ -69,7 +69,7 @@ def trimmed_stats_per_user(df: DataFrame) -> DataFrame:
     return df.groupBy("user_id").applyInPandas(_trimmed_stats, TRIMMED_SCHEMA)
 
 
-@udtf(returnType="pos int, token string, token_len int")
+@udtf(returnType="pos int, token string, token_len int", useArrow=True)
 class TokenizeUdtf:
     """Python UDTF: one input string -> one row per whitespace token.
 
@@ -77,6 +77,8 @@ class TokenizeUdtf:
     equivalent to explode(split(...)) — which is what production code
     should use (JVM-side); the UDTF exists to cover the extension
     point for logic that genuinely needs Python per-row expansion.
+    useArrow=True picks the vectorized (ArrowEvalPythonUDTF) transfer
+    path instead of row-pickled BatchEvalPythonUDTF.
     """
 
     def eval(self, text: str):  # noqa: D102 — contract fixed by Spark
