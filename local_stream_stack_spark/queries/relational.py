@@ -787,3 +787,85 @@ def set_ops_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
     i = a.intersectAll(b).select(F.lit("intersect_all").alias("op"), "k")
     e = a.exceptAll(b).select(F.lit("except_all").alias("op"), "k")
     return u.unionByName(i).unionByName(e).orderBy("op", "k")
+
+
+@query(
+    "null_semantics",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, NULLIF(o_orderpriority, '1-URGENT') AS prio,
+             NULLIF(o_orderstatus, 'O') AS ship
+      FROM orders WHERE o_orderkey <= 500
+    )
+    SELECT a.o_orderkey AS k_a, b.o_orderkey AS k_b,
+           a.prio IS NOT DISTINCT FROM b.prio AS same_prio
+    FROM t a JOIN t b
+      ON a.ship IS NOT DISTINCT FROM b.ship
+     AND a.o_orderkey + 1 = b.o_orderkey
+    ORDER BY k_a
+    """,
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null semantics under the oracle: null-safe equality (<=> /
+    IS NOT DISTINCT FROM) as a join condition and as a projection.
+    NULLs are synthesized with NULLIF since the harness tables are
+    null-free."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    t = o.select(
+        "o_orderkey",
+        F.expr("NULLIF(o_orderpriority, '1-URGENT')").alias("prio"),
+        F.expr("NULLIF(o_orderstatus, 'O')").alias("ship"),
+    )
+    a = t.select(
+        F.col("o_orderkey").alias("k_a"),
+        F.col("prio").alias("prio_a"),
+        F.col("ship").alias("ship_a"),
+    )
+    b = t.select(
+        F.col("o_orderkey").alias("k_b"),
+        F.col("prio").alias("prio_b"),
+        F.col("ship").alias("ship_b"),
+    )
+    return (
+        a.join(
+            b,
+            F.col("ship_a").eqNullSafe(F.col("ship_b"))
+            & (F.col("k_a") + 1 == F.col("k_b")),
+        )
+        .select(
+            "k_a",
+            "k_b",
+            F.col("prio_a").eqNullSafe(F.col("prio_b")).alias("same_prio"),
+        )
+        .orderBy("k_a")
+    )
+
+
+@query(
+    "nulls_ordering",
+    oracle="""
+    SELECT o_orderkey, NULLIF(o_orderpriority, '1-URGENT') AS prio,
+           COUNT(prio2) OVER () AS n_nonnull
+    FROM (
+      SELECT o_orderkey, o_orderpriority,
+             NULLIF(o_orderpriority, '1-URGENT') AS prio2
+      FROM orders WHERE o_orderkey <= 200
+    ) t
+    ORDER BY prio NULLS FIRST, o_orderkey
+    """,
+)
+def nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULLS FIRST ordering + null-skipping COUNT(col) (vs COUNT(*)),
+    the two null behaviors sorts and aggregates must agree on."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    t = o.select(
+        "o_orderkey",
+        F.expr("NULLIF(o_orderpriority, '1-URGENT')").alias("prio"),
+    )
+    return t.select(
+        "o_orderkey",
+        "prio",
+        F.count("prio").over(Window.partitionBy()).alias("n_nonnull"),
+    ).orderBy(F.col("prio").asc_nulls_first(), F.col("o_orderkey"))
