@@ -24,7 +24,7 @@ Determinism notes:
 Scale notes (100 TB): the memory sink + per-query temp checkpoints are
 the TEST harness; production runs swap in Kafka/parquet sinks with
 durable checkpoints (same plans — the sink is declared last). State in
-all three queries is bounded: windows+watermark, dedup keys within the
+every query here is bounded: windows+watermark, dedup keys within the
 watermark, and one row per key in the compacted view.
 """
 
@@ -295,3 +295,70 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("w.start").alias("session_start_us"),
         "n_events",
     ).orderBy("user_id", "session_start_us")
+
+
+@query(
+    "stream_pipeline_yaml",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           UPPER(SUBSTR(text, 1, 40)) AS head_upper
+    FROM documents
+    WHERE n_chars > 100 AND lang = 'en'
+    ORDER BY doc_id
+    """,
+)
+def stream_pipeline_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full flow — YAML config -> streaming source ->
+    processor chain -> sink (`streaming_pipeline.py:145-219`) — run
+    LIVE on the micro-batch engine and checked against the oracle.
+    Same config as pipeline_yaml_batch except ``streaming: true`` and a
+    memory sink: the batch/stream symmetry claim, proven end-to-end.
+    Append mode with no aggregation emits every row exactly once on a
+    bounded replay, so the result equals the batch projection.
+    """
+    import pyspark.sql.types as T
+
+    from local_stream_stack_spark.pipeline import Pipeline
+    from local_stream_stack_spark.schemas import get_schema, register_schema
+
+    configure_for_oracle(spark)
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("source", T.StringType(), True),
+            T.StructField("n_chars", T.LongType(), True),
+        ]
+    )
+    try:
+        get_schema("harness_document")
+    except KeyError:
+        register_schema("harness_document", doc_schema)
+    qname = f"stream_pipeline_yaml_{next(_run_seq)}"
+    cfg = {
+        "name": "docs-curation-stream",
+        "source": {
+            "type": "parquet",
+            "path": sf_dir,
+            "streaming": True,
+            "schema": "harness_document",
+            "pathGlobFilter": "documents.parquet",
+        },
+        "processors": [
+            {"name": "filter", "params": {"predicate": "n_chars > 100 AND lang = 'en'"}},
+            {
+                "name": "with_column",
+                "params": {"name": "head_upper", "expr": "upper(substring(text, 1, 40))"},
+            },
+            {"name": "select", "params": {"columns": ["doc_id", "lang", "n_chars", "head_upper"]}},
+        ],
+        "sink": {"type": "memory", "output_mode": "append", "query_name": qname},
+    }
+    pipe = Pipeline(spark, cfg)
+    q = pipe.run()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname).orderBy("doc_id")
