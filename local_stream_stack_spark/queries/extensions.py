@@ -199,3 +199,46 @@ sink:
   type: noop
 """)
     return Pipeline(spark, cfg).dataframe().orderBy("doc_id")
+
+
+@query(
+    "schema_registry_parse",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+           COUNT(CAST(json_extract(props, '$.k') AS INT)) AS n_parsed
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def schema_registry_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The schema-registry projection the reference registers but never
+    applies (`streaming_pipeline.py:10`, `schema_manager.py:23`): a
+    named StructType parses the JSON payload column via from_json and
+    its fields flatten to top level (PERMISSIVE — malformed rows null
+    out and are countable). Aggregates over the parsed field prove the
+    projection, not just the parse."""
+    import pyspark.sql.types as T
+
+    from local_stream_stack_spark.schemas import apply_json_schema, get_schema, register_schema
+
+    try:
+        get_schema("event_props")
+    except KeyError:
+        register_schema(
+            "event_props",
+            T.StructType([T.StructField("k", T.IntegerType(), True)]),
+        )
+    e = _t(spark, sf_dir, "events")
+    parsed = apply_json_schema(e, "event_props", payload_col="props")
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.count("k").alias("n_parsed"),
+        )
+        .orderBy("event_type")
+    )
