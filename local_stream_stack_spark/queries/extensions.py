@@ -242,3 +242,40 @@ def schema_registry_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "kafka_frame_roundtrip",
+    oracle="""
+    SELECT event_id, event_type, user_id FROM events
+    ORDER BY event_id
+    """,
+)
+def kafka_frame_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka wire-frame round-trip: rows serialize to the (key, value)
+    JSON shape the Kafka sink writes (to_kafka_frame transform — the
+    reference's serialization note, `kafka_connector.py:240-244`) and
+    parse back through from_json. The identity result proves
+    serialize -> parse loses nothing; raw JSON text is never compared
+    (engine formatting differs), field values are."""
+    import pyspark.sql.types as T
+
+    from local_stream_stack_spark.operators.registry import resolve_transform
+
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    to_frame = resolve_transform(
+        "to_kafka_frame", {"key_expr": "CAST(event_id AS STRING)"}
+    )
+    framed = to_frame(e)  # (key string, value string) — the sink shape
+    back_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    return (
+        framed.select(F.from_json("value", back_schema).alias("p"))
+        .select("p.event_id", "p.event_type", "p.user_id")
+        .orderBy("event_id")
+    )
