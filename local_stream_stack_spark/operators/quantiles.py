@@ -13,7 +13,11 @@ the exact answer with bounded memory:
    h = (n-1) * q, the same positions quantile_cont interpolates).
 3. pass 2 — re-scan filtered to rows in target bins (a broadcast
    semi-join against the per-key bin bounds), rank the survivors per
-   key, pick the two rank rows, interpolate.
+   key, pick the rank rows, interpolate.
+
+All requested quantiles share the three passes: extents and bin
+counts are computed once, the rank set is the union over quantiles,
+and the final aggregate selects every (v_lo, v_hi) pair in one go.
 
 Every shuffle moves either codegen aggregate state or ~count/bins
 surviving rows per key — never the full column. Uniform-ish data
@@ -32,45 +36,54 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def exact_quantile(
+def exact_quantiles(
     df: DataFrame,
     value_col: str,
-    q: float,
+    qs: Sequence[float],
     keys: Sequence[str],
     bins: int = 4096,
-    out_col: str | None = None,
+    out_cols: Sequence[str] | None = None,
 ) -> DataFrame:
-    """Exact (interpolating, quantile_cont-style) q-quantile per key.
+    """Exact (interpolating, quantile_cont-style) quantiles per key.
 
-    Returns one row per key group: ``keys..., out_col``.
+    Returns one row per key group: ``keys..., out_cols...`` — one
+    output column per requested quantile, all computed in one shared
+    three-pass pipeline.
     """
-    if not 0.0 <= q <= 1.0:
-        raise ValueError(f"q must be in [0, 1], got {q}")
-    out_col = out_col or f"q{q}"
+    qs = [float(q) for q in qs]
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantiles must be in [0, 1], got {q}")
+    if not qs:
+        raise ValueError("at least one quantile required")
+    out_cols = list(out_cols) if out_cols else [f"q{q}" for q in qs]
+    if len(out_cols) != len(qs):
+        raise ValueError("out_cols must match qs in length")
     keys = list(keys)
     v = F.col(value_col).cast("double")
     vals = df.select(*keys, v.alias("__v")).filter(F.col("__v").isNotNull())
 
-    # pass 0: group extents
+    # pass 0: group extents + target positions h_i = (n-1)*q_i
     ext = vals.groupBy(*keys).agg(
         F.min("__v").alias("__lo"),
         F.max("__v").alias("__hi"),
         F.count("*").alias("__n"),
     )
-    # target positions h = (n-1)*q -> ranks r_lo = floor(h), r_hi = ceil(h)
-    ext = (
-        ext.withColumn("__h", (F.col("__n") - 1) * F.lit(float(q)))
-        .withColumn("__r_lo", F.floor("__h").cast("bigint"))
-        .withColumn("__r_hi", F.ceil("__h").cast("bigint"))
-        .withColumn(
-            "__w", (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+    for i, q in enumerate(qs):
+        ext = (
+            ext.withColumn(f"__h{i}", (F.col("__n") - 1) * F.lit(q))
+            .withColumn(f"__rlo{i}", F.floor(f"__h{i}").cast("bigint"))
+            .withColumn(f"__rhi{i}", F.ceil(f"__h{i}").cast("bigint"))
         )
-    )
+    ext = ext.withColumn("__w", (F.col("__hi") - F.col("__lo")) / F.lit(float(bins)))
 
-    bin_of = F.when(F.col("__w") > 0, F.least(
-        F.floor((F.col("__v") - F.col("__lo")) / F.col("__w")).cast("bigint"),
-        F.lit(bins - 1),
-    )).otherwise(F.lit(0))
+    bin_of = F.when(
+        F.col("__w") > 0,
+        F.least(
+            F.floor((F.col("__v") - F.col("__lo")) / F.col("__w")).cast("bigint"),
+            F.lit(bins - 1),
+        ),
+    ).otherwise(F.lit(0))
 
     # pass 1: per-(key, bin) counts; running count locates rank bins.
     # ext is aggregate output (one row per key) -> broadcast join.
@@ -88,41 +101,63 @@ def exact_quantile(
     cum = bin_counts.withColumn("__cum", F.sum("__bc").over(wcum)).withColumn(
         "__below", F.col("__cum") - F.col("__bc")
     )
-    # bins containing rank r: __below <= r < __cum  (ranks 0-indexed)
+    # bins containing any target rank r: __below <= r < __cum (0-indexed)
+    rank_cols = [c for i in range(len(qs)) for c in (f"__rlo{i}", f"__rhi{i}")]
+    hit = None
+    for rc in rank_cols:
+        cond = (F.col("__below") <= F.col(rc)) & (F.col(rc) < F.col("__cum"))
+        hit = cond if hit is None else (hit | cond)
     target_bins = (
-        cum.join(F.broadcast(ext.select(*keys, "__r_lo", "__r_hi")), keys)
-        .filter(
-            ((F.col("__below") <= F.col("__r_lo")) & (F.col("__r_lo") < F.col("__cum")))
-            | ((F.col("__below") <= F.col("__r_hi")) & (F.col("__r_hi") < F.col("__cum")))
-        )
+        cum.join(F.broadcast(ext.select(*keys, *rank_cols)), keys)
+        .filter(hit)
         .select(*keys, "__bin", "__below")
     )
 
-    # pass 2: rank only the rows inside target bins (tiny by design)
-    survivors = (
-        with_ext.withColumn("__bin", bin_of)
-        .join(F.broadcast(target_bins), keys + ["__bin"])
+    # pass 2: rank only the rows inside target bins (tiny by design);
+    # with_ext already carries the __h/__rlo/__rhi columns
+    survivors = with_ext.withColumn("__bin", bin_of).join(
+        F.broadcast(target_bins), keys + ["__bin"]
     )
     wrank = Window.partitionBy(*keys, "__bin").orderBy("__v")
     ranked = survivors.withColumn(
         "__r", F.col("__below") + F.row_number().over(wrank) - 1
     )
-    # with_ext already carries __r_lo/__r_hi/__h from the extent join
-    picked = (
-        ranked.filter((F.col("__r") == F.col("__r_lo")) | (F.col("__r") == F.col("__r_hi")))
-        .groupBy(*keys)
-        .agg(
-            F.min(F.when(F.col("__r") == F.col("__r_lo"), F.col("__v"))).alias("__v_lo"),
-            F.min(F.when(F.col("__r") == F.col("__r_hi"), F.col("__v"))).alias("__v_hi"),
-            F.first("__h").alias("__h2"),
+    keep = None
+    for rc in rank_cols:
+        cond = F.col("__r") == F.col(rc)
+        keep = cond if keep is None else (keep | cond)
+    aggs = []
+    for i in range(len(qs)):
+        aggs.append(
+            F.min(F.when(F.col("__r") == F.col(f"__rlo{i}"), F.col("__v"))).alias(
+                f"__vlo{i}"
+            )
         )
-        .withColumn("__frac", F.col("__h2") - F.floor("__h2"))
-        .withColumn(
-            out_col,
-            F.col("__v_lo") + F.col("__frac") * (F.col("__v_hi") - F.col("__v_lo")),
+        aggs.append(
+            F.min(F.when(F.col("__r") == F.col(f"__rhi{i}"), F.col("__v"))).alias(
+                f"__vhi{i}"
+            )
         )
+        aggs.append(F.first(f"__h{i}").alias(f"__hh{i}"))
+    picked = ranked.filter(keep).groupBy(*keys).agg(*aggs)
+    for i, out in enumerate(out_cols):
+        frac = F.col(f"__hh{i}") - F.floor(f"__hh{i}")
+        picked = picked.withColumn(
+            out,
+            F.col(f"__vlo{i}") + frac * (F.col(f"__vhi{i}") - F.col(f"__vlo{i}")),
+        )
+    return picked.select(*keys, *out_cols)
+
+
+def exact_quantile(
+    df: DataFrame,
+    value_col: str,
+    q: float,
+    keys: Sequence[str],
+    bins: int = 4096,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Single-quantile convenience wrapper over ``exact_quantiles``."""
+    return exact_quantiles(
+        df, value_col, [q], keys, bins=bins, out_cols=[out_col or f"q{q}"]
     )
-    # single-valued / single-row keys: quantile is the value itself
-    # (covered by the general path too since r_lo == r_hi == 0, but
-    # the w == 0 branch keeps all rows in bin 0 regardless of value)
-    return picked.select(*keys, out_col)

@@ -136,24 +136,21 @@ def exact_quantile_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     only aggregate state + an O(n/bins) residual — exactness without
     the memory cliff. Same oracle as quantile_cont.
     """
-    from local_stream_stack_spark.operators.quantiles import exact_quantile
+    from local_stream_stack_spark.operators.quantiles import exact_quantiles
 
     li = _t(spark, sf_dir, "lineitem")
-    p25 = exact_quantile(
-        li, "l_extendedprice", 0.25, ["l_returnflag"], out_col="p25_price"
+    both = exact_quantiles(
+        li,
+        "l_extendedprice",
+        [0.25, 0.90],
+        ["l_returnflag"],
+        out_cols=["p25_price", "p90_price"],
     )
-    p90 = exact_quantile(
-        li, "l_extendedprice", 0.90, ["l_returnflag"], out_col="p90_price"
-    )
-    return (
-        p25.join(p90, "l_returnflag")
-        .select(
-            "l_returnflag",
-            F.round("p25_price", 4).alias("p25_price"),
-            F.round("p90_price", 4).alias("p90_price"),
-        )
-        .orderBy("l_returnflag")
-    )
+    return both.select(
+        "l_returnflag",
+        F.round("p25_price", 4).alias("p25_price"),
+        F.round("p90_price", 4).alias("p90_price"),
+    ).orderBy("l_returnflag")
 
 
 @query(

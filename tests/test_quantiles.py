@@ -59,3 +59,30 @@ def test_integerish_ties_across_bins(spark):
     rows = [("a", float(v)) for v in [1, 1, 1, 2, 2, 3, 3, 3, 3, 10]]
     for q in (0.1, 0.5, 0.75):
         _check(spark, rows, q, bins=4)
+
+
+def test_multi_quantile_shared_pipeline(spark):
+    from local_stream_stack_spark.operators.quantiles import exact_quantiles
+
+    rows = [("a", float(v)) for v in range(1, 101)] + [("b", 7.0), ("b", 9.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {
+        r.k: (r.p10, r.p50, r.p99)
+        for r in exact_quantiles(
+            df, "v", [0.1, 0.5, 0.99], ["k"], bins=8,
+            out_cols=["p10", "p50", "p99"],
+        ).collect()
+    }
+    want = {
+        r.k: (r.a, r.b, r.c)
+        for r in df.groupBy("k")
+        .agg(
+            F.expr("percentile(v, 0.1)").alias("a"),
+            F.expr("percentile(v, 0.5)").alias("b"),
+            F.expr("percentile(v, 0.99)").alias("c"),
+        )
+        .collect()
+    }
+    for k in want:
+        for g, w in zip(got[k], want[k]):
+            assert math.isclose(g, w, rel_tol=1e-12, abs_tol=1e-12), (k, got[k], want[k])
