@@ -402,3 +402,66 @@ def dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-seen and non-deterministic in batch)."""
     e = _events(spark, sf_dir)
     return e.select("user_id", "event_type").distinct()
+
+
+@query(
+    "asof_join_tolerance",
+    oracle="""
+    WITH v1 AS (
+      SELECT user_id, ts, MAX(event_id) AS view_event_id
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, ts
+    ),
+    tagged AS (
+      SELECT user_id, ts, NULL::BIGINT AS purchase_id, view_event_id, ts AS view_ts,
+             0 AS is_left
+      FROM v1
+      UNION ALL
+      SELECT user_id, ts, event_id AS purchase_id, NULL::BIGINT, NULL::TIMESTAMP_NS,
+             1 AS is_left
+      FROM events WHERE event_type = 'purchase'
+    ),
+    filled AS (
+      SELECT user_id, ts, purchase_id, is_left,
+             LAST_VALUE(view_event_id IGNORE NULLS) OVER w AS view_event_id,
+             LAST_VALUE(view_ts IGNORE NULLS) OVER w AS view_ts
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_left, purchase_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT purchase_id, user_id,
+           CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS purchase_ts_us,
+           CASE WHEN view_ts < ts - INTERVAL 2 HOUR THEN NULL
+                ELSE view_event_id END AS view_event_id,
+           CASE WHEN view_ts < ts - INTERVAL 2 HOUR THEN NULL
+                ELSE CAST(epoch_us(CAST(view_ts AS TIMESTAMP)) AS BIGINT)
+           END AS view_ts_us
+    FROM filled
+    WHERE is_left = 1
+    ORDER BY purchase_id
+    """,
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound: matches older than 2 hours
+    null out (pandas merge_asof 'tolerance' semantics). Same
+    union+last_value single-shuffle plan; the tolerance is a post-fill
+    predicate, so the cost is identical to the unbounded form."""
+    e = _events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase")
+    views = e.filter(F.col("event_type") == "view")
+    joined = asof_join(
+        left=purchases.select("user_id", "ts", F.col("event_id").alias("purchase_id")),
+        right=views.select("user_id", "ts", F.col("event_id").alias("view_event_id")),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["view_event_id"],
+        tolerance="INTERVAL 2 HOURS",
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        "view_event_id",
+        F.unix_micros("right_ts").alias("view_ts_us"),
+    ).orderBy("purchase_id")
