@@ -69,3 +69,49 @@ def test_latest_per_key_matches_python(spark, rows):
             by_key[k] = (k, o, p)
     want = set(by_key.values())
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=1, max_size=30
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=1, max_size=30
+    ),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, lefts, rights):
+    """asof_join == pandas merge_asof(by=key, direction='backward') —
+    the reference semantics for nearest-earlier enrichment."""
+    import pandas as pd
+
+    from local_stream_stack_spark.operators.events import asof_join
+
+    # unique (key, ts) per side; payload derived so ties are moot
+    lefts = sorted({(k, t) for k, t in lefts})
+    rights = sorted({(k, t) for k, t in rights})
+    ldf = spark.createDataFrame(
+        [(k, t, 1000 + i) for i, (k, t) in enumerate(lefts)],
+        "k long, ts long, lid long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, 2000 + i) for i, (k, t) in enumerate(rights)],
+        "k long, ts long, rid long",
+    )
+    got = {
+        (r.k, r.ts): r.rid
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="ts", right_ts="ts", right_cols=["rid"]
+        ).collect()
+    }
+    lp = pd.DataFrame(lefts, columns=["k", "ts"]).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(
+        [(k, t, 2000 + i) for i, (k, t) in enumerate(rights)],
+        columns=["k", "ts", "rid"],
+    ).sort_values("ts", kind="stable")
+    merged = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+    want = {
+        (int(r.k), int(r.ts)): (None if pd.isna(r.rid) else int(r.rid))
+        for r in merged.itertuples()
+    }
+    assert got == want
