@@ -645,3 +645,94 @@ def corpus_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("predicted_lang")
     )
+
+
+@query(
+    "curation_downsample",
+    oracle="""
+    WITH bucketed AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100
+               AS bucket
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_kept,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM bucketed
+    WHERE bucket < CASE WHEN lang = 'en' THEN 40 ELSE 100 END
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def curation_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based downsampling — dataset balancing for
+    over-represented languages (keep 40% of 'en', all of the rest).
+    The keep-decision is md5(doc_id) bucketed mod 100: reproducible
+    across engines, runs, and partitionings — unlike seeded sample(),
+    which is engine-specific. At 100 TB this is a stateless per-row
+    filter (no shuffle); rates come from a broadcastable config."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    rate = F.when(F.col("lang") == "en", F.lit(40)).otherwise(F.lit(100))
+    return (
+        d.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < rate)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "train_test_split",
+    oracle="""
+    WITH bucketed AS (
+      SELECT doc_id, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100
+               AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars
+    FROM bucketed
+    GROUP BY 1
+    ORDER BY split
+    """,
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by content-id
+    hash bucket — stable across engines and re-runs, so a document
+    never migrates between splits when the corpus grows (the property
+    random splits lack). Stateless per-row expression; no shuffle
+    until the reporting aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
