@@ -736,3 +736,58 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query(
+    "decontaminate_splits",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             md5(substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 100))
+               AS norm_hash,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 < 80
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM documents
+    )
+    SELECT e.doc_id, e.norm_hash, COUNT(*) AS n_train_matches
+    FROM b e
+    JOIN b t ON t.split = 'train' AND t.norm_hash = e.norm_hash
+    WHERE e.split = 'eval'
+    GROUP BY e.doc_id, e.norm_hash
+    ORDER BY e.doc_id
+    """,
+)
+def decontaminate_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check: eval-split documents whose
+    whitespace-normalized content hash also appears in the train
+    split (prefix fingerprint: first 100 normalized chars — catches
+    shared-opening contamination, the cheap first pass before minhash
+    candidates handle true near-dups). One shuffle on the content
+    hash; payloads never move, only (hash, id)."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    b = d.select(
+        "doc_id",
+        F.md5(
+            F.substring(
+                F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+                1,
+                100,
+            )
+        ).alias("norm_hash"),
+        F.when(bucket < 80, F.lit("train")).otherwise(F.lit("eval")).alias("split"),
+    )
+    ev = b.filter(F.col("split") == "eval").select("doc_id", "norm_hash")
+    tr = b.filter(F.col("split") == "train").select(
+        F.col("norm_hash").alias("t_hash")
+    )
+    return (
+        ev.join(tr, F.col("norm_hash") == F.col("t_hash"))
+        .groupBy("doc_id", "norm_hash")
+        .agg(F.count("*").alias("n_train_matches"))
+        .orderBy("doc_id")
+    )
