@@ -6,7 +6,15 @@ order-insensitive values (columns sorted by name, rows sorted, cells
 canonicalized). Reports exact-match and isclose-match per query so
 float risk is visible before the real gate runs.
 
+Also reports TYPED-HASH RISK when the oracle's column types differ from
+Spark's at the type-family level (e.g. DuckDB HUGEINT/DECIMAL vs Spark
+BIGINT/DOUBLE): values can compare equal here yet hash differently under
+the driver's typed comparison — that is exactly what failed
+percentile_stats and q12_late_shipments in round 1.
+
 Usage: python tools/check_parity.py [sf_dir] [query ...]
+       python tools/check_parity.py --window   # show the driver's
+           50-entry correctness window and which queries fall outside
 """
 
 from __future__ import annotations
@@ -88,7 +96,75 @@ def compare(spark_rows, spark_cols, duck_rows, duck_cols):
     return issues, all_exact, all_close
 
 
+_TYPE_FAMILY = {
+    "TINYINT": "int",
+    "SMALLINT": "int",
+    "INTEGER": "int",
+    "INT": "int",
+    "BIGINT": "int",
+    "LONG": "int",
+    "HUGEINT": "int128",
+    "UTINYINT": "int",
+    "USMALLINT": "int",
+    "UINTEGER": "int",
+    "UBIGINT": "int128",
+    "FLOAT": "float",
+    "REAL": "float",
+    "DOUBLE": "float",
+    "BOOLEAN": "bool",
+    "VARCHAR": "str",
+    "STRING": "str",
+    "DATE": "date",
+    "TIMESTAMP": "ts",
+    "TIMESTAMP_NS": "ts",
+    # Spark TIMESTAMP_NTZ hashed equal to DuckDB TIMESTAMP in r01 (q3,
+    # q18, filter_predicates were green) — same family, not a risk.
+    "TIMESTAMP_NTZ": "ts",
+}
+
+
+def _family(type_str: str) -> str:
+    t = str(type_str).upper()
+    if t.startswith("DECIMAL"):
+        return t.replace(" ", "")
+    return _TYPE_FAMILY.get(t, t)
+
+
+def typed_hash_risks(spark_schema, duck_cols, duck_types):
+    """Column-name-matched type-family diffs between Spark and DuckDB."""
+    spark_fams = {
+        f.name: _family(f.dataType.simpleString()) for f in spark_schema.fields
+    }
+    risks = []
+    for col, dt in zip(duck_cols, duck_types):
+        sf, df_ = spark_fams.get(col), _family(dt)
+        if sf is not None and sf != df_:
+            risks.append(f"{col}: spark {sf} vs oracle {df_}")
+    return risks
+
+
+def show_window():
+    from local_stream_stack_spark.queries import get_queries
+
+    names = list(get_queries())
+    print(f"{len(names)} registered queries; driver verifies the first 50:\n")
+    for i, n in enumerate(names):
+        spec = QUERIES[n]
+        tag = "oracle" if spec.oracle else "rows-only"
+        marker = "IN " if i < 50 else "OUT"
+        print(f"  {marker} {i + 1:3d}. {n} [{tag}]")
+    if len(names) > 50:
+        print(
+            f"\nWARNING: {len(names) - 50} queries fall OUTSIDE the driver's"
+            " window this round (listed OUT above). Rotate"
+            " DRIVER_VERIFIED_PREVIOUSLY in queries/registry.py next round."
+        )
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--window":
+        show_window()
+        return 0
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = get_spark(app_name="parity-check")
@@ -120,6 +196,7 @@ def main():
         try:
             rel = con.sql(spec.oracle)
             duck_cols = list(rel.columns)
+            duck_types = [str(t) for t in rel.types]
             duck_rows = rel.fetchall()
         except Exception as ex:
             print(f"FAIL  {name}: DUCKDB ERROR {type(ex).__name__}: {str(ex)[:300]}")
@@ -127,9 +204,11 @@ def main():
             continue
         issues, exact, close = compare(spark_rows, spark_cols, duck_rows, duck_cols)
         dt = time.time() - t0
+        risks = typed_hash_risks(sdf.schema, duck_cols, duck_types)
         if close or exact:
             tag = "EXACT" if exact else "close"
-            print(f"pass  {name}: {len(spark_rows)} rows {tag} [{dt:.1f}s]")
+            risk = f"  TYPED-HASH RISK: {'; '.join(risks)}" if risks else ""
+            print(f"pass  {name}: {len(spark_rows)} rows {tag} [{dt:.1f}s]{risk}")
             n_pass += 1
         else:
             print(f"FAIL  {name}: {'; '.join(issues[:5])} [{dt:.1f}s]")
