@@ -35,7 +35,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 @query(
     "udaf_trimmed_stats",
     oracle="""
-    SELECT user_id, COUNT(*) AS n_events, SUM(cents) AS sum_cents,
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
            CASE WHEN COUNT(*) > 2
                 THEN (SUM(cents) - MIN(cents) - MAX(cents))
                      / (100.0 * (COUNT(*) - 2))
@@ -203,7 +204,7 @@ sink:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
            COUNT(CAST(json_extract(props, '$.k') AS INT)) AS n_parsed
     FROM events
     GROUP BY event_type

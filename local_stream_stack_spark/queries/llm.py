@@ -616,7 +616,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH scored AS ({_LANG_SCORE_SQL})
     SELECT predicted_lang,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 2) AS avg_tokens,
            MIN(quality_score) AS min_quality,
            MAX(quality_score) AS max_quality
@@ -704,7 +704,7 @@ def curation_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN bucket < 90 THEN 'val'
                 ELSE 'test' END AS split,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM bucketed
     GROUP BY 1
     ORDER BY split

@@ -412,34 +412,52 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "percentile_stats",
     oracle="""
     SELECT l_returnflag,
-           ROUND(median(l_quantity), 4) AS median_qty,
-           ROUND(quantile_cont(l_quantity, 0.90), 4) AS p90_qty,
-           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
-           ROUND(stddev_samp(l_quantity), 3) AS sd_qty,
-           ROUND(corr(l_quantity, l_extendedprice), 3) AS corr_qty_price
+           CAST(ROUND(median(l_quantity), 4) AS DECIMAL(18,4)) AS median_qty,
+           CAST(ROUND(quantile_cont(l_quantity, 0.90), 4) AS DECIMAL(18,4)) AS p90_qty,
+           CAST(ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS DECIMAL(18,4)) AS p25_price,
+           CAST(ROUND(stddev_samp(l_quantity), 3) AS DECIMAL(18,3)) AS sd_qty,
+           CAST(ROUND(corr(l_quantity, l_extendedprice), 3) AS DECIMAL(18,3)) AS corr_qty_price
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
     """,
 )
 def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact continuous percentiles (sort-based, not sketches) plus
-    sample stddev and correlation per return flag. The rounding
-    absorbs last-ulp differences in the engines' merge order; see
-    approx_distinct_parts for the sketch-based HLL variant."""
+    """Exact continuous percentiles plus sample stddev and correlation
+    per return flag.
+
+    Percentiles come from operators/quantiles.exact_quantiles (3-pass
+    bin refinement) — NOT Spark's ``percentile`` aggregate, which
+    buffers every group value in one reducer (an ObjectHashAggregate
+    parallelism collapse / OOM at 100 TB). stddev/corr stay codegen
+    partial aggregates. Outputs are DECIMAL-cast on both engines:
+    decimals hash by scaled integer, so last-ulp double formatting and
+    ``-0.0`` can't diverge the driver's typed value hash (the round-1
+    hash_match=false cause)."""
+    from local_stream_stack_spark.operators.quantiles import exact_quantiles
+
     li = _t(spark, sf_dir, "lineitem")
+    qty_q = exact_quantiles(
+        li, "l_quantity", [0.5, 0.90], ["l_returnflag"],
+        out_cols=["__median", "__p90"],
+    )
+    price_q = exact_quantiles(
+        li, "l_extendedprice", [0.25], ["l_returnflag"], out_cols=["__p25"]
+    )
+    stats = li.groupBy("l_returnflag").agg(
+        F.stddev_samp("l_quantity").alias("__sd"),
+        F.corr("l_quantity", "l_extendedprice").alias("__corr"),
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
-            F.round(F.expr("percentile(l_quantity, 0.90)"), 4).alias("p90_qty"),
-            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias(
-                "p25_price"
-            ),
-            F.round(F.stddev_samp("l_quantity"), 3).alias("sd_qty"),
-            F.round(F.corr("l_quantity", "l_extendedprice"), 3).alias(
-                "corr_qty_price"
-            ),
+        stats.join(qty_q, "l_returnflag")
+        .join(price_q, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.expr("CAST(ROUND(__median, 4) AS DECIMAL(18,4))").alias("median_qty"),
+            F.expr("CAST(ROUND(__p90, 4) AS DECIMAL(18,4))").alias("p90_qty"),
+            F.expr("CAST(ROUND(__p25, 4) AS DECIMAL(18,4))").alias("p25_price"),
+            F.expr("CAST(ROUND(__sd, 3) AS DECIMAL(18,3))").alias("sd_qty"),
+            F.expr("CAST(ROUND(__corr, 3) AS DECIMAL(18,3))").alias("corr_qty_price"),
         )
         .orderBy("l_returnflag")
     )
