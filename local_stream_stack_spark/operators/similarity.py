@@ -88,6 +88,126 @@ def cosine_topk_bruteforce(
     )
 
 
+def cosine_allpairs_threshold_blocked(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    extra_cols: list[str] | None = None,
+    round_dp: int = 6,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold, fully distributed (no
+    driver collect) — the scale form of ``cosine_allpairs_threshold``.
+
+    Block-pair decomposition: every row hashes to one of B blocks; a
+    tiny B-row range cross joins each row into every block pair
+    ``(lo, hi)`` it participates in, so group ``(lo, hi)`` holds the
+    rows of both blocks exactly once. One ``applyInPandas`` over the
+    B(B+1)/2 groups scores block-lo rows against block-hi rows as a
+    numpy matmul-shaped fold (upper triangle by id when lo == hi).
+    Output pairs are oriented by ID VALUE (id_a < id_b) — safe because
+    the dimension-at-a-time fold is exactly symmetric in the operands.
+
+    Scale: shuffle volume is O(n x B) rows (each row is replicated B
+    times), compute is O(n^2) FLOPs spread over B(B+1)/2 independent
+    tasks of (n/B)^2 — an exact threshold join cannot beat O(n^2)
+    worst-case work, but nothing is ever collected and per-task memory
+    is (n/B x dim) x 2, tuned by ``n_blocks``. Values are bit-identical
+    to the sequential-fold oracle (see ``cosine_allpairs_threshold``
+    docstring): ``acc += a[i] * b[i]`` in dimension order per pair.
+    Default B targets ~2 tasks per core; at 100 TB raise it so a block
+    fits an executor.
+    """
+    import math
+
+    extra_cols = extra_cols or []
+    spark = corpus.sparkSession
+    if n_blocks is None:
+        par = spark.sparkContext.defaultParallelism
+        # smallest B with B(B+1)/2 >= 2*par
+        n_blocks = max(2, math.ceil((math.sqrt(16.0 * par + 1) - 1) / 2))
+    pre_cut = threshold - 1e-6
+
+    base = corpus.select(id_col, vec_col, *extra_cols).withColumn(
+        "__blk",
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_blocks)).cast(
+            "int"
+        ),
+    )
+    others = spark.range(n_blocks).select(F.col("id").cast("int").alias("__other"))
+    rep = base.join(F.broadcast(others)).select(
+        "*",
+        F.least("__blk", "__other").alias("__lo"),
+        F.greatest("__blk", "__other").alias("__hi"),
+    )
+
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    out_fields = [f"id_a {id_t}", f"id_b {id_t}"]
+    for c in extra_cols:
+        t = corpus.schema[c].dataType.simpleString()
+        out_fields += [f"{c}_a {t}", f"{c}_b {t}"]
+    out_fields.append("cosine_raw double")
+    out_schema = ", ".join(out_fields)
+
+    lo_blk, hi_blk = "__lo", "__hi"
+
+    def fold_norms(M: np.ndarray) -> np.ndarray:
+        acc = np.zeros(len(M))
+        for i in range(M.shape[1]):
+            acc += M[:, i] * M[:, i]
+        return np.sqrt(acc)
+
+    def score_group(key, pdf):
+        lo, hi = int(key[0]), int(key[1])
+        a_pdf = pdf[pdf["__blk"] == lo]
+        b_pdf = pdf[pdf["__blk"] == hi] if hi != lo else a_pdf
+        if not len(a_pdf) or not len(b_pdf):
+            return pd.DataFrame(
+                {f: [] for f in ["id_a", "id_b"]
+                 + [f"{c}_{s}" for c in extra_cols for s in ("a", "b")]
+                 + ["cosine_raw"]}
+            )
+        A = np.array([np.asarray(v, dtype=np.float64) for v in a_pdf[vec_col]])
+        B = np.array([np.asarray(v, dtype=np.float64) for v in b_pdf[vec_col]])
+        na, nb = fold_norms(A), fold_norms(B)
+        dots = np.zeros((len(A), len(B)))
+        for i in range(A.shape[1]):
+            dots += A[:, i, None] * B[None, :, i]
+        sims = dots / (na[:, None] * nb[None, :])
+        ids_a = a_pdf[id_col].to_numpy()
+        ids_b = b_pdf[id_col].to_numpy()
+        mask = sims >= pre_cut
+        if lo == hi:
+            mask &= ids_a[:, None] < ids_b[None, :]
+        ai, bi = np.nonzero(mask)
+        # orient by id value: the fold is operand-symmetric, so the
+        # value is identical either way
+        swap = ids_a[ai] > ids_b[bi]
+        data = {
+            "id_a": np.where(swap, ids_b[bi], ids_a[ai]),
+            "id_b": np.where(swap, ids_a[ai], ids_b[bi]),
+        }
+        for c in extra_cols:
+            va = a_pdf[c].to_numpy()
+            vb = b_pdf[c].to_numpy()
+            data[f"{c}_a"] = np.where(swap, vb[bi], va[ai])
+            data[f"{c}_b"] = np.where(swap, va[ai], vb[bi])
+        data["cosine_raw"] = sims[ai, bi]
+        return pd.DataFrame(data)
+
+    pairs = rep.groupBy(lo_blk, hi_blk).applyInPandas(score_group, schema=out_schema)
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            *[f"{c}_{s}" for c in extra_cols for s in ("a", "b")],
+            F.round(F.col("cosine_raw"), round_dp).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def cosine_allpairs_threshold(
     corpus: DataFrame,
     id_col: str,
@@ -95,6 +215,7 @@ def cosine_allpairs_threshold(
     threshold: float,
     extra_cols: list[str] | None = None,
     round_dp: int = 6,
+    max_collect_rows: int = 100_000,
 ) -> DataFrame:
     """All-pairs cosine >= threshold, vectorized (the exact-verify stage
     of near-dup dedup).
@@ -111,14 +232,27 @@ def cosine_allpairs_threshold(
     1e-6 margin below the threshold so no pair that could round up is
     dropped.
 
-    Scale note (100 TB): broadcast-all-pairs is the verify stage only —
-    generate candidates with ``lsh_bucket_topk``'s bucket join first and
-    run exact cosine on co-bucketed pairs; this function is for corpora
-    that fit an executor (it is still O(n^2) work, distributed O(n/p)
-    rows x n matrix per task).
+    Scale note (100 TB): this is the SMALL-CORPUS utility — it raises
+    above ``max_collect_rows`` because it collects and broadcasts the
+    whole corpus. Use ``cosine_allpairs_threshold_blocked`` (same
+    answer, no collect, block-pair distributed) for anything bigger.
+    The collect is ordered by id so positional order provably equals
+    id order regardless of file layout (pairs are emitted a_pos < b_pos
+    == id_a < id_b).
     """
     extra_cols = extra_cols or []
-    rows = corpus.select(id_col, vec_col, *extra_cols).collect()
+    rows = (
+        corpus.select(id_col, vec_col, *extra_cols)
+        .orderBy(id_col)
+        .limit(max_collect_rows + 1)
+        .collect()
+    )
+    if len(rows) > max_collect_rows:
+        raise ValueError(
+            f"cosine_allpairs_threshold collects the corpus to the driver"
+            f" and it exceeds max_collect_rows={max_collect_rows};"
+            " use cosine_allpairs_threshold_blocked instead"
+        )
     ids = [r[0] for r in rows]
     mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
     extras = {c: [r[c] for r in rows] for c in extra_cols}

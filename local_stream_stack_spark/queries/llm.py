@@ -33,7 +33,7 @@ from local_stream_stack_spark.operators.multimodal import (
 )
 from local_stream_stack_spark.operators.similarity import (
     cosine,
-    cosine_allpairs_threshold,
+    cosine_allpairs_threshold_blocked,
     cosine_topk_bruteforce,
     dot_double,
     lsh_bucket_topk,
@@ -295,13 +295,15 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact, threshold 0.40 — this
     synthetic corpus has no true near-dups; max pairwise cosine is
-    ~0.51). Vectorized all-pairs (numpy, dimension-at-a-time fold so
-    values are bit-identical to the DuckDB list_reduce oracle). At
-    corpus scale this is the verification stage: generate candidates
-    with sim_lsh_topk's bucket join first and run exact cosine only on
-    co-bucketed pairs."""
+    ~0.51). Distributed block-pair all-pairs: nothing is collected to
+    the driver; each of the B(B+1)/2 block pairs scores its two blocks
+    as a numpy dimension-at-a-time fold, bit-identical to the DuckDB
+    list_reduce oracle. An exact threshold join is O(n^2) work by
+    nature — the blocking bounds per-task memory and spreads the FLOPs;
+    for approximate near-dup at corpus scale use sim_lsh_topk
+    (bucketed candidates) and keep this as the verify stage."""
     e = _t(spark, sf_dir, "embeddings")
-    return cosine_allpairs_threshold(
+    return cosine_allpairs_threshold_blocked(
         e, id_col="vec_id", vec_col="embedding", threshold=0.40,
         extra_cols=["label"],
     ).orderBy("id_a", "id_b")

@@ -161,3 +161,45 @@ def test_lsh_scores_are_true_cosines(spark, emb):
         q, c = vectors[r.query_id], vectors[r.corpus_id]
         expected = round(float(np.dot(q, c) / (np.linalg.norm(q) * np.linalg.norm(c))), 6)
         assert abs(r.cosine_sim - expected) < 1e-9
+
+
+def test_blocked_allpairs_equals_collect_allpairs(spark, emb):
+    """The distributed block-pair scorer must return the identical pair
+    set and identical doubles as the small-corpus collect path, for
+    several block counts (exercises lo==hi triangles, cross-block
+    orientation swaps, and empty blocks when B > distinct hash values)."""
+    from local_stream_stack_spark.operators.similarity import (
+        cosine_allpairs_threshold,
+        cosine_allpairs_threshold_blocked,
+    )
+
+    small = emb.filter(F.col("vec_id") < 200)
+    golden = {
+        (r.id_a, r.id_b): (r.cosine_sim, r.label_a, r.label_b)
+        for r in cosine_allpairs_threshold(
+            small, "vec_id", "embedding", 0.30, extra_cols=["label"]
+        ).collect()
+    }
+    assert golden, "threshold 0.30 should yield pairs on this corpus"
+    for n_blocks in (1, 2, 7):
+        got = {
+            (r.id_a, r.id_b): (r.cosine_sim, r.label_a, r.label_b)
+            for r in cosine_allpairs_threshold_blocked(
+                small, "vec_id", "embedding", 0.30,
+                extra_cols=["label"], n_blocks=n_blocks,
+            ).collect()
+        }
+        assert got == golden, f"mismatch at n_blocks={n_blocks}"
+    for (a, b) in golden:
+        assert a < b
+
+
+def test_collect_allpairs_guard_raises(spark, emb):
+    from local_stream_stack_spark.operators.similarity import (
+        cosine_allpairs_threshold,
+    )
+
+    with pytest.raises(ValueError, match="max_collect_rows"):
+        cosine_allpairs_threshold(
+            emb, "vec_id", "embedding", 0.40, max_collect_rows=5
+        )
