@@ -39,7 +39,10 @@ from pyspark.sql import functions as F
 
 from local_stream_stack_spark.queries.registry import query
 from local_stream_stack_spark.session import configure_for_oracle
-from local_stream_stack_spark.streaming.ops import latest_per_key_stream
+from local_stream_stack_spark.streaming.ops import (
+    latest_per_key_stream_parquet,
+    read_compacted_view,
+)
 
 # Raw wire schema of the events parquet: ts is TIMESTAMP(NANOS), which
 # Spark 4 only reads as long (spark.sql.legacy.parquet.nanosAsLong) —
@@ -177,18 +180,20 @@ def stream_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     The reference's Kafka log-compaction semantics (A15/A16,
     `sample_kafka_process.sh:165-215`) executed as a real stream:
     foreachBatch reduces each micro-batch to latest-per-key and merges
-    it idempotently into the target view (``latest_per_key_stream``).
-    After the bounded replay the view must equal the batch
-    latest-per-key oracle.
+    it into a bucket-partitioned parquet view, rewriting only touched
+    partitions (``latest_per_key_stream_parquet`` — no driver
+    materialization). After the bounded replay the view must equal the
+    batch latest-per-key oracle.
     """
     s = _events_stream(spark, sf_dir)
-    target = f"stream_compacted_{next(_run_seq)}"
-    cp = os.path.join(tempfile.mkdtemp(prefix="stream-e2e-compact-"), "cp")
-    q = latest_per_key_stream(
+    base = tempfile.mkdtemp(prefix="stream-e2e-compact-")
+    target = os.path.join(base, "view")
+    cp = os.path.join(base, "cp")
+    q = latest_per_key_stream_parquet(
         s,
         keys=["user_id"],
         order_col="ts",
-        target_table=target,
+        target_path=target,
         checkpoint_location=cp,
     )
     try:
@@ -196,7 +201,7 @@ def stream_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return (
-        spark.table(target)
+        read_compacted_view(spark, target)
         .select(
             "user_id",
             "event_id",

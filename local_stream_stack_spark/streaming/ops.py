@@ -162,6 +162,98 @@ def latest_per_key_stream(
     )
 
 
+def latest_per_key_stream_parquet(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    target_path: str,
+    checkpoint_location: str,
+    tombstone_predicate: str | None = None,
+    n_buckets: int = 32,
+):
+    """Materialize a compacted (latest-per-key) view of a stream into a
+    bucket-partitioned parquet table — the scale form of
+    ``latest_per_key_stream`` (which keeps the view in a driver-side
+    temp view for unit tests).
+
+    The view is partitioned by ``__bucket = pmod(xxhash64(keys), B)``.
+    Each micro-batch reduces to latest-per-key, reads back ONLY the
+    bucket partitions its keys touch, merges (max-by-order wins), and
+    rewrites just those partitions via dynamic partition overwrite —
+    the keyed-MERGE access pattern (Delta/Iceberg MERGE INTO) expressed
+    on plain parquet. Per-epoch cost is proportional to touched
+    buckets, not view size; the only driver materialization is the
+    list of touched bucket ids (<= B ints). Replayed epochs re-merge
+    idempotently, so checkpoint recovery converges. A real deployment
+    would use a table format for atomic commits; partition-level
+    overwrite is the same plan shape minus the transaction log.
+
+    Tombstones follow Kafka compaction semantics: the latest record
+    per key is RETAINED with a ``__deleted`` flag (so a partition
+    whose last live key is deleted still rewrites, and a later update
+    resurrects the key); ``read_compacted_view`` filters them out.
+    """
+    from local_stream_stack_spark.operators.events import latest_per_key
+
+    spark = df.sparkSession
+    key_list = list(keys)
+    bucket = F.pmod(
+        F.xxhash64(*[F.col(k).cast("string") for k in key_list]),
+        F.lit(n_buckets),
+    ).cast("int")
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        latest = latest_per_key(
+            batch_df, keys=key_list, order_by=[order_col]
+        ).withColumn("__bucket", bucket)
+        touched = [
+            r[0] for r in latest.select("__bucket").distinct().collect()
+        ]
+        if not touched:
+            return
+        try:
+            current = spark.read.parquet(target_path).filter(
+                F.col("__bucket").isin(touched)
+            )
+            merged = latest_per_key(
+                current.drop("__deleted").unionByName(latest),
+                keys=key_list,
+                order_by=[order_col],
+            )
+        except Exception:
+            merged = latest
+        deleted = (
+            F.expr(f"({tombstone_predicate})")
+            if tombstone_predicate
+            else F.lit(False)
+        )
+        merged = merged.withColumn("__deleted", deleted)
+        (
+            merged.repartition(len(touched), "__bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__bucket")
+            .parquet(target_path)
+        )
+
+    return (
+        df.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_location)
+        .start()
+    )
+
+
+def read_compacted_view(spark, target_path: str) -> DataFrame:
+    """Read a ``latest_per_key_stream_parquet`` view: live keys only
+    (tombstoned keys filtered), internal columns dropped."""
+    return (
+        spark.read.parquet(target_path)
+        .filter(~F.col("__deleted"))
+        .drop("__bucket", "__deleted")
+    )
+
+
 def stream_static_join(
     stream: DataFrame, static: DataFrame, on: str | list, how: str = "inner"
 ) -> DataFrame:

@@ -146,6 +146,63 @@ def test_latest_per_key_stream_upsert(spark, tmpdir):
     assert got == {(1, 2.0)}  # user 2 tombstoned; user 1 latest value
 
 
+def test_latest_per_key_stream_parquet_incremental_merge(spark, tmpdir):
+    """Parquet-backed compacted view: a second run over new data must
+    MERGE with (not replace) the persisted view — later records win,
+    untouched keys survive, tombstones delete."""
+    from local_stream_stack_spark.streaming.ops import (
+        latest_per_key_stream_parquet,
+        read_compacted_view,
+    )
+
+    target = f"{tmpdir}/view"
+    in_dir = f"{tmpdir}/in"
+
+    def run_epoch(rows):
+        spark.createDataFrame(rows, EVENT_SCHEMA).write.mode("append").parquet(
+            in_dir
+        )
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(in_dir)
+        q = latest_per_key_stream_parquet(
+            stream,
+            keys=["user_id"],
+            order_col="ts",
+            target_path=target,
+            checkpoint_location=f"{tmpdir}/cp",
+            tombstone_predicate="event_type = 'delete'",
+            n_buckets=4,
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_epoch(
+        [
+            (1, _ts(10, 0), 1, "update", 1.0),
+            (2, _ts(10, 5), 1, "update", 2.0),
+            (3, _ts(10, 1), 2, "update", 5.0),
+        ]
+    )
+    got = {(r.user_id, r.value) for r in read_compacted_view(spark, target).collect()}
+    assert got == {(1, 2.0), (2, 5.0)}
+
+    # second batch: update user 2, tombstone user 1, add user 3;
+    # the checkpoint resumes from the new files only
+    run_epoch(
+        [
+            (4, _ts(11, 0), 2, "update", 7.0),
+            (5, _ts(11, 1), 1, "delete", 0.0),
+            (6, _ts(11, 2), 3, "update", 9.0),
+        ]
+    )
+    got = {(r.user_id, r.value) for r in read_compacted_view(spark, target).collect()}
+    assert got == {(2, 7.0), (3, 9.0)}
+
+    # stale record must NOT displace a newer one (max-by-order wins)
+    run_epoch([(7, _ts(9, 0), 2, "update", 0.5)])
+    got = {(r.user_id, r.value) for r in read_compacted_view(spark, target).collect()}
+    assert got == {(2, 7.0), (3, 9.0)}
+
+
 def test_stream_stream_interval_join(spark, tmpdir):
     """Views joined to purchases by the same user within 30 min."""
     views = [
