@@ -23,8 +23,21 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _SALTABLE = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"}
+
+
+def _hashable(dt: T.DataType) -> bool:
+    """xxhash64 accepts atomic/array/struct inputs but fails analysis
+    on maps (and containers holding maps)."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _hashable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_hashable(f.dataType) for f in dt.fields)
+    return True
 
 
 def salted_join(
@@ -59,15 +72,27 @@ def salted_join(
     if salt < 2:
         return left.join(right, list(on), how)
     on = list(on)
-    salt_col = F.pmod(
-        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)
-    ).cast("int")
-    l2 = left.withColumn("__salt", salt_col)
-    r2 = right.withColumn(
-        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    # hash only hashable columns (maps fail xxhash64 analysis); a
+    # row with none left still joins correctly, just unspread
+    hash_cols = [
+        F.col(f.name) for f in left.schema.fields if _hashable(f.dataType)
+    ]
+    salt_col = (
+        F.pmod(F.xxhash64(*hash_cols), F.lit(salt)).cast("int")
+        if hash_cols
+        else F.lit(0)
     )
-    joined = l2.join(r2, on + ["__salt"], how)
-    return joined.drop("__salt")
+    # uniquified temp name so a pre-existing __salt column survives
+    salt_name = "__salt"
+    taken = set(left.columns) | set(right.columns)
+    while salt_name in taken:
+        salt_name = "_" + salt_name
+    l2 = left.withColumn(salt_name, salt_col)
+    r2 = right.withColumn(
+        salt_name, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    joined = l2.join(r2, on + [salt_name], how)
+    return joined.drop(salt_name)
 
 
 def write_bucketed(

@@ -72,31 +72,27 @@ def extract_features(df: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"]) if r["payload"] is not None else b""
-                modality = (r["meta"] or {}).get("modality", "image")
-                feats = decode_stub(payload, modality)
-                rows.append(
-                    {
-                        "id": r["id"],
-                        "modality": modality,
-                        "n_bytes": len(payload),
-                        "checksum": hashlib.md5(payload).hexdigest(),
-                        **feats,
-                    }
-                )
+            # column-at-a-time (no row boxing); only the codec call
+            # itself is per-item — that is inherent to decoding
+            payloads = [
+                bytes(p) if p is not None else b"" for p in pdf["payload"]
+            ]
+            modalities = [
+                (m or {}).get("modality", "image") for m in pdf["meta"]
+            ]
+            feats = [
+                decode_stub(p, m) for p, m in zip(payloads, modalities)
+            ]
             yield pd.DataFrame(
-                rows,
-                columns=[
-                    "id",
-                    "modality",
-                    "n_bytes",
-                    "checksum",
-                    "width",
-                    "height",
-                    "duration_ms",
-                ],
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "modality": modalities,
+                    "n_bytes": [len(p) for p in payloads],
+                    "checksum": [hashlib.md5(p).hexdigest() for p in payloads],
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "duration_ms": [f["duration_ms"] for f in feats],
+                }
             )
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
@@ -148,15 +144,19 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            payloads = [
+                bytes(p) if p is not None else b"" for p in pdf["payload"]
+            ]
+            modalities = [
+                (m or {}).get("modality", "video") for m in pdf["meta"]
+            ]
             rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"]) if r["payload"] is not None else b""
-                modality = (r["meta"] or {}).get("modality", "video")
+            for rid, payload, modality in zip(pdf["id"], payloads, modalities):
                 duration = decode_stub(payload, modality)["duration_ms"]
                 for idx, ms in enumerate(range(0, max(duration, 1), every_ms)):
                     rows.append(
                         {
-                            "id": r["id"],
+                            "id": rid,
                             "frame_idx": idx,
                             "frame_ms": ms,
                             "frame": hashlib.md5(

