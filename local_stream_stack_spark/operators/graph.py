@@ -1,0 +1,78 @@
+"""Connected components over pair/edge frames — the clustering step of
+near-dup deduplication.
+
+Candidate generators (``minhash_lsh_candidates``, ``ngram_jaccard_pairs``,
+``cosine_allpairs_threshold_blocked``) emit PAIRS; an actual dedup pass
+needs CLUSTERS (keep one canonical doc per transitively-connected
+group: A~B, B~C => {A,B,C} even if A!~C). The reference has no graph
+operator at all; this is the standard iterative min-label propagation
+expressed in DataFrame ops (the Pregel/GraphX pattern without GraphX,
+which PySpark does not ship).
+
+Scale notes (100 TB):
+- each iteration is ONE shuffle keyed on node id (edges join labels,
+  then a min-aggregate); no driver materialization — the convergence
+  probe is a LIMIT 1 existence count.
+- iteration count = component diameter. Near-dup graphs are
+  near-cliques (diameter 2-4), so the loop runs ~3 times in practice;
+  ``max_iter`` bounds adversarial chains. For planet-scale
+  high-diameter graphs the alternating large-star/small-star variant
+  (Kiveris et al., "Connected Components in MapReduce") halves rounds —
+  same per-round plan shape as here.
+- ``localCheckpoint`` truncates lineage each round so the plan does not
+  grow with iterations (a classic iterative-DataFrame failure mode).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``, where
+    component is the MINIMUM node id transitively reachable — a
+    deterministic, engine-independent cluster representative.
+
+    Isolated nodes (no edges) are the identity component and are not
+    emitted; union the node table in afterwards if needed.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    und = (
+        e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("s").alias("n"))
+        .distinct()
+        .withColumn("c", F.col("n"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = und.join(labels, und["s"] == labels["n"]).select(
+            F.col("d").alias("n"), F.col("c")
+        )
+        new = (
+            labels.union(nbr)
+            .groupBy("n")
+            .agg(F.min("c").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("a")
+            .join(labels.alias("b"), "n")
+            .filter(F.col("a.c") != F.col("b.c"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("n").alias("node"), F.col("c").alias("component"))

@@ -108,6 +108,79 @@ def lang_id_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     return scored.withColumn("predicted_lang", pred)
 
 
+def chunk_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    chunk_size: int = 200,
+    stride: int = 150,
+) -> DataFrame:
+    """Sliding-window document chunking (the context-window prep step of
+    a training pipeline): one row per chunk of ``chunk_size`` chars
+    starting every ``stride`` chars (overlap = chunk_size - stride).
+
+    Pure codegen: sequence + explode + substr — a row-expanding
+    projection with NO shuffle; output cardinality is
+    ceil(len/stride) per doc, decided executor-side. chunk_idx derives
+    from chunk_start arithmetically so it is engine-independent.
+    Empty docs emit one empty chunk (chunk_start=1) — callers filter
+    if unwanted.
+    """
+    t = F.col(text_col)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length(t), F.lit(1)), F.lit(stride)
+    )
+    return (
+        df.select(F.col(id_col), t.alias("__t"), F.explode(starts).alias("chunk_start"))
+        .select(
+            id_col,
+            F.expr(f"CAST((chunk_start - 1) DIV {stride} AS INT)").alias(
+                "chunk_idx"
+            ),
+            F.col("chunk_start").cast("bigint").alias("chunk_start"),
+            F.expr(f"substr(__t, chunk_start, {chunk_size})").alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text").cast("bigint"))
+    )
+
+
+def with_repetition_stats(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Word n-gram repetition ratio — the standard boilerplate/spam
+    signal (a doc whose 3-grams are mostly duplicates is template or
+    looped text).
+
+    repetition_ratio = 1 - distinct_ngrams/total_ngrams, 0.0 for docs
+    with < n words. Array higher-order functions only (transform over a
+    sequence + array_distinct) — JVM codegen, scan-shaped, no Python
+    and no shuffle.
+    """
+    t = F.col(text_col)
+    words = F.split(F.trim(t), r"\s+")
+    n_words = F.size(words)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.get(words, i + F.lit(j)) for j in range(n)]
+    )
+    grams = F.when(
+        n_words >= n,
+        F.transform(F.sequence(F.lit(0), n_words - n), gram),
+    ).otherwise(F.array().cast("array<string>"))
+    n_grams = F.size(grams).cast("bigint")
+    n_distinct = F.size(F.array_distinct(grams)).cast("bigint")
+    ratio = F.when(
+        n_grams > 0,
+        F.round(
+            F.lit(1.0) - n_distinct.cast("double") / n_grams.cast("double"), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("n_ngrams", n_grams)
+        .withColumn("n_distinct_ngrams", n_distinct)
+        .withColumn("repetition_ratio", ratio)
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints: raw md5, normalized md5 (lower + collapsed
     whitespace), and a 64-bit hash of the normalized form."""

@@ -40,8 +40,10 @@ from local_stream_stack_spark.operators.similarity import (
     norm2,
 )
 from local_stream_stack_spark.operators.text import (
+    chunk_text,
     fingerprint,
     lang_id_scores,
+    with_repetition_stats,
     with_text_stats,
 )
 from local_stream_stack_spark.queries.registry import query
@@ -119,6 +121,68 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             block_cols=["lang"], min_jaccard=0.12,
         )
         .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "dedup_components",
+    oracle="""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, lang, text FROM documents WHERE n_chars <= 200
+    ),
+    gram_sets AS (
+      SELECT DISTINCT doc_id, lang,
+             unnest([substr(text, CAST(i AS INT), 3)
+                     for i in generate_series(1, length(text) - 2)]) AS g
+      FROM docs
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM gram_sets GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      FROM gram_sets a
+      JOIN gram_sets b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jp AS (
+      SELECT id_a, id_b
+      FROM pairs
+      JOIN counts ca ON id_a = ca.doc_id
+      JOIN counts cb ON id_b = cb.doc_id
+      WHERE CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE) >= 0.12
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM jp
+      UNION
+      SELECT id_b AS s, id_a AS d FROM jp
+    ),
+    reach AS (
+      SELECT s AS n, s AS m FROM edges
+      UNION
+      SELECT r.n, e.d AS m FROM reach r JOIN edges e ON r.m = e.s
+    )
+    SELECT n AS doc_id, MIN(m) AS component
+    FROM reach GROUP BY n ORDER BY doc_id
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: the n-gram Jaccard pair list promoted to
+    transitively-connected components (A~B, B~C => one cluster even if
+    A!~C), each labeled by its minimum doc_id — the canonical document
+    a dedup pass would keep. Iterative min-label propagation, one
+    shuffle per round, rounds = component diameter
+    (operators/graph.py). Oracle: DuckDB recursive-CTE transitive
+    closure over the same pair list."""
+    from local_stream_stack_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") <= 200)
+    pairs = ngram_jaccard_pairs(
+        d, id_col="doc_id", text_col="text", n=3,
+        block_cols=["lang"], min_jaccard=0.12,
+    )
+    return (
+        connected_components(pairs, src="id_a", dst="id_b")
+        .select(F.col("node").alias("doc_id"), "component")
+        .orderBy("doc_id")
     )
 
 
@@ -792,4 +856,115 @@ def decontaminate_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "norm_hash")
         .agg(F.count("*").alias("n_train_matches"))
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "chunk_documents",
+    oracle="""
+    WITH exploded AS (
+      SELECT doc_id,
+             unnest(generate_series(1, greatest(length(text), 1), 150))
+               AS chunk_start,
+             text
+      FROM documents
+      WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST((chunk_start - 1) // 150 AS INT) AS chunk_idx,
+           CAST(chunk_start AS BIGINT) AS chunk_start,
+           substr(text, CAST(chunk_start AS INT), 200) AS chunk_text,
+           CAST(length(substr(text, CAST(chunk_start AS INT), 200)) AS BIGINT)
+             AS chunk_len
+    FROM exploded
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (200-char windows, 150 stride, 50
+    overlap) — the context-window prep step of a training pipeline.
+    Row-expanding pure-codegen projection, no shuffle
+    (operators/text.chunk_text)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return chunk_text(
+        d, id_col="doc_id", text_col="text", chunk_size=200, stride=150
+    ).orderBy("doc_id", "chunk_idx")
+
+
+@query(
+    "repetition_ratio",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             [array_to_string(words[CAST(i AS INT):CAST(i AS INT)+2], ' ')
+              for i in generate_series(1, len(words) - 2)] AS grams
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(text), '\\s+') AS words
+            FROM documents)
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_ngrams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_ngrams,
+           CASE WHEN len(grams) > 0
+                THEN ROUND(1.0 - len(list_distinct(grams))
+                           / CAST(len(grams) AS DOUBLE), 6)
+                ELSE 0.0 END AS repetition_ratio
+    FROM g
+    ORDER BY doc_id
+    """,
+)
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram repetition ratio per document — the boilerplate/spam
+    quality signal (template or looped text scores high). Array HOFs
+    only: transform over a sequence + array_distinct, JVM codegen,
+    scan-shaped (operators/text.with_repetition_stats)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        with_repetition_stats(d, text_col="text", n=3)
+        .select("doc_id", "n_ngrams", "n_distinct_ngrams", "repetition_ratio")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "top_tokens_per_lang",
+    oracle="""
+    WITH toks AS (
+      SELECT lang,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    c AS (
+      SELECT lang, tok, COUNT(*) AS n
+      FROM toks WHERE length(tok) > 0
+      GROUP BY lang, tok
+    )
+    SELECT lang, tok, n, rk FROM (
+      SELECT lang, tok, n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rk
+      FROM c
+    ) t
+    WHERE rk <= 5
+    ORDER BY lang, rk
+    """,
+)
+def top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-5 token frequencies (vocabulary skew report).
+    Explode -> partial-aggregated count -> per-group rank limit; at
+    scale the rank prunes via WindowGroupLimit so only ~k rows per
+    language survive the final shuffle. Ties break by token for
+    engine-independent rank."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    counts = toks.groupBy("lang", "tok").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tok"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .orderBy("lang", "rk")
     )

@@ -92,15 +92,33 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
 )
 
 
+# Queries ADDED this round.  The window is already exactly full with
+# queries waiting on their first driver verification, so newcomers
+# queue BEHIND those (they are pinned locally by check_parity + pytest
+# meanwhile) and rotate in next round: move the names below out of
+# this set and the newly-green names into DRIVER_VERIFIED_PREVIOUSLY.
+NEW_THIS_ROUND: frozenset[str] = frozenset(
+    {
+        "dedup_components",
+        "chunk_documents",
+        "repetition_ratio",
+        "top_tokens_per_lang",
+    }
+)
+
+
 def _window_order(specs: dict[str, QuerySpec]) -> list[str]:
     """Order query names so the driver's 50-entry correctness window
     covers maximum unproven surface: (0) oracle-backed queries with no
     prior green driver row, (1) rows-only queries never shown to the
-    driver, (2) everything already verified in a prior round.  Stable
+    driver, (2) queries added this round (queue for the next window),
+    (3) everything already verified in a prior round.  Stable
     (registration order) within each tier."""
 
     def tier(spec: QuerySpec) -> int:
         if spec.name in DRIVER_VERIFIED_PREVIOUSLY:
+            return 3
+        if spec.name in NEW_THIS_ROUND:
             return 2
         return 0 if spec.oracle else 1
 

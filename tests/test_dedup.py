@@ -127,3 +127,32 @@ def test_exact_dedup_multi_column(spark):
     out = exact_dedup(df, content_cols=["a", "b"], id_col="id")
     # unit separator keeps ("ab","c") != ("a","bc")
     assert out.count() == 2
+
+
+def test_connected_components_transitive_chain(spark):
+    """A-B-C-D chain is ONE component labeled by its min id; isolated
+    pair keeps its own label; directionality and duplicates ignored."""
+    from local_stream_stack_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 3), (10, 11), (11, 10)],
+        "src bigint, dst bigint",
+    )
+    got = {
+        (r.node, r.component) for r in connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_connected_components_converges_on_long_path(spark):
+    """A 12-node path needs multiple propagation rounds (diameter 11);
+    min label must still reach the far end."""
+    from local_stream_stack_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "src bigint, dst bigint"
+    )
+    got = dict(
+        (r.node, r.component) for r in connected_components(edges).collect()
+    )
+    assert got == {i: 1 for i in range(1, 13)}

@@ -52,3 +52,44 @@ def test_fingerprint_normalization(spark):
     assert rows[1].md5_norm == rows[2].md5_norm  # case+whitespace normalized
     assert rows[1].hash64 == rows[2].hash64
     assert rows[3].md5_norm != rows[1].md5_norm
+
+
+def test_chunk_text_windows_and_overlap(spark):
+    from local_stream_stack_spark.operators.text import chunk_text
+
+    df = spark.createDataFrame(
+        [(1, "a" * 380), (2, "xy"), (3, "")], "id bigint, text string"
+    )
+    out = chunk_text(df, id_col="id", chunk_size=200, stride=150).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.id, []).append(r)
+    # 380 chars -> starts 1, 151, 301
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [(r.chunk_idx, r.chunk_start, r.chunk_len) for r in c1] == [
+        (0, 1, 200),
+        (1, 151, 200),
+        (2, 301, 80),
+    ]
+    # consecutive chunks overlap by chunk_size - stride = 50 chars
+    assert c1[0].chunk_text[150:] == c1[1].chunk_text[:50]
+    assert [(r.chunk_idx, r.chunk_text) for r in by_doc[2]] == [(0, "xy")]
+    assert [(r.chunk_idx, r.chunk_text) for r in by_doc[3]] == [(0, "")]
+
+
+def test_repetition_ratio_flags_looped_text(spark):
+    from local_stream_stack_spark.operators.text import with_repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham eggs " * 10),       # 3-gram loop -> high ratio
+            (2, "one two three four five"),   # all distinct -> 0.0
+            (3, "too short"),                 # < 3 words -> 0 grams
+        ],
+        "id bigint, text string",
+    )
+    rows = {r.id: r for r in with_repetition_stats(df).collect()}
+    assert rows[1].repetition_ratio > 0.85
+    assert rows[2].repetition_ratio == 0.0
+    assert rows[2].n_ngrams == 3
+    assert rows[3].n_ngrams == 0 and rows[3].repetition_ratio == 0.0
