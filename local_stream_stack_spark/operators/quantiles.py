@@ -15,70 +15,102 @@ the exact answer with bounded memory:
    semi-join against the per-key bin bounds), rank the survivors per
    key, pick the rank rows, interpolate.
 
-All requested quantiles share the three passes: extents and bin
-counts are computed once, the rank set is the union over quantiles,
-and the final aggregate selects every (v_lo, v_hi) pair in one go.
+ALL requested (column, quantile) pairs share the three passes: the
+value columns are unpivoted executor-side into (column-index, value)
+rows, so extents and bin counts for every column ride one scan, the
+rank set is the per-column union over its quantiles, and the final
+aggregate selects every (v_lo, v_hi) pair in one go.
 
 Every shuffle moves either codegen aggregate state or ~count/bins
 surviving rows per key — never the full column. Uniform-ish data
 leaves n/bins rows per key for pass 2; pathological single-value bins
 degrade to the in-bin subset only (and a single-valued key short-
-circuits via min == max). Cost: 3 column-pruned scans, which at scale
-beats one scan that ships 100 TB into a handful of reducers.
+circuits via min == max). Cost: 3 column-pruned scans — for any number
+of columns and quantiles — which at scale beats one scan that ships
+100 TB into a handful of reducers.
 """
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def exact_quantiles(
+def exact_quantiles_multi(
     df: DataFrame,
-    value_col: str,
-    qs: Sequence[float],
+    value_qs: Mapping[str, Sequence[float]],
     keys: Sequence[str],
     bins: int = 4096,
-    out_cols: Sequence[str] | None = None,
+    out_cols: Mapping[str, Sequence[str]] | None = None,
     broadcast_state: bool = True,
 ) -> DataFrame:
-    """Exact (interpolating, quantile_cont-style) quantiles per key.
+    """Exact (interpolating, quantile_cont-style) quantiles per key for
+    SEVERAL value columns at once, all sharing one three-pass pipeline.
 
-    Returns one row per key group: ``keys..., out_cols...`` — one
-    output column per requested quantile, all computed in one shared
-    three-pass pipeline.
+    ``value_qs`` maps each value column to its requested quantiles;
+    ``out_cols`` maps each column to its output names (defaults to
+    ``{col}_q{q}``). Returns one row per key group with every output
+    column.
 
     ``broadcast_state`` hints the per-key extent/bin tables (one row
-    per key group) into broadcast joins — right for few-to-millions of
-    groups. With genuinely high-cardinality keys (broadcast memory ∝
-    group count) pass False: the joins fall back to shuffle joins on
-    the keys and AQE picks the strategy from runtime sizes.
+    per key group per value column) into broadcast joins — right for
+    few-to-millions of groups. With genuinely high-cardinality keys
+    (broadcast memory ∝ group count) pass False: the joins fall back
+    to shuffle joins and AQE picks the strategy from runtime sizes.
     """
-    qs = [float(q) for q in qs]
-    for q in qs:
-        if not 0.0 <= q <= 1.0:
-            raise ValueError(f"quantiles must be in [0, 1], got {q}")
-    if not qs:
-        raise ValueError("at least one quantile required")
-    out_cols = list(out_cols) if out_cols else [f"q{q}" for q in qs]
-    if len(out_cols) != len(qs):
-        raise ValueError("out_cols must match qs in length")
+    cols = list(value_qs)
+    if not cols:
+        raise ValueError("at least one value column required")
+    qs_per: dict[str, list[float]] = {}
+    for c in cols:
+        qs = [float(q) for q in value_qs[c]]
+        if not qs:
+            raise ValueError(f"at least one quantile required for {c!r}")
+        for q in qs:
+            if not 0.0 <= q <= 1.0:
+                raise ValueError(f"quantiles must be in [0, 1], got {q}")
+        qs_per[c] = qs
+    if out_cols is None:
+        out_named = {c: [f"{c}_q{q}" for q in qs_per[c]] for c in cols}
+    else:
+        out_named = {c: list(out_cols[c]) for c in cols}
+        for c in cols:
+            if len(out_named[c]) != len(qs_per[c]):
+                raise ValueError(f"out_cols must match qs in length for {c!r}")
     keys = list(keys)
-    v = F.col(value_col).cast("double")
-    vals = df.select(*keys, v.alias("__v")).filter(F.col("__v").isNotNull())
+
+    # slots: every column participates in L rank slots; shorter lists
+    # repeat their last quantile (recomputes one rank — no extra pass)
+    n_slots = max(len(v) for v in qs_per.values())
+    padded = {c: v + [v[-1]] * (n_slots - len(v)) for c, v in qs_per.items()}
+
+    # unpivot the value columns executor-side: (keys..., __ci, __v)
+    vals = df.select(
+        *keys,
+        F.posexplode(
+            F.array(*[F.col(c).cast("double") for c in cols])
+        ).alias("__ci", "__v"),
+    ).filter(F.col("__v").isNotNull())
+    k2 = keys + ["__ci"]
+
+    def q_lit(i: int):
+        # slot i's quantile for this row's column index
+        return F.element_at(
+            F.array(*[F.lit(padded[c][i]) for c in cols]), F.col("__ci") + 1
+        )
 
     # pass 0: group extents + target positions h_i = (n-1)*q_i
-    ext = vals.groupBy(*keys).agg(
+    ext = vals.groupBy(*k2).agg(
         F.min("__v").alias("__lo"),
         F.max("__v").alias("__hi"),
         F.count("*").alias("__n"),
     )
-    for i, q in enumerate(qs):
+    for i in range(n_slots):
         ext = (
-            ext.withColumn(f"__h{i}", (F.col("__n") - 1) * F.lit(q))
+            ext.withColumn(f"__h{i}", (F.col("__n") - 1) * q_lit(i))
             .withColumn(f"__rlo{i}", F.floor(f"__h{i}").cast("bigint"))
             .withColumn(f"__rhi{i}", F.ceil(f"__h{i}").cast("bigint"))
         )
@@ -95,16 +127,16 @@ def exact_quantiles(
     def maybe_bc(sdf: DataFrame) -> DataFrame:
         return F.broadcast(sdf) if broadcast_state else sdf
 
-    # pass 1: per-(key, bin) counts; running count locates rank bins.
-    # ext is aggregate output (one row per key) -> broadcast join.
-    with_ext = vals.join(maybe_bc(ext), keys)
+    # pass 1: per-(key, col, bin) counts; running count locates rank
+    # bins. ext is aggregate output (one row per key x col).
+    with_ext = vals.join(maybe_bc(ext), k2)
     bin_counts = (
         with_ext.withColumn("__bin", bin_of)
-        .groupBy(*keys, "__bin")
+        .groupBy(*k2, "__bin")
         .agg(F.count("*").alias("__bc"))
     )
     wcum = (
-        Window.partitionBy(*keys)
+        Window.partitionBy(*k2)
         .orderBy("__bin")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -112,23 +144,23 @@ def exact_quantiles(
         "__below", F.col("__cum") - F.col("__bc")
     )
     # bins containing any target rank r: __below <= r < __cum (0-indexed)
-    rank_cols = [c for i in range(len(qs)) for c in (f"__rlo{i}", f"__rhi{i}")]
+    rank_cols = [c for i in range(n_slots) for c in (f"__rlo{i}", f"__rhi{i}")]
     hit = None
     for rc in rank_cols:
         cond = (F.col("__below") <= F.col(rc)) & (F.col(rc) < F.col("__cum"))
         hit = cond if hit is None else (hit | cond)
     target_bins = (
-        cum.join(maybe_bc(ext.select(*keys, *rank_cols)), keys)
+        cum.join(maybe_bc(ext.select(*k2, *rank_cols)), k2)
         .filter(hit)
-        .select(*keys, "__bin", "__below")
+        .select(*k2, "__bin", "__below")
     )
 
     # pass 2: rank only the rows inside target bins (tiny by design);
     # with_ext already carries the __h/__rlo/__rhi columns
     survivors = with_ext.withColumn("__bin", bin_of).join(
-        maybe_bc(target_bins), keys + ["__bin"]
+        maybe_bc(target_bins), k2 + ["__bin"]
     )
-    wrank = Window.partitionBy(*keys, "__bin").orderBy("__v")
+    wrank = Window.partitionBy(*k2, "__bin").orderBy("__v")
     ranked = survivors.withColumn(
         "__r", F.col("__below") + F.row_number().over(wrank) - 1
     )
@@ -137,7 +169,7 @@ def exact_quantiles(
         cond = F.col("__r") == F.col(rc)
         keep = cond if keep is None else (keep | cond)
     aggs = []
-    for i in range(len(qs)):
+    for i in range(n_slots):
         aggs.append(
             F.min(F.when(F.col("__r") == F.col(f"__rlo{i}"), F.col("__v"))).alias(
                 f"__vlo{i}"
@@ -149,14 +181,44 @@ def exact_quantiles(
             )
         )
         aggs.append(F.first(f"__h{i}").alias(f"__hh{i}"))
-    picked = ranked.filter(keep).groupBy(*keys).agg(*aggs)
-    for i, out in enumerate(out_cols):
+    picked = ranked.filter(keep).groupBy(*k2).agg(*aggs)
+    for i in range(n_slots):
         frac = F.col(f"__hh{i}") - F.floor(f"__hh{i}")
         picked = picked.withColumn(
-            out,
+            f"__o{i}",
             F.col(f"__vlo{i}") + frac * (F.col(f"__vhi{i}") - F.col(f"__vlo{i}")),
         )
-    return picked.select(*keys, *out_cols)
+    # fold the (key, col) rows back to one row per key (tiny table)
+    finals = [
+        F.max(F.when(F.col("__ci") == ci, F.col(f"__o{i}"))).alias(
+            out_named[c][i]
+        )
+        for ci, c in enumerate(cols)
+        for i in range(len(qs_per[c]))
+    ]
+    return picked.groupBy(*keys).agg(*finals)
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: Sequence[float],
+    keys: Sequence[str],
+    bins: int = 4096,
+    out_cols: Sequence[str] | None = None,
+    broadcast_state: bool = True,
+) -> DataFrame:
+    """Exact quantiles per key for ONE value column (see
+    ``exact_quantiles_multi`` for the shared multi-column form)."""
+    qs = list(qs)
+    return exact_quantiles_multi(
+        df,
+        {value_col: qs},
+        keys,
+        bins=bins,
+        out_cols={value_col: list(out_cols) if out_cols else [f"q{q}" for q in qs]},
+        broadcast_state=broadcast_state,
+    )
 
 
 def exact_quantile(

@@ -434,23 +434,26 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimals hash by scaled integer, so last-ulp double formatting and
     ``-0.0`` can't diverge the driver's typed value hash (the round-1
     hash_match=false cause)."""
-    from local_stream_stack_spark.operators.quantiles import exact_quantiles
+    from local_stream_stack_spark.operators.quantiles import (
+        exact_quantiles_multi,
+    )
 
     li = _t(spark, sf_dir, "lineitem")
-    qty_q = exact_quantiles(
-        li, "l_quantity", [0.5, 0.90], ["l_returnflag"],
-        out_cols=["__median", "__p90"],
-    )
-    price_q = exact_quantiles(
-        li, "l_extendedprice", [0.25], ["l_returnflag"], out_cols=["__p25"]
+    quants = exact_quantiles_multi(
+        li,
+        {"l_quantity": [0.5, 0.90], "l_extendedprice": [0.25]},
+        ["l_returnflag"],
+        out_cols={
+            "l_quantity": ["__median", "__p90"],
+            "l_extendedprice": ["__p25"],
+        },
     )
     stats = li.groupBy("l_returnflag").agg(
         F.stddev_samp("l_quantity").alias("__sd"),
         F.corr("l_quantity", "l_extendedprice").alias("__corr"),
     )
     return (
-        stats.join(qty_q, "l_returnflag")
-        .join(price_q, "l_returnflag")
+        stats.join(quants, "l_returnflag")
         .select(
             "l_returnflag",
             F.expr("CAST(ROUND(__median, 4) AS DECIMAL(18,4))").alias("median_qty"),
