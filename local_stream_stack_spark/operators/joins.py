@@ -95,6 +95,54 @@ def salted_join(
     return joined.drop(salt_name)
 
 
+def binned_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width_s: int = 3600,
+) -> DataFrame:
+    """Inner join of timestamped ``points`` to containing ``intervals``
+    (``lo <= ts <= hi``) as an EQUI-join on time bins.
+
+    Without an equi key, Catalyst plans an interval predicate as a
+    broadcast-nested-loop (or cartesian) join — O(|points| x
+    |intervals|) comparisons. Binning restores a hash join: each point
+    maps to bin floor(epoch/width); each interval explodes to its
+    covering bins (span/width + 1 rows); the join is equi on ``__bin``
+    with the interval predicate as a residual filter.
+
+    A qualifying (point, interval) pair co-locates in EXACTLY ONE bin —
+    the point's — so the output needs no dedup. Replication factor on
+    the interval side is span/width + 1: pick ``bin_width_s`` near the
+    typical interval span so it stays ~2. Shuffle: points once on
+    ``__bin``, intervals x replication — the 100 TB shape as long as
+    interval count x replication stays joinable (and a small interval
+    side broadcasts, making the whole thing one scan).
+    """
+    w_us = int(bin_width_s) * 1_000_000
+    p = points.withColumn(
+        "__bin", F.floor(F.unix_micros(F.col(ts_col)) / w_us).cast("bigint")
+    )
+    i = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(lo_col)) / w_us).cast("bigint"),
+                F.floor(F.unix_micros(F.col(hi_col)) / w_us).cast("bigint"),
+            )
+        ),
+    )
+    return (
+        p.join(i, "__bin")
+        .filter(
+            (F.col(ts_col) >= F.col(lo_col)) & (F.col(ts_col) <= F.col(hi_col))
+        )
+        .drop("__bin")
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

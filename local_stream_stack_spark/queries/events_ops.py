@@ -465,3 +465,66 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_event_id",
         F.unix_micros("right_ts").alias("view_ts_us"),
     ).orderBy("purchase_id")
+
+
+@query(
+    "interval_join_peak_windows",
+    oracle="""
+    WITH peaks AS (
+      SELECT event_type AS peak_type, ts AS peak_ts FROM (
+        SELECT event_type, ts,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value DESC, event_id) AS rn
+        FROM events
+      ) t WHERE rn = 1
+    ),
+    iv AS (
+      SELECT peak_type,
+             peak_ts - INTERVAL 30 MINUTE AS lo,
+             peak_ts + INTERVAL 30 MINUTE AS hi
+      FROM peaks
+    )
+    SELECT iv.peak_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM iv JOIN events e ON e.ts >= iv.lo AND e.ts <= iv.hi
+    GROUP BY iv.peak_type
+    ORDER BY iv.peak_type
+    """,
+)
+def interval_join_peak_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless interval containment join, binned: traffic around each
+    event type's peak-value moment (±30 min), joined WITHOUT an equi
+    key — the case Catalyst can only plan as a nested-loop join.
+    ``binned_interval_join`` restores a hash join: points bin by hour,
+    each interval explodes to its ≤2 covering bins, equi-join on the
+    bin + residual range filter; a qualifying pair meets in exactly
+    one bin so no dedup pass. The oracle runs the plain inequality
+    join."""
+    from local_stream_stack_spark.operators.joins import binned_interval_join
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    peaks = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("event_type").alias("peak_type"),
+            (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("lo"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("hi"),
+        )
+    )
+    joined = binned_interval_join(
+        e.select("ts", "user_id"), peaks, ts_col="ts",
+        lo_col="lo", hi_col="hi", bin_width_s=3600,
+    )
+    return (
+        joined.groupBy("peak_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("peak_type")
+    )

@@ -103,6 +103,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "chunk_documents",
         "repetition_ratio",
         "top_tokens_per_lang",
+        "interval_join_peak_windows",
     }
 )
 

@@ -107,3 +107,68 @@ def test_salted_join_tolerates_map_columns_and_salt_name(spark):
         (2, "two", 98),
     ]
     assert dict(rows[0].m) == {"a": "x"}
+
+
+def test_binned_interval_join_equals_inequality_join(spark):
+    """Binned equi-join must return exactly the pairs the plain
+    interval predicate returns, including points on interval
+    boundaries, bin-edge stradlers, and multi-interval overlap."""
+    from datetime import datetime
+
+    from local_stream_stack_spark.operators.joins import binned_interval_join
+
+    def ts(h, m=0, s=0):
+        return datetime(2024, 1, 1, h, m, s)
+
+    points = spark.createDataFrame(
+        [(i, ts(9 + i // 60, i % 60)) for i in range(0, 240, 7)],
+        "pid int, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (1, ts(9, 30), ts(10, 30)),   # straddles the 10:00 bin edge
+            (2, ts(10, 0), ts(10, 0)),    # degenerate single-instant
+            (3, ts(9, 45), ts(11, 15)),   # overlaps interval 1
+        ],
+        "iid int, lo timestamp, hi timestamp",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in binned_interval_join(
+            points, intervals, "ts", "lo", "hi", bin_width_s=3600
+        ).collect()
+    }
+    expected = {
+        (r.pid, r.iid)
+        for r in points.join(
+            intervals,
+            (points.ts >= intervals.lo) & (points.ts <= intervals.hi),
+        ).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_binned_interval_join_plans_hash_join(spark):
+    """The whole point: an equi hash join on the bin, never a
+    nested-loop/cartesian plan, even with the broadcast threshold off."""
+    from datetime import datetime
+
+    from local_stream_stack_spark.operators.joins import binned_interval_join
+
+    points = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 9))], "pid int, ts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 8), datetime(2024, 1, 1, 10))],
+        "iid int, lo timestamp, hi timestamp",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = binned_interval_join(points, intervals, "ts", "lo", "hi")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
