@@ -528,3 +528,39 @@ def interval_join_peak_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("peak_type")
     )
+
+
+@query(
+    "scd2_history",
+    oracle="""
+    SELECT user_id,
+           value,
+           CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS valid_from_us,
+           CAST(epoch_us(CAST(LEAD(ts) OVER w AS TIMESTAMP)) AS BIGINT)
+             AS valid_to_us,
+           CASE WHEN LEAD(ts) OVER w IS NULL THEN TRUE ELSE FALSE END
+             AS is_current
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, valid_from_us
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: each user's purchase history
+    as versioned rows with [valid_from, valid_to) ranges and a
+    current-row flag — the warehouse pattern for point-in-time joins
+    (pair with asof_join_events for the lookup side). One shuffle on
+    user_id; lead() closes each version when the next opens."""
+    e = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            "value",
+            F.unix_micros("ts").alias("valid_from_us"),
+            F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
+            F.lead("ts").over(w).isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from_us")
+    )

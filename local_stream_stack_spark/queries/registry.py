@@ -104,6 +104,8 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "repetition_ratio",
         "top_tokens_per_lang",
         "interval_join_peak_windows",
+        "scd2_history",
+        "hll_sketch_rollup",
     }
 )
 

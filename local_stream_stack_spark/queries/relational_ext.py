@@ -579,3 +579,31 @@ def approx_percentile_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query("hll_sketch_rollup", oracle=None)
+def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches — the re-aggregation shape
+    plain approx_count_distinct cannot do: per-(flag, status) HLL
+    sketches of order keys are built once at fine grain, then
+    union_agg re-aggregates the SKETCHES (not the data) up to per-flag
+    estimates. At 100 TB this is how a distinct rollup avoids
+    re-scanning the fact table per grouping level: sketches are a few
+    KB each and union associatively. DataSketches HLL internals are
+    engine-specific -> rows-only; tests/test_tpch_rest.py pins <1%
+    relative error vs exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    fine = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_orderkey", F.lit(14)).alias("sk"),
+        F.count("*").alias("n_rows"),
+    )
+    return (
+        fine.groupBy("l_returnflag")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                "approx_distinct_orders"
+            ),
+            F.sum("n_rows").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )

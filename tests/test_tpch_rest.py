@@ -94,3 +94,39 @@ def test_q2_no_cartesian(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_hll_sketch_rollup_error_bound(spark, sf_dir):
+    """Sketch-union estimates must land within 1% of exact distinct
+    counts, and re-aggregating sketches must equal building them at
+    the coarse grain directly (the mergeability contract)."""
+    from pyspark.sql import functions as F
+
+    from local_stream_stack_spark.catalog import load_table
+    from local_stream_stack_spark.queries import QUERIES
+
+    est = {
+        r.l_returnflag: r.approx_distinct_orders
+        for r in QUERIES["hll_sketch_rollup"].fn(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: r.ex
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("ex"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for flag, e in est.items():
+        assert abs(e - exact[flag]) / exact[flag] < 0.01, (flag, e, exact[flag])
+    direct = {
+        r.l_returnflag: r.d
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("l_orderkey", F.lit(14))
+            ).alias("d")
+        )
+        .collect()
+    }
+    assert est == direct
