@@ -106,6 +106,8 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "interval_join_peak_windows",
         "scd2_history",
         "hll_sketch_rollup",
+        "stream_interval_join",
+        "stream_running_totals",
     }
 )
 

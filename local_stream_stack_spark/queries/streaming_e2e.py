@@ -367,3 +367,101 @@ def stream_pipeline_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(qname).orderBy("doc_id")
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           v.event_id AS view_id,
+           p.user_id,
+           CAST(epoch_us(CAST(p.ts AS TIMESTAMP)) AS BIGINT) AS purchase_ts_us,
+           CAST(epoch_us(CAST(v.ts AS TIMESTAMP)) AS BIGINT) AS view_ts_us
+    FROM events p
+    JOIN events v
+      ON p.user_id = v.user_id
+     AND v.ts >= p.ts
+     AND v.ts <= p.ts + INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+    ORDER BY purchase_id, view_id
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE stream-stream interval join under the oracle: views within
+    30 minutes AFTER each purchase, both sides real streams. Inner
+    stream-stream joins emit each matched pair exactly once as it
+    arrives (the watermark only bounds buffered state), so the bounded
+    replay must equal the batch inequality join. State is
+    watermark-expired on both sides — the only unbounded-state-safe
+    stream-stream join form."""
+    from local_stream_stack_spark.streaming.ops import (
+        stream_stream_interval_join,
+    )
+
+    left = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+    )
+    right = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select("event_id", "user_id", "ts")
+    )
+    joined = stream_stream_interval_join(
+        left,
+        right,
+        key="user_id",
+        watermark="1 hour",
+        lower="INTERVAL 0 SECONDS",
+        upper="INTERVAL 30 MINUTES",
+    )
+    table = _run_to_table(joined, "stream_ssjoin", "append")
+    return table.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("event_id_r").alias("view_id"),
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.unix_micros("ts_r").alias("view_ts_us"),
+    ).orderBy("purchase_id", "view_id")
+
+
+@query(
+    "stream_running_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE arbitrary stateful operator under the oracle: per-user
+    running (count, sum) via applyInPandasWithState, update mode. The
+    stream carries exact integer cents so state accumulation order
+    cannot perturb the value (ints are exact in the double state up to
+    2^53); the LAST emission per key — n_events is strictly increasing,
+    so max-by-n_events — must equal the batch aggregate."""
+    from local_stream_stack_spark.operators.events import latest_per_key
+    from local_stream_stack_spark.streaming.ops import (
+        running_totals_with_state,
+    )
+
+    s = _events_stream(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    out = running_totals_with_state(
+        s, key="user_id", value_col="cents", ts_col="ts", watermark="2 hours"
+    )
+    table = _run_to_table(out, "stream_totals", "update")
+    final = latest_per_key(table, keys=["user_id"], order_by=["n_events"])
+    return final.select(
+        "user_id",
+        "n_events",
+        F.col("sum_value").cast("bigint").alias("sum_cents"),
+    ).orderBy("user_id")
