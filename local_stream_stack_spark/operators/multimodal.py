@@ -46,6 +46,39 @@ def attach_binary_payload(
     )
 
 
+def read_binary_dir(
+    spark,
+    path: str,
+    modality: str = "image",
+    glob: str | None = None,
+) -> DataFrame:
+    """Load a directory of media files into the multimodal frame shape
+    via Spark's binaryFile source: (id, payload, meta) where id is a
+    deterministic 64-bit hash of the file path and meta carries
+    modality/path/length.
+
+    This is the real ingestion edge for image/audio/video corpora:
+    binaryFile streams file bytes into executor-side rows (one file per
+    row, driver never sees payloads), so the decode/feature/resize
+    operators below run directly on what a 100 TB media crawl would
+    look like. Use ``pathGlobFilter`` (``glob``) to select extensions;
+    binaryFile also supports recursiveFileLookup for nested layouts.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    return raw.select(
+        F.xxhash64("path").alias("id"),
+        F.col("content").alias("payload"),
+        F.create_map(
+            F.lit("modality"), F.lit(modality),
+            F.lit("path"), F.col("path"),
+            F.lit("length"), F.col("length").cast("string"),
+        ).alias("meta"),
+    )
+
+
 def decode_stub(payload: bytes, modality: str) -> dict:
     """Deterministic fake decode. REAL DECODE NOT IMPLEMENTED —
     requires image/audio codecs not present in this container; swap

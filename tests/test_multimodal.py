@@ -82,3 +82,43 @@ def test_sample_frames_expansion(spark, sf_dir):
         expect = len(range(0, max(duration, 1), 1000))
         assert len(by_id[i]) == expect
         assert by_id[i] == [(k, k * 1000) for k in range(expect)]
+
+
+def test_binaryfile_source_feeds_multimodal_pipeline(spark, tmp_path):
+    """Real ingestion edge: a directory of files read via binaryFile
+    lands in the (id, payload, meta) frame shape and flows through
+    feature extraction unchanged — checksum must equal md5 of the
+    actual file bytes."""
+    import hashlib
+
+    from local_stream_stack_spark.operators.multimodal import (
+        extract_features,
+        read_binary_dir,
+    )
+
+    payloads = {f"f{i}.img": bytes([i * 7 % 251]) * (50 + i) for i in range(4)}
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+    (tmp_path / "skip.txt").write_text("not media")
+
+    frame = read_binary_dir(
+        spark, str(tmp_path), modality="image", glob="*.img"
+    )
+    rows = frame.collect()
+    assert len(rows) == 4
+    assert all(r.meta["modality"] == "image" for r in rows)
+    by_path = {r.meta["path"].rsplit("/", 1)[-1]: r for r in rows}
+    assert set(by_path) == set(payloads)
+    assert all(
+        int(r.meta["length"]) == len(payloads[n]) for n, r in by_path.items()
+    )
+
+    feats = {
+        r.id: r for r in extract_features(frame).collect()
+    }
+    assert len(feats) == 4
+    for name, r in by_path.items():
+        f = feats[r.id]
+        assert f.n_bytes == len(payloads[name])
+        assert f.checksum == hashlib.md5(payloads[name]).hexdigest()
+        assert f.modality == "image"
