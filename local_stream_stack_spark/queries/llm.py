@@ -968,3 +968,40 @@ def top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .orderBy("lang", "rk")
     )
+
+
+@query(
+    "sample_per_group",
+    oracle="""
+    SELECT lang, doc_id, n_chars, rk
+    FROM (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rk
+      FROM documents
+    ) t
+    WHERE rk <= 10
+    ORDER BY lang, rk
+    """,
+)
+def sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform sample of k=10 docs per language: rank by
+    md5(doc_id) — a fixed pseudo-random order both engines agree on —
+    and keep the first k per group. Unlike seeded sample(), the pick
+    is engine- and partitioning-independent, and unlike global sorts
+    the rank prunes to ~k rows per group executor-side
+    (WindowGroupLimit). The per-group reservoir-sampling shape for
+    balanced eval-set construction."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("lang", "doc_id", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .orderBy("lang", "rk")
+    )

@@ -108,6 +108,8 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "hll_sketch_rollup",
         "stream_interval_join",
         "stream_running_totals",
+        "sample_per_group",
+        "winsorized_mean_price",
     }
 )
 

@@ -607,3 +607,68 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "winsorized_mean_price",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS p05,
+             quantile_cont(l_extendedprice, 0.95) AS p95
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(
+                 least(greatest(CAST(l_extendedprice AS DOUBLE), p05), p95)
+               AS DECIMAL(18,6))), 4) AS DOUBLE) AS winsorized_sum,
+           CAST(ROUND(SUM(CAST(
+                 least(greatest(CAST(l_extendedprice AS DOUBLE), p05), p95)
+               AS DECIMAL(18,6))), 4) AS DOUBLE) / COUNT(*) AS winsorized_mean
+    FROM lineitem l JOIN q USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (5%-clipped) mean — robust statistics over values with
+    outliers, the aggregation a quality-weighted corpus average needs.
+    Per-group p05/p95 come from the 3-pass exact_quantiles (never a
+    full-buffer percentile aggregate); the tiny per-group bounds table
+    joins back and each value clips in codegen. Clipped values sum as
+    DECIMAL so the result is addition-order-exact against the oracle."""
+    from local_stream_stack_spark.operators.quantiles import (
+        exact_quantiles_multi,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    bounds = exact_quantiles_multi(
+        li,
+        {"l_extendedprice": [0.05, 0.95]},
+        ["l_returnflag"],
+        out_cols={"l_extendedprice": ["p05", "p95"]},
+    )
+    clipped = li.join(F.broadcast(bounds), "l_returnflag").withColumn(
+        "__clip",
+        F.least(
+            F.greatest(F.col("l_extendedprice").cast("double"), F.col("p05")),
+            F.col("p95"),
+        ),
+    )
+    return (
+        clipped.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.expr(
+                "CAST(ROUND(SUM(CAST(__clip AS DECIMAL(18,6))), 4) AS DOUBLE)"
+            ).alias("winsorized_sum"),
+            (
+                F.expr(
+                    "CAST(ROUND(SUM(CAST(__clip AS DECIMAL(18,6))), 4) AS DOUBLE)"
+                )
+                / F.count("*")
+            ).alias("winsorized_mean"),
+        )
+        .orderBy("l_returnflag")
+    )

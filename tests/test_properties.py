@@ -115,3 +115,94 @@ def test_asof_join_matches_pandas_merge_asof(spark, lefts, rights):
         for r in merged.itertuples()
     }
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Min-label propagation must agree with a plain union-find on
+    random multigraphs (self-loops, duplicates, both directions)."""
+    from local_stream_stack_spark.operators.graph import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in edges:
+        if a == b:
+            continue
+        nodes.update((a, b))
+        for x in (a, b):
+            parent.setdefault(x, x)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    if not nodes:
+        return
+    want = {}
+    for x in nodes:
+        root = find(x)
+        want.setdefault(root, []).append(x)
+    expected = {
+        x: min(members) for members in want.values() for x in members
+    }
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges], "src bigint, dst bigint"
+    )
+    got = {
+        r.node: r.component for r in connected_components(df).collect()
+    }
+    assert got == expected, (edges, got, expected)
+
+
+@settings(**_SETTINGS)
+@given(
+    points=st.lists(st.integers(0, 10_000), min_size=1, max_size=40),
+    ivs=st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(0, 4000)),
+        min_size=1,
+        max_size=10,
+    ),
+    width=st.sampled_from([1, 60, 3600]),
+)
+def test_binned_interval_join_matches_predicate(spark, points, ivs, width):
+    """For any bin width, the binned equi-join must equal the plain
+    containment predicate (epoch-second inputs)."""
+    from datetime import datetime, timezone
+
+    from local_stream_stack_spark.operators.joins import binned_interval_join
+
+    def ts(s):
+        return datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None)
+
+    p = spark.createDataFrame(
+        [(i, ts(s)) for i, s in enumerate(points)], "pid int, ts timestamp"
+    )
+    iv = spark.createDataFrame(
+        [(j, ts(lo), ts(lo + span)) for j, (lo, span) in enumerate(ivs)],
+        "iid int, lo timestamp, hi timestamp",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in binned_interval_join(
+            p, iv, "ts", "lo", "hi", bin_width_s=width
+        ).collect()
+    }
+    expected = {
+        (i, j)
+        for i, s in enumerate(points)
+        for j, (lo, span) in enumerate(ivs)
+        if lo <= s <= lo + span
+    }
+    assert got == expected, (points, ivs, width)
