@@ -108,6 +108,33 @@ def lang_id_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     return scored.withColumn("predicted_lang", pred)
 
 
+def clean_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "clean"
+) -> DataFrame:
+    """Corpus-cleaning scrub: strip HTML tags, URLs, and email
+    addresses, collapse the leftover whitespace, and count what was
+    removed (the audit columns a curation report needs).
+
+    Patterns use constructs Java regex and RE2 interpret identically
+    (no backrefs/lookarounds), so a DuckDB oracle can mirror the exact
+    transform. Pure codegen regexp_replace/regexp_count — scan-shaped.
+    """
+    t = F.col(text_col)
+    pat_html = r"<[^>]*>"
+    pat_url = r"https?://[^ ]+"
+    pat_email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    cleaned = t
+    for pat in (pat_html, pat_url, pat_email):
+        cleaned = F.regexp_replace(cleaned, pat, " ")
+    cleaned = F.trim(F.regexp_replace(cleaned, r" +", " "))
+    return (
+        df.withColumn("n_html", F.regexp_count(t, F.lit(pat_html)))
+        .withColumn("n_urls", F.regexp_count(t, F.lit(pat_url)))
+        .withColumn("n_emails", F.regexp_count(t, F.lit(pat_email)))
+        .withColumn(out_col, cleaned)
+    )
+
+
 def chunk_text(
     df: DataFrame,
     id_col: str,

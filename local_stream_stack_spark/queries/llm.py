@@ -1005,3 +1005,97 @@ def sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .orderBy("lang", "rk")
     )
+
+
+@query(
+    "clean_text_scrub",
+    oracle="""
+    WITH dirty AS (
+      SELECT doc_id,
+             text || ' <a href="x">link</a> see https://example.com/doc/'
+                  || CAST(doc_id AS VARCHAR)
+                  || ' or mail doc' || CAST(doc_id AS VARCHAR)
+                  || '@example.com now' AS t
+      FROM documents WHERE doc_id < 300
+    ),
+    stages AS (
+      SELECT doc_id, t,
+             regexp_replace(t, '<[^>]*>', ' ', 'g') AS s1
+      FROM dirty
+    ),
+    s2 AS (SELECT doc_id, t, regexp_replace(s1, 'https?://[^ ]+', ' ', 'g') AS v FROM stages),
+    s3 AS (SELECT doc_id, t,
+                  regexp_replace(v, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', ' ', 'g') AS v
+           FROM s2)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '<[^>]*>')) AS INT) AS n_html,
+           CAST(len(regexp_extract_all(t, 'https?://[^ ]+')) AS INT) AS n_urls,
+           CAST(len(regexp_extract_all(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT)
+             AS n_emails,
+           trim(regexp_replace(v, ' +', ' ', 'g')) AS clean
+    FROM s3
+    ORDER BY doc_id
+    """,
+)
+def clean_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML/URL/email scrub with removal counts — the cleaning stage of
+    a curation pipeline (operators/text.clean_text). The harness
+    corpus is clean prose, so a deterministic dirty suffix (tag + URL
+    + email derived from doc_id) is appended on BOTH engines first;
+    the scrubbed output and per-kind counts must then match exactly.
+    Scan-shaped codegen regex; no shuffle."""
+    from local_stream_stack_spark.operators.text import clean_text
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    dirty = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(' <a href="x">link</a> see https://example.com/doc/'),
+            F.col("doc_id").cast("string"),
+            F.lit(" or mail doc"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com now"),
+        ).alias("text"),
+    )
+    return (
+        clean_text(dirty, text_col="text", out_col="clean")
+        .select("doc_id", "n_html", "n_urls", "n_emails", "clean")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_length_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(log2(greatest(n_chars, 1))) AS BIGINT) AS log2_bucket,
+           COUNT(*) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed document length histogram — the shape report that
+    drives chunking and packing decisions (how much of the corpus is
+    tiny fragments vs book-length). Single partial+final aggregate on
+    a derived bucket; scan-shaped."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.floor(F.log2(F.greatest(F.col("n_chars"), F.lit(1))))
+            .cast("bigint")
+            .alias("log2_bucket"),
+            "n_chars",
+        )
+        .groupBy("log2_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+        .orderBy("log2_bucket")
+    )

@@ -110,6 +110,8 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "stream_running_totals",
         "sample_per_group",
         "winsorized_mean_price",
+        "clean_text_scrub",
+        "doc_length_histogram",
     }
 )
 

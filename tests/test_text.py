@@ -93,3 +93,22 @@ def test_repetition_ratio_flags_looped_text(spark):
     assert rows[2].repetition_ratio == 0.0
     assert rows[2].n_ngrams == 3
     assert rows[3].n_ngrams == 0 and rows[3].repetition_ratio == 0.0
+
+
+def test_clean_text_strips_and_counts(spark):
+    from local_stream_stack_spark.operators.text import clean_text
+
+    df = spark.createDataFrame(
+        [
+            (1, 'hi <b>bold</b> go to https://x.io/a?b=1 mail a.b@c.org end'),
+            (2, "plain prose only"),
+            (3, "<div><p>nested</p></div>"),
+        ],
+        "id bigint, text string",
+    )
+    rows = {r.id: r for r in clean_text(df).collect()}
+    assert (rows[1].n_html, rows[1].n_urls, rows[1].n_emails) == (2, 1, 1)
+    assert rows[1].clean == "hi bold go to mail end"
+    assert (rows[2].n_html, rows[2].n_urls, rows[2].n_emails) == (0, 0, 0)
+    assert rows[2].clean == "plain prose only"
+    assert rows[3].n_html == 4 and rows[3].clean == "nested"
