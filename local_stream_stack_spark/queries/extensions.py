@@ -277,3 +277,87 @@ def kafka_frame_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.event_id", "p.event_type", "p.user_id")
         .orderBy("event_id")
     )
+
+
+def _roundtrip_orders(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    """Round-trip the orders slice through ``fmt`` and aggregate the
+    REREAD copy — lossless encode/decode of timestamps, decimals-in-
+    double, and strings is what the oracle equality proves (the oracle
+    reads the original parquet)."""
+    import os
+    import tempfile
+
+    from local_stream_stack_spark.sources.files import FileSource
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    path = os.path.join(
+        tempfile.mkdtemp(prefix=f"roundtrip-{fmt}-"), f"orders_{fmt}"
+    )
+    writer = o.write.format(fmt).mode("overwrite")
+    csv_opts = {
+        "header": "true",
+        "timestampFormat": "yyyy-MM-dd HH:mm:ss",
+        # o_orderdate is TIMESTAMP_NTZ (parquet nanos decode path) —
+        # CSV formats NTZ columns via its own option
+        "timestampNTZFormat": "yyyy-MM-dd HH:mm:ss",
+    }
+    if fmt == "csv":
+        writer = writer.options(**csv_opts)
+    elif fmt == "orc":
+        # the default zstd ORC codec is unreadable in this runtime
+        # (native lib mismatch); zlib is in-JVM and universal
+        writer = writer.option("compression", "zlib")
+    writer.save(path)
+    from pyspark.sql.types import _parse_datatype_string
+
+    opts = csv_opts if fmt == "csv" else {}
+    schema = _parse_datatype_string(
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz"
+    )
+    back = FileSource(
+        path=path, format=fmt, schema=schema, options=opts
+    ).read_batch(spark)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.expr(
+                "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)"
+            ).alias("sum_price"),
+            F.min("o_orderdate").alias("first_date"),
+            F.max("o_orderdate").alias("last_date"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_ROUNDTRIP_ORACLE = """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+             AS sum_price,
+           MIN(o_orderdate) AS first_date,
+           MAX(o_orderdate) AS last_date
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""
+
+
+@query("csv_roundtrip_orders", oracle=_ROUNDTRIP_ORACLE)
+def csv_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink -> CSV source round-trip under the oracle: the reread
+    copy must aggregate identically to the original parquet (timestamp
+    format pinned explicitly — schema-on-read, never inference)."""
+    return _roundtrip_orders(spark, sf_dir, "csv")
+
+
+@query("orc_roundtrip_orders", oracle=_ROUNDTRIP_ORACLE)
+def orc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink -> ORC source round-trip under the oracle (DuckDB
+    cannot read ORC, so equality against the parquet-sourced oracle is
+    exactly the losslessness claim)."""
+    return _roundtrip_orders(spark, sf_dir, "orc")

@@ -112,6 +112,8 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "winsorized_mean_price",
         "clean_text_scrub",
         "doc_length_histogram",
+        "csv_roundtrip_orders",
+        "orc_roundtrip_orders",
     }
 )
 
