@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from local_stream_stack_spark.catalog import load_table
 from local_stream_stack_spark.operators.dedup import (
@@ -1098,4 +1099,71 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").cast("bigint").alias("max_chars"),
         )
         .orderBy("log2_bucket")
+    )
+
+
+@query(
+    "pack_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    placed AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - n_tokens AS start_off
+      FROM toks
+    )
+    SELECT CAST(start_off // 2048 AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM placed
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-budget (2048-token)
+    training sequences by contiguous fill — each doc's pack is the
+    budget-bucket of its running-token start offset in doc_id order.
+    Deterministic and engine-independent (unlike greedy first-fit,
+    which is inherently sequential); a pack can overflow by at most
+    one document, the standard streaming-packing tradeoff. One window
+    cumsum + one aggregate; at 100 TB the cumsum runs per partition
+    range (Spark's window over a global ORDER BY range-partitions
+    first — a sort-based shuffle, the unavoidable cost of a global
+    packing order)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    placed = toks.withColumn(
+        "start_off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return (
+        placed.select(
+            F.expr("CAST(start_off DIV 2048 AS BIGINT)").alias("pack_id"),
+            "doc_id",
+            "n_tokens",
+        )
+        .groupBy("pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("pack_id")
     )

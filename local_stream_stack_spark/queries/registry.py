@@ -114,6 +114,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "doc_length_histogram",
         "csv_roundtrip_orders",
         "orc_roundtrip_orders",
+        "pack_documents",
     }
 )
 
