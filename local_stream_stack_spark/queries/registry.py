@@ -115,6 +115,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "csv_roundtrip_orders",
         "orc_roundtrip_orders",
         "pack_documents",
+        "stream_parquet_sink",
     }
 )
 

@@ -465,3 +465,50 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("sum_value").cast("bigint").alias("sum_cents"),
     ).orderBy("user_id")
+
+
+@query(
+    "stream_parquet_sink",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us
+    FROM events
+    WHERE event_type IN ('purchase', 'click')
+    ORDER BY event_id
+    """,
+)
+def stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE durable-sink path under the oracle: a filtered projection
+    streams into an append-mode PARQUET sink (the production sink the
+    memory-sink tests stand in for), and the files read back must
+    equal the batch filter exactly — append mode with no aggregation
+    emits every row exactly once on a bounded replay, and the sink's
+    _spark_metadata commit log makes the read transactional."""
+    s = _events_stream(spark, sf_dir)
+    out = s.filter(F.col("event_type").isin("purchase", "click")).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    base = tempfile.mkdtemp(prefix="stream-e2e-psink-")
+    target = os.path.join(base, "out")
+    cp = os.path.join(base, "cp")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", target)
+        .option("checkpointLocation", cp)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.read.parquet(target)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+        .orderBy("event_id")
+    )
