@@ -386,3 +386,61 @@ def test_transform_with_state_running_totals(spark, tmpdir):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_metrics_listener_collects_batches(spark, tmpdir):
+    """MetricsListener must see one progress row per micro-batch with
+    true input-row counts; maxFilesPerTrigger=1 forces multiple
+    batches from multiple input files (real incremental execution,
+    not one mega-batch)."""
+    import time
+
+    from local_stream_stack_spark.streaming.metrics import MetricsListener
+
+    in_dir = f"{tmpdir}/in_metrics"
+    for i in range(3):
+        spark.createDataFrame(
+            [(i * 10 + j, _ts(9 + i, j), 1, "view", 1.0) for j in range(4)],
+            EVENT_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("metrics_probe")
+            .option("checkpointLocation", f"{tmpdir}/cp-metrics")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # listener events arrive on a separate thread; allow a beat
+        deadline = time.time() + 10
+        rows = []
+        while time.time() < deadline:
+            rows = [
+                r
+                for r in listener.snapshot()
+                if r["query_name"] == "metrics_probe" and r["num_input_rows"] > 0
+            ]
+            if len(rows) >= 3:
+                break
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+    assert len(rows) >= 3, rows  # one batch per file
+    assert sum(r["num_input_rows"] for r in rows) == 12
+    assert all(r["batch_duration_ms"] >= 0 for r in rows)
+    mdf = listener.to_df(spark)
+    assert mdf.filter(mdf.query_name == "metrics_probe").count() == len(
+        listener.snapshot()
+    ) - len([r for r in listener.snapshot() if r["query_name"] != "metrics_probe"])
