@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql.functions import udtf
 
 TRIMMED_SCHEMA = (

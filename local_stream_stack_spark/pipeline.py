@@ -47,7 +47,6 @@ from local_stream_stack_spark.sources.kafka import (
 )
 from local_stream_stack_spark.sources.sinks import (
     ConsoleSink,
-    ForeachBatchSink,
     MemorySink,
     NoopSink,
     ParquetSink,

@@ -36,7 +36,6 @@ from local_stream_stack_spark.operators.similarity import (
     cosine,
     cosine_allpairs_threshold_blocked,
     cosine_topk_bruteforce,
-    dot_double,
     lsh_bucket_topk,
     norm2,
 )
