@@ -82,7 +82,7 @@ def main() -> int:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
-    # Best-of-2 per query: single-JVM local runs on a shared host see
+    # Best-of-3 per query: single-JVM local runs on a shared host see
     # up to ~1.5x run-to-run noise (GC, page cache, host contention);
     # the min is the steady-state cost of the plan, which is the
     # number that scales to a warm cluster.
@@ -92,7 +92,7 @@ def main() -> int:
         if spec is None:
             continue
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0

@@ -116,6 +116,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "orc_roundtrip_orders",
         "pack_documents",
         "stream_parquet_sink",
+        "stream_aggregate_view",
     }
 )
 

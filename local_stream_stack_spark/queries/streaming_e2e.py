@@ -512,3 +512,51 @@ def stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "stream_aggregate_view",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def stream_aggregate_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE incremental view maintenance under the oracle: per-user
+    additive aggregates stream into parquet epoch deltas
+    (``aggregate_view_stream_parquet`` — replay-idempotent because a
+    re-run epoch overwrites its own delta directory), and the read-side
+    fold over deltas must equal the batch aggregate. Integer cents make
+    the sums accumulation-order-exact."""
+    from local_stream_stack_spark.streaming.ops import (
+        aggregate_view_stream_parquet,
+        read_aggregate_view,
+    )
+
+    s = _events_stream(spark, sf_dir).select(
+        "user_id", F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents")
+    )
+    base = tempfile.mkdtemp(prefix="stream-e2e-ivm-")
+    target = os.path.join(base, "view")
+    cp = os.path.join(base, "cp")
+    q = aggregate_view_stream_parquet(
+        s,
+        keys=["user_id"],
+        sum_cols=["cents"],
+        target_path=target,
+        checkpoint_location=cp,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        read_aggregate_view(spark, target)
+        .select("user_id", "n_rows", F.col("sum_cents").cast("bigint"))
+        .orderBy("user_id")
+    )

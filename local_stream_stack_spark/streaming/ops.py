@@ -244,6 +244,83 @@ def latest_per_key_stream_parquet(
     )
 
 
+def aggregate_view_stream_parquet(
+    df: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+    target_path: str,
+    checkpoint_location: str,
+):
+    """Incremental view maintenance for additive aggregates: keep a
+    per-key (count, sums...) view of a stream as parquet epoch deltas,
+    one per micro-batch.
+
+    Counts and sums are ADDITIVE, so each batch ships only its own
+    partial aggregate (tiny). Unlike the latest-per-key merge, an
+    additive merge is NOT replay-idempotent — foreachBatch is
+    at-least-once on crash recovery, and re-adding a delta would
+    double-count. So each epoch writes its delta to its OWN partition
+    (``__epoch=<id>``): a replayed epoch overwrites the same directory,
+    which makes the view exactly-once without a transaction log. The
+    queryable total is the sum over epoch deltas
+    (``read_aggregate_view``); ``compact_aggregate_view`` folds
+    accumulated deltas into one base epoch when the directory count
+    grows. min/max are not subtractable — use the compaction view for
+    those; avg derives from (sum, count).
+    """
+    key_list = list(keys)
+    sums = list(sum_cols)
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        delta = batch_df.groupBy(*key_list).agg(
+            F.count("*").alias("n_rows"),
+            *[F.sum(c).alias(f"sum_{c}") for c in sums],
+        )
+        (
+            delta.coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{target_path}/__epoch={epoch_id}")
+        )
+
+    return (
+        df.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_location)
+        .start()
+    )
+
+
+def read_aggregate_view(spark, target_path: str) -> DataFrame:
+    """Current totals of an ``aggregate_view_stream_parquet`` view:
+    sum of all epoch deltas per key (additivity makes the fold exact)."""
+    deltas = spark.read.option("basePath", target_path).parquet(
+        f"{target_path}/__epoch=*"
+    )
+    value_cols = [c for c in deltas.columns if c.startswith("sum_") or c == "n_rows"]
+    key_cols = [c for c in deltas.columns if c not in value_cols and c != "__epoch"]
+    return deltas.groupBy(*key_cols).agg(
+        *[F.sum(c).alias(c) for c in value_cols]
+    )
+
+
+def compact_aggregate_view(spark, target_path: str) -> None:
+    """Fold all epoch deltas into a single base delta (epoch -1): read
+    totals, write them as one epoch dir, remove the rest. Run
+    periodically so read-side fan-in stays bounded; the fold is safe
+    because the totals are themselves an additive delta."""
+    import shutil
+
+    totals = read_aggregate_view(spark, target_path)
+    tmp = f"{target_path}/__compact_tmp"
+    totals.coalesce(1).write.mode("overwrite").parquet(tmp)
+    import os
+
+    for d in os.listdir(target_path):
+        if d.startswith("__epoch="):
+            shutil.rmtree(os.path.join(target_path, d), ignore_errors=True)
+    os.rename(tmp, f"{target_path}/__epoch=-1")
+
+
 def read_compacted_view(spark, target_path: str) -> DataFrame:
     """Read a ``latest_per_key_stream_parquet`` view: live keys only
     (tombstoned keys filtered), internal columns dropped."""

@@ -444,3 +444,66 @@ def test_metrics_listener_collects_batches(spark, tmpdir):
     assert mdf.filter(mdf.query_name == "metrics_probe").count() == len(
         listener.snapshot()
     ) - len([r for r in listener.snapshot() if r["query_name"] != "metrics_probe"])
+
+
+def test_aggregate_view_stream_parquet_ivm(spark, tmpdir):
+    """Additive IVM: epoch deltas accumulate across runs, replaying an
+    epoch cannot double-count (same epoch dir overwrites), and
+    compaction folds deltas without changing totals."""
+    from local_stream_stack_spark.streaming.ops import (
+        aggregate_view_stream_parquet,
+        compact_aggregate_view,
+        read_aggregate_view,
+    )
+
+    target = f"{tmpdir}/aggview"
+    in_dir = f"{tmpdir}/in_ivm"
+
+    def run(rows):
+        spark.createDataFrame(rows, EVENT_SCHEMA).write.mode("append").parquet(
+            in_dir
+        )
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(in_dir)
+        q = aggregate_view_stream_parquet(
+            stream.select(
+                "user_id", F.expr("CAST(value * 100 AS BIGINT)").alias("cents")
+            ),
+            keys=["user_id"],
+            sum_cols=["cents"],
+            target_path=target,
+            checkpoint_location=f"{tmpdir}/cp-ivm",
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run([(1, _ts(10, 0), 1, "view", 1.0), (2, _ts(10, 1), 2, "view", 2.0)])
+    got = {
+        (r.user_id, r.n_rows, r.sum_cents)
+        for r in read_aggregate_view(spark, target).collect()
+    }
+    assert got == {(1, 1, 100), (2, 1, 200)}
+
+    run([(3, _ts(11, 0), 1, "view", 5.0)])
+    got = {
+        (r.user_id, r.n_rows, r.sum_cents)
+        for r in read_aggregate_view(spark, target).collect()
+    }
+    assert got == {(1, 2, 600), (2, 1, 200)}
+
+    compact_aggregate_view(spark, target)
+    import glob
+
+    assert glob.glob(f"{target}/__epoch=*") == [f"{target}/__epoch=-1"]
+    got = {
+        (r.user_id, r.n_rows, r.sum_cents)
+        for r in read_aggregate_view(spark, target).collect()
+    }
+    assert got == {(1, 2, 600), (2, 1, 200)}
+
+    # growth after compaction keeps accumulating
+    run([(4, _ts(12, 0), 2, "view", 1.0)])
+    got = {
+        (r.user_id, r.n_rows, r.sum_cents)
+        for r in read_aggregate_view(spark, target).collect()
+    }
+    assert got == {(1, 2, 600), (2, 2, 300)}
