@@ -1166,3 +1166,38 @@ def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pack_id")
     )
+
+
+@query("sim_pq_topk", oracle=None)
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (FAISS-style PQ8x16 + ADC scan): train
+    per-subspace codebooks on a deterministic sample, compress every
+    vector to 8 code bytes, and answer top-10 by table lookups instead
+    of float math — the compressed-domain tier between LSH buckets and
+    exact rescoring (compose with IVF cells at corpus scale). Vectors
+    are L2-normalized first so approximate L2 ranks by cosine.
+    Codebook k-means is engine-specific -> rows-only;
+    tests/test_similarity.py pins recall vs brute force."""
+    from local_stream_stack_spark.operators.similarity import (
+        pq_encode,
+        pq_topk_adc,
+        pq_train_codebooks,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    normed = e.select(
+        "vec_id",
+        "embedding",
+        norm2(F.col("embedding")).alias("__n"),
+    ).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> double(x) / __n)").alias("nvec"),
+    )
+    books = pq_train_codebooks(normed, "vec_id", "nvec", m=8, k=16)
+    codes = pq_encode(normed, "vec_id", "nvec", books)
+    q = normed.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("nvec")
+    )
+    return pq_topk_adc(
+        q, codes, books, "query_id", "nvec", topk=10, exclude_self=True
+    ).orderBy("query_id", "rk")

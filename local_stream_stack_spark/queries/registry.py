@@ -117,6 +117,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "pack_documents",
         "stream_parquet_sink",
         "stream_aggregate_view",
+        "sim_pq_topk",
     }
 )
 

@@ -203,3 +203,29 @@ def test_collect_allpairs_guard_raises(spark, emb):
         cosine_allpairs_threshold(
             emb, "vec_id", "embedding", 0.40, max_collect_rows=5
         )
+
+
+def test_pq_topk_recall_and_determinism(spark, sf_dir, emb):
+    """PQ8x16 ADC top-10 must (a) reach a recall floor against exact
+    cosine brute force, (b) be exactly reproducible run-to-run
+    (deterministic sample + init + tie-breaks)."""
+    from local_stream_stack_spark.queries import QUERIES
+
+    vectors = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()
+    }
+    true_sets = {
+        qid: set(_numpy_topk(vectors, qid, 10)) for qid in range(5)
+    }
+    run1 = QUERIES["sim_pq_topk"].fn(spark, sf_dir).collect()
+    approx = {}
+    for r in run1:
+        approx.setdefault(r.query_id, set()).add(r.corpus_id)
+    hits = total = 0
+    for qid, truth in true_sets.items():
+        total += len(truth)
+        hits += len(truth & approx.get(qid, set()))
+    assert total == 50
+    assert hits / total >= 0.2, f"PQ recall {hits}/{total} below floor"
+    run2 = QUERIES["sim_pq_topk"].fn(spark, sf_dir).collect()
+    assert [tuple(r) for r in run1] == [tuple(r) for r in run2]
