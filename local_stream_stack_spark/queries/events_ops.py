@@ -564,3 +564,121 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from_us")
     )
+
+
+@query(
+    "funnel_stages",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_view_click,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_view_click_purchase
+    """,
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked AFTER their first
+    view, then purchased AFTER that first click — the sequential
+    pattern query behind conversion reports. Three staged per-user MIN
+    aggregates, each stage joining only the (user, ts) survivors of
+    the previous one: shuffle volume shrinks monotonically down the
+    funnel and nothing ever carries event payloads."""
+    e = _events(spark, sf_dir)
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    counts = (
+        v.agg(F.count("*").alias("n")).select(F.lit(0).alias("s"), "n")
+        .union(c.agg(F.count("*").alias("n")).select(F.lit(1).alias("s"), "n"))
+        .union(p.agg(F.count("*").alias("n")).select(F.lit(2).alias("s"), "n"))
+    )
+    return counts.agg(
+        F.max(F.when(F.col("s") == 0, F.col("n"))).alias("n_view"),
+        F.max(F.when(F.col("s") == 1, F.col("n"))).alias("n_view_click"),
+        F.max(F.when(F.col("s") == 2, F.col("n"))).alias(
+            "n_view_click_purchase"
+        ),
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(CAST(MIN(ts) AS TIMESTAMP)) / 86400) AS BIGINT)
+               AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             CAST(FLOOR(epoch(CAST(e.ts AS TIMESTAMP)) / 86400) AS BIGINT)
+               - f.cohort_day AS day_offset
+      FROM events e JOIN first_day f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day, day_offset, COUNT(*) AS n_users
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    ORDER BY cohort_day, day_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted
+    on each subsequent day they return (offsets 0-7) — the
+    engagement-curve query every product dashboard runs. Two shuffles
+    on user_id (first-day aggregate, then the distinct day-offset
+    set); day arithmetic is integer epoch-day, engine-exact."""
+    e = _events(spark, sf_dir)
+    day = (F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000))).cast(
+        "bigint"
+    )
+    first_day = e.groupBy("user_id").agg(F.min(day.alias("d")).alias("m")).select(
+        "user_id", F.col("m").alias("cohort_day")
+    )
+    activity = (
+        e.select("user_id", day.alias("day"))
+        .join(first_day, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+        .filter(F.col("day_offset") <= 7)
+    )
+    return (
+        activity.groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )

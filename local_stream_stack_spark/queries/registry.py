@@ -118,6 +118,8 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "stream_parquet_sink",
         "stream_aggregate_view",
         "sim_pq_topk",
+        "funnel_stages",
+        "cohort_retention",
     }
 )
 
