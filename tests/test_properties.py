@@ -206,3 +206,36 @@ def test_binned_interval_join_matches_predicate(spark, points, ivs, width):
         if lo <= s <= lo + span
     }
     assert got == expected, (points, ivs, width)
+
+
+@settings(**_SETTINGS)
+@given(
+    lens=st.lists(st.integers(0, 500), min_size=1, max_size=40),
+    budget=st.sampled_from([64, 256, 2048]),
+)
+def test_pack_by_contiguous_fill_matches_python(spark, lens, budget):
+    """The windowed-cumsum pack assignment must equal a sequential
+    Python fold over the same order and budget."""
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(lens)], "doc_id int, n_tokens long"
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    got = {
+        r.doc_id: r.pack
+        for r in df.select(
+            "doc_id",
+            ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget)
+            .cast("long")
+            .alias("pack"),
+        ).collect()
+    }
+    off = 0
+    expected = {}
+    for i, n in enumerate(lens):
+        expected[i] = off // budget
+        off += n
+    assert got == expected, (lens, budget)
