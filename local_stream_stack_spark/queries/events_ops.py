@@ -682,3 +682,46 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@query(
+    "zscore_outliers",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             AVG(value) AS mu,
+             stddev_samp(value) AS sd
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, event_type,
+           CAST(ROUND(abs((e.value - s.mu) / s.sd), 4) AS DECIMAL(18,4)) AS az
+    FROM events e JOIN s USING (event_type)
+    ORDER BY az DESC, event_id
+    LIMIT 20
+    """,
+)
+def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 per-type z-score outliers — the anomaly-flagging shape
+    for metric streams (and the numeric twin of quality-score
+    filtering on documents). Per-type mean/stddev aggregate in one
+    shuffle to a tiny table that broadcasts back over the scan, so
+    each event scores in codegen with no second wide exchange; the
+    global top-20 is TakeOrderedAndProject on the 4-dp-rounded DECIMAL
+    score (per-partition heaps, driver merges 20-row heads), making
+    the cut boundary identical on both engines."""
+    e = _events(spark, sf_dir)
+    s = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    return (
+        e.join(F.broadcast(s), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.abs((F.col("value") - F.col("mu")) / F.col("sd")), 4)
+            .cast("decimal(18,4)")
+            .alias("az"),
+        )
+        .orderBy(F.desc("az"), F.asc("event_id"))
+        .limit(20)
+    )

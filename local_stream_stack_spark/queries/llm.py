@@ -1201,3 +1201,130 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk_adc(
         q, codes, books, "query_id", "nvec", topk=10, exclude_self=True
     ).orderBy("query_id", "rk")
+
+
+@query(
+    "bm25_rank",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    tok_f AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok_f GROUP BY doc_id),
+    stats AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM dl),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM tok_f WHERE tok IN ('spark', 'hash', 'window')
+      GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    scored AS (
+      SELECT t.doc_id,
+             ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * t.tf * 2.2
+               / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS w
+      FROM tf t
+      JOIN df d USING (tok)
+      JOIN dl l USING (doc_id)
+      CROSS JOIN stats s
+    )
+    SELECT doc_id,
+           CAST(ROUND(SUM(w), 4) AS DECIMAL(18,4)) AS bm25
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) keyword ranking over the corpus for a
+    fixed 3-term query — the lexical-retrieval half of a hybrid search
+    stack next to the ANN tiers. Shape at 100 TB: tokenize is
+    scan-side codegen; per-doc tf and dl are partial-aggregated before
+    their one shuffle each; df and the (avgdl, N) scalars are
+    tiny broadcast sides; the final top-20 is TakeOrderedAndProject
+    (per-partition heap + driver merge of 20-row heads), never a
+    global sort. Scores round to DECIMAL(18,4) on both engines before
+    the cut so the boundary is hash-stable."""
+    d = _t(spark, sf_dir, "documents")
+    terms = ["spark", "hash", "window"]
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.avg("dl").alias("avgdl"), F.count("*").alias("n_docs"))
+    tf = (
+        toks.filter(F.col("tok").isin(terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_counts = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_counts), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * F.col("tf")
+            * 2.2
+            / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("w"), 4).cast("decimal(18,4)").alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@query(
+    "source_char_budget",
+    oracle="""
+    WITH ordered AS (
+      SELECT source, doc_id, n_chars,
+             CAST(SUM(n_chars) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_chars
+      FROM documents
+    )
+    SELECT source, doc_id, n_chars, cum_chars
+    FROM ordered
+    WHERE cum_chars <= 20000
+    ORDER BY source, cum_chars
+    """,
+)
+def source_char_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-budget cap: admit documents from each
+    source in a fixed pseudo-random order (md5 of doc_id — both
+    engines agree) until the source's cumulative char budget is spent.
+    The anti-domination guard of corpus curation — no single crawl
+    domain may exceed its quota, and the admitted set is reproducible
+    run-to-run. One shuffle on source; the running sum is a window
+    prefix-sum within each source partition, and rows past the budget
+    are dropped executor-side before any further stage. Integer sums
+    stay BIGINT on both engines (no HUGEINT drift)."""
+    d = _t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.select("source", "doc_id", "n_chars")
+        .withColumn("cum_chars", F.sum("n_chars").over(w))
+        .filter(F.col("cum_chars") <= 20000)
+        .orderBy("source", "cum_chars")
+    )

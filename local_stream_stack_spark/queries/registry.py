@@ -120,6 +120,9 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "sim_pq_topk",
         "funnel_stages",
         "cohort_retention",
+        "bm25_rank",
+        "source_char_budget",
+        "zscore_outliers",
     }
 )
 
