@@ -165,3 +165,77 @@ def write_bucketed(
     if sort:
         writer = writer.sortBy(*keys)
     writer.saveAsTable(table)
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim_keys: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom-filter semi-join reduction: prune the fact side BEFORE
+    its join shuffle using a compact bitmap of the dimension's keys.
+
+    Catalyst injects runtime bloom filters only for some shapes
+    (`spark.sql.optimizer.runtime.bloomFilter.*`); this is the
+    explicit, always-available version of the same idea. The build
+    side aggregates the dim keys into an ``m_bits``-wide bitmap —
+    k=3 positions per key via seeded xxhash64, OR-merged per 64-bit
+    word — so the driver collects at most ``m_bits/64`` rows (8 KiB
+    of longs at the default m=65536) REGARDLESS of data scale; the
+    bitmap then rides into every fact task as a literal array tested
+    in whole-stage codegen. Rows failing any of the k bit probes
+    cannot be in the dim (no false negatives), so the follow-up exact
+    left-semi join sees only survivors: at 100 TB the win is shuffle
+    volume — a selective dim prunes the fact exchange by the bloom's
+    pass rate, at the cost of one tiny extra aggregation.
+
+    The trailing exact semi join makes the result exact (bloom false
+    positives are filtered there), which is what lets the whole
+    operator sit under a plain ``IN (subquery)`` SQL oracle.
+    """
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    keys = dim_keys.select(F.col(dim_key).alias("__k")).distinct()
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col("__k"), F.lit(i)), F.lit(m_bits))
+                    for i in range(k)
+                ]
+            )
+        ).alias("p")
+    )
+    words = (
+        pos.select(
+            (F.col("p") / 64).cast("long").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+        .collect()  # bounded: <= m_bits/64 rows, independent of |dim|
+    )
+    bitmap = [0] * (m_bits // 64)
+    for r in words:
+        bitmap[int(r["w"])] = r["bits"]
+
+    probe = fact.withColumn("__bm", F.lit(bitmap))
+    for i in range(k):
+        probe = probe.withColumn(
+            f"__p{i}",
+            F.pmod(F.xxhash64(F.col(fact_key), F.lit(i)), F.lit(m_bits)),
+        )
+    tests = " AND ".join(
+        f"(shiftright(element_at(__bm, CAST(__p{i} / 64 AS INT) + 1),"
+        f" CAST(__p{i} % 64 AS INT)) & 1) = 1"
+        for i in range(k)
+    )
+    pruned = probe.filter(F.expr(tests)).drop(
+        "__bm", *[f"__p{i}" for i in range(k)]
+    )
+    return pruned.join(
+        keys.withColumnRenamed("__k", fact_key), on=fact_key, how="left_semi"
+    )

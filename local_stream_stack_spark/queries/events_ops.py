@@ -725,3 +725,72 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("az"), F.asc("event_id"))
         .limit(20)
     )
+
+
+@query(
+    "rollup_time_hierarchy",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 60) * 60 AS BIGINT)
+               AS bucket_s,
+             CAST(value AS DECIMAL(18,6)) AS v
+      FROM events
+    )
+    SELECT 'minute' AS granularity, bucket_s,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(v), 4) AS DOUBLE) AS sum_value
+    FROM base GROUP BY bucket_s
+    UNION ALL
+    SELECT 'hour', CAST(FLOOR(bucket_s / 3600) * 3600 AS BIGINT),
+           CAST(COUNT(*) AS BIGINT),
+           CAST(ROUND(SUM(v), 4) AS DOUBLE)
+    FROM base GROUP BY 2
+    UNION ALL
+    SELECT 'day', CAST(FLOOR(bucket_s / 86400) * 86400 AS BIGINT),
+           CAST(COUNT(*) AS BIGINT),
+           CAST(ROUND(SUM(v), 4) AS DOUBLE)
+    FROM base GROUP BY 2
+    ORDER BY granularity, bucket_s
+    """,
+)
+def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate hierarchy: minute tier
+    aggregates the raw scan once; the hour tier re-aggregates MINUTE
+    PARTIALS (sums of sums, counts of counts), and the day tier
+    re-aggregates hour partials — raw events are never rescanned for
+    the coarser grains. That is the TimescaleDB/Druid rollup cascade:
+    at 100 TB the minute tier is a materialized table maintained
+    incrementally (see the incremental-view query), and each coarser
+    tier shuffles only ~|buckets| partial rows, not events. Decimal
+    sums keep the cascade addition-order-exact, so re-aggregation
+    matches the oracle's direct GROUP BY per grain."""
+    e = _events(spark, sf_dir)
+    minute = (
+        e.select(
+            (F.floor(F.unix_timestamp("ts") / 60) * 60).alias("bucket_s"),
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+        .groupBy("bucket_s")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+    )
+    hour = minute.groupBy(
+        (F.floor(F.col("bucket_s") / 3600) * 3600).alias("bucket_s")
+    ).agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    day = hour.groupBy(
+        (F.floor(F.col("bucket_s") / 86400) * 86400).alias("bucket_s")
+    ).agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+
+    def tier(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("granularity"),
+            "bucket_s",
+            F.col("n").cast("long").alias("n_events"),
+            F.round(F.col("s"), 4).cast("double").alias("sum_value"),
+        )
+
+    return (
+        tier(minute, "minute")
+        .unionAll(tier(hour, "hour"))
+        .unionAll(tier(day, "day"))
+        .orderBy("granularity", "bucket_s")
+    )

@@ -123,6 +123,8 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "bm25_rank",
         "source_char_budget",
         "zscore_outliers",
+        "join_bloom_prefiltered",
+        "rollup_time_hierarchy",
     }
 )
 

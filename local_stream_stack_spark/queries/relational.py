@@ -869,3 +869,46 @@ def nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prio",
         F.count("prio").over(Window.partitionBy()).alias("n_nonnull"),
     ).orderBy(F.col("prio").asc_nulls_first(), F.col("o_orderkey"))
+
+
+@query(
+    "join_bloom_prefiltered",
+    oracle="""
+    SELECT l_partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 4)
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_partkey IN (
+      SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'
+    )
+    GROUP BY l_partkey
+    ORDER BY l_partkey
+    """,
+)
+def join_bloom_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction: lineitem is pruned by an
+    8 KiB bitmap of the qualifying part keys BEFORE any join shuffle,
+    then exact-semi-joined so bloom false positives drop out — the
+    result is identical to a plain ``IN (subquery)``, which is the
+    oracle. At 100 TB the bitmap build scans only the (filtered) dim
+    and collects <= m/64 longs to the driver; the fact exchange then
+    moves only the bloom survivors instead of the full table. See
+    ``operators.joins.bloom_semi_join``."""
+    from local_stream_stack_spark.operators.joins import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    pruned = bloom_semi_join(
+        li, part, fact_key="l_partkey", dim_key="p_partkey"
+    )
+    return (
+        pruned.groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.expr(
+                "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 4) AS DOUBLE)"
+            ).alias("revenue"),
+        )
+        .orderBy("l_partkey")
+    )
