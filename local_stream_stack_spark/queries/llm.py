@@ -1328,3 +1328,149 @@ def source_char_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_chars") <= 20000)
         .orderBy("source", "cum_chars")
     )
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                       AS INT) % 100 AS INT) AS bucket,
+             string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, bucket,
+             array_to_string(t[i:i+7], ' ') AS g
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)
+    ),
+    eval_g AS (SELECT DISTINCT doc_id, g FROM grams WHERE bucket >= 95),
+    train_g AS (SELECT DISTINCT g FROM grams WHERE bucket < 95)
+    SELECT e.doc_id AS eval_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+    FROM eval_g e JOIN train_g t USING (g)
+    GROUP BY e.doc_id
+    ORDER BY eval_doc_id
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-overlap decontamination (the 8-gram variant of the
+    13-gram eval-contamination sweep used for real training sets):
+    flag eval documents sharing ANY token 8-gram with the train
+    split. Both splits derive from the same deterministic md5 bucket
+    as train_test_split. Shape at 100 TB: each side explodes to
+    (gram, id) pairs — never pairs of documents — then one equi-join
+    on the gram; the train side dedups per-partition before its
+    shuffle, and document payloads never move. The Spark join key is
+    the gram string itself so the DuckDB oracle is exact; a deployed
+    run would join on xxhash64(gram) to shrink the exchange."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    toks = d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t"),
+    )
+    grams = toks.select(
+        "doc_id",
+        "bucket",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(t) - 7, 0)),"
+                " i -> concat_ws(' ', slice(t, i, 8)))"
+            )
+        ).alias("g"),
+    )
+    eval_g = grams.filter(F.col("bucket") >= 95).select("doc_id", "g").distinct()
+    train_g = grams.filter(F.col("bucket") < 95).select("g").distinct()
+    return (
+        eval_g.join(train_g, "g")
+        .groupBy(F.col("doc_id").alias("eval_doc_id"))
+        .agg(F.count("*").alias("n_shared_ngrams"))
+        .orderBy("eval_doc_id")
+    )
+
+
+@query(
+    "token_drift_kl",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    tok_f AS (SELECT source, tok FROM toks WHERE length(tok) > 0),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS n FROM tok_f GROUP BY tok
+        ORDER BY n DESC, tok LIMIT 500
+      ) v
+    ),
+    corpus AS (
+      SELECT tok, COUNT(*) AS cn FROM tok_f
+      WHERE tok IN (SELECT tok FROM vocab) GROUP BY tok
+    ),
+    corpus_tot AS (SELECT SUM(cn) AS ct FROM corpus),
+    per_src AS (
+      SELECT source, tok, COUNT(*) AS sn FROM tok_f
+      WHERE tok IN (SELECT tok FROM vocab) GROUP BY source, tok
+    ),
+    src_tot AS (SELECT source, SUM(sn) AS st FROM per_src GROUP BY source)
+    SELECT s.source,
+           CAST(ROUND(SUM( (s.sn / t.st)
+                           * ln( (s.sn / t.st) / (c.cn / ct.ct) ) ), 6)
+                AS DECIMAL(18,6)) AS kl
+    FROM per_src s
+    JOIN src_tot t USING (source)
+    JOIN corpus c USING (tok)
+    CROSS JOIN corpus_tot ct
+    GROUP BY s.source
+    ORDER BY s.source
+    """,
+)
+def token_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: KL divergence of each source's
+    token distribution from the corpus distribution, over the
+    deterministic top-500 corpus vocabulary (restricting support to
+    observed vocab terms keeps every log finite). The curation-ops
+    signal for 'this crawl slice stopped looking like the corpus'.
+    Shape: one tokenize scan feeds both the vocab top-k
+    (TakeOrderedAndProject) and the per-(source,token) counts; the
+    vocab and corpus tables are tiny broadcast sides; the KL sum is
+    one final shuffle on source. 6-dp rounding absorbs double
+    summation-order ulps on both engines."""
+    d = _t(spark, sf_dir, "documents")
+    tok_f = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    vocab = (
+        tok_f.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(500)
+        .select("tok")
+    )
+    in_vocab = tok_f.join(F.broadcast(vocab), "tok")
+    corpus = in_vocab.groupBy("tok").agg(F.count("*").alias("cn"))
+    corpus_tot = corpus.agg(F.sum("cn").alias("ct"))
+    per_src = in_vocab.groupBy("source", "tok").agg(F.count("*").alias("sn"))
+    src_tot = per_src.groupBy("source").agg(F.sum("sn").alias("st"))
+    return (
+        per_src.join(F.broadcast(src_tot), "source")
+        .join(F.broadcast(corpus), "tok")
+        .crossJoin(F.broadcast(corpus_tot))
+        .withColumn(
+            "term",
+            (F.col("sn") / F.col("st"))
+            * F.log((F.col("sn") / F.col("st")) / (F.col("cn") / F.col("ct"))),
+        )
+        .groupBy("source")
+        .agg(F.round(F.sum("term"), 6).cast("decimal(18,6)").alias("kl"))
+        .orderBy("source")
+    )

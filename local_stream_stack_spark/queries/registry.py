@@ -125,6 +125,9 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "zscore_outliers",
         "join_bloom_prefiltered",
         "rollup_time_hierarchy",
+        "decontaminate_ngram_overlap",
+        "token_drift_kl",
+        "profile_columns",
     }
 )
 

@@ -672,3 +672,106 @@ def winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "profile_columns",
+    oracle="""
+    SELECT 'o_orderkey' AS col_name,
+           CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+           CAST(MAX(o_orderkey) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str,
+           CAST(NULL AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE),
+           NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE),
+           NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+           CAST(epoch_us(CAST(MIN(o_orderdate) AS TIMESTAMP)) AS DOUBLE),
+           CAST(epoch_us(CAST(MAX(o_orderdate) AS TIMESTAMP)) AS DOUBLE),
+           NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           NULL, NULL, MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           NULL, NULL, MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    ORDER BY col_name
+    """,
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table column profile (null counts, exact distinct
+    cardinalities, typed min/max) in ONE scan — the data-quality
+    summary every ingestion gate runs. All 6 columns' aggregates
+    compute in a single pass (Catalyst plans the multi-distinct via
+    one Expand), then the 1-row result pivots to long form with
+    ``stack`` driver-side — the oracle recomputes each column
+    independently, so the single-pass fusion is what's being proven.
+    At 100 TB swap COUNT(DISTINCT) for approx_count_distinct to
+    avoid the Expand blow-up; min/max/null-counts are already
+    partial-aggregated scan-side. Timestamps profile as epoch-us."""
+    o = _t(spark, sf_dir, "orders")
+    num_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    str_cols = ["o_orderstatus", "o_orderpriority"]
+    aggs = []
+    for c in num_cols + str_cols + ["o_orderdate"]:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+        ]
+    for c in num_cols:
+        aggs += [
+            F.min(c).cast("double").alias(f"mn_{c}"),
+            F.max(c).cast("double").alias(f"mx_{c}"),
+        ]
+    aggs += [
+        F.unix_micros(F.min("o_orderdate").cast("timestamp"))
+        .cast("double")
+        .alias("mn_o_orderdate"),
+        F.unix_micros(F.max("o_orderdate").cast("timestamp"))
+        .cast("double")
+        .alias("mx_o_orderdate"),
+    ]
+    for c in str_cols:
+        aggs += [F.min(c).alias(f"mns_{c}"), F.max(c).alias(f"mxs_{c}")]
+    row = o.agg(*aggs)
+
+    def entry(c: str, numeric: bool) -> str:
+        if numeric:
+            return (
+                f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}, "
+                "CAST(NULL AS STRING), CAST(NULL AS STRING)"
+            )
+        return (
+            f"'{c}', nn_{c}, nd_{c}, CAST(NULL AS DOUBLE), "
+            f"CAST(NULL AS DOUBLE), mns_{c}, mxs_{c}"
+        )
+
+    entries = ", ".join(
+        [entry(c, True) for c in num_cols + ["o_orderdate"]]
+        + [entry(c, False) for c in str_cols]
+    )
+    return row.select(
+        F.expr(
+            f"stack(6, {entries}) AS "
+            "(col_name, n_nulls, n_distinct, min_num, max_num, min_str, max_str)"
+        )
+    ).orderBy("col_name")
