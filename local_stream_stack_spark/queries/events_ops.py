@@ -794,3 +794,85 @@ def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tier(day, "day"))
         .orderBy("granularity", "bucket_s")
     )
+
+
+@query(
+    "gap_fill_locf",
+    oracle="""
+    WITH users AS (SELECT DISTINCT user_id FROM events WHERE user_id < 5),
+    spine AS (
+      SELECT user_id, unnest(generate_series(0, 359)) AS m FROM users
+    ),
+    mv AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 60) * 60 AS BIGINT)
+               AS bucket_s,
+             arg_max(value,
+                     lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR), 20, '0')
+                     || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS v
+      FROM events
+      WHERE user_id < 5
+        AND epoch(CAST(ts AS TIMESTAMP)) < 1704067200 + 21600
+      GROUP BY 1, 2
+    )
+    SELECT s.user_id,
+           CAST(1704067200 + s.m * 60 AS BIGINT) AS bucket_s,
+           mv.v AS v_raw,
+           last_value(mv.v IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.m
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+    FROM spine s
+    LEFT JOIN mv ON mv.user_id = s.user_id
+                AND mv.bucket_s = 1704067200 + s.m * 60
+    ORDER BY s.user_id, bucket_s
+    """,
+)
+def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with last-observation-carried-forward —
+    the hypertable `locf(time_bucket(...))` shape: build a dense
+    per-key minute spine (sequence + explode, no shuffle), left-join
+    the per-minute last observation (max_by over (ts, event_id) keeps
+    the pick deterministic), and forward-fill nulls with an
+    ignore-nulls running last_value. Everything partitions by
+    user_id: the spine explode, the join, and the fill window are one
+    co-partitioned lineage, so at 100 TB the only exchange is the
+    initial hash on user_id; the spine itself is generated, never
+    scanned. Fixed 6-hour window keeps the demo bounded; v_raw stays
+    null on empty minutes, v_filled carries the last seen value."""
+    all_e = _events(spark, sf_dir).filter(F.col("user_id") < 5)
+    e = all_e.filter(F.unix_timestamp("ts") < 1704067200 + 21600)
+    users = all_e.select("user_id").distinct()
+    spine = users.select(
+        "user_id", F.explode(F.expr("sequence(0, 359)")).alias("m")
+    )
+    mv = (
+        e.select(
+            "user_id",
+            (F.floor(F.unix_timestamp("ts") / 60) * 60).alias("bucket_s"),
+            "value",
+            F.concat(
+                F.lpad(
+                    F.unix_micros(F.col("ts").cast("timestamp")).cast("string"),
+                    20,
+                    "0",
+                ),
+                F.lpad(F.col("event_id").cast("string"), 12, "0"),
+            ).alias("ord"),
+        )
+        .groupBy("user_id", "bucket_s")
+        .agg(F.expr("max_by(value, ord)").alias("v"))
+    )
+    joined = spine.withColumn(
+        "bucket_s", (F.lit(1704067200) + F.col("m") * 60).cast("long")
+    ).join(mv, ["user_id", "bucket_s"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        "bucket_s",
+        F.col("v").alias("v_raw"),
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+    ).orderBy("user_id", "bucket_s")

@@ -1474,3 +1474,51 @@ def token_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("term"), 6).cast("decimal(18,6)").alias("kl"))
         .orderBy("source")
     )
+
+
+@query(
+    "weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             -ln( (CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) AS DOUBLE) + 1) / 4294967297.0 )
+               / n_chars AS skey
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars,
+           CAST(ROUND(skey, 6) AS DECIMAL(18,6)) AS skey_r
+    FROM keyed
+    ORDER BY skey_r, doc_id
+    LIMIT 20
+    """,
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each doc draws u in (0,1] from the
+    md5 of its id — the same fixed pseudo-random stream on every
+    engine and run — and the k smallest -ln(u)/weight keys win, with
+    weight = n_chars so long documents are proportionally likelier.
+    The distributed-sampling workhorse: stateless per row (scan-side
+    codegen), global top-k via TakeOrderedAndProject (per-partition
+    heaps, no sort shuffle), reproducible across engines, partitions
+    and reruns. The cut ranks on the 6-dp DECIMAL key so both engines
+    agree at the boundary."""
+    d = _t(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + 1
+    ) / F.lit(4294967297.0)
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round(-F.log(u) / F.col("n_chars"), 6)
+            .cast("decimal(18,6)")
+            .alias("skey_r"),
+        )
+        .orderBy("skey_r", "doc_id")
+        .limit(20)
+    )

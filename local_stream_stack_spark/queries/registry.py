@@ -128,6 +128,8 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "decontaminate_ngram_overlap",
         "token_drift_kl",
         "profile_columns",
+        "gap_fill_locf",
+        "weighted_sample",
     }
 )
 
