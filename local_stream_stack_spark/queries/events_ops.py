@@ -876,3 +876,120 @@ def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("v_raw"),
         F.last("v", ignorenulls=True).over(w).alias("v_filled"),
     ).orderBy("user_id", "bucket_s")
+
+
+@query(
+    "interpolate_linear",
+    oracle="""
+    WITH users AS (SELECT DISTINCT user_id FROM events WHERE user_id < 5),
+    spine AS (
+      SELECT user_id, unnest(generate_series(0, 359)) AS m FROM users
+    ),
+    mv AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 60) AS BIGINT)
+               - 28401120 AS m,
+             arg_max(value,
+                     lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR), 20, '0')
+                     || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS v
+      FROM events
+      WHERE user_id < 5
+        AND epoch(CAST(ts AS TIMESTAMP)) < 1704067200 + 21600
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT s.user_id, s.m, mv.v,
+             last_value(mv.v IGNORE NULLS) OVER w_prev AS pv,
+             last_value(CASE WHEN mv.v IS NOT NULL THEN s.m END IGNORE NULLS)
+               OVER w_prev AS pm,
+             first_value(mv.v IGNORE NULLS) OVER w_next AS nv,
+             first_value(CASE WHEN mv.v IS NOT NULL THEN s.m END IGNORE NULLS)
+               OVER w_next AS nm
+      FROM spine s LEFT JOIN mv USING (user_id, m)
+      WINDOW
+        w_prev AS (PARTITION BY s.user_id ORDER BY s.m
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY s.user_id ORDER BY s.m
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id,
+           CAST(1704067200 + m * 60 AS BIGINT) AS bucket_s,
+           CAST(ROUND(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL
+               THEN pv + (nv - pv) * (m - pm) / (nm - pm)
+             WHEN pv IS NOT NULL THEN pv
+             ELSE nv
+           END, 6) AS DECIMAL(18,6)) AS v_interp
+    FROM j
+    ORDER BY user_id, bucket_s
+    """,
+)
+def interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the dense minute spine — the
+    hypertable `interpolate()` twin of gap_fill_locf: empty minutes
+    take the line between the previous and next observations
+    (LOCF past the last one, backfill before the first). Same
+    single-exchange shape as gap_fill_locf — the spine explode, join
+    and BOTH fill windows (running-prev and running-next) share the
+    one hash partitioning on user_id; the reverse-direction window
+    is a sort within the same partition, not a second shuffle.
+    28401120 = 1704067200/60 (minute index of the window start)."""
+    all_e = _events(spark, sf_dir).filter(F.col("user_id") < 5)
+    e = all_e.filter(F.unix_timestamp("ts") < 1704067200 + 21600)
+    users = all_e.select("user_id").distinct()
+    spine = users.select(
+        "user_id", F.explode(F.expr("sequence(0, 359)")).alias("m")
+    )
+    mv = (
+        e.select(
+            "user_id",
+            (F.floor(F.unix_timestamp("ts") / 60) - 28401120).alias("m"),
+            "value",
+            F.concat(
+                F.lpad(
+                    F.unix_micros(F.col("ts").cast("timestamp")).cast("string"),
+                    20,
+                    "0",
+                ),
+                F.lpad(F.col("event_id").cast("string"), 12, "0"),
+            ).alias("ord"),
+        )
+        .groupBy("user_id", "m")
+        .agg(F.expr("max_by(value, ord)").alias("v"))
+    )
+    j = spine.join(mv, ["user_id", "m"], "left")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("m")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_m = F.when(F.col("v").isNotNull(), F.col("m"))
+    j = (
+        j.withColumn("pv", F.last("v", ignorenulls=True).over(w_prev))
+        .withColumn("pm", F.last(obs_m, ignorenulls=True).over(w_prev))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(w_next))
+        .withColumn("nm", F.first(obs_m, ignorenulls=True).over(w_next))
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("m") - F.col("pm"))
+            / (F.col("nm") - F.col("pm")),
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+    )
+    return j.select(
+        "user_id",
+        (F.lit(1704067200) + F.col("m") * 60).cast("long").alias("bucket_s"),
+        F.round(interp, 6).cast("decimal(18,6)").alias("v_interp"),
+    ).orderBy("user_id", "bucket_s")

@@ -1522,3 +1522,55 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("skey_r", "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "inverted_index",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    )
+    SELECT tok,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           array_to_string((list_sort(list(doc_id)))[1:10], ',') AS postings
+    FROM toks
+    WHERE length(tok) > 0
+    GROUP BY tok
+    ORDER BY tok
+    """,
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: token -> document frequency + the first
+    10 postings (sorted doc ids) — the indexing half of lexical
+    search, and the join fabric `dedup_ngram_jaccard` and
+    `decontaminate_ngram_overlap` consume implicitly. One shuffle on
+    the token after a distinct that partial-aggregates scan-side;
+    posting lists truncate AFTER the per-token sort so the output is
+    deterministic. At 100 TB postings stay bounded per token only if
+    truncated (as here) or bucketed by (token, shard) — the full
+    posting list of a stopword is the classic hot key, which is why
+    df rides alongside: downstream consumers drop high-df tokens
+    before joining."""
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+                "tok"
+            ),
+        )
+        .filter(F.length("tok") > 0)
+        .distinct()
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count("*").alias("df"),
+            F.concat_ws(
+                ",", F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10)
+            ).alias("postings"),
+        )
+        .orderBy("tok")
+    )

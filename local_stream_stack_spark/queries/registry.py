@@ -130,6 +130,8 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "profile_columns",
         "gap_fill_locf",
         "weighted_sample",
+        "interpolate_linear",
+        "inverted_index",
     }
 )
 
