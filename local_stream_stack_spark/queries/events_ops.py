@@ -993,3 +993,28 @@ def interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(1704067200) + F.col("m") * 60).cast("long").alias("bucket_s"),
         F.round(interp, 6).cast("decimal(18,6)").alias("v_interp"),
     ).orderBy("user_id", "bucket_s")
+
+
+@query("cms_heavy_hitters", oracle=None)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters via count-min sketch: sketch the
+    user_id stream into a 4x1024 counter grid (shuffle bounded by the
+    GRID size, not the event count), then point-estimate every
+    distinct user against the broadcast grid and keep the top 20.
+    Estimates are deterministic (seeded xxhash64) but engine-specific
+    -> rows-only driver check; tests/test_sketches.py pins the
+    overestimate guarantee, the eps*N error bound, and counter-grid
+    mergeability on fixtures."""
+    from local_stream_stack_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    e = _events(spark, sf_dir)
+    sketch = cms_build(e, "user_id", depth=4, width=1024)
+    users = e.select("user_id").distinct()
+    return (
+        cms_estimate(sketch, users, "user_id", depth=4, width=1024)
+        .orderBy(F.desc("est"), F.asc("user_id"))
+        .limit(20)
+    )

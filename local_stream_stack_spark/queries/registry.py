@@ -132,6 +132,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "weighted_sample",
         "interpolate_linear",
         "inverted_index",
+        "cms_heavy_hitters",
     }
 )
 

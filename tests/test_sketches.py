@@ -1,0 +1,70 @@
+"""Count-min sketch guarantees: overestimate-only, eps*N error bound,
+and exact mergeability of counter grids."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from local_stream_stack_spark.operators.sketches import (
+    cms_build,
+    cms_estimate,
+    cms_merge,
+)
+
+DEPTH, WIDTH = 4, 256
+
+
+def _truth(df):
+    return {
+        r.k: r.n
+        for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()
+    }
+
+
+def test_cms_never_underestimates_and_bounds_error(spark):
+    # zipf-ish synthetic stream: key k appears ~ 2000/k times
+    rows = [(k,) for k in range(1, 80) for _ in range(2000 // k)]
+    df = spark.createDataFrame(rows, "k long")
+    n_total = len(rows)
+    sketch = cms_build(df, "k", DEPTH, WIDTH)
+    est = {
+        r.k: r.est
+        for r in cms_estimate(
+            sketch, df.select("k").distinct(), "k", DEPTH, WIDTH
+        ).collect()
+    }
+    truth = _truth(df)
+    import math
+
+    eps_bound = math.e / WIDTH * n_total
+    for k, true_n in truth.items():
+        assert est[k] >= true_n, k  # CMS can only overestimate
+        assert est[k] - true_n <= eps_bound, k
+
+
+def test_cms_grid_is_bounded(spark):
+    df = spark.createDataFrame([(i,) for i in range(50_000)], "k long")
+    sketch = cms_build(df, "k", DEPTH, WIDTH)
+    assert sketch.count() <= DEPTH * WIDTH
+
+
+def test_cms_merge_equals_sketch_of_union(spark):
+    a = spark.createDataFrame([(i % 17,) for i in range(3000)], "k long")
+    b = spark.createDataFrame([(i % 23,) for i in range(2000)], "k long")
+    merged = cms_merge(
+        cms_build(a, "k", DEPTH, WIDTH), cms_build(b, "k", DEPTH, WIDTH)
+    )
+    direct = cms_build(a.unionAll(b), "k", DEPTH, WIDTH)
+    m = {(r.d, r.w): r.cnt for r in merged.collect()}
+    d = {(r.d, r.w): r.cnt for r in direct.collect()}
+    assert m == d
+
+
+def test_cms_estimate_missing_key_is_small(spark):
+    df = spark.createDataFrame([(1,)] * 1000, "k long")
+    sketch = cms_build(df, "k", DEPTH, WIDTH)
+    ghost = spark.createDataFrame([(999_999,)], "k long")
+    est = cms_estimate(sketch, ghost, "k", DEPTH, WIDTH).first().est
+    # a key never inserted can only collide; with one hot key the min
+    # counter is 0 unless all 4 probes collide with it
+    assert est in (0, 1000)
