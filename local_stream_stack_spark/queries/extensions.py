@@ -305,6 +305,10 @@ def _roundtrip_orders(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     }
     if fmt == "csv":
         writer = writer.options(**csv_opts)
+    elif fmt == "json":
+        writer = writer.options(
+            timestampNTZFormat="yyyy-MM-dd HH:mm:ss"
+        )
     elif fmt == "orc":
         # the default zstd ORC codec is unreadable in this runtime
         # (native lib mismatch); zlib is in-JVM and universal
@@ -312,7 +316,9 @@ def _roundtrip_orders(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     writer.save(path)
     from pyspark.sql.types import _parse_datatype_string
 
-    opts = csv_opts if fmt == "csv" else {}
+    opts = csv_opts if fmt == "csv" else (
+        {"timestampNTZFormat": "yyyy-MM-dd HH:mm:ss"} if fmt == "json" else {}
+    )
     schema = _parse_datatype_string(
         "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
         "o_totalprice double, o_orderdate timestamp_ntz"
@@ -361,3 +367,11 @@ def orc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot read ORC, so equality against the parquet-sourced oracle is
     exactly the losslessness claim)."""
     return _roundtrip_orders(spark, sf_dir, "orc")
+
+
+@query("json_roundtrip_orders", oracle=_ROUNDTRIP_ORACLE)
+def json_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink -> source round-trip under the oracle
+    (schema-on-read with a pinned NTZ timestamp format — JSON carries
+    no types, so the explicit schema IS the losslessness contract)."""
+    return _roundtrip_orders(spark, sf_dir, "json")

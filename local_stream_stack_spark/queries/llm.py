@@ -1574,3 +1574,37 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tok")
     )
+
+
+@query(
+    "label_centroids",
+    oracle="""
+    SELECT label, i AS dim,
+           CAST(ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6)
+                AS DECIMAL(18,6)) AS c
+    FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    GROUP BY label, i
+    ORDER BY label, dim
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in long (label, dim, value) form
+    — the vector AGGREGATE primitive behind IVF cell training,
+    class prototypes and embedding-drift monitors. posexplode turns
+    the array column into (dim, value) pairs scan-side, then ONE
+    hash aggregate on (label, dim) partial-sums per partition — the
+    shuffle carries |labels| x |dims| partial states, never vectors.
+    The same shape trains `sim_ivf_topk`'s centroids; here it is
+    oracle-checked exactly (6-dp round) via DuckDB's UNNEST WITH
+    ORDINALITY."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("p", "v"))
+        .groupBy("label", (F.col("p") + 1).alias("dim"))
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 6)
+            .cast("decimal(18,6)")
+            .alias("c")
+        )
+        .orderBy("label", "dim")
+    )

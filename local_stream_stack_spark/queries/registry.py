@@ -133,6 +133,8 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "interpolate_linear",
         "inverted_index",
         "cms_heavy_hitters",
+        "json_roundtrip_orders",
+        "label_centroids",
     }
 )
 
