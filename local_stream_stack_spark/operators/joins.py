@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from local_stream_stack_spark.utils.ts import epoch_us
+
 _SALTABLE = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"}
 
 
@@ -123,14 +125,14 @@ def binned_interval_join(
     """
     w_us = int(bin_width_s) * 1_000_000
     p = points.withColumn(
-        "__bin", F.floor(F.unix_micros(F.col(ts_col)) / w_us).cast("bigint")
+        "__bin", F.floor(epoch_us(F.col(ts_col)) / w_us).cast("bigint")
     )
     i = intervals.withColumn(
         "__bin",
         F.explode(
             F.sequence(
-                F.floor(F.unix_micros(F.col(lo_col)) / w_us).cast("bigint"),
-                F.floor(F.unix_micros(F.col(hi_col)) / w_us).cast("bigint"),
+                F.floor(epoch_us(F.col(lo_col)) / w_us).cast("bigint"),
+                F.floor(epoch_us(F.col(hi_col)) / w_us).cast("bigint"),
             )
         ),
     )

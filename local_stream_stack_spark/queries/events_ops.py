@@ -35,6 +35,7 @@ from local_stream_stack_spark.operators.events import (
 )
 from local_stream_stack_spark.queries.registry import query
 from local_stream_stack_spark.session import configure_for_oracle
+from local_stream_stack_spark.utils.ts import epoch_s, epoch_us
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -67,7 +68,7 @@ def latest_per_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "event_type",
             "value",
-            F.unix_micros("ts").alias("ts_us"),
+            epoch_us("ts").alias("ts_us"),
         )
         .orderBy("user_id")
     )
@@ -158,9 +159,9 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "purchase_id",
         "user_id",
-        F.unix_micros("ts").alias("purchase_ts_us"),
+        epoch_us("ts").alias("purchase_ts_us"),
         "view_event_id",
-        F.unix_micros("right_ts").alias("view_ts_us"),
+        epoch_us("right_ts").alias("view_ts_us"),
     ).orderBy("purchase_id")
 
 
@@ -258,8 +259,8 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         sess.groupBy("user_id", "session_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.unix_micros(F.min("ts")).alias("session_start_us"),
-            F.unix_micros(F.max("ts")).alias("session_end_us"),
+            epoch_us(F.min("ts")).alias("session_start_us"),
+            epoch_us(F.max("ts")).alias("session_end_us"),
         )
         .orderBy("user_id", "session_id")
     )
@@ -291,7 +292,7 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select(
-            F.unix_timestamp("w.start").alias("window_start_s"),
+            epoch_s("w.start").alias("window_start_s"),
             "event_type",
             "n_events",
             "sum_value",
@@ -333,7 +334,7 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select(
-            F.unix_timestamp("w.start").alias("window_start_s"),
+            epoch_s("w.start").alias("window_start_s"),
             "n_events",
             "sum_value",
         )
@@ -381,8 +382,8 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
         .select(
             "user_id",
-            F.unix_micros("w.start").alias("session_start_us"),
-            F.unix_micros("w.end").alias("session_end_us"),
+            epoch_us("w.start").alias("session_start_us"),
+            epoch_us("w.end").alias("session_end_us"),
             "n_events",
         )
         .orderBy("user_id", "session_start_us")
@@ -461,9 +462,9 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "purchase_id",
         "user_id",
-        F.unix_micros("ts").alias("purchase_ts_us"),
+        epoch_us("ts").alias("purchase_ts_us"),
         "view_event_id",
-        F.unix_micros("right_ts").alias("view_ts_us"),
+        epoch_us("right_ts").alias("view_ts_us"),
     ).orderBy("purchase_id")
 
 
@@ -558,8 +559,8 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(
             "user_id",
             "value",
-            F.unix_micros("ts").alias("valid_from_us"),
-            F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
+            epoch_us("ts").alias("valid_from_us"),
+            epoch_us(F.lead("ts").over(w)).alias("valid_to_us"),
             F.lead("ts").over(w).isNull().alias("is_current"),
         )
         .orderBy("user_id", "valid_from_us")
@@ -660,7 +661,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     on user_id (first-day aggregate, then the distinct day-offset
     set); day arithmetic is integer epoch-day, engine-exact."""
     e = _events(spark, sf_dir)
-    day = (F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000))).cast(
+    day = (F.floor(epoch_us(F.col("ts")) / F.lit(86_400_000_000))).cast(
         "bigint"
     )
     first_day = e.groupBy("user_id").agg(F.min(day.alias("d")).alias("m")).select(
@@ -767,7 +768,7 @@ def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)
     minute = (
         e.select(
-            (F.floor(F.unix_timestamp("ts") / 60) * 60).alias("bucket_s"),
+            (F.floor(epoch_s("ts") / 60) * 60).alias("bucket_s"),
             F.col("value").cast("decimal(18,6)").alias("v"),
         )
         .groupBy("bucket_s")
@@ -840,7 +841,7 @@ def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned. Fixed 6-hour window keeps the demo bounded; v_raw stays
     null on empty minutes, v_filled carries the last seen value."""
     all_e = _events(spark, sf_dir).filter(F.col("user_id") < 5)
-    e = all_e.filter(F.unix_timestamp("ts") < 1704067200 + 21600)
+    e = all_e.filter(epoch_s("ts") < 1704067200 + 21600)
     users = all_e.select("user_id").distinct()
     spine = users.select(
         "user_id", F.explode(F.expr("sequence(0, 359)")).alias("m")
@@ -848,11 +849,11 @@ def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     mv = (
         e.select(
             "user_id",
-            (F.floor(F.unix_timestamp("ts") / 60) * 60).alias("bucket_s"),
+            (F.floor(epoch_s("ts") / 60) * 60).alias("bucket_s"),
             "value",
             F.concat(
                 F.lpad(
-                    F.unix_micros(F.col("ts").cast("timestamp")).cast("string"),
+                    epoch_us(F.col("ts")).cast("string"),
                     20,
                     "0",
                 ),
@@ -936,7 +937,7 @@ def interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a sort within the same partition, not a second shuffle.
     28401120 = 1704067200/60 (minute index of the window start)."""
     all_e = _events(spark, sf_dir).filter(F.col("user_id") < 5)
-    e = all_e.filter(F.unix_timestamp("ts") < 1704067200 + 21600)
+    e = all_e.filter(epoch_s("ts") < 1704067200 + 21600)
     users = all_e.select("user_id").distinct()
     spine = users.select(
         "user_id", F.explode(F.expr("sequence(0, 359)")).alias("m")
@@ -944,11 +945,11 @@ def interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     mv = (
         e.select(
             "user_id",
-            (F.floor(F.unix_timestamp("ts") / 60) - 28401120).alias("m"),
+            (F.floor(epoch_s("ts") / 60) - 28401120).alias("m"),
             "value",
             F.concat(
                 F.lpad(
-                    F.unix_micros(F.col("ts").cast("timestamp")).cast("string"),
+                    epoch_us(F.col("ts")).cast("string"),
                     20,
                     "0",
                 ),

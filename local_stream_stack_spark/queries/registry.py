@@ -85,9 +85,55 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "q21_waiting_suppliers",
         "pivot_returnflag",
         "unpivot_part_measures",
-        # NOT included: percentile_stats, q12_late_shipments — hash-fail
-        # in r01 (oracle typing), fixed this round, must re-enter the
-        # verified window.
+        # --- green in CORRECTNESS_r02.json ---
+        "q12_late_shipments",
+        "explode_token_counts",
+        "map_explode_customer",
+        "array_hof_order_lines",
+        "udaf_trimmed_stats",
+        "udtf_tokenize",
+        "sql_api_revenue",
+        "exact_quantile_distributed",
+        "pipeline_yaml_batch",
+        "schema_registry_parse",
+        "kafka_frame_roundtrip",
+        "window_ranking",
+        "window_frames",
+        "window_distribution",
+        "compaction_tombstone",
+        "range_join_views_before_purchase",
+        "tumbling_window_agg",
+        "sliding_window_agg",
+        "dedup_keys",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "embedding_norms",
+        "sim_bruteforce_topk",
+        "dedup_embedding_cosine",
+        "multimodal_binary_meta",
+        "text_stats",
+        "lang_id",
+        "doc_fingerprint",
+        "curation_pipeline",
+        "corpus_stats_by_lang",
+        "curation_downsample",
+        "train_test_split",
+        "decontaminate_splits",
+        "stream_dedup_keys",
+        "stream_pipeline_yaml",
+        # rows-only rows the driver recorded in r02 (weaker check, but
+        # the driver has seen them — rotate out of the window)
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "sim_lsh_topk",
+        # NOT included — failed in r02, fixed this round (TIMESTAMP_NTZ
+        # epoch extraction; streaming schema probe; moment-sum stats),
+        # must re-enter the verified window: percentile_stats,
+        # window_analytic, window_range_frame, latest_per_key,
+        # asof_join_events, sessionize_events, session_window_agg,
+        # asof_join_tolerance, stream_tumbling_counts,
+        # stream_latest_per_key, stream_sliding_counts,
+        # stream_session_windows.
     }
 )
 
@@ -97,46 +143,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
 # queue BEHIND those (they are pinned locally by check_parity + pytest
 # meanwhile) and rotate in next round: move the names below out of
 # this set and the newly-green names into DRIVER_VERIFIED_PREVIOUSLY.
-NEW_THIS_ROUND: frozenset[str] = frozenset(
-    {
-        "dedup_components",
-        "chunk_documents",
-        "repetition_ratio",
-        "top_tokens_per_lang",
-        "interval_join_peak_windows",
-        "scd2_history",
-        "hll_sketch_rollup",
-        "stream_interval_join",
-        "stream_running_totals",
-        "sample_per_group",
-        "winsorized_mean_price",
-        "clean_text_scrub",
-        "doc_length_histogram",
-        "csv_roundtrip_orders",
-        "orc_roundtrip_orders",
-        "pack_documents",
-        "stream_parquet_sink",
-        "stream_aggregate_view",
-        "sim_pq_topk",
-        "funnel_stages",
-        "cohort_retention",
-        "bm25_rank",
-        "source_char_budget",
-        "zscore_outliers",
-        "join_bloom_prefiltered",
-        "rollup_time_hierarchy",
-        "decontaminate_ngram_overlap",
-        "token_drift_kl",
-        "profile_columns",
-        "gap_fill_locf",
-        "weighted_sample",
-        "interpolate_linear",
-        "inverted_index",
-        "cms_heavy_hitters",
-        "json_roundtrip_orders",
-        "label_centroids",
-    }
-)
+NEW_THIS_ROUND: frozenset[str] = frozenset()
 
 
 def _window_order(specs: dict[str, QuerySpec]) -> list[str]:

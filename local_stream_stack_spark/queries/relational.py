@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from local_stream_stack_spark.catalog import load_table
 from local_stream_stack_spark.queries.registry import query
 from local_stream_stack_spark.session import configure_for_oracle
+from local_stream_stack_spark.utils.ts import epoch_s
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -662,7 +663,7 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(
             F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")
         ).alias("days_to_2002"),
-        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        epoch_s("o_orderdate").alias("epoch_s"),
     )
 
 

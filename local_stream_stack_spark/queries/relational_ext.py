@@ -32,6 +32,7 @@ from local_stream_stack_spark.queries.relational import (
     _sum_round,
 )
 from local_stream_stack_spark.session import configure_for_oracle
+from local_stream_stack_spark.utils.ts import epoch_us
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -411,15 +412,42 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "percentile_stats",
     oracle="""
-    SELECT l_returnflag,
-           CAST(ROUND(median(l_quantity), 4) AS DECIMAL(18,4)) AS median_qty,
-           CAST(ROUND(quantile_cont(l_quantity, 0.90), 4) AS DECIMAL(18,4)) AS p90_qty,
-           CAST(ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS DECIMAL(18,4)) AS p25_price,
-           CAST(ROUND(stddev_samp(l_quantity), 3) AS DECIMAL(18,3)) AS sd_qty,
-           CAST(ROUND(corr(l_quantity, l_extendedprice), 3) AS DECIMAL(18,3)) AS corr_qty_price
-    FROM lineitem
-    GROUP BY l_returnflag
-    ORDER BY l_returnflag
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(8,2))) AS sq,
+             SUM(CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_quantity AS DECIMAL(8,2))) AS sqq,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sp,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS spp,
+             SUM(CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sqp
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    , qn AS (
+      SELECT l_returnflag,
+             median(l_quantity) AS med,
+             quantile_cont(l_quantity, 0.90) AS p90,
+             quantile_cont(l_extendedprice, 0.25) AS p25
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT qn.l_returnflag,
+           CAST(ROUND(med, 4) AS DECIMAL(18,4)) AS median_qty,
+           CAST(ROUND(p90, 4) AS DECIMAL(18,4)) AS p90_qty,
+           CAST(ROUND(p25, 4) AS DECIMAL(18,4)) AS p25_price,
+           CAST(ROUND(sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                            - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 3)
+                AS DECIMAL(18,3)) AS sd_qty,
+           CAST(ROUND((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
+                       - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+                      / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                              - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                         * sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                                - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 3)
+                AS DECIMAL(18,3)) AS corr_qty_price
+    FROM qn JOIN m ON qn.l_returnflag = m.l_returnflag
+    ORDER BY 1
     """,
 )
 def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -429,11 +457,15 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Percentiles come from operators/quantiles.exact_quantiles (3-pass
     bin refinement) — NOT Spark's ``percentile`` aggregate, which
     buffers every group value in one reducer (an ObjectHashAggregate
-    parallelism collapse / OOM at 100 TB). stddev/corr stay codegen
-    partial aggregates. Outputs are DECIMAL-cast on both engines:
-    decimals hash by scaled integer, so last-ulp double formatting and
-    ``-0.0`` can't diverge the driver's typed value hash (the round-1
-    hash_match=false cause)."""
+    parallelism collapse / OOM at 100 TB). stddev/corr are computed
+    from EXACT decimal moment sums (n, Σq, Σq², Σp, Σp², Σqp) and then
+    evaluated in double with the identical closed-form expression on
+    both engines: a native stddev_samp/corr over doubles accumulates
+    in partition order, so its last ulp — and hence a ROUND at a .0005
+    boundary — depends on the session's partitioning (the round-1/2
+    driver hash_match=false cause). Decimal sums are
+    accumulation-order-exact, making the result partitioning- and
+    engine-independent."""
     from local_stream_stack_spark.operators.quantiles import (
         exact_quantiles_multi,
     )
@@ -448,10 +480,26 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_extendedprice": ["__p25"],
         },
     )
+    qd = F.col("l_quantity").cast("decimal(8,2)")
+    pd_ = F.col("l_extendedprice").cast("decimal(12,2)")
     stats = li.groupBy("l_returnflag").agg(
-        F.stddev_samp("l_quantity").alias("__sd"),
-        F.corr("l_quantity", "l_extendedprice").alias("__corr"),
+        F.count("*").alias("__n"),
+        F.sum(qd).alias("__sq"),
+        F.sum(qd * qd).alias("__sqq"),
+        F.sum(pd_).alias("__sp"),
+        F.sum(pd_ * pd_).alias("__spp"),
+        F.sum(qd * pd_).alias("__sqp"),
     )
+    nd = F.col("__n").cast("double")
+    sq = F.col("__sq").cast("double")
+    sqq = F.col("__sqq").cast("double")
+    sp = F.col("__sp").cast("double")
+    spp = F.col("__spp").cast("double")
+    sqp = F.col("__sqp").cast("double")
+    var_num_q = nd * sqq - sq * sq
+    var_num_p = nd * spp - sp * sp
+    sd_qty = F.sqrt(var_num_q / (nd * (nd - F.lit(1.0))))
+    corr = (nd * sqp - sq * sp) / (F.sqrt(var_num_q) * F.sqrt(var_num_p))
     return (
         stats.join(quants, "l_returnflag")
         .select(
@@ -459,8 +507,8 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(ROUND(__median, 4) AS DECIMAL(18,4))").alias("median_qty"),
             F.expr("CAST(ROUND(__p90, 4) AS DECIMAL(18,4))").alias("p90_qty"),
             F.expr("CAST(ROUND(__p25, 4) AS DECIMAL(18,4))").alias("p25_price"),
-            F.expr("CAST(ROUND(__sd, 3) AS DECIMAL(18,3))").alias("sd_qty"),
-            F.expr("CAST(ROUND(__corr, 3) AS DECIMAL(18,3))").alias("corr_qty_price"),
+            F.round(sd_qty, 3).cast("decimal(18,3)").alias("sd_qty"),
+            F.round(corr, 3).cast("decimal(18,3)").alias("corr_qty_price"),
         )
         .orderBy("l_returnflag")
     )
@@ -743,10 +791,10 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(c).cast("double").alias(f"mx_{c}"),
         ]
     aggs += [
-        F.unix_micros(F.min("o_orderdate").cast("timestamp"))
+        epoch_us(F.min("o_orderdate"))
         .cast("double")
         .alias("mn_o_orderdate"),
-        F.unix_micros(F.max("o_orderdate").cast("timestamp"))
+        epoch_us(F.max("o_orderdate"))
         .cast("double")
         .alias("mx_o_orderdate"),
     ]

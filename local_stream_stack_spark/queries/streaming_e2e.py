@@ -39,17 +39,10 @@ from pyspark.sql import functions as F
 
 from local_stream_stack_spark.queries.registry import query
 from local_stream_stack_spark.session import configure_for_oracle
+from local_stream_stack_spark.utils.ts import epoch_s, epoch_us
 from local_stream_stack_spark.streaming.ops import (
     latest_per_key_stream_parquet,
     read_compacted_view,
-)
-
-# Raw wire schema of the events parquet: ts is TIMESTAMP(NANOS), which
-# Spark 4 only reads as long (spark.sql.legacy.parquet.nanosAsLong) —
-# same decode path as catalog.load_table, then truncated to micros.
-_RAW_EVENTS = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
-    "value double, props string"
 )
 
 _run_seq = itertools.count()
@@ -60,15 +53,36 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     FileStreamSource needs a directory; pathGlobFilter pins it to the
     single events file so sibling tables don't enter the stream.
+
+    The stream schema is probed from a batch read of the same file so
+    the query adapts to how the driver generated the data: naive
+    TIMESTAMP(MICROS) reads as TIMESTAMP_NTZ directly, while legacy
+    TIMESTAMP(NANOS) drops decode ``ts`` as long
+    (spark.sql.legacy.parquet.nanosAsLong — same path as
+    catalog.load_table) and are truncated to microsecond timestamps.
     """
     configure_for_oracle(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.option("pathGlobFilter", "events.parquet").parquet(
+        sf_dir
+    ).schema
     stream = (
-        spark.readStream.schema(_RAW_EVENTS)
+        spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    elif ts_type == "timestamp_ntz":
+        # Watermarks require a session-zoned TIMESTAMP event-time
+        # column (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise). The
+        # session timezone is pinned to UTC above, so the cast is
+        # instant-preserving and epoch extraction stays oracle-exact.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def _run_to_table(out: DataFrame, name: str, output_mode: str) -> DataFrame:
@@ -128,7 +142,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table = _run_to_table(out, "stream_tumbling", "complete")
     return table.select(
-        F.unix_timestamp("w.start").alias("window_start_s"),
+        epoch_s("w.start").alias("window_start_s"),
         "event_type",
         "n_events",
         "sum_value",
@@ -207,7 +221,7 @@ def stream_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "event_type",
             "value",
-            F.unix_micros("ts").alias("ts_us"),
+            epoch_us("ts").alias("ts_us"),
         )
         .orderBy("user_id")
     )
@@ -250,7 +264,7 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table = _run_to_table(out, "stream_sliding", "complete")
     return table.select(
-        F.unix_timestamp("w.start").alias("window_start_s"),
+        epoch_s("w.start").alias("window_start_s"),
         "n_events",
         "sum_value",
     ).orderBy("window_start_s")
@@ -297,7 +311,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = _run_to_table(out, "stream_session", "complete")
     return table.select(
         "user_id",
-        F.unix_micros("w.start").alias("session_start_us"),
+        epoch_us("w.start").alias("session_start_us"),
         "n_events",
     ).orderBy("user_id", "session_start_us")
 
@@ -421,8 +435,8 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("purchase_id"),
         F.col("event_id_r").alias("view_id"),
         "user_id",
-        F.unix_micros("ts").alias("purchase_ts_us"),
-        F.unix_micros("ts_r").alias("view_ts_us"),
+        epoch_us("ts").alias("purchase_ts_us"),
+        epoch_us("ts_r").alias("view_ts_us"),
     ).orderBy("purchase_id", "view_id")
 
 
@@ -508,7 +522,7 @@ def stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "user_id",
             "event_type",
-            F.unix_micros("ts").alias("ts_us"),
+            epoch_us("ts").alias("ts_us"),
         )
         .orderBy("event_id")
     )

@@ -18,6 +18,7 @@ from pyspark.sql.window import Window
 from local_stream_stack_spark.catalog import load_table
 from local_stream_stack_spark.queries.registry import query
 from local_stream_stack_spark.session import configure_for_oracle
+from local_stream_stack_spark.utils.ts import epoch_us
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -79,11 +80,11 @@ def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         "user_id",
-        F.unix_micros("ts").alias("ts_us"),
+        epoch_us("ts").alias("ts_us"),
         F.lag("event_type").over(w).alias("prev_type"),
         F.lead("event_type").over(w).alias("next_type"),
         F.first("event_type").over(w).alias("first_type"),
-        F.unix_micros(F.lag("ts").over(w)).alias("prev_ts_us"),
+        epoch_us(F.lag("ts").over(w)).alias("prev_ts_us"),
     )
 
 
@@ -197,7 +198,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     rowsBetween frames in window_frames). DECIMAL accumulation keeps
     the within-frame sum order-independent for the oracle compare."""
     e = _t(spark, sf_dir, "events")
-    e = e.withColumn("__epoch_s", F.floor(F.unix_micros("ts") / 1_000_000))
+    e = e.withColumn("__epoch_s", F.floor(epoch_us("ts") / 1_000_000))
     w = (
         Window.partitionBy("user_id")
         .orderBy("__epoch_s")
@@ -207,7 +208,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(
             "event_id",
             "user_id",
-            F.unix_micros("ts").alias("ts_us"),
+            epoch_us("ts").alias("ts_us"),
             F.sum(F.col("value").cast("decimal(18,6)"))
             .over(w)
             .cast("double")

@@ -70,6 +70,10 @@ def test_stream_tumbling_multi_batch_converges(spark, sf_dir, tmp_path):
         .option("maxFilesPerTrigger", "1")
         .parquet(in_dir)
     )
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        # watermarks require a session-zoned TIMESTAMP (UTC session)
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     out = (
         stream.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
