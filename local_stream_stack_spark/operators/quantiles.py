@@ -102,19 +102,28 @@ def exact_quantiles_multi(
             F.array(*[F.lit(padded[c][i]) for c in cols]), F.col("__ci") + 1
         )
 
-    # pass 0: group extents + target positions h_i = (n-1)*q_i
+    # pass 0: group extents + target positions h_i = (n-1)*q_i.
+    # All slot columns land in ONE select — a withColumn per slot
+    # re-runs the analyzer over a growing projection each time, which
+    # dominates plan-build latency once slots x 3 columns pile up.
     ext = vals.groupBy(*k2).agg(
         F.min("__v").alias("__lo"),
         F.max("__v").alias("__hi"),
         F.count("*").alias("__n"),
     )
+    slot_cols = []
     for i in range(n_slots):
-        ext = (
-            ext.withColumn(f"__h{i}", (F.col("__n") - 1) * q_lit(i))
-            .withColumn(f"__rlo{i}", F.floor(f"__h{i}").cast("bigint"))
-            .withColumn(f"__rhi{i}", F.ceil(f"__h{i}").cast("bigint"))
-        )
-    ext = ext.withColumn("__w", (F.col("__hi") - F.col("__lo")) / F.lit(float(bins)))
+        h = (F.col("__n") - 1) * q_lit(i)
+        slot_cols += [
+            h.alias(f"__h{i}"),
+            F.floor(h).cast("bigint").alias(f"__rlo{i}"),
+            F.ceil(h).cast("bigint").alias(f"__rhi{i}"),
+        ]
+    ext = ext.select(
+        "*",
+        *slot_cols,
+        ((F.col("__hi") - F.col("__lo")) / F.lit(float(bins))).alias("__w"),
+    )
 
     bin_of = F.when(
         F.col("__w") > 0,
@@ -182,12 +191,16 @@ def exact_quantiles_multi(
         )
         aggs.append(F.first(f"__h{i}").alias(f"__hh{i}"))
     picked = ranked.filter(keep).groupBy(*k2).agg(*aggs)
+    out_exprs = []
     for i in range(n_slots):
         frac = F.col(f"__hh{i}") - F.floor(f"__hh{i}")
-        picked = picked.withColumn(
-            f"__o{i}",
-            F.col(f"__vlo{i}") + frac * (F.col(f"__vhi{i}") - F.col(f"__vlo{i}")),
+        out_exprs.append(
+            (
+                F.col(f"__vlo{i}")
+                + frac * (F.col(f"__vhi{i}") - F.col(f"__vlo{i}"))
+            ).alias(f"__o{i}")
         )
+    picked = picked.select("*", *out_exprs)
     # fold the (key, col) rows back to one row per key (tiny table)
     finals = [
         F.max(F.when(F.col("__ci") == ci, F.col(f"__o{i}"))).alias(

@@ -143,7 +143,15 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
 # queue BEHIND those (they are pinned locally by check_parity + pytest
 # meanwhile) and rotate in next round: move the names below out of
 # this set and the newly-green names into DRIVER_VERIFIED_PREVIOUSLY.
-NEW_THIS_ROUND: frozenset[str] = frozenset()
+NEW_THIS_ROUND: frozenset[str] = frozenset(
+    {
+        "shuffle_deterministic",
+        "tfidf_top_terms",
+        "mad_outliers",
+        "dedup_containment",
+        "decile_bounds_price",
+    }
+)
 
 
 def _window_order(specs: dict[str, QuerySpec]) -> list[str]:

@@ -1,0 +1,354 @@
+"""Round-3 training-data pipeline operators.
+
+Large-scale training pipelines need a handful of operations beyond
+dedup/similarity/quality (already in ``queries/llm.py``): reproducible
+global shuffling of the corpus, corpus-level term weighting (TF-IDF),
+robust outlier detection (median/MAD instead of mean/stddev), an
+asymmetric containment near-dup check (catches quote/subset reuse that
+symmetric Jaccard misses), and feature binning against exact decile
+boundaries. Each is expressed as a scale-safe Spark plan with a DuckDB
+oracle.
+
+No reference analog exists for any of these (the reference delegates
+all computation to Spark; SURVEY.md §2B north-star rows) — they extend
+the LLM-data operator family the same way ``queries/llm.py`` does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from local_stream_stack_spark.catalog import load_table
+from local_stream_stack_spark.queries.registry import query
+from local_stream_stack_spark.session import configure_for_oracle
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure_for_oracle(spark)
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "shuffle_deterministic",
+    oracle="""
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+             AS pos
+    FROM documents
+    ORDER BY pos
+    """,
+)
+def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global corpus shuffle with a materialized position
+    — the "seeded shuffle" every training run needs so epoch ordering
+    is identical across reruns and engines.
+
+    A naive ROW_NUMBER over a global ORDER BY collapses to ONE
+    reducer holding the whole corpus. This plan stays distributed:
+    order by md5(doc_id) (the deterministic permutation), bucket rows
+    by the hash's first byte (hex-lexical order == bucket numeric
+    order, so bucket boundaries respect the global order), compute the
+    256-row bucket-size table, turn it into cumulative start offsets
+    with a window over the TINY bucket table, broadcast the offsets
+    back, and add the within-bucket rank. Every shuffle moves either
+    bucket-partitioned rows (once) or 256 aggregate rows; the global
+    sort itself never materializes on one node. At 100 TB, widen the
+    prefix to 2 bytes (65k buckets) and nothing else changes.
+    """
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    h = F.md5(F.col("doc_id").cast("string"))
+    d = d.withColumn("__h", h).withColumn(
+        "__b", F.conv(F.substring("__h", 1, 2), 16, 10).cast("int")
+    )
+    sizes = d.groupBy("__b").agg(F.count("*").alias("__n"))
+    w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "__b", F.coalesce(F.sum("__n").over(w), F.lit(0)).alias("__off")
+    )
+    wb = Window.partitionBy("__b").orderBy("__h", "doc_id")
+    return (
+        d.join(F.broadcast(offsets), "__b")
+        .withColumn("pos", (F.col("__off") + F.row_number().over(wb) - 1))
+        .select("doc_id", "lang", "pos")
+        .orderBy("pos")
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(list_distinct(
+               string_split_regex(lower(trim(text)), '\\s+'))) AS tok
+      FROM documents
+    ),
+    tk AS (SELECT * FROM toks WHERE length(tok) >= 3),
+    df AS (SELECT tok, COUNT(*) AS df FROM tk GROUP BY tok),
+    tf AS (SELECT lang, tok, COUNT(*) AS tf FROM tk GROUP BY lang, tok),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT lang, tok, tf, df,
+           CAST(ROUND(tf * ln((n_docs + 1.0) / (df + 1.0)), 6)
+                AS DECIMAL(18,6)) AS tfidf,
+           rk
+    FROM (
+      SELECT t.lang, t.tok, t.tf, d.df, n.n_docs,
+             ROW_NUMBER() OVER (
+               PARTITION BY t.lang
+               ORDER BY t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)) DESC, t.tok)
+               AS rk
+      FROM tf t JOIN df d ON t.tok = d.tok CROSS JOIN n
+    ) r
+    WHERE rk <= 10
+    ORDER BY lang, rk
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-10 TF-IDF terms: tf = documents in the language
+    containing the term (distinct per doc), idf = ln((N+1)/(df+1))
+    over the whole corpus — the corpus-characterization report behind
+    domain tagging and stop-word lists.
+
+    Plan: one explode of per-doc DISTINCT tokens feeds both the df and
+    tf aggregates (two shuffles over token keys, payload-free); the
+    1-row corpus count and per-term df broadcast back onto the tf
+    table; per-language rank prunes with WindowGroupLimit. The score
+    expression (bigint tf x double log) is evaluated identically on
+    both engines, so ordering and the 6-dp round agree."""
+    d = _t(spark, sf_dir, "documents")
+    tk = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.array_distinct(
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+                )
+            ).alias("tok"),
+        )
+        .filter(F.length("tok") >= 3)
+    )
+    df_ = tk.groupBy("tok").agg(F.count("*").alias("df"))
+    tf = tk.groupBy("lang", "tok").agg(F.count("*").alias("tf"))
+    n_docs = d.count()
+    score = F.col("tf") * F.log(
+        (F.lit(float(n_docs) + 1.0)) / (F.col("df") + F.lit(1.0))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("__s"), F.asc("tok"))
+    return (
+        tf.join(df_, "tok")
+        .withColumn("__s", score)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select(
+            "lang",
+            "tok",
+            "tf",
+            "df",
+            F.round("__s", 6).cast("decimal(18,6)").alias("tfidf"),
+            "rk",
+        )
+        .orderBy("lang", "rk")
+    )
+
+
+@query(
+    "mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+      SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type,
+           CAST(ROUND(d.adev / m.mad, 4) AS DECIMAL(18,4)) AS mad_score
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    WHERE d.adev / m.mad > 6.0
+    ORDER BY mad_score DESC, event_id
+    """,
+)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: score = |x - median| / MAD per event
+    type, flag scores above 6 — unlike z-scores (see zscore_outliers)
+    the cut survives heavy-tailed data because median and MAD ignore
+    the outliers themselves.
+
+    Two rounds of the distributed exact-median operator
+    (operators/quantiles — 3-pass bin refinement, never a full-group
+    buffer), each producing a per-type row that broadcasts back over
+    the scan; the scoring pass is pure codegen. The 4-dp round happens
+    on the division result, which both engines compute from identical
+    exact medians, so the threshold boundary agrees."""
+    from local_stream_stack_spark.operators.quantiles import exact_quantiles
+
+    e = _t(spark, sf_dir, "events")
+    med = exact_quantiles(
+        e, "value", [0.5], ["event_type"], out_cols=["med"]
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = exact_quantiles(
+        dev, "adev", [0.5], ["event_type"], out_cols=["mad"]
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .withColumn("mad_score", F.col("adev") / F.col("mad"))
+        .filter(F.col("mad_score") > 6.0)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("mad_score", 4).cast("decimal(18,4)").alias("mad_score"),
+        )
+        .orderBy(F.desc("mad_score"), F.asc("event_id"))
+    )
+
+
+@query(
+    "dedup_containment",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                            || ' ' || words[i+3] || ' ' || words[i+4]
+               for i in generate_series(1, len(words) - 4)]) AS grams
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\\s+') AS words
+            FROM documents WHERE doc_id < 1000)
+    ),
+    inv AS (SELECT doc_id, unnest(grams) AS gram, len(grams) AS sz FROM g),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS inter, ANY_VALUE(a.sz) AS sz_a
+      FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(ROUND(inter / CAST(sz_a AS DOUBLE), 6) AS DECIMAL(18,6))
+             AS containment
+    FROM pairs
+    WHERE inter / CAST(sz_a AS DOUBLE) >= 0.2
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup: |shingles(A) ∩ shingles(B)| /
+    |shingles(A)| over 5-gram word shingles — catches a short document
+    quoted inside a long one, which symmetric Jaccard dilutes below
+    any threshold.
+
+    Inverted-index join (explode distinct shingles, self-join on the
+    shingle, count per pair) — the same bounded-by-collisions shape as
+    dedup_ngram_jaccard, never an all-pairs cross join. At 100 TB this
+    runs on LSH candidate pairs instead of the raw corpus (compose
+    with dedup_minhash_lsh); the doc_id<1000 slice keeps the oracle's
+    quadratic check cheap while exercising the identical plan."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    grams = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(0, size(split(lower(trim(text)), '\\\\s+')) - 5),"
+                " i -> concat_ws(' ', slice(split(lower(trim(text)), '\\\\s+'), i + 1, 5)))"
+            )
+        ).alias("grams"),
+    )
+    inv = grams.select(
+        "doc_id", F.explode("grams").alias("gram"), F.size("grams").alias("sz")
+    )
+    a = inv.alias("a")
+    b = inv.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"), F.first(F.col("a.sz")).alias("sz_a"))
+    )
+    return (
+        pairs.withColumn(
+            "containment", F.col("inter") / F.col("sz_a").cast("double")
+        )
+        .filter(F.col("containment") >= 0.2)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("containment", 6).cast("decimal(18,6)").alias("containment"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "decile_bounds_price",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(u.decile AS INT) AS decile,
+           CAST(ROUND(u.bound, 4) AS DECIMAL(18,4)) AS bound
+    FROM (
+      SELECT o_orderpriority, unnest([
+        {'decile': 1, 'bound': quantile_cont(o_totalprice, 0.1)},
+        {'decile': 2, 'bound': quantile_cont(o_totalprice, 0.2)},
+        {'decile': 3, 'bound': quantile_cont(o_totalprice, 0.3)},
+        {'decile': 4, 'bound': quantile_cont(o_totalprice, 0.4)},
+        {'decile': 5, 'bound': quantile_cont(o_totalprice, 0.5)},
+        {'decile': 6, 'bound': quantile_cont(o_totalprice, 0.6)},
+        {'decile': 7, 'bound': quantile_cont(o_totalprice, 0.7)},
+        {'decile': 8, 'bound': quantile_cont(o_totalprice, 0.8)},
+        {'decile': 9, 'bound': quantile_cont(o_totalprice, 0.9)}
+      ]) AS u
+      FROM orders GROUP BY o_orderpriority
+    )
+    ORDER BY o_orderpriority, decile
+    """,
+)
+def decile_bounds_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-priority price decile boundaries (d10..d90) — the
+    feature-binning prerequisite (quantile bucketing for numeric
+    features, length-balanced batch construction for documents).
+
+    All nine quantiles share ONE three-pass exact-quantile pipeline
+    (operators/quantiles.exact_quantiles_multi): the rank set is the
+    union over the nine targets, so adding quantiles adds no scans.
+    Output unpivots to (priority, decile, bound) rows for the oracle's
+    GROUP BY form."""
+    from local_stream_stack_spark.operators.quantiles import exact_quantiles
+
+    o = _t(spark, sf_dir, "orders")
+    qs = [i / 10.0 for i in range(1, 10)]
+    names = [f"d{i}0" for i in range(1, 10)]
+    wide = exact_quantiles(
+        o, "o_totalprice", qs, ["o_orderpriority"], out_cols=names
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("decile"), F.col(f"d{i}0").alias("bound")
+            )
+            for i in range(1, 10)
+        ]
+    )
+    return (
+        wide.select(
+            "o_orderpriority", F.explode(pairs).alias("p")
+        )
+        .select(
+            "o_orderpriority",
+            F.col("p.decile").cast("int").alias("decile"),
+            F.round("p.bound", 4).cast("decimal(18,4)").alias("bound"),
+        )
+        .orderBy("o_orderpriority", "decile")
+    )
