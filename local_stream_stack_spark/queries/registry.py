@@ -150,6 +150,9 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "mad_outliers",
         "dedup_containment",
         "decile_bounds_price",
+        "semantic_dedup_components",
+        "perplexity_unigram",
+        "partitioned_roundtrip_docs",
     }
 )
 

@@ -293,6 +293,179 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "semantic_dedup_components",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, embedding FROM embeddings
+    ),
+    jp AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_reduce(list_transform(generate_series(1, len(a.embedding)),
+                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                  (x, y) -> x + y)
+              / (sqrt(list_reduce(list_transform(a.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x,y) -> x+y))
+               * sqrt(list_reduce(list_transform(b.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x,y) -> x+y))),
+              6) >= 0.40
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM jp
+      UNION
+      SELECT id_b AS s, id_a AS d FROM jp
+    ),
+    reach AS (
+      SELECT s AS n, s AS m FROM edges
+      UNION
+      SELECT r.n, e2.d AS m FROM reach r JOIN edges e2 ON r.m = e2.s
+    )
+    SELECT n AS vec_id, MIN(m) AS component
+    FROM reach GROUP BY n ORDER BY vec_id
+    """,
+)
+def semantic_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup end to end: exact cosine >= 0.40
+    pairs from the distributed block-pair scorer promoted to
+    transitively-connected clusters, each labeled by its minimum
+    vec_id — the keep-one-representative decision a semantic dedup
+    pass applies. The embedding twin of dedup_components (n-gram
+    edges).
+
+    Edges: cosine_allpairs_threshold_blocked — no driver collect,
+    B(B+1)/2 independent block-pair tasks, bit-identical to the
+    oracle's list_reduce fold. Clusters: iterative min-label
+    propagation, one shuffle per round (operators/graph.py). At corpus
+    scale swap the exact edge stage for LSH candidates (sim_lsh_topk)
+    + this same verify-and-cluster tail. Oracle: DuckDB recursive-CTE
+    transitive closure over the identical pair predicate."""
+    from local_stream_stack_spark.operators.graph import connected_components
+    from local_stream_stack_spark.operators.similarity import (
+        cosine_allpairs_threshold_blocked,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_allpairs_threshold_blocked(
+        e, id_col="vec_id", vec_col="embedding", threshold=0.40
+    )
+    return (
+        connected_components(pairs, src="id_a", dst="id_b")
+        .select(F.col("node").alias("vec_id"), "component")
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "perplexity_unigram",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    tk AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+    vocab AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok),
+    tot AS (SELECT SUM(c) AS total, COUNT(*) AS v FROM vocab),
+    lp AS (
+      SELECT tok,
+             CAST(ROUND(ln((c + 1.0) / (total + v)), 6) AS DECIMAL(12,6))
+               AS logp
+      FROM vocab CROSS JOIN tot
+    ),
+    dt AS (
+      SELECT doc_id, tok, COUNT(*) AS n FROM tk GROUP BY doc_id, tok
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.n) AS BIGINT) AS n_tokens,
+           CAST(ROUND(-CAST(SUM(d.n * l.logp) AS DOUBLE)
+                      / CAST(SUM(d.n) AS DOUBLE), 4) AS DECIMAL(18,4))
+             AS nll_per_token
+    FROM dt d JOIN lp l ON d.tok = l.tok
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score: train add-one-smoothed
+    token probabilities on the corpus itself, then score each document
+    by mean negative log-likelihood per token — the classic
+    perplexity-based quality filter (high = unusual/garbled text).
+
+    Determinism: per-token ln p rounds to a 6-dp DECIMAL once, so the
+    per-doc aggregate is an exact integer-weighted decimal sum —
+    order-independent, immune to partition-layout float drift. Plan:
+    one token explode feeds vocab counts (shuffle on token), the tiny
+    log-prob table joins back on token, and the per-doc aggregate
+    shuffles (doc, token) count rows, never raw text."""
+    d = _t(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    vocab = tk.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = vocab.agg(
+        F.sum("c").alias("total"), F.count("*").alias("v")
+    )
+    lp = vocab.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.round(
+            F.log((F.col("c") + F.lit(1.0)) / (F.col("total") + F.col("v"))), 6
+        )
+        .cast("decimal(12,6)")
+        .alias("logp"),
+    )
+    dt = tk.groupBy("doc_id", "tok").agg(F.count("*").alias("n"))
+    return (
+        dt.join(lp, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.round(
+                -F.sum(F.col("n") * F.col("logp")).cast("double")
+                / F.sum("n").cast("double"),
+                4,
+            )
+            .cast("decimal(18,4)")
+            .alias("nll_per_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "partitioned_roundtrip_docs",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE lang = 'en'
+    ORDER BY doc_id
+    """,
+)
+def partitioned_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned dataset layout round-trip: write documents
+    partitioned by language, read back ONLY the lang='en' partition.
+    On a 100 TB lake this is the difference between scanning the world
+    and scanning one directory — the filter becomes a partition
+    PRUNING decision at planning time (tests/test_partitioning.py
+    pins PartitionFilters in the scan plan), and the same layout is
+    what makes per-language curation stages scan-only. Values must
+    round-trip exactly (partition column restored from the directory
+    key)."""
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="lss-partitioned-docs-")
+    (
+        d.select("doc_id", "lang", "source", "n_chars")
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(F.col("lang") == "en")
+    return back.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+
+
+@query(
     "decile_bounds_price",
     oracle="""
     SELECT o_orderpriority,
