@@ -111,8 +111,16 @@ def configure_for_oracle(spark: SparkSession) -> SparkSession:
     the AQE switches that are safe to flip at runtime.
     """
     ensure_package_shipped(spark)
+    # Shuffle-partition count sized to the session's actual cores: AQE
+    # coalesces small batch shuffles anyway, but STATEFUL streaming
+    # fixes its state-store partition count from this setting at first
+    # run — the vanilla default of 200 means 200 state stores per
+    # query, which turns a 3 s bounded replay into ~30 s of store
+    # init/commit overhead on a local session.
+    cores = max(4, spark.sparkContext.defaultParallelism)
     for k, v in (
         ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.shuffle.partitions", str(cores)),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
