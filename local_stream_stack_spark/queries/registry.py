@@ -153,6 +153,10 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "semantic_dedup_components",
         "perplexity_unigram",
         "partitioned_roundtrip_docs",
+        "stream_static_enrich",
+        "stream_topk_per_window",
+        "embedding_quantize_int8",
+        "unicode_nfc_normalize",
     }
 )
 

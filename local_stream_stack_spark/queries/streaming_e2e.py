@@ -482,6 +482,97 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_topk_per_window",
+    oracle="""
+    WITH counts AS (
+      SELECT CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 3600) * 3600 AS BIGINT)
+               AS window_start_s,
+             user_id, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start_s, user_id, n_events, rk FROM (
+      SELECT window_start_s, user_id, n_events,
+             ROW_NUMBER() OVER (PARTITION BY window_start_s
+                                ORDER BY n_events DESC, user_id) AS rk
+      FROM counts
+    ) t
+    WHERE rk <= 3
+    ORDER BY window_start_s, rk
+    """,
+)
+def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE windowed top-k under the oracle: per-hour per-user counts
+    accumulate in streaming window state (complete mode), and the
+    top-3 ranking runs as a batch window over the materialized state —
+    the standard two-stage shape, since rank-over-stream isn't an
+    incremental operator. The streaming stage's state is (window x
+    user) counters; the rank stage sees |windows| x |users| rows, not
+    events, and prunes to k per window via WindowGroupLimit."""
+    from pyspark.sql.window import Window
+
+    s = _events_stream(spark, sf_dir)
+    out = (
+        s.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    table = _run_to_table(out, "stream_topk", "complete")
+    w = Window.partitionBy("window_start_s").orderBy(
+        F.desc("n_events"), F.asc("user_id")
+    )
+    return (
+        table.select(
+            epoch_s("w.start").alias("window_start_s"), "user_id", "n_events"
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .orderBy("window_start_s", "rk")
+    )
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT c.c_nationkey, e.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_nationkey, e.event_type
+    ORDER BY c.c_nationkey, e.event_type
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE stream-static join under the oracle: the event stream
+    enriches against the static customer dimension (the reference's
+    lookup-table pattern), then aggregates per (nation, event type) in
+    complete mode. The static side re-reads per micro-batch — at scale
+    a broadcast dimension — and the stream side never buffers join
+    state (stream-static joins are stateless on the stream side), so
+    the bounded replay must equal the batch join. Integer cents keep
+    sums accumulation-order-exact across micro-batch splits."""
+    from local_stream_stack_spark.catalog import load_table
+    from local_stream_stack_spark.streaming.ops import stream_static_join
+
+    s = _events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_nationkey")
+    )
+    joined = stream_static_join(
+        s.withColumn("cents", F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")),
+        dim,
+        on=F.col("user_id") == F.col("c_custkey"),
+    )
+    out = joined.groupBy("c_nationkey", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+    table = _run_to_table(out, "stream_enrich", "complete")
+    return table.orderBy("c_nationkey", "event_type")
+
+
+@query(
     "stream_parquet_sink",
     oracle="""
     SELECT event_id, user_id, event_type,

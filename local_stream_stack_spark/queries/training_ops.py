@@ -16,6 +16,8 @@ the LLM-data operator family the same way ``queries/llm.py`` does.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -463,6 +465,152 @@ def partitioned_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     back = spark.read.parquet(out).filter(F.col("lang") == "en")
     return back.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH g AS (
+      SELECT unnest(generate_series(1,
+               (SELECT max(len(embedding)) FROM embeddings))) AS i
+    ),
+    cells AS (
+      SELECT e.vec_id, g.i, CAST(e.embedding[g.i] AS DOUBLE) AS v,
+             len(e.embedding) AS dim
+      FROM embeddings e CROSS JOIN g
+      WHERE g.i <= len(e.embedding)
+    ),
+    ext AS (SELECT i, MIN(v) AS lo, MAX(v) AS hi FROM cells GROUP BY i),
+    q AS (
+      SELECT c.vec_id, c.dim,
+             CASE WHEN x.hi > x.lo
+                  THEN x.lo + ROUND((c.v - x.lo) / (x.hi - x.lo) * 255, 0)
+                       * (x.hi - x.lo) / 255
+                  ELSE x.lo END AS recon,
+             c.v
+      FROM cells c JOIN ext x ON c.i = x.i
+    )
+    SELECT vec_id,
+           CAST(ROUND(SUM(CAST(ROUND((v - recon) * (v - recon), 12)
+                               AS DECIMAL(24,12)))
+                      / CAST(ANY_VALUE(dim) AS DOUBLE) * 1e6, 6)
+                AS DECIMAL(18,6)) AS mse_x1e6
+    FROM q
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column with per-vector
+    reconstruction error — the 4x storage/bandwidth compression step
+    before ANN indexing at corpus scale.
+
+    Per-dimension [min, max] extents come from one posexplode +
+    partial-aggregated groupBy(dim): map-side combine collapses each
+    partition to |dims| extent rows before the shuffle, so the
+    exchange is O(partitions x dims), not O(rows x dims). The tiny
+    extents table broadcasts back; quantize/dequantize and the
+    squared-error terms are pure codegen. Errors round to a fixed-
+    scale DECIMAL per cell before summing, so the per-vector MSE is
+    accumulation-order-exact on both engines (reported x1e6 to keep
+    the rounded decimal well inside its precision)."""
+    e = _t(spark, sf_dir, "embeddings")
+    cells = e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.posexplode("embedding").alias("i0", "vf"),
+    ).select(
+        "vec_id",
+        "dim",
+        (F.col("i0") + 1).alias("i"),
+        F.col("vf").cast("double").alias("v"),
+    )
+    ext = cells.groupBy("i").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    recon = F.when(
+        F.col("hi") > F.col("lo"),
+        F.col("lo")
+        + F.round((F.col("v") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 255, 0)
+        * (F.col("hi") - F.col("lo"))
+        / 255,
+    ).otherwise(F.col("lo"))
+    q = cells.join(F.broadcast(ext), "i").select(
+        "vec_id",
+        "dim",
+        F.round((F.col("v") - recon) * (F.col("v") - recon), 12)
+        .cast("decimal(24,12)")
+        .alias("sqerr"),
+    )
+    return (
+        q.groupBy("vec_id")
+        .agg(
+            F.round(
+                F.sum("sqerr") / F.first("dim").cast("double") * 1e6, 6
+            )
+            .cast("decimal(18,6)")
+            .alias("mse_x1e6")
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "unicode_nfc_normalize",
+    oracle="""
+    WITH dirty AS (
+      SELECT doc_id,
+             substr(text, 1, 40) || ' cafe' || chr(769) || ' nai' || chr(776)
+               || 've A' || chr(778) || ' fi' AS t
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           nfc_normalize(t) AS normalized,
+           CAST(length(t) AS BIGINT) AS len_before,
+           CAST(length(nfc_normalize(t)) AS BIGINT) AS len_after,
+           (t <> nfc_normalize(t)) AS changed
+    FROM dirty
+    ORDER BY doc_id
+    """,
+)
+def unicode_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — the canonicalization step every
+    text-dedup pipeline runs first (composed vs decomposed accents
+    hash differently; 'e'+COMBINING ACUTE vs 'é' must dedup as one).
+
+    Spark has no built-in normalizer, so this is the honest
+    Arrow-batched pandas-UDF slow path (unicodedata.normalize per
+    batch, no per-row Python round trips) against DuckDB's
+    utf8proc-backed nfc_normalize — both implement the same Unicode
+    canonical composition, so outputs match exactly. A deterministic
+    decomposed suffix (combining acute/diaeresis/ring) is appended on
+    both engines since the synthetic corpus is ASCII-clean. Counted
+    lengths are Unicode code points on both engines."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda x: None if x is None else unicodedata.normalize("NFC", x))
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    dirty = d.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" café naïve Å fi"),
+        ).alias("t"),
+    )
+    return (
+        dirty.withColumn("normalized", nfc(F.col("t")))
+        .select(
+            "doc_id",
+            "normalized",
+            F.length("t").cast("bigint").alias("len_before"),
+            F.length("normalized").cast("bigint").alias("len_after"),
+            (F.col("t") != F.col("normalized")).alias("changed"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @query(

@@ -90,3 +90,31 @@ def test_perplexity_scores_are_positive_and_complete(spark):
     assert len(rows) == docs
     assert all(float(r.nll_per_token) > 0 for r in rows)
     assert all(r.n_tokens > 0 for r in rows)
+
+
+def test_embedding_quantize_error_bounded(spark):
+    from local_stream_stack_spark.queries.training_ops import (
+        embedding_quantize_int8,
+    )
+
+    rows = embedding_quantize_int8(spark, SF).collect()
+    n_vecs = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert len(rows) == n_vecs
+    # 8-bit quantization error per dim is <= (range/255/2)^2; ranges in
+    # the synthetic data are O(1), so mean squared error (x1e6) stays
+    # far below the trivial bound of (0.5)^2 * 1e6
+    assert all(0 <= float(r.mse_x1e6) < 10_000 for r in rows)
+
+
+def test_unicode_nfc_composes_suffix(spark):
+    from local_stream_stack_spark.queries.training_ops import (
+        unicode_nfc_normalize,
+    )
+
+    rows = unicode_nfc_normalize(spark, SF).collect()
+    assert rows
+    # every row got the decomposed suffix, so every row changed and
+    # shortened by exactly the 3 combining marks it composed away
+    assert all(r.changed for r in rows)
+    assert all(r.len_before - r.len_after == 3 for r in rows)
+    assert all("café" in r.normalized for r in rows)

@@ -15,6 +15,11 @@ percentile_stats and q12_late_shipments in round 1.
 Usage: python tools/check_parity.py [sf_dir] [query ...]
        python tools/check_parity.py --window   # show the driver's
            50-entry correctness window and which queries fall outside
+       python tools/check_parity.py --vanilla [sf_dir] [query ...]
+           # use a DRIVER-SHAPED SparkSession (no engine conf: default
+           # timezone, 200 shuffle partitions, no AQE pinning) so any
+           # query that silently depends on get_spark()'s settings
+           # fails HERE instead of at the real gate
 """
 
 from __future__ import annotations
@@ -166,12 +171,26 @@ def show_window():
 
 
 def main():
-    if len(sys.argv) > 1 and sys.argv[1] == "--window":
+    args = sys.argv[1:]
+    if args and args[0] == "--window":
         show_window()
         return 0
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark(app_name="parity-check")
+    vanilla = bool(args) and args[0] == "--vanilla"
+    if vanilla:
+        args = args[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("parity-vanilla")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(app_name="parity-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
