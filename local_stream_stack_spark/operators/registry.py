@@ -188,3 +188,41 @@ def _repartition(num_partitions: int, columns: list[str] | None = None) -> Trans
         return df.repartition(num_partitions)
 
     return fn
+
+
+@register_transform("aggregate")
+def _aggregate(group_by: list[str], aggs: list[str]) -> Transform:
+    """Grouped aggregation from SQL aggregate expressions, e.g.
+    ``["count(*) AS n", "sum(cents) AS total"]`` — gives YAML
+    pipelines the groupBy/agg stage the reference leaves to custom
+    processor classes."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        return df.groupBy(*group_by).agg(*[F.expr(e) for e in aggs])
+
+    return fn
+
+
+@register_transform("join_static")
+def _join_static(
+    path: str,
+    on: list[str] | str,
+    how: str = "inner",
+    format: str = "parquet",
+    broadcast: bool = True,
+    select: list[str] | None = None,
+) -> Transform:
+    """Enrich the flow against a static dimension read from ``path`` —
+    the lookup-join stage (stream-static join when the pipeline is
+    streaming; plain dim join in batch). ``broadcast`` hints the dim
+    side, the right default for dimensions that fit an executor."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        dim = df.sparkSession.read.format(format).load(path)
+        if select:
+            dim = dim.select(*select)
+        if broadcast:
+            dim = F.broadcast(dim)
+        return df.join(dim, on, how)
+
+    return fn

@@ -155,6 +155,69 @@ def exact_quantile_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_yaml_enrich_agg",
+    oracle="""
+    SELECT c.c_nationkey,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type <> 'error'
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+    """,
+)
+def pipeline_yaml_enrich_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A full relational flow driven ENTIRELY from YAML config:
+    filter -> computed column -> static-dimension broadcast join ->
+    grouped aggregation — the processor breadth the reference's chain
+    model gestures at (any DataFrame -> DataFrame transform,
+    `base_processor.py:40-51`) made concrete as named registry stages
+    (`aggregate`, `join_static`). The whole chain stays one lazy plan,
+    so Catalyst pushes the filter below the join and the dim side
+    broadcasts; integer-cents sums keep the aggregate engine-exact."""
+    import yaml
+
+    from local_stream_stack_spark.pipeline import Pipeline
+
+    configure_for_oracle(spark)
+    cfg = yaml.safe_load(f"""
+name: events-enrich-agg
+source:
+  type: parquet
+  path: {sf_dir}/events.parquet
+  streaming: false
+processors:
+  - name: filter
+    params:
+      predicate: "event_type <> 'error'"
+  - name: with_column
+    params:
+      name: cents
+      expr: "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"
+  - name: with_column
+    params:
+      name: c_custkey
+      expr: "user_id"
+  - name: join_static
+    params:
+      path: {sf_dir}/customer.parquet
+      "on": [c_custkey]
+      select: [c_custkey, c_nationkey]
+  - name: aggregate
+    params:
+      group_by: [c_nationkey]
+      aggs:
+        - "COUNT(*) AS n_events"
+        - "CAST(SUM(cents) AS BIGINT) AS sum_cents"
+sink:
+  type: noop
+""")
+    return Pipeline(spark, cfg).dataframe().orderBy("c_nationkey")
+
+
+@query(
     "pipeline_yaml_batch",
     oracle="""
     SELECT doc_id, lang, n_chars,

@@ -157,6 +157,9 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "stream_topk_per_window",
         "embedding_quantize_int8",
         "unicode_nfc_normalize",
+        "cdc_merge_summary",
+        "fuzzy_name_match",
+        "pipeline_yaml_enrich_agg",
     }
 )
 

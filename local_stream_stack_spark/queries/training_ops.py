@@ -614,6 +614,153 @@ def unicode_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_merge_summary",
+    oracle="""
+    WITH old_state AS (
+      SELECT user_id, event_id FROM (
+        SELECT user_id, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+        WHERE epoch(CAST(ts AS TIMESTAMP)) < 1704067200 + 43200
+      ) t WHERE rn = 1
+    ),
+    new_state AS (
+      SELECT user_id, event_id FROM (
+        SELECT user_id, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) t WHERE rn = 1
+    )
+    SELECT
+      CAST(SUM(CASE WHEN o.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_inserted,
+      CAST(SUM(CASE WHEN o.user_id IS NOT NULL AND n.user_id IS NOT NULL
+                         AND o.event_id <> n.event_id THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_updated,
+      CAST(SUM(CASE WHEN o.user_id IS NOT NULL AND n.user_id IS NOT NULL
+                         AND o.event_id = n.event_id THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_unchanged,
+      CAST(SUM(CASE WHEN n.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_deleted
+    FROM old_state o FULL OUTER JOIN new_state n ON o.user_id = n.user_id
+    """,
+)
+def cdc_merge_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture merge classification: diff the keyed state
+    at a cutoff (first 12 h of the stream) against the final state and
+    count inserted / updated / unchanged / deleted keys — the audit
+    row every MERGE INTO emits, and the batch form of maintaining the
+    reference's compacted-topic view across epochs (A15/A16).
+
+    Both snapshots are latest-per-key windows (WindowGroupLimit-pruned,
+    one shuffle on user_id each) over the SAME scan lineage; the full
+    outer join on the key classifies membership. At 100 TB the old
+    state is the stored view, not a rescan — the classification join
+    is unchanged."""
+    from local_stream_stack_spark.operators.events import latest_per_key
+    from local_stream_stack_spark.utils.ts import epoch_s
+
+    e = _t(spark, sf_dir, "events")
+    old_state = latest_per_key(
+        e.filter(epoch_s("ts") < 1704067200 + 43200),
+        keys=["user_id"],
+        order_by=["ts", "event_id"],
+    ).select(F.col("user_id").alias("o_user"), F.col("event_id").alias("o_eid"))
+    new_state = latest_per_key(
+        e, keys=["user_id"], order_by=["ts", "event_id"]
+    ).select(F.col("user_id").alias("n_user"), F.col("event_id").alias("n_eid"))
+    j = old_state.join(
+        new_state, F.col("o_user") == F.col("n_user"), "full_outer"
+    )
+    return j.agg(
+        F.sum(F.when(F.col("o_user").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_inserted"),
+        F.sum(
+            F.when(
+                F.col("o_user").isNotNull()
+                & F.col("n_user").isNotNull()
+                & (F.col("o_eid") != F.col("n_eid")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_updated"),
+        F.sum(
+            F.when(
+                F.col("o_user").isNotNull()
+                & F.col("n_user").isNotNull()
+                & (F.col("o_eid") == F.col("n_eid")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_unchanged"),
+        F.sum(F.when(F.col("n_user").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_deleted"),
+    )
+
+
+@query(
+    "fuzzy_name_match",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_brand, p_name,
+             string_split(p_name, ' ')[1] AS first_word
+      FROM part
+    )
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM p a JOIN p b
+      ON a.p_brand = b.p_brand
+     AND a.first_word = b.first_word
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 12
+    ORDER BY key_a, key_b
+    """,
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: part-name pairs within edit distance 12,
+    blocked by (brand, first word) — the record-linkage shape (catalog
+    dedup, supplier reconciliation). Blocking turns the O(n²) distance
+    matrix into an equi-join whose pair space is bounded per block;
+    levenshtein runs as a JVM codegen residual on co-blocked pairs
+    only. At corpus scale add a length band to the block key. Integer
+    distances, so both engines agree exactly."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_name",
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+    )
+    a = p.alias("a")
+    b = p.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.first_word") == F.col("b.first_word"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    )
+    return (
+        joined.select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            .cast("int")
+            .alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 12)
+        .orderBy("key_a", "key_b")
+    )
+
+
+@query(
     "decile_bounds_price",
     oracle="""
     SELECT o_orderpriority,

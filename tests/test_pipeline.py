@@ -131,3 +131,52 @@ def test_lazy_composition_single_plan(spark, sf_dir):
     )
     plan = pipe.dataframe()._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "lang" in plan
+
+
+def test_pipeline_aggregate_and_join_static_stages(spark, tmp_path):
+    """The aggregate and join_static registry stages compose in a
+    config-driven chain and produce the hand-written plan's result."""
+    from pyspark.sql import functions as F
+
+    from local_stream_stack_spark.pipeline import Pipeline
+
+    src = f"{tmp_path}/facts"
+    dim_path = f"{tmp_path}/dim"
+    spark.range(100).select(
+        F.col("id"), (F.col("id") % 5).alias("k"), (F.col("id") * 2).alias("v")
+    ).write.parquet(src)
+    spark.createDataFrame(
+        [(i, f"g{i % 2}") for i in range(5)], "k long, grp string"
+    ).write.parquet(dim_path)
+    cfg = {
+        "name": "agg-join",
+        "source": {"type": "parquet", "path": src, "streaming": False},
+        "processors": [
+            {
+                "name": "join_static",
+                "params": {"path": dim_path, "on": ["k"], "select": ["k", "grp"]},
+            },
+            {
+                "name": "aggregate",
+                "params": {
+                    "group_by": ["grp"],
+                    "aggs": ["COUNT(*) AS n", "SUM(v) AS total"],
+                },
+            },
+        ],
+        "sink": {"type": "noop"},
+    }
+    got = {
+        (r.grp, r.n, r.total)
+        for r in Pipeline(spark, cfg).dataframe().collect()
+    }
+    facts = spark.read.parquet(src)
+    dim = spark.read.parquet(dim_path)
+    want = {
+        (r.grp, r.n, r.total)
+        for r in facts.join(dim, "k")
+        .groupBy("grp")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("total"))
+        .collect()
+    }
+    assert got == want
