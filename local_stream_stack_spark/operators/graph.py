@@ -76,3 +76,85 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("n").alias("node"), F.col("c").alias("component"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 10,
+    scale: int = 12,
+) -> DataFrame:
+    """PageRank by power iteration with DECIMAL-exact accumulation.
+
+    Per iteration: each node splits its rank over its out-edges and the
+    damped contributions sum per destination — one shuffle on the
+    destination key; dangling nodes' mass redistributes uniformly (the
+    standard correction) via a 1-row aggregate that broadcasts back.
+    Every division result rounds to a fixed ``scale`` DECIMAL before
+    summing, so iteration results are partitioning- and
+    engine-independent (float sums in shuffle order would drift in the
+    last ulp and compound across iterations).
+
+    Scale: state is one (node, rank) row per node; contributions are
+    one row per edge per iteration — the same exchange a single
+    aggregation over the edge list costs. ``iterations`` bounds
+    wall-clock; convergence for ranking purposes typically needs ~10.
+    Returns (node, rank) with ranks summing to ~1.
+    """
+    dec = f"decimal(28,{scale})"
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    nodes = (
+        e.select(F.col("s").alias("n"))
+        .union(e.select(F.col("d").alias("n")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    deg = e.groupBy("s").agg(F.count("*").alias("deg"))
+    init = F.lit(round(1.0 / n_nodes, scale)).cast(dec)
+    ranks = nodes.withColumn("rank", init)
+    base = F.lit(round((1.0 - damping) / n_nodes, scale)).cast(dec)
+    deg = deg.withColumnRenamed("s", "n")
+    out_edges = e.withColumnRenamed("s", "n")
+    for _ in range(iterations):
+        with_deg = ranks.join(deg, "n", "left")
+        contrib = (
+            with_deg.filter(F.col("deg").isNotNull())
+            .join(out_edges, "n")
+            .select(
+                F.col("d").alias("n"),
+                F.round(F.col("rank") / F.col("deg"), scale)
+                .cast(dec)
+                .alias("c"),
+            )
+        )
+        dangling = (
+            with_deg.filter(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0).cast(dec)).alias("dm"))
+            .select(
+                F.round(F.col("dm") / F.lit(n_nodes), scale).cast(dec).alias("dshare")
+            )
+        )
+        summed = contrib.groupBy("n").agg(F.sum("c").alias("cs"))
+        ranks = (
+            nodes.join(summed, "n", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "n",
+                F.round(
+                    base
+                    + F.lit(damping).cast(dec)
+                    * (
+                        F.coalesce(F.col("cs"), F.lit(0).cast(dec))
+                        + F.col("dshare")
+                    ),
+                    scale,
+                )
+                .cast(dec)
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("n").alias("node"), "rank")

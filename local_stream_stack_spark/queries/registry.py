@@ -160,6 +160,8 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "cdc_merge_summary",
         "fuzzy_name_match",
         "pipeline_yaml_enrich_agg",
+        "triangle_count",
+        "pagerank_copurchase",
     }
 )
 

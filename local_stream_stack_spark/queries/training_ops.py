@@ -761,6 +761,111 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "triangle_count",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_orderkey < 2000
+    ),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+           CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges
+    FROM edges e1
+    JOIN edges e2 ON e1.d = e2.s
+    JOIN edges e3 ON e1.s = e3.s AND e2.d = e3.d
+    """,
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the co-purchase graph (parts appearing in
+    the same order are connected) — the clustering-coefficient /
+    community-density primitive.
+
+    Edges orient low-id -> high-id, so each triangle is counted
+    exactly once by the two-hop + closing-edge join (the standard
+    MapReduce-era formulation). Edge construction is an equi-join on
+    the order key with per-order fan-out bounded by order size; the
+    triangle joins are equi-joins on part ids — no cross products
+    anywhere, and at 100 TB the heavy-hitter guard is capping
+    per-order line counts (orders are naturally small). The orderkey
+    slice keeps the oracle's 3-way join cheap while exercising the
+    identical plan."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 2000)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d")
+        )
+        .distinct()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.d") == F.col("e2.s"))
+        .join(
+            e3,
+            (F.col("e1.s") == F.col("e3.s")) & (F.col("e2.d") == F.col("e3.d")),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    return tri.crossJoin(
+        edges.agg(F.count("*").cast("bigint").alias("n_edges"))
+    )
+
+
+@query("pagerank_copurchase", oracle=None)
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PageRank over the directed co-purchase graph (low part id
+    -> high part id within an order) — the iterative-algorithm
+    representative beyond connected components. Power iteration with
+    DECIMAL-exact contribution sums (operators/graph.pagerank), so the
+    result is partitioning-deterministic; SQL cannot express the
+    iteration, hence rows-only (tests/test_training_ops.py pins
+    ranking properties and determinism on a fixture graph)."""
+    from local_stream_stack_spark.operators.graph import pagerank
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 2000)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    return (
+        pagerank(edges, iterations=5)
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
+    )
+
+
+@query(
     "decile_bounds_price",
     oracle="""
     SELECT o_orderpriority,

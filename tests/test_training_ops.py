@@ -118,3 +118,21 @@ def test_unicode_nfc_composes_suffix(spark):
     assert all(r.changed for r in rows)
     assert all(r.len_before - r.len_after == 3 for r in rows)
     assert all("café" in r.normalized for r in rows)
+
+
+def test_pagerank_tiny_graph_properties(spark):
+    from local_stream_stack_spark.operators.graph import pagerank
+
+    # star: 1->2, 3->2, 4->2; plus 2->1 back-edge. Node 2 must rank
+    # highest, nodes 3/4 (no in-links) lowest and equal.
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 2), (4, 2), (2, 1)], "src long, dst long"
+    )
+    rows = {r.node: float(r.rank) for r in pagerank(edges, iterations=15).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert abs(sum(rows.values()) - 1.0) < 1e-4  # HALF_UP bias accumulates ~iters*nodes*5e-13 + display rounding
+    assert rows[2] == max(rows.values())
+    assert rows[3] == rows[4] == min(rows.values())
+    # deterministic across a re-run (decimal accumulation)
+    again = {r.node: float(r.rank) for r in pagerank(edges, iterations=15).collect()}
+    assert rows == again
