@@ -162,6 +162,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "pipeline_yaml_enrich_agg",
         "triangle_count",
         "pagerank_copurchase",
+        "stream_ingest_dedup",
     }
 )
 

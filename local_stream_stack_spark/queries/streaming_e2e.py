@@ -531,6 +531,67 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_ingest_dedup",
+    oracle="""
+    SELECT doc_id, md5(text) AS fp, lang
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE streaming ingestion dedup under the oracle: the corpus plus
+    an exact duplicate of itself (doc_ids shifted by 1,000,000)
+    streams file-by-file into ``ingest_dedup_stream_parquet``; every
+    duplicate must be rejected against the persistent fingerprint
+    store, leaving exactly the original corpus. Within-batch ties
+    resolve to the minimum doc_id and the store anti-join drops
+    cross-epoch repeats, so the admitted set is deterministic whatever
+    the micro-batch split was — the crawl-pipeline dedup shape
+    (at scale: bucket the store by fingerprint; swap md5 for MinHash
+    bands for streaming NEAR-dup)."""
+    from local_stream_stack_spark.catalog import load_table
+    from local_stream_stack_spark.streaming.ops import (
+        ingest_dedup_stream_parquet,
+        read_ingest_store,
+    )
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    base = tempfile.mkdtemp(prefix="stream-e2e-ingest-")
+    in_dir = os.path.join(base, "in")
+    store = os.path.join(base, "store")
+    cp = os.path.join(base, "cp")
+    docs.coalesce(1).write.parquet(in_dir)
+    docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang"
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string, lang string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .withColumn("fp", F.md5("text"))
+    )
+    q = ingest_dedup_stream_parquet(
+        stream,
+        fp_col="fp",
+        order_col="doc_id",
+        store_path=store,
+        checkpoint_location=cp,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        read_ingest_store(spark, store)
+        .select("doc_id", "fp", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "stream_static_enrich",
     oracle="""
     SELECT c.c_nationkey, e.event_type,

@@ -474,3 +474,71 @@ def running_totals_transform_with_state(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def ingest_dedup_stream_parquet(
+    df: DataFrame,
+    fp_col: str,
+    order_col: str,
+    store_path: str,
+    checkpoint_location: str,
+):
+    """Streaming ingestion dedup against a PERSISTENT fingerprint
+    store — the crawl-pipeline pattern: every micro-batch of incoming
+    documents is reduced to one row per content fingerprint (minimum
+    ``order_col`` wins, deterministically), anti-joined against all
+    fingerprints already admitted in EARLIER epochs, and only the
+    novel rows are appended to the store.
+
+    Each epoch writes its novel rows to its own ``__epoch=<id>``
+    directory (overwritten on crash-replay, so at-least-once
+    foreachBatch delivery stays exactly-once in the store — same
+    scheme as ``aggregate_view_stream_parquet``). The store read per
+    epoch is fingerprint-column-only (column pruning), and the
+    anti-join shuffles fingerprints, never payloads. At corpus scale
+    the store becomes a bucketed table on the fingerprint so the
+    per-epoch anti-join co-locates without a full shuffle; swapping
+    the exact fingerprint for MinHash bands turns this into streaming
+    NEAR-dup ingestion with the same store shape.
+    """
+    from pyspark.sql.window import Window
+
+    def admit(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = Window.partitionBy(fp_col).orderBy(order_col)
+        batch_unique = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        try:
+            known = read_ingest_store(spark, store_path).select(fp_col)
+        except Exception:
+            known = None  # first epoch: store does not exist yet
+        novel = (
+            batch_unique
+            if known is None
+            else batch_unique.join(known, fp_col, "left_anti")
+        )
+        (
+            novel.coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{store_path}/__epoch={epoch_id}")
+        )
+
+    return (
+        df.writeStream.outputMode("append")
+        .foreachBatch(admit)
+        .option("checkpointLocation", checkpoint_location)
+        .start()
+    )
+
+
+def read_ingest_store(spark, store_path: str) -> DataFrame:
+    """All admitted rows of an ``ingest_dedup_stream_parquet`` store.
+    Epoch dirs are underscore-prefixed (hidden from plain listings),
+    so the read addresses them via an explicit glob + basePath — the
+    same access pattern as ``read_aggregate_view``."""
+    return spark.read.option("basePath", store_path).parquet(
+        f"{store_path}/__epoch=*"
+    ).drop("__epoch")

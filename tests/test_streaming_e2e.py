@@ -103,3 +103,45 @@ def test_stream_tumbling_multi_batch_converges(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_ingest_dedup_admits_only_novel_rows(spark, tmp_path):
+    """File-per-trigger replay: batch 2 mixes duplicates of batch 1
+    with genuinely new rows; only the new rows may enter the store."""
+    import time
+
+    from pyspark.sql import functions as F
+    from local_stream_stack_spark.streaming.ops import (
+        ingest_dedup_stream_parquet,
+        read_ingest_store,
+    )
+
+    in_dir = str(tmp_path / "in")
+    rows1 = [(1, "alpha"), (2, "beta"), (3, "alpha")]  # 3 dups 1 in-batch
+    rows2 = [(4, "beta"), (5, "gamma")]  # beta is a cross-epoch dup
+    spark.createDataFrame(rows1, "doc_id long, text string").coalesce(1).write.parquet(in_dir)
+    time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    spark.createDataFrame(rows2, "doc_id long, text string").coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .withColumn("fp", F.md5("text"))
+    )
+    q = ingest_dedup_stream_parquet(
+        stream,
+        fp_col="fp",
+        order_col="doc_id",
+        store_path=str(tmp_path / "store"),
+        checkpoint_location=str(tmp_path / "cp"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.doc_id, r.text)
+        for r in read_ingest_store(spark, str(tmp_path / "store")).collect()
+    }
+    assert got == {(1, "alpha"), (2, "beta"), (5, "gamma")}
