@@ -162,6 +162,42 @@ def minhash_signatures(
     )
 
 
+def minhash_band_keys(
+    sig_df: DataFrame,
+    id_col: str,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    carry_sig: bool = False,
+) -> DataFrame:
+    """Explode signatures into LSH band keys: one (id, band, bh) row
+    per band, where ``bh`` hashes the band's signature rows. Two docs
+    sharing any (band, bh) key are near-dup candidates — the join/
+    lookup key for both batch candidate generation
+    (``minhash_lsh_candidates``) and the streaming ingestion store
+    (``streaming.ops.ingest_neardup_stream_parquet``)."""
+    cols = [F.col(id_col)] + ([F.col("sig")] if carry_sig else [])
+    out_cols = [id_col] + (["sig"] if carry_sig else [])
+    return sig_df.select(
+        *cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig")[i]
+                                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                            ]
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(*out_cols, "bk.band", "bk.bh")
+
+
 def minhash_lsh_candidates(
     sig_df: DataFrame,
     id_col: str,
@@ -186,26 +222,9 @@ def minhash_lsh_candidates(
     in the member structs so the verification stage needs no join
     back to the signature table.
     """
-    banded = sig_df.select(
-        F.col(id_col),
-        F.col("sig"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("sig")[i]
-                                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                            ]
-                        ).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "sig", "bk.band", "bk.bh")
+    banded = minhash_band_keys(
+        sig_df, id_col, bands=bands, rows_per_band=rows_per_band, carry_sig=True
+    )
     member = (
         F.struct(F.col(id_col).alias("id"), F.col("sig").alias("sig"))
         if carry_sig

@@ -163,6 +163,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "triangle_count",
         "pagerank_copurchase",
         "stream_ingest_dedup",
+        "stream_ingest_neardup",
     }
 )
 

@@ -591,6 +591,53 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("stream_ingest_neardup", oracle=None)
+def stream_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE streaming NEAR-dup ingestion: the corpus plus a full
+    duplicate of itself streams through the MinHash-band store
+    (``ingest_neardup_stream_parquet``); every identical re-text
+    collides in all bands and is rejected, and LSH-similar originals
+    within the first batch dedup against each other (first-id wins).
+    Band hashes are engine-specific (xxhash64 permutations) -> rows-
+    only check; tests/test_streaming_e2e.py pins reject/admit behavior
+    on exact, edited, and unrelated documents."""
+    from local_stream_stack_spark.catalog import load_table
+    from local_stream_stack_spark.streaming.ops import (
+        ingest_neardup_stream_parquet,
+        read_neardup_store,
+    )
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="stream-e2e-neardup-")
+    in_dir = os.path.join(base, "in")
+    store = os.path.join(base, "store")
+    cp = os.path.join(base, "cp")
+    docs.coalesce(1).write.parquet(in_dir)
+    docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    q = ingest_neardup_stream_parquet(
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir),
+        id_col="doc_id",
+        text_col="text",
+        order_col="doc_id",
+        store_path=store,
+        checkpoint_location=cp,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        read_neardup_store(spark, store)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "stream_static_enrich",
     oracle="""

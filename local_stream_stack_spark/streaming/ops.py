@@ -542,3 +542,107 @@ def read_ingest_store(spark, store_path: str) -> DataFrame:
     return spark.read.option("basePath", store_path).parquet(
         f"{store_path}/__epoch=*"
     ).drop("__epoch")
+
+
+def ingest_neardup_stream_parquet(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    order_col: str,
+    store_path: str,
+    checkpoint_location: str,
+    n_hashes: int = 32,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    shingle_k: int = 3,
+    shingle: str = "word",
+):
+    """Streaming NEAR-dup ingestion: the MinHash-band twin of
+    ``ingest_dedup_stream_parquet``. Each micro-batch computes MinHash
+    signatures and LSH band keys for its documents; a document is
+    REJECTED when any of its band keys collides with (a) an admitted
+    document from an earlier epoch (band-key semi-join against the
+    store) or (b) a lower-``order_col`` document in the same batch
+    (bucket self-join) — a deterministic, slightly conservative batch
+    semantic of "first seen wins".
+
+    The store keeps two column families as epoch directories: admitted
+    rows (``rows/``) and their band keys (``keys/``). Epoch overwrites
+    make crash-replay exactly-once, and the per-epoch lookups touch
+    band-key columns only. At corpus scale, bucket the key store by
+    (band, bh) so the per-epoch semi-join co-locates; band width tunes
+    the precision/recall of the rejection exactly as in batch LSH.
+    """
+    from pyspark.sql.window import Window
+
+    from local_stream_stack_spark.operators.dedup import (
+        minhash_band_keys,
+        minhash_signatures,
+    )
+
+    def admit(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)
+        sigs = minhash_signatures(
+            batch_df,
+            id_col=id_col,
+            text_col=text_col,
+            n_hashes=n_hashes,
+            shingle_k=shingle_k,
+            shingle=shingle,
+        )
+        order_map = batch_df.select(id_col, order_col)
+        keys = minhash_band_keys(
+            sigs, id_col, bands=bands, rows_per_band=rows_per_band
+        ).join(order_map, id_col)
+        try:
+            known = spark.read.option("basePath", f"{store_path}/keys").parquet(
+                f"{store_path}/keys/__epoch=*"
+            ).select("band", "bh")
+        except Exception:
+            known = None
+        hit_store = (
+            keys.join(known, ["band", "bh"], "left_semi").select(id_col).distinct()
+            if known is not None
+            else None
+        )
+        a = keys.select(
+            F.col("band"), F.col("bh"), F.col(id_col).alias("__ida"),
+            F.col(order_col).alias("__orda"),
+        )
+        b = keys.select(
+            F.col("band"), F.col("bh"), F.col(id_col).alias("__idb"),
+            F.col(order_col).alias("__ordb"),
+        )
+        hit_batch = (
+            a.join(b, ["band", "bh"])
+            .filter(F.col("__ordb") < F.col("__orda"))
+            .select(F.col("__ida").alias(id_col))
+            .distinct()
+        )
+        rejected = (
+            hit_batch if hit_store is None else hit_batch.union(hit_store).distinct()
+        )
+        admitted = batch_df.join(rejected, id_col, "left_anti")
+        admitted.coalesce(1).write.mode("overwrite").parquet(
+            f"{store_path}/rows/__epoch={epoch_id}"
+        )
+        keys.join(rejected, id_col, "left_anti").select(
+            id_col, "band", "bh"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{store_path}/keys/__epoch={epoch_id}"
+        )
+
+    return (
+        df.writeStream.outputMode("append")
+        .foreachBatch(admit)
+        .option("checkpointLocation", checkpoint_location)
+        .start()
+    )
+
+
+def read_neardup_store(spark, store_path: str) -> DataFrame:
+    """Admitted rows of an ``ingest_neardup_stream_parquet`` store."""
+    return spark.read.option("basePath", f"{store_path}/rows").parquet(
+        f"{store_path}/rows/__epoch=*"
+    ).drop("__epoch")

@@ -145,3 +145,57 @@ def test_ingest_dedup_admits_only_novel_rows(spark, tmp_path):
         for r in read_ingest_store(spark, str(tmp_path / "store")).collect()
     }
     assert got == {(1, "alpha"), (2, "beta"), (5, "gamma")}
+
+
+def test_ingest_neardup_rejects_duplicates_across_epochs(spark, tmp_path):
+    """Near-dup streaming ingestion: exact re-texts and lightly edited
+    copies must be rejected against earlier epochs; unrelated docs
+    must be admitted."""
+    import time
+
+    from local_stream_stack_spark.streaming.ops import (
+        ingest_neardup_stream_parquet,
+        read_neardup_store,
+    )
+
+    base_text = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "sleeps on the warm windowsill in the afternoon sun light"
+    )
+    edited = base_text.replace("afternoon", "evening")
+    other = (
+        "completely different content about distributed query engines "
+        "and shuffle partitioning strategies for large scale analytics"
+    )
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, base_text)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(in_dir)
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(10, base_text), (11, edited), (12, other)],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    q = ingest_neardup_stream_parquet(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir),
+        id_col="doc_id",
+        text_col="text",
+        order_col="doc_id",
+        store_path=str(tmp_path / "store"),
+        checkpoint_location=str(tmp_path / "cp"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.doc_id for r in read_neardup_store(spark, str(tmp_path / "store")).collect()
+    }
+    # 10 is an exact re-text (all bands collide); 11 is a near-dup
+    # (one word changed -> most bands collide); 12 is unrelated
+    assert 1 in got and 12 in got
+    assert 10 not in got
+    assert 11 not in got
