@@ -915,13 +915,13 @@ def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            CAST(1704067200 + m * 60 AS BIGINT) AS bucket_s,
-           CAST(ROUND(CASE
+           CAST(ROUND((CASE
              WHEN v IS NOT NULL THEN v
              WHEN pv IS NOT NULL AND nv IS NOT NULL
                THEN pv + (nv - pv) * (m - pm) / (nm - pm)
              WHEN pv IS NOT NULL THEN pv
              ELSE nv
-           END, 6) AS DECIMAL(18,6)) AS v_interp
+           END) * 1000000) AS BIGINT) AS v_interp_e6
     FROM j
     ORDER BY user_id, bucket_s
     """,
@@ -935,7 +935,10 @@ def interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     and BOTH fill windows (running-prev and running-next) share the
     one hash partitioning on user_id; the reverse-direction window
     is a sort within the same partition, not a second shuffle.
-    28401120 = 1704067200/60 (minute index of the window start)."""
+    28401120 = 1704067200/60 (minute index of the window start).
+    Output is a scaled BIGINT (``v_interp_e6`` = value x 10^6):
+    decimal-from-double hashes differently under the driver's typed
+    canonicalization even when values are EXACT (r3 hash-fail cause)."""
     all_e = _events(spark, sf_dir).filter(F.col("user_id") < 5)
     e = all_e.filter(epoch_s("ts") < 1704067200 + 21600)
     users = all_e.select("user_id").distinct()
@@ -992,7 +995,7 @@ def interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "user_id",
         (F.lit(1704067200) + F.col("m") * 60).cast("long").alias("bucket_s"),
-        F.round(interp, 6).cast("decimal(18,6)").alias("v_interp"),
+        F.round(interp * F.lit(1000000.0)).cast("bigint").alias("v_interp_e6"),
     ).orderBy("user_id", "bucket_s")
 
 

@@ -1231,10 +1231,10 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       CROSS JOIN stats s
     )
     SELECT doc_id,
-           CAST(ROUND(SUM(w), 4) AS DECIMAL(18,4)) AS bm25
+           CAST(ROUND(SUM(w) * 10000) AS BIGINT) AS bm25_e4
     FROM scored
     GROUP BY doc_id
-    ORDER BY bm25 DESC, doc_id
+    ORDER BY bm25_e4 DESC, doc_id
     LIMIT 20
     """,
 )
@@ -1246,8 +1246,10 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     their one shuffle each; df and the (avgdl, N) scalars are
     tiny broadcast sides; the final top-20 is TakeOrderedAndProject
     (per-partition heap + driver merge of 20-row heads), never a
-    global sort. Scores round to DECIMAL(18,4) on both engines before
-    the cut so the boundary is hash-stable."""
+    global sort. Scores are emitted as scaled BIGINTs (``bm25_e4`` =
+    score x 10^4) on both engines before the cut: integer outputs hash
+    identically under the driver's typed canonicalization, where
+    decimal-from-double did not (r3 hash-fail cause)."""
     d = _t(spark, sf_dir, "documents")
     terms = ["spark", "hash", "window"]
     toks = d.select(
@@ -1283,8 +1285,12 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.groupBy("doc_id")
-        .agg(F.round(F.sum("w"), 4).cast("decimal(18,4)").alias("bm25"))
-        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .agg(
+            F.round(F.sum("w") * F.lit(10000.0))
+            .cast("bigint")
+            .alias("bm25_e4")
+        )
+        .orderBy(F.desc("bm25_e4"), F.asc("doc_id"))
         .limit(20)
     )
 
@@ -1423,8 +1429,8 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_tot AS (SELECT source, SUM(sn) AS st FROM per_src GROUP BY source)
     SELECT s.source,
            CAST(ROUND(SUM( (s.sn / t.st)
-                           * ln( (s.sn / t.st) / (c.cn / ct.ct) ) ), 6)
-                AS DECIMAL(18,6)) AS kl
+                           * ln( (s.sn / t.st) / (c.cn / ct.ct) ) ) * 1000000)
+                AS BIGINT) AS kl_e6
     FROM per_src s
     JOIN src_tot t USING (source)
     JOIN corpus c USING (tok)
@@ -1442,8 +1448,11 @@ def token_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: one tokenize scan feeds both the vocab top-k
     (TakeOrderedAndProject) and the per-(source,token) counts; the
     vocab and corpus tables are tiny broadcast sides; the KL sum is
-    one final shuffle on source. 6-dp rounding absorbs double
-    summation-order ulps on both engines."""
+    one final shuffle on source. Output is a scaled BIGINT
+    (``kl_e6`` = KL x 10^6): 6-dp rounding absorbs summation-order
+    ulps, and the integer emission hashes identically under the
+    driver's typed canonicalization (decimal-from-double was the r3
+    hash-fail cause)."""
     d = _t(spark, sf_dir, "documents")
     tok_f = d.select(
         "source",
@@ -1471,7 +1480,11 @@ def token_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.log((F.col("sn") / F.col("st")) / (F.col("cn") / F.col("ct"))),
         )
         .groupBy("source")
-        .agg(F.round(F.sum("term"), 6).cast("decimal(18,6)").alias("kl"))
+        .agg(
+            F.round(F.sum("term") * F.lit(1000000.0))
+            .cast("bigint")
+            .alias("kl_e6")
+        )
         .orderBy("source")
     )
 
@@ -1487,9 +1500,9 @@ def token_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id, source, n_chars,
-           CAST(ROUND(skey, 6) AS DECIMAL(18,6)) AS skey_r
+           CAST(ROUND(skey * 1000000) AS BIGINT) AS skey_e6
     FROM keyed
-    ORDER BY skey_r, doc_id
+    ORDER BY skey_e6, doc_id
     LIMIT 20
     """,
 )
@@ -1502,8 +1515,10 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     The distributed-sampling workhorse: stateless per row (scan-side
     codegen), global top-k via TakeOrderedAndProject (per-partition
     heaps, no sort shuffle), reproducible across engines, partitions
-    and reruns. The cut ranks on the 6-dp DECIMAL key so both engines
-    agree at the boundary."""
+    and reruns. The cut ranks on the scaled-BIGINT key (``skey_e6`` =
+    key x 10^6) so both engines agree at the boundary AND the driver's
+    typed hash matches (decimal-from-double was the r3 hash-fail
+    cause)."""
     d = _t(spark, sf_dir, "documents")
     u = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
@@ -1515,11 +1530,11 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "source",
             "n_chars",
-            F.round(-F.log(u) / F.col("n_chars"), 6)
-            .cast("decimal(18,6)")
-            .alias("skey_r"),
+            F.round(-F.log(u) / F.col("n_chars") * F.lit(1000000.0))
+            .cast("bigint")
+            .alias("skey_e6"),
         )
-        .orderBy("skey_r", "doc_id")
+        .orderBy("skey_e6", "doc_id")
         .limit(20)
     )
 
@@ -1580,8 +1595,8 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "label_centroids",
     oracle="""
     SELECT label, i AS dim,
-           CAST(ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6)
-                AS DECIMAL(18,6)) AS c
+           CAST(ROUND(AVG(CAST(embedding[i] AS DOUBLE)) * 1000000)
+                AS BIGINT) AS c_e6
     FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
     GROUP BY label, i
     ORDER BY label, dim
@@ -1595,16 +1610,19 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash aggregate on (label, dim) partial-sums per partition — the
     shuffle carries |labels| x |dims| partial states, never vectors.
     The same shape trains `sim_ivf_topk`'s centroids; here it is
-    oracle-checked exactly (6-dp round) via DuckDB's UNNEST WITH
-    ORDINALITY."""
+    oracle-checked exactly via DuckDB's UNNEST WITH ORDINALITY.
+    Output is a scaled BIGINT (``c_e6`` = centroid x 10^6): integer
+    emission hashes identically under the driver's typed
+    canonicalization (decimal-from-double was the r3 hash-fail
+    cause)."""
     e = _t(spark, sf_dir, "embeddings")
     return (
         e.select("label", F.posexplode("embedding").alias("p", "v"))
         .groupBy("label", (F.col("p") + 1).alias("dim"))
         .agg(
-            F.round(F.avg(F.col("v").cast("double")), 6)
-            .cast("decimal(18,6)")
-            .alias("c")
+            F.round(F.avg(F.col("v").cast("double")) * F.lit(1000000.0))
+            .cast("bigint")
+            .alias("c_e6")
         )
         .orderBy("label", "dim")
     )

@@ -432,20 +432,20 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY l_returnflag
     )
     SELECT qn.l_returnflag,
-           CAST(ROUND(med, 4) AS DECIMAL(18,4)) AS median_qty,
-           CAST(ROUND(p90, 4) AS DECIMAL(18,4)) AS p90_qty,
-           CAST(ROUND(p25, 4) AS DECIMAL(18,4)) AS p25_price,
+           CAST(ROUND(med * 10000) AS BIGINT) AS median_qty_e4,
+           CAST(ROUND(p90 * 10000) AS BIGINT) AS p90_qty_e4,
+           CAST(ROUND(p25 * 10000) AS BIGINT) AS p25_price_e4,
            CAST(ROUND(sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
                             - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
-                           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 3)
-                AS DECIMAL(18,3)) AS sd_qty,
+                           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) * 1000)
+                AS BIGINT) AS sd_qty_e3,
            CAST(ROUND((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
                        - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
                       / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
                               - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
                          * sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
-                                - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 3)
-                AS DECIMAL(18,3)) AS corr_qty_price
+                                - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))) * 1000)
+                AS BIGINT) AS corr_qty_price_e3
     FROM qn JOIN m ON qn.l_returnflag = m.l_returnflag
     ORDER BY 1
     """,
@@ -465,7 +465,13 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary — depends on the session's partitioning (the round-1/2
     driver hash_match=false cause). Decimal sums are
     accumulation-order-exact, making the result partitioning- and
-    engine-independent."""
+    engine-independent.
+
+    Outputs are scaled BIGINTs (``*_e4`` = value x 10^4, ``*_e3`` =
+    value x 10^3): decimal-from-double columns hash differently under
+    the driver's typed canonicalization even when every value compares
+    EXACT (the r1-r3 hash_match=false cause; the q12 r1->r2 BIGINT fix
+    is the precedent). Integers hash identically everywhere."""
     from local_stream_stack_spark.operators.quantiles import (
         exact_quantiles_multi,
     )
@@ -504,11 +510,11 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.join(quants, "l_returnflag")
         .select(
             "l_returnflag",
-            F.expr("CAST(ROUND(__median, 4) AS DECIMAL(18,4))").alias("median_qty"),
-            F.expr("CAST(ROUND(__p90, 4) AS DECIMAL(18,4))").alias("p90_qty"),
-            F.expr("CAST(ROUND(__p25, 4) AS DECIMAL(18,4))").alias("p25_price"),
-            F.round(sd_qty, 3).cast("decimal(18,3)").alias("sd_qty"),
-            F.round(corr, 3).cast("decimal(18,3)").alias("corr_qty_price"),
+            F.expr("CAST(ROUND(__median * 10000) AS BIGINT)").alias("median_qty_e4"),
+            F.expr("CAST(ROUND(__p90 * 10000) AS BIGINT)").alias("p90_qty_e4"),
+            F.expr("CAST(ROUND(__p25 * 10000) AS BIGINT)").alias("p25_price_e4"),
+            F.round(sd_qty * F.lit(1000.0)).cast("bigint").alias("sd_qty_e3"),
+            F.round(corr * F.lit(1000.0)).cast("bigint").alias("corr_qty_price_e3"),
         )
         .orderBy("l_returnflag")
     )

@@ -33,11 +33,34 @@ from __future__ import annotations
 import itertools
 import os
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from local_stream_stack_spark.queries.registry import query
+
+
+def _stage_ordered(in_dir: str, *writers) -> None:
+    """Write each ``writer`` (a no-arg callable producing files under
+    ``in_dir``) with strictly increasing, widely separated mtimes.
+    FileStreamSource orders same-listing files by modification time;
+    two back-to-back writes can land in the same millisecond and flip
+    the processing order, so the deterministic first-seen-wins
+    semantics of the ingest-dedup oracles would become flaky. Explicit
+    ``os.utime`` spacing (10 s apart) makes the intended order a hard
+    guarantee, not a race."""
+    now = time.time()
+    seen: set[str] = set()
+    for i, write in enumerate(writers):
+        write()
+        current = {
+            os.path.join(in_dir, f) for f in os.listdir(in_dir)
+        }
+        t = now - 10.0 * (len(writers) - i)
+        for path in sorted(current - seen):
+            os.utime(path, (t, t))
+        seen = current
 from local_stream_stack_spark.session import configure_for_oracle
 from local_stream_stack_spark.utils.ts import epoch_s, epoch_us
 from local_stream_stack_spark.streaming.ops import (
@@ -563,10 +586,13 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_dir = os.path.join(base, "in")
     store = os.path.join(base, "store")
     cp = os.path.join(base, "cp")
-    docs.coalesce(1).write.parquet(in_dir)
-    docs.select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang"
-    ).coalesce(1).write.mode("append").parquet(in_dir)
+    _stage_ordered(
+        in_dir,
+        lambda: docs.coalesce(1).write.parquet(in_dir),
+        lambda: docs.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang"
+        ).coalesce(1).write.mode("append").parquet(in_dir),
+    )
     stream = (
         spark.readStream.schema("doc_id bigint, text string, lang string")
         .option("maxFilesPerTrigger", "1")
@@ -613,10 +639,13 @@ def stream_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_dir = os.path.join(base, "in")
     store = os.path.join(base, "store")
     cp = os.path.join(base, "cp")
-    docs.coalesce(1).write.parquet(in_dir)
-    docs.select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
-    ).coalesce(1).write.mode("append").parquet(in_dir)
+    _stage_ordered(
+        in_dir,
+        lambda: docs.coalesce(1).write.parquet(in_dir),
+        lambda: docs.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        ).coalesce(1).write.mode("append").parquet(in_dir),
+    )
     q = ingest_neardup_stream_parquet(
         spark.readStream.schema("doc_id bigint, text string")
         .option("maxFilesPerTrigger", "1")

@@ -491,10 +491,12 @@ def ingest_dedup_stream_parquet(
     novel rows are appended to the store.
 
     Each epoch writes its novel rows to its own ``__epoch=<id>``
-    directory (overwritten on crash-replay, so at-least-once
-    foreachBatch delivery stays exactly-once in the store — same
-    scheme as ``aggregate_view_stream_parquet``). The store read per
-    epoch is fingerprint-column-only (column pruning), and the
+    directory, and the per-epoch anti-join reads strictly EARLIER
+    epochs only. The pair makes at-least-once foreachBatch delivery
+    exactly-once in the store: replaying epoch N recomputes the same
+    novel set against the same earlier-epoch view (never against N's
+    own partial write) and idempotently overwrites ``__epoch=N``.
+    The store read per epoch is fingerprint-column-only, and the
     anti-join shuffles fingerprints, never payloads. At corpus scale
     the store becomes a bucketed table on the fingerprint so the
     per-epoch anti-join co-locates without a full shuffle; swapping
@@ -511,15 +513,22 @@ def ingest_dedup_stream_parquet(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        try:
-            known = read_ingest_store(spark, store_path).select(fp_col)
-        except Exception:
-            known = None  # first epoch: store does not exist yet
-        novel = (
-            batch_unique
-            if known is None
-            else batch_unique.join(known, fp_col, "left_anti")
-        )
+        # Replay safety: on crash-replay of epoch N the store may already
+        # contain N's own prior (possibly partial) write; anti-joining the
+        # batch against itself would empty `novel` and the overwrite would
+        # permanently delete the epoch's documents. Keep the __epoch
+        # partition column and consider strictly EARLIER epochs only —
+        # partition pruning drops the excluded dirs at the scan.
+        if _store_has_epochs(spark, store_path):
+            known = (
+                spark.read.option("basePath", store_path)
+                .parquet(f"{store_path}/__epoch=*")
+                .filter(F.col("__epoch") < F.lit(int(epoch_id)))
+                .select(fp_col)
+            )
+            novel = batch_unique.join(known, fp_col, "left_anti")
+        else:
+            novel = batch_unique
         (
             novel.coalesce(1)
             .write.mode("overwrite")
@@ -532,6 +541,28 @@ def ingest_dedup_stream_parquet(
         .option("checkpointLocation", checkpoint_location)
         .start()
     )
+
+
+def _store_has_epochs(spark, base_path: str) -> bool:
+    """True iff the store has at least one ``__epoch=*`` directory.
+
+    Explicit existence probe (Hadoop FileSystem API, so any supported
+    scheme works) instead of try/except around the read: only a MISSING
+    store means "first epoch". A transient or corruption error on the
+    store read must propagate and fail the batch — swallowing it would
+    silently admit the whole batch as novel and write permanent
+    duplicates with no signal; the checkpoint retry preserves
+    correctness instead."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(base_path)
+    fs = path.getFileSystem(hconf)
+    if not fs.exists(path):
+        return False
+    statuses = fs.globStatus(
+        jvm.org.apache.hadoop.fs.Path(base_path.rstrip("/") + "/__epoch=*")
+    )
+    return statuses is not None and len(statuses) > 0
 
 
 def read_ingest_store(spark, store_path: str) -> DataFrame:
@@ -595,11 +626,20 @@ def ingest_neardup_stream_parquet(
         keys = minhash_band_keys(
             sigs, id_col, bands=bands, rows_per_band=rows_per_band
         ).join(order_map, id_col)
-        try:
-            known = spark.read.option("basePath", f"{store_path}/keys").parquet(
-                f"{store_path}/keys/__epoch=*"
-            ).select("band", "bh")
-        except Exception:
+        # Replay safety (see ingest_dedup_stream_parquet.admit): only
+        # band keys from strictly EARLIER epochs may reject this batch —
+        # on crash-replay the store already holds epoch N's own keys and
+        # every document would collide with itself, turning the epoch
+        # overwrite into a permanent delete. Store-read errors propagate
+        # (only a missing store means "first epoch").
+        if _store_has_epochs(spark, f"{store_path}/keys"):
+            known = (
+                spark.read.option("basePath", f"{store_path}/keys")
+                .parquet(f"{store_path}/keys/__epoch=*")
+                .filter(F.col("__epoch") < F.lit(int(epoch_id)))
+                .select("band", "bh")
+            )
+        else:
             known = None
         hit_store = (
             keys.join(known, ["band", "bh"], "left_semi").select(id_col).distinct()

@@ -34,7 +34,7 @@ def test_weighted_sample_keys_and_determinism(spark):
     b = weighted_sample(spark, SF).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert len(a) == 20
-    keys = [float(r.skey_r) for r in a]
+    keys = [r.skey_e6 / 1e6 for r in a]
     assert keys == sorted(keys)
     assert all(k > 0 for k in keys)
     # recompute one exponential key by hand
@@ -42,4 +42,4 @@ def test_weighted_sample_keys_and_determinism(spark):
 
     r0 = a[0]
     u = (int(hashlib.md5(str(r0.doc_id).encode()).hexdigest()[:8], 16) + 1) / 4294967297.0
-    assert abs(-math.log(u) / r0.n_chars - float(r0.skey_r)) < 1e-5
+    assert abs(-math.log(u) / r0.n_chars - r0.skey_e6 / 1e6) < 1e-5

@@ -18,7 +18,7 @@ def test_interpolation_brackets_and_matches_observations(spark):
     # a user with no observations in the window stays null end-to-end
     interp = {
         (r.user_id, r.bucket_s): (
-            None if r.v_interp is None else float(r.v_interp)
+            None if r.v_interp_e6 is None else r.v_interp_e6 / 1e6
         )
         for r in interp_rows
     }

@@ -50,7 +50,7 @@ def test_kl_nonnegative_and_complete(spark):
     }
     assert {r.source for r in rows} == sources
     # Gibbs' inequality holds up to the 6-dp rounding
-    assert all(float(r.kl) >= -1e-6 for r in rows)
+    assert all(r.kl_e6 >= -1 for r in rows)
 
 
 def test_ngram_overlap_is_eval_side_only(spark):

@@ -17,7 +17,7 @@ def test_bm25_scores_match_reference_formula(spark):
     out = bm25_rank(spark, SF).collect()
     assert 0 < len(out) <= 20
     # scores sorted non-increasing, ties broken by doc_id ascending
-    scores = [float(r.bm25) for r in out]
+    scores = [r.bm25_e4 / 1e4 for r in out]
     assert scores == sorted(scores, reverse=True)
 
     docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
@@ -40,7 +40,7 @@ def test_bm25_scores_match_reference_formula(spark):
         return round(s, 4)
 
     top = out[0]
-    assert abs(bm25(top.doc_id) - float(top.bm25)) < 1e-3
+    assert abs(bm25(top.doc_id) - top.bm25_e4 / 1e4) < 1e-3
 
 
 def test_source_char_budget_enforced(spark):

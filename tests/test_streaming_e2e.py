@@ -199,3 +199,97 @@ def test_ingest_neardup_rejects_duplicates_across_epochs(spark, tmp_path):
     assert 1 in got and 12 in got
     assert 10 not in got
     assert 11 not in got
+
+
+def test_ingest_dedup_replay_is_lossless(spark, tmp_path):
+    """Crash-replay: the store already holds epoch 0's own write but
+    the checkpoint never committed (crash between store write and
+    commit). Re-running epoch 0 must not anti-join the batch against
+    its own prior write — that would overwrite ``__epoch=0`` with an
+    empty dataset and permanently delete the epoch's documents."""
+    from pyspark.sql import functions as F
+    from local_stream_stack_spark.streaming.ops import (
+        ingest_dedup_stream_parquet,
+        read_ingest_store,
+    )
+
+    in_dir = str(tmp_path / "in")
+    batch = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    batch.coalesce(1).write.parquet(in_dir)
+    store = str(tmp_path / "store")
+    # pre-crash partial state: epoch 0's novel rows already on disk
+    batch.withColumn("fp", F.md5("text")).coalesce(1).write.parquet(
+        f"{store}/__epoch=0"
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(in_dir)
+        .withColumn("fp", F.md5("text"))
+    )
+    q = ingest_dedup_stream_parquet(
+        stream,
+        fp_col="fp",
+        order_col="doc_id",
+        store_path=store,
+        checkpoint_location=str(tmp_path / "cp"),  # fresh -> replays 0
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.doc_id, r.text) for r in read_ingest_store(spark, store).collect()
+    }
+    assert got == {(1, "alpha"), (2, "beta")}
+
+
+def test_ingest_neardup_replay_is_lossless(spark, tmp_path):
+    """Near-dup twin of the replay test: epoch 0's rows AND band keys
+    are already in the store when epoch 0 re-runs; every document
+    collides with itself in band space, so without the earlier-epochs
+    filter the whole batch would be rejected and the epoch overwrite
+    would empty the store."""
+    from local_stream_stack_spark.operators.dedup import (
+        minhash_band_keys,
+        minhash_signatures,
+    )
+    from local_stream_stack_spark.streaming.ops import (
+        ingest_neardup_stream_parquet,
+        read_neardup_store,
+    )
+
+    text = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "sleeps on the warm windowsill in the afternoon sun light"
+    )
+    in_dir = str(tmp_path / "in")
+    batch = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    batch.coalesce(1).write.parquet(in_dir)
+    store = str(tmp_path / "store")
+    # pre-crash partial state: epoch 0 rows + band keys already written
+    batch.coalesce(1).write.parquet(f"{store}/rows/__epoch=0")
+    sigs = minhash_signatures(
+        batch, id_col="doc_id", text_col="text", n_hashes=32, shingle_k=3,
+        shingle="word",
+    )
+    minhash_band_keys(sigs, "doc_id", bands=8, rows_per_band=4).select(
+        "doc_id", "band", "bh"
+    ).coalesce(1).write.parquet(f"{store}/keys/__epoch=0")
+
+    q = ingest_neardup_stream_parquet(
+        spark.readStream.schema("doc_id long, text string").parquet(in_dir),
+        id_col="doc_id",
+        text_col="text",
+        order_col="doc_id",
+        store_path=store,
+        checkpoint_location=str(tmp_path / "cp"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.doc_id for r in read_neardup_store(spark, store).collect()}
+    assert got == {1}
