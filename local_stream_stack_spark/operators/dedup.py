@@ -88,6 +88,12 @@ def char_shingles(text_col, k: int = 5):
     """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     n = F.greatest(F.length(c) - (k - 1), F.lit(0))
+    # Texts shorter than k: n=0 makes sequence(1, 0) the DESCENDING
+    # [1, 0]; substr tolerates start 0 (unlike slice), so both indices
+    # yield the whole text and array_distinct collapses them to ONE
+    # whole-text shingle. Deliberately kept: identical short texts
+    # still collide in minhash space, and an empty shingle set would
+    # null out the signature.
     return F.array_distinct(
         F.transform(F.sequence(F.lit(1), n), lambda i: c.substr(i, F.lit(k)))
     )

@@ -1385,10 +1385,15 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = toks.select(
         "doc_id",
         "bucket",
+        # size guard, not greatest(): sequence(1, 0) is DESCENDING in
+        # Spark ([1, 0]) and slice(start=0) throws — a <8-token doc
+        # must yield zero grams, matching the oracle's generate_series
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(t) - 7, 0)),"
+                "CASE WHEN size(t) >= 8"
+                " THEN transform(sequence(1, size(t) - 7),"
                 " i -> concat_ws(' ', slice(t, i, 8)))"
+                " ELSE array() END"
             )
         ).alias("g"),
     )

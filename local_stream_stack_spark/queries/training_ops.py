@@ -91,15 +91,15 @@ def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     df AS (SELECT tok, COUNT(*) AS df FROM tk GROUP BY tok),
     tf AS (SELECT lang, tok, COUNT(*) AS tf FROM tk GROUP BY lang, tok),
     n AS (SELECT COUNT(*) AS n_docs FROM documents)
-    SELECT lang, tok, tf, df,
-           CAST(ROUND(tf * ln((n_docs + 1.0) / (df + 1.0)), 6)
-                AS DECIMAL(18,6)) AS tfidf,
-           rk
+    SELECT lang, tok, tf, df, tfidf_e6, rk
     FROM (
-      SELECT t.lang, t.tok, t.tf, d.df, n.n_docs,
+      SELECT t.lang, t.tok, t.tf, d.df,
+             CAST(ROUND(t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)) * 1000000)
+                  AS BIGINT) AS tfidf_e6,
              ROW_NUMBER() OVER (
                PARTITION BY t.lang
-               ORDER BY t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)) DESC, t.tok)
+               ORDER BY CAST(ROUND(t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0))
+                                   * 1000000) AS BIGINT) DESC, t.tok)
                AS rk
       FROM tf t JOIN df d ON t.tok = d.tok CROSS JOIN n
     ) r
@@ -116,9 +116,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one explode of per-doc DISTINCT tokens feeds both the df and
     tf aggregates (two shuffles over token keys, payload-free); the
     1-row corpus count and per-term df broadcast back onto the tf
-    table; per-language rank prunes with WindowGroupLimit. The score
-    expression (bigint tf x double log) is evaluated identically on
-    both engines, so ordering and the 6-dp round agree."""
+    table; per-language rank prunes with WindowGroupLimit. The rank
+    ORDERS ON the scaled-BIGINT score (``tfidf_e6`` = score x 10^6),
+    not the raw double: JVM Math.log and DuckDB std::log are not both
+    correctly rounded, so near-tied raw doubles could rank-flip
+    between engines, and integer emission also sidesteps the
+    decimal-from-double typed-hash divergence (r3 hash-fail cause)."""
     d = _t(spark, sf_dir, "documents")
     tk = (
         d.select(
@@ -135,23 +138,18 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = tk.groupBy("tok").agg(F.count("*").alias("df"))
     tf = tk.groupBy("lang", "tok").agg(F.count("*").alias("tf"))
     n_docs = d.count()
-    score = F.col("tf") * F.log(
-        (F.lit(float(n_docs) + 1.0)) / (F.col("df") + F.lit(1.0))
-    )
-    w = Window.partitionBy("lang").orderBy(F.desc("__s"), F.asc("tok"))
+    score_e6 = F.round(
+        F.col("tf")
+        * F.log((F.lit(float(n_docs) + 1.0)) / (F.col("df") + F.lit(1.0)))
+        * F.lit(1000000.0)
+    ).cast("bigint")
+    w = Window.partitionBy("lang").orderBy(F.desc("tfidf_e6"), F.asc("tok"))
     return (
         tf.join(df_, "tok")
-        .withColumn("__s", score)
+        .withColumn("tfidf_e6", score_e6)
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 10)
-        .select(
-            "lang",
-            "tok",
-            "tf",
-            "df",
-            F.round("__s", 6).cast("decimal(18,6)").alias("tfidf"),
-            "rk",
-        )
+        .select("lang", "tok", "tf", "df", "tfidf_e6", "rk")
         .orderBy("lang", "rk")
     )
 
@@ -172,10 +170,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
     )
     SELECT d.event_id, d.event_type,
-           CAST(ROUND(d.adev / m.mad, 4) AS DECIMAL(18,4)) AS mad_score
+           CAST(ROUND(d.adev / m.mad * 10000) AS BIGINT) AS mad_score_e4
     FROM dev d JOIN mad m ON d.event_type = m.event_type
     WHERE d.adev / m.mad > 6.0
-    ORDER BY mad_score DESC, event_id
+    ORDER BY mad_score_e4 DESC, event_id
     """,
 )
 def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -209,9 +207,11 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             "event_type",
-            F.round("mad_score", 4).cast("decimal(18,4)").alias("mad_score"),
+            F.round(F.col("mad_score") * F.lit(10000.0))
+            .cast("bigint")
+            .alias("mad_score_e4"),
         )
-        .orderBy(F.desc("mad_score"), F.asc("event_id"))
+        .orderBy(F.desc("mad_score_e4"), F.asc("event_id"))
     )
 
 
@@ -235,8 +235,8 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b,
-           CAST(ROUND(inter / CAST(sz_a AS DOUBLE), 6) AS DECIMAL(18,6))
-             AS containment
+           CAST(ROUND(inter / CAST(sz_a AS DOUBLE) * 1000000) AS BIGINT)
+             AS containment_e6
     FROM pairs
     WHERE inter / CAST(sz_a AS DOUBLE) >= 0.2
     ORDER BY doc_a, doc_b
@@ -255,12 +255,18 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     with dedup_minhash_lsh); the doc_id<1000 slice keeps the oracle's
     quadratic check cheap while exercising the identical plan."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    # Guard short documents: sequence(0, n-5) with n<5 produces a
+    # DESCENDING index list in Spark ([0,-1,...]) and slice(start=0)
+    # throws — a <5-token doc must yield ZERO shingles, exactly as the
+    # oracle's generate_series(1, len-4) does.
     grams = d.select(
         "doc_id",
         F.array_distinct(
             F.expr(
-                "transform(sequence(0, size(split(lower(trim(text)), '\\\\s+')) - 5),"
+                "CASE WHEN size(split(lower(trim(text)), '\\\\s+')) >= 5"
+                " THEN transform(sequence(0, size(split(lower(trim(text)), '\\\\s+')) - 5),"
                 " i -> concat_ws(' ', slice(split(lower(trim(text)), '\\\\s+'), i + 1, 5)))"
+                " ELSE array() END"
             )
         ).alias("grams"),
     )
@@ -288,7 +294,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round("containment", 6).cast("decimal(18,6)").alias("containment"),
+            F.round(F.col("containment") * F.lit(1000000.0))
+            .cast("bigint")
+            .alias("containment_e6"),
         )
         .orderBy("doc_a", "doc_b")
     )
@@ -370,8 +378,8 @@ def semantic_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT SUM(c) AS total, COUNT(*) AS v FROM vocab),
     lp AS (
       SELECT tok,
-             CAST(ROUND(ln((c + 1.0) / (total + v)), 6) AS DECIMAL(12,6))
-               AS logp
+             CAST(ROUND(ln((c + 1.0) / (total + v)) * 1000000) AS BIGINT)
+               AS logp_e6
       FROM vocab CROSS JOIN tot
     ),
     dt AS (
@@ -379,9 +387,9 @@ def semantic_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.doc_id,
            CAST(SUM(d.n) AS BIGINT) AS n_tokens,
-           CAST(ROUND(-CAST(SUM(d.n * l.logp) AS DOUBLE)
-                      / CAST(SUM(d.n) AS DOUBLE), 4) AS DECIMAL(18,4))
-             AS nll_per_token
+           CAST(ROUND(-CAST(SUM(d.n * l.logp_e6) AS DOUBLE)
+                      / CAST(SUM(d.n) AS DOUBLE) / 100) AS BIGINT)
+             AS nll_per_token_e4
     FROM dt d JOIN lp l ON d.tok = l.tok
     GROUP BY d.doc_id
     ORDER BY d.doc_id
@@ -393,9 +401,12 @@ def perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     by mean negative log-likelihood per token — the classic
     perplexity-based quality filter (high = unusual/garbled text).
 
-    Determinism: per-token ln p rounds to a 6-dp DECIMAL once, so the
-    per-doc aggregate is an exact integer-weighted decimal sum —
-    order-independent, immune to partition-layout float drift. Plan:
+    Determinism: per-token ln p rounds ONCE to a scaled BIGINT
+    (``logp_e6`` = ln p x 10^6), so the per-doc aggregate is an exact
+    integer sum — order-independent, immune to partition-layout float
+    drift — and the output (``nll_per_token_e4``) is the one double
+    division rounded back to an integer, which hashes identically on
+    both engines. Plan:
     one token explode feeds vocab counts (shuffle on token), the tiny
     log-prob table joins back on token, and the per-doc aggregate
     shuffles (doc, token) count rows, never raw text."""
@@ -411,10 +422,11 @@ def perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     lp = vocab.crossJoin(F.broadcast(tot)).select(
         "tok",
         F.round(
-            F.log((F.col("c") + F.lit(1.0)) / (F.col("total") + F.col("v"))), 6
+            F.log((F.col("c") + F.lit(1.0)) / (F.col("total") + F.col("v")))
+            * F.lit(1000000.0)
         )
-        .cast("decimal(12,6)")
-        .alias("logp"),
+        .cast("bigint")
+        .alias("logp_e6"),
     )
     dt = tk.groupBy("doc_id", "tok").agg(F.count("*").alias("n"))
     return (
@@ -423,12 +435,12 @@ def perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("n").cast("bigint").alias("n_tokens"),
             F.round(
-                -F.sum(F.col("n") * F.col("logp")).cast("double")
-                / F.sum("n").cast("double"),
-                4,
+                -F.sum(F.col("n") * F.col("logp_e6")).cast("double")
+                / F.sum("n").cast("double")
+                / F.lit(100.0)
             )
-            .cast("decimal(18,4)")
-            .alias("nll_per_token"),
+            .cast("bigint")
+            .alias("nll_per_token_e4"),
         )
         .orderBy("doc_id")
     )
@@ -491,10 +503,9 @@ def partitioned_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cells c JOIN ext x ON c.i = x.i
     )
     SELECT vec_id,
-           CAST(ROUND(SUM(CAST(ROUND((v - recon) * (v - recon), 12)
-                               AS DECIMAL(24,12)))
-                      / CAST(ANY_VALUE(dim) AS DOUBLE) * 1e6, 6)
-                AS DECIMAL(18,6)) AS mse_x1e6
+           CAST(ROUND(CAST(SUM(CAST(ROUND((v - recon) * (v - recon) * 1e12)
+                                    AS BIGINT)) AS DOUBLE)
+                      / CAST(ANY_VALUE(dim) AS DOUBLE)) AS BIGINT) AS mse_e12
     FROM q
     GROUP BY vec_id
     ORDER BY vec_id
@@ -510,10 +521,12 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition to |dims| extent rows before the shuffle, so the
     exchange is O(partitions x dims), not O(rows x dims). The tiny
     extents table broadcasts back; quantize/dequantize and the
-    squared-error terms are pure codegen. Errors round to a fixed-
-    scale DECIMAL per cell before summing, so the per-vector MSE is
-    accumulation-order-exact on both engines (reported x1e6 to keep
-    the rounded decimal well inside its precision)."""
+    squared-error terms are pure codegen. Errors round ONCE per cell
+    to a scaled BIGINT (x 10^12), so the per-vector sum is an exact
+    integer on both engines — accumulation-order-independent — and the
+    output (``mse_e12`` = MSE x 10^12) is a single double division
+    rounded back to an integer, which hashes identically under the
+    driver's typed canonicalization."""
     e = _t(spark, sf_dir, "embeddings")
     cells = e.select(
         "vec_id",
@@ -536,18 +549,19 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = cells.join(F.broadcast(ext), "i").select(
         "vec_id",
         "dim",
-        F.round((F.col("v") - recon) * (F.col("v") - recon), 12)
-        .cast("decimal(24,12)")
-        .alias("sqerr"),
+        F.round((F.col("v") - recon) * (F.col("v") - recon) * F.lit(1e12))
+        .cast("bigint")
+        .alias("sqerr_e12"),
     )
     return (
         q.groupBy("vec_id")
         .agg(
             F.round(
-                F.sum("sqerr") / F.first("dim").cast("double") * 1e6, 6
+                F.sum("sqerr_e12").cast("double")
+                / F.first("dim").cast("double")
             )
-            .cast("decimal(18,6)")
-            .alias("mse_x1e6")
+            .cast("bigint")
+            .alias("mse_e12")
         )
         .orderBy("vec_id")
     )
@@ -870,7 +884,7 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            CAST(u.decile AS INT) AS decile,
-           CAST(ROUND(u.bound, 4) AS DECIMAL(18,4)) AS bound
+           CAST(ROUND(u.bound * 10000) AS BIGINT) AS bound_e4
     FROM (
       SELECT o_orderpriority, unnest([
         {'decile': 1, 'bound': quantile_cont(o_totalprice, 0.1)},
@@ -921,7 +935,9 @@ def decile_bounds_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderpriority",
             F.col("p.decile").cast("int").alias("decile"),
-            F.round("p.bound", 4).cast("decimal(18,4)").alias("bound"),
+            F.round(F.col("p.bound") * F.lit(10000.0))
+            .cast("bigint")
+            .alias("bound_e4"),
         )
         .orderBy("o_orderpriority", "decile")
     )
