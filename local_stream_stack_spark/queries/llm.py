@@ -1566,13 +1566,18 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     10 postings (sorted doc ids) — the indexing half of lexical
     search, and the join fabric `dedup_ngram_jaccard` and
     `decontaminate_ngram_overlap` consume implicitly. One shuffle on
-    the token after a distinct that partial-aggregates scan-side;
-    posting lists truncate AFTER the per-token sort so the output is
-    deterministic. At 100 TB postings stay bounded per token only if
-    truncated (as here) or bucketed by (token, shard) — the full
-    posting list of a stopword is the classic hot key, which is why
-    df rides alongside: downstream consumers drop high-df tokens
-    before joining."""
+    the token after a distinct that partial-aggregates scan-side.
+
+    The posting cut happens BEFORE aggregation: a per-token
+    row_number window (same single exchange) keeps only the 10
+    smallest doc_ids, and collect_list then buffers at most 10 rows
+    per token. Collecting the full list and slicing after — the
+    obvious spelling — is an unbounded ObjectHashAggregate buffer: at
+    100 TB a stopword's complete posting list lands on one reducer
+    (the classic hot key). df is a whole-partition window count over
+    the same exchange, so it still reflects the FULL document
+    frequency — downstream consumers drop high-df tokens before
+    joining."""
     d = _t(spark, sf_dir, "documents")
     toks = (
         d.select(
@@ -1584,12 +1589,17 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("tok") > 0)
         .distinct()
     )
+    w_rank = Window.partitionBy("tok").orderBy("doc_id")
+    w_all = Window.partitionBy("tok")
     return (
-        toks.groupBy("tok")
+        toks.withColumn("__df", F.count("*").over(w_all))
+        .withColumn("__rn", F.row_number().over(w_rank))
+        .filter(F.col("__rn") <= 10)
+        .groupBy("tok")
         .agg(
-            F.count("*").alias("df"),
+            F.first("__df").cast("bigint").alias("df"),
             F.concat_ws(
-                ",", F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10)
+                ",", F.sort_array(F.collect_list("doc_id"))
             ).alias("postings"),
         )
         .orderBy("tok")

@@ -14,6 +14,8 @@ from local_stream_stack_spark.streaming.ops import (
     session_windowed_counts,
     dedup_within_watermark,
     latest_per_key_stream,
+    latest_per_key_stream_parquet,
+    latest_per_key_stream_tempview,
     stream_static_join,
 )
 
@@ -23,5 +25,7 @@ __all__ = [
     "session_windowed_counts",
     "dedup_within_watermark",
     "latest_per_key_stream",
+    "latest_per_key_stream_parquet",
+    "latest_per_key_stream_tempview",
     "stream_static_join",
 ]

@@ -115,21 +115,47 @@ def latest_per_key_stream(
     df: DataFrame,
     keys: Sequence[str],
     order_col: str,
+    target_path: str,
+    checkpoint_location: str,
+    tombstone_predicate: str | None = None,
+    n_buckets: int = 32,
+):
+    """Materialize a compacted (latest-per-key) view of a stream —
+    the reference's compacted-topic semantics (A15/A16) without Kafka.
+
+    DEFAULT = the bucket-partitioned parquet MERGE path
+    (``latest_per_key_stream_parquet``): per-epoch cost proportional
+    to touched buckets, no driver-side materialization of the view.
+    The driver-collect variant survives only as the explicitly named
+    test helper ``latest_per_key_stream_tempview`` — its state lives
+    on the driver and grows with key cardinality, which is an OOM at
+    scale, never a default."""
+    return latest_per_key_stream_parquet(
+        df,
+        keys=keys,
+        order_col=order_col,
+        target_path=target_path,
+        checkpoint_location=checkpoint_location,
+        tombstone_predicate=tombstone_predicate,
+        n_buckets=n_buckets,
+    )
+
+
+def latest_per_key_stream_tempview(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
     target_table: str,
     checkpoint_location: str,
     tombstone_predicate: str | None = None,
 ):
-    """Materialize a compacted (latest-per-key) view of a stream.
+    """TEST HELPER — compacted view in a driver-side temp view.
 
-    foreachBatch: per micro-batch, reduce to latest per key, merge
-    with the existing view, drop tombstones, and atomically replace
-    the target temp view. Exactly-once per epoch via the checkpoint;
-    the merge itself is idempotent (max-by-order wins), so replayed
-    epochs converge — the reference's compacted-topic semantics
-    (A15/A16) without Kafka.
-
-    At scale the target would be a keyed table (Delta/Iceberg MERGE);
-    the in-memory temp view keeps the pattern testable here.
+    Collects the merged view to the driver every epoch: state grows
+    with key cardinality, so this is ONLY for small unit-test streams
+    where inspecting the view as a temp table is convenient. Use
+    ``latest_per_key_stream`` (parquet MERGE, bucket-pruned) for
+    anything real; it is the default for a reason.
     """
     from local_stream_stack_spark.operators.events import latest_per_key
 

@@ -130,3 +130,21 @@ def test_grouping_sets_expand_runs_over_aggregate(spark):
     scan_pos = below_expand.find("Scan parquet")
     assert agg_pos != -1 and scan_pos != -1
     assert agg_pos < scan_pos, below_expand[:1500]
+
+
+def test_inverted_index_bounds_postings_before_aggregation(spark):
+    """The collect_list input must be pre-limited by the row_number
+    window filter (<=10 rows per token) — an unbounded per-token
+    buffer is the stopword hot-key OOM at scale. The window and the
+    aggregate must also share ONE exchange on tok."""
+    plan = _plan(spark, "inverted_index")
+    import re
+
+    assert re.search(r"__rn#\d+L? <= 10", plan), plan[:2000]
+    # Spark's rank-limit pushdown truncates each token's run to 10
+    # rows BEFORE the row_number window materializes — the strongest
+    # form of the bound
+    assert "WindowGroupLimit" in plan
+    # one shuffle only: the window's hashpartitioning(tok) feeds the
+    # aggregate directly
+    assert plan.count("Exchange hashpartitioning(tok") == 1

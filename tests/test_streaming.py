@@ -15,7 +15,7 @@ from pyspark.sql import types as T
 
 from local_stream_stack_spark.streaming.ops import (
     dedup_within_watermark,
-    latest_per_key_stream,
+    latest_per_key_stream_tempview,
     running_totals_with_state,
     session_windowed_counts,
     stream_static_join,
@@ -132,7 +132,7 @@ def test_latest_per_key_stream_upsert(spark, tmpdir):
     ]
     path = _write_input(spark, tmpdir, rows)
     stream = spark.readStream.schema(EVENT_SCHEMA).parquet(path)
-    q = latest_per_key_stream(
+    q = latest_per_key_stream_tempview(
         stream,
         keys=["user_id"],
         order_col="ts",
