@@ -253,3 +253,105 @@ def exact_quantile(
         out_cols=[out_col or f"q{q}"],
         broadcast_state=broadcast_state,
     )
+
+
+def exact_quantiles_by_value(
+    df: DataFrame,
+    value_qs: Mapping[str, Sequence[float]],
+    keys: Sequence[str],
+    out_cols: Mapping[str, Sequence[str]] | None = None,
+) -> DataFrame:
+    """Exact quantile_cont-style quantiles via a VALUE HISTOGRAM —
+    the one-scan alternative to ``exact_quantiles_multi`` for columns
+    with BOUNDED DISTINCT VALUES (integer quantities, fixed-point
+    money, enums).
+
+    One scan: unpivot the value columns, count rows per
+    (key, column, value) — partial-aggregated scan-side, so the
+    shuffle carries at most |keys| x |distinct values| count rows no
+    matter how many input rows (that bound is what makes this the
+    preferred form at 100 TB when it applies). A running-count window
+    over the tiny histogram locates the bracketing ranks
+    h = (n-1) * q exactly as quantile_cont interpolates.
+
+    For genuinely continuous doubles (distinct ~ n) use
+    ``exact_quantiles_multi``'s 3-pass bin refinement instead — a
+    histogram with n buckets would just be the hot-key buffer again.
+    """
+    cols = list(value_qs)
+    if not cols:
+        raise ValueError("at least one value column required")
+    qs_per = {c: [float(q) for q in value_qs[c]] for c in cols}
+    for c, qs in qs_per.items():
+        if not qs:
+            raise ValueError(f"at least one quantile required for {c!r}")
+        for q in qs:
+            if not 0.0 <= q <= 1.0:
+                raise ValueError(f"quantiles must be in [0, 1], got {q}")
+    if out_cols is None:
+        out_named = {c: [f"{c}_q{q}" for q in qs_per[c]] for c in cols}
+    else:
+        out_named = {c: list(out_cols[c]) for c in cols}
+        for c in cols:
+            if len(out_named[c]) != len(qs_per[c]):
+                raise ValueError(f"out_cols must match qs in length for {c!r}")
+    keys = list(keys)
+    k2 = keys + ["__ci"]
+
+    vals = df.select(
+        *keys,
+        F.posexplode(
+            F.array(*[F.col(c).cast("double") for c in cols])
+        ).alias("__ci", "__v"),
+    ).filter(F.col("__v").isNotNull())
+    hist = vals.groupBy(*k2, "__v").agg(F.count("*").alias("__c"))
+    wcum = (
+        Window.partitionBy(*k2)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*k2)
+    hist = (
+        hist.withColumn("__cum", F.sum("__c").over(wcum))
+        .withColumn("__below", F.col("__cum") - F.col("__c"))
+        .withColumn("__n", F.sum("__c").over(wall))
+    )
+    # value __v covers 0-indexed ranks [__below, __cum); pick the
+    # values bracketing h = (n-1)*q for every requested slot
+    n_slots = max(len(v) for v in qs_per.values())
+    padded = {c: v + [v[-1]] * (n_slots - len(v)) for c, v in qs_per.items()}
+
+    def q_lit(i: int):
+        return F.element_at(
+            F.array(*[F.lit(padded[c][i]) for c in cols]), F.col("__ci") + 1
+        )
+
+    aggs = []
+    for i in range(n_slots):
+        h = (F.col("__n") - 1) * q_lit(i)
+        rlo = F.floor(h).cast("bigint")
+        rhi = F.ceil(h).cast("bigint")
+        covers_lo = (F.col("__below") <= rlo) & (rlo < F.col("__cum"))
+        covers_hi = (F.col("__below") <= rhi) & (rhi < F.col("__cum"))
+        aggs.append(F.min(F.when(covers_lo, F.col("__v"))).alias(f"__vlo{i}"))
+        aggs.append(F.min(F.when(covers_hi, F.col("__v"))).alias(f"__vhi{i}"))
+        aggs.append(F.first(h).alias(f"__hh{i}"))
+    picked = hist.groupBy(*k2).agg(*aggs)
+    out_exprs = []
+    for i in range(n_slots):
+        frac = F.col(f"__hh{i}") - F.floor(f"__hh{i}")
+        out_exprs.append(
+            (
+                F.col(f"__vlo{i}")
+                + frac * (F.col(f"__vhi{i}") - F.col(f"__vlo{i}"))
+            ).alias(f"__o{i}")
+        )
+    picked = picked.select("*", *out_exprs)
+    finals = [
+        F.max(F.when(F.col("__ci") == ci, F.col(f"__o{i}"))).alias(
+            out_named[c][i]
+        )
+        for ci, c in enumerate(cols)
+        for i in range(len(qs_per[c]))
+    ]
+    return picked.groupBy(*keys).agg(*finals)

@@ -477,10 +477,19 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = _t(spark, sf_dir, "lineitem")
+    # 3-pass bin refinement: l_extendedprice has ~n distinct values,
+    # so the one-scan value-histogram form (exact_quantiles_by_value,
+    # used by quantile_by_value_qty on the bounded-domain quantity
+    # column) would collapse its rank window to one reducer per group
+    # here. bins trades pass-1 aggregate width against pass-2 survivor
+    # count (~n/bins rows per group reach the ranked re-scan); a
+    # persist() of the shared projection was measured SLOWER than the
+    # extra column-pruned parquet scans, so the passes re-scan.
     quants = exact_quantiles_multi(
         li,
         {"l_quantity": [0.5, 0.90], "l_extendedprice": [0.25]},
         ["l_returnflag"],
+        bins=1024,
         out_cols={
             "l_quantity": ["__median", "__p90"],
             "l_extendedprice": ["__p25"],
@@ -633,6 +642,50 @@ def approx_percentile_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "quantile_by_value_qty",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(quantile_cont(l_quantity, 0.25) * 10000) AS BIGINT)
+             AS p25_e4,
+           CAST(ROUND(quantile_cont(l_quantity, 0.50) * 10000) AS BIGINT)
+             AS p50_e4,
+           CAST(ROUND(quantile_cont(l_quantity, 0.90) * 10000) AS BIGINT)
+             AS p90_e4
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def quantile_by_value_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated quantiles via the one-scan VALUE-HISTOGRAM
+    operator (operators/quantiles.exact_quantiles_by_value) — the
+    preferred exact form when the column's distinct values are bounded
+    (quantity is an integer in 1..50). The shuffle carries at most
+    |groups| x |distinct| count rows regardless of input size, vs the
+    3-pass bin refinement that exact_quantile_distributed /
+    percentile_stats use for continuous columns. Outputs are scaled
+    BIGINTs (x 10^4) for typed-hash stability."""
+    from local_stream_stack_spark.operators.quantiles import (
+        exact_quantiles_by_value,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    q = exact_quantiles_by_value(
+        li,
+        {"l_quantity": [0.25, 0.50, 0.90]},
+        ["l_returnflag", "l_linestatus"],
+        out_cols={"l_quantity": ["__p25", "__p50", "__p90"]},
+    )
+    return q.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("__p25") * F.lit(10000.0)).cast("bigint").alias("p25_e4"),
+        F.round(F.col("__p50") * F.lit(10000.0)).cast("bigint").alias("p50_e4"),
+        F.round(F.col("__p90") * F.lit(10000.0)).cast("bigint").alias("p90_e4"),
+    ).orderBy("l_returnflag", "l_linestatus")
 
 
 @query("hll_sketch_rollup", oracle=None)

