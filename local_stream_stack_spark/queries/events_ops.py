@@ -1022,3 +1022,79 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est"), F.asc("user_id"))
         .limit(20)
     )
+
+
+@query(
+    "time_weighted_avg",
+    oracle="""
+    WITH ord AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(24,6)) AS v,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+             lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+             ) AS t_next
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id, v, CAST(t_next - t_us AS DECIMAL(14,0)) AS dt
+      FROM ord WHERE t_next IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(SUM(dt) AS BIGINT) AS span_us,
+           CAST(ROUND(CAST(SUM(v * dt) AS DOUBLE)
+                      / CAST(SUM(dt) AS DOUBLE) * 1000000) AS BIGINT)
+             AS twa_e6
+    FROM seg
+    GROUP BY user_id
+    HAVING SUM(dt) > 0
+    ORDER BY user_id
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user — the hypertable/metrics rollup
+    primitive for irregular samples: each observation holds its value
+    until the NEXT one (LOCF segments), and the mean weights each
+    segment by its duration, so burst-sampled intervals don't dominate.
+
+    One shuffle on user_id: the lead() window and the aggregate share
+    the hash partitioning. Exactness discipline: value becomes a
+    fixed-scale DECIMAL and the segment duration an integer, so
+    SUM(v * dt) is an exact decimal on both engines — accumulation-
+    order-independent — and the output is a single double division
+    emitted as a scaled BIGINT (``twa_e6``)."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("t_us"), F.col("event_id")
+    )
+    seg = (
+        e.select(
+            "user_id",
+            F.col("value").cast("decimal(24,6)").alias("v"),
+            epoch_us("ts").alias("t_us"),
+            "event_id",
+        )
+        .withColumn("t_next", F.lead("t_us").over(w))
+        .filter(F.col("t_next").isNotNull())
+        .select(
+            "user_id",
+            "v",
+            (F.col("t_next") - F.col("t_us")).cast("decimal(14,0)").alias("dt"),
+        )
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.sum("dt").cast("bigint").alias("span_us"),
+            F.round(
+                F.sum(F.col("v") * F.col("dt")).cast("double")
+                / F.sum("dt").cast("double")
+                * F.lit(1000000.0)
+            )
+            .cast("bigint")
+            .alias("twa_e6"),
+        )
+        .filter(F.col("span_us") > 0)
+        .orderBy("user_id")
+    )

@@ -941,3 +941,117 @@ def decile_bounds_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "decile")
     )
+
+
+@query(
+    "stratified_sample_sources",
+    oracle="""
+    WITH rates AS (
+      SELECT * FROM (VALUES
+        ('web',    CAST(0.10 * 4294967296 AS BIGINT)),
+        ('wiki',   CAST(0.80 * 4294967296 AS BIGINT)),
+        ('books',  CAST(0.50 * 4294967296 AS BIGINT)),
+        ('code',   CAST(0.25 * 4294967296 AS BIGINT)),
+        ('papers', CAST(0.60 * 4294967296 AS BIGINT))
+      ) AS t(source, thr)
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d
+    JOIN rates r ON d.source = r.source
+    WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) < r.thr
+    ORDER BY d.doc_id
+    """,
+)
+def stratified_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified (per-source) Bernoulli sampling — the
+    mixture-rebalancing step of corpus curation: each source keeps an
+    independent fixed fraction (web 10%, wiki 80%, ...), decided by an
+    INTEGER threshold on the md5 hash of the doc id, so the admitted
+    set is identical on every engine, partitioning, and rerun (no
+    float comparison, no RNG state).
+
+    Scan-shaped: the per-row hash test is codegen against a broadcast
+    5-row rate table — no shuffle at all before the output sort. At
+    100 TB this composes with `source_char_budget` (quota after
+    sampling) and `weighted_sample` (size-biased choice within the
+    admitted set)."""
+    d = _t(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        [
+            ("web", int(0.10 * 4294967296)),
+            ("wiki", int(0.80 * 4294967296)),
+            ("books", int(0.50 * 4294967296)),
+            ("code", int(0.25 * 4294967296)),
+            ("papers", int(0.60 * 4294967296)),
+        ],
+        "source string, thr bigint",
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(h < F.col("thr"))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "price_decile_assign",
+    oracle="""
+    WITH bounds AS (
+      SELECT o_orderpriority, unnest([
+        quantile_cont(o_totalprice, 0.1), quantile_cont(o_totalprice, 0.2),
+        quantile_cont(o_totalprice, 0.3), quantile_cont(o_totalprice, 0.4),
+        quantile_cont(o_totalprice, 0.5), quantile_cont(o_totalprice, 0.6),
+        quantile_cont(o_totalprice, 0.7), quantile_cont(o_totalprice, 0.8),
+        quantile_cont(o_totalprice, 0.9)
+      ]) AS b
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderkey, o.o_orderpriority,
+           CAST(1 + COUNT(CASE WHEN o.o_totalprice > b.b THEN 1 END)
+                AS BIGINT) AS decile
+    FROM orders o JOIN bounds b USING (o_orderpriority)
+    GROUP BY o.o_orderkey, o.o_orderpriority
+    ORDER BY o.o_orderkey
+    """,
+)
+def price_decile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-bucket FEATURE BINNING: assign every order its
+    within-priority price decile (1..10) by comparing against the nine
+    exact decile boundaries — the numeric-feature bucketing /
+    length-balanced batching primitive (`decile_bounds_price` computes
+    the same bounds as a report; this query APPLIES them back to rows).
+
+    The 3-pass exact-quantile pipeline produces a 5-row bounds table
+    that broadcasts over one clean scan of orders: bucket = 1 + number
+    of bounds strictly below the price, evaluated in codegen. Never a
+    rank-the-whole-table window (NTILE over n rows per priority is the
+    single-reducer sort this avoids). Ties sit in the LOWER bucket on
+    both engines (strict > on identical exact bounds)."""
+    from local_stream_stack_spark.operators.quantiles import exact_quantiles
+
+    o = _t(spark, sf_dir, "orders")
+    qs = [i / 10.0 for i in range(1, 10)]
+    names = [f"d{i}0" for i in range(1, 10)]
+    bounds = exact_quantiles(
+        o, "o_totalprice", qs, ["o_orderpriority"], out_cols=names
+    )
+    decile = F.lit(1)
+    for n in names:
+        decile = decile + F.when(
+            F.col("o_totalprice") > F.col(n), F.lit(1)
+        ).otherwise(F.lit(0))
+    return (
+        o.select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .join(F.broadcast(bounds), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            decile.cast("bigint").alias("decile"),
+        )
+        .orderBy("o_orderkey")
+    )
