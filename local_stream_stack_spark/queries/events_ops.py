@@ -1098,3 +1098,71 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("span_us") > 0)
         .orderBy("user_id")
     )
+
+
+@query(
+    "event_gap_quantiles",
+    oracle="""
+    WITH ord AS (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+                 ) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_gaps,
+           CAST(ROUND(median(gap_us)) AS BIGINT) AS p50_us,
+           CAST(ROUND(quantile_cont(gap_us, 0.95)) AS BIGINT) AS p95_us
+    FROM ord
+    WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def event_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap distribution (p50/p95 per event type of the
+    LATER event) — the heartbeat/SLA monitor for event streams: a
+    rising p95 gap is the first sign of a stalling producer.
+
+    Composition of the per-user lag() window (one shuffle on user_id)
+    with the distributed 3-pass exact-quantile operator on the derived
+    gap column (gaps are ~continuous in microseconds, so the bin-
+    refinement form applies, not the value histogram). Gap durations
+    are exact integers; only the interpolated quantile is rounded,
+    to a whole microsecond emitted as BIGINT."""
+    from local_stream_stack_spark.operators.quantiles import (
+        exact_quantiles,
+    )
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("t_us"), F.col("event_id")
+    )
+    gaps = (
+        e.select(
+            "user_id",
+            "event_type",
+            "event_id",
+            epoch_us("ts").alias("t_us"),
+        )
+        .withColumn("gap_us", F.col("t_us") - F.lag("t_us").over(w))
+        .filter(F.col("gap_us").isNotNull())
+        .select("event_type", F.col("gap_us").cast("double").alias("gap_us"))
+    )
+    counts = gaps.groupBy("event_type").agg(F.count("*").alias("n_gaps"))
+    q = exact_quantiles(
+        gaps, "gap_us", [0.5, 0.95], ["event_type"], out_cols=["__p50", "__p95"]
+    )
+    return (
+        counts.join(F.broadcast(q), "event_type")
+        .select(
+            "event_type",
+            "n_gaps",
+            F.round("__p50").cast("bigint").alias("p50_us"),
+            F.round("__p95").cast("bigint").alias("p95_us"),
+        )
+        .orderBy("event_type")
+    )

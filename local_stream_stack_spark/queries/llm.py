@@ -1641,3 +1641,101 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+@query(
+    "token_pmi_collocations",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    tk AS (SELECT doc_id, tok FROM toks WHERE length(tok) >= 3),
+    df AS (
+      SELECT tok, COUNT(*) AS n FROM tk GROUP BY tok
+      HAVING COUNT(*) BETWEEN 5 AND 60
+    ),
+    ft AS (SELECT t.doc_id, t.tok, d.n FROM tk t JOIN df d USING (tok)),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b,
+             COUNT(*) AS n_ab,
+             ANY_VALUE(a.n) AS n_a, ANY_VALUE(b.n) AS n_b
+      FROM ft a JOIN ft b
+        ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY a.tok, b.tok
+      HAVING COUNT(*) >= 3
+    )
+    SELECT tok_a, tok_b, n_ab,
+           CAST(ROUND(ln( (CAST(n_ab AS DOUBLE) * n_docs)
+                          / (CAST(n_a AS DOUBLE) * n_b) ) * 1000000)
+                AS BIGINT) AS pmi_e6
+    FROM pairs CROSS JOIN nd
+    ORDER BY pmi_e6 DESC, tok_a, tok_b
+    LIMIT 20
+    """,
+)
+def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining via pointwise mutual information:
+    PMI(a,b) = ln(P(a,b) / (P(a)P(b))) over per-document token
+    presence — surfaces multi-word entities ("machine learning") for
+    tokenizer vocab curation and phrase-aware dedup.
+
+    The support cut IS the scale design: only mid-frequency tokens
+    (5 <= df <= 60 here; the band scales with corpus size) enter the
+    per-document self-join, so pair cardinality is bounded by
+    sum_doc(|filtered tokens per doc|^2) with stopwords excluded by
+    the upper df bound — the unfiltered join is quadratic in the
+    stopword count and never runs. One distinct-token explode feeds
+    df and the pair join; the top-20 ranks on the scaled-BIGINT PMI
+    (ln is not correctly rounded; integer rank + emission keeps both
+    engines' order and hashes identical)."""
+    d = _t(spark, sf_dir, "documents")
+    tk = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+                )
+            ).alias("tok"),
+        )
+        .filter(F.length("tok") >= 3)
+    )
+    df_ = (
+        tk.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .filter((F.col("n") >= 5) & (F.col("n") <= 60))
+    )
+    ft = tk.join(F.broadcast(df_), "tok")
+    n_docs = d.count()
+    a = ft.select(
+        "doc_id", F.col("tok").alias("tok_a"), F.col("n").alias("n_a")
+    )
+    b = ft.select(
+        "doc_id", F.col("tok").alias("tok_b"), F.col("n").alias("n_b")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(
+            F.count("*").alias("n_ab"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+        .filter(F.col("n_ab") >= 3)
+    )
+    pmi_e6 = F.round(
+        F.log(
+            (F.col("n_ab").cast("double") * F.lit(float(n_docs)))
+            / (F.col("n_a").cast("double") * F.col("n_b"))
+        )
+        * F.lit(1000000.0)
+    ).cast("bigint")
+    return (
+        pairs.select("tok_a", "tok_b", "n_ab", pmi_e6.alias("pmi_e6"))
+        .orderBy(F.desc("pmi_e6"), F.asc("tok_a"), F.asc("tok_b"))
+        .limit(20)
+    )

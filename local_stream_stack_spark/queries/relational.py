@@ -913,3 +913,41 @@ def join_bloom_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_partkey")
     )
+
+
+@query(
+    "join_shuffle_hash_hint",
+    oracle=f"""
+    SELECT s_nationkey,
+           COUNT(*) AS n_items,
+           {_sum_round(DISC_PRICE)} AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    ORDER BY s_nationkey
+    """,
+)
+def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHUFFLE_HASH-hinted fact-to-dimension join: when the dimension
+    exceeds the broadcast threshold but each PARTITION of it still
+    fits executor memory, a shuffled hash join skips SortMergeJoin's
+    two per-partition sorts — the middle rung of the join-strategy
+    ladder (broadcast < shuffle-hash < sort-merge) that Spark's
+    cost model won't pick on its own without statistics. The hint is
+    semantically invisible (identical oracle to a plain join);
+    tests/test_plans.py pins ShuffledHashJoin in the plan and the
+    absence of both the sort and the broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        li.join(
+            s.hint("SHUFFLE_HASH"),
+            li.l_suppkey == s.s_suppkey,
+        )
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.expr(_sum_round(DISC_PRICE)).alias("revenue"),
+        )
+        .orderBy("s_nationkey")
+    )

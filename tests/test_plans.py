@@ -148,3 +148,12 @@ def test_inverted_index_bounds_postings_before_aggregation(spark):
     # one shuffle only: the window's hashpartitioning(tok) feeds the
     # aggregate directly
     assert plan.count("Exchange hashpartitioning(tok") == 1
+
+
+def test_shuffle_hash_hint_selects_shj(spark):
+    """The SHUFFLE_HASH hint must produce a ShuffledHashJoin — no
+    per-partition sorts (SMJ) and no broadcast of the dimension."""
+    plan = _plan(spark, "join_shuffle_hash_hint")
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
