@@ -882,3 +882,64 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(col_name, n_nulls, n_distinct, min_num, max_num, min_str, max_str)"
         )
     ).orderBy("col_name")
+
+
+@query(
+    "bucketed_join_revenue",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           {_sum_round(DISC_PRICE)} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CO-LOCATED join via bucketed tables — the pre-shuffle strategy
+    for repeated big-big joins: both sides are written bucketed AND
+    sorted by the join key, so the join needs NO exchange and NO sort
+    at read time (SortMergeJoin consumes the bucket layout directly).
+    At 100 TB this is the difference between re-shuffling the fact
+    table on every join and paying the shuffle once at ingest;
+    tests/test_plans.py pins zero exchanges under the join.
+
+    Mechanics: external bucketed tables (explicit path, in-memory
+    catalog — no Hive dependency); 8 buckets on the order key; the
+    bucket count would scale with data volume (buckets ~ data /
+    target-partition-size). The oracle is the PLAIN join — bucketing
+    must be semantically invisible."""
+    import tempfile
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    base = tempfile.mkdtemp(prefix="lss-bucketed-")
+    for name, df, key in (
+        ("lss_b_lineitem", li, "l_orderkey"),
+        ("lss_b_orders", o, "o_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", f"{base}/{name}")
+            .saveAsTable(name)
+        )
+    lb = spark.table("lss_b_lineitem")
+    ob = spark.table("lss_b_orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.expr(_sum_round(DISC_PRICE)).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -157,3 +157,26 @@ def test_shuffle_hash_hint_selects_shj(spark):
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_bucketed_join_has_no_join_exchange(spark):
+    """Both sides of the bucketed join are pre-partitioned by the
+    join key at WRITE time, so the join must consume the bucket
+    layout with NO exchange on the join keys — the pay-the-shuffle-
+    once-at-ingest pattern. (The aggregate after the join still
+    shuffles on its own grouping key.)"""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # at test scale the dimension fits the broadcast threshold and
+    # Spark (correctly) prefers BHJ; disable it so the plan shows the
+    # big-big shape the bucketing exists for
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "bucketed_join_revenue")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Bucketed: true" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    # the only hash exchange left is the aggregate's
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:3000]
