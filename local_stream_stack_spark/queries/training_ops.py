@@ -1055,3 +1055,55 @@ def price_decile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "dq_expectations_orders",
+    oracle="""
+    SELECT 'orderdate_in_range' AS rule,
+           COUNT(*) FILTER (WHERE o_orderdate < TIMESTAMP '1992-01-01 00:00:00'
+                               OR o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+             AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orderkey_not_null',
+           COUNT(*) FILTER (WHERE o_orderkey IS NULL) FROM orders
+    UNION ALL
+    SELECT 'orderkey_unique',
+           COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders
+    UNION ALL
+    SELECT 'orderstatus_accepted',
+           COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('F', 'O', 'P'))
+      FROM orders
+    UNION ALL
+    SELECT 'totalprice_positive',
+           COUNT(*) FILTER (WHERE NOT (o_totalprice > 0)) FROM orders
+    ORDER BY rule
+    """,
+)
+def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over the orders snapshot
+    (operators/quality.expectations_report): four row rules share ONE
+    conditional-count aggregate over one scan, uniqueness is one
+    distinct-style aggregate — adding rules adds columns, not scans.
+    The admit/abort decision a curation pipeline makes before
+    publishing a snapshot; violation COUNTS are the contract (the
+    violating rows are a follow-up filtered scan, never collected)."""
+    from local_stream_stack_spark.operators.quality import (
+        expectations_report,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return expectations_report(
+        o,
+        row_rules={
+            "orderdate_in_range": (
+                (F.col("o_orderdate") < F.expr("TIMESTAMP '1992-01-01 00:00:00'"))
+                | (F.col("o_orderdate") >= F.expr("TIMESTAMP '1999-01-01 00:00:00'"))
+            ),
+            "orderkey_not_null": F.col("o_orderkey").isNull(),
+            "orderstatus_accepted": ~F.col("o_orderstatus").isin("F", "O", "P"),
+            "totalprice_positive": ~(F.col("o_totalprice") > 0),
+        },
+        unique_rules={"orderkey_unique": ["o_orderkey"]},
+    )

@@ -166,3 +166,41 @@ def test_shingle_queries_tolerate_short_docs(spark, tmp_path):
     assert all(r.doc_a not in (1, 2) and r.doc_b not in (1, 2) for r in out)
     # 8-gram decontamination path: must run, short docs contribute nothing
     decontaminate_ngram_overlap(spark, str(tmp_path)).collect()
+
+
+def test_expectations_single_scan_and_violation_semantics(spark):
+    """All row rules must share ONE aggregate (one scan — adding rules
+    adds no stages), and violation counts must follow the documented
+    semantics on a frame with known defects."""
+    from pyspark.sql import functions as F
+
+    from local_stream_stack_spark.operators.quality import (
+        expectations_report,
+    )
+
+    rows = [(1, 10.0), (2, -5.0), (2, 3.0), (None, 1.0)]
+    df = spark.createDataFrame(rows, "k int, v double")
+    out = {
+        r.rule: r.n_violations
+        for r in expectations_report(
+            df,
+            row_rules={
+                "v_positive": ~(F.col("v") > 0),
+                "k_not_null": F.col("k").isNull(),
+            },
+            unique_rules={"k_unique": ["k"]},
+        ).collect()
+    }
+    # count_distinct ignores NULL keys: 4 rows, distinct {1, 2} = 2
+    assert out == {"v_positive": 1, "k_not_null": 1, "k_unique": 2}
+    # one scan: the row-rule plan contains exactly one FileScan-free
+    # aggregate pair over the input (no per-rule re-aggregation)
+    plan = (
+        expectations_report(
+            df, row_rules={"a": F.col("k").isNull(), "b": ~(F.col("v") > 0)}
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan ExistingRDD") == 1, plan
