@@ -518,3 +518,37 @@ def test_aggregate_view_stream_parquet_ivm(spark, tmpdir):
         for r in read_aggregate_view(spark, target).collect()
     }
     assert got == {(1, 2, 600), (2, 2, 300)}
+
+
+def test_available_now_trigger_backfills_and_stops(spark, tmpdir):
+    """Trigger.AvailableNow: process everything present at start in
+    bounded micro-batches, then stop on its own — the backfill mode a
+    catch-up ingest job uses (rate-limited by maxFilesPerTrigger,
+    unlike the unbounded single batch of the old Trigger.Once). New
+    files written AFTER the query drains must not be picked up."""
+    in_dir = f"{tmpdir}/in_an"
+    out_dir = f"{tmpdir}/out_an"
+    rows1 = [(1, _ts(10, 0), 1, "view", 1.0)]
+    rows2 = [(2, _ts(10, 5), 2, "click", 2.0)]
+    spark.createDataFrame(rows1, EVENT_SCHEMA).coalesce(1).write.parquet(in_dir)
+    spark.createDataFrame(rows2, EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    q = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", f"{tmpdir}/cp_an")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "availableNow query must self-stop"
+    got = {r.event_id for r in spark.read.parquet(out_dir).collect()}
+    assert got == {1, 2}
+    # late-arriving file is NOT consumed by the terminated query
+    spark.createDataFrame(
+        [(3, _ts(11, 0), 3, "view", 3.0)], EVENT_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    assert {r.event_id for r in spark.read.parquet(out_dir).collect()} == {1, 2}
