@@ -1166,3 +1166,94 @@ def event_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# EWMA weight tables: computed ONCE in Python and injected as literals
+# into BOTH engines (repr round-trips doubles exactly), so neither
+# engine ever calls pow() — Math.pow and std::pow are not both
+# correctly rounded and could diverge in the last ulp.
+_EWMA_K = 20
+_EWMA_POWERS = [1.0, 0.7, 0.48999999999999994, 0.3429999999999999, 0.24009999999999995, 0.16806999999999994, 0.11764899999999996, 0.08235429999999996, 0.05764800999999997, 0.04035360699999998, 0.028247524899999984, 0.019773267429999988, 0.01384128720099999, 0.009688901040699992, 0.006782230728489994, 0.004747561509942996, 0.0033232930569600965, 0.0023263051398720674, 0.001628413597910447, 0.001139889518537313]
+_EWMA_CUMW = [1.0, 1.7, 2.19, 2.533, 2.7731, 2.9411699999999996, 3.0588189999999997, 3.1411732999999997, 3.1988213099999996, 3.2391749169999997, 3.2674224418999995, 3.2871957093299997, 3.301036996531, 3.3107258975716998, 3.3175081283001897, 3.3222556898101328, 3.3255789828670927, 3.327905288006965, 3.329533701604875, 3.3306735911234124]
+
+
+@query(
+    "ewma_latest_per_user",
+    oracle="""
+    WITH ord AS (
+      SELECT user_id, value AS v,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, event_id
+      FROM events
+    ),
+    fr AS (
+      SELECT user_id,
+             list(v) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+               AS vs,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY t_us DESC, event_id DESC) AS rn
+      FROM ord
+    )
+    SELECT user_id,
+           CAST(len(vs) AS BIGINT) AS n_obs,
+           CAST(ROUND(
+             list_reduce(
+               list_transform(
+                 list_zip(vs, list_reverse(([1.0::DOUBLE, 0.7::DOUBLE, 0.48999999999999994::DOUBLE, 0.3429999999999999::DOUBLE, 0.24009999999999995::DOUBLE, 0.16806999999999994::DOUBLE, 0.11764899999999996::DOUBLE, 0.08235429999999996::DOUBLE, 0.05764800999999997::DOUBLE, 0.04035360699999998::DOUBLE, 0.028247524899999984::DOUBLE, 0.019773267429999988::DOUBLE, 0.01384128720099999::DOUBLE, 0.009688901040699992::DOUBLE, 0.006782230728489994::DOUBLE, 0.004747561509942996::DOUBLE, 0.0033232930569600965::DOUBLE, 0.0023263051398720674::DOUBLE, 0.001628413597910447::DOUBLE, 0.001139889518537313::DOUBLE])[1:len(vs)])),
+                 x -> x[1] * x[2]),
+               (a, b) -> a + b)
+             / ([1.0::DOUBLE, 1.7::DOUBLE, 2.19::DOUBLE, 2.533::DOUBLE, 2.7731::DOUBLE, 2.9411699999999996::DOUBLE, 3.0588189999999997::DOUBLE, 3.1411732999999997::DOUBLE, 3.1988213099999996::DOUBLE, 3.2391749169999997::DOUBLE, 3.2674224418999995::DOUBLE, 3.2871957093299997::DOUBLE, 3.301036996531::DOUBLE, 3.3107258975716998::DOUBLE, 3.3175081283001897::DOUBLE, 3.3222556898101328::DOUBLE, 3.3255789828670927::DOUBLE, 3.327905288006965::DOUBLE, 3.329533701604875::DOUBLE, 3.3306735911234124::DOUBLE])[len(vs)] * 1000000) AS BIGINT) AS ewma_e6
+    FROM fr
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def ewma_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha=0.3) of each
+    user's value at their LATEST event, over a bounded 20-observation
+    frame — the smoothed-metric primitive (EWMA anomaly baselines,
+    learning-curve smoothing).
+
+    The textbook recursive EWMA is order-unbounded state; the bounded
+    adjusted form (weights renormalized over the frame actually
+    present) is what a distributed engine should run: collect_list
+    over a ROWS frame is at most K=20 values per row, the weighted
+    fold is a JVM-side array HOF (zip_with + aggregate — no Python),
+    and one hash partitioning on user_id serves both windows.
+    Determinism: the weight and cumulative-weight tables are Python-
+    computed double literals shared by both engines (no pow() calls),
+    folds run left-to-right on both, and the output is a scaled
+    BIGINT."""
+    e = _events(spark, sf_dir)
+    pow_lit = F.array(*[F.lit(p) for p in _EWMA_POWERS])
+    cum_lit = F.array(*[F.lit(c) for c in _EWMA_CUMW])
+    w_frame = Window.partitionBy("user_id").orderBy(
+        "t_us", "event_id"
+    ).rowsBetween(-(_EWMA_K - 1), 0)
+    w_last = Window.partitionBy("user_id").orderBy(
+        F.desc("t_us"), F.desc("event_id")
+    )
+    base = e.select(
+        "user_id",
+        F.col("value").alias("v"),
+        epoch_us("ts").alias("t_us"),
+        "event_id",
+    )
+    fr = base.select(
+        "user_id",
+        F.collect_list("v").over(w_frame).alias("vs"),
+        F.row_number().over(w_last).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    n = F.size("vs")
+    weights = F.reverse(F.slice(pow_lit, F.lit(1), n))
+    num = F.aggregate(
+        F.zip_with(F.col("vs"), weights, lambda v, w: v * w),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    den = F.element_at(cum_lit, n)
+    return fr.select(
+        "user_id",
+        n.cast("bigint").alias("n_obs"),
+        F.round(num / den * F.lit(1000000.0)).cast("bigint").alias("ewma_e6"),
+    ).orderBy("user_id")
