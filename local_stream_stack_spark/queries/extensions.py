@@ -438,3 +438,58 @@ def json_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     (schema-on-read with a pinned NTZ timestamp format — JSON carries
     no types, so the explicit schema IS the losslessness contract)."""
     return _roundtrip_orders(spark, sf_dir, "json")
+
+
+@query(
+    "pyds_synthetic_agg",
+    oracle="""
+    SELECT CAST(g % 10 AS INT) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM((g * 2654435761) % 4294967296) AS BIGINT) AS sum_k,
+           CAST(ROUND(CAST(SUM((g * 2654435761) % 4294967296) AS DOUBLE)
+                      / COUNT(*) / 4294967296 * 1000000) AS BIGINT)
+             AS mean_unit_e6
+    FROM generate_series(0, 49999) t(g)
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+)
+def pyds_synthetic_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM CONNECTOR end-to-end: the Spark 4 Python DataSource API
+    (sources/pyds.py) registered, planned, and executed as a parallel
+    scan — the reference's connector abstraction
+    (kafka_connector.py:11-189) re-expressed as a first-class source
+    instead of a wrapper function. Eight Python-worker shards each
+    generate only their id range; the aggregate downstream is ordinary
+    JVM codegen. Every cell is an exact integer function of the row id
+    (Knuth multiplicative hash), so DuckDB's generate_series mirrors
+    the source exactly — the oracle checks the CONNECTOR, not just the
+    query. Output keeps integer sums; the one double division emits a
+    scaled BIGINT."""
+    from local_stream_stack_spark.sources.pyds import register
+
+    configure_for_oracle(spark)
+    register(spark)
+    df = (
+        spark.read.format("lss_synthetic")
+        .option("n_rows", "50000")
+        .option("n_parts", "8")
+        .option("n_buckets", "10")
+        .load()
+    )
+    return (
+        df.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.round(
+                F.sum("k").cast("double")
+                / F.count("*")
+                / F.lit(4294967296.0)
+                * F.lit(1000000.0)
+            )
+            .cast("bigint")
+            .alias("mean_unit_e6"),
+        )
+        .orderBy("bucket")
+    )

@@ -1,0 +1,84 @@
+"""Custom connector via the Spark 4 Python DataSource API.
+
+The reference's distinctive surface is a CONNECTOR ABSTRACTION — a
+class that owns source options and hands the pipeline a DataFrame
+(``/root/reference/pyspark_stream/connectors/kafka_connector.py:11-189``).
+Spark 4 made that abstraction a first-class extension point for pure
+Python: subclass ``DataSource``/``DataSourceReader``, register, and
+``spark.read.format(name)`` plans a parallel scan whose partitions
+execute in Python workers (Arrow-batched back to the JVM).
+
+``DeterministicEventsSource`` is the in-repo connector built on it: a
+seedless synthetic event generator whose every cell is a pure integer
+function of the row id, so any slice is reproducible on any engine —
+the test/backfill fixture pattern (a "generate 10^12 rows of realistic
+events" source needs no upstream system and shards perfectly).
+
+Scale shape: ``partitions()`` returns one ``InputPartition`` per
+requested shard; each worker generates ONLY its id range (no skew, no
+coordination, no driver materialization). Filters/limits still apply
+after the scan; a production connector would implement
+``pushFilters`` to prune shards — the hook exists on the same class.
+
+The Python-worker path is the honest cost: rows cross into the JVM
+via Arrow batches. Use it for connector extensibility, never to
+re-implement an operator the JVM already has.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+# Knuth's multiplicative hash constant: k = (id * A) mod 2^32 gives a
+# full-period integer scramble both engines can mirror exactly.
+_A = 2654435761
+_M = 4294967296
+
+
+class DeterministicEventsSource(DataSource):
+    """``spark.read.format("lss_synthetic")`` — options:
+
+    - ``n_rows`` (default 100000): total rows across all partitions
+    - ``n_parts`` (default 8): number of input partitions (shards)
+    - ``n_buckets`` (default 10): cardinality of the bucket column
+
+    Schema: ``id bigint, bucket int, k bigint`` where
+    ``k = (id * 2654435761) % 2^32`` (derive a unit double as
+    ``k / 2^32`` downstream — kept integer here so aggregates stay
+    exact).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "lss_synthetic"
+
+    def schema(self) -> str:
+        return "id bigint, bucket int, k bigint"
+
+    def reader(self, schema) -> "DeterministicEventsReader":
+        return DeterministicEventsReader(self.options)
+
+
+class DeterministicEventsReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        self.n_rows = int(options.get("n_rows", 100_000))
+        self.n_parts = int(options.get("n_parts", 8))
+        self.n_buckets = int(options.get("n_buckets", 10))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [InputPartition(i) for i in range(self.n_parts)]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        # contiguous id range per shard: worker i owns [lo, hi)
+        per = -(-self.n_rows // self.n_parts)  # ceil division
+        lo = partition.value * per
+        hi = min(lo + per, self.n_rows)
+        for i in range(lo, hi):
+            yield (i, i % self.n_buckets, (i * _A) % _M)
+
+
+def register(spark) -> None:
+    """Idempotently register the connector on this session."""
+    spark.dataSource.register(DeterministicEventsSource)

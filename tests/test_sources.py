@@ -71,3 +71,29 @@ def test_stream_requires_schema(tmpdir):
     src = FileSource(path=tmpdir, format="json")
     with pytest.raises(ValueError):
         src.read_stream(None)
+
+
+def test_python_datasource_shards_and_determinism(spark):
+    """The custom Python DataSource must plan one input partition per
+    requested shard (parallel scan, no driver generation) and produce
+    identical rows on re-read (seedless determinism)."""
+    from local_stream_stack_spark.sources.pyds import register
+
+    register(spark)
+
+    def read():
+        return (
+            spark.read.format("lss_synthetic")
+            .option("n_rows", "1000")
+            .option("n_parts", "4")
+            .load()
+        )
+
+    assert read().rdd.getNumPartitions() == 4
+    a = sorted(tuple(r) for r in read().collect())
+    b = sorted(tuple(r) for r in read().collect())
+    assert a == b and len(a) == 1000
+    # cells are the documented pure function of id
+    assert all(k == (i * 2654435761) % 4294967296 for i, _, k in a)
+    # shards partition the id space exactly (no dup/gap across workers)
+    assert [i for i, _, _ in a] == list(range(1000))
