@@ -802,3 +802,67 @@ def stream_aggregate_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n_rows", F.col("sum_cents").cast("bigint"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "pyds_stream_agg",
+    oracle="""
+    SELECT CAST(g % 10 AS INT) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM((g * 2654435761) % 4294967296) AS BIGINT) AS sum_k,
+           CAST(ROUND(CAST(SUM((g * 2654435761) % 4294967296) AS DOUBLE)
+                      / COUNT(*) / 4294967296 * 1000000) AS BIGINT)
+             AS mean_unit_e6
+    FROM generate_series(0, 49999) t(g)
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+)
+def pyds_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE custom STREAMING source under the oracle: the Python
+    DataSource's SimpleDataSourceStreamReader (sources/pyds.py) serves
+    the 50k-row id space in 10k-row micro-batches; the drained parquet
+    sink must equal the batch read row-for-row, so the IDENTICAL
+    generate_series oracle that checks `pyds_synthetic_agg` checks the
+    whole streaming path — offsets, micro-batch planning, replay
+    (readBetweenOffsets), and the sink. This is the reference's
+    connector contract (stream AND batch faces over one source,
+    kafka_connector.py:156-211) closed end-to-end in pure Python."""
+    from local_stream_stack_spark.sources.pyds import register
+
+    configure_for_oracle(spark)
+    register(spark)
+    base = tempfile.mkdtemp(prefix="stream-e2e-pyds-")
+    out = os.path.join(base, "out")
+    q = (
+        spark.readStream.format("lss_synthetic")
+        .option("n_rows", "50000")
+        .option("n_buckets", "10")
+        .option("rows_per_batch", "10000")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(base, "cp"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    df = spark.read.parquet(out)
+    return (
+        df.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.round(
+                F.sum("k").cast("double")
+                / F.count("*")
+                / F.lit(4294967296.0)
+                * F.lit(1000000.0)
+            )
+            .cast("bigint")
+            .alias("mean_unit_e6"),
+        )
+        .orderBy("bucket")
+    )

@@ -29,7 +29,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 # Knuth's multiplicative hash constant: k = (id * A) mod 2^32 gives a
 # full-period integer scramble both engines can mirror exactly.
@@ -60,6 +65,11 @@ class DeterministicEventsSource(DataSource):
     def reader(self, schema) -> "DeterministicEventsReader":
         return DeterministicEventsReader(self.options)
 
+    def simpleStreamReader(
+        self, schema
+    ) -> "DeterministicEventsStreamReader":
+        return DeterministicEventsStreamReader(self.options)
+
 
 class DeterministicEventsReader(DataSourceReader):
     def __init__(self, options) -> None:
@@ -77,6 +87,45 @@ class DeterministicEventsReader(DataSourceReader):
         hi = min(lo + per, self.n_rows)
         for i in range(lo, hi):
             yield (i, i % self.n_buckets, (i * _A) % _M)
+
+
+class DeterministicEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same connector
+    (``spark.readStream.format("lss_synthetic")``): offsets are plain
+    row ids, each micro-batch serves ``rows_per_batch`` ids from the
+    cursor, and the generator is the identical pure function of id —
+    so a drained stream equals the batch read row-for-row and the SAME
+    oracle checks both. ``n_rows`` bounds the stream (latest offset
+    stops advancing), which makes ``processAllAvailable`` a
+    deterministic drain — the reference's bounded-replay test pattern
+    (`kafka_connector.py` batch mode with ending offsets) without a
+    broker. Exactly-once comes from offset-range replay:
+    ``readBetweenOffsets`` regenerates any range bit-identically, the
+    strongest replayability a source can offer."""
+
+    def __init__(self, options) -> None:
+        self.n_rows = int(options.get("n_rows", 100_000))
+        self.n_buckets = int(options.get("n_buckets", 10))
+        self.rows_per_batch = int(options.get("rows_per_batch", 10_000))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def _gen(self, lo: int, hi: int) -> Iterator[tuple]:
+        # iter(list), NOT a generator: the prefetch cache copies and
+        # pickles the iterator for replay (datasource_internal.py
+        # getCache), which list iterators support and generators don't
+        return iter(
+            [(i, i % self.n_buckets, (i * _A) % _M) for i in range(lo, hi)]
+        )
+
+    def read(self, start: dict) -> tuple:
+        lo = int(start["next"])
+        hi = min(lo + self.rows_per_batch, self.n_rows)
+        return self._gen(lo, hi), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return self._gen(int(start["next"]), int(end["next"]))
 
 
 def register(spark) -> None:
