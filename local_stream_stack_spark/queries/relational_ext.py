@@ -943,3 +943,96 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+_REACH_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM {li} a JOIN {li} b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  WHERE a.l_partkey < 30 AND b.l_partkey < 30
+),
+seed AS (SELECT MIN(src) AS s FROM edges),
+reach(part, depth) AS (
+  SELECT s, 0 FROM seed WHERE s IS NOT NULL
+  UNION ALL
+  SELECT e.dst, r.depth + 1
+  FROM reach r JOIN edges e ON e.src = r.part
+  WHERE r.depth < 3
+)
+SELECT part, CAST(MIN(depth) AS BIGINT) AS hops
+FROM reach GROUP BY part ORDER BY part
+"""
+
+
+@query(
+    "recursive_copurchase_reach",
+    oracle=_REACH_SQL.format(li="lineitem"),
+)
+def recursive_copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE recursive CTE (Spark 4 WITH RECURSIVE): BFS reachability
+    to depth 3 over the co-purchase part graph from the smallest
+    connected part — the same SQL text runs on BOTH engines, so the
+    oracle checks Spark's recursive-CTE executor itself (UNION ALL
+    iteration + the MIN(depth) fold that collapses duplicate paths
+    into BFS distances). Complements operators/graph.py's iterative
+    min-label propagation (used by dedup_components at scale, where
+    per-iteration checkpointing controls lineage): the declarative
+    form is right when depth is small and bounded, the iterative
+    operator when the diameter is unknown. The part-key cut bounds the
+    UNION ALL path expansion (paths, not nodes, accumulate before the
+    fold)."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.select("l_orderkey", "l_partkey").createOrReplaceTempView(
+        "__rec_lineitem"
+    )
+    return spark.sql(_REACH_SQL.format(li="__rec_lineitem"))
+
+
+@query(
+    "variant_extract_orders",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY status
+    """,
+)
+def variant_extract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT path (Spark 4 semi-structured type): orders round-trip
+    through JSON into VARIANT and are consumed via typed
+    variant_get() extraction — the open-schema ingestion pattern
+    (store the raw event as VARIANT, shred typed columns at query
+    time, no schema migration on payload drift). The oracle reads the
+    plain columns, so it checks the whole to_json -> parse_json ->
+    variant_get round-trip for exact double/string fidelity. At scale
+    VARIANT's binary encoding scans far cheaper than JSON strings and
+    supports shredded-column pushdown in newer table formats."""
+    o = _t(spark, sf_dir, "orders")
+    v = F.parse_json(
+        F.to_json(F.struct("o_orderstatus", "o_totalprice", "o_custkey"))
+    )
+    return (
+        o.select(v.alias("v"))
+        .select(
+            F.expr("variant_get(v, '$.o_orderstatus', 'string')").alias(
+                "status"
+            ),
+            F.expr("variant_get(v, '$.o_totalprice', 'double')").alias(
+                "total"
+            ),
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.floor(F.col("total") * 100 + F.lit(0.5)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+        .orderBy("status")
+    )
