@@ -129,5 +129,19 @@ class DeterministicEventsStreamReader(SimpleDataSourceStreamReader):
 
 
 def register(spark) -> None:
-    """Idempotently register the connector on this session."""
+    """Idempotently register the connector on this session.
+
+    The reader classes are marked for BY-VALUE cloudpickle
+    serialization: Spark's Python data source runners unpickle them in
+    worker processes whose sys.path does not include the driver-side
+    package (the addPyFile zip covers ordinary UDF workers but not the
+    streaming source runner), so a by-reference pickle would die with
+    ModuleNotFoundError under the external driver's session. By-value
+    ships the class definitions inside the pickle itself — the
+    connector is self-contained wherever it lands."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(DeterministicEventsSource)
