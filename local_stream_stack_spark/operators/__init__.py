@@ -5,6 +5,15 @@ reference's processor contract, `base_processor.py:39-51`, without the
 class ceremony) designed around one-shuffle plans that survive scale.
 """
 
+from local_stream_stack_spark.operators.quality import (
+    expectations_report,
+)
+from local_stream_stack_spark.operators.quantiles import (
+    exact_quantile,
+    exact_quantiles,
+    exact_quantiles_by_value,
+    exact_quantiles_multi,
+)
 from local_stream_stack_spark.operators.events import (
     latest_per_key,
     asof_join,
@@ -35,6 +44,11 @@ from local_stream_stack_spark.operators.partitioning import (
 )
 
 __all__ = [
+    "expectations_report",
+    "exact_quantile",
+    "exact_quantiles",
+    "exact_quantiles_by_value",
+    "exact_quantiles_multi",
     "salted_join",
     "write_bucketed",
     "spread_narrow_input",

@@ -9,6 +9,10 @@ from local_stream_stack_spark.sources.kafka import (
     build_security_options,
 )
 from local_stream_stack_spark.sources.files import FileSource, RateSource
+from local_stream_stack_spark.sources.pyds import (
+    DeterministicEventsSource,
+    register as register_python_datasource,
+)
 from local_stream_stack_spark.sources.sinks import (
     ConsoleSink,
     MemorySink,
@@ -18,6 +22,8 @@ from local_stream_stack_spark.sources.sinks import (
 )
 
 __all__ = [
+    "DeterministicEventsSource",
+    "register_python_datasource",
     "KafkaSecurityConfig",
     "KafkaReader",
     "KafkaWriter",
