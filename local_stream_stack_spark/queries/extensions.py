@@ -493,3 +493,96 @@ def pyds_synthetic_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "ols_slope_per_type",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+               - 1704067200 AS x,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS y_e6
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx,
+             SUM(CAST(y_e6 AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+             SUM(CAST(x AS HUGEINT) * CAST(y_e6 AS HUGEINT)) AS sxy
+      FROM pts
+      GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * 1000000) AS BIGINT) AS slope_e6_per_s
+    FROM m
+    ORDER BY event_type
+    """,
+)
+def ols_slope_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend slope via ``applyInArrow`` (Spark 4's
+    Arrow-native grouped map — no pandas conversion layer): each group
+    arrives as a pyarrow Table, moment sums accumulate in PYTHON INTS
+    (arbitrary precision, so they are exact and order-independent —
+    the same determinism contract the decimal moment sums give in SQL,
+    achieved a different way), and the closed-form slope is the one
+    double expression both engines evaluate identically (oracle
+    mirrors with HUGEINT sums). The trend-per-series primitive for
+    metric drift.
+
+    Scale: groups stream through workers as Arrow batches; per-group
+    state is five integers. The x offset (fixed epoch base) keeps the
+    sums small relative to double precision when the final closed
+    form divides them."""
+    import pyarrow as pa
+
+    from local_stream_stack_spark.utils.ts import epoch_s
+
+    e = load_table(spark, sf_dir, "events")
+    configure_for_oracle(spark)
+    pts = e.select(
+        "event_type",
+        (epoch_s("ts") - 1704067200).cast("bigint").alias("x"),
+        F.round(F.col("value") * F.lit(1000000.0)).cast("bigint").alias(
+            "y_e6"
+        ),
+    )
+
+    def slope(table: pa.Table) -> pa.Table:
+        import math
+
+        xs = table.column("x").to_pylist()
+        ys = table.column("y_e6").to_pylist()
+        n = len(xs)
+        sx = sum(xs)
+        sy = sum(ys)
+        sxx = sum(x * x for x in xs)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        num = float(n) * float(sxy) - float(sx) * float(sy)
+        den = float(n) * float(sxx) - float(sx) * float(sx)
+        v = num / den * 1000000
+        # half-AWAY rounding to match SQL ROUND (Python round() is
+        # half-even; a .5 boundary would differ deterministically)
+        slope_e6 = int(math.copysign(math.floor(abs(v) + 0.5), v))
+        return pa.table(
+            {
+                "event_type": [table.column("event_type")[0].as_py()],
+                "n": pa.array([n], pa.int64()),
+                "slope_e6_per_s": pa.array([slope_e6], pa.int64()),
+            }
+        )
+
+    return (
+        pts.groupBy("event_type")
+        .applyInArrow(
+            slope, "event_type string, n bigint, slope_e6_per_s bigint"
+        )
+        .orderBy("event_type")
+    )
