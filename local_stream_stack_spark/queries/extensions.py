@@ -586,3 +586,53 @@ def ols_slope_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "xml_roundtrip_orders",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY status
+    """,
+)
+def xml_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML path (Spark 4 native to_xml/from_xml): orders round-trip
+    through XML records and are consumed via schema-on-read
+    extraction — the legacy-feed ingestion pattern (SOAP/enterprise
+    exports) next to VARIANT's JSON-native one. The oracle reads the
+    plain columns, so it checks the serialize -> parse round-trip for
+    exact double/long/string fidelity; a formatting loss (XML carries
+    no types) would surface as a value mismatch. Both XML expressions
+    are JVM codegen — no Python in the path."""
+    o = _t(spark, sf_dir, "orders")
+    xml = F.to_xml(F.struct("o_orderstatus", "o_totalprice", "o_custkey"))
+    parsed = F.from_xml(
+        F.col("x"),
+        "o_orderstatus string, o_totalprice double, o_custkey bigint",
+    )
+    return (
+        o.select(xml.alias("x"))
+        .select(parsed.alias("r"))
+        .select(
+            F.col("r.o_orderstatus").alias("status"),
+            F.col("r.o_totalprice").alias("total"),
+            F.col("r.o_custkey").alias("cust"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.floor(F.col("total") * 100 + F.lit(0.5)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("sum_cents"),
+            F.sum("cust").cast("bigint").alias("sum_cust"),
+        )
+        .orderBy("status")
+    )
