@@ -636,3 +636,50 @@ def xml_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@query(
+    "collation_group_ci",
+    oracle="""
+    WITH mixed AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END
+               AS src,
+             n_chars
+      FROM documents
+    )
+    SELECT lower(src) AS source_ci,
+           COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM mixed
+    GROUP BY lower(src)
+    ORDER BY source_ci
+    """,
+)
+def collation_group_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware aggregation (Spark 4 string collations): the
+    mixed-case source column groups under UTF8_LCASE COLLATION — the
+    engine-level form of case-insensitive semantics, which at scale
+    beats wrapping every comparison in lower() because the collation
+    participates in hashing/ordering directly and survives into joins
+    and sorts on the same column. The oracle mirrors with lower()
+    grouping (provably the same partition of rows for UTF8_LCASE);
+    the emitted key is lower()'d on both engines so the group LABEL is
+    deterministic whichever case variant a group sees first."""
+    d = _t(spark, sf_dir, "documents")
+    mixed = d.select(
+        F.when(
+            F.col("doc_id") % 2 == 0, F.upper(F.col("source"))
+        ).otherwise(F.col("source")).alias("src"),
+        "n_chars",
+    )
+    return (
+        mixed.groupBy(F.expr("collate(src, 'UTF8_LCASE')").alias("k"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .select(
+            F.lower(F.col("k")).alias("source_ci"), "n", "total_chars"
+        )
+        .orderBy("source_ci")
+    )
