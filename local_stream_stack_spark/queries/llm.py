@@ -1652,12 +1652,13 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     tk AS (SELECT doc_id, tok FROM toks WHERE length(tok) >= 3),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
     df AS (
       SELECT tok, COUNT(*) AS n FROM tk GROUP BY tok
-      HAVING COUNT(*) BETWEEN 5 AND 60
+      HAVING COUNT(*) >= (SELECT n_docs FROM nd) * 0.2
+         AND COUNT(*) <= (SELECT n_docs FROM nd) * 0.9
     ),
     ft AS (SELECT t.doc_id, t.tok, d.n FROM tk t JOIN df d USING (tok)),
-    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
     pairs AS (
       SELECT a.tok AS tok_a, b.tok AS tok_b,
              COUNT(*) AS n_ab,
@@ -1682,9 +1683,11 @@ def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     presence — surfaces multi-word entities ("machine learning") for
     tokenizer vocab curation and phrase-aware dedup.
 
-    The support cut IS the scale design: only mid-frequency tokens
-    (5 <= df <= 60 here; the band scales with corpus size) enter the
-    per-document self-join, so pair cardinality is bounded by
+    The support cut IS the scale design: only band-frequency tokens
+    (df in [20%, 90%] of corpus size — RELATIVE bounds, so the band
+    tracks the corpus at every scale factor; tune per corpus, e.g.
+    [0.1%, 1%] on a web crawl where true stopwords dominate) enter
+    the per-document self-join, so pair cardinality is bounded by
     sum_doc(|filtered tokens per doc|^2) with stopwords excluded by
     the upper df bound — the unfiltered join is quadratic in the
     stopword count and never runs. One distinct-token explode feeds
@@ -1703,13 +1706,16 @@ def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.length("tok") >= 3)
     )
+    n_docs = d.count()
     df_ = (
         tk.groupBy("tok")
         .agg(F.count("*").alias("n"))
-        .filter((F.col("n") >= 5) & (F.col("n") <= 60))
+        .filter(
+            (F.col("n") >= F.lit(n_docs * 0.2))
+            & (F.col("n") <= F.lit(n_docs * 0.9))
+        )
     )
     ft = tk.join(F.broadcast(df_), "tok")
-    n_docs = d.count()
     a = ft.select(
         "doc_id", F.col("tok").alias("tok_a"), F.col("n").alias("n_a")
     )

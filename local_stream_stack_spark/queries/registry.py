@@ -78,7 +78,6 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "hll_sketch_rollup",
         "interval_join_peak_windows",
         "inverted_index",
-        "join_anti",
         "join_bloom_prefiltered",
         "join_broadcast_dims",
         "join_outer_full",

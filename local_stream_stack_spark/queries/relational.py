@@ -500,14 +500,21 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name, c_nationkey
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_totalprice > 300000)
     ORDER BY c_custkey
     """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS): customers with no orders."""
+    """Left-anti join (NOT EXISTS): customers with no big-ticket
+    order. The right side carries a pushed-down predicate so the
+    result is NON-EMPTY at every SF — the original "no orders at all"
+    form returned zero rows on this data, which exercises the plan but
+    not the semantics (an anti-join bug that leaks matches would have
+    passed unnoticed)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_name", "c_nationkey")

@@ -556,8 +556,14 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_ingest_dedup",
     oracle="""
-    SELECT doc_id, md5(text) AS fp, lang
-    FROM documents
+    SELECT doc_id, fp, lang
+    FROM (
+      SELECT doc_id, md5(text) AS fp, lang,
+             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+               AS rn
+      FROM documents
+    ) t
+    WHERE rn = 1
     ORDER BY doc_id
     """,
 )
@@ -566,12 +572,16 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     an exact duplicate of itself (doc_ids shifted by 1,000,000)
     streams file-by-file into ``ingest_dedup_stream_parquet``; every
     duplicate must be rejected against the persistent fingerprint
-    store, leaving exactly the original corpus. Within-batch ties
-    resolve to the minimum doc_id and the store anti-join drops
-    cross-epoch repeats, so the admitted set is deterministic whatever
-    the micro-batch split was — the crawl-pipeline dedup shape
-    (at scale: bucket the store by fingerprint; swap md5 for MinHash
-    bands for streaming NEAR-dup)."""
+    store, leaving the minimum-doc_id representative of every distinct
+    text (the corpus itself contains a few identical texts at larger
+    SFs — the oracle's per-fingerprint ROW_NUMBER mirrors first-seen-
+    wins, so the contract holds at ANY scale factor, not just ones
+    with no intra-corpus dups). Within-batch ties resolve to the
+    minimum doc_id and the store anti-join drops cross-epoch repeats,
+    so the admitted set is deterministic whatever the micro-batch
+    split was — the crawl-pipeline dedup shape (at scale: bucket the
+    store by fingerprint; swap md5 for MinHash bands for streaming
+    NEAR-dup)."""
     from local_stream_stack_spark.catalog import load_table
     from local_stream_stack_spark.streaming.ops import (
         ingest_dedup_stream_parquet,

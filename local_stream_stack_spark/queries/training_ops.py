@@ -946,53 +946,50 @@ def decile_bounds_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stratified_sample_sources",
     oracle="""
-    WITH rates AS (
-      SELECT * FROM (VALUES
-        ('web',    CAST(0.10 * 4294967296 AS BIGINT)),
-        ('wiki',   CAST(0.80 * 4294967296 AS BIGINT)),
-        ('books',  CAST(0.50 * 4294967296 AS BIGINT)),
-        ('code',   CAST(0.25 * 4294967296 AS BIGINT)),
-        ('papers', CAST(0.60 * 4294967296 AS BIGINT))
-      ) AS t(source, thr)
-    )
-    SELECT d.doc_id, d.source
-    FROM documents d
-    JOIN rates r ON d.source = r.source
-    WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
-               AS BIGINT) < r.thr
-    ORDER BY d.doc_id
+    SELECT doc_id, source
+    FROM (
+      SELECT doc_id, source,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS h,
+             CAST((0.1 + 0.8 * (CAST('0x' || substring(md5(source), 1, 4)
+                                     AS INT) % 100) / 100.0)
+                  * 4294967296 AS BIGINT) AS thr
+      FROM documents
+    ) t
+    WHERE h < thr
+    ORDER BY doc_id
     """,
 )
 def stratified_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified (per-source) Bernoulli sampling — the
     mixture-rebalancing step of corpus curation: each source keeps an
-    independent fixed fraction (web 10%, wiki 80%, ...), decided by an
-    INTEGER threshold on the md5 hash of the doc id, so the admitted
-    set is identical on every engine, partitioning, and rerun (no
-    float comparison, no RNG state).
+    independent fraction in [0.1, 0.9), derived from the md5 of the
+    SOURCE NAME (so the policy follows the corpus — no hardcoded
+    source list to go stale), and each document's admission is an
+    INTEGER threshold test on the md5 of its doc id — identical on
+    every engine, partitioning, and rerun (no float comparison against
+    data, no RNG state). A real pipeline swaps the hash-derived rate
+    for a policy table; the admission mechanics stay the same.
 
-    Scan-shaped: the per-row hash test is codegen against a broadcast
-    5-row rate table — no shuffle at all before the output sort. At
-    100 TB this composes with `source_char_budget` (quota after
-    sampling) and `weighted_sample` (size-biased choice within the
-    admitted set)."""
+    Scan-shaped: both hashes and the compare are per-row codegen — no
+    join, no shuffle before the output sort. At 100 TB this composes
+    with `source_char_budget` (quota after sampling) and
+    `weighted_sample` (size-biased choice within the admitted set)."""
     d = _t(spark, sf_dir, "documents")
-    rates = spark.createDataFrame(
-        [
-            ("web", int(0.10 * 4294967296)),
-            ("wiki", int(0.80 * 4294967296)),
-            ("books", int(0.50 * 4294967296)),
-            ("code", int(0.25 * 4294967296)),
-            ("papers", int(0.60 * 4294967296)),
-        ],
-        "source string, thr bigint",
-    )
     h = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
     ).cast("bigint")
+    src_pct = (
+        F.conv(F.substring(F.md5(F.col("source")), 1, 4), 16, 10).cast("int")
+        % 100
+    )
+    thr = (
+        (F.lit(0.1) + F.lit(0.8) * src_pct / F.lit(100.0))
+        * F.lit(4294967296.0)
+    ).cast("bigint")
     return (
-        d.join(F.broadcast(rates), "source")
-        .filter(h < F.col("thr"))
+        d.select("doc_id", "source", h.alias("h"), thr.alias("thr"))
+        .filter(F.col("h") < F.col("thr"))
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
