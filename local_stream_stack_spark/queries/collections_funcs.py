@@ -208,3 +208,40 @@ def array_hof_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains("qtys", 10.0).alias("has_ten"),
         F.element_at("qtys", 1).alias("min_qty"),
     ).orderBy("l_orderkey")
+
+
+@query(
+    "explode_outer_rare_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             [t for t in string_split_regex(lower(trim(text)), '\\s+')
+              if length(t) >= 7] AS rare
+      FROM documents
+    )
+    SELECT t.doc_id, u.tok
+    FROM toks t
+    LEFT JOIN (
+      SELECT doc_id, unnest(rare) AS tok FROM toks
+    ) u USING (doc_id)
+    ORDER BY doc_id, tok
+    """,
+)
+def explode_outer_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-preserving explode (explode_outer): documents whose
+    rare-token array (length >= 7 — a minority of the synthetic vocab)
+    is EMPTY must survive as a (doc_id, NULL) row instead of vanishing
+    — the left-join-shaped flatten every feature-extraction pipeline
+    needs when "no matches" is itself a signal (plain explode silently
+    drops those documents and downstream coverage stats lie). The
+    oracle mirrors with a LEFT JOIN against the unnested list. Both
+    are scan-shaped; the Generate(outer=true) node adds no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    rare = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda t: F.length(t) >= 7,
+    )
+    return (
+        d.select("doc_id", F.explode_outer(rare).alias("tok"))
+        .orderBy("doc_id", "tok")
+    )

@@ -958,3 +958,49 @@ def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_nationkey")
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(c.c_custkey) AS n_customers,
+           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(14,2))), 2) AS DOUBLE)
+             AS total_bal
+    FROM (SELECT c_custkey, c_acctbal,
+                 NULLIF(c_nationkey, 0) AS nk FROM customer) c
+    JOIN (SELECT n_name,
+                 NULLIF(n_nationkey, 0) AS nk FROM nation) n
+      ON c.nk IS NOT DISTINCT FROM n.nk
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SAFE equi-join (<=> / IS NOT DISTINCT FROM): nation 0 is
+    mapped to NULL on BOTH sides, and the null-safe equality still
+    pairs those rows — where a plain equi-join silently drops every
+    NULL key (the classic silent-data-loss bug when a dimension key is
+    nullable). Nation 0's customers surviving into the result is the
+    proof the operator ran. Spark plans <=> as a hash join on a
+    null-safe key (EqualNullSafe inside the join condition, no BNLJ);
+    the dimension side broadcasts as usual."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        F.expr("NULLIF(c_nationkey, 0)").alias("c_nk"),
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        "n_name", F.expr("NULLIF(n_nationkey, 0)").alias("n_nk")
+    )
+    return (
+        c.join(F.broadcast(n), c.c_nk.eqNullSafe(n.n_nk))
+        .groupBy("n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.expr(
+                "CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(14,2))), 2) AS DOUBLE)"
+            ).alias("total_bal"),
+        )
+        .orderBy("n_name")
+    )
