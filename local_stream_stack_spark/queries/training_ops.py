@@ -1104,3 +1104,57 @@ def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         unique_rules={"orderkey_unique": ["o_orderkey"]},
     )
+
+
+@query(
+    "dpp_partitioned_lang_join",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT lang FROM documents
+      WHERE lang IN ('en', 'fr')
+    )
+    SELECT d.lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+    FROM documents d JOIN dim USING (lang)
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """,
+)
+def dpp_partitioned_lang_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION PRUNING: the fact side is a lang-partitioned
+    parquet table; the join against a filtered dimension prunes the
+    fact SCAN to the dimension's partitions at runtime — at 100 TB
+    this is the difference between scanning 2 of 5 language partitions
+    and scanning the corpus (static pruning can't do it: the partition
+    set comes from the dim side's rows, not a literal). The plan
+    carries `dynamicpruningexpression` on the fact scan
+    (tests/test_plans.py pins it); the oracle computes the same join
+    on the raw table. Partition values round-trip losslessly through
+    the directory keys (same contract partitioned_roundtrip_docs
+    pins)."""
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="lss-dpp-")
+    (
+        d.select("doc_id", "n_chars", "lang")
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(base)
+    )
+    fact = spark.read.parquet(base)
+    dim = (
+        d.select("lang")
+        .where(F.col("lang").isin("en", "fr"))
+        .distinct()
+    )
+    return (
+        fact.join(dim, "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )

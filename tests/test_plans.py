@@ -180,3 +180,11 @@ def test_bucketed_join_has_no_join_exchange(spark):
     assert "Exchange hashpartitioning(o_orderkey" not in plan
     # the only hash exchange left is the aggregate's
     assert plan.count("Exchange hashpartitioning") <= 1, plan[:3000]
+
+
+def test_dpp_prunes_fact_partitions(spark):
+    """The lang-partitioned fact scan must carry a dynamic-pruning
+    expression fed by the dimension side — runtime partition pruning,
+    not a full scan filtered after the fact."""
+    plan = _plan(spark, "dpp_partitioned_lang_join")
+    assert "dynamicpruning" in plan.lower(), plan[:2500]
