@@ -1036,3 +1036,54 @@ def variant_extract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@query(
+    "try_arithmetic_orders",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           COUNT(CASE WHEN o_custkey % 5 = 0 THEN 1 END) AS n_div_zero,
+           CAST(SUM(CASE WHEN o_custkey % 5 <> 0
+                         THEN CAST(FLOOR(o_totalprice / (o_custkey % 5) * 100
+                                         + 0.5) AS BIGINT) END)
+                AS BIGINT) AS sum_ratio_cents,
+           COUNT(TRY_CAST(substring(o_orderpriority, 1, 1) AS INT))
+             AS n_prio_num
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def try_arithmetic_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic (try_divide / try_cast): division by a
+    zero-valued derived key yields NULL instead of an exception or an
+    Inf that poisons the aggregate — the ANSI-mode-safe spelling for
+    pipelines where a single bad row must not kill a 100 TB job.
+    NULLs then flow through COUNT/SUM with standard skip semantics,
+    which the oracle mirrors with explicit CASE guards (DuckDB's
+    x/0 is Inf, not an error, so the guard IS the portable form).
+    try_cast on the priority prefix exercises the string->int
+    error-safe path ('1-URGENT' parses per-char; a non-digit prefix
+    would count as NULL)."""
+    o = _t(spark, sf_dir, "orders")
+    divisor = F.col("o_custkey") % 5
+    ratio = F.try_divide(F.col("o_totalprice"), divisor)
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(divisor == 0, 1)).alias("n_div_zero"),
+            F.sum(
+                F.floor(ratio * 100 + F.lit(0.5)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("sum_ratio_cents"),
+            F.count(
+                F.try_to_number(
+                    F.substring("o_orderpriority", 1, 1), F.lit("9")
+                )
+            ).alias("n_prio_num"),
+        )
+        .orderBy("o_orderpriority")
+    )
