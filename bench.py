@@ -71,6 +71,7 @@ EXTENDED = [
     "shuffle_deterministic",
     "tfidf_top_terms",
     "semantic_dedup_components",
+    "semantic_dedup_lsh_components",
     "stream_ingest_dedup",
     "perplexity_unigram",
     "dedup_containment",

@@ -204,3 +204,71 @@ def test_expectations_single_scan_and_violation_semantics(spark):
         .toString()
     )
     assert plan.count("Scan ExistingRDD") == 1, plan
+
+
+def test_lsh_candidates_bound_and_engine_deterministic(spark):
+    """The semantic-dedup SCALE path: candidates are a small fraction
+    of all pairs, and the verify stage consumes exactly the candidate
+    set (never B(B+1)/2 block pairs)."""
+    from local_stream_stack_spark.operators.similarity import (
+        lsh_candidate_pairs_deterministic,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = e.count()
+    cand = lsh_candidate_pairs_deterministic(
+        e, id_col="vec_id", vec_col="embedding", dim=64,
+        n_tables=8, n_planes=8,
+    )
+    n_cand = cand.count()
+    all_pairs = n * (n - 1) // 2
+    # candidate stage prunes >= 90% of the quadratic pair space
+    assert 0 < n_cand < 0.10 * all_pairs, (n_cand, all_pairs)
+    # deterministic: an independent plan build yields the identical set
+    again = lsh_candidate_pairs_deterministic(
+        e, id_col="vec_id", vec_col="embedding", dim=64,
+        n_tables=8, n_planes=8,
+    )
+    assert {(r.id_a, r.id_b) for r in cand.collect()} == {
+        (r.id_a, r.id_b) for r in again.collect()
+    }
+
+
+def test_semantic_dedup_lsh_verify_consumes_candidates_only(spark):
+    """Verified edge set == exact-threshold pairs INTERSECT candidates:
+    the verify stage is exact cosine on candidate pairs, and no
+    quadratic block-pair scorer appears in its plan."""
+    from local_stream_stack_spark.operators.similarity import (
+        cosine,
+        cosine_allpairs_threshold_blocked,
+        lsh_candidate_pairs_deterministic,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cand = lsh_candidate_pairs_deterministic(
+        e, id_col="vec_id", vec_col="embedding", dim=64,
+        n_tables=8, n_planes=8,
+    )
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
+    verified = (
+        cand.join(ea, "id_a").join(eb, "id_b")
+        .filter(F.round(cosine(F.col("__va"), F.col("__vb")), 6) >= F.lit(0.40))
+        .select("id_a", "id_b")
+    )
+    got = {(r.id_a, r.id_b) for r in verified.collect()}
+    exact = {
+        (r.id_a, r.id_b)
+        for r in cosine_allpairs_threshold_blocked(
+            e, id_col="vec_id", vec_col="embedding", threshold=0.40
+        ).select("id_a", "id_b").collect()
+    }
+    cand_set = {(r.id_a, r.id_b) for r in cand.collect()}
+    assert got == (exact & cand_set)
+    assert len(got) > 0
+    # plan shape: the verify stage is candidate-join-shaped - it never
+    # routes through the block-pair scorer (FlatMapGroupsInPandas) and
+    # the only Python stage is the Arrow bucket udf (ArrowEvalPython)
+    plan = verified._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
