@@ -227,18 +227,29 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                    string_split_regex(lower(trim(text)), '\\s+') AS words
             FROM documents WHERE doc_id < 1000)
     ),
-    inv AS (SELECT doc_id, unnest(grams) AS gram, len(grams) AS sz FROM g),
+    inv AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    cap AS (
+      SELECT GREATEST(8, CAST(COUNT(*) * 0.01 AS BIGINT)) AS c FROM g
+    ),
+    hot AS (
+      SELECT gram FROM inv GROUP BY gram
+      HAVING COUNT(*) > (SELECT c FROM cap)
+    ),
+    inv2 AS (
+      SELECT doc_id, gram FROM inv
+      WHERE gram NOT IN (SELECT gram FROM hot)
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM inv2 GROUP BY doc_id),
     pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             COUNT(*) AS inter, ANY_VALUE(a.sz) AS sz_a
-      FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM inv2 a JOIN inv2 b ON a.gram = b.gram AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
-    SELECT doc_a, doc_b,
-           CAST(ROUND(inter / CAST(sz_a AS DOUBLE) * 1000000) AS BIGINT)
+    SELECT p.doc_a, p.doc_b,
+           CAST(ROUND(p.inter / CAST(s.sz AS DOUBLE) * 1000000) AS BIGINT)
              AS containment_e6
-    FROM pairs
-    WHERE inter / CAST(sz_a AS DOUBLE) >= 0.2
+    FROM pairs p JOIN sz s ON s.doc_id = p.doc_a
+    WHERE p.inter / CAST(s.sz AS DOUBLE) >= 0.2
     ORDER BY doc_a, doc_b
     """,
 )
@@ -250,31 +261,56 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Inverted-index join (explode distinct shingles, self-join on the
     shingle, count per pair) — the same bounded-by-collisions shape as
-    dedup_ngram_jaccard, never an all-pairs cross join. At 100 TB this
-    runs on LSH candidate pairs instead of the raw corpus (compose
-    with dedup_minhash_lsh); the doc_id<1000 slice keeps the oracle's
+    dedup_ngram_jaccard, never an all-pairs cross join, with a HOT-GRAM
+    BOUND: shingles whose document frequency exceeds a corpus-relative
+    cap (max(8, 1% of docs)) are dropped before the self-join, because
+    a boilerplate shingle shared by k documents contributes k^2 pair
+    rows on one key while carrying no dedup signal (the df-band
+    pattern of token_pmi_collocations). The cap is applied as a
+    broadcast ANTI join against the hot-gram list — tiny by
+    construction (only grams ABOVE the cap), unlike the full rare-gram
+    df table, so it broadcasts at any corpus size. Containment is then
+    defined over non-ubiquitous shingles on both engines (sz is the
+    post-prune shingle count). A repartition boundary after tokenizing
+    spreads shingling across cores AND stops projection collapse from
+    inlining split() into every downstream use. At 100 TB this runs on
+    LSH candidate pairs instead of the raw corpus (compose with
+    dedup_minhash_lsh); the doc_id<1000 slice keeps the oracle's
     quadratic check cheap while exercising the identical plan."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    n_docs = d.count()
+    cap = max(8, int(n_docs * 0.01))
+    par = spark.sparkContext.defaultParallelism
     # Guard short documents: sequence(0, n-5) with n<5 produces a
     # DESCENDING index list in Spark ([0,-1,...]) and slice(start=0)
     # throws — a <5-token doc must yield ZERO shingles, exactly as the
     # oracle's generate_series(1, len-4) does.
-    grams = d.select(
+    words = d.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("w"),
+    ).repartition(par, "doc_id")
+    grams = words.select(
         "doc_id",
         F.array_distinct(
             F.expr(
-                "CASE WHEN size(split(lower(trim(text)), '\\\\s+')) >= 5"
-                " THEN transform(sequence(0, size(split(lower(trim(text)), '\\\\s+')) - 5),"
-                " i -> concat_ws(' ', slice(split(lower(trim(text)), '\\\\s+'), i + 1, 5)))"
+                "CASE WHEN size(w) >= 5"
+                " THEN transform(sequence(0, size(w) - 5),"
+                " i -> concat_ws(' ', slice(w, i + 1, 5)))"
                 " ELSE array() END"
             )
         ).alias("grams"),
     )
-    inv = grams.select(
-        "doc_id", F.explode("grams").alias("gram"), F.size("grams").alias("sz")
+    inv = grams.select("doc_id", F.explode("grams").alias("gram"))
+    hot = (
+        inv.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > cap)
+        .select("gram")
     )
-    a = inv.alias("a")
-    b = inv.alias("b")
+    inv2 = inv.join(F.broadcast(hot), "gram", "left_anti")
+    sz = inv2.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = inv2.alias("a")
+    b = inv2.alias("b")
     pairs = (
         a.join(
             b,
@@ -284,11 +320,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count("*").alias("inter"), F.first(F.col("a.sz")).alias("sz_a"))
+        .agg(F.count("*").alias("inter"))
     )
     return (
-        pairs.withColumn(
-            "containment", F.col("inter") / F.col("sz_a").cast("double")
+        pairs.join(sz, pairs.doc_a == sz.doc_id)
+        .withColumn(
+            "containment", F.col("inter") / F.col("sz").cast("double")
         )
         .filter(F.col("containment") >= 0.2)
         .select(

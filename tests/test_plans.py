@@ -188,3 +188,18 @@ def test_dpp_prunes_fact_partitions(spark):
     not a full scan filtered after the fact."""
     plan = _plan(spark, "dpp_partitioned_lang_join")
     assert "dynamicpruning" in plan.lower(), plan[:2500]
+
+
+def test_dedup_containment_pair_join_is_df_bounded(spark):
+    """The shingle self-join consumes the HOT-GRAM-PRUNED inverted
+    index: a broadcast LeftAnti against the over-cap gram list sits
+    between the explode and the pair join, so a boilerplate shingle
+    shared by k docs can never contribute k^2 pair rows."""
+    plan = _plan(spark, "dedup_containment")
+    # the prune is a broadcast anti join (hot list is tiny by
+    # construction - only grams ABOVE the cap are materialized)
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the pair stage is an equi join on the gram key, never a loop
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
