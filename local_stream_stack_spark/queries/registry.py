@@ -43,11 +43,15 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "array_hof_order_lines",
         "asof_join_events",
         "asof_join_tolerance",
+        "bm25_rank",
+        "bucketed_join_revenue",
         "case_when_buckets",
+        "cdc_merge_summary",
         "chunk_documents",
         "clean_text_scrub",
         "cms_heavy_hitters",
         "cohort_retention",
+        "collation_group_ci",
         "compaction_tombstone",
         "corpus_stats_by_lang",
         "csv_roundtrip_orders",
@@ -55,9 +59,11 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "curation_downsample",
         "curation_pipeline",
         "date_funcs",
+        "decile_bounds_price",
         "decontaminate_ngram_overlap",
         "decontaminate_splits",
         "dedup_components",
+        "dedup_containment",
         "dedup_embedding_cosine",
         "dedup_exact",
         "dedup_keys",
@@ -67,27 +73,40 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "distinct_rows",
         "doc_fingerprint",
         "doc_length_histogram",
+        "dpp_partitioned_lang_join",
+        "dq_expectations_orders",
         "embedding_norms",
+        "embedding_quantize_int8",
+        "event_gap_quantiles",
+        "ewma_latest_per_user",
         "exact_quantile_distributed",
+        "explode_outer_rare_tokens",
         "explode_token_counts",
         "filter_predicates",
         "funnel_stages",
+        "fuzzy_name_match",
         "gap_fill_locf",
         "grouping_sets_revenue",
         "hash_agg_stats",
         "hll_sketch_rollup",
+        "interpolate_linear",
         "interval_join_peak_windows",
         "inverted_index",
+        "join_anti",
         "join_bloom_prefiltered",
         "join_broadcast_dims",
+        "join_null_safe",
         "join_outer_full",
         "join_salted_skew",
         "join_semi",
+        "join_shuffle_hash_hint",
         "json_funcs",
         "json_roundtrip_orders",
         "kafka_frame_roundtrip",
+        "label_centroids",
         "lang_id",
         "latest_per_key",
+        "mad_outliers",
         "map_explode_customer",
         "math_funcs",
         "multimodal_binary_meta",
@@ -95,12 +114,20 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "multimodal_frame_sample",
         "null_semantics",
         "nulls_ordering",
+        "ols_slope_per_type",
         "orc_roundtrip_orders",
         "pack_documents",
+        "partitioned_roundtrip_docs",
+        "percentile_stats",
+        "perplexity_unigram",
         "pipeline_yaml_batch",
+        "pipeline_yaml_enrich_agg",
         "pivot_returnflag",
+        "price_decile_assign",
         "profile_columns",
         "projection_cast",
+        "pyds_stream_agg",
+        "pyds_synthetic_agg",
         "q10_returned_revenue",
         "q11_important_parts",
         "q12_late_shipments",
@@ -123,25 +150,31 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "q7_nation_volume",
         "q8_market_share",
         "q9_product_profit",
+        "quantile_by_value_qty",
         "range_join_views_before_purchase",
+        "recursive_copurchase_reach",
         "repetition_ratio",
         "rollup_revenue",
         "rollup_time_hierarchy",
         "sample_per_group",
         "scd2_history",
         "schema_registry_parse",
+        "semantic_dedup_components",
         "session_window_agg",
         "sessionize_events",
         "set_ops",
         "set_ops_bag",
+        "shuffle_deterministic",
         "sim_bruteforce_topk",
         "sim_ivf_topk",
         "sim_lsh_topk",
         "sliding_window_agg",
         "source_char_budget",
         "sql_api_revenue",
+        "stratified_sample_sources",
         "stream_aggregate_view",
         "stream_dedup_keys",
+        "stream_ingest_dedup",
         "stream_interval_join",
         "stream_latest_per_key",
         "stream_parquet_sink",
@@ -149,28 +182,68 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "stream_running_totals",
         "stream_session_windows",
         "stream_sliding_counts",
+        "stream_static_enrich",
+        "stream_topk_per_window",
         "stream_tumbling_counts",
         "string_funcs",
         "text_stats",
+        "tfidf_top_terms",
+        "time_weighted_avg",
+        "token_drift_kl",
+        "token_pmi_collocations",
         "top_tokens_per_lang",
         "topk_orders",
         "topk_per_group",
         "train_test_split",
+        "triangle_count",
+        "try_arithmetic_orders",
         "tumbling_window_agg",
         "udaf_trimmed_stats",
         "udtf_tokenize",
+        "unicode_nfc_normalize",
         "unpivot_part_measures",
+        "variant_extract_orders",
+        "weighted_sample",
         "window_analytic",
         "window_distribution",
         "window_frames",
         "window_range_frame",
         "window_ranking",
         "winsorized_mean_price",
+        "xml_roundtrip_orders",
         "zscore_outliers",
     }
 )
 
 NEW_THIS_ROUND: frozenset[str] = frozenset()
+
+
+def _last_sampled_rounds() -> dict[str, int]:
+    """{query name: latest round whose CORRECTNESS_r{N}.json contains
+    it}. Read from the repo root next to the package; empty on any
+    read problem (ordering then falls back to registration order)."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    last: dict[str, int] = {}
+    try:
+        for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+            m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+            if not m:
+                continue
+            rnd = int(m.group(1))
+            with open(path) as f:
+                rows = json.load(f)
+            if not isinstance(rows, dict):
+                continue
+            for name in rows:
+                last[name] = max(last.get(name, 0), rnd)
+    except Exception:
+        return {}
+    return last
 
 
 def _window_order(specs: dict[str, QuerySpec]) -> list[str]:
@@ -179,22 +252,32 @@ def _window_order(specs: dict[str, QuerySpec]) -> list[str]:
     (0) oracle-backed queries with no prior green driver row — every
     one of these must be sampled; (1) oracle-backed queries added this
     round (queue behind the backlog if the window is full); (2) already
-    driver-verified oracle-backed queries — safe filler that just
-    re-verifies green; (3) ALL rows-only queries, verified or not —
-    kept OUT of the window so no slot ever burns on a no_oracle ERR
-    while oracle-backed work waits (they stay pytest-pinned).  Stable
-    (registration order) within each tier."""
+    driver-verified oracle-backed queries — safe filler ordered
+    STALEST-FIRST (ascending last-sampled round from the
+    CORRECTNESS_r*.json history), so with the whole catalog ever-green
+    the window re-verifies the rows most at risk of silent regression
+    (those last sampled rounds ago) instead of resampling recent ones;
+    (3) ALL rows-only queries, verified or not — kept OUT of the
+    window so no slot ever burns on a no_oracle ERR while
+    oracle-backed work waits (they stay pytest-pinned).  Stable
+    (registration order) within a tier+staleness class."""
+    last = _last_sampled_rounds()
+    reg_order = {n: i for i, n in enumerate(specs)}
 
-    def tier(spec: QuerySpec) -> int:
+    def key(name: str) -> tuple[int, int, int]:
+        spec = specs[name]
         if not spec.oracle:
-            return 3
-        if spec.name in DRIVER_VERIFIED_PREVIOUSLY:
-            return 2
-        if spec.name in NEW_THIS_ROUND:
-            return 1
-        return 0
+            tier = 3
+        elif spec.name in DRIVER_VERIFIED_PREVIOUSLY:
+            tier = 2
+        elif spec.name in NEW_THIS_ROUND:
+            tier = 1
+        else:
+            tier = 0
+        staleness = last.get(name, 0) if tier == 2 else 0
+        return (tier, staleness, reg_order[name])
 
-    return sorted(specs, key=lambda n: tier(specs[n]))
+    return sorted(specs, key=key)
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
