@@ -86,24 +86,33 @@ def pagerank(
     iterations: int = 10,
     scale: int = 12,
 ) -> DataFrame:
-    """PageRank by power iteration with DECIMAL-exact accumulation.
+    """PageRank by power iteration with INTEGER-exact accumulation:
+    ranks are scaled BIGINTs (``rank_e12`` = rank x 10^scale) and every
+    division rounds half-up via pure integer arithmetic
+    (``(2a + b) div (2b)``), so iteration results are bit-identical on
+    any engine, partitioning, and rerun — float sums in shuffle order
+    would drift in the last ulp and compound across iterations, and
+    even decimal division orders rounding engine-specifically.
+    ``damping`` must be a multiple of 0.01 (it becomes the integer
+    percentage in the exact update rule).
 
     Per iteration: each node splits its rank over its out-edges and the
     damped contributions sum per destination — one shuffle on the
     destination key; dangling nodes' mass redistributes uniformly (the
     standard correction) via a 1-row aggregate that broadcasts back.
-    Every division result rounds to a fixed ``scale`` DECIMAL before
-    summing, so iteration results are partitioning- and
-    engine-independent (float sums in shuffle order would drift in the
-    last ulp and compound across iterations).
 
     Scale: state is one (node, rank) row per node; contributions are
     one row per edge per iteration — the same exchange a single
     aggregation over the edge list costs. ``iterations`` bounds
     wall-clock; convergence for ranking purposes typically needs ~10.
-    Returns (node, rank) with ranks summing to ~1.
+    Returns (node, rank DECIMAL, rank_e12 BIGINT) with ranks summing
+    to ~1; a SQL oracle can replay the identical fixed-point update
+    (see queries/training_ops.pagerank_copurchase).
     """
-    dec = f"decimal(28,{scale})"
+    M = 10**scale
+    dampN = round(damping * 100)
+    if abs(dampN / 100 - damping) > 1e-12:
+        raise ValueError("damping must be a multiple of 0.01")
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
     nodes = (
         e.select(F.col("s").alias("n"))
@@ -112,12 +121,13 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
-    deg = e.groupBy("s").agg(F.count("*").alias("deg"))
-    init = F.lit(round(1.0 / n_nodes, scale)).cast(dec)
-    ranks = nodes.withColumn("rank", init)
-    base = F.lit(round((1.0 - damping) / n_nodes, scale)).cast(dec)
-    deg = deg.withColumnRenamed("s", "n")
+    # round-half-up(M / n) and round-half-up((100-dampN)*M / (100n)),
+    # exact in Python ints; positive operands so div == floor
+    init_e = (2 * M + n_nodes) // (2 * n_nodes)
+    base_e = (2 * (100 - dampN) * M + 100 * n_nodes) // (200 * n_nodes)
+    deg = e.groupBy("s").agg(F.count("*").alias("deg")).withColumnRenamed("s", "n")
     out_edges = e.withColumnRenamed("s", "n")
+    ranks = nodes.withColumn("rank_e12", F.lit(init_e).cast("bigint"))
     for _ in range(iterations):
         with_deg = ranks.join(deg, "n", "left")
         contrib = (
@@ -125,16 +135,16 @@ def pagerank(
             .join(out_edges, "n")
             .select(
                 F.col("d").alias("n"),
-                F.round(F.col("rank") / F.col("deg"), scale)
-                .cast(dec)
-                .alias("c"),
+                F.expr("(2 * rank_e12 + deg) div (2 * deg)").alias("c"),
             )
         )
         dangling = (
             with_deg.filter(F.col("deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0).cast(dec)).alias("dm"))
+            .agg(F.coalesce(F.sum("rank_e12"), F.lit(0)).alias("dm"))
             .select(
-                F.round(F.col("dm") / F.lit(n_nodes), scale).cast(dec).alias("dshare")
+                F.expr(
+                    f"(2 * dm + {n_nodes}) div (2 * {n_nodes})"
+                ).alias("dshare")
             )
         )
         summed = contrib.groupBy("n").agg(F.sum("c").alias("cs"))
@@ -143,18 +153,19 @@ def pagerank(
             .crossJoin(F.broadcast(dangling))
             .select(
                 "n",
-                F.round(
-                    base
-                    + F.lit(damping).cast(dec)
-                    * (
-                        F.coalesce(F.col("cs"), F.lit(0).cast(dec))
-                        + F.col("dshare")
-                    ),
-                    scale,
+                F.expr(
+                    f"{base_e} + (2 * {dampN} * (coalesce(cs, 0) + dshare)"
+                    f" + 100) div 200"
                 )
-                .cast(dec)
-                .alias("rank"),
+                .cast("bigint")
+                .alias("rank_e12"),
             )
             .localCheckpoint(eager=True)
         )
-    return ranks.select(F.col("n").alias("node"), "rank")
+    return ranks.select(
+        F.col("n").alias("node"),
+        (F.col("rank_e12").cast(f"decimal(28,{scale})") / F.lit(M))
+        .cast(f"decimal(28,{scale})")
+        .alias("rank"),
+        "rank_e12",
+    )

@@ -1001,15 +1001,83 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pagerank_copurchase", oracle=None)
+def _pagerank_oracle_sql(
+    iterations: int = 5, damp_n: int = 85, m: int = 10**12
+) -> str:
+    """Unrolled fixed-iteration PageRank oracle: because the operator's
+    update rule is pure integer arithmetic (scaled-BIGINT ranks,
+    round-half-up via ``(2a + b) // (2b)``), each power-method step is
+    one plain SQL SELECT — five chained CTEs replay the iteration
+    bit-for-bit, no recursion needed."""
+    sql = [
+        """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_orderkey < 2000
+    ),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    nodes AS (SELECT s AS n FROM edges UNION SELECT d FROM edges),
+    params AS (
+      SELECT COUNT(*) AS nn,"""
+        + f"""
+             (2 * {m} + COUNT(*)) // (2 * COUNT(*)) AS init_e,
+             (2 * {100 - damp_n} * {m} + 100 * COUNT(*))
+               // (200 * COUNT(*)) AS base_e
+      FROM nodes
+    ),
+    deg AS (SELECT s AS n, COUNT(*) AS deg FROM edges GROUP BY s),
+    r0 AS (SELECT n, (SELECT init_e FROM params) AS rank_e FROM nodes)"""
+    ]
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        sql.append(
+            f""",
+    c{i} AS (
+      SELECT e.d AS n, SUM((2 * r.rank_e + dg.deg) // (2 * dg.deg)) AS cs
+      FROM {prev} r JOIN deg dg ON dg.n = r.n JOIN edges e ON e.s = r.n
+      GROUP BY e.d
+    ),
+    d{i} AS (
+      SELECT (2 * COALESCE(SUM(r.rank_e), 0) + (SELECT nn FROM params))
+               // (2 * (SELECT nn FROM params)) AS dshare
+      FROM {prev} r LEFT JOIN deg dg ON dg.n = r.n WHERE dg.deg IS NULL
+    ),
+    r{i} AS (
+      SELECT nodes.n,
+             (SELECT base_e FROM params)
+             + (2 * {damp_n} * (COALESCE(c.cs, 0)
+                                + (SELECT dshare FROM d{i})) + 100) // 200
+               AS rank_e
+      FROM nodes LEFT JOIN c{i} c ON c.n = nodes.n
+    )"""
+        )
+        prev = f"r{i}"
+    sql.append(
+        f"""
+    SELECT n AS node, CAST(rank_e AS BIGINT) AS rank_e12
+    FROM {prev}
+    ORDER BY rank_e12 DESC, node ASC
+    LIMIT 20
+    """
+    )
+    return "".join(sql)
+
+
+@query("pagerank_copurchase", oracle=_pagerank_oracle_sql())
 def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 PageRank over the directed co-purchase graph (low part id
     -> high part id within an order) — the iterative-algorithm
     representative beyond connected components. Power iteration with
-    DECIMAL-exact contribution sums (operators/graph.pagerank), so the
-    result is partitioning-deterministic; SQL cannot express the
-    iteration, hence rows-only (tests/test_training_ops.py pins
-    ranking properties and determinism on a fixture graph)."""
+    INTEGER-exact scaled-BIGINT accumulation (operators/graph.pagerank),
+    so the result is partitioning- AND engine-deterministic: the oracle
+    replays the identical fixed-point update as five unrolled CTE
+    steps (``_pagerank_oracle_sql``) — the previously rows-only query
+    is now fully oracle-backed. tests/test_training_ops.py additionally
+    pins ranking properties and determinism on a fixture graph."""
     from local_stream_stack_spark.operators.graph import pagerank
 
     li = (
@@ -1033,7 +1101,8 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pagerank(edges, iterations=5)
-        .orderBy(F.desc("rank"), F.asc("node"))
+        .select("node", "rank_e12")
+        .orderBy(F.desc("rank_e12"), F.asc("node"))
         .limit(20)
     )
 

@@ -133,7 +133,7 @@ def test_pagerank_tiny_graph_properties(spark):
     assert abs(sum(rows.values()) - 1.0) < 1e-4  # HALF_UP bias accumulates ~iters*nodes*5e-13 + display rounding
     assert rows[2] == max(rows.values())
     assert rows[3] == rows[4] == min(rows.values())
-    # deterministic across a re-run (decimal accumulation)
+    # deterministic across a re-run (integer scaled-BIGINT accumulation)
     again = {r.node: float(r.rank) for r in pagerank(edges, iterations=15).collect()}
     assert rows == again
 
