@@ -450,15 +450,18 @@ def running_totals_with_state(
 
 def transform_with_state_supported() -> bool:
     """Spark 4's transformWithStateInPandas needs a protobuf-backed
-    driver-side Python runner; absent google.protobuf it crashes at
-    query start, so callers gate on this and fall back to
-    ``running_totals_with_state`` (applyInPandasWithState)."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    Python runner (driver AND workers); absent google.protobuf it
+    crashes at query start, so callers gate on this and fall back to
+    ``running_totals_with_state`` (applyInPandasWithState). If no
+    protobuf wheel is installed, a bundled pure-Python runtime found
+    on disk is wired up instead (utils/protobuf_compat) — note worker
+    processes only see it when enable_protobuf() ran before the
+    SparkSession started."""
+    from local_stream_stack_spark.utils.protobuf_compat import (
+        enable_protobuf,
+    )
 
-        return True
-    except ImportError:
-        return False
+    return enable_protobuf()
 
 
 def running_totals_transform_with_state(

@@ -376,12 +376,13 @@ def test_transform_with_state_running_totals(spark, tmpdir):
     ), logical[:1500]
     if not transform_with_state_supported():
         # The Python-side runner imports google.protobuf at query
-        # START (state-server wire protocol). This container has no
-        # protobuf wheel on disk and no network, so vendoring is
-        # impossible — environment-blocked, not unimplemented. The v1
+        # START (state-server wire protocol). enable_protobuf()
+        # (called in conftest before JVM launch) probes for a bundled
+        # public runtime when no wheel is installed; only if none
+        # exists anywhere on disk does this soft-gate trip, and the v1
         # API (test_running_totals_with_state, applyInPandasWithState)
-        # pins identical semantics, and the assertion above pins the
-        # v2 plan construction.
+        # still pins identical semantics with the assertion above
+        # pinning the v2 plan construction.
         return
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     spark.conf.set(
