@@ -485,6 +485,28 @@ def lsh_candidate_pairs_deterministic(
     )
 
 
+def _int_lsh_buckets_udf(n_tables: int, n_planes: int, dim: int):
+    """Arrow-batched bucket assignment over the md5-derived INTEGER
+    planes (:func:`integer_lsh_planes`) with floor-quantized int64
+    projections — the engine-portable twin of ``_lsh_buckets_udf``:
+    every arithmetic step is exact integer math a SQL oracle can
+    replay bit-for-bit (no float sign-at-zero risk)."""
+    from pyspark.sql.functions import pandas_udf
+
+    W = integer_lsh_planes(n_tables, n_planes, dim)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @pandas_udf("array<bigint>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        X = np.vstack(vecs.to_numpy()).astype(np.float64)
+        Xi = np.floor(X * 1e6).astype(np.int64)
+        bits = (Xi @ W.T >= 0).astype(np.int64)
+        b = bits.reshape(len(Xi), n_tables, n_planes) @ weights
+        return pd.Series(list(b))
+
+    return buckets
+
+
 def lsh_bucket_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -498,16 +520,23 @@ def lsh_bucket_topk(
     n_planes: int = 8,
     seed: int = 42,
     round_dp: int | None = 6,
+    integer_exact: bool = False,
 ) -> DataFrame:
     """Approximate top-k cosine via random-hyperplane LSH.
 
     Both sides get (table, bucket) keys; the equi-join on them replaces
     the cross product. Exact cosine is computed only for co-bucketed
     pairs; per-query top-k over the union of tables. Recall < 1 by
-    construction — raise n_tables for more.
+    construction — raise n_tables for more. With
+    ``integer_exact=True``, buckets come from the md5-derived integer
+    planes over floor-quantized vectors (``seed`` ignored), making the
+    whole candidate stage reproducible by a SQL oracle.
     """
-    planes = _hyperplanes(n_tables, n_planes, dim, seed)
-    buckets_udf = _lsh_buckets_udf(planes)
+    if integer_exact:
+        buckets_udf = _int_lsh_buckets_udf(n_tables, n_planes, dim)
+    else:
+        planes = _hyperplanes(n_tables, n_planes, dim, seed)
+        buckets_udf = _lsh_buckets_udf(planes)
 
     def with_buckets(df: DataFrame, id_alias: str, vec_alias: str, idc: str, vecc: str) -> DataFrame:
         return df.select(

@@ -307,13 +307,87 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_lsh_topk", oracle=None)
+def _int_lsh_sig_cte(n_tables: int, n_planes: int, dim: int = 64) -> str:
+    """Shared oracle CTE text: md5-derived integer-plane LSH signatures
+    over floor-quantized embeddings — replays
+    ``operators/similarity._int_lsh_buckets_udf`` bit-for-bit in SQL
+    (same scheme as the semantic_dedup_lsh_components oracle)."""
+    return f"""
+    planes AS (
+      SELECT t.t, j.j, i.i,
+             CAST('0x' || substring(md5(concat(t.t,'|',j.j,'|',i.i)), 1, 4)
+                  AS INT) % 7 - 3 AS w
+      FROM generate_series(0,{n_tables - 1}) t(t),
+           generate_series(0,{n_planes - 1}) j(j),
+           generate_series(0,{dim - 1}) i(i)
+    ),
+    qv AS (
+      SELECT vec_id, i.i AS i,
+             CAST(FLOOR(CAST(embedding[i.i + 1] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS x
+      FROM embeddings, generate_series(0,{dim - 1}) i(i)
+    ),
+    proj AS (
+      SELECT q.vec_id, p.t, p.j, SUM(q.x * p.w) AS s
+      FROM qv q JOIN planes p ON q.i = p.i
+      GROUP BY q.vec_id, p.t, p.j
+    ),
+    sig AS (
+      SELECT vec_id, t,
+             SUM(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) << j
+                      ELSE CAST(0 AS BIGINT) END) AS bucket
+      FROM proj GROUP BY vec_id, t
+    )"""
+
+
+@query(
+    "sim_lsh_topk",
+    oracle="WITH "
+    + _int_lsh_sig_cte(8, 4)
+    + """,
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id
+      FROM sig q JOIN sig c ON q.t = c.t AND q.bucket = c.bucket
+      WHERE q.vec_id < 5
+    ),
+    scored AS (
+      SELECT cd.query_id, cd.corpus_id,
+             ROUND(list_reduce(list_transform(generate_series(1, len(a.embedding)),
+                     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                   (x, y) -> x + y)
+               / (sqrt(list_reduce(list_transform(a.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x,y) -> x+y))
+                * sqrt(list_reduce(list_transform(b.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x,y) -> x+y))),
+               6) AS cosine_sim
+      FROM cand cd
+      JOIN embeddings a ON a.vec_id = cd.query_id
+      JOIN embeddings b ON b.vec_id = cd.corpus_id
+    ),
+    ranked AS (
+      SELECT query_id, corpus_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, corpus_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, corpus_id, cosine_sim, rk
+    FROM ranked
+    WHERE rk <= 10 AND corpus_id <> query_id
+    ORDER BY query_id, rk
+    """,
+)
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via random-hyperplane LSH (8 tables x 4
-    bits -> ~71% recall@10 on this corpus): the 100 TB path —
-    equi-join on (table, bucket) instead of a cross product. Size
-    n_planes ~ log2(corpus/target_bucket) so buckets stay O(100) rows
-    at any scale; recall floor pinned in tests/test_similarity.py."""
+    bits): the 100 TB path — equi-join on (table, bucket) instead of
+    a cross product. Size n_planes ~ log2(corpus/target_bucket) so
+    buckets stay O(100) rows at any scale; recall floor pinned in
+    tests/test_similarity.py.
+
+    Runs in ``integer_exact`` mode (md5-derived integer planes over
+    floor-quantized vectors — operators/similarity), so the previously
+    rows-only query is fully ORACLE-BACKED: the SQL replays signature
+    assignment, the bucket join, exact cosine re-scoring, and the
+    per-query rank window bit-for-bit."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
     return (
@@ -328,6 +402,7 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=10,
             n_tables=8,
             n_planes=4,
+            integer_exact=True,
         )
         .filter(F.col("query_id") != F.col("corpus_id"))
         .orderBy("query_id", "rk")

@@ -229,3 +229,49 @@ def test_pq_topk_recall_and_determinism(spark, sf_dir, emb):
     assert hits / total >= 0.2, f"PQ recall {hits}/{total} below floor"
     run2 = QUERIES["sim_pq_topk"].fn(spark, sf_dir).collect()
     assert [tuple(r) for r in run1] == [tuple(r) for r in run2]
+
+
+def test_integer_lsh_recall_and_determinism(spark, emb):
+    """integer_exact mode (md5-derived planes, floor-quantized
+    projections - the oracle-replayable path sim_lsh_topk runs) keeps
+    recall comparable to the float planes (measured 0.60 here; floor
+    0.5) and is bit-deterministic across plan rebuilds."""
+    k = 10
+    brute = cosine_topk_bruteforce(
+        queries=emb.filter(F.col("vec_id") < 5),
+        corpus=emb,
+        query_id="vec_id",
+        corpus_id="vec_id",
+        query_vec="embedding",
+        corpus_vec="embedding",
+        k=k + 1,
+    ).filter(F.col("query_id") != F.col("corpus_id"))
+    truth: dict[int, set] = {}
+    for r in brute.collect():
+        if r.rk <= k:
+            truth.setdefault(r.query_id, set()).add(r.corpus_id)
+
+    def run():
+        return lsh_bucket_topk(
+            queries=emb.filter(F.col("vec_id") < 5),
+            corpus=emb,
+            query_id="vec_id",
+            corpus_id="vec_id",
+            query_vec="embedding",
+            corpus_vec="embedding",
+            dim=64,
+            k=k,
+            n_tables=8,
+            n_planes=4,
+            integer_exact=True,
+        ).filter(F.col("query_id") != F.col("corpus_id"))
+
+    a = {(r.query_id, r.corpus_id, r.cosine_sim, r.rk) for r in run().collect()}
+    b = {(r.query_id, r.corpus_id, r.cosine_sim, r.rk) for r in run().collect()}
+    assert a == b
+    approx: dict[int, set] = {}
+    for qid, cid, _, _ in a:
+        approx.setdefault(qid, set()).add(cid)
+    hits = sum(len(truth[q] & approx.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    assert hits / total >= 0.5, hits / total
