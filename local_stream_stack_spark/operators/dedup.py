@@ -168,21 +168,81 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 32,
+    shingle_k: int = 5,
+    seed: int = 42,
+    shingle: str = "char",
+) -> DataFrame:
+    """MinHash signatures with an ENGINE-PORTABLE base hash: shingle ->
+    first 8 hex chars of md5 (32 bits) mod p — every step is plain
+    integer SQL any engine can replay, unlike :func:`minhash_signatures`
+    whose xxhash64 base is Spark-specific. The permutation family
+    h_i(x) = (a_i*x + b_i) mod p is identical (same seeded literals,
+    embeddable into an oracle's VALUES list via ``_perm_params``).
+    a < p < 2^31 and x < p keep a*x+b inside int64 on every engine.
+    Use the xxhash64 variant when raw speed matters more than
+    cross-engine replay."""
+    params = _perm_params(n_hashes, seed)
+    shingle_expr = (
+        word_shingles(text_col, shingle_k)
+        if shingle == "word"
+        else char_shingles(text_col, shingle_k)
+    )
+    df = _spread_by_key(df, id_col)
+    hashed_arr = F.transform(
+        shingle_expr,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+        % F.lit(_MERSENNE_P),
+    )
+    shingled = df.select(F.col(id_col), F.explode(hashed_arr).alias("__h"))
+    mins = [
+        F.min(
+            ((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(_MERSENNE_P))
+        ).alias(f"__m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = shingled.groupBy(id_col).agg(*mins)
+    return sig.select(
+        id_col, F.array(*[f"__m{i}" for i in range(n_hashes)]).alias("sig")
+    )
+
+
 def minhash_band_keys(
     sig_df: DataFrame,
     id_col: str,
     bands: int = 8,
     rows_per_band: int = 4,
     carry_sig: bool = False,
+    portable_keys: bool = False,
 ) -> DataFrame:
     """Explode signatures into LSH band keys: one (id, band, bh) row
     per band, where ``bh`` hashes the band's signature rows. Two docs
     sharing any (band, bh) key are near-dup candidates — the join/
     lookup key for both batch candidate generation
     (``minhash_lsh_candidates``) and the streaming ingestion store
-    (``streaming.ops.ingest_neardup_stream_parquet``)."""
+    (``streaming.ops.ingest_neardup_stream_parquet``).
+
+    ``portable_keys=True`` swaps the xxhash64 band hash for the
+    '|'-joined band values themselves — exactly injective and
+    reproducible by any SQL engine (string_agg over the band rows),
+    at the cost of a wider shuffle key; the default fixed-width hash
+    is the 100 TB shape."""
     cols = [F.col(id_col)] + ([F.col("sig")] if carry_sig else [])
     out_cols = [id_col] + (["sig"] if carry_sig else [])
+
+    def band_key(b: int):
+        vals = [
+            F.col("sig")[i]
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        if portable_keys:
+            return F.concat_ws("|", *[v.cast("string") for v in vals])
+        return F.xxhash64(*vals)
+
     return sig_df.select(
         *cols,
         F.explode(
@@ -190,12 +250,7 @@ def minhash_band_keys(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("sig")[i]
-                                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                            ]
-                        ).alias("bh"),
+                        band_key(b).alias("bh"),
                     )
                     for b in range(bands)
                 ]
@@ -210,6 +265,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     rows_per_band: int = 4,
     carry_sig: bool = False,
+    portable_keys: bool = False,
 ) -> DataFrame:
     """LSH banding: docs agreeing on all rows of any band become a
     candidate pair (id_a < id_b).
@@ -229,7 +285,12 @@ def minhash_lsh_candidates(
     back to the signature table.
     """
     banded = minhash_band_keys(
-        sig_df, id_col, bands=bands, rows_per_band=rows_per_band, carry_sig=True
+        sig_df,
+        id_col,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        carry_sig=True,
+        portable_keys=portable_keys,
     )
     member = (
         F.struct(F.col(id_col).alias("id"), F.col("sig").alias("sig"))
@@ -344,6 +405,52 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     agg = hashed.groupBy(id_col).agg(*bit_sums)
     sig = None
     for i in range(64):
+        bit = F.when(F.col(f"__b{i}") > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_portable(
+    df: DataFrame, id_col: str, text_col: str, n_bits: int = 60
+) -> DataFrame:
+    """SimHash with ENGINE-PORTABLE token hashing: the per-token hash
+    is the first 15 hex chars of md5 (60 bits, so it fits signed int64
+    with no sign games on any engine) instead of xxhash64. Same
+    majority-vote construction as :func:`simhash64`; the trade is
+    md5's higher per-token cost for a fingerprint any SQL engine can
+    recompute bit-for-bit — which is what lets a DuckDB oracle verify
+    the whole operator (queries/llm.dedup_simhash). Use ``simhash64``
+    when orphan speed matters more than cross-engine replay."""
+    toks = (
+        _spread_by_key(df, id_col)
+        .select(
+            F.col(id_col),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__t"),
+        )
+        .filter(F.length("__t") > 0)
+    )
+    hashed = toks.select(
+        id_col,
+        F.conv(F.substring(F.md5(F.col("__t")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("__h"),
+    )
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned(F.col("__h"), i).bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"__b{i}")
+        for i in range(n_bits)
+    ]
+    agg = hashed.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for i in range(n_bits):
         bit = F.when(F.col(f"__b{i}") > 0, F.lit(1).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )

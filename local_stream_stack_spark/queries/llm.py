@@ -186,20 +186,98 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh", oracle=None)
+def _minhash_oracle_sql(
+    n_hashes: int = 32, shingle_k: int = 3, rows_per_band: int = 4
+) -> str:
+    """Oracle for the PORTABLE minhash pipeline: the permutation
+    literals come from the same seeded ``_perm_params`` the operator
+    embeds, the base hash is md5-derived, and the band key is the
+    '|'-joined band values — every stage replayable in SQL."""
+    from local_stream_stack_spark.operators.dedup import _perm_params
+
+    P = (1 << 31) - 1
+    perms = ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(_perm_params(n_hashes, seed=42))
+    )
+    joins = " || ' ' || ".join(
+        f"w[i+{j}]" if j else "w[i]" for j in range(shingle_k)
+    )
+    return f"""
+    WITH perms(i, a, b) AS (VALUES {perms}),
+    words AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         t -> length(t) > 0) AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([{joins}
+               for i in generate_series(1, len(w) - {shingle_k - 1})])) AS s
+      FROM words
+    ),
+    hs AS (
+      SELECT doc_id,
+             CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) % {P} AS h
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, p.i, MIN((p.a * hs.h + p.b) % {P}) AS m
+      FROM hs, perms p GROUP BY doc_id, p.i
+    ),
+    bandkey AS (
+      SELECT doc_id, i // {rows_per_band} AS band,
+             string_agg(CAST(m AS VARCHAR), '|' ORDER BY i) AS bh
+      FROM sig GROUP BY doc_id, i // {rows_per_band}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandkey a JOIN bandkey b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS DOUBLE)
+             / {n_hashes} AS sig_agreement
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.id_a
+    JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+    GROUP BY c.id_a, c.id_b
+    ORDER BY id_a, id_b
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle_sql())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 perms over 3-word shingles) + LSH(8 bands x 4 rows)
     candidate pairs with their exact signature-agreement fraction.
     Word shingling cuts the shingle count ~6x vs char-5 at equal
-    dedup quality on prose. Hash internals are engine-specific ->
-    rows-only check; tests/test_dedup.py pins behavior on synthetic
-    near-dups."""
+    dedup quality on prose.
+
+    Runs the PORTABLE pipeline (md5-derived base hash + '|'-joined
+    band keys, operators/dedup.minhash_signatures_portable), so the
+    previously rows-only query is fully ORACLE-BACKED: the SQL replays
+    shingling, the (a*x+b) mod p permutation family (same seeded
+    literals), per-band bucketing, and the signature-agreement join
+    bit-for-bit. The xxhash64 variants stay as the raw-speed
+    production path, pinned on synthetic near-dups in
+    tests/test_dedup.py. sig_agreement = eq/32 is exactly
+    representable in binary, so the doubles hash identically."""
+    from local_stream_stack_spark.operators.dedup import (
+        minhash_signatures_portable,
+    )
+
     d = _t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(
+    sigs = minhash_signatures_portable(
         d, id_col="doc_id", text_col="text", n_hashes=32, shingle_k=3, shingle="word"
     )
     cands = minhash_lsh_candidates(
-        sigs, id_col="doc_id", bands=8, rows_per_band=4, carry_sig=True
+        sigs,
+        id_col="doc_id",
+        bands=8,
+        rows_per_band=4,
+        carry_sig=True,
+        portable_keys=True,
     )
     return (
         cands
@@ -220,12 +298,48 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash", oracle=None)
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    tk AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+    h AS (
+      SELECT doc_id,
+             CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS hv
+      FROM tk
+    ),
+    bits AS (
+      SELECT doc_id, b.b AS b,
+             SUM(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h, generate_series(0, 59) b(b)
+      GROUP BY doc_id, b.b
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b
+                         ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id ORDER BY doc_id
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints per document (near-dup = small
-    Hamming distance). xxhash64-based -> rows-only check."""
+    """SimHash fingerprints per document (near-dup = small Hamming
+    distance, compared via bit_count(a XOR b) in a banded join).
+
+    Runs the PORTABLE variant (60-bit md5-derived token hashes,
+    operators/dedup.simhash_portable), so the previously rows-only
+    query is fully ORACLE-BACKED: the SQL replays tokenize -> token
+    hash -> per-bit majority vote -> signature assembly bit-for-bit.
+    The xxhash64 variant (simhash64) stays as the raw-speed production
+    path with identical construction, pinned on fixtures in
+    tests/test_dedup.py."""
+    from local_stream_stack_spark.operators.dedup import simhash_portable
+
     d = _t(spark, sf_dir, "documents")
-    return simhash64(d, id_col="doc_id", text_col="text").orderBy("doc_id")
+    return simhash_portable(d, id_col="doc_id", text_col="text").orderBy(
+        "doc_id"
+    )
 
 
 @query(
