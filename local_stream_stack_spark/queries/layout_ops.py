@@ -1,0 +1,147 @@
+"""Data-layout queries: Z-order clustering and compaction planning.
+
+The scan-layer tier of a 100 TB pipeline: these queries PLAN physical
+layout (multi-dimensional clustering, small-file bin-packing) with
+pure integer expression math, so every decision is deterministic and
+oracle-verified. See operators/layout.py for the scale rationale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from local_stream_stack_spark.catalog import load_table
+from local_stream_stack_spark.operators.layout import zorder_sql, zorder_value
+from local_stream_stack_spark.queries.registry import query
+from local_stream_stack_spark.session import configure_for_oracle
+from local_stream_stack_spark.utils.ts import epoch_s
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure_for_oracle(spark)
+    return load_table(spark, sf_dir, name)
+
+
+_Z_DIMS_SQL = [
+    "user_id % 256",
+    "(CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 60) % 256",
+]
+
+
+@query(
+    "zorder_layout_events",
+    oracle=f"""
+    WITH z AS (
+      SELECT {zorder_sql(_Z_DIMS_SQL, bits=8)} AS zval,
+             user_id % 256 AS u,
+             (CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 60)
+               % 256 AS tb
+      FROM events
+    )
+    SELECT zval // 1024 AS file_id,
+           COUNT(*) AS n_rows,
+           CAST(MIN(u) AS BIGINT) AS u_min, CAST(MAX(u) AS BIGINT) AS u_max,
+           CAST(MIN(tb) AS BIGINT) AS tb_min,
+           CAST(MAX(tb) AS BIGINT) AS tb_max
+    FROM z
+    GROUP BY zval // 1024
+    ORDER BY file_id
+    """,
+)
+def zorder_layout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustering plan for the events table: interleave the
+    bits of (user bucket, minute-of-epoch bucket) into a Morton code,
+    cut the code space into files, and report each file's min/max span
+    in BOTH dimensions — the zone map a scan would prune against.
+    Because the Morton curve keeps both dimensions local, every file's
+    (u, tb) bounding box is tight, so predicates on EITHER column skip
+    most files; a single-key sort gives tight boxes in one dimension
+    only. This is the layout step behind Delta/Iceberg
+    ``OPTIMIZE ZORDER BY`` expressed as a first-class query.
+
+    Plan: the interleave is a pure bitwise codegen expression (no UDF),
+    one hash aggregate on the file id — scan-shaped, no extra shuffle
+    beyond the aggregate. At 100 TB the same expression becomes the
+    ``repartitionByRange`` / write-sort key; file count scales with
+    data (here: 16-bit code space // 1024 = 64 files).
+
+    Oracle: identical integer Morton math (operators/layout.zorder_sql
+    generates the same bit-interleave SQL the DataFrame expression
+    evaluates)."""
+    e = _t(spark, sf_dir, "events")
+    u = (F.col("user_id") % 256).cast("bigint")
+    tb = (F.floor(epoch_s("ts") / 60).cast("bigint") % 256).cast("bigint")
+    z = e.select(
+        zorder_value([u, tb], bits=8).alias("zval"),
+        u.alias("u"),
+        tb.alias("tb"),
+    )
+    return (
+        z.groupBy(F.expr("zval div 1024").alias("file_id"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("u").alias("u_min"),
+            F.max("u").alias("u_max"),
+            F.min("tb").alias("tb_min"),
+            F.max("tb").alias("tb_max"),
+        )
+        .orderBy("file_id")
+    )
+
+
+@query(
+    "compaction_bin_packing",
+    oracle="""
+    WITH sized AS (
+      SELECT source, doc_id, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_chars
+               AS offset_chars
+      FROM documents
+    )
+    SELECT source,
+           CAST(offset_chars // 200000 AS BIGINT) AS bin,
+           COUNT(*) AS n_files,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM sized
+    GROUP BY source, offset_chars // 200000
+    ORDER BY source, bin
+    """,
+)
+def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMALL-FILE COMPACTION planner: greedily pack each partition's
+    files (here: documents standing in for data files, sized by
+    n_chars) into ~200 KB bins by prefix-sum offset — the planning
+    step of an OPTIMIZE/compact job, which then rewrites each bin as
+    one file. Deterministic: bin assignment is the integer starting
+    offset divided by the target, over a fixed (source, doc_id) order.
+
+    Scale: the running sum windows PER SOURCE PARTITION — never a
+    global single-reducer window; a real lakehouse table compacts per
+    partition exactly like this (files within a partition, ordered,
+    prefix-summed, cut at the size target). One shuffle on source for
+    the window, one aggregate on (source, bin)."""
+    d = _t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        (F.sum("n_chars").over(w) - F.col("n_chars")).alias("offset_chars"),
+    )
+    return (
+        sized.groupBy(
+            "source", F.expr("offset_chars div 200000").alias("bin")
+        )
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("source", "bin")
+    )
