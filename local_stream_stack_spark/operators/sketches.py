@@ -31,25 +31,51 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _probes(key: F.Column, depth: int, width: int) -> F.Column:
-    """Array of (d, w) probe positions for a key."""
+def _probes(
+    key: F.Column, depth: int, width: int, portable: bool = False
+) -> F.Column:
+    """Array of (d, w) probe positions for a key.
+
+    ``portable=True`` swaps xxhash64 for the suite's portable hash
+    (first 8 hex chars of md5 of ``key|row``, 32 bits, mod width) so
+    the whole sketch is replayable bit-for-bit by any SQL engine —
+    the same scheme as ``dedup.minhash_signatures_portable``. Default
+    stays xxhash64 (cheaper JVM codegen) for non-oracle use.
+    """
+    if portable:
+
+        def w_of(i: int) -> F.Column:
+            h = F.md5(
+                F.concat_ws("|", key.cast("string"), F.lit(str(i)))
+            )
+            return F.pmod(
+                F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"),
+                F.lit(width),
+            )
+
+    else:
+
+        def w_of(i: int) -> F.Column:
+            return F.pmod(F.xxhash64(key, F.lit(i)), F.lit(width))
+
     return F.array(
         *[
-            F.struct(
-                F.lit(i).alias("d"),
-                F.pmod(F.xxhash64(key, F.lit(i)), F.lit(width)).alias("w"),
-            )
+            F.struct(F.lit(i).alias("d"), w_of(i).alias("w"))
             for i in range(depth)
         ]
     )
 
 
 def cms_build(
-    df: DataFrame, key_col: str, depth: int = 4, width: int = 1024
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    portable: bool = False,
 ) -> DataFrame:
     """Sketch a column: returns (d, w, cnt) with <= depth*width rows."""
     probes = df.select(
-        F.explode(_probes(F.col(key_col), depth, width)).alias("p")
+        F.explode(_probes(F.col(key_col), depth, width, portable)).alias("p")
     )
     return probes.groupBy(
         F.col("p.d").alias("d"), F.col("p.w").alias("w")
@@ -71,12 +97,14 @@ def cms_estimate(
     key_col: str,
     depth: int = 4,
     width: int = 1024,
+    portable: bool = False,
 ) -> DataFrame:
     """Point-estimate each distinct key in ``keys``: adds an ``est``
     column (min over the key's depth counters; missing counter = 0).
     The sketch side is grid-bounded, so it broadcasts."""
     probes = keys.select(
-        key_col, F.explode(_probes(F.col(key_col), depth, width)).alias("p")
+        key_col,
+        F.explode(_probes(F.col(key_col), depth, width, portable)).alias("p"),
     ).select(key_col, F.col("p.d").alias("d"), F.col("p.w").alias("w"))
     return (
         probes.join(F.broadcast(sketch), ["d", "w"], "left")

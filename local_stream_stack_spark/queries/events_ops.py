@@ -999,26 +999,58 @@ def interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "bucket_s")
 
 
-@query("cms_heavy_hitters", oracle=None)
+@query(
+    "cms_heavy_hitters",
+    oracle="""
+    WITH probes AS (
+      SELECT e.user_id, d.d,
+             CAST('0x' || substring(md5(CAST(e.user_id AS VARCHAR)
+                                        || '|' || CAST(d.d AS VARCHAR)),
+                                    1, 8) AS BIGINT) % 1024 AS w
+      FROM events e CROSS JOIN generate_series(0, 3) d(d)
+    ),
+    grid AS (
+      SELECT d, w, COUNT(*) AS cnt FROM probes GROUP BY d, w
+    ),
+    keyprobes AS (
+      SELECT DISTINCT user_id, d, w FROM probes
+    ),
+    est AS (
+      SELECT k.user_id, MIN(g.cnt) AS est
+      FROM keyprobes k JOIN grid g ON k.d = g.d AND k.w = g.w
+      GROUP BY k.user_id
+    )
+    SELECT user_id, est FROM est
+    ORDER BY est DESC, user_id
+    LIMIT 20
+    """,
+)
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate heavy hitters via count-min sketch: sketch the
     user_id stream into a 4x1024 counter grid (shuffle bounded by the
     GRID size, not the event count), then point-estimate every
     distinct user against the broadcast grid and keep the top 20.
-    Estimates are deterministic (seeded xxhash64) but engine-specific
-    -> rows-only driver check; tests/test_sketches.py pins the
+
+    Runs in ``portable`` hash mode (md5-derived 32-bit probe columns),
+    so the previously rows-only query is fully ORACLE-BACKED: the SQL
+    replays probe placement, the counter grid, and the min-over-depth
+    estimate bit-for-bit. tests/test_sketches.py additionally pins the
     overestimate guarantee, the eps*N error bound, and counter-grid
-    mergeability on fixtures."""
+    mergeability on fixtures. At 100 TB the shape is unchanged: the
+    shuffle after the probe explode is bounded by the 4x1024 GRID, not
+    the event count, and the grid broadcasts to the estimate join."""
     from local_stream_stack_spark.operators.sketches import (
         cms_build,
         cms_estimate,
     )
 
     e = _events(spark, sf_dir)
-    sketch = cms_build(e, "user_id", depth=4, width=1024)
+    sketch = cms_build(e, "user_id", depth=4, width=1024, portable=True)
     users = e.select("user_id").distinct()
     return (
-        cms_estimate(sketch, users, "user_id", depth=4, width=1024)
+        cms_estimate(
+            sketch, users, "user_id", depth=4, width=1024, portable=True
+        )
         .orderBy(F.desc("est"), F.asc("user_id"))
         .limit(20)
     )

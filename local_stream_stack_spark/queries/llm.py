@@ -562,51 +562,157 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@query("sim_ivf_topk", oracle=None)
+@query(
+    "sim_ivf_topk",
+    oracle="""
+    WITH ev AS (
+      SELECT vec_id, label, i.i AS i,
+             CAST(FLOOR(CAST(embedding[i.i + 1] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS x
+      FROM embeddings, generate_series(0, 63) i(i)
+    ),
+    cent AS (SELECT label, i, SUM(x) AS s FROM ev GROUP BY label, i),
+    centn AS (SELECT label, SUM(s * s) AS ss FROM cent GROUP BY label),
+    qn AS (SELECT vec_id, SUM(x * x) AS qq
+           FROM ev WHERE vec_id < 5 GROUP BY vec_id),
+    cn AS (SELECT vec_id, SUM(x * x) AS cc FROM ev GROUP BY vec_id),
+    qdot AS (
+      SELECT q.vec_id, c.label, SUM(q.x * c.s) AS dot
+      FROM ev q JOIN cent c ON q.i = c.i
+      WHERE q.vec_id < 5
+      GROUP BY q.vec_id, c.label
+    ),
+    csim AS (
+      SELECT d.vec_id AS query_id, d.label,
+             CAST(ROUND(CAST(d.dot AS DOUBLE)
+                        / (sqrt(CAST(q.qq AS DOUBLE))
+                           * sqrt(CAST(n.ss AS DOUBLE))) * 1000000)
+                  AS BIGINT) AS cent_sim_e6
+      FROM qdot d
+      JOIN qn q ON q.vec_id = d.vec_id
+      JOIN centn n ON n.label = d.label
+    ),
+    probes AS (
+      SELECT query_id, label FROM (
+        SELECT query_id, label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cent_sim_e6 DESC, label) AS pr
+        FROM csim) t
+      WHERE pr <= 3
+    ),
+    pairdot AS (
+      SELECT p.query_id, e.vec_id AS corpus_id, SUM(q.x * e.x) AS dot
+      FROM probes p
+      JOIN ev e ON e.label = p.label
+      JOIN ev q ON q.vec_id = p.query_id AND q.i = e.i
+      GROUP BY p.query_id, e.vec_id
+    ),
+    scored AS (
+      SELECT pd.query_id, pd.corpus_id,
+             CAST(ROUND(CAST(pd.dot AS DOUBLE)
+                        / (sqrt(CAST(qn.qq AS DOUBLE))
+                           * sqrt(CAST(cn.cc AS DOUBLE))) * 1000000)
+                  AS BIGINT) AS cosine_sim_e6
+      FROM pairdot pd
+      JOIN qn ON qn.vec_id = pd.query_id
+      JOIN cn ON cn.vec_id = pd.corpus_id
+      WHERE pd.corpus_id <> pd.query_id
+    ),
+    ranked AS (
+      SELECT query_id, corpus_id, cosine_sim_e6,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim_e6 DESC, corpus_id)
+               AS rk
+      FROM scored
+    )
+    SELECT query_id, corpus_id, cosine_sim_e6, rk
+    FROM ranked WHERE rk <= 10
+    ORDER BY query_id, rk
+    """,
+)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style approximate top-10: coarse cells = per-label mean
+    """IVF-style approximate top-10: coarse cells = per-label
     centroids; each query probes its nprobe=3 nearest centroids and
     searches only those cells. The centroid table is tiny and
     broadcast; the cell scan is an equi-join on label — the
     inverted-file shape that avoids the cross product at corpus scale.
-    Float mean accumulation is partition-order dependent -> rows-only
-    check; recall is pinned in tests/test_similarity.py."""
+
+    Runs INTEGER-EXACT (previously rows-only): vectors are floor-
+    quantized to BIGINT at 1e-6 resolution, the centroid is the exact
+    integer SUM per dimension (cosine is scale-invariant, so the sum
+    points exactly where the mean does — no order-dependent float
+    accumulation), and every dot/norm is an exact integer whose final
+    sim is emitted as a scaled BIGINT (``*_e6``). The oracle replays
+    quantization, centroid build, probe selection, and cell re-scoring
+    bit-for-bit. Recall vs exact top-k pinned in
+    tests/test_similarity.py."""
     from pyspark.sql.window import Window
 
+    def doti(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    def sim_e6(dot, n1, n2):
+        return F.round(
+            dot.cast("double") / (F.sqrt(n1) * F.sqrt(n2)) * F.lit(1000000.0)
+        ).cast("bigint")
+
     e = _t(spark, sf_dir, "embeddings")
-    # per-label mean centroid via posexplode + per-dimension avg
+    ev = e.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda v: F.floor(v.cast("double") * F.lit(1000000.0)).cast(
+                "bigint"
+            ),
+        ).alias("x"),
+    )
+    # per-label exact integer centroid: posexplode -> SUM per (label,
+    # pos) -> reassemble; partial aggregation bounds the shuffle at
+    # labels x dim rows regardless of corpus size
     cent = (
-        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        ev.select("label", F.posexplode("x").alias("pos", "xv"))
         .groupBy("label", "pos")
-        .agg(F.avg("val").alias("avg_val"))
+        .agg(F.sum("xv").alias("s"))
         .groupBy("label")
         .agg(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "avg_val"))),
-                lambda s: s.avg_val.cast("float"),
-            ).alias("centroid")
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda st: st.s,
+            ).alias("cvec")
         )
+        .withColumn("ss", doti(F.col("cvec"), F.col("cvec")))
     )
-    q = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
+    q = ev.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("x").alias("__qx"),
+        doti(F.col("x"), F.col("x")).alias("__qq"),
     )
     wq = Window.partitionBy("query_id").orderBy(
-        F.desc("cent_sim"), F.asc("label")
+        F.desc("cent_sim_e6"), F.asc("label")
     )
     probes = (
         q.crossJoin(F.broadcast(cent))
-        .withColumn("cent_sim", cosine(F.col("__qv"), F.col("centroid")))
+        .withColumn(
+            "cent_sim_e6",
+            sim_e6(doti(F.col("__qx"), F.col("cvec")), F.col("__qq"), F.col("ss")),
+        )
         .withColumn("__pr", F.row_number().over(wq))
         .filter(F.col("__pr") <= 3)
-        .select("query_id", "__qv", "label")
+        .select("query_id", "__qx", "__qq", "label")
     )
-    c = e.select(
+    c = ev.select(
         F.col("vec_id").alias("corpus_id"),
         F.col("label"),
-        F.col("embedding").alias("__cv"),
+        F.col("x").alias("__cx"),
+        doti(F.col("x"), F.col("x")).alias("__cc"),
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine_sim"), F.asc("corpus_id")
+        F.desc("cosine_sim_e6"), F.asc("corpus_id")
     )
     return (
         c.join(F.broadcast(probes), on="label")
@@ -614,7 +720,9 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "corpus_id",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine_sim"),
+            sim_e6(
+                doti(F.col("__qx"), F.col("__cx")), F.col("__qq"), F.col("__cc")
+            ).alias("cosine_sim_e6"),
         )
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 10)

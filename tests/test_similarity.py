@@ -129,16 +129,23 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir, emb):
         hits += len(truth & approx_sets.get(qid, set()))
     assert total > 0
     assert hits / total >= 0.25, f"IVF recall {hits}/{total} below floor"
-    # scores that ARE returned must be exact cosines
+    # scores that ARE returned must be the exact quantized-integer
+    # cosine (the query's integer-exact contract: floor(v*1e6) vectors,
+    # scaled-BIGINT e6 sims)
     vectors = {
-        r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()
+        r.vec_id: np.floor(
+            np.array(r.embedding, dtype=np.float64) * 1e6
+        ).astype(np.int64)
+        for r in emb.collect()
     }
     for r in QUERIES["sim_ivf_topk"].fn(spark, sf_dir).limit(10).collect():
         q, c = vectors[r.query_id], vectors[r.corpus_id]
-        expected = round(
-            float(np.dot(q, c) / (np.linalg.norm(q) * np.linalg.norm(c))), 6
-        )
-        assert abs(r.cosine_sim - expected) < 1e-9
+        expected = float(np.dot(q, c)) / (
+            np.linalg.norm(q) * np.linalg.norm(c)
+        ) * 1e6
+        # <=1 ulp-of-rounding slack: python round() is banker's,
+        # Spark ROUND is half-up
+        assert abs(r.cosine_sim_e6 - expected) <= 1.0
 
 
 def test_lsh_scores_are_true_cosines(spark, emb):
