@@ -1,0 +1,159 @@
+"""Distributed k-means (Lloyd's algorithm) over embedding columns —
+the iterative-ML representative of the training-data tier, and the
+trainer for ``sim_ivf_topk``-style coarse quantizers.
+
+Everything is INTEGER-exact so the result is partitioning- AND
+engine-deterministic (the suite's portable-determinism discipline,
+same family as ``operators/graph.pagerank``):
+
+- vectors are floor-quantized to BIGINT at 1e-6 resolution and
+  SHIFTED non-negative (``x = floor(v * 1e6) + 1e6``) — distances are
+  shift-invariant, and non-negative integers make round-half-up
+  integer division identical across engines (truncating and flooring
+  division agree);
+- centroids are integer vectors: the rounded integer mean per
+  dimension, ``m = (2*s + n) div (2*n)`` (round-half-up — the
+  pagerank idiom), never a float mean whose accumulation order
+  varies;
+- assignment is argmin of the exact integer squared distance
+  ``sum((x_i - m_i)^2)`` with ties broken by cluster id — a total
+  order both engines compute identically;
+- seeds are the k vectors with the smallest ``(md5(id), id)`` key —
+  the suite's deterministic permutation — picked via distributed
+  top-k (TakeOrderedAndProject), never a global window.
+
+Scale shape per iteration: one broadcast of the k x dim centroid
+table, one scan-side distance computation (zip_with/aggregate, JVM
+codegen, no Python), and one partial-aggregated shuffle bounded by
+k x dim rows for the centroid update. Empty clusters keep their
+previous centroid (deterministic fallback).
+
+No reference analog (the reference delegates all computation to
+Spark — SURVEY.md §2B north-star rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+QUANT_SCALE = 1_000_000
+QUANT_SHIFT = 1_000_000
+
+
+def quantize_vectors(
+    df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, x) with x = floor(v * 1e6) + 1e6 per dimension — exact
+    BIGINT, non-negative for |v| <= 1."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            vec_col,
+            lambda v: F.floor(v.cast("double") * F.lit(float(QUANT_SCALE)))
+            .cast("bigint")
+            + F.lit(QUANT_SHIFT),
+        ).alias("x"),
+    )
+
+
+def _sqdist(x, m):
+    return F.aggregate(
+        F.zip_with(x, m, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_lloyd_quantized(
+    vectors: DataFrame, k: int = 4, iterations: int = 3
+) -> DataFrame:
+    """Run ``iterations`` full Lloyd rounds on a quantized (id, x)
+    frame, then a final assignment pass; returns one row per cluster:
+    (cluster, n_members, centroid_l1, inertia).
+
+    centroid_l1 = sum of the final centroid's integer coordinates (a
+    portable checksum of the centroid position); inertia = total
+    squared distance of members to their final centroid.
+    """
+    # deterministic seeds: distributed top-k on the md5 permutation,
+    # then rank inside the k-row result (window over k rows only)
+    seeded = vectors.withColumn(
+        "__h", F.md5(F.col("id").cast("string"))
+    ).orderBy("__h", "id").limit(k)
+    wseed = Window.orderBy("__h", "id")
+    cent = seeded.select(
+        (F.row_number().over(wseed) - 1).alias("c"), F.col("x").alias("m")
+    )
+
+    for _ in range(iterations):
+        assigned = _assign(vectors, cent)
+        # centroid update: explode members -> exact integer sums per
+        # (cluster, dim) -> rounded integer mean; shuffle bounded by
+        # k x dim after partial aggregation
+        upd = (
+            assigned.select("c", F.posexplode("x").alias("pos", "xv"))
+            .groupBy("c", "pos")
+            .agg(F.sum("xv").alias("s"), F.count("*").alias("n"))
+            .withColumn(
+                "mi",
+                F.expr("(2 * s + n) div (2 * n)").cast("bigint"),
+            )
+            .groupBy("c")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mi"))),
+                    lambda st: st.mi,
+                ).alias("m_new")
+            )
+        )
+        # empty clusters deterministically keep their previous centroid
+        cent = (
+            cent.join(upd, "c", "left")
+            .select("c", F.coalesce("m_new", "m").alias("m"))
+        )
+
+    final = _assign(vectors, cent, keep_dist=True)
+    stats = final.groupBy("c").agg(
+        F.count("*").alias("n_members"),
+        F.sum("d").alias("inertia"),
+    )
+    csum = cent.select(
+        "c",
+        F.aggregate(
+            "m", F.lit(0).cast("long"), lambda acc, v: acc + v
+        ).alias("centroid_l1"),
+    )
+    return (
+        stats.join(csum, "c")
+        .select(
+            F.col("c").cast("int").alias("cluster"),
+            F.col("n_members").cast("bigint"),
+            F.col("centroid_l1").cast("bigint"),
+            F.col("inertia").cast("bigint"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def _assign(
+    vectors: DataFrame, cent: DataFrame, keep_dist: bool = False
+) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the k-row centroid table,
+    score scan-side, argmin via lexicographic struct-min (one partial-
+    aggregated shuffle on id — no window)."""
+    scored = vectors.crossJoin(F.broadcast(cent)).select(
+        "id",
+        "x",
+        F.col("c"),
+        _sqdist(F.col("x"), F.col("m")).alias("d"),
+    )
+    best = scored.groupBy("id").agg(
+        F.min(F.struct("d", "c")).alias("best"),
+        F.first("x").alias("x"),
+    )
+    out = best.select(
+        "id", "x", F.col("best.c").alias("c"), F.col("best.d").alias("d")
+    )
+    return out if keep_dist else out.drop("d")

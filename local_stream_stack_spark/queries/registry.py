@@ -49,7 +49,6 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "cdc_merge_summary",
         "chunk_documents",
         "clean_text_scrub",
-        "cms_heavy_hitters",
         "cohort_retention",
         "collation_group_ci",
         "compaction_tombstone",
@@ -67,9 +66,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "dedup_embedding_cosine",
         "dedup_exact",
         "dedup_keys",
-        "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
-        "dedup_simhash",
         "distinct_rows",
         "doc_fingerprint",
         "doc_length_histogram",
@@ -166,8 +163,6 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "set_ops_bag",
         "shuffle_deterministic",
         "sim_bruteforce_topk",
-        "sim_ivf_topk",
-        "sim_lsh_topk",
         "sliding_window_agg",
         "source_char_budget",
         "sql_api_revenue",

@@ -1396,3 +1396,112 @@ def dpp_partitioned_lang_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def _kmeans_oracle_sql(k: int = 4, iterations: int = 3) -> str:
+    """Unrolled fixed-iteration Lloyd oracle: the operator's update
+    rule is pure integer arithmetic (quantized shifted-BIGINT vectors,
+    integer squared distances, round-half-up integer-mean centroids via
+    ``(2s + n) // (2n)``), so each Lloyd round is three plain SQL CTEs
+    (distance, argmin assignment, centroid update) — replayed
+    bit-for-bit, no recursion (same discipline as
+    ``_pagerank_oracle_sql``)."""
+    sql = [
+        f"""
+    WITH ev AS (
+      SELECT vec_id, i.i AS i,
+             CAST(FLOOR(CAST(embedding[i.i + 1] AS DOUBLE) * 1000000)
+                  AS BIGINT) + 1000000 AS x
+      FROM embeddings, generate_series(0, 63) i(i)
+    ),
+    seeds AS (
+      SELECT vec_id, c FROM (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c
+        FROM embeddings) t
+      WHERE c < {k}
+    ),
+    m0 AS (
+      SELECT s.c, e.i, e.x AS m
+      FROM seeds s JOIN ev e ON e.vec_id = s.vec_id
+    )"""
+    ]
+    prev = "m0"
+    for t in range(1, iterations + 2):
+        last = t == iterations + 1
+        sql.append(
+            f""",
+    d{t} AS (
+      SELECT e.vec_id, m.c, SUM((e.x - m.m) * (e.x - m.m)) AS d
+      FROM ev e JOIN {prev} m ON m.i = e.i
+      GROUP BY e.vec_id, m.c
+    ),
+    a{t} AS (
+      SELECT vec_id, c, d FROM (
+        SELECT vec_id, c, d,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d, c) AS rn
+        FROM d{t}) t
+      WHERE rn = 1
+    )"""
+        )
+        if last:
+            break
+        sql.append(
+            f""",
+    u{t} AS (
+      SELECT a.c, e.i, SUM(e.x) AS s, COUNT(*) AS n
+      FROM a{t} a JOIN ev e ON e.vec_id = a.vec_id
+      GROUP BY a.c, e.i
+    ),
+    m{t} AS (
+      SELECT p.c, p.i,
+             CAST(COALESCE((2 * u.s + u.n) // (2 * u.n), p.m)
+                  AS BIGINT) AS m
+      FROM {prev} p LEFT JOIN u{t} u ON u.c = p.c AND u.i = p.i
+    )"""
+        )
+        prev = f"m{t}"
+    fin = iterations + 1
+    sql.append(
+        f"""
+    SELECT CAST(s.c AS INT) AS cluster,
+           CAST(s.n_members AS BIGINT) AS n_members,
+           CAST(cs.centroid_l1 AS BIGINT) AS centroid_l1,
+           CAST(s.inertia AS BIGINT) AS inertia
+    FROM (SELECT c, COUNT(*) AS n_members, SUM(d) AS inertia
+          FROM a{fin} GROUP BY c) s
+    JOIN (SELECT c, SUM(m) AS centroid_l1 FROM {prev} GROUP BY c) cs
+      ON cs.c = s.c
+    ORDER BY cluster
+    """
+    )
+    return "".join(sql)
+
+
+@query("kmeans_embeddings", oracle=_kmeans_oracle_sql())
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (k=4, 3 Lloyd rounds) over the embeddings
+    corpus — the iterative-ML representative beyond pagerank/connected
+    components, and the trainer shape for ``sim_ivf_topk``'s coarse
+    quantizer. INTEGER-exact end to end
+    (``operators/clustering.kmeans_lloyd_quantized``): quantized
+    shifted-BIGINT vectors, exact integer squared-distance argmin
+    (ties to lowest cluster id), round-half-up integer-mean centroids —
+    partitioning- and engine-deterministic, so the unrolled-CTE oracle
+    replays every round bit-for-bit.
+
+    Per-iteration scale shape: broadcast k x dim centroid table ->
+    scan-side zip_with distance (JVM codegen, no Python) ->
+    struct-min argmin (partial-aggregated shuffle on id, no window) ->
+    centroid update shuffle bounded by k x dim rows. Seeds via
+    distributed top-k on the md5 permutation, never a global window."""
+    from local_stream_stack_spark.operators.clustering import (
+        kmeans_lloyd_quantized,
+        quantize_vectors,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    vecs = quantize_vectors(e, "vec_id", "embedding")
+    return kmeans_lloyd_quantized(vecs, k=4, iterations=3)
