@@ -31,6 +31,12 @@ from local_stream_stack_spark.operators.similarity import (
     cosine_topk_bruteforce,
     lsh_bucket_topk,
 )
+from local_stream_stack_spark.operators.clustering import (
+    kmeans_lloyd_quantized,
+    kmeans_lloyd_grouped,
+    quantize_vectors,
+    quantize_vectors_normalized,
+)
 from local_stream_stack_spark.operators.text import (
     with_text_stats,
     lang_id_scores,
@@ -63,6 +69,10 @@ __all__ = [
     "with_vector_norm",
     "cosine_topk_bruteforce",
     "lsh_bucket_topk",
+    "kmeans_lloyd_quantized",
+    "kmeans_lloyd_grouped",
+    "quantize_vectors",
+    "quantize_vectors_normalized",
     "with_text_stats",
     "lang_id_scores",
 ]

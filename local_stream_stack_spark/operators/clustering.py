@@ -137,6 +137,118 @@ def kmeans_lloyd_quantized(
     )
 
 
+def quantize_vectors_normalized(
+    df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, x) with x = floor(v / ||v|| * 1e6) + 1e6 — L2-normalize
+    BEFORE quantizing so squared-L2 distance ranks like cosine. The
+    norm is a LEFT FOLD over the array in element order (F.aggregate
+    here, list_reduce in the oracle): both engines execute the same
+    IEEE double sequence, so the floor()ed integers are identical —
+    the same portability argument as the suite's cosine oracles."""
+    nn = F.sqrt(
+        F.aggregate(
+            F.transform(vec_col, lambda v: v.cast("double") * v.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            vec_col,
+            lambda v: F.floor(
+                v.cast("double") / nn * F.lit(float(QUANT_SCALE))
+            ).cast("bigint")
+            + F.lit(QUANT_SHIFT),
+        ).alias("x"),
+    )
+
+
+def split_subspaces(vectors: DataFrame, m_sub: int, dim: int) -> DataFrame:
+    """(g, id, x) sub-vector rows from a (id, x) frame: subspace g
+    holds dimensions [g*dim/m, (g+1)*dim/m). Pure slice/explode —
+    JVM codegen, scan-shaped."""
+    dsub = dim // m_sub
+    return vectors.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(g).alias("g"),
+                        F.slice("x", g * dsub + 1, dsub).alias("xs"),
+                    )
+                    for g in range(m_sub)
+                ]
+            )
+        ).alias("s"),
+    ).select(F.col("s.g").alias("g"), "id", F.col("s.xs").alias("x"))
+
+
+def kmeans_lloyd_grouped(
+    vectors: DataFrame, k: int, iterations: int
+) -> DataFrame:
+    """Per-group Lloyd on a (g, id, x) frame — every group trains its
+    own k centroids in the SAME distributed passes (the
+    product-quantization codebook shape: one group per subspace).
+    Identical integer-exact discipline as ``kmeans_lloyd_quantized``.
+    Seeds per group: k smallest (md5(id), id) — a window PARTITIONED
+    by group, so no global single-reducer sort. Returns (g, c, m)."""
+    wseed = Window.partitionBy("g").orderBy("__h", "id")
+    cent = (
+        vectors.withColumn("__h", F.md5(F.col("id").cast("string")))
+        .withColumn("__rn", F.row_number().over(wseed))
+        .filter(F.col("__rn") <= k)
+        .select("g", (F.col("__rn") - 1).alias("c"), F.col("x").alias("m"))
+    )
+    for _ in range(iterations):
+        assigned = assign_grouped(vectors, cent)
+        upd = (
+            assigned.select("g", "c", F.posexplode("x").alias("pos", "xv"))
+            .groupBy("g", "c", "pos")
+            .agg(F.sum("xv").alias("s"), F.count("*").alias("n"))
+            .withColumn(
+                "mi", F.expr("(2 * s + n) div (2 * n)").cast("bigint")
+            )
+            .groupBy("g", "c")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mi"))),
+                    lambda st: st.mi,
+                ).alias("m_new")
+            )
+        )
+        cent = (
+            cent.join(upd, ["g", "c"], "left")
+            .select("g", "c", F.coalesce("m_new", "m").alias("m"))
+        )
+    return cent
+
+
+def assign_grouped(
+    vectors: DataFrame, cent: DataFrame, keep_dist: bool = False
+) -> DataFrame:
+    """Nearest-centroid assignment per group on (g, id, x): broadcast
+    the groups x k centroid table, join on g, argmin via struct-min
+    (one partial-aggregated shuffle on (g, id))."""
+    scored = vectors.join(F.broadcast(cent), "g").select(
+        "g",
+        "id",
+        "x",
+        "c",
+        _sqdist(F.col("x"), F.col("m")).alias("d"),
+    )
+    best = scored.groupBy("g", "id").agg(
+        F.min(F.struct("d", "c")).alias("best"),
+        F.first("x").alias("x"),
+    )
+    out = best.select(
+        "g", "id", "x", F.col("best.c").alias("c"), F.col("best.d").alias("d")
+    )
+    return out if keep_dist else out.drop("d")
+
+
 def _assign(
     vectors: DataFrame, cent: DataFrame, keep_dist: bool = False
 ) -> DataFrame:

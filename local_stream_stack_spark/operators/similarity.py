@@ -570,143 +570,3 @@ def lsh_bucket_topk(
         .select("query_id", "corpus_id", "cosine_sim", "rk")
     )
 
-
-def pq_train_codebooks(
-    corpus: DataFrame,
-    id_col: str,
-    vec_col: str,
-    m: int = 8,
-    k: int = 16,
-    sample_rows: int = 4096,
-    iters: int = 8,
-):
-    """Train product-quantization codebooks: split the vector into
-    ``m`` subspaces and k-means each with ``k`` centroids.
-
-    Training runs driver-side on a DETERMINISTIC sample (md5-of-id
-    order — engine- and layout-independent), which is the standard PQ
-    recipe (codebooks are a tiny model artifact, m*k*dsub floats;
-    FAISS trains on samples the same way). Initialization takes the
-    first k sample points per subspace and Lloyd iterations keep empty
-    clusters at their previous centroid, so the result is exactly
-    reproducible. Returns ndarray (m, k, dim//m).
-    """
-    rows = (
-        corpus.select(id_col, vec_col)
-        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
-        .limit(sample_rows)
-        .collect()
-    )
-    X = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
-    n, dim = X.shape
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    dsub = dim // m
-    books = np.empty((m, k, dsub))
-    for mi in range(m):
-        S = X[:, mi * dsub : (mi + 1) * dsub]
-        C = S[:k].copy()
-        for _ in range(iters):
-            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-            assign = d2.argmin(1)
-            for ci in range(k):
-                mask = assign == ci
-                if mask.any():
-                    C[ci] = S[mask].mean(0)
-        books[mi] = C
-    return books
-
-
-def pq_encode(
-    corpus: DataFrame, id_col: str, vec_col: str, codebooks
-) -> DataFrame:
-    """Encode vectors to PQ codes: per subspace, the index of the
-    nearest codebook centroid — dim floats compress to m small ints.
-    Arrow-batched numpy argmin; scan-shaped, no shuffle. At 100 TB the
-    code table is ~m bytes/vector — the representation the
-    compressed-domain scan reads instead of raw vectors."""
-    from pyspark.sql.functions import pandas_udf
-
-    B = np.asarray(codebooks, dtype=np.float64)
-    m, k, dsub = B.shape
-
-    @pandas_udf("array<int>")
-    def encode(vecs: pd.Series) -> pd.Series:
-        X = np.vstack(vecs.to_numpy()).astype(np.float64)
-        codes = np.empty((len(X), m), dtype=np.int32)
-        for mi in range(m):
-            S = X[:, mi * dsub : (mi + 1) * dsub]
-            d2 = ((S[:, None, :] - B[mi][None, :, :]) ** 2).sum(-1)
-            codes[:, mi] = d2.argmin(1)
-        return pd.Series(list(codes))
-
-    return corpus.select(
-        F.col(id_col).alias("corpus_id"), encode(F.col(vec_col)).alias("codes")
-    )
-
-
-def pq_topk_adc(
-    queries: DataFrame,
-    encoded_corpus: DataFrame,
-    codebooks,
-    query_id: str,
-    query_vec: str,
-    topk: int = 10,
-    exclude_self: bool = False,
-) -> DataFrame:
-    """Approximate top-k neighbors by asymmetric distance computation:
-    each query precomputes an (m x k) lookup table of subspace
-    distances to every centroid, and a corpus vector's approximate
-    squared L2 distance is m table lookups on its codes — no float
-    math per corpus row.
-
-    The broadcast query LUTs ride the closure (queries must be small,
-    like the brute-force baseline); the corpus streams once through an
-    Arrow batch scorer and a per-query window keeps top-k. Run on
-    L2-normalized vectors to rank by cosine. At 100 TB this composes
-    with IVF: probe cells first, ADC-scan inside cells.
-    """
-    B = np.asarray(codebooks, dtype=np.float64)
-    m, k, dsub = B.shape
-    q_rows = queries.select(query_id, query_vec).collect()
-    q_ids = [r[0] for r in q_rows]
-    luts = []
-    for r in q_rows:
-        qv = np.asarray(r[1], dtype=np.float64)
-        lut = np.empty((m, k))
-        for mi in range(m):
-            qs = qv[mi * dsub : (mi + 1) * dsub]
-            lut[mi] = ((B[mi] - qs[None, :]) ** 2).sum(-1)
-        luts.append(lut)
-    L = np.stack(luts)  # (nq, m, k)
-
-    def score(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            codes = np.vstack(pdf["codes"].to_numpy()).astype(np.int64)
-            n = len(codes)
-            # gather: dist[q, i] = sum_m L[q, m, codes[i, m]]
-            dists = np.zeros((len(q_ids), n))
-            for mi in range(m):
-                dists += L[:, mi, codes[:, mi]]
-            out = {
-                "query_id": np.repeat(q_ids, n),
-                "corpus_id": np.tile(pdf["corpus_id"].to_numpy(), len(q_ids)),
-                "approx_d2": dists.ravel(),
-            }
-            yield pd.DataFrame(out)
-
-    scored = encoded_corpus.mapInPandas(
-        score, schema="query_id bigint, corpus_id bigint, approx_d2 double"
-    )
-    if exclude_self:
-        scored = scored.filter(F.col("query_id") != F.col("corpus_id"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("approx_d2"), F.asc("corpus_id")
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= topk)
-        .select("query_id", "corpus_id", F.round("approx_d2", 6).alias("approx_d2"), "rk")
-    )

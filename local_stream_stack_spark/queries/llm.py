@@ -1465,39 +1465,196 @@ def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_pq_topk", oracle=None)
-def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN (FAISS-style PQ8x16 + ADC scan): train
-    per-subspace codebooks on a deterministic sample, compress every
-    vector to 8 code bytes, and answer top-10 by table lookups instead
-    of float math — the compressed-domain tier between LSH buckets and
-    exact rescoring (compose with IVF cells at corpus scale). Vectors
-    are L2-normalized first so approximate L2 ranks by cosine.
-    Codebook k-means is engine-specific -> rows-only;
-    tests/test_similarity.py pins recall vs brute force."""
-    from local_stream_stack_spark.operators.similarity import (
-        pq_encode,
-        pq_topk_adc,
-        pq_train_codebooks,
+def _pq_oracle_sql(
+    m_sub: int = 8,
+    k: int = 16,
+    iterations: int = 2,
+    dim: int = 64,
+    sample: int = 4096,
+) -> str:
+    """Unrolled product-quantization oracle: normalized quantization,
+    per-subspace Lloyd (the subspace id is just one more GROUP BY key,
+    so all ``m_sub`` codebooks train in the same CTE chain), full-
+    corpus encoding, the query ADC lookup table, and the compressed-
+    domain scan — every stage integer arithmetic after the one
+    portable left-fold norm, replayed bit-for-bit."""
+    dsub = dim // m_sub
+    sql = [
+        f"""
+    WITH nrm AS (
+      SELECT vec_id,
+             sqrt(list_reduce(list_transform(embedding,
+                    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+                  (a, b) -> a + b)) AS nn
+      FROM embeddings
+    ),
+    ev AS (
+      SELECT e.vec_id, (i.i // {dsub}) AS g, (i.i % {dsub}) AS j,
+             CAST(FLOOR(CAST(e.embedding[i.i + 1] AS DOUBLE) / n.nn
+                        * 1000000) AS BIGINT) + 1000000 AS x
+      FROM embeddings e JOIN nrm n ON n.vec_id = e.vec_id,
+           generate_series(0, {dim - 1}) i(i)
+    ),
+    smp AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM embeddings) t
+      WHERE rn <= {sample}
+    ),
+    seeds AS (
+      SELECT vec_id, rn - 1 AS c FROM (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM smp) t
+      WHERE rn <= {k}
+    ),
+    m0 AS (
+      SELECT e.g, s.c, e.j, e.x AS m
+      FROM seeds s JOIN ev e ON e.vec_id = s.vec_id
+    )"""
+    ]
+    prev = "m0"
+    for t in range(1, iterations + 1):
+        sql.append(
+            f""",
+    d{t} AS (
+      SELECT e.vec_id, e.g, m.c, SUM((e.x - m.m) * (e.x - m.m)) AS d
+      FROM ev e
+      JOIN {prev} m ON m.g = e.g AND m.j = e.j
+      JOIN smp s ON s.vec_id = e.vec_id
+      GROUP BY e.vec_id, e.g, m.c
+    ),
+    a{t} AS (
+      SELECT vec_id, g, c FROM (
+        SELECT vec_id, g, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, g
+                                  ORDER BY d, c) AS rn
+        FROM d{t}) t
+      WHERE rn = 1
+    ),
+    u{t} AS (
+      SELECT a.g, a.c, e.j, SUM(e.x) AS s, COUNT(*) AS n
+      FROM a{t} a JOIN ev e ON e.vec_id = a.vec_id AND e.g = a.g
+      GROUP BY a.g, a.c, e.j
+    ),
+    m{t} AS (
+      SELECT p.g, p.c, p.j,
+             CAST(COALESCE((2 * u.s + u.n) // (2 * u.n), p.m)
+                  AS BIGINT) AS m
+      FROM {prev} p
+      LEFT JOIN u{t} u ON u.g = p.g AND u.c = p.c AND u.j = p.j
+    )"""
+        )
+        prev = f"m{t}"
+    sql.append(
+        f""",
+    dE AS (
+      SELECT e.vec_id, e.g, m.c, SUM((e.x - m.m) * (e.x - m.m)) AS d
+      FROM ev e JOIN {prev} m ON m.g = e.g AND m.j = e.j
+      GROUP BY e.vec_id, e.g, m.c
+    ),
+    codes AS (
+      SELECT vec_id, g, c FROM (
+        SELECT vec_id, g, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, g
+                                  ORDER BY d, c) AS rn
+        FROM dE) t
+      WHERE rn = 1
+    ),
+    lut AS (
+      SELECT q.vec_id AS query_id, q.g, m.c,
+             SUM((q.x - m.m) * (q.x - m.m)) AS d
+      FROM ev q JOIN {prev} m ON m.g = q.g AND m.j = q.j
+      WHERE q.vec_id < 5
+      GROUP BY q.vec_id, q.g, m.c
+    ),
+    adc AS (
+      SELECT l.query_id, cd.vec_id AS corpus_id,
+             CAST(SUM(l.d) AS BIGINT) AS adc_dist
+      FROM codes cd JOIN lut l ON l.g = cd.g AND l.c = cd.c
+      GROUP BY l.query_id, cd.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, corpus_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, corpus_id) AS rk
+      FROM adc WHERE corpus_id <> query_id
     )
+    SELECT query_id, corpus_id, adc_dist, rk
+    FROM ranked WHERE rk <= 10
+    ORDER BY query_id, rk
+    """
+    )
+    return "".join(sql)
+
+
+@query("sim_pq_topk", oracle=_pq_oracle_sql())
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (PQ8x16 + ADC scan): train per-subspace
+    codebooks with the grouped integer-exact Lloyd trainer
+    (``operators/clustering.kmeans_lloyd_grouped`` — all 8 subspaces in
+    the same distributed passes), compress every vector to 8 codes, and
+    answer top-10 by summing broadcast lookup-table entries instead of
+    float math — the compressed-domain tier between LSH buckets and
+    exact rescoring (compose with IVF cells at corpus scale).
+
+    Previously rows-only (numpy float k-means); now INTEGER-EXACT and
+    fully oracle-backed: vectors L2-normalize through ONE portable
+    left-fold norm then floor-quantize to shifted BIGINTs, so
+    training, encoding, the ADC lookup table and the final ranking
+    are pure integer arithmetic the oracle replays bit-for-bit.
+    Codebooks train on a deterministic md5-permutation sample
+    (<= 4096 rows via distributed top-k — the FAISS recipe, and the
+    100 TB scale bound). Recall vs exact brute force pinned in
+    tests/test_similarity.py."""
+    from local_stream_stack_spark.operators.clustering import (
+        _sqdist,
+        assign_grouped,
+        kmeans_lloyd_grouped,
+        quantize_vectors_normalized,
+        split_subspaces,
+    )
+    from pyspark.sql.window import Window
 
     e = _t(spark, sf_dir, "embeddings")
-    normed = e.select(
-        "vec_id",
-        "embedding",
-        norm2(F.col("embedding")).alias("__n"),
-    ).select(
-        "vec_id",
-        F.expr("transform(embedding, x -> double(x) / __n)").alias("nvec"),
+    nv = quantize_vectors_normalized(e, "vec_id", "embedding")
+    sub = split_subspaces(nv, m_sub=8, dim=64)
+    sample_ids = (
+        nv.withColumn("__h", F.md5(F.col("id").cast("string")))
+        .orderBy("__h", "id")
+        .limit(4096)
+        .select("id")
     )
-    books = pq_train_codebooks(normed, "vec_id", "nvec", m=8, k=16)
-    codes = pq_encode(normed, "vec_id", "nvec", books)
-    q = normed.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("nvec")
+    train = sub.join(F.broadcast(sample_ids), "id")
+    books = kmeans_lloyd_grouped(train, k=16, iterations=2)
+    codes = assign_grouped(sub, books).select(
+        "g", F.col("id").alias("corpus_id"), "c"
     )
-    return pq_topk_adc(
-        q, codes, books, "query_id", "nvec", topk=10, exclude_self=True
-    ).orderBy("query_id", "rk")
+    lut = (
+        sub.filter(F.col("id") < 5)
+        .join(F.broadcast(books), "g")
+        .select(
+            F.col("id").alias("query_id"),
+            "g",
+            "c",
+            _sqdist(F.col("x"), F.col("m")).alias("d"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("corpus_id")
+    )
+    return (
+        codes.join(F.broadcast(lut), ["g", "c"])
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .groupBy("query_id", "corpus_id")
+        .agg(F.sum("d").cast("bigint").alias("adc_dist"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .orderBy("query_id", "rk")
+    )
 
 
 @query(
