@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _probes(
@@ -112,3 +113,68 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min("cnt").alias("est"))
     )
+
+
+def portable_hash32(key: F.Column) -> F.Column:
+    """Uniform 32-bit hash in [1, 2^32] any SQL engine can replay:
+    first 8 hex chars of md5 of the key's string form, plus one (so a
+    zero hash can never divide-by-zero an estimator)."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        + 1
+    )
+
+
+def kmv_sketch(
+    df: DataFrame, key_col: str, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """K-minimum-values cardinality sketch per group: the k smallest
+    distinct portable hashes of ``key_col`` — (group..., h) with at
+    most k rows per group.
+
+    The per-group cut is a rank-<=k filter the optimizer executes as
+    WindowGroupLimit (per-partition heaps BEFORE the shuffle — the
+    same bounded-postings shape as ``inverted_index``), so state per
+    group is O(k) no matter how many keys stream through. Hash
+    collisions collapse via distinct BEFORE ranking, which also makes
+    the rank ordering total (h is unique within a group)."""
+    hashed = (
+        df.select(*group_cols, portable_hash32(F.col(key_col)).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_merge(sketches: DataFrame, k: int = 64) -> DataFrame:
+    """Merge per-group sketches into ONE global sketch: k smallest of
+    the distinct union — sketch(A ∪ B) exactly, the property that lets
+    per-day / per-partition sketches roll up without rescanning raw
+    data. Distributed top-k (TakeOrderedAndProject), no global
+    window."""
+    return sketches.select("h").distinct().orderBy("h").limit(k)
+
+
+def kmv_estimate_cols(k: int) -> tuple[F.Column, F.Column, F.Column]:
+    """(k_used, kth_hash, est_distinct) aggregate columns over a
+    sketch's ``h`` rows: if the sketch kept fewer than k hashes it
+    holds EVERY distinct key (estimate is exact); otherwise the
+    standard KMV estimator (k-1) * 2^32 / h_(k)."""
+    k_used = F.count("*").cast("int").alias("k_used")
+    kth = F.max("h").cast("bigint").alias("kth_hash")
+    est = (
+        F.when(F.count("*") < k, F.count("*").cast("bigint"))
+        .otherwise(
+            F.round(
+                F.lit(float((k - 1) * 4294967296)) / F.max("h")
+            ).cast("bigint")
+        )
+        .alias("est_distinct")
+    )
+    return k_used, kth, est

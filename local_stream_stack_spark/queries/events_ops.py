@@ -1289,3 +1289,75 @@ def ewma_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n_obs"),
         F.round(num / den * F.lit(1000000.0)).cast("bigint").alias("ewma_e6"),
     ).orderBy("user_id")
+
+
+@query(
+    "kmv_distinct_rollup",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) + 1 AS h
+      FROM events
+    ),
+    kept AS (
+      SELECT event_type, h FROM (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY h) AS rn
+        FROM h) t
+      WHERE rn <= 64
+    ),
+    per AS (
+      SELECT event_type AS scope, COUNT(*) AS k_used, MAX(h) AS kth_hash
+      FROM kept GROUP BY event_type
+    ),
+    mk AS (
+      SELECT h FROM (SELECT DISTINCT h FROM kept) t ORDER BY h LIMIT 64
+    ),
+    mall AS (
+      SELECT 'ALL' AS scope, COUNT(*) AS k_used, MAX(h) AS kth_hash
+      FROM mk
+    ),
+    u AS (SELECT * FROM per UNION ALL SELECT * FROM mall)
+    SELECT scope,
+           CAST(k_used AS INT) AS k_used,
+           CAST(kth_hash AS BIGINT) AS kth_hash,
+           CAST(CASE WHEN k_used < 64 THEN k_used
+                     ELSE CAST(ROUND(270582939648.0 / kth_hash) AS BIGINT)
+                END AS BIGINT) AS est_distinct
+    FROM u
+    ORDER BY scope
+    """,
+)
+def kmv_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches with a PORTABLE estimator —
+    the oracle-backed member of the cardinality-sketch family
+    (``approx_distinct_parts``/``hll_sketch_rollup`` pin Spark's own
+    HLL, whose registers are engine-specific and rows-only by nature).
+
+    K-minimum-values (k=64): per event_type keep the 64 smallest
+    md5-derived 32-bit hashes of the key (WindowGroupLimit bounded —
+    O(k) state per group at any scale), estimate distinct count as
+    (k-1)*2^32/h_(k) (exact count when fewer than k survive), and roll
+    every per-type sketch up into ONE global sketch by re-taking the k
+    smallest of the union (distributed top-k) — sketch(A ∪ B) exactly,
+    without rescanning raw data. 270582939648 = 63 * 2^32.
+    tests/test_sketches.py pins the error bound and the exact
+    merge-identity (merged sketch == sketch of the union)."""
+    from local_stream_stack_spark.operators.sketches import (
+        kmv_estimate_cols,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    e = _events(spark, sf_dir)
+    kept = kmv_sketch(e, "event_id", ["event_type"], k=64)
+    cols = kmv_estimate_cols(64)
+    per = kept.groupBy(
+        F.col("event_type").alias("scope")
+    ).agg(*cols)
+    merged = kmv_merge(kept, k=64).agg(*cols).select(
+        F.lit("ALL").alias("scope"), "k_used", "kth_hash", "est_distinct"
+    )
+    return per.unionByName(merged).orderBy("scope")

@@ -203,3 +203,11 @@ def test_dedup_containment_pair_join_is_df_bounded(spark):
     # the pair stage is an equi join on the gram key, never a loop
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmv_sketch_bounds_hashes_before_shuffle(spark):
+    """The KMV per-group cut must run as WindowGroupLimit (per-
+    partition heaps truncate each group to k rows BEFORE the rank
+    window materializes) — O(k) state per group at any scale."""
+    plan = _plan(spark, "kmv_distinct_rollup")
+    assert "WindowGroupLimit" in plan

@@ -68,3 +68,59 @@ def test_cms_estimate_missing_key_is_small(spark):
     # a key never inserted can only collide; with one hot key the min
     # counter is 0 unless all 4 probes collide with it
     assert est in (0, 1000)
+
+
+def test_kmv_error_bound_and_exact_small_groups(spark):
+    """KMV std error ~ 1/sqrt(k); pin a generous 4-sigma bound at
+    k=64 (50%), and exactness when distinct count < k."""
+    from local_stream_stack_spark.operators.sketches import (
+        kmv_estimate_cols,
+        kmv_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(("big", i) if i < 5000 else ("small", i)) for i in range(5040)],
+        "g string, k long",
+    )
+    kept = kmv_sketch(df, "k", ["g"], k=64)
+    out = {
+        r.g: r.est_distinct
+        for r in kept.groupBy("g").agg(*kmv_estimate_cols(64)).collect()
+    }
+    assert out["small"] == 40  # < k distinct -> exact
+    assert abs(out["big"] - 5000) / 5000 < 0.5
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    """Rolling up per-group sketches must equal sketching the union
+    directly — exactly, hash for hash."""
+    from local_stream_stack_spark.operators.sketches import (
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(2000)] + [("b", i) for i in range(1500, 3500)],
+        "g string, k long",
+    )
+    merged = sorted(
+        r.h for r in kmv_merge(kmv_sketch(df, "k", ["g"], k=64), k=64).collect()
+    )
+    direct = sorted(
+        r.h
+        for r in kmv_sketch(
+            df.select(F.lit("all").alias("g"), "k"), "k", ["g"], k=64
+        ).collect()
+    )
+    assert merged == direct
+
+
+def test_kmv_sketch_rows_bounded(spark):
+    from local_stream_stack_spark.operators.sketches import kmv_sketch
+
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", i) for i in range(30_000)], "g string, k long"
+    )
+    kept = kmv_sketch(df, "k", ["g"], k=64)
+    assert kept.count() == 3 * 64
+    assert kept.groupBy("g").count().agg(F.max("count")).first()[0] == 64
