@@ -82,3 +82,31 @@ def expectations_report(
         out = out.unionByName(p)
     # tiny result set (|rules| rows) — the sort is driver-cheap
     return out.orderBy("rule")
+
+
+def observe_expectations(
+    df: DataFrame, name: str, row_rules: Mapping[str, Column]
+):
+    """Attach expectations as OBSERVED METRICS (``df.observe``):
+    violation counters computed inside whatever action the caller
+    already runs — ZERO extra scans or shuffles, the production
+    monitoring form of ``expectations_report`` (which answers the same
+    question as a standalone query).
+
+    Returns ``(df_with_observation, observation)``; read
+    ``observation.get`` AFTER an action has consumed ``df``. Works on
+    batch frames; on streaming frames the same metrics surface per
+    micro-batch via ``QueryProgressEvent.observedMetrics[name]``.
+    """
+    from pyspark.sql import Observation
+
+    if not row_rules:
+        raise ValueError("at least one rule required")
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).cast("bigint").alias("n_rows")] + [
+        F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias(rule)
+        for rule, cond in row_rules.items()
+    ]
+    return df.observe(obs, *metrics), obs

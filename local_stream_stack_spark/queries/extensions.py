@@ -689,3 +689,94 @@ def collation_group_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_ci")
     )
+
+
+@query(
+    "pipe_syntax_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2)
+                AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0 `|>` operators): the same
+    filter -> aggregate -> order pipeline written as sequential pipe
+    stages instead of nested clauses — the composable-SQL entry path
+    that mirrors how the reference folds processors over a frame
+    (`streaming_pipeline.py:195-200`), but in pure SQL. Semantics are
+    identical to the classic form (same Catalyst plan), so the oracle
+    is the classic rewrite. Decimal sums keep the output exact."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView(
+        "lss_pipe_orders"
+    )
+    return spark.sql(
+        """
+        FROM lss_pipe_orders
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2)
+                          AS DOUBLE) AS total_price
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """
+    ).select("o_orderpriority", "n_orders", "total_price")
+
+
+@query(
+    "sql_udf_netprice",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_lines,
+           CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2))
+                     * (CAST(1 AS DECIMAL(6,4))
+                        - CAST(l_discount AS DECIMAL(6,4)))
+                     * (CAST(1 AS DECIMAL(6,4))
+                        + CAST(l_tax AS DECIMAL(6,4))) AS DECIMAL(28,6))),
+                      2) AS DOUBLE) AS net_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def sql_udf_netprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar UDF (Spark 4 `CREATE FUNCTION ... RETURN
+    expr`): the declarative extension tier below Python UDFs — the
+    body is a plain SQL expression, so Catalyst INLINES it into the
+    calling plan (whole-stage codegen, no Python worker, pushdown
+    still applies). The oracle is the hand-inlined expression; exact
+    decimal arithmetic end to end."""
+    configure_for_oracle(spark)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION lss_net_price(
+            price DOUBLE, disc DOUBLE, tax DOUBLE)
+        RETURNS DECIMAL(28,6)
+        RETURN CAST(CAST(price AS DECIMAL(14,2))
+                    * (CAST(1 AS DECIMAL(6,4)) - CAST(disc AS DECIMAL(6,4)))
+                    * (CAST(1 AS DECIMAL(6,4)) + CAST(tax AS DECIMAL(6,4)))
+                    AS DECIMAL(28,6))
+        """
+    )
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lss_udf_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n_lines,
+               CAST(ROUND(SUM(lss_net_price(l_extendedprice, l_discount,
+                                            l_tax)), 2) AS DOUBLE)
+                 AS net_revenue
+        FROM lss_udf_lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )

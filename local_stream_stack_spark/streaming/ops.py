@@ -731,3 +731,31 @@ def read_neardup_store(spark, store_path: str) -> DataFrame:
     return spark.read.option("basePath", f"{store_path}/rows").parquet(
         f"{store_path}/rows/__epoch=*"
     ).drop("__epoch")
+
+
+def read_state_metadata(spark, checkpoint: str) -> DataFrame:
+    """Operator-level metadata of a streaming checkpoint (Spark 4
+    ``state-metadata`` source): which stateful operators exist, their
+    store names, partition counts, and batch-id ranges — the first
+    stop when debugging a production checkpoint."""
+    return spark.read.format("state-metadata").load(checkpoint)
+
+
+def read_state_store(
+    spark,
+    checkpoint: str,
+    batch_id: int | None = None,
+    operator_id: int | None = None,
+) -> DataFrame:
+    """Contents of a streaming query's state store (Spark 4
+    ``statestore`` source): (key, value, partition_id) rows — lets an
+    operator's live aggregation state be audited/joined like any
+    DataFrame (state at 100 TB is sharded by the shuffle partitioning,
+    and this reader scans it partition-parallel) instead of trusting
+    the sink blindly."""
+    r = spark.read.format("statestore")
+    if batch_id is not None:
+        r = r.option("batchId", batch_id)
+    if operator_id is not None:
+        r = r.option("operatorId", operator_id)
+    return r.load(checkpoint)

@@ -211,3 +211,13 @@ def test_kmv_sketch_bounds_hashes_before_shuffle(spark):
     window materializes) — O(k) state per group at any scale."""
     plan = _plan(spark, "kmv_distinct_rollup")
     assert "WindowGroupLimit" in plan
+
+
+def test_sql_udf_inlines_into_codegen(spark):
+    """A SQL-defined scalar UDF must inline into the calling plan —
+    no Python worker, no eval boundary; the aggregate stays a
+    codegen HashAggregate over the scan."""
+    plan = _plan(spark, "sql_udf_netprice")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan

@@ -553,3 +553,44 @@ def test_available_now_trigger_backfills_and_stops(spark, tmpdir):
         [(3, _ts(11, 0), 3, "view", 3.0)], EVENT_SCHEMA
     ).coalesce(1).write.mode("append").parquet(in_dir)
     assert {r.event_id for r in spark.read.parquet(out_dir).collect()} == {1, 2}
+
+
+def test_state_store_reader_matches_sink(spark, tmpdir):
+    """Spark 4 statestore/state-metadata readers: the streaming
+    aggregation's checkpointed state must be readable as a DataFrame
+    and agree row-for-row with what the sink published — the
+    state-audit path for production checkpoints."""
+    import pyspark.sql.functions as F
+
+    from local_stream_stack_spark.streaming.ops import (
+        read_state_metadata,
+        read_state_store,
+    )
+
+    src = str(tmpdir.join("ss_src"))
+    cp = str(tmpdir.join("ss_cp"))
+    spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "id long, k long"
+    ).write.mode("overwrite").json(src)
+    q = (
+        spark.readStream.schema("id long, k long")
+        .json(src)
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+        .writeStream.format("memory")
+        .queryName("ss_agg")
+        .outputMode("complete")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    sink = {
+        (r.k, r.n) for r in spark.sql("SELECT * FROM ss_agg").collect()
+    }
+    meta = read_state_metadata(spark, cp).collect()
+    assert any(m.operatorName == "stateStoreSave" for m in meta)
+    state = {
+        (r.key.k, r.value[0]) for r in read_state_store(spark, cp).collect()
+    }
+    assert state == sink == {(0, 10), (1, 10), (2, 10)}
