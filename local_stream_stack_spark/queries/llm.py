@@ -186,13 +186,18 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle_sql(
-    n_hashes: int = 32, shingle_k: int = 3, rows_per_band: int = 4
+def _minhash_bandkey_cte_sql(
+    n_hashes: int = 32,
+    shingle_k: int = 3,
+    rows_per_band: int = 4,
+    source: str = "documents",
 ) -> str:
-    """Oracle for the PORTABLE minhash pipeline: the permutation
-    literals come from the same seeded ``_perm_params`` the operator
-    embeds, the base hash is md5-derived, and the band key is the
-    '|'-joined band values — every stage replayable in SQL."""
+    """CTE chain (perms .. bandkey) replaying the PORTABLE minhash
+    pipeline over ``source`` (any relation with doc_id, text): the
+    permutation literals come from the same seeded ``_perm_params``
+    the operator embeds, the base hash is md5-derived, and the band
+    key is the '|'-joined band values. Shared by the batch LSH oracle
+    and the streaming near-dup ingest oracle."""
     from local_stream_stack_spark.operators.dedup import _perm_params
 
     P = (1 << 31) - 1
@@ -204,12 +209,12 @@ def _minhash_oracle_sql(
         f"w[i+{j}]" if j else "w[i]" for j in range(shingle_k)
     )
     return f"""
-    WITH perms(i, a, b) AS (VALUES {perms}),
+    perms(i, a, b) AS (VALUES {perms}),
     words AS (
       SELECT doc_id,
              list_filter(string_split_regex(trim(text), '\\s+'),
                          t -> length(t) > 0) AS w
-      FROM documents
+      FROM {source}
     ),
     sh AS (
       SELECT doc_id,
@@ -230,7 +235,17 @@ def _minhash_oracle_sql(
       SELECT doc_id, i // {rows_per_band} AS band,
              string_agg(CAST(m AS VARCHAR), '|' ORDER BY i) AS bh
       FROM sig GROUP BY doc_id, i // {rows_per_band}
-    ),
+    )"""
+
+
+def _minhash_oracle_sql(
+    n_hashes: int = 32, shingle_k: int = 3, rows_per_band: int = 4
+) -> str:
+    """Oracle for the PORTABLE minhash pipeline (see
+    ``_minhash_bandkey_cte_sql``), plus the candidate join and the
+    exact signature-agreement fraction."""
+    return f"""
+    WITH {_minhash_bandkey_cte_sql(n_hashes, shingle_k, rows_per_band)},
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bandkey a JOIN bandkey b

@@ -627,16 +627,73 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_ingest_neardup", oracle=None)
+def _neardup_stream_oracle_sql() -> str:
+    """Replay the two-epoch streaming near-dup ingestion in SQL:
+    epoch 0 = the original corpus (in-batch band collisions, first id
+    wins), epoch 1 = the full duplicate (+1e6 ids) rejected against
+    epoch 0's ADMITTED band keys plus its own in-batch collisions —
+    exactly the store semantics of ``ingest_neardup_stream_parquet``
+    in portable-hash mode."""
+    from local_stream_stack_spark.queries.llm import (
+        _minhash_bandkey_cte_sql,
+    )
+
+    cte = _minhash_bandkey_cte_sql(32, 3, 4, source="corpus")
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    ),
+    {cte},
+    e0 AS (SELECT doc_id, band, bh FROM bandkey WHERE doc_id < 1000000),
+    rej0 AS (
+      SELECT DISTINCT a.doc_id FROM e0 a
+      JOIN e0 b ON a.band = b.band AND a.bh = b.bh AND b.doc_id < a.doc_id
+    ),
+    adm0 AS (
+      SELECT d.doc_id FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM rej0)
+    ),
+    keys0 AS (
+      SELECT DISTINCT band, bh FROM e0
+      WHERE doc_id IN (SELECT doc_id FROM adm0)
+    ),
+    e1 AS (SELECT doc_id, band, bh FROM bandkey WHERE doc_id >= 1000000),
+    rej1 AS (
+      SELECT DISTINCT a.doc_id FROM e1 a
+      JOIN e1 b ON a.band = b.band AND a.bh = b.bh AND b.doc_id < a.doc_id
+      UNION
+      SELECT DISTINCT a.doc_id FROM e1 a
+      JOIN keys0 k ON a.band = k.band AND a.bh = k.bh
+    ),
+    adm1 AS (
+      SELECT d.doc_id + 1000000 AS doc_id FROM documents d
+      WHERE d.doc_id + 1000000 NOT IN (SELECT doc_id FROM rej1)
+    )
+    SELECT doc_id FROM adm0
+    UNION ALL
+    SELECT doc_id FROM adm1
+    ORDER BY doc_id
+    """
+
+
+@query("stream_ingest_neardup", oracle=_neardup_stream_oracle_sql())
 def stream_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIVE streaming NEAR-dup ingestion: the corpus plus a full
     duplicate of itself streams through the MinHash-band store
     (``ingest_neardup_stream_parquet``); every identical re-text
     collides in all bands and is rejected, and LSH-similar originals
     within the first batch dedup against each other (first-id wins).
-    Band hashes are engine-specific (xxhash64 permutations) -> rows-
-    only check; tests/test_streaming_e2e.py pins reject/admit behavior
-    on exact, edited, and unrelated documents."""
+
+    Runs the PORTABLE pipeline (md5-derived minhash + '|'-joined band
+    keys), so the previously rows-only LIVE query is fully
+    ORACLE-BACKED: the SQL replays both epochs' signature computation,
+    in-batch first-id-wins collisions, and the admitted-key store
+    lookup bit-for-bit (``_neardup_stream_oracle_sql``).
+    tests/test_streaming_e2e.py additionally pins reject/admit
+    behavior on exact, edited, and unrelated documents and
+    crash-replay safety."""
     from local_stream_stack_spark.catalog import load_table
     from local_stream_stack_spark.streaming.ops import (
         ingest_neardup_stream_parquet,
@@ -665,6 +722,7 @@ def stream_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_col="doc_id",
         store_path=store,
         checkpoint_location=cp,
+        portable=True,
     )
     try:
         q.processAllAvailable()

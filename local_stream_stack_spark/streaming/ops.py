@@ -632,6 +632,7 @@ def ingest_neardup_stream_parquet(
     rows_per_band: int = 4,
     shingle_k: int = 3,
     shingle: str = "word",
+    portable: bool = False,
 ):
     """Streaming NEAR-dup ingestion: the MinHash-band twin of
     ``ingest_dedup_stream_parquet``. Each micro-batch computes MinHash
@@ -654,12 +655,15 @@ def ingest_neardup_stream_parquet(
     from local_stream_stack_spark.operators.dedup import (
         minhash_band_keys,
         minhash_signatures,
+        minhash_signatures_portable,
     )
+
+    sig_fn = minhash_signatures_portable if portable else minhash_signatures
 
     def admit(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint(eager=True)
-        sigs = minhash_signatures(
+        sigs = sig_fn(
             batch_df,
             id_col=id_col,
             text_col=text_col,
@@ -669,7 +673,11 @@ def ingest_neardup_stream_parquet(
         )
         order_map = batch_df.select(id_col, order_col)
         keys = minhash_band_keys(
-            sigs, id_col, bands=bands, rows_per_band=rows_per_band
+            sigs,
+            id_col,
+            bands=bands,
+            rows_per_band=rows_per_band,
+            portable_keys=portable,
         ).join(order_map, id_col)
         # Replay safety (see ingest_dedup_stream_parquet.admit): only
         # band keys from strictly EARLIER epochs may reject this batch —
