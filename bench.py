@@ -77,6 +77,11 @@ EXTENDED = [
     "dedup_containment",
     "embedding_quantize_int8",
     "quantile_by_value_qty",
+    # round-5 additions
+    "kmeans_embeddings",
+    "sim_pq_topk",
+    "kmv_distinct_rollup",
+    "zonemap_pruning_stats",
 ]
 
 

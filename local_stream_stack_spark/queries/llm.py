@@ -2214,3 +2214,67 @@ def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_e6"), F.asc("tok_a"), F.asc("tok_b"))
         .limit(20)
     )
+
+
+@query(
+    "embedding_matryoshka_mass",
+    oracle="""
+    WITH m AS (
+      SELECT vec_id, label,
+             CAST(ROUND(
+               list_reduce(list_transform(embedding[1:16],
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b)
+               / list_reduce(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b)
+               * 1000000) AS BIGINT) AS m16,
+             CAST(ROUND(
+               list_reduce(list_transform(embedding[1:32],
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b)
+               / list_reduce(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b)
+               * 1000000) AS BIGINT) AS m32
+      FROM embeddings
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           CAST(SUM(m16) AS BIGINT) AS sum_mass16_e6,
+           CAST(SUM(m32) AS BIGINT) AS sum_mass32_e6
+    FROM m GROUP BY label ORDER BY label
+    """,
+)
+def embedding_matryoshka_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation audit: what fraction of each vector's L2
+    mass the 16- and 32-dim PREFIXES hold — the measurement that
+    decides whether truncate-and-renormalize serving (MRL-style
+    dimension cuts for cheap ANN prefilter, full-dim rescoring) is
+    safe for a given embedding model. Per-vector ratios are computed
+    with the suite's portable left-fold norm and emitted as scaled
+    BIGINTs, then aggregated per label with EXACT integer sums (never
+    a float mean). Scan-shaped: one pass, one tiny label aggregate."""
+    e = _t(spark, sf_dir, "embeddings")
+
+    def mass(k: int) -> F.Column:
+        def ss(col):
+            return F.aggregate(
+                F.transform(
+                    col, lambda v: v.cast("double") * v.cast("double")
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+
+        return F.round(
+            ss(F.slice("embedding", 1, k))
+            / ss(F.col("embedding"))
+            * F.lit(1000000.0)
+        ).cast("bigint")
+
+    return (
+        e.select("label", mass(16).alias("m16"), mass(32).alias("m32"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("m16").cast("bigint").alias("sum_mass16_e6"),
+            F.sum("m32").cast("bigint").alias("sum_mass32_e6"),
+        )
+        .orderBy("label")
+    )

@@ -68,3 +68,19 @@ def test_kmeans_query_deterministic(spark, sf_dir):
     b = [tuple(r) for r in run().collect()]
     assert a == b
     assert sum(r[1] for r in a) == 500  # sf0.001 embeddings corpus
+
+
+def test_kmeans_k_exceeds_corpus(spark):
+    """k larger than the corpus: every vector seeds its own cluster,
+    extra clusters never materialize, members conserved."""
+    vecs = quantize_vectors(
+        spark.createDataFrame(
+            [(0, [0.5, 0.5]), (1, [-0.5, 0.2]), (2, [0.1, -0.9])],
+            "vec_id long, embedding array<double>",
+        ),
+        "vec_id",
+        "embedding",
+    )
+    out = kmeans_lloyd_quantized(vecs, k=5, iterations=2).collect()
+    assert sum(r.n_members for r in out) == 3
+    assert len(out) <= 3
