@@ -780,3 +780,52 @@ def sql_udf_netprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag
         """
     )
+
+
+@query(
+    "sql_variables_param_revenue",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2)
+                AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'P')
+      AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def sql_variables_param_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (Spark 4 DECLARE/SET VAR) + parameterized
+    SQL (named ``:params`` bound server-side): the injection-safe
+    parameterization tier for a SQL-first user — one predicate value
+    arrives via a session variable, the other via a bind parameter,
+    and neither is string-interpolated into the query text. Both
+    resolve to literals at analysis time, so pushdown and pruning are
+    identical to the hand-written form (which is the oracle)."""
+    configure_for_oracle(spark)
+    _t(spark, sf_dir, "orders").createOrReplaceTempView(
+        "lss_var_orders"
+    )
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE lss_cut_date TIMESTAMP"
+        " DEFAULT TIMESTAMP '1990-01-01 00:00:00'"
+    )
+    spark.sql(
+        "SET VAR lss_cut_date = TIMESTAMP '1994-01-01 00:00:00'"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2)
+                    AS DOUBLE) AS total_price
+        FROM lss_var_orders
+        WHERE o_orderstatus IN (:st1, :st2)
+          AND o_orderdate >= lss_cut_date
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """,
+        args={"st1": "F", "st2": "P"},
+    )
