@@ -2278,3 +2278,61 @@ def embedding_matryoshka_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "token_estimate_bpe",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, n_chars,
+             len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]')) AS n_sub
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_sub) AS BIGINT) AS total_subtokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(ROUND(CAST(SUM(n_chars) AS DOUBLE)
+                      / CAST(SUM(n_sub) AS DOUBLE) * 10000) AS BIGINT)
+             AS chars_per_token_e4
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def token_estimate_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword-token ESTIMATE (the north-star's second token
+    counter beyond whitespace): a GPT-2-style pretokenization regex —
+    letter runs, digit groups of <=3, single punctuation — counted per
+    document, aggregated per language with the chars-per-token ratio a
+    data-mix planner budgets against. The pattern uses only constructs
+    with identical semantics in Java regex (Spark) and RE2 (DuckDB):
+    no lookaround, no backreferences. Scan-side codegen
+    (regexp_extract_all + size), one tiny per-lang aggregate; ratio
+    emitted as a scaled BIGINT from exact integer sums."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        "n_chars",
+        F.size(
+            F.expr(
+                r"regexp_extract_all(text,"
+                r" '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]', 0)"
+            )
+        ).alias("n_sub"),
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_sub").cast("bigint").alias("total_subtokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.round(
+                F.sum("n_chars").cast("double")
+                / F.sum("n_sub").cast("double")
+                * 10000
+            )
+            .cast("bigint")
+            .alias("chars_per_token_e4"),
+        )
+        .orderBy("lang")
+    )
