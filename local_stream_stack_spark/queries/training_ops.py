@@ -1505,3 +1505,72 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     vecs = quantize_vectors(e, "vec_id", "embedding")
     return kmeans_lloyd_quantized(vecs, k=4, iterations=3)
+
+
+@query(
+    "skew_diagnostics",
+    oracle="""
+    WITH k AS (
+      SELECT o_custkey AS key, COUNT(*) AS n
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys FROM k),
+    top AS (
+      SELECT key, n FROM (
+        SELECT key, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, key) AS rn
+        FROM k) t
+      WHERE rn <= 5
+    )
+    SELECT CAST(t.key AS BIGINT) AS key,
+           CAST(t.n AS BIGINT) AS n_rows,
+           CAST(ROUND(CAST(t.n AS DOUBLE) / CAST(tot.total AS DOUBLE)
+                      * 1000000) AS BIGINT) AS share_e6,
+           CAST(tot.n_keys AS BIGINT) AS n_keys,
+           CAST(ROUND(CAST(tot.total AS DOUBLE)
+                      / CAST(tot.n_keys AS DOUBLE) * 10000) AS BIGINT)
+             AS mean_rows_per_key_e4
+    FROM top t CROSS JOIN tot
+    ORDER BY n_rows DESC, key
+    """,
+)
+def skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-KEY SKEW diagnostics: the measurement that decides whether
+    a key needs salting (``join_salted_skew``) or AQE skew-split — the
+    top-5 heaviest keys with their row share, against the key-space
+    mean. At 100 TB this is the report run BEFORE the big join: one
+    partial-aggregated count per key, a distributed top-k on the
+    counts (TakeOrderedAndProject, no global window), and a two-long
+    global summary broadcast back. Shares emitted as scaled BIGINTs
+    from exact integer counts."""
+    o = _t(spark, sf_dir, "orders")
+    k = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").alias("n")
+    )
+    tot = k.agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_keys")
+    )
+    top = k.orderBy(F.desc("n"), F.asc("key")).limit(5)
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("key").cast("bigint"),
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.round(
+                F.col("n").cast("double")
+                / F.col("total").cast("double")
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("share_e6"),
+            F.col("n_keys").cast("bigint"),
+            F.round(
+                F.col("total").cast("double")
+                / F.col("n_keys").cast("double")
+                * 10000
+            )
+            .cast("bigint")
+            .alias("mean_rows_per_key_e4"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("key"))
+    )
