@@ -82,12 +82,21 @@ def read_binary_dir(
 def decode_stub(payload: bytes, modality: str) -> dict:
     """Deterministic fake decode. REAL DECODE NOT IMPLEMENTED —
     requires image/audio codecs not present in this container; swap
-    this function for PIL/libav calls in production."""
+    this function for PIL/libav calls in production.
+
+    The fake "features" are pure functions of the payload that any
+    SQL engine can replay (codepoint sum of the first 16 chars of the
+    UTF-8 decode + byte length), which is what lets the driver's
+    DuckDB oracle check the mapInPandas plumbing end-to-end — schema,
+    Arrow batch shape, row expansion — with exact values."""
     if modality not in ("image", "audio", "video"):
         raise NotImplementedError(f"unknown modality {modality!r}")
     n = len(payload)
-    # fake dimensions derived from content so tests are deterministic
-    head = sum(payload[:16]) if n else 0
+    head = (
+        sum(ord(c) for c in payload.decode("utf-8", "replace")[:16])
+        if n
+        else 0
+    )
     if modality == "image":
         return {"width": 16 + head % 64, "height": 16 + n % 64, "duration_ms": 0}
     return {"width": 0, "height": 0, "duration_ms": 100 + (head + n) % 10_000}
@@ -192,8 +201,10 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                             "id": rid,
                             "frame_idx": idx,
                             "frame_ms": ms,
+                            # fake frame bytes as a SQL-replayable pure
+                            # function of (payload, idx) — see decode_stub
                             "frame": hashlib.md5(
-                                payload + idx.to_bytes(4, "big")
+                                payload + b"|" + str(idx).encode()
                             ).digest(),
                         }
                     )

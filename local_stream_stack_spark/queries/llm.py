@@ -776,30 +776,85 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@query("multimodal_frame_sample", oracle=None)
+_MM_HEAD_SQL = """
+         COALESCE(list_sum(list_transform(
+           generate_series(1, LEAST(length(text), 16)),
+           i -> unicode(substring(text, CAST(i AS INT), 1)))), 0)"""
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id AS id, text,
+             100 + ({_MM_HEAD_SQL} + octet_length(encode(text))) % 10000
+               AS d
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    f AS (
+      SELECT id,
+             unnest([{{'idx': i,
+                       'h': md5(text || '|' || CAST(i AS VARCHAR))}}
+               for i in generate_series(0,
+                 CAST(CEIL(CAST(d AS DOUBLE) / 1000) AS BIGINT) - 1)])
+               AS fr
+      FROM v
+    )
+    SELECT id, CAST(fr.idx AS INT) AS frame_idx,
+           CAST(fr.idx * 1000 AS INT) AS frame_ms,
+           fr.h AS frame_md5
+    FROM f ORDER BY id, frame_idx
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-expanding multimodal op: video frame sampling via
     mapInPandas (one input row -> duration/interval frame rows, with
-    per-frame payload bytes derived executor-side). Decode/extract are
-    deterministic stubs (no codecs in container) -> rows-only check;
-    expansion arithmetic is pinned in tests/test_multimodal.py."""
+    per-frame payload bytes derived executor-side). The codec is a
+    deterministic stub (no codecs in this container), but the stub is
+    a SQL-replayable pure function of the payload — so the previously
+    rows-only query is ORACLE-BACKED: the SQL replays the fake
+    duration, the executor-side row expansion (one row per
+    ceil(duration/1000)), and each frame's md5 fingerprint, verifying
+    the mapInPandas plumbing (schema, Arrow batches, expansion
+    cardinality) end-to-end with exact values. Expansion arithmetic is
+    additionally pinned in tests/test_multimodal.py."""
     from local_stream_stack_spark.operators.multimodal import sample_frames
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     mm = attach_binary_payload(d, text_col="text", id_col="doc_id", modality="video")
     frames = sample_frames(mm, every_ms=1000)
     return frames.select(
-        "id", "frame_idx", "frame_ms", F.md5("frame").alias("frame_md5")
+        "id",
+        "frame_idx",
+        "frame_ms",
+        F.lower(F.hex("frame")).alias("frame_md5"),
     ).orderBy("id", "frame_idx")
 
 
-@query("multimodal_features", oracle=None)
+@query(
+    "multimodal_features",
+    oracle=f"""
+    SELECT doc_id AS id,
+           'image' AS modality,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           md5(text) AS checksum,
+           CAST(16 + {_MM_HEAD_SQL} % 64 AS INT) AS width,
+           CAST(16 + octet_length(encode(text)) % 64 AS INT) AS height,
+           CAST(0 AS INT) AS duration_ms
+    FROM documents ORDER BY id
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/feature-extract plumbing: Arrow-batched
     mapInPandas over (id, payload, meta) with a typed feature schema.
     The decode itself is a deterministic stub (no codecs in this
-    container; see operators/multimodal.py) -> rows-only check; batch
-    shape and schema are pinned in tests/test_multimodal.py."""
+    container; see operators/multimodal.py), but its fake features are
+    SQL-replayable pure functions of the payload — so the previously
+    rows-only query is ORACLE-BACKED: byte length, md5 checksum, and
+    the codepoint-derived fake dimensions are checked exactly,
+    verifying the UDF boundary (schema, batch shape, per-row decode
+    dispatch) end-to-end. Batch shape and schema additionally pinned
+    in tests/test_multimodal.py."""
     d = _t(spark, sf_dir, "documents")
     mm = attach_binary_payload(d, text_col="text", id_col="doc_id")
     return extract_features(mm).orderBy("id")

@@ -107,8 +107,6 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "map_explode_customer",
         "math_funcs",
         "multimodal_binary_meta",
-        "multimodal_features",
-        "multimodal_frame_sample",
         "null_semantics",
         "nulls_ordering",
         "ols_slope_per_type",
