@@ -67,7 +67,10 @@ def _sqdist(x, m):
 
 
 def kmeans_lloyd_quantized(
-    vectors: DataFrame, k: int = 4, iterations: int = 3
+    vectors: DataFrame,
+    k: int = 4,
+    iterations: int = 3,
+    materialize_input: bool = True,
 ) -> DataFrame:
     """Run ``iterations`` full Lloyd rounds on a quantized (id, x)
     frame, then a final assignment pass; returns one row per cluster:
@@ -76,7 +79,16 @@ def kmeans_lloyd_quantized(
     centroid_l1 = sum of the final centroid's integer coordinates (a
     portable checksum of the centroid position); inertia = total
     squared distance of members to their final centroid.
+
+    ``materialize_input`` localCheckpoints the quantized training
+    frame once so the 2*(iterations+1) downstream branches read the
+    materialized blocks instead of re-running scan+quantize each —
+    the same persist-the-training-set discipline MLlib's iterative
+    trainers use (at 100 TB: MEMORY_AND_DISK persist; unreferenced
+    blocks are cleaned by the ContextCleaner between invocations).
     """
+    if materialize_input:
+        vectors = vectors.localCheckpoint(eager=True)
     # deterministic seeds: distributed top-k on the md5 permutation,
     # then rank inside the k-row result (window over k rows only)
     seeded = vectors.withColumn(
@@ -114,6 +126,11 @@ def kmeans_lloyd_quantized(
             .select("c", F.coalesce("m_new", "m").alias("m"))
         )
 
+    if materialize_input:
+        # the k-row centroid table feeds BOTH the final assignment and
+        # the checksum branch — materialize it once so neither re-runs
+        # the full training DAG (k rows: always bounded)
+        cent = cent.localCheckpoint(eager=True)
     final = _assign(vectors, cent, keep_dist=True)
     stats = final.groupBy("c").agg(
         F.count("*").alias("n_members"),
@@ -187,14 +204,22 @@ def split_subspaces(vectors: DataFrame, m_sub: int, dim: int) -> DataFrame:
 
 
 def kmeans_lloyd_grouped(
-    vectors: DataFrame, k: int, iterations: int
+    vectors: DataFrame,
+    k: int,
+    iterations: int,
+    materialize_input: bool = True,
 ) -> DataFrame:
     """Per-group Lloyd on a (g, id, x) frame — every group trains its
     own k centroids in the SAME distributed passes (the
     product-quantization codebook shape: one group per subspace).
     Identical integer-exact discipline as ``kmeans_lloyd_quantized``.
     Seeds per group: k smallest (md5(id), id) — a window PARTITIONED
-    by group, so no global single-reducer sort. Returns (g, c, m)."""
+    by group, so no global single-reducer sort. Returns (g, c, m).
+    ``materialize_input`` persists the (bounded: sample x groups)
+    training frame once for the iteration branches, as in
+    ``kmeans_lloyd_quantized``."""
+    if materialize_input:
+        vectors = vectors.localCheckpoint(eager=True)
     wseed = Window.partitionBy("g").orderBy("__h", "id")
     cent = (
         vectors.withColumn("__h", F.md5(F.col("id").cast("string")))

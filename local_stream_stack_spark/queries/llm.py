@@ -1699,7 +1699,12 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id")
     )
     train = sub.join(F.broadcast(sample_ids), "id")
-    books = kmeans_lloyd_grouped(train, k=16, iterations=2)
+    # materialize the trained codebooks once (m_sub x k = 128 rows):
+    # encode and the query LUT both consume them, and each would
+    # otherwise re-run the whole training DAG
+    books = kmeans_lloyd_grouped(train, k=16, iterations=2).localCheckpoint(
+        eager=True
+    )
     codes = assign_grouped(sub, books).select(
         "g", F.col("id").alias("corpus_id"), "c"
     )
