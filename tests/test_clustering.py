@@ -84,3 +84,39 @@ def test_kmeans_k_exceeds_corpus(spark):
     out = kmeans_lloyd_quantized(vecs, k=5, iterations=2).collect()
     assert sum(r.n_members for r in out) == 3
     assert len(out) <= 3
+
+
+def test_split_subspaces_reassembles_to_full_vector(spark, fixture_vecs):
+    from local_stream_stack_spark.operators.clustering import (
+        split_subspaces,
+    )
+
+    vecs = quantize_vectors(fixture_vecs, "vec_id", "embedding")
+    full = {r.id: list(r.x) for r in vecs.collect()}
+    sub = split_subspaces(vecs, m_sub=2, dim=4).collect()
+    seen = {}
+    for r in sub:
+        assert len(r.x) == 2
+        seen.setdefault(r.id, {})[r.g] = list(r.x)
+    for rid, parts in seen.items():
+        assert sorted(parts) == [0, 1]
+        assert parts[0] + parts[1] == full[rid]
+
+
+def test_kmeans_grouped_partition_invariance(spark, fixture_vecs):
+    from local_stream_stack_spark.operators.clustering import (
+        kmeans_lloyd_grouped,
+        split_subspaces,
+    )
+
+    def run(nparts):
+        vecs = quantize_vectors(
+            fixture_vecs.repartition(nparts), "vec_id", "embedding"
+        )
+        sub = split_subspaces(vecs, m_sub=2, dim=4)
+        cent = kmeans_lloyd_grouped(sub, k=2, iterations=2)
+        return sorted(
+            (r.g, r.c, tuple(r.m)) for r in cent.collect()
+        )
+
+    assert run(1) == run(5)
