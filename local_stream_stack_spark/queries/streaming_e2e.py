@@ -934,3 +934,102 @@ def pyds_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "stream_interval_join_outer",
+    oracle="""
+    WITH wm AS (
+      SELECT LEAST(
+        (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'),
+        (SELECT MAX(ts) FROM events WHERE event_type = 'view')
+      ) AS m
+    ),
+    p AS (
+      SELECT event_id AS purchase_id, user_id, ts
+      FROM events
+      WHERE event_type = 'purchase'
+        AND ts < (SELECT m FROM wm) - INTERVAL 95 MINUTE
+    ),
+    v AS (
+      SELECT event_id AS view_id, user_id, ts
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT p.purchase_id, p.user_id,
+           CAST(epoch_us(CAST(p.ts AS TIMESTAMP)) AS BIGINT)
+             AS purchase_ts_us,
+           v.view_id,
+           CAST(epoch_us(CAST(v.ts AS TIMESTAMP)) AS BIGINT)
+             AS view_ts_us
+    FROM p LEFT JOIN v
+      ON p.user_id = v.user_id
+     AND v.ts >= p.ts
+     AND v.ts <= p.ts + INTERVAL 30 MINUTE
+    ORDER BY purchase_id, view_id
+    """,
+)
+def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE stream-stream LEFT OUTER interval join under the oracle:
+    views within 30 minutes after each purchase, both sides real
+    streams — and purchases with NO view in the window emit one
+    null-padded row ONCE the watermark closes their join window (the
+    semantics an inner join cannot give). The bounded replay's
+    finalizing no-data micro-batch advances the watermark to
+    max(ts) - 1h, so every left row older than max(ts) - 91min
+    (window upper bound + watermark + 1min guard band) has fully
+    finalized outer output; BOTH engines restrict to that CLOSED
+    region — the same cutoff a production consumer applies when
+    reading an outer-join stream. The global watermark is the MIN over
+    both sides' watermark operators, each fed by its own FILTERED
+    stream — so the closed-region bound derives from
+    least(max purchase ts, max view ts), minus watermark (1h) + window
+    upper (30min) + a 5-minute guard band. State remains
+    watermark-expired on both sides."""
+    from local_stream_stack_spark.streaming.ops import (
+        stream_stream_interval_join,
+    )
+
+    left = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+    )
+    right = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select("event_id", "user_id", "ts")
+    )
+    joined = stream_stream_interval_join(
+        left,
+        right,
+        key="user_id",
+        watermark="1 hour",
+        lower="INTERVAL 0 SECONDS",
+        upper="INTERVAL 30 MINUTES",
+        how="left_outer",
+    )
+    table = _run_to_table(joined, "stream_ssjoin_outer", "append")
+    # closed-region cutoff as INTEGER epoch micros, computed inside
+    # the plan: a collect()ed Python datetime re-entering via F.lit
+    # converts through the OS timezone (not the session one) — the
+    # classic driver-boundary trap; integer microseconds dodge it
+    cut = (
+        spark.read.option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .groupBy("event_type")
+        .agg(F.max(epoch_us("ts")).alias("m"))
+        .agg((F.min("m") - F.lit(95 * 60 * 1_000_000)).alias("cut_us"))
+    )
+    return (
+        table.crossJoin(F.broadcast(cut))
+        .filter(epoch_us("ts") < F.col("cut_us"))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            epoch_us("ts").alias("purchase_ts_us"),
+            F.col("event_id_r").alias("view_id"),
+            epoch_us("ts_r").alias("view_ts_us"),
+        )
+        .orderBy("purchase_id", "view_id")
+    )

@@ -381,6 +381,7 @@ def stream_stream_interval_join(
     watermark: str = "1 hour",
     lower: str = "INTERVAL 0 SECONDS",
     upper: str = "INTERVAL 30 MINUTES",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream equi-key join with a time-interval condition.
 
@@ -389,6 +390,13 @@ def stream_stream_interval_join(
     expire buffered state on both sides — the only unbounded-state-
     safe form of a stream-stream join. Column names on the right are
     suffixed ``_r`` to keep the output schema unambiguous.
+
+    ``how="left_outer"`` additionally emits a null-padded row for
+    each left row that saw no match, ONCE its join window has closed
+    (the watermark passed left_ts + upper) — so outer results for
+    rows near the end of a bounded replay only emit after the
+    finalizing no-data micro-batch advances the watermark; compare
+    against a batch oracle on the CLOSED region only.
     """
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
@@ -398,7 +406,7 @@ def stream_stream_interval_join(
         & (F.col(f"{right_ts}_r") >= F.expr(f"{left_ts} + {lower}"))
         & (F.col(f"{right_ts}_r") <= F.expr(f"{left_ts} + {upper}"))
     )
-    return lw.join(rw, cond)
+    return lw.join(rw, cond, how)
 
 
 def running_totals_with_state(
