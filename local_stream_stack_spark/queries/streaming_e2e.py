@@ -1033,3 +1033,77 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id", "view_id")
     )
+
+
+@query(
+    "stream_windowed_rollup_chain",
+    oracle="""
+    WITH minute AS (
+      SELECT CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 60) * 60
+                  AS BIGINT) AS m_start,
+             COUNT(*) AS n
+      FROM events GROUP BY 1
+    ),
+    wm AS (
+      SELECT CAST(FLOOR(epoch(CAST(MAX(ts) AS TIMESTAMP))) AS BIGINT)
+               - 3660 AS closed_end
+      FROM events
+    )
+    SELECT CAST(FLOOR(m_start / 3600) * 3600 AS BIGINT) AS hour_start_s,
+           CAST(SUM(n) AS BIGINT) AS total_events,
+           CAST(COUNT(*) AS BIGINT) AS n_minutes,
+           CAST(MAX(n) AS BIGINT) AS peak_minute
+    FROM minute
+    GROUP BY 1
+    HAVING CAST(FLOOR(m_start / 3600) * 3600 AS BIGINT) + 3600
+           <= (SELECT closed_end FROM wm)
+    ORDER BY hour_start_s
+    """,
+)
+def stream_windowed_rollup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE chained stateful operators (Spark's multiple-stateful-
+    operator support): a minute-window count feeding an hour-window
+    rollup in ONE streaming query, append mode — the continuous-
+    aggregate cascade (`rollup_time_hierarchy`) running incrementally.
+    The second aggregate windows over ``window_time`` of the first
+    (the event-time column a downstream stateful op must derive from
+    an upstream window), and the watermark propagates through both.
+
+    Append mode emits an hour window once the watermark passes its
+    end, so the bounded replay's closed region is hours with
+    end <= max(ts) - watermark(1h) - 1min guard; BOTH engines
+    restrict to it (same discipline as stream_interval_join_outer)."""
+    s = _events_stream(spark, sf_dir)
+    minute = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 minute").alias("w1"))
+        .agg(F.count("*").alias("n"))
+    )
+    hour = (
+        minute.groupBy(
+            F.window(F.window_time("w1"), "1 hour").alias("w2")
+        )
+        .agg(
+            F.sum("n").cast("bigint").alias("total_events"),
+            F.count("*").cast("bigint").alias("n_minutes"),
+            F.max("n").cast("bigint").alias("peak_minute"),
+        )
+    )
+    table = _run_to_table(hour, "stream_rollup_chain", "append")
+    cut = (
+        spark.read.option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .agg((F.max(epoch_us("ts")) / 1_000_000).cast("bigint").alias("mx"))
+        .select((F.col("mx") - 3660).alias("closed_end"))
+    )
+    return (
+        table.crossJoin(F.broadcast(cut))
+        .filter(epoch_s("w2.end") <= F.col("closed_end"))
+        .select(
+            epoch_s("w2.start").alias("hour_start_s"),
+            "total_events",
+            "n_minutes",
+            "peak_minute",
+        )
+        .orderBy("hour_start_s")
+    )
