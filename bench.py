@@ -82,6 +82,8 @@ EXTENDED = [
     "sim_pq_topk",
     "kmv_distinct_rollup",
     "zonemap_pruning_stats",
+    "stream_interval_join_outer",
+    "stream_windowed_rollup_chain",
 ]
 
 
