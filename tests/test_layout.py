@@ -66,3 +66,26 @@ def test_bin_packing_invariants(spark):
         by_src.setdefault(r.source, []).append(r.bin)
     for src, bins in by_src.items():
         assert sorted(bins) == list(range(len(bins))), (src, bins)
+
+
+def test_zorder_interleave_roundtrip(spark):
+    """The Morton code must be exactly invertible: deinterleaving the
+    Z-value recovers both bucketed dimensions for every point of an
+    exhaustive 32x32 grid (low 5 bits) plus the 8-bit corners."""
+    from local_stream_stack_spark.operators.layout import zorder_value
+
+    pts = [(u, t) for u in range(32) for t in range(32)]
+    pts += [(u, t) for u in (0, 1, 127, 128, 255) for t in (0, 1, 127, 128, 255)]
+    df = spark.createDataFrame(pts, "u long, t long")
+    rows = df.select(
+        "u", "t", zorder_value([F.col("u"), F.col("t")], bits=8).alias("z")
+    ).collect()
+
+    def deinterleave(z: int, d: int, n: int = 2, bits: int = 8) -> int:
+        return sum(((z >> (b * n + d)) & 1) << b for b in range(bits))
+
+    for r in rows:
+        assert deinterleave(r.z, 0) == r.u, (r.u, r.t, r.z)
+        assert deinterleave(r.z, 1) == r.t, (r.u, r.t, r.z)
+    # distinct points -> distinct codes (bijectivity on the domain)
+    assert len({r.z for r in rows}) == len(set(pts))
