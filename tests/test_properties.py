@@ -239,3 +239,21 @@ def test_pack_by_contiguous_fill_matches_python(spark, lens, budget):
         expected[i] = off // budget
         off += n
     assert got == expected, (lens, budget)
+
+
+@given(
+    s=st.integers(min_value=0, max_value=10**15),
+    n=st.integers(min_value=1, max_value=10**7),
+)
+@settings(max_examples=300, deadline=None)
+def test_round_half_up_division_idiom(s, n):
+    """(2s + n) div (2n) — the integer round-half-up mean idiom every
+    integer-exact iterative operator leans on (pagerank, k-means, PQ
+    codebooks) — must equal round-half-up(s/n) for all non-negative
+    inputs (the operators shift inputs non-negative precisely so
+    truncating and flooring division agree)."""
+    got = (2 * s + n) // (2 * n)
+    # reference: round half up via integer arithmetic
+    q, r = divmod(s, n)
+    expect = q + (1 if 2 * r >= n else 0)
+    assert got == expect
