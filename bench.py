@@ -77,13 +77,16 @@ EXTENDED = [
     "dedup_containment",
     "embedding_quantize_int8",
     "quantile_by_value_qty",
-    # round-5 additions
+    # round-5 additions. The two live streaming additions
+    # (stream_interval_join_outer, stream_windowed_rollup_chain) are
+    # correctness-gated but NOT measured here: their wall-clock is
+    # dominated by micro-batch harness startup + watermark
+    # finalization batches (~22 s / ~11 s per invocation at sf0.1),
+    # which best-of-3 would triple for no plan-cost signal.
     "kmeans_embeddings",
     "sim_pq_topk",
     "kmv_distinct_rollup",
     "zonemap_pruning_stats",
-    "stream_interval_join_outer",
-    "stream_windowed_rollup_chain",
 ]
 
 
