@@ -210,6 +210,19 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
 
 NEW_THIS_ROUND: frozenset[str] = frozenset()
 
+# Queries whose defining file was git-modified AFTER the round that
+# recorded their last green driver row (VERDICT r5 "What's wrong" #2:
+# a changed-after-green query must outrank merely-stale ones in the
+# re-verification window, else a rewrite can ride an old green row
+# indefinitely).  Regenerated by ``python tools/changed_since_green.py
+# --write`` — run it at round close after the final code commit.
+# File-level granularity deliberately over-approximates: touching one
+# query in a module re-queues its siblings, which only costs safe
+# filler slots.
+# BEGIN CHANGED_SINCE_GREEN (auto-generated)
+CHANGED_SINCE_GREEN: frozenset[str] = frozenset()
+# END CHANGED_SINCE_GREEN
+
 
 def _last_sampled_rounds() -> dict[str, int]:
     """{query name: latest round whose CORRECTNESS_r{N}.json contains
@@ -252,12 +265,15 @@ def _window_order(specs: dict[str, QuerySpec]) -> list[str]:
     (those last sampled rounds ago) instead of resampling recent ones;
     (3) ALL rows-only queries, verified or not — kept OUT of the
     window so no slot ever burns on a no_oracle ERR while
-    oracle-backed work waits (they stay pytest-pinned).  Stable
+    oracle-backed work waits (they stay pytest-pinned).  Within tier
+    2, queries whose source file changed since their last green round
+    (CHANGED_SINCE_GREEN) come FIRST — a rewritten query's old green
+    row proves nothing about the rewrite — then stalest-first.  Stable
     (registration order) within a tier+staleness class."""
     last = _last_sampled_rounds()
     reg_order = {n: i for i, n in enumerate(specs)}
 
-    def key(name: str) -> tuple[int, int, int]:
+    def key(name: str) -> tuple[int, int, int, int]:
         spec = specs[name]
         if not spec.oracle:
             tier = 3
@@ -267,8 +283,9 @@ def _window_order(specs: dict[str, QuerySpec]) -> list[str]:
             tier = 1
         else:
             tier = 0
+        changed = 0 if (tier == 2 and name in CHANGED_SINCE_GREEN) else 1
         staleness = last.get(name, 0) if tier == 2 else 0
-        return (tier, staleness, reg_order[name])
+        return (tier, changed, staleness, reg_order[name])
 
     return sorted(specs, key=key)
 
