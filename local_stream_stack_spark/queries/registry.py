@@ -49,8 +49,10 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "cdc_merge_summary",
         "chunk_documents",
         "clean_text_scrub",
+        "cms_heavy_hitters",
         "cohort_retention",
         "collation_group_ci",
+        "compaction_bin_packing",
         "compaction_tombstone",
         "corpus_stats_by_lang",
         "csv_roundtrip_orders",
@@ -66,12 +68,15 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "dedup_embedding_cosine",
         "dedup_exact",
         "dedup_keys",
+        "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
+        "dedup_simhash",
         "distinct_rows",
         "doc_fingerprint",
         "doc_length_histogram",
         "dpp_partitioned_lang_join",
         "dq_expectations_orders",
+        "embedding_matryoshka_mass",
         "embedding_norms",
         "embedding_quantize_int8",
         "event_gap_quantiles",
@@ -100,6 +105,8 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "json_funcs",
         "json_roundtrip_orders",
         "kafka_frame_roundtrip",
+        "kmeans_embeddings",
+        "kmv_distinct_rollup",
         "label_centroids",
         "lang_id",
         "latest_per_key",
@@ -107,14 +114,18 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "map_explode_customer",
         "math_funcs",
         "multimodal_binary_meta",
+        "multimodal_features",
+        "multimodal_frame_sample",
         "null_semantics",
         "nulls_ordering",
         "ols_slope_per_type",
         "orc_roundtrip_orders",
         "pack_documents",
+        "pagerank_copurchase",
         "partitioned_roundtrip_docs",
         "percentile_stats",
         "perplexity_unigram",
+        "pipe_syntax_revenue",
         "pipeline_yaml_batch",
         "pipeline_yaml_enrich_agg",
         "pivot_returnflag",
@@ -155,20 +166,29 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "scd2_history",
         "schema_registry_parse",
         "semantic_dedup_components",
+        "semantic_dedup_lsh_components",
         "session_window_agg",
         "sessionize_events",
         "set_ops",
         "set_ops_bag",
         "shuffle_deterministic",
         "sim_bruteforce_topk",
+        "sim_ivf_topk",
+        "sim_lsh_topk",
+        "sim_pq_topk",
+        "skew_diagnostics",
         "sliding_window_agg",
         "source_char_budget",
         "sql_api_revenue",
+        "sql_udf_netprice",
+        "sql_variables_param_revenue",
         "stratified_sample_sources",
         "stream_aggregate_view",
         "stream_dedup_keys",
         "stream_ingest_dedup",
+        "stream_ingest_neardup",
         "stream_interval_join",
+        "stream_interval_join_outer",
         "stream_latest_per_key",
         "stream_parquet_sink",
         "stream_pipeline_yaml",
@@ -178,11 +198,13 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "stream_static_enrich",
         "stream_topk_per_window",
         "stream_tumbling_counts",
+        "stream_windowed_rollup_chain",
         "string_funcs",
         "text_stats",
         "tfidf_top_terms",
         "time_weighted_avg",
         "token_drift_kl",
+        "token_estimate_bpe",
         "token_pmi_collocations",
         "top_tokens_per_lang",
         "topk_orders",
@@ -204,9 +226,12 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "window_ranking",
         "winsorized_mean_price",
         "xml_roundtrip_orders",
+        "zonemap_pruning_stats",
+        "zorder_layout_events",
         "zscore_outliers",
     }
 )
+
 
 NEW_THIS_ROUND: frozenset[str] = frozenset()
 
@@ -220,7 +245,31 @@ NEW_THIS_ROUND: frozenset[str] = frozenset()
 # query in a module re-queues its siblings, which only costs safe
 # filler slots.
 # BEGIN CHANGED_SINCE_GREEN (auto-generated)
-CHANGED_SINCE_GREEN: frozenset[str] = frozenset()
+CHANGED_SINCE_GREEN: frozenset[str] = frozenset(
+    {
+        "cdc_merge_summary",
+        "decile_bounds_price",
+        "dedup_containment",
+        "dpp_partitioned_lang_join",
+        "dq_expectations_orders",
+        "embedding_quantize_int8",
+        "fuzzy_name_match",
+        "kmeans_embeddings",
+        "mad_outliers",
+        "pagerank_copurchase",
+        "partitioned_roundtrip_docs",
+        "perplexity_unigram",
+        "price_decile_assign",
+        "semantic_dedup_components",
+        "semantic_dedup_lsh_components",
+        "shuffle_deterministic",
+        "skew_diagnostics",
+        "stratified_sample_sources",
+        "tfidf_top_terms",
+        "triangle_count",
+        "unicode_nfc_normalize",
+    }
+)
 # END CHANGED_SINCE_GREEN
 
 
