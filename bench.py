@@ -22,6 +22,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from local_stream_stack_spark.queries import QUERIES  # noqa: E402
 from local_stream_stack_spark.session import get_spark  # noqa: E402
+from local_stream_stack_spark.streaming.metrics import MetricsListener  # noqa: E402
+
+# Entries that execute a live micro-batch pipeline inside the query
+# fn. Their wall time is dominated by AvailableNow spin-up + state
+# finalization (harness cost), which pollutes the 2x gate's signal
+# (VERDICT r5 #5) — so alongside wall time the JSON reports the
+# engine-side per-batch processing time from the StreamingQueryListener
+# (plan cost: what a long-lived cluster pipeline actually pays per
+# epoch). Gate semantics unchanged: the headline total stays wall.
+STREAMING = {"stream_tumbling_counts", "stream_ingest_dedup"}
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -115,6 +125,10 @@ def main() -> int:
     # is the number that scales to a warm cluster.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    streaming_detail: dict[str, dict] = {}
+
     def run_set(names: list[str]) -> dict[str, float]:
         timings: dict[str, float] = {}
         for name in names:
@@ -122,14 +136,28 @@ def main() -> int:
             if spec is None:
                 continue
             best = None
+            best_batches: list[int] = []
             for _ in range(n_runs):
+                n_seen = len(listener.snapshot())
                 t0 = time.time()
                 spec.fn(spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
+                if best is None or dt < best:
+                    best = dt
+                    best_batches = [
+                        e["batch_duration_ms"]
+                        for e in listener.snapshot()[n_seen:]
+                    ]
             timings[name] = round(best, 3)
+            if name in STREAMING and best_batches:
+                streaming_detail[name] = {
+                    "wall_sec": timings[name],
+                    "batches": len(best_batches),
+                    "batch_ms_sum": sum(best_batches),
+                    "plan_sec": round(sum(best_batches) / 1000.0, 3),
+                }
         return timings
 
     timings = run_set(HEADLINE)
@@ -143,6 +171,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "queries_extended": extended,
+                "queries_streaming_detail": streaming_detail,
                 "sf": sf,
             }
         )
