@@ -8,7 +8,10 @@ shape, partition-friendly mapInPandas signature — is real and tested;
 the actual codec calls are STUBBED (image/audio libraries are not in
 this container) behind ``decode_stub``: a deterministic fake that
 derives "features" from the byte content, or NotImplementedError for
-the real path.
+the real path. EXCEPTION: PNG images decode FOR REAL — a stdlib-only
+codec (``operators/png.py``: zlib inflate + all five scanline
+filters) handles any 8-bit gray/RGB/RGBA PNG payload; the stub
+remains only for audio/video and non-PNG image bytes.
 
 Scale notes: binary payloads ride in parquet alongside metadata, so
 pruning/pushdown still applies to the metadata columns; decode runs in
@@ -112,6 +115,16 @@ def extract_features(df: DataFrame) -> DataFrame:
     """
     import hashlib
 
+    from local_stream_stack_spark.operators.png import PNG_MAGIC, decode_image
+
+    def _decode(p: bytes, m: str) -> dict:
+        # real path first: PNG payloads decode with the stdlib codec;
+        # everything else falls back to the clearly-marked stub
+        if m == "image" and p[:8] == PNG_MAGIC:
+            d = decode_image(p)
+            return {"width": d["width"], "height": d["height"], "duration_ms": 0}
+        return decode_stub(p, m)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             # column-at-a-time (no row boxing); only the codec call
@@ -123,7 +136,7 @@ def extract_features(df: DataFrame) -> DataFrame:
                 (m or {}).get("modality", "image") for m in pdf["meta"]
             ]
             feats = [
-                decode_stub(p, m) for p, m in zip(payloads, modalities)
+                _decode(p, m) for p, m in zip(payloads, modalities)
             ]
             yield pd.DataFrame(
                 {

@@ -247,27 +247,66 @@ NEW_THIS_ROUND: frozenset[str] = frozenset()
 # BEGIN CHANGED_SINCE_GREEN (auto-generated)
 CHANGED_SINCE_GREEN: frozenset[str] = frozenset(
     {
+        "bm25_rank",
         "cdc_merge_summary",
+        "chunk_documents",
+        "clean_text_scrub",
+        "corpus_stats_by_lang",
+        "curation_downsample",
+        "curation_pipeline",
         "decile_bounds_price",
+        "decontaminate_ngram_overlap",
+        "decontaminate_splits",
+        "dedup_components",
         "dedup_containment",
+        "dedup_embedding_cosine",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "doc_fingerprint",
+        "doc_length_histogram",
         "dpp_partitioned_lang_join",
         "dq_expectations_orders",
+        "embedding_matryoshka_mass",
+        "embedding_norms",
         "embedding_quantize_int8",
         "fuzzy_name_match",
+        "inverted_index",
         "kmeans_embeddings",
+        "label_centroids",
+        "lang_id",
         "mad_outliers",
+        "multimodal_binary_meta",
+        "multimodal_features",
+        "multimodal_frame_sample",
+        "pack_documents",
         "pagerank_copurchase",
         "partitioned_roundtrip_docs",
         "perplexity_unigram",
         "price_decile_assign",
+        "repetition_ratio",
+        "sample_per_group",
         "semantic_dedup_components",
         "semantic_dedup_lsh_components",
         "shuffle_deterministic",
+        "sim_bruteforce_topk",
+        "sim_ivf_topk",
+        "sim_lsh_topk",
+        "sim_pq_topk",
         "skew_diagnostics",
+        "source_char_budget",
         "stratified_sample_sources",
+        "text_stats",
         "tfidf_top_terms",
+        "token_drift_kl",
+        "token_estimate_bpe",
+        "token_pmi_collocations",
+        "top_tokens_per_lang",
+        "train_test_split",
         "triangle_count",
         "unicode_nfc_normalize",
+        "weighted_sample",
     }
 )
 # END CHANGED_SINCE_GREEN
