@@ -514,7 +514,14 @@ def semantic_dedup_lsh_components(spark: SparkSession, sf_dir: str) -> DataFrame
     batch, shuffle of n_tables rows/vector on (table, bucket), hash
     join, then the verify join pulls each candidate's two vectors by
     id. tests/test_training_ops.py pins that the verify stage consumes
-    candidate pairs, not block pairs."""
+    candidate pairs, not block pairs.
+
+    SCALE KNOB (measured, round-6 scaling curve: alpha 0.83 at 10x
+    with this FIXED 8x8 bucket space): candidate pairs grow
+    ~n^2/buckets when bucket count is constant, so at corpus scale
+    ``n_planes`` must grow with log2(n) to hold per-bucket occupancy
+    — bucket space, like shuffle partitions, is a function of corpus
+    size, not a constant."""
     from local_stream_stack_spark.operators.graph import connected_components
     from local_stream_stack_spark.operators.similarity import (
         cosine,

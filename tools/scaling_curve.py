@@ -1,0 +1,236 @@
+"""Measured scaling curve (VERDICT r5 #1): run the heaviest queries at
+1x and 10x the sf0.1 corpus and report the per-query scaling exponent
+alpha = log10(t_10x / t_1x) — converting the suite's plan-pin 100 TB
+*arguments* into *data*. alpha <= ~1.2 is the near-linear bar; any
+query above it needs a plan fix or a `weak` flag.
+
+Corpus synthesis (no driver needed, fully deterministic):
+- FACT tables replicate R times with key offsets (lineitem/orders
+  share the o_orderkey offset so joins stay consistent; events offset
+  event_id AND user_id so per-user session work scales in users, not
+  in per-user history; documents offset doc_id; embeddings offset
+  vec_id). DIMENSION tables stay 1x — scaling facts against fixed
+  dims is exactly the 100 TB shape (dims stay broadcast-sized).
+- replica r > 0 PERTURBS content: every whitespace token in
+  documents.text gets a '~r' suffix (all shingles change, so replicas
+  are not artificial near-duplicates of the originals — otherwise LSH
+  band buckets would densify quadratically through no fault of the
+  algorithm, measuring the DATA not the plan), and embeddings get a
+  deterministic per-dimension integer-grid nudge for the same reason.
+- the 1x dataset is written through the SAME generator/file layout so
+  the two timed runs differ only in scale.
+
+Usage:
+    python tools/scaling_curve.py gen   # build .scale/x1 and .scale/x10
+    python tools/scaling_curve.py run   # time queries, print JSON+table
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from local_stream_stack_spark.session import get_spark  # noqa: E402
+
+SRC = os.environ.get("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
+OUT = os.path.join(ROOT, ".scale")
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+FACTS = ["orders", "lineitem", "events", "documents", "embeddings"]
+
+# the heavy / scale-relevant slice of the catalog (headline + extended)
+MEASURED = [
+    "q1_pricing_summary",
+    "q2_top_supplier_per_part",
+    "q5_local_supplier_volume",
+    "q18_large_orders",
+    "percentile_stats",
+    "exact_quantile_distributed",
+    "sessionize_events",
+    "corpus_stats_by_lang",
+    "text_stats",
+    "lang_id",
+    "curation_pipeline",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "dedup_containment",
+    "semantic_dedup_lsh_components",
+    "sim_bruteforce_topk",
+    "sim_lsh_topk",
+    "sim_ivf_topk",
+    "sim_pq_topk",
+    "kmeans_embeddings",
+    "tfidf_top_terms",
+    "perplexity_unigram",
+    "multimodal_png_decode",
+]
+
+
+def _offsets(spark) -> dict[str, int]:
+    """Clean power-of-ten offsets above each fact key's max."""
+
+    def mx(table, col):
+        df = spark.read.parquet(f"{SRC}/{table}.parquet")
+        v = df.agg(F.max(col)).collect()[0][0] or 0
+        return 10 ** (len(str(int(v))) + 1)
+
+    return {
+        "orderkey": mx("orders", "o_orderkey"),
+        "event": mx("events", "event_id"),
+        "user": mx("events", "user_id"),
+        "doc": mx("documents", "doc_id"),
+        "vec": mx("embeddings", "vec_id"),
+    }
+
+
+def gen(replicas: int = 10) -> None:
+    spark = get_spark(app_name="scaling-gen")
+    off = _offsets(spark)
+    for scale, nrep in (("x1", 1), (f"x{replicas}", replicas)):
+        out_dir = os.path.join(OUT, scale)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.makedirs(out_dir, exist_ok=True)
+        for t in DIMS:
+            spark.read.parquet(f"{SRC}/{t}.parquet").write.mode(
+                "overwrite"
+            ).parquet(f"{out_dir}/{t}.parquet")
+        for t in FACTS:
+            base = spark.read.parquet(f"{SRC}/{t}.parquet")
+            parts = []
+            for r in range(nrep):
+                df = base
+                if t == "orders":
+                    df = df.withColumn(
+                        "o_orderkey",
+                        F.col("o_orderkey") + F.lit(r * off["orderkey"]),
+                    )
+                elif t == "lineitem":
+                    df = df.withColumn(
+                        "l_orderkey",
+                        F.col("l_orderkey") + F.lit(r * off["orderkey"]),
+                    )
+                elif t == "events":
+                    df = df.withColumn(
+                        "event_id", F.col("event_id") + F.lit(r * off["event"])
+                    ).withColumn(
+                        "user_id", F.col("user_id") + F.lit(r * off["user"])
+                    )
+                elif t == "documents":
+                    df = df.withColumn(
+                        "doc_id", F.col("doc_id") + F.lit(r * off["doc"])
+                    )
+                    if r > 0:
+                        df = df.withColumn(
+                            "text",
+                            F.concat_ws(
+                                " ",
+                                F.transform(
+                                    F.split("text", " "),
+                                    lambda w: F.concat(
+                                        w, F.lit(f"~{r}")
+                                    ),
+                                ),
+                            ),
+                        ).withColumn("n_chars", F.length("text").cast("bigint"))
+                elif t == "embeddings":
+                    df = df.withColumn(
+                        "vec_id", F.col("vec_id") + F.lit(r * off["vec"])
+                    )
+                    if r > 0:
+                        # deterministic grid nudge: decorrelates
+                        # replicas without changing norms much
+                        df = df.withColumn(
+                            "embedding",
+                            F.expr(
+                                "transform(embedding, (v, i) -> CAST(v +"
+                                f" (({r} * 31 + i * 7) % 21 - 10) * 0.003"
+                                " AS FLOAT))"
+                            ),
+                        )
+                parts.append(df)
+            full = parts[0]
+            for p in parts[1:]:
+                full = full.unionByName(p)
+            full.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+            n = spark.read.parquet(f"{out_dir}/{t}.parquet").count()
+            print(f"{scale}/{t}: {n} rows")
+    spark.stop()
+
+
+def run(n_runs: int = 3) -> None:
+    from local_stream_stack_spark.queries import QUERIES
+
+    # 10x data under the default 1g driver JVM OOMs on legitimate
+    # broadcast builds; this tool owns its session, so size the heap
+    # to the host (the engine's conf is otherwise identical)
+    spark = get_spark(
+        app_name="scaling-run",
+        extra_conf={
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_SCALE_DRIVER_MEM", "8g"
+            )
+        },
+    )
+    # warm JVM + Python worker pool (same protocol as bench.py)
+    par = spark.sparkContext.defaultParallelism
+    spark.range(par * 4, numPartitions=par).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    results: dict[str, dict] = {}
+    for scale in ("x1", "x10"):
+        sf_dir = os.path.join(OUT, scale)
+        for name in MEASURED:
+            spec = QUERIES.get(name)
+            if spec is None:
+                continue
+            best = None
+            for _ in range(n_runs):
+                t0 = time.time()
+                spec.fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best or 9e9, time.time() - t0)
+            results.setdefault(name, {})[scale] = round(best, 3)
+            print(f"{scale} {name}: {best:.3f}s", file=sys.stderr)
+    spark.stop()
+
+    table = {}
+    for name, r in results.items():
+        alpha = math.log10(max(r["x10"], 1e-9) / max(r["x1"], 1e-9))
+        table[name] = {
+            "t_1x_sec": r["x1"],
+            "t_10x_sec": r["x10"],
+            "alpha": round(alpha, 3),
+        }
+    print(json.dumps({"scaling": table}))
+    print("\n| query | 1x sec | 10x sec | exponent |")
+    print("|---|---|---|---|")
+    for name, r in sorted(
+        table.items(), key=lambda kv: -kv[1]["alpha"]
+    ):
+        flag = " **> 1.2**" if r["alpha"] > 1.2 else ""
+        print(
+            f"| {name} | {r['t_1x_sec']} | {r['t_10x_sec']} |"
+            f" {r['alpha']}{flag} |"
+        )
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "run"
+    if cmd == "gen":
+        gen(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
+    elif cmd == "run":
+        run(int(sys.argv[2]) if len(sys.argv) > 2 else 3)
+    else:
+        print(__doc__)
+        sys.exit(2)
