@@ -97,6 +97,10 @@ EXTENDED = [
     "sim_pq_topk",
     "kmv_distinct_rollup",
     "zonemap_pruning_stats",
+    # round-6 additions
+    "multimodal_png_decode",
+    "bpe_train_merges",
+    "bpe_vocab_counts",
 ]
 
 

@@ -163,6 +163,14 @@ def kmeans_lloyd_quantized(
     cents: list[Centroid] = [
         (i, [int(v) for v in r["x"]]) for i, r in enumerate(seed_rows)
     ]
+    if not cents:
+        # empty corpus: no seeds, no clusters — typed empty result
+        # (an empty literal codebook would not even analyze)
+        return vectors.sparkSession.createDataFrame(
+            [],
+            "cluster int, n_members bigint, centroid_l1 bigint,"
+            " inertia bigint",
+        )
 
     for _ in range(iterations):
         best = _argmin_struct("x", cents)
@@ -304,6 +312,8 @@ def kmeans_lloyd_grouped_books(
         books.setdefault(int(r["g"]), []).append(
             (int(r["c"]), [int(v) for v in r["x"]])
         )
+    if not books:
+        return books
 
     for _ in range(iterations):
         best = _argmin_struct_grouped("x", "g", books)
@@ -373,6 +383,15 @@ def assign_grouped_literal(
     """Nearest-centroid assignment per group on (g, id, x) against a
     driver-side codebook: pure scan-side expression — zero join, zero
     shuffle (the PQ encode step at 100 TB is a single pass)."""
+    if not books:
+        out = vectors.select(
+            "g",
+            "id",
+            "x",
+            F.lit(None).cast("int").alias("c"),
+            F.lit(None).cast("bigint").alias("d"),
+        ).filter(F.lit(False))
+        return out if keep_dist else out.drop("d")
     best = _argmin_struct_grouped("x", "g", books)
     out = vectors.select(
         "g", "id", "x", best["c"].alias("c"), best["d"].alias("d")

@@ -1734,6 +1734,63 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merges_df(spark, merges).orderBy("step")
 
 
+def _bpe_vocab_oracle_sql(
+    n_merges: int = 8, vocab_cap: int = 1500, top: int = 25
+) -> str:
+    """Learned-subword-vocabulary oracle: rerun the unrolled training
+    CTEs, then split the final symbol strings and aggregate weighted
+    token counts — the encode side of the same string arithmetic."""
+    core = _bpe_oracle_sql(n_merges, vocab_cap)
+    # keep everything up to the final SELECT, swap the projection
+    cut = core.rindex("\n    SELECT * FROM (")
+    return (
+        core[:cut]
+        + f""",
+    enc AS (
+      SELECT unnest(string_split(trim(sym), ' ')) AS tok, cnt
+      FROM w{n_merges}
+    )
+    SELECT tok, CAST(SUM(cnt) AS BIGINT) AS n_occurrences
+    FROM enc GROUP BY tok
+    ORDER BY n_occurrences DESC, tok LIMIT {top}"""
+    )
+
+
+@query("bpe_vocab_counts", oracle=_bpe_vocab_oracle_sql())
+def bpe_vocab_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE side of BPE training: apply the 8 learned merges to the
+    word-count table via the scan-side literal replace chain
+    (``apply_bpe_expr`` — JVM codegen, zero Python) and aggregate the
+    weighted subword-token counts: the learned vocabulary with usage,
+    top-25 by (count, token). At 100 TB encode is a pure scan over
+    the corpus (or, as here, over the bounded word-count table when
+    only frequencies are needed) — one partial-aggregated shuffle
+    bounded by vocabulary size. Same top-1500-word training bound as
+    ``bpe_train_merges`` (logged there); oracle reruns the unrolled
+    training CTEs and replays the identical split+aggregate."""
+    from local_stream_stack_spark.operators.bpe import (
+        apply_bpe_expr,
+        train_bpe,
+        word_counts,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    words = word_counts(d, "text", vocab_cap=1500).localCheckpoint(
+        eager=True
+    )
+    merges = train_bpe(words, n_merges=8, materialize_input=False)
+    return (
+        words.select(
+            F.col("cnt"),
+            F.explode(F.expr(apply_bpe_expr("word", merges))).alias("tok"),
+        )
+        .groupBy("tok")
+        .agg(F.sum("cnt").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "tok")
+        .limit(25)
+    )
+
+
 def _pq_oracle_sql(
     m_sub: int = 8,
     k: int = 16,
