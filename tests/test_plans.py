@@ -221,3 +221,53 @@ def test_sql_udf_inlines_into_codegen(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "HashAggregate" in plan
+
+
+def test_pq_encode_is_zero_shuffle(spark):
+    """Round-6 fusion contract: PQ encode (assign_grouped_literal
+    against a driver-side codebook) is a pure scan-side expression —
+    no Exchange, no join of any kind in its physical plan."""
+    from local_stream_stack_spark.operators.clustering import (
+        assign_grouped_literal,
+        quantize_vectors_normalized,
+        split_subspaces,
+    )
+    from local_stream_stack_spark.catalog import load_table
+
+    e = load_table(spark, SF, "embeddings")
+    sub = split_subspaces(
+        quantize_vectors_normalized(e, "vec_id", "embedding"), m_sub=4, dim=64
+    )
+    books = {
+        g: [(c, [1000000 + c] * 16) for c in range(4)] for g in range(4)
+    }
+    plan = (
+        assign_grouped_literal(sub, books)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_bpe_pair_counts_partial_aggregation(spark):
+    """BPE pair counting must partially aggregate before its one
+    shuffle (two HashAggregate levels, exactly one Exchange) — the
+    per-merge-step cost bound the 100 TB story relies on."""
+    from local_stream_stack_spark.operators.bpe import (
+        _pair_counts,
+        _sym_base_expr,
+        word_counts,
+    )
+    from local_stream_stack_spark.catalog import load_table
+
+    d = load_table(spark, SF, "documents")
+    words = word_counts(d, "text", vocab_cap=100)
+    plan = (
+        _pair_counts(words, _sym_base_expr("word"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("HashAggregate") >= 2
