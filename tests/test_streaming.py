@@ -567,8 +567,12 @@ def test_state_store_reader_matches_sink(spark, tmpdir):
         read_state_store,
     )
 
-    src = str(tmpdir.join("ss_src"))
-    cp = str(tmpdir.join("ss_cp"))
+    # NOTE: the module-local ``tmpdir`` fixture is a plain string, not
+    # py.path.local — ``tmpdir.join("ss_src")`` here was str.join,
+    # interleaving the path between the characters of "ss_src" and
+    # littering a relative ``s/tmp/...`` tree into the repo cwd
+    src = f"{tmpdir}/ss_src"
+    cp = f"{tmpdir}/ss_cp"
     spark.createDataFrame(
         [(i, i % 3) for i in range(30)], "id long, k long"
     ).write.mode("overwrite").json(src)
