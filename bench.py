@@ -148,6 +148,16 @@ def main() -> int:
                     "overwrite"
                 ).save()
                 dt = time.time() - t0
+                if name in STREAMING:
+                    # progress events are delivered on the listener
+                    # bus asynchronously AFTER the query stops — poll
+                    # briefly until the event count stabilizes
+                    stable_since, prev = time.time(), -1
+                    while time.time() - stable_since < 0.5:
+                        cur = len(listener.snapshot())
+                        if cur != prev:
+                            prev, stable_since = cur, time.time()
+                        time.sleep(0.05)
                 if best is None or dt < best:
                     best = dt
                     best_batches = [

@@ -22,7 +22,7 @@ def test_child_loggers_namespace_and_propagate(capsys):
     assert child.name == f"{ROOT_LOGGER_NAME}.kafka"
     assert child.level == logging.DEBUG
     child.info("hello from child")
-    out = capsys.readouterr().out
+    out = capsys.readouterr().err
     assert "hello from child" in out
     assert f"{ROOT_LOGGER_NAME}.kafka" in out
     # exactly one handler fired -> exactly one line
@@ -32,4 +32,4 @@ def test_child_loggers_namespace_and_propagate(capsys):
 def test_base_level_filters_children_by_default(capsys):
     fresh = get_logger("quiet.module")
     fresh.debug("should not appear")  # inherits INFO from base
-    assert "should not appear" not in capsys.readouterr().out
+    assert "should not appear" not in capsys.readouterr().err
