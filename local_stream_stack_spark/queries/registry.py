@@ -233,7 +233,12 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
 )
 
 
-NEW_THIS_ROUND: frozenset[str] = frozenset()
+# Round-6: the two iterative-trainer REWRITES (driver-side centroid
+# carry fusion) are the highest-risk changes this round — pin them
+# into the window ahead of the file-sibling changed set.
+NEW_THIS_ROUND: frozenset[str] = frozenset(
+    {"kmeans_embeddings", "sim_pq_topk"}
+)
 
 # Queries whose defining file was git-modified AFTER the round that
 # recorded their last green driver row (VERDICT r5 "What's wrong" #2:
@@ -365,10 +370,12 @@ def _window_order(specs: dict[str, QuerySpec]) -> list[str]:
         spec = specs[name]
         if not spec.oracle:
             tier = 3
+        elif spec.name in NEW_THIS_ROUND:
+            # explicit pin outranks prior-verified status: a REWRITTEN
+            # query's old green row proves nothing about the rewrite
+            tier = 1
         elif spec.name in DRIVER_VERIFIED_PREVIOUSLY:
             tier = 2
-        elif spec.name in NEW_THIS_ROUND:
-            tier = 1
         else:
             tier = 0
         changed = 0 if (tier == 2 and name in CHANGED_SINCE_GREEN) else 1
