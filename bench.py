@@ -101,6 +101,8 @@ EXTENDED = [
     "multimodal_png_decode",
     "bpe_train_merges",
     "bpe_vocab_counts",
+    "dedup_repeated_ngram_spans",
+    "perplexity_bigram_interp",
 ]
 
 

@@ -1604,3 +1604,240 @@ def skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_rows"), F.asc("key"))
     )
+
+
+@query(
+    "dedup_repeated_ngram_spans",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i, array_to_string(list_slice(l, i, i + 7), ' ') AS gram
+      FROM (
+        SELECT doc_id, l, unnest(generate_series(1, len(l) - 7)) AS i
+        FROM t
+      )
+    ),
+    d AS (
+      SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    p AS (
+      SELECT DISTINCT doc_id, pp FROM (
+        SELECT g.doc_id, unnest(generate_series(g.i, g.i + 7)) AS pp
+        FROM g JOIN d USING (gram)
+      )
+    ),
+    nt AS (SELECT doc_id, len(l) AS n_tokens FROM t),
+    nd AS (SELECT doc_id, COUNT(*) AS n_dup FROM p GROUP BY doc_id)
+    SELECT nt.doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup_positions,
+           CAST(COALESCE(n_dup, 0) * 1000000 // n_tokens AS BIGINT)
+             AS dup_frac_e6
+    FROM nt LEFT JOIN nd USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def dedup_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-substring span detection (the Lee et al. 2022
+    'Deduplicating Training Data Makes Language Models Better' signal,
+    public paper, re-expressed at token-8-gram granularity): for every
+    document, the fraction of token positions covered by an 8-gram
+    that also occurs in at least one OTHER document — the per-doc
+    duplicated-span mass used to drop or trim documents whose content
+    is mostly boilerplate shared across the corpus (exact dedup
+    catches identical docs; MinHash catches near-identical docs; THIS
+    catches partial copy spans inside otherwise-distinct docs).
+
+    Plan shape at 100 TB: tokenize + 8-gram enumeration are scan-side
+    (transform over sequence, JVM codegen); the cross-doc gram table
+    takes ONE partial-aggregated shuffle keyed by gram; only grams
+    proven duplicated re-explode into their 8 covered positions
+    (bounded by duplicated-span mass, not corpus size); the
+    position-distinct and per-doc count are one shuffle each on
+    (doc, pos)/(doc). No all-pairs anywhere: doc-to-doc comparison is
+    factored through the gram key, the same inverted-index shape as
+    dedup_containment. Output is integer-scaled (dup_frac_e6 =
+    fraction x 10^6, round-toward-zero div on both engines)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("l"),
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(l) < 8 THEN"
+                " CAST(array() AS array<struct<i:int,gram:string>>)"
+                " ELSE transform(sequence(1, size(l) - 7), i ->"
+                " struct(i AS i, concat_ws(' ', slice(l, i, 8)) AS gram))"
+                " END"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.i").alias("i"), F.col("s.gram").alias("gram"))
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    dup_pos = (
+        grams.join(dup, "gram")
+        .select(
+            "doc_id", F.explode(F.expr("sequence(i, i + 7)")).alias("pp")
+        )
+        .distinct()
+    )
+    nt = toks.select("doc_id", F.size("l").alias("n_tokens"))
+    nd = dup_pos.groupBy("doc_id").agg(F.count("*").alias("n_dup"))
+    return (
+        nt.join(nd, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint"),
+            F.coalesce("n_dup", F.lit(0)).cast("bigint").alias(
+                "n_dup_positions"
+            ),
+            F.expr("(coalesce(n_dup, 0) * 1000000) div n_tokens")
+            .cast("bigint")
+            .alias("dup_frac_e6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "perplexity_bigram_interp",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> length(x) > 0) AS l
+      FROM documents
+    ),
+    tk AS (SELECT doc_id, unnest(l) AS tok FROM t),
+    vocab AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok),
+    tot AS (SELECT SUM(c) AS total, COUNT(*) AS v FROM vocab),
+    bg AS (
+      SELECT doc_id, pr[1] AS w1, pr[2] AS w2 FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(l) - 1),
+                      i -> [l[i], l[i + 1]])) AS pr
+        FROM t
+      )
+    ),
+    bgv AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+    lp_bi AS (
+      SELECT b.w1, b.w2,
+             CAST(ROUND(ln(0.7 * CAST(b.c12 AS DOUBLE) / CAST(u1.c AS DOUBLE)
+                           + 0.3 * (CAST(u2.c AS DOUBLE) + 1.0)
+                             / (CAST(tot.total AS DOUBLE) + CAST(tot.v AS DOUBLE)))
+                        * 1000000) AS BIGINT) AS logp_e6
+      FROM bgv b
+      JOIN vocab u1 ON b.w1 = u1.tok
+      JOIN vocab u2 ON b.w2 = u2.tok
+      CROSS JOIN tot
+    ),
+    dbt AS (
+      SELECT doc_id, w1, w2, COUNT(*) AS n FROM bg GROUP BY doc_id, w1, w2
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.n) AS BIGINT) AS n_bigrams,
+           CAST(ROUND(-CAST(SUM(d.n * l.logp_e6) AS DOUBLE)
+                      / CAST(SUM(d.n) AS DOUBLE) / 100) AS BIGINT)
+             AS nll_per_bigram_e4
+    FROM dbt d JOIN lp_bi l ON d.w1 = l.w1 AND d.w2 = l.w2
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def perplexity_bigram_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram language-model quality score — the
+    next-order refinement of ``perplexity_unigram``: score each doc by
+    mean negative log-likelihood per bigram event under
+    p(w2|w1) = 0.7 * c(w1,w2)/c(w1) + 0.3 * p_addone_unigram(w2),
+    trained on the corpus itself (Jelinek-Mercer interpolation with a
+    fixed lambda — the standard count-based LM quality filter; every
+    corpus bigram is seen in training, so the bigram term never
+    vanishes and the unigram term keeps probabilities smooth).
+
+    Same portable-determinism discipline as perplexity_unigram: each
+    bigram's ln p rounds ONCE to a scaled BIGINT (logp_e6), the
+    per-doc aggregate is an exact integer sum, and only the final
+    per-doc division is floating point. Plan at 100 TB: one token
+    explode (unigram vocab shuffle), one scan-side bigram enumeration
+    feeding the bigram-vocab shuffle (partial-aggregated, keyed by
+    pair), the vocab-sized log-prob table joins back on the pair key,
+    and the per-doc aggregate shuffles (doc, pair) count rows — never
+    raw text, never all-pairs. Docs with < 2 tokens have no bigram
+    events and drop out on both engines."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.expr(
+            "filter(split(lower(trim(text)), '\\\\s+'),"
+            " x -> length(x) > 0)"
+        ).alias("l"),
+    )
+    tk = t.select("doc_id", F.explode("l").alias("tok"))
+    vocab = tk.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = vocab.agg(F.sum("c").alias("total"), F.count("*").alias("v"))
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(l) < 2 THEN"
+                " CAST(array() AS array<struct<w1:string,w2:string>>)"
+                " ELSE transform(sequence(1, size(l) - 1), i ->"
+                " struct(element_at(l, i) AS w1,"
+                " element_at(l, i + 1) AS w2)) END"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bgv = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    u1 = vocab.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = vocab.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    lp_bi = (
+        bgv.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    F.lit(0.7)
+                    * F.col("c12").cast("double")
+                    / F.col("c1").cast("double")
+                    + F.lit(0.3)
+                    * (F.col("c2").cast("double") + F.lit(1.0))
+                    / (
+                        F.col("total").cast("double")
+                        + F.col("v").cast("double")
+                    )
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("bigint")
+            .alias("logp_e6"),
+        )
+    )
+    dbt = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("n"))
+    return (
+        dbt.join(lp_bi, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_bigrams"),
+            F.round(
+                -F.sum(F.col("n") * F.col("logp_e6")).cast("double")
+                / F.sum("n").cast("double")
+                / F.lit(100.0)
+            )
+            .cast("bigint")
+            .alias("nll_per_bigram_e4"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,38 @@
+"""dedup_repeated_ngram_spans semantics on a hand-built corpus where
+the covered-position sets are computable by eye: shared 8-gram spans
+mark their positions in BOTH docs; unique text contributes nothing;
+short docs (< 8 tokens) produce no grams."""
+
+from __future__ import annotations
+
+from local_stream_stack_spark.queries import QUERIES
+
+
+def test_repeated_span_coverage(spark, tmp_path):
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 toks
+    rows = [
+        # doc 0 and 1 share the 8-token run at different offsets
+        (0, f"{shared} unique0 tail0 end0"),
+        (1, f"lead1 start1 {shared} tail1"),
+        # doc 2: entirely unique, long enough for grams
+        (2, "one two three four five six seven eight nine ten"),
+        # doc 3: too short for any 8-gram
+        (3, "tiny doc"),
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["dedup_repeated_ngram_spans"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(out) == {0, 1, 2, 3}
+    # docs 0/1: exactly the 8 shared positions are covered
+    assert out[0]["n_tokens"] == 11 and out[0]["n_dup_positions"] == 8
+    assert out[1]["n_tokens"] == 11 and out[1]["n_dup_positions"] == 8
+    assert out[0]["dup_frac_e6"] == 8 * 1000000 // 11
+    # unique and short docs: zero coverage
+    assert out[2]["n_dup_positions"] == 0
+    assert out[3]["n_dup_positions"] == 0 and out[3]["n_tokens"] == 2
