@@ -72,6 +72,10 @@ MEASURED = [
     "tfidf_top_terms",
     "perplexity_unigram",
     "multimodal_png_decode",
+    "bpe_train_merges",
+    "bpe_vocab_counts",
+    "dedup_repeated_ngram_spans",
+    "perplexity_bigram_interp",
 ]
 
 
