@@ -103,6 +103,7 @@ EXTENDED = [
     "bpe_vocab_counts",
     "dedup_repeated_ngram_spans",
     "perplexity_bigram_interp",
+    "sim_ivfpq_topk",
 ]
 
 

@@ -127,6 +127,49 @@ def _merge_update(
     return out
 
 
+def kmeans_lloyd_centroids(
+    vectors: DataFrame,
+    k: int,
+    iterations: int,
+    materialize_input: bool = True,
+) -> list[Centroid]:
+    """The trained centroid list itself (driver-side, k x dim
+    bounded) — the coarse-quantizer form consumed by IVF/IVF-PQ cell
+    assignment. Same fused protocol as ``kmeans_lloyd_quantized``
+    (which wraps this and adds the stats pass)."""
+    if materialize_input:
+        vectors = vectors.localCheckpoint(eager=True)
+    seed_rows = (
+        vectors.withColumn("__h", F.md5(F.col("id").cast("string")))
+        .orderBy("__h", "id")
+        .limit(k)
+        .select("__h", "id", "x")
+        .collect()
+    )
+    seed_rows.sort(key=lambda r: (r["__h"], r["id"]))
+    cents: list[Centroid] = [
+        (i, [int(v) for v in r["x"]]) for i, r in enumerate(seed_rows)
+    ]
+    for _ in range(iterations):
+        if not cents:
+            break
+        best = _argmin_struct("x", cents)
+        upd_rows = (
+            vectors.select(best["c"].alias("c"), "x")
+            .select("c", F.posexplode("x").alias("pos", "xv"))
+            .groupBy("c", "pos")
+            .agg(F.sum("xv").alias("s"), F.count("*").alias("n"))
+            .select(
+                "c",
+                "pos",
+                F.expr("(2 * s + n) div (2 * n)").cast("bigint").alias("mi"),
+            )
+            .collect()
+        )
+        cents = _merge_update(cents, upd_rows)
+    return cents
+
+
 def kmeans_lloyd_quantized(
     vectors: DataFrame,
     k: int = 4,
@@ -150,19 +193,9 @@ def kmeans_lloyd_quantized(
     for the driver-side-centroid contract."""
     if materialize_input:
         vectors = vectors.localCheckpoint(eager=True)
-    # deterministic seeds: distributed top-k on the md5 permutation
-    # (TakeOrderedAndProject), re-sorted driver-side for stability
-    seed_rows = (
-        vectors.withColumn("__h", F.md5(F.col("id").cast("string")))
-        .orderBy("__h", "id")
-        .limit(k)
-        .select("__h", "id", "x")
-        .collect()
+    cents = kmeans_lloyd_centroids(
+        vectors, k, iterations, materialize_input=False
     )
-    seed_rows.sort(key=lambda r: (r["__h"], r["id"]))
-    cents: list[Centroid] = [
-        (i, [int(v) for v in r["x"]]) for i, r in enumerate(seed_rows)
-    ]
     if not cents:
         # empty corpus: no seeds, no clusters — typed empty result
         # (an empty literal codebook would not even analyze)
@@ -171,25 +204,6 @@ def kmeans_lloyd_quantized(
             "cluster int, n_members bigint, centroid_l1 bigint,"
             " inertia bigint",
         )
-
-    for _ in range(iterations):
-        best = _argmin_struct("x", cents)
-        # two-step select: mixing a struct-field access with a
-        # multi-alias generator (posexplode) in ONE select loses the
-        # literal struct's field names in Spark 4's analyzer
-        upd_rows = (
-            vectors.select(best["c"].alias("c"), "x")
-            .select("c", F.posexplode("x").alias("pos", "xv"))
-            .groupBy("c", "pos")
-            .agg(F.sum("xv").alias("s"), F.count("*").alias("n"))
-            .select(
-                "c",
-                "pos",
-                F.expr("(2 * s + n) div (2 * n)").cast("bigint").alias("mi"),
-            )
-            .collect()
-        )
-        cents = _merge_update(cents, upd_rows)
 
     best = _argmin_struct("x", cents)
     stats = (

@@ -1917,6 +1917,368 @@ def _pq_oracle_sql(
     return "".join(sql)
 
 
+def _ivfpq_oracle_sql(
+    k_coarse: int = 8,
+    coarse_iters: int = 2,
+    m_sub: int = 8,
+    k_pq: int = 16,
+    dim: int = 64,
+    sample: int = 4096,
+    nprobe: int = 2,
+) -> str:
+    """Unrolled IVF-PQ oracle: coarse Lloyd over full-dim vectors,
+    cell assignment, SHIFTED integer residuals (+2e6 keeps the
+    round-half-up centroid-update idiom on non-negative ints), one
+    grouped Lloyd round on residual subvectors, full-corpus encode,
+    per-(query, probed-cell) ADC lookup tables, and the probed
+    compressed-domain scan. MATERIALIZED CTEs: the chain references
+    ev/cm*/resid many times and DuckDB inlines CTEs by default."""
+    dsub = dim // m_sub
+    sql = [
+        f"""
+    WITH nrm AS (
+      SELECT vec_id,
+             sqrt(list_reduce(list_transform(embedding,
+                    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+                  (a, b) -> a + b)) AS nn
+      FROM embeddings
+    ),
+    ev AS MATERIALIZED (
+      SELECT e.vec_id, i.i AS j,
+             CAST(FLOOR(CAST(e.embedding[i.i + 1] AS DOUBLE) / n.nn
+                        * 1000000) AS BIGINT) + 1000000 AS x
+      FROM embeddings e JOIN nrm n ON n.vec_id = e.vec_id,
+           generate_series(0, {dim - 1}) i(i)
+    ),
+    cs AS (
+      SELECT vec_id, rn - 1 AS c FROM (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM embeddings) t
+      WHERE rn <= {k_coarse}
+    ),
+    cm0 AS MATERIALIZED (
+      SELECT s.c, e.j, e.x AS m FROM cs s JOIN ev e ON e.vec_id = s.vec_id
+    )"""
+    ]
+    prev = "cm0"
+    for t in range(1, coarse_iters + 1):
+        sql.append(
+            f""",
+    cd{t} AS (
+      SELECT e.vec_id, m.c, SUM((e.x - m.m) * (e.x - m.m)) AS d
+      FROM ev e JOIN {prev} m ON m.j = e.j
+      GROUP BY e.vec_id, m.c
+    ),
+    ca{t} AS (
+      SELECT vec_id, c FROM (
+        SELECT vec_id, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+        FROM cd{t}) t
+      WHERE rn = 1
+    ),
+    cu{t} AS (
+      SELECT a.c, e.j, SUM(e.x) AS s, COUNT(*) AS n
+      FROM ca{t} a JOIN ev e ON e.vec_id = a.vec_id
+      GROUP BY a.c, e.j
+    ),
+    cm{t} AS MATERIALIZED (
+      SELECT p.c, p.j,
+             CAST(COALESCE((2 * u.s + u.n) // (2 * u.n), p.m)
+                  AS BIGINT) AS m
+      FROM {prev} p
+      LEFT JOIN cu{t} u ON u.c = p.c AND u.j = p.j
+    )"""
+        )
+        prev = f"cm{t}"
+    sql.append(
+        f""",
+    cdE AS (
+      SELECT e.vec_id, m.c, SUM((e.x - m.m) * (e.x - m.m)) AS d
+      FROM ev e JOIN {prev} m ON m.j = e.j
+      GROUP BY e.vec_id, m.c
+    ),
+    cells AS MATERIALIZED (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+        FROM cdE) t
+      WHERE rn = 1
+    ),
+    resid AS MATERIALIZED (
+      SELECT e.vec_id, cl.cell, (e.j // {dsub}) AS g, (e.j % {dsub}) AS jj,
+             e.x - m.m + 2000000 AS r
+      FROM ev e
+      JOIN cells cl ON cl.vec_id = e.vec_id
+      JOIN {prev} m ON m.c = cl.cell AND m.j = e.j
+    ),
+    smp AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM embeddings) t
+      WHERE rn <= {sample}
+    ),
+    pseeds AS (
+      SELECT vec_id, rn - 1 AS c FROM (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM smp) t
+      WHERE rn <= {k_pq}
+    ),
+    pm0 AS MATERIALIZED (
+      SELECT r.g, s.c, r.jj, r.r AS m
+      FROM pseeds s JOIN resid r ON r.vec_id = s.vec_id
+    ),
+    pd1 AS (
+      SELECT r.vec_id, r.g, m.c, SUM((r.r - m.m) * (r.r - m.m)) AS d
+      FROM resid r
+      JOIN pm0 m ON m.g = r.g AND m.jj = r.jj
+      JOIN smp s ON s.vec_id = r.vec_id
+      GROUP BY r.vec_id, r.g, m.c
+    ),
+    pa1 AS (
+      SELECT vec_id, g, c FROM (
+        SELECT vec_id, g, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, g
+                                  ORDER BY d, c) AS rn
+        FROM pd1) t
+      WHERE rn = 1
+    ),
+    pu1 AS (
+      SELECT a.g, a.c, r.jj, SUM(r.r) AS s, COUNT(*) AS n
+      FROM pa1 a JOIN resid r ON r.vec_id = a.vec_id AND r.g = a.g
+      GROUP BY a.g, a.c, r.jj
+    ),
+    pm1 AS MATERIALIZED (
+      SELECT p.g, p.c, p.jj,
+             CAST(COALESCE((2 * u.s + u.n) // (2 * u.n), p.m)
+                  AS BIGINT) AS m
+      FROM pm0 p
+      LEFT JOIN pu1 u ON u.g = p.g AND u.c = p.c AND u.jj = p.jj
+    ),
+    pdE AS (
+      SELECT r.vec_id, r.g, m.c, SUM((r.r - m.m) * (r.r - m.m)) AS d
+      FROM resid r JOIN pm1 m ON m.g = r.g AND m.jj = r.jj
+      GROUP BY r.vec_id, r.g, m.c
+    ),
+    codes AS MATERIALIZED (
+      SELECT vec_id, g, c FROM (
+        SELECT vec_id, g, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, g
+                                  ORDER BY d, c) AS rn
+        FROM pdE) t
+      WHERE rn = 1
+    ),
+    qd AS (
+      SELECT q.vec_id AS query_id, m.c AS cell,
+             SUM((q.x - m.m) * (q.x - m.m)) AS d
+      FROM ev q JOIN {prev} m ON m.j = q.j
+      WHERE q.vec_id < 5
+      GROUP BY q.vec_id, m.c
+    ),
+    probes AS MATERIALIZED (
+      SELECT query_id, cell FROM (
+        SELECT query_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY d, cell) AS rn
+        FROM qd) t
+      WHERE rn <= {nprobe}
+    ),
+    qresid AS MATERIALIZED (
+      SELECT p.query_id, p.cell, (q.j // {dsub}) AS g, (q.j % {dsub}) AS jj,
+             q.x - m.m + 2000000 AS r
+      FROM probes p
+      JOIN ev q ON q.vec_id = p.query_id
+      JOIN {prev} m ON m.c = p.cell AND m.j = q.j
+    ),
+    lut AS MATERIALIZED (
+      SELECT qr.query_id, qr.cell, qr.g, m.c,
+             SUM((qr.r - m.m) * (qr.r - m.m)) AS d
+      FROM qresid qr JOIN pm1 m ON m.g = qr.g AND m.jj = qr.jj
+      GROUP BY qr.query_id, qr.cell, qr.g, m.c
+    ),
+    adc AS (
+      SELECT l.query_id, cd.vec_id AS corpus_id,
+             CAST(SUM(l.d) AS BIGINT) AS adc_dist
+      FROM codes cd
+      JOIN cells cl ON cl.vec_id = cd.vec_id
+      JOIN lut l ON l.cell = cl.cell AND l.g = cd.g AND l.c = cd.c
+      GROUP BY l.query_id, cd.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, corpus_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, corpus_id) AS rk
+      FROM adc WHERE corpus_id <> query_id
+    )
+    SELECT query_id, corpus_id, adc_dist, rk
+    FROM ranked WHERE rk <= 10
+    ORDER BY query_id, rk
+    """
+    )
+    return "".join(sql)
+
+
+@query("sim_ivfpq_topk", oracle=_ivfpq_oracle_sql())
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN — the tier the per-family queries promise
+    to compose into at corpus scale, now registered: a coarse IVF
+    quantizer (8 cells, fused integer Lloyd) partitions the corpus;
+    every vector is PQ-encoded on its SHIFTED RESIDUAL to its cell
+    centroid (8 subspaces x 16 codes, one grouped Lloyd round on a
+    deterministic <=4096 sample); queries probe their 2 nearest cells
+    and score candidates in the compressed domain via per-(query,
+    cell) ADC lookup tables — distances accumulate over codes, never
+    raw vectors. This is the FAISS IVFADC layout (public algorithm),
+    expressed as: driver-carried centroids (bounded collects),
+    scan-side literal argmin for cell assignment AND encode (zero
+    extra shuffle), broadcast LUT join, one (cell, g, c)-keyed
+    candidate join bounded by probed-cell mass — at 100 TB the scan
+    touches nprobe/k_coarse of the corpus and only code columns.
+
+    Integer-exact end to end: residuals shift by +2e6 so the
+    round-half-up update idiom stays on non-negative ints; the
+    unrolled oracle replays coarse training, residual encode, probe
+    selection, and the ADC scan bit-for-bit."""
+    from local_stream_stack_spark.operators.clustering import (
+        _argmin_struct,
+        _argmin_struct_grouped,
+        _books_array_sql,
+        _sqdist,
+        books_to_df,
+        kmeans_lloyd_centroids,
+        kmeans_lloyd_grouped_books,
+        quantize_vectors_normalized,
+    )
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "embeddings")
+    nv = quantize_vectors_normalized(e, "vec_id", "embedding").localCheckpoint(
+        eager=True
+    )
+    cents = kmeans_lloyd_centroids(
+        nv, k=8, iterations=2, materialize_input=False
+    )
+    out_schema = (
+        "query_id bigint, corpus_id bigint, adc_dist bigint, rk int"
+    )
+    if not cents:
+        return spark.createDataFrame([], out_schema)
+    cmap_sql = "map(" + ", ".join(
+        f"{c}, array({', '.join(str(int(v)) + 'L' for v in m)})"
+        for c, m in cents
+    ) + ")"
+    best = _argmin_struct("x", cents)
+    resid = nv.select(
+        "id", "x", best["c"].alias("cell")
+    ).select(
+        "id",
+        "cell",
+        F.expr(
+            f"zip_with(x, element_at({cmap_sql}, cell),"
+            " (a, b) -> a - b + 2000000L)"
+        ).alias("r"),
+    )
+    dsub = 8
+    sub = resid.select(
+        "id",
+        "cell",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(g).alias("g"),
+                        F.slice("r", g * dsub + 1, dsub).alias("xs"),
+                    )
+                    for g in range(8)
+                ]
+            )
+        ).alias("s"),
+    ).select(
+        "id", "cell", F.col("s.g").alias("g"), F.col("s.xs").alias("x")
+    ).localCheckpoint(eager=True)
+    sample_ids = (
+        sub.filter(F.col("g") == 0)
+        .withColumn("__h", F.md5(F.col("id").cast("string")))
+        .orderBy("__h", "id")
+        .limit(4096)
+        .select("id")
+    )
+    train = sub.select("g", "id", "x").join(F.broadcast(sample_ids), "id")
+    books = kmeans_lloyd_grouped_books(
+        train, k=16, iterations=1, materialize_input=True
+    )
+    if not books:
+        return spark.createDataFrame([], out_schema)
+    bestg = _argmin_struct_grouped("x", "g", books)
+    codes = sub.select(
+        F.col("id").alias("corpus_id"), "cell", "g", bestg["c"].alias("c")
+    )
+    # probe: top-nprobe cells per query, scan-side against the same
+    # literal coarse codebook (sorted struct array, sliced)
+    d_sql = (
+        "aggregate(zip_with(x, cb.m, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+    probes = F.expr(
+        f"slice(array_sort(transform({_books_array_sql(cents)},"
+        f" cb -> named_struct('d', {d_sql}, 'c', cb.c))), 1, 2)"
+    )
+    qp = (
+        nv.filter(F.col("id") < 5)
+        .select(F.col("id").alias("query_id"), "x", probes.alias("ps"))
+        .select("query_id", "x", F.explode("ps").alias("p"))
+        .select("query_id", "x", F.col("p.c").alias("cell"))
+    )
+    qsub = qp.select(
+        "query_id",
+        "cell",
+        F.expr(
+            f"zip_with(x, element_at({cmap_sql}, cell),"
+            " (a, b) -> a - b + 2000000L)"
+        ).alias("r"),
+    ).select(
+        "query_id",
+        "cell",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(g).alias("g"),
+                        F.slice("r", g * dsub + 1, dsub).alias("xs"),
+                    )
+                    for g in range(8)
+                ]
+            )
+        ).alias("s"),
+    ).select(
+        "query_id", "cell", F.col("s.g").alias("g"), F.col("s.xs").alias("x")
+    )
+    lut = qsub.join(F.broadcast(books_to_df(spark, books)), "g").select(
+        "query_id",
+        "cell",
+        "g",
+        "c",
+        _sqdist(F.col("x"), F.col("m")).alias("d"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("corpus_id")
+    )
+    return (
+        codes.join(F.broadcast(lut), ["cell", "g", "c"])
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .groupBy("query_id", "corpus_id")
+        .agg(F.sum("d").cast("bigint").alias("adc_dist"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .orderBy("query_id", "rk")
+    )
+
+
 @query("sim_pq_topk", oracle=_pq_oracle_sql())
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (PQ8x16 + ADC scan): train per-subspace

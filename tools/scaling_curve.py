@@ -76,6 +76,7 @@ MEASURED = [
     "bpe_vocab_counts",
     "dedup_repeated_ngram_spans",
     "perplexity_bigram_interp",
+    "sim_ivfpq_topk",
 ]
 
 
