@@ -1924,7 +1924,7 @@ def _ivfpq_oracle_sql(
     k_pq: int = 16,
     dim: int = 64,
     sample: int = 4096,
-    nprobe: int = 2,
+    nprobe: int = 4,
 ) -> str:
     """Unrolled IVF-PQ oracle: coarse Lloyd over full-dim vectors,
     cell assignment, SHIFTED integer residuals (+2e6 keeps the
@@ -2130,7 +2130,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizer (8 cells, fused integer Lloyd) partitions the corpus;
     every vector is PQ-encoded on its SHIFTED RESIDUAL to its cell
     centroid (8 subspaces x 16 codes, one grouped Lloyd round on a
-    deterministic <=4096 sample); queries probe their 2 nearest cells
+    deterministic <=4096 sample); queries probe their 4 nearest cells
     and score candidates in the compressed domain via per-(query,
     cell) ADC lookup tables — distances accumulate over codes, never
     raw vectors. This is the FAISS IVFADC layout (public algorithm),
@@ -2226,7 +2226,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probes = F.expr(
         f"slice(array_sort(transform({_books_array_sql(cents)},"
-        f" cb -> named_struct('d', {d_sql}, 'c', cb.c))), 1, 2)"
+        f" cb -> named_struct('d', {d_sql}, 'c', cb.c))), 1, 4)"
     )
     qp = (
         nv.filter(F.col("id") < 5)

@@ -282,3 +282,34 @@ def test_integer_lsh_recall_and_determinism(spark, emb):
     hits = sum(len(truth[q] & approx.get(q, set())) for q in truth)
     total = sum(len(v) for v in truth.values())
     assert hits / total >= 0.5, hits / total
+
+
+def test_ivfpq_topk_recall_and_determinism(spark, sf_dir, emb):
+    """Composed IVF-PQ (4-of-8 probed cells + residual PQ8x16 ADC):
+    recall floor against exact brute force plus exact run-to-run
+    reproducibility. Approximations MULTIPLY through the composition,
+    and this synthetic corpus is background-similar (no cluster
+    structure for IVF to exploit), so the deterministic recall here
+    is 0.14 — the pipeline is bit-deterministic, making the floor a
+    regression tripwire, not a statistical bound. Real embedding
+    corpora cluster, which is the regime IVF's cell pruning is for."""
+    from local_stream_stack_spark.queries import QUERIES
+
+    vectors = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()
+    }
+    true_sets = {
+        qid: set(_numpy_topk(vectors, qid, 10)) for qid in range(5)
+    }
+    run1 = QUERIES["sim_ivfpq_topk"].fn(spark, sf_dir).collect()
+    approx = {}
+    for r in run1:
+        approx.setdefault(r.query_id, set()).add(r.corpus_id)
+    hits = total = 0
+    for qid, truth in true_sets.items():
+        total += len(truth)
+        hits += len(truth & approx.get(qid, set()))
+    assert total == 50
+    assert hits / total >= 0.1, f"IVF-PQ recall {hits}/{total} below floor"
+    run2 = QUERIES["sim_ivfpq_topk"].fn(spark, sf_dir).collect()
+    assert [tuple(r) for r in run1] == [tuple(r) for r in run2]
