@@ -46,6 +46,13 @@ REPRESENTATIVE = [
     "pipe_syntax_revenue",       # SQL pipe syntax
     "sql_udf_netprice",          # SQL-defined UDF
     "triangle_count",            # 3-way self join (1 row of zeros)
+    # round-6 families
+    "multimodal_png_decode",     # real-codec mapInPandas
+    "bpe_train_merges",          # iterative training (no pairs)
+    "bpe_vocab_counts",          # encode over empty vocab
+    "dedup_repeated_ngram_spans",  # gram inverted index
+    "perplexity_bigram_interp",  # bigram LM (no bigram events)
+    "sim_ivfpq_topk",            # composed ANN (empty seeds/books)
 ]
 
 

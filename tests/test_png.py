@@ -158,3 +158,23 @@ def test_extract_features_real_png_dims(spark):
     row = extract_features(df).collect()[0]
     assert (row["width"], row["height"]) == (5, 3)
     assert row["n_bytes"] == len(payload)
+
+
+# -- property pins (hypothesis) ---------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=21),
+    h=st.integers(min_value=1, max_value=17),
+    ch=st.sampled_from([1, 3, 4]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_roundtrip_property(w, h, ch, seed):
+    rng = random.Random(seed)
+    px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+    ww, hh, cc, out = decode_png(encode_png(w, h, px, ch))
+    assert (ww, hh, cc) == (w, h, ch)
+    assert bytes(out) == px
