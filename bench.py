@@ -104,6 +104,7 @@ EXTENDED = [
     "dedup_repeated_ngram_spans",
     "perplexity_bigram_interp",
     "sim_ivfpq_topk",
+    "sessionize_events_chunked",
 ]
 
 

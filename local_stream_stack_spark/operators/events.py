@@ -152,3 +152,78 @@ def sessionize(
     return df.withColumn("__new", new_session).withColumn(
         "session_id", F.sum("__new").over(run).cast("bigint")
     ).drop("__new")
+
+
+def sessionize_chunked(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_us: int = 30 * 60 * 1_000_000,
+    chunk_us: int = 6 * 3600 * 1_000_000,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Skew-robust sessionization: identical SESSIONS to ``sessionize``
+    (round-6 skew experiment, SCALE.md: a 90%-hot-user corpus slowed
+    the plain per-key window 1.5-1.65x because a window partition
+    cannot split), computed in two levels so no task ever sorts one
+    key's full history:
+
+    1. events sessionize WITHIN (key, time-chunk) — the hot key's
+       stream splits across chunk partitions, bounding task input by
+       events-per-chunk;
+    2. the per-chunk SESSION SUMMARIES (disjoint [start, end]
+       intervals, already ordered by time) re-run the same
+       gaps-and-islands per key and merge across chunk boundaries —
+       level-2 row count is sessions + chunk splits, typically orders
+       of magnitude below events (the production hot key is a dense
+       bot: many events, few sessions).
+
+    Equivalence argument (pinned in tests/test_events_ops.py):
+    sessions are maximal runs with inter-event gap <= G; level-1 can
+    only over-split at chunk boundaries, and for adjacent-by-start
+    summaries A, B the inter-session event gap is exactly
+    B.start - A.end, so the level-2 pass merges precisely the
+    boundary splits. Equal timestamps always share a chunk, so
+    level-2 start ordering is unambiguous.
+
+    Returns one row per (key, session_id): n_events,
+    session_start_us, session_end_us — ``session_id`` numbered by
+    session start, matching ``sessionize``'s per-key numbering.
+    """
+    from local_stream_stack_spark.utils.ts import epoch_us
+
+    order_cols = ["__us"] + ([order_tiebreak] if order_tiebreak else [])
+    ev = df.withColumn("__us", epoch_us(ts)).withColumn(
+        "__chunk", F.floor(F.col("__us") / F.lit(chunk_us))
+    )
+    w1 = Window.partitionBy(key, "__chunk").orderBy(*order_cols)
+    run1 = w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev1 = F.lag("__us").over(w1)
+    new1 = F.when(
+        prev1.isNull() | (F.col("__us") - prev1 > F.lit(gap_us)), F.lit(1)
+    ).otherwise(F.lit(0))
+    lvl1 = (
+        ev.withColumn("__s1", F.sum(new1).over(run1))
+        .groupBy(key, "__chunk", "__s1")
+        .agg(
+            F.count("*").alias("__n"),
+            F.min("__us").alias("__start"),
+            F.max("__us").alias("__end"),
+        )
+    )
+    w2 = Window.partitionBy(key).orderBy("__start")
+    run2 = w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_end = F.lag("__end").over(w2)
+    new2 = F.when(
+        prev_end.isNull() | (F.col("__start") - prev_end > F.lit(gap_us)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        lvl1.withColumn("session_id", F.sum(new2).over(run2).cast("bigint"))
+        .groupBy(key, "session_id")
+        .agg(
+            F.sum("__n").alias("n_events"),
+            F.min("__start").alias("session_start_us"),
+            F.max("__end").alias("session_end_us"),
+        )
+    )

@@ -267,6 +267,70 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sessionize_events_chunked",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           CAST(epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS BIGINT) AS session_start_us,
+           CAST(epoch_us(CAST(MAX(ts) AS TIMESTAMP)) AS BIGINT) AS session_end_us
+    FROM numbered
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def sessionize_events_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKEW-ROBUST sessionization — the same sessions as
+    ``sessionize_events`` (the oracle is LITERALLY the plain
+    sessionize SQL: equality with unchunked semantics IS the
+    correctness claim) computed without ever sorting one user's full
+    history in one task: gaps-and-islands within (user, 6-hour chunk)
+    first, then the identical pass over the per-chunk session
+    summaries merges boundary splits (operators/events.py
+    ``sessionize_chunked`` — equivalence argument there, measured
+    skew motivation in SCALE.md). At 100 TB this is the sessionizer
+    you run when per-key history is unbounded (bots, service
+    accounts): level-1 task input is bounded by events-per-chunk, and
+    the residual per-key window runs on session summaries, orders of
+    magnitude smaller."""
+    from local_stream_stack_spark.operators.events import sessionize_chunked
+
+    e = _events(spark, sf_dir)
+    return (
+        sessionize_chunked(
+            e,
+            key="user_id",
+            ts="ts",
+            gap_us=30 * 60 * 1_000_000,
+            chunk_us=6 * 3600 * 1_000_000,
+            order_tiebreak="event_id",
+        )
+        .select(
+            "user_id",
+            "session_id",
+            "n_events",
+            "session_start_us",
+            "session_end_us",
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query(
     "tumbling_window_agg",
     oracle="""
     SELECT CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 3600) * 3600 AS BIGINT) AS window_start_s,

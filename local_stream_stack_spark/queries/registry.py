@@ -252,10 +252,15 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
 # BEGIN CHANGED_SINCE_GREEN (auto-generated)
 CHANGED_SINCE_GREEN: frozenset[str] = frozenset(
     {
+        "asof_join_events",
+        "asof_join_tolerance",
         "bm25_rank",
         "cdc_merge_summary",
         "chunk_documents",
         "clean_text_scrub",
+        "cms_heavy_hitters",
+        "cohort_retention",
+        "compaction_tombstone",
         "corpus_stats_by_lang",
         "curation_downsample",
         "curation_pipeline",
@@ -266,6 +271,7 @@ CHANGED_SINCE_GREEN: frozenset[str] = frozenset(
         "dedup_containment",
         "dedup_embedding_cosine",
         "dedup_exact",
+        "dedup_keys",
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
         "dedup_simhash",
@@ -276,11 +282,19 @@ CHANGED_SINCE_GREEN: frozenset[str] = frozenset(
         "embedding_matryoshka_mass",
         "embedding_norms",
         "embedding_quantize_int8",
+        "event_gap_quantiles",
+        "ewma_latest_per_user",
+        "funnel_stages",
         "fuzzy_name_match",
+        "gap_fill_locf",
+        "interpolate_linear",
+        "interval_join_peak_windows",
         "inverted_index",
         "kmeans_embeddings",
+        "kmv_distinct_rollup",
         "label_centroids",
         "lang_id",
+        "latest_per_key",
         "mad_outliers",
         "multimodal_binary_meta",
         "multimodal_features",
@@ -290,28 +304,37 @@ CHANGED_SINCE_GREEN: frozenset[str] = frozenset(
         "partitioned_roundtrip_docs",
         "perplexity_unigram",
         "price_decile_assign",
+        "range_join_views_before_purchase",
         "repetition_ratio",
+        "rollup_time_hierarchy",
         "sample_per_group",
+        "scd2_history",
         "semantic_dedup_components",
         "semantic_dedup_lsh_components",
+        "session_window_agg",
+        "sessionize_events",
         "shuffle_deterministic",
         "sim_bruteforce_topk",
         "sim_ivf_topk",
         "sim_lsh_topk",
         "sim_pq_topk",
         "skew_diagnostics",
+        "sliding_window_agg",
         "source_char_budget",
         "stratified_sample_sources",
         "text_stats",
         "tfidf_top_terms",
+        "time_weighted_avg",
         "token_drift_kl",
         "token_estimate_bpe",
         "token_pmi_collocations",
         "top_tokens_per_lang",
         "train_test_split",
         "triangle_count",
+        "tumbling_window_agg",
         "unicode_nfc_normalize",
         "weighted_sample",
+        "zscore_outliers",
     }
 )
 # END CHANGED_SINCE_GREEN

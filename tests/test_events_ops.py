@@ -91,3 +91,69 @@ def test_sessionize_islands(spark):
     assert sessions[(1, 0)] == 1 and sessions[(1, 10)] == 1
     assert sessions[(1, 50)] == 2
     assert sessions[(2, 5)] == 1
+
+
+def test_sessionize_chunked_equals_plain(spark):
+    """Chunked sessionization must produce BIT-IDENTICAL sessions to
+    the plain per-key window, including across chunk boundaries:
+    sessions spanning 2+ chunks, boundary gaps exactly at/over the
+    threshold, multi-chunk-spanning dense runs, and an idle chunk in
+    the middle."""
+    from datetime import datetime, timedelta
+
+    from local_stream_stack_spark.operators.events import (
+        sessionize,
+        sessionize_chunked,
+    )
+    import pyspark.sql.functions as F
+    from local_stream_stack_spark.utils.ts import epoch_us
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+
+    def ev(user, minutes):
+        nonlocal eid
+        eid += 1
+        rows.append((user, base + timedelta(minutes=minutes), eid))
+
+    # user 1: dense run crossing the 360-min chunk boundary (10-min
+    # steps, gap 30 => ONE session spanning chunks)
+    for m in range(300, 420, 10):
+        ev(1, m)
+    # user 1: later isolated session
+    ev(1, 1000)
+    # user 2: events ending exactly 30 min before the next (gap == G
+    # keeps the session), then 31 min (gap > G splits), straddling a
+    # boundary
+    ev(2, 330)
+    ev(2, 360)
+    ev(2, 391)
+    # user 3: multi-chunk continuous activity (every 20 min for 20 h)
+    for m in range(0, 1200, 20):
+        ev(3, m)
+    # user 4: single event
+    ev(4, 50)
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_id bigint")
+
+    plain = (
+        sessionize(df, key="user_id", ts="ts", gap="INTERVAL 30 MINUTE",
+                   order_tiebreak="event_id")
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            epoch_us(F.min("ts")).alias("session_start_us"),
+            epoch_us(F.max("ts")).alias("session_end_us"),
+        )
+    )
+    chunked = sessionize_chunked(
+        df, key="user_id", ts="ts", gap_us=30 * 60 * 1_000_000,
+        chunk_us=6 * 3600 * 1_000_000, order_tiebreak="event_id",
+    ).select("user_id", "session_id", "n_events",
+             "session_start_us", "session_end_us")
+    a = sorted(tuple(r) for r in plain.collect())
+    b = sorted(tuple(r) for r in chunked.collect())
+    assert a == b
+    # sanity: user 3's 20-h run is one session in both
+    u3 = [r for r in a if r[0] == 3]
+    assert len(u3) == 1 and u3[0][2] == 60

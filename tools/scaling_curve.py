@@ -77,6 +77,7 @@ MEASURED = [
     "dedup_repeated_ngram_spans",
     "perplexity_bigram_interp",
     "sim_ivfpq_topk",
+    "sessionize_events_chunked",
 ]
 
 
