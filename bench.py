@@ -105,6 +105,7 @@ EXTENDED = [
     "perplexity_bigram_interp",
     "sim_ivfpq_topk",
     "sessionize_events_chunked",
+    "event_gap_quantiles_chunked",
 ]
 
 

@@ -157,3 +157,47 @@ def test_sessionize_chunked_equals_plain(spark):
     # sanity: user 3's 20-h run is one session in both
     u3 = [r for r in a if r[0] == 3]
     assert len(u3) == 1 and u3[0][2] == 60
+
+
+def test_lag_gaps_chunked_equals_plain(spark):
+    """Carrier-based chunked lag must reproduce the plain per-key lag
+    exactly: gaps across chunk boundaries, across an EMPTY middle
+    chunk, equal-timestamp runs, and NULL for each key's first event."""
+    from datetime import datetime, timedelta
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from local_stream_stack_spark.operators.events import lag_gaps_chunked
+    from local_stream_stack_spark.utils.ts import epoch_us
+
+    base = datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def ev(user, minutes):
+        nonlocal eid
+        eid += 1
+        rows.append((user, base + timedelta(minutes=minutes), eid))
+
+    for m in (350, 355, 365, 370):   # straddles the 360-min boundary
+        ev(1, m)
+    ev(1, 1500)                      # skips TWO whole chunks
+    ev(2, 10)
+    ev(2, 10)                        # equal timestamps, tiebreak path
+    ev(2, 800)
+    ev(3, 42)                        # single event -> NULL gap
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_id bigint"
+    ).select("user_id", "event_id", epoch_us("ts").alias("t_us"))
+
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    plain = df.withColumn("gap_us", F.col("t_us") - F.lag("t_us").over(w))
+    chunked = lag_gaps_chunked(
+        df, key="user_id", ts_us="t_us", order_tiebreak="event_id"
+    )
+    a = sorted(tuple(r) for r in plain.collect())
+    b = sorted(
+        tuple(r)
+        for r in chunked.select("user_id", "event_id", "t_us", "gap_us").collect()
+    )
+    assert a == b
