@@ -218,3 +218,89 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("md5_norm", F.md5(norm))
         .withColumn("hash64", F.xxhash64(norm))
     )
+
+
+# Stopword list for the Gopher-style document filter: must stay in
+# sync with the oracle SQL literal in queries/llm.py.
+QUALITY_STOPWORDS: list[str] = ["the", "a", "and", "of", "is", "to", "in", "it"]
+
+
+def quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style document quality flags (Rae et al. 2021, "Scaling
+    Language Models" §A1.1 quality heuristics), integer-exact.
+
+    Every rule is an INTEGER comparison (ratio thresholds become
+    cross-multiplications), so the flags are bit-stable across engines
+    and summation orders. All five signals are computed scan-side with
+    array HOFs — one pass, zero shuffles, zero Python; the repetition
+    signal (top word frequency) folds a sorted-run max over the
+    token array instead of an explode + groupBy, so the operator
+    stays a narrow map at any corpus size.
+
+    Rules (thresholds tuned to discriminate on the word-soup corpus;
+    the published Gopher bounds are noted inline):
+      ok_word_count    25 <= n_words <= 1000   (Gopher: 50..100k)
+      ok_mean_word_len 3 <= mean <= 10 chars   (Gopher: 3..10)
+      ok_alpha_words   >= 80% of words contain a letter (Gopher: 80%)
+      ok_stopwords     >= 2 stopword hits      (Gopher: >= 2 of a list)
+      ok_repetition    top word <= 20% of words (Gopher: top-2-gram cap)
+    """
+    toks = f"filter(split(trim({text_col}), ' +'), x -> x != '')"
+    stop_lit = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    run_max = f"""
+      aggregate(
+        array_sort({toks}),
+        named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+        (acc, x) -> named_struct(
+          'prev', x,
+          'run', IF(acc.prev <=> x, acc.run + 1, 1),
+          'best', GREATEST(acc.best, IF(acc.prev <=> x, acc.run + 1, 1))),
+        acc -> acc.best)
+    """
+    return (
+        df.withColumn("__toks", F.expr(toks))
+        .withColumn("n_words", F.size("__toks"))
+        .withColumn(
+            "__wc",
+            F.expr("aggregate(__toks, 0, (acc, x) -> acc + length(x))"),
+        )
+        .withColumn(
+            "__aw", F.expr("size(filter(__toks, x -> x rlike '[A-Za-z]'))")
+        )
+        .withColumn(
+            "__sh",
+            F.expr(f"size(filter(__toks, x -> lower(x) IN ({stop_lit})))"),
+        )
+        .withColumn("__mx", F.expr(run_max))
+        .withColumn(
+            "ok_word_count",
+            F.col("n_words").between(25, 1000).cast("int"),
+        )
+        .withColumn(
+            "ok_mean_word_len",
+            (
+                (F.col("__wc") >= 3 * F.col("n_words"))
+                & (F.col("__wc") <= 10 * F.col("n_words"))
+            ).cast("int"),
+        )
+        .withColumn(
+            "ok_alpha_words",
+            (5 * F.col("__aw") >= 4 * F.col("n_words")).cast("int"),
+        )
+        .withColumn("ok_stopwords", (F.col("__sh") >= 2).cast("int"))
+        .withColumn(
+            "ok_repetition",
+            (5 * F.col("__mx") <= F.col("n_words")).cast("int"),
+        )
+        .withColumn(
+            "keep",
+            (
+                F.col("ok_word_count")
+                * F.col("ok_mean_word_len")
+                * F.col("ok_alpha_words")
+                * F.col("ok_stopwords")
+                * F.col("ok_repetition")
+            ).cast("int"),
+        )
+        .drop("__toks", "__wc", "__aw", "__sh", "__mx")
+    )

@@ -3019,3 +3019,77 @@ def token_estimate_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "quality_filter_gopher",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(text, '[^ ]+') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             len(toks) AS nw,
+             COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+               AS wc,
+             len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+               AS aw,
+             len(list_filter(toks, x -> lower(x) IN
+               ('the','a','and','of','is','to','in','it'))) AS sh
+      FROM t
+    ),
+    m AS (
+      SELECT doc_id, MAX(cnt) AS mx FROM (
+        SELECT doc_id, tok, COUNT(*) AS cnt
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM t) u
+        GROUP BY doc_id, tok) c
+      GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(nw AS INT) AS n_words,
+           CAST(nw BETWEEN 25 AND 1000 AS INT) AS ok_word_count,
+           CAST(wc >= 3 * nw AND wc <= 10 * nw AS INT) AS ok_mean_word_len,
+           CAST(5 * aw >= 4 * nw AS INT) AS ok_alpha_words,
+           CAST(sh >= 2 AS INT) AS ok_stopwords,
+           CAST(5 * COALESCE(mx, 0) <= nw AS INT) AS ok_repetition,
+           CAST((nw BETWEEN 25 AND 1000)
+                AND wc >= 3 * nw AND wc <= 10 * nw
+                AND 5 * aw >= 4 * nw
+                AND sh >= 2
+                AND 5 * COALESCE(mx, 0) <= nw AS INT) AS keep
+    FROM s LEFT JOIN m USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document quality filter (Rae et al. 2021):
+    word-count bounds, mean-word-length bounds, alphabetic-word
+    fraction, stopword presence, and top-word repetition cap, plus
+    the AND-combined keep decision — the standard heuristic gate a
+    training pipeline runs before any model-based scoring.
+
+    All five rules are integer comparisons computed scan-side with
+    array HOFs in one narrow pass (no explode, no shuffle — the
+    repetition signal folds a sorted-run max over the token array),
+    so the filter runs at scan speed on any corpus size. The
+    reference's uppercase/identity transforms
+    (/root/reference/pyspark_stream/processors/base_processor.py)
+    are the per-record-transform surface this generalizes."""
+    from local_stream_stack_spark.operators.text import quality_flags
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        quality_flags(d, "text")
+        .select(
+            "doc_id",
+            "n_words",
+            "ok_word_count",
+            "ok_mean_word_len",
+            "ok_alpha_words",
+            "ok_stopwords",
+            "ok_repetition",
+            "keep",
+        )
+        .orderBy("doc_id")
+    )

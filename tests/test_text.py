@@ -112,3 +112,48 @@ def test_clean_text_strips_and_counts(spark):
     assert (rows[2].n_html, rows[2].n_urls, rows[2].n_emails) == (0, 0, 0)
     assert rows[2].clean == "plain prose only"
     assert rows[3].n_html == 4 and rows[3].clean == "nested"
+
+
+def test_quality_flags_gopher_rules(spark):
+    from local_stream_stack_spark.operators.text import quality_flags
+
+    good = "the quick brown fox jumps over a lazy dog and then " * 3
+    repeated = "the " + "spam " * 40 + "of it"
+    no_stop = "alpha beta gamma delta " * 10
+    df = spark.createDataFrame(
+        [
+            (1, good.strip()),
+            (2, repeated.strip()),
+            (3, no_stop.strip()),
+            (4, ""),
+            (5, "short doc only"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in quality_flags(df).collect()}
+
+    r1 = rows[1]
+    assert (
+        r1.ok_word_count,
+        r1.ok_mean_word_len,
+        r1.ok_alpha_words,
+        r1.ok_stopwords,
+        r1.keep,
+    ) == (1, 1, 1, 1, r1.ok_repetition)
+    # "the" appears 6x in 33 words -> under the 20% cap
+    assert r1.ok_repetition == 1 and r1.keep == 1
+
+    r2 = rows[2]
+    assert r2.ok_repetition == 0 and r2.keep == 0  # 40/43 "spam"
+
+    r3 = rows[3]
+    assert r3.ok_stopwords == 0 and r3.keep == 0
+
+    r4 = rows[4]
+    assert r4.n_words == 0
+    assert r4.ok_word_count == 0 and r4.keep == 0
+    # vacuous integer rules hold on the empty token array
+    assert r4.ok_mean_word_len == 1 and r4.ok_repetition == 1
+
+    r5 = rows[5]
+    assert r5.ok_word_count == 0 and r5.keep == 0
