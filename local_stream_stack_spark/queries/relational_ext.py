@@ -1097,3 +1097,127 @@ def try_arithmetic_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "regression_by_nation",
+    oracle="""
+    WITH base AS (
+      SELECT n_name AS nation,
+             CAST(ROUND(l_quantity * 100) AS BIGINT) AS xi,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS yi
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+    ),
+    agg AS (
+      SELECT nation, COUNT(*) AS n,
+             SUM(CAST(xi AS DECIMAL(18,0))) AS sx,
+             SUM(CAST(yi AS DECIMAL(18,0))) AS sy,
+             SUM(CAST(xi AS DECIMAL(18,0)) * CAST(xi AS DECIMAL(18,0)))
+               AS sxx,
+             SUM(CAST(xi AS DECIMAL(18,0)) * CAST(yi AS DECIMAL(18,0)))
+               AS sxy,
+             SUM(CAST(yi AS DECIMAL(18,0)) * CAST(yi AS DECIMAL(18,0)))
+               AS syy
+      FROM base GROUP BY nation
+    ),
+    d AS (
+      SELECT nation, n,
+             CAST(n AS DOUBLE) AS nd,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+             CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd,
+             CAST(syy AS DOUBLE) AS syyd
+      FROM agg
+    ),
+    s AS (
+      SELECT nation, n, nd, sxd, syd,
+             (nd * sxyd - sxd * syd)
+               / NULLIF(nd * sxxd - sxd * sxd, 0.0) AS slope,
+             (nd * sxyd - sxd * syd)
+               / NULLIF(SQRT(nd * sxxd - sxd * sxd)
+                        * SQRT(nd * syyd - syd * syd), 0.0) AS corr_xy
+      FROM d
+    )
+    SELECT nation,
+           CAST(n AS BIGINT) AS n_lineitems,
+           slope,
+           (syd - slope * sxd) / nd / 100.0 AS intercept,
+           corr_xy
+    FROM s
+    ORDER BY nation
+    """,
+)
+def regression_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped closed-form linear regression + correlation (price on
+    quantity per supplier nation) from exact decimal moment sums.
+
+    The five moments (Sx, Sy, Sxx, Sxy, Syy) accumulate as DECIMAL
+    products of cent-scaled BIGINTs - exact and order-independent, so
+    the slope/intercept/corr doubles derive from bit-identical inputs
+    in any engine and any partitioning (the float-aggregate
+    determinism rule; built-in regr_slope/corr accumulate doubles in
+    partition order and can hash-differ). One partial+final hash
+    aggregate after two broadcast dim joins; moment sums are the same
+    mergeable state regr_* keeps, so this is the scale plan too."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    base = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.expr("CAST(ROUND(l_quantity * 100) AS BIGINT)").alias("xi"),
+            F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias(
+                "yi"
+            ),
+        )
+    )
+    agg = base.groupBy("nation").agg(
+        F.count("*").alias("n"),
+        F.expr("SUM(CAST(xi AS DECIMAL(18,0)))").alias("sx"),
+        F.expr("SUM(CAST(yi AS DECIMAL(18,0)))").alias("sy"),
+        F.expr(
+            "SUM(CAST(xi AS DECIMAL(18,0)) * CAST(xi AS DECIMAL(18,0)))"
+        ).alias("sxx"),
+        F.expr(
+            "SUM(CAST(xi AS DECIMAL(18,0)) * CAST(yi AS DECIMAL(18,0)))"
+        ).alias("sxy"),
+        F.expr(
+            "SUM(CAST(yi AS DECIMAL(18,0)) * CAST(yi AS DECIMAL(18,0)))"
+        ).alias("syy"),
+    )
+    d = agg.select(
+        "nation",
+        "n",
+        F.expr("CAST(n AS DOUBLE)").alias("nd"),
+        F.expr("CAST(sx AS DOUBLE)").alias("sxd"),
+        F.expr("CAST(sy AS DOUBLE)").alias("syd"),
+        F.expr("CAST(sxx AS DOUBLE)").alias("sxxd"),
+        F.expr("CAST(sxy AS DOUBLE)").alias("sxyd"),
+        F.expr("CAST(syy AS DOUBLE)").alias("syyd"),
+    )
+    s2 = d.select(
+        "nation",
+        "n",
+        "nd",
+        "sxd",
+        "syd",
+        F.expr(
+            "(nd * sxyd - sxd * syd)"
+            " / NULLIF(nd * sxxd - sxd * sxd, 0.0)"
+        ).alias("slope"),
+        F.expr(
+            "(nd * sxyd - sxd * syd)"
+            " / NULLIF(SQRT(nd * sxxd - sxd * sxd)"
+            "          * SQRT(nd * syyd - syd * syd), 0.0)"
+        ).alias("corr_xy"),
+    )
+    return s2.select(
+        "nation",
+        F.col("n").cast("bigint").alias("n_lineitems"),
+        "slope",
+        F.expr("(syd - slope * sxd) / nd / 100.0").alias("intercept"),
+        "corr_xy",
+    ).orderBy("nation")

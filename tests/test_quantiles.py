@@ -118,3 +118,50 @@ def test_by_value_matches_bin_refinement(spark):
     for k in a:
         for x, y in zip(a[k], b[k]):
             assert abs(x - y) < 1e-9, (k, a[k], b[k])
+
+
+def test_regression_by_nation_matches_numpy(spark, tmp_path):
+    """The decimal-moment closed form must agree with numpy's least
+    squares / correlation on a crafted mini-warehouse."""
+    import numpy as np
+    import pandas as pd
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(300):
+        q = rng.randint(1, 50)
+        price = round(q * 1010.10 + rng.uniform(-500, 500), 2)
+        rows.append((i, i % 4 + 1, 1, q * 1.0, price, 0.0, 0.0, "N", "O"))
+    li = pd.DataFrame(
+        rows,
+        columns=[
+            "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+            "l_linestatus",
+        ],
+    )
+    li["l_linenumber"] = 1
+    li["l_shipdate"] = pd.Timestamp("2020-01-01")
+    sup = pd.DataFrame({"s_suppkey": [1], "s_nationkey": [0],
+                        "s_name": ["s"], "s_acctbal": [0.0]})
+    nat = pd.DataFrame({"n_nationkey": [0], "n_name": ["ZENITH"],
+                        "n_regionkey": [0]})
+    d = tmp_path / "wh"
+    d.mkdir()
+    li.to_parquet(d / "lineitem.parquet")
+    sup.to_parquet(d / "supplier.parquet")
+    nat.to_parquet(d / "nation.parquet")
+
+    from local_stream_stack_spark.queries.relational_ext import (
+        regression_by_nation,
+    )
+
+    row = regression_by_nation(spark, str(d)).collect()[0]
+    x = li["l_quantity"].to_numpy()
+    y = li["l_extendedprice"].to_numpy()
+    slope_np, intercept_np = np.polyfit(x, y, 1)
+    corr_np = np.corrcoef(x, y)[0, 1]
+    assert row.n_lineitems == 300
+    assert math.isclose(row.slope, slope_np, rel_tol=1e-9)
+    assert math.isclose(row.intercept, intercept_np, rel_tol=1e-6)
+    assert math.isclose(row.corr_xy, corr_np, rel_tol=1e-9)
