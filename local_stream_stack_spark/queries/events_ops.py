@@ -1493,3 +1493,126 @@ def kmv_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ALL").alias("scope"), "k_used", "kth_hash", "est_distinct"
     )
     return per.unionByName(merged).orderBy("scope")
+
+
+@query(
+    "kmv_overlap_daily",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d,
+             CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) + 1 AS h
+      FROM events
+    ),
+    kept AS (
+      SELECT d, h FROM (
+        SELECT d, h,
+               ROW_NUMBER() OVER (PARTITION BY d ORDER BY h) AS rn
+        FROM h) t
+      WHERE rn <= 64
+    ),
+    per AS (
+      SELECT d, COUNT(*) AS k_used, MAX(h) AS kth FROM kept GROUP BY d
+    ),
+    est AS (
+      SELECT d,
+             CAST(CASE WHEN k_used < 64 THEN k_used
+                       ELSE CAST(ROUND(270582939648.0 / kth) AS BIGINT)
+                  END AS BIGINT) AS est_dau
+      FROM per
+    ),
+    pair_h AS (
+      SELECT d, h FROM kept
+      UNION
+      SELECT d - 1 AS d, h FROM kept
+    ),
+    pair_kept AS (
+      SELECT d, h FROM (
+        SELECT d, h,
+               ROW_NUMBER() OVER (PARTITION BY d ORDER BY h) AS rn
+        FROM pair_h) t
+      WHERE rn <= 64
+    ),
+    pair_est AS (
+      SELECT d, CAST(CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+                          ELSE CAST(ROUND(270582939648.0 / MAX(h)) AS BIGINT)
+                     END AS BIGINT) AS est_union
+      FROM pair_kept GROUP BY d
+    )
+    SELECT a.d AS day,
+           a.est_dau,
+           b.est_dau AS est_dau_next,
+           u.est_union,
+           GREATEST(0, a.est_dau + b.est_dau - u.est_union) AS est_overlap,
+           GREATEST(0, b.est_dau
+             - GREATEST(0, a.est_dau + b.est_dau - u.est_union)) AS est_new
+    FROM est a
+    JOIN est b ON b.d = a.d + 1
+    JOIN pair_est u ON u.d = a.d
+    ORDER BY day
+    """,
+)
+def kmv_overlap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day active-user overlap estimated from KMV sketches
+    alone - theta-sketch-style set arithmetic (union by re-taking the
+    k smallest of two sketches; intersection by inclusion-exclusion),
+    so consecutive-day retention/churn estimates never rescan raw
+    events: the pair stage runs on O(days x k) sketch rows. At k=64
+    the per-day sketches saturate (125-138 DAU in the harness corpus),
+    exercising the (k-1)*2^32/h_(k) estimator, not the exact-mode
+    shortcut. Sketch build is the same WindowGroupLimit-bounded pass
+    as kmv_distinct_rollup; error bound pinned in
+    tests/test_sketches.py."""
+    from local_stream_stack_spark.operators.sketches import kmv_sketch
+
+    e = _events(spark, sf_dir)
+    days = e.select(
+        F.to_date("ts").alias("d"), "user_id"
+    )
+    kept = kmv_sketch(days, "user_id", ["d"], k=64)
+
+    def estimate(df: DataFrame, out: str) -> DataFrame:
+        return df.groupBy("d").agg(
+            F.when(F.count("*") < 64, F.count("*").cast("bigint"))
+            .otherwise(
+                F.round(F.lit(270582939648.0) / F.max("h")).cast("bigint")
+            )
+            .alias(out)
+        )
+
+    est = estimate(kept, "est_dau")
+    pair_h = kept.unionByName(
+        kept.select(F.date_sub("d", 1).alias("d"), "h")
+    ).distinct()
+    w = Window.partitionBy("d").orderBy("h")
+    pair_kept = (
+        pair_h.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 64)
+        .drop("__rn")
+    )
+    pair_est = estimate(pair_kept, "est_union")
+
+    a = est.alias("a")
+    b = est.select(
+        F.date_sub("d", 1).alias("d"), F.col("est_dau").alias("est_dau_next")
+    ).alias("b")
+    overlap = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.col("est_dau") + F.col("est_dau_next") - F.col("est_union"),
+    )
+    return (
+        a.join(b, "d")
+        .join(pair_est, "d")
+        .select(
+            F.col("d").alias("day"),
+            "est_dau",
+            "est_dau_next",
+            "est_union",
+            overlap.alias("est_overlap"),
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.col("est_dau_next") - overlap,
+            ).alias("est_new"),
+        )
+        .orderBy("day")
+    )

@@ -124,3 +124,37 @@ def test_kmv_sketch_rows_bounded(spark):
     kept = kmv_sketch(df, "k", ["g"], k=64)
     assert kept.count() == 3 * 64
     assert kept.groupBy("g").count().agg(F.max("count")).first()[0] == 64
+
+
+def test_kmv_overlap_estimates_within_error_bound(spark):
+    """Day-over-day overlap estimates from sketches must land within
+    the KMV error envelope of the EXACT overlaps on the harness data."""
+    from local_stream_stack_spark.queries.events_ops import kmv_overlap_daily
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {r.day: r for r in kmv_overlap_daily(spark, sf_dir).collect()}
+    assert got, "no day pairs produced"
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    a, b = e.alias("a"), e.alias("b")
+    exact = {
+        r.day: r.n
+        for r in a.join(
+            b, F.expr("b.d = a.d + INTERVAL 1 DAY") & (a.user_id == b.user_id)
+        )
+        .groupBy(F.col("a.d").alias("day"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # k=64 KMV: relative error ~1/sqrt(k-2) ~ 13% per estimate; the
+    # inclusion-exclusion combines three, so allow a 3x envelope.
+    for day, row in got.items():
+        want = exact[day]
+        assert abs(row.est_overlap - want) <= max(10, 0.40 * want), (
+            day,
+            row.est_overlap,
+            want,
+        )
+        assert 0 <= row.est_new <= row.est_dau_next
