@@ -1841,3 +1841,126 @@ def perplexity_bigram_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_substring_spans",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(text, '[^ ]+') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(toks[i+1:i+8], ' ')) AS g
+      FROM t, unnest(CASE WHEN len(toks) >= 8
+                          THEN generate_series(0, len(toks) - 8)
+                          ELSE [] END) AS u(i)
+    ),
+    ok AS (
+      SELECT g FROM (
+        SELECT g, COUNT(DISTINCT doc_id) AS dfc FROM g GROUP BY g
+      ) WHERE dfc <= 8
+    ),
+    gk AS (SELECT g.* FROM g JOIN ok USING (g)),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pa, b.pos AS pb, b.pos - a.pos AS diag
+      FROM gk a JOIN gk b ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+      SELECT doc_a, doc_b, diag,
+             pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+                                     ORDER BY pa) AS island,
+             pa
+      FROM p
+    ),
+    runs AS (
+      SELECT doc_a, doc_b, COUNT(*) AS run
+      FROM isl GROUP BY doc_a, doc_b, diag, island
+    )
+    SELECT doc_a, doc_b,
+           CAST(MAX(run) + 7 AS INT) AS max_span_tokens,
+           CAST(SUM(run) AS BIGINT) AS n_match_grams,
+           CAST(COUNT(*) AS INT) AS n_spans
+    FROM runs
+    GROUP BY doc_a, doc_b
+    HAVING MAX(run) + 7 >= 15
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring span detection - the dedup
+    signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), re-expressed relationally instead of
+    via a suffix array: positional 8-gram fingerprints meet in an
+    inverted-index equi-join, and maximal shared token spans fall out
+    of a gaps-and-islands pass over each (pair, diagonal) - two
+    matches lie on one span iff pb - pa is constant and pa is
+    consecutive. Reports every pair sharing a run of >= 15 tokens.
+
+    Scale shape: the join is bounded by a doc-frequency cap on grams
+    (df <= 8; mirrors dedup_containment's hot-gram bound - at 100 TB
+    boilerplate grams would otherwise quadratically dominate the
+    join), islands aggregate with partial aggregation, and nothing is
+    all-pairs: only documents sharing a surviving fingerprint meet.
+    Intra-document repetition (the other half of the Lee et al.
+    signal) is dedup_repeated_ngram_spans."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.expr("filter(split(trim(text), ' +'), x -> x != '')").alias(
+            "toks"
+        ),
+    )
+    grams = (
+        t.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    """
+          CASE WHEN size(toks) >= 8 THEN
+            transform(sequence(0, size(toks) - 8),
+                      i -> named_struct(
+                        'pos', i,
+                        'g', md5(concat_ws(' ', slice(toks, i + 1, 8)))))
+          ELSE CAST(array() AS array<struct<pos:int,g:string>>) END
+          """
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
+    )
+    ok = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("dfc"))
+        .filter(F.col("dfc") <= 8)
+        .select("g")
+    )
+    gk = grams.join(ok, "g")
+    a = gk.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "g"
+    )
+    b = gk.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "g"
+    )
+    p = a.join(b, "g").filter(F.col("doc_a") < F.col("doc_b")).select(
+        "doc_a", "doc_b", "pa", (F.col("pb") - F.col("pa")).alias("diag")
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    isl = p.withColumn(
+        "island", F.col("pa") - F.row_number().over(w)
+    )
+    runs = isl.groupBy("doc_a", "doc_b", "diag", "island").agg(
+        F.count("*").alias("run")
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(
+            (F.max("run") + 7).cast("int").alias("max_span_tokens"),
+            F.sum("run").cast("bigint").alias("n_match_grams"),
+            F.count("*").cast("int").alias("n_spans"),
+        )
+        .filter(F.col("max_span_tokens") >= 15)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -36,3 +36,41 @@ def test_repeated_span_coverage(spark, tmp_path):
     # unique and short docs: zero coverage
     assert out[2]["n_dup_positions"] == 0
     assert out[3]["n_dup_positions"] == 0 and out[3]["n_tokens"] == 2
+
+
+def test_crossdoc_substring_spans_golden(spark, tmp_path):
+    """A planted 20-token shared run is reported with its exact span;
+    scattered single-gram overlaps stay below the 15-token floor; a
+    gram present in >8 docs is df-capped out of the join."""
+    import pandas as pd
+
+    shared = " ".join(f"s{i}" for i in range(20))
+    filler_a = " ".join(f"a{i}" for i in range(10))
+    filler_b = " ".join(f"b{i}" for i in range(10))
+    hot = " ".join(f"h{i}" for i in range(8))
+    docs = [
+        (1, f"{filler_a} {shared}"),
+        (2, f"{shared} {filler_b}"),
+        # 10 docs all containing the same 8-gram -> df=10 > 8, capped
+        *[(10 + i, f"{hot} x{i} y{i} z{i} w{i} v{i} u{i} t{i}") for i in range(10)],
+    ]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    pdf["lang"] = "en"
+    pdf["source"] = "src"
+    pdf["n_chars"] = pdf["text"].str.len()
+    d = tmp_path / "wh"
+    d.mkdir()
+    pdf.to_parquet(d / "documents.parquet")
+
+    from local_stream_stack_spark.queries.training_ops import (
+        dedup_substring_spans,
+    )
+
+    rows = dedup_substring_spans(spark, str(d)).collect()
+    got = {(r.doc_a, r.doc_b): r for r in rows}
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    # 20 shared tokens -> 13 matching 8-grams on one diagonal
+    assert r.max_span_tokens == 20
+    assert r.n_match_grams == 13
+    assert r.n_spans == 1
