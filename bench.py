@@ -106,6 +106,11 @@ EXTENDED = [
     "sim_ivfpq_topk",
     "sessionize_events_chunked",
     "event_gap_quantiles_chunked",
+    # round-6 post-close additions
+    "quality_filter_gopher",
+    "regression_by_nation",
+    "kmv_overlap_daily",
+    "dedup_substring_spans",
 ]
 
 

@@ -1616,3 +1616,80 @@ def kmv_overlap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "session_paths_top",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS session_id
+      FROM flagged
+    ),
+    tri AS (
+      SELECT event_type
+             || '>' || LEAD(event_type, 1) OVER s
+             || '>' || LEAD(event_type, 2) OVER s AS path
+      FROM numbered
+      WINDOW s AS (PARTITION BY user_id, session_id
+                   ORDER BY ts, event_id)
+    )
+    SELECT path, COUNT(*) AS n_sessions_path
+    FROM tri WHERE path IS NOT NULL
+    GROUP BY path
+    ORDER BY n_sessions_path DESC, path
+    LIMIT 10
+    """,
+)
+def session_paths_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining: the 10 most frequent 3-step event-type
+    sequences inside 30-minute-gap sessions - the product-analytics
+    "what do users do next" query, composed from the same
+    gaps-and-islands sessionizer as sessionize_events plus two LEADs.
+
+    Scale shape: one user_id shuffle for both windows (the session
+    window partitions by a refinement of the first, so no second
+    exchange), partial-agg path counts, TakeOrderedAndProject top-10.
+    String concatenation of NULL leads yields NULL (both engines), so
+    sub-3-event session tails drop out without an explicit length
+    check. Per-key window skew: bounded like sessionize_events; the
+    chunked remedy (sessionize_chunked) applies if key history is
+    unbounded."""
+    from local_stream_stack_spark.operators.events import sessionize
+
+    e = _events(spark, sf_dir)
+    numbered = sessionize(
+        e,
+        key="user_id",
+        ts="ts",
+        gap="INTERVAL 30 MINUTE",
+        order_tiebreak="event_id",
+    )
+    s = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    tri = numbered.select(
+        F.concat(
+            F.col("event_type"),
+            F.lit(">"),
+            F.lead("event_type", 1).over(s),
+            F.lit(">"),
+            F.lead("event_type", 2).over(s),
+        ).alias("path")
+    )
+    return (
+        tri.filter(F.col("path").isNotNull())
+        .groupBy("path")
+        .agg(F.count("*").alias("n_sessions_path"))
+        .orderBy(F.desc("n_sessions_path"), F.asc("path"))
+        .limit(10)
+    )

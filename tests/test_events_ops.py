@@ -201,3 +201,38 @@ def test_lag_gaps_chunked_equals_plain(spark):
         for r in chunked.select("user_id", "event_id", "t_us", "gap_us").collect()
     )
     assert a == b
+
+
+def test_session_paths_trigrams_respect_session_breaks(spark, tmp_path):
+    """Trigram paths never cross a 30-min session boundary, and the
+    top-10 ordering breaks count ties on path text."""
+    import datetime as dt
+
+    import pandas as pd
+
+    t0 = dt.datetime(2024, 1, 1, 8, 0, 0)
+
+    def mk(i, minutes, etype):
+        return (i, t0 + dt.timedelta(minutes=minutes), 1, etype, 1.0, "{}")
+
+    rows = [
+        # session 1: view > click > purchase (one trigram)
+        mk(1, 0, "view"), mk(2, 1, "click"), mk(3, 2, "purchase"),
+        # 31-min gap -> session 2: view > click > error
+        mk(4, 33, "view"), mk(5, 34, "click"), mk(6, 35, "error"),
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    d = tmp_path / "wh"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+
+    from local_stream_stack_spark.queries.events_ops import session_paths_top
+
+    got = [(r.path, r.n_sessions_path) for r in
+           session_paths_top(spark, str(d)).collect()]
+    # without the session break this would include click>purchase>view
+    # and purchase>view>click crossing the gap
+    assert got == [("view>click>error", 1), ("view>click>purchase", 1)]
