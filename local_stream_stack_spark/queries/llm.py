@@ -3093,3 +3093,103 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "chisq_lang_source",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, COUNT(*) AS n_obs
+      FROM documents GROUP BY lang, source
+    ),
+    tot AS (
+      SELECT SUM(n_obs) AS nt,
+             COUNT(DISTINCT lang) AS nl,
+             COUNT(DISTINCT source) AS ns
+      FROM cells
+    ),
+    rc AS (
+      SELECT lang, source, n_obs,
+             SUM(n_obs) OVER (PARTITION BY lang) AS rl,
+             SUM(n_obs) OVER (PARTITION BY source) AS cs
+      FROM cells
+    ),
+    c2 AS (
+      SELECT lang, source, n_obs, rl, cs, nt, nl, ns,
+             CAST(ROUND(1000000.0 * rl * cs / nt) AS BIGINT) AS exp_e6,
+             CAST(ROUND(1000000.0
+               * CAST(n_obs * nt - rl * cs AS DOUBLE)
+               * CAST(n_obs * nt - rl * cs AS DOUBLE)
+               / (CAST(rl AS DOUBLE) * CAST(cs AS DOUBLE)
+                  * CAST(nt AS DOUBLE))) AS BIGINT) AS contrib_e6
+      FROM rc CROSS JOIN tot
+    )
+    SELECT lang, source,
+           CAST(n_obs AS BIGINT) AS n_obs,
+           exp_e6, contrib_e6,
+           CAST(SUM(contrib_e6) OVER () AS BIGINT) AS chi2_e6_total,
+           CAST((nl - 1) * (ns - 1) AS INT) AS dof
+    FROM c2
+    ORDER BY lang, source
+    """,
+)
+def chisq_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of the lang x source contingency
+    table - the corpus-balance audit (is language mix independent of
+    provenance?).
+
+    Determinism: each cell's contribution derives from exact integer
+    counts ((O*N - R*C)^2 / (R*C*N), one double division), rounds to
+    a scaled BIGINT per cell, and the statistic is the INTEGER sum of
+    those - order-independent, so no float-summation drift. Every
+    window/aggregate after the first groupBy runs on the
+    parameter-sized cells relation (langs x sources rows, like a
+    centroid table), so the single-partition total window is bounded
+    at any corpus scale; the raw-data pass is one partial-agg
+    groupBy."""
+    d = _t(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count("*").alias("n_obs"))
+    tot = cells.agg(
+        F.sum("n_obs").alias("nt"),
+        F.countDistinct("lang").alias("nl"),
+        F.countDistinct("source").alias("ns"),
+    )
+    wl = Window.partitionBy("lang")
+    ws = Window.partitionBy("source")
+    rc = (
+        cells.withColumn("rl", F.sum("n_obs").over(wl))
+        .withColumn("cs", F.sum("n_obs").over(ws))
+        .crossJoin(F.broadcast(tot))
+    )
+    c2 = rc.select(
+        "lang",
+        "source",
+        "n_obs",
+        "nl",
+        "ns",
+        F.expr("CAST(ROUND(1000000.0 * rl * cs / nt) AS BIGINT)").alias(
+            "exp_e6"
+        ),
+        F.expr(
+            """CAST(ROUND(1000000.0
+                 * CAST(n_obs * nt - rl * cs AS DOUBLE)
+                 * CAST(n_obs * nt - rl * cs AS DOUBLE)
+                 / (CAST(rl AS DOUBLE) * CAST(cs AS DOUBLE)
+                    * CAST(nt AS DOUBLE))) AS BIGINT)"""
+        ).alias("contrib_e6"),
+    )
+    return (
+        c2.select(
+            "lang",
+            "source",
+            F.col("n_obs").cast("bigint").alias("n_obs"),
+            "exp_e6",
+            "contrib_e6",
+            F.sum("contrib_e6")
+            .over(Window.partitionBy())
+            .cast("bigint")
+            .alias("chi2_e6_total"),
+            F.expr("CAST((nl - 1) * (ns - 1) AS INT)").alias("dof"),
+        )
+        .orderBy("lang", "source")
+    )

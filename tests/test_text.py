@@ -157,3 +157,50 @@ def test_quality_flags_gopher_rules(spark):
 
     r5 = rows[5]
     assert r5.ok_word_count == 0 and r5.keep == 0
+
+
+def test_chisq_lang_source_zero_under_independence(spark, tmp_path):
+    """A perfectly independent contingency table yields chi2 == 0;
+    a planted dependent table yields the hand-computed statistic."""
+    import pandas as pd
+
+    # independent: every (lang, source) cell = 5 docs
+    rows = []
+    i = 0
+    for lang in ["en", "de"]:
+        for src in ["s1", "s2"]:
+            for _ in range(5):
+                rows.append((i, f"doc {i}", lang, src, 10))
+                i += 1
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    d = tmp_path / "ind"
+    d.mkdir()
+    pdf.to_parquet(d / "documents.parquet")
+
+    from local_stream_stack_spark.queries.llm import chisq_lang_source
+
+    res = chisq_lang_source(spark, str(d)).collect()
+    assert all(r.chi2_e6_total == 0 for r in res)
+    assert res[0].dof == 1
+    assert all(r.exp_e6 == 5_000_000 for r in res)
+
+    # dependent 2x2: [[8, 2], [2, 8]] -> chi2 = 20*(64-4)^2/(10*10*10*10)
+    rows = []
+    i = 0
+    for lang, src, n in [("en", "s1", 8), ("en", "s2", 2),
+                         ("de", "s1", 2), ("de", "s2", 8)]:
+        for _ in range(n):
+            rows.append((i, f"doc {i}", lang, src, 10))
+            i += 1
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    d2 = tmp_path / "dep"
+    d2.mkdir()
+    pdf.to_parquet(d2 / "documents.parquet")
+    res2 = chisq_lang_source(spark, str(d2)).collect()
+    # chi2 = sum over 4 cells of (O*N - R*C)^2/(R*C*N) with N=20,
+    # R=C=10: each cell (|O*20-100|)^2/(10*10*20) = 60^2/2000 = 1.8
+    assert res2[0].chi2_e6_total == 4 * 1_800_000
