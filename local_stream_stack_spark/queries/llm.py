@@ -3193,3 +3193,79 @@ def chisq_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@query(
+    "source_mixing_weights",
+    oracle="""
+    WITH per AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(len(regexp_extract_all(text, '[^ ]+'))) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(ROUND(1000000.0 * SQRT(CAST(n_tokens AS DOUBLE)))
+                  AS BIGINT) AS ws
+      FROM per
+    ),
+    t AS (
+      SELECT SUM(ws) AS sum_ws, SUM(n_tokens) AS tot_tokens FROM w
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(ROUND(1000000.0 * ws / sum_ws) AS BIGINT) AS weight_e6,
+           CAST(ROUND(10000.0 * ws * tot_tokens
+                      / (CAST(sum_ws AS DOUBLE) * n_tokens))
+                AS BIGINT) AS repetition_e4
+    FROM w CROSS JOIN t
+    ORDER BY source
+    """,
+)
+def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing for training-data sampling
+    (the multilingual temperature-sampling recipe, tau = 1/2:
+    p_s proportional to sqrt(token share)) - upweights small sources,
+    downweights dominant ones; repetition_e4 is the implied per-source
+    epoch factor p_s / q_s a sampler would apply.
+
+    Determinism: sqrt is IEEE-correctly-rounded (unlike pow, which is
+    why tau is 1/2 and not 0.7), each sqrt rounds to a scaled BIGINT
+    per source, and the normalizer is the INTEGER sum of those - no
+    float-summation order anywhere. One partial-agg groupBy over raw
+    data; everything after runs on the parameter-sized per-source
+    relation (broadcast scalar totals)."""
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.expr("size(regexp_extract_all(text, '[^ ]+', 0))")).alias(
+            "n_tokens"
+        ),
+    )
+    w = per.withColumn(
+        "ws",
+        F.expr(
+            "CAST(ROUND(1000000.0 * SQRT(CAST(n_tokens AS DOUBLE)))"
+            " AS BIGINT)"
+        ),
+    )
+    t = w.agg(
+        F.sum("ws").alias("sum_ws"), F.sum("n_tokens").alias("tot_tokens")
+    )
+    return (
+        w.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.expr("CAST(ROUND(1000000.0 * ws / sum_ws) AS BIGINT)").alias(
+                "weight_e6"
+            ),
+            F.expr(
+                "CAST(ROUND(10000.0 * ws * tot_tokens"
+                " / (CAST(sum_ws AS DOUBLE) * n_tokens)) AS BIGINT)"
+            ).alias("repetition_e4"),
+        )
+        .orderBy("source")
+    )

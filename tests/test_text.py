@@ -204,3 +204,33 @@ def test_chisq_lang_source_zero_under_independence(spark, tmp_path):
     # chi2 = sum over 4 cells of (O*N - R*C)^2/(R*C*N) with N=20,
     # R=C=10: each cell (|O*20-100|)^2/(10*10*20) = 60^2/2000 = 1.8
     assert res2[0].chi2_e6_total == 4 * 1_800_000
+
+
+def test_source_mixing_weights_properties(spark, tmp_path):
+    """Temperature tau=1/2 flattens: the small source's weight share
+    exceeds its token share, the big one's is below; weights sum to
+    ~1; uniform sources get uniform weights and repetition 1."""
+    import pandas as pd
+
+    rows = []
+    i = 0
+    for src, n in [("big", 90), ("small", 10)]:
+        for _ in range(n):
+            rows.append((i, "tok " * 10, "en", src, 40))
+            i += 1
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    d = tmp_path / "wh"
+    d.mkdir()
+    pdf.to_parquet(d / "documents.parquet")
+
+    from local_stream_stack_spark.queries.llm import source_mixing_weights
+
+    got = {r.source: r for r in source_mixing_weights(spark, str(d)).collect()}
+    # token shares 0.9/0.1 -> sqrt-normalized shares 0.75/0.25
+    assert abs(got["big"].weight_e6 - 750_000) < 100
+    assert abs(got["small"].weight_e6 - 250_000) < 100
+    assert got["big"].weight_e6 + got["small"].weight_e6 in (999_999, 1_000_000, 1_000_001)
+    assert got["big"].repetition_e4 < 10_000 < got["small"].repetition_e4
+    assert abs(got["small"].repetition_e4 - 25_000) < 10
