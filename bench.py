@@ -111,6 +111,9 @@ EXTENDED = [
     "regression_by_nation",
     "kmv_overlap_daily",
     "dedup_substring_spans",
+    "session_paths_top",
+    "chisq_lang_source",
+    "source_mixing_weights",
 ]
 
 

@@ -78,6 +78,11 @@ MEASURED = [
     "perplexity_bigram_interp",
     "sim_ivfpq_topk",
     "sessionize_events_chunked",
+    "event_gap_quantiles_chunked",
+    "quality_filter_gopher",
+    "dedup_substring_spans",
+    "session_paths_top",
+    "kmv_overlap_daily",
 ]
 
 
