@@ -271,3 +271,35 @@ def test_bpe_pair_counts_partial_aggregation(spark):
         .toString()
     )
     assert plan.count("HashAggregate") >= 2
+
+
+def test_quality_filter_is_shuffle_free(spark):
+    """The Gopher filter is a narrow per-row map: the only exchange
+    allowed is the final presentation sort's range partitioning."""
+    plan = _plan(spark, "quality_filter_gopher")
+    assert "hashpartitioning" not in plan
+    assert plan.count("Exchange") <= 1  # rangepartitioning for ORDER BY
+    assert "HashAggregate" not in plan
+    assert "Window" not in plan  # repetition max folds scan-side
+
+
+def test_regression_broadcasts_dims_and_partial_aggs(spark):
+    plan = _plan(spark, "regression_by_nation")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final moments
+
+
+def test_substring_spans_no_cartesian(spark):
+    plan = _plan(spark, "dedup_substring_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_session_paths_windows_share_one_exchange(spark):
+    """The trigram window partitions by (user_id, session_id) - a
+    refinement of the sessionizer's user_id hash - so both windows
+    must ride ONE user_id exchange."""
+    plan = _plan(spark, "session_paths_top")
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "TakeOrderedAndProject" in plan
