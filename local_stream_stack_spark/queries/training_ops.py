@@ -1964,3 +1964,103 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("max_span_tokens") >= 15)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "doc_novelty_scores",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(text, '[^ ]+') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(toks[i+1:i+8], ' ')) AS g
+      FROM t, unnest(CASE WHEN len(toks) >= 8
+                          THEN generate_series(0, len(toks) - 8)
+                          ELSE [] END) AS u(i)
+    ),
+    first_seen AS (
+      SELECT g, MIN(doc_id) AS first_doc FROM g GROUP BY g
+    ),
+    per AS (
+      SELECT g.doc_id,
+             COUNT(*) AS n_grams,
+             SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+               AS n_novel
+      FROM g JOIN first_seen f USING (g)
+      GROUP BY g.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(per.n_grams, 0) AS INT) AS n_grams,
+           CAST(COALESCE(per.n_novel, 0) AS INT) AS n_novel,
+           CAST(ROUND(10000.0 * per.n_novel / per.n_grams) AS BIGINT)
+             AS novelty_e4
+    FROM t LEFT JOIN per USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty against everything earlier in the corpus:
+    the fraction of a doc's distinct 8-grams whose FIRST corpus
+    occurrence (min doc_id = ingestion order) is this doc - the
+    redundancy/ordering signal curation pipelines use to schedule or
+    drop late near-duplicates (novelty ~0 means the doc restates
+    earlier material even if no single pair-wise match fires).
+
+    Scale shape: distinct grams per doc explode scan-side, the
+    first-occurrence table is one partial-agg MIN per gram, and the
+    join back is the inverted-index equi-join - nothing pair-wise,
+    nothing all-pairs; cost is linear in total grams. Docs shorter
+    than 8 tokens carry zero grams and a NULL score (both engines'
+    NULL arithmetic)."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.expr("filter(split(trim(text), ' +'), x -> x != '')").alias(
+            "toks"
+        ),
+    )
+    g = (
+        t.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    """
+          CASE WHEN size(toks) >= 8 THEN
+            transform(sequence(0, size(toks) - 8),
+                      i -> md5(concat_ws(' ', slice(toks, i + 1, 8))))
+          ELSE CAST(array() AS array<string>) END
+          """
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    first_seen = g.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        g.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        t.join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("int").alias(
+                "n_grams"
+            ),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("int").alias(
+                "n_novel"
+            ),
+            F.expr(
+                "CAST(ROUND(10000.0 * n_novel / n_grams) AS BIGINT)"
+            ).alias("novelty_e4"),
+        )
+        .orderBy("doc_id")
+    )

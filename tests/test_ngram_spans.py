@@ -74,3 +74,39 @@ def test_crossdoc_substring_spans_golden(spark, tmp_path):
     assert r.max_span_tokens == 20
     assert r.n_match_grams == 13
     assert r.n_spans == 1
+
+
+def test_doc_novelty_ordering_semantics(spark, tmp_path):
+    """Novelty is measured against STRICTLY EARLIER docs: a verbatim
+    restatement scores 0, a half-new doc scores ~0.5, the first doc
+    always scores 1, and sub-8-token docs carry a NULL score."""
+    import pandas as pd
+
+    a = " ".join(f"a{i}" for i in range(20))
+    new_half = " ".join(f"n{i}" for i in range(13))
+    docs = [
+        (1, a),
+        (2, a),                      # verbatim repeat -> novelty 0
+        (3, f"{a} {new_half}"),      # tail introduces new grams
+        (4, "too short here"),       # < 8 tokens -> no grams
+    ]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    pdf["lang"] = "en"
+    pdf["source"] = "src"
+    pdf["n_chars"] = pdf["text"].str.len()
+    d = tmp_path / "wh"
+    d.mkdir()
+    pdf.to_parquet(d / "documents.parquet")
+
+    from local_stream_stack_spark.queries.training_ops import (
+        doc_novelty_scores,
+    )
+
+    got = {r.doc_id: r for r in doc_novelty_scores(spark, str(d)).collect()}
+    assert got[1].novelty_e4 == 10_000 and got[1].n_grams == 13
+    assert got[2].novelty_e4 == 0
+    # doc 3: 33 tokens -> 26 grams; the 13 grams fully inside the
+    # copied prefix are old, the 13 spanning/after the seam are new
+    assert got[3].n_grams == 26 and got[3].n_novel == 13
+    assert got[3].novelty_e4 == 5_000
+    assert got[4].n_grams == 0 and got[4].novelty_e4 is None
