@@ -1693,3 +1693,99 @@ def session_paths_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions_path"), F.asc("path"))
         .limit(10)
     )
+
+
+@query(
+    "attribution_last_touch",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type IN ('click', 'view')
+    ),
+    ranked AS (
+      SELECT p.event_id AS pid, p.user_id, p.value,
+             t.event_type AS ttype,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY t.ts DESC, t.event_id DESC)
+               AS rn
+      FROM p JOIN t
+        ON t.user_id = p.user_id
+       AND t.ts <= p.ts
+       AND t.ts >= p.ts - INTERVAL 1 HOUR
+    ),
+    best AS (SELECT pid, ttype FROM ranked WHERE rn = 1),
+    attributed AS (
+      SELECT p.event_id, p.user_id, p.value,
+             COALESCE(b.ttype, 'none') AS touch_type
+      FROM p LEFT JOIN best b ON b.pid = p.event_id
+    )
+    SELECT touch_type,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM attributed
+    GROUP BY touch_type
+    ORDER BY touch_type
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the
+    latest click/view by the same user within the preceding hour
+    (ties at one timestamp break on highest event_id); purchases with
+    no qualifying touch report as 'none'.
+
+    Composed from the asof_join operator - union + last_value over
+    one user_id shuffle - NOT an inequality join: the oracle's
+    classic formulation explodes quadratically per user at scale,
+    the as-of scan does not (the same argument as
+    asof_join_tolerance, which pins the operator itself; this query
+    exercises it in the shape analytics teams actually run)."""
+    from local_stream_stack_spark.operators.events import asof_join
+
+    e = _events(spark, sf_dir)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    t = e.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        "ts",
+        F.concat(
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+            F.lit(":"),
+            F.col("event_type"),
+        ).alias("touch_key"),
+    )
+    j = asof_join(
+        p,
+        t,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["touch_key"],
+        tolerance="INTERVAL 1 HOUR",
+    )
+    return (
+        j.select(
+            "user_id",
+            "value",
+            F.when(
+                F.col("touch_key").isNull(), F.lit("none")
+            )
+            .otherwise(F.substring_index("touch_key", ":", -1))
+            .alias("touch_type"),
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("touch_type")
+    )

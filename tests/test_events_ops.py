@@ -236,3 +236,47 @@ def test_session_paths_trigrams_respect_session_breaks(spark, tmp_path):
     # without the session break this would include click>purchase>view
     # and purchase>view>click crossing the gap
     assert got == [("view>click>error", 1), ("view>click>purchase", 1)]
+
+
+def test_attribution_last_touch_window_and_ties(spark, tmp_path):
+    """Attribution credits the latest touch within 1h (ties on
+    highest event_id), and purchases without a qualifying touch
+    report as 'none'."""
+    import datetime as dt
+
+    import pandas as pd
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def mk(i, minutes, etype, value=0.0):
+        return (i, t0 + dt.timedelta(minutes=minutes), 7, etype, value, "{}")
+
+    rows = [
+        mk(1, 0, "click"),
+        mk(2, 5, "view"),
+        mk(3, 5, "click"),            # same ts as 2, higher event_id
+        mk(4, 10, "purchase", 10.0),  # -> click (event 3 wins the tie)
+        mk(5, 100, "purchase", 5.0),  # 90 min after last touch -> none
+        mk(6, 150, "view"),
+        mk(7, 151, "purchase", 2.5),  # -> view
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    d = tmp_path / "wh"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+
+    from local_stream_stack_spark.queries.events_ops import (
+        attribution_last_touch,
+    )
+
+    got = {r.touch_type: r for r in
+           attribution_last_touch(spark, str(d)).collect()}
+    assert got["click"].n_purchases == 1
+    assert got["click"].revenue_cents == 1000
+    assert got["none"].n_purchases == 1
+    assert got["none"].revenue_cents == 500
+    assert got["view"].n_purchases == 1
+    assert got["view"].revenue_cents == 250
