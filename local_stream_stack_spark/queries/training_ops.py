@@ -2064,3 +2064,124 @@ def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "embedding_quantize_pct",
+    oracle="""
+    WITH g AS (
+      SELECT unnest(generate_series(1,
+               (SELECT max(len(embedding)) FROM embeddings))) AS i
+    ),
+    cells AS (
+      SELECT e.vec_id, g.i, CAST(e.embedding[g.i] AS DOUBLE) AS v,
+             len(e.embedding) AS dim
+      FROM embeddings e CROSS JOIN g
+      WHERE g.i <= len(e.embedding)
+    ),
+    ext AS (
+      SELECT i,
+             CAST(ROUND(quantile_cont(v, 0.01) * 1000000) AS BIGINT)
+               AS p01_e6,
+             CAST(ROUND(quantile_cont(v, 0.99) * 1000000) AS BIGINT)
+               AS p99_e6
+      FROM cells GROUP BY i
+    ),
+    q AS (
+      SELECT c.vec_id, c.dim, c.v,
+             CAST(x.p01_e6 AS DOUBLE) / 1000000.0 AS lo,
+             CAST(x.p99_e6 AS DOUBLE) / 1000000.0 AS hi
+      FROM cells c JOIN ext x ON c.i = x.i
+    ),
+    r AS (
+      SELECT vec_id, dim, v,
+             CASE WHEN v < lo THEN 1 WHEN v > hi THEN 1 ELSE 0 END
+               AS clipped,
+             CASE WHEN hi > lo
+                  THEN lo + ROUND((LEAST(GREATEST(v, lo), hi) - lo)
+                                  / (hi - lo) * 254, 0)
+                       * (hi - lo) / 254
+                  ELSE lo END AS recon
+      FROM q
+    )
+    SELECT vec_id,
+           CAST(ROUND(CAST(SUM(CAST(ROUND((v - recon) * (v - recon) * 1e12)
+                                    AS BIGINT)) AS DOUBLE)
+                      / CAST(ANY_VALUE(dim) AS DOUBLE)) AS BIGINT)
+             AS mse_e12,
+           CAST(SUM(clipped) AS INT) AS n_clipped
+    FROM r
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """,
+)
+def embedding_quantize_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-calibrated int8 quantization: per-dimension
+    [p01, p99] clip bounds from the exact 3-pass quantile operator
+    instead of min/max - the calibration production quantizers use,
+    because a single outlier in a dimension otherwise stretches the
+    whole int8 range (compare mse_e12 against embedding_quantize_int8:
+    tests pin that percentile calibration lowers corpus-median MSE).
+
+    Determinism discipline: interpolated quantiles round ONCE to
+    scaled-BIGINT bounds (x 10^6) and every engine reconstructs the
+    SAME doubles from those integers before any cell math, so a
+    last-ulp interpolation difference cannot leak into the e12 error
+    rounding. Same scale shape as the min-max quantizer: the
+    three-pass quantile state is O(dims x bins), the bounds table
+    broadcasts back, cell math is codegen."""
+    from local_stream_stack_spark.operators.quantiles import exact_quantiles
+
+    e = _t(spark, sf_dir, "embeddings")
+    cells = e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.posexplode("embedding").alias("i0", "vf"),
+    ).select(
+        "vec_id",
+        "dim",
+        (F.col("i0") + 1).alias("i"),
+        F.col("vf").cast("double").alias("v"),
+    )
+    ext = exact_quantiles(
+        cells, "v", [0.01, 0.99], ["i"], out_cols=["p01", "p99"]
+    ).select(
+        "i",
+        F.expr("CAST(ROUND(p01 * 1000000) AS BIGINT)").alias("p01_e6"),
+        F.expr("CAST(ROUND(p99 * 1000000) AS BIGINT)").alias("p99_e6"),
+    )
+    q = cells.join(F.broadcast(ext), "i").select(
+        "vec_id",
+        "dim",
+        "v",
+        F.expr("CAST(p01_e6 AS DOUBLE) / 1000000.0").alias("lo"),
+        F.expr("CAST(p99_e6 AS DOUBLE) / 1000000.0").alias("hi"),
+    )
+    r = q.select(
+        "vec_id",
+        "dim",
+        "v",
+        F.expr(
+            "CASE WHEN v < lo THEN 1 WHEN v > hi THEN 1 ELSE 0 END"
+        ).alias("clipped"),
+        F.expr(
+            """CASE WHEN hi > lo
+                 THEN lo + ROUND((LEAST(GREATEST(v, lo), hi) - lo)
+                                 / (hi - lo) * 254, 0)
+                      * (hi - lo) / 254
+                 ELSE lo END"""
+        ).alias("recon"),
+    )
+    return (
+        r.groupBy("vec_id")
+        .agg(
+            F.expr(
+                """CAST(ROUND(CAST(SUM(CAST(ROUND((v - recon) * (v - recon)
+                                                  * 1e12) AS BIGINT))
+                              AS DOUBLE)
+                         / CAST(FIRST(dim) AS DOUBLE)) AS BIGINT)"""
+            ).alias("mse_e12"),
+            F.sum("clipped").cast("int").alias("n_clipped"),
+        )
+        .orderBy("vec_id")
+    )

@@ -165,3 +165,36 @@ def test_regression_by_nation_matches_numpy(spark, tmp_path):
     assert math.isclose(row.slope, slope_np, rel_tol=1e-9)
     assert math.isclose(row.intercept, intercept_np, rel_tol=1e-6)
     assert math.isclose(row.corr_xy, corr_np, rel_tol=1e-9)
+
+
+def test_percentile_quantization_beats_minmax_under_outliers(spark, tmp_path):
+    """One outlier coordinate stretches the min-max int8 range and
+    ruins every vector's reconstruction in that dimension; the
+    [p01, p99] calibration clips it and keeps corpus-median MSE low."""
+    import pandas as pd
+
+    rng = random.Random(11)
+    vecs = [[round(rng.uniform(0, 1), 4) for _ in range(4)] for _ in range(100)]
+    vecs[7][0] = 1000.0  # the outlier
+    pdf = pd.DataFrame(
+        {"vec_id": range(100), "embedding": vecs, "label": [0] * 100}
+    )
+    d = tmp_path / "wh"
+    d.mkdir()
+    pdf.to_parquet(d / "embeddings.parquet")
+
+    from local_stream_stack_spark.queries.training_ops import (
+        embedding_quantize_int8,
+        embedding_quantize_pct,
+    )
+
+    minmax = {r.vec_id: r.mse_e12 for r in
+              embedding_quantize_int8(spark, str(d)).collect()}
+    pct = {r.vec_id: r for r in
+           embedding_quantize_pct(spark, str(d)).collect()}
+
+    med_minmax = sorted(minmax.values())[50]
+    med_pct = sorted(r.mse_e12 for r in pct.values())[50]
+    assert med_pct < med_minmax / 100
+    assert pct[7].n_clipped >= 1
+    assert sum(r.n_clipped for r in pct.values()) <= 2 * 4  # ~1% x 2 tails
