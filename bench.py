@@ -114,6 +114,9 @@ EXTENDED = [
     "session_paths_top",
     "chisq_lang_source",
     "source_mixing_weights",
+    "doc_novelty_scores",
+    "attribution_last_touch",
+    "embedding_quantize_pct",
 ]
 
 

@@ -252,9 +252,11 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
 # BEGIN CHANGED_SINCE_GREEN (auto-generated)
 CHANGED_SINCE_GREEN: frozenset[str] = frozenset(
     {
+        "approx_percentile_qty",
         "asof_join_events",
         "asof_join_tolerance",
         "bm25_rank",
+        "bucketed_join_revenue",
         "cdc_merge_summary",
         "chunk_documents",
         "clean_text_scrub",
@@ -287,9 +289,11 @@ CHANGED_SINCE_GREEN: frozenset[str] = frozenset(
         "funnel_stages",
         "fuzzy_name_match",
         "gap_fill_locf",
+        "grouping_sets_revenue",
         "interpolate_linear",
         "interval_join_peak_windows",
         "inverted_index",
+        "join_salted_skew",
         "kmeans_embeddings",
         "kmv_distinct_rollup",
         "label_centroids",
@@ -302,9 +306,21 @@ CHANGED_SINCE_GREEN: frozenset[str] = frozenset(
         "pack_documents",
         "pagerank_copurchase",
         "partitioned_roundtrip_docs",
+        "percentile_stats",
         "perplexity_unigram",
         "price_decile_assign",
+        "profile_columns",
+        "q10_returned_revenue",
+        "q14_promo_revenue",
+        "q17_small_qty_revenue",
+        "q18_large_orders",
+        "q19_or_predicates",
+        "q22_idle_customers",
+        "q4_order_priority",
+        "q7_nation_volume",
+        "quantile_by_value_qty",
         "range_join_views_before_purchase",
+        "recursive_copurchase_reach",
         "repetition_ratio",
         "rollup_time_hierarchy",
         "sample_per_group",
@@ -331,9 +347,12 @@ CHANGED_SINCE_GREEN: frozenset[str] = frozenset(
         "top_tokens_per_lang",
         "train_test_split",
         "triangle_count",
+        "try_arithmetic_orders",
         "tumbling_window_agg",
         "unicode_nfc_normalize",
+        "variant_extract_orders",
         "weighted_sample",
+        "winsorized_mean_price",
         "zscore_outliers",
     }
 )
