@@ -117,6 +117,8 @@ EXTENDED = [
     "doc_novelty_scores",
     "attribution_last_touch",
     "embedding_quantize_pct",
+    "conversion_lag_quantiles",
+    "boilerplate_ngrams",
 ]
 
 

@@ -1789,3 +1789,97 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("touch_type")
     )
+
+
+@query(
+    "conversion_lag_quantiles",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type IN ('click', 'view')
+    ),
+    ranked AS (
+      SELECT p.event_id AS pid, t.event_type AS ttype,
+             epoch_us(CAST(p.ts AS TIMESTAMP))
+               - epoch_us(CAST(t.ts AS TIMESTAMP)) AS lag_us,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY t.ts DESC, t.event_id DESC)
+               AS rn
+      FROM p JOIN t
+        ON t.user_id = p.user_id
+       AND t.ts <= p.ts
+       AND t.ts >= p.ts - INTERVAL 1 HOUR
+    )
+    SELECT ttype AS touch_type,
+           COUNT(*) AS n_conversions,
+           CAST(ROUND(quantile_cont(lag_us, 0.5)) AS BIGINT)
+             AS p50_lag_us,
+           CAST(ROUND(quantile_cont(lag_us, 0.9)) AS BIGINT)
+             AS p90_lag_us
+    FROM ranked WHERE rn = 1
+    GROUP BY ttype
+    ORDER BY touch_type
+    """,
+)
+def conversion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion distribution: for each purchase with a
+    qualifying last touch (click/view within the preceding hour,
+    attribution_last_touch semantics), the median and p90 lag from
+    touch to purchase per touch type - the follow-up question every
+    attribution report gets.
+
+    Same as-of scan as attribution_last_touch (one user_id shuffle,
+    no inequality join), then the exact three-pass quantile operator
+    over integer microsecond lags keyed by touch type - O(types x
+    bins) state, interpolated results rounded once to BIGINT."""
+    from local_stream_stack_spark.operators.events import asof_join
+    from local_stream_stack_spark.operators.quantiles import exact_quantiles
+    from local_stream_stack_spark.utils.ts import epoch_us
+
+    e = _events(spark, sf_dir)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    t = e.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        "ts",
+        F.concat(
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+            F.lit(":"),
+            F.col("event_type"),
+        ).alias("touch_key"),
+    )
+    j = asof_join(
+        p,
+        t,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["touch_key"],
+        tolerance="INTERVAL 1 HOUR",
+    )
+    lags = j.filter(F.col("touch_key").isNotNull()).select(
+        F.substring_index("touch_key", ":", -1).alias("touch_type"),
+        (epoch_us(F.col("ts")) - epoch_us(F.col("right_ts")))
+        .cast("double")
+        .alias("lag_us"),
+    )
+    qs = exact_quantiles(
+        lags, "lag_us", [0.5, 0.9], ["touch_type"],
+        out_cols=["p50", "p90"],
+    )
+    n = lags.groupBy("touch_type").agg(F.count("*").alias("n_conversions"))
+    return (
+        n.join(qs, "touch_type")
+        .select(
+            "touch_type",
+            "n_conversions",
+            F.expr("CAST(ROUND(p50) AS BIGINT)").alias("p50_lag_us"),
+            F.expr("CAST(ROUND(p90) AS BIGINT)").alias("p90_lag_us"),
+        )
+        .orderBy("touch_type")
+    )

@@ -2185,3 +2185,82 @@ def embedding_quantize_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "boilerplate_ngrams",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(text, '[^ ]+') AS toks
+      FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM t),
+    g AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(toks[i+1:i+8], ' ') AS gram
+      FROM t, unnest(CASE WHEN len(toks) >= 8
+                          THEN generate_series(0, len(toks) - 8)
+                          ELSE [] END) AS u(i)
+    ),
+    df AS (
+      SELECT gram, COUNT(*) AS doc_freq FROM g GROUP BY gram
+    )
+    SELECT gram,
+           CAST(doc_freq AS BIGINT) AS doc_freq,
+           CAST(ROUND(10000.0 * doc_freq / n_docs) AS BIGINT)
+             AS df_share_e4
+    FROM df CROSS JOIN n
+    WHERE doc_freq >= 2
+    ORDER BY doc_freq DESC, gram
+    LIMIT 20
+    """,
+)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus boilerplate audit: the 20 highest-document-frequency
+    8-grams (literal text, df >= 2) with their corpus share - the
+    report that justifies and tunes the hot-gram df caps
+    dedup_containment and dedup_substring_spans rely on (at 100 TB
+    these rows are navigation chrome, license headers, and template
+    text).
+
+    One scan-side gram explode + distinct, one partial-agg count per
+    gram, TakeOrderedAndProject top-20 with text tie-break; the doc
+    count joins in as a broadcast scalar."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.expr("filter(split(trim(text), ' +'), x -> x != '')").alias(
+            "toks"
+        ),
+    )
+    n = t.agg(F.count("*").alias("n_docs"))
+    g = (
+        t.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    """
+          CASE WHEN size(toks) >= 8 THEN
+            transform(sequence(0, size(toks) - 8),
+                      i -> concat_ws(' ', slice(toks, i + 1, 8)))
+          ELSE CAST(array() AS array<string>) END
+          """
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    df = g.groupBy("gram").agg(F.count("*").alias("doc_freq"))
+    return (
+        df.filter(F.col("doc_freq") >= 2)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "gram",
+            F.col("doc_freq").cast("bigint").alias("doc_freq"),
+            F.expr(
+                "CAST(ROUND(10000.0 * doc_freq / n_docs) AS BIGINT)"
+            ).alias("df_share_e4"),
+        )
+        .orderBy(F.desc("doc_freq"), F.asc("gram"))
+        .limit(20)
+    )

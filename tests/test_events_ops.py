@@ -280,3 +280,45 @@ def test_attribution_last_touch_window_and_ties(spark, tmp_path):
     assert got["none"].revenue_cents == 500
     assert got["view"].n_purchases == 1
     assert got["view"].revenue_cents == 250
+
+
+def test_conversion_lag_quantiles_golden(spark, tmp_path):
+    """Median/p90 lag over known 10/20/60-minute click->purchase
+    pairs; touches older than 1h never convert."""
+    import datetime as dt
+
+    import pandas as pd
+
+    t0 = dt.datetime(2024, 1, 1, 8, 0, 0)
+    rows = []
+    eid = 0
+
+    def mk(minutes, etype, uid):
+        nonlocal eid
+        eid += 1
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid, etype, 1.0, "{}")
+
+    for uid, lag in [(1, 10), (2, 20), (3, 60)]:
+        rows.append(mk(0, "click", uid))
+        rows.append(mk(lag, "purchase", uid))
+    rows.append(mk(0, "click", 4))
+    rows.append(mk(90, "purchase", 4))  # 90 min > tolerance -> dropped
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    d = tmp_path / "wh"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+
+    from local_stream_stack_spark.queries.events_ops import (
+        conversion_lag_quantiles,
+    )
+
+    rows_out = conversion_lag_quantiles(spark, str(d)).collect()
+    assert len(rows_out) == 1
+    r = rows_out[0]
+    assert r.touch_type == "click" and r.n_conversions == 3
+    assert r.p50_lag_us == 20 * 60 * 1_000_000
+    # quantile_cont p90 over [10, 20, 60] min: 20 + 0.8*(60-20) = 52
+    assert r.p90_lag_us == 52 * 60 * 1_000_000

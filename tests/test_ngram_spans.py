@@ -110,3 +110,32 @@ def test_doc_novelty_ordering_semantics(spark, tmp_path):
     assert got[3].n_grams == 26 and got[3].n_novel == 13
     assert got[3].novelty_e4 == 5_000
     assert got[4].n_grams == 0 and got[4].novelty_e4 is None
+
+
+def test_boilerplate_ngrams_reports_hot_grams(spark, tmp_path):
+    """A template sentence shared by 10 of 12 docs tops the report
+    with its literal text and exact df share."""
+    import pandas as pd
+
+    template = " ".join(f"t{i}" for i in range(8))
+    docs = [(i, f"{template} unique{i} filler{i} x{i} y{i}") for i in range(10)]
+    docs += [(100, "lone doc " + " ".join(f"a{i}" for i in range(10))),
+             (101, "other doc " + " ".join(f"b{i}" for i in range(10)))]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    pdf["lang"] = "en"
+    pdf["source"] = "src"
+    pdf["n_chars"] = pdf["text"].str.len()
+    d = tmp_path / "wh"
+    d.mkdir()
+    pdf.to_parquet(d / "documents.parquet")
+
+    from local_stream_stack_spark.queries.training_ops import (
+        boilerplate_ngrams,
+    )
+
+    rows = boilerplate_ngrams(spark, str(d)).collect()
+    assert rows, "template gram not reported"
+    top = rows[0]
+    assert top.gram == template
+    assert top.doc_freq == 10
+    assert top.df_share_e4 == round(10_000 * 10 / 12)
