@@ -119,6 +119,7 @@ EXTENDED = [
     "embedding_quantize_pct",
     "conversion_lag_quantiles",
     "boilerplate_ngrams",
+    "stats_profile_orders",
 ]
 
 

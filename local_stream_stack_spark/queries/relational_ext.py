@@ -1221,3 +1221,126 @@ def regression_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(syd - slope * sxd) / nd / 100.0").alias("intercept"),
         "corr_xy",
     ).orderBy("nation")
+
+
+def _profile_oracle_col(
+    col: str, num_expr: str | None, str_expr: str | None
+) -> str:
+    """One column's profile as a DuckDB SELECT (UNION ALL branch)."""
+    num_min = (
+        f"CAST(ROUND(MIN({num_expr}) * 100) AS BIGINT)" if num_expr else "NULL"
+    )
+    num_max = (
+        f"CAST(ROUND(MAX({num_expr}) * 100) AS BIGINT)" if num_expr else "NULL"
+    )
+    str_min = f"MIN({str_expr})" if str_expr else "NULL"
+    str_max = f"MAX({str_expr})" if str_expr else "NULL"
+    top_src = str_expr if str_expr else f"CAST({col} AS VARCHAR)"
+    return f"""
+      SELECT '{col}' AS column_name,
+             COUNT(*) AS n_rows,
+             COUNT(*) - COUNT({col}) AS n_nulls,
+             COUNT(DISTINCT {col}) AS n_distinct,
+             CAST({num_min} AS BIGINT) AS min_num_e2,
+             CAST({num_max} AS BIGINT) AS max_num_e2,
+             CAST({str_min} AS VARCHAR) AS min_str,
+             CAST({str_max} AS VARCHAR) AS max_str,
+             (SELECT t.v FROM (
+                SELECT {top_src} AS v, COUNT(*) AS c FROM orders
+                WHERE {col} IS NOT NULL GROUP BY 1
+              ) t ORDER BY t.c DESC, t.v LIMIT 1) AS top_value,
+             (SELECT t.c FROM (
+                SELECT {top_src} AS v, COUNT(*) AS c FROM orders
+                WHERE {col} IS NOT NULL GROUP BY 1
+              ) t ORDER BY t.c DESC, t.v LIMIT 1) AS top_count
+      FROM orders"""
+
+
+_PROFILE_COLS: list[tuple[str, str | None, str | None]] = [
+    ("o_custkey", "o_custkey", None),
+    ("o_orderdate", "epoch_us(CAST(o_orderdate AS TIMESTAMP)) / 1000000.0", None),
+    ("o_orderpriority", None, "o_orderpriority"),
+    ("o_orderstatus", None, "o_orderstatus"),
+    ("o_totalprice", "o_totalprice", None),
+]
+
+
+@query(
+    "stats_profile_orders",
+    oracle="\nUNION ALL\n".join(
+        _profile_oracle_col(c, n, s) for c, n, s in _PROFILE_COLS
+    )
+    + "\nORDER BY column_name",
+)
+def stats_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiler: per-column null count, distinct count, typed
+    extremes (numerics as cent-scaled BIGINTs, strings verbatim,
+    timestamps as epoch seconds), and the modal value with
+    lexicographic tie-break - the data-quality summary every catalog/
+    profiling surface ships.
+
+    Each column profiles in its own column-pruned pass (scan + one
+    partial-agg groupBy for the mode + TakeOrderedAndProject(1)); the
+    per-column plans union at the end. A production profiler fuses
+    the non-mode stats into one multi-aggregate scan - the mode's
+    per-column groupBy keys make full fusion impossible in ANY
+    engine, so per-column passes are the honest shape, and each is
+    independently scan-bound."""
+    o = _t(spark, sf_dir, "orders")
+    parts = []
+    for col, num_expr, str_expr in _PROFILE_COLS:
+        if num_expr:
+            if col == "o_orderdate":
+                nc = epoch_us(F.col(col)).cast("double") / 1000000.0
+            else:
+                nc = F.col(col).cast("double")
+            num_min = F.round(F.min(nc) * 100).cast("bigint")
+            num_max = F.round(F.max(nc) * 100).cast("bigint")
+        else:
+            num_min = F.lit(None).cast("bigint")
+            num_max = F.lit(None).cast("bigint")
+        if str_expr:
+            str_min = F.min(str_expr)
+            str_max = F.max(str_expr)
+            top_src = F.col(str_expr)
+        else:
+            str_min = F.lit(None).cast("string")
+            str_max = F.lit(None).cast("string")
+            top_src = F.col(col).cast("string")
+        base = o.agg(
+            F.count("*").alias("n_rows"),
+            (F.count("*") - F.count(col)).alias("n_nulls"),
+            F.countDistinct(col).alias("n_distinct"),
+            num_min.alias("min_num_e2"),
+            num_max.alias("max_num_e2"),
+            str_min.alias("min_str"),
+            str_max.alias("max_str"),
+        )
+        top = (
+            o.filter(F.col(col).isNotNull())
+            .groupBy(top_src.alias("v"))
+            .agg(F.count("*").alias("c"))
+            .orderBy(F.desc("c"), F.asc("v"))
+            .limit(1)
+            .select(
+                F.col("v").alias("top_value"), F.col("c").alias("top_count")
+            )
+        )
+        parts.append(
+            base.crossJoin(F.broadcast(top)).select(
+                F.lit(col).alias("column_name"),
+                "n_rows",
+                "n_nulls",
+                "n_distinct",
+                "min_num_e2",
+                "max_num_e2",
+                "min_str",
+                "max_str",
+                "top_value",
+                "top_count",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("column_name")

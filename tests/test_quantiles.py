@@ -198,3 +198,40 @@ def test_percentile_quantization_beats_minmax_under_outliers(spark, tmp_path):
     assert med_pct < med_minmax / 100
     assert pct[7].n_clipped >= 1
     assert sum(r.n_clipped for r in pct.values()) <= 2 * 4  # ~1% x 2 tails
+
+
+def test_stats_profile_nulls_mode_and_tiebreak(spark, tmp_path):
+    import datetime as dt
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3, 4],
+            "o_custkey": [7, 7, 9, 9],  # modal tie -> '7' < '9'
+            "o_orderstatus": ["O", "F", None, "O"],
+            "o_totalprice": [10.5, 20.0, 20.0, None],
+            "o_orderdate": [dt.datetime(2024, 1, 1)] * 4,
+            "o_orderpriority": ["1-URGENT"] * 4,
+        }
+    )
+    d = tmp_path / "wh"
+    d.mkdir()
+    pdf.to_parquet(d / "orders.parquet", coerce_timestamps="us")
+
+    from local_stream_stack_spark.queries.relational_ext import (
+        stats_profile_orders,
+    )
+
+    got = {r.column_name: r for r in
+           stats_profile_orders(spark, str(d)).collect()}
+    st = got["o_orderstatus"]
+    assert (st.n_nulls, st.n_distinct, st.top_value, st.top_count) == (
+        1, 2, "O", 2,
+    )
+    ck = got["o_custkey"]
+    assert ck.top_value == "7" and ck.top_count == 2  # lexicographic tie
+    tp = got["o_totalprice"]
+    assert tp.n_nulls == 1
+    assert tp.min_num_e2 == 1050 and tp.max_num_e2 == 2000
+    assert got["o_orderdate"].n_distinct == 1
