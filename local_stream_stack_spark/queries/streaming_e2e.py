@@ -1107,3 +1107,138 @@ def stream_windowed_rollup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_start_s")
     )
+
+
+@query(
+    "stream_quality_quarantine",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(text, '[^ ]+') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             len(toks) AS nw,
+             COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+               AS wc,
+             len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+               AS aw,
+             len(list_filter(toks, x -> lower(x) IN
+               ('the','a','and','of','is','to','in','it'))) AS sh
+      FROM t
+    ),
+    m AS (
+      SELECT doc_id, MAX(cnt) AS mx FROM (
+        SELECT doc_id, tok, COUNT(*) AS cnt
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM t) u
+        GROUP BY doc_id, tok) c
+      GROUP BY doc_id
+    ),
+    flags AS (
+      SELECT s.doc_id,
+             CASE
+               WHEN NOT (nw BETWEEN 25 AND 1000) THEN 'word_count'
+               WHEN NOT (wc >= 3 * nw AND wc <= 10 * nw)
+                 THEN 'mean_word_len'
+               WHEN NOT (5 * aw >= 4 * nw) THEN 'alpha_words'
+               WHEN NOT (sh >= 2) THEN 'stopwords'
+               WHEN NOT (5 * COALESCE(mx, 0) <= nw) THEN 'repetition'
+               ELSE NULL
+             END AS reject_reason
+      FROM s LEFT JOIN m USING (doc_id)
+    )
+    SELECT CASE WHEN reject_reason IS NULL THEN 'clean'
+                ELSE 'quarantine' END AS route,
+           COALESCE(reject_reason, 'ok') AS reason,
+           COUNT(*) AS n_docs
+    FROM flags
+    GROUP BY 1, 2
+    ORDER BY route, reason
+    """,
+)
+def stream_quality_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE dead-letter-queue pattern under the oracle: the Gopher
+    quality gate runs INSIDE a streaming query, and foreachBatch
+    splits every micro-batch into a clean parquet sink and a
+    quarantine sink that carries the FIRST failing rule as the
+    reject reason - the production shape for fail-open ingestion
+    (nothing is dropped; rejects stay queryable for triage). Both
+    writes are idempotent per epoch (deterministic rows, append of a
+    bounded replay), the same exactly-once argument as
+    stream_parquet_sink. The returned summary is read back from the
+    SINKS, so the oracle checks what actually landed on disk."""
+    from local_stream_stack_spark.operators.text import quality_flags
+
+    configure_for_oracle(spark)
+    batch_schema = spark.read.option(
+        "pathGlobFilter", "documents.parquet"
+    ).parquet(sf_dir).schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    flagged = quality_flags(stream, "text").withColumn(
+        "reject_reason",
+        F.expr(
+            """CASE
+                 WHEN ok_word_count = 0 THEN 'word_count'
+                 WHEN ok_mean_word_len = 0 THEN 'mean_word_len'
+                 WHEN ok_alpha_words = 0 THEN 'alpha_words'
+                 WHEN ok_stopwords = 0 THEN 'stopwords'
+                 WHEN ok_repetition = 0 THEN 'repetition'
+                 ELSE NULL
+               END"""
+        ),
+    )
+    base = tempfile.mkdtemp(prefix="stream-e2e-dlq-")
+    clean_dir = os.path.join(base, "clean")
+    dlq_dir = os.path.join(base, "quarantine")
+    cp = os.path.join(base, "cp")
+
+    def route(batch: DataFrame, epoch_id: int) -> None:
+        batch.persist()
+        try:
+            batch.filter(F.col("reject_reason").isNull()).select(
+                "doc_id", "lang", "source"
+            ).write.mode("append").parquet(clean_dir)
+            batch.filter(F.col("reject_reason").isNotNull()).select(
+                "doc_id", "lang", "source", "reject_reason"
+            ).write.mode("append").parquet(dlq_dir)
+        finally:
+            batch.unpersist()
+
+    q = (
+        flagged.writeStream.outputMode("append")
+        .foreachBatch(route)
+        .option("checkpointLocation", cp)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def read_or_empty(path: str, schema: str) -> DataFrame:
+        # a corpus can legitimately route 100% one way; the absent
+        # sink then has no directory to read
+        if os.path.isdir(path):
+            return spark.read.parquet(path)
+        return spark.createDataFrame([], schema)
+
+    clean = read_or_empty(
+        clean_dir, "doc_id long, lang string, source string"
+    ).select(F.lit("clean").alias("route"), F.lit("ok").alias("reason"))
+    dlq = read_or_empty(
+        dlq_dir,
+        "doc_id long, lang string, source string, reject_reason string",
+    ).select(
+        F.lit("quarantine").alias("route"),
+        F.col("reject_reason").alias("reason"),
+    )
+    return (
+        clean.unionByName(dlq)
+        .groupBy("route", "reason")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("route", "reason")
+    )

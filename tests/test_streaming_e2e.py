@@ -293,3 +293,44 @@ def test_ingest_neardup_replay_is_lossless(spark, tmp_path):
         q.stop()
     got = {r.doc_id for r in read_neardup_store(spark, store).collect()}
     assert got == {1}
+
+
+def test_stream_quality_quarantine_routes_and_reasons(spark, tmp_path):
+    """Every doc lands in exactly one sink; reasons follow the fixed
+    rule order (first failing rule wins); an all-clean corpus leaves
+    the quarantine sink absent without breaking the read-back."""
+    import pandas as pd
+
+    good = ("the quick brown fox jumps over a lazy dog and then " * 3).strip()
+    docs = [
+        (1, good),                       # clean
+        (2, "tiny doc"),                 # word_count fires first
+        (3, ("spam " * 40).strip()),     # word_count? 40 words ok -> stopwords
+    ]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    pdf["lang"] = "en"
+    pdf["source"] = "s"
+    pdf["n_chars"] = pdf["text"].str.len()
+    d = tmp_path / "wh"
+    d.mkdir()
+    pdf.to_parquet(d / "documents.parquet")
+
+    from local_stream_stack_spark.queries.streaming_e2e import (
+        stream_quality_quarantine,
+    )
+
+    got = {(r.route, r.reason): r.n_docs
+           for r in stream_quality_quarantine(spark, str(d)).collect()}
+    assert got[("clean", "ok")] == 1
+    assert got[("quarantine", "word_count")] == 1
+    assert got[("quarantine", "stopwords")] == 1
+    assert sum(got.values()) == 3
+
+    # all-clean corpus: quarantine dir never materializes
+    pdf2 = pdf.iloc[:1]
+    d2 = tmp_path / "wh2"
+    d2.mkdir()
+    pdf2.to_parquet(d2 / "documents.parquet")
+    got2 = {(r.route, r.reason): r.n_docs
+            for r in stream_quality_quarantine(spark, str(d2)).collect()}
+    assert got2 == {("clean", "ok"): 1}
