@@ -120,6 +120,10 @@ EXTENDED = [
     "conversion_lag_quantiles",
     "boilerplate_ngrams",
     "stats_profile_orders",
+    "vocab_coverage",
+    "daily_count_anomalies",
+    "hourly_value_quantiles",
+    "referential_integrity_audit",
 ]
 
 

@@ -1883,3 +1883,130 @@ def conversion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("touch_type")
     )
+
+
+@query(
+    "daily_count_anomalies",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    stats AS (
+      SELECT event_type,
+             COUNT(*) AS nd,
+             SUM(n) AS s1,
+             SUM(n * n) AS s2
+      FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, d.day,
+           CAST(d.n AS BIGINT) AS n_events,
+           CAST(ROUND(10000.0
+             * (CAST(d.n AS DOUBLE) * nd - CAST(s1 AS DOUBLE))
+             / NULLIF(SQRT((CAST(nd AS DOUBLE) * CAST(s2 AS DOUBLE)
+                            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                           * (CAST(nd AS DOUBLE)
+                              / (CAST(nd AS DOUBLE) - 1.0))), 0.0))
+             AS BIGINT) AS z_e4
+    FROM daily d JOIN stats USING (event_type)
+    WHERE ABS((CAST(d.n AS DOUBLE) * nd - CAST(s1 AS DOUBLE))
+              / NULLIF(SQRT((CAST(nd AS DOUBLE) * CAST(s2 AS DOUBLE)
+                             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                            * (CAST(nd AS DOUBLE)
+                               / (CAST(nd AS DOUBLE) - 1.0))), 0.0))
+          > 2.0
+    ORDER BY event_type, day
+    """,
+)
+def daily_count_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: days whose event count sits more
+    than 2 sample standard deviations from that event type's daily
+    mean - the ops alert behind every ingestion monitor.
+
+    z derives entirely from integer moment sums (count, sum, sum of
+    squares per type - one partial-agg pass over day-level counts),
+    so the doubles are bit-stable; the z denominator folds nd*sd
+    into one sqrt so the whole score is a single division. Emitted
+    as a scaled BIGINT."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("nd"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    z = F.expr(
+        """(CAST(n AS DOUBLE) * nd - CAST(s1 AS DOUBLE))
+           / NULLIF(SQRT((CAST(nd AS DOUBLE) * CAST(s2 AS DOUBLE)
+                          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                         * (CAST(nd AS DOUBLE)
+                            / (CAST(nd AS DOUBLE) - 1.0))), 0.0)"""
+    )
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2.0)
+        .select(
+            "event_type",
+            "day",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.round(z * 10000).cast("bigint").alias("z_e4"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@query(
+    "hourly_value_quantiles",
+    oracle="""
+    SELECT CAST(EXTRACT(HOUR FROM ts) AS INT) AS hour_of_day,
+           COUNT(*) AS n_events,
+           CAST(ROUND(quantile_cont(value, 0.5) * 10000) AS BIGINT)
+             AS p50_value_e4,
+           CAST(ROUND(quantile_cont(value, 0.9) * 10000) AS BIGINT)
+             AS p90_value_e4,
+           CAST(ROUND(quantile_cont(value, 0.99) * 10000) AS BIGINT)
+             AS p99_value_e4
+    FROM events
+    GROUP BY 1
+    ORDER BY hour_of_day
+    """,
+)
+def hourly_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour-of-day value distribution (p50/p90/p99) - the SLO/
+    latency-band report shape, on the exact three-pass quantile
+    operator (O(hours x bins) state, no per-group value buffers)
+    keyed by hour; interpolated results round once to scaled
+    BIGINTs."""
+    from local_stream_stack_spark.operators.quantiles import (
+        exact_quantiles,
+    )
+
+    e = _events(spark, sf_dir)
+    vals = e.select(
+        F.hour("ts").cast("int").alias("hour_of_day"),
+        F.col("value").cast("double").alias("v"),
+    )
+    qs = exact_quantiles(
+        vals, "v", [0.5, 0.9, 0.99], ["hour_of_day"],
+        out_cols=["p50", "p90", "p99"],
+    )
+    n = vals.groupBy("hour_of_day").agg(F.count("*").alias("n_events"))
+    return (
+        n.join(qs, "hour_of_day")
+        .select(
+            "hour_of_day",
+            "n_events",
+            F.expr("CAST(ROUND(p50 * 10000) AS BIGINT)").alias(
+                "p50_value_e4"
+            ),
+            F.expr("CAST(ROUND(p90 * 10000) AS BIGINT)").alias(
+                "p90_value_e4"
+            ),
+            F.expr("CAST(ROUND(p99 * 10000) AS BIGINT)").alias(
+                "p99_value_e4"
+            ),
+        )
+        .orderBy("hour_of_day")
+    )

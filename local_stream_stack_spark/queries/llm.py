@@ -3269,3 +3269,77 @@ def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "vocab_coverage",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(regexp_extract_all(text, '[^ ]+')) AS token
+      FROM documents
+    ),
+    counts AS (
+      SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+    ),
+    ranked AS (
+      SELECT token, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rk
+      FROM counts
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n_types,
+             SUM(n) AS n_occ,
+             SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS n_hapax
+      FROM counts
+    ),
+    top AS (
+      SELECT SUM(n) AS top_occ FROM ranked WHERE rk <= 1000
+    )
+    SELECT CAST(n_types AS BIGINT) AS n_types,
+           CAST(n_occ AS BIGINT) AS n_occurrences,
+           CAST(n_hapax AS BIGINT) AS n_hapax_types,
+           CAST(top_occ AS BIGINT) AS top1000_occurrences,
+           CAST(ROUND(10000.0 * top_occ / n_occ) AS BIGINT)
+             AS coverage_e4
+    FROM tot CROSS JOIN top
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage audit for tokenizer sizing: how much of
+    the corpus token mass the top-1000 word types cover, plus the
+    hapax-legomena count (types seen once - the tail a subword
+    tokenizer exists to absorb).
+
+    One scan-side tokenize + partial-agg count per type; the top-1000
+    cut is a TakeOrderedAndProject over the (already aggregated) type
+    table - per-partition heaps, never a global sort - and the two
+    scalar aggregates broadcast into the single-row result."""
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select(
+            F.explode(
+                F.expr("regexp_extract_all(text, '[^ ]+', 0)")
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = counts.agg(
+        F.count("*").alias("n_types"),
+        F.sum("n").alias("n_occ"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("n_hapax"),
+    )
+    top = (
+        counts.orderBy(F.desc("n"), F.asc("token"))
+        .limit(1000)
+        .agg(F.sum("n").alias("top_occ"))
+    )
+    return tot.crossJoin(F.broadcast(top)).select(
+        F.col("n_types").cast("bigint").alias("n_types"),
+        F.col("n_occ").cast("bigint").alias("n_occurrences"),
+        F.col("n_hapax").cast("bigint").alias("n_hapax_types"),
+        F.col("top_occ").cast("bigint").alias("top1000_occurrences"),
+        F.expr("CAST(ROUND(10000.0 * top_occ / n_occ) AS BIGINT)").alias(
+            "coverage_e4"
+        ),
+    )

@@ -1344,3 +1344,67 @@ def stats_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("column_name")
+
+
+@query(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'childless_orders' AS check_name,
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_orderkey = o.o_orderkey))
+             AS n_violations,
+           (SELECT COUNT(*) FROM orders) AS n_total
+    UNION ALL
+    SELECT 'orphan_lineitems',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)),
+           (SELECT COUNT(*) FROM lineitem)
+    UNION ALL
+    SELECT 'orphan_orders_custkey',
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)),
+           (SELECT COUNT(*) FROM orders)
+    ORDER BY check_name
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the warehouse's foreign
+    keys: childless orders, orphan lineitems, and orders whose
+    customer is missing - the classic post-load DQ sweep
+    (complements the row-level dq_expectations_orders checks).
+
+    Each check is one ANTI join (shuffled on the key, never
+    materializing the probe payload) plus a scalar count; the three
+    single-row results union. At 100 TB the anti joins are the same
+    plans a MERGE validation runs."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+
+    def check(name: str, viol: DataFrame, total: DataFrame) -> DataFrame:
+        v = viol.agg(F.count("*").alias("n_violations"))
+        t = total.agg(F.count("*").alias("n_total"))
+        return v.crossJoin(F.broadcast(t)).select(
+            F.lit(name).alias("check_name"),
+            F.col("n_violations").cast("bigint").alias("n_violations"),
+            F.col("n_total").cast("bigint").alias("n_total"),
+        )
+
+    childless = o.join(
+        li, o.o_orderkey == li.l_orderkey, "left_anti"
+    )
+    orphan_li = li.join(
+        o, li.l_orderkey == o.o_orderkey, "left_anti"
+    )
+    orphan_cust = o.join(
+        c, o.o_custkey == c.c_custkey, "left_anti"
+    )
+    return (
+        check("childless_orders", childless, o)
+        .unionByName(check("orphan_lineitems", orphan_li, li))
+        .unionByName(check("orphan_orders_custkey", orphan_cust, o))
+        .orderBy("check_name")
+    )

@@ -322,3 +322,62 @@ def test_conversion_lag_quantiles_golden(spark, tmp_path):
     assert r.p50_lag_us == 20 * 60 * 1_000_000
     # quantile_cont p90 over [10, 20, 60] min: 20 + 0.8*(60-20) = 52
     assert r.p90_lag_us == 52 * 60 * 1_000_000
+
+
+def test_daily_count_anomalies_flags_spike_day(spark, tmp_path):
+    import datetime as dt
+
+    import pandas as pd
+
+    rows = []
+    eid = 0
+    for day in range(10):
+        n = 100 if day != 7 else 300  # the spike
+        for k in range(n):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, 1 + day, 8, 0, k % 60),
+                         1, "click", 1.0, "{}"))
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    d = tmp_path / "wh"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+
+    from local_stream_stack_spark.queries.events_ops import (
+        daily_count_anomalies,
+    )
+
+    got = daily_count_anomalies(spark, str(d)).collect()
+    assert [(r.day.isoformat(), r.n_events) for r in got] == [
+        ("2024-01-08", 300)
+    ]
+    assert got[0].z_e4 > 20_000  # strongly positive z
+
+
+def test_hourly_value_quantiles_golden(spark, tmp_path):
+    import datetime as dt
+
+    import pandas as pd
+
+    rows = []
+    for i, v in enumerate([1.0, 2.0, 3.0, 4.0, 5.0]):
+        rows.append((i, dt.datetime(2024, 1, 1, 9, i), 1, "view", v, "{}"))
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    d = tmp_path / "wh"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+
+    from local_stream_stack_spark.queries.events_ops import (
+        hourly_value_quantiles,
+    )
+
+    r = hourly_value_quantiles(spark, str(d)).collect()[0]
+    assert r.hour_of_day == 9 and r.n_events == 5
+    assert r.p50_value_e4 == 30_000
+    # quantile_cont p90 over [1..5]: 1 + 0.9*4 = 4.6
+    assert r.p90_value_e4 == 46_000

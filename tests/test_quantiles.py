@@ -235,3 +235,56 @@ def test_stats_profile_nulls_mode_and_tiebreak(spark, tmp_path):
     assert tp.n_nulls == 1
     assert tp.min_num_e2 == 1050 and tp.max_num_e2 == 2000
     assert got["o_orderdate"].n_distinct == 1
+
+
+def test_referential_integrity_audit_counts_orphans(spark, tmp_path):
+    import datetime as dt
+
+    import pandas as pd
+
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3],
+            "o_custkey": [10, 10, 99],  # 99 missing from customer
+            "o_orderstatus": ["O"] * 3,
+            "o_totalprice": [1.0] * 3,
+            "o_orderdate": [dt.datetime(2024, 1, 1)] * 3,
+            "o_orderpriority": ["1"] * 3,
+        }
+    )
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 77],  # 77 orphan; orders 2,3 childless
+            "l_partkey": [1] * 3,
+            "l_suppkey": [1] * 3,
+            "l_linenumber": [1, 2, 1],
+            "l_quantity": [1.0] * 3,
+            "l_extendedprice": [1.0] * 3,
+            "l_discount": [0.0] * 3,
+            "l_tax": [0.0] * 3,
+            "l_returnflag": ["N"] * 3,
+            "l_linestatus": ["O"] * 3,
+            "l_shipdate": [dt.datetime(2024, 1, 2)] * 3,
+        }
+    )
+    cust = pd.DataFrame(
+        {"c_custkey": [10], "c_name": ["c"], "c_nationkey": [0],
+         "c_acctbal": [0.0]}
+    )
+    d = tmp_path / "wh"
+    d.mkdir()
+    orders.to_parquet(d / "orders.parquet", coerce_timestamps="us")
+    li.to_parquet(d / "lineitem.parquet", coerce_timestamps="us")
+    cust.to_parquet(d / "customer.parquet")
+
+    from local_stream_stack_spark.queries.relational_ext import (
+        referential_integrity_audit,
+    )
+
+    got = {r.check_name: (r.n_violations, r.n_total)
+           for r in referential_integrity_audit(spark, str(d)).collect()}
+    assert got == {
+        "childless_orders": (2, 3),
+        "orphan_lineitems": (1, 3),
+        "orphan_orders_custkey": (1, 3),
+    }

@@ -234,3 +234,26 @@ def test_source_mixing_weights_properties(spark, tmp_path):
     assert got["big"].weight_e6 + got["small"].weight_e6 in (999_999, 1_000_000, 1_000_001)
     assert got["big"].repetition_e4 < 10_000 < got["small"].repetition_e4
     assert abs(got["small"].repetition_e4 - 25_000) < 10
+
+
+def test_vocab_coverage_small_vocab_and_hapax(spark, tmp_path):
+    import pandas as pd
+
+    docs = [
+        (1, "a a a b b c"),   # a:3 b:2 c:1
+        (2, "a b unique"),    # unique is hapax; c also hapax
+    ]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    pdf["lang"] = "en"
+    pdf["source"] = "s"
+    pdf["n_chars"] = pdf["text"].str.len()
+    d = tmp_path / "wh"
+    d.mkdir()
+    pdf.to_parquet(d / "documents.parquet")
+
+    from local_stream_stack_spark.queries.llm import vocab_coverage
+
+    r = vocab_coverage(spark, str(d)).collect()[0]
+    assert r.n_types == 4 and r.n_occurrences == 9
+    assert r.n_hapax_types == 2
+    assert r.top1000_occurrences == 9 and r.coverage_e4 == 10_000
