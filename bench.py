@@ -124,6 +124,7 @@ EXTENDED = [
     "daily_count_anomalies",
     "hourly_value_quantiles",
     "referential_integrity_audit",
+    "kmv_rolling_wau",
 ]
 
 

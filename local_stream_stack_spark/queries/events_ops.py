@@ -2010,3 +2010,104 @@ def hourly_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_of_day")
     )
+
+
+@query(
+    "kmv_rolling_wau",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d,
+             CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) + 1 AS h
+      FROM events
+    ),
+    kept AS (
+      SELECT d, h FROM (
+        SELECT d, h,
+               ROW_NUMBER() OVER (PARTITION BY d ORDER BY h) AS rn
+        FROM h) t
+      WHERE rn <= 64
+    ),
+    days AS (SELECT DISTINCT d FROM kept),
+    win AS (
+      SELECT days.d AS day, kept.h
+      FROM days JOIN kept
+        ON kept.d BETWEEN days.d - 6 AND days.d
+    ),
+    wkept AS (
+      SELECT day, h FROM (
+        SELECT day, h,
+               ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rn
+        FROM (SELECT DISTINCT day, h FROM win) u) t
+      WHERE rn <= 64
+    ),
+    ndays AS (
+      SELECT a.d AS day, COUNT(*) AS n_days_in_window
+      FROM days a JOIN days b ON b.d BETWEEN a.d - 6 AND a.d
+      GROUP BY a.d
+    ),
+    est AS (
+      SELECT day,
+             CAST(CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+                       ELSE CAST(ROUND(270582939648.0 / MAX(h)) AS BIGINT)
+                  END AS BIGINT) AS est_wau
+      FROM wkept GROUP BY day
+    )
+    SELECT est.day,
+           CAST(n_days_in_window AS INT) AS n_days_in_window,
+           est_wau
+    FROM est JOIN ndays ON ndays.day = est.day
+    ORDER BY est.day
+    """,
+)
+def kmv_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day weekly-active-users from DAILY sketches alone -
+    the canonical mergeable-sketch rollup: each day's KMV is built
+    once, and every window estimate is a union of <= 7 sketch rows
+    re-cut to the k smallest, so WAU/MAU-style windows never rescan
+    events and the rollup costs O(days x window x k) sketch rows
+    total. The same sketches feed kmv_overlap_daily; mergeability
+    (union sketch == sketch of union) is pinned in
+    tests/test_sketches.py."""
+    from local_stream_stack_spark.operators.sketches import kmv_sketch
+
+    e = _events(spark, sf_dir)
+    days_users = e.select(F.to_date("ts").alias("d"), "user_id")
+    kept = kmv_sketch(days_users, "user_id", ["d"], k=64)
+    days = kept.select("d").distinct()
+    win = (
+        days.select(F.col("d").alias("day"))
+        .join(
+            kept,
+            F.col("d").between(F.date_sub(F.col("day"), 6), F.col("day")),
+        )
+        .select("day", "h")
+        .distinct()
+    )
+    w = Window.partitionBy("day").orderBy("h")
+    wkept = (
+        win.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 64)
+        .drop("__rn")
+    )
+    ndays = (
+        days.select(F.col("d").alias("day"))
+        .join(
+            days.select(F.col("d").alias("d2")),
+            F.col("d2").between(F.date_sub(F.col("day"), 6), F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.count("*").cast("int").alias("n_days_in_window"))
+    )
+    est = wkept.groupBy("day").agg(
+        F.when(F.count("*") < 64, F.count("*").cast("bigint"))
+        .otherwise(
+            F.round(F.lit(270582939648.0) / F.max("h")).cast("bigint")
+        )
+        .alias("est_wau")
+    )
+    return (
+        est.join(ndays, "day")
+        .select("day", "n_days_in_window", "est_wau")
+        .orderBy("day")
+    )

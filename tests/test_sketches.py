@@ -158,3 +158,41 @@ def test_kmv_overlap_estimates_within_error_bound(spark):
             want,
         )
         assert 0 <= row.est_new <= row.est_dau_next
+
+
+def test_kmv_rolling_wau_window_semantics(spark, tmp_path):
+    """A user active only on day 1 stays in the WAU window through
+    day 7 and falls out on day 8; sub-saturated windows are exact."""
+    import datetime as dt
+
+    import pandas as pd
+
+    rows = []
+    eid = 0
+    # 10 distinct users on day 1, then 1 distinct user daily after
+    for day in range(1, 10):
+        users = range(10) if day == 1 else [100 + day]
+        for u in users:
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, day, 9, 0, 0),
+                         u, "view", 1.0, "{}"))
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    d = tmp_path / "wh"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+
+    from local_stream_stack_spark.queries.events_ops import kmv_rolling_wau
+
+    got = {r.day.isoformat(): r for r in
+           kmv_rolling_wau(spark, str(d)).collect()}
+    # day 7 window covers days 1..7: 10 + 6 singles = 16 (exact, <64)
+    assert got["2024-01-07"].est_wau == 16
+    assert got["2024-01-07"].n_days_in_window == 7
+    # day 8 window covers days 2..8: the day-1 cohort is gone
+    assert got["2024-01-08"].est_wau == 7
+    # early ramp: day 1 window is day 1 alone
+    assert got["2024-01-01"].est_wau == 10
+    assert got["2024-01-01"].n_days_in_window == 1
