@@ -310,6 +310,7 @@ CHANGED_SINCE_GREEN: frozenset[str] = frozenset(
         "perplexity_unigram",
         "price_decile_assign",
         "profile_columns",
+        "pyds_stream_agg",
         "q10_returned_revenue",
         "q14_promo_revenue",
         "q17_small_qty_revenue",
@@ -338,6 +339,22 @@ CHANGED_SINCE_GREEN: frozenset[str] = frozenset(
         "sliding_window_agg",
         "source_char_budget",
         "stratified_sample_sources",
+        "stream_aggregate_view",
+        "stream_dedup_keys",
+        "stream_ingest_dedup",
+        "stream_ingest_neardup",
+        "stream_interval_join",
+        "stream_interval_join_outer",
+        "stream_latest_per_key",
+        "stream_parquet_sink",
+        "stream_pipeline_yaml",
+        "stream_running_totals",
+        "stream_session_windows",
+        "stream_sliding_counts",
+        "stream_static_enrich",
+        "stream_topk_per_window",
+        "stream_tumbling_counts",
+        "stream_windowed_rollup_chain",
         "text_stats",
         "tfidf_top_terms",
         "time_weighted_avg",
