@@ -125,6 +125,8 @@ EXTENDED = [
     "hourly_value_quantiles",
     "referential_integrity_audit",
     "kmv_rolling_wau",
+    "copurchase_bfs_hops",
+    "schema_evolution_roundtrip",
 ]
 
 

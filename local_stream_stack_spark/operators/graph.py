@@ -169,3 +169,43 @@ def pagerank(
         .alias("rank"),
         "rank_e12",
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seed_df: DataFrame,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, hop) breadth-first distances from the seed set over an
+    UNDIRECTED reading of ``edges``, up to ``max_hops``.
+
+    Classic frontier expansion: each round joins the current frontier
+    to the (symmetrized) edge list and anti-joins everything already
+    visited - one bounded shuffle per hop, never materializing paths.
+    ``seed_df`` must have one column named ``node`` (hop 0).
+    Unreached nodes are absent (infinite distance)."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    sym = e.unionByName(
+        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).distinct()
+    visited = seed_df.select(
+        F.col("node"), F.lit(0).alias("hop")
+    )
+    frontier = visited.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            sym.join(frontier, sym.s == frontier.node)
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(
+            nxt.select("node", F.lit(hop).alias("hop"))
+        )
+        frontier = nxt
+    return visited

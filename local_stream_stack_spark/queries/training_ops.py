@@ -2264,3 +2264,150 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("doc_freq"), F.asc("gram"))
         .limit(20)
     )
+
+
+@query(
+    "copurchase_bfs_hops",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_orderkey < 2000
+    ),
+    de AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (
+      SELECT src AS s, dst AS d FROM de
+      UNION
+      SELECT dst AS s, src AS d FROM de
+    ),
+    seed AS (SELECT MIN(s) AS node FROM edges),
+    d0 AS (SELECT node FROM seed),
+    d1 AS (
+      SELECT DISTINCT e.d AS node FROM edges e JOIN d0 ON e.s = d0.node
+      WHERE e.d NOT IN (SELECT node FROM d0)
+    ),
+    d2 AS (
+      SELECT DISTINCT e.d AS node FROM edges e JOIN d1 ON e.s = d1.node
+      WHERE e.d NOT IN (SELECT node FROM d0)
+        AND e.d NOT IN (SELECT node FROM d1)
+    ),
+    d3 AS (
+      SELECT DISTINCT e.d AS node FROM edges e JOIN d2 ON e.s = d2.node
+      WHERE e.d NOT IN (SELECT node FROM d0)
+        AND e.d NOT IN (SELECT node FROM d1)
+        AND e.d NOT IN (SELECT node FROM d2)
+    ),
+    hops AS (
+      SELECT node, 0 AS hop FROM d0
+      UNION ALL SELECT node, 1 FROM d1
+      UNION ALL SELECT node, 2 FROM d2
+      UNION ALL SELECT node, 3 FROM d3
+    )
+    SELECT CAST(hop AS INT) AS hop,
+           COUNT(*) AS n_parts,
+           CAST(MIN(node) AS BIGINT) AS min_part,
+           CAST(MAX(node) AS BIGINT) AS max_part
+    FROM hops GROUP BY hop ORDER BY hop
+    """,
+)
+def copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first hop distances from the lowest part id over the
+    undirected co-purchase graph (3 hops) - the reachability/radius
+    probe alongside components (equivalence), PageRank (centrality),
+    and triangles (density) in the graph family.
+
+    Frontier expansion: one bounded shuffle join per hop plus an
+    anti-join against the visited set, localCheckpoint between
+    rounds to cut the growing lineage (the iterative-algorithm
+    discipline from operators/clustering.py). The oracle unrolls the
+    same three frontier steps as CTEs."""
+    from local_stream_stack_spark.operators.graph import bfs_hops
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 2000)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seed = sym.agg(F.min("src").alias("node"))
+    hops = bfs_hops(edges, seed, max_hops=3)
+    return (
+        hops.groupBy(F.col("hop").cast("int").alias("hop"))
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.min("node").cast("bigint").alias("min_part"),
+            F.max("node").cast("bigint").alias("max_part"),
+        )
+        .orderBy("hop")
+    )
+
+
+@query(
+    "schema_evolution_roundtrip",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_missing_source,
+           COUNT(DISTINCT CASE WHEN doc_id % 2 = 1 THEN source END)
+             AS n_sources_seen
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on disk: an old writer emits (doc_id, lang),
+    a new writer adds the source column, both land in ONE dataset
+    directory, and a mergeSchema read reconciles them - old files
+    surface source as NULL. The returned per-lang summary counts the
+    NULL-source rows (exactly the old writer's half) and the distinct
+    sources the new files carry, so the oracle checks the merge
+    semantics end to end.
+
+    At scale this is the standard additive-column evolution path for
+    parquet datasets (merge only widens; no rewrite of old files);
+    the read pays one extra footer-schema union, pruning and
+    pushdown unchanged."""
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="lss-schema-evo-")
+    v1 = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    v2 = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "source"
+    )
+    v1.write.mode("append").parquet(base)
+    v2.write.mode("append").parquet(base)
+    back = spark.read.option("mergeSchema", "true").parquet(base)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("source").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_missing_source"),
+            F.countDistinct("source").alias("n_sources_seen"),
+        )
+        .orderBy("lang")
+    )

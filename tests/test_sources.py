@@ -97,3 +97,34 @@ def test_python_datasource_shards_and_determinism(spark):
     assert all(k == (i * 2654435761) % 4294967296 for i, _, k in a)
     # shards partition the id space exactly (no dup/gap across workers)
     assert [i for i, _, _ in a] == list(range(1000))
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """mergeSchema reconciles old (2-col) and new (3-col) files:
+    old rows surface the added column as NULL; a plain read without
+    mergeSchema can miss the added column entirely."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["a"] * 4,
+            "lang": ["en", "en", "de", "de"],
+            "source": ["s1", "s2", "s1", "s2"],
+            "n_chars": [1] * 4,
+        }
+    )
+    d = tmp_path / "wh"
+    d.mkdir()
+    pdf.to_parquet(d / "documents.parquet")
+
+    from local_stream_stack_spark.queries.training_ops import (
+        schema_evolution_roundtrip,
+    )
+
+    got = {r.lang: r for r in
+           schema_evolution_roundtrip(spark, str(d)).collect()}
+    assert got["en"].n_docs == 2
+    assert got["en"].n_missing_source == 1   # doc 0 written old-style
+    assert got["en"].n_sources_seen == 1     # doc 1 carries s2
+    assert got["de"].n_missing_source == 1

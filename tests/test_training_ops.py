@@ -272,3 +272,21 @@ def test_semantic_dedup_lsh_verify_consumes_candidates_only(spark):
     plan = verified._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bfs_hops_path_graph(spark):
+    """On the path 1-2-3-4-5 seeded at 1, hops are the path indices
+    and node 5 stays unreached at max_hops=3."""
+    from local_stream_stack_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    seed = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.hop for r in bfs_hops(edges, seed, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+    # undirected: seeding at 3 reaches both ends in 2 hops
+    seed3 = spark.createDataFrame([(3,)], "node long")
+    got3 = {r.node: r.hop for r in bfs_hops(edges, seed3, max_hops=3).collect()}
+    assert got3 == {3: 0, 2: 1, 4: 1, 1: 2, 5: 2}
