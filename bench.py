@@ -127,6 +127,9 @@ EXTENDED = [
     "kmv_rolling_wau",
     "copurchase_bfs_hops",
     "schema_evolution_roundtrip",
+    "orders_monthly_yoy",
+    "basket_lift_pairs",
+    "lang_id_confusion",
 ]
 
 

@@ -3343,3 +3343,72 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage_e4"
         ),
     )
+
+
+@query(
+    "lang_id_confusion",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+        len(regexp_extract_all(lower(text), '(^| )(the|and|of|is|to)( |$)')) AS s_en,
+        len(regexp_extract_all(lower(text), '(^| )(el|la|los|es|una)( |$)')) AS s_es,
+        len(regexp_extract_all(lower(text), '(^| )(le|les|est|une|dans)( |$)')) AS s_fr,
+        len(regexp_extract_all(lower(text), '(^| )(der|die|und|ist|nicht)( |$)')) AS s_de
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang,
+             CASE
+               WHEN GREATEST(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+               WHEN s_en = GREATEST(s_en, s_es, s_fr, s_de) THEN 'en'
+               WHEN s_es = GREATEST(s_en, s_es, s_fr, s_de) THEN 'es'
+               WHEN s_fr = GREATEST(s_en, s_es, s_fr, s_de) THEN 'fr'
+               ELSE 'de'
+             END AS predicted_lang
+      FROM scored
+    ),
+    cells AS (
+      SELECT lang, predicted_lang, COUNT(*) AS n
+      FROM pred GROUP BY lang, predicted_lang
+    ),
+    tot AS (SELECT lang, SUM(n) AS row_n FROM cells GROUP BY lang)
+    SELECT cells.lang AS lang, predicted_lang,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST(ROUND(10000.0 * n / row_n) AS BIGINT) AS row_share_e4,
+           CAST(cells.lang = predicted_lang AS INT) AS is_correct
+    FROM cells JOIN tot ON cells.lang = tot.lang
+    ORDER BY cells.lang, predicted_lang
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for the stopword-marker language classifier
+    (lang_id) against the labeled lang column, with per-true-lang row
+    shares - the audit that quantifies where the cheap heuristic
+    misroutes documents before it gates anything downstream.
+
+    One scan-side scoring pass (regex counts in codegen), a cells
+    aggregate, and row totals via a second aggregate over the
+    parameter-sized cells relation."""
+    from local_stream_stack_spark.operators.text import lang_id_scores
+
+    d = _t(spark, sf_dir, "documents")
+    pred = lang_id_scores(d, "text").select("lang", "predicted_lang")
+    cells = pred.groupBy("lang", "predicted_lang").agg(
+        F.count("*").alias("n")
+    )
+    tot = cells.groupBy("lang").agg(F.sum("n").alias("row_n"))
+    return (
+        cells.join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "predicted_lang",
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.expr("CAST(ROUND(10000.0 * n / row_n) AS BIGINT)").alias(
+                "row_share_e4"
+            ),
+            (F.col("lang") == F.col("predicted_lang"))
+            .cast("int")
+            .alias("is_correct"),
+        )
+        .orderBy("lang", "predicted_lang")
+    )

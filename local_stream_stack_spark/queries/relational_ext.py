@@ -1408,3 +1408,62 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(check("orphan_orders_custkey", orphan_cust, o))
         .orderBy("check_name")
     )
+
+
+@query(
+    "orders_monthly_yoy",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+             CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
+             COUNT(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS rev
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT yr, mo,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+           CAST(ROUND(10000.0 * (rev - LAG(rev) OVER w)
+                      / NULLIF(LAG(rev) OVER w, 0)) AS BIGINT)
+             AS mom_growth_e4,
+           CAST(ROUND(10000.0 * (rev - LAG(rev, 12) OVER w)
+                      / NULLIF(LAG(rev, 12) OVER w, 0)) AS BIGINT)
+             AS yoy_growth_e4
+    FROM m
+    WINDOW w AS (ORDER BY yr, mo)
+    ORDER BY yr, mo
+    """,
+)
+def orders_monthly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year revenue growth - the
+    reporting staple: monthly decimal-exact revenue (one partial-agg
+    groupBy), then two LAGs over the MONTH-level series. The window
+    is global but runs on the parameter-sized month table (months,
+    not orders), the same bounded-relation argument as
+    chisq_lang_source; growth ratios are single divisions of exact
+    decimals rounded to scaled BIGINTs."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.expr("SUM(CAST(o_totalprice AS DECIMAL(14,2)))").alias("rev"),
+    )
+    growth = lambda lag_n: F.expr(  # noqa: E731
+        f"""CAST(ROUND(10000.0 * (rev - LAG(rev, {lag_n}) OVER
+              (ORDER BY yr, mo))
+              / NULLIF(LAG(rev, {lag_n}) OVER (ORDER BY yr, mo), 0))
+            AS BIGINT)"""
+    )
+    return (
+        m.select(
+            "yr",
+            "mo",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.expr("CAST(ROUND(rev, 2) AS DOUBLE)").alias("revenue"),
+            growth(1).alias("mom_growth_e4"),
+            growth(12).alias("yoy_growth_e4"),
+        )
+        .orderBy("yr", "mo")
+    )

@@ -2411,3 +2411,98 @@ def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "basket_lift_pairs",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+    item AS (
+      SELECT l_partkey, COUNT(*) AS supp FROM li GROUP BY l_partkey
+    ),
+    pair AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS supp_ab
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 3
+    )
+    SELECT part_a, part_b,
+           CAST(supp_ab AS BIGINT) AS supp_ab,
+           CAST(ia.supp AS BIGINT) AS supp_a,
+           CAST(ib.supp AS BIGINT) AS supp_b,
+           CAST(ROUND(10000.0 * supp_ab / ia.supp) AS BIGINT)
+             AS confidence_e4,
+           CAST(ROUND(10000.0 * CAST(supp_ab AS DOUBLE) * n_orders
+                      / (CAST(ia.supp AS DOUBLE) * ib.supp)) AS BIGINT)
+             AS lift_e4
+    FROM pair
+    JOIN item ia ON part_a = ia.l_partkey
+    JOIN item ib ON part_b = ib.l_partkey
+    CROSS JOIN n
+    ORDER BY lift_e4 DESC, part_a, part_b
+    LIMIT 10
+    """,
+)
+def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association metrics: support / confidence / lift
+    for co-purchased part pairs (min pair support 3), top-10 by lift -
+    the recommender-bootstrap query.
+
+    Pair generation is the order-local self-join (orders bound the
+    blowup: pairs-per-order is quadratic in basket SIZE, not corpus
+    size), item supports broadcast back, and the scalar order count
+    broadcasts; ratios are single divisions of exact integers rounded
+    to scaled BIGINTs, and the top-10 is TakeOrderedAndProject with
+    full deterministic tie-break."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = li.groupBy("l_partkey").agg(F.count("*").alias("supp"))
+    a = li.alias("a")
+    b = li.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("supp_ab"))
+        .filter(F.col("supp_ab") >= 3)
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("part_a"), F.col("supp").alias("supp_a")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("part_b"), F.col("supp").alias("supp_b")
+    )
+    return (
+        pair.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("supp_ab").cast("bigint").alias("supp_ab"),
+            F.col("supp_a").cast("bigint").alias("supp_a"),
+            F.col("supp_b").cast("bigint").alias("supp_b"),
+            F.expr(
+                "CAST(ROUND(10000.0 * supp_ab / supp_a) AS BIGINT)"
+            ).alias("confidence_e4"),
+            F.expr(
+                "CAST(ROUND(10000.0 * CAST(supp_ab AS DOUBLE) * n_orders"
+                " / (CAST(supp_a AS DOUBLE) * supp_b)) AS BIGINT)"
+            ).alias("lift_e4"),
+        )
+        .orderBy(F.desc("lift_e4"), F.asc("part_a"), F.asc("part_b"))
+        .limit(10)
+    )

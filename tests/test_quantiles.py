@@ -288,3 +288,69 @@ def test_referential_integrity_audit_counts_orphans(spark, tmp_path):
         "orphan_lineitems": (1, 3),
         "orphan_orders_custkey": (1, 3),
     }
+
+
+def test_orders_monthly_yoy_growth_math(spark, tmp_path):
+    import datetime as dt
+
+    import pandas as pd
+
+    rows = []
+    k = 0
+    # Jan-2023 100.00, Feb-2023 200.00, Jan-2024 150.00
+    for (y, m, total) in [(2023, 1, 100.0), (2023, 2, 200.0),
+                          (2024, 1, 150.0)]:
+        k += 1
+        rows.append((k, 1, "O", total, dt.datetime(y, m, 15), "1"))
+    pdf = pd.DataFrame(rows, columns=[
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"])
+    d = tmp_path / "wh"
+    d.mkdir()
+    pdf.to_parquet(d / "orders.parquet", coerce_timestamps="us")
+
+    from local_stream_stack_spark.queries.relational_ext import (
+        orders_monthly_yoy,
+    )
+
+    got = {(r.yr, r.mo): r for r in orders_monthly_yoy(spark, str(d)).collect()}
+    assert got[(2023, 1)].mom_growth_e4 is None
+    assert got[(2023, 2)].mom_growth_e4 == 10_000      # +100%
+    # LAG(12) over a 3-row series is NULL (sparse months don't fake a YoY)
+    assert got[(2024, 1)].yoy_growth_e4 is None
+    assert got[(2024, 1)].mom_growth_e4 == -2_500      # 200 -> 150
+
+
+def test_basket_lift_identifies_planted_pair(spark, tmp_path):
+    import datetime as dt
+
+    import pandas as pd
+
+    rows = []
+    # parts 100&200 co-occur in 5 baskets; parts 1..10 scattered
+    for o in range(5):
+        rows += [(o, 100, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                  dt.datetime(2024, 1, 1)),
+                 (o, 200, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                  dt.datetime(2024, 1, 1))]
+    for o in range(5, 25):
+        rows.append((o, o % 10, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                     dt.datetime(2024, 1, 1)))
+    pdf = pd.DataFrame(rows, columns=[
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate"])
+    d = tmp_path / "wh"
+    d.mkdir()
+    pdf.to_parquet(d / "lineitem.parquet", coerce_timestamps="us")
+
+    from local_stream_stack_spark.queries.training_ops import (
+        basket_lift_pairs,
+    )
+
+    rows_out = basket_lift_pairs(spark, str(d)).collect()
+    assert len(rows_out) == 1
+    r = rows_out[0]
+    assert (r.part_a, r.part_b, r.supp_ab) == (100, 200, 5)
+    assert r.confidence_e4 == 10_000           # 200 always follows 100
+    assert r.lift_e4 == 50_000                 # 5*25/(5*5) = 5.0
