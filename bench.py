@@ -130,6 +130,8 @@ EXTENDED = [
     "orders_monthly_yoy",
     "basket_lift_pairs",
     "lang_id_confusion",
+    "value_histogram_log2",
+    "customer_decile_transitions",
 ]
 
 

@@ -2111,3 +2111,48 @@ def kmv_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "n_days_in_window", "est_wau")
         .orderBy("day")
     )
+
+
+@query(
+    "value_histogram_log2",
+    oracle="""
+    SELECT event_type,
+           CAST(CASE WHEN value <= 0 THEN -9999
+                     ELSE CAST(FLOOR(LOG2(value)) AS INT) END AS INT)
+             AS bucket_log2,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)))
+                AS BIGINT) AS sum_cents
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY event_type, bucket_log2
+    """,
+)
+def value_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two value histogram per event type - the ops
+    distribution report that needs no calibration pass (bucket =
+    floor(log2(v)), non-positives pinned to the -9999 sentinel,
+    distinct from the legitimate -1 bucket of values in [0.5, 1)), so unlike
+    equi-width/equi-depth histograms it is one scan + one partial-agg
+    groupBy with no extents or quantile stage. log2 of a positive
+    double is exact enough that floor is engine-stable except exactly
+    at powers of two, where both engines see the same double and the
+    same correctly-rounded log2."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(
+            "event_type",
+            F.expr(
+                """CAST(CASE WHEN value <= 0 THEN -9999
+                       ELSE CAST(FLOOR(LOG2(value)) AS INT) END AS INT)"""
+            ).alias("bucket_log2"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(
+                "CAST(ROUND(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)))"
+                " AS BIGINT)"
+            ).alias("sum_cents"),
+        )
+        .orderBy("event_type", "bucket_log2")
+    )

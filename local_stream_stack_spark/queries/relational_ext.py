@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from local_stream_stack_spark.catalog import load_table
 from local_stream_stack_spark.queries.registry import query
@@ -1466,4 +1467,90 @@ def orders_monthly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             growth(12).alias("yoy_growth_e4"),
         )
         .orderBy("yr", "mo")
+    )
+
+
+@query(
+    "customer_decile_transitions",
+    oracle="""
+    WITH yr AS (
+      SELECT o_custkey,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+             SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS spend
+      FROM orders GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT MAX(yr) AS y2, MAX(yr) - 1 AS y1 FROM yr
+    ),
+    d AS (
+      SELECT o_custkey, yr,
+             NTILE(10) OVER (PARTITION BY yr
+                             ORDER BY spend, o_custkey) AS decile
+      FROM yr JOIN bounds ON yr IN (y1, y2)
+    ),
+    t AS (
+      SELECT a.decile AS decile_y1, b.decile AS decile_y2
+      FROM d a JOIN d b
+        ON a.o_custkey = b.o_custkey AND b.yr = a.yr + 1
+    )
+    SELECT CAST(decile_y1 AS INT) AS decile_y1,
+           CAST(decile_y2 AS INT) AS decile_y2,
+           COUNT(*) AS n_customers
+    FROM t
+    GROUP BY 1, 2
+    ORDER BY decile_y1, decile_y2
+    """,
+)
+def customer_decile_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend-decile mobility matrix: customers active in the two most
+    recent order years, bucketed into per-year spend deciles
+    (NTILE(10) with custkey tie-break - deterministic), counted by
+    (decile year1, decile year2) cell - the churn/upsell mobility
+    report.
+
+    Deciles derive from decimal-exact yearly spend; NTILE's ordering
+    is total (spend, custkey), so bucket assignment is engine-stable.
+    The NTILE window partitions by year over the per-customer year
+    table - one row per active customer, far below event mass, and
+    at true scale the same result comes from the three-pass quantile
+    operator's decile bounds instead of a global sort (decile_bounds
+    _price shows that form)."""
+    o = _t(spark, sf_dir, "orders")
+    yr = o.groupBy(
+        "o_custkey", F.year("o_orderdate").cast("int").alias("yr")
+    ).agg(
+        F.expr("SUM(CAST(o_totalprice AS DECIMAL(14,2)))").alias("spend")
+    )
+    bounds = yr.agg(
+        F.max("yr").alias("y2"), (F.max("yr") - 1).alias("y1")
+    )
+    dd = (
+        yr.crossJoin(F.broadcast(bounds))
+        .filter((F.col("yr") == F.col("y1")) | (F.col("yr") == F.col("y2")))
+        .withColumn(
+            "decile",
+            F.ntile(10).over(
+                Window.partitionBy("yr").orderBy("spend", "o_custkey")
+            ),
+        )
+    )
+    a = dd.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("yr").alias("yra"),
+        F.col("decile").alias("decile_y1"),
+    )
+    b = dd.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("yr").alias("yrb"),
+        F.col("decile").alias("decile_y2"),
+    )
+    return (
+        a.join(b, "ck")
+        .filter(F.col("yrb") == F.col("yra") + 1)
+        .groupBy(
+            F.col("decile_y1").cast("int").alias("decile_y1"),
+            F.col("decile_y2").cast("int").alias("decile_y2"),
+        )
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("decile_y1", "decile_y2")
     )

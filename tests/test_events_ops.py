@@ -381,3 +381,26 @@ def test_hourly_value_quantiles_golden(spark, tmp_path):
     assert r.p50_value_e4 == 30_000
     # quantile_cont p90 over [1..5]: 1 + 0.9*4 = 4.6
     assert r.p90_value_e4 == 46_000
+
+
+def test_value_histogram_log2_buckets(spark, tmp_path):
+    import datetime as dt
+
+    import pandas as pd
+
+    vals = [0.0, 0.5, 1.0, 1.9, 2.0, 3.99, 4.0, 100.0]
+    rows = [(i, dt.datetime(2024, 1, 1, 9, 0, i), 1, "view", v, "{}")
+            for i, v in enumerate(vals)]
+    pdf = pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"])
+    d = tmp_path / "wh"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+
+    from local_stream_stack_spark.queries.events_ops import (
+        value_histogram_log2,
+    )
+
+    got = {r.bucket_log2: r.n_events for r in
+           value_histogram_log2(spark, str(d)).collect()}
+    assert got == {-9999: 1, -1: 1, 0: 2, 1: 2, 2: 1, 6: 1}
