@@ -2349,7 +2349,9 @@ def copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    seed = sym.agg(F.min("src").alias("node"))
+    seed = sym.agg(F.min("src").alias("node")).filter(
+        F.col("node").isNotNull()  # empty graph -> no seed, no hops
+    )
     hops = bfs_hops(edges, seed, max_hops=3)
     return (
         hops.groupBy(F.col("hop").cast("int").alias("hop"))

@@ -53,6 +53,32 @@ REPRESENTATIVE = [
     "dedup_repeated_ngram_spans",  # gram inverted index
     "perplexity_bigram_interp",  # bigram LM (no bigram events)
     "sim_ivfpq_topk",            # composed ANN (empty seeds/books)
+    # round-6 post-close families
+    "quality_filter_gopher",     # array HOF battery
+    "regression_by_nation",      # decimal moment sums
+    "kmv_overlap_daily",         # sketch pair union
+    "dedup_substring_spans",     # positional gram join + islands
+    "session_paths_top",         # sessionize + leads
+    "chisq_lang_source",         # contingency windows
+    "source_mixing_weights",     # sqrt temperature weights
+    "doc_novelty_scores",        # first-occurrence join
+    "attribution_last_touch",    # as-of + rollup
+    "embedding_quantize_pct",    # percentile calibration
+    "conversion_lag_quantiles",  # as-of + 3-pass quantiles
+    "boilerplate_ngrams",        # gram df top-k
+    "stats_profile_orders",      # per-column profile passes
+    "vocab_coverage",            # scalar coverage row
+    "daily_count_anomalies",     # moment-sum z-scores
+    "hourly_value_quantiles",    # keyed 3-pass quantiles
+    "referential_integrity_audit",  # anti-join checks (3 zero rows)
+    "kmv_rolling_wau",           # rolling sketch union
+    "copurchase_bfs_hops",       # frontier BFS (no seed)
+    "schema_evolution_roundtrip",  # mergeSchema write/read
+    "orders_monthly_yoy",        # month-series lags
+    "basket_lift_pairs",         # basket self-join
+    "lang_id_confusion",         # classifier cells
+    "value_histogram_log2",      # log2 buckets
+    "customer_decile_transitions",  # ntile mobility
 ]
 
 
@@ -74,6 +100,8 @@ EXPECT_SUMMARY_ROWS = {
     "triangle_count": 1,       # (n_triangles=0, n_edges=0)
     "kmv_distinct_rollup": 1,  # the 'ALL' rollup row (k_used=0)
     "zonemap_pruning_stats": 2,  # one summary row per layout
+    "vocab_coverage": 1,         # scalar coverage row (NULL ratios)
+    "referential_integrity_audit": 3,  # three checks, zero violations
 }
 
 
