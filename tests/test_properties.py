@@ -257,3 +257,117 @@ def test_round_half_up_division_idiom(s, n):
     q, r = divmod(s, n)
     expect = q + (1 if 2 * r >= n else 0)
     assert got == expect
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=30,
+    ).filter(lambda es: any(a != b for a, b in es)),
+)
+def test_bfs_hops_matches_python_bfs(spark, edges):
+    """Distributed frontier BFS == textbook queue BFS on random
+    undirected graphs (seeded at the minimum endpoint)."""
+    from collections import deque
+
+    from local_stream_stack_spark.operators.graph import bfs_hops
+
+    es = [(a, b) for a, b in edges if a != b]
+    adj: dict[int, set[int]] = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seed = min(adj)
+    want = {seed: 0}
+    q = deque([seed])
+    while q:
+        u = q.popleft()
+        if want[u] >= 3:  # max_hops
+            continue
+        for v in adj[u]:
+            if v not in want:
+                want[v] = want[u] + 1
+                q.append(v)
+
+    edf = spark.createDataFrame(es, "src long, dst long")
+    sdf = spark.createDataFrame([(seed,)], "node long")
+    got = {r.node: r.hop for r in bfs_hops(edf, sdf, max_hops=3).collect()}
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.data(),
+)
+def test_substring_spans_match_python_reference(spark, tmp_path_factory, data):
+    """dedup_substring_spans == a brute-force python scan for max
+    shared 8-gram runs on random small-vocab documents."""
+    import pandas as pd
+
+    vocab = ["w%d" % i for i in range(6)]
+    docs = data.draw(
+        st.lists(
+            st.lists(st.sampled_from(vocab), min_size=0, max_size=24),
+            min_size=2,
+            max_size=5,
+        )
+    )
+    texts = [" ".join(toks) for toks in docs]
+
+    def grams(toks):
+        return [
+            (i, tuple(toks[i : i + 8])) for i in range(len(toks) - 7)
+        ]
+
+    want = {}
+    for ia in range(len(docs)):
+        for ib in range(ia + 1, len(docs)):
+            ga, gb = grams(docs[ia]), grams(docs[ib])
+            # df cap: a gram in > 8 docs is dropped; with <= 5 docs
+            # the cap never fires, so skip modeling it
+            matches = [
+                (pa, pb) for pa, g1 in ga for pb, g2 in gb if g1 == g2
+            ]
+            if not matches:
+                continue
+            by_diag = {}
+            for pa, pb in matches:
+                by_diag.setdefault(pb - pa, []).append(pa)
+            best = 0
+            n_spans = 0
+            for ps in by_diag.values():
+                ps = sorted(ps)
+                run = 1
+                for k in range(1, len(ps) + 1):
+                    if k < len(ps) and ps[k] == ps[k - 1] + 1:
+                        run += 1
+                    else:
+                        best = max(best, run)
+                        n_spans += 1
+                        run = 1
+            if best + 7 >= 15:
+                want[(ia, ib)] = (best + 7, len(matches), n_spans)
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    d = tmp_path_factory.mktemp("spans")
+    pdf.to_parquet(d / "documents.parquet")
+
+    from local_stream_stack_spark.queries.training_ops import (
+        dedup_substring_spans,
+    )
+
+    got = {
+        (r.doc_a, r.doc_b): (r.max_span_tokens, r.n_match_grams, r.n_spans)
+        for r in dedup_substring_spans(spark, str(d)).collect()
+    }
+    assert got == want
