@@ -132,6 +132,10 @@ EXTENDED = [
     "lang_id_confusion",
     "value_histogram_log2",
     "customer_decile_transitions",
+    "dedup_cluster_sizes",
+    "dedup_prefix_clusters",
+    "customer_rfm_scores",
+    "supplier_pareto_abc",
 ]
 
 

@@ -3412,3 +3412,138 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "predicted_lang")
     )
+
+
+@query(
+    "dedup_cluster_sizes",
+    oracle="""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, lang, text FROM documents WHERE n_chars <= 200
+    ),
+    gram_sets AS (
+      SELECT DISTINCT doc_id, lang,
+             unnest([substr(text, CAST(i AS INT), 3)
+                     for i in generate_series(1, length(text) - 2)]) AS g
+      FROM docs
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM gram_sets GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      FROM gram_sets a
+      JOIN gram_sets b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jp AS (
+      SELECT id_a, id_b
+      FROM pairs
+      JOIN counts ca ON id_a = ca.doc_id
+      JOIN counts cb ON id_b = cb.doc_id
+      WHERE CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE) >= 0.12
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM jp
+      UNION
+      SELECT id_b AS s, id_a AS d FROM jp
+    ),
+    reach AS (
+      SELECT s AS n, s AS m FROM edges
+      UNION
+      SELECT r.n, e.d AS m FROM reach r JOIN edges e ON r.m = e.s
+    ),
+    comp AS (
+      SELECT n AS doc_id, MIN(m) AS component FROM reach GROUP BY n
+    ),
+    sizes AS (
+      SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component
+    )
+    SELECT CAST(cluster_size AS INT) AS cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+           CAST(SUM(cluster_size) - COUNT(*) AS BIGINT) AS n_removable
+    FROM sizes
+    GROUP BY cluster_size
+    ORDER BY cluster_size
+    """,
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram over the near-dup components - the
+    dedup IMPACT report: n_removable (docs minus one keeper per
+    cluster) is exactly what a dedup pass deletes, broken out by
+    cluster size so heavy boilerplate families are visible before
+    anything is dropped. Two tiny aggregates on top of the
+    dedup_components pipeline."""
+    from local_stream_stack_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") <= 200)
+    pairs = ngram_jaccard_pairs(
+        d, id_col="doc_id", text_col="text", n=3,
+        block_cols=["lang"], min_jaccard=0.12,
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    sizes = comp.groupBy("component").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy(F.col("cluster_size").cast("int").alias("cluster_size"))
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("cluster_size").cast("bigint").alias("n_docs"),
+            (F.sum("cluster_size") - F.count("*"))
+            .cast("bigint")
+            .alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+@query(
+    "dedup_prefix_clusters",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(text, '[^ ]+') AS toks
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id,
+             md5(array_to_string(toks[1:16], ' ')) AS prefix_hash
+      FROM t WHERE len(toks) >= 16
+    ),
+    grp AS (
+      SELECT prefix_hash,
+             COUNT(*) AS n_docs,
+             MIN(doc_id) AS keeper_doc
+      FROM p GROUP BY prefix_hash
+      HAVING COUNT(*) >= 2
+    )
+    SELECT prefix_hash, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(keeper_doc AS BIGINT) AS keeper_doc
+    FROM grp
+    ORDER BY n_docs DESC, prefix_hash
+    """,
+)
+def dedup_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-prefix duplication: documents opening with an identical
+    16-token prefix clustered by prefix hash (min doc_id = keeper) -
+    the cheap boilerplate-header detector (crawl templates, license
+    preambles) that catches families full-content hashing misses.
+    One scan-side hash + one partial-agg groupBy; no joins at all."""
+    d = _t(spark, sf_dir, "documents")
+    p = d.select(
+        "doc_id",
+        F.expr(
+            "md5(concat_ws(' ', slice(filter(split(trim(text), ' +'),"
+            " x -> x != ''), 1, 16)))"
+        ).alias("prefix_hash"),
+        F.expr(
+            "size(filter(split(trim(text), ' +'), x -> x != ''))"
+        ).alias("__nw"),
+    ).filter(F.col("__nw") >= 16)
+    return (
+        p.groupBy("prefix_hash")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("keeper_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.asc("prefix_hash"))
+    )

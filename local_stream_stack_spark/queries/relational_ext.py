@@ -1554,3 +1554,139 @@ def customer_decile_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_customers"))
         .orderBy("decile_y1", "decile_y2")
     )
+
+
+@query(
+    "customer_rfm_scores",
+    oracle="""
+    WITH agg AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS freq,
+             SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey,
+             NTILE(5) OVER (ORDER BY last_order, o_custkey) AS r,
+             NTILE(5) OVER (ORDER BY freq, o_custkey) AS f,
+             NTILE(5) OVER (ORDER BY monetary, o_custkey) AS m
+      FROM agg
+    )
+    SELECT CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+           COUNT(*) AS n_customers,
+           CAST(MIN(o_custkey) AS BIGINT) AS min_custkey
+    FROM scored
+    GROUP BY r, f, m
+    ORDER BY r, f, m
+    """,
+)
+def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency/frequency/monetary quintiles per
+    customer (NTILE(5) each, custkey tie-break for total order),
+    rolled up into segment cells - the classic CRM scoring.
+
+    The three NTILEs run over the per-customer aggregate relation
+    (one row per customer - far below order mass, the same bounded-
+    relation argument as customer_decile_transitions; at true scale
+    the quantile-operator bounds replace the global sorts).
+    Monetary ranks on the decimal-exact spend sum."""
+    o = _t(spark, sf_dir, "orders")
+    agg = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("freq"),
+        F.expr("SUM(CAST(o_totalprice AS DECIMAL(14,2)))").alias(
+            "monetary"
+        ),
+    )
+    scored = agg.select(
+        "o_custkey",
+        F.ntile(5)
+        .over(Window.orderBy("last_order", "o_custkey"))
+        .alias("r"),
+        F.ntile(5).over(Window.orderBy("freq", "o_custkey")).alias("f"),
+        F.ntile(5)
+        .over(Window.orderBy("monetary", "o_custkey"))
+        .alias("m"),
+    )
+    return (
+        scored.groupBy(
+            F.col("r").cast("int").alias("r"),
+            F.col("f").cast("int").alias("f"),
+            F.col("m").cast("int").alias("m"),
+        )
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("o_custkey").cast("bigint").alias("min_custkey"),
+        )
+        .orderBy("r", "f", "m")
+    )
+
+
+@query(
+    "supplier_pareto_abc",
+    oracle="""
+    WITH s AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS rev
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    t AS (SELECT SUM(rev) AS tot FROM s),
+    c AS (
+      SELECT l_suppkey, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, l_suppkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+      FROM s
+    ),
+    cls AS (
+      SELECT l_suppkey,
+             CASE WHEN 10 * (cum - rev) < 8 * tot THEN 'A'
+                  WHEN 100 * (cum - rev) < 95 * tot THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM c CROSS JOIN t
+    )
+    SELECT abc_class,
+           COUNT(*) AS n_suppliers
+    FROM cls
+    GROUP BY abc_class
+    ORDER BY abc_class
+    """,
+)
+def supplier_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of suppliers by revenue: class A
+    until the running total (EXCLUSIVE of the current row, so the
+    first supplier over the line still counts as A) reaches 80% of
+    total revenue, B until 95%, C after - the inventory-management
+    classic.
+
+    The cumulative window runs on the per-supplier aggregate (one
+    row per supplier) ordered by decimal-exact revenue with suppkey
+    tie-break; class boundaries are integer cross-multiplications of
+    exact decimals (10*cum < 8*tot), so no division and no float
+    anywhere."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_suppkey").agg(
+        F.expr("SUM(CAST(l_extendedprice AS DECIMAL(14,2)))").alias("rev")
+    )
+    t = s.agg(F.sum("rev").alias("tot"))
+    w = (
+        Window.orderBy(F.desc("rev"), F.asc("l_suppkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = s.withColumn("cum", F.sum("rev").over(w)).crossJoin(
+        F.broadcast(t)
+    )
+    cls = c.select(
+        "l_suppkey",
+        F.expr(
+            """CASE WHEN 10 * (cum - rev) < 8 * tot THEN 'A'
+                    WHEN 100 * (cum - rev) < 95 * tot THEN 'B'
+                    ELSE 'C' END"""
+        ).alias("abc_class"),
+    )
+    return (
+        cls.groupBy("abc_class")
+        .agg(F.count("*").alias("n_suppliers"))
+        .orderBy("abc_class")
+    )

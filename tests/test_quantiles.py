@@ -354,3 +354,69 @@ def test_basket_lift_identifies_planted_pair(spark, tmp_path):
     assert (r.part_a, r.part_b, r.supp_ab) == (100, 200, 5)
     assert r.confidence_e4 == 10_000           # 200 always follows 100
     assert r.lift_e4 == 50_000                 # 5*25/(5*5) = 5.0
+
+
+def test_supplier_pareto_abc_boundaries(spark, tmp_path):
+    """Revenue 80/15/5 across three suppliers -> exactly one A, one
+    B, one C with the exclusive-prefix boundary rule."""
+    import datetime as dt
+
+    import pandas as pd
+
+    rows = []
+    k = 0
+    for supp, rev in [(1, 80.0), (2, 15.0), (3, 5.0)]:
+        k += 1
+        rows.append((k, 1, supp, 1, 1.0, rev, 0.0, 0.0, "N", "O",
+                     dt.datetime(2024, 1, 1)))
+    li = pd.DataFrame(rows, columns=[
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate"])
+    d = tmp_path / "wh"
+    d.mkdir()
+    li.to_parquet(d / "lineitem.parquet", coerce_timestamps="us")
+
+    from local_stream_stack_spark.queries.relational_ext import (
+        supplier_pareto_abc,
+    )
+
+    got = {r.abc_class: r.n_suppliers for r in
+           supplier_pareto_abc(spark, str(d)).collect()}
+    # supplier 1: prefix 0 < 80% -> A; supplier 2: prefix 80 not <
+    # 80% but < 95% -> B; supplier 3: prefix 95 -> C
+    assert got == {"A": 1, "B": 1, "C": 1}
+
+
+def test_customer_rfm_extremes(spark, tmp_path):
+    """The best customer (most recent, most frequent, biggest spend)
+    lands in (5,5,5); the worst in (1,1,1)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    rows = []
+    k = 0
+    for cust in range(1, 11):
+        # customer i orders i times, last order on day i, spend 10*i
+        for j in range(cust):
+            k += 1
+            rows.append((k, cust, "O", 10.0, dt.datetime(2024, 1, cust),
+                         "1"))
+    pdf = pd.DataFrame(rows, columns=[
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"])
+    d = tmp_path / "wh"
+    d.mkdir()
+    pdf.to_parquet(d / "orders.parquet", coerce_timestamps="us")
+
+    from local_stream_stack_spark.queries.relational_ext import (
+        customer_rfm_scores,
+    )
+
+    got = {(r.r, r.f, r.m): r for r in
+           customer_rfm_scores(spark, str(d)).collect()}
+    # NTILE(5) over 10 customers -> 2 per quintile
+    assert got[(5, 5, 5)].min_custkey == 9
+    assert got[(5, 5, 5)].n_customers == 2
+    assert got[(1, 1, 1)].min_custkey == 1
