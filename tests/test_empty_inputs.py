@@ -79,6 +79,10 @@ REPRESENTATIVE = [
     "lang_id_confusion",         # classifier cells
     "value_histogram_log2",      # log2 buckets
     "customer_decile_transitions",  # ntile mobility
+    "dedup_cluster_sizes",       # components histogram
+    "dedup_prefix_clusters",     # prefix-hash groupBy
+    "customer_rfm_scores",       # triple ntile cells
+    "supplier_pareto_abc",       # cumulative-share classes
 ]
 
 
