@@ -136,6 +136,12 @@ EXTENDED = [
     "dedup_prefix_clusters",
     "customer_rfm_scores",
     "supplier_pareto_abc",
+    "revenue_gini_lorenz",
+    "benford_first_digit",
+    "corr_matrix_lineitem",
+    "active_streaks",
+    "dedup_token_sort",
+    "minhash_calibration",
 ]
 
 

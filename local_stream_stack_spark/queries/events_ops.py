@@ -2156,3 +2156,83 @@ def value_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket_log2")
     )
+
+
+@query(
+    "active_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id,
+             ed - ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ed) AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, grp, COUNT(*) AS len
+      FROM runs GROUP BY user_id, grp
+    ),
+    per_user AS (
+      SELECT user_id, MAX(len) AS longest, SUM(len) AS n_active_days
+      FROM streaks GROUP BY user_id
+    )
+    SELECT CAST(longest AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MIN(user_id) AS BIGINT) AS sample_user,
+           CAST(SUM(n_active_days) AS BIGINT) AS total_active_days
+    FROM per_user
+    GROUP BY longest
+    ORDER BY longest_streak
+    """,
+)
+def active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user, reported as a
+    distribution (streak length -> user count) — the gaps-and-islands
+    classic behind retention / engagement-streak features.
+
+    Distinct (user, epoch-day) rows, then the island key is
+    day - ROW_NUMBER() per user (consecutive days share a key); both
+    windows and all three aggregates are partitioned by user_id, so
+    the whole plan is per-user-local after one shuffle — no global
+    window anywhere."""
+    ev = _events(spark, sf_dir)
+    days = ev.select(
+        "user_id",
+        F.expr(
+            "datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+        ).alias("ed"),
+    ).distinct()
+    runs = days.select(
+        "user_id",
+        "ed",
+        (
+            F.col("ed")
+            - F.row_number().over(
+                Window.partitionBy("user_id").orderBy("ed")
+            )
+        ).alias("grp"),
+    )
+    streaks = runs.groupBy("user_id", "grp").agg(
+        F.count("*").alias("len")
+    )
+    per_user = streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest"),
+        F.sum("len").alias("n_active_days"),
+    )
+    return (
+        per_user.groupBy(
+            F.col("longest").cast("bigint").alias("longest_streak")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.min("user_id").cast("bigint").alias("sample_user"),
+            F.sum("n_active_days").cast("bigint").alias(
+                "total_active_days"
+            ),
+        )
+        .orderBy("longest_streak")
+    )

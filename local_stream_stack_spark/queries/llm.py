@@ -3547,3 +3547,203 @@ def dedup_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .orderBy(F.desc("n_docs"), F.asc("prefix_hash"))
     )
+
+
+@query(
+    "dedup_token_sort",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             md5(array_to_string(
+                 list_sort(list_distinct(
+                     regexp_extract_all(text, '[^ ]+'))),
+                 ' ')) AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT)
+             AS n_distinct_texts,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc
+    FROM t
+    GROUP BY fingerprint
+    HAVING COUNT(*) >= 2
+    ORDER BY n_docs DESC, fingerprint
+    """,
+)
+def dedup_token_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-set duplicate families: documents whose sorted
+    DISTINCT token sets hash identically (bag-of-vocabulary
+    fingerprint). Catches shuffled, reordered, and
+    repetition-inflated near-copies that exact content hashing
+    misses and n-gram methods only score fuzzily; n_distinct_texts
+    separates verbatim repeats from true same-vocabulary variants
+    within each family.
+
+    One scan-side sort_array + md5 and one partial-agg groupBy - the
+    same single-shuffle shape as exact dedup, so it scales
+    identically (the sort is per-row, bounded by document length)."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "text",
+        F.expr(
+            "md5(concat_ws(' ', sort_array(array_distinct("
+            "filter(split(trim(text), ' +'), x -> x != '')))))"
+        ).alias("fingerprint"),
+    )
+    return (
+        t.groupBy("fingerprint")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct(F.md5("text"))
+            .cast("bigint")
+            .alias("n_distinct_texts"),
+            F.min("doc_id").cast("bigint").alias("keeper_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.asc("fingerprint"))
+    )
+
+
+def _minhash_calibration_oracle_sql(
+    n_hashes: int = 32, shingle_k: int = 3, rows_per_band: int = 4
+) -> str:
+    """Oracle replaying the portable minhash pipeline, then scoring
+    the ESTIMATOR: per estimated-Jaccard bin, the micro-averaged
+    exact shingle Jaccard of the candidate pairs."""
+    return f"""
+    WITH {_minhash_bandkey_cte_sql(n_hashes, shingle_k, rows_per_band)},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandkey a JOIN bandkey b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    mt AS (
+      SELECT c.id_a, c.id_b,
+             SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS matches
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+      GROUP BY c.id_a, c.id_b
+    ),
+    szs AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+    itr AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+      GROUP BY c.id_a, c.id_b
+    ),
+    pair AS (
+      SELECT m.id_a, m.id_b, m.matches,
+             COALESCE(i.inter, 0) AS inter,
+             sa.nsh + sb.nsh - COALESCE(i.inter, 0) AS uni
+      FROM mt m
+      LEFT JOIN itr i ON m.id_a = i.id_a AND m.id_b = i.id_b
+      JOIN szs sa ON m.id_a = sa.doc_id
+      JOIN szs sb ON m.id_b = sb.doc_id
+    )
+    SELECT CAST(matches * 10 // {n_hashes} AS INT) AS est_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(inter) AS BIGINT) AS sum_inter,
+           CAST(SUM(uni) AS BIGINT) AS sum_union,
+           CAST(SUM(matches) * 10000
+                // ({n_hashes} * COUNT(*)) AS BIGINT) AS est_e4,
+           CAST(SUM(inter) AS DOUBLE) / CAST(SUM(uni) AS DOUBLE)
+             AS micro_jaccard
+    FROM pair
+    GROUP BY matches * 10 // {n_hashes}
+    ORDER BY est_bin
+    """
+
+
+@query("minhash_calibration", oracle=_minhash_calibration_oracle_sql())
+def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration report for the MinHash near-dup estimator: LSH
+    candidate pairs bucketed by ESTIMATED Jaccard (signature
+    agreement, 10 bins) vs the micro-averaged EXACT 3-word-shingle
+    Jaccard of the same pairs — the eval a dedup pipeline runs
+    before trusting an LSH threshold at corpus scale.
+
+    The exact stage joins shingle sets ONLY for LSH candidates (the
+    bounded verification shape, never all pairs). Integer-exact
+    throughout: bins and est_e4 are truncating integer divisions,
+    micro_jaccard is one double division of exact integer sums, so
+    summation order cannot perturb it."""
+    from local_stream_stack_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures_portable,
+        word_shingles,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures_portable(
+        d, id_col="doc_id", text_col="text", n_hashes=32,
+        shingle_k=3, shingle="word",
+    )
+    cands = minhash_lsh_candidates(
+        sigs, id_col="doc_id", bands=8, rows_per_band=4,
+        carry_sig=True, portable_keys=True,
+    ).select(
+        "id_a",
+        "id_b",
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda v: v,
+            )
+        ).alias("matches"),
+    )
+    sh = d.select(
+        "doc_id", F.explode(word_shingles("text", 3)).alias("s")
+    )
+    szs = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+    sh_a = sh.select(F.col("doc_id").alias("id_a"), "s")
+    sh_b = sh.select(
+        F.col("doc_id").alias("__idb"), F.col("s").alias("s_b")
+    )
+    itr = (
+        cands.select("id_a", "id_b")
+        .join(sh_a, "id_a")
+        .join(
+            sh_b,
+            (F.col("id_b") == F.col("__idb"))
+            & (F.col("s") == F.col("s_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sz_a = szs.select(F.col("doc_id").alias("id_a"), F.col("nsh").alias("nsh_a"))
+    sz_b = szs.select(F.col("doc_id").alias("id_b"), F.col("nsh").alias("nsh_b"))
+    pair = (
+        cands.join(itr, ["id_a", "id_b"], "left")
+        .join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "matches",
+            F.coalesce("inter", F.lit(0)).alias("inter"),
+            (
+                F.col("nsh_a") + F.col("nsh_b")
+                - F.coalesce("inter", F.lit(0))
+            ).alias("uni"),
+        )
+    )
+    return (
+        pair.groupBy(
+            F.expr("CAST(matches * 10 div 32 AS INT)").alias("est_bin")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("inter").cast("bigint").alias("sum_inter"),
+            F.sum("uni").cast("bigint").alias("sum_union"),
+            F.expr(
+                "CAST(SUM(matches) * 10000 div (32 * COUNT(*))"
+                " AS BIGINT)"
+            ).alias("est_e4"),
+            F.expr(
+                "CAST(SUM(inter) AS DOUBLE) / CAST(SUM(uni) AS DOUBLE)"
+            ).alias("micro_jaccard"),
+        )
+        .orderBy("est_bin")
+    )

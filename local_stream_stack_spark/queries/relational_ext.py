@@ -1690,3 +1690,316 @@ def supplier_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_suppliers"))
         .orderBy("abc_class")
     )
+
+
+@query(
+    "revenue_gini_lorenz",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT rev_c,
+             ROW_NUMBER() OVER (ORDER BY rev_c, o_custkey) AS i
+      FROM rev
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n, SUM(CAST(rev_c AS DECIMAL(38,0))) AS t,
+             SUM(CAST(rev_c AS DECIMAL(38,0)) * i) AS s1
+      FROM ranked
+    ),
+    dec AS (
+      SELECT o_custkey, rev_c,
+             NTILE(10) OVER (ORDER BY rev_c, o_custkey) AS decile
+      FROM rev
+    ),
+    per AS (
+      SELECT decile, COUNT(*) AS n_customers,
+             SUM(CAST(rev_c AS DECIMAL(38,0))) AS drev
+      FROM dec GROUP BY decile
+    ),
+    cum AS (
+      SELECT decile, n_customers,
+             SUM(drev) OVER (ORDER BY decile
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS crev
+      FROM per
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           CAST(crev AS BIGINT) AS cum_rev_cents,
+           CAST(CAST(crev AS HUGEINT) * 1000000
+                // CAST(t AS HUGEINT) AS BIGINT) AS cum_share_e6,
+           CAST(CAST(2 * s1 - (n + 1) * t AS HUGEINT) * 1000000
+                // CAST(n * t AS HUGEINT) AS BIGINT) AS gini_e6
+    FROM cum CROSS JOIN tot
+    ORDER BY decile
+    """,
+)
+def revenue_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration audit: Lorenz-curve deciles of
+    per-customer order revenue plus the Gini coefficient — the
+    inequality summary a curation pipeline uses to decide whether a
+    source (or customer base) is dominated by a few heavy entities.
+
+    Everything is integer-exact: revenue in cents (BIGINT), decile
+    cut via NTILE on the per-customer AGGREGATE (one row per
+    customer, so the global-order windows run on the small reduced
+    relation, not the raw orders scan), shares and the Gini
+    2*sum(i*x_i) formula via DECIMAL(38,0) sums with truncating
+    integer division to e6 — no floats anywhere, and both engines
+    truncate non-negative division identically."""
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.expr("SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))").alias("rev_c")
+    )
+    ranked = rev.select(
+        "rev_c",
+        F.row_number()
+        .over(Window.orderBy("rev_c", "o_custkey"))
+        .alias("i"),
+    )
+    tot = ranked.agg(
+        F.expr("COUNT(*)").alias("n"),
+        F.expr("SUM(CAST(rev_c AS DECIMAL(38,0)))").alias("t"),
+        F.expr("SUM(CAST(rev_c AS DECIMAL(38,0)) * i)").alias("s1"),
+    )
+    dec = rev.select(
+        "rev_c",
+        F.ntile(10).over(Window.orderBy("rev_c", "o_custkey")).alias("decile"),
+    )
+    per = dec.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.expr("SUM(CAST(rev_c AS DECIMAL(38,0)))").alias("drev"),
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.withColumn("crev", F.sum("drev").over(w)).crossJoin(
+        F.broadcast(tot)
+    )
+    return cum.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        F.col("crev").cast("bigint").alias("cum_rev_cents"),
+        F.expr(
+            "CAST(crev AS DECIMAL(38,0)) * 1000000 div t"
+        ).alias("cum_share_e6"),
+        F.expr(
+            "CAST(2 * s1 - (n + 1) * t AS DECIMAL(38,0)) * 1000000"
+            " div (n * t)"
+        ).alias("gini_e6"),
+    ).orderBy("decile")
+
+
+@query(
+    "benford_first_digit",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders
+    ),
+    g AS (SELECT digit, COUNT(*) AS n FROM c GROUP BY digit),
+    t AS (SELECT SUM(n) AS tot FROM g)
+    SELECT digit,
+           CAST(n AS BIGINT) AS n_orders,
+           CAST(n * 1000000 // tot AS BIGINT) AS observed_e6,
+           CAST(CASE digit
+                WHEN 1 THEN 301030 WHEN 2 THEN 176091
+                WHEN 3 THEN 124939 WHEN 4 THEN 96910
+                WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                WHEN 7 THEN 57992 WHEN 8 THEN 51153
+                ELSE 45757 END AS BIGINT) AS benford_e6,
+           CAST(n * 1000000 // tot
+                - CASE digit
+                  WHEN 1 THEN 301030 WHEN 2 THEN 176091
+                  WHEN 3 THEN 124939 WHEN 4 THEN 96910
+                  WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                  WHEN 7 THEN 57992 WHEN 8 THEN 51153
+                  ELSE 45757 END AS BIGINT) AS delta_e6
+    FROM g CROSS JOIN t
+    ORDER BY digit
+    """,
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    classic fraud / synthetic-data screen: natural multi-scale
+    amounts follow P(d) = log10(1 + 1/d); a flat or spiked digit
+    histogram flags fabricated or truncated values.
+
+    The first digit comes from the decimal rendering of the exact
+    cent amount (both engines print BIGINTs identically — no float
+    log10), observed shares are truncating integer division to e6,
+    and the Benford expectations are the SAME nine e6 literals on
+    both sides (they sum to exactly 1_000_000), so delta_e6 is pure
+    integer arithmetic. One scan, one 9-row groupBy."""
+    o = _t(spark, sf_dir, "orders")
+    benford = (
+        "CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091"
+        " WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181"
+        " WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153"
+        " ELSE 45757 END"
+    )
+    g = (
+        o.select(
+            F.expr(
+                "CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+                " AS STRING), 1, 1) AS INT)"
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    t = g.agg(F.sum("n").alias("tot"))
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.col("n").cast("bigint").alias("n_orders"),
+            F.expr("n * 1000000 div tot").alias("observed_e6"),
+            F.expr(f"CAST({benford} AS BIGINT)").alias("benford_e6"),
+            F.expr(f"n * 1000000 div tot - {benford}")
+            .cast("bigint")
+            .alias("delta_e6"),
+        )
+        .orderBy("digit")
+    )
+
+
+def _corr_pair_sql(x: str, y: str) -> str:
+    """Shared corr expression (identical tree on both engines so the
+    doubles derive bit-identically from the exact integer moments)."""
+    return (
+        f"(f_n * f_m{x}{y} - f_s{x} * f_s{y})"
+        f" / NULLIF(SQRT(f_n * f_v{x} - f_s{x} * f_s{x})"
+        f" * SQRT(f_n * f_v{y} - f_s{y} * f_s{y}), 0.0)"
+    )
+
+
+def _corr_oracle_sql() -> str:
+    pairs = [
+        ("q", "p", "quantity", "extendedprice"),
+        ("q", "d", "quantity", "discount"),
+        ("q", "t", "quantity", "tax"),
+        ("p", "d", "extendedprice", "discount"),
+        ("p", "t", "extendedprice", "tax"),
+        ("d", "t", "discount", "tax"),
+    ]
+    selects = "\n      UNION ALL ".join(
+        f"SELECT '{nx}' AS col_x, '{ny}' AS col_y,"
+        f" CAST(n AS BIGINT) AS n_rows, {_corr_pair_sql(x, y)} AS corr_xy"
+        " FROM f"
+        for x, y, nx, ny in pairs
+    )
+    dbl = ", ".join(
+        f"CAST({c} AS DOUBLE) AS f_{c}"
+        for c in [
+            "sq", "sp", "sd", "st", "vq", "vp", "vd", "vt",
+            "mqp", "mqd", "mqt", "mpd", "mpt", "mdt",
+        ]
+    )
+    sums = ", ".join(
+        f"SUM(CAST({a} AS DECIMAL(38,0)) * CAST({b} AS DECIMAL(38,0)))"
+        f" AS {nm}"
+        for nm, a, b in [
+            ("vq", "xq", "xq"), ("vp", "xp", "xp"), ("vd", "xd", "xd"),
+            ("vt", "xt", "xt"), ("mqp", "xq", "xp"), ("mqd", "xq", "xd"),
+            ("mqt", "xq", "xt"), ("mpd", "xp", "xd"), ("mpt", "xp", "xt"),
+            ("mdt", "xd", "xt"),
+        ]
+    )
+    return f"""
+    WITH base AS (
+      SELECT CAST(ROUND(l_quantity * 100) AS BIGINT) AS xq,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS xp,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS xd,
+             CAST(ROUND(l_tax * 100) AS BIGINT) AS xt
+      FROM lineitem
+    ),
+    agg AS MATERIALIZED (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(xq AS DECIMAL(38,0))) AS sq,
+             SUM(CAST(xp AS DECIMAL(38,0))) AS sp,
+             SUM(CAST(xd AS DECIMAL(38,0))) AS sd,
+             SUM(CAST(xt AS DECIMAL(38,0))) AS st,
+             {sums}
+      FROM base
+    ),
+    f AS (SELECT n, CAST(n AS DOUBLE) AS f_n, {dbl} FROM agg)
+    SELECT * FROM ({selects})
+    ORDER BY col_x, col_y
+    """
+
+
+@query("corr_matrix_lineitem", oracle=_corr_oracle_sql())
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix of the four lineitem
+    numeric measures (quantity, extendedprice, discount, tax) — the
+    feature-correlation audit a profiling pass runs before model
+    training or column pruning.
+
+    Single scan, single partial+final aggregate collecting all 15
+    exact moments (cent-scaled BIGINT values, DECIMAL(38,0) sums —
+    order-independent, unlike the built-in corr()'s running double
+    state), then the 6 upper-triangle correlations derive from
+    identical double expressions on both engines. The unpivot is a
+    stack() over one aggregate row."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.expr("CAST(ROUND(l_quantity * 100) AS BIGINT)").alias("xq"),
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias("xp"),
+        F.expr("CAST(ROUND(l_discount * 100) AS BIGINT)").alias("xd"),
+        F.expr("CAST(ROUND(l_tax * 100) AS BIGINT)").alias("xt"),
+    )
+    sum_exprs = [
+        F.expr("COUNT(*)").alias("n"),
+        *[
+            F.expr(f"SUM(CAST(x{c} AS DECIMAL(38,0)))").alias(f"s{c}")
+            for c in "qpdt"
+        ],
+        *[
+            F.expr(
+                f"SUM(CAST(x{a} AS DECIMAL(38,0))"
+                f" * CAST(x{b} AS DECIMAL(38,0)))"
+            ).alias(nm)
+            for nm, a, b in [
+                ("vq", "q", "q"), ("vp", "p", "p"), ("vd", "d", "d"),
+                ("vt", "t", "t"), ("mqp", "q", "p"), ("mqd", "q", "d"),
+                ("mqt", "q", "t"), ("mpd", "p", "d"), ("mpt", "p", "t"),
+                ("mdt", "d", "t"),
+            ]
+        ],
+    ]
+    agg = base.agg(*sum_exprs)
+    f = agg.select(
+        "n",
+        F.expr("CAST(n AS DOUBLE)").alias("f_n"),
+        *[
+            F.expr(f"CAST({c} AS DOUBLE)").alias(f"f_{c}")
+            for c in [
+                "sq", "sp", "sd", "st", "vq", "vp", "vd", "vt",
+                "mqp", "mqd", "mqt", "mpd", "mpt", "mdt",
+            ]
+        ],
+    )
+    pairs = [
+        ("q", "p", "quantity", "extendedprice"),
+        ("q", "d", "quantity", "discount"),
+        ("q", "t", "quantity", "tax"),
+        ("p", "d", "extendedprice", "discount"),
+        ("p", "t", "extendedprice", "tax"),
+        ("d", "t", "discount", "tax"),
+    ]
+    stack_args = ", ".join(
+        f"'{nx}', '{ny}', {_corr_pair_sql(x, y)}"
+        for x, y, nx, ny in pairs
+    )
+    return f.selectExpr(
+        "CAST(n AS BIGINT) AS n_rows",
+        f"stack(6, {stack_args}) AS (col_x, col_y, corr_xy)",
+    ).select("col_x", "col_y", "n_rows", "corr_xy").orderBy(
+        "col_x", "col_y"
+    )

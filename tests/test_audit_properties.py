@@ -1,0 +1,181 @@
+"""Hypothesis properties for the concentration/audit queries, checked
+against independent pure-Python references on randomized inputs —
+the oracle-gate strategy over a wider input space."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import tempfile
+from collections import Counter
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+
+
+def _orders_dir(revenues_cents):
+    d = tempfile.mkdtemp(prefix="prop-orders-")
+    rows = [
+        (i, i, "O", c / 100.0, dt.datetime(2024, 1, 1), "1-URGENT")
+        for i, c in enumerate(revenues_cents, start=1)
+    ]
+    pd.DataFrame(
+        rows,
+        columns=[
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority",
+        ],
+    ).to_parquet(d + "/orders.parquet", coerce_timestamps="us")
+    return d
+
+
+@settings(**_SETTINGS)
+@given(
+    cents=st.lists(st.integers(1, 10_000_00), min_size=1, max_size=40)
+)
+def test_gini_matches_python_reference(spark, cents):
+    """gini_e6 equals the textbook 2*sum(i*x)-(n+1)*sum(x) over
+    n*sum(x) formula (truncated to e6) on sorted values, and the
+    Lorenz shares are monotone ending at exactly 1e6."""
+    from local_stream_stack_spark.queries.relational_ext import (
+        revenue_gini_lorenz,
+    )
+
+    d = _orders_dir(cents)
+    try:
+        rows = revenue_gini_lorenz(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    xs = sorted(cents)
+    n, s = len(xs), sum(xs)
+    s1 = sum(i * x for i, x in enumerate(xs, start=1))
+    want = (1_000_000 * (2 * s1 - (n + 1) * s)) // (n * s)
+    assert all(r.gini_e6 == want for r in rows)
+    shares = [r.cum_share_e6 for r in rows]
+    assert shares == sorted(shares)
+    assert shares[-1] == 1_000_000
+    assert rows[-1].cum_rev_cents == s
+
+
+@settings(**_SETTINGS)
+@given(
+    cents=st.lists(st.integers(1, 99_999_99), min_size=1, max_size=60)
+)
+def test_benford_counts_match_python(spark, cents):
+    from local_stream_stack_spark.queries.relational_ext import (
+        benford_first_digit,
+    )
+
+    d = _orders_dir(cents)
+    try:
+        rows = benford_first_digit(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    want = Counter(int(str(c)[0]) for c in cents)
+    got = {r.digit: r.n_orders for r in rows}
+    assert got == dict(want)
+    tot = len(cents)
+    for r in rows:
+        assert r.observed_e6 == r.n_orders * 1_000_000 // tot
+        assert r.delta_e6 == r.observed_e6 - r.benford_e6
+
+
+@settings(**_SETTINGS)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 25)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_streaks_match_python(spark, pairs):
+    """Distribution of per-user longest consecutive-day runs matches
+    a direct Python scan over the distinct (user, day) set."""
+    from local_stream_stack_spark.queries.events_ops import (
+        active_streaks,
+    )
+
+    d = tempfile.mkdtemp(prefix="prop-events-")
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(days=day, hours=3),
+         u, "view", 1.0, "{}")
+        for i, (u, day) in enumerate(pairs)
+    ]
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value",
+                 "props"],
+    ).to_parquet(d + "/events.parquet", coerce_timestamps="us")
+    try:
+        got = {
+            r.longest_streak: (r.n_users, r.total_active_days)
+            for r in active_streaks(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    by_user: dict[int, set[int]] = {}
+    for u, day in pairs:
+        by_user.setdefault(u, set()).add(day)
+    want: dict[int, list[int]] = {}
+    for u, days in by_user.items():
+        ds = sorted(days)
+        longest = run = 1
+        for a, b in zip(ds, ds[1:]):
+            run = run + 1 if b == a + 1 else 1
+            longest = max(longest, run)
+        want.setdefault(longest, []).append(len(ds))
+    assert got == {
+        k: (len(v), sum(v)) for k, v in want.items()
+    }
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dd", "ee"]),
+            min_size=1,
+            max_size=6,
+        ).map(" ".join),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_token_sort_families_match_python(spark, texts):
+    """Family sizes per sorted-vocabulary key match a Python
+    reference; singleton vocabularies are excluded."""
+    from local_stream_stack_spark.queries.llm import dedup_token_sort
+
+    d = tempfile.mkdtemp(prefix="prop-docs-")
+    pd.DataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(d + "/documents.parquet")
+    try:
+        got = {
+            (r.n_docs, r.n_distinct_texts, r.keeper_doc)
+            for r in dedup_token_sort(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    fams: dict[tuple, list] = {}
+    for i, t in enumerate(texts):
+        key = tuple(sorted(set(t.split())))
+        fams.setdefault(key, []).append((i, t))
+    want = {
+        (len(v), len({t for _, t in v}), min(i for i, _ in v))
+        for v in fams.values()
+        if len(v) >= 2
+    }
+    assert got == want

@@ -83,6 +83,12 @@ REPRESENTATIVE = [
     "dedup_prefix_clusters",     # prefix-hash groupBy
     "customer_rfm_scores",       # triple ntile cells
     "supplier_pareto_abc",       # cumulative-share classes
+    "revenue_gini_lorenz",       # lorenz deciles + gini scalar
+    "benford_first_digit",       # digit histogram
+    "corr_matrix_lineitem",      # moment-sum correlations
+    "active_streaks",            # gaps-and-islands distribution
+    "dedup_token_sort",          # vocab-set fingerprint groupBy
+    "minhash_calibration",       # estimator calibration bins
 ]
 
 
@@ -106,6 +112,7 @@ EXPECT_SUMMARY_ROWS = {
     "zonemap_pruning_stats": 2,  # one summary row per layout
     "vocab_coverage": 1,         # scalar coverage row (NULL ratios)
     "referential_integrity_audit": 3,  # three checks, zero violations
+    "corr_matrix_lineitem": 6,   # six pair rows with NULL corr
 }
 
 

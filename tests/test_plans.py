@@ -303,3 +303,56 @@ def test_session_paths_windows_share_one_exchange(spark):
     plan = _plan(spark, "session_paths_top")
     assert plan.count("hashpartitioning(user_id") == 1
     assert "TakeOrderedAndProject" in plan
+
+
+def test_corr_matrix_single_partial_agg_and_pruned_scan(spark):
+    """All 15 moments ride ONE partial+final aggregate (no second
+    scan per pair), and the scan reads only the four measures."""
+    plan = _plan(spark, "corr_matrix_lineitem")
+    assert plan.count("HashAggregate") == 2
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "l_quantity" in read_schema
+    assert "l_orderkey" not in read_schema and "l_suppkey" not in read_schema
+
+
+def test_token_sort_dedup_partial_aggregation(spark):
+    """The vocabulary-fingerprint groupBy combines map-side: shuffle
+    volume is one row per distinct fingerprint per task, not per
+    document."""
+    plan = _plan(spark, "dedup_token_sort")
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_active_streaks_windows_are_user_partitioned(spark):
+    """Gaps-and-islands must never use a global window: every Window
+    node carries the user_id partition spec."""
+    plan = _plan(spark, "active_streaks")
+    # every windowspecdefinition in the plan partitions by user_id
+    assert "Window" in plan
+    specs = plan.split("windowspecdefinition")[1:]
+    assert specs, "expected a window in the streaks plan"
+    for seg in specs:
+        assert "user_id" in seg[:120]
+
+
+def test_gini_windows_run_on_reduced_relation(spark):
+    """The global-order Lorenz windows consume the per-customer
+    AGGREGATE (post-groupBy), never the raw orders scan: an
+    aggregate must appear below every window in the plan tree."""
+    plan = _plan(spark, "revenue_gini_lorenz")
+    first_window = plan.find("Window")
+    assert first_window != -1
+    assert "HashAggregate" in plan[first_window:], (
+        "window must sit above the per-customer aggregate"
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_calibration_no_cartesian_and_bounded_join(spark):
+    """The exact-Jaccard stage joins shingles only through the LSH
+    candidate equi-join — no Cartesian/broadcast-nested-loop pair
+    enumeration anywhere."""
+    plan = _plan(spark, "minhash_calibration")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -83,6 +83,12 @@ MEASURED = [
     "dedup_substring_spans",
     "session_paths_top",
     "kmv_overlap_daily",
+    "revenue_gini_lorenz",
+    "benford_first_digit",
+    "corr_matrix_lineitem",
+    "active_streaks",
+    "dedup_token_sort",
+    "minhash_calibration",
 ]
 
 
@@ -177,7 +183,7 @@ def gen(replicas: int = 10) -> None:
     spark.stop()
 
 
-def run(n_runs: int = 3) -> None:
+def run(n_runs: int = 3, only: list[str] | None = None) -> None:
     from local_stream_stack_spark.queries import QUERIES
 
     # 10x data under the default 1g driver JVM OOMs on legitimate
@@ -200,7 +206,7 @@ def run(n_runs: int = 3) -> None:
     results: dict[str, dict] = {}
     for scale in ("x1", "x10"):
         sf_dir = os.path.join(OUT, scale)
-        for name in MEASURED:
+        for name in only or MEASURED:
             spec = QUERIES.get(name)
             if spec is None:
                 continue
@@ -241,7 +247,10 @@ if __name__ == "__main__":
     if cmd == "gen":
         gen(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
     elif cmd == "run":
-        run(int(sys.argv[2]) if len(sys.argv) > 2 else 3)
+        rest = sys.argv[2:]
+        n = int(rest[0]) if rest and rest[0].isdigit() else 3
+        names = [a for a in rest if not a.isdigit()]
+        run(n, names or None)
     else:
         print(__doc__)
         sys.exit(2)
