@@ -83,6 +83,10 @@ MEASURED = [
     "dedup_substring_spans",
     "session_paths_top",
     "kmv_overlap_daily",
+    "dedup_cluster_sizes",
+    "dedup_prefix_clusters",
+    "customer_rfm_scores",
+    "supplier_pareto_abc",
     "revenue_gini_lorenz",
     "benford_first_digit",
     "corr_matrix_lineitem",
