@@ -2165,6 +2165,7 @@ def value_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT user_id,
              datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed
       FROM events
+      WHERE ts IS NOT NULL
     ),
     runs AS (
       SELECT user_id,
@@ -2200,7 +2201,10 @@ def active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole plan is per-user-local after one shuffle — no global
     window anywhere."""
     ev = _events(spark, sf_dir)
-    days = ev.select(
+    # NULL timestamps are excluded BEFORE the window: engines disagree
+    # on NULL placement in window order (Spark NULLS FIRST, DuckDB
+    # NULLS LAST), so a null day must never reach the island key.
+    days = ev.filter(F.col("ts").isNotNull()).select(
         "user_id",
         F.expr(
             "datediff(CAST(ts AS DATE), DATE '1970-01-01')"

@@ -1801,6 +1801,7 @@ def revenue_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
                               AS VARCHAR), 1, 1) AS INT) AS digit
       FROM orders
+      WHERE o_totalprice > 0
     ),
     g AS (SELECT digit, COUNT(*) AS n FROM c GROUP BY digit),
     t AS (SELECT SUM(n) AS tot FROM g)
@@ -1830,8 +1831,9 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     amounts follow P(d) = log10(1 + 1/d); a flat or spiked digit
     histogram flags fabricated or truncated values.
 
-    The first digit comes from the decimal rendering of the exact
-    cent amount (both engines print BIGINTs identically — no float
+    Non-positive amounts are excluded (Benford classes are defined
+    over positive magnitudes only). The first digit comes from the
+    decimal rendering of the exact cent amount (both engines print BIGINTs identically — no float
     log10), observed shares are truncating integer division to e6,
     and the Benford expectations are the SAME nine e6 literals on
     both sides (they sum to exactly 1_000_000), so delta_e6 is pure
@@ -1844,7 +1846,8 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE 45757 END"
     )
     g = (
-        o.select(
+        o.filter(F.col("o_totalprice") > 0)
+        .select(
             F.expr(
                 "CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)"
                 " AS STRING), 1, 1) AS INT)"
