@@ -142,6 +142,8 @@ EXTENDED = [
     "active_streaks",
     "dedup_token_sort",
     "minhash_calibration",
+    "zipf_token_fit",
+    "join_explosion_audit",
 ]
 
 

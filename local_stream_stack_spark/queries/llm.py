@@ -3747,3 +3747,115 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("est_bin")
     )
+
+
+@query(
+    "zipf_token_fit",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(regexp_extract_all(text, '[^ ]+')) AS t
+      FROM documents
+    ),
+    freq AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY t),
+    ranked AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, t) AS r
+      FROM freq
+    ),
+    b AS (
+      SELECT CAST(length(bin(r)) - 1 AS BIGINT) AS xb,
+             CAST(length(bin(n)) - 1 AS BIGINT) AS yb,
+             n, r
+      FROM ranked
+    ),
+    m AS (
+      SELECT COUNT(*) AS nt,
+             SUM(CAST(xb AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(yb AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(xb AS DECIMAL(38,0)) * CAST(xb AS DECIMAL(38,0)))
+               AS sxx,
+             SUM(CAST(xb AS DECIMAL(38,0)) * CAST(yb AS DECIMAL(38,0)))
+               AS sxy
+      FROM b
+    ),
+    fit AS (
+      SELECT nt,
+             (CAST(nt AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / NULLIF(CAST(nt AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)
+               AS zipf_slope
+      FROM m
+    ),
+    per AS (
+      SELECT xb AS rank_bucket,
+             COUNT(*) AS n_tokens,
+             CAST(SUM(n) AS BIGINT) AS bucket_freq
+      FROM b GROUP BY xb
+    )
+    SELECT CAST(rank_bucket AS INT) AS rank_bucket,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           bucket_freq,
+           zipf_slope
+    FROM per CROSS JOIN fit
+    ORDER BY rank_bucket
+    """,
+)
+def zipf_token_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law corpus-health audit: token frequency vs frequency
+    rank on the log2-log2 grid, with the fitted slope (natural text
+    sits near -1; a flat or cliffed curve flags synthetic, templated,
+    or truncated corpora — the token-level sibling of the Benford
+    amount audit).
+
+    log2 of a positive BIGINT is EXACT on both engines as
+    length(bin(n)) - 1 (no float log), the regression runs on exact
+    DECIMAL moment sums (one partial+final aggregate), and the only
+    window is the rank assignment over the VOCABULARY relation —
+    sub-linear in corpus size (Zipf itself guarantees vocab grows
+    ~sqrt(corpus)), the accepted reduced-relation window pattern."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(
+            F.expr("filter(split(trim(text), ' +'), x -> x != '')")
+        ).alias("t")
+    )
+    freq = tok.groupBy("t").agg(F.count("*").alias("n"))
+    ranked = freq.select(
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), F.asc("t")))
+        .alias("r"),
+    )
+    b = ranked.select(
+        "n",
+        F.expr("CAST(length(bin(r)) - 1 AS BIGINT)").alias("xb"),
+        F.expr("CAST(length(bin(n)) - 1 AS BIGINT)").alias("yb"),
+    )
+    m = b.agg(
+        F.expr("COUNT(*)").alias("nt"),
+        F.expr("SUM(CAST(xb AS DECIMAL(38,0)))").alias("sx"),
+        F.expr("SUM(CAST(yb AS DECIMAL(38,0)))").alias("sy"),
+        F.expr(
+            "SUM(CAST(xb AS DECIMAL(38,0)) * CAST(xb AS DECIMAL(38,0)))"
+        ).alias("sxx"),
+        F.expr(
+            "SUM(CAST(xb AS DECIMAL(38,0)) * CAST(yb AS DECIMAL(38,0)))"
+        ).alias("sxy"),
+    )
+    fit = m.select(
+        F.expr(
+            "(CAST(nt AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " / NULLIF(CAST(nt AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)"
+        ).alias("zipf_slope")
+    )
+    per = b.groupBy(F.col("xb").cast("int").alias("rank_bucket")).agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum("n").cast("bigint").alias("bucket_freq"),
+    )
+    return (
+        per.crossJoin(F.broadcast(fit))
+        .select("rank_bucket", "n_tokens", "bucket_freq", "zipf_slope")
+        .orderBy("rank_bucket")
+    )

@@ -2508,3 +2508,80 @@ def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_e4"), F.asc("part_a"), F.asc("part_b"))
         .limit(10)
     )
+
+
+@query(
+    "join_explosion_audit",
+    oracle="""
+    WITH k AS (
+      SELECT l_orderkey AS key, COUNT(*) AS n
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    tot AS (
+      SELECT SUM(CAST(n AS DECIMAL(38,0)) * CAST(n - 1 AS DECIMAL(38,0))
+                 / 2) AS total_pairs,
+             SUM(CAST(n AS DECIMAL(38,0))) AS total_rows,
+             COUNT(*) AS n_keys
+      FROM k
+    ),
+    top AS (
+      SELECT key, n FROM k ORDER BY n DESC, key LIMIT 10
+    )
+    SELECT CAST(t.key AS BIGINT) AS key,
+           CAST(t.n AS BIGINT) AS n_rows,
+           CAST(t.n AS BIGINT) * CAST(t.n - 1 AS BIGINT) // 2
+             AS predicted_pairs,
+           CAST(CAST(t.n AS HUGEINT) * CAST(t.n - 1 AS HUGEINT)
+                * 500000 // CAST(tot.total_pairs AS HUGEINT)
+                AS BIGINT) AS pair_share_e6,
+           CAST(tot.total_pairs AS BIGINT) AS corpus_pairs,
+           CAST(tot.n_keys AS BIGINT) AS n_keys
+    FROM top t CROSS JOIN tot
+    ORDER BY n_rows DESC, key
+    """,
+)
+def join_explosion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join output-size audit: for a same-key pair join (the
+    basket_lift_pairs / dedup pair-enumeration shape), the predicted
+    per-key pair count n*(n-1)/2, the corpus total, and each hot
+    key's share — the report that decides between running the join
+    as-is, df-capping it, or salting, BEFORE paying for it. The
+    quadratic blowup a key contributes is visible here at the cost
+    of one count-per-key aggregate.
+
+    One partial-agg count per key, a distributed top-k on the counts
+    (TakeOrderedAndProject, no global window), and a broadcast
+    two-long summary; shares via truncating integer division of
+    exact counts (n*(n-1) is even, so *500000 == /2*1e6 without a
+    fractional step)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    configure_for_oracle(spark)
+    k = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count("*").alias("n")
+    )
+    tot = k.agg(
+        F.expr(
+            "SUM(CAST(n AS DECIMAL(38,0)) * CAST(n - 1 AS DECIMAL(38,0))"
+            " / 2)"
+        ).alias("total_pairs"),
+        F.expr("SUM(CAST(n AS DECIMAL(38,0)))").alias("total_rows"),
+        F.expr("COUNT(*)").alias("n_keys"),
+    )
+    top = k.orderBy(F.desc("n"), F.asc("key")).limit(10)
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("key").cast("bigint").alias("key"),
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.expr(
+                "CAST(n AS BIGINT) * CAST(n - 1 AS BIGINT) div 2"
+            ).alias("predicted_pairs"),
+            F.expr(
+                "CAST(n AS DECIMAL(38,0)) * CAST(n - 1 AS DECIMAL(38,0))"
+                " * 500000 div total_pairs"
+            ).alias("pair_share_e6"),
+            F.col("total_pairs").cast("bigint").alias("corpus_pairs"),
+            F.col("n_keys").cast("bigint").alias("n_keys"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("key"))
+    )

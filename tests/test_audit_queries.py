@@ -192,3 +192,45 @@ def test_minhash_calibration_identical_pair(spark, tmp_path):
     assert [(r.est_bin, r.n_pairs, r.est_e4, r.micro_jaccard)
             for r in rows] == [(10, 1, 10000, 1.0)]
     assert rows[0].sum_inter == rows[0].sum_union
+
+
+def test_zipf_token_fit_tiny_corpus(spark, tmp_path):
+    """freqs a:4 b:2 c:1 -> ranks 1,2,3; log2 buckets (0,2),(1,1),
+    (1,0); slope = (3*1 - 2*3) / (3*2 - 4) = -1.5."""
+    sf = _write_docs(tmp_path, ["a a a a b b c"])
+    from local_stream_stack_spark.queries.llm import zipf_token_fit
+
+    rows = zipf_token_fit(spark, sf).collect()
+    assert [(r.rank_bucket, r.n_tokens, r.bucket_freq) for r in rows] == [
+        (0, 1, 4),
+        (1, 2, 3),
+    ]
+    assert all(r.zipf_slope == -1.5 for r in rows)
+
+
+def test_join_explosion_audit_pair_math(spark, tmp_path):
+    """Orders with 3 and 2 lines predict 3 and 1 pairs; shares are
+    exact e6 integer divisions of the corpus total (4 pairs)."""
+    rows = []
+    k = 0
+    for okey, nlines in [(10, 3), (20, 2)]:
+        for ln in range(nlines):
+            k += 1
+            rows.append((okey, 1, 1, ln, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                         dt.datetime(2024, 1, 1)))
+    li = pd.DataFrame(rows, columns=[
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate"])
+    d = tmp_path / "wh"
+    d.mkdir()
+    li.to_parquet(d / "lineitem.parquet", coerce_timestamps="us")
+
+    from local_stream_stack_spark.queries.training_ops import (
+        join_explosion_audit,
+    )
+
+    got = [(r.key, r.n_rows, r.predicted_pairs, r.pair_share_e6,
+            r.corpus_pairs) for r in join_explosion_audit(
+                spark, str(d)).collect()]
+    assert got == [(10, 3, 3, 750000, 4), (20, 2, 1, 250000, 4)]

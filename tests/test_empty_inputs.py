@@ -89,6 +89,8 @@ REPRESENTATIVE = [
     "active_streaks",            # gaps-and-islands distribution
     "dedup_token_sort",          # vocab-set fingerprint groupBy
     "minhash_calibration",       # estimator calibration bins
+    "zipf_token_fit",            # vocab rank window + moment fit
+    "join_explosion_audit",      # per-key pair prediction top-k
 ]
 
 

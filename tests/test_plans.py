@@ -356,3 +356,20 @@ def test_minhash_calibration_no_cartesian_and_bounded_join(spark):
     plan = _plan(spark, "minhash_calibration")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zipf_rank_window_sits_above_vocab_aggregate(spark):
+    """The rank window consumes the token-frequency AGGREGATE (vocab
+    relation), never the raw exploded token stream."""
+    plan = _plan(spark, "zipf_token_fit")
+    first_window = plan.find("Window")
+    assert first_window != -1
+    assert "HashAggregate" in plan[first_window:]
+
+
+def test_join_explosion_audit_topk_and_partial_agg(spark):
+    """Hot-key selection is a distributed top-k, and the per-key
+    count combines map-side."""
+    plan = _plan(spark, "join_explosion_audit")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2

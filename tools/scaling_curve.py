@@ -93,6 +93,8 @@ MEASURED = [
     "active_streaks",
     "dedup_token_sort",
     "minhash_calibration",
+    "zipf_token_fit",
+    "join_explosion_audit",
 ]
 
 
