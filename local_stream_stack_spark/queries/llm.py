@@ -3695,6 +3695,12 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("matches"),
     )
+    # the shingle relation feeds three consumers (sizes, join left,
+    # join right); a localCheckpoint of it was MEASURED SLOWER
+    # (7.5 s vs 6.2 s at sf0.1) — eager materialization of the
+    # exploded rows costs more than the scan-side explodes it saves,
+    # the same verdict as percentile_stats' persist note — so the
+    # consumers deliberately re-derive it from the pruned scan
     sh = d.select(
         "doc_id", F.explode(word_shingles("text", 3)).alias("s")
     )
