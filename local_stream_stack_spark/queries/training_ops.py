@@ -2532,7 +2532,7 @@ def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(t.n AS BIGINT) * CAST(t.n - 1 AS BIGINT) // 2
              AS predicted_pairs,
            CAST(CAST(t.n AS HUGEINT) * CAST(t.n - 1 AS HUGEINT)
-                * 500000 // CAST(tot.total_pairs AS HUGEINT)
+                * 500000 // NULLIF(CAST(tot.total_pairs AS HUGEINT), 0)
                 AS BIGINT) AS pair_share_e6,
            CAST(tot.total_pairs AS BIGINT) AS corpus_pairs,
            CAST(tot.n_keys AS BIGINT) AS n_keys
@@ -2553,7 +2553,8 @@ def join_explosion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (TakeOrderedAndProject, no global window), and a broadcast
     two-long summary; shares via truncating integer division of
     exact counts (n*(n-1) is even, so *500000 == /2*1e6 without a
-    fractional step)."""
+    fractional step; an all-singleton corpus has zero pairs, so the
+    share is NULL via NULLIF, not an ANSI divide-by-zero)."""
     li = load_table(spark, sf_dir, "lineitem")
     configure_for_oracle(spark)
     k = li.groupBy(F.col("l_orderkey").alias("key")).agg(
@@ -2578,7 +2579,7 @@ def join_explosion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("predicted_pairs"),
             F.expr(
                 "CAST(n AS DECIMAL(38,0)) * CAST(n - 1 AS DECIMAL(38,0))"
-                " * 500000 div total_pairs"
+                " * 500000 div NULLIF(total_pairs, 0)"
             ).alias("pair_share_e6"),
             F.col("total_pairs").cast("bigint").alias("corpus_pairs"),
             F.col("n_keys").cast("bigint").alias("n_keys"),

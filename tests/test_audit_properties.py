@@ -179,3 +179,107 @@ def test_token_sort_families_match_python(spark, texts):
         if len(v) >= 2
     }
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e", "ff", "gg"]),
+            min_size=1,
+            max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_zipf_buckets_match_python(spark, texts):
+    """Per-rank-bucket token counts and mass match a pure-Python
+    rank assignment with the same (freq desc, token asc) tie-break;
+    slope matches the closed-form least squares over the exact log2
+    pairs."""
+    from local_stream_stack_spark.queries.llm import zipf_token_fit
+
+    d = tempfile.mkdtemp(prefix="prop-zipf-")
+    pd.DataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(d + "/documents.parquet")
+    try:
+        rows = zipf_token_fit(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    freq = Counter(tok for t in texts for tok in t.split())
+    ranked = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    pairs = [
+        ((r).bit_length() - 1, n.bit_length() - 1)
+        for r, (_, n) in enumerate(ranked, start=1)
+    ]
+    want: dict[int, list[int]] = {}
+    for (xb, _), (_, n) in zip(pairs, ranked):
+        want.setdefault(xb, []).append(n)
+    assert [(r.rank_bucket, r.n_tokens, r.bucket_freq) for r in rows] == [
+        (xb, len(v), sum(v)) for xb, v in sorted(want.items())
+    ]
+    nt = len(pairs)
+    sx = sum(x for x, _ in pairs)
+    sy = sum(y for _, y in pairs)
+    sxx = sum(x * x for x, _ in pairs)
+    sxy = sum(x * y for x, y in pairs)
+    den = nt * sxx - sx * sx
+    for r in rows:
+        if den == 0:
+            assert r.zipf_slope is None
+        else:
+            assert abs(r.zipf_slope - (nt * sxy - sx * sy) / den) < 1e-12
+
+
+@settings(**_SETTINGS)
+@given(
+    counts=st.lists(st.integers(1, 30), min_size=1, max_size=20)
+)
+def test_join_explosion_matches_python(spark, counts):
+    """Top-10 predicted pair counts and shares match the n*(n-1)/2
+    arithmetic over per-key line counts."""
+    from local_stream_stack_spark.queries.training_ops import (
+        join_explosion_audit,
+    )
+
+    d = tempfile.mkdtemp(prefix="prop-expl-")
+    rows = []
+    k = 0
+    for okey, n in enumerate(counts, start=1):
+        for ln in range(n):
+            k += 1
+            rows.append((okey, 1, 1, ln, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                         dt.datetime(2024, 1, 1)))
+    pd.DataFrame(rows, columns=[
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    ]).to_parquet(d + "/lineitem.parquet", coerce_timestamps="us")
+    try:
+        got = [(r.key, r.n_rows, r.predicted_pairs, r.pair_share_e6,
+                r.corpus_pairs, r.n_keys)
+               for r in join_explosion_audit(spark, d).collect()]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    total = sum(n * (n - 1) // 2 for n in counts)
+    ranked = sorted(
+        enumerate(counts, start=1), key=lambda kv: (-kv[1], kv[0])
+    )[:10]
+    want = [
+        (key, n, n * (n - 1) // 2,
+         (n * (n - 1) * 500_000) // total if total else None,
+         total, len(counts))
+        for key, n in ranked
+    ]
+    if total == 0:
+        # all-singleton corpus: shares are NULL (0/0 guard)
+        assert [(g[0], g[1], g[2], g[4], g[5]) for g in got] == [
+            (w[0], w[1], w[2], w[4], w[5]) for w in want
+        ]
+    else:
+        assert got == want
