@@ -1731,9 +1731,11 @@ def supplier_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_customers AS BIGINT) AS n_customers,
            CAST(crev AS BIGINT) AS cum_rev_cents,
            CAST(CAST(crev AS HUGEINT) * 1000000
-                // CAST(t AS HUGEINT) AS BIGINT) AS cum_share_e6,
+                // NULLIF(CAST(t AS HUGEINT), 0) AS BIGINT)
+             AS cum_share_e6,
            CAST(CAST(2 * s1 - (n + 1) * t AS HUGEINT) * 1000000
-                // CAST(n * t AS HUGEINT) AS BIGINT) AS gini_e6
+                // NULLIF(CAST(n * t AS HUGEINT), 0) AS BIGINT)
+             AS gini_e6
     FROM cum CROSS JOIN tot
     ORDER BY decile
     """,
@@ -1785,11 +1787,11 @@ def revenue_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_customers").cast("bigint").alias("n_customers"),
         F.col("crev").cast("bigint").alias("cum_rev_cents"),
         F.expr(
-            "CAST(crev AS DECIMAL(38,0)) * 1000000 div t"
+            "CAST(crev AS DECIMAL(38,0)) * 1000000 div NULLIF(t, 0)"
         ).alias("cum_share_e6"),
         F.expr(
             "CAST(2 * s1 - (n + 1) * t AS DECIMAL(38,0)) * 1000000"
-            " div (n * t)"
+            " div NULLIF(n * t, 0)"
         ).alias("gini_e6"),
     ).orderBy("decile")
 

@@ -234,3 +234,21 @@ def test_join_explosion_audit_pair_math(spark, tmp_path):
             r.corpus_pairs) for r in join_explosion_audit(
                 spark, str(d)).collect()]
     assert got == [(10, 3, 3, 750000, 4), (20, 2, 1, 250000, 4)]
+
+
+def test_revenue_gini_all_zero_revenue_is_null(spark, tmp_path):
+    """Zero total revenue mass -> NULL shares and NULL gini (NULLIF
+    guard), never an ANSI divide-by-zero."""
+    sf = _write_orders(
+        tmp_path,
+        [(i, i, "O", 0.00, dt.datetime(2024, 1, 1), "1-URGENT")
+         for i in range(1, 4)],
+    )
+    from local_stream_stack_spark.queries.relational_ext import (
+        revenue_gini_lorenz,
+    )
+
+    rows = revenue_gini_lorenz(spark, sf).collect()
+    assert rows, "deciles still enumerate"
+    assert all(r.cum_share_e6 is None and r.gini_e6 is None
+               for r in rows)
