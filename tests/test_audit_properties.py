@@ -283,3 +283,103 @@ def test_join_explosion_matches_python(spark, counts):
         ]
     else:
         assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 5000),  # quantity cents
+            st.integers(1, 5000),  # price cents
+            st.integers(0, 10),    # discount cents
+            st.integers(0, 8),     # tax cents
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_corr_matrix_matches_python(spark, rows):
+    """All six correlations match the closed-form moment formula
+    computed in exact Python integers (degenerate variance -> None
+    on both sides)."""
+    from local_stream_stack_spark.queries.relational_ext import (
+        corr_matrix_lineitem,
+    )
+
+    d = tempfile.mkdtemp(prefix="prop-corr-")
+    li = [
+        (k, 1, 1, 1, q / 100.0, p / 100.0, dc / 100.0, tx / 100.0,
+         "N", "O", dt.datetime(2024, 1, 1))
+        for k, (q, p, dc, tx) in enumerate(rows)
+    ]
+    pd.DataFrame(li, columns=[
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    ]).to_parquet(d + "/lineitem.parquet", coerce_timestamps="us")
+    try:
+        got = {(r.col_x, r.col_y): r.corr_xy
+               for r in corr_matrix_lineitem(spark, d).collect()}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    import math
+
+    cols = {
+        "quantity": [q for q, _, _, _ in rows],
+        "extendedprice": [p for _, p, _, _ in rows],
+        "discount": [dc for _, _, dc, _ in rows],
+        "tax": [tx for _, _, _, tx in rows],
+    }
+    n = len(rows)
+    for (cx, cy), corr in got.items():
+        xs, ys = cols[cx], cols[cy]
+        num = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+        dx = n * sum(x * x for x in xs) - sum(xs) ** 2
+        dy = n * sum(y * y for y in ys) - sum(ys) ** 2
+        if dx == 0 or dy == 0:
+            assert corr is None, (cx, cy, corr)
+        else:
+            want = num / (math.sqrt(dx) * math.sqrt(dy))
+            assert abs(corr - want) < 1e-9, (cx, cy, corr, want)
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(
+                ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+            ),
+            min_size=4,
+            max_size=12,
+        ).map(" ".join),
+        min_size=2,
+        max_size=15,
+    )
+)
+def test_minhash_calibration_invariants(spark, texts):
+    """Structural invariants on any corpus: est_e4 lands inside its
+    bin, exact intersections never exceed unions, and bins are
+    unique/sorted."""
+    from local_stream_stack_spark.queries.llm import minhash_calibration
+
+    d = tempfile.mkdtemp(prefix="prop-cal-")
+    pd.DataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(d + "/documents.parquet")
+    try:
+        rows = minhash_calibration(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    bins = [r.est_bin for r in rows]
+    assert bins == sorted(set(bins))
+    for r in rows:
+        assert 0 <= r.est_bin <= 10
+        # est_e4 is the bin's mean agreement: inside [bin, bin+1)*1000
+        # except the exact-32/32 pairs-only bin, which hits 10000
+        assert r.est_bin * 1000 <= r.est_e4 <= (r.est_bin + 1) * 1000
+        assert 0 <= r.sum_inter <= r.sum_union
+        assert r.n_pairs >= 1
