@@ -1,0 +1,240 @@
+"""Queries STAGED for round-7 registration.
+
+The round-6 driver window closed at 48/50 never-green slots — every
+additional registered query this round would have pushed a
+never-driver-green query out of the correctness gate. These three are
+fully implemented and ORACLE-VERIFIED (tests/test_staged_r7.py runs
+the same Spark-vs-DuckDB compare as tools/check_parity.py), but they
+deliberately do NOT register in the query catalog until round 7
+rotates CORRECTNESS_r06 into DRIVER_VERIFIED_PREVIOUSLY. Round-7
+start task: move each @staged entry to its home module's @query
+decorator verbatim, re-run the parity sweep, regenerate the window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from local_stream_stack_spark.catalog import load_table
+from local_stream_stack_spark.session import configure_for_oracle
+
+STAGED: dict[str, tuple] = {}
+
+
+def staged(name: str, oracle: str):
+    def deco(fn):
+        STAGED[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure_for_oracle(spark)
+    return load_table(spark, sf_dir, name)
+
+
+@staged(
+    "orders_backlog_aging",
+    oracle="""
+    WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS d0 FROM orders),
+    aged AS (
+      SELECT o_orderpriority,
+             datediff('day', CAST(o_orderdate AS DATE), d0) AS age,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders CROSS JOIN mx
+      WHERE o_orderstatus = 'O'
+    ),
+    b AS (
+      SELECT o_orderpriority,
+             CASE WHEN age <= 30 THEN '0-30'
+                  WHEN age <= 90 THEN '31-90'
+                  WHEN age <= 180 THEN '91-180'
+                  WHEN age <= 365 THEN '181-365'
+                  ELSE '365+' END AS age_bucket,
+             cents
+      FROM aged
+    )
+    SELECT o_orderpriority, age_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS backlog_cents
+    FROM b
+    GROUP BY o_orderpriority, age_bucket
+    ORDER BY o_orderpriority, age_bucket
+    """,
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging: unfilled orders bucketed by age
+    (relative to the corpus max order date, so the report is
+    reproducible on frozen data) per priority, with the cent-exact
+    revenue at risk — the ops aging report every order system runs.
+
+    One scan with a broadcast scalar max-date, one partial-agg
+    groupBy; ages and buckets are pure integer date arithmetic."""
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(
+        F.expr("MAX(CAST(o_orderdate AS DATE))").alias("d0")
+    )
+    aged = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_orderpriority",
+            F.expr(
+                "datediff(d0, CAST(o_orderdate AS DATE))"
+            ).alias("age"),
+            F.expr(
+                "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+    b = aged.select(
+        "o_orderpriority",
+        F.expr(
+            """CASE WHEN age <= 30 THEN '0-30'
+                    WHEN age <= 90 THEN '31-90'
+                    WHEN age <= 180 THEN '91-180'
+                    WHEN age <= 365 THEN '181-365'
+                    ELSE '365+' END"""
+        ).alias("age_bucket"),
+        "cents",
+    )
+    return (
+        b.groupBy("o_orderpriority", "age_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("backlog_cents"),
+        )
+        .orderBy("o_orderpriority", "age_bucket")
+    )
+
+
+@staged(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    c AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    tot AS (SELECT prev_type, SUM(n) AS t FROM c GROUP BY prev_type)
+    SELECT c.prev_type, c.next_type,
+           CAST(c.n AS BIGINT) AS n_transitions,
+           CAST(c.n * 1000000 // tot.t AS BIGINT) AS prob_e6
+    FROM c JOIN tot ON c.prev_type = tot.prev_type
+    ORDER BY c.prev_type, next_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event streams:
+    for each (previous event type, next event type) pair, the count
+    and the row-normalized transition probability — the behavioral
+    model behind next-action prediction, funnel leak detection, and
+    bot fingerprinting (bots have near-deterministic rows).
+
+    The lag window is per-user (scales, no global window); counts
+    aggregate with map-side combine; probabilities are truncating
+    integer e6 divisions of exact counts (the per-prev_type total is
+    >= each cell count, never zero for an emitted row)."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type")
+        .over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        )
+        .alias("prev_type"),
+    )
+    c = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = c.groupBy("prev_type").agg(F.sum("n").alias("t"))
+    return (
+        c.join(tot, "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            F.col("n").cast("bigint").alias("n_transitions"),
+            F.expr("n * 1000000 div t").alias("prob_e6"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+@staged(
+    "session_entropy_per_user",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    tot AS (SELECT user_id, SUM(n) AS t FROM c GROUP BY user_id),
+    terms AS (
+      SELECT c.user_id,
+             CAST(ROUND(-(CAST(c.n AS DOUBLE) / CAST(tot.t AS DOUBLE))
+                        * ln(CAST(c.n AS DOUBLE) / CAST(tot.t AS DOUBLE))
+                        * 1000000) AS BIGINT) AS term_e6
+      FROM c JOIN tot ON c.user_id = tot.user_id
+    ),
+    h AS (
+      SELECT user_id, SUM(term_e6) AS entropy_nats_e6
+      FROM terms GROUP BY user_id
+    )
+    SELECT CAST(entropy_nats_e6 AS BIGINT) AS entropy_nats_e6,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MIN(user_id) AS BIGINT) AS sample_user
+    FROM h
+    GROUP BY entropy_nats_e6
+    ORDER BY entropy_nats_e6
+    """,
+)
+def session_entropy_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity score: Shannon entropy (nats) of each
+    user's event-type distribution, reported as a distribution over
+    users (bots and single-action scripts sit at 0; diverse organic
+    users sit near ln(n_types)).
+
+    Engine-stable float discipline: each -p*ln(p) term derives from
+    exact integer counts via identical expression trees, is ROUNDed
+    ONCE to an e6 BIGINT per (user, type) cell, and the per-user
+    entropy is an order-independent INTEGER sum of those cells (the
+    per-cell-round-then-integer-sum convention)."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n")
+    )
+    tot = c.groupBy("user_id").agg(F.sum("n").alias("t"))
+    terms = c.join(tot, "user_id").select(
+        "user_id",
+        F.expr(
+            "CAST(ROUND(-(CAST(n AS DOUBLE) / CAST(t AS DOUBLE))"
+            " * ln(CAST(n AS DOUBLE) / CAST(t AS DOUBLE))"
+            " * 1000000) AS BIGINT)"
+        ).alias("term_e6"),
+    )
+    h = terms.groupBy("user_id").agg(
+        F.sum("term_e6").alias("entropy_nats_e6")
+    )
+    return (
+        h.groupBy(
+            F.col("entropy_nats_e6").cast("bigint").alias(
+                "entropy_nats_e6"
+            )
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.min("user_id").cast("bigint").alias("sample_user"),
+        )
+        .orderBy("entropy_nats_e6")
+    )
