@@ -238,3 +238,182 @@ def session_entropy_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entropy_nats_e6")
     )
+
+
+@staged(
+    "hhi_market_concentration",
+    oracle="""
+    WITH s AS (
+      SELECT n_name AS nation,
+             s.s_suppkey,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS rev
+      FROM lineitem
+      JOIN supplier s ON l_suppkey = s.s_suppkey
+      JOIN nation ON s.s_nationkey = n_nationkey
+      GROUP BY n_name, s.s_suppkey
+    ),
+    m AS (
+      SELECT nation,
+             COUNT(*) AS n_suppliers,
+             SUM(CAST(rev AS DECIMAL(38,0))) AS tot,
+             SUM(CAST(rev AS DECIMAL(38,0)) * CAST(rev AS DECIMAL(38,0)))
+               AS sq
+      FROM s GROUP BY nation
+    )
+    SELECT nation,
+           CAST(n_suppliers AS BIGINT) AS n_suppliers,
+           CAST(CAST(sq AS HUGEINT) * 1000000
+                // NULLIF(CAST(tot * tot AS HUGEINT), 0) AS BIGINT)
+             AS hhi_e6
+    FROM m
+    ORDER BY nation
+    """,
+)
+def hhi_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman market-concentration index per supplier
+    nation: sum of squared revenue shares, the antitrust-standard
+    concentration score (1e6 = monopoly; 1e6/n = perfect
+    competition) — the cross-entity complement of the Lorenz/Gini
+    per-entity view.
+
+    HHI = sum(s_i^2)/S^2 needs only two DECIMAL moment sums per
+    nation (sum of rev, sum of rev^2) over the per-supplier
+    aggregate, then ONE truncating integer division — no per-share
+    division, no floats; broadcast dim joins feed one partial+final
+    aggregate chain."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    s = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "s_suppkey")
+        .agg(
+            F.expr(
+                "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))"
+            ).alias("rev")
+        )
+    )
+    m = s.groupBy("nation").agg(
+        F.count("*").alias("n_suppliers"),
+        F.expr("SUM(CAST(rev AS DECIMAL(38,0)))").alias("tot"),
+        F.expr(
+            "SUM(CAST(rev AS DECIMAL(38,0)) * CAST(rev AS DECIMAL(38,0)))"
+        ).alias("sq"),
+    )
+    return m.select(
+        "nation",
+        F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
+        F.expr(
+            "CAST(sq * 1000000 div NULLIF(tot * tot, 0) AS BIGINT)"
+        ).alias("hhi_e6"),
+    ).orderBy("nation")
+
+
+@staged(
+    "weekday_activity_profile",
+    oracle="""
+    SELECT CAST(isodow(CAST(ts AS DATE)) AS INT) AS iso_weekday,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events
+    WHERE ts IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY iso_weekday, event_type
+    """,
+)
+def weekday_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x event-type activity heatmap (ISO weekday,
+    1=Monday) — the seasonality profile behind staffing, anomaly
+    baselines, and the day-of-week adjustment of volume monitors.
+
+    Weekday numbering is the classic cross-engine trap (Spark
+    dayofweek() is 1=Sunday, DuckDB dayofweek() is 0=Sunday); both
+    sides use the ISO convention explicitly — Spark weekday()+1 ==
+    DuckDB isodow(). One scan, one partial-agg groupBy of at most
+    7 x n_types rows."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(
+            F.expr("CAST(weekday(CAST(ts AS DATE)) + 1 AS INT)").alias(
+                "iso_weekday"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.expr(
+                "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("sum_cents"),
+        )
+        .orderBy("iso_weekday", "event_type")
+    )
+
+
+@staged(
+    "embedding_dim_variance_audit",
+    oracle="""
+    WITH cell AS (
+      SELECT CAST(u['d'] AS INT) AS dim,
+             CAST(ROUND(CAST(u['v'] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM (SELECT unnest([{'d': i - 1, 'v': embedding[i]}
+                           for i in generate_series(1, len(embedding))])
+                     AS u
+            FROM embeddings)
+    ),
+    m AS (
+      SELECT dim, COUNT(*) AS n,
+             SUM(CAST(q AS DECIMAL(38,0))) AS s,
+             SUM(CAST(q AS DECIMAL(38,0)) * CAST(q AS DECIMAL(38,0)))
+               AS sq
+      FROM cell GROUP BY dim
+    )
+    SELECT dim,
+           CAST(n AS BIGINT) AS n_vectors,
+           CAST((CAST(n AS HUGEINT) * CAST(sq AS HUGEINT)
+                 - CAST(s AS HUGEINT) * CAST(s AS HUGEINT))
+                // NULLIF(CAST(n AS HUGEINT) * CAST(n AS HUGEINT), 0)
+                AS BIGINT) AS var_e12
+    FROM m
+    ORDER BY dim
+    """,
+)
+def embedding_dim_variance_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-dimension variance of the embedding space — the audit run
+    before truncation (matryoshka), PCA, or quantization to see
+    which dimensions carry signal (dead dimensions have ~0 variance
+    and can be dropped for free).
+
+    Values widen float32 -> DOUBLE BEFORE scaling (engines must
+    promote identically), quantize ONCE to e6 BIGINTs, the
+    population variance derives as (n*sq - s^2) div n^2 in exact
+    integer arithmetic (var of e6-ints = var_e12), and the explode
+    is scan-side with one partial-agg groupBy on the 64 dims."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cell = emb.select(
+        F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "dim",
+        F.expr("CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT)").alias("q"),
+    )
+    m = cell.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.expr("SUM(CAST(q AS DECIMAL(38,0)))").alias("s"),
+        F.expr(
+            "SUM(CAST(q AS DECIMAL(38,0)) * CAST(q AS DECIMAL(38,0)))"
+        ).alias("sq"),
+    )
+    return m.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("n").cast("bigint").alias("n_vectors"),
+        F.expr(
+            "CAST((n * sq - s * s) div NULLIF(CAST(n AS DECIMAL(38,0))"
+            " * n, 0) AS BIGINT)"
+        ).alias("var_e12"),
+    ).orderBy("dim")
