@@ -417,3 +417,173 @@ def embedding_dim_variance_audit(
             " * n, 0) AS BIGINT)"
         ).alias("var_e12"),
     ).orderBy("dim")
+
+
+@staged(
+    "ship_lag_quantiles",
+    oracle="""
+    WITH lag AS (
+      SELECT o_orderpriority,
+             datediff('day', CAST(o_orderdate AS DATE),
+                      CAST(l_shipdate AS DATE)) AS lag_days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    h AS (
+      SELECT o_orderpriority, lag_days, COUNT(*) AS c
+      FROM lag GROUP BY o_orderpriority, lag_days
+    ),
+    cum AS (
+      SELECT o_orderpriority, lag_days, c,
+             SUM(c) OVER (PARTITION BY o_orderpriority
+                          ORDER BY lag_days
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cc,
+             SUM(c) OVER (PARTITION BY o_orderpriority) AS n
+      FROM h
+    )
+    SELECT o_orderpriority,
+           CAST(MAX(n) AS BIGINT) AS n_lineitems,
+           CAST(MIN(CASE WHEN 2 * cc >= n THEN lag_days END) AS BIGINT)
+             AS median_lag_days,
+           CAST(MIN(CASE WHEN 20 * cc >= 19 * n THEN lag_days END)
+                AS BIGINT) AS p95_lag_days
+    FROM cum
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def ship_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per priority: exact lower
+    median and p95 of datediff(shipdate, orderdate) — the
+    fulfillment-SLA report, computed by the bounded-domain value
+    histogram (lag days are small integers, so the shuffle carries
+    |priorities| x |distinct lags| count rows regardless of corpus
+    size — the 100 TB-preferred quantile form).
+
+    The quantile pick is pure integer arithmetic: smallest lag whose
+    running count reaches ceil(q*n), via the cross-multiplied
+    predicate 2*cc >= n (median) / 20*cc >= 19*n (p95) — no
+    interpolation, no floats, identical on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    lag = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.expr(
+            "datediff(CAST(l_shipdate AS DATE),"
+            " CAST(o_orderdate AS DATE))"
+        ).alias("lag_days"),
+    )
+    h = lag.groupBy("o_orderpriority", "lag_days").agg(
+        F.count("*").alias("c")
+    )
+    wcum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("lag_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("o_orderpriority")
+    cum = h.select(
+        "o_orderpriority",
+        "lag_days",
+        F.sum("c").over(wcum).alias("cc"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    return (
+        cum.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").cast("bigint").alias("n_lineitems"),
+            F.expr(
+                "CAST(MIN(CASE WHEN 2 * cc >= n THEN lag_days END)"
+                " AS BIGINT)"
+            ).alias("median_lag_days"),
+            F.expr(
+                "CAST(MIN(CASE WHEN 20 * cc >= 19 * n THEN lag_days"
+                " END) AS BIGINT)"
+            ).alias("p95_lag_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _dedup_rate_oracle() -> str:
+    from local_stream_stack_spark.queries.llm import (
+        _minhash_bandkey_cte_sql,
+    )
+
+    return f"""
+    WITH {_minhash_bandkey_cte_sql(32, 3, 4)},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandkey a JOIN bandkey b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    dup AS (
+      SELECT id_a AS doc_id FROM cand
+      UNION
+      SELECT id_b AS doc_id FROM cand
+    ),
+    per AS (
+      SELECT d.source,
+             COUNT(*) AS n_docs,
+             SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_dup
+      FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+      GROUP BY d.source
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_dup AS BIGINT) AS n_near_dup,
+           CAST(n_dup * 1000000 // n_docs AS BIGINT) AS dup_rate_e6
+    FROM per
+    ORDER BY source
+    """
+
+
+@staged("dedup_rate_by_source", oracle=_dedup_rate_oracle())
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplication rate per source: the share of each source's
+    documents that participate in at least one LSH candidate pair —
+    the curation KPI that decides which ingest feeds need dedup
+    attention (a feed at 30% near-dup gets triaged; 0.1% does not).
+
+    Reuses the portable MinHash pipeline (same signatures/banding as
+    dedup_minhash_lsh) for candidates, collapses pairs to a distinct
+    doc set, and LEFT-joins back to the documents scan for per-source
+    shares as truncating e6 integer divisions (n_docs >= 1 for every
+    emitted source group)."""
+    from local_stream_stack_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures_portable,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures_portable(
+        d, id_col="doc_id", text_col="text", n_hashes=32,
+        shingle_k=3, shingle="word",
+    )
+    cands = minhash_lsh_candidates(
+        sigs, id_col="doc_id", bands=8, rows_per_band=4,
+        portable_keys=True,
+    )
+    dup = (
+        cands.select(F.col("id_a").alias("doc_id"))
+        .union(cands.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("__isdup", F.lit(1))
+    )
+    per = (
+        d.join(dup, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce("__isdup", F.lit(0))).alias("n_dup"),
+        )
+    )
+    return per.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_dup").cast("bigint").alias("n_near_dup"),
+        F.expr("n_dup * 1000000 div n_docs").alias("dup_rate_e6"),
+    ).orderBy("source")
