@@ -1,9 +1,15 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints exactly ONE JSON line:
+Prints exactly ONE JSON line (kept under ~1.9 KB — the driver captures
+only the LAST 2,000 chars of stdout, which silently truncated round 6's
+3.2 KB line into an unparseable tail; VERDICT r6 "What's wrong" #1):
   {"metric": "total_headline_query_sec", "value": N, "unit": "sec",
-   "queries": {"q1_pricing_summary": s, ...}, "sf": 0.1}
+   "queries": {"q1_pricing_summary": s, ...}, "sf": 0.1,
+   "n_queries": 240, "worst5_vs_gate": {...}}
+
+The full per-query map (headline + extended + streaming batch detail)
+is written to BENCH_DETAIL.json next to this file.
 
 Execution uses the noop sink — the full plan runs (scan, shuffle,
 aggregate) without driver-side collection, which is the honest
@@ -147,6 +153,31 @@ EXTENDED = [
 ]
 
 
+# v2.0 recorded gate (BASELINE.md round 5, best-of-5, sf0.1): used only
+# to surface the worst per-query ratios in the compact stdout line so
+# the driver sees regressions without the full map.
+GATE = {
+    "array_hof_order_lines": 0.337, "asof_join_events": 0.751,
+    "corpus_stats_by_lang": 0.694, "curation_pipeline": 1.328,
+    "dedup_embedding_cosine": 1.203, "dedup_exact": 0.243,
+    "dedup_minhash_lsh": 1.884, "exact_quantile_distributed": 1.517,
+    "explode_token_counts": 0.214, "grouping_sets_revenue": 0.983,
+    "hash_agg_stats": 0.642, "lang_id": 0.492, "latest_per_key": 0.459,
+    "multimodal_features": 0.485, "percentile_stats": 1.901,
+    "pivot_returnflag": 0.497, "q10_returned_revenue": 0.760,
+    "q13_order_count_dist": 0.513, "q18_large_orders": 1.396,
+    "q1_pricing_summary": 1.055, "q21_waiting_suppliers": 0.872,
+    "q2_top_supplier_per_part": 1.242, "q3_shipping_priority": 0.930,
+    "q4_order_priority": 0.764, "q5_local_supplier_volume": 1.372,
+    "q6_forecast_revenue": 0.274, "q7_nation_volume": 0.987,
+    "sessionize_events": 0.794, "sim_bruteforce_topk": 0.659,
+    "sim_ivf_topk": 0.941, "sim_lsh_topk": 0.925,
+    "stream_tumbling_counts": 2.096, "text_stats": 0.776,
+    "topk_per_group": 0.559, "tumbling_window_agg": 0.362,
+    "window_frames": 0.510, "window_ranking": 0.518,
+}
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -172,7 +203,10 @@ def main() -> int:
     # is the number that scales to a warm cluster.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
-    listener = MetricsListener()
+    # effectively unbounded: the default maxlen=1000 deque evicts from
+    # the head once total progress events exceed the cap, shifting the
+    # [n_seen:] slice and mis-attributing batch durations (ADVICE r6)
+    listener = MetricsListener(max_events=1_000_000)
     spark.streams.addListener(listener)
     streaming_detail: dict[str, dict] = {}
 
@@ -220,19 +254,48 @@ def main() -> int:
     timings = run_set(HEADLINE)
     extended = run_set(EXTENDED)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_headline_query_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_extended": extended,
-                "queries_streaming_detail": streaming_detail,
-                "sf": sf,
-            }
-        )
+
+    ratios = {
+        name: round(t / GATE[name], 2)
+        for name, t in timings.items()
+        if name in GATE
+    }
+    worst5 = dict(
+        sorted(ratios.items(), key=lambda kv: kv[1], reverse=True)[:5]
     )
+    detail = {
+        "metric": "total_headline_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_extended": extended,
+        "queries_streaming_detail": streaming_detail,
+        "vs_gate_ratios": ratios,
+        "sf": sf,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DETAIL.json"), "w",
+    ) as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    compact = {
+        "metric": "total_headline_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings) + len(extended),
+        "worst5_vs_gate": worst5,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # driver keeps only the last 2,000 stdout chars
+        compact["queries"] = worst5 and {
+            k: timings[k] for k in worst5 if k in timings
+        }
+        compact["queries_truncated_to_worst5"] = True
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
     return 0
 

@@ -338,6 +338,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     block_cols: Sequence[str] = (),
     min_jaccard: float = 0.1,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity via an inverted-index join.
 
@@ -345,13 +346,48 @@ def ngram_jaccard_pairs(
     |A∩B| / (|A|+|B|-|A∩B|). The gram join bounds the pair space by
     actual overlap — this is the verification stage for LSH candidates
     or a standalone exact near-dup pass on blocked data.
+
+    ``max_df`` (optional) is the hot-gram bound: a gram appearing in
+    more than ``max_df`` documents (within its block) is dropped
+    BEFORE the self-join, and the per-doc gram counts are re-derived
+    post-prune so jaccard stays a true Jaccard over the surviving
+    grams. Without it, one boilerplate gram shared by k docs emits
+    k^2 pair rows on a single join key — the quadratic hot-key blowup
+    that dedup_containment's corpus-relative cap fixed in round 5
+    (training_ops.py) but this shared operator still allowed when
+    called unblocked. The hot list contains only grams ABOVE the cap,
+    so it is tiny by construction and broadcasts at any corpus size.
+    Default ``None`` preserves the exact all-grams semantics for
+    blocked/sliced callers.
     """
-    grams = _spread_by_key(df, id_col).select(
-        F.col(id_col),
-        *[F.col(c) for c in block_cols],
-        F.size(char_shingles(text_col, n)).alias("__n_grams"),
-        F.explode(char_shingles(text_col, n)).alias("__g"),
-    )
+    if max_df is None:
+        # exact path: per-doc count is the shingle-array size, no
+        # extra shuffle
+        grams = _spread_by_key(df, id_col).select(
+            F.col(id_col),
+            *[F.col(c) for c in block_cols],
+            F.size(char_shingles(text_col, n)).alias("__n_grams"),
+            F.explode(char_shingles(text_col, n)).alias("__g"),
+        )
+    else:
+        exploded = _spread_by_key(df, id_col).select(
+            F.col(id_col),
+            *[F.col(c) for c in block_cols],
+            F.explode(char_shingles(text_col, n)).alias("__g"),
+        )
+        hot = (
+            exploded.groupBy(*block_cols, "__g")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select(*block_cols, "__g")
+        )
+        kept = exploded.join(
+            F.broadcast(hot), [*block_cols, "__g"], "left_anti"
+        )
+        counts = kept.groupBy(id_col, *block_cols).agg(
+            F.count("*").alias("__n_grams")
+        )
+        grams = kept.join(counts, [id_col, *block_cols])
     left = grams.select(
         F.col(id_col).alias("id_a"),
         *[F.col(c).alias(f"__ba_{c}") for c in block_cols],

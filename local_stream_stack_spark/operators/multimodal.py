@@ -8,10 +8,12 @@ shape, partition-friendly mapInPandas signature — is real and tested;
 the actual codec calls are STUBBED (image/audio libraries are not in
 this container) behind ``decode_stub``: a deterministic fake that
 derives "features" from the byte content, or NotImplementedError for
-the real path. EXCEPTION: PNG images decode FOR REAL — a stdlib-only
+the real path. EXCEPTIONS: PNG images decode FOR REAL — a stdlib-only
 codec (``operators/png.py``: zlib inflate + all five scanline
-filters) handles any 8-bit gray/RGB/RGBA PNG payload; the stub
-remains only for audio/video and non-PNG image bytes.
+filters) handles any 8-bit gray/RGB/RGBA PNG payload — and PCM WAV
+audio decodes FOR REAL (``operators/wav.py``: RIFF chunk parse,
+8/16-bit samples); the stub remains only for video and
+non-PNG/non-WAV bytes.
 
 Scale notes: binary payloads ride in parquet alongside metadata, so
 pruning/pushdown still applies to the metadata columns; decode runs in
@@ -116,13 +118,22 @@ def extract_features(df: DataFrame) -> DataFrame:
     import hashlib
 
     from local_stream_stack_spark.operators.png import PNG_MAGIC, decode_image
+    from local_stream_stack_spark.operators.wav import (
+        RIFF_MAGIC,
+        WAVE_MAGIC,
+        decode_audio,
+    )
 
     def _decode(p: bytes, m: str) -> dict:
-        # real path first: PNG payloads decode with the stdlib codec;
-        # everything else falls back to the clearly-marked stub
+        # real paths first: PNG and PCM-WAV payloads decode with the
+        # stdlib codecs; everything else falls back to the
+        # clearly-marked stub (now video + non-PNG/non-WAV bytes only)
         if m == "image" and p[:8] == PNG_MAGIC:
             d = decode_image(p)
             return {"width": d["width"], "height": d["height"], "duration_ms": 0}
+        if m == "audio" and p[:4] == RIFF_MAGIC and p[8:12] == WAVE_MAGIC:
+            a = decode_audio(p)
+            return {"width": 0, "height": 0, "duration_ms": a["duration_ms"]}
         return decode_stub(p, m)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -25,6 +25,7 @@ from local_stream_stack_spark.operators.udx import (
 )
 from local_stream_stack_spark.queries.registry import query
 from local_stream_stack_spark.session import configure_for_oracle
+from local_stream_stack_spark.utils.scratch import ephemeral_dir
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -348,7 +349,6 @@ def _roundtrip_orders(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     double, and strings is what the oracle equality proves (the oracle
     reads the original parquet)."""
     import os
-    import tempfile
 
     from local_stream_stack_spark.sources.files import FileSource
 
@@ -356,7 +356,7 @@ def _roundtrip_orders(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
     )
     path = os.path.join(
-        tempfile.mkdtemp(prefix=f"roundtrip-{fmt}-"), f"orders_{fmt}"
+        ephemeral_dir(prefix=f"roundtrip-{fmt}-"), f"orders_{fmt}"
     )
     writer = o.write.format(fmt).mode("overwrite")
     csv_opts = {

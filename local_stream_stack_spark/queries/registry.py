@@ -38,15 +38,23 @@ QUERIES: dict[str, QuerySpec] = {}
 # and confirm with ``python tools/check_parity.py --window``.
 DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
     {
+        "active_streaks",
         "approx_distinct_parts",
         "approx_percentile_qty",
         "array_hof_order_lines",
         "asof_join_events",
         "asof_join_tolerance",
+        "attribution_last_touch",
+        "basket_lift_pairs",
+        "benford_first_digit",
         "bm25_rank",
+        "boilerplate_ngrams",
+        "bpe_train_merges",
+        "bpe_vocab_counts",
         "bucketed_join_revenue",
         "case_when_buckets",
         "cdc_merge_summary",
+        "chisq_lang_source",
         "chunk_documents",
         "clean_text_scrub",
         "cms_heavy_hitters",
@@ -54,15 +62,22 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "collation_group_ci",
         "compaction_bin_packing",
         "compaction_tombstone",
+        "conversion_lag_quantiles",
+        "copurchase_bfs_hops",
         "corpus_stats_by_lang",
+        "corr_matrix_lineitem",
         "csv_roundtrip_orders",
         "cube_qty",
         "curation_downsample",
         "curation_pipeline",
+        "customer_decile_transitions",
+        "customer_rfm_scores",
+        "daily_count_anomalies",
         "date_funcs",
         "decile_bounds_price",
         "decontaminate_ngram_overlap",
         "decontaminate_splits",
+        "dedup_cluster_sizes",
         "dedup_components",
         "dedup_containment",
         "dedup_embedding_cosine",
@@ -70,16 +85,23 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "dedup_keys",
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
+        "dedup_prefix_clusters",
+        "dedup_repeated_ngram_spans",
         "dedup_simhash",
+        "dedup_substring_spans",
+        "dedup_token_sort",
         "distinct_rows",
         "doc_fingerprint",
         "doc_length_histogram",
+        "doc_novelty_scores",
         "dpp_partitioned_lang_join",
         "dq_expectations_orders",
         "embedding_matryoshka_mass",
         "embedding_norms",
         "embedding_quantize_int8",
+        "embedding_quantize_pct",
         "event_gap_quantiles",
+        "event_gap_quantiles_chunked",
         "ewma_latest_per_user",
         "exact_quantile_distributed",
         "explode_outer_rare_tokens",
@@ -91,12 +113,14 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "grouping_sets_revenue",
         "hash_agg_stats",
         "hll_sketch_rollup",
+        "hourly_value_quantiles",
         "interpolate_linear",
         "interval_join_peak_windows",
         "inverted_index",
         "join_anti",
         "join_bloom_prefiltered",
         "join_broadcast_dims",
+        "join_explosion_audit",
         "join_null_safe",
         "join_outer_full",
         "join_salted_skew",
@@ -107,23 +131,30 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "kafka_frame_roundtrip",
         "kmeans_embeddings",
         "kmv_distinct_rollup",
+        "kmv_overlap_daily",
+        "kmv_rolling_wau",
         "label_centroids",
         "lang_id",
+        "lang_id_confusion",
         "latest_per_key",
         "mad_outliers",
         "map_explode_customer",
         "math_funcs",
+        "minhash_calibration",
         "multimodal_binary_meta",
         "multimodal_features",
         "multimodal_frame_sample",
+        "multimodal_png_decode",
         "null_semantics",
         "nulls_ordering",
         "ols_slope_per_type",
         "orc_roundtrip_orders",
+        "orders_monthly_yoy",
         "pack_documents",
         "pagerank_copurchase",
         "partitioned_roundtrip_docs",
         "percentile_stats",
+        "perplexity_bigram_interp",
         "perplexity_unigram",
         "pipe_syntax_revenue",
         "pipeline_yaml_batch",
@@ -156,32 +187,42 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "q7_nation_volume",
         "q8_market_share",
         "q9_product_profit",
+        "quality_filter_gopher",
         "quantile_by_value_qty",
         "range_join_views_before_purchase",
         "recursive_copurchase_reach",
+        "referential_integrity_audit",
+        "regression_by_nation",
         "repetition_ratio",
+        "revenue_gini_lorenz",
         "rollup_revenue",
         "rollup_time_hierarchy",
         "sample_per_group",
         "scd2_history",
+        "schema_evolution_roundtrip",
         "schema_registry_parse",
         "semantic_dedup_components",
         "semantic_dedup_lsh_components",
+        "session_paths_top",
         "session_window_agg",
         "sessionize_events",
+        "sessionize_events_chunked",
         "set_ops",
         "set_ops_bag",
         "shuffle_deterministic",
         "sim_bruteforce_topk",
         "sim_ivf_topk",
+        "sim_ivfpq_topk",
         "sim_lsh_topk",
         "sim_pq_topk",
         "skew_diagnostics",
         "sliding_window_agg",
         "source_char_budget",
+        "source_mixing_weights",
         "sql_api_revenue",
         "sql_udf_netprice",
         "sql_variables_param_revenue",
+        "stats_profile_orders",
         "stratified_sample_sources",
         "stream_aggregate_view",
         "stream_dedup_keys",
@@ -192,6 +233,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "stream_latest_per_key",
         "stream_parquet_sink",
         "stream_pipeline_yaml",
+        "stream_quality_quarantine",
         "stream_running_totals",
         "stream_session_windows",
         "stream_sliding_counts",
@@ -200,6 +242,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "stream_tumbling_counts",
         "stream_windowed_rollup_chain",
         "string_funcs",
+        "supplier_pareto_abc",
         "text_stats",
         "tfidf_top_terms",
         "time_weighted_avg",
@@ -217,7 +260,9 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "udtf_tokenize",
         "unicode_nfc_normalize",
         "unpivot_part_measures",
+        "value_histogram_log2",
         "variant_extract_orders",
+        "vocab_coverage",
         "weighted_sample",
         "window_analytic",
         "window_distribution",
@@ -226,6 +271,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "window_ranking",
         "winsorized_mean_price",
         "xml_roundtrip_orders",
+        "zipf_token_fit",
         "zonemap_pruning_stats",
         "zorder_layout_events",
         "zscore_outliers",
@@ -236,9 +282,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
 # Round-6: the two iterative-trainer REWRITES (driver-side centroid
 # carry fusion) are the highest-risk changes this round — pin them
 # into the window ahead of the file-sibling changed set.
-NEW_THIS_ROUND: frozenset[str] = frozenset(
-    {"kmeans_embeddings", "sim_pq_topk"}
-)
+NEW_THIS_ROUND: frozenset[str] = frozenset()
 
 # Queries whose defining file was git-modified AFTER the round that
 # recorded their last green driver row (VERDICT r5 "What's wrong" #2:

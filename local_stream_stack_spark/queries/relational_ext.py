@@ -1895,8 +1895,9 @@ def _corr_oracle_sql() -> str:
     ]
     selects = "\n      UNION ALL ".join(
         f"SELECT '{nx}' AS col_x, '{ny}' AS col_y,"
-        f" CAST(n AS BIGINT) AS n_rows, {_corr_pair_sql(x, y)} AS corr_xy"
-        " FROM f"
+        f" CAST(n AS BIGINT) AS n_rows,"
+        f" CAST(ROUND(({_corr_pair_sql(x, y)}) * 1000000.0) AS BIGINT)"
+        " AS corr_e6 FROM f"
         for x, y, nx, ny in pairs
     )
     dbl = ", ".join(
@@ -1949,8 +1950,11 @@ def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     Single scan, single partial+final aggregate collecting all 15
     exact moments (cent-scaled BIGINT values, DECIMAL(38,0) sums —
     order-independent, unlike the built-in corr()'s running double
-    state), then the 6 upper-triangle correlations derive from
-    identical double expressions on both engines. The unpivot is a
+    state), then the 6 upper-triangle correlations derive from the
+    same double expression tree on both engines and are rounded ONCE
+    to a scaled BIGINT (corr_e6): the DECIMAL(38,0)->DOUBLE cast can
+    differ in the last ulp across engines once sums exceed 2^53
+    (ADVICE r6), and e6 rounding absorbs that. The unpivot is a
     stack() over one aggregate row."""
     li = _t(spark, sf_dir, "lineitem")
     base = li.select(
@@ -1999,12 +2003,13 @@ def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("d", "t", "discount", "tax"),
     ]
     stack_args = ", ".join(
-        f"'{nx}', '{ny}', {_corr_pair_sql(x, y)}"
+        f"'{nx}', '{ny}',"
+        f" CAST(ROUND(({_corr_pair_sql(x, y)}) * 1000000.0) AS BIGINT)"
         for x, y, nx, ny in pairs
     )
     return f.selectExpr(
         "CAST(n AS BIGINT) AS n_rows",
-        f"stack(6, {stack_args}) AS (col_x, col_y, corr_xy)",
-    ).select("col_x", "col_y", "n_rows", "corr_xy").orderBy(
+        f"stack(6, {stack_args}) AS (col_x, col_y, corr_e6)",
+    ).select("col_x", "col_y", "n_rows", "corr_e6").orderBy(
         "col_x", "col_y"
     )

@@ -1,14 +1,12 @@
-"""Queries STAGED for round-7 registration.
+"""Round-7 query batch (registered).
 
-The round-6 driver window closed at 48/50 never-green slots — every
-additional registered query this round would have pushed a
-never-driver-green query out of the correctness gate. These three are
-fully implemented and ORACLE-VERIFIED (tests/test_staged_r7.py runs
-the same Spark-vs-DuckDB compare as tools/check_parity.py), but they
-deliberately do NOT register in the query catalog until round 7
-rotates CORRECTNESS_r06 into DRIVER_VERIFIED_PREVIOUSLY. Round-7
-start task: move each @staged entry to its home module's @query
-decorator verbatim, re-run the parity sweep, regenerate the window.
+These eight were implemented and oracle-verified during round 6
+(tests/test_staged_r7.py runs the same Spark-vs-DuckDB compare as
+tools/check_parity.py) but held out of the catalog because the round-6
+driver window closed at 48/50 never-green slots. Round 7 rotated
+CORRECTNESS_r06 into DRIVER_VERIFIED_PREVIOUSLY, so they now register
+via the standard @query decorator; the STAGED map is kept as an alias
+so the pre-registration parity test keeps running unchanged.
 """
 
 from __future__ import annotations
@@ -19,13 +17,17 @@ from pyspark.sql import functions as F
 from local_stream_stack_spark.catalog import load_table
 from local_stream_stack_spark.session import configure_for_oracle
 
+from local_stream_stack_spark.queries.registry import query
+
 STAGED: dict[str, tuple] = {}
 
 
 def staged(name: str, oracle: str):
+    """Register for real AND record in STAGED for the parity pytest."""
+
     def deco(fn):
         STAGED[name] = (fn, oracle)
-        return fn
+        return query(name, oracle=oracle)(fn)
 
     return deco
 

@@ -32,7 +32,6 @@ from __future__ import annotations
 
 import itertools
 import os
-import tempfile
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -67,6 +66,7 @@ from local_stream_stack_spark.streaming.ops import (
     latest_per_key_stream_parquet,
     read_compacted_view,
 )
+from local_stream_stack_spark.utils.scratch import ephemeral_dir
 
 _run_seq = itertools.count()
 
@@ -117,7 +117,7 @@ def _run_to_table(out: DataFrame, name: str, output_mode: str) -> DataFrame:
     """
     spark = out.sparkSession
     qname = f"{name}_{next(_run_seq)}"
-    cp = os.path.join(tempfile.mkdtemp(prefix=f"stream-e2e-{name}-"), "cp")
+    cp = os.path.join(ephemeral_dir(prefix=f"stream-e2e-{name}-"), "cp")
     q = (
         out.writeStream.outputMode(output_mode)
         .format("memory")
@@ -223,7 +223,7 @@ def stream_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch latest-per-key oracle.
     """
     s = _events_stream(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="stream-e2e-compact-")
+    base = ephemeral_dir(prefix="stream-e2e-compact-")
     target = os.path.join(base, "view")
     cp = os.path.join(base, "cp")
     q = latest_per_key_stream_parquet(
@@ -592,7 +592,7 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang"
     )
-    base = tempfile.mkdtemp(prefix="stream-e2e-ingest-")
+    base = ephemeral_dir(prefix="stream-e2e-ingest-")
     in_dir = os.path.join(base, "in")
     store = os.path.join(base, "store")
     cp = os.path.join(base, "cp")
@@ -702,7 +702,7 @@ def stream_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure_for_oracle(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    base = tempfile.mkdtemp(prefix="stream-e2e-neardup-")
+    base = ephemeral_dir(prefix="stream-e2e-neardup-")
     in_dir = os.path.join(base, "in")
     store = os.path.join(base, "store")
     cp = os.path.join(base, "cp")
@@ -798,7 +798,7 @@ def stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = s.filter(F.col("event_type").isin("purchase", "click")).select(
         "event_id", "user_id", "event_type", "ts"
     )
-    base = tempfile.mkdtemp(prefix="stream-e2e-psink-")
+    base = ephemeral_dir(prefix="stream-e2e-psink-")
     target = os.path.join(base, "out")
     cp = os.path.join(base, "cp")
     q = (
@@ -851,7 +851,7 @@ def stream_aggregate_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _events_stream(spark, sf_dir).select(
         "user_id", F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents")
     )
-    base = tempfile.mkdtemp(prefix="stream-e2e-ivm-")
+    base = ephemeral_dir(prefix="stream-e2e-ivm-")
     target = os.path.join(base, "view")
     cp = os.path.join(base, "cp")
     q = aggregate_view_stream_parquet(
@@ -900,7 +900,7 @@ def pyds_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure_for_oracle(spark)
     register(spark)
-    base = tempfile.mkdtemp(prefix="stream-e2e-pyds-")
+    base = ephemeral_dir(prefix="stream-e2e-pyds-")
     out = os.path.join(base, "out")
     q = (
         spark.readStream.format("lss_synthetic")
@@ -1162,11 +1162,14 @@ def stream_quality_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits every micro-batch into a clean parquet sink and a
     quarantine sink that carries the FIRST failing rule as the
     reject reason - the production shape for fail-open ingestion
-    (nothing is dropped; rejects stay queryable for triage). Both
-    writes are idempotent per epoch (deterministic rows, append of a
-    bounded replay), the same exactly-once argument as
-    stream_parquet_sink. The returned summary is read back from the
-    SINKS, so the oracle checks what actually landed on disk."""
+    (nothing is dropped; rejects stay queryable for triage). Each
+    epoch lands in its own ``epoch=<id>`` subdirectory with
+    mode("overwrite"), so a retried epoch REPLACES its own output
+    instead of appending duplicates (ADVICE r6: plain append was only
+    idempotent under the single-run/no-retry assumption); the sinks
+    read back as partitioned datasets. The returned summary is read
+    back from the SINKS, so the oracle checks what actually landed on
+    disk."""
     from local_stream_stack_spark.operators.text import quality_flags
 
     configure_for_oracle(spark)
@@ -1191,7 +1194,7 @@ def stream_quality_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
                END"""
         ),
     )
-    base = tempfile.mkdtemp(prefix="stream-e2e-dlq-")
+    base = ephemeral_dir(prefix="stream-e2e-dlq-")
     clean_dir = os.path.join(base, "clean")
     dlq_dir = os.path.join(base, "quarantine")
     cp = os.path.join(base, "cp")
@@ -1201,10 +1204,14 @@ def stream_quality_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             batch.filter(F.col("reject_reason").isNull()).select(
                 "doc_id", "lang", "source"
-            ).write.mode("append").parquet(clean_dir)
+            ).write.mode("overwrite").parquet(
+                os.path.join(clean_dir, f"epoch={epoch_id}")
+            )
             batch.filter(F.col("reject_reason").isNotNull()).select(
                 "doc_id", "lang", "source", "reject_reason"
-            ).write.mode("append").parquet(dlq_dir)
+            ).write.mode("overwrite").parquet(
+                os.path.join(dlq_dir, f"epoch={epoch_id}")
+            )
         finally:
             batch.unpersist()
 

@@ -25,6 +25,7 @@ from pyspark.sql.window import Window
 from local_stream_stack_spark.catalog import load_table
 from local_stream_stack_spark.queries.registry import query
 from local_stream_stack_spark.session import configure_for_oracle
+from local_stream_stack_spark.utils.scratch import ephemeral_dir
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -654,10 +655,9 @@ def partitioned_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     what makes per-language curation stages scan-only. Values must
     round-trip exactly (partition column restored from the directory
     key)."""
-    import tempfile
 
     d = _t(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="lss-partitioned-docs-")
+    out = ephemeral_dir(prefix="lss-partitioned-docs-")
     (
         d.select("doc_id", "lang", "source", "n_chars")
         .write.mode("overwrite")
@@ -2391,10 +2391,9 @@ def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet datasets (merge only widens; no rewrite of old files);
     the read pays one extra footer-schema union, pruning and
     pushdown unchanged."""
-    import tempfile
 
     d = _t(spark, sf_dir, "documents")
-    base = tempfile.mkdtemp(prefix="lss-schema-evo-")
+    base = ephemeral_dir(prefix="lss-schema-evo-")
     v1 = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
     v2 = d.filter(F.col("doc_id") % 2 == 1).select(
         "doc_id", "lang", "source"

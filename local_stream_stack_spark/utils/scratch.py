@@ -25,6 +25,20 @@ import tempfile
 _SCRATCH: dict[tuple[str, str], str] = {}
 
 
+def ephemeral_dir(prefix: str) -> str:
+    """``tempfile.mkdtemp`` that self-cleans at interpreter exit.
+
+    For queries that need a FRESH directory per invocation (streaming
+    checkpoints can't be reused across runs) but were leaving orphaned
+    parquet/checkpoint trees in /tmp across a best-of-3 bench process
+    (ADVICE r6). Cleanup is deferred to exit — not a context manager —
+    because the returned DataFrame lazily re-reads the directory when
+    the caller materializes it."""
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def session_suffix(spark, *parts: str) -> str:
     """Deterministic 8-hex suffix unique to (this Spark application,
     *parts) — safe for catalog table names and directory tags."""

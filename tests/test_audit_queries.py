@@ -107,12 +107,12 @@ def test_corr_matrix_perfect_and_degenerate(spark, tmp_path):
         corr_matrix_lineitem,
     )
 
-    got = {(r.col_x, r.col_y): r.corr_xy
+    got = {(r.col_x, r.col_y): r.corr_e6
            for r in corr_matrix_lineitem(spark, str(d)).collect()}
-    # sqrt(a)*sqrt(a) wobbles the last ulp; the PARITY gate checks
-    # bit-identity vs the oracle, this golden checks the math.
-    assert abs(got[("quantity", "discount")] - 1.0) < 1e-12
-    assert abs(got[("quantity", "extendedprice")] + 1.0) < 1e-12
+    # corr is rounded once to e6 BIGINT (ADVICE r6: the raw-double
+    # form hash-differed in the last ulp across engines).
+    assert got[("quantity", "discount")] == 1_000_000
+    assert got[("quantity", "extendedprice")] == -1_000_000
     assert got[("quantity", "tax")] is None
     assert got[("discount", "tax")] is None
     assert len(got) == 6

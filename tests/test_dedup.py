@@ -92,6 +92,61 @@ def test_ngram_jaccard_exact_values(spark):
     assert rows[(1, 3)].common == len(a & b)
 
 
+def test_ngram_jaccard_max_df_bounds_hot_gram_join(spark):
+    """A boilerplate gram shared by every doc must not reach the
+    self-join when max_df is set: the hot-gram anti-join caps the
+    pair-join input, and jaccard is re-defined over surviving grams
+    (post-prune counts) — mirroring dedup_containment's corpus cap."""
+    # 20 docs that share ONLY the hot boilerplate prefix; two true
+    # near-dups that also share distinctive content
+    boiler = "xyzxyzxyz"
+    rows = [(i, boiler + f"unique-{i:04d}-payload") for i in range(20)]
+    rows += [(100, boiler + "shared-needle-content"),
+             (101, boiler + "shared-needle-contest")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, min_jaccard=0.0, max_df=5
+    )
+    got = {(r.id_a, r.id_b): r for r in capped.collect()}
+
+    def grams(s):
+        return {s[i:i + 3] for i in range(len(s) - 2)}
+
+    # post-prune golden: drop grams with df > 5 across the corpus,
+    # then enumerate surviving pairs and their jaccard in Python
+    from collections import Counter
+
+    df_count = Counter()
+    all_g = {i: grams(t) for i, t in rows}
+    for g in all_g.values():
+        df_count.update(g)
+    kept = {i: {g for g in gs if df_count[g] <= 5}
+            for i, gs in all_g.items()}
+    ids = sorted(kept)
+    want = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            i, j = ids[x], ids[y]
+            inter = kept[i] & kept[j]
+            if inter:
+                want[(i, j)] = len(inter) / len(kept[i] | kept[j])
+    assert set(got) == set(want)
+    # boilerplate-only pairs are GONE: far fewer than all 231 pairs
+    assert len(got) < 22 * 21 // 2
+    assert (100, 101) in got
+    for k, r in got.items():
+        assert abs(r.jaccard - want[k]) < 1e-12, k
+    assert got[(100, 101)].n_a == len(kept[100])
+
+    # unchanged default: exact semantics still include the hot grams
+    exact = ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, min_jaccard=0.0
+    )
+    n_pairs = exact.count()
+    assert n_pairs == 22 * 21 // 2  # every pair shares the boilerplate
+
+
 def test_word_shingles(spark):
     from local_stream_stack_spark.operators.dedup import word_shingles
 
