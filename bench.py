@@ -150,6 +150,17 @@ EXTENDED = [
     "minhash_calibration",
     "zipf_token_fit",
     "join_explosion_audit",
+    # round-7 additions
+    "orders_backlog_aging",
+    "event_transition_matrix",
+    "session_entropy_per_user",
+    "hhi_market_concentration",
+    "weekday_activity_profile",
+    "embedding_dim_variance_audit",
+    "ship_lag_quantiles",
+    "dedup_rate_by_source",
+    "multimodal_wav_decode",
+    "sim_recall_calibration",
 ]
 
 

@@ -3975,3 +3975,101 @@ def zipf_token_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank_bucket", "n_tokens", "bucket_freq", "zipf_slope")
         .orderBy("rank_bucket")
     )
+
+
+def _sim_recall_oracle_sql() -> str:
+    """Compose the four existing (individually driver-green) ANN-tier
+    oracles as WITH-subqueries and compare each approximate top-10 id
+    set against the exact one. DuckDB allows a full WITH chain inside
+    a derived table, so each tier's oracle is embedded verbatim — the
+    recall oracle can never drift from the per-tier oracles."""
+    from local_stream_stack_spark.queries.registry import QUERIES
+
+    sub = {
+        t: QUERIES[f"sim_{t}_topk"].oracle
+        for t in ("bruteforce", "lsh", "ivf", "ivfpq")
+    }
+    return f"""
+    WITH exact10 AS (
+      SELECT query_id, corpus_id FROM ({sub['bruteforce']})
+    ),
+    lsh10 AS (SELECT query_id, corpus_id FROM ({sub['lsh']})),
+    ivf10 AS (SELECT query_id, corpus_id FROM ({sub['ivf']})),
+    ivfpq10 AS (SELECT query_id, corpus_id FROM ({sub['ivfpq']})),
+    tiers AS (
+      SELECT 'lsh' AS tier, query_id, corpus_id FROM lsh10
+      UNION ALL SELECT 'ivf', query_id, corpus_id FROM ivf10
+      UNION ALL SELECT 'ivfpq', query_id, corpus_id FROM ivfpq10
+    ),
+    hits AS (
+      SELECT t.tier, t.query_id,
+             SUM(CASE WHEN e.corpus_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_hits,
+             COUNT(*) AS n_returned
+      FROM tiers t
+      LEFT JOIN exact10 e
+        ON e.query_id = t.query_id AND e.corpus_id = t.corpus_id
+      GROUP BY t.tier, t.query_id
+    )
+    SELECT tier, query_id,
+           CAST(10 AS INT) AS k,
+           CAST(n_returned AS INT) AS n_returned,
+           CAST(n_hits AS INT) AS n_hits,
+           CAST(n_hits * 1000 AS BIGINT) AS recall_e4
+    FROM hits
+    ORDER BY tier, query_id
+    """
+
+
+@query("sim_recall_calibration", oracle=_sim_recall_oracle_sql())
+def sim_recall_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of every registered ANN tier (LSH, IVF, IVF-PQ)
+    against the exact brute-force top-10 on the same deterministic
+    query slice — the eval you run before trusting an approximate
+    index at corpus scale, promoted from pytest to a driver-visible
+    query exactly as minhash_calibration did for the MinHash
+    estimator (VERDICT r6 #5).
+
+    The engine side CALLS the registered tier queries, and the oracle
+    EMBEDS their oracles as subqueries, so this calibration is
+    definitionally in lockstep with what the tiers actually return —
+    any change to a tier's plan shows up here as a recall shift.
+    Integer-exact: recall_e4 = n_hits * 1000 (k=10), no float math
+    anywhere. Scale shape: each tier is already bounded (bucket join /
+    nprobe cells / ADC over codes); the exact baseline runs only over
+    the 5-query slice, and the recall join is 30 rows vs 50."""
+    exact = sim_bruteforce_topk(spark, sf_dir).select(
+        "query_id", "corpus_id"
+    )
+    tiers = None
+    for tier, fn in (
+        ("lsh", sim_lsh_topk),
+        ("ivf", sim_ivf_topk),
+        ("ivfpq", sim_ivfpq_topk),
+    ):
+        t = fn(spark, sf_dir).select(
+            F.lit(tier).alias("tier"), "query_id", "corpus_id"
+        )
+        tiers = t if tiers is None else tiers.unionByName(t)
+    hits = (
+        tiers.join(
+            exact.withColumn("__hit", F.lit(1)),
+            ["query_id", "corpus_id"],
+            "left",
+        )
+        .groupBy("tier", "query_id")
+        .agg(
+            F.count("*").cast("int").alias("n_returned"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("int")
+            .alias("n_hits"),
+        )
+    )
+    return hits.select(
+        "tier",
+        "query_id",
+        F.lit(10).cast("int").alias("k"),
+        "n_returned",
+        "n_hits",
+        (F.col("n_hits").cast("bigint") * 1000).alias("recall_e4"),
+    ).orderBy("tier", "query_id")

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import pyspark.sql.types as T
 import pytest
+from pyspark.sql import functions as F
 
 from local_stream_stack_spark.pipeline import Pipeline
 from local_stream_stack_spark.schemas import get_schema, register_schema
@@ -191,3 +192,81 @@ def test_yaml_pipeline_soak_tombstone_when_final(spark, tmpdir):
     assert set(out) == live
     for k in live:
         assert out[k]["seq"] == 900 + k
+
+
+def test_torn_write_invisible_until_manifest_commit(spark, tmpdir):
+    """The atomic-commit window (VERDICT r6 #5): files from a crashed
+    epoch that never reached its manifest rename must be INVISIBLE to
+    readers, and a checkpoint replay must converge over them.
+
+    Simulates the torn write deterministically: after a committed
+    state, plant a bogus epoch tree (wrong rows, valid parquet) under
+    data/ WITHOUT a manifest — the exact on-disk state of a crash
+    between the data write and the manifest rename."""
+    in_dir = f"{tmpdir}/in3"
+    view = f"{tmpdir}/view3"
+    cp = f"{tmpdir}/cp3"
+    try:
+        get_schema("soak_kv")
+    except KeyError:
+        register_schema("soak_kv", KV_SCHEMA)
+    cfg = {
+        "name": "soak-torn-write",
+        "source": {
+            "type": "parquet",
+            "path": in_dir,
+            "streaming": True,
+            "schema": "soak_kv",
+        },
+        "processors": [],
+        "sink": {"type": "noop"},
+    }
+
+    def start():
+        df = Pipeline(spark, cfg).dataframe()
+        return latest_per_key_stream_parquet(
+            df,
+            keys=["key"],
+            order_col="seq",
+            target_path=view,
+            checkpoint_location=cp,
+            n_buckets=4,
+        )
+
+    spark.createDataFrame(_epoch_rows(0), KV_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    committed = {
+        (r["key"], r["seq"]) for r in read_compacted_view(spark, view).collect()
+    }
+    assert committed == {(k, k) for k in range(N_KEYS)}
+
+    # torn write: a huge-epoch tree with GARBAGE rows, no manifest
+    bogus = [(k, 10_000_000 + k, -999.0) for k in range(N_KEYS)]
+    (
+        spark.createDataFrame(bogus, KV_SCHEMA)
+        .withColumn("__deleted", F.lit(False))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{view}/data/__epoch=999/__bucket=0")
+    )
+
+    # reader: unmanifested files are invisible
+    after = {
+        (r["key"], r["seq"]) for r in read_compacted_view(spark, view).collect()
+    }
+    assert after == committed
+
+    # writer replay: the next epochs merge against COMMITTED state
+    # only and converge to the true view
+    spark.createDataFrame(_epoch_rows(1), KV_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    final = {r["key"]: r["seq"] for r in read_compacted_view(spark, view).collect()}
+    assert final == {k: 100 + k for k in range(N_KEYS)}

@@ -189,7 +189,11 @@ def gen(replicas: int = 10) -> None:
     spark.stop()
 
 
-def run(n_runs: int = 3, only: list[str] | None = None) -> None:
+def run(
+    n_runs: int = 3,
+    only: list[str] | None = None,
+    scales: tuple[str, str] = ("x1", "x10"),
+) -> None:
     from local_stream_stack_spark.queries import QUERIES
 
     # 10x data under the default 1g driver JVM OOMs on legitimate
@@ -210,7 +214,7 @@ def run(n_runs: int = 3, only: list[str] | None = None) -> None:
     ).write.format("noop").mode("overwrite").save()
 
     results: dict[str, dict] = {}
-    for scale in ("x1", "x10"):
+    for scale in scales:
         sf_dir = os.path.join(OUT, scale)
         for name in only or MEASURED:
             spec = QUERIES.get(name)
@@ -227,23 +231,29 @@ def run(n_runs: int = 3, only: list[str] | None = None) -> None:
             print(f"{scale} {name}: {best:.3f}s", file=sys.stderr)
     spark.stop()
 
+    lo, hi = scales
+    # decades between the two corpora (x1 -> x10 = 1 decade,
+    # x1 -> x100 = 2): the exponent stays comparable across spans
+    decades = math.log10(int(hi[1:]) / int(lo[1:]))
     table = {}
     for name, r in results.items():
-        alpha = math.log10(max(r["x10"], 1e-9) / max(r["x1"], 1e-9))
+        alpha = (
+            math.log10(max(r[hi], 1e-9) / max(r[lo], 1e-9)) / decades
+        )
         table[name] = {
-            "t_1x_sec": r["x1"],
-            "t_10x_sec": r["x10"],
+            f"t_{lo}_sec": r[lo],
+            f"t_{hi}_sec": r[hi],
             "alpha": round(alpha, 3),
         }
-    print(json.dumps({"scaling": table}))
-    print("\n| query | 1x sec | 10x sec | exponent |")
+    print(json.dumps({"scales": list(scales), "scaling": table}))
+    print(f"\n| query | {lo} sec | {hi} sec | exponent |")
     print("|---|---|---|---|")
     for name, r in sorted(
         table.items(), key=lambda kv: -kv[1]["alpha"]
     ):
         flag = " **> 1.2**" if r["alpha"] > 1.2 else ""
         print(
-            f"| {name} | {r['t_1x_sec']} | {r['t_10x_sec']} |"
+            f"| {name} | {r[f't_{lo}_sec']} | {r[f't_{hi}_sec']} |"
             f" {r['alpha']}{flag} |"
         )
 
@@ -254,9 +264,12 @@ if __name__ == "__main__":
         gen(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
     elif cmd == "run":
         rest = sys.argv[2:]
+        scales = ("x1", "x10")
+        if rest and rest[0].startswith("--scales="):
+            scales = tuple(rest.pop(0).split("=", 1)[1].split(","))
         n = int(rest[0]) if rest and rest[0].isdigit() else 3
         names = [a for a in rest if not a.isdigit()]
-        run(n, names or None)
+        run(n, names or None, scales)
     else:
         print(__doc__)
         sys.exit(2)
