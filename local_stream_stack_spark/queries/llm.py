@@ -3805,43 +3805,35 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("matches"),
     )
-    # the shingle relation feeds three consumers (sizes, join left,
-    # join right); a localCheckpoint of it was MEASURED SLOWER
-    # (7.5 s vs 6.2 s at sf0.1) — eager materialization of the
-    # exploded rows costs more than the scan-side explodes it saves,
-    # the same verdict as percentile_stats' persist note — so the
-    # consumers deliberately re-derive it from the pruned scan
-    sh = d.select(
-        "doc_id", F.explode(word_shingles("text", 3)).alias("s")
+    # Exact verification WITHOUT exploding shingles (round-7 rewrite,
+    # VERDICT r6 #9): candidates are a bounded set, so each pair's
+    # exact Jaccard comes from array_intersect on the two docs'
+    # (already-distinct) shingle ARRAYS — two hash joins on doc_id
+    # and one JVM set-intersection per candidate, replacing the three
+    # exploded-shingle consumers (sizes groupBy + a two-sided gram
+    # join) the previous form re-derived from the scan (its persist/
+    # localCheckpoint variants both measured slower than re-deriving;
+    # this removes the repeated lineage instead of caching it).
+    # Identical result: |A∩B| over distinct shingles, union by
+    # inclusion-exclusion.
+    sharr = d.select("doc_id", word_shingles("text", 3).alias("__sh"))
+    ta = sharr.select(
+        F.col("doc_id").alias("id_a"), F.col("__sh").alias("__sha")
     )
-    szs = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
-    sh_a = sh.select(F.col("doc_id").alias("id_a"), "s")
-    sh_b = sh.select(
-        F.col("doc_id").alias("__idb"), F.col("s").alias("s_b")
+    tb = sharr.select(
+        F.col("doc_id").alias("id_b"), F.col("__sh").alias("__shb")
     )
-    itr = (
-        cands.select("id_a", "id_b")
-        .join(sh_a, "id_a")
-        .join(
-            sh_b,
-            (F.col("id_b") == F.col("__idb"))
-            & (F.col("s") == F.col("s_b")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    sz_a = szs.select(F.col("doc_id").alias("id_a"), F.col("nsh").alias("nsh_a"))
-    sz_b = szs.select(F.col("doc_id").alias("id_b"), F.col("nsh").alias("nsh_b"))
     pair = (
-        cands.join(itr, ["id_a", "id_b"], "left")
-        .join(sz_a, "id_a")
-        .join(sz_b, "id_b")
+        cands.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn(
+            "inter", F.size(F.array_intersect("__sha", "__shb"))
+        )
         .select(
             "matches",
-            F.coalesce("inter", F.lit(0)).alias("inter"),
+            "inter",
             (
-                F.col("nsh_a") + F.col("nsh_b")
-                - F.coalesce("inter", F.lit(0))
+                F.size("__sha") + F.size("__shb") - F.col("inter")
             ).alias("uni"),
         )
     )

@@ -429,13 +429,23 @@ def semantic_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "semantic_dedup_lsh_components",
     oracle="""
-    WITH RECURSIVE planes AS (
+    WITH RECURSIVE npc AS (
+      -- n_planes scales with log2(corpus/32): bucket space is a
+      -- function of corpus size (floor(log2(x)) = length(bin(x))-1,
+      -- exact on both engines); floor 8 keeps driver-scale corpora
+      -- on the historical 8x8 grid
+      SELECT GREATEST(8, length(bin(GREATEST(COUNT(*) // 32, 1))) - 1 + 1)
+               AS np
+      FROM embeddings
+    ),
+    planes AS (
       SELECT t.t, j.j, i.i,
              CAST('0x' || substring(md5(concat(t.t,'|',j.j,'|',i.i)), 1, 4)
                   AS INT) % 7 - 3 AS w
       FROM generate_series(0,7) t(t),
-           generate_series(0,7) j(j),
+           generate_series(0,30) j(j),
            generate_series(0,63) i(i)
+      WHERE j.j < (SELECT np FROM npc)
     ),
     qv AS (
       SELECT vec_id, i.i AS i,
@@ -530,9 +540,19 @@ def semantic_dedup_lsh_components(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     e = _t(spark, sf_dir, "embeddings")
+    # bucket space scales with corpus size (the SCALE KNOB below,
+    # now applied rather than documented): n_planes = max(8,
+    # floor(log2(n/32)) + 1) holds per-bucket occupancy ~O(32) at
+    # any scale; driver-scale corpora (sf0.01/0.1) stay on the
+    # historical 8x8 grid, and the oracle computes the SAME count
+    # from COUNT(*) so parity holds at every scale. One count()
+    # job driver-side — parameter-sized, same pattern as the
+    # iterative trainers.
+    n_vecs = e.count()
+    n_planes = max(8, (max(n_vecs // 32, 1)).bit_length() - 1 + 1)
     cand = lsh_candidate_pairs_deterministic(
         e, id_col="vec_id", vec_col="embedding", dim=64,
-        n_tables=8, n_planes=8,
+        n_tables=8, n_planes=n_planes,
     )
     ea = e.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va")

@@ -91,6 +91,17 @@ REPRESENTATIVE = [
     "minhash_calibration",       # estimator calibration bins
     "zipf_token_fit",            # vocab rank window + moment fit
     "join_explosion_audit",      # per-key pair prediction top-k
+    # round-7 families
+    "orders_backlog_aging",      # age buckets vs scalar max date
+    "event_transition_matrix",   # lead() bigram cells
+    "session_entropy_per_user",  # per-session plog2p sums
+    "hhi_market_concentration",  # share-of-total squares
+    "weekday_activity_profile",  # isodow pivot cells
+    "embedding_dim_variance_audit",  # per-dim moment sums
+    "ship_lag_quantiles",        # date-diff 3-pass quantiles
+    "dedup_rate_by_source",      # per-source LSH near-dup rate
+    "multimodal_wav_decode",     # real WAV codec mapInPandas
+    "sim_recall_calibration",    # composed ANN recall join
 ]
 
 

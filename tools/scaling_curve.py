@@ -115,8 +115,22 @@ def _offsets(spark) -> dict[str, int]:
     }
 
 
-def gen(replicas: int = 10) -> None:
-    spark = get_spark(app_name="scaling-gen")
+def gen(replicas: int = 10, only_facts: list[str] | None = None) -> None:
+    """Build .scale/x1 and .scale/x{replicas}. ``only_facts`` limits
+    replication to a fact subset (the others are copied at 1x): the
+    100x dedup/ANN measurements touch only documents/embeddings, and
+    replicating 60M lineitem rows through a 100-way union for queries
+    that never read them OOMs the default heap for nothing. A corpus
+    generated with a subset must only be measured with queries over
+    that subset."""
+    spark = get_spark(
+        app_name="scaling-gen",
+        extra_conf={
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_SCALE_DRIVER_MEM", "8g"
+            )
+        },
+    )
     off = _offsets(spark)
     for scale, nrep in (("x1", 1), (f"x{replicas}", replicas)):
         out_dir = os.path.join(OUT, scale)
@@ -128,6 +142,12 @@ def gen(replicas: int = 10) -> None:
             ).parquet(f"{out_dir}/{t}.parquet")
         for t in FACTS:
             base = spark.read.parquet(f"{SRC}/{t}.parquet")
+            if only_facts is not None and t not in only_facts:
+                base.write.mode("overwrite").parquet(
+                    f"{out_dir}/{t}.parquet"
+                )
+                print(f"{scale}/{t}: copied 1x (not in subset)")
+                continue
             parts = []
             for r in range(nrep):
                 df = base
@@ -261,7 +281,10 @@ def run(
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "run"
     if cmd == "gen":
-        gen(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
+        rest = sys.argv[2:]
+        n = int(rest[0]) if rest and rest[0].isdigit() else 10
+        facts = [a for a in rest if not a.isdigit()]
+        gen(n, facts or None)
     elif cmd == "run":
         rest = sys.argv[2:]
         scales = ("x1", "x10")
