@@ -160,6 +160,7 @@ EXTENDED = [
     "ship_lag_quantiles",
     "dedup_rate_by_source",
     "multimodal_wav_decode",
+    "multimodal_video_frames",
     "sim_recall_calibration",
 ]
 

@@ -8,12 +8,14 @@ shape, partition-friendly mapInPandas signature — is real and tested;
 the actual codec calls are STUBBED (image/audio libraries are not in
 this container) behind ``decode_stub``: a deterministic fake that
 derives "features" from the byte content, or NotImplementedError for
-the real path. EXCEPTIONS: PNG images decode FOR REAL — a stdlib-only
-codec (``operators/png.py``: zlib inflate + all five scanline
-filters) handles any 8-bit gray/RGB/RGBA PNG payload — and PCM WAV
-audio decodes FOR REAL (``operators/wav.py``: RIFF chunk parse,
-8/16-bit samples); the stub remains only for video and
-non-PNG/non-WAV bytes.
+the real path. EXCEPTIONS — one REAL stdlib codec per modality: PNG
+images (``operators/png.py``: zlib inflate + all five scanline
+filters, any 8-bit gray/RGB/RGBA payload), PCM WAV audio
+(``operators/wav.py``: RIFF chunk parse, 8/16-bit samples), and
+uncompressed AVI video (``operators/avi.py``: nested RIFF LIST walk,
+bottom-up padded BGR DIB frames). The stub remains only for
+compressed/foreign byte formats (JPEG, MP3, H.264, ...), which
+genuinely require codec libraries this container lacks.
 
 Scale notes: binary payloads ride in parquet alongside metadata, so
 pruning/pushdown still applies to the metadata columns; decode runs in
@@ -125,15 +127,25 @@ def extract_features(df: DataFrame) -> DataFrame:
     )
 
     def _decode(p: bytes, m: str) -> dict:
-        # real paths first: PNG and PCM-WAV payloads decode with the
-        # stdlib codecs; everything else falls back to the
-        # clearly-marked stub (now video + non-PNG/non-WAV bytes only)
+        # real paths first: PNG, PCM-WAV, and uncompressed-AVI
+        # payloads decode with the stdlib codecs; everything else
+        # falls back to the clearly-marked stub (now only compressed
+        # or foreign byte formats)
         if m == "image" and p[:8] == PNG_MAGIC:
             d = decode_image(p)
             return {"width": d["width"], "height": d["height"], "duration_ms": 0}
         if m == "audio" and p[:4] == RIFF_MAGIC and p[8:12] == WAVE_MAGIC:
             a = decode_audio(p)
             return {"width": 0, "height": 0, "duration_ms": a["duration_ms"]}
+        if m == "video" and p[:4] == RIFF_MAGIC and p[8:12] == b"AVI ":
+            from local_stream_stack_spark.operators.avi import decode_video
+
+            v = decode_video(p)
+            return {
+                "width": v["width"],
+                "height": v["height"],
+                "duration_ms": v["duration_ms"],
+            }
         return decode_stub(p, m)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

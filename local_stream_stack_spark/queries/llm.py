@@ -130,11 +130,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE docs AS (
       SELECT doc_id, lang, text FROM documents WHERE n_chars <= 200
     ),
-    gram_sets AS (
+    gram_all AS (
       SELECT DISTINCT doc_id, lang,
              unnest([substr(text, CAST(i AS INT), 3)
                      for i in generate_series(1, length(text) - 2)]) AS g
       FROM docs
+    ),
+    cap AS (SELECT LEAST(64, GREATEST(8, COUNT(*) // 100)) AS c FROM docs),
+    hot AS (
+      SELECT lang, g FROM gram_all GROUP BY lang, g
+      HAVING COUNT(*) > (SELECT c FROM cap)
+    ),
+    gram_sets AS (
+      SELECT ga.doc_id, ga.lang, ga.g
+      FROM gram_all ga ANTI JOIN hot USING (lang, g)
     ),
     counts AS (SELECT doc_id, COUNT(*) AS n FROM gram_sets GROUP BY doc_id),
     pairs AS (
@@ -175,9 +184,26 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from local_stream_stack_spark.operators.graph import connected_components
 
     d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") <= 200)
+    # Corpus-relative hot-gram cap (round-7 fix, measured at 100x):
+    # char-3-grams are shared by construction across any same-language
+    # corpus, so without a df cap the gram self-join is quadratic in
+    # corpus size — the 100x scaling run hung here while the 10x run
+    # had read a deceptive alpha 0.956. A gram in > max(8, 1% of the
+    # slice) docs carries no dedup signal and is dropped pre-join
+    # (dedup_containment's round-5 cap, now shared via
+    # ngram_jaccard_pairs max_df); jaccard is over surviving grams on
+    # BOTH engines. One count() job for the cap — parameter-sized.
+    n_slice = d.count()
     pairs = ngram_jaccard_pairs(
         d, id_col="doc_id", text_col="text", n=3,
         block_cols=["lang"], min_jaccard=0.12,
+        # LEAST(64, ...): the corpus-relative cap alone still lets a
+        # just-below-cap gram contribute (n/100)^2 pairs — quadratic
+        # with a small coefficient; the absolute ceiling bounds every
+        # gram's contribution to C(64,2) so total pairs are linear in
+        # corpus grams. Unchanged (cap=8) at driver verification
+        # scales.
+        max_df=min(64, max(8, n_slice // 100)),
     )
     return (
         connected_components(pairs, src="id_a", dst="id_b")
@@ -1072,6 +1098,113 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             " amp_min int, amp_max int"
         ),
     ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_video_frames",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             CAST(9 + doc_id % 6 AS BIGINT) AS w,
+             CAST(5 + doc_id % 4 AS BIGINT) AS h,
+             CAST(2 + doc_id % 3 AS BIGINT) AS nf
+      FROM documents
+    ),
+    px AS (
+      SELECT p.doc_id, p.w, p.h, p.nf, f.f AS frame_idx,
+             (p.doc_id * 7 + f.f * 31 + y.y * 13 + x.x * 5 + c.c * 3)
+               % 256 AS v,
+             (y.y * p.w + x.x + 1) * (c.c + 1) AS wt
+      FROM p,
+           generate_series(0, 3) f(f),
+           generate_series(0, 7) y(y),
+           generate_series(0, 13) x(x),
+           generate_series(0, 2) c(c)
+      WHERE f.f < p.nf AND y.y < p.h AND x.x < p.w
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           CAST(MIN(v) AS INT) AS px_min,
+           CAST(MAX(v) AS INT) AS px_max,
+           CAST(SUM(wt * v) AS BIGINT) AS px_weighted
+    FROM px
+    GROUP BY doc_id, frame_idx, w, h
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-bytes video decode end to end — the video face of what
+    multimodal_png_decode/multimodal_wav_decode do for images/audio,
+    closing the last marked modality stub for the one video format
+    that needs no codec library: per doc an uncompressed 24-bit AVI
+    with closed-form RGB pixels
+    ``(doc_id*7 + frame*31 + y*13 + x*5 + c*3) % 256`` and
+    doc-dependent dims/frame-count is ENCODED to actual RIFF/AVI
+    bytes (bottom-up padded BGR DIB frames) and DECODED by the real
+    parser (``operators/avi.py``: nested LIST walk, BITMAPINFOHEADER
+    validation, stride/row-order/channel-order reconstruction) in one
+    row-expanding Arrow-batched mapInPandas pass. The oracle
+    recomputes per-frame stats purely arithmetically; px_weighted is
+    a position-and-channel-weighted checksum that any row flip,
+    stride slip, or BGR/RGB swap perturbs. At 100 TB this is the
+    standard media scan: executor-side decode, output cardinality
+    decided executor-side (one row per frame), no shuffle until the
+    aggregate."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        import pandas as pd
+
+        from local_stream_stack_spark.operators.avi import (
+            decode_video,
+            encode_avi,
+        )
+
+        cols = [
+            "doc_id", "frame_idx", "width", "height",
+            "px_sum", "px_min", "px_max", "px_weighted",
+        ]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, nf = 9 + did % 6, 5 + did % 4, 2 + did % 3
+                frames = [
+                    bytes(
+                        (did * 7 + f * 31 + y * 13 + x * 5 + c * 3) % 256
+                        for y in range(h)
+                        for x in range(w)
+                        for c in range(3)
+                    )
+                    for f in range(nf)
+                ]
+                v = decode_video(encode_avi(w, h, frames, fps=10))
+                assert v["n_frames"] == nf
+                for idx, st in enumerate(v["frames"]):
+                    rows.append(
+                        {
+                            "doc_id": did,
+                            "frame_idx": idx,
+                            "width": v["width"],
+                            "height": v["height"],
+                            "px_sum": st["px_sum"],
+                            "px_min": st["px_min"],
+                            "px_max": st["px_max"],
+                            "px_weighted": st["px_weighted"],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return d.mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, frame_idx int, width int, height int,"
+            " px_sum bigint, px_min int, px_max int, px_weighted bigint"
+        ),
+    ).orderBy("doc_id", "frame_idx")
 
 
 @query(
@@ -3530,11 +3663,20 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE docs AS (
       SELECT doc_id, lang, text FROM documents WHERE n_chars <= 200
     ),
-    gram_sets AS (
+    gram_all AS (
       SELECT DISTINCT doc_id, lang,
              unnest([substr(text, CAST(i AS INT), 3)
                      for i in generate_series(1, length(text) - 2)]) AS g
       FROM docs
+    ),
+    cap AS (SELECT LEAST(64, GREATEST(8, COUNT(*) // 100)) AS c FROM docs),
+    hot AS (
+      SELECT lang, g FROM gram_all GROUP BY lang, g
+      HAVING COUNT(*) > (SELECT c FROM cap)
+    ),
+    gram_sets AS (
+      SELECT ga.doc_id, ga.lang, ga.g
+      FROM gram_all ga ANTI JOIN hot USING (lang, g)
     ),
     counts AS (SELECT doc_id, COUNT(*) AS n FROM gram_sets GROUP BY doc_id),
     pairs AS (
@@ -3585,9 +3727,26 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from local_stream_stack_spark.operators.graph import connected_components
 
     d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") <= 200)
+    # Corpus-relative hot-gram cap (round-7 fix, measured at 100x):
+    # char-3-grams are shared by construction across any same-language
+    # corpus, so without a df cap the gram self-join is quadratic in
+    # corpus size — the 100x scaling run hung here while the 10x run
+    # had read a deceptive alpha 0.956. A gram in > max(8, 1% of the
+    # slice) docs carries no dedup signal and is dropped pre-join
+    # (dedup_containment's round-5 cap, now shared via
+    # ngram_jaccard_pairs max_df); jaccard is over surviving grams on
+    # BOTH engines. One count() job for the cap — parameter-sized.
+    n_slice = d.count()
     pairs = ngram_jaccard_pairs(
         d, id_col="doc_id", text_col="text", n=3,
         block_cols=["lang"], min_jaccard=0.12,
+        # LEAST(64, ...): the corpus-relative cap alone still lets a
+        # just-below-cap gram contribute (n/100)^2 pairs — quadratic
+        # with a small coefficient; the absolute ceiling bounds every
+        # gram's contribution to C(64,2) so total pairs are linear in
+        # corpus grams. Unchanged (cap=8) at driver verification
+        # scales.
+        max_df=min(64, max(8, n_slice // 100)),
     )
     comp = connected_components(pairs, src="id_a", dst="id_b")
     sizes = comp.groupBy("component").agg(

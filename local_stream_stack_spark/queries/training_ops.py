@@ -527,12 +527,14 @@ def semantic_dedup_lsh_components(spark: SparkSession, sf_dir: str) -> DataFrame
     id. tests/test_training_ops.py pins that the verify stage consumes
     candidate pairs, not block pairs.
 
-    SCALE KNOB (measured, round-6 scaling curve: alpha 0.83 at 10x
-    with this FIXED 8x8 bucket space): candidate pairs grow
-    ~n^2/buckets when bucket count is constant, so at corpus scale
-    ``n_planes`` must grow with log2(n) to hold per-bucket occupancy
-    — bucket space, like shuffle partitions, is a function of corpus
-    size, not a constant."""
+    SCALE KNOB (applied in round 7, measured at 10x and 100x):
+    candidate pairs grow ~n^2/buckets when bucket count is constant,
+    so ``n_planes`` is now max(8, floor(log2(n/32)) + 1) — derived
+    from one count() job, replayed exactly by the oracle from
+    COUNT(*) — holding per-bucket occupancy ~O(32) at any corpus
+    size. Bucket space, like shuffle partitions, is a function of
+    corpus size, not a constant; driver-scale corpora stay on the
+    historical 8x8 grid."""
     from local_stream_stack_spark.operators.graph import connected_components
     from local_stream_stack_spark.operators.similarity import (
         cosine,

@@ -101,6 +101,7 @@ REPRESENTATIVE = [
     "ship_lag_quantiles",        # date-diff 3-pass quantiles
     "dedup_rate_by_source",      # per-source LSH near-dup rate
     "multimodal_wav_decode",     # real WAV codec mapInPandas
+    "multimodal_video_frames",   # real AVI codec row expansion
     "sim_recall_calibration",    # composed ANN recall join
 ]
 
