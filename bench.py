@@ -162,6 +162,7 @@ EXTENDED = [
     "multimodal_wav_decode",
     "multimodal_video_frames",
     "sim_recall_calibration",
+    "pii_scrub_stats",
 ]
 
 

@@ -304,3 +304,51 @@ def quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .drop("__toks", "__wc", "__aw", "__sh", "__mx")
     )
+
+
+# PII patterns, deliberately lookaround-free so the SAME pattern text
+# runs under Java regex (Spark) and RE2 (DuckDB) with identical
+# semantics — the cross-engine subset both engines implement alike.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+\d{1,2}-\d{3}-\d{3}-\d{4}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Detect and redact PII spans (emails, phone numbers, IPv4
+    addresses) — the curation scrub every training-data pipeline runs
+    before anything ships.
+
+    Adds ``n_<kind>`` match counts per kind, ``redacted`` (each span
+    replaced by ``<KIND>``), and ``pii_chars_removed`` (original
+    length minus redacted length plus the replacement-token lengths —
+    i.e. exactly the PII characters dropped). Pure built-in
+    ``regexp_extract_all``/``regexp_replace``: JVM-side, scan-shaped,
+    no shuffle — at 100 TB this is a map-only pass. Order matters:
+    emails are redacted before IPv4 so a dotted domain can't be
+    re-matched as an address."""
+    c = F.col(text_col)
+    out = df
+    for kind, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{kind}",
+            F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).cast(
+                "int"
+            ),
+        )
+    red = c
+    for kind, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
+    out = out.withColumn("redacted", red)
+    removed = (
+        F.length(c)
+        - F.length(F.col("redacted"))
+        + sum(
+            F.col(f"n_{k}") * (len(k) + 2) for k in PII_PATTERNS
+        )
+    )
+    return out.withColumn(
+        "pii_chars_removed", removed.cast("bigint")
+    )

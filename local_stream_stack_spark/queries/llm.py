@@ -1208,6 +1208,98 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pii_scrub_stats",
+    oracle=r"""
+    WITH mixed AS (
+      SELECT doc_id, source,
+             text || CASE WHEN doc_id % 3 <> 2 THEN
+               ' contact u' || doc_id || '@ex' || (doc_id % 7)
+               || '.org or +1-555-' || (100 + doc_id % 900) || '-'
+               || (1000 + doc_id % 9000)
+               || ' at 10.' || (doc_id % 256) || '.'
+               || ((doc_id * 7) % 256) || '.' || ((doc_id * 13) % 256)
+             ELSE '' END AS t
+      FROM documents
+    ),
+    cnt AS (
+      SELECT source, t,
+             len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+             len(regexp_extract_all(t,
+               '\+\d{1,2}-\d{3}-\d{3}-\d{4}')) AS np,
+             len(regexp_extract_all(t,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ni,
+             regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+               '\+\d{1,2}-\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+               '<IPV4>', 'g') AS red
+      FROM mixed
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ne) AS BIGINT) AS n_emails,
+           CAST(SUM(np) AS BIGINT) AS n_phones,
+           CAST(SUM(ni) AS BIGINT) AS n_ipv4,
+           CAST(SUM(length(t) - length(red) + ne * 7 + np * 7 + ni * 6)
+                AS BIGINT) AS pii_chars_removed
+    FROM cnt
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact over the corpus — the curation scrub every
+    training-data pipeline runs before anything ships, proven end to
+    end under the oracle: because the synthetic corpus contains no
+    real PII, each doc (except every third, exercising the zero-match
+    path) gets a DETERMINISTIC contact line injected from doc_id
+    (email, E.164-style phone, dotted IPv4) — the same
+    fixture-injection pattern the codec queries use for payload bytes
+    — then the REAL regex scrubber (``operators/text.py scrub_pii``,
+    lookaround-free patterns that mean the same thing under Java
+    regex and RE2) counts and redacts, and per-source totals are
+    compared exactly. Scan-shaped: regexp count/replace are JVM-side
+    built-ins, one partial-agg groupBy(source) — at 100 TB a map-only
+    pass plus a 20-row aggregate."""
+    from local_stream_stack_spark.operators.text import scrub_pii
+
+    d = _t(spark, sf_dir, "documents")
+    inj = F.when(
+        F.col("doc_id") % 3 != 2,
+        F.concat(
+            F.lit(" contact u"), F.col("doc_id").cast("string"),
+            F.lit("@ex"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".org or +1-555-"),
+            (F.lit(100) + F.col("doc_id") % 900).cast("string"),
+            F.lit("-"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+            F.lit(" at 10."), (F.col("doc_id") % 256).cast("string"),
+            F.lit("."), ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit("."), ((F.col("doc_id") * 13) % 256).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    mixed = d.select(
+        "source", F.concat(F.col("text"), inj).alias("t")
+    )
+    scrubbed = scrub_pii(mixed, "t")
+    return (
+        scrubbed.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_email").cast("bigint").alias("n_emails"),
+            F.sum("n_phone").cast("bigint").alias("n_phones"),
+            F.sum("n_ipv4").cast("bigint").alias("n_ipv4"),
+            F.sum("pii_chars_removed")
+            .cast("bigint")
+            .alias("pii_chars_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "text_stats",
     oracle="""
     SELECT doc_id,

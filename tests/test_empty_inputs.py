@@ -103,6 +103,7 @@ REPRESENTATIVE = [
     "multimodal_wav_decode",     # real WAV codec mapInPandas
     "multimodal_video_frames",   # real AVI codec row expansion
     "sim_recall_calibration",    # composed ANN recall join
+    "pii_scrub_stats",           # regex scrub battery
 ]
 
 
