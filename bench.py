@@ -163,6 +163,7 @@ EXTENDED = [
     "multimodal_video_frames",
     "sim_recall_calibration",
     "pii_scrub_stats",
+    "embedding_pca_power",
 ]
 
 

@@ -2607,3 +2607,154 @@ def join_explosion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_rows"), F.asc("key"))
     )
+
+
+def _pca_power_oracle_sql(iters: int = 3, dim: int = 64) -> str:
+    """Unrolled power-iteration oracle: HUGEINT everywhere Spark uses
+    DECIMAL(38,0), sign-split truncating division for the per-round
+    renormalization (Spark `div` truncates, DuckDB `//` floors — they
+    agree only on non-negative operands, so magnitude and sign are
+    handled separately on BOTH engines)."""
+    sql = [f"""
+    WITH ev AS MATERIALIZED (
+      SELECT vec_id, i.i AS i,
+             CAST(FLOOR(CAST(embedding[i.i + 1] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS x
+      FROM embeddings, generate_series(0, {dim - 1}) i(i)
+    ),
+    v0 AS (
+      SELECT i.i AS i, CAST(1000000 AS HUGEINT) AS v
+      FROM generate_series(0, {dim - 1}) i(i)
+    )"""]
+    prev = "v0"
+    for t in range(1, iters + 1):
+        sql.append(f""",
+    u{t} AS (
+      SELECT e.vec_id, SUM(CAST(e.x AS HUGEINT) * v.v) AS u
+      FROM ev e JOIN {prev} v ON v.i = e.i GROUP BY e.vec_id
+    ),
+    w{t} AS (
+      SELECT e.i, SUM(CAST(e.x AS HUGEINT) * u.u) AS w
+      FROM ev e JOIN u{t} u USING (vec_id) GROUP BY e.i
+    ),
+    m{t} AS (SELECT MAX(ABS(w)) AS mx FROM w{t}),
+    v{t} AS MATERIALIZED (
+      SELECT i,
+             CASE WHEN w < 0 THEN -1 ELSE 1 END
+             * (ABS(w) * 1000000 // (SELECT mx FROM m{t})) AS v
+      FROM w{t}
+    )""")
+        prev = f"v{t}"
+    sql.append(f""",
+    proj AS (
+      SELECT e.vec_id, SUM(CAST(e.x AS HUGEINT) * v.v) AS p
+      FROM ev e JOIN {prev} v ON v.i = e.i GROUP BY e.vec_id
+    ),
+    c AS (
+      SELECT e.i, SUM(CAST(e.x AS HUGEINT) * p.p) AS c
+      FROM ev e JOIN proj p USING (vec_id) GROUP BY e.i
+    )
+    SELECT CAST(c.i AS INT) AS dim_idx,
+           CAST(v.v AS BIGINT) AS pc1_e6,
+           CAST(CASE WHEN c.c < 0 THEN -1 ELSE 1 END
+                * (ABS(c.c) // 1000000000000) AS BIGINT) AS loading_e12
+    FROM c JOIN {prev} v ON v.i = c.i
+    ORDER BY dim_idx
+    """)
+    return "".join(sql)
+
+
+@query("embedding_pca_power", oracle=_pca_power_oracle_sql())
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding corpus by
+    MATRIX-FREE power iteration — the iterative-linear-algebra family
+    alongside the k-means/PQ/BPE trainers: v <- renorm(X^T (X v)),
+    three rounds, where each round is two scan-shaped passes (a
+    per-row dot against the carried direction, then one 64-key
+    partial-agg shuffle for X^T u) and the ONLY driver state is the
+    64-int direction, re-entered as a SQL literal (the trainer
+    literal-carry pattern). Uncentered deliberately: the result is
+    the top eigendirection of the raw Gram matrix X^T X — centering
+    would add one broadcast mean-subtract pass, nothing structural.
+
+    INTEGER-EXACT end to end: vectors floor-quantize to e6 BIGINTs,
+    per-round renormalization divides magnitudes by max|w| and
+    reapplies the sign (truncating division agrees across engines
+    only on non-negative operands), accumulations are DECIMAL(38,0) /
+    HUGEINT, and the driver-side Python renorm uses the same exact
+    integer arithmetic the oracle unrolls CTE-for-CTE. Output: the
+    carried direction (pc1_e6) plus a FINAL Spark-computed loading
+    pass c = X^T (X v) div 1e12, so the registered result is data
+    flow, not a driver literal. At 100 TB: 2 scans x 3 rounds, 64-row
+    shuffles, 64-int driver state — the exact shape Lanczos/SVD
+    warm-starts run at scale."""
+    e = _t(spark, sf_dir, "embeddings")
+    eq = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"
+        ).alias("xq"),
+    )
+    dim = 64
+    v = [1_000_000] * dim
+    empty_schema = "dim_idx int, pc1_e6 bigint, loading_e12 bigint"
+    for _ in range(3):
+        v_lit = "array(" + ",".join(f"{x}L" for x in v) + ")"
+        u = eq.withColumn(
+            "u",
+            F.expr(
+                f"aggregate(zip_with(xq, {v_lit}, (a, b) -> a * b),"
+                " CAST(0 AS BIGINT), (acc, y) -> acc + y)"
+            ),
+        )
+        w_rows = (
+            u.select(F.posexplode("xq").alias("i", "x"), "u")
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.expr(
+                        "CAST(x AS DECIMAL(38,0))"
+                        " * CAST(u AS DECIMAL(38,0))"
+                    )
+                ).alias("w")
+            )
+            .collect()
+        )
+        if not w_rows:
+            return spark.createDataFrame([], empty_schema)
+        w = {int(r["i"]): int(r["w"]) for r in w_rows}
+        mx = max(abs(x) for x in w.values())
+        if mx == 0:
+            return spark.createDataFrame([], empty_schema)
+        v = [
+            (1 if w[i] >= 0 else -1) * ((abs(w[i]) * 1_000_000) // mx)
+            for i in range(dim)
+        ]
+    v_lit = "array(" + ",".join(f"{x}L" for x in v) + ")"
+    proj = eq.withColumn(
+        "p",
+        F.expr(
+            f"aggregate(zip_with(xq, {v_lit}, (a, b) -> a * b),"
+            " CAST(0 AS BIGINT), (acc, y) -> acc + y)"
+        ),
+    )
+    c = (
+        proj.select(F.posexplode("xq").alias("i", "x"), "p")
+        .groupBy("i")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(x AS DECIMAL(38,0)) * CAST(p AS DECIMAL(38,0))"
+                )
+            ).alias("c")
+        )
+    )
+    return c.select(
+        F.col("i").cast("int").alias("dim_idx"),
+        F.expr(f"element_at({v_lit}, i + 1)").alias("pc1_e6"),
+        F.expr(
+            "CASE WHEN c < 0 THEN -1 ELSE 1 END"
+            " * CAST(ABS(c) div 1000000000000 AS BIGINT)"
+        ).alias("loading_e12"),
+    ).orderBy("dim_idx")

@@ -104,6 +104,7 @@ REPRESENTATIVE = [
     "multimodal_video_frames",   # real AVI codec row expansion
     "sim_recall_calibration",    # composed ANN recall join
     "pii_scrub_stats",           # regex scrub battery
+    "embedding_pca_power",       # iterative power method (typed empty)
 ]
 
 
