@@ -164,6 +164,7 @@ EXTENDED = [
     "sim_recall_calibration",
     "pii_scrub_stats",
     "embedding_pca_power",
+    "copurchase_pagerank",
 ]
 
 

@@ -2758,3 +2758,121 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * CAST(ABS(c) div 1000000000000 AS BIGINT)"
         ).alias("loading_e12"),
     ).orderBy("dim_idx")
+
+
+def _pagerank_oracle_sql(iters: int = 3) -> str:
+    """Unrolled integer PageRank oracle. Every division is on
+    non-negative BIGINTs, where Spark's truncating `div` and DuckDB's
+    flooring `//` agree."""
+    sql = ["""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_orderkey < 2000
+    ),
+    de AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (
+      SELECT src AS s, dst AS d FROM de
+      UNION
+      SELECT dst AS s, src AS d FROM de
+    ),
+    deg AS (SELECT s, COUNT(*) AS od FROM edges GROUP BY s),
+    r0 AS (
+      SELECT s AS node, CAST(1000000000000 AS BIGINT) AS r FROM deg
+    )"""]
+    prev = "r0"
+    for t in range(1, iters + 1):
+        sql.append(f""",
+    r{t} AS MATERIALIZED (
+      SELECT e.d AS node,
+             CAST(150000000000
+                  + (85 * SUM(r.r // g.od)) // 100 AS BIGINT) AS r
+      FROM edges e
+      JOIN {prev} r ON r.node = e.s
+      JOIN deg g ON g.s = e.s
+      GROUP BY e.d
+    )""")
+        prev = f"r{t}"
+    sql.append(f"""
+    SELECT CAST(r.node AS BIGINT) AS part_id,
+           CAST(r.r AS BIGINT) AS rank_e12,
+           CAST(deg.od AS INT) AS degree
+    FROM {prev} r JOIN deg ON deg.s = r.node
+    ORDER BY rank_e12 DESC, part_id
+    LIMIT 20
+    """)
+    return "".join(sql)
+
+
+@query("copurchase_pagerank", oracle=_pagerank_oracle_sql())
+def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank over the co-purchase graph (parts
+    co-occurring in an order, symmetric edges — the same graph
+    copurchase_bfs_hops walks): three damped rounds
+    r <- 0.15 + 0.85 * sum(r_in / outdeg), top-20 hubs by final rank.
+    The iterative-graph family's fixed-iteration member alongside the
+    convergence-driven connected components.
+
+    State is PER NODE and stays DISTRIBUTED — each round is one
+    equi-join of the rank relation with the edge list plus a
+    partial-agg groupBy on the destination (never a driver collect;
+    rank state at 100 TB is billions of rows, exactly what must not
+    leave the cluster). Ranks are e12 BIGINTs: the contribution
+    division and the 85% damping are truncating divisions on
+    non-negative integers, where Spark `div` and DuckDB `//` agree,
+    so three rounds stay bit-identical to the unrolled oracle.
+    Dangling mass never leaks because symmetric edges give every node
+    out-degree >= 1. The l_orderkey < 2000 slice keeps the oracle's
+    edge table small while exercising the identical plan."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 2000)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
+    )
+    de = (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    edges = de.select(
+        F.col("src").alias("s"), F.col("dst").alias("d")
+    ).unionByName(
+        de.select(F.col("dst").alias("s"), F.col("src").alias("d"))
+    ).distinct()
+    deg = edges.groupBy("s").agg(F.count("*").alias("od"))
+    r = deg.select(
+        F.col("s").alias("node"),
+        F.lit(1_000_000_000_000).cast("bigint").alias("r"),
+    )
+    for _ in range(3):
+        contrib = (
+            edges.join(r, edges["s"] == r["node"])
+            .join(deg, "s")
+            .select("d", F.expr("r div od").alias("c"))
+        )
+        r = contrib.groupBy("d").agg(
+            F.expr(
+                "CAST(150000000000 + (85 * SUM(c)) div 100 AS BIGINT)"
+            ).alias("r")
+        ).select(F.col("d").alias("node"), "r")
+    return (
+        r.join(deg, r["node"] == deg["s"])
+        .select(
+            F.col("node").cast("bigint").alias("part_id"),
+            F.col("r").cast("bigint").alias("rank_e12"),
+            F.col("od").cast("int").alias("degree"),
+        )
+        .orderBy(F.desc("rank_e12"), F.asc("part_id"))
+        .limit(20)
+    )

@@ -105,6 +105,7 @@ REPRESENTATIVE = [
     "sim_recall_calibration",    # composed ANN recall join
     "pii_scrub_stats",           # regex scrub battery
     "embedding_pca_power",       # iterative power method (typed empty)
+    "copurchase_pagerank",       # distributed iterative graph ranks
 ]
 
 
