@@ -128,6 +128,132 @@ def asof_join(
     )
 
 
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    tolerance: str | None = None,
+) -> DataFrame:
+    """Nearest-direction as-of join: for each left row, the right row
+    minimizing ``|right_ts - left_ts|`` within the same ``on`` key
+    (pandas ``merge_asof(direction='nearest')`` semantics; ties go to
+    the earlier/backward match).
+
+    Same union + single-sort shape as :func:`asof_join` — the backward
+    candidate comes from ``last_value(ignore nulls)`` over the
+    preceding frame and the forward candidate from ``first_value``
+    over the following frame of the SAME per-key ordering, so Spark
+    computes both fills in one shuffle + one sort (two WindowExec
+    nodes share the partitioning/ordering). Never an inequality join.
+
+    Output: all left columns + ``right_ts``/``right_cols`` of the
+    chosen match + a ``matched_direction`` column ('backward',
+    'forward', or NULL when no match within ``tolerance``). The right
+    side is reduced to one row per (key, ts) first, so ties are
+    deterministic.
+    """
+    r1 = right.groupBy(on, right_ts).agg(
+        *[F.max(c).alias(c) for c in right_cols]
+    )
+
+    left_payload = [c for c in left.columns if c not in (on, left_ts)]
+    tie_col = left_payload[0] if left_payload else None
+    l_tagged = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in left_payload],
+        *[
+            F.lit(None).cast(r1.schema[c].dataType).alias(f"__r_{c}")
+            for c in right_cols
+        ],
+        F.lit(None).cast(r1.schema[right_ts].dataType).alias("__r_ts"),
+    )
+    r_tagged = r1.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_payload
+        ],
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.col(right_ts).alias("__r_ts"),
+    )
+
+    # Right rows sort before left rows at equal ts, so an equal-ts
+    # right row is visible to the backward frame (gap 0 wins anyway).
+    # Right rows are unique per (key, ts) after the r1 reduction, so
+    # the NULL tie column on them never decides an ordering.
+    order = ["__ts", "__is_left"] + ([tie_col] if tie_col else [])
+    wb = (
+        Window.partitionBy("__k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("__k")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = l_tagged.unionByName(r_tagged).select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(wb).alias(f"__b_{c}")
+            for c in right_cols
+        ],
+        F.last("__r_ts", ignorenulls=True).over(wb).alias("__b_ts"),
+        *[
+            F.first(f"__r_{c}", ignorenulls=True).over(wf).alias(f"__f_{c}")
+            for c in right_cols
+        ],
+        F.first("__r_ts", ignorenulls=True).over(wf).alias("__f_ts"),
+    )
+    picked = filled.filter(F.col("__is_left") == 1).select(
+        "*",
+        F.when(F.col("__b_ts").isNull() & F.col("__f_ts").isNull(), F.lit(None))
+        .when(F.col("__f_ts").isNull(), F.lit("backward"))
+        .when(F.col("__b_ts").isNull(), F.lit("forward"))
+        .when(
+            F.col("__ts") - F.col("__b_ts") <= F.col("__f_ts") - F.col("__ts"),
+            F.lit("backward"),
+        )
+        .otherwise(F.lit("forward"))
+        .alias("__dir"),
+    )
+    if tolerance is not None:
+        chosen_ts = F.when(
+            F.col("__dir") == "backward", F.col("__b_ts")
+        ).when(F.col("__dir") == "forward", F.col("__f_ts"))
+        in_tol = (chosen_ts >= F.col("__ts") - F.expr(tolerance)) & (
+            chosen_ts <= F.col("__ts") + F.expr(tolerance)
+        )
+        picked = picked.withColumn(
+            "__dir", F.when(in_tol, F.col("__dir"))
+        )
+
+    def _chosen(back: str, fwd: str):
+        return (
+            F.when(F.col("__dir") == "backward", F.col(back))
+            .when(F.col("__dir") == "forward", F.col(fwd))
+        )
+
+    return picked.select(
+        F.col("__k").alias(on),
+        F.col("__ts").alias(left_ts),
+        *[F.col(c) for c in left_payload],
+        *[
+            _chosen(f"__b_{c}", f"__f_{c}").alias(c)
+            for c in right_cols
+        ],
+        _chosen("__b_ts", "__f_ts").alias("right_ts"),
+        F.col("__dir").alias("matched_direction"),
+    )
+
+
 def sessionize(
     df: DataFrame,
     key: str,

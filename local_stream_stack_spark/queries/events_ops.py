@@ -2240,3 +2240,257 @@ def active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("longest_streak")
     )
+
+
+@query(
+    "asof_join_nearest",
+    oracle="""
+    WITH v1 AS (
+      SELECT user_id, ts, MAX(event_id) AS view_event_id
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, ts
+    ),
+    tagged AS (
+      SELECT user_id, ts, NULL::BIGINT AS purchase_id, view_event_id,
+             ts AS view_ts, 0 AS is_left
+      FROM v1
+      UNION ALL
+      SELECT user_id, ts, event_id AS purchase_id, NULL::BIGINT,
+             NULL::TIMESTAMP_NS, 1 AS is_left
+      FROM events WHERE event_type = 'purchase'
+    ),
+    filled AS (
+      SELECT user_id, ts, purchase_id, is_left,
+             LAST_VALUE(view_event_id IGNORE NULLS) OVER wb AS b_id,
+             LAST_VALUE(view_ts IGNORE NULLS) OVER wb AS b_ts,
+             FIRST_VALUE(view_event_id IGNORE NULLS) OVER wf AS f_id,
+             FIRST_VALUE(view_ts IGNORE NULLS) OVER wf AS f_ts
+      FROM tagged
+      WINDOW wb AS (PARTITION BY user_id
+                    ORDER BY ts, is_left, purchase_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id
+                    ORDER BY ts, is_left, purchase_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ),
+    picked AS (
+      SELECT user_id, purchase_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS p_us,
+             CAST(epoch_us(CAST(b_ts AS TIMESTAMP)) AS BIGINT) AS b_us,
+             CAST(epoch_us(CAST(f_ts AS TIMESTAMP)) AS BIGINT) AS f_us,
+             b_id, f_id,
+             CASE
+               WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+               WHEN f_ts IS NULL THEN 'backward'
+               WHEN b_ts IS NULL THEN 'forward'
+               WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                    - epoch_us(CAST(b_ts AS TIMESTAMP))
+                    <= epoch_us(CAST(f_ts AS TIMESTAMP))
+                    - epoch_us(CAST(ts AS TIMESTAMP)) THEN 'backward'
+               ELSE 'forward'
+             END AS dir0
+      FROM filled WHERE is_left = 1
+    ),
+    tol AS (
+      SELECT user_id, purchase_id, p_us,
+             CASE
+               WHEN dir0 = 'backward' AND p_us - b_us <= 3600000000
+                 THEN dir0
+               WHEN dir0 = 'forward' AND f_us - p_us <= 3600000000
+                 THEN dir0
+             END AS direction,
+             b_id, b_us, f_id, f_us
+      FROM picked
+    )
+    SELECT purchase_id, user_id, p_us AS purchase_ts_us,
+           CASE direction WHEN 'backward' THEN b_id
+                          WHEN 'forward' THEN f_id END AS view_event_id,
+           CASE direction WHEN 'backward' THEN b_us - p_us
+                          WHEN 'forward' THEN f_us - p_us END AS gap_us,
+           direction AS matched_direction
+    FROM tol
+    ORDER BY purchase_id
+    """,
+)
+def asof_join_nearest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join: each 'purchase' matched to the
+    CLOSEST 'view' of the same user in either time direction, within a
+    1-hour tolerance (pandas merge_asof direction='nearest'; ties go
+    backward). Complements asof_join_events, which is backward-only —
+    the variant a feature pipeline wants when the triggering event may
+    be logged slightly before or after its context event.
+
+    Union + one sort per user: the backward candidate from
+    last_value(ignore nulls) over the preceding frame, the forward one
+    from first_value over the following frame of the SAME ordering —
+    one shuffle, no inequality join, so the plan survives 100 TB.
+    gap_us is SIGNED (negative = view before purchase)."""
+    from local_stream_stack_spark.operators.events import asof_join_nearest
+
+    e = _events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase")
+    views = e.filter(F.col("event_type") == "view")
+    joined = asof_join_nearest(
+        left=purchases.select(
+            "user_id", "ts", F.col("event_id").alias("purchase_id")
+        ),
+        right=views.select(
+            "user_id", "ts", F.col("event_id").alias("view_event_id")
+        ),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["view_event_id"],
+        tolerance="INTERVAL 1 HOUR",
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        epoch_us("ts").alias("purchase_ts_us"),
+        "view_event_id",
+        (epoch_us("right_ts") - epoch_us("ts")).alias("gap_us"),
+        "matched_direction",
+    ).orderBy("purchase_id")
+
+
+@query(
+    "bootstrap_mean_ci",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL AND value >= 0
+    ),
+    reps AS (SELECT unnest(generate_series(0, 31)) AS r),
+    sampled AS (
+      SELECT reps.r, base.cents
+      FROM base CROSS JOIN reps
+      WHERE CAST('0x' || substring(md5(CAST(reps.r AS VARCHAR) || ':'
+                 || CAST(base.event_id AS VARCHAR)), 1, 4) AS BIGINT)
+            % 2 = 0
+    ),
+    stats AS (
+      SELECT r, COUNT(*) AS n, SUM(cents) AS s
+      FROM sampled GROUP BY r
+    ),
+    ranked AS (
+      SELECT r, n, s,
+             ROW_NUMBER() OVER (ORDER BY CAST(s AS DOUBLE) / n, r) AS rk,
+             COUNT(*) OVER () AS n_reps
+      FROM stats
+    ),
+    full_s AS (
+      SELECT COUNT(*) AS n_all, SUM(cents) AS s_all FROM base
+    )
+    SELECT CAST(full_s.n_all AS BIGINT) AS n_rows,
+           CAST((200 * full_s.s_all + full_s.n_all)
+                // CAST(2 * NULLIF(full_s.n_all, 0) AS HUGEINT)
+                AS BIGINT) AS mean_e2,
+           CAST(MAX(CASE WHEN rk = 2
+                         THEN (200 * s + n) // (2 * n) END)
+                AS BIGINT) AS ci_lo_e2,
+           CAST(MAX(CASE WHEN rk = (n_reps + 1) // 2
+                         THEN (200 * s + n) // (2 * n) END)
+                AS BIGINT) AS boot_median_e2,
+           CAST(MAX(CASE WHEN rk = n_reps - 1
+                         THEN (200 * s + n) // (2 * n) END)
+                AS BIGINT) AS ci_hi_e2,
+           CAST(COUNT(*) AS BIGINT) AS n_replicas
+    FROM ranked CROSS JOIN full_s
+    GROUP BY full_s.n_all, full_s.s_all
+    """,
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic resampling confidence interval for the mean
+    purchase value: 32 half-sized subsample replicas selected by a
+    counter-based hash (md5 of replica:event_id — reproducible on any
+    cluster size, no RNG state), each replica's mean ranked, and the
+    2nd / median / 31st replica means reported as the CI band. The
+    estimator a data pipeline runs to put error bars on a metric
+    without a closed-form variance.
+
+    Scale shape: the 32x row expansion collapses immediately into a
+    32-key partial aggregate (map-side combine), so the shuffle is 32
+    rows per partition regardless of corpus size. Integer-exact
+    throughout: cents BIGINT sums, round-half-up (2s+n) div (2n) on
+    non-negative operands; replica ordering uses the one-division
+    double of exact integer sums, identical on both engines."""
+    e = _events(spark, sf_dir)
+    base = e.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("value").isNotNull()
+        & (F.col("value") >= 0)
+    ).select(
+        "event_id",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+    )
+    sampled = (
+        base.select(
+            F.explode(F.expr("sequence(0, 31)")).alias("r"),
+            "event_id",
+            "cents",
+        )
+        .filter(
+            F.expr(
+                "CAST(conv(substring(md5(concat(CAST(r AS STRING), ':',"
+                " CAST(event_id AS STRING))), 1, 4), 16, 10) AS BIGINT)"
+                " % 2 = 0"
+            )
+        )
+    )
+    stats = sampled.groupBy("r").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("s")
+    )
+    w = Window.orderBy(F.expr("CAST(s AS DOUBLE) / n"), F.col("r"))
+    ranked = stats.select(
+        "r",
+        "n",
+        "s",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("n_reps"),
+    )
+    full_s = base.agg(
+        F.count("*").alias("n_all"), F.sum("cents").alias("s_all")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(full_s))
+        .groupBy("n_all", "s_all")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rk") == 2,
+                    F.expr("(200 * s + n) div (2 * n)"),
+                )
+            )
+            .cast("bigint")
+            .alias("ci_lo_e2"),
+            F.max(
+                F.when(
+                    F.expr("rk = (n_reps + 1) div 2"),
+                    F.expr("(200 * s + n) div (2 * n)"),
+                )
+            )
+            .cast("bigint")
+            .alias("boot_median_e2"),
+            F.max(
+                F.when(
+                    F.expr("rk = n_reps - 1"),
+                    F.expr("(200 * s + n) div (2 * n)"),
+                )
+            )
+            .cast("bigint")
+            .alias("ci_hi_e2"),
+            F.count("*").cast("bigint").alias("n_replicas"),
+        )
+        .select(
+            F.col("n_all").cast("bigint").alias("n_rows"),
+            F.expr(
+                "CAST((200 * s_all + n_all) div (2 * NULLIF(n_all, 0))"
+                " AS BIGINT)"
+            ).alias("mean_e2"),
+            "ci_lo_e2",
+            "boot_median_e2",
+            "ci_hi_e2",
+            "n_replicas",
+        )
+    )

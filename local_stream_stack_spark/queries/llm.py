@@ -4316,3 +4316,269 @@ def sim_recall_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         (F.col("n_hits").cast("bigint") * 1000).alias("recall_e4"),
     ).orderBy("tier", "query_id")
+
+
+@query(
+    "vocab_coverage_curve",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(trim(text)), '[^ ]+')) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+    ranked AS (
+      SELECT n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rk,
+             SUM(n) OVER (ORDER BY n DESC, tok
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+      FROM freq
+    ),
+    tot AS (SELECT SUM(n) AS total, COUNT(*) AS n_types FROM freq),
+    ks AS (SELECT unnest([10, 20, 50, 100, 200, 500, 1000]) AS k)
+    SELECT CAST(ks.k AS INT) AS vocab_size,
+           CAST(LEAST(ks.k, tot.n_types) AS BIGINT) AS n_types_used,
+           CAST(COALESCE(MAX(r.cum), 0) AS BIGINT) AS covered_tokens,
+           CAST(tot.total AS BIGINT) AS total_tokens,
+           CAST(COALESCE(MAX(r.cum), 0) * 1000000 // tot.total
+                AS BIGINT) AS coverage_e6
+    FROM ks
+    CROSS JOIN tot
+    LEFT JOIN ranked r ON r.rk <= ks.k
+    GROUP BY ks.k, tot.total, tot.n_types
+    ORDER BY vocab_size
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-coverage curve vs vocabulary size — the sizing study run
+    before fixing a tokenizer vocab: for each candidate size k, what
+    fraction of all token OCCURRENCES the top-k types cover. (The
+    scalar vocab_coverage query reports one point; this is the curve
+    that actually drives the choice.)
+
+    One token explode + frequency groupBy; then — because every
+    threshold k is <= 1000 — only the top-1000 types by frequency can
+    contribute to any curve point, so the rank/cumsum window runs over
+    a TakeOrderedAndProject LIMIT 1000 slice (corpus-size-independent)
+    and the 7 thresholds broadcast-join that slice. coverage_e6 is a
+    truncating integer division on non-negative operands — exact on
+    both engines. At 100 TB only the explode+groupBy touch the corpus;
+    everything after the top-k cut is bounded by k_max."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.expr(r"regexp_extract_all(lower(trim(text)), '[^ ]+', 0)")
+        ).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    # ranks 1..1000 are the only ones any threshold can reference
+    top = freq.orderBy(F.desc("n"), F.asc("tok")).limit(1000)
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    ranked = top.select(
+        "n",
+        F.row_number().over(w).alias("rk"),
+        F.sum("n")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    )
+    tot = freq.agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_types")
+    )
+    ks = spark.createDataFrame(
+        [(k,) for k in (10, 20, 50, 100, 200, 500, 1000)], "k int"
+    )
+    return (
+        ks.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(ranked), F.col("rk") <= F.col("k"), "left")
+        .groupBy("k", "total", "n_types")
+        .agg(F.max("cum").alias("mcum"))
+        .select(
+            F.col("k").cast("int").alias("vocab_size"),
+            F.least("k", "n_types").cast("bigint").alias("n_types_used"),
+            F.coalesce("mcum", F.lit(0))
+            .cast("bigint")
+            .alias("covered_tokens"),
+            F.col("total").cast("bigint").alias("total_tokens"),
+            F.expr(
+                "CAST(COALESCE(mcum, 0) * 1000000 div total AS BIGINT)"
+            ).alias("coverage_e6"),
+        )
+        .orderBy("vocab_size")
+    )
+
+
+@query(
+    "blocklist_filter_stats",
+    oracle="""
+    WITH bl AS (
+      SELECT unnest(['dup', 'spark', 'tensor']) AS term
+    ),
+    hits AS (
+      SELECT d.doc_id, d.source, bl.term
+      FROM documents d
+      JOIN bl
+        ON len(regexp_extract_all(lower(d.text),
+               '\\b' || bl.term || '\\b')) > 0
+    ),
+    per_doc AS (
+      SELECT doc_id, source, COUNT(DISTINCT term) AS n_terms
+      FROM hits GROUP BY doc_id, source
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(p.doc_id) AS BIGINT) AS n_blocked,
+           CAST(COALESCE(SUM(p.n_terms), 0) AS BIGINT) AS n_term_hits,
+           CAST(COUNT(p.doc_id) * 1000000 // COUNT(*) AS BIGINT)
+             AS blocked_rate_e6
+    FROM documents d
+    LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+)
+def blocklist_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist screening report — the curation gate that drops (or
+    flags) documents matching banned terms, reported per source so a
+    poisoned source is visible before anything trains: per source, how
+    many docs match at least one blocklist term (word-boundary match,
+    lookaround-free so Java regex and RE2 agree) and how many distinct
+    terms hit.
+
+    The blocklist broadcast-joins the corpus (it is always tiny
+    relative to the data); matching is a scan-shaped regex per term —
+    at 100 TB a map-only pass followed by a per-source aggregate.
+    blocked_rate_e6 is a truncating division on non-negative counts."""
+    d = _t(spark, sf_dir, "documents")
+    bl = spark.createDataFrame(
+        [("dup",), ("spark",), ("tensor",)], "term string"
+    )
+    hits = d.select("doc_id", "source", F.lower("text").alias("lt")).join(
+        F.broadcast(bl),
+        F.expr(r"size(regexp_extract_all(lt, '\\b' || term || '\\b', 0)) > 0"),
+    )
+    per_doc = hits.groupBy("doc_id", "source").agg(
+        F.countDistinct("term").alias("n_terms")
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(per_doc.select("doc_id", "n_terms"), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count("n_terms").cast("bigint").alias("n_blocked"),
+            F.coalesce(F.sum("n_terms"), F.lit(0))
+            .cast("bigint")
+            .alias("n_term_hits"),
+            F.expr(
+                "CAST(COUNT(n_terms) * 1000000 div COUNT(*) AS BIGINT)"
+            ).alias("blocked_rate_e6"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "dedup_canonical_pick",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, n_chars,
+             regexp_extract_all(text, '[^ ]+') AS toks
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, source, n_chars,
+             md5(array_to_string(toks[1:16], ' ')) AS prefix_hash
+      FROM t WHERE len(toks) >= 16
+    ),
+    clus AS (
+      SELECT doc_id, source, n_chars,
+             COUNT(*) OVER (PARTITION BY prefix_hash) AS csz,
+             ROW_NUMBER() OVER (PARTITION BY prefix_hash
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM p
+    ),
+    marked AS (
+      SELECT d.source, d.n_chars,
+             CASE WHEN c.csz >= 2 THEN 1 ELSE 0 END AS clustered,
+             CASE WHEN c.csz >= 2 AND c.rn > 1 THEN 1 ELSE 0
+               END AS dropped
+      FROM documents d
+      LEFT JOIN clus c ON c.doc_id = d.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(clustered) AS BIGINT) AS n_clustered,
+           CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+           CAST(SUM(dropped * n_chars) AS BIGINT) AS chars_dropped,
+           CAST((COUNT(*) - SUM(dropped)) * 1000000 // COUNT(*)
+                AS BIGINT) AS keep_rate_e6
+    FROM marked
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection — the last step of a dedup
+    pipeline that the cluster queries stop short of: within each
+    shared-prefix duplicate family keep the BEST document (longest
+    n_chars, ties to the smallest doc_id) and drop the rest, reported
+    per source as kept/dropped doc and char mass. 'Keep the best, not
+    the first' is what separates a quality-preserving dedup from a
+    naive one.
+
+    One shuffle on prefix_hash for the two windows (count + rank share
+    one sort), a key join back to the corpus, one per-source
+    aggregate. The window partitions are duplicate families — bounded
+    in practice, and hot families degrade to AQE-splittable joins, not
+    cross products. keep_rate_e6 is a truncating division on
+    non-negative counts."""
+    d = _t(spark, sf_dir, "documents")
+    p = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.expr(
+            "md5(concat_ws(' ', slice(filter(split(trim(text), ' +'),"
+            " x -> x != ''), 1, 16)))"
+        ).alias("prefix_hash"),
+        F.expr(
+            "size(filter(split(trim(text), ' +'), x -> x != ''))"
+        ).alias("__nw"),
+    ).filter(F.col("__nw") >= 16)
+    wc = Window.partitionBy("prefix_hash")
+    wr = Window.partitionBy("prefix_hash").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    clus = p.select(
+        "doc_id",
+        F.count("*").over(wc).alias("csz"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    marked = d.select("doc_id", "source", "n_chars").join(
+        clus, "doc_id", "left"
+    ).select(
+        "source",
+        "n_chars",
+        F.when(F.col("csz") >= 2, 1).otherwise(0).alias("clustered"),
+        F.when((F.col("csz") >= 2) & (F.col("rn") > 1), 1)
+        .otherwise(0)
+        .alias("dropped"),
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("clustered").cast("bigint").alias("n_clustered"),
+            F.sum("dropped").cast("bigint").alias("n_dropped"),
+            F.sum("n_chars").cast("bigint").alias("chars_total"),
+            F.sum(F.col("dropped") * F.col("n_chars"))
+            .cast("bigint")
+            .alias("chars_dropped"),
+            F.expr(
+                "CAST((COUNT(*) - SUM(dropped)) * 1000000 div COUNT(*)"
+                " AS BIGINT)"
+            ).alias("keep_rate_e6"),
+        )
+        .orderBy("source")
+    )

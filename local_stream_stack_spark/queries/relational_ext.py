@@ -2013,3 +2013,143 @@ def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("col_x", "col_y", "n_rows", "corr_e6").orderBy(
         "col_x", "col_y"
     )
+
+
+@query(
+    "k_anonymity_audit",
+    oracle="""
+    WITH cls AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS sz
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n_cls, SUM(sz) AS n_rows, MIN(sz) AS min_sz
+      FROM cls
+    ),
+    ks AS (SELECT unnest([2, 5, 10, 20]) AS k)
+    SELECT CAST(ks.k AS INT) AS k_threshold,
+           CAST(tot.n_cls AS BIGINT) AS n_classes,
+           CAST(tot.min_sz AS BIGINT) AS min_class_size,
+           CAST(SUM(CASE WHEN cls.sz < ks.k THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_classes_below,
+           CAST(SUM(CASE WHEN cls.sz < ks.k THEN cls.sz ELSE 0 END)
+                AS BIGINT) AS n_rows_below,
+           CAST(SUM(CASE WHEN cls.sz < ks.k THEN cls.sz ELSE 0 END)
+                * 1000000 // tot.n_rows AS BIGINT) AS at_risk_rate_e6
+    FROM cls
+    CROSS JOIN ks
+    CROSS JOIN tot
+    GROUP BY ks.k, tot.n_cls, tot.n_rows, tot.min_sz
+    ORDER BY k_threshold
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity audit over the (nation, market-segment)
+    quasi-identifier: for each candidate k, how many equivalence
+    classes — and how many ROWS — fall below k members and would
+    re-identify under linkage. The privacy gate run before a table
+    with demographic columns leaves the curated zone.
+
+    One groupBy on the quasi-identifier (equivalence classes are
+    bounded by the QI domain, not the row count), a 3-scalar second
+    aggregate, and a 4-threshold broadcast cross join against the
+    class table. at_risk_rate_e6 is a truncating division on
+    non-negative counts."""
+    c = _t(spark, sf_dir, "customer")
+    cls = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("sz")
+    )
+    tot = cls.agg(
+        F.count("*").alias("n_cls"),
+        F.sum("sz").alias("n_rows"),
+        F.min("sz").alias("min_sz"),
+    )
+    ks = spark.createDataFrame([(2,), (5,), (10,), (20,)], "k int")
+    return (
+        cls.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k", "n_cls", "n_rows", "min_sz")
+        .agg(
+            F.sum(F.when(F.col("sz") < F.col("k"), 1).otherwise(0)).alias(
+                "n_below"
+            ),
+            F.sum(
+                F.when(F.col("sz") < F.col("k"), F.col("sz")).otherwise(0)
+            ).alias("rows_below"),
+        )
+        .select(
+            F.col("k").cast("int").alias("k_threshold"),
+            F.col("n_cls").cast("bigint").alias("n_classes"),
+            F.col("min_sz").cast("bigint").alias("min_class_size"),
+            F.col("n_below").cast("bigint").alias("n_classes_below"),
+            F.col("rows_below").cast("bigint").alias("n_rows_below"),
+            F.expr(
+                "CAST(rows_below * 1000000 div n_rows AS BIGINT)"
+            ).alias("at_risk_rate_e6"),
+        )
+        .orderBy("k_threshold")
+    )
+
+
+@query(
+    "table_fingerprint_orders",
+    oracle="""
+    WITH canon AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             CAST('0x' || substring(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' ||
+               o_orderstatus || '|' ||
+               CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                    AS VARCHAR) || '|' ||
+               CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+             ), 1, 12) AS BIGINT) AS h,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT month,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(h) AS BIGINT) AS xor_fingerprint,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM canon
+    GROUP BY month
+    ORDER BY month
+    """,
+)
+def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-month table fingerprint: each row is
+    rendered to a canonical string, md5-hashed to a 48-bit integer,
+    and XOR-folded per month, alongside the row count and exact cents
+    sum. This is how two copies of a 100 TB table are compared without
+    sorting either one — XOR is commutative, associative, and
+    overflow-free, so the fingerprint is partition-order-independent
+    and mergeable across executors; any single-row difference flips
+    the month's fingerprint.
+
+    Pure scan + partial-agg groupBy on month — one shuffle of
+    (months x 3) longs. The canonical rendering pins each column to an
+    engine-neutral text form (BIGINT decimal, ISO date, cents BIGINT)
+    so Spark and the oracle hash identical bytes."""
+    o = _t(spark, sf_dir, "orders")
+    canon = o.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.expr(
+            "CAST(conv(substring(md5(concat_ws('|',"
+            " CAST(o_orderkey AS STRING),"
+            " CAST(o_custkey AS STRING),"
+            " o_orderstatus,"
+            " CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS STRING),"
+            " CAST(CAST(o_orderdate AS DATE) AS STRING)"
+            ")), 1, 12), 16, 10) AS BIGINT)"
+        ).alias("h"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    return (
+        canon.groupBy("month")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.expr("CAST(bit_xor(h) AS BIGINT)").alias("xor_fingerprint"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy("month")
+    )

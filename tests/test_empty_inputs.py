@@ -106,6 +106,14 @@ REPRESENTATIVE = [
     "pii_scrub_stats",           # regex scrub battery
     "embedding_pca_power",       # iterative power method (typed empty)
     "copurchase_pagerank",       # distributed iterative graph ranks
+    # round-7 second batch
+    "vocab_coverage_curve",      # top-k cumsum vs threshold join
+    "blocklist_filter_stats",    # regex blocklist BNLJ + rates
+    "dedup_canonical_pick",      # family windows + keep-best pick
+    "k_anonymity_audit",         # QI class sizes vs thresholds
+    "table_fingerprint_orders",  # xor-fold row checksums
+    "asof_join_nearest",         # bidirectional asof union+windows
+    "bootstrap_mean_ci",         # hash-replica resample CI
 ]
 
 
@@ -130,6 +138,7 @@ EXPECT_SUMMARY_ROWS = {
     "vocab_coverage": 1,         # scalar coverage row (NULL ratios)
     "referential_integrity_audit": 3,  # three checks, zero violations
     "corr_matrix_lineitem": 6,   # six pair rows with NULL corr
+    "vocab_coverage_curve": 7,   # one row per threshold (zero coverage)
 }
 
 

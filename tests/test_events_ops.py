@@ -404,3 +404,58 @@ def test_value_histogram_log2_buckets(spark, tmp_path):
     got = {r.bucket_log2: r.n_events for r in
            value_histogram_log2(spark, str(d)).collect()}
     assert got == {-9999: 1, -1: 1, 0: 2, 1: 2, 2: 1, 6: 1}
+
+
+def test_asof_join_nearest_directions(spark):
+    from local_stream_stack_spark.operators.events import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(1, _ts(10), 100), (1, _ts(20), 101), (2, _ts(15), 102),
+         (3, _ts(30), 103)],
+        "user_id int, ts timestamp, purchase_id int",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(7), 900), (1, _ts(12), 901), (1, _ts(26), 902),
+         (2, _ts(16), 903), (3, _ts(25), 904), (3, _ts(35), 905)],
+        "user_id int, ts timestamp, view_id int",
+    )
+    out = asof_join_nearest(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["view_id"],
+    )
+    got = {
+        (r.purchase_id, r.view_id, r.matched_direction)
+        for r in out.collect()
+    }
+    # p@10: back@7 (3min) vs fwd@12 (2min) -> forward wins
+    # p@20: back@12 (8min) vs fwd@26 (6min) -> forward wins
+    # p@15 user2: no backward, fwd@16 -> forward
+    # p@30 user3: back@25 (5min) vs fwd@35 (5min) -> TIE goes backward
+    assert got == {
+        (100, 901, "forward"),
+        (101, 902, "forward"),
+        (102, 903, "forward"),
+        (103, 904, "backward"),
+    }
+
+
+def test_asof_join_nearest_tolerance_and_equal_ts(spark):
+    from local_stream_stack_spark.operators.events import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(1, _ts(10), 1), (2, _ts(40), 2)],
+        "user_id int, ts timestamp, purchase_id int",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(10), 9), (2, _ts(0), 8)],
+        "user_id int, ts timestamp, view_id int",
+    )
+    out = asof_join_nearest(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["view_id"], tolerance="INTERVAL 10 MINUTES",
+    )
+    by_id = {r.purchase_id: r for r in out.collect()}
+    # equal-ts right row matches with gap 0, direction backward
+    assert by_id[1].view_id == 9 and by_id[1].matched_direction == "backward"
+    # 40-min gap exceeds tolerance: match AND direction are nulled
+    assert by_id[2].view_id is None and by_id[2].matched_direction is None
