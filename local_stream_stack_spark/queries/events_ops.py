@@ -2494,3 +2494,160 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_replicas",
         )
     )
+
+
+@query(
+    "autocorr_daily_counts",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS q FROM daily
+    ),
+    lags AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS k),
+    pairs AS (
+      SELECT lags.k,
+             COUNT(*) AS c,
+             SUM(a.x * b.x) AS axy,
+             SUM(a.x) AS sh,
+             SUM(b.x) AS st
+      FROM daily a
+      CROSS JOIN lags
+      JOIN daily b ON b.day = a.day - lags.k
+      GROUP BY lags.k
+    )
+    SELECT CAST(p.k AS INT) AS lag,
+           CAST(p.c AS BIGINT) AS n_pairs,
+           CAST(t.n * t.n * p.axy - t.n * t.s * p.sh
+                - t.n * t.s * p.st + p.c * t.s * t.s
+                AS BIGINT) AS acf_num,
+           CAST(t.n * t.n * t.q - t.n * t.s * t.s
+                AS BIGINT) AS acf_den,
+           CAST(t.n * t.n * p.axy - t.n * t.s * p.sh
+                - t.n * t.s * p.st + p.c * t.s * t.s AS DOUBLE)
+             / NULLIF(CAST(t.n * t.n * t.q - t.n * t.s * t.s
+                           AS DOUBLE), 0.0) AS acf
+    FROM pairs p CROSS JOIN tot t
+    ORDER BY lag
+    """,
+)
+def autocorr_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily event-count series at calendar
+    lags 1-7 — the seasonality probe (a weekly cycle shows as a spike
+    at lag 7) run before fitting any forecast or anomaly model.
+
+    The estimator is computed EXACTLY from integer moment sums: with
+    n days, S = sum(x), Q = sum(x^2), the mean-centered products scale
+    by n^2 into pure BIGINT arithmetic — acf_num/acf_den are exact
+    integers and acf is their single double division, so summation
+    order cannot perturb any of it. Calendar-lag pairs come from an
+    equi-join on (day - k), which handles missing days honestly
+    (absent days pair with nothing, the estimator sees only observed
+    pairs). One groupBy to the day grain (bounded by the calendar, not
+    the corpus), then everything is parameter-sized."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("x")
+    )
+    tot = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    lags = spark.createDataFrame([(k,) for k in range(1, 8)], "k int")
+    a = daily.select(F.col("day").alias("a_day"), F.col("x").alias("a_x"))
+    b = daily.select(F.col("day").alias("b_day"), F.col("x").alias("b_x"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.expr("b_day = date_sub(a_day, k)"))
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum(F.col("a_x") * F.col("b_x")).alias("axy"),
+            F.sum("a_x").alias("sh"),
+            F.sum("b_x").alias("st"),
+        )
+    )
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").cast("int").alias("lag"),
+            F.col("c").cast("bigint").alias("n_pairs"),
+            F.expr(
+                "CAST(n * n * axy - n * s * sh - n * s * st + c * s * s"
+                " AS BIGINT)"
+            ).alias("acf_num"),
+            F.expr("CAST(n * n * q - n * s * s AS BIGINT)").alias(
+                "acf_den"
+            ),
+            F.expr(
+                "CAST(n * n * axy - n * s * sh - n * s * st + c * s * s"
+                " AS DOUBLE)"
+                " / NULLIF(CAST(n * n * q - n * s * s AS DOUBLE), 0.0)"
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+@query(
+    "user_adoption_curve",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0
+      FROM events GROUP BY user_id
+    ),
+    newbies AS (
+      SELECT d0 AS day, COUNT(*) AS n_new FROM first_seen GROUP BY d0
+    ),
+    tot AS (SELECT COUNT(*) AS n_users FROM first_seen)
+    SELECT day,
+           CAST(n_new AS BIGINT) AS n_new_users,
+           CAST(SUM(n_new) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_users,
+           CAST(SUM(n_new) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                * 1000000 // tot.n_users AS BIGINT) AS cum_share_e6
+    FROM newbies CROSS JOIN tot
+    ORDER BY day
+    """,
+)
+def user_adoption_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-adoption curve: running count of DISTINCT users ever
+    seen, by day. A naive running count-distinct needs unbounded state;
+    collapsing each user to their FIRST day (one groupBy) makes the
+    curve an ordinary cumulative sum over per-day new-user counts —
+    the standard trick that turns an O(users) window into an
+    O(calendar-days) one.
+
+    One shuffle on user_id, then a window over the day grain (bounded
+    by the calendar regardless of corpus size). cum_share_e6 is a
+    truncating division on non-negative counts."""
+    e = _events(spark, sf_dir)
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0")
+    )
+    newbies = first_seen.groupBy(F.col("d0").alias("day")).agg(
+        F.count("*").alias("n_new")
+    )
+    tot = first_seen.agg(F.count("*").alias("n_users"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        newbies.crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            F.col("n_new").cast("bigint").alias("n_new_users"),
+            F.sum("n_new").over(w).cast("bigint").alias("cum_users"),
+            F.expr(
+                "CAST(SUM(n_new) OVER (ORDER BY day"
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                " * 1000000 div n_users AS BIGINT)"
+            ).alias("cum_share_e6"),
+        )
+        .orderBy("day")
+    )

@@ -4582,3 +4582,224 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "welch_t_sources",
+    oracle="""
+    WITH per AS (
+      SELECT source,
+             COUNT(*) AS n1,
+             SUM(n_chars) AS s1,
+             SUM(n_chars * n_chars) AS q1
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n, SUM(n_chars) AS s,
+             SUM(n_chars * n_chars) AS q
+      FROM documents
+    )
+    SELECT source,
+           CAST(n1 AS BIGINT) AS n_docs,
+           CAST(s1 AS DOUBLE) / n1 AS mean_chars,
+           (CAST(s1 AS DOUBLE) / n1
+            - CAST(t.s - s1 AS DOUBLE) / (t.n - n1))
+           / NULLIF(SQRT(
+               (CAST(n1 AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1)
+               / (CAST(n1 AS DOUBLE) * (n1 - 1)) / n1
+               + (CAST(t.n - n1 AS DOUBLE) * (t.q - q1)
+                  - CAST(t.s - s1 AS DOUBLE) * (t.s - s1))
+               / (CAST(t.n - n1 AS DOUBLE) * (t.n - n1 - 1))
+               / (t.n - n1)), 0.0) AS t_stat
+    FROM per CROSS JOIN tot t
+    ORDER BY source
+    """,
+)
+def welch_t_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t statistic for each source's document
+    lengths against the REST of the corpus — the distribution-shift
+    screen that flags a source whose length profile departs from the
+    pool before it skews a training mix (no equal-variance assumption,
+    hence Welch).
+
+    One per-source moment aggregate + one corpus-total aggregate; the
+    rest-of-corpus moments are differences of the two, so the whole
+    report costs one scan. The t expression is built purely from
+    integer moment sums with the variance denominators folded so the
+    doubles derive from identical expression trees on both engines;
+    zero-variance degenerate pools null out via NULLIF."""
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count("*").alias("n1"),
+        F.sum("n_chars").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("q1"),
+    )
+    tot = d.agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("q"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n1").cast("bigint").alias("n_docs"),
+            F.expr("CAST(s1 AS DOUBLE) / n1").alias("mean_chars"),
+            F.expr(
+                "(CAST(s1 AS DOUBLE) / n1"
+                " - CAST(s - s1 AS DOUBLE) / (n - n1))"
+                " / NULLIF(SQRT("
+                " (CAST(n1 AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1)"
+                " / (CAST(n1 AS DOUBLE) * (n1 - 1)) / n1"
+                " + (CAST(n - n1 AS DOUBLE) * (q - q1)"
+                "    - CAST(s - s1 AS DOUBLE) * (s - s1))"
+                " / (CAST(n - n1 AS DOUBLE) * (n - n1 - 1))"
+                " / (n - n1)), 0.0)"
+            ).alias("t_stat"),
+        )
+        .orderBy("source")
+    )
+
+
+def _band_sweep_oracle_sql() -> str:
+    """Oracle for ``minhash_band_sweep``: ONE signature pipeline
+    (shared CTEs from ``_minhash_bandkey_cte_sql``), three band
+    groupings of the same 32 hashes, and per-config candidate stats."""
+    def block(bands: int, rpb: int, bk: str, cand: str) -> str:
+        return f"""
+    {bk} AS (
+      SELECT doc_id, i // {rpb} AS band,
+             string_agg(CAST(m AS VARCHAR), '|' ORDER BY i) AS bh
+      FROM sig GROUP BY doc_id, i // {rpb}
+    ),
+    {cand} AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM {bk} a JOIN {bk} b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )"""
+
+    def stats(bands: int, rpb: int, cand: str) -> str:
+        return f"""
+    SELECT {bands} AS bands, {rpb} AS rows_per_band,
+           COUNT(*) AS n_pairs,
+           COALESCE(SUM(CASE WHEN m.eq * 2 >= 32 THEN 1 ELSE 0 END), 0)
+             AS n_est_ge50,
+           COALESCE(SUM(m.eq), 0) AS sum_eq
+    FROM {cand} c
+    JOIN (
+      SELECT ca.id_a, ca.id_b,
+             SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS eq
+      FROM {cand} ca
+      JOIN sig sa ON sa.doc_id = ca.id_a
+      JOIN sig sb ON sb.doc_id = ca.id_b AND sb.i = sa.i
+      GROUP BY ca.id_a, ca.id_b
+    ) m ON m.id_a = c.id_a AND m.id_b = c.id_b"""
+
+    ctes = _minhash_bandkey_cte_sql(32, 3, 4)
+    return f"""
+    WITH {ctes},{block(4, 8, "bk8", "cand48")},{block(16, 2, "bk2", "cand162")},
+    sweep AS (
+      {stats(4, 8, "cand48")}
+      UNION ALL
+      SELECT 8 AS bands, 4 AS rows_per_band,
+             COUNT(*) AS n_pairs,
+             COALESCE(SUM(CASE WHEN m.eq * 2 >= 32 THEN 1 ELSE 0 END), 0)
+               AS n_est_ge50,
+             COALESCE(SUM(m.eq), 0) AS sum_eq
+      FROM (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bandkey a JOIN bandkey b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+      ) c
+      JOIN (
+        SELECT ca.id_a, ca.id_b,
+               SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS eq
+        FROM (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bandkey a JOIN bandkey b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        ) ca
+        JOIN sig sa ON sa.doc_id = ca.id_a
+        JOIN sig sb ON sb.doc_id = ca.id_b AND sb.i = sa.i
+        GROUP BY ca.id_a, ca.id_b
+      ) m ON m.id_a = c.id_a AND m.id_b = c.id_b
+      UNION ALL
+      {stats(16, 2, "cand162")}
+    )
+    SELECT CAST(bands AS INT) AS bands,
+           CAST(rows_per_band AS INT) AS rows_per_band,
+           CAST(n_pairs AS BIGINT) AS n_candidate_pairs,
+           CAST(n_est_ge50 AS BIGINT) AS n_est_dup_ge50,
+           CAST(CASE WHEN n_pairs > 0
+                THEN sum_eq * 10000 // (32 * n_pairs)
+                ELSE NULL END AS BIGINT) AS mean_agreement_e4
+    FROM sweep
+    ORDER BY bands
+    """
+
+
+@query("minhash_band_sweep", oracle=_band_sweep_oracle_sql())
+def minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding-configuration sweep: the SAME 32-hash MinHash
+    signatures bucketed three ways — 4 bands x 8 rows (high precision,
+    low recall), 8x4 (the production default), 16x2 (high recall, low
+    precision) — with candidate-pair counts, how many candidates the
+    signatures estimate as >= 0.5 Jaccard, and the mean signature
+    agreement. This is the study that CHOOSES the banding config;
+    minhash_calibration then validates the chosen one against exact
+    Jaccard.
+
+    The signature pipeline runs ONCE (one shingle explode + min-hash
+    groupBy); each config is a re-grouping of the 32 columns — the
+    marginal cost per config is one bucket groupBy over the signature
+    table, never a new pass over the corpus. mean_agreement_e4 is a
+    truncating division on non-negative integers."""
+    from local_stream_stack_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures_portable,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures_portable(
+        d, id_col="doc_id", text_col="text", n_hashes=32,
+        shingle_k=3, shingle="word",
+    )
+    parts = []
+    for bands, rpb in ((4, 8), (8, 4), (16, 2)):
+        cands = minhash_lsh_candidates(
+            sigs, id_col="doc_id", bands=bands, rows_per_band=rpb,
+            carry_sig=True, portable_keys=True,
+        ).select(
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda v: v,
+                )
+            ).alias("eq")
+        )
+        parts.append(
+            cands.agg(
+                F.count("*").cast("bigint").alias("n_candidate_pairs"),
+                F.coalesce(
+                    F.sum(F.when(F.col("eq") * 2 >= 32, 1).otherwise(0)),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("n_est_dup_ge50"),
+                F.expr(
+                    "CAST(CASE WHEN COUNT(*) > 0"
+                    " THEN COALESCE(SUM(eq), 0) * 10000 div (32 * COUNT(*))"
+                    " ELSE NULL END AS BIGINT)"
+                ).alias("mean_agreement_e4"),
+            ).select(
+                F.lit(bands).cast("int").alias("bands"),
+                F.lit(rpb).cast("int").alias("rows_per_band"),
+                "n_candidate_pairs",
+                "n_est_dup_ge50",
+                "mean_agreement_e4",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("bands")

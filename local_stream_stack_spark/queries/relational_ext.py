@@ -2153,3 +2153,82 @@ def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@query(
+    "cusum_changepoint_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS x
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n, SUM(x) AS s FROM daily
+    ),
+    cusum AS (
+      SELECT day,
+             SUM(CAST(t.n AS BIGINT) * x - CAST(t.s AS BIGINT))
+               OVER (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS c,
+             ABS(CAST(t.n AS BIGINT) * x - CAST(t.s AS BIGINT)) AS adev
+      FROM daily CROSS JOIN tot t
+    ),
+    norm AS (SELECT SUM(adev) AS total_dev FROM cusum)
+    SELECT day AS changepoint_day,
+           CAST((SELECT n FROM tot) AS BIGINT) AS n_days,
+           CAST(c AS BIGINT) AS cusum_peak,
+           CAST(ABS(c) * 1000000
+                // NULLIF((SELECT total_dev FROM norm), 0)
+                AS BIGINT) AS peak_share_e6
+    FROM cusum
+    ORDER BY ABS(c) DESC, day
+    LIMIT 1
+    """,
+)
+def cusum_changepoint_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on daily revenue: the cumulative
+    sum of mean-centered daily totals peaks (in absolute value) at the
+    most likely level-shift point — the classic drift detector run on
+    a metric before anyone trusts a before/after comparison.
+
+    Integer-exact: daily cents totals, centering scaled by n (so
+    n*x - S needs no division), one cumulative window over the DAY
+    grain — bounded by the calendar, never the row count — and a
+    TakeOrderedAndProject LIMIT 1 for the peak. peak_share_e6
+    normalizes by the total absolute deviation (non-negative
+    truncating division)."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr("CAST(o_orderdate AS DATE)").alias("day")
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).alias(
+            "x"
+        )
+    )
+    tot = daily.agg(F.count("*").alias("n"), F.sum("x").alias("s"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cusum = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n",
+        F.sum(F.col("n") * F.col("x") - F.col("s")).over(w).alias("c"),
+        F.abs(F.col("n") * F.col("x") - F.col("s")).alias("adev"),
+    )
+    norm = cusum.agg(F.sum("adev").alias("total_dev"))
+    return (
+        cusum.crossJoin(F.broadcast(norm))
+        .orderBy(F.abs("c").desc(), F.asc("day"))
+        .limit(1)
+        .select(
+            F.col("day").alias("changepoint_day"),
+            F.col("n").cast("bigint").alias("n_days"),
+            F.col("c").cast("bigint").alias("cusum_peak"),
+            F.expr(
+                "CAST(ABS(c) * 1000000 div NULLIF(total_dev, 0)"
+                " AS BIGINT)"
+            ).alias("peak_share_e6"),
+        )
+    )

@@ -114,6 +114,11 @@ REPRESENTATIVE = [
     "table_fingerprint_orders",  # xor-fold row checksums
     "asof_join_nearest",         # bidirectional asof union+windows
     "bootstrap_mean_ci",         # hash-replica resample CI
+    "autocorr_daily_counts",     # integer ACF moment sums
+    "user_adoption_curve",       # first-seen collapse + day cumsum
+    "cusum_changepoint_revenue", # scaled-cusum window + top-1 pick
+    "welch_t_sources",           # per-source vs rest moment t
+    "minhash_band_sweep",        # three band groupings, one sig pass
 ]
 
 
@@ -139,6 +144,7 @@ EXPECT_SUMMARY_ROWS = {
     "referential_integrity_audit": 3,  # three checks, zero violations
     "corr_matrix_lineitem": 6,   # six pair rows with NULL corr
     "vocab_coverage_curve": 7,   # one row per threshold (zero coverage)
+    "minhash_band_sweep": 3,     # one summary row per band config
 }
 
 
