@@ -78,6 +78,108 @@ def connected_components(
     return labels.select(F.col("n").alias("node"), F.col("c").alias("component"))
 
 
+def connected_components_twostar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the HIGH-DIAMETER scale path that SCALE.md's graph
+    section names: min-label propagation (:func:`connected_components`)
+    needs one round per unit of component diameter, while star
+    contraction converges in O(log^2 n) rounds on chains and other
+    long-diameter graphs.
+
+    Same output contract as :func:`connected_components`: (node,
+    component) with component = the minimum transitively-reachable
+    node id; isolated nodes are not emitted. Near-dup graphs are
+    near-cliques (diameter 2-4), where min-label's one-shuffle rounds
+    win — so that stays the default and this is the documented
+    alternative for adversarial/chain-shaped graphs, pinned equivalent
+    in tests/test_graph_ops.py on both shapes.
+
+    Per round: TWO groupBys keyed on node id (large-star hooks every
+    neighbor larger than the center to the center's minimum neighbor;
+    small-star re-hooks the rest), edge multiplicity deduped, lineage
+    truncated per round via localCheckpoint. State is the evolving
+    edge list itself — one row per edge, no labels table.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # remember every node that ever had an edge: star contraction can
+    # end with singleton star centers, but members must still report
+    original = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _star(cur: DataFrame, large: bool) -> DataFrame:
+        # neighborhood per center, both directions
+        und = cur.union(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = und.groupBy("u").agg(F.min("v").alias("mn"))
+        nb = und.join(m, "u").select(
+            "u", "v", F.least("mn", F.col("u")).alias("m")
+        )
+        if large:
+            # hook strictly larger neighbors to the neighborhood min
+            hooked = nb.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            )
+        else:
+            # hook strictly smaller neighbors AND the center itself
+            hooked = nb.filter(F.col("v") < F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            ).union(
+                m.select(
+                    F.col("u"),
+                    F.least("mn", F.col("u")).alias("v"),
+                )
+            )
+        return (
+            hooked.filter(F.col("u") != F.col("v")).distinct()
+        )
+
+    cur = e
+    for _ in range(max_iter):
+        after_large = _star(cur, large=True).localCheckpoint(eager=True)
+        after_small = _star(after_large, large=False).localCheckpoint(
+            eager=True
+        )
+        # converged when the round was a no-op on the edge set (the
+        # star forest is small-star's fixpoint)
+        delta = (
+            after_small.exceptAll(cur)
+            .union(cur.exceptAll(after_small))
+            .limit(1)
+            .count()
+        )
+        cur = after_small
+        if delta == 0:
+            break
+    # cur is a star forest: (member, center). Members map to their
+    # center; centers (and nodes whose component collapsed onto them)
+    # map to themselves.
+    members = cur.select(
+        F.col("u").alias("node"), F.col("v").alias("component")
+    )
+    centers = original.join(
+        members.select(F.col("node").alias("n2")),
+        original["node"] == F.col("n2"),
+        "left_anti",
+    ).select("node", F.col("node").alias("component"))
+    return members.union(centers)
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

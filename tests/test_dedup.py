@@ -211,3 +211,48 @@ def test_connected_components_converges_on_long_path(spark):
         (r.node, r.component) for r in connected_components(edges).collect()
     )
     assert got == {i: 1 for i in range(1, 13)}
+
+
+def test_twostar_components_match_minlabel(spark):
+    """Large-star/small-star contraction must produce the identical
+    (node, component) mapping as min-label propagation on all three
+    adversarial shapes: a long path (diameter stress — the case the
+    two-star variant exists for), disjoint cliques (near-dup shape),
+    and a seeded random multigraph."""
+    import random
+
+    from local_stream_stack_spark.operators.graph import (
+        connected_components,
+        connected_components_twostar,
+    )
+
+    def both(pairs):
+        edges = spark.createDataFrame(pairs, "src long, dst long")
+        a = {
+            (r.node, r.component)
+            for r in connected_components(edges).collect()
+        }
+        b = {
+            (r.node, r.component)
+            for r in connected_components_twostar(edges).collect()
+        }
+        return a, b
+
+    # long path 0-1-2-...-24 (all one component, min 0)
+    a, b = both([(i, i + 1) for i in range(24)])
+    assert a == b and {c for _, c in b} == {0}
+
+    # two disjoint cliques {0..4}, {10..13}
+    clique = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    clique += [(i, j) for i in range(10, 14) for j in range(i + 1, 14)]
+    a, b = both(clique)
+    assert a == b and {c for _, c in b} == {0, 10}
+
+    # seeded random multigraph with self-loops and duplicates
+    rng = random.Random(7)
+    pairs = [
+        (rng.randrange(0, 30), rng.randrange(0, 30)) for _ in range(60)
+    ]
+    pairs = [p for p in pairs if p[0] != p[1]] or [(0, 1)]
+    a, b = both(pairs)
+    assert a == b
