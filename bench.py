@@ -165,6 +165,19 @@ EXTENDED = [
     "pii_scrub_stats",
     "embedding_pca_power",
     "copurchase_pagerank",
+    # round-7 second batch
+    "asof_join_nearest",
+    "bootstrap_mean_ci",
+    "vocab_coverage_curve",
+    "blocklist_filter_stats",
+    "dedup_canonical_pick",
+    "k_anonymity_audit",
+    "table_fingerprint_orders",
+    "autocorr_daily_counts",
+    "user_adoption_curve",
+    "cusum_changepoint_revenue",
+    "welch_t_sources",
+    "minhash_band_sweep",
 ]
 
 

@@ -4340,8 +4340,8 @@ def sim_recall_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(LEAST(ks.k, tot.n_types) AS BIGINT) AS n_types_used,
            CAST(COALESCE(MAX(r.cum), 0) AS BIGINT) AS covered_tokens,
            CAST(tot.total AS BIGINT) AS total_tokens,
-           CAST(COALESCE(MAX(r.cum), 0) * 1000000 // tot.total
-                AS BIGINT) AS coverage_e6
+           CAST(CAST(COALESCE(MAX(r.cum), 0) AS HUGEINT) * 1000000
+                // CAST(tot.total AS HUGEINT) AS BIGINT) AS coverage_e6
     FROM ks
     CROSS JOIN tot
     LEFT JOIN ranked r ON r.rk <= ks.k
@@ -4400,7 +4400,9 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("covered_tokens"),
             F.col("total").cast("bigint").alias("total_tokens"),
             F.expr(
-                "CAST(COALESCE(mcum, 0) * 1000000 div total AS BIGINT)"
+                # DECIMAL(38,0) headroom for corpus-scale token counts
+                "CAST(CAST(COALESCE(mcum, 0) AS DECIMAL(38,0)) * 1000000"
+                " div total AS BIGINT)"
             ).alias("coverage_e6"),
         )
         .orderBy("vocab_size")
@@ -4752,8 +4754,14 @@ def minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     The signature pipeline runs ONCE (one shingle explode + min-hash
     groupBy); each config is a re-grouping of the 32 columns — the
     marginal cost per config is one bucket groupBy over the signature
-    table, never a new pass over the corpus. mean_agreement_e4 is a
-    truncating division on non-negative integers."""
+    table, never a new pass over the corpus. Scale note: the 16x2
+    config has the loosest buckets (2-hash band keys), so its
+    candidate count grows fastest with corpus size — at production
+    scale this sweep runs on a deterministic sample (the same
+    hash-mod slice train_test_split uses), which suffices because it
+    estimates RATES, not the candidate set itself.
+    mean_agreement_e4 is a truncating division on non-negative
+    integers."""
     from local_stream_stack_spark.operators.dedup import (
         minhash_lsh_candidates,
         minhash_signatures_portable,

@@ -2179,8 +2179,8 @@ def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT day AS changepoint_day,
            CAST((SELECT n FROM tot) AS BIGINT) AS n_days,
            CAST(c AS BIGINT) AS cusum_peak,
-           CAST(ABS(c) * 1000000
-                // NULLIF((SELECT total_dev FROM norm), 0)
+           CAST(CAST(ABS(c) AS HUGEINT) * 1000000
+                // NULLIF(CAST((SELECT total_dev FROM norm) AS HUGEINT), 0)
                 AS BIGINT) AS peak_share_e6
     FROM cusum
     ORDER BY ABS(c) DESC, day
@@ -2227,8 +2227,12 @@ def cusum_changepoint_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("n_days"),
             F.col("c").cast("bigint").alias("cusum_peak"),
             F.expr(
-                "CAST(ABS(c) * 1000000 div NULLIF(total_dev, 0)"
-                " AS BIGINT)"
+                # DECIMAL(38,0) headroom: ABS(c) is an n-scaled cumsum
+                # that can exceed BIGINT/10^6 at sf >= 0.1 (ANSI
+                # overflow caught by bench); Spark's div on DECIMAL
+                # returns BIGINT, DuckDB mirrors via HUGEINT.
+                "CAST(CAST(ABS(c) AS DECIMAL(38,0)) * 1000000"
+                " div NULLIF(total_dev, 0) AS BIGINT)"
             ).alias("peak_share_e6"),
         )
     )
