@@ -178,6 +178,10 @@ EXTENDED = [
     "cusum_changepoint_revenue",
     "welch_t_sources",
     "minhash_band_sweep",
+    # round-7 post-close batch
+    "source_overlap_matrix",
+    "seasonal_naive_backtest",
+    "markov_next_event_accuracy",
 ]
 
 

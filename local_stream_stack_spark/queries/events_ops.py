@@ -2651,3 +2651,207 @@ def user_adoption_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "seasonal_naive_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    scored AS (
+      SELECT a.event_type,
+             a.n AS actual,
+             f.n AS forecast,
+             ABS(a.n - f.n) AS abs_err
+      FROM daily a
+      JOIN daily f
+        ON f.event_type = a.event_type AND f.day = a.day - 7
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+           CAST(SUM(actual) AS BIGINT) AS total_actual,
+           CAST(SUM(abs_err) AS BIGINT) AS total_abs_err,
+           CAST((2 * SUM(abs_err) + COUNT(*)) // (2 * COUNT(*))
+                AS BIGINT) AS mae_rounded,
+           CAST(CAST(SUM(abs_err) AS HUGEINT) * 1000000
+                // NULLIF(CAST(SUM(actual + forecast) AS HUGEINT), 0)
+                AS BIGINT) AS smape_half_e6
+    FROM scored
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (predict today =
+    same weekday last week) on daily event counts, per event type —
+    the baseline every volume-forecasting model must beat, and the
+    ops sanity check that weekly seasonality actually holds.
+
+    Self-join of the day-grain count table on (event_type, day-7) —
+    the table is bounded by |types| x calendar days, so the join is
+    parameter-sized at any corpus scale; only the one groupBy to the
+    day grain touches the data. Integer-exact: MAE uses the
+    round-half-up (2s+c) div (2c) idiom, sMAPE/2 is a
+    DECIMAL/HUGEINT floor division of non-negative integer sums
+    (micro-averaged, so summation order is irrelevant)."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    a = daily.select(
+        "event_type", "day", F.col("n").alias("actual")
+    )
+    f = daily.select(
+        F.col("event_type").alias("f_type"),
+        F.col("day").alias("f_day"),
+        F.col("n").alias("forecast"),
+    )
+    scored = a.join(
+        f,
+        (F.col("f_type") == F.col("event_type"))
+        & (F.col("f_day") == F.expr("date_sub(day, 7)")),
+    ).select(
+        "event_type",
+        "actual",
+        "forecast",
+        F.abs(F.col("actual") - F.col("forecast")).alias("abs_err"),
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days_scored"),
+            F.sum("actual").cast("bigint").alias("total_actual"),
+            F.sum("abs_err").cast("bigint").alias("total_abs_err"),
+            F.expr(
+                "CAST((2 * SUM(abs_err) + COUNT(*)) div (2 * COUNT(*))"
+                " AS BIGINT)"
+            ).alias("mae_rounded"),
+            F.expr(
+                "CAST(CAST(SUM(abs_err) AS DECIMAL(38,0)) * 1000000"
+                " div NULLIF(SUM(actual + forecast), 0) AS BIGINT)"
+            ).alias("smape_half_e6"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "markov_next_event_accuracy",
+    oracle="""
+    WITH seq AS (
+      SELECT event_id, user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_id, event_type AS cur, next_type AS nxt,
+             CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+                  1, 4) AS BIGINT) % 5 AS fold
+      FROM seq WHERE next_type IS NOT NULL
+    ),
+    counts AS (
+      SELECT cur, nxt, COUNT(*) AS n
+      FROM trans WHERE fold <> 0
+      GROUP BY cur, nxt
+    ),
+    pred AS (
+      SELECT cur, nxt AS predicted_next
+      FROM (
+        SELECT cur, nxt,
+               ROW_NUMBER() OVER (PARTITION BY cur
+                                  ORDER BY n DESC, nxt) AS rk
+        FROM counts
+      ) WHERE rk = 1
+    )
+    SELECT t.cur AS event_type,
+           CAST((SELECT COUNT(*) FROM trans x
+                 WHERE x.fold <> 0 AND x.cur = t.cur) AS BIGINT)
+             AS n_train,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           MAX(p.predicted_next) AS predicted_next,
+           CAST(CAST(SUM(CASE WHEN t.nxt = p.predicted_next
+                              THEN 1 ELSE 0 END) AS HUGEINT) * 1000000
+                // COUNT(*) AS BIGINT) AS hit_rate_e6
+    FROM trans t
+    JOIN pred p ON p.cur = t.cur
+    WHERE t.fold = 0
+    GROUP BY t.cur
+    ORDER BY event_type
+    """,
+)
+def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the first-order Markov next-event predictor: train
+    the argmax transition table on a deterministic 80% hash split of
+    the transition stream, score top-1 accuracy on the held-out 20% —
+    the eval that turns event_transition_matrix from a description
+    into a validated model (is the next event actually predictable?).
+
+    Transitions come from one lead() window per user (ts, event_id
+    ordering — deterministic under duplicate timestamps); the fold is
+    md5(event_id) % 5, reproducible on any cluster. The trained table
+    and the argmax pick are |types|^2-bounded; the test join
+    broadcasts it. hit_rate_e6 is a floor division of non-negative
+    counts."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    trans = seq.filter(F.col("next_type").isNotNull()).select(
+        F.col("event_type").alias("cur"),
+        F.col("next_type").alias("nxt"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 4),
+                16,
+                10,
+            ).cast("bigint")
+            % 5
+        ).alias("fold"),
+    )
+    counts = (
+        trans.filter(F.col("fold") != 0)
+        .groupBy("cur", "nxt")
+        .agg(F.count("*").alias("n"))
+    )
+    rk = Window.partitionBy("cur").orderBy(F.desc("n"), F.asc("nxt"))
+    pred = (
+        counts.select(
+            "cur", "nxt", F.row_number().over(rk).alias("rk")
+        )
+        .filter(F.col("rk") == 1)
+        .select("cur", F.col("nxt").alias("predicted_next"))
+    )
+    n_train = (
+        trans.filter(F.col("fold") != 0)
+        .groupBy("cur")
+        .agg(F.count("*").alias("n_train"))
+    )
+    return (
+        trans.filter(F.col("fold") == 0)
+        .join(F.broadcast(pred), "cur")
+        .join(F.broadcast(n_train), "cur")
+        .groupBy(F.col("cur").alias("event_type"), "n_train")
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            F.max("predicted_next").alias("predicted_next"),
+            F.expr(
+                "CAST(CAST(SUM(CASE WHEN nxt = predicted_next"
+                " THEN 1 ELSE 0 END) AS DECIMAL(38,0)) * 1000000"
+                " div COUNT(*) AS BIGINT)"
+            ).alias("hit_rate_e6"),
+        )
+        .select(
+            "event_type",
+            F.col("n_train").cast("bigint").alias("n_train"),
+            "n_test",
+            "predicted_next",
+            "hit_rate_e6",
+        )
+        .orderBy("event_type")
+    )

@@ -4811,3 +4811,125 @@ def minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("bands")
+
+
+def _source_overlap_oracle_sql() -> str:
+    """Oracle for ``source_overlap_matrix``: the portable minhash
+    bandkey CTEs, candidate pairs, signature agreement, and a
+    source-pair rollup."""
+    ctes = _minhash_bandkey_cte_sql(32, 3, 4)
+    return f"""
+    WITH {ctes},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandkey a JOIN bandkey b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    agr AS (
+      SELECT c.id_a, c.id_b,
+             SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS eq
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+      GROUP BY c.id_a, c.id_b
+    ),
+    lab AS (
+      SELECT LEAST(da.source, db.source) AS source_lo,
+             GREATEST(da.source, db.source) AS source_hi,
+             g.eq
+      FROM agr g
+      JOIN documents da ON da.doc_id = g.id_a
+      JOIN documents db ON db.doc_id = g.id_b
+    ),
+    tot AS (SELECT COUNT(*) AS n_tot FROM agr)
+    SELECT source_lo, source_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+           CAST(SUM(CASE WHEN eq * 2 >= 32 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_est_dup,
+           CAST(CAST(COUNT(*) AS HUGEINT) * 1000000
+                // NULLIF(CAST(tot.n_tot AS HUGEINT), 0)
+                AS BIGINT) AS pair_share_e6
+    FROM lab CROSS JOIN tot
+    GROUP BY source_lo, source_hi, tot.n_tot
+    ORDER BY source_lo, source_hi
+    """
+
+
+@query("source_overlap_matrix", oracle=_source_overlap_oracle_sql())
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplication flow matrix: MinHash/LSH candidate
+    pairs rolled up by unordered source pair, with how many estimate as
+    >= 0.5 Jaccard. This is the provenance diagnostic a curation
+    pipeline runs when dedup rates spike — it answers WHICH pairs of
+    sources share content (mirror sites, syndication, scraped copies)
+    so the upstream source, not individual documents, gets fixed.
+
+    One signature pass + one banding groupBy (the proven LSH shape),
+    then two doc_id equi-joins to attach sources and a ~|sources|^2
+    rollup. pair_share_e6 uses the DECIMAL/HUGEINT floor-div idiom on
+    non-negative counts."""
+    from local_stream_stack_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures_portable,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures_portable(
+        d, id_col="doc_id", text_col="text", n_hashes=32,
+        shingle_k=3, shingle="word",
+    )
+    agr = minhash_lsh_candidates(
+        sigs, id_col="doc_id", bands=8, rows_per_band=4,
+        carry_sig=True, portable_keys=True,
+    ).select(
+        "id_a",
+        "id_b",
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda v: v,
+            )
+        ).alias("eq"),
+    )
+    src = d.select("doc_id", "source")
+    lab = (
+        agr.join(
+            src.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("sa")
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("sb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_lo"),
+            F.greatest("sa", "sb").alias("source_hi"),
+            "eq",
+        )
+    )
+    tot = agr.agg(F.count("*").alias("n_tot"))
+    return (
+        lab.crossJoin(F.broadcast(tot))
+        .groupBy("source_lo", "source_hi", "n_tot")
+        .agg(
+            F.count("*").cast("bigint").alias("n_candidate_pairs"),
+            F.sum(F.when(F.col("eq") * 2 >= 32, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_est_dup"),
+        )
+        .select(
+            "source_lo",
+            "source_hi",
+            "n_candidate_pairs",
+            "n_est_dup",
+            F.expr(
+                "CAST(CAST(n_candidate_pairs AS DECIMAL(38,0)) * 1000000"
+                " div NULLIF(n_tot, 0) AS BIGINT)"
+            ).alias("pair_share_e6"),
+        )
+        .orderBy("source_lo", "source_hi")
+    )

@@ -297,77 +297,48 @@ NEW_THIS_ROUND: frozenset[str] = frozenset()
 CHANGED_SINCE_GREEN: frozenset[str] = frozenset(
     {
         "active_streaks",
-        "approx_percentile_qty",
         "asof_join_events",
         "asof_join_tolerance",
         "attribution_last_touch",
-        "basket_lift_pairs",
-        "benford_first_digit",
         "bm25_rank",
-        "boilerplate_ngrams",
         "bpe_train_merges",
         "bpe_vocab_counts",
-        "bucketed_join_revenue",
-        "cdc_merge_summary",
         "chisq_lang_source",
         "chunk_documents",
         "clean_text_scrub",
         "cms_heavy_hitters",
         "cohort_retention",
-        "collation_group_ci",
         "compaction_tombstone",
         "conversion_lag_quantiles",
-        "copurchase_bfs_hops",
         "corpus_stats_by_lang",
-        "corr_matrix_lineitem",
-        "csv_roundtrip_orders",
         "curation_downsample",
         "curation_pipeline",
-        "customer_decile_transitions",
-        "customer_rfm_scores",
         "daily_count_anomalies",
-        "decile_bounds_price",
         "decontaminate_ngram_overlap",
         "decontaminate_splits",
         "dedup_cluster_sizes",
         "dedup_components",
-        "dedup_containment",
         "dedup_embedding_cosine",
         "dedup_exact",
         "dedup_keys",
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
         "dedup_prefix_clusters",
-        "dedup_repeated_ngram_spans",
         "dedup_simhash",
-        "dedup_substring_spans",
         "dedup_token_sort",
         "doc_fingerprint",
         "doc_length_histogram",
-        "doc_novelty_scores",
-        "dpp_partitioned_lang_join",
-        "dq_expectations_orders",
         "embedding_matryoshka_mass",
         "embedding_norms",
-        "embedding_quantize_int8",
-        "embedding_quantize_pct",
         "event_gap_quantiles",
         "event_gap_quantiles_chunked",
         "ewma_latest_per_user",
-        "exact_quantile_distributed",
         "funnel_stages",
-        "fuzzy_name_match",
         "gap_fill_locf",
-        "grouping_sets_revenue",
         "hourly_value_quantiles",
         "interpolate_linear",
         "interval_join_peak_windows",
         "inverted_index",
-        "join_explosion_audit",
-        "join_salted_skew",
-        "json_roundtrip_orders",
-        "kafka_frame_roundtrip",
-        "kmeans_embeddings",
         "kmv_distinct_rollup",
         "kmv_overlap_daily",
         "kmv_rolling_wau",
@@ -375,108 +346,41 @@ CHANGED_SINCE_GREEN: frozenset[str] = frozenset(
         "lang_id",
         "lang_id_confusion",
         "latest_per_key",
-        "mad_outliers",
         "minhash_calibration",
         "multimodal_binary_meta",
         "multimodal_features",
         "multimodal_frame_sample",
         "multimodal_png_decode",
-        "ols_slope_per_type",
-        "orc_roundtrip_orders",
-        "orders_monthly_yoy",
         "pack_documents",
-        "pagerank_copurchase",
-        "partitioned_roundtrip_docs",
-        "percentile_stats",
-        "perplexity_bigram_interp",
-        "perplexity_unigram",
-        "pipe_syntax_revenue",
-        "pipeline_yaml_batch",
-        "pipeline_yaml_enrich_agg",
-        "price_decile_assign",
-        "profile_columns",
-        "pyds_stream_agg",
-        "pyds_synthetic_agg",
-        "q10_returned_revenue",
-        "q14_promo_revenue",
-        "q17_small_qty_revenue",
-        "q18_large_orders",
-        "q19_or_predicates",
-        "q22_idle_customers",
-        "q4_order_priority",
-        "q7_nation_volume",
         "quality_filter_gopher",
-        "quantile_by_value_qty",
         "range_join_views_before_purchase",
-        "recursive_copurchase_reach",
-        "referential_integrity_audit",
-        "regression_by_nation",
         "repetition_ratio",
-        "revenue_gini_lorenz",
         "rollup_time_hierarchy",
         "sample_per_group",
         "scd2_history",
-        "schema_evolution_roundtrip",
-        "schema_registry_parse",
-        "semantic_dedup_components",
-        "semantic_dedup_lsh_components",
         "session_paths_top",
         "session_window_agg",
         "sessionize_events",
         "sessionize_events_chunked",
-        "shuffle_deterministic",
         "sim_bruteforce_topk",
         "sim_ivf_topk",
         "sim_ivfpq_topk",
         "sim_lsh_topk",
         "sim_pq_topk",
-        "skew_diagnostics",
         "sliding_window_agg",
         "source_char_budget",
         "source_mixing_weights",
-        "sql_api_revenue",
-        "sql_udf_netprice",
-        "sql_variables_param_revenue",
-        "stats_profile_orders",
-        "stratified_sample_sources",
-        "stream_aggregate_view",
-        "stream_dedup_keys",
-        "stream_ingest_dedup",
-        "stream_ingest_neardup",
-        "stream_interval_join",
-        "stream_interval_join_outer",
-        "stream_latest_per_key",
-        "stream_parquet_sink",
-        "stream_pipeline_yaml",
-        "stream_quality_quarantine",
-        "stream_running_totals",
-        "stream_session_windows",
-        "stream_sliding_counts",
-        "stream_static_enrich",
-        "stream_topk_per_window",
-        "stream_tumbling_counts",
-        "stream_windowed_rollup_chain",
-        "supplier_pareto_abc",
         "text_stats",
-        "tfidf_top_terms",
         "time_weighted_avg",
         "token_drift_kl",
         "token_estimate_bpe",
         "token_pmi_collocations",
         "top_tokens_per_lang",
         "train_test_split",
-        "triangle_count",
-        "try_arithmetic_orders",
         "tumbling_window_agg",
-        "udaf_trimmed_stats",
-        "udtf_tokenize",
-        "unicode_nfc_normalize",
         "value_histogram_log2",
-        "variant_extract_orders",
         "vocab_coverage",
         "weighted_sample",
-        "winsorized_mean_price",
-        "xml_roundtrip_orders",
         "zipf_token_fit",
         "zscore_outliers",
     }

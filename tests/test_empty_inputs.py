@@ -119,6 +119,9 @@ REPRESENTATIVE = [
     "cusum_changepoint_revenue", # scaled-cusum window + top-1 pick
     "welch_t_sources",           # per-source vs rest moment t
     "minhash_band_sweep",        # three band groupings, one sig pass
+    "source_overlap_matrix",     # LSH pairs by source pair
+    "seasonal_naive_backtest",   # day-7 self-join scorer
+    "markov_next_event_accuracy",# hash-fold train/test argmax
 ]
 
 
