@@ -182,6 +182,7 @@ EXTENDED = [
     "source_overlap_matrix",
     "seasonal_naive_backtest",
     "markov_next_event_accuracy",
+    "knn_label_purity",
 ]
 
 

@@ -4933,3 +4933,138 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_lo", "source_hi")
     )
+
+
+@query(
+    "knn_label_purity",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv, label AS qlab
+      FROM embeddings WHERE vec_id < 50
+    ),
+    c AS (
+      SELECT vec_id AS corpus_id, embedding AS cv, label AS clab
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT query_id, qlab, corpus_id, clab,
+             ROUND(list_reduce(list_transform(generate_series(1, len(qv)),
+                     i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)),
+                   (a, b) -> a + b)
+               / (sqrt(list_reduce(list_transform(qv,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                     (a,b) -> a+b))
+                * sqrt(list_reduce(list_transform(cv,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                     (a,b) -> a+b))),
+               6) AS cosine_sim
+      FROM c, q
+      WHERE corpus_id <> query_id
+    ),
+    ranked AS (
+      SELECT query_id, qlab, clab,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, corpus_id) AS rk
+      FROM scored
+    ),
+    top5 AS (SELECT * FROM ranked WHERE rk <= 5),
+    per_q AS (
+      SELECT query_id, qlab,
+             SUM(CASE WHEN clab = qlab THEN 1 ELSE 0 END) AS n_match,
+             COALESCE(MAX(CASE WHEN clab = qlab THEN 60 // rk END), 0)
+               AS rr60
+      FROM top5 GROUP BY query_id, qlab
+    )
+    SELECT qlab AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(n_match) AS BIGINT) AS n_match_at5,
+           CAST(SUM(n_match) * 10000 // (5 * COUNT(*)) AS BIGINT)
+             AS purity_e4,
+           CAST(SUM(rr60) * 10000 // (60 * COUNT(*)) AS BIGINT)
+             AS mrr_e4
+    FROM per_q
+    GROUP BY qlab
+    ORDER BY label
+    """,
+)
+def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality eval: exact 5-NN label purity and MRR of the
+    first same-label neighbor, per label, over a deterministic
+    50-query slice — the standard check that an embedding space
+    actually clusters by its labels before anyone trusts it for
+    semantic dedup or retrieval (low purity for one label = that
+    class's embeddings are entangled).
+
+    Query side broadcasts (bounded slice), corpus streams once —
+    identical plan shape to sim_bruteforce_topk, which is the point:
+    the eval runs on the exact baseline, not the ANN approximation
+    (sim_recall_calibration covers ANN-vs-exact). Integer-exact:
+    reciprocal ranks on the 1/1..1/5 lattice scale to 60/rk BIGINTs
+    (60 = lcm), so MRR is a truncating division of exact integers.
+    The MAX over 60//rk picks the FIRST same-label hit because 60/rk
+    is strictly decreasing in rank."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 50)
+    scored = cosine_topk_bruteforce(
+        queries=q.select("vec_id", "embedding"),
+        corpus=e.select("vec_id", "embedding"),
+        query_id="vec_id",
+        corpus_id="vec_id",
+        query_vec="embedding",
+        corpus_vec="embedding",
+        k=6,  # allow for the self-match dropped below
+        round_dp=6,
+    ).filter(F.col("query_id") != F.col("corpus_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("corpus_id")
+    )
+    top5 = (
+        scored.drop("rk")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+    )
+    labels = e.select("vec_id", "label")
+    lab = (
+        top5.join(
+            F.broadcast(
+                labels.withColumnRenamed("vec_id", "query_id")
+                .withColumnRenamed("label", "qlab")
+            ),
+            "query_id",
+        )
+        .join(
+            labels.withColumnRenamed("vec_id", "corpus_id")
+            .withColumnRenamed("label", "clab"),
+            "corpus_id",
+        )
+    )
+    per_q = lab.groupBy("query_id", "qlab").agg(
+        F.sum(F.when(F.col("clab") == F.col("qlab"), 1).otherwise(0)).alias(
+            "n_match"
+        ),
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("clab") == F.col("qlab"),
+                    F.expr("60 div rk"),
+                )
+            ),
+            F.lit(0),
+        ).alias("rr60"),
+    )
+    return (
+        per_q.groupBy(F.col("qlab").alias("label"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_queries"),
+            F.sum("n_match").cast("bigint").alias("n_match_at5"),
+            F.expr(
+                "CAST(SUM(n_match) * 10000 div (5 * COUNT(*)) AS BIGINT)"
+            ).alias("purity_e4"),
+            F.expr(
+                "CAST(SUM(rr60) * 10000 div (60 * COUNT(*)) AS BIGINT)"
+            ).alias("mrr_e4"),
+        )
+        .orderBy("label")
+    )

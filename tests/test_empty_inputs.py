@@ -122,6 +122,7 @@ REPRESENTATIVE = [
     "source_overlap_matrix",     # LSH pairs by source pair
     "seasonal_naive_backtest",   # day-7 self-join scorer
     "markov_next_event_accuracy",# hash-fold train/test argmax
+    "knn_label_purity",          # exact 5-NN label purity + MRR
 ]
 
 
