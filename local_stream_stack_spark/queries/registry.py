@@ -296,93 +296,24 @@ NEW_THIS_ROUND: frozenset[str] = frozenset()
 # BEGIN CHANGED_SINCE_GREEN (auto-generated)
 CHANGED_SINCE_GREEN: frozenset[str] = frozenset(
     {
-        "active_streaks",
-        "asof_join_events",
-        "asof_join_tolerance",
-        "attribution_last_touch",
-        "bm25_rank",
-        "bpe_train_merges",
-        "bpe_vocab_counts",
-        "chisq_lang_source",
-        "chunk_documents",
-        "clean_text_scrub",
-        "cms_heavy_hitters",
-        "cohort_retention",
-        "compaction_tombstone",
-        "conversion_lag_quantiles",
-        "corpus_stats_by_lang",
-        "curation_downsample",
-        "curation_pipeline",
-        "daily_count_anomalies",
-        "decontaminate_ngram_overlap",
-        "decontaminate_splits",
-        "dedup_cluster_sizes",
-        "dedup_components",
-        "dedup_embedding_cosine",
-        "dedup_exact",
-        "dedup_keys",
-        "dedup_minhash_lsh",
-        "dedup_ngram_jaccard",
-        "dedup_prefix_clusters",
-        "dedup_simhash",
-        "dedup_token_sort",
-        "doc_fingerprint",
-        "doc_length_histogram",
-        "embedding_matryoshka_mass",
-        "embedding_norms",
-        "event_gap_quantiles",
-        "event_gap_quantiles_chunked",
-        "ewma_latest_per_user",
-        "funnel_stages",
-        "gap_fill_locf",
-        "hourly_value_quantiles",
-        "interpolate_linear",
-        "interval_join_peak_windows",
-        "inverted_index",
-        "kmv_distinct_rollup",
-        "kmv_overlap_daily",
-        "kmv_rolling_wau",
-        "label_centroids",
-        "lang_id",
-        "lang_id_confusion",
-        "latest_per_key",
-        "minhash_calibration",
-        "multimodal_binary_meta",
-        "multimodal_features",
-        "multimodal_frame_sample",
-        "multimodal_png_decode",
-        "pack_documents",
-        "quality_filter_gopher",
-        "range_join_views_before_purchase",
-        "repetition_ratio",
-        "rollup_time_hierarchy",
-        "sample_per_group",
-        "scd2_history",
-        "session_paths_top",
-        "session_window_agg",
-        "sessionize_events",
-        "sessionize_events_chunked",
-        "sim_bruteforce_topk",
-        "sim_ivf_topk",
-        "sim_ivfpq_topk",
-        "sim_lsh_topk",
-        "sim_pq_topk",
-        "sliding_window_agg",
-        "source_char_budget",
-        "source_mixing_weights",
-        "text_stats",
-        "time_weighted_avg",
-        "token_drift_kl",
-        "token_estimate_bpe",
-        "token_pmi_collocations",
-        "top_tokens_per_lang",
-        "train_test_split",
-        "tumbling_window_agg",
-        "value_histogram_log2",
-        "vocab_coverage",
-        "weighted_sample",
-        "zipf_token_fit",
-        "zscore_outliers",
+        "pyds_stream_agg",
+        "stream_aggregate_view",
+        "stream_dedup_keys",
+        "stream_ingest_dedup",
+        "stream_ingest_neardup",
+        "stream_interval_join",
+        "stream_interval_join_outer",
+        "stream_latest_per_key",
+        "stream_parquet_sink",
+        "stream_pipeline_yaml",
+        "stream_quality_quarantine",
+        "stream_running_totals",
+        "stream_session_windows",
+        "stream_sliding_counts",
+        "stream_static_enrich",
+        "stream_topk_per_window",
+        "stream_tumbling_counts",
+        "stream_windowed_rollup_chain",
     }
 )
 # END CHANGED_SINCE_GREEN

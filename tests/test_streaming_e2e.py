@@ -334,3 +334,19 @@ def test_stream_quality_quarantine_routes_and_reasons(spark, tmp_path):
     got2 = {(r.route, r.reason): r.n_docs
             for r in stream_quality_quarantine(spark, str(d2)).collect()}
     assert got2 == {("clean", "ok"): 1}
+
+
+def test_stream_running_totals_tws_equals_v1(spark, sf_dir):
+    """The transformWithStateInPandas query must equal the
+    applyInPandasWithState one row-for-row — same state math on the
+    two arbitrary-state APIs (and the protobuf shipping route must
+    hold up in whatever session pytest runs)."""
+    from local_stream_stack_spark.queries.streaming_e2e import (
+        stream_running_totals,
+        stream_running_totals_tws,
+    )
+
+    got = stream_running_totals_tws(spark, sf_dir)
+    want = stream_running_totals(spark, sf_dir)
+    assert got.columns == want.columns
+    assert _rows(got) == _rows(want)
