@@ -183,6 +183,8 @@ EXTENDED = [
     "seasonal_naive_backtest",
     "markov_next_event_accuracy",
     "knn_label_purity",
+    "bounce_rate_by_entry",
+    "right_to_be_forgotten_audit",
 ]
 
 

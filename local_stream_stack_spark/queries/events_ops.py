@@ -2855,3 +2855,209 @@ def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "bounce_rate_by_entry",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS session_id
+      FROM flagged
+    ),
+    positioned AS (
+      SELECT user_id, event_type, session_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts, event_id) AS pos
+      FROM numbered
+    ),
+    sessions AS (
+      SELECT user_id, session_id,
+             MAX(CASE WHEN pos = 1 THEN event_type END) AS entry_type,
+             COUNT(*) AS depth
+      FROM positioned GROUP BY user_id, session_id
+    )
+    SELECT entry_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN depth = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST(SUM(depth) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN depth = 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS bounce_rate_e6,
+           CAST((2 * SUM(depth) + COUNT(*)) // (2 * COUNT(*))
+                AS BIGINT) AS mean_depth_rounded
+    FROM sessions
+    GROUP BY entry_type
+    ORDER BY entry_type
+    """,
+)
+def bounce_rate_by_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate and session depth by ENTRY event type: sessions
+    that end after their first event, grouped by what that first
+    event was — the product-analytics cut that tells you which
+    doorway loses people (a high-bounce entry type is a landing
+    problem, not a journey problem).
+
+    Same gaps-and-islands sessionization as sessionize_events (one
+    shuffle on user_id; both windows share the sort), a per-session
+    rollup, then a |types|-sized aggregate. bounce_rate_e6 is a floor
+    division and mean depth the round-half-up (2s+c) div (2c) idiom,
+    both on non-negative counts."""
+    e = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            prev_ts.isNull()
+            | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTE")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = flagged.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.sum("new_session").over(run).alias("session_id"),
+        "ts",
+    )
+    pos_w = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    sessions = (
+        numbered.withColumn("pos", F.row_number().over(pos_w))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.max(
+                F.when(F.col("pos") == 1, F.col("event_type"))
+            ).alias("entry_type"),
+            F.count("*").alias("depth"),
+        )
+    )
+    return (
+        sessions.groupBy("entry_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.sum(F.when(F.col("depth") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_bounces"),
+            F.sum("depth").cast("bigint").alias("n_events"),
+            F.expr(
+                "CAST(SUM(CASE WHEN depth = 1 THEN 1 ELSE 0 END)"
+                " * 1000000 div COUNT(*) AS BIGINT)"
+            ).alias("bounce_rate_e6"),
+            F.expr(
+                "CAST((2 * SUM(depth) + COUNT(*)) div (2 * COUNT(*))"
+                " AS BIGINT)"
+            ).alias("mean_depth_rounded"),
+        )
+        .orderBy("entry_type")
+    )
+
+
+@query(
+    "right_to_be_forgotten_audit",
+    oracle="""
+    WITH requests AS (
+      SELECT DISTINCT user_id
+      FROM events
+      WHERE CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 4)
+                 AS BIGINT) % 100 = 0
+    ),
+    ev AS (
+      SELECT 'events' AS table_name,
+             COUNT(*) AS n_rows,
+             SUM(CASE WHEN r.user_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_purge
+      FROM events e LEFT JOIN requests r ON r.user_id = e.user_id
+    ),
+    docs AS (
+      SELECT 'documents' AS table_name,
+             COUNT(*) AS n_rows,
+             SUM(CASE WHEN r.user_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_purge
+      FROM documents d
+      LEFT JOIN requests r ON r.user_id = d.doc_id % 5000
+    ),
+    unioned AS (SELECT * FROM ev UNION ALL SELECT * FROM docs)
+    SELECT table_name,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_purge AS BIGINT) AS n_rows_to_purge,
+           CAST(n_purge * 1000000 // NULLIF(n_rows, 0) AS BIGINT)
+             AS purge_rate_e6
+    FROM unioned
+    ORDER BY table_name
+    """,
+)
+def right_to_be_forgotten_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-request impact audit (GDPR/CCPA right to be
+    forgotten): given a deterministic deletion list (hash-selected 1%
+    of users, standing in for the request queue), how many rows each
+    table would purge — the scoping report a data-governance pass runs
+    BEFORE executing deletes, because purge cost and downstream
+    retraining triggers both follow row counts. Documents attribute to
+    users via the synthetic doc_id % 5000 authorship rule (documented
+    stand-in for a real authorship column).
+
+    The request list is DISTINCT user ids — broadcast-sized relative
+    to any fact table — so each per-table count is one broadcast left
+    join + aggregate over a single scan; no shuffle of fact rows at
+    all. purge_rate_e6 is a floor division on non-negative counts."""
+    e = _events(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    requests = (
+        e.select("user_id")
+        .filter(
+            F.expr(
+                "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 4),"
+                " 16, 10) AS BIGINT) % 100 = 0"
+            )
+        )
+        .distinct()
+    )
+    req = F.broadcast(requests.withColumnRenamed("user_id", "req_user"))
+
+    def audit(df, table_name, key_col):
+        return (
+            df.join(req, F.col(key_col) == F.col("req_user"), "left")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(
+                    F.when(F.col("req_user").isNotNull(), 1).otherwise(0)
+                ).alias("n_purge"),
+            )
+            .select(
+                F.lit(table_name).alias("table_name"),
+                F.col("n_rows").cast("bigint").alias("n_rows"),
+                F.col("n_purge").cast("bigint").alias("n_rows_to_purge"),
+                F.expr(
+                    "CAST(n_purge * 1000000 div NULLIF(n_rows, 0)"
+                    " AS BIGINT)"
+                ).alias("purge_rate_e6"),
+            )
+        )
+
+    ev = audit(e.select("user_id"), "events", "user_id")
+    docs = audit(
+        d.select((F.col("doc_id") % 5000).alias("author_id")),
+        "documents",
+        "author_id",
+    )
+    return ev.unionByName(docs).orderBy("table_name")

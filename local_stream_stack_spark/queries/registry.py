@@ -296,24 +296,40 @@ NEW_THIS_ROUND: frozenset[str] = frozenset()
 # BEGIN CHANGED_SINCE_GREEN (auto-generated)
 CHANGED_SINCE_GREEN: frozenset[str] = frozenset(
     {
-        "pyds_stream_agg",
-        "stream_aggregate_view",
-        "stream_dedup_keys",
-        "stream_ingest_dedup",
-        "stream_ingest_neardup",
-        "stream_interval_join",
-        "stream_interval_join_outer",
-        "stream_latest_per_key",
-        "stream_parquet_sink",
-        "stream_pipeline_yaml",
-        "stream_quality_quarantine",
-        "stream_running_totals",
-        "stream_session_windows",
-        "stream_sliding_counts",
-        "stream_static_enrich",
-        "stream_topk_per_window",
-        "stream_tumbling_counts",
-        "stream_windowed_rollup_chain",
+        "active_streaks",
+        "asof_join_events",
+        "asof_join_tolerance",
+        "attribution_last_touch",
+        "cms_heavy_hitters",
+        "cohort_retention",
+        "compaction_tombstone",
+        "conversion_lag_quantiles",
+        "daily_count_anomalies",
+        "dedup_keys",
+        "event_gap_quantiles",
+        "event_gap_quantiles_chunked",
+        "ewma_latest_per_user",
+        "funnel_stages",
+        "gap_fill_locf",
+        "hourly_value_quantiles",
+        "interpolate_linear",
+        "interval_join_peak_windows",
+        "kmv_distinct_rollup",
+        "kmv_overlap_daily",
+        "kmv_rolling_wau",
+        "latest_per_key",
+        "range_join_views_before_purchase",
+        "rollup_time_hierarchy",
+        "scd2_history",
+        "session_paths_top",
+        "session_window_agg",
+        "sessionize_events",
+        "sessionize_events_chunked",
+        "sliding_window_agg",
+        "time_weighted_avg",
+        "tumbling_window_agg",
+        "value_histogram_log2",
+        "zscore_outliers",
     }
 )
 # END CHANGED_SINCE_GREEN

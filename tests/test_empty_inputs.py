@@ -123,6 +123,8 @@ REPRESENTATIVE = [
     "seasonal_naive_backtest",   # day-7 self-join scorer
     "markov_next_event_accuracy",# hash-fold train/test argmax
     "knn_label_purity",          # exact 5-NN label purity + MRR
+    "bounce_rate_by_entry",      # sessionized entry-type depth stats
+    "right_to_be_forgotten_audit",  # purge-impact broadcast audit
 ]
 
 
@@ -149,6 +151,7 @@ EXPECT_SUMMARY_ROWS = {
     "corr_matrix_lineitem": 6,   # six pair rows with NULL corr
     "vocab_coverage_curve": 7,   # one row per threshold (zero coverage)
     "minhash_band_sweep": 3,     # one summary row per band config
+    "right_to_be_forgotten_audit": 2,  # one summary row per table
 }
 
 
