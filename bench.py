@@ -185,6 +185,7 @@ EXTENDED = [
     "knn_label_purity",
     "bounce_rate_by_entry",
     "right_to_be_forgotten_audit",
+    "purchase_hazard_curve",
 ]
 
 

@@ -3061,3 +3061,137 @@ def right_to_be_forgotten_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "author_id",
     )
     return ev.unionByName(docs).orderBy("table_name")
+
+
+@query(
+    "purchase_hazard_curve",
+    oracle="""
+    WITH t0 AS (
+      SELECT user_id,
+             MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t0_us
+      FROM events WHERE event_type = 'signup'
+      GROUP BY user_id
+    ),
+    conv AS (
+      SELECT e.user_id,
+             MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS conv_us
+      FROM events e JOIN t0 ON t0.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= t0.t0_us
+      GROUP BY e.user_id
+    ),
+    horizon AS (
+      SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS tmax_us FROM events
+    ),
+    users AS (
+      SELECT t0.user_id,
+             (conv.conv_us - t0.t0_us) // 86400000000 AS dstar,
+             (horizon.tmax_us - t0.t0_us) // 86400000000 AS dcens
+      FROM t0
+      LEFT JOIN conv ON conv.user_id = t0.user_id
+      CROSS JOIN horizon
+    ),
+    days AS (SELECT unnest(generate_series(0, 13)) AS k),
+    tot AS (SELECT COUNT(*) AS n_users FROM users)
+    SELECT CAST(days.k AS INT) AS days_since_signup,
+           CAST(SUM(CASE WHEN dcens >= days.k
+                          AND (dstar IS NULL OR dstar >= days.k)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_at_risk,
+           CAST(SUM(CASE WHEN dstar = days.k THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_converted,
+           CAST(SUM(CASE WHEN dstar = days.k THEN 1 ELSE 0 END)
+                * 1000000
+                // NULLIF(SUM(CASE WHEN dcens >= days.k
+                               AND (dstar IS NULL OR dstar >= days.k)
+                              THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS hazard_e6,
+           CAST(SUM(CASE WHEN dstar IS NOT NULL AND dstar <= days.k
+                     THEN 1 ELSE 0 END) * 1000000
+                // NULLIF(tot.n_users, 0) AS BIGINT)
+             AS cum_conversion_e6
+    FROM users
+    CROSS JOIN days
+    CROSS JOIN tot
+    GROUP BY days.k, tot.n_users
+    ORDER BY days_since_signup
+    """,
+)
+def purchase_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time survival analysis of signup-to-purchase: for each
+    day k since a user's first signup, the conversion HAZARD (share of
+    still-unconverted, still-observable users who convert on day k)
+    with right-censoring at the observation horizon — the estimator
+    product analytics needs because naive conversion rates understate
+    late cohorts (their clock hasn't run). n_at_risk shrinks by both
+    conversion and censoring, exactly as in the Kaplan-Meier risk set;
+    the cumulative conversion column is the uncensored empirical CDF
+    for reference.
+
+    One groupBy per anchor/conversion event, a per-user row (bounded
+    by |users|), a broadcast 14-day grid that collapses map-side to 14
+    rows per partition, and pure-integer day buckets (floor division
+    of microsecond deltas). hazard_e6 and cum_conversion_e6 are floor
+    divisions on non-negative counts."""
+    e = _events(spark, sf_dir)
+    t0 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(epoch_us("ts")).alias("t0_us"))
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", epoch_us("ts").alias("p_us"))
+        .join(t0, "user_id")
+        .filter(F.col("p_us") >= F.col("t0_us"))
+        .groupBy("user_id")
+        .agg(F.min("p_us").alias("conv_us"))
+    )
+    horizon = e.agg(F.max(epoch_us("ts")).alias("tmax_us"))
+    users = (
+        t0.join(conv, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.expr("(conv_us - t0_us) div 86400000000").alias("dstar"),
+            F.expr("(tmax_us - t0_us) div 86400000000").alias("dcens"),
+        )
+    )
+    days = spark.createDataFrame([(k,) for k in range(14)], "k int")
+    tot = users.agg(F.count("*").alias("n_users"))
+    at_risk = F.sum(
+        F.when(
+            (F.col("dcens") >= F.col("k"))
+            & (F.col("dstar").isNull() | (F.col("dstar") >= F.col("k"))),
+            1,
+        ).otherwise(0)
+    )
+    converted = F.sum(
+        F.when(F.col("dstar") == F.col("k"), 1).otherwise(0)
+    )
+    return (
+        users.crossJoin(F.broadcast(days))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k", "n_users")
+        .agg(
+            at_risk.alias("ar"),
+            converted.alias("cv"),
+            F.sum(
+                F.when(
+                    F.col("dstar").isNotNull()
+                    & (F.col("dstar") <= F.col("k")),
+                    1,
+                ).otherwise(0)
+            ).alias("cum_cv"),
+        )
+        .select(
+            F.col("k").cast("int").alias("days_since_signup"),
+            F.col("ar").cast("bigint").alias("n_at_risk"),
+            F.col("cv").cast("bigint").alias("n_converted"),
+            F.expr(
+                "CAST(cv * 1000000 div NULLIF(ar, 0) AS BIGINT)"
+            ).alias("hazard_e6"),
+            F.expr(
+                "CAST(cum_cv * 1000000 div NULLIF(n_users, 0) AS BIGINT)"
+            ).alias("cum_conversion_e6"),
+        )
+        .orderBy("days_since_signup")
+    )

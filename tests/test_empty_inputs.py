@@ -125,6 +125,7 @@ REPRESENTATIVE = [
     "knn_label_purity",          # exact 5-NN label purity + MRR
     "bounce_rate_by_entry",      # sessionized entry-type depth stats
     "right_to_be_forgotten_audit",  # purge-impact broadcast audit
+    "purchase_hazard_curve",     # censored discrete-time hazard
 ]
 
 
