@@ -186,6 +186,7 @@ EXTENDED = [
     "bounce_rate_by_entry",
     "right_to_be_forgotten_audit",
     "purchase_hazard_curve",
+    "ab_test_analysis",
 ]
 
 

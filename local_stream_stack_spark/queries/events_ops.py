@@ -3195,3 +3195,137 @@ def purchase_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("days_since_signup")
     )
+
+
+@query(
+    "ab_test_analysis",
+    oracle="""
+    WITH assigned AS (
+      SELECT user_id,
+             CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 4)
+                  AS BIGINT) % 2 AS arm
+      FROM events
+      GROUP BY user_id
+    ),
+    outcomes AS (
+      SELECT a.user_id, a.arm,
+             MAX(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted,
+             SUM(CASE WHEN e.event_type = 'purchase'
+                 THEN CAST(ROUND(e.value * 100) AS BIGINT) ELSE 0 END)
+               AS cents
+      FROM assigned a JOIN events e ON e.user_id = a.user_id
+      GROUP BY a.user_id, a.arm
+    ),
+    arms AS (
+      SELECT arm, COUNT(*) AS n, SUM(converted) AS c, SUM(cents) AS v
+      FROM outcomes GROUP BY arm
+    ),
+    wide AS (
+      SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n_a,
+             MAX(CASE WHEN arm = 0 THEN c END) AS c_a,
+             MAX(CASE WHEN arm = 0 THEN v END) AS v_a,
+             MAX(CASE WHEN arm = 1 THEN n END) AS n_b,
+             MAX(CASE WHEN arm = 1 THEN c END) AS c_b,
+             MAX(CASE WHEN arm = 1 THEN v END) AS v_b
+      FROM arms
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_users_a,
+           CAST(n_b AS BIGINT) AS n_users_b,
+           CAST(c_a AS BIGINT) AS n_conv_a,
+           CAST(c_b AS BIGINT) AS n_conv_b,
+           CAST(c_a * 1000000 // NULLIF(n_a, 0) AS BIGINT)
+             AS conv_rate_a_e6,
+           CAST(c_b * 1000000 // NULLIF(n_b, 0) AS BIGINT)
+             AS conv_rate_b_e6,
+           CAST((2 * v_a + c_a) // (2 * NULLIF(c_a, 0)) AS BIGINT)
+             AS mean_value_per_conv_a,
+           CAST((2 * v_b + c_b) // (2 * NULLIF(c_b, 0)) AS BIGINT)
+             AS mean_value_per_conv_b,
+           (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+           / NULLIF(SQRT(
+               (CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+               * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+               * (1.0 / n_a + 1.0 / n_b)), 0.0) AS z_conversion
+    FROM wide
+    """,
+)
+def ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with a two-proportion z-test: users
+    split into arms by a counter-based hash (reproducible on any
+    cluster, no assignment table to store), purchase conversion and
+    value-per-converter compared, and the pooled-variance z statistic
+    for the conversion delta — the decision metric an experimentation
+    pipeline materializes every run. With hash arms on uniform
+    traffic, z should hover near 0: the query doubles as the A/A
+    sanity check that validates the assignment hash itself.
+
+    One shuffle to the user grain, one to 2 arm rows. Counts and cents
+    are exact integers (rates floor-divided, value-per-converter
+    round-half-up); z derives from the four arm integers through one
+    expression tree written identically on both engines, with NULLIF
+    guarding the degenerate all-convert/none-convert pools."""
+    e = _events(spark, sf_dir)
+    outcomes = (
+        e.select(
+            "user_id",
+            "event_type",
+            F.expr(
+                "CASE WHEN event_type = 'purchase'"
+                " THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END"
+            ).alias("cents"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+            F.sum("cents").alias("cents"),
+        )
+        .select(
+            F.expr(
+                "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 4),"
+                " 16, 10) AS BIGINT) % 2"
+            ).alias("arm"),
+            "converted",
+            "cents",
+        )
+    )
+    arms = outcomes.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.sum("converted").alias("c"),
+        F.sum("cents").alias("v"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("c"))).alias("c_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("v"))).alias("v_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("c"))).alias("c_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("v"))).alias("v_b"),
+    )
+    return wide.select(
+        F.col("n_a").cast("bigint").alias("n_users_a"),
+        F.col("n_b").cast("bigint").alias("n_users_b"),
+        F.col("c_a").cast("bigint").alias("n_conv_a"),
+        F.col("c_b").cast("bigint").alias("n_conv_b"),
+        F.expr("CAST(c_a * 1000000 div NULLIF(n_a, 0) AS BIGINT)").alias(
+            "conv_rate_a_e6"
+        ),
+        F.expr("CAST(c_b * 1000000 div NULLIF(n_b, 0) AS BIGINT)").alias(
+            "conv_rate_b_e6"
+        ),
+        F.expr(
+            "CAST((2 * v_a + c_a) div (2 * NULLIF(c_a, 0)) AS BIGINT)"
+        ).alias("mean_value_per_conv_a"),
+        F.expr(
+            "CAST((2 * v_b + c_b) div (2 * NULLIF(c_b, 0)) AS BIGINT)"
+        ).alias("mean_value_per_conv_b"),
+        F.expr(
+            "(CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)"
+            " / NULLIF(SQRT("
+            " (CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))"
+            " * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))"
+            " * (1.0 / n_a + 1.0 / n_b)), 0.0)"
+        ).alias("z_conversion"),
+    )

@@ -126,6 +126,7 @@ REPRESENTATIVE = [
     "bounce_rate_by_entry",      # sessionized entry-type depth stats
     "right_to_be_forgotten_audit",  # purge-impact broadcast audit
     "purchase_hazard_curve",     # censored discrete-time hazard
+    "ab_test_analysis",          # hash arms + two-proportion z
 ]
 
 
@@ -153,6 +154,7 @@ EXPECT_SUMMARY_ROWS = {
     "vocab_coverage_curve": 7,   # one row per threshold (zero coverage)
     "minhash_band_sweep": 3,     # one summary row per band config
     "right_to_be_forgotten_audit": 2,  # one summary row per table
+    "ab_test_analysis": 1,       # single wide summary row (NULL arms)
 }
 
 
