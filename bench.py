@@ -187,6 +187,7 @@ EXTENDED = [
     "right_to_be_forgotten_audit",
     "purchase_hazard_curve",
     "ab_test_analysis",
+    "dau_mau_stickiness",
 ]
 
 

@@ -3329,3 +3329,78 @@ def ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * (1.0 / n_a + 1.0 / n_b)), 0.0)"
         ).alias("z_conversion"),
     )
+
+
+@query(
+    "dau_mau_stickiness",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m') AS month,
+             CAST(ts AS DATE) AS day,
+             COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1, 2
+    ),
+    monthly AS (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m') AS month,
+             COUNT(DISTINCT user_id) AS mau
+      FROM events GROUP BY 1
+    )
+    SELECT d.month,
+           CAST(COUNT(*) AS BIGINT) AS n_active_days,
+           CAST(SUM(d.dau) AS BIGINT) AS sum_dau,
+           CAST(m.mau AS BIGINT) AS mau,
+           CAST((2 * SUM(d.dau) + COUNT(*)) // (2 * COUNT(*))
+                AS BIGINT) AS mean_dau_rounded,
+           CAST(SUM(d.dau) * 1000000
+                // NULLIF(COUNT(*) * m.mau, 0) AS BIGINT)
+             AS stickiness_e6
+    FROM daily d JOIN monthly m ON m.month = d.month
+    GROUP BY d.month, m.mau
+    ORDER BY d.month
+    """,
+)
+def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month: mean daily active users over
+    monthly active users — the engagement ratio every product
+    dashboard tracks (1.0 = everyone active daily, ~0.03 = monthly
+    drop-ins). Exact distinct counts at both grains (the KMV sketch
+    family covers the approximate path at extreme scale).
+
+    Two distinct aggregates over one scan — day grain and month grain
+    — joined on month (both bounded by the calendar x user domain,
+    with partial aggregation doing the heavy lift map-side).
+    stickiness_e6 = sum(dau) / (days x mau) as a floor division of
+    non-negative integers; mean DAU uses the round-half-up idiom."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        F.to_date("ts").alias("day"),
+    ).agg(F.countDistinct("user_id").alias("dau"))
+    monthly = e.groupBy(
+        F.date_format("ts", "yyyy-MM").alias("month")
+    ).agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        daily.join(monthly, "month")
+        .groupBy("month", "mau")
+        .agg(
+            F.count("*").cast("bigint").alias("n_active_days"),
+            F.sum("dau").cast("bigint").alias("sum_dau"),
+            F.expr(
+                "CAST((2 * SUM(dau) + COUNT(*)) div (2 * COUNT(*))"
+                " AS BIGINT)"
+            ).alias("mean_dau_rounded"),
+            F.expr(
+                "CAST(SUM(dau) * 1000000"
+                " div NULLIF(COUNT(*) * mau, 0) AS BIGINT)"
+            ).alias("stickiness_e6"),
+        )
+        .select(
+            "month",
+            "n_active_days",
+            "sum_dau",
+            F.col("mau").cast("bigint").alias("mau"),
+            "mean_dau_rounded",
+            "stickiness_e6",
+        )
+        .orderBy("month")
+    )

@@ -127,6 +127,7 @@ REPRESENTATIVE = [
     "right_to_be_forgotten_audit",  # purge-impact broadcast audit
     "purchase_hazard_curve",     # censored discrete-time hazard
     "ab_test_analysis",          # hash arms + two-proportion z
+    "dau_mau_stickiness",        # two-grain distinct engagement ratio
 ]
 
 
