@@ -371,3 +371,49 @@ def test_substring_spans_match_python_reference(spark, tmp_path_factory, data):
         for r in dedup_substring_spans(spark, str(d)).collect()
     }
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=1, max_size=30
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=1, max_size=30
+    ),
+)
+def test_asof_join_nearest_matches_pandas(spark, lefts, rights):
+    """asof_join_nearest == pandas merge_asof(by=key,
+    direction='nearest') — including the equal-distance tie, which
+    both resolve backward (verified: pandas prefers the earlier row)."""
+    import pandas as pd
+
+    from local_stream_stack_spark.operators.events import asof_join_nearest
+
+    lefts = sorted({(k, t) for k, t in lefts})
+    rights = sorted({(k, t) for k, t in rights})
+    ldf = spark.createDataFrame(
+        [(k, t, 1000 + i) for i, (k, t) in enumerate(lefts)],
+        "k long, ts long, lid long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, 2000 + i) for i, (k, t) in enumerate(rights)],
+        "k long, ts long, rid long",
+    )
+    got = {
+        (r.k, r.ts): r.rid
+        for r in asof_join_nearest(
+            ldf, rdf, on="k", left_ts="ts", right_ts="ts", right_cols=["rid"]
+        ).collect()
+    }
+    lp = pd.DataFrame(lefts, columns=["k", "ts"]).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(
+        [(k, t, 2000 + i) for i, (k, t) in enumerate(rights)],
+        columns=["k", "ts", "rid"],
+    ).sort_values("ts", kind="stable")
+    merged = pd.merge_asof(lp, rp, on="ts", by="k", direction="nearest")
+    want = {
+        (int(r.k), int(r.ts)): (None if pd.isna(r.rid) else int(r.rid))
+        for r in merged.itertuples()
+    }
+    assert got == want
