@@ -417,3 +417,54 @@ def test_asof_join_nearest_matches_pandas(spark, lefts, rights):
         for r in merged.itertuples()
     }
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_twostar_components_match_union_find(spark, edges):
+    """The large-star/small-star contraction must agree with a plain
+    union-find on random multigraphs, same contract as min-label."""
+    from local_stream_stack_spark.operators.graph import (
+        connected_components_twostar,
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in edges:
+        if a == b:
+            continue
+        nodes.update((a, b))
+        for x in (a, b):
+            parent.setdefault(x, x)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    if not nodes:
+        return
+    comp = {}
+    for x in nodes:
+        comp.setdefault(find(x), []).append(x)
+    expected = {
+        x: min(members) for members in comp.values() for x in members
+    }
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges], "src long, dst long"
+    )
+    got = {
+        r.node: r.component
+        for r in connected_components_twostar(df).collect()
+    }
+    assert got == expected
