@@ -38,17 +38,23 @@ QUERIES: dict[str, QuerySpec] = {}
 # and confirm with ``python tools/check_parity.py --window``.
 DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
     {
+        "ab_test_analysis",
         "active_streaks",
         "approx_distinct_parts",
         "approx_percentile_qty",
         "array_hof_order_lines",
         "asof_join_events",
+        "asof_join_nearest",
         "asof_join_tolerance",
         "attribution_last_touch",
+        "autocorr_daily_counts",
         "basket_lift_pairs",
         "benford_first_digit",
+        "blocklist_filter_stats",
         "bm25_rank",
         "boilerplate_ngrams",
+        "bootstrap_mean_ci",
+        "bounce_rate_by_entry",
         "bpe_train_merges",
         "bpe_vocab_counts",
         "bucketed_join_revenue",
@@ -64,6 +70,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "compaction_tombstone",
         "conversion_lag_quantiles",
         "copurchase_bfs_hops",
+        "copurchase_pagerank",
         "corpus_stats_by_lang",
         "corr_matrix_lineitem",
         "csv_roundtrip_orders",
@@ -72,11 +79,14 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "curation_pipeline",
         "customer_decile_transitions",
         "customer_rfm_scores",
+        "cusum_changepoint_revenue",
         "daily_count_anomalies",
         "date_funcs",
+        "dau_mau_stickiness",
         "decile_bounds_price",
         "decontaminate_ngram_overlap",
         "decontaminate_splits",
+        "dedup_canonical_pick",
         "dedup_cluster_sizes",
         "dedup_components",
         "dedup_containment",
@@ -86,6 +96,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
         "dedup_prefix_clusters",
+        "dedup_rate_by_source",
         "dedup_repeated_ngram_spans",
         "dedup_simhash",
         "dedup_substring_spans",
@@ -96,12 +107,15 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "doc_novelty_scores",
         "dpp_partitioned_lang_join",
         "dq_expectations_orders",
+        "embedding_dim_variance_audit",
         "embedding_matryoshka_mass",
         "embedding_norms",
+        "embedding_pca_power",
         "embedding_quantize_int8",
         "embedding_quantize_pct",
         "event_gap_quantiles",
         "event_gap_quantiles_chunked",
+        "event_transition_matrix",
         "ewma_latest_per_user",
         "exact_quantile_distributed",
         "explode_outer_rare_tokens",
@@ -112,6 +126,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "gap_fill_locf",
         "grouping_sets_revenue",
         "hash_agg_stats",
+        "hhi_market_concentration",
         "hll_sketch_rollup",
         "hourly_value_quantiles",
         "interpolate_linear",
@@ -128,27 +143,34 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "join_shuffle_hash_hint",
         "json_funcs",
         "json_roundtrip_orders",
+        "k_anonymity_audit",
         "kafka_frame_roundtrip",
         "kmeans_embeddings",
         "kmv_distinct_rollup",
         "kmv_overlap_daily",
         "kmv_rolling_wau",
+        "knn_label_purity",
         "label_centroids",
         "lang_id",
         "lang_id_confusion",
         "latest_per_key",
         "mad_outliers",
         "map_explode_customer",
+        "markov_next_event_accuracy",
         "math_funcs",
+        "minhash_band_sweep",
         "minhash_calibration",
         "multimodal_binary_meta",
         "multimodal_features",
         "multimodal_frame_sample",
         "multimodal_png_decode",
+        "multimodal_video_frames",
+        "multimodal_wav_decode",
         "null_semantics",
         "nulls_ordering",
         "ols_slope_per_type",
         "orc_roundtrip_orders",
+        "orders_backlog_aging",
         "orders_monthly_yoy",
         "pack_documents",
         "pagerank_copurchase",
@@ -156,6 +178,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "percentile_stats",
         "perplexity_bigram_interp",
         "perplexity_unigram",
+        "pii_scrub_stats",
         "pipe_syntax_revenue",
         "pipeline_yaml_batch",
         "pipeline_yaml_enrich_agg",
@@ -163,6 +186,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "price_decile_assign",
         "profile_columns",
         "projection_cast",
+        "purchase_hazard_curve",
         "pyds_stream_agg",
         "pyds_synthetic_agg",
         "q10_returned_revenue",
@@ -195,30 +219,36 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "regression_by_nation",
         "repetition_ratio",
         "revenue_gini_lorenz",
+        "right_to_be_forgotten_audit",
         "rollup_revenue",
         "rollup_time_hierarchy",
         "sample_per_group",
         "scd2_history",
         "schema_evolution_roundtrip",
         "schema_registry_parse",
+        "seasonal_naive_backtest",
         "semantic_dedup_components",
         "semantic_dedup_lsh_components",
+        "session_entropy_per_user",
         "session_paths_top",
         "session_window_agg",
         "sessionize_events",
         "sessionize_events_chunked",
         "set_ops",
         "set_ops_bag",
+        "ship_lag_quantiles",
         "shuffle_deterministic",
         "sim_bruteforce_topk",
         "sim_ivf_topk",
         "sim_ivfpq_topk",
         "sim_lsh_topk",
         "sim_pq_topk",
+        "sim_recall_calibration",
         "skew_diagnostics",
         "sliding_window_agg",
         "source_char_budget",
         "source_mixing_weights",
+        "source_overlap_matrix",
         "sql_api_revenue",
         "sql_udf_netprice",
         "sql_variables_param_revenue",
@@ -235,6 +265,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "stream_pipeline_yaml",
         "stream_quality_quarantine",
         "stream_running_totals",
+        "stream_running_totals_tws",
         "stream_session_windows",
         "stream_sliding_counts",
         "stream_static_enrich",
@@ -243,6 +274,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "stream_windowed_rollup_chain",
         "string_funcs",
         "supplier_pareto_abc",
+        "table_fingerprint_orders",
         "text_stats",
         "tfidf_top_terms",
         "time_weighted_avg",
@@ -260,10 +292,14 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "udtf_tokenize",
         "unicode_nfc_normalize",
         "unpivot_part_measures",
+        "user_adoption_curve",
         "value_histogram_log2",
         "variant_extract_orders",
         "vocab_coverage",
+        "vocab_coverage_curve",
+        "weekday_activity_profile",
         "weighted_sample",
+        "welch_t_sources",
         "window_analytic",
         "window_distribution",
         "window_frames",
@@ -295,42 +331,6 @@ NEW_THIS_ROUND: frozenset[str] = frozenset()
 # filler slots.
 # BEGIN CHANGED_SINCE_GREEN (auto-generated)
 CHANGED_SINCE_GREEN: frozenset[str] = frozenset(
-    {
-        "active_streaks",
-        "asof_join_events",
-        "asof_join_tolerance",
-        "attribution_last_touch",
-        "cms_heavy_hitters",
-        "cohort_retention",
-        "compaction_tombstone",
-        "conversion_lag_quantiles",
-        "daily_count_anomalies",
-        "dedup_keys",
-        "event_gap_quantiles",
-        "event_gap_quantiles_chunked",
-        "ewma_latest_per_user",
-        "funnel_stages",
-        "gap_fill_locf",
-        "hourly_value_quantiles",
-        "interpolate_linear",
-        "interval_join_peak_windows",
-        "kmv_distinct_rollup",
-        "kmv_overlap_daily",
-        "kmv_rolling_wau",
-        "latest_per_key",
-        "range_join_views_before_purchase",
-        "rollup_time_hierarchy",
-        "scd2_history",
-        "session_paths_top",
-        "session_window_agg",
-        "sessionize_events",
-        "sessionize_events_chunked",
-        "sliding_window_agg",
-        "time_weighted_avg",
-        "tumbling_window_agg",
-        "value_histogram_log2",
-        "zscore_outliers",
-    }
 )
 # END CHANGED_SINCE_GREEN
 
