@@ -42,6 +42,32 @@ def latest_per_key(
     )
 
 
+def _one_row_per_key_ts(
+    right: DataFrame, on: str, right_ts: str, right_cols: Sequence[str]
+) -> DataFrame:
+    """Reduce the right side to ONE row per (key, ts): the
+    lexicographic max over the struct of ``right_cols``. Unlike
+    independent per-column ``F.max``, the struct max returns the
+    column values of a single real input row — a multi-column right
+    payload can never mix values from different source rows
+    (pandas ``merge_asof`` returns an actual row; so do we). A plain
+    partial-aggregating groupBy: map-side combine, one shuffle on
+    (key, ts)."""
+    return (
+        right.groupBy(on, right_ts)
+        .agg(
+            F.max(F.struct(*[F.col(c) for c in right_cols])).alias(
+                "__row"
+            )
+        )
+        .select(
+            on,
+            right_ts,
+            *[F.col(f"__row.{c}").alias(c) for c in right_cols],
+        )
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -60,17 +86,18 @@ def asof_join(
     This avoids the inequality-join explosion entirely, which is the
     only formulation that survives 100 TB.
 
-    The right side is first reduced to one row per (key, ts) — the max
-    over ``right_cols``' first column — so ties are deterministic.
+    The right side is first reduced to one row per (key, ts) — the
+    lexicographic max over the WHOLE struct of ``right_cols``, so the
+    surviving values all come from one real input row (independent
+    per-column maxes could synthesize a row that never existed,
+    ADVICE r7 #4) and ties are deterministic.
 
     Output: all left columns + ``right_ts`` (as column "right_ts") +
     ``right_cols``. If ``tolerance`` (SQL interval string, e.g.
     ``"INTERVAL 1 HOUR"``) is set, matches older than it are nulled.
     """
     tie_col = right_cols[0]
-    r1 = right.groupBy(on, right_ts).agg(
-        *[F.max(c).alias(c) for c in right_cols]
-    )
+    r1 = _one_row_per_key_ts(right, on, right_ts, right_cols)
 
     left_payload = [c for c in left.columns if c not in (on, left_ts)]
     l_tagged = left.select(
@@ -152,12 +179,11 @@ def asof_join_nearest(
     Output: all left columns + ``right_ts``/``right_cols`` of the
     chosen match + a ``matched_direction`` column ('backward',
     'forward', or NULL when no match within ``tolerance``). The right
-    side is reduced to one row per (key, ts) first, so ties are
-    deterministic.
+    side is reduced to one REAL row per (key, ts) first (whole-struct
+    max — see :func:`_one_row_per_key_ts`), so ties are deterministic
+    and column values stay row-consistent.
     """
-    r1 = right.groupBy(on, right_ts).agg(
-        *[F.max(c).alias(c) for c in right_cols]
-    )
+    r1 = _one_row_per_key_ts(right, on, right_ts, right_cols)
 
     left_payload = [c for c in left.columns if c not in (on, left_ts)]
     tie_col = left_payload[0] if left_payload else None

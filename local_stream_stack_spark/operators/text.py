@@ -321,27 +321,31 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     addresses) — the curation scrub every training-data pipeline runs
     before anything ships.
 
-    Adds ``n_<kind>`` match counts per kind, ``redacted`` (each span
-    replaced by ``<KIND>``), and ``pii_chars_removed`` (original
+    Adds ``n_<kind>`` REDACTION counts per kind, ``redacted`` (each
+    span replaced by ``<KIND>``), and ``pii_chars_removed`` (original
     length minus redacted length plus the replacement-token lengths —
-    i.e. exactly the PII characters dropped). Pure built-in
-    ``regexp_extract_all``/``regexp_replace``: JVM-side, scan-shaped,
-    no shuffle — at 100 TB this is a map-only pass. Order matters:
-    emails are redacted before IPv4 so a dotted domain can't be
-    re-matched as an address."""
+    i.e. exactly the PII characters dropped). Each kind is counted on
+    the text already redacted by the PRECEDING kinds, mirroring the
+    replacement order — so a span consumed by an earlier pattern
+    (e.g. an ipv4-looking domain inside an email) is neither
+    double-counted nor counted without a matching redaction, and
+    ``pii_chars_removed`` is exact by construction (ADVICE r7 #3).
+    Pure built-in ``regexp_extract_all``/``regexp_replace``:
+    JVM-side, scan-shaped, no shuffle — at 100 TB this is a map-only
+    pass. Order matters: emails are redacted before IPv4 so a dotted
+    domain can't be re-matched as an address."""
     c = F.col(text_col)
     out = df
+    staged = c
     for kind, pat in PII_PATTERNS.items():
         out = out.withColumn(
             f"n_{kind}",
-            F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).cast(
-                "int"
-            ),
+            F.size(
+                F.regexp_extract_all(staged, F.lit(pat), F.lit(0))
+            ).cast("int"),
         )
-    red = c
-    for kind, pat in PII_PATTERNS.items():
-        red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
-    out = out.withColumn("redacted", red)
+        staged = F.regexp_replace(staged, pat, f"<{kind.upper()}>")
+    out = out.withColumn("redacted", staged)
     removed = (
         F.length(c)
         - F.length(F.col("redacted"))

@@ -1221,21 +1221,31 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
              ELSE '' END AS t
       FROM documents
     ),
-    cnt AS (
+    s1 AS (
       SELECT source, t,
              len(regexp_extract_all(t,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
-             len(regexp_extract_all(t,
-               '\+\d{1,2}-\d{3}-\d{3}-\d{4}')) AS np,
-             len(regexp_extract_all(t,
-               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ni,
-             regexp_replace(regexp_replace(regexp_replace(t,
+             regexp_replace(t,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-               '<EMAIL>', 'g'),
-               '\+\d{1,2}-\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+               '<EMAIL>', 'g') AS r1
+      FROM mixed
+    ),
+    s2 AS (
+      SELECT source, t, ne,
+             len(regexp_extract_all(r1,
+               '\+\d{1,2}-\d{3}-\d{3}-\d{4}')) AS np,
+             regexp_replace(r1,
+               '\+\d{1,2}-\d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS r2
+      FROM s1
+    ),
+    cnt AS (
+      SELECT source, t, ne, np,
+             len(regexp_extract_all(r2,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ni,
+             regexp_replace(r2,
                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
                '<IPV4>', 'g') AS red
-      FROM mixed
+      FROM s2
     )
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -1142,9 +1142,10 @@ def try_arithmetic_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT nation,
            CAST(n AS BIGINT) AS n_lineitems,
-           slope,
-           (syd - slope * sxd) / nd / 100.0 AS intercept,
-           corr_xy
+           CAST(FLOOR(slope * 1000000.0 + 0.5) AS BIGINT) AS slope_e6,
+           CAST(FLOOR((syd - slope * sxd) / nd / 100.0 * 100.0 + 0.5)
+                AS BIGINT) AS intercept_e2,
+           CAST(FLOOR(corr_xy * 1000000.0 + 0.5) AS BIGINT) AS corr_e6
     FROM s
     ORDER BY nation
     """,
@@ -1158,9 +1159,15 @@ def regression_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the slope/intercept/corr doubles derive from bit-identical inputs
     in any engine and any partitioning (the float-aggregate
     determinism rule; built-in regr_slope/corr accumulate doubles in
-    partition order and can hash-differ). One partial+final hash
-    aggregate after two broadcast dim joins; moment sums are the same
-    mergeable state regr_* keeps, so this is the scale plan too."""
+    partition order and can hash-differ). Outputs are single-rounded
+    to scaled BIGINTs (slope_e6 / intercept_e2 / corr_e6) with the
+    identical FLOOR(x*scale + 0.5) tree on both engines: at sf0.1 the
+    moment sums exceed 2^53, where the DECIMAL->DOUBLE cast itself
+    may round differently per engine, so raw doubles are one ulp from
+    a hash mismatch while e6/e2 grains absorb it. One partial+final
+    hash aggregate after two broadcast dim joins; moment sums are the
+    same mergeable state regr_* keeps, so this is the scale plan
+    too."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
@@ -1218,9 +1225,16 @@ def regression_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s2.select(
         "nation",
         F.col("n").cast("bigint").alias("n_lineitems"),
-        "slope",
-        F.expr("(syd - slope * sxd) / nd / 100.0").alias("intercept"),
-        "corr_xy",
+        F.expr("CAST(FLOOR(slope * 1000000.0 + 0.5) AS BIGINT)").alias(
+            "slope_e6"
+        ),
+        F.expr(
+            "CAST(FLOOR((syd - slope * sxd) / nd / 100.0 * 100.0 + 0.5)"
+            " AS BIGINT)"
+        ).alias("intercept_e2"),
+        F.expr("CAST(FLOOR(corr_xy * 1000000.0 + 0.5) AS BIGINT)").alias(
+            "corr_e6"
+        ),
     ).orderBy("nation")
 
 

@@ -16,6 +16,7 @@ standard Structured Streaming plan:
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -222,10 +223,13 @@ def latest_per_key_stream_parquet(
     window the previous dynamic-partition-overwrite form documented
     as open). Replayed epochs rewrite their own epoch dir + manifest
     from the pre-N state, so checkpoint recovery converges; committed
-    superseded bucket dirs are garbage-collected best-effort AFTER
-    each commit (crash mid-GC leaves unreferenced files readers
-    ignore). This is exactly a minimal transaction log — the same
-    commit protocol as a table format, scoped to one writer.
+    superseded bucket dirs are garbage-collected best-effort one epoch
+    LATE (at epoch N's commit only dirs superseded by epochs < N are
+    deleted — the dir N itself supersedes survives until N+1 commits,
+    because it is the pre-state an epoch-N replay must still read).
+    Crash mid-GC leaves unreferenced files readers ignore. This is
+    exactly a minimal transaction log — the same commit protocol as a
+    table format, scoped to one writer.
 
     Tombstones follow Kafka compaction semantics: the latest record
     per key is RETAINED with a ``__deleted`` flag (so a partition
@@ -304,14 +308,27 @@ def latest_per_key_stream_parquet(
             epoch_id,
             json.dumps({"epoch": epoch_id, "buckets": sorted(touched)}),
         )
-        # 3) best-effort GC of superseded committed bucket dirs (only
-        #    epochs < N that also list a just-rewritten bucket)
+        # 3) best-effort GC, DEFERRED BY ONE EPOCH: delete only bucket
+        #    dirs superseded by an epoch STRICTLY BEFORE N. The dir
+        #    that epoch N itself supersedes (latest epoch < N per
+        #    bucket) is retained — it is exactly the pre-state an
+        #    epoch-N replay reads (crash after the manifest rename but
+        #    before the checkpoint commit), and deleting it here would
+        #    wedge every retry on path-not-found. It becomes eligible
+        #    at epoch N+1's commit, by which time the checkpoint has
+        #    committed N and no N-retry can occur. Re-deleting an
+        #    already-GC'd path is a driver-side no-op.
         try:
+            committed = _read_manifests(spark, target_path)
             for b in touched:
-                prev = latest_by_bucket.get(b)
-                if prev is not None and prev != epoch_id:
+                epochs_b = sorted(
+                    e
+                    for e, bl in committed.items()
+                    if e < epoch_id and b in bl
+                )
+                for e in epochs_b[:-1]:
                     _delete_path(
-                        spark, f"{data_path}/__epoch={prev}/__bucket={b}"
+                        spark, f"{data_path}/__epoch={e}/__bucket={b}"
                     )
         except Exception:
             pass  # unreferenced files are invisible to readers
@@ -341,7 +358,10 @@ def _write_manifest_atomic(
     mdir = _manifest_dir(target_path)
     fs = Path(mdir).getFileSystem(hconf)
     fs.mkdirs(Path(mdir))
-    tmp = Path(f"{mdir}/.tmp-{epoch_id}.json")
+    # No .json suffix on the temp: Hadoop globStatus does NOT hide
+    # dot-prefixed files, so a crash-leftover temp named *.json would
+    # be read back as a committed manifest by _read_manifests.
+    tmp = Path(f"{mdir}/.tmp-{epoch_id}")
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(payload.encode("utf-8")))
@@ -371,6 +391,14 @@ def _read_manifests(spark, target_path: str) -> dict[int, list[int]]:
     out: dict[int, list[int]] = {}
     for st in statuses or []:
         p = st.getPath()
+        # Strict commit-name filter: ONLY <epoch>.json is a committed
+        # manifest. Hadoop globStatus does not exclude dot-prefixed
+        # names, so crash-leftover temps (or any stray file) must not
+        # be parsed as commits — that would break the atomic-rename
+        # guarantee (uncommitted epoch visible, or JSONDecodeError on
+        # a torn write poisoning every subsequent read).
+        if not re.fullmatch(r"\d+\.json", p.getName()):
+            continue
         stream = fs.open(p)
         try:
             text = (

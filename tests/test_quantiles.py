@@ -162,9 +162,17 @@ def test_regression_by_nation_matches_numpy(spark, tmp_path):
     slope_np, intercept_np = np.polyfit(x, y, 1)
     corr_np = np.corrcoef(x, y)[0, 1]
     assert row.n_lineitems == 300
-    assert math.isclose(row.slope, slope_np, rel_tol=1e-9)
-    assert math.isclose(row.intercept, intercept_np, rel_tol=1e-6)
-    assert math.isclose(row.corr_xy, corr_np, rel_tol=1e-9)
+    # outputs are single-rounded scaled BIGINTs; tolerance = half a
+    # rounding grain plus numpy's own float noise
+    assert math.isclose(
+        row.slope_e6 / 1e6, slope_np, rel_tol=1e-9, abs_tol=1e-6
+    )
+    assert math.isclose(
+        row.intercept_e2 / 1e2, intercept_np, rel_tol=1e-6, abs_tol=0.01
+    )
+    assert math.isclose(
+        row.corr_e6 / 1e6, corr_np, rel_tol=1e-9, abs_tol=1e-6
+    )
 
 
 def test_percentile_quantization_beats_minmax_under_outliers(spark, tmp_path):

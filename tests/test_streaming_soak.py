@@ -270,3 +270,184 @@ def test_torn_write_invisible_until_manifest_commit(spark, tmpdir):
     q.stop()
     final = {r["key"]: r["seq"] for r in read_compacted_view(spark, view).collect()}
     assert final == {k: 100 + k for k in range(N_KEYS)}
+
+
+def test_replay_after_manifest_commit_survives_gc(spark, tmpdir):
+    """ADVICE r7 #1: crash AFTER epoch N's manifest rename but BEFORE
+    the checkpoint commits batch N. On restart Spark replays batch N,
+    whose pre-state read resolves buckets to epochs < N — so the dirs
+    epoch N superseded must still exist. GC is deferred by one epoch
+    for exactly this window; this test forces the replay
+    deterministically by deleting the newest checkpoint commit marker
+    (Spark then re-runs the batch from the offsets log) and pins that
+    recovery converges instead of wedging on path-not-found."""
+    import glob as _glob
+    import os
+
+    in_dir = f"{tmpdir}/in4"
+    view = f"{tmpdir}/view4"
+    cp = f"{tmpdir}/cp4"
+    try:
+        get_schema("soak_kv")
+    except KeyError:
+        register_schema("soak_kv", KV_SCHEMA)
+    cfg = {
+        "name": "soak-replay-gc",
+        "source": {
+            "type": "parquet",
+            "path": in_dir,
+            "streaming": True,
+            "schema": "soak_kv",
+        },
+        "processors": [],
+        "sink": {"type": "noop"},
+    }
+
+    def start():
+        df = Pipeline(spark, cfg).dataframe()
+        return latest_per_key_stream_parquet(
+            df,
+            keys=["key"],
+            order_col="seq",
+            target_path=view,
+            checkpoint_location=cp,
+            tombstone_predicate="value < 0",
+            n_buckets=4,
+        )
+
+    def feed(epoch: int):
+        spark.createDataFrame(_epoch_rows(epoch), KV_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(in_dir)
+
+    # three clean epochs so GC has real superseded dirs to consider
+    feed(0)
+    q = start()
+    q.processAllAvailable()
+    feed(1)
+    q.processAllAvailable()
+    feed(2)
+    q.processAllAvailable()
+    q.stop()
+
+    # deferred-GC invariant: for every committed bucket, the dir of
+    # the LATEST epoch strictly below the top one (= a replay of the
+    # top epoch's pre-state) must still exist on disk
+    import json as _json
+
+    manifests = {}
+    for p in _glob.glob(f"{view}/_manifests/*.json"):
+        name = os.path.basename(p)
+        if not name[:-5].isdigit():
+            continue
+        m = _json.load(open(p))
+        manifests[int(m["epoch"])] = m["buckets"]
+    top = max(manifests)
+    assert top >= 2
+    pre = {}
+    for e, bl in manifests.items():
+        if e >= top:
+            continue
+        for b in bl:
+            pre[b] = max(pre.get(b, -1), e)
+    for b, e in pre.items():
+        assert os.path.isdir(f"{view}/data/__epoch={e}/__bucket={b}"), (
+            f"pre-state dir for bucket {b} (epoch {e}) was GC'd — "
+            f"an epoch-{top} replay would wedge"
+        )
+
+    # force the replay: drop the newest checkpoint commit marker
+    commits = sorted(
+        (f for f in os.listdir(f"{cp}/commits") if f.isdigit()), key=int
+    )
+    os.remove(f"{cp}/commits/{commits[-1]}")
+    # the local ChecksumFs keeps a .crc sidecar; a stale one fails the
+    # re-commit rename with a misleading "concurrent queries" error
+    crc = f"{cp}/commits/.{commits[-1]}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    q = start()
+    q.processAllAvailable()  # replays the batch; must NOT wedge
+    q.stop()
+
+    out = {r["key"]: r for r in read_compacted_view(spark, view).collect()}
+    assert set(out) == set(range(N_KEYS))
+    for k, r in out.items():
+        assert r["seq"] == 200 + k, (k, r)
+
+
+def test_leftover_temp_manifest_is_not_a_commit(spark, tmpdir):
+    """ADVICE r7 #2: a crash between temp-create and rename leaves a
+    dot-prefixed temp in _manifests/. Hadoop globStatus does NOT hide
+    dotfiles, so the reader must filter strictly to <epoch>.json —
+    neither a well-formed leftover (phantom commit) nor a torn one
+    (JSONDecodeError forever) may affect readers or writers."""
+    import os
+
+    in_dir = f"{tmpdir}/in5"
+    view = f"{tmpdir}/view5"
+    cp = f"{tmpdir}/cp5"
+    try:
+        get_schema("soak_kv")
+    except KeyError:
+        register_schema("soak_kv", KV_SCHEMA)
+    cfg = {
+        "name": "soak-temp-manifest",
+        "source": {
+            "type": "parquet",
+            "path": in_dir,
+            "streaming": True,
+            "schema": "soak_kv",
+        },
+        "processors": [],
+        "sink": {"type": "noop"},
+    }
+
+    def start():
+        df = Pipeline(spark, cfg).dataframe()
+        return latest_per_key_stream_parquet(
+            df,
+            keys=["key"],
+            order_col="seq",
+            target_path=view,
+            checkpoint_location=cp,
+            n_buckets=4,
+        )
+
+    spark.createDataFrame(_epoch_rows(0), KV_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    committed = {
+        (r["key"], r["seq"]) for r in read_compacted_view(spark, view).collect()
+    }
+    assert committed == {(k, k) for k in range(N_KEYS)}
+
+    # plant both failure shapes, using the OLD temp naming (*.json so
+    # an unfiltered glob would match them)
+    with open(f"{view}/_manifests/.tmp-999.json", "w") as f:
+        f.write('{"epoch": 999, "buckets": [0, 1, 2, 3]}')  # phantom
+    with open(f"{view}/_manifests/.tmp-998.json", "w") as f:
+        f.write('{"epo')  # torn write
+
+    # reader unaffected (a phantom epoch-999 commit would resolve all
+    # buckets to nonexistent paths; a torn one would raise)
+    after = {
+        (r["key"], r["seq"]) for r in read_compacted_view(spark, view).collect()
+    }
+    assert after == committed
+
+    # writer unaffected: next epoch merges against true state
+    spark.createDataFrame(_epoch_rows(1), KV_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    final = {
+        r["key"]: r["seq"] for r in read_compacted_view(spark, view).collect()
+    }
+    assert final == {k: 100 + k for k in range(N_KEYS)}

@@ -9,6 +9,11 @@ def test_scrub_pii_counts_and_redaction(spark):
             (2, "call +1-555-123-4567 from 192.168.0.1 now"),
             (3, "no pii here at all"),
             (4, ""),
+            # overlap (ADVICE r7 #3): the ipv4-looking domain is
+            # consumed by the earlier email redaction — n_ipv4 must
+            # be 0 (counts are redaction counts, staged), and
+            # pii_chars_removed must equal the email span only
+            (5, "ping a@1.2.3.4.co ok"),
         ],
         "id long, text string",
     )
@@ -22,3 +27,6 @@ def test_scrub_pii_counts_and_redaction(spark):
     assert out[3].redacted == "no pii here at all"
     assert out[3].pii_chars_removed == 0
     assert out[4].pii_chars_removed == 0
+    assert (out[5].n_email, out[5].n_phone, out[5].n_ipv4) == (1, 0, 0)
+    assert out[5].redacted == "ping <EMAIL> ok"
+    assert out[5].pii_chars_removed == len("a@1.2.3.4.co")
