@@ -331,6 +331,25 @@ def minhash_lsh_candidates(
     ).distinct()
 
 
+def hot_gram_cap(
+    n_docs: int, rel: int = 100, floor: int = 8, ceiling: int = 64
+) -> int:
+    """The ``max_df`` cap the registered jaccard consumers pass to
+    :func:`ngram_jaccard_pairs`: corpus-relative (1% of docs, floored
+    at 8) WITH an absolute ceiling of 64.
+
+    The ceiling is the load-bearing part — found by the round-7 100x
+    scaling run: a relative-only cap lets a just-below-cap gram emit
+    (n/100)^2 pair rows, quadratic with a small coefficient (the
+    char-gram join hung at 100x while the 10x curve read a deceptive
+    alpha 0.956). With the ceiling, every gram contributes at most
+    C(64, 2) pairs, so pair-join input is linear in corpus grams at
+    any corpus size. tests/test_dedup.py pins both properties so a
+    revert breaks loudly; the query oracles encode the same LEAST()
+    in SQL, so a one-sided change also fails parity."""
+    return min(ceiling, max(floor, n_docs // rel))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

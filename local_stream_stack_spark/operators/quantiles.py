@@ -212,6 +212,181 @@ def exact_quantiles_multi(
     return picked.groupBy(*keys).agg(*finals)
 
 
+def with_global_rank(
+    df: DataFrame,
+    order_col: str,
+    tiebreak_cols: Sequence[str] = (),
+    keys: Sequence[str] = (),
+    out_rank: str = "rn",
+    cumsum: Mapping[str, str] | None = None,
+    acc_type: str = "DECIMAL(38,2)",
+    descending: bool = False,
+    bins: int = 1024,
+    total_col: str | None = None,
+) -> DataFrame:
+    """Global (or per-``keys``) ROW_NUMBER — and optionally running
+    SUMs — without the single-reducer sort of an unpartitioned window.
+
+    ``Window.orderBy(...)`` with no partition ships every row to ONE
+    task; even over a "bounded" per-entity aggregate that is the
+    scale ceiling (10^9 customers = one sorting reducer). This
+    operator keeps the exact rank with bounded parallelism, reusing
+    the bin-refinement idea of :func:`exact_quantiles_multi`:
+
+    1. pass 0 — (min, max, count) of the numeric order proxy
+       (``order_col`` cast to double, negated when ``descending``):
+       one codegen aggregate, broadcast back.
+    2. pass 1 — per-bin counts (+ per-bin exact sums for each ``cumsum``
+       column) over ``bins`` equi-width bins; the EXCLUSIVE running
+       totals over the tiny per-key bin table are computed inside ONE
+       collected array row per key (sort_array + aggregate — never an
+       unpartitioned window), then broadcast back.
+    3. pass 2 — within-bin ``row_number``/running sums over a window
+       PARTITIONED BY (keys, bin); the global value is
+       ``below_bin_total + within_bin_value``.
+
+    The rank order is (``order_col`` asc/desc, ``tiebreak_cols`` asc)
+    and must be a TOTAL order (pass a unique tiebreak); order values
+    must be non-null. ``cumsum`` maps source columns to output names;
+    sums accumulate in ``acc_type`` (exact decimals — pick a type that
+    cannot overflow). ``total_col`` additionally exposes the per-key
+    row count (the n of NTILE). Degenerate all-equal proxies collapse
+    to one bin — the same documented bound as exact_quantiles.
+    """
+    keys = list(keys)
+    ties = list(tiebreak_cols)
+    sums = dict(cumsum or {})
+    in_cols = df.columns
+
+    # binning proxy: ANY monotonic numeric mapping works (the exact
+    # order inside each bin uses the original column), so temporal
+    # types map through epoch numbers rather than failing the cast
+    dtype = dict(df.dtypes).get(order_col, "")
+    if dtype == "date":
+        p = F.unix_date(F.col(order_col)).cast("double")
+    elif dtype.startswith("timestamp"):
+        p = F.unix_micros(F.col(order_col).cast("timestamp")).cast(
+            "double"
+        )
+    else:
+        p = F.col(order_col).cast("double")
+    if descending:
+        p = -p
+    work = df.withColumn("__wgr_p", p)
+
+    ext_aggs = [
+        F.min("__wgr_p").alias("__wgr_lo"),
+        F.max("__wgr_p").alias("__wgr_hi"),
+        F.count("*").alias("__wgr_n"),
+    ]
+    ext = work.groupBy(*keys).agg(*ext_aggs) if keys else work.agg(*ext_aggs)
+    ext = ext.withColumn(
+        "__wgr_w", (F.col("__wgr_hi") - F.col("__wgr_lo")) / F.lit(float(bins))
+    )
+    binned = (
+        work.join(F.broadcast(ext), keys)
+        if keys
+        else work.crossJoin(F.broadcast(ext))
+    ).withColumn(
+        "__wgr_bin",
+        F.when(
+            F.col("__wgr_w") > 0,
+            F.least(
+                F.floor(
+                    (F.col("__wgr_p") - F.col("__wgr_lo")) / F.col("__wgr_w")
+                ).cast("bigint"),
+                F.lit(bins - 1),
+            ),
+        ).otherwise(F.lit(0)),
+    )
+
+    per_bin_aggs = [F.count("*").alias("__wgr_bc")]
+    for i, src in enumerate(sums):
+        per_bin_aggs.append(
+            F.sum(F.expr(f"CAST({src} AS {acc_type})")).alias(f"__bs{i}")
+        )
+    per_bin = binned.groupBy(*keys, "__wgr_bin").agg(*per_bin_aggs)
+
+    # exclusive running totals over the <=bins rows per key, inside one
+    # array (sort_array orders by the leading struct field = __wgr_bin)
+    fields = ["__wgr_bin", "__wgr_bc"] + [f"__bs{i}" for i in range(len(sums))]
+    coll = F.sort_array(F.collect_list(F.struct(*fields))).alias("__wgr_arr")
+    arr = per_bin.groupBy(*keys).agg(coll) if keys else per_bin.agg(coll)
+    lacc = acc_type.lower()
+    out_t = (
+        "struct<bin:bigint,below:bigint"
+        + "".join(f",bs{i}:{lacc}" for i in range(len(sums)))
+        + ">"
+    )
+    zero = (
+        "named_struct('rc', CAST(0 AS BIGINT)"
+        + "".join(
+            f", 'rs{i}', CAST(0 AS {acc_type})" for i in range(len(sums))
+        )
+        + f", 'out', CAST(array() AS array<{out_t}>))"
+    )
+    step = (
+        "named_struct('rc', a.rc + x.__wgr_bc"
+        + "".join(
+            f", 'rs{i}', CAST(a.rs{i} + x.__bs{i} AS {acc_type})"
+            for i in range(len(sums))
+        )
+        + ", 'out', array_append(a.out, named_struct("
+        "'bin', x.__wgr_bin, 'below', a.rc"
+        + "".join(f", 'bs{i}', a.rs{i}" for i in range(len(sums)))
+        + ")))"
+    )
+    below = arr.select(
+        *keys,
+        F.explode(
+            F.expr(f"aggregate(__wgr_arr, {zero}, (a, x) -> {step}, a -> a.out)")
+        ).alias("__wgr_b"),
+    ).select(
+        *keys,
+        F.col("__wgr_b.bin").alias("__wgr_bin"),
+        F.col("__wgr_b.below").alias("__wgr_below"),
+        *[F.col(f"__wgr_b.bs{i}").alias(f"__below_s{i}") for i in range(len(sums))],
+    )
+
+    joined = binned.join(F.broadcast(below), keys + ["__wgr_bin"])
+    order_exprs = [
+        F.col(order_col).desc() if descending else F.col(order_col).asc()
+    ] + [F.col(t).asc() for t in ties]
+    w = Window.partitionBy(*keys, "__wgr_bin").orderBy(*order_exprs)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = joined.withColumn(
+        out_rank, (F.col("__wgr_below") + F.row_number().over(w)).cast("bigint")
+    )
+    for i, (src, name) in enumerate(sums.items()):
+        out = out.withColumn(
+            name,
+            F.col(f"__below_s{i}")
+            + F.sum(F.expr(f"CAST({src} AS {acc_type})")).over(wsum),
+        )
+    keep = in_cols + [out_rank] + list(sums.values())
+    if total_col:
+        out = out.withColumn(total_col, F.col("__wgr_n"))
+        keep.append(total_col)
+    return out.select(*keep)
+
+
+def ntile_expr(rank_col: str, n_col: str, k: int):
+    """NTILE(k) bucket from a 1-based global rank and the group size —
+    the closed form of the SQL-standard tiling (first n % k buckets
+    get one extra row). Pure BIGINT arithmetic, lazily guarded so the
+    q == 0 (n < k) division never evaluates; pairs with
+    :func:`with_global_rank` to replace an unpartitioned NTILE window
+    with distributed math."""
+    q = f"({n_col} div {k})"
+    rem = f"({n_col} % {k})"
+    return F.expr(
+        f"CAST(CASE WHEN {rank_col} <= {rem} * ({q} + 1)"
+        f" THEN ({rank_col} + {q}) div ({q} + 1)"
+        f" ELSE {rem} + ({rank_col} - {rem} * ({q} + 1) + {q} - 1) div {q}"
+        f" END AS INT)"
+    )
+
+
 def exact_quantiles(
     df: DataFrame,
     value_col: str,

@@ -385,6 +385,25 @@ def _lsh_buckets_udf(planes: list[list[list[float]]]):
     return buckets
 
 
+def scaled_n_planes(
+    n_vecs: int, target_occupancy: int = 32, floor: int = 8
+) -> int:
+    """Bucket-space scale knob for sign-LSH: the number of planes
+    (log2 of per-table bucket space) needed to hold expected bucket
+    occupancy near ``target_occupancy`` at ``n_vecs`` vectors —
+    ``max(floor, bit_length(n_vecs // target_occupancy))``.
+
+    Found by the round-7 100x scaling run: with a CONSTANT plane
+    count, candidate pairs grow ~n^2/buckets (the fixed-bucket-space
+    quadratic the 10x-only curve mis-read as linear). Scaling planes
+    with log2(n) holds per-bucket occupancy — and therefore per-bucket
+    pair emission — flat at any corpus size. Driver-scale corpora
+    stay on the historical ``floor`` (8x8) grid, so verified outputs
+    are unchanged; oracles replay the same formula from COUNT(*).
+    Pinned in tests/test_similarity.py so a revert breaks loudly."""
+    return max(floor, max(n_vecs // target_occupancy, 1).bit_length())
+
+
 def integer_lsh_planes(
     n_tables: int, n_planes: int, dim: int
 ) -> "np.ndarray":

@@ -25,6 +25,5 @@ from local_stream_stack_spark.queries import llm  # noqa: F401
 from local_stream_stack_spark.queries import streaming_e2e  # noqa: F401
 from local_stream_stack_spark.queries import training_ops  # noqa: F401
 from local_stream_stack_spark.queries import layout_ops  # noqa: F401
-from local_stream_stack_spark.queries import staged_r7  # noqa: F401
 
 __all__ = ["QUERIES", "get_queries", "get_oracles", "query"]

@@ -3404,3 +3404,177 @@ def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    c AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    tot AS (SELECT prev_type, SUM(n) AS t FROM c GROUP BY prev_type)
+    SELECT c.prev_type, c.next_type,
+           CAST(c.n AS BIGINT) AS n_transitions,
+           CAST(c.n * 1000000 // tot.t AS BIGINT) AS prob_e6
+    FROM c JOIN tot ON c.prev_type = tot.prev_type
+    ORDER BY c.prev_type, next_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event streams:
+    for each (previous event type, next event type) pair, the count
+    and the row-normalized transition probability — the behavioral
+    model behind next-action prediction, funnel leak detection, and
+    bot fingerprinting (bots have near-deterministic rows).
+
+    The lag window is per-user (scales, no global window); counts
+    aggregate with map-side combine; probabilities are truncating
+    integer e6 divisions of exact counts (the per-prev_type total is
+    >= each cell count, never zero for an emitted row)."""
+    ev = _events(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type")
+        .over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        )
+        .alias("prev_type"),
+    )
+    c = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = c.groupBy("prev_type").agg(F.sum("n").alias("t"))
+    return (
+        c.join(tot, "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            F.col("n").cast("bigint").alias("n_transitions"),
+            F.expr("n * 1000000 div t").alias("prob_e6"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+@query(
+    "session_entropy_per_user",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    tot AS (SELECT user_id, SUM(n) AS t FROM c GROUP BY user_id),
+    terms AS (
+      SELECT c.user_id,
+             CAST(ROUND(-(CAST(c.n AS DOUBLE) / CAST(tot.t AS DOUBLE))
+                        * ln(CAST(c.n AS DOUBLE) / CAST(tot.t AS DOUBLE))
+                        * 1000000) AS BIGINT) AS term_e6
+      FROM c JOIN tot ON c.user_id = tot.user_id
+    ),
+    h AS (
+      SELECT user_id, SUM(term_e6) AS entropy_nats_e6
+      FROM terms GROUP BY user_id
+    )
+    SELECT CAST(entropy_nats_e6 AS BIGINT) AS entropy_nats_e6,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MIN(user_id) AS BIGINT) AS sample_user
+    FROM h
+    GROUP BY entropy_nats_e6
+    ORDER BY entropy_nats_e6
+    """,
+)
+def session_entropy_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity score: Shannon entropy (nats) of each
+    user's event-type distribution, reported as a distribution over
+    users (bots and single-action scripts sit at 0; diverse organic
+    users sit near ln(n_types)).
+
+    Engine-stable float discipline: each -p*ln(p) term derives from
+    exact integer counts via identical expression trees, is ROUNDed
+    ONCE to an e6 BIGINT per (user, type) cell, and the per-user
+    entropy is an order-independent INTEGER sum of those cells (the
+    per-cell-round-then-integer-sum convention)."""
+    ev = _events(spark, sf_dir)
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n")
+    )
+    tot = c.groupBy("user_id").agg(F.sum("n").alias("t"))
+    terms = c.join(tot, "user_id").select(
+        "user_id",
+        F.expr(
+            "CAST(ROUND(-(CAST(n AS DOUBLE) / CAST(t AS DOUBLE))"
+            " * ln(CAST(n AS DOUBLE) / CAST(t AS DOUBLE))"
+            " * 1000000) AS BIGINT)"
+        ).alias("term_e6"),
+    )
+    h = terms.groupBy("user_id").agg(
+        F.sum("term_e6").alias("entropy_nats_e6")
+    )
+    return (
+        h.groupBy(
+            F.col("entropy_nats_e6").cast("bigint").alias(
+                "entropy_nats_e6"
+            )
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.min("user_id").cast("bigint").alias("sample_user"),
+        )
+        .orderBy("entropy_nats_e6")
+    )
+
+
+@query(
+    "weekday_activity_profile",
+    oracle="""
+    SELECT CAST(isodow(CAST(ts AS DATE)) AS INT) AS iso_weekday,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events
+    WHERE ts IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY iso_weekday, event_type
+    """,
+)
+def weekday_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x event-type activity heatmap (ISO weekday,
+    1=Monday) — the seasonality profile behind staffing, anomaly
+    baselines, and the day-of-week adjustment of volume monitors.
+
+    Weekday numbering is the classic cross-engine trap (Spark
+    dayofweek() is 1=Sunday, DuckDB dayofweek() is 0=Sunday); both
+    sides use the ISO convention explicitly — Spark weekday()+1 ==
+    DuckDB isodow(). One scan, one partial-agg groupBy of at most
+    7 x n_types rows."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(
+            F.expr("CAST(weekday(CAST(ts AS DATE)) + 1 AS INT)").alias(
+                "iso_weekday"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.expr(
+                "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("sum_cents"),
+        )
+        .orderBy("iso_weekday", "event_type")
+    )

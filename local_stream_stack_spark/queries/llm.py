@@ -23,6 +23,7 @@ from pyspark.sql.window import Window
 from local_stream_stack_spark.catalog import load_table
 from local_stream_stack_spark.operators.dedup import (
     exact_dedup,
+    hot_gram_cap,
     minhash_lsh_candidates,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -197,13 +198,11 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(
         d, id_col="doc_id", text_col="text", n=3,
         block_cols=["lang"], min_jaccard=0.12,
-        # LEAST(64, ...): the corpus-relative cap alone still lets a
-        # just-below-cap gram contribute (n/100)^2 pairs — quadratic
-        # with a small coefficient; the absolute ceiling bounds every
-        # gram's contribution to C(64,2) so total pairs are linear in
-        # corpus grams. Unchanged (cap=8) at driver verification
-        # scales.
-        max_df=min(64, max(8, n_slice // 100)),
+        # hot_gram_cap = LEAST(64, GREATEST(8, n/100)): the absolute
+        # ceiling bounds every gram's contribution to C(64,2) so
+        # total pairs stay linear in corpus grams (pinned in
+        # tests/test_dedup.py). Unchanged (cap=8) at driver scales.
+        max_df=hot_gram_cap(n_slice),
     )
     return (
         connected_components(pairs, src="id_a", dst="id_b")
@@ -3842,13 +3841,11 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(
         d, id_col="doc_id", text_col="text", n=3,
         block_cols=["lang"], min_jaccard=0.12,
-        # LEAST(64, ...): the corpus-relative cap alone still lets a
-        # just-below-cap gram contribute (n/100)^2 pairs — quadratic
-        # with a small coefficient; the absolute ceiling bounds every
-        # gram's contribution to C(64,2) so total pairs are linear in
-        # corpus grams. Unchanged (cap=8) at driver verification
-        # scales.
-        max_df=min(64, max(8, n_slice // 100)),
+        # hot_gram_cap = LEAST(64, GREATEST(8, n/100)): the absolute
+        # ceiling bounds every gram's contribution to C(64,2) so
+        # total pairs stay linear in corpus grams (pinned in
+        # tests/test_dedup.py). Unchanged (cap=8) at driver scales.
+        max_df=hot_gram_cap(n_slice),
     )
     comp = connected_components(pairs, src="id_a", dst="id_b")
     sizes = comp.groupBy("component").agg(
@@ -4178,23 +4175,25 @@ def zipf_token_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     log2 of a positive BIGINT is EXACT on both engines as
     length(bin(n)) - 1 (no float log), the regression runs on exact
-    DECIMAL moment sums (one partial+final aggregate), and the only
-    window is the rank assignment over the VOCABULARY relation —
-    sub-linear in corpus size (Zipf itself guarantees vocab grows
-    ~sqrt(corpus)), the accepted reduced-relation window pattern."""
+    DECIMAL moment sums (one partial+final aggregate), and the
+    frequency rank is an exact DISTRIBUTED rank over the vocabulary
+    relation (with_global_rank — bin counts + within-bin partitioned
+    windows, never a single sorting reducer), so even a vocabulary
+    that grows with the corpus never collapses to one task."""
     d = _t(spark, sf_dir, "documents")
     tok = d.select(
         F.explode(
             F.expr("filter(split(trim(text), ' +'), x -> x != '')")
         ).alias("t")
     )
-    freq = tok.groupBy("t").agg(F.count("*").alias("n"))
-    ranked = freq.select(
-        "n",
-        F.row_number()
-        .over(Window.orderBy(F.desc("n"), F.asc("t")))
-        .alias("r"),
+    from local_stream_stack_spark.operators.quantiles import (
+        with_global_rank,
     )
+
+    freq = tok.groupBy("t").agg(F.count("*").alias("n"))
+    ranked = with_global_rank(
+        freq, "n", ["t"], descending=True, out_rank="r"
+    ).select("n", "r")
     b = ranked.select(
         "n",
         F.expr("CAST(length(bin(r)) - 1 AS BIGINT)").alias("xb"),
@@ -4368,9 +4367,11 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One token explode + frequency groupBy; then — because every
     threshold k is <= 1000 — only the top-1000 types by frequency can
-    contribute to any curve point, so the rank/cumsum window runs over
-    a TakeOrderedAndProject LIMIT 1000 slice (corpus-size-independent)
-    and the 7 thresholds broadcast-join that slice. coverage_e6 is a
+    contribute to any curve point, so rank and cumulative coverage
+    run over a TakeOrderedAndProject LIMIT 1000 slice
+    (corpus-size-independent) via the distributed-rank operator (no
+    unpartitioned window anywhere, even over the slice) and the 7
+    thresholds broadcast-join that slice. coverage_e6 is a
     truncating integer division on non-negative operands — exact on
     both engines. At 100 TB only the explode+groupBy touch the corpus;
     everything after the top-k cut is bounded by k_max."""
@@ -4381,16 +4382,21 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tok")
     )
     freq = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    from local_stream_stack_spark.operators.quantiles import (
+        with_global_rank,
+    )
+
     # ranks 1..1000 are the only ones any threshold can reference
     top = freq.orderBy(F.desc("n"), F.asc("tok")).limit(1000)
-    w = Window.orderBy(F.desc("n"), F.asc("tok"))
-    ranked = top.select(
+    ranked = with_global_rank(
+        top,
         "n",
-        F.row_number().over(w).alias("rk"),
-        F.sum("n")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("cum"),
-    )
+        ["tok"],
+        descending=True,
+        out_rank="rk",
+        cumsum={"n": "cum"},
+        acc_type="BIGINT",
+    ).select("n", "rk", "cum")
     tot = freq.agg(
         F.sum("n").alias("total"), F.count("*").alias("n_types")
     )
@@ -5078,3 +5084,85 @@ def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def _dedup_rate_oracle() -> str:
+    from local_stream_stack_spark.queries.llm import (
+        _minhash_bandkey_cte_sql,
+    )
+
+    return f"""
+    WITH {_minhash_bandkey_cte_sql(32, 3, 4)},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandkey a JOIN bandkey b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    dup AS (
+      SELECT id_a AS doc_id FROM cand
+      UNION
+      SELECT id_b AS doc_id FROM cand
+    ),
+    per AS (
+      SELECT d.source,
+             COUNT(*) AS n_docs,
+             SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_dup
+      FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+      GROUP BY d.source
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_dup AS BIGINT) AS n_near_dup,
+           CAST(n_dup * 1000000 // n_docs AS BIGINT) AS dup_rate_e6
+    FROM per
+    ORDER BY source
+    """
+
+
+@query("dedup_rate_by_source", oracle=_dedup_rate_oracle())
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplication rate per source: the share of each source's
+    documents that participate in at least one LSH candidate pair —
+    the curation KPI that decides which ingest feeds need dedup
+    attention (a feed at 30% near-dup gets triaged; 0.1% does not).
+
+    Reuses the portable MinHash pipeline (same signatures/banding as
+    dedup_minhash_lsh) for candidates, collapses pairs to a distinct
+    doc set, and LEFT-joins back to the documents scan for per-source
+    shares as truncating e6 integer divisions (n_docs >= 1 for every
+    emitted source group)."""
+    from local_stream_stack_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures_portable,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures_portable(
+        d, id_col="doc_id", text_col="text", n_hashes=32,
+        shingle_k=3, shingle="word",
+    )
+    cands = minhash_lsh_candidates(
+        sigs, id_col="doc_id", bands=8, rows_per_band=4,
+        portable_keys=True,
+    )
+    dup = (
+        cands.select(F.col("id_a").alias("doc_id"))
+        .union(cands.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("__isdup", F.lit(1))
+    )
+    per = (
+        d.join(dup, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce("__isdup", F.lit(0))).alias("n_dup"),
+        )
+    )
+    return per.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_dup").cast("bigint").alias("n_near_dup"),
+        F.expr("n_dup * 1000000 div n_docs").alias("dup_rate_e6"),
+    ).orderBy("source")

@@ -1522,13 +1522,14 @@ def customer_decile_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     (decile year1, decile year2) cell - the churn/upsell mobility
     report.
 
-    Deciles derive from decimal-exact yearly spend; NTILE's ordering
-    is total (spend, custkey), so bucket assignment is engine-stable.
-    The NTILE window partitions by year over the per-customer year
-    table - one row per active customer, far below event mass, and
-    at true scale the same result comes from the three-pass quantile
-    operator's decile bounds instead of a global sort (decile_bounds
-    _price shows that form)."""
+    Deciles derive from decimal-exact yearly spend; the ordering is
+    total (spend, custkey), so bucket assignment is engine-stable.
+    NTILE itself is computed WITHOUT a per-year sorting reducer: the
+    distributed-rank operator (with_global_rank: bin counts + within-
+    bin partitioned windows) yields each customer's exact per-year
+    rank and NTILE's closed form maps rank to bucket — identical
+    output to the oracle's NTILE at any customer count, with
+    parallelism bounded by bins, not years."""
     o = _t(spark, sf_dir, "orders")
     yr = o.groupBy(
         "o_custkey", F.year("o_orderdate").cast("int").alias("yr")
@@ -1538,16 +1539,21 @@ def customer_decile_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = yr.agg(
         F.max("yr").alias("y2"), (F.max("yr") - 1).alias("y1")
     )
-    dd = (
-        yr.crossJoin(F.broadcast(bounds))
-        .filter((F.col("yr") == F.col("y1")) | (F.col("yr") == F.col("y2")))
-        .withColumn(
-            "decile",
-            F.ntile(10).over(
-                Window.partitionBy("yr").orderBy("spend", "o_custkey")
-            ),
-        )
+    from local_stream_stack_spark.operators.quantiles import (
+        ntile_expr,
+        with_global_rank,
     )
+
+    dd = with_global_rank(
+        yr.crossJoin(F.broadcast(bounds)).filter(
+            (F.col("yr") == F.col("y1")) | (F.col("yr") == F.col("y2"))
+        ),
+        "spend",
+        ["o_custkey"],
+        keys=["yr"],
+        out_rank="__rn",
+        total_col="__nk",
+    ).withColumn("decile", ntile_expr("__rn", "__nk", 10))
     a = dd.select(
         F.col("o_custkey").alias("ck"),
         F.col("yr").alias("yra"),
@@ -1600,11 +1606,18 @@ def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer (NTILE(5) each, custkey tie-break for total order),
     rolled up into segment cells - the classic CRM scoring.
 
-    The three NTILEs run over the per-customer aggregate relation
-    (one row per customer - far below order mass, the same bounded-
-    relation argument as customer_decile_transitions; at true scale
-    the quantile-operator bounds replace the global sorts).
+    The three quintile assignments never run a global sorting
+    reducer: each is an exact distributed rank (with_global_rank —
+    bin counts plus within-bin PARTITIONED windows) fed through
+    NTILE's closed form, so the output matches the oracle's NTILE
+    bit-for-bit while parallelism stays bounded at any customer
+    count (an unpartitioned NTILE over 10^9 customers is one task).
     Monetary ranks on the decimal-exact spend sum."""
+    from local_stream_stack_spark.operators.quantiles import (
+        ntile_expr,
+        with_global_rank,
+    )
+
     o = _t(spark, sf_dir, "orders")
     agg = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -1613,22 +1626,19 @@ def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary"
         ),
     )
-    scored = agg.select(
+    x = with_global_rank(
+        agg, "last_order", ["o_custkey"], out_rank="__rr", total_col="__n"
+    )
+    x = with_global_rank(x, "freq", ["o_custkey"], out_rank="__rf")
+    x = with_global_rank(x, "monetary", ["o_custkey"], out_rank="__rm")
+    scored = x.select(
         "o_custkey",
-        F.ntile(5)
-        .over(Window.orderBy("last_order", "o_custkey"))
-        .alias("r"),
-        F.ntile(5).over(Window.orderBy("freq", "o_custkey")).alias("f"),
-        F.ntile(5)
-        .over(Window.orderBy("monetary", "o_custkey"))
-        .alias("m"),
+        ntile_expr("__rr", "__n", 5).alias("r"),
+        ntile_expr("__rf", "__n", 5).alias("f"),
+        ntile_expr("__rm", "__n", 5).alias("m"),
     )
     return (
-        scored.groupBy(
-            F.col("r").cast("int").alias("r"),
-            F.col("f").cast("int").alias("f"),
-            F.col("m").cast("int").alias("m"),
-        )
+        scored.groupBy("r", "f", "m")
         .agg(
             F.count("*").alias("n_customers"),
             F.min("o_custkey").cast("bigint").alias("min_custkey"),
@@ -1674,23 +1684,32 @@ def supplier_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     total revenue, B until 95%, C after - the inventory-management
     classic.
 
-    The cumulative window runs on the per-supplier aggregate (one
-    row per supplier) ordered by decimal-exact revenue with suppkey
-    tie-break; class boundaries are integer cross-multiplications of
-    exact decimals (10*cum < 8*tot), so no division and no float
-    anywhere."""
+    The cumulative revenue is an exact distributed running sum over
+    the per-supplier aggregate ordered (rev DESC, suppkey ASC) —
+    with_global_rank's bin-cumulative path: per-bin exact decimal
+    sums, below-bin offsets via one tiny array pass, within-bin
+    PARTITIONED running-sum windows. No unpartitioned window, so no
+    single sorting reducer at any supplier count. Class boundaries
+    are integer cross-multiplications of exact decimals
+    (10*cum < 8*tot), so no division and no float anywhere."""
+    from local_stream_stack_spark.operators.quantiles import (
+        with_global_rank,
+    )
+
     li = _t(spark, sf_dir, "lineitem")
     s = li.groupBy("l_suppkey").agg(
         F.expr("SUM(CAST(l_extendedprice AS DECIMAL(14,2)))").alias("rev")
     )
     t = s.agg(F.sum("rev").alias("tot"))
-    w = (
-        Window.orderBy(F.desc("rev"), F.asc("l_suppkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    c = s.withColumn("cum", F.sum("rev").over(w)).crossJoin(
-        F.broadcast(t)
-    )
+    c = with_global_rank(
+        s,
+        "rev",
+        ["l_suppkey"],
+        descending=True,
+        out_rank="__rn",
+        cumsum={"rev": "cum"},
+        acc_type="DECIMAL(38,2)",
+    ).crossJoin(F.broadcast(t))
     cls = c.select(
         "l_suppkey",
         F.expr(
@@ -1760,42 +1779,44 @@ def revenue_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     inequality summary a curation pipeline uses to decide whether a
     source (or customer base) is dominated by a few heavy entities.
 
-    Everything is integer-exact: revenue in cents (BIGINT), decile
-    cut via NTILE on the per-customer AGGREGATE (one row per
-    customer, so the global-order windows run on the small reduced
-    relation, not the raw orders scan), shares and the Gini
-    2*sum(i*x_i) formula via DECIMAL(38,0) sums with truncating
-    integer division to e6 — no floats anywhere, and both engines
-    truncate non-negative division identically."""
+    Everything is integer-exact: revenue in cents (BIGINT), rank and
+    decile from ONE distributed exact rank over the per-customer
+    aggregate (with_global_rank + NTILE's closed form — no
+    unpartitioned window, so no single sorting reducer even at 10^9
+    customers), shares and the Gini 2*sum(i*x_i) formula via
+    DECIMAL(38,0) sums with truncating integer division to e6 — no
+    floats anywhere, and both engines truncate non-negative division
+    identically. The 10-row decile cumulative reuses the same
+    operator (bins collapse it to one array pass)."""
+    from local_stream_stack_spark.operators.quantiles import (
+        ntile_expr,
+        with_global_rank,
+    )
+
     o = _t(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
         F.expr("SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))").alias("rev_c")
     )
-    ranked = rev.select(
-        "rev_c",
-        F.row_number()
-        .over(Window.orderBy("rev_c", "o_custkey"))
-        .alias("i"),
+    ranked = with_global_rank(
+        rev, "rev_c", ["o_custkey"], out_rank="i", total_col="__n"
     )
     tot = ranked.agg(
         F.expr("COUNT(*)").alias("n"),
         F.expr("SUM(CAST(rev_c AS DECIMAL(38,0)))").alias("t"),
         F.expr("SUM(CAST(rev_c AS DECIMAL(38,0)) * i)").alias("s1"),
     )
-    dec = rev.select(
-        "rev_c",
-        F.ntile(10).over(Window.orderBy("rev_c", "o_custkey")).alias("decile"),
-    )
+    dec = ranked.withColumn("decile", ntile_expr("i", "__n", 10))
     per = dec.groupBy("decile").agg(
         F.count("*").alias("n_customers"),
         F.expr("SUM(CAST(rev_c AS DECIMAL(38,0)))").alias("drev"),
     )
-    w = Window.orderBy("decile").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = per.withColumn("crev", F.sum("drev").over(w)).crossJoin(
-        F.broadcast(tot)
-    )
+    cum = with_global_rank(
+        per,
+        "decile",
+        out_rank="__rn",
+        cumsum={"drev": "crev"},
+        acc_type="DECIMAL(38,0)",
+    ).crossJoin(F.broadcast(tot))
     return cum.select(
         F.col("decile").cast("int").alias("decile"),
         F.col("n_customers").cast("bigint").alias("n_customers"),
@@ -2249,4 +2270,237 @@ def cusum_changepoint_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " div NULLIF(total_dev, 0) AS BIGINT)"
             ).alias("peak_share_e6"),
         )
+    )
+
+
+@query(
+    "orders_backlog_aging",
+    oracle="""
+    WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS d0 FROM orders),
+    aged AS (
+      SELECT o_orderpriority,
+             datediff('day', CAST(o_orderdate AS DATE), d0) AS age,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders CROSS JOIN mx
+      WHERE o_orderstatus = 'O'
+    ),
+    b AS (
+      SELECT o_orderpriority,
+             CASE WHEN age <= 30 THEN '0-30'
+                  WHEN age <= 90 THEN '31-90'
+                  WHEN age <= 180 THEN '91-180'
+                  WHEN age <= 365 THEN '181-365'
+                  ELSE '365+' END AS age_bucket,
+             cents
+      FROM aged
+    )
+    SELECT o_orderpriority, age_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS backlog_cents
+    FROM b
+    GROUP BY o_orderpriority, age_bucket
+    ORDER BY o_orderpriority, age_bucket
+    """,
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging: unfilled orders bucketed by age
+    (relative to the corpus max order date, so the report is
+    reproducible on frozen data) per priority, with the cent-exact
+    revenue at risk — the ops aging report every order system runs.
+
+    One scan with a broadcast scalar max-date, one partial-agg
+    groupBy; ages and buckets are pure integer date arithmetic."""
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(
+        F.expr("MAX(CAST(o_orderdate AS DATE))").alias("d0")
+    )
+    aged = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_orderpriority",
+            F.expr(
+                "datediff(d0, CAST(o_orderdate AS DATE))"
+            ).alias("age"),
+            F.expr(
+                "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+    b = aged.select(
+        "o_orderpriority",
+        F.expr(
+            """CASE WHEN age <= 30 THEN '0-30'
+                    WHEN age <= 90 THEN '31-90'
+                    WHEN age <= 180 THEN '91-180'
+                    WHEN age <= 365 THEN '181-365'
+                    ELSE '365+' END"""
+        ).alias("age_bucket"),
+        "cents",
+    )
+    return (
+        b.groupBy("o_orderpriority", "age_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("backlog_cents"),
+        )
+        .orderBy("o_orderpriority", "age_bucket")
+    )
+
+
+@query(
+    "hhi_market_concentration",
+    oracle="""
+    WITH s AS (
+      SELECT n_name AS nation,
+             s.s_suppkey,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS rev
+      FROM lineitem
+      JOIN supplier s ON l_suppkey = s.s_suppkey
+      JOIN nation ON s.s_nationkey = n_nationkey
+      GROUP BY n_name, s.s_suppkey
+    ),
+    m AS (
+      SELECT nation,
+             COUNT(*) AS n_suppliers,
+             SUM(CAST(rev AS DECIMAL(38,0))) AS tot,
+             SUM(CAST(rev AS DECIMAL(38,0)) * CAST(rev AS DECIMAL(38,0)))
+               AS sq
+      FROM s GROUP BY nation
+    )
+    SELECT nation,
+           CAST(n_suppliers AS BIGINT) AS n_suppliers,
+           CAST(CAST(sq AS HUGEINT) * 1000000
+                // NULLIF(CAST(tot * tot AS HUGEINT), 0) AS BIGINT)
+             AS hhi_e6
+    FROM m
+    ORDER BY nation
+    """,
+)
+def hhi_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman market-concentration index per supplier
+    nation: sum of squared revenue shares, the antitrust-standard
+    concentration score (1e6 = monopoly; 1e6/n = perfect
+    competition) — the cross-entity complement of the Lorenz/Gini
+    per-entity view.
+
+    HHI = sum(s_i^2)/S^2 needs only two DECIMAL moment sums per
+    nation (sum of rev, sum of rev^2) over the per-supplier
+    aggregate, then ONE truncating integer division — no per-share
+    division, no floats; broadcast dim joins feed one partial+final
+    aggregate chain."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    s = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "s_suppkey")
+        .agg(
+            F.expr(
+                "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))"
+            ).alias("rev")
+        )
+    )
+    m = s.groupBy("nation").agg(
+        F.count("*").alias("n_suppliers"),
+        F.expr("SUM(CAST(rev AS DECIMAL(38,0)))").alias("tot"),
+        F.expr(
+            "SUM(CAST(rev AS DECIMAL(38,0)) * CAST(rev AS DECIMAL(38,0)))"
+        ).alias("sq"),
+    )
+    return m.select(
+        "nation",
+        F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
+        F.expr(
+            "CAST(sq * 1000000 div NULLIF(tot * tot, 0) AS BIGINT)"
+        ).alias("hhi_e6"),
+    ).orderBy("nation")
+
+
+@query(
+    "ship_lag_quantiles",
+    oracle="""
+    WITH lag AS (
+      SELECT o_orderpriority,
+             datediff('day', CAST(o_orderdate AS DATE),
+                      CAST(l_shipdate AS DATE)) AS lag_days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    h AS (
+      SELECT o_orderpriority, lag_days, COUNT(*) AS c
+      FROM lag GROUP BY o_orderpriority, lag_days
+    ),
+    cum AS (
+      SELECT o_orderpriority, lag_days, c,
+             SUM(c) OVER (PARTITION BY o_orderpriority
+                          ORDER BY lag_days
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cc,
+             SUM(c) OVER (PARTITION BY o_orderpriority) AS n
+      FROM h
+    )
+    SELECT o_orderpriority,
+           CAST(MAX(n) AS BIGINT) AS n_lineitems,
+           CAST(MIN(CASE WHEN 2 * cc >= n THEN lag_days END) AS BIGINT)
+             AS median_lag_days,
+           CAST(MIN(CASE WHEN 20 * cc >= 19 * n THEN lag_days END)
+                AS BIGINT) AS p95_lag_days
+    FROM cum
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def ship_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per priority: exact lower
+    median and p95 of datediff(shipdate, orderdate) — the
+    fulfillment-SLA report, computed by the bounded-domain value
+    histogram (lag days are small integers, so the shuffle carries
+    |priorities| x |distinct lags| count rows regardless of corpus
+    size — the 100 TB-preferred quantile form).
+
+    The quantile pick is pure integer arithmetic: smallest lag whose
+    running count reaches ceil(q*n), via the cross-multiplied
+    predicate 2*cc >= n (median) / 20*cc >= 19*n (p95) — no
+    interpolation, no floats, identical on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    lag = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.expr(
+            "datediff(CAST(l_shipdate AS DATE),"
+            " CAST(o_orderdate AS DATE))"
+        ).alias("lag_days"),
+    )
+    h = lag.groupBy("o_orderpriority", "lag_days").agg(
+        F.count("*").alias("c")
+    )
+    wcum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("lag_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("o_orderpriority")
+    cum = h.select(
+        "o_orderpriority",
+        "lag_days",
+        F.sum("c").over(wcum).alias("cc"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    return (
+        cum.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").cast("bigint").alias("n_lineitems"),
+            F.expr(
+                "CAST(MIN(CASE WHEN 2 * cc >= n THEN lag_days END)"
+                " AS BIGINT)"
+            ).alias("median_lag_days"),
+            F.expr(
+                "CAST(MIN(CASE WHEN 20 * cc >= 19 * n THEN lag_days"
+                " END) AS BIGINT)"
+            ).alias("p95_lag_days"),
+        )
+        .orderBy("o_orderpriority")
     )

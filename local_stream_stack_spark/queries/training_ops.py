@@ -539,19 +539,19 @@ def semantic_dedup_lsh_components(spark: SparkSession, sf_dir: str) -> DataFrame
     from local_stream_stack_spark.operators.similarity import (
         cosine,
         lsh_candidate_pairs_deterministic,
+        scaled_n_planes,
     )
 
     e = _t(spark, sf_dir, "embeddings")
-    # bucket space scales with corpus size (the SCALE KNOB below,
-    # now applied rather than documented): n_planes = max(8,
-    # floor(log2(n/32)) + 1) holds per-bucket occupancy ~O(32) at
-    # any scale; driver-scale corpora (sf0.01/0.1) stay on the
-    # historical 8x8 grid, and the oracle computes the SAME count
-    # from COUNT(*) so parity holds at every scale. One count()
-    # job driver-side — parameter-sized, same pattern as the
-    # iterative trainers.
+    # bucket space scales with corpus size: scaled_n_planes holds
+    # per-bucket occupancy ~O(32) at any scale (pinned in
+    # tests/test_similarity.py); driver-scale corpora (sf0.01/0.1)
+    # stay on the historical 8x8 grid, and the oracle computes the
+    # SAME count from COUNT(*) so parity holds at every scale. One
+    # count() job driver-side — parameter-sized, same pattern as
+    # the iterative trainers.
     n_vecs = e.count()
-    n_planes = max(8, (max(n_vecs // 32, 1)).bit_length() - 1 + 1)
+    n_planes = scaled_n_planes(n_vecs)
     cand = lsh_candidate_pairs_deterministic(
         e, id_col="vec_id", vec_col="embedding", dim=64,
         n_tables=8, n_planes=n_planes,
@@ -2876,3 +2876,68 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_e12"), F.asc("part_id"))
         .limit(20)
     )
+
+
+@query(
+    "embedding_dim_variance_audit",
+    oracle="""
+    WITH cell AS (
+      SELECT CAST(u['d'] AS INT) AS dim,
+             CAST(ROUND(CAST(u['v'] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM (SELECT unnest([{'d': i - 1, 'v': embedding[i]}
+                           for i in generate_series(1, len(embedding))])
+                     AS u
+            FROM embeddings)
+    ),
+    m AS (
+      SELECT dim, COUNT(*) AS n,
+             SUM(CAST(q AS DECIMAL(38,0))) AS s,
+             SUM(CAST(q AS DECIMAL(38,0)) * CAST(q AS DECIMAL(38,0)))
+               AS sq
+      FROM cell GROUP BY dim
+    )
+    SELECT dim,
+           CAST(n AS BIGINT) AS n_vectors,
+           CAST((CAST(n AS HUGEINT) * CAST(sq AS HUGEINT)
+                 - CAST(s AS HUGEINT) * CAST(s AS HUGEINT))
+                // NULLIF(CAST(n AS HUGEINT) * CAST(n AS HUGEINT), 0)
+                AS BIGINT) AS var_e12
+    FROM m
+    ORDER BY dim
+    """,
+)
+def embedding_dim_variance_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-dimension variance of the embedding space — the audit run
+    before truncation (matryoshka), PCA, or quantization to see
+    which dimensions carry signal (dead dimensions have ~0 variance
+    and can be dropped for free).
+
+    Values widen float32 -> DOUBLE BEFORE scaling (engines must
+    promote identically), quantize ONCE to e6 BIGINTs, the
+    population variance derives as (n*sq - s^2) div n^2 in exact
+    integer arithmetic (var of e6-ints = var_e12), and the explode
+    is scan-side with one partial-agg groupBy on the 64 dims."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cell = emb.select(
+        F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "dim",
+        F.expr("CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT)").alias("q"),
+    )
+    m = cell.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.expr("SUM(CAST(q AS DECIMAL(38,0)))").alias("s"),
+        F.expr(
+            "SUM(CAST(q AS DECIMAL(38,0)) * CAST(q AS DECIMAL(38,0)))"
+        ).alias("sq"),
+    )
+    return m.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("n").cast("bigint").alias("n_vectors"),
+        F.expr(
+            "CAST((n * sq - s * s) div NULLIF(CAST(n AS DECIMAL(38,0))"
+            " * n, 0) AS BIGINT)"
+        ).alias("var_e12"),
+    ).orderBy("dim")

@@ -256,3 +256,49 @@ def test_twostar_components_match_minlabel(spark):
     pairs = [p for p in pairs if p[0] != p[1]] or [(0, 1)]
     a, b = both(pairs)
     assert a == b
+
+
+def test_hot_gram_cap_absolute_ceiling():
+    """Round-7 100x fix pin: the jaccard consumers' max_df cap must
+    keep its ABSOLUTE ceiling — a relative-only cap lets one
+    just-below-cap gram emit (n/100)^2 pairs (the char-gram join that
+    hung the 100x run). Reverting the ceiling breaks this test."""
+    from local_stream_stack_spark.operators.dedup import hot_gram_cap
+
+    assert hot_gram_cap(0) == 8
+    assert hot_gram_cap(500) == 8      # floor at small corpora
+    assert hot_gram_cap(5_000) == 50   # relative region
+    assert hot_gram_cap(6_400) == 64   # ceiling reached
+    # the load-bearing property: cap is CONSTANT past the ceiling,
+    # so per-gram pair emission is O(C(64,2)) at ANY corpus size
+    for n in (10**5, 10**7, 10**9, 10**12):
+        assert hot_gram_cap(n) == 64
+
+
+def test_hot_gram_cap_bounds_same_gram_corpus(spark):
+    """A synthetic corpus where every doc shares one boilerplate gram:
+    with the consumer's cap the hot gram is dropped pre-join, so the
+    pair join emits only genuinely-overlapping pairs, not C(n,2)."""
+    from local_stream_stack_spark.operators.dedup import (
+        hot_gram_cap,
+        ngram_jaccard_pairs,
+    )
+
+    n_docs = 300
+    # 'XYZ' (one 3-gram) in every doc; unique tail per doc except 3
+    # planted near-dup pairs that share long unique tails
+    rows = []
+    for i in range(n_docs):
+        tail = f"unique-{i:05d}-" + "".join(
+            chr(97 + (i * 7 + j) % 26) for j in range(12)
+        )
+        rows.append((i, "XYZ " + tail))
+    rows += [(1000 + i, rows[i][1] + "!") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cap = hot_gram_cap(len(rows))  # = 8 here; hot gram df=303 >> cap
+    pairs = ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, min_jaccard=0.5, max_df=cap
+    ).collect()
+    got = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b)) for r in pairs}
+    assert got == {(0, 1000), (1, 1001), (2, 1002)}

@@ -428,3 +428,127 @@ def test_customer_rfm_extremes(spark, tmp_path):
     assert got[(5, 5, 5)].min_custkey == 9
     assert got[(5, 5, 5)].n_customers == 2
     assert got[(1, 1, 1)].min_custkey == 1
+
+
+def test_with_global_rank_matches_window(spark):
+    """with_global_rank must reproduce an unpartitioned window's
+    row_number and running sum exactly — global/keyed, asc/desc,
+    heavy-tie and constant-value (single-bin degenerate) inputs."""
+    from pyspark.sql.window import Window
+
+    from local_stream_stack_spark.operators.quantiles import (
+        with_global_rank,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i % 4, rng.choice([0, 1, 2, 5, 5, 5, 50]), f"k{i:04d}",
+         rng.randint(1, 9))
+        for i in range(400)
+    ] + [(9, 7, f"c{i:03d}", 1) for i in range(50)]  # constant key 9
+    df = spark.createDataFrame(rows, "grp int, v int, tk string, pay int")
+
+    out = {
+        r.tk: (r.rn, int(r.cum), r.n)
+        for r in with_global_rank(
+            df, "v", ["tk"], out_rank="rn", total_col="n",
+            cumsum={"pay": "cum"}, acc_type="DECIMAL(38,0)", bins=16,
+        ).collect()
+    }
+    w = Window.orderBy("v", "tk")
+    exp = {
+        r.tk: (r.rn, int(r.cum), 450)
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "cum",
+            F.sum(F.col("pay").cast("decimal(38,0)")).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .collect()
+    }
+    assert out == exp
+
+    keyed = {
+        r.tk: r.rn
+        for r in with_global_rank(
+            df, "v", ["tk"], keys=["grp"], out_rank="rn",
+            descending=True, bins=16,
+        ).collect()
+    }
+    w2 = Window.partitionBy("grp").orderBy(F.desc("v"), F.asc("tk"))
+    exp2 = {
+        r.tk: r.rn
+        for r in df.withColumn("rn", F.row_number().over(w2)).collect()
+    }
+    assert keyed == exp2
+
+    empty = spark.createDataFrame([], "grp int, v int, tk string, pay int")
+    assert (
+        with_global_rank(
+            empty, "v", ["tk"], cumsum={"pay": "c"}, total_col="n"
+        ).count()
+        == 0
+    )
+
+
+def test_ntile_expr_matches_ntile(spark):
+    """NTILE's closed form over a distributed rank must equal
+    F.ntile for every k shape: k | n, k ∤ n, k = n, k > n, k = 1."""
+    from pyspark.sql.window import Window
+
+    from local_stream_stack_spark.operators.quantiles import (
+        ntile_expr,
+        with_global_rank,
+    )
+
+    rng = random.Random(3)
+    rows = [(rng.randint(0, 30), f"t{i:03d}") for i in range(97)]
+    df = spark.createDataFrame(rows, "v int, tk string")
+    ranked = with_global_rank(
+        df, "v", ["tk"], out_rank="rn", total_col="n", bins=8
+    )
+    for k in (1, 2, 5, 10, 96, 97, 150):
+        got = {
+            r.tk: r.b
+            for r in ranked.withColumn(
+                "b", ntile_expr("rn", "n", k)
+            ).collect()
+        }
+        exp = {
+            r.tk: r.b
+            for r in df.withColumn(
+                "b", F.ntile(k).over(Window.orderBy("v", "tk"))
+            ).collect()
+        }
+        assert got == exp, k
+
+
+def test_with_global_rank_plan_has_no_unpartitioned_window(spark):
+    """The whole point of the operator: no WindowExec without a
+    PARTITION BY anywhere in its physical plan."""
+    sys_path = __import__("sys").path
+    import os
+
+    sys_path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools"),
+    )
+    from audit_plans import has_unpartitioned_window
+
+    from local_stream_stack_spark.operators.quantiles import (
+        with_global_rank,
+    )
+
+    df = spark.range(100).selectExpr(
+        "CAST(id % 13 AS INT) AS v", "CAST(id AS STRING) AS tk",
+        "CAST(id % 3 AS INT) AS pay"
+    )
+    plan = (
+        with_global_rank(df, "v", ["tk"], cumsum={"pay": "c"})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" in plan  # the partitioned within-bin windows
+    assert not has_unpartitioned_window(plan)

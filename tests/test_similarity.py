@@ -313,3 +313,28 @@ def test_ivfpq_topk_recall_and_determinism(spark, sf_dir, emb):
     assert hits / total >= 0.1, f"IVF-PQ recall {hits}/{total} below floor"
     run2 = QUERIES["sim_ivfpq_topk"].fn(spark, sf_dir).collect()
     assert [tuple(r) for r in run1] == [tuple(r) for r in run2]
+
+
+def test_scaled_n_planes_holds_occupancy():
+    """Round-7 100x fix pin: LSH bucket space must GROW with the
+    corpus (fixed bucket space makes candidates ~n^2/buckets — the
+    quadratic the 10x-only curve mis-read as linear). Reverting to a
+    constant plane count breaks this test."""
+    from local_stream_stack_spark.operators.similarity import (
+        scaled_n_planes,
+    )
+
+    # driver-scale corpora stay on the historical 8-plane grid, so
+    # verified outputs are unchanged
+    for n in (0, 1, 500, 1_000, 8_000):
+        assert scaled_n_planes(n) == 8
+    # growth region: monotone, and per-table bucket space 2^planes
+    # keeps expected occupancy n / 2^planes <= 32 (i.e. flat, not n)
+    sizes = [10**4, 10**5, 10**6, 10**8, 10**10]
+    planes = [scaled_n_planes(n) for n in sizes]
+    assert planes == sorted(planes) and planes[-1] > planes[0]
+    for n, p in zip(sizes, planes):
+        assert n / (2**p) <= 32
+        # and not overshooting: occupancy stays above ~8 (bucket
+        # space within 4x of target, so shuffle rows stay bounded)
+        assert n / (2**p) >= 8

@@ -7,6 +7,10 @@ Checks each registered query's physical plan at the given sf dir for:
 - row-at-a-time PythonUDF in a hot path (BatchEvalPython) — Arrow
   (ArrowEvalPython / mapInPandas / FlatMapGroupsInPandas) is the
   sanctioned Python path
+- unpartitioned Window (WindowExec with no PARTITION BY — "No
+  Partition Defined": ships every input row to ONE task; the
+  distributed-rank operator with_global_rank is the sanctioned
+  replacement)
 
 stream_* queries are skipped: calling them executes a streaming job;
 their batch-side plans are covered by their batch twins.
@@ -23,6 +27,42 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from local_stream_stack_spark.queries import QUERIES
 from local_stream_stack_spark.session import get_spark
+
+
+def has_unpartitioned_window(plan: str) -> bool:
+    """True if any Window operator line lacks a partition spec.
+
+    A fully-specified window prints ``Window [exprs], [part], [order]``
+    (three top-level bracket groups). Two groups are ambiguous:
+    ``[exprs], [part]`` (partition-only frame — fine) vs
+    ``[exprs], [order]`` (ordered GLOBAL window — one task). The order
+    spec always carries ASC/DESC markers, the partition spec never
+    does. One group means a global unordered frame — also one task.
+    """
+    for line in plan.splitlines():
+        stripped = line.lstrip(" +-:*")
+        if not stripped.startswith("Window "):
+            continue
+        depth = 0
+        groups: list[list[str]] = []
+        for ch in stripped:
+            if ch == "[":
+                if depth == 0:
+                    groups.append([])
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+            elif depth >= 1 and groups:
+                groups[-1].append(ch)
+        if len(groups) >= 3:
+            continue
+        if len(groups) == 2:
+            second = "".join(groups[1])
+            if " ASC " in second or " DESC " in second:
+                return True  # [exprs], [order] — ordered global window
+            continue  # [exprs], [part] — partition-only frame
+        return True  # one group: global unordered frame
+    return False
 
 
 def main() -> int:
@@ -48,6 +88,8 @@ def main() -> int:
             flags.append("CartesianProduct")
         if "BatchEvalPython" in plan:
             flags.append("row-at-a-time PythonUDF")
+        if has_unpartitioned_window(plan):
+            flags.append("unpartitioned Window")
         for line in plan.splitlines():
             if "BroadcastNestedLoopJoin" in line and "BuildLeft" not in line and "BuildRight" not in line:
                 flags.append("non-broadcast BNLJ")
