@@ -2441,13 +2441,25 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = sampled.groupBy("r").agg(
         F.count("*").alias("n"), F.sum("cents").alias("s")
     )
-    w = Window.orderBy(F.expr("CAST(s AS DOUBLE) / n"), F.col("r"))
-    ranked = stats.select(
+    # rank the 32 replica means distributively (with_global_rank —
+    # no ordered global window, which would be one task by contract
+    # even on this parameter-sized relation)
+    from local_stream_stack_spark.operators.quantiles import (
+        with_global_rank,
+    )
+
+    ranked = with_global_rank(
+        stats.withColumn("__mean", F.expr("CAST(s AS DOUBLE) / n")),
+        "__mean",
+        ["r"],
+        out_rank="rk",
+        total_col="n_reps",
+    ).select(
         "r",
         "n",
         "s",
-        F.row_number().over(w).alias("rk"),
-        F.count("*").over(Window.partitionBy()).alias("n_reps"),
+        F.col("rk").cast("int").alias("rk"),
+        F.col("n_reps").cast("bigint").alias("n_reps"),
     )
     full_s = base.agg(
         F.count("*").alias("n_all"), F.sum("cents").alias("s_all")
@@ -2623,9 +2635,15 @@ def user_adoption_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard trick that turns an O(users) window into an
     O(calendar-days) one.
 
-    One shuffle on user_id, then a window over the day grain (bounded
-    by the calendar regardless of corpus size). cum_share_e6 is a
-    truncating division on non-negative counts."""
+    One shuffle on user_id, then the cumulative sum over the day
+    grain via the distributed-rank operator's running sum (never an
+    ordered global window — one task even over a calendar-bounded
+    relation). cum_share_e6 is a truncating division on non-negative
+    counts."""
+    from local_stream_stack_spark.operators.quantiles import (
+        with_global_rank,
+    )
+
     e = _events(spark, sf_dir)
     first_seen = e.groupBy("user_id").agg(
         F.min(F.to_date("ts")).alias("d0")
@@ -2634,19 +2652,21 @@ def user_adoption_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_new")
     )
     tot = first_seen.agg(F.count("*").alias("n_users"))
-    w = Window.orderBy("day").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    cum = with_global_rank(
+        newbies,
+        "day",
+        out_rank="__rn",
+        cumsum={"n_new": "__cum"},
+        acc_type="BIGINT",
     )
     return (
-        newbies.crossJoin(F.broadcast(tot))
+        cum.crossJoin(F.broadcast(tot))
         .select(
             "day",
             F.col("n_new").cast("bigint").alias("n_new_users"),
-            F.sum("n_new").over(w).cast("bigint").alias("cum_users"),
+            F.col("__cum").cast("bigint").alias("cum_users"),
             F.expr(
-                "CAST(SUM(n_new) OVER (ORDER BY day"
-                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-                " * 1000000 div n_users AS BIGINT)"
+                "CAST(__cum * 1000000 div n_users AS BIGINT)"
             ).alias("cum_share_e6"),
         )
         .orderBy("day")

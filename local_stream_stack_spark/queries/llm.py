@@ -1948,11 +1948,16 @@ def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget-bucket of its running-token start offset in doc_id order.
     Deterministic and engine-independent (unlike greedy first-fit,
     which is inherently sequential); a pack can overflow by at most
-    one document, the standard streaming-packing tradeoff. One window
-    cumsum + one aggregate; at 100 TB the cumsum runs per partition
-    range (Spark's window over a global ORDER BY range-partitions
-    first — a sort-based shuffle, the unavoidable cost of a global
-    packing order)."""
+    one document, the standard streaming-packing tradeoff. The global
+    running-token offset comes from the distributed-rank operator
+    (with_global_rank: doc_id-binned token sums + within-bin
+    PARTITIONED cumsums), never from a global-ORDER-BY window — an
+    unpartitioned WindowExec ships the whole corpus to ONE task,
+    which is exactly the collapse packing must avoid at 100 TB."""
+    from local_stream_stack_spark.operators.quantiles import (
+        with_global_rank,
+    )
+
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -1960,12 +1965,13 @@ def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_tokens"),
     )
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    placed = toks.withColumn(
-        "start_off", F.sum("n_tokens").over(w) - F.col("n_tokens")
-    )
+    placed = with_global_rank(
+        toks,
+        "doc_id",
+        cumsum={"n_tokens": "__cum"},
+        acc_type="BIGINT",
+        out_rank="__rn",
+    ).withColumn("start_off", F.col("__cum") - F.col("n_tokens"))
     return (
         placed.select(
             F.expr("CAST(start_off DIV 2048 AS BIGINT)").alias("pack_id"),
@@ -3522,17 +3528,22 @@ def chisq_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * CAST(nt AS DOUBLE))) AS BIGINT)"""
         ).alias("contrib_e6"),
     )
+    # statistic = INTEGER sum of the per-cell contributions, via a
+    # partial-aggregating scalar aggregate + 1-row broadcast (never a
+    # global-frame window: that ships every cell row to one task; the
+    # aggregate ships one partial row per partition)
+    chi2 = c2.agg(
+        F.sum("contrib_e6").cast("bigint").alias("chi2_e6_total")
+    )
     return (
-        c2.select(
+        c2.crossJoin(F.broadcast(chi2))
+        .select(
             "lang",
             "source",
             F.col("n_obs").cast("bigint").alias("n_obs"),
             "exp_e6",
             "contrib_e6",
-            F.sum("contrib_e6")
-            .over(Window.partitionBy())
-            .cast("bigint")
-            .alias("chi2_e6_total"),
+            "chi2_e6_total",
             F.expr("CAST((nl - 1) * (ns - 1) AS INT)").alias("dof"),
         )
         .orderBy("lang", "source")

@@ -864,18 +864,17 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULLS FIRST ordering + null-skipping COUNT(col) (vs COUNT(*)),
-    the two null behaviors sorts and aggregates must agree on."""
-    from pyspark.sql.window import Window
-
+    the two null behaviors sorts and aggregates must agree on. The
+    scalar count is an aggregate + 1-row broadcast, not a global-frame
+    window (one task by contract, however small the input)."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
     t = o.select(
         "o_orderkey",
         F.expr("NULLIF(o_orderpriority, '1-URGENT')").alias("prio"),
     )
-    return t.select(
-        "o_orderkey",
-        "prio",
-        F.count("prio").over(Window.partitionBy()).alias("n_nonnull"),
+    cnt = t.agg(F.count("prio").alias("n_nonnull"))
+    return t.crossJoin(F.broadcast(cnt)).select(
+        "o_orderkey", "prio", "n_nonnull"
     ).orderBy(F.col("prio").asc_nulls_first(), F.col("o_orderkey"))
 
 

@@ -1452,11 +1452,17 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def orders_monthly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Month-over-month and year-over-year revenue growth - the
     reporting staple: monthly decimal-exact revenue (one partial-agg
-    groupBy), then two LAGs over the MONTH-level series. The window
-    is global but runs on the parameter-sized month table (months,
-    not orders), the same bounded-relation argument as
-    chisq_lang_source; growth ratios are single divisions of exact
-    decimals rounded to scaled BIGINTs."""
+    groupBy), then the two LAGs realized as rank-offset self-joins on
+    the month series — the distributed-rank operator assigns each
+    month its series position, so no global-ORDER-BY window exists
+    anywhere (an ordered LAG window is one task even over a bounded
+    relation); growth ratios are single divisions of exact decimals
+    rounded to scaled BIGINTs, written with the identical expression
+    tree the window form used."""
+    from local_stream_stack_spark.operators.quantiles import (
+        with_global_rank,
+    )
+
     o = _t(spark, sf_dir, "orders")
     m = o.groupBy(
         F.year("o_orderdate").cast("int").alias("yr"),
@@ -1465,11 +1471,32 @@ def orders_monthly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.expr("SUM(CAST(o_totalprice AS DECIMAL(14,2)))").alias("rev"),
     )
-    growth = lambda lag_n: F.expr(  # noqa: E731
-        f"""CAST(ROUND(10000.0 * (rev - LAG(rev, {lag_n}) OVER
-              (ORDER BY yr, mo))
-              / NULLIF(LAG(rev, {lag_n}) OVER (ORDER BY yr, mo), 0))
-            AS BIGINT)"""
+    ranked = with_global_rank(
+        m.withColumn("__ym", F.col("yr") * 12 + F.col("mo")),
+        "__ym",
+        out_rank="__rn",
+    )
+    lag1 = ranked.select(
+        F.col("__rn").alias("__rn1"), F.col("rev").alias("__rev_m1")
+    )
+    lag12 = ranked.select(
+        F.col("__rn").alias("__rn12"), F.col("rev").alias("__rev_m12")
+    )
+    m = (
+        ranked.join(
+            F.broadcast(lag1),
+            ranked["__rn"] - 1 == lag1["__rn1"],
+            "left",
+        )
+        .join(
+            F.broadcast(lag12),
+            ranked["__rn"] - 12 == lag12["__rn12"],
+            "left",
+        )
+    )
+    growth = lambda col: F.expr(  # noqa: E731
+        f"""CAST(ROUND(10000.0 * (rev - {col})
+              / NULLIF({col}, 0)) AS BIGINT)"""
     )
     return (
         m.select(
@@ -1477,8 +1504,8 @@ def orders_monthly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mo",
             F.col("n_orders").cast("bigint").alias("n_orders"),
             F.expr("CAST(ROUND(rev, 2) AS DOUBLE)").alias("revenue"),
-            growth(1).alias("mom_growth_e4"),
-            growth(12).alias("yoy_growth_e4"),
+            growth("__rev_m1").alias("mom_growth_e4"),
+            growth("__rev_m12").alias("yoy_growth_e4"),
         )
         .orderBy("yr", "mo")
     )
@@ -2229,11 +2256,17 @@ def cusum_changepoint_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     a metric before anyone trusts a before/after comparison.
 
     Integer-exact: daily cents totals, centering scaled by n (so
-    n*x - S needs no division), one cumulative window over the DAY
-    grain — bounded by the calendar, never the row count — and a
+    n*x - S needs no division), the cumulative deviation via the
+    distributed-rank operator's running sum (day-binned partial sums +
+    within-bin PARTITIONED windows — never a global-ORDER-BY window,
+    even though the day grain is calendar-bounded), and a
     TakeOrderedAndProject LIMIT 1 for the peak. peak_share_e6
     normalizes by the total absolute deviation (non-negative
     truncating division)."""
+    from local_stream_stack_spark.operators.quantiles import (
+        with_global_rank,
+    )
+
     o = _t(spark, sf_dir, "orders")
     daily = o.groupBy(
         F.expr("CAST(o_orderdate AS DATE)").alias("day")
@@ -2243,15 +2276,16 @@ def cusum_changepoint_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tot = daily.agg(F.count("*").alias("n"), F.sum("x").alias("s"))
-    w = Window.orderBy("day").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    centered = daily.crossJoin(F.broadcast(tot)).withColumn(
+        "__dev", F.col("n") * F.col("x") - F.col("s")
     )
-    cusum = daily.crossJoin(F.broadcast(tot)).select(
+    cusum = with_global_rank(
+        centered,
         "day",
-        "n",
-        F.sum(F.col("n") * F.col("x") - F.col("s")).over(w).alias("c"),
-        F.abs(F.col("n") * F.col("x") - F.col("s")).alias("adev"),
-    )
+        out_rank="__rn",
+        cumsum={"__dev": "c"},
+        acc_type="BIGINT",
+    ).select("day", "n", "c", F.abs(F.col("__dev")).alias("adev"))
     norm = cusum.agg(F.sum("adev").alias("total_dev"))
     return (
         cusum.crossJoin(F.broadcast(norm))

@@ -296,21 +296,21 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST({DISC_PRICE} AS DECIMAL(24,6))").alias("value"),
         )
     )
-    from pyspark.sql.window import Window
-
-    # Nation total = sum of the per-part decimal sums (exact), via an
-    # empty-partition window over the post-aggregate — one pass over
-    # the natl subtree instead of aggregating it twice. The single-
-    # partition exchange holds |parts supplied by one nation| narrow
-    # rows.
+    # Nation total = sum of the per-part decimal sums (exact), as a
+    # partial-aggregating scalar aggregate broadcast back over the
+    # post-aggregate. The per-part exchange is shared between the
+    # threshold branch and the filter branch (ReusedExchange), so the
+    # natl subtree is still computed once — and unlike the previous
+    # empty-partition window, no stage ships every per-part row to a
+    # single task.
     per_part = natl.groupBy("l_partkey").agg(F.sum("value").alias("value_dec"))
+    thresh = per_part.agg(
+        F.expr(
+            "SUM(value_dec) * CAST(0.001 AS DECIMAL(6,4))"
+        ).alias("threshold")
+    )
     return (
-        per_part.withColumn(
-            "threshold",
-            F.expr(
-                "SUM(value_dec) OVER () * CAST(0.001 AS DECIMAL(6,4))"
-            ),
-        )
+        per_part.crossJoin(F.broadcast(thresh))
         .filter(F.col("value_dec") > F.col("threshold"))
         .select(
             F.col("l_partkey").alias("ps_partkey"),
@@ -425,20 +425,17 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.expr("TIMESTAMP '1997-04-01 00:00:00'"))
     )
     s = _t(spark, sf_dir, "supplier")
-    from pyspark.sql.window import Window
-
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.expr(f"SUM({DISC_PRICE})").alias("total_dec")
     )
-    # Global max via an empty-partition window over the POST-aggregate
-    # (one row per supplier in the quarter) — avoids recomputing the
-    # lineitem subtree for the scalar subquery. The single-partition
-    # exchange holds |suppliers| narrow rows, fine at any SF; the
-    # lineitem scan happens once.
+    # Scalar MAX over the post-aggregate as a partial-aggregating
+    # aggregate + 1-row broadcast; the revenue exchange is shared
+    # between both branches (ReusedExchange), so the lineitem scan
+    # still happens once — and no stage ships every supplier row to a
+    # single task the way the previous empty-partition window did.
+    mx = revenue.agg(F.max("total_dec").alias("max_dec"))
     return (
-        revenue.withColumn(
-            "max_dec", F.max("total_dec").over(Window.partitionBy())
-        )
+        revenue.crossJoin(F.broadcast(mx))
         .filter(F.col("total_dec") == F.col("max_dec"))
         .join(s, F.col("s_suppkey") == F.col("supplier_no"))
         .select(

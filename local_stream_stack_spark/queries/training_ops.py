@@ -54,22 +54,33 @@ def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the hash's first byte (hex-lexical order == bucket numeric
     order, so bucket boundaries respect the global order), compute the
     256-row bucket-size table, turn it into cumulative start offsets
-    with a window over the TINY bucket table, broadcast the offsets
-    back, and add the within-bucket rank. Every shuffle moves either
+    with the distributed-rank operator (no ordered global window, even
+    over the tiny bucket table), broadcast the offsets back, and add
+    the within-bucket rank. Every shuffle moves either
     bucket-partitioned rows (once) or 256 aggregate rows; the global
     sort itself never materializes on one node. At 100 TB, widen the
     prefix to 2 bytes (65k buckets) and nothing else changes.
     """
+    from local_stream_stack_spark.operators.quantiles import (
+        with_global_rank,
+    )
+
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     h = F.md5(F.col("doc_id").cast("string"))
     d = d.withColumn("__h", h).withColumn(
         "__b", F.conv(F.substring("__h", 1, 2), 16, 10).cast("int")
     )
     sizes = d.groupBy("__b").agg(F.count("*").alias("__n"))
-    w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = sizes.select(
-        "__b", F.coalesce(F.sum("__n").over(w), F.lit(0)).alias("__off")
-    )
+    # exclusive start offsets over the 256-row bucket table via the
+    # distributed-rank operator's inclusive running sum minus own size
+    # (even a 256-row ordered window would be a one-task WindowExec)
+    offsets = with_global_rank(
+        sizes,
+        "__b",
+        out_rank="__rnb",
+        cumsum={"__n": "__cum"},
+        acc_type="BIGINT",
+    ).select("__b", (F.col("__cum") - F.col("__n")).alias("__off"))
     wb = Window.partitionBy("__b").orderBy("__h", "doc_id")
     return (
         d.join(F.broadcast(offsets), "__b")
