@@ -13,9 +13,11 @@ images (``operators/png.py``: zlib inflate + all five scanline
 filters, any 8-bit gray/RGB/RGBA payload), PCM WAV audio
 (``operators/wav.py``: RIFF chunk parse, 8/16-bit samples), and
 uncompressed AVI video (``operators/avi.py``: nested RIFF LIST walk,
-bottom-up padded BGR DIB frames). The stub remains only for
-compressed/foreign byte formats (JPEG, MP3, H.264, ...), which
-genuinely require codec libraries this container lacks.
+bottom-up padded BGR DIB frames) — plus a SECOND real image codec,
+baseline-sequential JPEG (``operators/jpeg.py``: canonical Huffman,
+dequantize, IDCT, 4:2:0 upsample). The stub remains only for byte
+formats that genuinely require codec libraries this container lacks
+(progressive JPEG, MP3, H.264, ...).
 
 Scale notes: binary payloads ride in parquet alongside metadata, so
 pruning/pushdown still applies to the metadata columns; decode runs in
@@ -119,6 +121,7 @@ def extract_features(df: DataFrame) -> DataFrame:
     """
     import hashlib
 
+    from local_stream_stack_spark.operators.jpeg import JPEG_MAGIC
     from local_stream_stack_spark.operators.png import PNG_MAGIC, decode_image
     from local_stream_stack_spark.operators.wav import (
         RIFF_MAGIC,
@@ -134,6 +137,13 @@ def extract_features(df: DataFrame) -> DataFrame:
         if m == "image" and p[:8] == PNG_MAGIC:
             d = decode_image(p)
             return {"width": d["width"], "height": d["height"], "duration_ms": 0}
+        if m == "image" and p[:2] == JPEG_MAGIC:
+            from local_stream_stack_spark.operators.jpeg import (
+                decode_image_jpeg,
+            )
+
+            j = decode_image_jpeg(p)
+            return {"width": j["width"], "height": j["height"], "duration_ms": 0}
         if m == "audio" and p[:4] == RIFF_MAGIC and p[8:12] == WAVE_MAGIC:
             a = decode_audio(p)
             return {"width": 0, "height": 0, "duration_ms": a["duration_ms"]}
