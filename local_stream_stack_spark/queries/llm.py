@@ -5320,3 +5320,249 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_dup").cast("bigint").alias("n_near_dup"),
         F.expr("n_dup * 1000000 div n_docs").alias("dup_rate_e6"),
     ).orderBy("source")
+
+
+_LR_FEATURES = ["x0", "x1", "x2", "x3", "x4"]
+_LR_STOP = "('the','a','and','of','is','to','in','it')"
+
+
+def _logreg_feats_ctes() -> str:
+    """DuckDB CTEs building the e4 integer quality features + rule
+    label — the same eight-stopword/word-count primitives the gopher
+    gate uses, single-scaled so the trainer sums exact BIGINTs."""
+    return f"""
+    t AS MATERIALIZED (
+      SELECT doc_id, source, regexp_extract_all(text, '[^ ]+') AS toks
+      FROM documents
+    ),
+    f AS MATERIALIZED (
+      SELECT doc_id, source,
+             CAST(10000 AS BIGINT) AS x0,
+             CAST(LEAST(len(toks), 25) * 400 AS BIGINT) AS x1,
+             CAST(LEAST(len(list_filter(toks,
+               x -> lower(x) IN {_LR_STOP})), 2) * 5000 AS BIGINT) AS x2,
+             CAST(LEAST(GREATEST(len(toks) - 1000, 0), 200) * 50
+               AS BIGINT) AS x3,
+             CAST(CASE WHEN len(toks) = 0 THEN 0 ELSE
+               COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+                 * 1000 // len(toks) END AS BIGINT) AS x4,
+             CASE WHEN len(list_filter(toks, x -> lower(x) IN {_LR_STOP}))
+                       >= 2
+                   AND len(toks) BETWEEN 25 AND 1000
+                  THEN 1 ELSE 0 END AS y
+      FROM t
+    ),
+    nn AS MATERIALIZED (
+      SELECT COUNT(*) AS n, COALESCE(SUM(y), 0) AS npos FROM f
+    )"""
+
+
+def _logreg_train_ctes(lrs=None) -> str:
+    """Unrolled training rounds: w0 = zeros; per round, the e6 BIGINT
+    gradient sums and the double-exact driver update with that
+    round's literal learning rate — the same arithmetic
+    operators/logreg.py runs, CTE for CTE (python float repr
+    round-trips to the identical double in SQL)."""
+    from local_stream_stack_spark.operators.logreg import decayed_lrs
+
+    lrs = decayed_lrs() if lrs is None else list(lrs)
+    k = len(_LR_FEATURES)
+    parts = [
+        "w0 AS MATERIALIZED (SELECT "
+        + ", ".join(f"CAST(0 AS BIGINT) AS w0_{i}" for i in range(k))
+        + ")"
+    ]
+    for r in range(1, len(lrs) + 1):
+        lr = lrs[r - 1]
+        z_raw = " + ".join(
+            f"(w{r-1}_{i} * {c})" for i, c in enumerate(_LR_FEATURES)
+        )
+        z = f"(CAST({z_raw} AS DOUBLE) / 10000000000.0)"
+        p = f"(0.5 + 0.5 * {z} / (2.0 + abs({z})))"
+        gsel = ", ".join(
+            f"SUM(CAST(FLOOR(({p} - y) * {c} * 100.0 + 0.5) AS BIGINT))"
+            f" AS g{r}_{i}"
+            for i, c in enumerate(_LR_FEATURES)
+        )
+        parts.append(
+            f"g{r} AS MATERIALIZED (SELECT {gsel} FROM f"
+            f" CROSS JOIN w{r-1})"
+        )
+        wsel = ", ".join(
+            # COALESCE/GREATEST: on an empty corpus every delta is 0,
+            # matching the trainer's zero-weight early return
+            f"w{r-1}_{i} - CAST(FLOOR({lr!r} *"
+            f" (CAST(COALESCE(g{r}_{i}, 0) AS DOUBLE) / GREATEST(n, 1))"
+            f" + 0.5) AS BIGINT) AS w{r}_{i}"
+            for i in range(k)
+        )
+        parts.append(
+            f"w{r} AS MATERIALIZED (SELECT {wsel} FROM g{r}"
+            f" CROSS JOIN w{r-1} CROSS JOIN nn)"
+        )
+    return ",\n".join(parts)
+
+
+def _quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the oracle's feature CTE: e4 integer features +
+    rule label, all from built-in array functions (one scan, zero
+    shuffles until the training aggregate)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = "regexp_extract_all(text, '[^ ]+', 0)"
+    sh = f"size(filter({toks}, x -> lower(x) IN {_LR_STOP}))"
+    nw = f"size({toks})"
+    wc = f"aggregate(transform({toks}, x -> length(x)), 0L, (a, b) -> a + b)"
+    return d.select(
+        "doc_id",
+        "source",
+        F.expr("CAST(10000 AS BIGINT)").alias("x0"),
+        F.expr(f"CAST(LEAST({nw}, 25) * 400 AS BIGINT)").alias("x1"),
+        F.expr(
+            f"CAST(LEAST({sh}, 2) * 5000 AS BIGINT)"
+        ).alias("x2"),
+        F.expr(
+            f"CAST(LEAST(GREATEST({nw} - 1000, 0), 200) * 50 AS BIGINT)"
+        ).alias("x3"),
+        F.expr(
+            f"CAST(CASE WHEN {nw} = 0 THEN 0 ELSE"
+            f" COALESCE({wc}, 0) * 1000 div {nw} END AS BIGINT)"
+        ).alias("x4"),
+        F.expr(
+            f"CASE WHEN {sh} >= 2 AND {nw} BETWEEN 25 AND 1000"
+            " THEN 1 ELSE 0 END"
+        ).alias("y"),
+    )
+
+
+@query(
+    "quality_classifier_train",
+    oracle=f"""
+    WITH {_logreg_feats_ctes()},
+    {_logreg_train_ctes()}
+    SELECT f.feature, f.weight_e6,
+           CAST(nn.n AS BIGINT) AS n_docs,
+           CAST(nn.npos AS BIGINT) AS n_pos
+    FROM (
+      SELECT 'x0' AS feature, w12_0 AS weight_e6 FROM w12
+      UNION ALL SELECT 'x1', w12_1 FROM w12
+      UNION ALL SELECT 'x2', w12_2 FROM w12
+      UNION ALL SELECT 'x3', w12_3 FROM w12
+      UNION ALL SELECT 'x4', w12_4 FROM w12
+    ) f CROSS JOIN nn
+    ORDER BY feature
+    """,
+)
+def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED document-quality classifier (fasttext-style bootstrap):
+    logistic regression on e4 integer text features (bias, capped
+    word count, capped stopword hits, excess-length penalty, mean
+    word length) with labels from the deterministic gopher-ish
+    quality rule — the
+    missing trainer next to k-means/PQ/BPE (VERDICT r7 task #8).
+
+    Twelve quasi-gradient rounds (1/r-decayed rate — measured to
+    reach ~95-96% rule agreement at sf0.01 AND sf0.1 vs a 72-74%
+    majority baseline), each ONE bounded-shuffle moment aggregation
+    (k e6-BIGINT gradient sums + a count) with driver-side parameter
+    carry — at 100 TB every round ships k numbers per partition,
+    never rows. Determinism end to end: features are
+    single-scaled integers; the link is the ALGEBRAIC sigmoid
+    0.5 + 0.5*z/(2+|z|) (only correctly-rounded IEEE ops — exp() is
+    not engine-portable); per-row gradients round ONCE to e6 BIGINTs
+    before summing; the driver update replays as plain SQL doubles.
+    The oracle unrolls all twelve rounds CTE-for-CTE. Weight recovery
+    + python-reference identity pinned in tests/test_logreg.py."""
+    from local_stream_stack_spark.operators.logreg import train_logreg_e6
+
+    feats = _quality_features(spark, sf_dir)
+    w = train_logreg_e6(feats, _LR_FEATURES, "y")
+    tot = feats.agg(
+        F.count("*").alias("n_docs"),
+        F.expr("COALESCE(SUM(y), 0)").alias("n_pos"),
+    )
+    rows = spark.createDataFrame(
+        [(c, int(wi)) for c, wi in zip(_LR_FEATURES, w)],
+        "feature string, weight_e6 long",
+    )
+    return (
+        rows.crossJoin(F.broadcast(tot))
+        .select(
+            "feature",
+            "weight_e6",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_pos").cast("bigint").alias("n_pos"),
+        )
+        .orderBy("feature")
+    )
+
+
+@query(
+    "quality_classifier_score",
+    oracle=f"""
+    WITH {_logreg_feats_ctes()},
+    {_logreg_train_ctes()},
+    scored AS (
+      SELECT source, y,
+             CASE WHEN (w12_0 * x0) + (w12_1 * x1) + (w12_2 * x2)
+                     + (w12_3 * x3) + (w12_4 * x4) >= 0
+                  THEN 1 ELSE 0 END AS pred
+      FROM f CROSS JOIN w12
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(pred) AS BIGINT) AS n_pred_pos,
+           CAST(SUM(y) AS BIGINT) AS n_label_pos,
+           CAST(SUM(CASE WHEN pred = y THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           CAST(SUM(CASE WHEN pred = y THEN 1 ELSE 0 END) * 10000
+                // COUNT(*) AS BIGINT) AS accuracy_e4
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCORING pass of the trained quality classifier: per source, the
+    predicted-keep rate and agreement with the rule labels — the
+    curation readout that decides which ingest feeds need manual
+    review (a source where the model and the rule disagree is where
+    the rule is wrong or the source is weird).
+
+    The decision is the INTEGER compare z_raw >= 0 (e6 weights x e4
+    features — no float at the boundary, so engine parity is exact by
+    construction). Training reruns inside the query (three bounded
+    aggregations, the trainer contract); scoring itself is one
+    scan + one partial-agg groupBy on source."""
+    from local_stream_stack_spark.operators.logreg import (
+        train_logreg_e6,
+        z_raw_sql,
+    )
+
+    feats = _quality_features(spark, sf_dir).localCheckpoint(eager=True)
+    w = train_logreg_e6(
+        feats, _LR_FEATURES, "y", materialize_input=False
+    )
+    scored = feats.select(
+        "source",
+        "y",
+        F.expr(
+            f"CASE WHEN {z_raw_sql(w, _LR_FEATURES)} >= 0"
+            " THEN 1 ELSE 0 END"
+        ).alias("pred"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("pred").cast("bigint").alias("n_pred_pos"),
+            F.sum("y").cast("bigint").alias("n_label_pos"),
+            F.expr("SUM(CASE WHEN pred = y THEN 1 ELSE 0 END)")
+            .cast("bigint")
+            .alias("n_correct"),
+            F.expr(
+                "CAST(SUM(CASE WHEN pred = y THEN 1 ELSE 0 END) * 10000"
+                " div COUNT(*) AS BIGINT)"
+            ).alias("accuracy_e4"),
+        )
+        .orderBy("source")
+    )

@@ -128,6 +128,12 @@ REPRESENTATIVE = [
     "purchase_hazard_curve",     # censored discrete-time hazard
     "ab_test_analysis",          # hash arms + two-proportion z
     "dau_mau_stickiness",        # two-grain distinct engagement ratio
+    # round-8 additions (the rank/ntile rewrites above — RFM, Pareto,
+    # Gini, decile transitions, monthly YoY — stay covered by their
+    # existing entries and now exercise with_global_rank on empty)
+    "multimodal_jpeg_decode",    # real JPEG codec mapInPandas
+    "quality_classifier_train",  # logreg trainer (zero-weight empty)
+    "quality_classifier_score",  # integer-boundary scoring
 ]
 
 
@@ -156,6 +162,7 @@ EXPECT_SUMMARY_ROWS = {
     "minhash_band_sweep": 3,     # one summary row per band config
     "right_to_be_forgotten_audit": 2,  # one summary row per table
     "ab_test_analysis": 1,       # single wide summary row (NULL arms)
+    "quality_classifier_train": 5,  # one zero-weight row per feature
 }
 
 
