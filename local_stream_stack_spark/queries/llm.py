@@ -5566,3 +5566,333 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "embedding_sim_histogram",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    pairs AS (
+      SELECT a.v AS va, b.v AS vb FROM e a JOIN e b
+        ON b.vec_id = a.vec_id + 1
+      UNION ALL
+      SELECT a.v, b.v FROM e a JOIN e b ON b.vec_id = a.vec_id + 17
+      UNION ALL
+      SELECT a.v, b.v FROM e a JOIN e b ON b.vec_id = a.vec_id + 101
+    ),
+    scored AS (
+      SELECT CAST(ROUND(
+               list_reduce(list_transform(generate_series(1, len(va)),
+                 i -> CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)),
+                 (a, b) -> a + b)
+               / (sqrt(list_reduce(list_transform(va,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                    (a, b) -> a + b))
+                * sqrt(list_reduce(list_transform(vb,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                    (a, b) -> a + b)))
+               * 1000000) AS BIGINT) AS sim_e6
+      FROM pairs
+      WHERE list_reduce(list_transform(va,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+              (a, b) -> a + b) > 0
+        AND list_reduce(list_transform(vb,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+              (a, b) -> a + b) > 0
+    )
+    SELECT CAST((sim_e6 + 1000000) // 100000 AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(sim_e6) AS BIGINT) AS min_sim_e6,
+           CAST(MAX(sim_e6) AS BIGINT) AS max_sim_e6
+    FROM scored
+    GROUP BY 1 ORDER BY bucket
+    """,
+)
+def embedding_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Background-similarity distribution audit: the cosine histogram
+    over a DETERMINISTIC sample of vector pairs (three id-stride
+    joins: +1, +17, +101 — ~3n pairs at any corpus size, never the
+    n^2 cross product). The readout that calibrates every near-dup
+    threshold: a threshold inside the background mode's mass flags
+    random pairs as duplicates, one far outside misses all of them
+    (the deliberately-hard 0.40 threshold in semantic_dedup is chosen
+    against exactly this distribution).
+
+    Determinism: each cosine derives from array-ordered float sums
+    (same fold order both engines), rounds ONCE to e6, and buckets by
+    a SHIFTED integer division ((sim+1e6) div 1e5: operands
+    non-negative, so Spark's truncation and DuckDB's floor agree).
+    Plan: three equi shuffle joins on computed keys + one partial-agg
+    groupBy over 21 buckets — linear scan work, bounded output."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dot = (
+        "aggregate(zip_with(va, vb, (x, y) ->"
+        " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+    )
+
+    def norm(col):
+        return (
+            f"aggregate(transform({col}, x ->"
+            " CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+        )
+
+    pairs = None
+    for stride in (1, 17, 101):
+        a = e.select(
+            (F.col("vec_id") + stride).alias("__k"),
+            F.col("embedding").alias("va"),
+        )
+        b = e.select(
+            F.col("vec_id").alias("__k"), F.col("embedding").alias("vb")
+        )
+        p = a.join(b, "__k").select("va", "vb")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    scored = pairs.filter(
+        F.expr(f"{norm('va')} > 0 AND {norm('vb')} > 0")
+    ).select(
+        F.expr(
+            f"CAST(ROUND({dot} / (sqrt({norm('va')}) * sqrt({norm('vb')}))"
+            " * 1000000) AS BIGINT)"
+        ).alias("sim_e6")
+    )
+    return (
+        scored.groupBy(
+            F.expr(
+                "CAST((sim_e6 + 1000000) div 100000 AS INT)"
+            ).alias("bucket")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.min("sim_e6").cast("bigint").alias("min_sim_e6"),
+            F.max("sim_e6").cast("bigint").alias("max_sim_e6"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "tokens_retained_after_dedup",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             md5(text) AS h,
+             len(regexp_extract_all(text, '[^ ]+')) AS n_tokens
+      FROM documents
+    ),
+    keep AS (SELECT h, MIN(doc_id) AS keep_id FROM d GROUP BY h)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN doc_id = keep_id THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS tokens_kept,
+           CAST(SUM(CASE WHEN doc_id = keep_id THEN n_tokens ELSE 0 END)
+                * 1000000 // NULLIF(SUM(n_tokens), 0) AS BIGINT)
+             AS retained_share_e6
+    FROM d JOIN keep USING (h)
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def tokens_retained_after_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ROI readout: per source, the TOKEN mass retained after
+    exact dedup (min-id per content hash) — the number a training-data
+    budget actually cares about (docs removed is vanity; tokens
+    removed is the compute saved). A source whose token-retention is
+    far below its doc-retention is shipping a few huge duplicated
+    documents.
+
+    One scan computes hash + token count; one groupBy finds the
+    keeper per hash; one partial-agg groupBy per source. The keep
+    join is on the content hash (same shuffle key as the dedup
+    itself); shares are truncating e6 divisions on non-negative
+    integers."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.expr(
+            "CAST(size(regexp_extract_all(text, '[^ ]+', 0)) AS BIGINT)"
+        ).alias("n_tokens"),
+    )
+    keep = d.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    j = d.join(keep, "h")
+    kept = F.expr("CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(kept).cast("bigint").alias("n_kept"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+            F.sum(F.expr(
+                "CASE WHEN doc_id = keep_id THEN n_tokens ELSE 0 END"
+            )).cast("bigint").alias("tokens_kept"),
+            F.expr(
+                "CAST(SUM(CASE WHEN doc_id = keep_id THEN n_tokens"
+                " ELSE 0 END) * 1000000"
+                " div NULLIF(SUM(n_tokens), 0) AS BIGINT)"
+            ).alias("retained_share_e6"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "vocab_novelty_by_source",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT source,
+             unnest(regexp_extract_all(lower(trim(text)), '[^ ]+')) AS t
+      FROM documents
+    ),
+    first AS (SELECT t, MIN(source) AS first_source FROM tok GROUP BY t)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN source = first_source THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel_types,
+           CAST(SUM(CASE WHEN source = first_source THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS novelty_e6
+    FROM tok JOIN first USING (t)
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def vocab_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-vocabulary curve: per source (in name order), how many
+    of its distinct token types no lexicographically-earlier source
+    contains — the "what does adding this feed actually buy" readout
+    when sources are admitted in a fixed order (a feed with ~zero
+    novel types duplicates the corpus it joins).
+
+    One distinct (source, token) explode (partial-aggregated
+    scan-side), one min-source groupBy over the type vocabulary, one
+    equi join back on the token — all shuffle keys are the token, so
+    the heavy relation co-partitions; output is one row per source.
+    COUNT(*) per emitted source group is >= 1, so the truncating e6
+    share needs no NULL guard."""
+    tok = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "regexp_extract_all(lower(trim(text)), '[^ ]+', 0)"
+                )
+            ).alias("t"),
+        )
+        .distinct()
+    )
+    first = tok.groupBy("t").agg(F.min("source").alias("first_source"))
+    novel = F.expr("CASE WHEN source = first_source THEN 1 ELSE 0 END")
+    return (
+        tok.join(first, "t")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_types"),
+            F.sum(novel).cast("bigint").alias("n_novel_types"),
+            F.expr(
+                "CAST(SUM(CASE WHEN source = first_source THEN 1"
+                " ELSE 0 END) * 1000000 div COUNT(*) AS BIGINT)"
+            ).alias("novelty_e6"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "quality_classifier_pr_curve",
+    oracle=f"""
+    WITH {_logreg_feats_ctes()},
+    {_logreg_train_ctes()},
+    scored AS (
+      SELECT y, (w12_0 * x0) + (w12_1 * x1) + (w12_2 * x2)
+               + (w12_3 * x3) + (w12_4 * x4) AS z_raw
+      FROM f CROSS JOIN w12
+    ),
+    th AS (
+      SELECT unnest([-40, -20, 0, 20, 40]) AS threshold_e9
+    )
+    SELECT CAST(CAST(threshold_e9 AS BIGINT) * 100000000 AS BIGINT) AS threshold_zraw,
+           CAST(SUM(CASE WHEN z_raw >= CAST(threshold_e9 AS BIGINT) * 100000000
+                          AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN z_raw >= CAST(threshold_e9 AS BIGINT) * 100000000
+                          AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN z_raw < CAST(threshold_e9 AS BIGINT) * 100000000
+                          AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN z_raw >= CAST(threshold_e9 AS BIGINT) * 100000000
+                          AND y = 1 THEN 1 ELSE 0 END) * 10000
+                // NULLIF(SUM(CASE WHEN z_raw >= CAST(threshold_e9 AS BIGINT) * 100000000
+                               THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS precision_e4,
+           CAST(SUM(CASE WHEN z_raw >= CAST(threshold_e9 AS BIGINT) * 100000000
+                          AND y = 1 THEN 1 ELSE 0 END) * 10000
+                // NULLIF(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS recall_e4
+    FROM scored CROSS JOIN th
+    GROUP BY threshold_e9
+    ORDER BY threshold_zraw
+    """,
+)
+def quality_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall curve of the trained quality classifier at
+    five decision thresholds on the raw integer score — the curve a
+    curation team reads to pick an operating point (keep-rate vs
+    purity) instead of blindly shipping z >= 0.
+
+    Every comparison is an exact BIGINT compare of z_raw against a
+    literal threshold (no float at any boundary), counts aggregate in
+    one pass over the scored scan crossed with the 5-row threshold
+    list, and precision/recall are truncating e4 divisions with NULL
+    guards for empty cells. Training reruns inside the query (the
+    trainer contract: twelve parameter-sized aggregations)."""
+    from local_stream_stack_spark.operators.logreg import (
+        train_logreg_e6,
+        z_raw_sql,
+    )
+
+    feats = _quality_features(spark, sf_dir).localCheckpoint(eager=True)
+    w = train_logreg_e6(
+        feats, _LR_FEATURES, "y", materialize_input=False
+    )
+    scored = feats.select(
+        "y", F.expr(z_raw_sql(w, _LR_FEATURES)).alias("z_raw")
+    )
+    th = spark.createDataFrame(
+        [(t,) for t in (-40, -20, 0, 20, 40)], "threshold_e9 long"
+    )
+    hit = "z_raw >= CAST(threshold_e9 AS BIGINT) * 100000000"
+    return (
+        scored.crossJoin(F.broadcast(th))
+        .groupBy("threshold_e9")
+        .agg(
+            F.expr(
+                f"SUM(CASE WHEN {hit} AND y = 1 THEN 1 ELSE 0 END)"
+            ).cast("bigint").alias("tp"),
+            F.expr(
+                f"SUM(CASE WHEN {hit} AND y = 0 THEN 1 ELSE 0 END)"
+            ).cast("bigint").alias("fp"),
+            F.expr(
+                f"SUM(CASE WHEN NOT ({hit}) AND y = 1 THEN 1 ELSE 0 END)"
+            ).cast("bigint").alias("fn"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN {hit} AND y = 1 THEN 1 ELSE 0 END)"
+                f" * 10000 div NULLIF(SUM(CASE WHEN {hit} THEN 1"
+                " ELSE 0 END), 0) AS BIGINT)"
+            ).alias("precision_e4"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN {hit} AND y = 1 THEN 1 ELSE 0 END)"
+                " * 10000 div NULLIF(SUM(CASE WHEN y = 1 THEN 1"
+                " ELSE 0 END), 0) AS BIGINT)"
+            ).alias("recall_e4"),
+        )
+        .select(
+            F.expr("CAST(CAST(threshold_e9 AS BIGINT) * 100000000 AS BIGINT)").alias(
+                "threshold_zraw"
+            ),
+            "tp", "fp", "fn", "precision_e4", "recall_e4",
+        )
+        .orderBy("threshold_zraw")
+    )

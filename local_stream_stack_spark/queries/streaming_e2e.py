@@ -71,6 +71,20 @@ from local_stream_stack_spark.utils.scratch import ephemeral_dir
 _run_seq = itertools.count()
 
 
+def _table_source(sf_dir: str, table: str) -> tuple[str, str]:
+    """(source_dir, pathGlobFilter) for a table under either corpus
+    layout: the driver testdata keeps one FILE per table
+    (``{sf_dir}/{table}.parquet``), while Spark-written corpora (the
+    scaling-curve .scale dirs, any real lake) keep a DIRECTORY of
+    part files under the same name. FileStreamSource needs a
+    directory either way; the glob pins which leaf files enter the
+    stream."""
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(p):
+        return p, "*.parquet"
+    return sf_dir, f"{table}.parquet"
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of the events table (bounded replay).
 
@@ -86,13 +100,14 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     configure_for_oracle(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_schema = spark.read.option("pathGlobFilter", "events.parquet").parquet(
-        sf_dir
+    src_dir, glob = _table_source(sf_dir, "events")
+    batch_schema = spark.read.option("pathGlobFilter", glob).parquet(
+        src_dir
     ).schema
     stream = (
         spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        .option("pathGlobFilter", glob)
+        .parquet(src_dir)
     )
     ts_type = dict(stream.dtypes).get("ts")
     if ts_type == "bigint":
@@ -382,10 +397,10 @@ def stream_pipeline_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
         "name": "docs-curation-stream",
         "source": {
             "type": "parquet",
-            "path": sf_dir,
+            "path": _table_source(sf_dir, "documents")[0],
             "streaming": True,
             "schema": "harness_document",
-            "pathGlobFilter": "documents.parquet",
+            "pathGlobFilter": _table_source(sf_dir, "documents")[1],
         },
         "processors": [
             {"name": "filter", "params": {"predicate": "n_chars > 100 AND lang = 'en'"}},
@@ -1013,9 +1028,10 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the plan: a collect()ed Python datetime re-entering via F.lit
     # converts through the OS timezone (not the session one) — the
     # classic driver-boundary trap; integer microseconds dodge it
+    cut_src, cut_glob = _table_source(sf_dir, "events")
     cut = (
-        spark.read.option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        spark.read.option("pathGlobFilter", cut_glob)
+        .parquet(cut_src)
         .filter(F.col("event_type").isin("purchase", "view"))
         .groupBy("event_type")
         .agg(F.max(epoch_us("ts")).alias("m"))
@@ -1090,9 +1106,10 @@ def stream_windowed_rollup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     table = _run_to_table(hour, "stream_rollup_chain", "append")
+    cut_src, cut_glob = _table_source(sf_dir, "events")
     cut = (
-        spark.read.option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        spark.read.option("pathGlobFilter", cut_glob)
+        .parquet(cut_src)
         .agg((F.max(epoch_us("ts")) / 1_000_000).cast("bigint").alias("mx"))
         .select((F.col("mx") - 3660).alias("closed_end"))
     )
@@ -1173,13 +1190,14 @@ def stream_quality_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from local_stream_stack_spark.operators.text import quality_flags
 
     configure_for_oracle(spark)
+    src_dir, glob = _table_source(sf_dir, "documents")
     batch_schema = spark.read.option(
-        "pathGlobFilter", "documents.parquet"
-    ).parquet(sf_dir).schema
+        "pathGlobFilter", glob
+    ).parquet(src_dir).schema
     stream = (
         spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
+        .option("pathGlobFilter", glob)
+        .parquet(src_dir)
     )
     flagged = quality_flags(stream, "text").withColumn(
         "reject_reason",

@@ -2952,3 +2952,50 @@ def embedding_dim_variance_audit(
             " * n, 0) AS BIGINT)"
         ).alias("var_e12"),
     ).orderBy("dim")
+
+
+@query(
+    "stratified_sample_exact",
+    oracle="""
+    WITH r AS (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rk
+      FROM documents
+    )
+    SELECT lang, CAST(rk AS INT) AS rk, doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM r WHERE rk <= 20
+    ORDER BY lang, rk
+    """,
+)
+def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly 20 documents per
+    language, chosen by md5(doc_id) rank — the reproducible
+    eval-slice / human-review sampler every curation pipeline needs
+    (rerunning on any cluster, any partitioning, any engine picks the
+    SAME docs; no RNG state, no sampleBy approximation).
+
+    The per-stratum rank window gets Spark's WindowGroupLimit
+    pushdown (rk <= 20 filters inside the shuffle), so executors drop
+    non-sample rows early — at 100 TB the shuffle carries ~k rows per
+    (language, partition), not the corpus. md5 of the decimal doc_id
+    rendering is bit-identical in any engine."""
+    d = _t(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select(
+            "lang",
+            F.row_number().over(w).alias("rk"),
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .filter(F.col("rk") <= 20)
+        .select("lang", F.col("rk").cast("int").alias("rk"), "doc_id", "n_chars")
+        .orderBy("lang", "rk")
+    )

@@ -134,6 +134,11 @@ REPRESENTATIVE = [
     "multimodal_jpeg_decode",    # real JPEG codec mapInPandas
     "quality_classifier_train",  # logreg trainer (zero-weight empty)
     "quality_classifier_score",  # integer-boundary scoring
+    "quality_classifier_pr_curve",  # thresholded confusion counts
+    "embedding_sim_histogram",   # stride-pair cosine buckets
+    "tokens_retained_after_dedup",  # dedup ROI by source
+    "vocab_novelty_by_source",   # first-source novel types
+    "stratified_sample_exact",   # per-stratum md5-rank sample
 ]
 
 

@@ -95,6 +95,17 @@ MEASURED = [
     "minhash_calibration",
     "zipf_token_fit",
     "join_explosion_audit",
+    # round-8: the LIVE streaming ingest tier (VERDICT r7 #4). Each
+    # fn() stages its input files and drives the full streaming job
+    # (processAllAvailable) before returning the sink/store read, so
+    # the timed run IS the end-to-end live pipeline at that corpus
+    # size; micro-batch count stays fixed (maxFilesPerTrigger over the
+    # same number of staged files), so growth isolates per-batch work
+    # — including the neardup store re-read, which grows with
+    # admitted keys.
+    "stream_ingest_dedup",
+    "stream_ingest_neardup",
+    "stream_quality_quarantine",
 ]
 
 
