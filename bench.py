@@ -188,6 +188,15 @@ EXTENDED = [
     "purchase_hazard_curve",
     "ab_test_analysis",
     "dau_mau_stickiness",
+    # round-8 additions
+    "multimodal_jpeg_decode",
+    "quality_classifier_train",
+    "quality_classifier_score",
+    "quality_classifier_pr_curve",
+    "embedding_sim_histogram",
+    "tokens_retained_after_dedup",
+    "vocab_novelty_by_source",
+    "stratified_sample_exact",
 ]
 
 

@@ -2999,3 +2999,227 @@ def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", F.col("rk").cast("int").alias("rk"), "doc_id", "n_chars")
         .orderBy("lang", "rk")
     )
+
+
+def _jl_planes_sql(k: int = 16, dim: int = 64) -> str:
+    """Literal 2-level array of the k x dim md5-derived integer
+    hyperplanes (the literal-codebook pattern: one parsed literal
+    instead of thousands of py4j column calls)."""
+    from local_stream_stack_spark.operators.similarity import (
+        integer_lsh_planes,
+    )
+
+    planes = integer_lsh_planes(1, k, dim)
+    return (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{int(w)}L" for w in row) + ")"
+            for row in planes
+        )
+        + ")"
+    )
+
+
+@query(
+    "jl_distortion_audit",
+    oracle="""
+    WITH planes AS (
+      SELECT j.j, i.i,
+             CAST('0x' || substring(md5(concat(0,'|',j.j,'|',i.i)), 1, 4)
+                  AS INT) % 7 - 3 AS w
+      FROM generate_series(0, 15) j(j), generate_series(0, 63) i(i)
+    ),
+    qv AS (
+      SELECT vec_id, i.i AS i,
+             CAST(FLOOR(CAST(embedding[i.i + 1] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS x
+      FROM embeddings, generate_series(0, 63) i(i)
+    ),
+    proj AS (
+      SELECT q.vec_id, p.j, SUM(q.x * p.w) AS y
+      FROM qv q JOIN planes p ON q.i = p.i
+      GROUP BY q.vec_id, p.j
+    ),
+    dx AS (
+      SELECT a.vec_id AS ida, SUM((a.x - b.x) * (a.x - b.x)) AS dx2
+      FROM qv a JOIN qv b ON b.vec_id = a.vec_id + 17 AND b.i = a.i
+      GROUP BY a.vec_id
+    ),
+    dy AS (
+      SELECT a.vec_id AS ida, SUM((a.y - b.y) * (a.y - b.y)) AS dy2
+      FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 17 AND b.j = a.j
+      GROUP BY a.vec_id
+    ),
+    d AS (
+      SELECT CAST(ROUND(CAST(dy2 AS DOUBLE) / 64.0
+                        / CAST(dx2 AS DOUBLE) * 1000000) AS BIGINT)
+               AS distortion_e6
+      FROM dx JOIN dy USING (ida)
+      WHERE dx2 > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(distortion_e6) // COUNT(*) AS BIGINT)
+             AS mean_distortion_e6,
+           CAST(MIN(distortion_e6) AS BIGINT) AS min_distortion_e6,
+           CAST(MAX(distortion_e6) AS BIGINT) AS max_distortion_e6,
+           CAST(SUM(CASE WHEN distortion_e6 BETWEEN 500000 AND 2000000
+                    THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+             AS within_2x_share_e6
+    FROM d
+    """,
+)
+def jl_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sanity audit for random-projection
+    dimensionality reduction (64 -> 16 dims): per stride-paired
+    vectors, the ratio of projected to original squared distance,
+    normalized by k * E[w^2] = 16 * 4 — the check run before trusting
+    a projected index (a distortion histogram far from 1 means the
+    projection, not the data, decides the neighbors).
+
+    Deterministic end to end: md5-derived INTEGER hyperplanes (the
+    LSH plane generator, shared with the sign-LSH tier), e6-quantized
+    vectors, exact BIGINT projections and squared distances, ONE
+    double division per pair rounded once to e6, then integer
+    aggregates. Plan: the 16x64 plane matrix enters as one parsed
+    literal; projection+distances are codegen array folds per row
+    (no shuffle), the stride pairing is one equi join, and the output
+    is a single summary row."""
+    k, dim = 16, 64
+    plit = _jl_planes_sql(k, dim)
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, v ->"
+            " CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"
+        ).alias("x"),
+    )
+    proj = e.select(
+        "vec_id",
+        "x",
+        F.expr(
+            f"transform({plit}, p -> aggregate(zip_with(x, p,"
+            " (a, b) -> a * b), 0L, (a, b) -> a + b))"
+        ).alias("y"),
+    )
+    a = proj.select(
+        (F.col("vec_id") + 17).alias("__k"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+    )
+    b = proj.select(
+        F.col("vec_id").alias("__k"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+    sq = "(a, b) -> (a - b) * (a - b)"
+    d = (
+        a.join(b, "__k")
+        .select(
+            F.expr(
+                f"aggregate(zip_with(xa, xb, {sq}), 0L, (a, b) -> a + b)"
+            ).alias("dx2"),
+            F.expr(
+                f"aggregate(zip_with(ya, yb, {sq}), 0L, (a, b) -> a + b)"
+            ).alias("dy2"),
+        )
+        .filter(F.col("dx2") > 0)
+        .select(
+            F.expr(
+                "CAST(ROUND(CAST(dy2 AS DOUBLE) / 64.0"
+                " / CAST(dx2 AS DOUBLE) * 1000000) AS BIGINT)"
+            ).alias("distortion_e6")
+        )
+    )
+    return d.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.expr(
+            "CAST(SUM(distortion_e6) div COUNT(*) AS BIGINT)"
+        ).alias("mean_distortion_e6"),
+        F.min("distortion_e6").cast("bigint").alias("min_distortion_e6"),
+        F.max("distortion_e6").cast("bigint").alias("max_distortion_e6"),
+        F.expr(
+            "CAST(SUM(CASE WHEN distortion_e6 BETWEEN 500000 AND 2000000"
+            " THEN 1 ELSE 0 END) * 1000000 div COUNT(*) AS BIGINT)"
+        ).alias("within_2x_share_e6"),
+    )
+
+
+@query(
+    "group_split_leakage_audit",
+    oracle="""
+    WITH assigned AS (
+      SELECT event_id, user_id,
+             CASE WHEN CAST('0x' ||
+                    substring(md5(CAST(user_id AS VARCHAR)), 1, 4)
+                    AS INT) % 10 < 8
+                  THEN 'train' ELSE 'test' END AS split
+      FROM events
+    ),
+    user_splits AS (
+      SELECT user_id, COUNT(DISTINCT split) AS n_splits
+      FROM assigned GROUP BY user_id
+    ),
+    leak AS (
+      SELECT COUNT(*) AS n_leaked FROM user_splits WHERE n_splits > 1
+    ),
+    tot AS (SELECT COUNT(*) AS n_total FROM assigned)
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) * 1000000 // n_total AS BIGINT) AS share_e6,
+           CAST(n_leaked AS BIGINT) AS n_leaked_users
+    FROM assigned CROSS JOIN leak CROSS JOIN tot
+    GROUP BY split, n_leaked, n_total
+    ORDER BY split
+    """,
+)
+def group_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-wise train/test split + leakage audit: every event is
+    assigned by the md5 hash of its USER (never the row), so all of a
+    user's events land in one split — the GroupKFold discipline that
+    keeps per-user correlations out of the eval set. The audit
+    reports per-split sizes/shares AND the leaked-user count (users
+    seen in both splits), which must be zero by construction — a
+    nonzero value means someone re-keyed the hash onto a row column.
+
+    Deterministic: md5 of the decimal user_id (bit-identical in any
+    engine), 80/20 by hash bucket. One scan + one distinct-user
+    aggregate; the leak check is a two-level groupBy on user_id —
+    shuffle keys are the user, so it co-partitions with any
+    downstream per-user feature job."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    assigned = ev.withColumn(
+        "split",
+        F.expr(
+            "CASE WHEN CAST(conv(substring(md5(CAST(user_id AS STRING)),"
+            " 1, 4), 16, 10) AS INT) % 10 < 8"
+            " THEN 'train' ELSE 'test' END"
+        ),
+    )
+    leak = (
+        assigned.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .agg(F.count("*").alias("n_leaked"))
+    )
+    tot = assigned.agg(F.count("*").alias("n_total"))
+    return (
+        assigned.crossJoin(F.broadcast(leak))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("split", "n_leaked", "n_total")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.expr(
+                "CAST(COUNT(*) * 1000000 div n_total AS BIGINT)"
+            ).alias("share_e6"),
+        )
+        .select(
+            "split",
+            "n_events",
+            "n_users",
+            "share_e6",
+            F.col("n_leaked").cast("bigint").alias("n_leaked_users"),
+        )
+        .orderBy("split")
+    )

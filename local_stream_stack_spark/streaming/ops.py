@@ -904,11 +904,17 @@ def ingest_neardup_stream_parquet(
         admitted.coalesce(1).write.mode("overwrite").parquet(
             f"{store_path}/rows/__epoch={epoch_id}"
         )
+        # keys land SORTED by (band, bh): every epoch file then has
+        # tight parquet row-group zone maps on the lookup key, so any
+        # pushed or runtime filter (bloom/min-max) can skip row groups
+        # during the next epochs' store semi-joins — the cheap half of
+        # the store-growth mitigation (the 100 TB design routes this
+        # lookup through an indexed state store; see SCALE.md)
         keys.join(rejected, id_col, "left_anti").select(
             id_col, "band", "bh"
-        ).coalesce(1).write.mode("overwrite").parquet(
-            f"{store_path}/keys/__epoch={epoch_id}"
-        )
+        ).coalesce(1).sortWithinPartitions("band", "bh").write.mode(
+            "overwrite"
+        ).parquet(f"{store_path}/keys/__epoch={epoch_id}")
 
     return (
         df.writeStream.outputMode("append")

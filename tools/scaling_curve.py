@@ -289,8 +289,85 @@ def run(
         )
 
 
+def stream_store() -> None:
+    """Isolate the neardup STORE-READ growth (VERDICT r7 #4): time one
+    FIXED-size ingest epoch (2,000 fresh docs) against a pre-admitted
+    key store built from the x1 vs x10 corpora. The full-query curve
+    conflates per-batch signature compute (linear in batch, identical
+    here) with the store semi-join (grows with admitted keys); this
+    probe holds the batch constant so the exponent is the store
+    read's alone."""
+    import tempfile
+
+    from local_stream_stack_spark.streaming.ops import (
+        ingest_neardup_stream_parquet,
+    )
+
+    spark = get_spark(app_name="store-growth")
+    spark.sparkContext.setLogLevel("ERROR")
+    par = spark.sparkContext.defaultParallelism
+    spark.range(par * 4, numPartitions=par).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    results = {}
+    for scale in ("x1", "x10"):
+        docs = spark.read.parquet(
+            os.path.join(OUT, scale, "documents.parquet")
+        ).select("doc_id", "text")
+        probe = (
+            spark.read.parquet(os.path.join(OUT, "x1", "documents.parquet"))
+            .select(
+                (F.col("doc_id") + 50_000_000).alias("doc_id"),
+                F.concat(F.lit("probe "), "text").alias("text"),
+            )
+            .limit(2000)
+        )
+        base = tempfile.mkdtemp(prefix=f"store-growth-{scale}-")
+        in_dir = os.path.join(base, "in")
+        os.makedirs(in_dir)
+        q = ingest_neardup_stream_parquet(
+            spark.readStream.schema("doc_id bigint, text string").parquet(
+                in_dir
+            ),
+            id_col="doc_id",
+            text_col="text",
+            order_col="doc_id",
+            store_path=os.path.join(base, "store"),
+            checkpoint_location=os.path.join(base, "cp"),
+            portable=True,
+        )
+        # epoch 0: fill the store (cost excluded — it scales with the
+        # corpus by construction)
+        docs.coalesce(4).write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+        n_keys = spark.read.parquet(
+            os.path.join(base, "store", "keys", "__epoch=0")
+        ).count()
+        # epoch 1: the FIXED probe batch against that store
+        probe.coalesce(1).write.mode("append").parquet(in_dir)
+        t0 = time.time()
+        q.processAllAvailable()
+        dt = time.time() - t0
+        q.stop()
+        results[scale] = {"store_keys": n_keys, "epoch_sec": round(dt, 3)}
+        print(f"{scale}: {n_keys} admitted keys, fixed epoch {dt:.3f}s",
+              file=sys.stderr)
+        shutil.rmtree(base, ignore_errors=True)
+    spark.stop()
+    alpha = math.log10(
+        max(results["x10"]["epoch_sec"], 1e-9)
+        / max(results["x1"]["epoch_sec"], 1e-9)
+    )
+    print(json.dumps({"probe": "neardup_store_growth",
+                      "results": results, "alpha": round(alpha, 3)}))
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "run"
+    if cmd == "stream_store":
+        stream_store()
+        sys.exit(0)
     if cmd == "gen":
         rest = sys.argv[2:]
         n = int(rest[0]) if rest and rest[0].isdigit() else 10
