@@ -197,6 +197,12 @@ EXTENDED = [
     "tokens_retained_after_dedup",
     "vocab_novelty_by_source",
     "stratified_sample_exact",
+    "jl_distortion_audit",
+    "group_split_leakage_audit",
+    "cohort_retention_matrix",
+    "qq_plot_price",
+    "ewma_daily_revenue",
+    "embedding_centroid_separation",
 ]
 
 

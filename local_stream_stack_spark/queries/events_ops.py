@@ -3598,3 +3598,85 @@ def weekday_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("iso_weekday", "event_type")
     )
+
+
+@query(
+    "cohort_retention_matrix",
+    oracle="""
+    WITH act AS (
+      SELECT user_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000
+                  AS BIGINT) AS wk
+      FROM events
+      GROUP BY 1, 2
+    ),
+    first AS (
+      SELECT user_id, MIN(wk) AS cohort_wk FROM act GROUP BY user_id
+    ),
+    size AS (
+      SELECT cohort_wk, COUNT(*) AS cohort_size FROM first GROUP BY 1
+    ),
+    cells AS (
+      SELECT f.cohort_wk, a.wk - f.cohort_wk AS weeks_since,
+             COUNT(*) AS n_active
+      FROM act a JOIN first f USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT CAST(c.cohort_wk AS BIGINT) AS cohort_week,
+           CAST(c.weeks_since AS BIGINT) AS weeks_since,
+           CAST(c.n_active AS BIGINT) AS n_active_users,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           CAST(c.n_active * 1000000 // s.cohort_size AS BIGINT)
+             AS retention_e6
+    FROM cells c JOIN size s USING (cohort_wk)
+    ORDER BY cohort_week, weeks_since
+    """,
+)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle: users grouped by their FIRST
+    active week, each cohort's share still active k weeks later — the
+    growth-accounting table every product and every data-collection
+    pipeline reads (a cohort whose week-1 retention collapses marks a
+    bad ingest or a bot wave, not growth).
+
+    Weeks are integer epoch-microsecond divisions (non-negative, so
+    Spark div and DuckDB // agree); activity collapses to DISTINCT
+    (user, week) scan-side before any join, so the matrix joins
+    per-user rows, not events; cohort sizes broadcast. Retention is a
+    truncating e6 division (cohort_size >= 1 for emitted rows)."""
+    ev = _events(spark, sf_dir)
+    act = (
+        ev.select(
+            "user_id",
+            epoch_us("ts").alias("__us"),
+        )
+        .select(
+            "user_id",
+            F.expr("CAST(__us div 604800000000 AS BIGINT)").alias("wk"),
+        )
+        .distinct()
+    )
+    first = act.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    size = first.groupBy("cohort_wk").agg(
+        F.count("*").alias("cohort_size")
+    )
+    cells = (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("weeks_since")
+        )
+        .agg(F.count("*").alias("n_active"))
+    )
+    return (
+        cells.join(F.broadcast(size), "cohort_wk")
+        .select(
+            F.col("cohort_wk").cast("bigint").alias("cohort_week"),
+            F.col("weeks_since").cast("bigint").alias("weeks_since"),
+            F.col("n_active").cast("bigint").alias("n_active_users"),
+            F.col("cohort_size").cast("bigint").alias("cohort_size"),
+            F.expr(
+                "CAST(n_active * 1000000 div cohort_size AS BIGINT)"
+            ).alias("retention_e6"),
+        )
+        .orderBy("cohort_week", "weeks_since")
+    )

@@ -2538,3 +2538,185 @@ def ship_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "qq_plot_price",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderstatus AS st, o_totalprice AS p,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ),
+    d AS (SELECT unnest(generate_series(1, 9)) AS dec),
+    pick AS (
+      SELECT r.st, d.dec, r.p
+      FROM r JOIN d ON r.rn = (r.n - 1) * d.dec // 10 + 1
+    )
+    SELECT CAST(f.dec AS INT) AS decile,
+           CAST(f.p AS DOUBLE) AS f_price,
+           CAST(o.p AS DOUBLE) AS o_price,
+           CAST(ROUND(CAST(f.p AS DOUBLE) / CAST(o.p AS DOUBLE)
+                      * 1000000) AS BIGINT) AS ratio_e6
+    FROM (SELECT dec, p FROM pick WHERE st = 'F') f
+    JOIN (SELECT dec, p FROM pick WHERE st = 'O') o USING (dec)
+    ORDER BY decile
+    """,
+)
+def qq_plot_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-quantile comparison of order prices between the
+    fulfilled ('F') and open ('O') populations at the nine deciles —
+    the distribution-shift screen run before trusting any
+    cross-population metric comparison (a QQ ratio drifting from 1.0
+    in the tails means the populations differ in shape, not just
+    mean, and mean-based comparisons will lie).
+
+    Deciles are EXACT ORDER STATISTICS (the element at 0-indexed rank
+    floor((n-1)*k/10), lower type-1 convention) — actual data values,
+    never float interpolation, so both engines agree bit-for-bit at
+    any scale (an interpolated quantile_cont differs by one ulp
+    between engines and flips a cent rounding; caught at sf0.1). The
+    per-status ranks come from the distributed-rank operator (no
+    per-status sorting reducer); the 9 target ranks broadcast-join
+    the ranked scan and only 18 rows survive."""
+    from local_stream_stack_spark.operators.quantiles import (
+        with_global_rank,
+    )
+
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    ranked = with_global_rank(
+        o.select("o_orderstatus", "o_totalprice", "o_orderkey"),
+        "o_totalprice",
+        ["o_orderkey"],
+        keys=["o_orderstatus"],
+        out_rank="rn",
+        total_col="n",
+    )
+    pick = ranked.filter(
+        F.expr(
+            "EXISTS(sequence(1, 9),"
+            " k -> rn = (n - 1) * k div 10 + 1)"
+        )
+    ).select(
+        F.col("o_orderstatus").alias("st"),
+        F.explode(
+            F.expr(
+                "filter(sequence(1, 9),"
+                " k -> rn = (n - 1) * k div 10 + 1)"
+            )
+        ).alias("dec"),
+        F.col("o_totalprice").alias("p"),
+    )
+    f = pick.filter(F.col("st") == "F").select(
+        "dec", F.col("p").alias("fp")
+    )
+    oo = pick.filter(F.col("st") == "O").select(
+        "dec", F.col("p").alias("op")
+    )
+    return (
+        f.join(oo, "dec")
+        .select(
+            F.col("dec").cast("int").alias("decile"),
+            F.col("fp").cast("double").alias("f_price"),
+            F.col("op").cast("double").alias("o_price"),
+            F.expr(
+                "CAST(ROUND(CAST(fp AS DOUBLE) / CAST(op AS DOUBLE)"
+                " * 1000000) AS BIGINT)"
+            ).alias("ratio_e6"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "ewma_daily_revenue",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1
+    ),
+    seq AS MATERIALIZED (
+      SELECT day, cents,
+             ROW_NUMBER() OVER (ORDER BY day) AS i
+      FROM daily
+    ),
+    fold AS (
+      SELECT i, day, cents, cents AS ewma_cents FROM seq WHERE i = 1
+      UNION ALL
+      SELECT s.i, s.day, s.cents,
+             CAST(FLOOR(0.2 * s.cents + 0.8 * f.ewma_cents + 0.5)
+                  AS BIGINT)
+      FROM seq s JOIN fold f ON s.i = f.i + 1
+    )
+    SELECT day,
+           CAST(cents AS BIGINT) AS revenue_cents,
+           CAST(ewma_cents AS BIGINT) AS ewma_cents,
+           CAST(cents - ewma_cents AS BIGINT) AS residual_cents
+    FROM fold
+    ORDER BY day
+    """,
+)
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue
+    (alpha = 0.2) with per-day residuals — the smoothed baseline an
+    anomaly monitor compares against (CUSUM finds ONE changepoint;
+    the EWMA residual flags per-day spikes against a drifting level).
+
+    An EWMA is inherently a sequential fold, so the engine runs it as
+    ONE ordered array fold over the calendar-bounded day series
+    (sort_array(collect_list(...)) into a single aggregate row, then
+    an `aggregate` lambda with the state SINGLE-rounded to cents
+    BIGINT each step — deterministic at any partitioning, no window
+    and no driver loop; days are bounded by the calendar regardless
+    of corpus size). The oracle replays the identical recurrence as a
+    recursive CTE. FLOOR(0.2*x + 0.8*s + 0.5) uses only
+    correctly-rounded double ops on exact integers, so both engines
+    agree bit-for-bit at every step."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr("CAST(o_orderdate AS DATE)").alias("day")
+    ).agg(
+        F.sum(
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+        ).alias("cents")
+    )
+    arr = daily.agg(
+        F.sort_array(
+            F.collect_list(F.struct("day", "cents"))
+        ).alias("__a")
+    )
+    folded = arr.select(
+        F.explode(
+            F.expr(
+                """aggregate(
+                     __a,
+                     named_struct(
+                       's', CAST(-1 AS BIGINT),
+                       'out', CAST(array() AS
+                         array<struct<day:date,cents:bigint,e:bigint>>)),
+                     (acc, x) -> named_struct(
+                       's', CAST(CASE WHEN acc.s < 0 THEN x.cents
+                                 ELSE CAST(FLOOR(0.2 * x.cents
+                                      + 0.8 * acc.s + 0.5) AS BIGINT)
+                                 END AS BIGINT),
+                       'out', array_append(acc.out, named_struct(
+                         'day', x.day, 'cents', x.cents,
+                         'e', CAST(CASE WHEN acc.s < 0 THEN x.cents
+                              ELSE CAST(FLOOR(0.2 * x.cents
+                                   + 0.8 * acc.s + 0.5) AS BIGINT)
+                              END AS BIGINT)))),
+                     acc -> acc.out)"""
+            )
+        ).alias("r")
+    ).select(
+        F.col("r.day").alias("day"),
+        F.col("r.cents").alias("revenue_cents"),
+        F.col("r.e").alias("ewma_cents"),
+        (F.col("r.cents") - F.col("r.e")).alias("residual_cents"),
+    )
+    return folded.orderBy("day")

@@ -3223,3 +3223,88 @@ def group_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query(
+    "embedding_centroid_separation",
+    oracle="""
+    WITH qv AS (
+      SELECT vec_id, label, i.i AS i,
+             CAST(FLOOR(CAST(embedding[i.i + 1] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS x
+      FROM embeddings, generate_series(0, 63) i(i)
+    ),
+    lab AS (
+      SELECT label, i, SUM(x) AS s, COUNT(DISTINCT vec_id) AS n
+      FROM qv GROUP BY label, i
+    ),
+    gcen AS (SELECT i, SUM(x) AS g FROM qv GROUP BY i),
+    dots AS (
+      SELECT l.label, MAX(l.n) AS n_vecs,
+             SUM(CAST(l.s AS HUGEINT) * g.g) AS dot_lg,
+             SUM(CAST(l.s AS HUGEINT) * l.s) AS dot_ll,
+             SUM(CAST(g.g AS HUGEINT) * g.g) AS dot_gg
+      FROM lab l JOIN gcen g USING (i)
+      GROUP BY l.label
+    )
+    SELECT label,
+           CAST(n_vecs AS BIGINT) AS n_vecs,
+           CAST(ROUND(CAST(dot_lg AS DOUBLE)
+                / (sqrt(CAST(dot_ll AS DOUBLE))
+                   * sqrt(CAST(dot_gg AS DOUBLE))) * 1000000)
+                AS BIGINT) AS cos_to_global_e6
+    FROM dots
+    ORDER BY label
+    """,
+)
+def embedding_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-separation audit: cosine of each label's exact integer
+    centroid to the GLOBAL centroid — labels whose centroid sits on
+    top of the global mean carry no clusterable signal (IVF cells
+    built on them degenerate to random partitions; this is the check
+    run before trusting label-partitioned ANN).
+
+    Centroids are exact integer SUMS per (label, dim) — cosine is
+    scale-invariant, so the sum points exactly where the mean does
+    with no order-dependent float accumulation (the sim_ivf_topk
+    discipline); the global centroid is the same sums re-aggregated.
+    All dot products are exact DECIMAL/BIGINT folds over the
+    labels x 64 table; ONE double division per label, rounded once
+    to e6. Shuffles carry labels x dims rows, never vectors."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.expr(
+                "transform(embedding, v ->"
+                " CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"
+            )
+        ).alias("i", "x"),
+    )
+    lab = qv.groupBy("label", "i").agg(
+        F.sum("x").alias("s"),
+        F.countDistinct("vec_id").alias("n"),
+    )
+    glob = qv.groupBy("i").agg(F.sum("x").alias("g"))
+    dots = (
+        lab.join(F.broadcast(glob), "i")
+        .groupBy("label")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            # DECIMAL(38,0) products: centroid-sum dot products exceed
+            # BIGINT once labels hold ~1e3 e6-quantized vectors
+            F.expr("SUM(CAST(s AS DECIMAL(38,0)) * g)").alias("dot_lg"),
+            F.expr("SUM(CAST(s AS DECIMAL(38,0)) * s)").alias("dot_ll"),
+            F.expr("SUM(CAST(g AS DECIMAL(38,0)) * g)").alias("dot_gg"),
+        )
+    )
+    return dots.select(
+        "label",
+        F.col("n_vecs").cast("bigint").alias("n_vecs"),
+        F.expr(
+            "CAST(ROUND(CAST(dot_lg AS DOUBLE)"
+            " / (sqrt(CAST(dot_ll AS DOUBLE))"
+            " * sqrt(CAST(dot_gg AS DOUBLE))) * 1000000) AS BIGINT)"
+        ).alias("cos_to_global_e6"),
+    ).orderBy("label")

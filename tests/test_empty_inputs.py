@@ -139,6 +139,12 @@ REPRESENTATIVE = [
     "tokens_retained_after_dedup",  # dedup ROI by source
     "vocab_novelty_by_source",   # first-source novel types
     "stratified_sample_exact",   # per-stratum md5-rank sample
+    "jl_distortion_audit",       # literal-plane array folds (1 row)
+    "group_split_leakage_audit", # user-hash split + leak check
+    "cohort_retention_matrix",   # first-week collapse + week cells
+    "qq_plot_price",             # rank-selected exact deciles
+    "ewma_daily_revenue",        # ordered array fold (bounded days)
+    "embedding_centroid_separation",  # label-vs-global centroid cos
 ]
 
 
@@ -168,6 +174,7 @@ EXPECT_SUMMARY_ROWS = {
     "right_to_be_forgotten_audit": 2,  # one summary row per table
     "ab_test_analysis": 1,       # single wide summary row (NULL arms)
     "quality_classifier_train": 5,  # one zero-weight row per feature
+    "jl_distortion_audit": 1,    # single summary row (zero pairs)
 }
 
 
