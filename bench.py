@@ -203,6 +203,8 @@ EXTENDED = [
     "qq_plot_price",
     "ewma_daily_revenue",
     "embedding_centroid_separation",
+    "dedup_simhash_hamming",
+    "snapshot_diff_orders",
 ]
 
 

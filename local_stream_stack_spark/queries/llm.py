@@ -5896,3 +5896,110 @@ def quality_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold_zraw")
     )
+
+
+@query(
+    "dedup_simhash_hamming",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                    t -> length(t) > 0)) AS t
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) AS h
+      FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, b.b,
+             SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hashed, generate_series(0, 59) b(b)
+      GROUP BY doc_id, b.b
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+                      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS s
+      FROM bits GROUP BY doc_id
+    ),
+    chunks AS (
+      SELECT doc_id, s, c.c AS c, (s >> (15 * c.c)) & 32767 AS ck
+      FROM sig, generate_series(0, 3) c(c)
+    ),
+    ok AS (
+      SELECT c, ck FROM chunks GROUP BY c, ck HAVING COUNT(*) <= 64
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.s AS sa, b.s AS sb
+      FROM chunks a
+      JOIN ok USING (c, ck)
+      JOIN chunks b ON a.c = b.c AND a.ck = b.ck
+                   AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash NEAR-DUP PAIRS by Hamming distance <= 3 — the pairing
+    stage `dedup_simhash` (fingerprints only) feeds: split each 60-bit
+    signature into four 15-bit chunks; by pigeonhole, any pair within
+    Hamming 3 shares at least one identical chunk, so candidates are
+    EQUI-join bucket collisions (never an all-pairs XOR scan) and the
+    exact bit_count verify runs on candidates only.
+
+    Chunk buckets holding > 64 docs are dropped before the self-join
+    (the hot_gram_cap discipline: one degenerate bucket otherwise
+    emits C(n,2) pairs; the oracle replays the same HAVING). Portable
+    md5 token hashes make every stage — tokenize, majority vote,
+    signature, chunking, Hamming — bit-identical in both engines.
+    One explode + two groupBys + one bucket equi-join; everything
+    shuffles on (chunk index, chunk value)."""
+    from local_stream_stack_spark.operators.dedup import simhash_portable
+
+    d = _t(spark, sf_dir, "documents")
+    sig = simhash_portable(d, id_col="doc_id", text_col="text")
+    sig_col = [c for c in sig.columns if c != "doc_id"][0]
+    chunks = sig.select(
+        "doc_id",
+        F.col(sig_col).alias("s"),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), c -> named_struct("
+                f"'c', c, 'ck', shiftright({sig_col}, 15 * c) & 32767))"
+            )
+        ).alias("cc"),
+    ).select("doc_id", "s", F.col("cc.c").alias("c"), F.col("cc.ck").alias("ck"))
+    ok = (
+        chunks.groupBy("c", "ck")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") <= 64)
+        .select("c", "ck")
+    )
+    a = chunks.join(ok, ["c", "ck"]).select(
+        "c", "ck", F.col("doc_id").alias("id_a"), F.col("s").alias("sa")
+    )
+    b = chunks.select(
+        "c", "ck", F.col("doc_id").alias("id_b"), F.col("s").alias("sb")
+    )
+    cand = (
+        a.join(b, ["c", "ck"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sa", "sb")
+        .distinct()
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.expr("CAST(bit_count(sa ^ sb) AS INT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .orderBy("id_a", "id_b")
+    )

@@ -2720,3 +2720,108 @@ def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("r.cents") - F.col("r.e")).alias("residual_cents"),
     )
     return folded.orderBy("day")
+
+
+@query(
+    "snapshot_diff_orders",
+    oracle="""
+    WITH cutoff AS (
+      SELECT CAST(MAX(o_orderdate) AS DATE) - 90 AS d0 FROM orders
+    ),
+    snap_a AS (
+      SELECT o_orderkey AS k,
+             md5(concat_ws(chr(31), o_orderstatus,
+                 CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                      AS VARCHAR),
+                 o_orderpriority)) AS h
+      FROM orders CROSS JOIN cutoff
+      WHERE CAST(o_orderdate AS DATE) < d0
+    ),
+    snap_b AS (
+      SELECT o_orderkey AS k,
+             md5(concat_ws(chr(31),
+                 CASE WHEN o_orderkey % 97 = 0 THEN 'X'
+                      ELSE o_orderstatus END,
+                 CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                      AS VARCHAR),
+                 o_orderpriority)) AS h
+      FROM orders
+    ),
+    d AS (
+      SELECT COALESCE(a.k, b.k) AS k,
+             CASE WHEN a.k IS NULL THEN 'added'
+                  WHEN b.k IS NULL THEN 'removed'
+                  WHEN a.h <> b.h THEN 'changed'
+                  ELSE 'unchanged' END AS change_type
+      FROM snap_a a FULL OUTER JOIN snap_b b ON a.k = b.k
+    )
+    SELECT change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(k) AS BIGINT) AS min_key,
+           CAST(MAX(k) AS BIGINT) AS max_key
+    FROM d
+    GROUP BY change_type
+    ORDER BY change_type
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (the CDC primitive): compare two table versions
+    by key + payload hash and classify every key as added / removed /
+    changed / unchanged — what an incremental pipeline computes to
+    avoid reprocessing an unchanged partition, and what a data-quality
+    gate reads to catch a silent full-table rewrite.
+
+    Snapshot A is the orders table 90 days before its own max date;
+    snapshot B is today's table with a deterministic mutation (status
+    flip on orderkey % 97) so every class is non-empty on synthetic
+    data. Payload identity is md5 over unit-separated columns with
+    cents rendered as exact BIGINTs (float rendering differs between
+    engines; integer rendering cannot). One full outer join on the
+    key — co-partitioned by the same shuffle any downstream merge
+    uses — and a 4-row summary aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    cutoff = o.agg(
+        F.expr("CAST(MAX(o_orderdate) AS DATE) - 90").alias("d0")
+    )
+    pay = (
+        "md5(concat_ws(chr(31), {status},"
+        " CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS STRING),"
+        " o_orderpriority))"
+    )
+    snap_a = (
+        o.crossJoin(F.broadcast(cutoff))
+        .filter(F.expr("CAST(o_orderdate AS DATE) < d0"))
+        .select(
+            F.col("o_orderkey").alias("ka"),
+            F.expr(pay.format(status="o_orderstatus")).alias("ha"),
+        )
+    )
+    snap_b = o.select(
+        F.col("o_orderkey").alias("kb"),
+        F.expr(
+            pay.format(
+                status="CASE WHEN o_orderkey % 97 = 0 THEN 'X'"
+                " ELSE o_orderstatus END"
+            )
+        ).alias("hb"),
+    )
+    d = snap_a.join(
+        snap_b, snap_a["ka"] == snap_b["kb"], "full_outer"
+    ).select(
+        F.coalesce("ka", "kb").alias("k"),
+        F.expr(
+            """CASE WHEN ka IS NULL THEN 'added'
+                    WHEN kb IS NULL THEN 'removed'
+                    WHEN ha <> hb THEN 'changed'
+                    ELSE 'unchanged' END"""
+        ).alias("change_type"),
+    )
+    return (
+        d.groupBy("change_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("k").cast("bigint").alias("min_key"),
+            F.max("k").cast("bigint").alias("max_key"),
+        )
+        .orderBy("change_type")
+    )

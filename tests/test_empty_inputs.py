@@ -145,6 +145,8 @@ REPRESENTATIVE = [
     "qq_plot_price",             # rank-selected exact deciles
     "ewma_daily_revenue",        # ordered array fold (bounded days)
     "embedding_centroid_separation",  # label-vs-global centroid cos
+    "dedup_simhash_hamming",     # chunk-bucket candidates + bit_count
+    "snapshot_diff_orders",      # full-outer key diff + hash compare
 ]
 
 
