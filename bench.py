@@ -205,6 +205,7 @@ EXTENDED = [
     "embedding_centroid_separation",
     "dedup_simhash_hamming",
     "snapshot_diff_orders",
+    "dataset_card_summary",
 ]
 
 

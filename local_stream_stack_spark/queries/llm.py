@@ -6003,3 +6003,110 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "dataset_card_summary",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, source, text,
+             md5(text) AS h,
+             len(regexp_extract_all(text, '[^ ]+')) AS nw,
+             COALESCE(list_sum(list_transform(
+               regexp_extract_all(text, '[^ ]+'),
+               x -> length(x))), 0) AS wc,
+             len(list_filter(regexp_extract_all(text, '[^ ]+'),
+               x -> lower(x) IN
+                 ('the','a','and','of','is','to','in','it'))) AS sh
+      FROM documents
+    ),
+    keep AS (SELECT h, MIN(doc_id) AS keep_id FROM t GROUP BY h),
+    g AS (
+      SELECT t.*,
+             CASE WHEN t.doc_id = keep.keep_id THEN 0 ELSE 1 END
+               AS is_dup,
+             CASE WHEN nw BETWEEN 25 AND 1000
+                   AND wc >= 3 * nw AND wc <= 10 * nw
+                   AND sh >= 2 THEN 1 ELSE 0 END AS quality_ok
+      FROM t JOIN keep USING (h)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nw) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(is_dup) AS BIGINT) AS n_exact_dups,
+           CAST(SUM(is_dup) * 1000000 // NULLIF(COUNT(*), 0)
+                AS BIGINT) AS dup_share_e6,
+           CAST(SUM(quality_ok) * 1000000 // NULLIF(COUNT(*), 0)
+                AS BIGINT) AS quality_keep_e6,
+           CAST(SUM(CASE WHEN is_dup = 0 AND quality_ok = 1
+                    THEN nw ELSE 0 END) AS BIGINT)
+             AS clean_tokens
+    FROM g
+    """,
+)
+def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DATASET CARD in one row: corpus size (docs/tokens),
+    diversity (languages/sources), exact-duplicate share, quality-rule
+    keep rate, and the headline number every training plan starts
+    from — CLEAN TOKENS (unique docs passing the quality gate). This
+    is the summary a data release publishes and a capacity plan
+    consumes; every cell is a composition of the catalog's own
+    primitives computed in one pass.
+
+    One scan derives hash + token stats + quality flags; the only
+    join is the keeper lookup on the content hash (the exact-dedup
+    shuffle); distinct lang/source counts ride the same final
+    aggregate. Shares are truncating e6 divisions with a NULLIF
+    guard (an empty corpus emits one row of zero counts and NULL
+    shares — the ANSI div-by-zero asymmetry rule)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = "regexp_extract_all(text, '[^ ]+', 0)"
+    t = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5("text").alias("h"),
+        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("nw"),
+        F.expr(
+            f"COALESCE(aggregate(transform({toks}, x -> length(x)),"
+            " 0L, (a, b) -> a + b), 0L)"
+        ).alias("wc"),
+        F.expr(
+            f"size(filter({toks}, x -> lower(x) IN"
+            " ('the','a','and','of','is','to','in','it')))"
+        ).alias("sh"),
+    )
+    keep = t.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    g = t.join(keep, "h").select(
+        "lang",
+        "source",
+        "nw",
+        F.expr(
+            "CASE WHEN doc_id = keep_id THEN 0 ELSE 1 END"
+        ).alias("is_dup"),
+        F.expr(
+            "CASE WHEN nw BETWEEN 25 AND 1000"
+            " AND wc >= 3 * nw AND wc <= 10 * nw"
+            " AND sh >= 2 THEN 1 ELSE 0 END"
+        ).alias("quality_ok"),
+    )
+    return g.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("nw").cast("bigint").alias("n_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.sum("is_dup").cast("bigint").alias("n_exact_dups"),
+        F.expr(
+            "CAST(SUM(is_dup) * 1000000 div NULLIF(COUNT(*), 0)"
+            " AS BIGINT)"
+        ).alias("dup_share_e6"),
+        F.expr(
+            "CAST(SUM(quality_ok) * 1000000 div NULLIF(COUNT(*), 0)"
+            " AS BIGINT)"
+        ).alias("quality_keep_e6"),
+        F.expr(
+            "CAST(SUM(CASE WHEN is_dup = 0 AND quality_ok = 1"
+            " THEN nw ELSE 0 END) AS BIGINT)"
+        ).alias("clean_tokens"),
+    )

@@ -147,6 +147,7 @@ REPRESENTATIVE = [
     "embedding_centroid_separation",  # label-vs-global centroid cos
     "dedup_simhash_hamming",     # chunk-bucket candidates + bit_count
     "snapshot_diff_orders",      # full-outer key diff + hash compare
+    "dataset_card_summary",      # one-row corpus card (NULL shares)
 ]
 
 
@@ -177,6 +178,7 @@ EXPECT_SUMMARY_ROWS = {
     "ab_test_analysis": 1,       # single wide summary row (NULL arms)
     "quality_classifier_train": 5,  # one zero-weight row per feature
     "jl_distortion_audit": 1,    # single summary row (zero pairs)
+    "dataset_card_summary": 1,   # one zero-count row, NULL shares
 }
 
 

@@ -468,3 +468,57 @@ def test_twostar_components_match_union_find(spark, edges):
         for r in connected_components_twostar(df).collect()
     }
     assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),     # key group
+            st.integers(min_value=-50, max_value=50),  # order value
+            st.integers(min_value=0, max_value=9),     # payload
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    descending=st.booleans(),
+    k=st.integers(min_value=1, max_value=7),
+)
+def test_with_global_rank_property_vs_window(spark, rows, descending, k):
+    """with_global_rank + ntile_expr must replay an unpartitioned
+    window's row_number / running sum / NTILE on ANY input: duplicate
+    order values, negative values, tiny bins, keyed or global."""
+    from pyspark.sql.window import Window
+
+    from local_stream_stack_spark.operators.quantiles import (
+        ntile_expr,
+        with_global_rank,
+    )
+
+    data = [
+        (g, v, f"t{i:03d}", p) for i, (g, v, p) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "g int, v int, tk string, pay int"
+    ).repartition(5)
+
+    out = with_global_rank(
+        df, "v", ["tk"], keys=["g"], out_rank="rn",
+        cumsum={"pay": "cum"}, acc_type="BIGINT",
+        descending=descending, total_col="n", bins=4,
+    ).withColumn("b", ntile_expr("rn", "n", k))
+    order = [F.desc("v") if descending else F.asc("v"), F.asc("tk")]
+    w = Window.partitionBy("g").orderBy(*order)
+    exp = (
+        df.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "cum",
+            F.sum("pay").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("b", F.ntile(k).over(w))
+    )
+    got = {r.tk: (r.rn, r.cum, r.b) for r in out.collect()}
+    want = {r.tk: (r.rn, r.cum, r.b) for r in exp.collect()}
+    assert got == want
