@@ -206,6 +206,7 @@ EXTENDED = [
     "dedup_simhash_hamming",
     "snapshot_diff_orders",
     "dataset_card_summary",
+    "events_anomaly_mad",
 ]
 
 

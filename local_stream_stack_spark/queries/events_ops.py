@@ -3680,3 +3680,108 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "weeks_since")
     )
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                  AS BIGINT) AS day_n,
+             COUNT(*) AS x
+      FROM events GROUP BY 1
+    ),
+    r AS (
+      SELECT day_n, x,
+             ROW_NUMBER() OVER (ORDER BY x, day_n) AS rn,
+             COUNT(*) OVER () AS n
+      FROM daily
+    ),
+    med AS (SELECT x AS m FROM r WHERE rn = (n - 1) // 2 + 1),
+    dev AS (
+      SELECT day_n, x, ABS(x - m) AS d, m FROM daily CROSS JOIN med
+    ),
+    r2 AS (
+      SELECT d, ROW_NUMBER() OVER (ORDER BY d, day_n) AS rn,
+             COUNT(*) OVER () AS n
+      FROM dev
+    ),
+    mad AS (SELECT d AS md FROM r2 WHERE rn = (n - 1) // 2 + 1)
+    SELECT day_n AS day_number,
+           CAST(x AS BIGINT) AS n_events,
+           CAST(m AS BIGINT) AS median_events,
+           CAST(md AS BIGINT) AS mad_events,
+           CAST((x - m) * 10000 // NULLIF(md, 0) AS BIGINT)
+             AS robust_z_e4
+    FROM dev CROSS JOIN mad
+    WHERE md > 0 AND ABS((x - m) * 10000 // md) >= 35000
+    ORDER BY day_number
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-volume anomaly screen: days whose event count
+    deviates from the MEDIAN by more than 3.5 MADs (median absolute
+    deviation) — the outlier detector that, unlike the z-score family
+    (daily_count_anomalies), is not itself corrupted by the outliers
+    it hunts (one 100x bot day inflates a stddev but barely moves a
+    median). Completes the anomaly toolkit next to CUSUM (level
+    shifts) and the EWMA residual (drifting baseline).
+
+    Both the median and the MAD are EXACT ORDER STATISTICS selected by
+    rank (lower-median convention) via the distributed-rank operator —
+    never an unpartitioned sort, never interpolation — and the robust
+    z is a truncating integer division of exact counts. The day grain
+    bounds every relation by the calendar.
+
+    Negative deviations divide fine unshifted: Spark's div and
+    DuckDB's // BOTH truncate toward zero on integer operands
+    (verified -7//2 = -3 in DuckDB), so the +-3.5 threshold applies
+    to the identical truncated value on both engines. (DECIMAL
+    operands are the case where DuckDB diverges — not used here.)"""
+    from local_stream_stack_spark.operators.quantiles import (
+        with_global_rank,
+    )
+
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.select(epoch_us("ts").alias("__us"))
+        .select(
+            F.expr("CAST(__us div 86400000000 AS BIGINT)").alias("day_n")
+        )
+        .groupBy("day_n")
+        .agg(F.count("*").alias("x"))
+    )
+
+    def rank_select_median(df, val, tie):
+        ranked = with_global_rank(
+            df, val, [tie], out_rank="__rn", total_col="__n"
+        )
+        return ranked.filter(
+            F.expr("__rn = (__n - 1) div 2 + 1")
+        ).select(F.col(val).alias("__m"))
+
+    med = rank_select_median(daily, "x", "day_n")
+    dev = daily.crossJoin(F.broadcast(med)).select(
+        "day_n",
+        "x",
+        F.col("__m").alias("m"),
+        F.abs(F.col("x") - F.col("__m")).alias("d"),
+    )
+    mad = rank_select_median(dev, "d", "day_n").select(
+        F.col("__m").alias("md")
+    )
+    scored = dev.crossJoin(F.broadcast(mad))
+    z = "CAST((x - m) * 10000 div NULLIF(md, 0) AS BIGINT)"
+    return (
+        scored.filter(
+            F.expr(f"md > 0 AND ABS({z}) >= 35000")
+        )
+        .select(
+            F.col("day_n").alias("day_number"),
+            F.col("x").cast("bigint").alias("n_events"),
+            F.col("m").cast("bigint").alias("median_events"),
+            F.col("md").cast("bigint").alias("mad_events"),
+            F.expr(z).alias("robust_z_e4"),
+        )
+        .orderBy("day_number")
+    )

@@ -148,6 +148,7 @@ REPRESENTATIVE = [
     "dedup_simhash_hamming",     # chunk-bucket candidates + bit_count
     "snapshot_diff_orders",      # full-outer key diff + hash compare
     "dataset_card_summary",      # one-row corpus card (NULL shares)
+    "events_anomaly_mad",        # rank-selected median/MAD screen
 ]
 
 
