@@ -65,6 +65,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "clean_text_scrub",
         "cms_heavy_hitters",
         "cohort_retention",
+        "cohort_retention_matrix",
         "collation_group_ci",
         "compaction_bin_packing",
         "compaction_tombstone",
@@ -81,6 +82,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "customer_rfm_scores",
         "cusum_changepoint_revenue",
         "daily_count_anomalies",
+        "dataset_card_summary",
         "date_funcs",
         "dau_mau_stickiness",
         "decile_bounds_price",
@@ -99,6 +101,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "dedup_rate_by_source",
         "dedup_repeated_ngram_spans",
         "dedup_simhash",
+        "dedup_simhash_hamming",
         "dedup_substring_spans",
         "dedup_token_sort",
         "distinct_rows",
@@ -107,15 +110,19 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "doc_novelty_scores",
         "dpp_partitioned_lang_join",
         "dq_expectations_orders",
+        "embedding_centroid_separation",
         "embedding_dim_variance_audit",
         "embedding_matryoshka_mass",
         "embedding_norms",
         "embedding_pca_power",
         "embedding_quantize_int8",
         "embedding_quantize_pct",
+        "embedding_sim_histogram",
         "event_gap_quantiles",
         "event_gap_quantiles_chunked",
         "event_transition_matrix",
+        "events_anomaly_mad",
+        "ewma_daily_revenue",
         "ewma_latest_per_user",
         "exact_quantile_distributed",
         "explode_outer_rare_tokens",
@@ -124,6 +131,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "funnel_stages",
         "fuzzy_name_match",
         "gap_fill_locf",
+        "group_split_leakage_audit",
         "grouping_sets_revenue",
         "hash_agg_stats",
         "hhi_market_concentration",
@@ -132,6 +140,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "interpolate_linear",
         "interval_join_peak_windows",
         "inverted_index",
+        "jl_distortion_audit",
         "join_anti",
         "join_bloom_prefiltered",
         "join_broadcast_dims",
@@ -163,6 +172,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "multimodal_binary_meta",
         "multimodal_features",
         "multimodal_frame_sample",
+        "multimodal_jpeg_decode",
         "multimodal_png_decode",
         "multimodal_video_frames",
         "multimodal_wav_decode",
@@ -211,6 +221,10 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "q7_nation_volume",
         "q8_market_share",
         "q9_product_profit",
+        "qq_plot_price",
+        "quality_classifier_pr_curve",
+        "quality_classifier_score",
+        "quality_classifier_train",
         "quality_filter_gopher",
         "quantile_by_value_qty",
         "range_join_views_before_purchase",
@@ -246,6 +260,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "sim_recall_calibration",
         "skew_diagnostics",
         "sliding_window_agg",
+        "snapshot_diff_orders",
         "source_char_budget",
         "source_mixing_weights",
         "source_overlap_matrix",
@@ -253,6 +268,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "sql_udf_netprice",
         "sql_variables_param_revenue",
         "stats_profile_orders",
+        "stratified_sample_exact",
         "stratified_sample_sources",
         "stream_aggregate_view",
         "stream_dedup_keys",
@@ -281,6 +297,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "token_drift_kl",
         "token_estimate_bpe",
         "token_pmi_collocations",
+        "tokens_retained_after_dedup",
         "top_tokens_per_lang",
         "topk_orders",
         "topk_per_group",
@@ -297,6 +314,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "variant_extract_orders",
         "vocab_coverage",
         "vocab_coverage_curve",
+        "vocab_novelty_by_source",
         "weekday_activity_profile",
         "weighted_sample",
         "welch_t_sources",
@@ -331,247 +349,6 @@ NEW_THIS_ROUND: frozenset[str] = frozenset()
 # filler slots.
 # BEGIN CHANGED_SINCE_GREEN (auto-generated)
 CHANGED_SINCE_GREEN: frozenset[str] = frozenset(
-    {
-        "ab_test_analysis",
-        "active_streaks",
-        "approx_percentile_qty",
-        "asof_join_events",
-        "asof_join_nearest",
-        "asof_join_tolerance",
-        "attribution_last_touch",
-        "autocorr_daily_counts",
-        "basket_lift_pairs",
-        "benford_first_digit",
-        "blocklist_filter_stats",
-        "bm25_rank",
-        "boilerplate_ngrams",
-        "bootstrap_mean_ci",
-        "bounce_rate_by_entry",
-        "bpe_train_merges",
-        "bpe_vocab_counts",
-        "bucketed_join_revenue",
-        "case_when_buckets",
-        "cdc_merge_summary",
-        "chisq_lang_source",
-        "chunk_documents",
-        "clean_text_scrub",
-        "cms_heavy_hitters",
-        "cohort_retention",
-        "compaction_tombstone",
-        "conversion_lag_quantiles",
-        "copurchase_bfs_hops",
-        "copurchase_pagerank",
-        "corpus_stats_by_lang",
-        "corr_matrix_lineitem",
-        "cube_qty",
-        "curation_downsample",
-        "curation_pipeline",
-        "customer_decile_transitions",
-        "customer_rfm_scores",
-        "cusum_changepoint_revenue",
-        "daily_count_anomalies",
-        "date_funcs",
-        "dau_mau_stickiness",
-        "decile_bounds_price",
-        "decontaminate_ngram_overlap",
-        "decontaminate_splits",
-        "dedup_canonical_pick",
-        "dedup_cluster_sizes",
-        "dedup_components",
-        "dedup_containment",
-        "dedup_embedding_cosine",
-        "dedup_exact",
-        "dedup_keys",
-        "dedup_minhash_lsh",
-        "dedup_ngram_jaccard",
-        "dedup_prefix_clusters",
-        "dedup_rate_by_source",
-        "dedup_repeated_ngram_spans",
-        "dedup_simhash",
-        "dedup_substring_spans",
-        "dedup_token_sort",
-        "distinct_rows",
-        "doc_fingerprint",
-        "doc_length_histogram",
-        "doc_novelty_scores",
-        "dpp_partitioned_lang_join",
-        "dq_expectations_orders",
-        "embedding_dim_variance_audit",
-        "embedding_matryoshka_mass",
-        "embedding_norms",
-        "embedding_pca_power",
-        "embedding_quantize_int8",
-        "embedding_quantize_pct",
-        "event_gap_quantiles",
-        "event_gap_quantiles_chunked",
-        "event_transition_matrix",
-        "ewma_latest_per_user",
-        "filter_predicates",
-        "funnel_stages",
-        "fuzzy_name_match",
-        "gap_fill_locf",
-        "grouping_sets_revenue",
-        "hash_agg_stats",
-        "hhi_market_concentration",
-        "hourly_value_quantiles",
-        "interpolate_linear",
-        "interval_join_peak_windows",
-        "inverted_index",
-        "join_anti",
-        "join_bloom_prefiltered",
-        "join_broadcast_dims",
-        "join_explosion_audit",
-        "join_null_safe",
-        "join_outer_full",
-        "join_salted_skew",
-        "join_semi",
-        "join_shuffle_hash_hint",
-        "json_funcs",
-        "k_anonymity_audit",
-        "kmeans_embeddings",
-        "kmv_distinct_rollup",
-        "kmv_overlap_daily",
-        "kmv_rolling_wau",
-        "knn_label_purity",
-        "label_centroids",
-        "lang_id",
-        "lang_id_confusion",
-        "latest_per_key",
-        "mad_outliers",
-        "markov_next_event_accuracy",
-        "math_funcs",
-        "minhash_band_sweep",
-        "minhash_calibration",
-        "multimodal_binary_meta",
-        "multimodal_features",
-        "multimodal_frame_sample",
-        "multimodal_png_decode",
-        "multimodal_video_frames",
-        "multimodal_wav_decode",
-        "null_semantics",
-        "nulls_ordering",
-        "orders_backlog_aging",
-        "orders_monthly_yoy",
-        "pack_documents",
-        "pagerank_copurchase",
-        "partitioned_roundtrip_docs",
-        "percentile_stats",
-        "perplexity_bigram_interp",
-        "perplexity_unigram",
-        "pii_scrub_stats",
-        "price_decile_assign",
-        "profile_columns",
-        "projection_cast",
-        "purchase_hazard_curve",
-        "pyds_stream_agg",
-        "q10_returned_revenue",
-        "q11_important_parts",
-        "q12_late_shipments",
-        "q13_order_count_dist",
-        "q14_promo_revenue",
-        "q15_top_supplier",
-        "q16_supplier_count",
-        "q17_small_qty_revenue",
-        "q18_large_orders",
-        "q19_or_predicates",
-        "q1_pricing_summary",
-        "q20_dominant_suppliers",
-        "q21_waiting_suppliers",
-        "q22_idle_customers",
-        "q2_top_supplier_per_part",
-        "q3_shipping_priority",
-        "q4_order_priority",
-        "q5_local_supplier_volume",
-        "q6_forecast_revenue",
-        "q7_nation_volume",
-        "q8_market_share",
-        "q9_product_profit",
-        "quality_filter_gopher",
-        "quantile_by_value_qty",
-        "range_join_views_before_purchase",
-        "recursive_copurchase_reach",
-        "referential_integrity_audit",
-        "regression_by_nation",
-        "repetition_ratio",
-        "revenue_gini_lorenz",
-        "right_to_be_forgotten_audit",
-        "rollup_revenue",
-        "rollup_time_hierarchy",
-        "sample_per_group",
-        "scd2_history",
-        "schema_evolution_roundtrip",
-        "seasonal_naive_backtest",
-        "semantic_dedup_components",
-        "semantic_dedup_lsh_components",
-        "session_entropy_per_user",
-        "session_paths_top",
-        "session_window_agg",
-        "sessionize_events",
-        "sessionize_events_chunked",
-        "set_ops",
-        "set_ops_bag",
-        "ship_lag_quantiles",
-        "shuffle_deterministic",
-        "sim_bruteforce_topk",
-        "sim_ivf_topk",
-        "sim_ivfpq_topk",
-        "sim_lsh_topk",
-        "sim_pq_topk",
-        "sim_recall_calibration",
-        "skew_diagnostics",
-        "sliding_window_agg",
-        "source_char_budget",
-        "source_mixing_weights",
-        "source_overlap_matrix",
-        "stats_profile_orders",
-        "stratified_sample_sources",
-        "stream_aggregate_view",
-        "stream_dedup_keys",
-        "stream_ingest_dedup",
-        "stream_ingest_neardup",
-        "stream_interval_join",
-        "stream_interval_join_outer",
-        "stream_latest_per_key",
-        "stream_parquet_sink",
-        "stream_pipeline_yaml",
-        "stream_quality_quarantine",
-        "stream_running_totals",
-        "stream_running_totals_tws",
-        "stream_session_windows",
-        "stream_sliding_counts",
-        "stream_static_enrich",
-        "stream_topk_per_window",
-        "stream_tumbling_counts",
-        "stream_windowed_rollup_chain",
-        "string_funcs",
-        "supplier_pareto_abc",
-        "table_fingerprint_orders",
-        "text_stats",
-        "tfidf_top_terms",
-        "time_weighted_avg",
-        "token_drift_kl",
-        "token_estimate_bpe",
-        "token_pmi_collocations",
-        "top_tokens_per_lang",
-        "topk_orders",
-        "topk_per_group",
-        "train_test_split",
-        "triangle_count",
-        "try_arithmetic_orders",
-        "tumbling_window_agg",
-        "unicode_nfc_normalize",
-        "user_adoption_curve",
-        "value_histogram_log2",
-        "variant_extract_orders",
-        "vocab_coverage",
-        "vocab_coverage_curve",
-        "weekday_activity_profile",
-        "weighted_sample",
-        "welch_t_sources",
-        "winsorized_mean_price",
-        "zipf_token_fit",
-        "zscore_outliers",
-    }
 )
 # END CHANGED_SINCE_GREEN
 
