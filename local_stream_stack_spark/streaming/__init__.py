@@ -15,7 +15,6 @@ from local_stream_stack_spark.streaming.ops import (
     dedup_within_watermark,
     latest_per_key_stream,
     latest_per_key_stream_parquet,
-    latest_per_key_stream_tempview,
     stream_static_join,
 )
 
@@ -26,6 +25,5 @@ __all__ = [
     "dedup_within_watermark",
     "latest_per_key_stream",
     "latest_per_key_stream_parquet",
-    "latest_per_key_stream_tempview",
     "stream_static_join",
 ]

@@ -128,7 +128,7 @@ def latest_per_key_stream(
     (``latest_per_key_stream_parquet``): per-epoch cost proportional
     to touched buckets, no driver-side materialization of the view.
     The driver-collect variant survives only as the explicitly named
-    test helper ``latest_per_key_stream_tempview`` — its state lives
+    test helper ``_latest_per_key_stream_tempview`` — its state lives
     on the driver and grows with key cardinality, which is an OOM at
     scale, never a default."""
     return latest_per_key_stream_parquet(
@@ -142,7 +142,7 @@ def latest_per_key_stream(
     )
 
 
-def latest_per_key_stream_tempview(
+def _latest_per_key_stream_tempview(
     df: DataFrame,
     keys: Sequence[str],
     order_col: str,
@@ -348,7 +348,7 @@ def _manifest_dir(target_path: str) -> str:
 def _write_manifest_atomic(
     spark, target_path: str, epoch_id: int, payload: str
 ) -> None:
-    """Commit one epoch: write ``.tmp-<N>.json`` then rename to
+    """Commit one epoch: write a non-``.json`` temp ``.tmp-<N>`` then rename to
     ``<N>.json`` (single-file rename = the atomic commit point). An
     epoch retry replaces its own manifest — same merged content, so
     either version of the file commits the same state."""

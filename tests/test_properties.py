@@ -522,3 +522,38 @@ def test_with_global_rank_property_vs_window(spark, rows, descending, k):
     got = {r.tk: (r.rn, r.cum, r.b) for r in out.collect()}
     want = {r.tk: (r.rn, r.cum, r.b) for r in exp.collect()}
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.lists(st.integers(-20000, 20000), min_size=2, max_size=2),
+            st.integers(0, 1),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    lr=st.sampled_from([64.0, 17.0, 3.5]),
+)
+def test_train_logreg_matches_python_reference(spark, data, lr):
+    """The distributed gradient fold (one integer-sum aggregate per
+    round, driver-side weight carry) replays the sequential python
+    definition exactly — per-row gradients are single-rounded to e6
+    BIGINTs before summation, so partitioning cannot reorder-drift
+    the result (VERDICT r8 task #8)."""
+    from local_stream_stack_spark.operators.logreg import (
+        train_logreg_e6,
+        train_logreg_e6_reference,
+    )
+
+    rows = [tuple(x) for x, _ in data]
+    labels = [y for _, y in data]
+    df = spark.createDataFrame(
+        [(int(x[0]), int(x[1]), int(y)) for x, y in zip(rows, labels)],
+        "f0 bigint, f1 bigint, y int",
+    ).repartition(4)
+    lrs = [lr, lr / 2.0, lr / 3.0]
+    got = train_logreg_e6(df, ["f0", "f1"], "y", lrs=lrs)
+    want = train_logreg_e6_reference(rows, labels, lrs=lrs)
+    assert got == want, (rows, labels, lrs, got, want)

@@ -14,8 +14,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from local_stream_stack_spark.streaming.ops import (
+    _latest_per_key_stream_tempview,
     dedup_within_watermark,
-    latest_per_key_stream_tempview,
     running_totals_with_state,
     session_windowed_counts,
     stream_static_join,
@@ -132,7 +132,7 @@ def test_latest_per_key_stream_upsert(spark, tmpdir):
     ]
     path = _write_input(spark, tmpdir, rows)
     stream = spark.readStream.schema(EVENT_SCHEMA).parquet(path)
-    q = latest_per_key_stream_tempview(
+    q = _latest_per_key_stream_tempview(
         stream,
         keys=["user_id"],
         order_col="ts",
@@ -151,6 +151,7 @@ def test_latest_per_key_stream_parquet_incremental_merge(spark, tmpdir):
     MERGE with (not replace) the persisted view — later records win,
     untouched keys survive, tombstones delete."""
     from local_stream_stack_spark.streaming.ops import (
+    _latest_per_key_stream_tempview,
         latest_per_key_stream_parquet,
         read_compacted_view,
     )
@@ -347,6 +348,7 @@ def test_transform_with_state_running_totals(spark, tmpdir):
     (test_running_totals_with_state) pins identical semantics on the
     older API everywhere else. No skip either way."""
     from local_stream_stack_spark.streaming.ops import (
+    _latest_per_key_stream_tempview,
         running_totals_transform_with_state,
         transform_with_state_supported,
     )
@@ -463,6 +465,7 @@ def test_aggregate_view_stream_parquet_ivm(spark, tmpdir):
     epoch cannot double-count (same epoch dir overwrites), and
     compaction folds deltas without changing totals."""
     from local_stream_stack_spark.streaming.ops import (
+    _latest_per_key_stream_tempview,
         aggregate_view_stream_parquet,
         compact_aggregate_view,
         read_aggregate_view,
@@ -563,6 +566,7 @@ def test_state_store_reader_matches_sink(spark, tmpdir):
     import pyspark.sql.functions as F
 
     from local_stream_stack_spark.streaming.ops import (
+    _latest_per_key_stream_tempview,
         read_state_metadata,
         read_state_store,
     )
