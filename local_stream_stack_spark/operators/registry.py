@@ -226,3 +226,62 @@ def _join_static(
         return df.join(dim, on, how)
 
     return fn
+
+
+# --- curation-stage transforms (round 9): the LLM-tier operators the
+# YAML pipeline composes end-to-end (quality gate -> exact dedup ->
+# near-dup -> sample -> dataset card).  Each wraps an engine operator
+# so a config file reaches the same code path as the programmatic
+# queries — the reference's processor-plugin idea
+# (`streaming_pipeline.py:103-143`) applied to the curation surface.
+
+
+@register_transform("text_stats")
+def _text_stats(text_col: str = "text") -> Transform:
+    """Token/char-class statistics + composite quality score
+    (``operators/text.with_text_stats``)."""
+    from local_stream_stack_spark.operators.text import with_text_stats
+
+    return lambda df: with_text_stats(df, text_col)
+
+
+@register_transform("lang_id")
+def _lang_id(text_col: str = "text") -> Transform:
+    """Heuristic marker-stopword language ID
+    (``operators/text.lang_id_scores``)."""
+    from local_stream_stack_spark.operators.text import lang_id_scores
+
+    return lambda df: lang_id_scores(df, text_col)
+
+
+@register_transform("dedup_keep_first")
+def _dedup_keep_first(
+    key_expr: str,
+    order_col: str,
+    copies_col: str | None = None,
+    key_col: str = "__dedup_key",
+) -> Transform:
+    """Keep one representative row per ``key_expr`` value — the
+    smallest ``order_col`` wins (deterministic).  ``copies_col``
+    optionally records the family size BEFORE collapsing, so a
+    downstream dataset card can report how much the stage removed.
+
+    One shuffle on the key (a partitioned window — never global), the
+    same single-exchange shape as ``operators/dedup.exact_dedup``;
+    ``key_expr`` decides exact (normalized-content hash) vs near-dup
+    (token-sort fingerprint, SimHash bucket, ...) semantics."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        keyed = df.withColumn(key_col, F.expr(key_expr))
+        w = Window.partitionBy(key_col).orderBy(F.asc(order_col))
+        out = keyed.withColumn("__rn", F.row_number().over(w))
+        if copies_col:
+            out = out.withColumn(
+                copies_col,
+                F.count("*").over(Window.partitionBy(key_col)),
+            )
+        return out.filter(F.col("__rn") == 1).drop("__rn", key_col)
+
+    return fn

@@ -1636,6 +1636,95 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "curation_pipeline_yaml",
+    oracle=f"""
+    WITH scored AS ({_LANG_SCORE_SQL}),
+    gated AS (
+      SELECT doc_id, text, n_tokens, predicted_lang
+      FROM scored
+      WHERE quality_score >= 0.80 AND n_tokens >= 10
+        AND predicted_lang IN ('en', 'und')
+    ),
+    exact_keyed AS (
+      SELECT *,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS k
+      FROM gated
+    ),
+    exact AS (
+      SELECT doc_id, text, n_tokens, predicted_lang,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY k) AS exact_copies
+      FROM exact_keyed
+    ),
+    near_keyed AS (
+      SELECT doc_id, n_tokens, predicted_lang, exact_copies,
+             md5(array_to_string(
+                 list_sort(list_distinct(
+                     regexp_extract_all(text, '[^ ]+'))),
+                 ' ')) AS fp
+      FROM exact WHERE rn = 1
+    ),
+    near AS (
+      SELECT doc_id, n_tokens, predicted_lang, exact_copies,
+             ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY fp) AS family_copies
+      FROM near_keyed
+    ),
+    sampled AS (
+      SELECT * FROM near
+      WHERE rn = 1
+        AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                 AS INT) % 100
+            < CASE WHEN predicted_lang = 'en' THEN 60 ELSE 100 END
+    )
+    SELECT predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(exact_copies) AS BIGINT) AS exact_family_rows,
+           CAST(SUM(family_copies) AS BIGINT) AS neardup_family_rows,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM sampled
+    GROUP BY predicted_lang
+    ORDER BY predicted_lang
+    """,
+)
+def curation_pipeline_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation flow driven ENTIRELY from a YAML fixture
+    (``pipelines/curation_e2e.yaml``) through the declarative
+    ``Pipeline`` machinery (VERDICT r8 task #7): text stats ->
+    language ID -> quality gate -> exact dedup (normalized-content
+    hash, keep-first) -> near-dup collapse (token-sort fingerprint)
+    -> deterministic hash downsample -> per-language dataset card.
+    Every stage resolves by NAME through ``operators/registry.py`` to
+    the same engine operators the programmatic queries use — the
+    reference's config -> processors -> sink surface
+    (`streaming_pipeline.py:145-219`) carrying the LLM-curation tier
+    end to end.
+
+    Scale shape: both gates run before the first exchange, each dedup
+    stage is one partitioned-window shuffle on its key (never
+    global), the sample is a stateless per-row filter, and the card
+    is a partial-aggregated groupBy — the composed plan has exactly
+    three shuffles at any corpus size."""
+    import os
+
+    import yaml
+
+    from local_stream_stack_spark.pipeline import Pipeline
+
+    configure_for_oracle(spark)
+    fixture = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "pipelines",
+        "curation_e2e.yaml",
+    )
+    with open(fixture) as f:
+        cfg = yaml.safe_load(f.read().replace("${SF_DIR}", sf_dir))
+    return Pipeline(spark, cfg).dataframe().orderBy("predicted_lang")
+
+
+@query(
     "corpus_stats_by_lang",
     oracle=f"""
     WITH scored AS ({_LANG_SCORE_SQL})

@@ -149,6 +149,8 @@ REPRESENTATIVE = [
     "snapshot_diff_orders",      # full-outer key diff + hash compare
     "dataset_card_summary",      # one-row corpus card (NULL shares)
     "events_anomaly_mad",        # rank-selected median/MAD screen
+    # round-9 additions
+    "curation_pipeline_yaml",    # YAML-driven curation e2e
 ]
 
 
