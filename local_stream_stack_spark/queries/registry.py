@@ -336,7 +336,17 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
 # Round-6: the two iterative-trainer REWRITES (driver-side centroid
 # carry fusion) are the highest-risk changes this round — pin them
 # into the window ahead of the file-sibling changed set.
-NEW_THIS_ROUND: frozenset[str] = frozenset()
+NEW_THIS_ROUND: frozenset[str] = frozenset(
+    {
+        # round-9: the store-lookup joins were rewritten to the
+        # broadcast-probe shape (streaming/ops.py) — the live ingest
+        # queries must re-verify ahead of stale filler
+        "stream_ingest_dedup",
+        "stream_ingest_neardup",
+        "stream_quality_quarantine",
+        "stream_latest_per_key",
+    }
+)
 
 # Queries whose defining file was git-modified AFTER the round that
 # recorded their last green driver row (VERDICT r5 "What's wrong" #2:

@@ -2825,3 +2825,260 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+@query(
+    "skyline_price_size",
+    oracle="""
+    WITH pts AS (
+      SELECT p_size,
+             CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_c
+      FROM part
+    ),
+    cand AS (
+      SELECT p_size, MIN(price_c) AS price_c FROM pts GROUP BY p_size
+    ),
+    cnt AS (
+      SELECT a.p_size, a.price_c,
+             COUNT(*) AS n_parts
+      FROM cand a JOIN pts t
+        ON t.p_size = a.p_size AND t.price_c = a.price_c
+      GROUP BY a.p_size, a.price_c
+    )
+    SELECT CAST(c.p_size AS INT) AS p_size,
+           c.price_c AS min_price_cents,
+           CAST(c.n_parts AS BIGINT) AS n_parts_at_point
+    FROM cnt c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts d
+      WHERE d.p_size <= c.p_size AND d.price_c <= c.price_c
+        AND (d.p_size < c.p_size OR d.price_c < c.price_c)
+    )
+    ORDER BY p_size
+    """,
+)
+def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto-frontier) operator: the parts no other part
+    weakly dominates on (price, size) with both lower-is-better — the
+    classic multi-criteria shortlist query Spark has no native
+    operator for. Distributed shape: collapse the corpus to ONE
+    candidate per distinct size (min price + tie count: a partial
+    hash aggregate, the only full-data pass), then resolve dominance
+    on the tiny candidate set with a broadcast anti theta-join
+    (candidates number at most |distinct sizes| — bounded, so the
+    non-equi join is a broadcast BNLJ over dozens of rows, never the
+    corpus). The oracle uses the textbook NOT EXISTS dominance
+    definition over ALL points — an independent formulation of the
+    same frontier. Money is rounded to cents BIGINT before any
+    comparison (engine-exact)."""
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_size").cast("int").alias("p_size"),
+        F.expr("CAST(ROUND(p_retailprice * 100) AS BIGINT)").alias(
+            "price_c"
+        ),
+    )
+    # one candidate point per size: min price + how many parts sit on it
+    per_point = p.groupBy("p_size", "price_c").agg(
+        F.count("*").cast("bigint").alias("n_parts")
+    )
+    cand = per_point.groupBy("p_size").agg(
+        F.min(F.struct("price_c", "n_parts")).alias("m")
+    ).select("p_size", F.col("m.price_c").alias("price_c"),
+             F.col("m.n_parts").alias("n_parts"))
+    dom = cand.select(
+        F.col("p_size").alias("d_size"), F.col("price_c").alias("d_price")
+    )
+    frontier = cand.join(
+        F.broadcast(dom),
+        (F.col("d_size") < F.col("p_size"))
+        & (F.col("d_price") <= F.col("price_c")),
+        "left_anti",
+    )
+    return frontier.select(
+        "p_size",
+        F.col("price_c").alias("min_price_cents"),
+        F.col("n_parts").alias("n_parts_at_point"),
+    ).orderBy("p_size")
+
+
+@query(
+    "weighted_median_price_by_flag",
+    oracle="""
+    WITH li AS (
+      SELECT l_returnflag AS flag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(ROUND(l_quantity) AS BIGINT) AS w
+      FROM lineitem
+    ),
+    grp AS (
+      SELECT flag, cents, SUM(w) AS w FROM li GROUP BY flag, cents
+    ),
+    cum AS (
+      SELECT flag, cents, w,
+             SUM(w) OVER (PARTITION BY flag ORDER BY cents) AS cw,
+             SUM(w) OVER (PARTITION BY flag) AS tot
+      FROM grp
+    )
+    SELECT flag,
+           CAST(MIN(cents) FILTER (WHERE 2 * cw >= tot) AS BIGINT)
+             AS wmedian_cents,
+           CAST(MAX(tot) AS BIGINT) AS total_weight
+    FROM cum
+    GROUP BY flag
+    ORDER BY flag
+    """,
+)
+def weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median (lower weighted-median convention:
+    smallest value whose cumulative weight reaches half the total)
+    of extended price weighted by quantity, per return flag — the
+    weighted-quantile operator percentile() cannot express. Fully
+    distributed: collapse to one row per (flag, cents) first (partial
+    agg), then the distributed-rank operator's cumulative sums
+    (``with_global_rank``: bin counts + PARTITIONED windows — no
+    single-reducer sort) give each distinct value its running weight;
+    the per-flag totals broadcast back for the half-crossing pick.
+    Prices are rounded once to cents BIGINT and weights to integer
+    units, so every comparison is integer-exact on both engines."""
+    from local_stream_stack_spark.operators.quantiles import (
+        with_global_rank,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias(
+            "cents"
+        ),
+        F.expr("CAST(ROUND(l_quantity) AS BIGINT)").alias("w"),
+    )
+    grp = li.groupBy("flag", "cents").agg(F.sum("w").alias("w"))
+    ranked = with_global_rank(
+        grp,
+        "cents",
+        keys=["flag"],
+        out_rank="__rn",
+        cumsum={"w": "cw"},
+        acc_type="BIGINT",
+        bins=64,
+    )
+    tot = grp.groupBy("flag").agg(F.sum("w").alias("tot"))
+    return (
+        ranked.join(F.broadcast(tot), "flag")
+        .filter(2 * F.col("cw") >= F.col("tot"))
+        .groupBy("flag")
+        .agg(
+            F.min("cents").cast("bigint").alias("wmedian_cents"),
+            F.max("tot").cast("bigint").alias("total_weight"),
+        )
+        .orderBy("flag")
+    )
+
+
+@query(
+    "mann_whitney_priority",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+               AS g1
+      FROM orders
+    ),
+    grp AS (
+      SELECT cents,
+             CAST(SUM(g1) AS BIGINT) AS n1v,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM o GROUP BY cents
+    ),
+    cum AS (
+      SELECT cents, n1v, cnt,
+             SUM(cnt) OVER (ORDER BY cents) AS cw
+      FROM grp
+    ),
+    s AS (
+      SELECT CAST(SUM(n1v) AS BIGINT) AS n1,
+             CAST(SUM(cnt - n1v) AS BIGINT) AS n2,
+             CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(n1v * (2 * cw - cnt + 1)) AS BIGINT) AS r1_x2,
+             CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_cubes
+      FROM cum
+    )
+    SELECT n1, n2,
+           r1_x2 - n1 * (n1 + 1) AS u1_x2,
+           tie_cubes,
+           CASE WHEN n1 > 0 AND n2 > 0 AND n > 1 THEN
+             CAST(FLOOR(
+               (CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) - CAST(n1 AS DOUBLE) * n2)
+               / (2.0 * sqrt(
+                   (CAST(n1 AS DOUBLE) * n2 / 12.0)
+                   * ((n + 1.0)
+                      - CAST(tie_cubes AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * (n - 1.0)))))
+               * 1e6 + 0.5) AS BIGINT)
+           END AS z_e6
+    FROM s
+    """,
+)
+def mann_whitney_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test: are URGENT orders
+    priced from the same distribution as the rest? The nonparametric
+    two-sample member of the statistics family — it needs exact
+    GLOBAL ranks with tie-averaging, which is exactly what the
+    distributed-rank operator provides without a single-reducer sort
+    (bin counts + partitioned windows). All rank arithmetic stays in
+    integers: tied values share average rank, carried DOUBLED
+    (2*avg_rank = 2*cum_before + cnt + 1), so the rank sum, the U
+    statistic, and the tie-correction term Σ(t³−t) are exact BIGINTs
+    on both engines; the normal-approximation z uses ONE identical
+    double expression tree (single sqrt — correctly rounded IEEE op)
+    rounded once to an e6 BIGINT. Scale: one hash aggregate to
+    distinct prices, rank machinery over the distinct set, one final
+    fold — no shuffle carries more than the distinct-value table."""
+    from local_stream_stack_spark.operators.quantiles import (
+        with_global_rank,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.expr(
+            "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END"
+        ).alias("g1"),
+    )
+    grp = o.groupBy("cents").agg(
+        F.sum("g1").cast("bigint").alias("n1v"),
+        F.count("*").cast("bigint").alias("cnt"),
+    )
+    cum = with_global_rank(
+        grp, "cents", out_rank="__rn", cumsum={"cnt": "cw"},
+        acc_type="BIGINT", bins=64,
+    )
+    s = cum.agg(
+        F.sum("n1v").cast("bigint").alias("n1"),
+        F.sum(F.col("cnt") - F.col("n1v")).cast("bigint").alias("n2"),
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("n1v") * (2 * F.col("cw") - F.col("cnt") + 1))
+        .cast("bigint")
+        .alias("r1_x2"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        )
+        .cast("bigint")
+        .alias("tie_cubes"),
+    )
+    return s.select(
+        "n1",
+        "n2",
+        (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)).alias("u1_x2"),
+        "tie_cubes",
+        F.expr(
+            """CASE WHEN n1 > 0 AND n2 > 0 AND n > 1 THEN
+                 CAST(FLOOR(
+                   (CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) - CAST(n1 AS DOUBLE) * n2)
+                   / (2.0 * sqrt(
+                       (CAST(n1 AS DOUBLE) * n2 / 12.0)
+                       * ((n + 1.0)
+                          - CAST(tie_cubes AS DOUBLE)
+                            / (CAST(n AS DOUBLE) * (n - 1.0)))))
+                   * 1e6 + 0.5) AS BIGINT)
+               END"""
+        ).alias("z_e6"),
+    )

@@ -746,7 +746,23 @@ def ingest_dedup_stream_parquet(
                 .filter(F.col("__epoch") < F.lit(int(epoch_id)))
                 .select(fp_col)
             )
-            novel = batch_unique.join(known, fp_col, "left_anti")
+            # store >> batch for any long-lived stream, so probe the
+            # store with the BROADCAST batch fingerprints (inner join:
+            # pure scan + hash probe, no sort/shuffle of the store)
+            # and anti-join the batch against the tiny hit set — a
+            # direct anti-join against the store side would sort all
+            # admitted keys every epoch (measured: the second-decade
+            # store probe, SCALE.md round 9). Micro-batch triggers
+            # bound the broadcast side by construction.
+            hit = (
+                known.join(
+                    F.broadcast(batch_unique.select(fp_col).distinct()),
+                    fp_col,
+                    "left_semi",
+                )
+                .distinct()
+            )
+            novel = batch_unique.join(F.broadcast(hit), fp_col, "left_anti")
         else:
             novel = batch_unique
         (
@@ -878,8 +894,19 @@ def ingest_neardup_stream_parquet(
             )
         else:
             known = None
+        # probe the store with the BROADCAST batch keys (scan + hash
+        # probe; no sort/shuffle of the admitted-key store) instead of
+        # semi-joining the batch against the store side, which sorts
+        # every admitted key per epoch — the second-decade store probe
+        # measured that sort as the growing term (SCALE.md round 9).
+        # Micro-batch triggers bound the broadcast side.
         hit_store = (
-            keys.join(known, ["band", "bh"], "left_semi").select(id_col).distinct()
+            known.join(
+                F.broadcast(keys.select("band", "bh", id_col)),
+                ["band", "bh"],
+            )
+            .select(id_col)
+            .distinct()
             if known is not None
             else None
         )

@@ -152,6 +152,9 @@ REPRESENTATIVE = [
     # round-9 additions
     "curation_pipeline_yaml",    # YAML-driven curation e2e
     "multimodal_gif_decode",     # real GIF codec mapInPandas
+    "skyline_price_size",        # Pareto frontier (grid + anti theta)
+    "weighted_median_price_by_flag",  # weighted rank cumsum pick
+    "mann_whitney_priority",     # doubled-rank U test (1 row)
 ]
 
 
@@ -183,6 +186,7 @@ EXPECT_SUMMARY_ROWS = {
     "quality_classifier_train": 5,  # one zero-weight row per feature
     "jl_distortion_audit": 1,    # single summary row (zero pairs)
     "dataset_card_summary": 1,   # one zero-count row, NULL shares
+    "mann_whitney_priority": 1,  # single stats row (NULL z)
 }
 
 

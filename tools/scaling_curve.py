@@ -363,10 +363,119 @@ def stream_store() -> None:
                       "results": results, "alpha": round(alpha, 3)}))
 
 
+def stream_store_synth() -> None:
+    """SECOND decade for the store-growth probe (VERDICT r8 task #4):
+    the ingest-built store tops out near 380k admitted keys (x10
+    corpus), so this variant SEEDS the key store directly with
+    synthetic band keys — schema- and distribution-shaped like real
+    ones ((band 0..7, '|'-joined 4-value portable hash), sorted by
+    (band, bh) like the real epoch files) — at 10^5.5..10^6.6 keys,
+    then times the SAME fixed 2,000-doc first epoch against each.
+    Seeding at ``__epoch=-1`` makes the measured batch (epoch 0) see
+    the whole store through the strictly-earlier-epoch filter without
+    replay hazards. Only the store-read half varies; signature
+    compute is identical by construction."""
+    import tempfile
+
+    from local_stream_stack_spark.streaming.ops import (
+        ingest_neardup_stream_parquet,
+    )
+
+    # 8g heap for THIS TOOL only (engine default untouched): seeding
+    # 3.8M sorted keys across 32 local threads overflows the 1g
+    # default during the one-off store build, which is not the
+    # component under measurement
+    spark = get_spark(
+        app_name="store-growth-synth",
+        extra_conf={"spark.driver.memory": "8g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    par = spark.sparkContext.defaultParallelism
+    spark.range(par * 4, numPartitions=par).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    probe_src = (
+        spark.read.parquet(os.path.join(OUT, "x1", "documents.parquet"))
+        .select(
+            (F.col("doc_id") + 50_000_000).alias("doc_id"),
+            F.concat(F.lit("probe "), "text").alias("text"),
+        )
+        .limit(2000)
+        .localCheckpoint(eager=True)
+    )
+
+    results = {}
+    for label, n_keys in (("s380k", 380_464), ("s3.8m", 3_804_640)):
+        n_docs = n_keys // 8
+        seed = (
+            spark.range(n_docs)
+            .select(
+                (F.col("id") + 10_000_000).alias("doc_id"),
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.abs(
+                                        F.xxhash64(
+                                            F.col("id"), F.lit(b), F.lit(j)
+                                        )
+                                    ).cast("string")
+                                    for j in range(4)
+                                ],
+                            ).alias("bh"),
+                        )
+                        for b in range(8)
+                    ])
+                ).alias("bk"),
+            )
+            .select("doc_id", "bk.band", "bk.bh")
+        )
+        base = tempfile.mkdtemp(prefix=f"store-synth-{label}-")
+        in_dir = os.path.join(base, "in")
+        os.makedirs(in_dir)
+        seed.coalesce(8).sortWithinPartitions("band", "bh").write.parquet(
+            os.path.join(base, "store", "keys", "__epoch=-1")
+        )
+        q = ingest_neardup_stream_parquet(
+            spark.readStream.schema("doc_id bigint, text string").parquet(
+                in_dir
+            ),
+            id_col="doc_id",
+            text_col="text",
+            order_col="doc_id",
+            store_path=os.path.join(base, "store"),
+            checkpoint_location=os.path.join(base, "cp"),
+            portable=True,
+        )
+        probe_src.coalesce(1).write.mode("append").parquet(in_dir)
+        t0 = time.time()
+        q.processAllAvailable()
+        dt = time.time() - t0
+        q.stop()
+        results[label] = {"store_keys": n_keys, "epoch_sec": round(dt, 3)}
+        print(f"{label}: {n_keys} seeded keys, fixed epoch {dt:.3f}s",
+              file=sys.stderr)
+        shutil.rmtree(base, ignore_errors=True)
+    spark.stop()
+    alpha = math.log10(
+        max(results["s3.8m"]["epoch_sec"], 1e-9)
+        / max(results["s380k"]["epoch_sec"], 1e-9)
+    )
+    print(json.dumps({"probe": "neardup_store_growth_synth",
+                      "results": results, "alpha": round(alpha, 3)}))
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "run"
     if cmd == "stream_store":
         stream_store()
+        sys.exit(0)
+    if cmd == "stream_store_synth":
+        stream_store_synth()
         sys.exit(0)
     if cmd == "gen":
         rest = sys.argv[2:]
