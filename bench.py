@@ -207,6 +207,12 @@ EXTENDED = [
     "snapshot_diff_orders",
     "dataset_card_summary",
     "events_anomaly_mad",
+    # round-9 additions
+    "multimodal_gif_decode",
+    "curation_pipeline_yaml",
+    "skyline_price_size",
+    "weighted_median_price_by_flag",
+    "mann_whitney_priority",
 ]
 
 

@@ -6332,3 +6332,98 @@ def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN nw ELSE 0 END) AS BIGINT)"
         ).alias("clean_tokens"),
     )
+
+
+@query(
+    "fuzzy_join_symspell",
+    oracle="""
+    WITH v AS (
+      SELECT DISTINCT p_name FROM part WHERE length(p_name) >= 1
+    ),
+    dels AS (
+      SELECT DISTINCT p_name AS s,
+             unnest(list_distinct(list_append(
+               list_transform(generate_series(1, length(p_name)),
+                 i -> substr(p_name, 1, i - 1) || substr(p_name, i + 1)),
+               p_name))) AS var
+      FROM v
+    ),
+    cand AS (
+      SELECT DISTINCT a.s AS name_a, b.s AS name_b
+      FROM dels a JOIN dels b ON a.var = b.var AND a.s < b.s
+    ),
+    pairs AS (
+      SELECT name_a, name_b FROM cand
+      WHERE levenshtein(name_a, name_b) <= 1
+    ),
+    counts AS (
+      SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n FROM part GROUP BY p_name
+    )
+    SELECT p.name_a, p.name_b,
+           CAST(levenshtein(p.name_a, p.name_b) AS INT) AS edit_dist,
+           ca.n AS n_parts_a,
+           cb.n AS n_parts_b
+    FROM pairs p
+    JOIN counts ca ON ca.p_name = p.name_a
+    JOIN counts cb ON cb.p_name = p.name_b
+    ORDER BY name_a, name_b
+    """,
+)
+def fuzzy_join_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (approximate-string) self-join via the SymSpell
+    deletion-neighborhood blocking scheme: every distinct name
+    generates its |s|+1 single-deletion variants; two names are
+    candidates iff they SHARE a variant (a plain equi-join — this is
+    the complete candidate set for edit distance <= 1, since any
+    single substitution/insertion/deletion leaves a common deletion
+    form), and candidates are verified with the exact Levenshtein
+    distance. The entity-resolution primitive Spark has no operator
+    for, built all-pairs-free: variant generation is linear in
+    n x length, the candidate join runs on near-unique variant keys
+    (no hot blocks), and verification touches candidates only — the
+    same banded-not-all-pairs discipline as MinHash-LSH, with an
+    exact (not probabilistic) guarantee. Output pairs carry per-name
+    part counts, the payload an ER pipeline would merge on."""
+    part = _t(spark, sf_dir, "part")
+    v = part.select("p_name").filter(F.length("p_name") >= 1).distinct()
+    dels = v.select(
+        F.col("p_name").alias("s"),
+        F.explode(
+            F.expr(
+                "array_distinct(concat(transform(sequence(1, length(p_name)),"
+                " i -> concat(substring(p_name, 1, i - 1),"
+                " substring(p_name, i + 1, length(p_name)))),"
+                " array(p_name)))"
+            )
+        ).alias("var"),
+    ).distinct()
+    a = dels.select(F.col("s").alias("name_a"), "var")
+    b = dels.select(F.col("s").alias("name_b"), "var")
+    cand = (
+        a.join(b, "var")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    pairs = cand.filter(F.levenshtein("name_a", "name_b") <= 1)
+    counts = part.groupBy("p_name").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    return (
+        pairs.join(
+            F.broadcast(counts.select(F.col("p_name").alias("name_a"),
+                                      F.col("n").alias("n_parts_a"))),
+            "name_a",
+        )
+        .join(
+            F.broadcast(counts.select(F.col("p_name").alias("name_b"),
+                                      F.col("n").alias("n_parts_b"))),
+            "name_b",
+        )
+        .select(
+            "name_a", "name_b",
+            F.levenshtein("name_a", "name_b").cast("int").alias("edit_dist"),
+            "n_parts_a", "n_parts_b",
+        )
+        .orderBy("name_a", "name_b")
+    )

@@ -3082,3 +3082,250 @@ def mann_whitney_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                END"""
         ).alias("z_e6"),
     )
+
+
+# identical double expression tree on BOTH engines (only +,*,/,sqrt —
+# correctly-rounded IEEE ops over integer-derived values), rounded
+# ONCE to e6; z and z^2 enter as the same decimal literals
+_WILSON_SQL = """
+    CAST(FLOOR(
+      ((CAST(k AS DOUBLE) + 3.8416 / 2.0) / (CAST(n AS DOUBLE) + 3.8416)
+       {sign} (1.96 * sqrt(CAST(k AS DOUBLE) * (n - k) / n + 3.8416 / 4.0))
+              / (CAST(n AS DOUBLE) + 3.8416))
+      * 1e6 + 0.5) AS BIGINT)
+"""
+
+
+@query(
+    "wilson_ci_urgent_rate",
+    oracle=f"""
+    WITH s AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS k
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment
+    )
+    SELECT segment, n, k,
+           {_WILSON_SQL.format(sign='-')} AS wilson_lo_e6,
+           {_WILSON_SQL.format(sign='+')} AS wilson_hi_e6
+    FROM s
+    ORDER BY segment
+    """,
+)
+def wilson_ci_urgent_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score 95% confidence interval for the urgent-order rate
+    per market segment — the interval a dashboard should use instead
+    of the normal approximation (it never leaves [0,1] and behaves at
+    small n / extreme rates). One broadcast dim join + one hash
+    aggregate produce exact integer (n, k) per segment; the bounds are
+    ONE identical double expression tree on both engines (+, *, /,
+    sqrt only — each correctly rounded, so identical inputs give
+    bit-identical doubles) rounded once to e6 BIGINTs. Scale: the
+    aggregate collapses to |segments| rows before any float math."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    s = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("k"),
+        )
+    )
+    return s.select(
+        "segment",
+        "n",
+        "k",
+        F.expr(_WILSON_SQL.format(sign="-")).alias("wilson_lo_e6"),
+        F.expr(_WILSON_SQL.format(sign="+")).alias("wilson_hi_e6"),
+    ).orderBy("segment")
+
+
+_SPEARMAN_RHO_SQL = """
+    CASE WHEN n > 1 THEN
+      CAST(FLOOR(
+        (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        / NULLIF(
+            sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+            * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy),
+            0.0)
+        * 1e6 + 0.5) AS BIGINT)
+    END
+"""
+
+
+@query(
+    "spearman_qty_price",
+    oracle=f"""
+    WITH li AS (
+      SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    xg AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM li GROUP BY x),
+    xr AS (
+      SELECT x, 2 * SUM(cnt) OVER (ORDER BY x) - cnt + 1 AS r2x FROM xg
+    ),
+    yg AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt FROM li GROUP BY y),
+    yr AS (
+      SELECT y, 2 * SUM(cnt) OVER (ORDER BY y) - cnt + 1 AS r2y FROM yg
+    ),
+    rows_r AS (
+      SELECT CAST(xr.r2x AS HUGEINT) AS rx, CAST(yr.r2y AS HUGEINT) AS ry
+      FROM li JOIN xr ON li.x = xr.x JOIN yr ON li.y = yr.y
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(rx) AS sx, SUM(ry) AS sy,
+             SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy,
+             SUM(rx * ry) AS sxy
+      FROM rows_r
+    )
+    SELECT n, {_SPEARMAN_RHO_SQL} AS rho_e6 FROM s
+    """,
+)
+def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and extended price
+    — the nonparametric sibling of `corr_matrix_lineitem`'s Pearson
+    cells, robust to monotone transforms and outliers. Tie-averaged
+    ranks are carried DOUBLED (2*avg_rank = 2*cum_before + cnt + 1 —
+    exact integers), each row gets its rank pair through two
+    value-level joins against the distinct-value rank maps (built by
+    the distributed-rank operator: bin counts + partitioned windows,
+    no single-reducer sort), and the Pearson formula runs over exact
+    DECIMAL moment sums with ONE identical double tree (two sqrts)
+    rounded once to e6. Scale: the rank maps are |distinct values|
+    rows; the only full-data shuffle is the value-keyed rank join."""
+    from local_stream_stack_spark.operators.quantiles import (
+        with_global_rank,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(ROUND(l_quantity) AS BIGINT)").alias("x"),
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias("y"),
+    )
+
+    def rank_map(col: str, out: str) -> DataFrame:
+        g = li.groupBy(col).agg(F.count("*").cast("bigint").alias("cnt"))
+        r = with_global_rank(
+            g, col, out_rank="__rn", cumsum={"cnt": "cw"},
+            acc_type="BIGINT", bins=64,
+        )
+        return r.select(
+            col,
+            (2 * F.col("cw") - F.col("cnt") + 1).alias(out),
+        )
+
+    rows = (
+        li.join(F.broadcast(rank_map("x", "r2x")), "x")
+        .join(rank_map("y", "r2y"), "y")
+        .select(
+            F.col("r2x").cast("decimal(38,0)").alias("rx"),
+            F.col("r2y").cast("decimal(38,0)").alias("ry"),
+        )
+    )
+    s = rows.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    return s.select("n", F.expr(_SPEARMAN_RHO_SQL).alias("rho_e6"))
+
+
+@query(
+    "theil_sen_daily_revenue",
+    oracle="""
+    WITH days AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS di,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders
+      GROUP BY 1
+    ),
+    slopes AS (
+      SELECT CAST(b.rev_c - a.rev_c AS DOUBLE) / (b.di - a.di) AS slope
+      FROM days a JOIN days b ON b.di > a.di
+    ),
+    ranked AS (
+      SELECT slope,
+             ROW_NUMBER() OVER (ORDER BY slope) AS rn,
+             COUNT(*) OVER () AS m
+      FROM slopes
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM days) AS n_days,
+           CAST(m AS BIGINT) AS n_pairs,
+           CAST(FLOOR(slope * 1e6 + 0.5) AS BIGINT) AS slope_e6_cents_per_day
+    FROM ranked
+    WHERE rn = (m + 1) // 2
+    """,
+)
+def theil_sen_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen estimator of the daily-revenue trend: the (lower)
+    median of all pairwise day-to-day slopes — the robust regression
+    line the OLS fit (`regression_by_nation`) is not, immune to
+    outlier days. The corpus collapses to the bounded calendar-day
+    grain FIRST (one hash aggregate), so the quadratic pair
+    enumeration runs over |days|² via a broadcast theta-join (~3M
+    pairs here, bounded by the calendar, never by corpus rows); each
+    slope is ONE division of exact integer diffs (identical doubles
+    on both engines), and the median is picked by exact distributed
+    rank (`with_global_rank` — bin counts + partitioned windows), not
+    a single-reducer sort. Rounded once to e6 after selection."""
+    from local_stream_stack_spark.operators.quantiles import (
+        with_global_rank,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    days = (
+        o.groupBy(
+            F.unix_date(F.col("o_orderdate").cast("date"))
+            .cast("bigint")
+            .alias("di")
+        )
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev_c")
+        )
+    )
+    a = days.select(F.col("di").alias("dia"), F.col("rev_c").alias("ra"))
+    b = days.select(F.col("di").alias("dib"), F.col("rev_c").alias("rb"))
+    slopes = (
+        a.join(F.broadcast(b), F.col("dib") > F.col("dia"))
+        .select(
+            "dia",
+            "dib",
+            (
+                (F.col("rb") - F.col("ra")).cast("double")
+                / (F.col("dib") - F.col("dia"))
+            ).alias("slope"),
+        )
+    )
+    ranked = with_global_rank(
+        slopes, "slope", tiebreak_cols=["dia", "dib"],
+        out_rank="rn", total_col="m", bins=128,
+    )
+    n_days = days.agg(F.count("*").cast("bigint").alias("n_days"))
+    return (
+        ranked.filter(F.expr("rn = (m + 1) div 2"))
+        .crossJoin(F.broadcast(n_days))
+        .select(
+            "n_days",
+            F.col("m").cast("bigint").alias("n_pairs"),
+            F.expr(
+                "CAST(FLOOR(slope * 1e6 + 0.5) AS BIGINT)"
+            ).alias("slope_e6_cents_per_day"),
+        )
+    )

@@ -1359,3 +1359,129 @@ def stream_running_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("sum_value").cast("bigint").alias("sum_cents"),
     ).orderBy("user_id")
+
+
+def _register_doc_schema():
+    import pyspark.sql.types as T
+
+    from local_stream_stack_spark.schemas import get_schema, register_schema
+
+    try:
+        get_schema("harness_document")
+    except KeyError:
+        register_schema(
+            "harness_document",
+            T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType(), True),
+                    T.StructField("text", T.StringType(), True),
+                    T.StructField("lang", T.StringType(), True),
+                    T.StructField("source", T.StringType(), True),
+                    T.StructField("n_chars", T.LongType(), True),
+                ]
+            ),
+        )
+
+
+def _stream_curation_oracle() -> str:
+    from local_stream_stack_spark.queries.llm import _LANG_SCORE_SQL
+
+    return f"""
+    WITH scored AS ({_LANG_SCORE_SQL}),
+    gated AS (
+      SELECT predicted_lang,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               AS norm_hash
+      FROM scored
+      WHERE quality_score >= 0.80 AND n_tokens >= 10
+        AND predicted_lang IN ('en', 'und')
+    ),
+    uniq AS (SELECT DISTINCT predicted_lang, norm_hash FROM gated)
+    SELECT predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_unique,
+           MIN(norm_hash) AS min_hash,
+           MAX(norm_hash) AS max_hash
+    FROM uniq
+    GROUP BY predicted_lang
+    ORDER BY predicted_lang
+    """
+
+
+@query("stream_curation_yaml", oracle=_stream_curation_oracle())
+def stream_curation_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-9 curation transforms (``text_stats`` -> ``lang_id``
+    -> quality gate -> content-hash dedup) running LIVE as a YAML
+    streaming pipeline — the stream twin of ``curation_pipeline_yaml``
+    and the proof that the registry's curation stages are
+    batch/stream-symmetric. The dedup stage is the engine's stateful
+    ``drop_duplicates`` (streaming dedup state); rows are projected to
+    (predicted_lang, norm_hash) BEFORE the dedup so every row of a key
+    is identical and the arbitrary-first-arrival pick cannot leak
+    nondeterminism into the memory sink. The replay result collapses
+    to per-language unique-content counts, which must equal the batch
+    DISTINCT oracle exactly."""
+    from local_stream_stack_spark.pipeline import Pipeline
+
+    configure_for_oracle(spark)
+    _register_doc_schema()
+    qname = f"stream_curation_yaml_{next(_run_seq)}"
+    path, glob = _table_source(sf_dir, "documents")
+    cfg = {
+        "name": "curation-stream",
+        "source": {
+            "type": "parquet",
+            "path": path,
+            "streaming": True,
+            "schema": "harness_document",
+            "pathGlobFilter": glob,
+        },
+        "processors": [
+            {"name": "text_stats", "params": {}},
+            {"name": "lang_id", "params": {}},
+            {
+                "name": "filter",
+                "params": {
+                    "predicate": (
+                        "quality_score >= 0.80 AND n_tokens >= 10"
+                        " AND predicted_lang IN ('en', 'und')"
+                    )
+                },
+            },
+            {
+                "name": "with_column",
+                "params": {
+                    "name": "norm_hash",
+                    "expr": (
+                        "md5(regexp_replace(lower(trim(text)),"
+                        " '\\\\s+', ' '))"
+                    ),
+                },
+            },
+            {
+                "name": "select",
+                "params": {"columns": ["predicted_lang", "norm_hash"]},
+            },
+            {"name": "drop_duplicates", "params": {"columns": ["norm_hash"]}},
+        ],
+        "sink": {
+            "type": "memory",
+            "output_mode": "append",
+            "query_name": qname,
+        },
+    }
+    pipe = Pipeline(spark, cfg)
+    q = pipe.run()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(qname)
+        .groupBy("predicted_lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_unique"),
+            F.min("norm_hash").alias("min_hash"),
+            F.max("norm_hash").alias("max_hash"),
+        )
+        .orderBy("predicted_lang")
+    )

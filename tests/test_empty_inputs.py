@@ -155,6 +155,10 @@ REPRESENTATIVE = [
     "skyline_price_size",        # Pareto frontier (grid + anti theta)
     "weighted_median_price_by_flag",  # weighted rank cumsum pick
     "mann_whitney_priority",     # doubled-rank U test (1 row)
+    "fuzzy_join_symspell",       # deletion-neighborhood fuzzy join
+    "wilson_ci_urgent_rate",     # per-segment Wilson bounds
+    "spearman_qty_price",        # doubled-rank correlation (1 row)
+    "theil_sen_daily_revenue",   # pairwise-slope median
 ]
 
 
@@ -187,6 +191,7 @@ EXPECT_SUMMARY_ROWS = {
     "jl_distortion_audit": 1,    # single summary row (zero pairs)
     "dataset_card_summary": 1,   # one zero-count row, NULL shares
     "mann_whitney_priority": 1,  # single stats row (NULL z)
+    "spearman_qty_price": 1,     # single stats row (NULL rho)
 }
 
 
