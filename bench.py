@@ -37,7 +37,11 @@ from local_stream_stack_spark.streaming.metrics import MetricsListener  # noqa: 
 # engine-side per-batch processing time from the StreamingQueryListener
 # (plan cost: what a long-lived cluster pipeline actually pays per
 # epoch). Gate semantics unchanged: the headline total stays wall.
-STREAMING = {"stream_tumbling_counts", "stream_ingest_dedup"}
+STREAMING = {
+    "stream_tumbling_counts",
+    "stream_ingest_dedup",
+    "stream_curation_yaml",
+}
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -213,6 +217,13 @@ EXTENDED = [
     "skyline_price_size",
     "weighted_median_price_by_flag",
     "mann_whitney_priority",
+    "stream_curation_yaml",
+    "fuzzy_join_symspell",
+    "wilson_ci_urgent_rate",
+    "spearman_qty_price",
+    "theil_sen_daily_revenue",
+    "sim_lsh_multiprobe_topk",
+    "quality_classifier_reliability",
 ]
 
 

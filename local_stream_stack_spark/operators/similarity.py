@@ -540,6 +540,7 @@ def lsh_bucket_topk(
     seed: int = 42,
     round_dp: int | None = 6,
     integer_exact: bool = False,
+    probe_flip_bits: int = 0,
 ) -> DataFrame:
     """Approximate top-k cosine via random-hyperplane LSH.
 
@@ -550,7 +551,16 @@ def lsh_bucket_topk(
     ``integer_exact=True``, buckets come from the md5-derived integer
     planes over floor-quantized vectors (``seed`` ignored), making the
     whole candidate stage reproducible by a SQL oracle.
-    """
+
+    ``probe_flip_bits > 0`` enables MULTIPROBE: each query
+    additionally probes the ``probe_flip_bits`` buckets at Hamming
+    distance 1 from its own (one sign-bit flip each) — the standard
+    recall/memory trade (Lv et al., multi-probe LSH): near-misses
+    where ONE hyperplane disagreed land in an adjacent bucket, so
+    probing neighbors recovers them without adding tables. Only the
+    QUERY side fans out (x(1+bits) probe rows); the corpus index is
+    unchanged, which is what makes it the memory-cheap direction at
+    100 TB (corpus >> queries)."""
     if integer_exact:
         buckets_udf = _int_lsh_buckets_udf(n_tables, n_planes, dim)
     else:
@@ -565,6 +575,20 @@ def lsh_bucket_topk(
         )
 
     qb = with_buckets(queries, "query_id", "__qv", query_id, query_vec)
+    if probe_flip_bits > 0:
+        qb = qb.select(
+            "query_id",
+            "__qv",
+            "table",
+            F.explode(
+                F.expr(
+                    "concat(array(bucket),"
+                    f" transform(sequence(0, {probe_flip_bits - 1}),"
+                    " j -> CAST(bucket AS BIGINT)"
+                    " ^ CAST(shiftleft(1, j) AS BIGINT)))"
+                )
+            ).alias("bucket"),
+        )
     cb = with_buckets(corpus, "corpus_id", "__cv", corpus_id, corpus_vec)
     sim = cosine(F.col("__qv"), F.col("__cv"))
     if round_dp is not None:

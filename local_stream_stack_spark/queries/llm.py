@@ -563,6 +563,83 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sim_lsh_multiprobe_topk",
+    oracle="WITH "
+    + _int_lsh_sig_cte(4, 4)
+    + """,
+    probes AS (
+      SELECT vec_id, t,
+             unnest(list_prepend(bucket,
+               list_transform(generate_series(0, 3),
+                 j -> xor(bucket, CAST(1 AS BIGINT) << j)))) AS probe
+      FROM sig
+      WHERE vec_id < 5
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id
+      FROM probes q JOIN sig c ON q.t = c.t AND c.bucket = q.probe
+    ),
+    scored AS (
+      SELECT cd.query_id, cd.corpus_id,
+             ROUND(list_reduce(list_transform(generate_series(1, len(a.embedding)),
+                     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                   (x, y) -> x + y)
+               / (sqrt(list_reduce(list_transform(a.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x,y) -> x+y))
+                * sqrt(list_reduce(list_transform(b.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x,y) -> x+y))),
+               6) AS cosine_sim
+      FROM cand cd
+      JOIN embeddings a ON a.vec_id = cd.query_id
+      JOIN embeddings b ON b.vec_id = cd.corpus_id
+    ),
+    ranked AS (
+      SELECT query_id, corpus_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, corpus_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, corpus_id, cosine_sim, rk
+    FROM ranked
+    WHERE rk <= 10 AND corpus_id <> query_id
+    ORDER BY query_id, rk
+    """,
+)
+def sim_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIPROBE LSH top-10 (Lv et al.): HALF the hash tables of
+    `sim_lsh_topk` (4x4 vs 8x4), with each query additionally probing
+    the 4 buckets one sign-bit flip away — near-misses where a single
+    hyperplane disagreed sit exactly there. The standard
+    recall-vs-memory trade for ANN serving: index memory is per-table
+    (halved), probe fan-out is query-side only (x5 probe rows on the
+    small side of the join), and the corpus index is untouched — the
+    direction that matters when corpus >> queries at 100 TB. Same
+    integer-exact bucket scheme as the rest of the ANN tier, so the
+    oracle replays signatures, bit-flip probes (XOR), the candidate
+    join, exact cosine re-scoring, and the rank window."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return (
+        lsh_bucket_topk(
+            queries=q,
+            corpus=e,
+            query_id="vec_id",
+            corpus_id="vec_id",
+            query_vec="embedding",
+            corpus_vec="embedding",
+            dim=64,
+            k=10,
+            n_tables=4,
+            n_planes=4,
+            integer_exact=True,
+            probe_flip_bits=4,
+        )
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .orderBy("query_id", "rk")
+    )
+
+
 _COSINE_TWIN_CAP = 1000
 
 
@@ -6426,4 +6503,76 @@ def fuzzy_join_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_parts_a", "n_parts_b",
         )
         .orderBy("name_a", "name_b")
+    )
+
+
+@query(
+    "quality_classifier_reliability",
+    oracle=f"""
+    WITH {_logreg_feats_ctes()},
+    {_logreg_train_ctes()},
+    scored AS (
+      SELECT y,
+             CAST(FLOOR((0.5 + 0.5 * (CAST((w12_0 * x0) + (w12_1 * x1) + (w12_2 * x2) + (w12_3 * x3) + (w12_4 * x4) AS DOUBLE) / 10000000000.0) / (2.0 + abs((CAST((w12_0 * x0) + (w12_1 * x1) + (w12_2 * x2) + (w12_3 * x3) + (w12_4 * x4) AS DOUBLE) / 10000000000.0)))) * 10) AS INT) AS bin,
+             CAST(FLOOR((0.5 + 0.5 * (CAST((w12_0 * x0) + (w12_1 * x1) + (w12_2 * x2) + (w12_3 * x3) + (w12_4 * x4) AS DOUBLE) / 10000000000.0) / (2.0 + abs((CAST((w12_0 * x0) + (w12_1 * x1) + (w12_2 * x2) + (w12_3 * x3) + (w12_4 * x4) AS DOUBLE) / 10000000000.0)))) * 1e6 + 0.5) AS BIGINT) AS p_e6
+      FROM f CROSS JOIN w12
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(CAST(SUM(y) AS HUGEINT) * 1000000
+                // NULLIF(CAST(COUNT(*) AS HUGEINT), 0) AS BIGINT)
+             AS obs_rate_e6,
+           CAST(SUM(CAST(p_e6 AS HUGEINT))
+                // NULLIF(CAST(COUNT(*) AS HUGEINT), 0) AS BIGINT)
+             AS avg_pred_e6
+    FROM scored
+    GROUP BY bin
+    ORDER BY bin
+    """,
+)
+def quality_classifier_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration reliability diagram for the trained quality
+    classifier: predicted keep-probability binned into deciles,
+    observed positive rate vs mean predicted probability per bin —
+    the eval artifact that says whether the score is usable as a
+    PROBABILITY (thresholding strategies, sampling weights) or only
+    as a ranking. The probability is the ALGEBRAIC sigmoid (the
+    engine's cross-portable link: +,*,/,abs only), each row's p is
+    rounded ONCE to an e6 BIGINT before any aggregation, and the
+    per-bin averages use the overflow-safe HUGEINT/DECIMAL division
+    idiom — integer-exact on both engines at any corpus size.
+    Training reruns inside the query (the trainer contract: one
+    bounded gradient aggregate per round, driver carries 5 ints)."""
+    from local_stream_stack_spark.operators.logreg import (
+        p_sql,
+        train_logreg_e6,
+        z_raw_sql,
+    )
+
+    feats = _quality_features(spark, sf_dir).localCheckpoint(eager=True)
+    w = train_logreg_e6(
+        feats, _LR_FEATURES, "y", materialize_input=False
+    )
+    p = p_sql(z_raw_sql(w, _LR_FEATURES))
+    scored = feats.select(
+        "y",
+        F.expr(f"CAST(FLOOR({p} * 10) AS INT)").alias("bin"),
+        F.expr(f"CAST(FLOOR({p} * 1e6 + 0.5) AS BIGINT)").alias("p_e6"),
+    )
+    return (
+        scored.groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+            F.expr(
+                "CAST(CAST(SUM(y) AS DECIMAL(38,0)) * 1000000"
+                " div NULLIF(COUNT(*), 0) AS BIGINT)"
+            ).alias("obs_rate_e6"),
+            F.expr(
+                "CAST(SUM(CAST(p_e6 AS DECIMAL(38,0)))"
+                " div NULLIF(COUNT(*), 0) AS BIGINT)"
+            ).alias("avg_pred_e6"),
+        )
+        .orderBy("bin")
     )

@@ -159,6 +159,7 @@ REPRESENTATIVE = [
     "wilson_ci_urgent_rate",     # per-segment Wilson bounds
     "spearman_qty_price",        # doubled-rank correlation (1 row)
     "theil_sen_daily_revenue",   # pairwise-slope median
+    "quality_classifier_reliability",  # decile calibration bins
 ]
 
 

@@ -338,3 +338,31 @@ def test_scaled_n_planes_holds_occupancy():
         # and not overshooting: occupancy stays above ~8 (bucket
         # space within 4x of target, so shuffle rows stay bounded)
         assert n / (2**p) >= 8
+
+
+def test_multiprobe_candidates_superset_of_plain(spark, emb):
+    """Multiprobe with the same tables can only ADD candidates (the
+    flip set includes the original bucket), so per-query recall is
+    monotonically >= the plain run's — the property that justifies
+    halving the table count."""
+    from local_stream_stack_spark.operators.similarity import (
+        lsh_bucket_topk,
+    )
+
+    q = emb.filter("vec_id < 5")
+    kw = dict(
+        queries=q, corpus=emb, query_id="vec_id", corpus_id="vec_id",
+        query_vec="embedding", corpus_vec="embedding", dim=64,
+        k=100_000,  # above any candidate count: top-k == candidate set
+        n_tables=4, n_planes=4, integer_exact=True,
+    )
+    plain = {
+        (r.query_id, r.corpus_id)
+        for r in lsh_bucket_topk(**kw).collect()
+    }
+    multi = {
+        (r.query_id, r.corpus_id)
+        for r in lsh_bucket_topk(**kw, probe_flip_bits=4).collect()
+    }
+    assert plain <= multi
+    assert len(multi) > len(plain)  # the probes actually add pairs
