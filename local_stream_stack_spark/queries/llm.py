@@ -6576,3 +6576,196 @@ def quality_classifier_reliability(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "bm25_topk_docs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents
+    ),
+    doclen AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avglen
+      FROM doclen
+    ),
+    df AS (
+      SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY tok
+    ),
+    qterms AS (
+      SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 3
+    ),
+    idf AS (
+      SELECT q.tok, q.df,
+             CAST(FLOOR(ln((CAST(s.n_docs AS DOUBLE) - q.df + 0.5)
+                           / (q.df + 0.5) + 1.0) * 1e6 + 0.5) AS BIGINT)
+               AS idf_e6
+      FROM qterms q CROSS JOIN stats s
+    ),
+    tf AS (
+      SELECT t.doc_id, t.tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok t JOIN qterms q ON t.tok = q.tok
+      GROUP BY t.doc_id, t.tok
+    ),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(FLOOR(
+               CAST(i.idf_e6 AS DOUBLE) * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1.0 - 0.75
+                                 + 0.75 * dl.len / s.avglen))
+               + 0.5) AS BIGINT) AS c_e6
+      FROM tf
+      JOIN idf i ON i.tok = tf.tok
+      JOIN doclen dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    ),
+    scored AS (
+      SELECT doc_id, CAST(SUM(c_e6) AS BIGINT) AS bm25_e6
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, bm25_e6
+    FROM scored
+    ORDER BY bm25_e6 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (k1=1.2, b=0.75) against the corpus's own three
+    highest-document-frequency terms — the standard lexical ranking
+    function a retrieval/curation stack needs next to the TF-IDF and
+    embedding tiers. Determinism recipe: the per-term idf (the only
+    ln) is rounded ONCE to an e6 BIGINT; each (doc, term)
+    contribution is one identical double tree over exact integers
+    (tf, len) and the broadcast scalars (avglen — a single division
+    of exact integers), rounded once to e6; per-doc scores are then
+    INTEGER sums, so partitioning cannot reorder-drift them. Scale:
+    tokenize-scan -> two hash aggregates (doclen, df) -> candidate tf
+    join against the 3-row broadcast term list -> top-20 via
+    TakeOrderedAndProject (never a global window)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("tok"),
+    )
+    doclen = tok.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("len")
+    )
+    stats = doclen.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.sum("len").cast("double") / F.count("*")).alias("avglen"),
+    )
+    df = tok.groupBy("tok").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    qterms = df.orderBy(F.desc("df"), F.asc("tok")).limit(3)
+    idf = qterms.crossJoin(F.broadcast(stats)).select(
+        "tok",
+        "df",
+        F.expr(
+            "CAST(FLOOR(ln((CAST(n_docs AS DOUBLE) - df + 0.5)"
+            " / (df + 0.5) + 1.0) * 1e6 + 0.5) AS BIGINT)"
+        ).alias("idf_e6"),
+    )
+    tf = (
+        tok.join(F.broadcast(qterms.select("tok")), "tok")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    contrib = (
+        tf.join(F.broadcast(idf.select("tok", "idf_e6")), "tok")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avglen")))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(FLOOR("
+                "CAST(idf_e6 AS DOUBLE) * (tf * 2.2)"
+                " / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len / avglen))"
+                " + 0.5) AS BIGINT)"
+            ).alias("c_e6"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("c_e6").cast("bigint").alias("bm25_e6"))
+        .orderBy(F.desc("bm25_e6"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@query(
+    "mutual_info_lang_source",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang, source
+    ),
+    rmarg AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS r FROM cells GROUP BY lang),
+    cmarg AS (SELECT source, CAST(SUM(n) AS BIGINT) AS c FROM cells GROUP BY source),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells),
+    pmi AS (
+      SELECT cl.lang, cl.source, cl.n,
+             CAST(FLOOR(ln(CAST(cl.n AS DOUBLE) * t.nn
+                           / (CAST(r.r AS DOUBLE) * c.c)) * 1e6 + 0.5)
+                  AS BIGINT) AS pmi_e6
+      FROM cells cl
+      JOIN rmarg r ON r.lang = cl.lang
+      JOIN cmarg c ON c.source = cl.source
+      CROSS JOIN tot t
+    )
+    SELECT lang, source, n, pmi_e6,
+           CAST(n * pmi_e6 AS BIGINT) AS contrib_e6
+    FROM pmi
+    ORDER BY lang, source
+    """,
+)
+def mutual_info_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between the language and source
+    columns — the dependence screen that says WHICH (lang, source)
+    combinations are over/under-represented (chi-square, already in
+    the catalog, only says THAT they are dependent). Per-cell PMI
+    ln(p_ij/(p_i p_j)) is ONE identical double tree over exact
+    integer counts, rounded ONCE to e6 (ln is not cross-engine-stable
+    in general; single-rounding before any further arithmetic is the
+    engine's portable-transcendental rule), and the cell contribution
+    n*pmi is then pure integer — summing the contrib column
+    reproduces N * MI(lang; source) * 1e6 deterministically. Scale:
+    one partial-agg groupBy to the bounded cell grid; marginals and
+    the total are broadcast-sized."""
+    d = _t(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    rmarg = cells.groupBy("lang").agg(F.sum("n").cast("bigint").alias("r"))
+    cmarg = cells.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("c")
+    )
+    tot = cells.agg(F.sum("n").cast("bigint").alias("nn"))
+    pmi = (
+        cells.join(F.broadcast(rmarg), "lang")
+        .join(F.broadcast(cmarg), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n",
+            F.expr(
+                "CAST(FLOOR(ln(CAST(n AS DOUBLE) * nn"
+                " / (CAST(r AS DOUBLE) * c)) * 1e6 + 0.5) AS BIGINT)"
+            ).alias("pmi_e6"),
+        )
+    )
+    return pmi.select(
+        "lang",
+        "source",
+        "n",
+        "pmi_e6",
+        (F.col("n") * F.col("pmi_e6")).cast("bigint").alias("contrib_e6"),
+    ).orderBy("lang", "source")

@@ -3329,3 +3329,116 @@ def theil_sen_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("slope_e6_cents_per_day"),
         )
     )
+
+
+@query(
+    "pettitt_changepoint_daily",
+    oracle="""
+    WITH days AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS di,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders
+      GROUP BY 1
+    ),
+    vals AS (
+      SELECT rev_c, CAST(COUNT(*) AS BIGINT) AS cnt FROM days GROUP BY rev_c
+    ),
+    r2map AS (
+      SELECT rev_c, 2 * SUM(cnt) OVER (ORDER BY rev_c) - cnt + 1 AS r2
+      FROM vals
+    ),
+    ordered AS (
+      SELECT d.di,
+             ROW_NUMBER() OVER (ORDER BY d.di) AS t,
+             SUM(m.r2) OVER (ORDER BY d.di) AS s2,
+             COUNT(*) OVER () AS n
+      FROM days d JOIN r2map m ON d.rev_c = m.rev_c
+    ),
+    u AS (
+      SELECT di, t, n, s2 - t * (n + 1) AS ut
+      FROM ordered WHERE t < n
+    ),
+    k AS (SELECT MAX(abs(ut)) AS kstat, MAX(n) AS n FROM u)
+    SELECT CAST(k.n AS BIGINT) AS n_days,
+           CAST(k.kstat AS BIGINT) AS k_stat,
+           CAST(MIN(u.di) AS BIGINT) AS cp_day,
+           CAST(CAST(6 AS HUGEINT) * k.kstat * k.kstat * 1000000
+                // NULLIF(CAST(k.n AS HUGEINT) * k.n * k.n
+                          + CAST(k.n AS HUGEINT) * k.n, 0) AS BIGINT)
+             AS p_exponent_e6
+    FROM u JOIN k ON abs(u.ut) = k.kstat
+    GROUP BY k.n, k.kstat
+    """,
+)
+def pettitt_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt rank-based changepoint test on daily revenue — the
+    nonparametric partner of `cusum_changepoint_revenue` (CUSUM needs
+    a mean shift in LEVEL; Pettitt detects any distributional shift
+    and is outlier-robust because it sees only ranks). With doubled
+    tie-average ranks the statistic is exact integers end to end:
+    U_t = Σ_{i<=t} R2_i − t(n+1), K = max|U_t|, changepoint = the
+    earliest day attaining K; the significance exponent
+    6K²/(n³+n²) is emitted e6-scaled through the overflow-safe
+    HUGEINT/DECIMAL division idiom instead of exp() (not
+    cross-engine-stable). Scale: collapse to the bounded calendar-day
+    grain, rank map over distinct values, ONE distributed cumulative
+    sum (with_global_rank — no single-reducer sort), bounded finals."""
+    from local_stream_stack_spark.operators.quantiles import (
+        with_global_rank,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    days = (
+        o.groupBy(
+            F.unix_date(F.col("o_orderdate").cast("date"))
+            .cast("bigint")
+            .alias("di")
+        )
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev_c")
+        )
+    )
+    vals = days.groupBy("rev_c").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    r2map = with_global_rank(
+        vals, "rev_c", out_rank="__rn", cumsum={"cnt": "cw"},
+        acc_type="BIGINT", bins=64,
+    ).select("rev_c", (2 * F.col("cw") - F.col("cnt") + 1).alias("r2"))
+    ordered = with_global_rank(
+        days.join(r2map, "rev_c"),
+        "di",
+        out_rank="t",
+        cumsum={"r2": "s2"},
+        acc_type="BIGINT",
+        total_col="n",
+        bins=64,
+    )
+    u = ordered.filter(F.col("t") < F.col("n")).select(
+        "di", (F.col("s2") - F.col("t") * (F.col("n") + 1)).alias("ut")
+    )
+    k = ordered.filter(F.col("t") < F.col("n")).agg(
+        F.max(F.abs(F.col("s2") - F.col("t") * (F.col("n") + 1))).alias(
+            "kstat"
+        ),
+        F.max("n").alias("n"),
+    )
+    return (
+        u.join(F.broadcast(k), F.abs(F.col("ut")) == F.col("kstat"))
+        .groupBy("n", "kstat")
+        .agg(F.min("di").cast("bigint").alias("cp_day"))
+        .select(
+            F.col("n").cast("bigint").alias("n_days"),
+            F.col("kstat").cast("bigint").alias("k_stat"),
+            "cp_day",
+            F.expr(
+                "CAST(CAST(6 AS DECIMAL(38,0)) * kstat * kstat * 1000000"
+                " div NULLIF(CAST(n AS DECIMAL(38,0)) * n * n"
+                "            + CAST(n AS DECIMAL(38,0)) * n, 0) AS BIGINT)"
+            ).alias("p_exponent_e6"),
+        )
+    )

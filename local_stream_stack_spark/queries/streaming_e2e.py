@@ -1485,3 +1485,87 @@ def stream_curation_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("predicted_lang")
     )
+
+
+@query(
+    "stream_skyline_frontier",
+    oracle="""
+    WITH pts AS (
+      SELECT p_size,
+             CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_c
+      FROM part
+    ),
+    cand AS (
+      SELECT p_size, MIN(price_c) AS price_c FROM pts GROUP BY p_size
+    ),
+    cnt AS (
+      SELECT a.p_size, a.price_c, COUNT(*) AS n_parts
+      FROM cand a JOIN pts t
+        ON t.p_size = a.p_size AND t.price_c = a.price_c
+      GROUP BY a.p_size, a.price_c
+    )
+    SELECT CAST(c.p_size AS INT) AS p_size,
+           c.price_c AS min_price_cents,
+           CAST(c.n_parts AS BIGINT) AS n_parts_at_point
+    FROM cnt c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts d
+      WHERE d.p_size <= c.p_size AND d.price_c <= c.price_c
+        AND (d.p_size < c.p_size OR d.price_c < c.price_c)
+    )
+    ORDER BY p_size
+    """,
+)
+def stream_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE incremental skyline: the Pareto frontier of (price, size)
+    maintained across micro-batches by ``skyline_stream_parquet`` —
+    per-group (min, count-at-min) is a SEMIGROUP, so the converged
+    frontier is batch-boundary-insensitive and must equal the batch
+    dominance oracle exactly. Epoch state is bounded by |distinct
+    sizes| (tiny at any corpus scale); each epoch merges the latest
+    prior state with its own per-group minima and overwrites its own
+    ``__epoch`` directory (crash-replay exactly-once). The cross-group
+    dominance anti-join runs at read time over the tiny state."""
+    from local_stream_stack_spark.streaming.ops import (
+        read_skyline_store,
+        skyline_stream_parquet,
+    )
+
+    configure_for_oracle(spark)
+    src_dir, glob = _table_source(sf_dir, "part")
+    schema = spark.read.option("pathGlobFilter", glob).parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+        .select(
+            F.col("p_size").cast("int").alias("p_size"),
+            F.expr("CAST(ROUND(p_retailprice * 100) AS BIGINT)").alias(
+                "price_c"
+            ),
+        )
+    )
+    base = ephemeral_dir(prefix="stream-skyline-")
+    q = skyline_stream_parquet(
+        stream,
+        group_col="p_size",
+        value_col="price_c",
+        store_path=os.path.join(base, "store"),
+        checkpoint_location=os.path.join(base, "cp"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        read_skyline_store(
+            spark, os.path.join(base, "store"), "p_size", "price_c"
+        )
+        .select(
+            "p_size",
+            F.col("price_c").alias("min_price_cents"),
+            F.col("n").alias("n_parts_at_point"),
+        )
+        .orderBy("p_size")
+    )

@@ -984,3 +984,99 @@ def read_state_store(
     if operator_id is not None:
         r = r.option("operatorId", operator_id)
     return r.load(checkpoint)
+
+
+def skyline_stream_parquet(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    store_path: str,
+    checkpoint_location: str,
+):
+    """Incremental SKYLINE (Pareto-frontier) maintenance: keep the
+    per-``group_col`` minimum ``value_col`` (with the count of rows
+    sitting on that minimum) as the stream's frontier state — the
+    streaming twin of the batch ``skyline_price_size`` grid stage.
+
+    The per-group (min, count-at-min) merge is a SEMIGROUP: merging a
+    batch's per-group minima into the prior state is associative and
+    insensitive to batch boundaries, so the converged state equals the
+    batch computation over all rows. Each epoch writes the COMPLETE
+    merged state to its own ``__epoch=<id>`` directory and merges from
+    the latest strictly-earlier epoch only — a crash-replayed epoch
+    re-reads the same prior state and overwrites the same directory
+    (exactly-once without a transaction log, the epoch-dir discipline
+    shared by the other parquet-backed views). State is bounded by
+    |distinct groups|, so every epoch's read AND write are tiny
+    regardless of stream length; the cross-group dominance filter is
+    applied by ``read_skyline_store`` at query time (keeping the
+    stored merge associative)."""
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        per_point = batch_df.groupBy(group_col, value_col).agg(
+            F.count("*").cast("bigint").alias("n")
+        )
+        batch_min = (
+            per_point.groupBy(group_col)
+            .agg(F.min(F.struct(value_col, "n")).alias("m"))
+            .select(
+                group_col,
+                F.col(f"m.{value_col}").alias(value_col),
+                F.col("m.n").alias("n"),
+            )
+        )
+        merged = batch_min
+        if _store_has_epochs(spark, store_path):
+            prior_all = spark.read.option("basePath", store_path).parquet(
+                f"{store_path}/__epoch=*"
+            ).filter(F.col("__epoch") < F.lit(int(epoch_id)))
+            latest = prior_all.agg(F.max("__epoch").alias("e")).collect()[0].e
+            if latest is not None:
+                prior = prior_all.filter(F.col("__epoch") == latest).drop(
+                    "__epoch"
+                )
+                merged = (
+                    prior.unionByName(batch_min)
+                    .groupBy(group_col, value_col)
+                    .agg(F.sum("n").cast("bigint").alias("n"))
+                    .groupBy(group_col)
+                    .agg(F.min(F.struct(value_col, "n")).alias("m"))
+                    .select(
+                        group_col,
+                        F.col(f"m.{value_col}").alias(value_col),
+                        F.col("m.n").alias("n"),
+                    )
+                )
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            f"{store_path}/__epoch={epoch_id}"
+        )
+
+    return (
+        df.writeStream.outputMode("append")
+        .foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_location)
+        .start()
+    )
+
+
+def read_skyline_store(
+    spark, store_path: str, group_col: str, value_col: str
+) -> DataFrame:
+    """Current frontier of a ``skyline_stream_parquet`` store: the
+    latest epoch's per-group minima with the cross-group dominance
+    filter applied (a broadcast anti theta-join over the tiny state)."""
+    state = spark.read.option("basePath", store_path).parquet(
+        f"{store_path}/__epoch=*"
+    )
+    latest = state.agg(F.max("__epoch").alias("e")).collect()[0].e
+    cand = state.filter(F.col("__epoch") == latest).drop("__epoch")
+    dom = cand.select(
+        F.col(group_col).alias("__dg"), F.col(value_col).alias("__dv")
+    )
+    return cand.join(
+        F.broadcast(dom),
+        (F.col("__dg") < F.col(group_col))
+        & (F.col("__dv") <= F.col(value_col)),
+        "left_anti",
+    )

@@ -160,6 +160,9 @@ REPRESENTATIVE = [
     "spearman_qty_price",        # doubled-rank correlation (1 row)
     "theil_sen_daily_revenue",   # pairwise-slope median
     "quality_classifier_reliability",  # decile calibration bins
+    "pettitt_changepoint_daily", # rank changepoint (0 rows empty)
+    "bm25_topk_docs",            # lexical retrieval top-20
+    "mutual_info_lang_source",   # PMI cells
 ]
 
 

@@ -602,3 +602,49 @@ def test_state_store_reader_matches_sink(spark, tmpdir):
         (r.key.k, r.value[0]) for r in read_state_store(spark, cp).collect()
     }
     assert state == sink == {(0, 10), (1, 10), (2, 10)}
+
+
+def test_skyline_stream_multi_epoch_matches_batch(spark, tmp_path):
+    """The streaming frontier merge is a semigroup: three single-file
+    epochs (forced by maxFilesPerTrigger=1) must converge to exactly
+    the batch per-group minima + dominance filter, counts included —
+    including a later epoch UNDERCUTTING an earlier group minimum and
+    a later epoch adding ties AT the current minimum."""
+    from local_stream_stack_spark.streaming.ops import (
+        read_skyline_store,
+        skyline_stream_parquet,
+    )
+
+    chunks = [
+        [(1, 500), (1, 700), (2, 400), (3, 900)],
+        [(1, 500), (2, 350), (3, 950)],   # tie at g1 min; undercut g2
+        [(2, 350), (4, 300), (1, 480)],   # tie at g2 min; undercut g1
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, rows in enumerate(chunks):
+        spark.createDataFrame(rows, "g int, v bigint").coalesce(
+            1
+        ).write.parquet(str(in_dir / f"chunk{i}.parquet"))
+    stream = (
+        spark.readStream.schema("g int, v bigint")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(in_dir))
+    )
+    store = str(tmp_path / "store")
+    q = skyline_stream_parquet(
+        stream, "g", "v", store, str(tmp_path / "cp")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.g, r.v, r.n)
+        for r in read_skyline_store(spark, store, "g", "v").collect()
+    }
+    # batch truth: per-group minima with counts, then dominance
+    # g1 min 480 (n=1), g2 min 350 (n=2), g3 min 900, g4 min 300;
+    # g3 (900) dominated by g1/g2; g4=300 survives (largest g, lowest v)
+    assert got == {(1, 480, 1), (2, 350, 2), (4, 300, 1)}
