@@ -227,6 +227,8 @@ EXTENDED = [
     "pettitt_changepoint_daily",
     "bm25_topk_docs",
     "mutual_info_lang_source",
+    "copurchase_kcore",
+    "cross_entropy_source_pairs",
 ]
 
 

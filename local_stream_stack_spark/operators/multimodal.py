@@ -124,6 +124,7 @@ def extract_features(df: DataFrame) -> DataFrame:
     """
     import hashlib
 
+    from local_stream_stack_spark.operators.gif import GIF_MAGICS
     from local_stream_stack_spark.operators.jpeg import JPEG_MAGIC
     from local_stream_stack_spark.operators.png import PNG_MAGIC, decode_image
     from local_stream_stack_spark.operators.wav import (
@@ -147,6 +148,13 @@ def extract_features(df: DataFrame) -> DataFrame:
 
             j = decode_image_jpeg(p)
             return {"width": j["width"], "height": j["height"], "duration_ms": 0}
+        if m == "image" and p[:6] in GIF_MAGICS:
+            from local_stream_stack_spark.operators.gif import (
+                decode_image_gif,
+            )
+
+            g = decode_image_gif(p)
+            return {"width": g["width"], "height": g["height"], "duration_ms": 0}
         if m == "audio" and p[:4] == RIFF_MAGIC and p[8:12] == WAVE_MAGIC:
             a = decode_audio(p)
             return {"width": 0, "height": 0, "duration_ms": a["duration_ms"]}

@@ -3308,3 +3308,229 @@ def embedding_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame
             " * sqrt(CAST(dot_gg AS DOUBLE))) * 1000000) AS BIGINT)"
         ).alias("cos_to_global_e6"),
     ).orderBy("label")
+
+
+def _kcore_oracle_sql(k: int = 3, rounds: int = 8) -> str:
+    sql = [f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_orderkey < 2000
+    ),
+    de AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (
+      SELECT src AS s, dst AS d FROM de
+      UNION
+      SELECT dst AS s, src AS d FROM de
+    ),
+    a0 AS MATERIALIZED (SELECT DISTINCT s AS node FROM edges)"""]
+    for t in range(1, rounds + 1):
+        sql.append(f""",
+    a{t} AS MATERIALIZED (
+      SELECT e.s AS node
+      FROM edges e
+      JOIN a{t-1} x ON x.node = e.s
+      JOIN a{t-1} y ON y.node = e.d
+      GROUP BY e.s
+      HAVING COUNT(*) >= {k}
+    )""")
+    selects = [
+        f"SELECT CAST({t} AS INT) AS round,"
+        f" CAST(COUNT(*) AS BIGINT) AS n_alive FROM a{t}"
+        for t in range(rounds + 1)
+    ]
+    sql.append("\n    " + "\n    UNION ALL ".join(selects))
+    sql.append("\n    ORDER BY round")
+    return "".join(sql)
+
+
+@query("copurchase_kcore", oracle=_kcore_oracle_sql())
+def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=3) of the co-purchase graph by
+    iterative peeling: each round drops every node whose degree among
+    SURVIVORS is < k; the survivor-count profile per round is the
+    output (it converges to the 3-core size — the dense backbone a
+    recommender mines, which plain degree filtering overstates
+    because removing one weak node can cascade). Same graph and same
+    iterative-operator discipline as copurchase_pagerank/BFS: the
+    alive set is per-node DISTRIBUTED state re-materialized each
+    round (localCheckpoint keeps the plan bounded), each round is two
+    equi-joins + one partial-agg groupBy, and nothing but the 9-row
+    profile ever leaves the executors. Fixed 8 rounds on both engines
+    keep the unrolled oracle bit-identical whether or not the peel
+    has converged."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 2000)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
+    )
+    de = (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    edges = de.select(
+        F.col("src").alias("s"), F.col("dst").alias("d")
+    ).union(
+        de.select(F.col("dst").alias("s"), F.col("src").alias("d"))
+    ).distinct().localCheckpoint(eager=True)
+    alive = edges.select(F.col("s").alias("node")).distinct()
+    profile = [
+        alive.agg(F.count("*").cast("bigint").alias("n_alive")).select(
+            F.lit(0).cast("int").alias("round"), "n_alive"
+        )
+    ]
+    for t in range(1, 9):
+        alive = (
+            edges.join(
+                alive.select(F.col("node").alias("s")), "s"
+            )
+            .join(alive.select(F.col("node").alias("d")), "d")
+            .groupBy("s")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= 3)
+            .select(F.col("s").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        profile.append(
+            alive.agg(
+                F.count("*").cast("bigint").alias("n_alive")
+            ).select(F.lit(t).cast("int").alias("round"), "n_alive")
+        )
+    out = profile[0]
+    for p in profile[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("round")
+
+
+@query(
+    "cross_entropy_source_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    tk AS (SELECT source, tok FROM toks WHERE length(tok) > 0),
+    cs AS (
+      SELECT source AS train_source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tk GROUP BY source, tok
+    ),
+    tots AS (
+      SELECT train_source,
+             CAST(SUM(c) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM cs GROUP BY train_source
+    ),
+    ev AS (
+      SELECT source AS eval_source, tok, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tk GROUP BY source, tok
+    ),
+    pairs AS (
+      SELECT t.train_source, e.eval_source, e.tok, e.n,
+             COALESCE(c.c, 0) AS c, t.total, t.v
+      FROM ev e
+      CROSS JOIN tots t
+      LEFT JOIN cs c
+        ON c.train_source = t.train_source AND c.tok = e.tok
+    ),
+    scored AS (
+      SELECT train_source, eval_source, n,
+             CAST(ROUND(ln((c + 1.0) / (total + v)) * 1000000) AS BIGINT)
+               AS logp_e6
+      FROM pairs
+    )
+    SELECT train_source, eval_source,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(ROUND(-CAST(SUM(n * logp_e6) AS DOUBLE)
+                      / CAST(SUM(n) AS DOUBLE) / 100) AS BIGINT)
+             AS ce_per_token_e4
+    FROM scored
+    GROUP BY train_source, eval_source
+    ORDER BY train_source, eval_source
+    """,
+)
+def cross_entropy_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-to-source cross-entropy matrix: an add-one unigram LM
+    trained on each source, evaluated on every source (diagonal =
+    within-source entropy; a LOW off-diagonal cell means two feeds
+    speak the same distribution — mixture-weight and contamination
+    evidence the single-corpus `perplexity_unigram` cannot give).
+    Same determinism recipe as the perplexity family: per-(model,
+    token) ln p rounds ONCE to e6, per-cell sums are exact integers,
+    one final double division rounds back to e4. Plan: one token
+    explode feeds per-source vocab counts (shuffle on (source,
+    token)); the eval-token table cross-joins only the |sources|-row
+    totals and left-joins model counts on (source, token) — the
+    matrix grain is |sources|², never row-scale."""
+    d = _t(spark, sf_dir, "documents")
+    tk = d.select(
+        "source",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    cs = tk.groupBy(
+        F.col("source").alias("train_source"), F.col("tok")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    tots = cs.groupBy("train_source").agg(
+        F.sum("c").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("v"),
+    )
+    ev = tk.groupBy(
+        F.col("source").alias("eval_source"), F.col("tok")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    pairs = (
+        ev.crossJoin(F.broadcast(tots))
+        .join(
+            cs,
+            ["train_source", "tok"],
+            "left",
+        )
+        .select(
+            "train_source",
+            "eval_source",
+            "n",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+            "total",
+            "v",
+        )
+    )
+    scored = pairs.select(
+        "train_source",
+        "eval_source",
+        "n",
+        F.round(
+            F.log(
+                (F.col("c") + F.lit(1.0)) / (F.col("total") + F.col("v"))
+            )
+            * F.lit(1000000.0)
+        )
+        .cast("bigint")
+        .alias("logp_e6"),
+    )
+    return (
+        scored.groupBy("train_source", "eval_source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.round(
+                -F.sum(F.col("n") * F.col("logp_e6")).cast("double")
+                / F.sum("n").cast("double")
+                / F.lit(100.0)
+            )
+            .cast("bigint")
+            .alias("ce_per_token_e4"),
+        )
+        .orderBy("train_source", "eval_source")
+    )

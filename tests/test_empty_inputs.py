@@ -163,6 +163,8 @@ REPRESENTATIVE = [
     "pettitt_changepoint_daily", # rank changepoint (0 rows empty)
     "bm25_topk_docs",            # lexical retrieval top-20
     "mutual_info_lang_source",   # PMI cells
+    "copurchase_kcore",          # peeling profile (9 zero rows)
+    "cross_entropy_source_pairs",  # source-pair LM matrix
 ]
 
 
@@ -196,6 +198,7 @@ EXPECT_SUMMARY_ROWS = {
     "dataset_card_summary": 1,   # one zero-count row, NULL shares
     "mann_whitney_priority": 1,  # single stats row (NULL z)
     "spearman_qty_price": 1,     # single stats row (NULL rho)
+    "copurchase_kcore": 9,       # one profile row per round
 }
 
 

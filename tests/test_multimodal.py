@@ -122,3 +122,22 @@ def test_binaryfile_source_feeds_multimodal_pipeline(spark, tmp_path):
         assert f.n_bytes == len(payloads[name])
         assert f.checksum == hashlib.md5(payloads[name]).hexdigest()
         assert f.modality == "image"
+
+
+def test_extract_features_decodes_real_gif(spark):
+    """The multimodal dispatcher routes GIF magic to the real codec —
+    width/height come from the decoded logical screen, not the stub's
+    byte-hash fake."""
+    from local_stream_stack_spark.operators.gif import encode_gif
+    from local_stream_stack_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    pal = bytes(6)
+    payload = encode_gif(31, 17, [(0, 0, 2, 2, b"\x00\x01\x01\x00")], pal)
+    df = spark.createDataFrame(
+        [(1, payload, {"modality": "image"})],
+        "id long, payload binary, meta map<string,string>",
+    )
+    row = extract_features(df).collect()[0]
+    assert (row.width, row.height) == (31, 17)
