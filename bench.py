@@ -229,6 +229,8 @@ EXTENDED = [
     "mutual_info_lang_source",
     "copurchase_kcore",
     "cross_entropy_source_pairs",
+    "ks_test_urgent_price",
+    "psi_price_drift_by_segment",
 ]
 
 

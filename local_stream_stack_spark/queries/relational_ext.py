@@ -3442,3 +3442,220 @@ def pettitt_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_exponent_e6"),
         )
     )
+
+
+@query(
+    "ks_test_urgent_price",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+      FROM orders
+    ),
+    grp AS (
+      SELECT cents,
+             CAST(SUM(g1) AS BIGINT) AS c1,
+             CAST(SUM(1 - g1) AS BIGINT) AS c2
+      FROM o GROUP BY cents
+    ),
+    cum AS (
+      SELECT cents,
+             SUM(c1) OVER (ORDER BY cents) AS f1,
+             SUM(c2) OVER (ORDER BY cents) AS f2
+      FROM grp
+    ),
+    tot AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+      FROM grp
+    ),
+    d AS (
+      SELECT MAX(abs(f1 * t.n2 - f2 * t.n1)) AS d_cross
+      FROM cum CROSS JOIN tot t
+    )
+    SELECT t.n1, t.n2,
+           CAST(d.d_cross AS BIGINT) AS d_cross,
+           CAST(CAST(d.d_cross AS HUGEINT) * 1000000
+                // NULLIF(CAST(t.n1 AS HUGEINT) * t.n2, 0) AS BIGINT)
+             AS d_e6
+    FROM d CROSS JOIN tot t
+    """,
+)
+def ks_test_urgent_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between URGENT and
+    non-urgent order prices — the distribution-shape partner of the
+    rank-location Mann-Whitney test, computed WITHOUT floats: the sup
+    gap |F1(x) − F2(x)| is maximized over the cross-multiplied
+    integers |f1·n2 − f2·n1| (exact at any scale), and only the final
+    D is scaled to e6 through the overflow-safe HUGEINT/DECIMAL
+    division idiom. Cumulative counts per distinct value come from
+    the distributed-rank operator (bin counts + partitioned windows),
+    so no single-reducer sort anywhere. Scale: one hash aggregate to
+    distinct prices, rank machinery over the distinct set, one max."""
+    from local_stream_stack_spark.operators.quantiles import (
+        with_global_rank,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.expr(
+            "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END"
+        ).alias("g1"),
+    )
+    grp = o.groupBy("cents").agg(
+        F.sum("g1").cast("bigint").alias("c1"),
+        F.sum(1 - F.col("g1")).cast("bigint").alias("c2"),
+    )
+    cum = with_global_rank(
+        grp, "cents", out_rank="__rn",
+        cumsum={"c1": "f1", "c2": "f2"}, acc_type="BIGINT", bins=64,
+    )
+    tot = grp.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+            ).alias("d_cross")
+        )
+    )
+    return d.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n2",
+        F.col("d_cross").cast("bigint").alias("d_cross"),
+        F.expr(
+            "CAST(CAST(d_cross AS DECIMAL(38,0)) * 1000000"
+            " div NULLIF(CAST(n1 AS DECIMAL(38,0)) * n2, 0) AS BIGINT)"
+        ).alias("d_e6"),
+    )
+
+
+@query(
+    "psi_price_drift_by_segment",
+    oracle="""
+    WITH o AS (
+      SELECT c.c_mktsegment AS segment,
+             length(bin(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))) - 1
+               AS b
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    cells AS (
+      SELECT segment, b, CAST(COUNT(*) AS BIGINT) AS c
+      FROM o GROUP BY segment, b
+    ),
+    bins AS (SELECT DISTINCT b FROM cells),
+    segs AS (
+      SELECT segment, CAST(SUM(c) AS BIGINT) AS na FROM cells GROUP BY segment
+    ),
+    btot AS (SELECT b, CAST(SUM(c) AS BIGINT) AS ct FROM cells GROUP BY b),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbins FROM bins),
+    grid AS (
+      SELECT s.segment, bb.b, s.na,
+             COALESCE(cl.c, 0) AS ca,
+             bt.ct - COALESCE(cl.c, 0) AS cb,
+             t.n - s.na AS nrest, nb.nbins
+      FROM segs s
+      CROSS JOIN bins bb
+      LEFT JOIN cells cl ON cl.segment = s.segment AND cl.b = bb.b
+      JOIN btot bt ON bt.b = bb.b
+      CROSS JOIN tot t CROSS JOIN nb
+    ),
+    terms AS (
+      SELECT segment, na, nrest, nbins,
+             CAST((ca + 1) * (nrest + nbins)
+                  - (cb + 1) * (na + nbins) AS HUGEINT) AS diff_cross,
+             CAST(ROUND(ln(
+               (CAST(ca + 1 AS DOUBLE) * (nrest + nbins))
+               / (CAST(cb + 1 AS DOUBLE) * (na + nbins))) * 1000000)
+               AS BIGINT) AS t_e6
+      FROM grid
+    )
+    SELECT segment,
+           CAST(MAX(na) AS BIGINT) AS n_segment,
+           CAST(SUM(diff_cross * t_e6)
+                // NULLIF(CAST(MAX(na + nbins) AS HUGEINT)
+                          * MAX(nrest + nbins), 0) AS BIGINT) AS psi_e6
+    FROM terms
+    GROUP BY segment
+    ORDER BY segment
+    """,
+)
+def psi_price_drift_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the order-price distribution per
+    market segment vs the rest of the book — the standard ML-ops
+    drift metric (PSI > 0.2 = the segment no longer prices like the
+    population). Bins are the exact integer log2 ladder
+    (``length(bin(cents)) - 1`` — identical on both engines, no float
+    log); cells get add-one smoothing so empty bins stay finite.
+    Determinism recipe: the per-bin ln(pa/pb) is computed over
+    cross-multiplied exact integers and rounded ONCE to e6; the
+    (pa − pb) factor stays a cross-multiplied exact integer; the one
+    final division is the overflow-safe DECIMAL/HUGEINT idiom. Scale:
+    one broadcast dim join + one hash aggregate to the (segment, bin)
+    grid; everything after is broadcast-sized."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.expr(
+                "length(bin(CAST(ROUND(o_totalprice * 100) AS BIGINT))) - 1"
+            ).alias("b"),
+        )
+        .groupBy("segment", "b")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    bins = cells.select("b").distinct()
+    segs = cells.groupBy("segment").agg(
+        F.sum("c").cast("bigint").alias("na")
+    )
+    btot = cells.groupBy("b").agg(F.sum("c").cast("bigint").alias("ct"))
+    tot = cells.agg(F.sum("c").cast("bigint").alias("n"))
+    nb = bins.agg(F.count("*").cast("bigint").alias("nbins"))
+    grid = (
+        segs.crossJoin(F.broadcast(bins))
+        .join(cells, ["segment", "b"], "left")
+        .join(F.broadcast(btot), "b")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "segment",
+            "na",
+            "nbins",
+            F.coalesce(F.col("c"), F.lit(0)).alias("ca"),
+            (F.col("ct") - F.coalesce(F.col("c"), F.lit(0))).alias("cb"),
+            (F.col("n") - F.col("na")).alias("nrest"),
+        )
+    )
+    terms = grid.select(
+        "segment",
+        "na",
+        "nrest",
+        "nbins",
+        F.expr(
+            "CAST((ca + 1) * (nrest + nbins)"
+            " - (cb + 1) * (na + nbins) AS DECIMAL(38,0))"
+        ).alias("diff_cross"),
+        F.expr(
+            "CAST(ROUND(ln("
+            "(CAST(ca + 1 AS DOUBLE) * (nrest + nbins))"
+            " / (CAST(cb + 1 AS DOUBLE) * (na + nbins))) * 1000000)"
+            " AS BIGINT)"
+        ).alias("t_e6"),
+    )
+    return (
+        terms.groupBy("segment")
+        .agg(
+            F.max("na").cast("bigint").alias("n_segment"),
+            F.expr(
+                "CAST(SUM(diff_cross * t_e6)"
+                " div NULLIF(CAST(MAX(na + nbins) AS DECIMAL(38,0))"
+                "            * MAX(nrest + nbins), 0) AS BIGINT)"
+            ).alias("psi_e6"),
+        )
+        .orderBy("segment")
+    )

@@ -165,6 +165,8 @@ REPRESENTATIVE = [
     "mutual_info_lang_source",   # PMI cells
     "copurchase_kcore",          # peeling profile (9 zero rows)
     "cross_entropy_source_pairs",  # source-pair LM matrix
+    "ks_test_urgent_price",      # cross-multiplied KS sup gap
+    "psi_price_drift_by_segment",  # log2-bin PSI vs rest
 ]
 
 
@@ -199,6 +201,7 @@ EXPECT_SUMMARY_ROWS = {
     "mann_whitney_priority": 1,  # single stats row (NULL z)
     "spearman_qty_price": 1,     # single stats row (NULL rho)
     "copurchase_kcore": 9,       # one profile row per round
+    "ks_test_urgent_price": 1,   # single stats row (NULL D)
 }
 
 
