@@ -231,6 +231,8 @@ EXTENDED = [
     "cross_entropy_source_pairs",
     "ks_test_urgent_price",
     "psi_price_drift_by_segment",
+    "fuzzy_entity_clusters",
+    "wasserstein_price_urgent",
 ]
 
 

@@ -6769,3 +6769,115 @@ def mutual_info_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pmi_e6",
         (F.col("n") * F.col("pmi_e6")).cast("bigint").alias("contrib_e6"),
     ).orderBy("lang", "source")
+
+
+def _fuzzy_cluster_oracle() -> str:
+    head = """
+    WITH v AS (
+      SELECT DISTINCT p_name FROM part WHERE length(p_name) >= 1
+    ),
+    dels AS (
+      SELECT DISTINCT p_name AS s,
+             unnest(list_distinct(list_append(
+               list_transform(generate_series(1, length(p_name)),
+                 i -> substr(p_name, 1, i - 1) || substr(p_name, i + 1)),
+               p_name))) AS var
+      FROM v
+    ),
+    pairs AS (
+      SELECT DISTINCT a.s AS na, b.s AS nb
+      FROM dels a JOIN dels b ON a.var = b.var AND a.s < b.s
+      WHERE levenshtein(a.s, b.s) <= 1
+    ),
+    edges AS (
+      SELECT na AS s, nb AS d FROM pairs
+      UNION
+      SELECT nb AS s, na AS d FROM pairs
+    ),
+    l0 AS MATERIALIZED (
+      SELECT DISTINCT s AS n, s AS c FROM edges
+    )"""
+    rounds = []
+    for t in range(1, 9):
+        rounds.append(f""",
+    l{t} AS MATERIALIZED (
+      SELECT n, MIN(c) AS c FROM (
+        SELECT n, c FROM l{t-1}
+        UNION ALL
+        SELECT e.d AS n, l.c
+        FROM edges e JOIN l{t-1} l ON l.n = e.s
+      ) u GROUP BY n
+    )""")
+    tail = """,
+    counts AS (
+      SELECT p_name, CAST(COUNT(*) AS BIGINT) AS np FROM part GROUP BY p_name
+    )
+    SELECT l.c AS cluster_rep,
+           CAST(COUNT(*) AS BIGINT) AS n_names,
+           CAST(SUM(ct.np) AS BIGINT) AS n_parts,
+           string_agg(l.n, '|' ORDER BY l.n) AS members
+    FROM l8 l JOIN counts ct ON ct.p_name = l.n
+    GROUP BY l.c
+    ORDER BY cluster_rep
+    """
+    return head + "".join(rounds) + tail
+
+
+@query("fuzzy_entity_clusters", oracle=_fuzzy_cluster_oracle())
+def fuzzy_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: the SymSpell fuzzy-pair stage
+    (`fuzzy_join_symspell`) feeds the distributed min-label
+    connected-components operator, collapsing chains of
+    edit-distance-1 name variants into canonical clusters (A~B and
+    B~C group A,B,C even when A and C are 2 edits apart — the
+    transitive closure a pairwise report cannot give). The cluster
+    representative is the MINIMUM member name (deterministic on both
+    engines); members concatenate sorted. Scale: variant blocking is
+    linear, the edge list is candidate-sized, and components state is
+    per-node distributed (the same operator behind the dedup
+    clusters); the oracle unrolls eight min-label rounds — more than
+    the candidate graph's diameter, so both sides are converged."""
+    from local_stream_stack_spark.operators.graph import (
+        connected_components,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    v = part.select("p_name").filter(F.length("p_name") >= 1).distinct()
+    dels = v.select(
+        F.col("p_name").alias("s"),
+        F.explode(
+            F.expr(
+                "array_distinct(concat(transform(sequence(1, length(p_name)),"
+                " i -> concat(substring(p_name, 1, i - 1),"
+                " substring(p_name, i + 1, length(p_name)))),"
+                " array(p_name)))"
+            )
+        ).alias("var"),
+    ).distinct()
+    a = dels.select(F.col("s").alias("na"), "var")
+    b = dels.select(F.col("s").alias("nb"), "var")
+    pairs = (
+        a.join(b, "var")
+        .filter(F.col("na") < F.col("nb"))
+        .select("na", "nb")
+        .distinct()
+        .filter(F.levenshtein("na", "nb") <= 1)
+    )
+    comp = connected_components(pairs, src="na", dst="nb")
+    counts = part.groupBy("p_name").agg(
+        F.count("*").cast("bigint").alias("np")
+    )
+    return (
+        comp.join(
+            counts.select(F.col("p_name").alias("node"), "np"), "node"
+        )
+        .groupBy(F.col("component").alias("cluster_rep"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_names"),
+            F.sum("np").cast("bigint").alias("n_parts"),
+            F.concat_ws(
+                "|", F.array_sort(F.collect_list("node"))
+            ).alias("members"),
+        )
+        .orderBy("cluster_rep")
+    )

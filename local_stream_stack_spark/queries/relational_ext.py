@@ -3659,3 +3659,94 @@ def psi_price_drift_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "wasserstein_price_urgent",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+      FROM orders
+    ),
+    grp AS (
+      SELECT cents,
+             CAST(SUM(g1) AS BIGINT) AS c1,
+             CAST(SUM(1 - g1) AS BIGINT) AS c2
+      FROM o GROUP BY cents
+    ),
+    cum AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents) AS rn,
+             SUM(c1) OVER (ORDER BY cents) AS f1,
+             SUM(c2) OVER (ORDER BY cents) AS f2
+      FROM grp
+    ),
+    segs AS (
+      SELECT a.f1, a.f2, b.cents - a.cents AS gap
+      FROM cum a JOIN cum b ON b.rn = a.rn + 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+      FROM grp
+    )
+    SELECT t.n1, t.n2,
+           CAST(SUM(CAST(abs(s.f1 * t.n2 - s.f2 * t.n1) AS HUGEINT) * s.gap)
+                // NULLIF(CAST(t.n1 AS HUGEINT) * t.n2, 0) AS BIGINT)
+             AS w1_cents
+    FROM segs s CROSS JOIN tot t
+    GROUP BY t.n1, t.n2
+    """,
+)
+def wasserstein_price_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth mover's) distance between URGENT and
+    non-urgent price distributions — the MAGNITUDE partner of the KS
+    sup-gap (KS says the CDFs differ somewhere; W1 integrates HOW
+    much, in cents). In 1-D the integral of |F1 − F2| is exact
+    integer arithmetic: per consecutive distinct value, the
+    cross-multiplied gap |f1·n2 − f2·n1| times the value step, summed
+    in DECIMAL/HUGEINT and divided once. The next-value step comes
+    from a rank+1 self-join over the distinct-value table (the LAG =
+    rank + offset idiom — never an unpartitioned window on the
+    engine side; ranks from the distributed-rank operator). Scale:
+    one hash aggregate to distinct prices, rank machinery, one
+    rank-keyed self-join on the distinct set."""
+    from local_stream_stack_spark.operators.quantiles import (
+        with_global_rank,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.expr(
+            "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END"
+        ).alias("g1"),
+    )
+    grp = o.groupBy("cents").agg(
+        F.sum("g1").cast("bigint").alias("c1"),
+        F.sum(1 - F.col("g1")).cast("bigint").alias("c2"),
+    )
+    cum = with_global_rank(
+        grp, "cents", out_rank="rn",
+        cumsum={"c1": "f1", "c2": "f2"}, acc_type="BIGINT", bins=64,
+    )
+    nxt = cum.select(
+        (F.col("rn") - 1).alias("rn"), F.col("cents").alias("next_cents")
+    )
+    segs = cum.join(nxt, "rn").select(
+        "f1", "f2", (F.col("next_cents") - F.col("cents")).alias("gap")
+    )
+    tot = grp.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    return (
+        segs.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(abs(f1 * n2 - f2 * n1) AS DECIMAL(38,0))"
+                " * gap)"
+                " div NULLIF(CAST(n1 AS DECIMAL(38,0)) * n2, 0) AS BIGINT)"
+            ).alias("w1_cents")
+        )
+    )

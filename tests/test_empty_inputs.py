@@ -167,6 +167,8 @@ REPRESENTATIVE = [
     "cross_entropy_source_pairs",  # source-pair LM matrix
     "ks_test_urgent_price",      # cross-multiplied KS sup gap
     "psi_price_drift_by_segment",  # log2-bin PSI vs rest
+    "fuzzy_entity_clusters",     # symspell pairs -> components
+    "wasserstein_price_urgent",  # CDF-gap integral
 ]
 
 
