@@ -557,3 +557,67 @@ def test_train_logreg_matches_python_reference(spark, data, lr):
     got = train_logreg_e6(df, ["f0", "f1"], "y", lrs=lrs)
     want = train_logreg_e6_reference(rows, labels, lrs=lrs)
     assert got == want, (rows, labels, lrs, got, want)
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 1)),
+        min_size=2,
+        max_size=50,
+    ),
+)
+def test_doubled_rank_stats_match_bruteforce(spark, data):
+    """The doubled tie-average-rank idiom behind the round-9 rank
+    statistics (Mann-Whitney 2U, cross-multiplied KS sup gap) equals
+    the brute-force definitions on arbitrary tied integer data."""
+    from local_stream_stack_spark.operators.quantiles import (
+        with_global_rank,
+    )
+
+    vals = [v for v, _ in data]
+    grp1 = [g for _, g in data]
+    df = spark.createDataFrame(
+        [(int(v), int(g)) for v, g in data], "v bigint, g1 int"
+    )
+    grp = df.groupBy("v").agg(
+        F.expr("CAST(SUM(g1) AS BIGINT)").alias("c1"),
+        F.expr("CAST(SUM(1 - g1) AS BIGINT)").alias("c2"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("cnt"),
+    )
+    cum = with_global_rank(
+        grp, "v", out_rank="rn",
+        cumsum={"c1": "f1", "c2": "f2", "cnt": "cw"},
+        acc_type="BIGINT", bins=8,
+    ).collect()
+    n1, n2 = sum(grp1), len(grp1) - sum(grp1)
+
+    # engine-side 2*R1 and KS cross-gap from the cumulative rows
+    r1_x2 = sum(
+        (r.f1 - next((q.f1 for q in cum if q.rn == r.rn - 1), 0)
+         ) * (2 * r.cw - r.cnt + 1)
+        for r in cum
+    )
+    d_cross = max(abs(r.f1 * n2 - r.f2 * n1) for r in cum) if cum else 0
+
+    # brute force: average ranks over the sorted multiset
+    order = sorted(range(len(vals)), key=lambda i: vals[i])
+    ranks = [0.0] * len(vals)
+    i = 0
+    while i < len(order):
+        j = i
+        while j < len(order) and vals[order[j]] == vals[order[i]]:
+            j += 1
+        avg = (i + 1 + j) / 2.0
+        for k in range(i, j):
+            ranks[order[k]] = avg
+        i = j
+    brute_r1_x2 = round(2 * sum(r for r, g in zip(ranks, grp1) if g))
+    svals = sorted(set(vals))
+    brute_d = 0
+    for x in svals:
+        fa = sum(1 for v, g in zip(vals, grp1) if g and v <= x)
+        fb = sum(1 for v, g in zip(vals, grp1) if not g and v <= x)
+        brute_d = max(brute_d, abs(fa * n2 - fb * n1))
+    assert r1_x2 == brute_r1_x2, (vals, grp1, r1_x2, brute_r1_x2)
+    assert d_cross == brute_d, (vals, grp1, d_cross, brute_d)
