@@ -233,6 +233,7 @@ EXTENDED = [
     "psi_price_drift_by_segment",
     "fuzzy_entity_clusters",
     "wasserstein_price_urgent",
+    "stream_psi_monitor",
 ]
 
 

@@ -1569,3 +1569,183 @@ def stream_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_size")
     )
+
+
+def _psi_cells(df: DataFrame, keys: list) -> DataFrame:
+    return (
+        df.select(
+            *keys,
+            F.expr(
+                "length(bin(CAST(ROUND(o_totalprice * 100) AS BIGINT))) - 1"
+            ).alias("b"),
+        )
+        .groupBy(*keys, "b")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+
+
+@query(
+    "stream_psi_monitor",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(o_orderkey % 3 AS INT) AS chunk,
+             length(bin(CAST(ROUND(o_totalprice * 100) AS BIGINT))) - 1
+               AS b
+      FROM orders
+    ),
+    cells AS (
+      SELECT chunk, b, CAST(COUNT(*) AS BIGINT) AS c
+      FROM o GROUP BY chunk, b
+    ),
+    ref AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cr FROM cells GROUP BY b),
+    bins AS (SELECT DISTINCT b FROM ref),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbins FROM bins),
+    reftot AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr FROM ref),
+    chunks AS (
+      SELECT chunk, CAST(SUM(c) AS BIGINT) AS na FROM cells GROUP BY chunk
+    ),
+    grid AS (
+      SELECT ch.chunk, bb.b, ch.na,
+             COALESCE(cl.c, 0) AS ca, r.cr, rt.nr, nb.nbins
+      FROM chunks ch
+      CROSS JOIN bins bb
+      LEFT JOIN cells cl ON cl.chunk = ch.chunk AND cl.b = bb.b
+      JOIN ref r ON r.b = bb.b
+      CROSS JOIN reftot rt CROSS JOIN nb
+    ),
+    terms AS (
+      SELECT chunk, na, nr, nbins,
+             CAST((ca + 1) * (nr + nbins)
+                  - (cr + 1) * (na + nbins) AS HUGEINT) AS diff_cross,
+             CAST(ROUND(ln(
+               (CAST(ca + 1 AS DOUBLE) * (nr + nbins))
+               / (CAST(cr + 1 AS DOUBLE) * (na + nbins))) * 1000000)
+               AS BIGINT) AS t_e6
+      FROM grid
+    )
+    SELECT chunk,
+           CAST(MAX(na) AS BIGINT) AS n_rows,
+           CAST(SUM(diff_cross * t_e6)
+                // NULLIF(CAST(MAX(na + nbins) AS HUGEINT)
+                          * MAX(nr + nbins), 0) AS BIGINT) AS psi_e6
+    FROM terms
+    GROUP BY chunk
+    ORDER BY chunk
+    """,
+)
+def stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE drift monitoring: each micro-batch computes the PSI of its
+    own price distribution against the static reference book and
+    appends one (chunk, n_rows, psi_e6) row to an epoch-dir store —
+    the per-batch data-quality gate a production ingest runs before
+    admitting a feed's day into the corpus. The input is staged as
+    three files keyed by ``o_orderkey % 3`` with maxFilesPerTrigger=1,
+    so each epoch IS one chunk; the output keys on the chunk value
+    from the DATA (not the epoch id), so file-listing order cannot
+    leak in. Same integer-exact PSI recipe as the batch
+    `psi_price_drift_by_segment` (log2 bins, add-one smoothing,
+    cross-multiplied diff, single e6-rounded ln, HUGEINT division);
+    crash replay overwrites the same epoch dir. Reference histogram is
+    broadcast-sized (|bins| rows)."""
+    configure_for_oracle(spark)
+    base = ephemeral_dir(prefix="stream-psi-")
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    src_dir, glob = _table_source(sf_dir, "orders")
+    orders = (
+        spark.read.option("pathGlobFilter", glob)
+        .parquet(src_dir)
+        .select("o_orderkey", "o_totalprice")
+    )
+    for i in range(3):
+        orders.filter(F.col("o_orderkey") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+    # static reference: the whole book's log2-bin histogram
+    ref = (
+        _psi_cells(orders, [])
+        .select(F.col("b"), F.col("c").alias("cr"))
+        .localCheckpoint(eager=True)
+    )
+    store = os.path.join(base, "store")
+
+    def monitor(batch_df: DataFrame, epoch_id: int) -> None:
+        keyed = batch_df.withColumn(
+            "chunk", F.expr("CAST(o_orderkey % 3 AS INT)")
+        )
+        cells = _psi_cells(keyed, ["chunk"])
+        grid = (
+            cells.groupBy("chunk")
+            .agg(F.sum("c").cast("bigint").alias("na"))
+            .crossJoin(F.broadcast(ref.select("b")))
+            .join(cells, ["chunk", "b"], "left")
+            .join(F.broadcast(ref), "b")
+            .crossJoin(
+                F.broadcast(
+                    ref.agg(
+                        F.sum("cr").cast("bigint").alias("nr"),
+                        F.count("*").cast("bigint").alias("nbins"),
+                    )
+                )
+            )
+            .select(
+                "chunk",
+                "na",
+                "nr",
+                "nbins",
+                F.coalesce(F.col("c"), F.lit(0)).alias("ca"),
+                "cr",
+            )
+        )
+        terms = grid.select(
+            "chunk",
+            "na",
+            "nr",
+            "nbins",
+            F.expr(
+                "CAST((ca + 1) * (nr + nbins)"
+                " - (cr + 1) * (na + nbins) AS DECIMAL(38,0))"
+            ).alias("diff_cross"),
+            F.expr(
+                "CAST(ROUND(ln("
+                "(CAST(ca + 1 AS DOUBLE) * (nr + nbins))"
+                " / (CAST(cr + 1 AS DOUBLE) * (na + nbins))) * 1000000)"
+                " AS BIGINT)"
+            ).alias("t_e6"),
+        )
+        out = (
+            terms.groupBy("chunk")
+            .agg(
+                F.max("na").cast("bigint").alias("n_rows"),
+                F.expr(
+                    "CAST(SUM(diff_cross * t_e6)"
+                    " div NULLIF(CAST(MAX(na + nbins) AS DECIMAL(38,0))"
+                    "            * MAX(nr + nbins), 0) AS BIGINT)"
+                ).alias("psi_e6"),
+            )
+        )
+        out.coalesce(1).write.mode("overwrite").parquet(
+            f"{store}/__epoch={epoch_id}"
+        )
+
+    stream = (
+        spark.readStream.schema("o_orderkey bigint, o_totalprice double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(monitor)
+        .option("checkpointLocation", os.path.join(base, "cp"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.read.option("basePath", store)
+        .parquet(f"{store}/__epoch=*")
+        .select("chunk", "n_rows", "psi_e6")
+        .orderBy("chunk")
+    )
