@@ -269,166 +269,176 @@ GATE = {
 #   python tools/record_gate_v3.py   (reads BENCH_DETAIL.json)
 # BEGIN GATE_V3 (auto-generated)
 GATE_V3: dict[str, float] = {
-    "ab_test_analysis": 0.369,
-    "active_streaks": 0.439,
-    "array_hof_order_lines": 0.414,
-    "asof_join_events": 0.789,
-    "asof_join_nearest": 0.946,
-    "attribution_last_touch": 0.702,
-    "autocorr_daily_counts": 0.703,
-    "basket_lift_pairs": 1.615,
-    "benford_first_digit": 0.372,
-    "blocklist_filter_stats": 0.840,
-    "boilerplate_ngrams": 1.217,
-    "bootstrap_mean_ci": 1.541,
-    "bounce_rate_by_entry": 0.685,
-    "bpe_train_merges": 2.083,
-    "bpe_vocab_counts": 1.577,
-    "chisq_lang_source": 0.484,
-    "cohort_retention_matrix": 0.617,
-    "conversion_lag_quantiles": 2.181,
-    "copurchase_bfs_hops": 3.012,
-    "copurchase_pagerank": 1.372,
-    "corpus_stats_by_lang": 0.854,
-    "corr_matrix_lineitem": 1.508,
-    "curation_pipeline": 1.657,
-    "curation_pipeline_yaml": 2.156,
-    "customer_decile_transitions": 1.707,
-    "customer_rfm_scores": 3.908,
-    "cusum_changepoint_revenue": 1.008,
-    "daily_count_anomalies": 0.392,
-    "dataset_card_summary": 0.639,
-    "dau_mau_stickiness": 0.461,
-    "dedup_canonical_pick": 0.611,
-    "dedup_cluster_sizes": 5.700,
-    "dedup_containment": 2.948,
-    "dedup_embedding_cosine": 0.817,
-    "dedup_exact": 0.354,
-    "dedup_minhash_lsh": 2.519,
-    "dedup_prefix_clusters": 0.343,
-    "dedup_rate_by_source": 2.346,
-    "dedup_repeated_ngram_spans": 2.640,
-    "dedup_simhash_hamming": 4.662,
-    "dedup_substring_spans": 2.637,
-    "dedup_token_sort": 0.415,
-    "doc_novelty_scores": 1.673,
-    "embedding_centroid_separation": 0.590,
-    "embedding_dim_variance_audit": 0.397,
-    "embedding_pca_power": 1.041,
-    "embedding_quantize_int8": 0.623,
-    "embedding_quantize_pct": 1.816,
-    "embedding_sim_histogram": 0.670,
-    "event_gap_quantiles_chunked": 2.821,
-    "event_transition_matrix": 0.497,
-    "events_anomaly_mad": 2.028,
-    "ewma_daily_revenue": 0.667,
-    "exact_quantile_distributed": 1.638,
-    "explode_token_counts": 0.243,
-    "fuzzy_join_symspell": 0.594,
-    "group_split_leakage_audit": 0.781,
-    "grouping_sets_revenue": 0.951,
-    "hash_agg_stats": 0.522,
-    "hhi_market_concentration": 0.643,
-    "hourly_value_quantiles": 1.525,
-    "jl_distortion_audit": 0.787,
-    "join_explosion_audit": 0.610,
-    "k_anonymity_audit": 0.617,
-    "kmeans_embeddings": 1.863,
-    "kmv_distinct_rollup": 1.018,
-    "kmv_overlap_daily": 0.853,
-    "kmv_rolling_wau": 0.845,
-    "knn_label_purity": 2.582,
-    "lang_id": 0.606,
-    "lang_id_confusion": 0.611,
-    "latest_per_key": 0.404,
-    "mann_whitney_priority": 1.267,
-    "markov_next_event_accuracy": 0.976,
-    "minhash_band_sweep": 4.655,
-    "minhash_calibration": 5.370,
-    "multimodal_features": 0.606,
-    "multimodal_gif_decode": 1.187,
-    "multimodal_jpeg_decode": 1.740,
-    "multimodal_png_decode": 2.203,
-    "multimodal_video_frames": 3.919,
-    "multimodal_wav_decode": 1.317,
-    "orders_backlog_aging": 0.359,
-    "orders_monthly_yoy": 0.985,
-    "percentile_stats": 2.044,
-    "perplexity_bigram_interp": 1.571,
-    "perplexity_unigram": 0.829,
-    "pii_scrub_stats": 0.780,
-    "pivot_returnflag": 0.576,
-    "purchase_hazard_curve": 0.954,
-    "q10_returned_revenue": 0.847,
-    "q13_order_count_dist": 0.546,
-    "q18_large_orders": 1.414,
-    "q1_pricing_summary": 1.164,
-    "q21_waiting_suppliers": 0.977,
-    "q2_top_supplier_per_part": 1.343,
-    "q3_shipping_priority": 0.959,
-    "q4_order_priority": 0.820,
-    "q5_local_supplier_volume": 1.385,
-    "q6_forecast_revenue": 0.279,
-    "q7_nation_volume": 1.091,
-    "qq_plot_price": 1.747,
-    "quality_classifier_pr_curve": 1.963,
-    "quality_classifier_reliability": 1.478,
-    "quality_classifier_score": 1.724,
-    "quality_classifier_train": 2.389,
-    "quality_filter_gopher": 1.009,
-    "quantile_by_value_qty": 0.892,
-    "referential_integrity_audit": 0.775,
-    "regression_by_nation": 1.325,
-    "revenue_gini_lorenz": 2.118,
-    "right_to_be_forgotten_audit": 0.486,
-    "schema_evolution_roundtrip": 0.540,
-    "seasonal_naive_backtest": 0.390,
-    "semantic_dedup_components": 4.160,
-    "semantic_dedup_lsh_components": 5.389,
-    "session_entropy_per_user": 0.464,
-    "session_paths_top": 0.506,
-    "sessionize_events": 0.867,
-    "sessionize_events_chunked": 0.960,
-    "ship_lag_quantiles": 1.064,
-    "shuffle_deterministic": 1.032,
-    "sim_bruteforce_topk": 0.750,
-    "sim_ivf_topk": 1.138,
-    "sim_ivfpq_topk": 4.608,
-    "sim_lsh_multiprobe_topk": 1.126,
-    "sim_lsh_topk": 1.010,
-    "sim_pq_topk": 4.098,
-    "sim_recall_calibration": 6.833,
-    "skyline_price_size": 0.467,
-    "snapshot_diff_orders": 0.629,
-    "source_mixing_weights": 0.385,
-    "source_overlap_matrix": 2.505,
-    "spearman_qty_price": 3.029,
-    "stats_profile_orders": 1.227,
-    "stratified_sample_exact": 0.253,
-    "stream_curation_yaml": 2.897,
-    "stream_ingest_dedup": 2.781,
-    "stream_tumbling_counts": 3.043,
-    "supplier_pareto_abc": 1.139,
-    "table_fingerprint_orders": 0.541,
-    "text_stats": 0.909,
-    "tfidf_top_terms": 0.775,
-    "theil_sen_daily_revenue": 8.102,
-    "tokens_retained_after_dedup": 0.486,
-    "topk_per_group": 0.453,
-    "tumbling_window_agg": 0.385,
-    "user_adoption_curve": 0.724,
-    "value_histogram_log2": 0.222,
-    "vocab_coverage": 0.323,
-    "vocab_coverage_curve": 1.382,
-    "vocab_novelty_by_source": 0.551,
-    "weekday_activity_profile": 0.240,
-    "weighted_median_price_by_flag": 2.166,
+    "ab_test_analysis": 0.322,
+    "active_streaks": 0.462,
+    "array_hof_order_lines": 0.377,
+    "asof_join_events": 0.618,
+    "asof_join_nearest": 0.834,
+    "attribution_last_touch": 0.912,
+    "autocorr_daily_counts": 0.609,
+    "basket_lift_pairs": 1.614,
+    "benford_first_digit": 0.303,
+    "blocklist_filter_stats": 0.722,
+    "bm25_topk_docs": 0.965,
+    "boilerplate_ngrams": 1.205,
+    "bootstrap_mean_ci": 1.178,
+    "bounce_rate_by_entry": 0.536,
+    "bpe_train_merges": 2.115,
+    "bpe_vocab_counts": 1.908,
+    "chisq_lang_source": 0.518,
+    "cohort_retention_matrix": 0.416,
+    "conversion_lag_quantiles": 2.805,
+    "copurchase_bfs_hops": 2.791,
+    "copurchase_kcore": 2.398,
+    "copurchase_pagerank": 1.044,
+    "corpus_stats_by_lang": 0.708,
+    "corr_matrix_lineitem": 1.340,
+    "cross_entropy_source_pairs": 0.596,
+    "curation_pipeline": 1.563,
+    "curation_pipeline_yaml": 1.622,
+    "customer_decile_transitions": 1.729,
+    "customer_rfm_scores": 3.153,
+    "cusum_changepoint_revenue": 0.929,
+    "daily_count_anomalies": 0.366,
+    "dataset_card_summary": 0.638,
+    "dau_mau_stickiness": 0.380,
+    "dedup_canonical_pick": 0.482,
+    "dedup_cluster_sizes": 5.160,
+    "dedup_containment": 2.712,
+    "dedup_embedding_cosine": 0.793,
+    "dedup_exact": 0.288,
+    "dedup_minhash_lsh": 2.117,
+    "dedup_prefix_clusters": 0.322,
+    "dedup_rate_by_source": 1.891,
+    "dedup_repeated_ngram_spans": 2.507,
+    "dedup_simhash_hamming": 3.862,
+    "dedup_substring_spans": 2.791,
+    "dedup_token_sort": 0.397,
+    "doc_novelty_scores": 1.845,
+    "embedding_centroid_separation": 0.487,
+    "embedding_dim_variance_audit": 0.357,
+    "embedding_pca_power": 0.929,
+    "embedding_quantize_int8": 0.594,
+    "embedding_quantize_pct": 1.995,
+    "embedding_sim_histogram": 0.577,
+    "event_gap_quantiles_chunked": 3.542,
+    "event_transition_matrix": 0.569,
+    "events_anomaly_mad": 1.916,
+    "ewma_daily_revenue": 0.407,
+    "exact_quantile_distributed": 1.674,
+    "explode_token_counts": 0.238,
+    "fuzzy_entity_clusters": 1.357,
+    "fuzzy_join_symspell": 0.469,
+    "group_split_leakage_audit": 0.611,
+    "grouping_sets_revenue": 1.012,
+    "hash_agg_stats": 0.516,
+    "hhi_market_concentration": 0.693,
+    "hourly_value_quantiles": 1.404,
+    "jl_distortion_audit": 0.668,
+    "join_explosion_audit": 0.624,
+    "k_anonymity_audit": 0.535,
+    "kmeans_embeddings": 1.474,
+    "kmv_distinct_rollup": 0.851,
+    "kmv_overlap_daily": 1.080,
+    "kmv_rolling_wau": 0.796,
+    "knn_label_purity": 2.512,
+    "ks_test_urgent_price": 1.209,
+    "lang_id": 0.529,
+    "lang_id_confusion": 0.575,
+    "latest_per_key": 0.349,
+    "mann_whitney_priority": 0.900,
+    "markov_next_event_accuracy": 0.851,
+    "minhash_band_sweep": 4.224,
+    "minhash_calibration": 5.428,
+    "multimodal_features": 0.614,
+    "multimodal_gif_decode": 0.980,
+    "multimodal_jpeg_decode": 1.621,
+    "multimodal_png_decode": 2.155,
+    "multimodal_video_frames": 3.729,
+    "multimodal_wav_decode": 1.201,
+    "mutual_info_lang_source": 0.492,
+    "orders_backlog_aging": 0.350,
+    "orders_monthly_yoy": 0.926,
+    "percentile_stats": 1.979,
+    "perplexity_bigram_interp": 1.732,
+    "perplexity_unigram": 0.664,
+    "pettitt_changepoint_daily": 2.214,
+    "pii_scrub_stats": 0.585,
+    "pivot_returnflag": 0.543,
+    "psi_price_drift_by_segment": 0.914,
+    "purchase_hazard_curve": 0.695,
+    "q10_returned_revenue": 0.832,
+    "q13_order_count_dist": 0.487,
+    "q18_large_orders": 1.387,
+    "q1_pricing_summary": 0.984,
+    "q21_waiting_suppliers": 0.871,
+    "q2_top_supplier_per_part": 1.392,
+    "q3_shipping_priority": 0.768,
+    "q4_order_priority": 0.808,
+    "q5_local_supplier_volume": 1.347,
+    "q6_forecast_revenue": 0.247,
+    "q7_nation_volume": 1.077,
+    "qq_plot_price": 1.476,
+    "quality_classifier_pr_curve": 1.832,
+    "quality_classifier_reliability": 1.490,
+    "quality_classifier_score": 1.459,
+    "quality_classifier_train": 2.094,
+    "quality_filter_gopher": 1.173,
+    "quantile_by_value_qty": 0.920,
+    "referential_integrity_audit": 0.749,
+    "regression_by_nation": 1.588,
+    "revenue_gini_lorenz": 1.655,
+    "right_to_be_forgotten_audit": 0.370,
+    "schema_evolution_roundtrip": 0.578,
+    "seasonal_naive_backtest": 0.385,
+    "semantic_dedup_components": 3.563,
+    "semantic_dedup_lsh_components": 4.922,
+    "session_entropy_per_user": 0.467,
+    "session_paths_top": 0.528,
+    "sessionize_events": 0.768,
+    "sessionize_events_chunked": 1.079,
+    "ship_lag_quantiles": 0.987,
+    "shuffle_deterministic": 0.957,
+    "sim_bruteforce_topk": 0.656,
+    "sim_ivf_topk": 0.978,
+    "sim_ivfpq_topk": 5.908,
+    "sim_lsh_multiprobe_topk": 0.958,
+    "sim_lsh_topk": 0.943,
+    "sim_pq_topk": 3.782,
+    "sim_recall_calibration": 5.997,
+    "skyline_price_size": 0.351,
+    "snapshot_diff_orders": 0.621,
+    "source_mixing_weights": 0.402,
+    "source_overlap_matrix": 1.927,
+    "spearman_qty_price": 2.577,
+    "stats_profile_orders": 1.292,
+    "stratified_sample_exact": 0.242,
+    "stream_curation_yaml": 2.205,
+    "stream_ingest_dedup": 1.883,
+    "stream_psi_monitor": 2.359,
+    "stream_tumbling_counts": 2.150,
+    "supplier_pareto_abc": 0.968,
+    "table_fingerprint_orders": 0.512,
+    "text_stats": 0.857,
+    "tfidf_top_terms": 0.649,
+    "theil_sen_daily_revenue": 7.417,
+    "tokens_retained_after_dedup": 0.413,
+    "topk_per_group": 0.379,
+    "tumbling_window_agg": 0.363,
+    "user_adoption_curve": 0.709,
+    "value_histogram_log2": 0.231,
+    "vocab_coverage": 0.335,
+    "vocab_coverage_curve": 1.052,
+    "vocab_novelty_by_source": 0.478,
+    "wasserstein_price_urgent": 1.523,
+    "weekday_activity_profile": 0.248,
+    "weighted_median_price_by_flag": 2.086,
     "welch_t_sources": 0.276,
-    "wilson_ci_urgent_rate": 0.494,
-    "window_frames": 0.445,
-    "window_ranking": 0.507,
-    "zipf_token_fit": 0.946,
-    "zonemap_pruning_stats": 1.103,
+    "wilson_ci_urgent_rate": 0.373,
+    "window_frames": 0.457,
+    "window_ranking": 0.458,
+    "zipf_token_fit": 0.881,
+    "zonemap_pruning_stats": 0.502,
 }
 # END GATE_V3
 
