@@ -234,6 +234,8 @@ EXTENDED = [
     "fuzzy_entity_clusters",
     "wasserstein_price_urgent",
     "stream_psi_monitor",
+    "anova_f_segments",
+    "conformal_forecast_intervals",
 ]
 
 

@@ -3750,3 +3750,235 @@ def wasserstein_price_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w1_cents")
         )
     )
+
+
+@query(
+    "anova_f_segments",
+    oracle="""
+    WITH o AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    g AS (
+      SELECT segment,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS HUGEINT) AS s,
+             CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS ss
+      FROM o GROUP BY segment
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(s) AS HUGEINT) AS st,
+             CAST(SUM(ss) AS HUGEINT) AS sst
+      FROM g
+    ),
+    parts AS (
+      -- each per-group s^2/n is rounded ONCE to an exact integer and
+      -- summed in HUGEINT, so the k-term sum is order-independent
+      -- (summing raw doubles would drift with partition order)
+      SELECT t.nn, t.k,
+             CAST(SUM(CAST(ROUND(CAST(g.s AS DOUBLE) * g.s / g.n)
+                           AS HUGEINT)) AS DOUBLE)
+               - CAST(t.st AS DOUBLE) * t.st / t.nn AS ssb,
+             CAST(t.sst AS DOUBLE)
+               - CAST(SUM(CAST(ROUND(CAST(g.s AS DOUBLE) * g.s / g.n)
+                             AS HUGEINT)) AS DOUBLE) AS ssw
+      FROM g CROSS JOIN tot t
+      GROUP BY t.nn, t.k, t.st, t.sst
+    )
+    SELECT nn AS n_rows, k AS n_groups,
+           CASE WHEN k > 1 AND nn > k THEN
+             CAST(FLOOR(
+               (ssb / (k - 1.0)) / NULLIF(ssw / (nn - CAST(k AS DOUBLE)), 0.0)
+               * 1e6 + 0.5) AS BIGINT)
+           END AS f_stat_e6
+    FROM parts
+    """,
+)
+def anova_f_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic: does mean order value differ across
+    market segments? The parametric k-group member of the statistics
+    family (Welch-t handles two groups; Mann-Whitney/KS are
+    nonparametric). Per-group (n, Σx, Σx²) are EXACT integer moment
+    sums over cents (DECIMAL/HUGEINT so 100 TB cannot overflow);
+    between/within sums of squares and the F ratio are ONE identical
+    double expression tree over those integers (only +,*,/ — each
+    correctly rounded), rounded once to e6. Scale: one broadcast dim
+    join + one partial-agg groupBy to |segments| rows; everything
+    after is constant-size."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    g = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+            F.sum(
+                F.col("cents").cast("decimal(38,0)") * F.col("cents")
+            ).alias("ss"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("s").cast("decimal(38,0)").alias("st"),
+        F.sum("ss").cast("decimal(38,0)").alias("sst"),
+    )
+    parts = (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("nn", "k", "st", "sst")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(ROUND(CAST(s AS DOUBLE) * s / n)"
+                " AS DECIMAL(38,0))) AS DOUBLE)"
+                " - CAST(st AS DOUBLE) * st / nn"
+            ).alias("ssb"),
+            F.expr(
+                "CAST(sst AS DOUBLE)"
+                " - CAST(SUM(CAST(ROUND(CAST(s AS DOUBLE) * s / n)"
+                " AS DECIMAL(38,0))) AS DOUBLE)"
+            ).alias("ssw"),
+        )
+    )
+    return parts.select(
+        F.col("nn").alias("n_rows"),
+        F.col("k").alias("n_groups"),
+        F.expr(
+            """CASE WHEN k > 1 AND nn > k THEN
+                 CAST(FLOOR(
+                   (ssb / (k - 1.0))
+                   / NULLIF(ssw / (nn - CAST(k AS DOUBLE)), 0.0)
+                   * 1e6 + 0.5) AS BIGINT)
+               END"""
+        ).alias("f_stat_e6"),
+    )
+
+
+@query(
+    "conformal_forecast_intervals",
+    oracle="""
+    WITH days AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS di,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    resid AS (
+      SELECT a.di, abs(a.rev_c - b.rev_c) AS ar,
+             CAST(('0x' || substr(md5(CAST(a.di AS VARCHAR)), 1, 4))
+                  AS INT) % 100 < 50 AS is_calib
+      FROM days a JOIN days b ON b.di = a.di - 7
+    ),
+    calib AS (SELECT ar FROM resid WHERE is_calib),
+    nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_calib FROM calib),
+    qhat AS (
+      SELECT MIN(ar) AS q_hat FROM (
+        SELECT ar, ROW_NUMBER() OVER (ORDER BY ar) AS rn
+        FROM calib
+      ) r CROSS JOIN nc
+      WHERE rn >= CAST(ceil(0.9 * n_calib) AS BIGINT)
+    ),
+    test AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN r.ar <= q.q_hat THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_covered
+      FROM resid r CROSS JOIN qhat q
+      WHERE NOT r.is_calib
+    )
+    SELECT nc.n_calib, q.q_hat AS q_hat_cents, t.n_test, t.n_covered,
+           CAST(CAST(t.n_covered AS HUGEINT) * 1000000
+                // NULLIF(CAST(t.n_test AS HUGEINT), 0) AS BIGINT)
+             AS coverage_e6
+    FROM nc CROSS JOIN qhat q CROSS JOIN test t
+    """,
+)
+def conformal_forecast_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for the seasonal-naive
+    daily-revenue forecast: the 90th-percentile absolute residual on a
+    hash-held-out calibration half becomes the distribution-free
+    interval half-width, and the empirical coverage on the test half
+    audits it — the model-agnostic uncertainty recipe a forecasting
+    pipeline should publish instead of Gaussian bands. Everything is
+    integer-exact: residuals are cent differences, the calibration
+    split is the deterministic md5-bucket idiom, q_hat is an exact
+    order statistic (rank-selected via the distributed-rank operator,
+    never a single-reducer sort), and coverage uses the overflow-safe
+    division idiom. Scale: day-grain collapse first; all later stages
+    are calendar-bounded."""
+    from local_stream_stack_spark.operators.quantiles import (
+        with_global_rank,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    days = (
+        o.groupBy(
+            F.unix_date(F.col("o_orderdate").cast("date"))
+            .cast("bigint")
+            .alias("di")
+        )
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev_c")
+        )
+    )
+    prev = days.select(
+        (F.col("di") + 7).alias("di"), F.col("rev_c").alias("prev_c")
+    )
+    resid = days.join(prev, "di").select(
+        "di",
+        F.abs(F.col("rev_c") - F.col("prev_c")).alias("ar"),
+        F.expr(
+            "CAST(CONV(SUBSTRING(md5(CAST(di AS STRING)), 1, 4), 16, 10)"
+            " AS INT) % 100 < 50"
+        ).alias("is_calib"),
+    )
+    calib = resid.filter("is_calib").select("ar", "di")
+    ranked = with_global_rank(
+        calib, "ar", tiebreak_cols=["di"], out_rank="rn",
+        total_col="n_calib", bins=64,
+    )
+    qhat = (
+        ranked.filter(
+            F.col("rn")
+            >= F.expr("CAST(ceil(0.9 * n_calib) AS BIGINT)")
+        )
+        .agg(
+            F.min("ar").alias("q_hat"),
+            F.max("n_calib").cast("bigint").alias("n_calib"),
+        )
+    )
+    test = (
+        resid.filter(~F.col("is_calib"))
+        .crossJoin(F.broadcast(qhat))
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            F.sum(
+                F.expr("CASE WHEN ar <= q_hat THEN 1 ELSE 0 END")
+            )
+            .cast("bigint")
+            .alias("n_covered"),
+            F.max("q_hat").alias("q_hat_cents"),
+            F.max("n_calib").alias("n_calib"),
+        )
+    )
+    return test.select(
+        "n_calib",
+        "q_hat_cents",
+        "n_test",
+        "n_covered",
+        F.expr(
+            "CAST(CAST(n_covered AS DECIMAL(38,0)) * 1000000"
+            " div NULLIF(n_test, 0) AS BIGINT)"
+        ).alias("coverage_e6"),
+    )

@@ -169,6 +169,8 @@ REPRESENTATIVE = [
     "psi_price_drift_by_segment",  # log2-bin PSI vs rest
     "fuzzy_entity_clusters",     # symspell pairs -> components
     "wasserstein_price_urgent",  # CDF-gap integral
+    "anova_f_segments",          # k-group F (0 rows empty)
+    "conformal_forecast_intervals",  # split-conformal coverage
 ]
 
 
@@ -204,6 +206,7 @@ EXPECT_SUMMARY_ROWS = {
     "spearman_qty_price": 1,     # single stats row (NULL rho)
     "copurchase_kcore": 9,       # one profile row per round
     "ks_test_urgent_price": 1,   # single stats row (NULL D)
+    "conformal_forecast_intervals": 1,  # single summary row
 }
 
 
