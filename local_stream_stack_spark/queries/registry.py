@@ -40,6 +40,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
     {
         "ab_test_analysis",
         "active_streaks",
+        "anova_f_segments",
         "approx_distinct_parts",
         "approx_percentile_qty",
         "array_hof_order_lines",
@@ -52,6 +53,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "benford_first_digit",
         "blocklist_filter_stats",
         "bm25_rank",
+        "bm25_topk_docs",
         "boilerplate_ngrams",
         "bootstrap_mean_ci",
         "bounce_rate_by_entry",
@@ -69,15 +71,19 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "collation_group_ci",
         "compaction_bin_packing",
         "compaction_tombstone",
+        "conformal_forecast_intervals",
         "conversion_lag_quantiles",
         "copurchase_bfs_hops",
+        "copurchase_kcore",
         "copurchase_pagerank",
         "corpus_stats_by_lang",
         "corr_matrix_lineitem",
+        "cross_entropy_source_pairs",
         "csv_roundtrip_orders",
         "cube_qty",
         "curation_downsample",
         "curation_pipeline",
+        "curation_pipeline_yaml",
         "customer_decile_transitions",
         "customer_rfm_scores",
         "cusum_changepoint_revenue",
@@ -129,6 +135,8 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "explode_token_counts",
         "filter_predicates",
         "funnel_stages",
+        "fuzzy_entity_clusters",
+        "fuzzy_join_symspell",
         "fuzzy_name_match",
         "gap_fill_locf",
         "group_split_leakage_audit",
@@ -159,11 +167,13 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "kmv_overlap_daily",
         "kmv_rolling_wau",
         "knn_label_purity",
+        "ks_test_urgent_price",
         "label_centroids",
         "lang_id",
         "lang_id_confusion",
         "latest_per_key",
         "mad_outliers",
+        "mann_whitney_priority",
         "map_explode_customer",
         "markov_next_event_accuracy",
         "math_funcs",
@@ -172,10 +182,12 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "multimodal_binary_meta",
         "multimodal_features",
         "multimodal_frame_sample",
+        "multimodal_gif_decode",
         "multimodal_jpeg_decode",
         "multimodal_png_decode",
         "multimodal_video_frames",
         "multimodal_wav_decode",
+        "mutual_info_lang_source",
         "null_semantics",
         "nulls_ordering",
         "ols_slope_per_type",
@@ -188,6 +200,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "percentile_stats",
         "perplexity_bigram_interp",
         "perplexity_unigram",
+        "pettitt_changepoint_daily",
         "pii_scrub_stats",
         "pipe_syntax_revenue",
         "pipeline_yaml_batch",
@@ -196,6 +209,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "price_decile_assign",
         "profile_columns",
         "projection_cast",
+        "psi_price_drift_by_segment",
         "purchase_hazard_curve",
         "pyds_stream_agg",
         "pyds_synthetic_agg",
@@ -223,6 +237,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "q9_product_profit",
         "qq_plot_price",
         "quality_classifier_pr_curve",
+        "quality_classifier_reliability",
         "quality_classifier_score",
         "quality_classifier_train",
         "quality_filter_gopher",
@@ -255,15 +270,18 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "sim_bruteforce_topk",
         "sim_ivf_topk",
         "sim_ivfpq_topk",
+        "sim_lsh_multiprobe_topk",
         "sim_lsh_topk",
         "sim_pq_topk",
         "sim_recall_calibration",
         "skew_diagnostics",
+        "skyline_price_size",
         "sliding_window_agg",
         "snapshot_diff_orders",
         "source_char_budget",
         "source_mixing_weights",
         "source_overlap_matrix",
+        "spearman_qty_price",
         "sql_api_revenue",
         "sql_udf_netprice",
         "sql_variables_param_revenue",
@@ -271,6 +289,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "stratified_sample_exact",
         "stratified_sample_sources",
         "stream_aggregate_view",
+        "stream_curation_yaml",
         "stream_dedup_keys",
         "stream_ingest_dedup",
         "stream_ingest_neardup",
@@ -279,10 +298,12 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "stream_latest_per_key",
         "stream_parquet_sink",
         "stream_pipeline_yaml",
+        "stream_psi_monitor",
         "stream_quality_quarantine",
         "stream_running_totals",
         "stream_running_totals_tws",
         "stream_session_windows",
+        "stream_skyline_frontier",
         "stream_sliding_counts",
         "stream_static_enrich",
         "stream_topk_per_window",
@@ -293,6 +314,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "table_fingerprint_orders",
         "text_stats",
         "tfidf_top_terms",
+        "theil_sen_daily_revenue",
         "time_weighted_avg",
         "token_drift_kl",
         "token_estimate_bpe",
@@ -315,9 +337,12 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "vocab_coverage",
         "vocab_coverage_curve",
         "vocab_novelty_by_source",
+        "wasserstein_price_urgent",
         "weekday_activity_profile",
+        "weighted_median_price_by_flag",
         "weighted_sample",
         "welch_t_sources",
+        "wilson_ci_urgent_rate",
         "window_analytic",
         "window_distribution",
         "window_frames",
@@ -333,20 +358,10 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
 )
 
 
-# Round-6: the two iterative-trainer REWRITES (driver-side centroid
-# carry fusion) are the highest-risk changes this round — pin them
-# into the window ahead of the file-sibling changed set.
-NEW_THIS_ROUND: frozenset[str] = frozenset(
-    {
-        # round-9: the store-lookup joins were rewritten to the
-        # broadcast-probe shape (streaming/ops.py) — the live ingest
-        # queries must re-verify ahead of stale filler
-        "stream_ingest_dedup",
-        "stream_ingest_neardup",
-        "stream_quality_quarantine",
-        "stream_latest_per_key",
-    }
-)
+# Round-start: emptied after folding CORRECTNESS_r09 (50/50 green).
+# Repopulate with this round's highest-risk additions/rewrites so the
+# driver window leads with them.
+NEW_THIS_ROUND: frozenset[str] = frozenset()
 
 # Queries whose defining file was git-modified AFTER the round that
 # recorded their last green driver row (VERDICT r5 "What's wrong" #2:

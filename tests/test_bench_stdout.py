@@ -1,0 +1,55 @@
+"""bench.py stdout contract (VERDICT r9 wrong #1 / task #4): the driver
+parses the LAST 2,000 chars of bench stdout as one JSON line. An async
+py4j stack trace from a streaming-stop race landing after the line
+would void the round's bench, so bench.py quiesces (stop streams, drop
+listener, spark.stop, drain) and hard-exits right after the print.
+
+This test runs bench.py as the driver does — a real subprocess — with a
+streaming entry in the measured set, and asserts stdout is EXACTLY one
+parseable JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_stdout_is_single_json_line_with_streaming_query(tmp_path):
+    env = dict(os.environ)
+    env.update(
+        {
+            "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
+            "SPARK_GRAFT_BENCH_RUNS": "1",
+            "SPARK_GRAFT_BENCH_QUERIES": (
+                "q1_pricing_summary,stream_tumbling_counts"
+            ),
+            "SPARK_GRAFT_CPUS": "4",
+            # do NOT clobber the repo's recorded BENCH_DETAIL.json
+            "SPARK_GRAFT_BENCH_DETAIL": str(tmp_path / "detail.json"),
+        }
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=ROOT,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out_lines = [l for l in proc.stdout.splitlines() if l.strip()]
+    assert len(out_lines) == 1, (
+        f"expected exactly one stdout line, got {len(out_lines)}:\n"
+        + proc.stdout[-2000:]
+    )
+    payload = json.loads(out_lines[0])
+    assert payload["metric"] == "total_headline_query_sec"
+    assert "q1_pricing_summary" in payload["queries"]
+    assert "worst5_vs_gate_v3" in payload
+    # the streaming entry ran (it's in the headline tier)
+    assert "stream_tumbling_counts" in payload["queries"]

@@ -621,3 +621,151 @@ def test_doubled_rank_stats_match_bruteforce(spark, data):
         brute_d = max(brute_d, abs(fa * n2 - fb * n1))
     assert r1_x2 == brute_r1_x2, (vals, grp1, r1_x2, brute_r1_x2)
     assert d_cross == brute_d, (vals, grp1, d_cross, brute_d)
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from(["AUTO", "BUILDING", "FURNITURE"]),
+            st.integers(1, 10_000_000),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_anova_f_matches_python_reference(spark, tmp_path_factory, data):
+    """anova_f_segments == the sequential python definition with the
+    IDENTICAL rounding sequence (per-group s²/n rounded once to an
+    exact integer, double F ratio, e6 half-up) — the moment-sum
+    rounding idiom is exactly the class that drifts silently
+    (VERDICT r9 task #8)."""
+    import math
+
+    import pandas as pd
+
+    pdf_o = pd.DataFrame(
+        {
+            "o_custkey": range(len(data)),
+            "o_totalprice": [c / 100.0 for _, c in data],
+        }
+    )
+    pdf_c = pd.DataFrame(
+        {
+            "c_custkey": range(len(data)),
+            "c_mktsegment": [s for s, _ in data],
+        }
+    )
+    d = tmp_path_factory.mktemp("anova")
+    pdf_o.to_parquet(d / "orders.parquet")
+    pdf_c.to_parquet(d / "customer.parquet")
+
+    from local_stream_stack_spark.queries.relational_ext import (
+        anova_f_segments,
+    )
+
+    row = anova_f_segments(spark, str(d)).collect()[0]
+
+    # python reference: exact integer moment sums, then the same
+    # double expression tree
+    groups: dict[str, list[int]] = {}
+    for s, c in data:
+        groups.setdefault(s, []).append(c)
+    nn = len(data)
+    k = len(groups)
+    st_sum = sum(c for _, c in data)
+    sst = sum(c * c for _, c in data)
+    # ROUND(CAST(s AS DOUBLE) * s / n) — half-up on a non-negative
+    # double, summed exactly
+    sum_sq_over_n = sum(
+        math.floor(float(sum(g)) * sum(g) / len(g) + 0.5)
+        for g in groups.values()
+    )
+    ssb = float(sum_sq_over_n) - float(st_sum) * st_sum / nn
+    ssw = float(sst) - float(sum_sq_over_n)
+    want = None
+    if k > 1 and nn > k:
+        den = ssw / (nn - float(k))
+        if den != 0.0:
+            want = math.floor((ssb / (k - 1.0)) / den * 1e6 + 0.5)
+    assert row.n_rows == nn and row.n_groups == k
+    assert row.f_stat_e6 == want, (data, row.f_stat_e6, want)
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 45), st.integers(1, 10_000_000)),
+        min_size=1,
+        max_size=50,
+    ),
+)
+def test_conformal_intervals_match_python_reference(
+    spark, tmp_path_factory, data
+):
+    """conformal_forecast_intervals == the sequential split-conformal
+    definition (md5-bucket calibration split, exact order-statistic
+    q_hat, floor-div coverage) on random day/revenue frames, including
+    the empty-calibration and no-pair edges."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    pdf_o = pd.DataFrame(
+        {
+            # micros, not pandas' default nanos — Spark 4 rejects
+            # TIMESTAMP(NANOS) parquet outright
+            "o_orderdate": pd.to_datetime(
+                [di for di, _ in data], unit="D", origin="1970-01-01"
+            ).astype("datetime64[us]"),
+            "o_totalprice": [c / 100.0 for _, c in data],
+        }
+    )
+    d = tmp_path_factory.mktemp("conformal")
+    pdf_o.to_parquet(d / "orders.parquet")
+
+    from local_stream_stack_spark.queries.relational_ext import (
+        conformal_forecast_intervals,
+    )
+
+    row = conformal_forecast_intervals(spark, str(d)).collect()[0]
+
+    days: dict[int, int] = {}
+    for di, c in data:
+        days[di] = days.get(di, 0) + c
+    resid = [
+        (di, abs(rev - days[di - 7]))
+        for di, rev in days.items()
+        if di - 7 in days
+    ]
+
+    def is_calib(di: int) -> bool:
+        h = hashlib.md5(str(di).encode()).hexdigest()[:4]
+        return int(h, 16) % 100 < 50
+
+    calib = sorted(
+        (ar, di) for di, ar in resid if is_calib(di)
+    )
+    n_calib = len(calib)
+    q_hat = None
+    if n_calib:
+        rn = math.ceil(0.9 * n_calib)
+        q_hat = calib[rn - 1][0]
+    test = [(di, ar) for di, ar in resid if not is_calib(di)]
+    n_test = len(test)
+    # SUM over an empty relation is NULL in both engines, not 0
+    n_covered = (
+        sum(1 for _, ar in test if q_hat is not None and ar <= q_hat)
+        if n_test
+        else None
+    )
+    want_cov = (
+        n_covered * 1_000_000 // n_test if n_test else None
+    )
+    assert row.n_test == n_test and row.n_covered == n_covered, (
+        data, row, (n_test, n_covered)
+    )
+    assert row.n_calib == (n_calib or None), (data, row.n_calib, n_calib)
+    assert row.q_hat_cents == q_hat, (data, row.q_hat_cents, q_hat)
+    assert row.coverage_e6 == want_cov, (data, row.coverage_e6, want_cov)

@@ -24,7 +24,11 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> int:
     detail = json.load(open(os.path.join(ROOT, "BENCH_DETAIL.json")))
-    anchors = {**detail["queries"], **detail["queries_extended"]}
+    anchors = {
+        **detail["queries"],
+        **detail["queries_extended"],
+        **detail.get("queries_tier3", {}),
+    }
     lines = ["GATE_V3: dict[str, float] = {"]
     for name in sorted(anchors):
         lines.append(f'    "{name}": {anchors[name]:.3f},')
