@@ -259,6 +259,95 @@ def minhash_band_keys(
     ).select(*out_cols, "bk.band", "bk.bh")
 
 
+def minhash_band_keys_rowwise(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 32,
+    shingle_k: int = 3,
+    seed: int = 42,
+    shingle: str = "word",
+    bands: int = 8,
+    rows_per_band: int = 4,
+    carry_cols: tuple = (),
+) -> DataFrame:
+    """STATELESS per-row MinHash band keys (portable md5 base hash,
+    '|'-joined band values): (id, [carry...], band, bh) — one row per
+    band, computed entirely with per-row expressions (transform +
+    array_min), no explode-then-groupBy.
+
+    Identical key values to ``minhash_signatures_portable`` +
+    ``minhash_band_keys(portable_keys=True)`` — same permutation
+    family, same base hash, same join — but usable INSIDE a streaming
+    plan ahead of a stateful operator: a streaming groupBy(id) would
+    itself become a cross-batch stateful aggregation, which is the
+    wrong semantic for per-document signatures (each doc arrives
+    once). The per-row formulation costs ~3x the map-side-combined
+    shuffle form in batch (measured; see ``minhash_signatures``), so
+    use it only where statelessness is required.
+
+    Docs whose shingle set is EMPTY (fewer than ``shingle_k`` words)
+    emit one sentinel row (band=-1, bh unique per doc), so they flow
+    through bucket lookups without ever colliding — the same admit
+    semantics as "no band keys" in the groupBy formulation, where such
+    docs simply vanish from the key relation.
+    """
+    params = _perm_params(n_hashes, seed)
+    shingle_expr = (
+        word_shingles(text_col, shingle_k)
+        if shingle == "word"
+        else char_shingles(text_col, shingle_k)
+    )
+    hashed = F.transform(
+        shingle_expr,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+        % F.lit(_MERSENNE_P),
+    )
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                F.col("__harr"),
+                lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(_MERSENNE_P),
+            )
+        ).alias(f"__m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sigd = df.withColumn("__harr", hashed).select(
+        F.col(id_col), *[F.col(c) for c in carry_cols], *sig_cols
+    )
+
+    def band_key(b: int):
+        vals = [
+            F.col(f"__m{i}").cast("string")
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        return F.concat_ws("|", *vals)
+
+    bk = F.when(
+        F.col("__m0").isNull(),
+        F.array(
+            F.struct(
+                F.lit(-1).alias("band"),
+                F.concat(
+                    F.lit("noshingle|"), F.col(id_col).cast("string")
+                ).alias("bh"),
+            )
+        ),
+    ).otherwise(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"), band_key(b).alias("bh")
+                )
+                for b in range(bands)
+            ]
+        )
+    )
+    return sigd.select(
+        F.col(id_col), *[F.col(c) for c in carry_cols], F.explode(bk).alias("bk")
+    ).select(id_col, *carry_cols, "bk.band", "bk.bh")
+
+
 def minhash_lsh_candidates(
     sig_df: DataFrame,
     id_col: str,

@@ -750,6 +750,246 @@ def stream_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _neardup_tws_oracle_sql() -> str:
+    """Replay the two-epoch TWS (indexed-state-store) near-dup
+    ingestion in SQL. Identical to ``_neardup_stream_oracle_sql``
+    except the cross-epoch store holds band keys of every SEEN epoch-0
+    doc — the seen-claims semantic the per-bucket state accumulates
+    (a bucket's ValueState cannot depend on the doc-grain admit
+    decision computed downstream of it)."""
+    from local_stream_stack_spark.queries.llm import (
+        _minhash_bandkey_cte_sql,
+    )
+
+    cte = _minhash_bandkey_cte_sql(32, 3, 4, source="corpus")
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    ),
+    {cte},
+    e0 AS (SELECT doc_id, band, bh FROM bandkey WHERE doc_id < 1000000),
+    rej0 AS (
+      SELECT DISTINCT a.doc_id FROM e0 a
+      JOIN e0 b ON a.band = b.band AND a.bh = b.bh AND b.doc_id < a.doc_id
+    ),
+    adm0 AS (
+      SELECT d.doc_id FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM rej0)
+    ),
+    keys0 AS (
+      SELECT DISTINCT band, bh FROM e0
+    ),
+    e1 AS (SELECT doc_id, band, bh FROM bandkey WHERE doc_id >= 1000000),
+    rej1 AS (
+      SELECT DISTINCT a.doc_id FROM e1 a
+      JOIN e1 b ON a.band = b.band AND a.bh = b.bh AND b.doc_id < a.doc_id
+      UNION
+      SELECT DISTINCT a.doc_id FROM e1 a
+      JOIN keys0 k ON a.band = k.band AND a.bh = k.bh
+    ),
+    adm1 AS (
+      SELECT d.doc_id + 1000000 AS doc_id FROM documents d
+      WHERE d.doc_id + 1000000 NOT IN (SELECT doc_id FROM rej1)
+    )
+    SELECT doc_id FROM adm0
+    UNION ALL
+    SELECT doc_id FROM adm1
+    ORDER BY doc_id
+    """
+
+
+@query("stream_ingest_neardup_tws", oracle=_neardup_tws_oracle_sql())
+def stream_ingest_neardup_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE streaming near-dup ingestion through the INDEXED state
+    store (VERDICT r9 task #5 — the last designed-not-built scale
+    component): the corpus plus a full duplicate of itself streams
+    through ``ingest_neardup_stream_tws``, where every LSH band key is
+    a RocksDB transformWithState KEY, so the per-epoch admitted-key
+    lookup is O(batch keys) point probes instead of the parquet twin's
+    O(store) scan. Exact duplicates collide in all bands and are
+    rejected; LSH-similar originals dedup in-batch (first id wins).
+
+    The oracle replays the seen-claims store semantics bit-for-bit
+    (``_neardup_tws_oracle_sql``); the TWS protobuf runtime ships to
+    the driver session's workers via addPyFile exactly as
+    ``stream_running_totals_tws`` proved, with the RocksDB provider
+    set and restored around the run. Where no TWS runtime exists, the
+    operator's parquet fallback computes the SAME semantics, so the
+    registered result is engine-equal either way."""
+    from local_stream_stack_spark.catalog import load_table
+    from local_stream_stack_spark.streaming.ops import (
+        ingest_neardup_stream_tws,
+        read_neardup_tws_store,
+        transform_with_state_supported,
+    )
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = ephemeral_dir(prefix="stream-e2e-neardup-tws-")
+    in_dir = os.path.join(base, "in")
+    store = os.path.join(base, "store")
+    cp = os.path.join(base, "cp")
+    _stage_ordered(
+        in_dir,
+        lambda: docs.coalesce(1).write.parquet(in_dir),
+        lambda: docs.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        ).coalesce(1).write.mode("append").parquet(in_dir),
+    )
+    use_tws = transform_with_state_supported()
+    prev = None
+    if use_tws:
+        try:
+            prev = spark.conf.get(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
+        except Exception:
+            prev = None
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    try:
+        q = ingest_neardup_stream_tws(
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir),
+            id_col="doc_id",
+            text_col="text",
+            order_col="doc_id",
+            store_path=store,
+            checkpoint_location=cp,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if use_tws:
+            if prev is not None:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev
+                )
+            else:
+                spark.conf.unset(
+                    "spark.sql.streaming.stateStore.providerClass"
+                )
+    return (
+        read_neardup_tws_store(spark, store)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "stream_bm25_incremental",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents
+    ),
+    doclen AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avglen
+      FROM doclen
+    ),
+    df AS (
+      SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY tok
+    ),
+    qterms AS (
+      SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 3
+    ),
+    idf AS (
+      SELECT q.tok, q.df,
+             CAST(FLOOR(ln((CAST(s.n_docs AS DOUBLE) - q.df + 0.5)
+                           / (q.df + 0.5) + 1.0) * 1e6 + 0.5) AS BIGINT)
+               AS idf_e6
+      FROM qterms q CROSS JOIN stats s
+    ),
+    tf AS (
+      SELECT t.doc_id, t.tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok t JOIN qterms q ON t.tok = q.tok
+      GROUP BY t.doc_id, t.tok
+    ),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(FLOOR(
+               CAST(i.idf_e6 AS DOUBLE) * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1.0 - 0.75
+                                 + 0.75 * dl.len / s.avglen))
+               + 0.5) AS BIGINT) AS c_e6
+      FROM tf
+      JOIN idf i ON i.tok = tf.tok
+      JOIN doclen dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    ),
+    scored AS (
+      SELECT doc_id, CAST(SUM(c_e6) AS BIGINT) AS bm25_e6
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, bm25_e6
+    FROM scored
+    ORDER BY bm25_e6 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def stream_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE incremental view maintenance (VERDICT r9 task #7 — the
+    shape a 100 TB corpus actually runs): the corpus streams in two
+    halves through ``maintain_bm25_index_stream_parquet``, each epoch
+    tokenized ONCE and folded into epoch-partitioned postings /
+    doclen / term-df / corpus-stat families; the final BM25 top-20 is
+    then scored from the MAINTAINED index (``read_bm25_index_topk``)
+    with no re-tokenization of earlier epochs — and must hash-match
+    the from-scratch batch oracle over the full corpus
+    (`bm25_topk_docs`'s SQL verbatim). All folded statistics are exact
+    integer sums, so the incremental result is bit-equal to batch
+    whatever the micro-batch split was."""
+    from local_stream_stack_spark.catalog import load_table
+    from local_stream_stack_spark.streaming.ops import (
+        maintain_bm25_index_stream_parquet,
+        read_bm25_index_topk,
+    )
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = ephemeral_dir(prefix="stream-e2e-bm25-")
+    in_dir = os.path.join(base, "in")
+    store = os.path.join(base, "store")
+    cp = os.path.join(base, "cp")
+    _stage_ordered(
+        in_dir,
+        lambda: docs.filter(F.col("doc_id") % 2 == 0)
+        .coalesce(1)
+        .write.parquet(in_dir),
+        lambda: docs.filter(F.col("doc_id") % 2 == 1)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(in_dir),
+    )
+    q = maintain_bm25_index_stream_parquet(
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir),
+        id_col="doc_id",
+        text_col="text",
+        store_path=store,
+        checkpoint_location=cp,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_bm25_index_topk(spark, store, id_col="doc_id", k=20)
+
+
 @query(
     "stream_static_enrich",
     oracle="""

@@ -958,6 +958,336 @@ def read_neardup_store(spark, store_path: str) -> DataFrame:
     ).drop("__epoch")
 
 
+def ingest_neardup_stream_tws(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    order_col: str,
+    store_path: str,
+    checkpoint_location: str,
+    n_hashes: int = 32,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    shingle_k: int = 3,
+    shingle: str = "word",
+):
+    """Streaming near-dup ingestion through an INDEXED state store —
+    the transformWithState realization of the design note on
+    ``ingest_neardup_stream_parquet``: instead of scanning the
+    admitted-key parquet store every epoch (O(store) per epoch, even
+    with the broadcast-probe flip), each LSH band key is a RocksDB
+    state-store KEY, so the per-epoch lookup cost is O(batch keys)
+    point probes and the admitted-key set never gets rescanned.
+
+    Shape: stateless per-row band keys (portable md5 minhash,
+    ``minhash_band_keys_rowwise``) -> groupBy(band, bh) ->
+    transformWithStateInPandas, where per-bucket ValueState records
+    "this bucket was seen in an earlier epoch". The processor emits a
+    (doc, hit) verdict per key: hit when the bucket was claimed by an
+    earlier epoch OR a lower-``order_col`` doc shares it in this
+    batch. A foreachBatch sink folds verdicts per doc (admitted = no
+    hit on any band) and writes admitted ids to ``rows/__epoch=N``
+    (idempotent overwrite; TWS state versions roll back with the
+    checkpoint on crash-replay, so replayed epochs see the same state).
+
+    SEMANTIC NOTE vs the parquet-store twin: buckets here are claimed
+    by every SEEN doc (admitted or rejected) — the per-bucket state
+    update cannot depend on the doc-grain admit decision computed
+    downstream. The parquet twin claims buckets only for ADMITTED
+    docs. Seen-claims is strictly more conservative (a rejected
+    near-dup's remaining bands still poison future matches — higher
+    recall, same determinism) and is what the registered oracle
+    replays (``_neardup_tws_oracle_sql``).
+
+    Where the TWS runtime is unavailable (no protobuf anywhere), a
+    foreachBatch parquet fallback with IDENTICAL seen-claims semantics
+    runs instead — result-equal, which is what the oracle checks.
+
+    100 TB: state is one tiny row per distinct band key, partitioned
+    by key hash across executors; RocksDB spills off-heap and
+    changelog-checkpoints incrementally. Per-epoch cost tracks batch
+    size, not corpus size — SCALE.md compares the two store shapes at
+    the multi-decade key counts.
+    """
+    from local_stream_stack_spark.operators.dedup import (
+        minhash_band_keys_rowwise,
+    )
+
+    carry = (order_col,) if order_col != id_col else ()
+    keys = minhash_band_keys_rowwise(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        n_hashes=n_hashes,
+        shingle_k=shingle_k,
+        shingle=shingle,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        carry_cols=carry,
+    )
+
+    def write_admitted(verdicts: DataFrame, epoch_id: int) -> None:
+        adm = (
+            verdicts.groupBy(id_col)
+            .agg(F.max(F.col("hit").cast("int")).alias("__h"))
+            .filter(F.col("__h") == 0)
+            .select(id_col)
+        )
+        adm.coalesce(1).write.mode("overwrite").parquet(
+            f"{store_path}/rows/__epoch={epoch_id}"
+        )
+
+    if transform_with_state_supported():
+        import pandas as pd
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        from local_stream_stack_spark.utils.protobuf_compat import (
+            ship_protobuf_bundle,
+        )
+
+        ship_protobuf_bundle(df.sparkSession)
+
+        class BucketClaims(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self.claimed = handle.getValueState("claimed", "c int")
+
+            def handleInputRows(self, key_tuple, rows, timer_values):
+                seen_earlier = self.claimed.exists()
+                pdf = pd.concat(list(rows), ignore_index=True)
+                mn = pdf[order_col].min()
+                hit = (pdf[order_col] > mn) | seen_earlier
+                self.claimed.update((1,))
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col], "hit": hit.astype(bool)}
+                )
+
+            def close(self) -> None:
+                pass
+
+        verdict_stream = keys.groupBy("band", "bh").transformWithStateInPandas(
+            statefulProcessor=BucketClaims(),
+            outputStructType=f"{id_col} bigint, hit boolean",
+            outputMode="Update",
+            timeMode="None",
+        )
+        return (
+            verdict_stream.writeStream.outputMode("update")
+            .foreachBatch(write_admitted)
+            .option("checkpointLocation", checkpoint_location)
+            .start()
+        )
+
+    # Fallback (no TWS runtime anywhere): same seen-claims semantics on
+    # the parquet key store — epoch N looks up strictly-earlier seen
+    # keys via the broadcast-probe shape and then records ALL of its
+    # own keys (not just admitted docs'), exactly what the TWS state
+    # accumulates.
+    def admit_fallback(kbatch: DataFrame, epoch_id: int) -> None:
+        spark = kbatch.sparkSession
+        kbatch = kbatch.localCheckpoint(eager=True)
+        if _store_has_epochs(spark, f"{store_path}/keys"):
+            known = (
+                spark.read.option("basePath", f"{store_path}/keys")
+                .parquet(f"{store_path}/keys/__epoch=*")
+                .filter(F.col("__epoch") < F.lit(int(epoch_id)))
+                .select("band", "bh")
+            )
+            hit_store = (
+                known.join(
+                    F.broadcast(kbatch.select("band", "bh", id_col)),
+                    ["band", "bh"],
+                )
+                .select(id_col)
+                .distinct()
+                .withColumn("__hit_store", F.lit(True))
+            )
+        else:
+            hit_store = None
+        mn = kbatch.groupBy("band", "bh").agg(
+            F.min(order_col).alias("__mn")
+        )
+        verdicts = kbatch.join(mn, ["band", "bh"]).select(
+            F.col(id_col), (F.col(order_col) > F.col("__mn")).alias("hit")
+        )
+        if hit_store is not None:
+            verdicts = verdicts.join(
+                F.broadcast(hit_store), id_col, "left"
+            ).select(
+                id_col,
+                (F.col("hit") | F.coalesce("__hit_store", F.lit(False))).alias(
+                    "hit"
+                ),
+            )
+        write_admitted(verdicts, epoch_id)
+        kbatch.select(id_col, "band", "bh").coalesce(
+            1
+        ).sortWithinPartitions("band", "bh").write.mode("overwrite").parquet(
+            f"{store_path}/keys/__epoch={epoch_id}"
+        )
+
+    return (
+        keys.writeStream.outputMode("append")
+        .foreachBatch(admit_fallback)
+        .option("checkpointLocation", checkpoint_location)
+        .start()
+    )
+
+
+def read_neardup_tws_store(spark, store_path: str) -> DataFrame:
+    """Admitted doc ids of an ``ingest_neardup_stream_tws`` store."""
+    return spark.read.option("basePath", f"{store_path}/rows").parquet(
+        f"{store_path}/rows/__epoch=*"
+    ).drop("__epoch")
+
+
+def maintain_bm25_index_stream_parquet(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    store_path: str,
+    checkpoint_location: str,
+):
+    """Incrementally MAINTAIN a BM25 inverted index as documents
+    stream in — the maintained-view shape a 100 TB corpus actually
+    runs (daily increments folded into a standing index, never a
+    from-scratch recompute of the whole corpus).
+
+    Each micro-batch is tokenized ONCE and folded into four
+    epoch-partitioned column families:
+
+    - ``postings/``  (doc, term, tf)   — the inverted index rows
+    - ``doclen/``    (doc, len)        — per-doc token counts
+    - ``termdf/``    (term, df_delta)  — per-epoch document-frequency
+      increments (a doc arrives wholly in one epoch, so its df
+      contribution lands exactly once)
+    - ``corpus/``    (n_docs_delta, len_sum_delta) — corpus totals
+
+    Reading the index (``read_bm25_index_topk``) folds the integer
+    deltas (exact BIGINT sums — order-independent) and scores from the
+    materialized postings; the expensive tokenize pass is never
+    re-paid for old epochs. Epoch-dir overwrites make at-least-once
+    foreachBatch delivery exactly-once, same as every other view
+    store here. At scale, postings become a table bucketed by term so
+    the score-time term lookup co-locates."""
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        tok = batch_df.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)"
+                )
+            ).alias("tok"),
+        )
+        postings = (
+            tok.groupBy(id_col, "tok")
+            .agg(F.count("*").cast("bigint").alias("tf"))
+            # three consumers below; materialize the AGGREGATED rows
+            # once instead of re-tokenizing the batch per consumer
+            .localCheckpoint(eager=True)
+        )
+        postings.coalesce(1).write.mode("overwrite").parquet(
+            f"{store_path}/postings/__epoch={epoch_id}"
+        )
+        doclen = (
+            postings.groupBy(id_col)
+            .agg(F.sum("tf").cast("bigint").alias("len"))
+            .localCheckpoint(eager=True)
+        )
+        doclen.coalesce(1).write.mode("overwrite").parquet(
+            f"{store_path}/doclen/__epoch={epoch_id}"
+        )
+        postings.groupBy("tok").agg(
+            F.count("*").cast("bigint").alias("df_delta")
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{store_path}/termdf/__epoch={epoch_id}"
+        )
+        doclen.agg(
+            F.count("*").cast("bigint").alias("n_docs_delta"),
+            F.sum("len").cast("bigint").alias("len_sum_delta"),
+        ).na.fill(0).coalesce(1).write.mode("overwrite").parquet(
+            f"{store_path}/corpus/__epoch={epoch_id}"
+        )
+
+    return (
+        df.writeStream.outputMode("append")
+        .foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_location)
+        .start()
+    )
+
+
+def read_bm25_index_topk(
+    spark,
+    store_path: str,
+    id_col: str = "doc_id",
+    k: int = 20,
+    n_query_terms: int = 3,
+) -> DataFrame:
+    """Score the maintained BM25 index (k1=1.2, b=0.75) against the
+    corpus's ``n_query_terms`` highest-df terms and return the top-k
+    docs — the same determinism recipe as the batch ``bm25_topk_docs``
+    (idf rounded once to e6, one identical double tree per (doc,term)
+    contribution, integer sums), so the incremental result is
+    bit-equal to a from-scratch batch compute over the union of all
+    epochs."""
+
+    def _fam(name: str) -> DataFrame:
+        return spark.read.option(
+            "basePath", f"{store_path}/{name}"
+        ).parquet(f"{store_path}/{name}/__epoch=*").drop("__epoch")
+
+    postings = _fam("postings")
+    doclen = _fam("doclen")
+    termdf = _fam("termdf").groupBy("tok").agg(
+        F.sum("df_delta").cast("bigint").alias("df")
+    )
+    stats = _fam("corpus").agg(
+        F.sum("n_docs_delta").cast("bigint").alias("n_docs"),
+        F.sum("len_sum_delta").cast("bigint").alias("len_sum"),
+    ).select(
+        "n_docs",
+        (F.col("len_sum").cast("double") / F.col("n_docs")).alias(
+            "avglen"
+        ),
+    )
+    qterms = termdf.orderBy(F.desc("df"), F.asc("tok")).limit(
+        n_query_terms
+    )
+    idf = qterms.crossJoin(F.broadcast(stats)).select(
+        "tok",
+        "df",
+        F.expr(
+            "CAST(FLOOR(ln((CAST(n_docs AS DOUBLE) - df + 0.5)"
+            " / (df + 0.5) + 1.0) * 1e6 + 0.5) AS BIGINT)"
+        ).alias("idf_e6"),
+    )
+    tf = postings.join(F.broadcast(qterms.select("tok")), "tok")
+    contrib = (
+        tf.join(F.broadcast(idf.select("tok", "idf_e6")), "tok")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(stats.select("avglen")))
+        .select(
+            id_col,
+            F.expr(
+                "CAST(FLOOR("
+                "CAST(idf_e6 AS DOUBLE) * (tf * 2.2)"
+                " / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len / avglen))"
+                " + 0.5) AS BIGINT)"
+            ).alias("c_e6"),
+        )
+    )
+    return (
+        contrib.groupBy(id_col)
+        .agg(F.sum("c_e6").cast("bigint").alias("bm25_e6"))
+        .orderBy(F.desc("bm25_e6"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def read_state_metadata(spark, checkpoint: str) -> DataFrame:
     """Operator-level metadata of a streaming checkpoint (Spark 4
     ``state-metadata`` source): which stateful operators exist, their

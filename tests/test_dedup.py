@@ -302,3 +302,70 @@ def test_hot_gram_cap_bounds_same_gram_corpus(spark):
     ).collect()
     got = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b)) for r in pairs}
     assert got == {(0, 1000), (1, 1001), (2, 1002)}
+
+
+def test_minhash_band_keys_rowwise_matches_groupby_form(spark):
+    """The stateless per-row band-key formulation (streaming-plan-safe)
+    must produce the IDENTICAL (id, band, bh) relation as the portable
+    groupBy form — same md5 base hash, permutation family, and
+    '|'-joined keys — with sentinel rows exactly where the groupBy
+    form has no rows (docs below the shingle width)."""
+    from local_stream_stack_spark.operators.dedup import (
+        minhash_band_keys,
+        minhash_band_keys_rowwise,
+        minhash_signatures_portable,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "completely different words live in this document here"),
+        (4, "two words"),      # below shingle width -> sentinel
+        (5, ""),               # empty -> sentinel
+        (6, None),             # null -> sentinel
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    want = {
+        (r.doc_id, r.band, r.bh)
+        for r in minhash_band_keys(
+            minhash_signatures_portable(
+                df, "doc_id", "text", n_hashes=32, shingle_k=3,
+                shingle="word",
+            ),
+            "doc_id",
+            bands=8,
+            rows_per_band=4,
+            portable_keys=True,
+        ).collect()
+    }
+    got_rows = minhash_band_keys_rowwise(
+        df, "doc_id", "text", n_hashes=32, shingle_k=3, shingle="word",
+        bands=8, rows_per_band=4,
+    ).collect()
+    got_real = {
+        (r.doc_id, r.band, r.bh) for r in got_rows if r.band >= 0
+    }
+    got_sentinel = {r.doc_id for r in got_rows if r.band == -1}
+    assert got_real == want
+    assert got_sentinel == {4, 5, 6}
+    # sentinel keys are unique per doc (can never collide)
+    sk = [r.bh for r in got_rows if r.band == -1]
+    assert len(sk) == len(set(sk))
+
+
+def test_minhash_band_keys_rowwise_carries_columns(spark):
+    """carry_cols rides extra columns through unchanged (the streaming
+    ingest path carries order_col this way)."""
+    from local_stream_stack_spark.operators.dedup import (
+        minhash_band_keys_rowwise,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon", 42)],
+        "doc_id long, text string, ord long",
+    )
+    out = minhash_band_keys_rowwise(
+        df, "doc_id", "text", carry_cols=("ord",)
+    ).collect()
+    assert len(out) == 8 and all(r.ord == 42 for r in out)

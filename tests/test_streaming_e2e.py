@@ -350,3 +350,261 @@ def test_stream_running_totals_tws_equals_v1(spark, sf_dir):
     want = stream_running_totals(spark, sf_dir)
     assert got.columns == want.columns
     assert _rows(got) == _rows(want)
+
+
+def _with_rocksdb_provider(spark):
+    """Context helper: set the RocksDB state-store provider and return
+    a restore callable (TWS requires it; tests restore to not leak
+    into sibling tests)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    def restore():
+        if prev is not None:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
+
+    return restore
+
+
+def test_ingest_neardup_tws_rejects_duplicates_across_epochs(spark, tmp_path):
+    """The indexed-state-store (transformWithState) near-dup twin must
+    reject exact re-texts and lightly edited copies against earlier
+    epochs and admit unrelated docs — the same contract pinned on the
+    parquet-store variant."""
+    import time
+
+    from local_stream_stack_spark.streaming.ops import (
+        ingest_neardup_stream_tws,
+        read_neardup_tws_store,
+    )
+
+    base_text = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "sleeps on the warm windowsill in the afternoon sun light"
+    )
+    edited = base_text.replace("afternoon", "evening")
+    other = (
+        "completely different content about distributed query engines "
+        "and shuffle partitioning strategies for large scale analytics"
+    )
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, base_text)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(in_dir)
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(10, base_text), (11, edited), (12, other)],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    restore = _with_rocksdb_provider(spark)
+    try:
+        q = ingest_neardup_stream_tws(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir),
+            id_col="doc_id",
+            text_col="text",
+            order_col="doc_id",
+            store_path=str(tmp_path / "store"),
+            checkpoint_location=str(tmp_path / "cp"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        restore()
+    got = {
+        r.doc_id
+        for r in read_neardup_tws_store(
+            spark, str(tmp_path / "store")
+        ).collect()
+    }
+    assert 1 in got and 12 in got
+    assert 10 not in got
+    assert 11 not in got
+
+
+def test_ingest_neardup_tws_short_and_empty_docs_admitted(spark, tmp_path):
+    """Docs with fewer words than the shingle width carry no real band
+    keys; the sentinel (band=-1, unique bh) row must flow them through
+    as always-admitted — including across epochs (each sentinel bucket
+    is unique per doc, so the seen-claim can never reject a different
+    doc)."""
+    import time
+
+    from local_stream_stack_spark.streaming.ops import (
+        ingest_neardup_stream_tws,
+        read_neardup_tws_store,
+    )
+
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "one two"), (2, "")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(in_dir)
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(10, "one two"), (11, None)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    restore = _with_rocksdb_provider(spark)
+    try:
+        q = ingest_neardup_stream_tws(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir),
+            id_col="doc_id",
+            text_col="text",
+            order_col="doc_id",
+            store_path=str(tmp_path / "store"),
+            checkpoint_location=str(tmp_path / "cp"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        restore()
+    got = {
+        r.doc_id
+        for r in read_neardup_tws_store(
+            spark, str(tmp_path / "store")
+        ).collect()
+    }
+    assert got == {1, 2, 10, 11}
+
+
+def test_bm25_incremental_index_equals_batch(spark, tmp_path):
+    """The maintained BM25 index folded across two epochs must score
+    bit-equal to the from-scratch batch query over the union corpus —
+    including docs with no [a-z] tokens (excluded from n_docs on both
+    paths) and terms spanning epochs (df deltas fold exactly)."""
+    import time
+
+    from local_stream_stack_spark.queries.llm import bm25_topk_docs
+    from local_stream_stack_spark.streaming.ops import (
+        maintain_bm25_index_stream_parquet,
+        read_bm25_index_topk,
+    )
+
+    rows1 = [
+        (1, "spark shuffles data between stages during wide joins"),
+        (2, "spark spark spark broadcast joins avoid the shuffle"),
+        (3, "12345 !!!"),  # no [a-z] tokens
+    ]
+    rows2 = [
+        (4, "data pipelines fold data into maintained data views"),
+        (5, "the shuffle is the bottleneck the optimizer removes"),
+    ]
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(rows1, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(in_dir)
+    time.sleep(1.1)
+    spark.createDataFrame(rows2, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(in_dir)
+
+    q = maintain_bm25_index_stream_parquet(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir),
+        id_col="doc_id",
+        text_col="text",
+        store_path=str(tmp_path / "store"),
+        checkpoint_location=str(tmp_path / "cp"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = [
+        (r.doc_id, r.bm25_e6)
+        for r in read_bm25_index_topk(
+            spark, str(tmp_path / "store"), k=20
+        ).collect()
+    ]
+
+    # from-scratch batch reference over the SAME corpus: write it as a
+    # documents table and run the registered batch query
+    ref_dir = str(tmp_path / "ref")
+    spark.createDataFrame(
+        rows1 + rows2, "doc_id long, text string"
+    ).write.parquet(ref_dir + "/documents.parquet")
+    want = [
+        (r.doc_id, r.bm25_e6)
+        for r in bm25_topk_docs(spark, ref_dir).collect()
+    ]
+    assert got == want
+
+
+def test_bm25_incremental_replay_is_idempotent(spark, tmp_path):
+    """Re-folding an epoch (at-least-once foreachBatch delivery) must
+    leave the index unchanged: epoch-dir overwrites, no double-counted
+    df or corpus deltas."""
+    from local_stream_stack_spark.streaming.ops import (
+        read_bm25_index_topk,
+    )
+
+    import time
+
+    from local_stream_stack_spark.streaming import ops as S
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha alpha delta")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "store")
+    in_dir = str(tmp_path / "in")
+    docs.coalesce(1).write.parquet(in_dir)
+    q = S.maintain_bm25_index_stream_parquet(
+        spark.readStream.schema("doc_id long, text string").parquet(
+            in_dir
+        ),
+        id_col="doc_id",
+        text_col="text",
+        store_path=store,
+        checkpoint_location=str(tmp_path / "cp"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    before = [
+        tuple(r)
+        for r in read_bm25_index_topk(spark, store, k=10).collect()
+    ]
+    # crash-replay simulation: a NEW stream (fresh checkpoint) re-reads
+    # the same file and re-folds it as epoch 0 — overwrite must land on
+    # the same dirs, not append
+    time.sleep(0.2)
+    q2 = S.maintain_bm25_index_stream_parquet(
+        spark.readStream.schema("doc_id long, text string").parquet(
+            in_dir
+        ),
+        id_col="doc_id",
+        text_col="text",
+        store_path=store,
+        checkpoint_location=str(tmp_path / "cp2"),
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    after = [
+        tuple(r)
+        for r in read_bm25_index_topk(spark, store, k=10).collect()
+    ]
+    assert before == after
