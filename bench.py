@@ -238,6 +238,19 @@ EXTENDED = [
     "stream_psi_monitor",
     "anova_f_segments",
     "conformal_forecast_intervals",
+    # round-10 additions (the lighter maintained-view entries land in
+    # the tier-3 sweep automatically)
+    "stream_ingest_neardup_tws",
+    "stream_bm25_incremental",
+    "stream_scd2_dimension",
+    "friedman_test_segments",
+    "levene_brown_forsythe_segments",
+    "hodges_lehmann_urgent_shift",
+    "kendall_tau_daily",
+    "seasonal_decomposition_weekday",
+    "qld_topk_docs",
+    "rrf_fusion_topk",
+    "multimodal_bmp_decode",
 ]
 
 

@@ -6881,3 +6881,435 @@ def fuzzy_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_rep")
     )
+
+
+@query(
+    "qld_topk_docs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents
+    ),
+    doclen AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len FROM tok GROUP BY doc_id
+    ),
+    ctot AS (SELECT CAST(SUM(len) AS BIGINT) AS ctot FROM doclen),
+    df AS (
+      SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+             CAST(COUNT(*) AS BIGINT) AS ctf
+      FROM tok GROUP BY tok
+    ),
+    qterms AS (
+      SELECT tok, ctf FROM df ORDER BY df DESC, tok LIMIT 3
+    ),
+    tf AS (
+      SELECT t.doc_id, t.tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok t JOIN qterms q ON t.tok = q.tok
+      GROUP BY t.doc_id, t.tok
+    ),
+    cells AS (
+      SELECT d.doc_id,
+             CAST(FLOOR(ln((COALESCE(f.tf, 0) + 100.0 * q.ctf / c.ctot)
+                           / (d.len + 100.0)) * 1e6 + 0.5) AS BIGINT)
+               AS s_e6
+      FROM doclen d
+      CROSS JOIN qterms q
+      CROSS JOIN ctot c
+      LEFT JOIN tf f ON f.doc_id = d.doc_id AND f.tok = q.tok
+    ),
+    scored AS (
+      SELECT doc_id, CAST(SUM(s_e6) AS BIGINT) AS qld_e6
+      FROM cells GROUP BY doc_id
+    )
+    SELECT doc_id, qld_e6
+    FROM scored
+    ORDER BY qld_e6 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def qld_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (mu=100)
+    against the corpus's three highest-df terms — the language-model
+    ranking function next to BM25 (`bm25_topk_docs`): every doc scores
+    EVERY query term (smoothing gives zero-tf docs mass from the
+    collection model), which is the semantic BM25's tf-only candidate
+    join cannot express. Determinism: the per-(doc,term) ln argument
+    is one double tree over exact integers (tf, ctf, doclen, corpus
+    total), the ln is rounded ONCE to e6 (the portable-transcendental
+    rule), and per-doc scores are integer sums; top-20 via
+    TakeOrderedAndProject. Scale: tokenize-scan -> hash aggregates;
+    the all-docs x 3-terms cell grid is linear in docs with a
+    broadcast term list."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("tok"),
+    )
+    doclen = tok.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("len")
+    )
+    ctot = doclen.agg(F.sum("len").cast("bigint").alias("ctot"))
+    df = tok.groupBy("tok").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df"),
+        F.count("*").cast("bigint").alias("ctf"),
+    )
+    qterms = (
+        df.orderBy(F.desc("df"), F.asc("tok"))
+        .limit(3)
+        .select("tok", "ctf")
+    )
+    tf = (
+        tok.join(F.broadcast(qterms.select("tok")), "tok")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    cells = (
+        doclen.crossJoin(F.broadcast(qterms))
+        .crossJoin(F.broadcast(ctot))
+        .join(tf, ["doc_id", "tok"], "left")
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(FLOOR(ln((COALESCE(tf, 0) + 100.0 * ctf / ctot)"
+                " / (len + 100.0)) * 1e6 + 0.5) AS BIGINT)"
+            ).alias("s_e6"),
+        )
+    )
+    return (
+        cells.groupBy("doc_id")
+        .agg(F.sum("s_e6").cast("bigint").alias("qld_e6"))
+        .orderBy(F.desc("qld_e6"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@query(
+    "rrf_fusion_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents
+    ),
+    doclen AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avglen
+      FROM doclen
+    ),
+    df AS (
+      SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY tok
+    ),
+    qterms AS (SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 3),
+    idf AS (
+      SELECT q.tok, q.df,
+             CAST(FLOOR(ln((CAST(s.n_docs AS DOUBLE) - q.df + 0.5)
+                           / (q.df + 0.5) + 1.0) * 1e6 + 0.5) AS BIGINT)
+               AS idf_e6
+      FROM qterms q CROSS JOIN stats s
+    ),
+    tf AS (
+      SELECT t.doc_id, t.tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok t JOIN qterms q ON t.tok = q.tok
+      GROUP BY t.doc_id, t.tok
+    ),
+    bm AS (
+      SELECT tf.doc_id,
+             CAST(SUM(CAST(FLOOR(
+               CAST(i.idf_e6 AS DOUBLE) * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.len / s.avglen))
+               + 0.5) AS BIGINT)) AS BIGINT) AS bm25_e6
+      FROM tf
+      JOIN idf i ON i.tok = tf.tok
+      JOIN doclen dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    ),
+    lex AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY bm25_e6 DESC, doc_id) AS rk
+      FROM bm
+      ORDER BY bm25_e6 DESC, doc_id LIMIT 100
+    ),
+    qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+    cos AS (
+      SELECT e.vec_id AS doc_id,
+             ROUND(list_reduce(list_transform(generate_series(1, len(q.v)),
+                     i -> CAST(q.v[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                   (a, b) -> a + b)
+               / (sqrt(list_reduce(list_transform(q.v,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b))
+                * sqrt(list_reduce(list_transform(e.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b))),
+               6) AS cosine_sim
+      FROM embeddings e CROSS JOIN qv q
+      WHERE e.vec_id <> 0
+    ),
+    sem AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY cosine_sim DESC, doc_id) AS rk
+      FROM cos
+      ORDER BY cosine_sim DESC, doc_id LIMIT 100
+    ),
+    fused AS (
+      SELECT doc_id, CAST(SUM(1000000 // (60 + rk)) AS BIGINT) AS rrf_score,
+             CAST(COUNT(*) AS BIGINT) AS n_lists
+      FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem) u
+      GROUP BY doc_id
+    )
+    SELECT doc_id, rrf_score, n_lists
+    FROM fused
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the lexical and semantic rankers —
+    the standard hybrid-retrieval combiner: BM25's top-100 (corpus
+    top-df terms) fused with the top-100 cosine neighbors of query
+    vector 0 via score = sum(1e6 // (60 + rank)), an exact integer, so
+    fusion is order-stable across engines. Rank assignment on the
+    Spark side never uses an ordered-global window: each top-100 list
+    ranks itself by a 100x100 broadcast self-join count (cheap,
+    bounded, audit-clean); DuckDB replays with ROW_NUMBER. Scale: both
+    rankers are the registered scale shapes; the fusion stage is
+    constant-size."""
+    from local_stream_stack_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("tok"),
+    )
+    doclen = tok.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("len")
+    )
+    stats = doclen.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.sum("len").cast("double") / F.count("*")).alias("avglen"),
+    )
+    df = tok.groupBy("tok").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    qterms = df.orderBy(F.desc("df"), F.asc("tok")).limit(3)
+    idf = qterms.crossJoin(F.broadcast(stats)).select(
+        "tok",
+        F.expr(
+            "CAST(FLOOR(ln((CAST(n_docs AS DOUBLE) - df + 0.5)"
+            " / (df + 0.5) + 1.0) * 1e6 + 0.5) AS BIGINT)"
+        ).alias("idf_e6"),
+    )
+    tf = (
+        tok.join(F.broadcast(qterms.select("tok")), "tok")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    bm = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avglen")))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(FLOOR("
+                    "CAST(idf_e6 AS DOUBLE) * (tf * 2.2)"
+                    " / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len / avglen))"
+                    " + 0.5) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("bm25_e6")
+        )
+    )
+    lex100 = bm.orderBy(F.desc("bm25_e6"), F.asc("doc_id")).limit(100)
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0)
+    cos = cosine_topk_bruteforce(
+        queries=qv,
+        corpus=e,
+        query_id="vec_id",
+        corpus_id="vec_id",
+        query_vec="embedding",
+        corpus_vec="embedding",
+        k=101,
+        round_dp=6,
+    ).filter(F.col("corpus_id") != F.col("query_id"))
+    sem100 = (
+        cos.select(
+            F.col("corpus_id").alias("doc_id"),
+            F.col("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+    def rank_small(df_, score_col):
+        a = df_.select(
+            F.col("doc_id").alias("__id"), F.col(score_col).alias("__s")
+        )
+        b = df_.select(
+            F.col("doc_id").alias("__id2"), F.col(score_col).alias("__s2")
+        )
+        return (
+            a.crossJoin(F.broadcast(b))
+            .groupBy("__id")
+            .agg(
+                (
+                    F.sum(
+                        F.expr(
+                            "CASE WHEN __s2 > __s"
+                            " OR (__s2 = __s AND __id2 < __id)"
+                            " THEN 1 ELSE 0 END"
+                        )
+                    )
+                    + 1
+                )
+                .cast("bigint")
+                .alias("rk")
+            )
+            .select(F.col("__id").alias("doc_id"), "rk")
+        )
+
+    ranked = rank_small(lex100, "bm25_e6").unionByName(
+        rank_small(sem100, "cosine_sim")
+    )
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.sum(F.expr("1000000 div (60 + rk)"))
+            .cast("bigint")
+            .alias("rrf_score"),
+            F.count("*").cast("bigint").alias("n_lists"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@query(
+    "multimodal_bmp_decode",
+    oracle="""
+    WITH f24 AS (
+      SELECT d.doc_id,
+             (d.doc_id + 3 * x.x + 7 * y.y) % 256 AS r,
+             (d.doc_id * 5 + x.x) % 256 AS g,
+             (d.doc_id * 11 + 2 * y.y) % 256 AS b
+      FROM documents d,
+           generate_series(0, 7) x(x),
+           generate_series(0, 4) y(y)
+      WHERE x.x < 3 + d.doc_id % 5 AND y.y < 2 + d.doc_id % 3
+    ),
+    frle AS (
+      SELECT d.doc_id,
+             ((d.doc_id * 19 + 5 * x.x + 7 * y.y) % 16 * 13) % 256 AS r,
+             ((d.doc_id * 19 + 5 * x.x + 7 * y.y) % 16 * 29) % 256 AS g,
+             ((d.doc_id * 19 + 5 * x.x + 7 * y.y) % 16 * 7 + 3) % 256 AS b
+      FROM documents d,
+           generate_series(0, 5) x(x),
+           generate_series(0, 4) y(y)
+      WHERE x.x < 4 + d.doc_id % 3 AND y.y < 3 + d.doc_id % 2
+    ),
+    px AS (SELECT * FROM f24 UNION ALL SELECT * FROM frle)
+    SELECT doc_id,
+           CAST(2 AS INT) AS n_images,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(r) AS BIGINT) AS r_sum,
+           CAST(SUM(g) AS BIGINT) AS g_sum,
+           CAST(SUM(b) AS BIGINT) AS b_sum,
+           CAST(MIN(r) AS INT) AS r_min,
+           CAST(MAX(r) AS INT) AS r_max
+    FROM px
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-bytes BMP decode end to end: per doc a 24-bit BMP
+    (bottom-up rows, 4-byte padding, BGR order — doc-varying dims so
+    padded and pad-free strides both occur) AND an 8-bit RLE8 BMP
+    (an actual run-length decompression: runs, end-of-line /
+    end-of-bitmap escapes, word-aligned absolute mode — the codec in
+    ``operators/bmp.py``, hand-crafted-stream-pinned in
+    tests/test_bmp.py including the delta jumps the encoder never
+    emits) are encoded and decoded inside one Arrow-batched
+    mapInPandas pass. BMP is lossless, so the oracle recomputes the
+    decoded channel statistics purely arithmetically from the
+    closed-form pixel formulas — a defect in stride, row order,
+    channel swap, palette lookup, or RLE reassembly breaks the sums.
+    Same fan-out note as JPEG/GIF: the id column is repartitioned
+    because the testdata table is one small file."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def run(batches):
+        import pandas as pd
+
+        from local_stream_stack_spark.operators.bmp import (
+            decode_image_bmp,
+            encode_bmp24,
+            encode_bmp_rle8,
+        )
+
+        pal = bytes(
+            v
+            for i in range(16)
+            for v in ((i * 13) % 256, (i * 29) % 256, (i * 7 + 3) % 256)
+        )
+        cols = [
+            "doc_id", "n_images", "n_px",
+            "r_sum", "g_sum", "b_sum", "r_min", "r_max",
+        ]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w1, h1 = 3 + did % 5, 2 + did % 3
+                rgb = bytes(
+                    v
+                    for y in range(h1)
+                    for x in range(w1)
+                    for v in (
+                        (did + 3 * x + 7 * y) % 256,
+                        (did * 5 + x) % 256,
+                        (did * 11 + 2 * y) % 256,
+                    )
+                )
+                w2, h2 = 4 + did % 3, 3 + did % 2
+                idx = bytes(
+                    (did * 19 + 5 * x + 7 * y) % 16
+                    for y in range(h2)
+                    for x in range(w2)
+                )
+                a = decode_image_bmp(encode_bmp24(w1, h1, rgb))
+                b = decode_image_bmp(encode_bmp_rle8(w2, h2, idx, pal))
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_images": 2,
+                        "n_px": a["n_px"] + b["n_px"],
+                        "r_sum": a["r_sum"] + b["r_sum"],
+                        "g_sum": a["g_sum"] + b["g_sum"],
+                        "b_sum": a["b_sum"] + b["b_sum"],
+                        "r_min": min(a["r_min"], b["r_min"]),
+                        "r_max": max(a["r_max"], b["r_max"]),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return d.mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, n_images int, n_px bigint, r_sum bigint,"
+            " g_sum bigint, b_sum bigint, r_min int, r_max int"
+        ),
+    ).orderBy("doc_id")

@@ -3982,3 +3982,606 @@ def conformal_forecast_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div NULLIF(n_test, 0) AS BIGINT)"
         ).alias("coverage_e6"),
     )
+
+
+@query(
+    "friedman_test_segments",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS di,
+             c.c_mktsegment AS segment,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    kk AS (SELECT CAST(COUNT(DISTINCT segment) AS BIGINT) AS k FROM cells),
+    full_days AS (
+      SELECT di FROM cells CROSS JOIN kk GROUP BY di, k HAVING COUNT(*) = k
+    ),
+    r AS (
+      SELECT c.di, c.segment,
+             CAST(2 * RANK() OVER (PARTITION BY c.di ORDER BY c.rev_c)
+                  + COUNT(*) OVER (PARTITION BY c.di, c.rev_c) - 1
+                  AS BIGINT) AS r2
+      FROM cells c JOIN full_days f ON c.di = f.di
+    ),
+    rs AS (
+      SELECT segment, CAST(SUM(r2) AS BIGINT) AS rank2_sum
+      FROM r GROUP BY segment
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM full_days),
+    sq AS (SELECT CAST(SUM(rank2_sum * rank2_sum) AS BIGINT) AS s2 FROM rs)
+    SELECT rs.segment, rs.rank2_sum, t.n_days,
+           CAST(FLOOR((3.0 * q.s2
+                       / (CAST(t.n_days AS DOUBLE) * kk.k * (kk.k + 1))
+                       - 3.0 * t.n_days * (kk.k + 1)) * 1e6 + 0.5)
+                AS BIGINT) AS friedman_chi2_e6
+    FROM rs CROSS JOIN tot t CROSS JOIN sq q CROSS JOIN kk
+    ORDER BY rs.segment
+    """,
+)
+def friedman_test_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test: do the k market segments differ in daily
+    revenue, treating each calendar day as a block? The k-related-
+    samples NONPARAMETRIC member of the statistics family (ANOVA F is
+    its parametric sibling; Mann-Whitney handles k=2 unblocked). Days
+    missing any segment are dropped (complete blocks only); within a
+    block the k revenues get doubled average ranks (2*rank + ties - 1
+    — integer-exact, the house doubled-rank idiom) via PARTITIONED
+    windows over k-row blocks; the chi-square is ONE double tree over
+    the exact integer rank sums, rounded once to e6. Scale: one
+    broadcast dim join + one hash aggregate to the (day, segment)
+    grid; every window partition is exactly k rows."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.unix_date(F.col("o_orderdate").cast("date"))
+            .cast("bigint")
+            .alias("di"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev_c")
+        )
+    )
+    kk = cells.agg(
+        F.countDistinct("segment").cast("bigint").alias("k")
+    )
+    full_days = (
+        cells.crossJoin(F.broadcast(kk))
+        .groupBy("di", "k")
+        .agg(F.count("*").alias("__cnt"))
+        .filter(F.col("__cnt") == F.col("k"))
+        .select("di")
+    )
+    wd = Window.partitionBy("di").orderBy("rev_c")
+    we = Window.partitionBy("di", "rev_c")
+    r = (
+        cells.join(full_days, "di")
+        .select(
+            "segment",
+            (
+                2 * F.rank().over(wd) + F.count("*").over(we) - 1
+            ).cast("bigint").alias("r2"),
+        )
+    )
+    rs = r.groupBy("segment").agg(
+        F.sum("r2").cast("bigint").alias("rank2_sum")
+    )
+    tot = full_days.agg(F.count("*").cast("bigint").alias("n_days"))
+    sq = rs.agg(
+        F.sum(F.col("rank2_sum") * F.col("rank2_sum"))
+        .cast("bigint")
+        .alias("s2")
+    )
+    return (
+        rs.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(sq))
+        .crossJoin(F.broadcast(kk))
+        .select(
+            "segment",
+            "rank2_sum",
+            "n_days",
+            F.expr(
+                "CAST(FLOOR((3.0 * s2"
+                " / (CAST(n_days AS DOUBLE) * k * (k + 1))"
+                " - 3.0 * n_days * (k + 1)) * 1e6 + 0.5) AS BIGINT)"
+            ).alias("friedman_chi2_e6"),
+        )
+        .orderBy("segment")
+    )
+
+
+@query(
+    "levene_brown_forsythe_segments",
+    oracle="""
+    WITH base AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    vals AS (
+      SELECT segment, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM base GROUP BY segment, cents
+    ),
+    cum AS (
+      SELECT segment, cents, cnt,
+             SUM(cnt) OVER (PARTITION BY segment ORDER BY cents) AS cw,
+             SUM(cnt) OVER (PARTITION BY segment) AS n
+      FROM vals
+    ),
+    med AS (
+      SELECT segment,
+             MIN(CASE WHEN cw >= (n + 1) // 2 THEN cents END)
+               + MIN(CASE WHEN cw >= n // 2 + 1 THEN cents END) AS med2
+      FROM cum GROUP BY segment
+    ),
+    z AS (
+      SELECT b.segment, abs(2 * b.cents - m.med2) AS z
+      FROM base b JOIN med m ON b.segment = m.segment
+    ),
+    g AS (
+      SELECT segment,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(z) AS HUGEINT) AS s,
+             CAST(SUM(CAST(z AS HUGEINT) * z) AS HUGEINT) AS ss
+      FROM z GROUP BY segment
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(s) AS HUGEINT) AS st,
+             CAST(SUM(ss) AS HUGEINT) AS sst
+      FROM g
+    ),
+    parts AS (
+      SELECT t.nn, t.k,
+             CAST(SUM(CAST(ROUND(CAST(g.s AS DOUBLE) * g.s / g.n)
+                           AS HUGEINT)) AS DOUBLE)
+               - CAST(t.st AS DOUBLE) * t.st / t.nn AS ssb,
+             CAST(t.sst AS DOUBLE)
+               - CAST(SUM(CAST(ROUND(CAST(g.s AS DOUBLE) * g.s / g.n)
+                             AS HUGEINT)) AS DOUBLE) AS ssw
+      FROM g CROSS JOIN tot t
+      GROUP BY t.nn, t.k, t.st, t.sst
+    )
+    SELECT nn AS n_rows, k AS n_groups,
+           CASE WHEN k > 1 AND nn > k THEN
+             CAST(FLOOR(
+               (ssb / (k - 1.0)) / NULLIF(ssw / (nn - CAST(k AS DOUBLE)), 0.0)
+               * 1e6 + 0.5) AS BIGINT)
+           END AS bf_stat_e6
+    FROM parts
+    """,
+)
+def levene_brown_forsythe_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (Levene's test with group MEDIANS): do the
+    market segments differ in order-value SPREAD, not just location?
+    The variance-homogeneity check that decides whether the plain
+    ANOVA F (`anova_f_segments`) is trustworthy — exactly the audit a
+    stats family should carry alongside the test itself. Per-group
+    doubled medians come from the distributed-rank cumulative counts
+    over DISTINCT cents values (never a per-group row sort); the
+    absolute deviations |2x - med2| stay integers, and the one-way F
+    over them reuses the exact-moment-sum recipe (per-group s²/n
+    rounded once, one double tree, e6). Scale: two hash aggregates +
+    a broadcast of k medians; rank stats track distinct values."""
+    from local_stream_stack_spark.operators.quantiles import (
+        with_global_rank,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    vals = base.groupBy("segment", "cents").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    ranked = with_global_rank(
+        vals,
+        "cents",
+        keys=["segment"],
+        out_rank="__rn",
+        cumsum={"cnt": "cw"},
+        acc_type="BIGINT",
+        bins=64,
+    )
+    ng = vals.groupBy("segment").agg(
+        F.sum("cnt").cast("bigint").alias("n")
+    )
+    med = (
+        ranked.join(F.broadcast(ng), "segment")
+        .groupBy("segment")
+        .agg(
+            (
+                F.min(
+                    F.expr(
+                        "CASE WHEN cw >= (n + 1) div 2 THEN cents END"
+                    )
+                )
+                + F.min(
+                    F.expr(
+                        "CASE WHEN cw >= n div 2 + 1 THEN cents END"
+                    )
+                )
+            ).alias("med2")
+        )
+    )
+    z = base.join(F.broadcast(med), "segment").select(
+        "segment",
+        F.abs(2 * F.col("cents") - F.col("med2")).alias("z"),
+    )
+    g = z.groupBy("segment").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("z").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.col("z").cast("decimal(38,0)") * F.col("z")).alias("ss"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("s").cast("decimal(38,0)").alias("st"),
+        F.sum("ss").cast("decimal(38,0)").alias("sst"),
+    )
+    parts = (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("nn", "k", "st", "sst")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(ROUND(CAST(s AS DOUBLE) * s / n)"
+                " AS DECIMAL(38,0))) AS DOUBLE)"
+                " - CAST(st AS DOUBLE) * st / nn"
+            ).alias("ssb"),
+            F.expr(
+                "CAST(sst AS DOUBLE)"
+                " - CAST(SUM(CAST(ROUND(CAST(s AS DOUBLE) * s / n)"
+                " AS DECIMAL(38,0))) AS DOUBLE)"
+            ).alias("ssw"),
+        )
+    )
+    return parts.select(
+        F.col("nn").alias("n_rows"),
+        F.col("k").alias("n_groups"),
+        F.expr(
+            """CASE WHEN k > 1 AND nn > k THEN
+                 CAST(FLOOR(
+                   (ssb / (k - 1.0))
+                   / NULLIF(ssw / (nn - CAST(k AS DOUBLE)), 0.0)
+                   * 1e6 + 0.5) AS BIGINT)
+               END"""
+        ).alias("bf_stat_e6"),
+    )
+
+
+@query(
+    "hodges_lehmann_urgent_shift",
+    oracle="""
+    WITH xd AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS di,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+    ),
+    yd AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS di,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders WHERE o_orderpriority <> '1-URGENT' GROUP BY 1
+    ),
+    vals AS (
+      SELECT x.rev_c - y.rev_c AS d, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM xd x CROSS JOIN yd y
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT d, cnt,
+             SUM(cnt) OVER (ORDER BY d) AS cw,
+             SUM(cnt) OVER () AS m
+      FROM vals
+    ),
+    med AS (
+      SELECT CAST(MAX(m) AS BIGINT) AS n_pairs,
+             MIN(CASE WHEN cw >= (m + 1) // 2 THEN d END)
+               + MIN(CASE WHEN cw >= m // 2 + 1 THEN d END) AS med2
+      FROM cum
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM xd) AS n_x,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM yd) AS n_y,
+           n_pairs,
+           CAST(med2 AS BIGINT) AS hl_shift2_cents
+    FROM med
+    """,
+)
+def hodges_lehmann_urgent_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann location-shift estimator between urgent and
+    non-urgent DAILY revenue: the median of all pairwise differences —
+    the robust effect-size companion to the Mann-Whitney test (which
+    only says WHETHER the distributions differ, not by how much).
+    Day-grain collapse first, so the quadratic pair stage is
+    |days_x|*|days_y| via a broadcast nested-loop cross join (bounded
+    by the calendar, never corpus rows); pair differences collapse to
+    DISTINCT values with counts, and the doubled median (exact even-n
+    averaging without leaving integers) is picked from the
+    distributed-rank cumulative weights. Everything is integer cents
+    end to end."""
+    from local_stream_stack_spark.operators.quantiles import (
+        with_global_rank,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+
+    def daily(pred: str):
+        return (
+            o.filter(F.expr(pred))
+            .groupBy(
+                F.unix_date(F.col("o_orderdate").cast("date"))
+                .cast("bigint")
+                .alias("di")
+            )
+            .agg(
+                F.sum(
+                    F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+                )
+                .cast("bigint")
+                .alias("rev_c")
+            )
+        )
+
+    xd = daily("o_orderpriority = '1-URGENT'")
+    yd = daily("o_orderpriority <> '1-URGENT'")
+    vals = (
+        xd.select(F.col("rev_c").alias("xr"))
+        .crossJoin(F.broadcast(yd.select(F.col("rev_c").alias("yr"))))
+        .groupBy((F.col("xr") - F.col("yr")).alias("d"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    ranked = with_global_rank(
+        vals,
+        "d",
+        out_rank="__rn",
+        cumsum={"cnt": "cw"},
+        acc_type="BIGINT",
+        bins=128,
+    )
+    m = vals.agg(F.sum("cnt").cast("bigint").alias("m"))
+    med = (
+        ranked.crossJoin(F.broadcast(m))
+        .agg(
+            F.max("m").cast("bigint").alias("n_pairs"),
+            (
+                F.min(
+                    F.expr("CASE WHEN cw >= (m + 1) div 2 THEN d END")
+                )
+                + F.min(
+                    F.expr("CASE WHEN cw >= m div 2 + 1 THEN d END")
+                )
+            )
+            .cast("bigint")
+            .alias("hl_shift2_cents"),
+        )
+    )
+    nx = xd.agg(F.count("*").cast("bigint").alias("n_x"))
+    ny = yd.agg(F.count("*").cast("bigint").alias("n_y"))
+    return (
+        nx.crossJoin(F.broadcast(ny))
+        .crossJoin(F.broadcast(med))
+        .select("n_x", "n_y", "n_pairs", "hl_shift2_cents")
+    )
+
+
+@query(
+    "kendall_tau_daily",
+    oracle="""
+    WITH days AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS di,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c,
+             CAST(COUNT(*) AS BIGINT) AS n_ord
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT b.rev_c - a.rev_c AS dx, b.n_ord - a.n_ord AS dy
+      FROM days a JOIN days b ON b.di > a.di
+    ),
+    agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN (dx > 0 AND dy > 0) OR (dx < 0 AND dy < 0)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        CAST(SUM(CASE WHEN (dx > 0 AND dy < 0) OR (dx < 0 AND dy > 0)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+        CAST(SUM(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+        CAST(SUM(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+        CAST(COUNT(*) AS BIGINT) AS n0
+      FROM pairs
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM days) AS n_days,
+           n0 AS n_pairs, nc, nd,
+           CAST(FLOOR((nc - nd)
+                / NULLIF(SQRT(CAST(n0 - tx AS DOUBLE) * (n0 - ty)), 0.0)
+                * 1e6 + 0.5) AS BIGINT) AS tau_b_e6
+    FROM agg
+    """,
+)
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between daily revenue and daily
+    order count — the concordance member of the correlation family
+    (Pearson via `corr_matrix_lineitem`, Spearman via
+    `spearman_qty_price`); tau-b's pair semantics make it robust to
+    ties and monotone transforms. Day-grain collapse first; the
+    quadratic pair stage is |days|² via broadcast theta-join
+    (calendar-bounded); concordant/discordant/tie counts are exact
+    integers, and tau-b is one double tree (the only irrational is a
+    single correctly-rounded sqrt), rounded once to e6."""
+    o = _t(spark, sf_dir, "orders")
+    days = (
+        o.groupBy(
+            F.unix_date(F.col("o_orderdate").cast("date"))
+            .cast("bigint")
+            .alias("di")
+        )
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev_c"),
+            F.count("*").cast("bigint").alias("n_ord"),
+        )
+    )
+    a = days.select(
+        F.col("di").alias("dia"),
+        F.col("rev_c").alias("ra"),
+        F.col("n_ord").alias("oa"),
+    )
+    b = days.select(
+        F.col("di").alias("dib"),
+        F.col("rev_c").alias("rb"),
+        F.col("n_ord").alias("ob"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("dib") > F.col("dia")).select(
+        (F.col("rb") - F.col("ra")).alias("dx"),
+        (F.col("ob") - F.col("oa")).alias("dy"),
+    )
+    agg = pairs.agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN (dx > 0 AND dy > 0) OR (dx < 0 AND dy < 0)"
+                " THEN 1 ELSE 0 END"
+            )
+        ).cast("bigint").alias("nc"),
+        F.sum(
+            F.expr(
+                "CASE WHEN (dx > 0 AND dy < 0) OR (dx < 0 AND dy > 0)"
+                " THEN 1 ELSE 0 END"
+            )
+        ).cast("bigint").alias("nd"),
+        F.sum(F.expr("CASE WHEN dx = 0 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("tx"),
+        F.sum(F.expr("CASE WHEN dy = 0 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("ty"),
+        F.count("*").cast("bigint").alias("n0"),
+    )
+    nd_ = days.agg(F.count("*").cast("bigint").alias("n_days"))
+    return (
+        nd_.crossJoin(F.broadcast(agg))
+        .select(
+            "n_days",
+            F.col("n0").alias("n_pairs"),
+            "nc",
+            "nd",
+            F.expr(
+                "CAST(FLOOR((nc - nd)"
+                " / NULLIF(SQRT(CAST(n0 - tx AS DOUBLE) * (n0 - ty)), 0.0)"
+                " * 1e6 + 0.5) AS BIGINT)"
+            ).alias("tau_b_e6"),
+        )
+    )
+
+
+@query(
+    "seasonal_decomposition_weekday",
+    oracle="""
+    WITH days AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS di,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    nb AS (
+      SELECT d.di, d.rev_c,
+             CAST(COUNT(*) AS BIGINT) AS n_nb,
+             CAST(SUM(n.rev_c) AS BIGINT) AS trend7
+      FROM days d
+      JOIN days n ON n.di BETWEEN d.di - 3 AND d.di + 3
+      GROUP BY d.di, d.rev_c
+    ),
+    detr AS (
+      SELECT isodow(DATE '1970-01-01' + CAST(di AS INT)) AS isodow,
+             7 * rev_c - trend7 AS detr7
+      FROM nb WHERE n_nb = 7
+    )
+    SELECT CAST(isodow AS BIGINT) AS isodow,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(FLOOR(CAST(SUM(detr7) AS DOUBLE) / (7.0 * COUNT(*))
+                      * 1e6 + 0.5) AS BIGINT) AS seasonal_e6_cents
+    FROM detr
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def seasonal_decomposition_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of daily revenue at the
+    weekday period: a centered 7-day moving-average trend (only days
+    with a complete +/-3 neighborhood), then the mean detrended value
+    per ISO weekday — the day-of-week seasonal profile a forecasting
+    pipeline subtracts before modeling (the seasonal-naive backtest's
+    structural sibling). Integer recipe: the trend stays an exact
+    7-day SUM (never a float mean), the detrended series is
+    7*rev - trend7 (exact cents), and only the final per-weekday mean
+    is one double division rounded to e6. The 7-day neighborhood is an
+    equi-join on exploded day offsets against the broadcast day grain
+    — no ordered-global window anywhere. ISO weekday via the portable
+    idiom (Spark weekday()+1 == DuckDB isodow)."""
+    o = _t(spark, sf_dir, "orders")
+    days = (
+        o.groupBy(
+            F.unix_date(F.col("o_orderdate").cast("date"))
+            .cast("bigint")
+            .alias("di")
+        )
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev_c")
+        )
+    )
+    nbr = days.select(
+        F.col("di").alias("dj"), F.col("rev_c").alias("rev_j")
+    )
+    expanded = days.select(
+        "di",
+        "rev_c",
+        F.explode(F.sequence(F.lit(-3), F.lit(3))).alias("off"),
+    ).withColumn("dj", F.col("di") + F.col("off"))
+    nb = (
+        expanded.join(F.broadcast(nbr), "dj")
+        .groupBy("di", "rev_c")
+        .agg(
+            F.count("*").cast("bigint").alias("n_nb"),
+            F.sum("rev_j").cast("bigint").alias("trend7"),
+        )
+        .filter(F.col("n_nb") == 7)
+    )
+    detr = nb.select(
+        (
+            F.weekday(
+                F.date_add(F.lit("1970-01-01").cast("date"), F.col("di").cast("int"))
+            )
+            + 1
+        )
+        .cast("bigint")
+        .alias("isodow"),
+        (7 * F.col("rev_c") - F.col("trend7")).alias("detr7"),
+    )
+    return (
+        detr.groupBy("isodow")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.expr(
+                "CAST(FLOOR(CAST(SUM(detr7) AS DOUBLE) / (7.0 * COUNT(*))"
+                " * 1e6 + 0.5) AS BIGINT)"
+            ).alias("seasonal_e6_cents"),
+        )
+        .orderBy("isodow")
+    )

@@ -991,6 +991,491 @@ def stream_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_scd2_dimension",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us,
+             event_id
+      FROM events
+    ),
+    flags AS (
+      SELECT user_id, event_type, ts_us, event_id,
+             CASE WHEN LAG(event_type) OVER (
+                    PARTITION BY user_id ORDER BY ts_us, event_id)
+                  IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS is_new
+      FROM ev
+    ),
+    runs AS (
+      SELECT user_id, event_type, ts_us, event_id,
+             SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id) AS run_id
+      FROM flags
+    ),
+    grp AS (
+      SELECT user_id, run_id,
+             MIN(event_type) AS event_type,
+             CAST(MIN(ts_us) AS BIGINT) AS valid_from_us
+      FROM runs GROUP BY user_id, run_id
+    ),
+    hist AS (
+      SELECT user_id, event_type, valid_from_us,
+             CAST(LEAD(valid_from_us) OVER (
+               PARTITION BY user_id ORDER BY run_id) AS BIGINT)
+               AS valid_to_us
+      FROM grp
+    )
+    SELECT user_id, event_type, valid_from_us, valid_to_us
+    FROM hist
+    ORDER BY user_id, valid_from_us
+    """,
+)
+def stream_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE maintained TYPE-2 dimension: the event stream (split into
+    two event-time epochs) folds into each user's full event-type
+    validity history through ``scd2_dimension_stream_parquet`` — the
+    classic warehouse SCD-2 loader as an incrementally maintained
+    view, including the cross-epoch carry (a run that spans the epoch
+    boundary keeps its original valid_from; a changed attribute closes
+    the previous open tail at the new run's start). The result must
+    hash-match the from-scratch batch gaps-and-islands over the whole
+    stream — the strongest split-invariance check in the maintained-
+    view tier because the fold algebra is a stateful carry, not an
+    additive sum."""
+    from local_stream_stack_spark.catalog import load_table
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        epoch_us(F.col("ts")).cast("bigint").alias("ts_us"),
+        "event_id",
+    )
+    mid = ev.agg(
+        ((F.min("ts_us") + F.max("ts_us")) / 2).cast("bigint").alias("m")
+    ).collect()[0].m
+    base = ephemeral_dir(prefix="stream-e2e-scd2-")
+    in_dir = os.path.join(base, "in")
+    view = os.path.join(base, "view")
+    cp = os.path.join(base, "cp")
+    _stage_ordered(
+        in_dir,
+        lambda: ev.filter(F.col("ts_us") <= mid)
+        .coalesce(1)
+        .write.parquet(in_dir),
+        lambda: ev.filter(F.col("ts_us") > mid)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(in_dir),
+    )
+    from local_stream_stack_spark.streaming.ops import (
+        read_scd2_dimension,
+        scd2_dimension_stream_parquet,
+    )
+
+    q = scd2_dimension_stream_parquet(
+        spark.readStream.schema(
+            "user_id bigint, event_type string, ts_us bigint,"
+            " event_id bigint"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir),
+        key_col="user_id",
+        attr_col="event_type",
+        ts_col="ts_us",
+        tiebreak_col="event_id",
+        target_path=view,
+        checkpoint_location=cp,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        read_scd2_dimension(spark, view)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("valid_from").alias("valid_from_us"),
+            F.col("valid_to").alias("valid_to_us"),
+        )
+        .orderBy("user_id", "valid_from_us")
+    )
+
+
+@query(
+    "stream_kmv_distinct_incremental",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT
+             CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) + 1 AS h
+      FROM events
+    ),
+    topk AS (SELECT h FROM h ORDER BY h LIMIT 64)
+    SELECT CAST(COUNT(*) AS INT) AS k_used,
+           CAST(MAX(h) AS BIGINT) AS kth_hash,
+           CAST(CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+                     ELSE CAST(ROUND(270582939648.0 / MAX(h)) AS BIGINT)
+                END AS BIGINT) AS est_distinct
+    FROM topk
+    """,
+)
+def stream_kmv_distinct_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE maintained cardinality sketch: the event stream folds into
+    a K-minimum-values view (k=64, <= 64 rows written per epoch no
+    matter the batch size), and the final merged sketch must equal the
+    from-scratch sketch of the whole stream — KMV's exact-merge
+    property (sketch(A ∪ B) == merge of the parts, pinned in
+    tests/test_sketches.py) is what makes distinct-count a maintainable
+    view at all; additive counters can't answer it. Same portable md5
+    estimator as `kmv_distinct_rollup`. At 100 TB the per-epoch delta
+    stays k rows — the cheapest maintained view in the catalog."""
+    from local_stream_stack_spark.catalog import load_table
+    from local_stream_stack_spark.streaming.ops import (
+        kmv_view_stream_parquet,
+        read_kmv_view,
+    )
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    base = ephemeral_dir(prefix="stream-e2e-kmv-")
+    in_dir = os.path.join(base, "in")
+    view = os.path.join(base, "view")
+    cp = os.path.join(base, "cp")
+    _stage_ordered(
+        in_dir,
+        lambda: ev.filter(F.col("event_id") % 2 == 0)
+        .coalesce(1)
+        .write.parquet(in_dir),
+        lambda: ev.filter(F.col("event_id") % 2 == 1)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(in_dir),
+    )
+    q = kmv_view_stream_parquet(
+        spark.readStream.schema("event_id bigint, user_id bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir),
+        key_col="user_id",
+        target_path=view,
+        checkpoint_location=cp,
+        k=64,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_kmv_view(spark, view, k=64)
+
+
+@query(
+    "stream_unigram_lm_incremental",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents
+    ),
+    cnts AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY tok
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS vocab
+      FROM cnts
+    )
+    SELECT c.tok, c.cnt,
+           CAST(FLOOR(ln((c.cnt + 1.0) / (t.total + t.vocab)) * 1e6 + 0.5)
+                AS BIGINT) AS logp_e6
+    FROM cnts c CROSS JOIN tot t
+    ORDER BY c.cnt DESC, c.tok
+    LIMIT 20
+    """,
+)
+def stream_unigram_lm_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE maintained unigram language model: documents stream in two
+    halves, each epoch tokenized once into additive (token, count)
+    deltas through the generic `aggregate_view_stream_parquet`
+    operator; the Laplace-smoothed log-probabilities of the top-20
+    tokens are then computed from the FOLDED view — total tokens and
+    vocabulary size both derive from the maintained counts, never from
+    re-reading text — and must hash-match the from-scratch batch LM.
+    The ln is rounded once to e6 over a one-double-tree of exact
+    integers (the portable-transcendental rule)."""
+    from local_stream_stack_spark.catalog import load_table
+    from local_stream_stack_spark.streaming.ops import (
+        aggregate_view_stream_parquet,
+        read_aggregate_view,
+    )
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = ephemeral_dir(prefix="stream-e2e-unigram-")
+    in_dir = os.path.join(base, "in")
+    view = os.path.join(base, "view")
+    cp = os.path.join(base, "cp")
+    _stage_ordered(
+        in_dir,
+        lambda: docs.filter(F.col("doc_id") % 2 == 0)
+        .coalesce(1)
+        .write.parquet(in_dir),
+        lambda: docs.filter(F.col("doc_id") % 2 == 1)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(in_dir),
+    )
+    stream_toks = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("tok")
+        )
+    )
+    q = aggregate_view_stream_parquet(
+        stream_toks,
+        keys=["tok"],
+        sum_cols=[],
+        target_path=view,
+        checkpoint_location=cp,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    cnts = read_aggregate_view(spark, view).select(
+        "tok", F.col("n_rows").cast("bigint").alias("cnt")
+    )
+    tot = cnts.agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("vocab"),
+    )
+    return (
+        cnts.crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            "cnt",
+            F.expr(
+                "CAST(FLOOR(ln((cnt + 1.0) / (total + vocab))"
+                " * 1e6 + 0.5) AS BIGINT)"
+            ).alias("logp_e6"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(20)
+    )
+
+
+@query(
+    "stream_corpus_card_incremental",
+    oracle="""
+    WITH card AS (
+      SELECT lang, source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             CAST(SUM(len(list_filter(regexp_split_to_array(trim(text),
+                    '\\s+'), x -> len(x) > 0))) AS BIGINT) AS sum_tokens
+      FROM documents
+      GROUP BY lang, source
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM card)
+    SELECT c.lang, c.source, c.n_docs, c.sum_chars, c.sum_tokens,
+           CAST(CAST(c.n_docs AS HUGEINT) * 1000000
+                // NULLIF(CAST(t.total AS HUGEINT), 0) AS BIGINT)
+             AS share_e6
+    FROM card c CROSS JOIN tot t
+    ORDER BY c.lang, c.source
+    """,
+)
+def stream_corpus_card_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE maintained dataset card: the per-(lang, source) corpus
+    statistics a curation pipeline publishes (doc counts, char and
+    token volume, corpus share) maintained as additive epoch deltas
+    while documents stream in — the card is always current without
+    rescanning the corpus, which is how a 100 TB ingest actually
+    reports itself. Token counts fold exactly (whitespace tokens per
+    doc are computed once at ingest); the share uses the
+    overflow-safe scaled-integer division idiom."""
+    from local_stream_stack_spark.catalog import load_table
+    from local_stream_stack_spark.streaming.ops import (
+        aggregate_view_stream_parquet,
+        read_aggregate_view,
+    )
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    base = ephemeral_dir(prefix="stream-e2e-card-")
+    in_dir = os.path.join(base, "in")
+    view = os.path.join(base, "view")
+    cp = os.path.join(base, "cp")
+    _stage_ordered(
+        in_dir,
+        lambda: docs.filter(F.col("doc_id") % 2 == 0)
+        .coalesce(1)
+        .write.parquet(in_dir),
+        lambda: docs.filter(F.col("doc_id") % 2 == 1)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(in_dir),
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string,"
+            " source string, n_chars bigint"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .select(
+            "lang",
+            "source",
+            F.col("n_chars").alias("chars"),
+            F.size(
+                F.filter(
+                    F.split(F.trim(F.col("text")), r"\s+"),
+                    lambda t: F.length(t) > 0,
+                )
+            )
+            .cast("bigint")
+            .alias("toks"),
+        )
+    )
+    q = aggregate_view_stream_parquet(
+        stream,
+        keys=["lang", "source"],
+        sum_cols=["chars", "toks"],
+        target_path=view,
+        checkpoint_location=cp,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    card = read_aggregate_view(spark, view).select(
+        "lang",
+        "source",
+        F.col("n_rows").cast("bigint").alias("n_docs"),
+        F.col("sum_chars").cast("bigint").alias("sum_chars"),
+        F.col("sum_toks").cast("bigint").alias("sum_tokens"),
+    )
+    tot = card.agg(F.sum("n_docs").cast("bigint").alias("total"))
+    return (
+        card.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "sum_chars",
+            "sum_tokens",
+            F.expr(
+                "CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000"
+                " div NULLIF(total, 0) AS BIGINT)"
+            ).alias("share_e6"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@query(
+    "stream_embedding_centroids_incremental",
+    oracle="""
+    WITH cells AS (
+      SELECT label, u.p AS pos,
+             CAST(FLOOR(CAST(u.x AS DOUBLE) * 1000000) AS BIGINT) AS x_e6
+      FROM embeddings,
+           unnest(list_transform(generate_series(1, len(embedding)),
+                  i -> {'p': i - 1, 'x': embedding[i]})) t(u)
+    )
+    SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(FLOOR(CAST(SUM(x_e6) AS DOUBLE) / COUNT(*) + 0.5)
+                AS BIGINT) AS mean_e6
+    FROM cells
+    GROUP BY label, pos
+    ORDER BY label, pos
+    """,
+)
+def stream_embedding_centroids_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE maintained per-label embedding centroids: vectors stream
+    in two halves and fold into additive (label, dimension) sums of
+    e6-quantized components — the running class centroids a curation
+    pipeline needs for drift checks and nearest-centroid routing,
+    maintained without re-reading any vector. Quantize-once-then-
+    integer-sum makes the fold exact whatever the micro-batch split;
+    the final mean is one double division rounded half-up. Spark-4
+    note: posexplode rides its own select stage (the analyzer loses
+    literal struct field names when a generator shares a select with
+    struct access)."""
+    from local_stream_stack_spark.catalog import load_table
+    from local_stream_stack_spark.streaming.ops import (
+        aggregate_view_stream_parquet,
+        read_aggregate_view,
+    )
+
+    configure_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    base = ephemeral_dir(prefix="stream-e2e-centroid-")
+    in_dir = os.path.join(base, "in")
+    view = os.path.join(base, "view")
+    cp = os.path.join(base, "cp")
+    _stage_ordered(
+        in_dir,
+        lambda: emb.filter(F.col("vec_id") % 2 == 0)
+        .coalesce(1)
+        .write.parquet(in_dir),
+        lambda: emb.filter(F.col("vec_id") % 2 == 1)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(in_dir),
+    )
+    exploded = (
+        spark.readStream.schema(
+            "vec_id bigint, embedding array<float>, label int"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            F.posexplode(F.col("embedding")).alias("pos", "x"),
+        )
+        .select(
+            "label",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.expr("CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)")
+            .alias("x_e6"),
+        )
+    )
+    q = aggregate_view_stream_parquet(
+        exploded,
+        keys=["label", "pos"],
+        sum_cols=["x_e6"],
+        target_path=view,
+        checkpoint_location=cp,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        read_aggregate_view(spark, view)
+        .select(
+            "label",
+            "pos",
+            F.col("n_rows").cast("bigint").alias("n_vecs"),
+            F.expr(
+                "CAST(FLOOR(CAST(sum_x_e6 AS DOUBLE) / n_rows + 0.5)"
+                " AS BIGINT)"
+            ).alias("mean_e6"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+@query(
     "stream_static_enrich",
     oracle="""
     SELECT c.c_nationkey, e.event_type,

@@ -1026,6 +1026,15 @@ def ingest_neardup_stream_tws(
         carry_cols=carry,
     )
 
+    if transform_with_state_supported():
+        return neardup_claims_stream_tws(
+            keys,
+            id_col=id_col,
+            order_col=order_col,
+            store_path=store_path,
+            checkpoint_location=checkpoint_location,
+        )
+
     def write_admitted(verdicts: DataFrame, epoch_id: int) -> None:
         adm = (
             verdicts.groupBy(id_col)
@@ -1035,49 +1044,6 @@ def ingest_neardup_stream_tws(
         )
         adm.coalesce(1).write.mode("overwrite").parquet(
             f"{store_path}/rows/__epoch={epoch_id}"
-        )
-
-    if transform_with_state_supported():
-        import pandas as pd
-        from pyspark.sql.streaming.stateful_processor import (
-            StatefulProcessor,
-            StatefulProcessorHandle,
-        )
-
-        from local_stream_stack_spark.utils.protobuf_compat import (
-            ship_protobuf_bundle,
-        )
-
-        ship_protobuf_bundle(df.sparkSession)
-
-        class BucketClaims(StatefulProcessor):
-            def init(self, handle: StatefulProcessorHandle) -> None:
-                self.claimed = handle.getValueState("claimed", "c int")
-
-            def handleInputRows(self, key_tuple, rows, timer_values):
-                seen_earlier = self.claimed.exists()
-                pdf = pd.concat(list(rows), ignore_index=True)
-                mn = pdf[order_col].min()
-                hit = (pdf[order_col] > mn) | seen_earlier
-                self.claimed.update((1,))
-                yield pd.DataFrame(
-                    {id_col: pdf[id_col], "hit": hit.astype(bool)}
-                )
-
-            def close(self) -> None:
-                pass
-
-        verdict_stream = keys.groupBy("band", "bh").transformWithStateInPandas(
-            statefulProcessor=BucketClaims(),
-            outputStructType=f"{id_col} bigint, hit boolean",
-            outputMode="Update",
-            timeMode="None",
-        )
-        return (
-            verdict_stream.writeStream.outputMode("update")
-            .foreachBatch(write_admitted)
-            .option("checkpointLocation", checkpoint_location)
-            .start()
         )
 
     # Fallback (no TWS runtime anywhere): same seen-claims semantics on
@@ -1136,11 +1102,348 @@ def ingest_neardup_stream_tws(
     )
 
 
+def neardup_claims_stream_tws(
+    keys: DataFrame,
+    id_col: str,
+    order_col: str,
+    store_path: str,
+    checkpoint_location: str,
+):
+    """The indexed-store core of ``ingest_neardup_stream_tws``,
+    operating on an already-keyed stream (id, [order], band, bh):
+    per-bucket transformWithState claims + the per-doc admit fold.
+    Split out so the store-growth probe (tools/scaling_curve.py
+    stream_store_tws) can seed and measure the STATE-LOOKUP term with
+    synthetic key streams, without paying the signature compute that
+    is batch-constant anyway. Requires the RocksDB state-store
+    provider and a working TWS runtime (callers gate on
+    ``transform_with_state_supported``)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from local_stream_stack_spark.utils.protobuf_compat import (
+        ship_protobuf_bundle,
+    )
+
+    ship_protobuf_bundle(keys.sparkSession)
+
+    def write_admitted(verdicts: DataFrame, epoch_id: int) -> None:
+        adm = (
+            verdicts.groupBy(id_col)
+            .agg(F.max(F.col("hit").cast("int")).alias("__h"))
+            .filter(F.col("__h") == 0)
+            .select(id_col)
+        )
+        adm.coalesce(1).write.mode("overwrite").parquet(
+            f"{store_path}/rows/__epoch={epoch_id}"
+        )
+
+    class BucketClaims(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.claimed = handle.getValueState("claimed", "c int")
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            seen_earlier = self.claimed.exists()
+            pdf = pd.concat(list(rows), ignore_index=True)
+            mn = pdf[order_col].min()
+            hit = (pdf[order_col] > mn) | seen_earlier
+            self.claimed.update((1,))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "hit": hit.astype(bool)}
+            )
+
+        def close(self) -> None:
+            pass
+
+    verdict_stream = keys.groupBy("band", "bh").transformWithStateInPandas(
+        statefulProcessor=BucketClaims(),
+        outputStructType=f"{id_col} bigint, hit boolean",
+        outputMode="Update",
+        timeMode="None",
+    )
+    return (
+        verdict_stream.writeStream.outputMode("update")
+        .foreachBatch(write_admitted)
+        .option("checkpointLocation", checkpoint_location)
+        .start()
+    )
+
+
 def read_neardup_tws_store(spark, store_path: str) -> DataFrame:
     """Admitted doc ids of an ``ingest_neardup_stream_tws`` store."""
     return spark.read.option("basePath", f"{store_path}/rows").parquet(
         f"{store_path}/rows/__epoch=*"
     ).drop("__epoch")
+
+
+def scd2_dimension_stream_parquet(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    target_path: str,
+    checkpoint_location: str,
+):
+    """Incremental maintenance of a TYPE-2 SLOWLY CHANGING DIMENSION:
+    the stream of (key, attribute, event-time) changes folds into a
+    full validity history — one row per (key, attribute-run) with
+    [valid_from, valid_to) microsecond bounds, valid_to NULL while the
+    run is still open. The classic warehouse dimension shape, here as
+    a MAINTAINED view: per epoch only the batch is sorted (PARTITIONED
+    windows per key), never the history.
+
+    Fold algebra (non-additive — a stateful carry, unlike the additive
+    sums of ``aggregate_view_stream_parquet``): each epoch collapses
+    its batch into per-key attribute runs (gaps-and-islands on
+    (ts, tiebreak) order), merges the FIRST run of each key against
+    the key's OPEN tail from the previous epoch (same attribute →
+    the tail's valid_from survives; different → the tail closes at the
+    run's start), writes closed rows to ``closed/__epoch=N`` and the
+    complete new open-tail set to ``open/__epoch=N``. Reading the view
+    is closed/* UNION the LATEST open epoch. Epoch N reads only epoch
+    N-1's open dir and overwrites its own dirs, so crash-replay is
+    exactly-once like every view store here.
+
+    Correctness contract: event-time order must be respected ACROSS
+    epochs per key (late data would need a reconciliation pass, as in
+    any SCD-2 loader); within an epoch arrival order is irrelevant.
+    ``ts_col`` must be a LONG (epoch micros) — the open-tail carry
+    needs a typed NULL for still-open valid_to.
+    The registered query's oracle is the from-scratch batch
+    gaps-and-islands over the whole stream — the maintained history
+    must hash-match it whatever the epoch split was. At 100 TB the
+    open-tail set is dimension-sized (one row per key); bucket both
+    families by key so the per-epoch merge co-locates."""
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql.window import Window
+
+        spark = batch_df.sparkSession
+        epoch_id = int(epoch_id)
+        w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+        runs = (
+            batch_df.withColumn("__prev", F.lag(attr_col).over(w))
+            .withColumn(
+                "__new",
+                (
+                    F.col("__prev").isNull()
+                    | (F.col(attr_col) != F.col("__prev"))
+                ).cast("int"),
+            )
+            .withColumn("__run", F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ))
+            .groupBy(key_col, "__run")
+            .agg(
+                F.min(F.struct(ts_col, tiebreak_col, attr_col)).alias("__s")
+            )
+            .select(
+                key_col,
+                "__run",
+                F.col(f"__s.{attr_col}").alias(attr_col),
+                F.col(f"__s.{ts_col}").alias("__from_ts"),
+            )
+        )
+        runs = runs.localCheckpoint(eager=True)
+        wr = Window.partitionBy(key_col).orderBy("__run")
+        chained = (
+            runs.withColumn("__to_ts", F.lead("__from_ts").over(wr))
+            .withColumn(
+                "__is_first",
+                (F.col("__run") == F.min("__run").over(
+                    Window.partitionBy(key_col)
+                )).cast("int"),
+            )
+        )
+        if _path_has_partitions(spark, f"{target_path}/open", "__epoch=*"):
+            prev_epochs = [
+                int(p.split("=", 1)[1])
+                for p in _list_partitions(spark, f"{target_path}/open")
+                if int(p.split("=", 1)[1]) < epoch_id
+            ]
+        else:
+            prev_epochs = []
+        if prev_epochs:
+            tails = (
+                spark.read.option("basePath", f"{target_path}/open")
+                .parquet(f"{target_path}/open/__epoch={max(prev_epochs)}")
+                .drop("__epoch")
+            )
+        else:
+            tails = None
+
+        firsts = chained.filter(F.col("__is_first") == 1).select(
+            F.col(key_col),
+            F.col(attr_col).alias("__f_attr"),
+            F.col("__from_ts").alias("__f_from"),
+            F.col("__to_ts").alias("__f_to"),
+        )
+        if tails is not None:
+            # per-key merge of the previous open tail against this
+            # epoch's first run: same attribute extends, new closes
+            m = tails.join(firsts, key_col, "full_outer")
+            closed_from_tails = m.filter(
+                F.col("__f_attr").isNotNull()
+                & F.col("valid_from").isNotNull()
+                & (F.col(attr_col) != F.col("__f_attr"))
+            ).select(
+                key_col, attr_col,
+                "valid_from",
+                F.col("__f_from").alias("valid_to"),
+            )
+            # the first run closes inside the batch unless it is also
+            # the key's last run; when it merges with the tail it
+            # inherits the tail's valid_from
+            first_rows = m.filter(F.col("__f_attr").isNotNull()).select(
+                key_col,
+                F.col("__f_attr").alias(attr_col),
+                F.when(
+                    F.col("valid_from").isNotNull()
+                    & (F.col(attr_col) == F.col("__f_attr")),
+                    F.col("valid_from"),
+                )
+                .otherwise(F.col("__f_from"))
+                .alias("valid_from"),
+                F.col("__f_to").alias("valid_to"),
+            )
+            carried = m.filter(F.col("__f_attr").isNull()).select(
+                key_col, attr_col, "valid_from",
+                F.lit(None).cast("long").alias("valid_to"),
+            )
+        else:
+            closed_from_tails = None
+            first_rows = firsts.select(
+                key_col,
+                F.col("__f_attr").alias(attr_col),
+                F.col("__f_from").alias("valid_from"),
+                F.col("__f_to").alias("valid_to"),
+            )
+            carried = None
+        rest = chained.filter(F.col("__is_first") == 0).select(
+            key_col, attr_col,
+            F.col("__from_ts").alias("valid_from"),
+            F.col("__to_ts").alias("valid_to"),
+        )
+        all_rows = first_rows.unionByName(rest)
+        closed = all_rows.filter(F.col("valid_to").isNotNull())
+        if closed_from_tails is not None:
+            closed = closed.unionByName(closed_from_tails)
+        new_open = all_rows.filter(F.col("valid_to").isNull()).select(
+            key_col, attr_col, "valid_from"
+        )
+        if carried is not None:
+            new_open = new_open.unionByName(
+                carried.select(key_col, attr_col, "valid_from")
+            )
+        closed.coalesce(1).write.mode("overwrite").parquet(
+            f"{target_path}/closed/__epoch={epoch_id}"
+        )
+        new_open.coalesce(1).write.mode("overwrite").parquet(
+            f"{target_path}/open/__epoch={epoch_id}"
+        )
+
+    return (
+        df.writeStream.outputMode("append")
+        .foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_location)
+        .start()
+    )
+
+
+def _list_partitions(spark, base_path: str) -> list[str]:
+    """Names of ``__epoch=*`` children under a view family dir."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(base_path)
+    fs = path.getFileSystem(hconf)
+    statuses = fs.globStatus(
+        jvm.org.apache.hadoop.fs.Path(base_path.rstrip("/") + "/__epoch=*")
+    )
+    return [s.getPath().getName() for s in statuses] if statuses else []
+
+
+def read_scd2_dimension(spark, target_path: str) -> DataFrame:
+    """Current SCD-2 history of a ``scd2_dimension_stream_parquet``
+    view: all closed runs plus the latest epoch's open tails."""
+    closed = spark.read.option(
+        "basePath", f"{target_path}/closed"
+    ).parquet(f"{target_path}/closed/__epoch=*").drop("__epoch")
+    parts = _list_partitions(spark, f"{target_path}/open")
+    latest = max(int(p.split("=", 1)[1]) for p in parts)
+    open_tails = (
+        spark.read.option("basePath", f"{target_path}/open")
+        .parquet(f"{target_path}/open/__epoch={latest}")
+        .drop("__epoch")
+        .withColumn("valid_to", F.lit(None).cast("long"))
+    )
+    cols = open_tails.columns
+    return closed.select(*cols).unionByName(open_tails)
+
+
+def kmv_view_stream_parquet(
+    df: DataFrame,
+    key_col: str,
+    target_path: str,
+    checkpoint_location: str,
+    k: int = 64,
+):
+    """Incremental maintenance of a K-minimum-values cardinality
+    sketch: each micro-batch writes ITS OWN k-smallest distinct
+    portable hashes of ``key_col`` to an epoch directory (<= k rows
+    per epoch — parameter-sized deltas whatever the batch size), and
+    the queryable sketch is the k smallest of the distinct union
+    (``read_kmv_view``). KMV's merge is exact — sketch(A ∪ B) ==
+    merge(sketch(A), sketch(B)) — so the maintained view equals the
+    from-scratch sketch of the whole stream at every point, a
+    different view algebra from the additive sums of
+    ``aggregate_view_stream_parquet``. Epoch-dir overwrites make
+    replay exactly-once, same as every view store here."""
+    from local_stream_stack_spark.operators.sketches import (
+        portable_hash32,
+    )
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.select(
+                portable_hash32(F.col(key_col)).alias("h")
+            )
+            .distinct()
+            .orderBy("h")
+            .limit(k)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{target_path}/__epoch={epoch_id}")
+        )
+
+    return (
+        df.writeStream.outputMode("append")
+        .foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_location)
+        .start()
+    )
+
+
+def read_kmv_view(spark, target_path: str, k: int = 64) -> DataFrame:
+    """Current global sketch of a ``kmv_view_stream_parquet`` view:
+    k smallest of the distinct union of the epoch sketches, with the
+    (k_used, kth_hash, est_distinct) estimator columns."""
+    from local_stream_stack_spark.operators.sketches import (
+        kmv_estimate_cols,
+    )
+
+    merged = (
+        spark.read.option("basePath", target_path)
+        .parquet(f"{target_path}/__epoch=*")
+        .select("h")
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    return merged.agg(*kmv_estimate_cols(k))
 
 
 def maintain_bm25_index_stream_parquet(

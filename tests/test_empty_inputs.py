@@ -171,6 +171,14 @@ REPRESENTATIVE = [
     "wasserstein_price_urgent",  # CDF-gap integral
     "anova_f_segments",          # k-group F (0 rows empty)
     "conformal_forecast_intervals",  # split-conformal coverage
+    # round-10 additions
+    "friedman_test_segments",    # complete-block doubled ranks (0 rows)
+    "levene_brown_forsythe_segments",  # median-deviation F (0 rows)
+    "hodges_lehmann_urgent_shift",  # pairwise-diff median (NULL row)
+    "kendall_tau_daily",         # concordance pair counts (NULL row)
+    "seasonal_decomposition_weekday",  # 7-day MA seasonal (0 rows)
+    "qld_topk_docs",             # Dirichlet LM retrieval
+    "rrf_fusion_topk",           # hybrid rank fusion
 ]
 
 
@@ -207,6 +215,8 @@ EXPECT_SUMMARY_ROWS = {
     "copurchase_kcore": 9,       # one profile row per round
     "ks_test_urgent_price": 1,   # single stats row (NULL D)
     "conformal_forecast_intervals": 1,  # single summary row
+    "hodges_lehmann_urgent_shift": 1,  # single stats row (NULL shift)
+    "kendall_tau_daily": 1,      # single stats row (NULL tau)
 }
 
 

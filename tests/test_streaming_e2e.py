@@ -608,3 +608,56 @@ def test_bm25_incremental_replay_is_idempotent(spark, tmp_path):
         for r in read_bm25_index_topk(spark, store, k=10).collect()
     ]
     assert before == after
+
+
+def test_scd2_dimension_carry_semantics(spark, tmp_path):
+    """The SCD-2 fold's open-tail carry: a run spanning the epoch
+    boundary keeps its original valid_from; an attribute change at the
+    boundary closes the tail at the new run's start; a key absent from
+    the second epoch carries its open tail forward."""
+    import time
+
+    from local_stream_stack_spark.streaming.ops import (
+        read_scd2_dimension,
+        scd2_dimension_stream_parquet,
+    )
+
+    # epoch 0: u1 A@10 A@20 ; u2 A@10 ; u3 B@15
+    # epoch 1: u1 A@30 B@40 ; u2 B@35 ; (u3 absent)
+    e0 = [(1, "A", 10, 100), (1, "A", 20, 101), (2, "A", 10, 102),
+          (3, "B", 15, 103)]
+    e1 = [(1, "A", 30, 104), (1, "B", 40, 105), (2, "B", 35, 106)]
+    in_dir = str(tmp_path / "in")
+    schema = "user_id long, event_type string, ts_us long, event_id long"
+    spark.createDataFrame(e0, schema).coalesce(1).write.parquet(in_dir)
+    time.sleep(1.1)
+    spark.createDataFrame(e1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    q = scd2_dimension_stream_parquet(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir),
+        key_col="user_id",
+        attr_col="event_type",
+        ts_col="ts_us",
+        tiebreak_col="event_id",
+        target_path=str(tmp_path / "view"),
+        checkpoint_location=str(tmp_path / "cp"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r.user_id, r.event_type, r.valid_from, r.valid_to)
+        for r in read_scd2_dimension(spark, str(tmp_path / "view")).collect()
+    )
+    assert got == [
+        (1, "A", 10, 40),   # spans the boundary, original valid_from
+        (1, "B", 40, None),
+        (2, "A", 10, 35),   # closed by the boundary change
+        (2, "B", 35, None),
+        (3, "B", 15, None),  # carried forward untouched
+    ]

@@ -405,8 +405,15 @@ def stream_store_synth() -> None:
         .localCheckpoint(eager=True)
     )
 
+    sizes = {
+        "s380k": 380_464,
+        "s3.8m": 3_804_640,
+        "s38m": 38_046_400,  # third decade (VERDICT r9 task #6)
+    }
+    labels = sys.argv[2:] or ["s380k", "s3.8m"]
     results = {}
-    for label, n_keys in (("s380k", 380_464), ("s3.8m", 3_804_640)):
+    for label in labels:
+        n_keys = sizes[label]
         n_docs = n_keys // 8
         seed = (
             spark.range(n_docs)
@@ -461,12 +468,140 @@ def stream_store_synth() -> None:
               file=sys.stderr)
         shutil.rmtree(base, ignore_errors=True)
     spark.stop()
-    alpha = math.log10(
-        max(results["s3.8m"]["epoch_sec"], 1e-9)
-        / max(results["s380k"]["epoch_sec"], 1e-9)
-    )
+    alphas = _decade_alphas(results, labels)
     print(json.dumps({"probe": "neardup_store_growth_synth",
-                      "results": results, "alpha": round(alpha, 3)}))
+                      "results": results, "alphas": alphas}))
+
+
+def _decade_alphas(results: dict, labels: list[str]) -> dict:
+    """Per-adjacent-pair scaling exponents: log(t2/t1)/log(k2/k1)."""
+    alphas = {}
+    for a, b in zip(labels, labels[1:]):
+        ra, rb = results[a], results[b]
+        alphas[f"{a}->{b}"] = round(
+            math.log10(max(rb["epoch_sec"], 1e-9)
+                       / max(ra["epoch_sec"], 1e-9))
+            / math.log10(rb["store_keys"] / ra["store_keys"]),
+            3,
+        )
+    return alphas
+
+
+def stream_store_tws() -> None:
+    """Store-growth probe for the INDEXED key store
+    (``neardup_claims_stream_tws`` — RocksDB transformWithState,
+    VERDICT r9 task #5): seed per-bucket claims by streaming N
+    synthetic band keys through the operator (untimed epoch 0), then
+    time the SAME fixed 16,000-key probe epoch (2,000 docs x 8 bands,
+    all novel buckets) against each store size. Isolates the
+    state-lookup term the parquet probe measures as O(store scan):
+    here each probe key is one RocksDB point lookup, so the epoch
+    cost should stay FLAT across decades. The rowwise signature
+    compute is deliberately excluded — it is batch-constant at every
+    store size (the parquet probe carries it identically), and the
+    memory discipline is to isolate state growth with fixed epochs.
+
+    Usage: python tools/scaling_curve.py stream_store_tws [s380k s3.8m s38m]
+    """
+    import tempfile
+
+    from local_stream_stack_spark.streaming.ops import (
+        neardup_claims_stream_tws,
+        transform_with_state_supported,
+    )
+
+    spark = get_spark(
+        app_name="store-growth-tws",
+        extra_conf={"spark.driver.memory": "8g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    if not transform_with_state_supported():
+        print(json.dumps({"probe": "neardup_store_growth_tws",
+                          "error": "no TWS runtime"}))
+        spark.stop()
+        return
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    par = spark.sparkContext.defaultParallelism
+    spark.range(par * 4, numPartitions=par).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    def synth_keys(n_docs: int, id_base: int, salt: int):
+        return (
+            spark.range(n_docs)
+            .select(
+                (F.col("id") + id_base).alias("doc_id"),
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.abs(
+                                        F.xxhash64(
+                                            F.col("id"), F.lit(b),
+                                            F.lit(j + salt),
+                                        )
+                                    ).cast("string")
+                                    for j in range(4)
+                                ],
+                            ).alias("bh"),
+                        )
+                        for b in range(8)
+                    ])
+                ).alias("bk"),
+            )
+            .select("doc_id", "bk.band", "bk.bh")
+        )
+
+    sizes = {
+        "s380k": 380_464,
+        "s3.8m": 3_804_640,
+        "s38m": 38_046_400,
+    }
+    labels = sys.argv[2:] or ["s380k", "s3.8m"]
+    results = {}
+    for label in labels:
+        n_keys = sizes[label]
+        base = tempfile.mkdtemp(prefix=f"store-tws-{label}-")
+        in_dir = os.path.join(base, "in")
+        os.makedirs(in_dir)
+        # epoch 0 (untimed): the whole synthetic store streams in and
+        # claims its buckets in RocksDB
+        synth_keys(n_keys // 8, 10_000_000, salt=0).write.parquet(
+            in_dir, mode="append"
+        )
+        q = neardup_claims_stream_tws(
+            spark.readStream.schema(
+                "doc_id bigint, band int, bh string"
+            ).parquet(in_dir),
+            id_col="doc_id",
+            order_col="doc_id",
+            store_path=os.path.join(base, "store"),
+            checkpoint_location=os.path.join(base, "cp"),
+        )
+        q.processAllAvailable()
+        # epoch 1 (timed): fixed probe, salt-disjoint buckets
+        synth_keys(2_000, 50_000_000, salt=100).coalesce(1).write.parquet(
+            in_dir, mode="append"
+        )
+        t0 = time.time()
+        q.processAllAvailable()
+        dt = time.time() - t0
+        q.stop()
+        results[label] = {"store_keys": n_keys, "epoch_sec": round(dt, 3)}
+        print(f"{label}: {n_keys} seeded keys, fixed epoch {dt:.3f}s",
+              file=sys.stderr)
+        shutil.rmtree(base, ignore_errors=True)
+    spark.stop()
+    alphas = _decade_alphas(results, labels)
+    print(json.dumps({"probe": "neardup_store_growth_tws",
+                      "results": results, "alphas": alphas}))
 
 
 if __name__ == "__main__":
@@ -476,6 +611,9 @@ if __name__ == "__main__":
         sys.exit(0)
     if cmd == "stream_store_synth":
         stream_store_synth()
+        sys.exit(0)
+    if cmd == "stream_store_tws":
+        stream_store_tws()
         sys.exit(0)
     if cmd == "gen":
         rest = sys.argv[2:]
