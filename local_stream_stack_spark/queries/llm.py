@@ -7313,3 +7313,278 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             " g_sum bigint, b_sum bigint, r_min int, r_max int"
         ),
     ).orderBy("doc_id")
+
+
+@query(
+    "cramers_v_lang_source",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, COUNT(*) AS n_obs
+      FROM documents GROUP BY lang, source
+    ),
+    tot AS (
+      SELECT SUM(n_obs) AS nt,
+             COUNT(DISTINCT lang) AS nl,
+             COUNT(DISTINCT source) AS ns
+      FROM cells
+    ),
+    rc AS (
+      SELECT lang, source, n_obs,
+             SUM(n_obs) OVER (PARTITION BY lang) AS rl,
+             SUM(n_obs) OVER (PARTITION BY source) AS cs
+      FROM cells
+    ),
+    c2 AS (
+      SELECT CAST(ROUND(1000000.0
+               * CAST(n_obs * nt - rl * cs AS DOUBLE)
+               * CAST(n_obs * nt - rl * cs AS DOUBLE)
+               / (CAST(rl AS DOUBLE) * CAST(cs AS DOUBLE)
+                  * CAST(nt AS DOUBLE))) AS BIGINT) AS contrib_e6,
+             nt, nl, ns
+      FROM rc CROSS JOIN tot
+    ),
+    s AS (
+      SELECT CAST(MAX(nt) AS BIGINT) AS n,
+             CAST(MAX(nl) AS BIGINT) AS nl,
+             CAST(MAX(ns) AS BIGINT) AS ns,
+             CAST(SUM(contrib_e6) AS BIGINT) AS chi2_e6
+      FROM c2
+    )
+    SELECT n, nl, ns,
+           CAST((nl - 1) * (ns - 1) AS BIGINT) AS dof,
+           chi2_e6,
+           CASE WHEN n > 0 AND LEAST(nl, ns) > 1 THEN
+             CAST(FLOOR(SQRT(
+               CAST(chi2_e6 AS DOUBLE) / 1e6
+               / (CAST(n AS DOUBLE) * (LEAST(nl, ns) - 1.0)))
+               * 1e6 + 0.5) AS BIGINT)
+           END AS v_e6,
+           CASE WHEN n > 1 AND LEAST(
+                  nl - (nl - 1.0) * (nl - 1.0) / (n - 1.0),
+                  ns - (ns - 1.0) * (ns - 1.0) / (n - 1.0)) > 1.0 THEN
+             CAST(FLOOR(SQRT(
+               GREATEST(0.0, CAST(chi2_e6 AS DOUBLE) / 1e6 / n
+                 - (nl - 1.0) * (ns - 1.0) / (n - 1.0))
+               / (LEAST(
+                    nl - (nl - 1.0) * (nl - 1.0) / (n - 1.0),
+                    ns - (ns - 1.0) * (ns - 1.0) / (n - 1.0)) - 1.0))
+               * 1e6 + 0.5) AS BIGINT)
+           END AS v_corrected_e6
+    FROM s
+    """,
+)
+def cramers_v_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the lang × source contingency table
+    — the normalized companion of `chisq_lang_source` (χ² grows with
+    n; V ∈ [0,1] is what a corpus-balance dashboard actually compares
+    across corpora), plus the Bergsma bias-corrected V that shrinks
+    the small-table inflation. Both derive from the SAME
+    integer-summed per-cell contribution used by the chi-square query
+    (each cell rounds (O·N − R·C)²/(R·C·N) once to an e6 BIGINT, the
+    statistic is their order-independent integer sum), so V's only
+    doubles are one shared expression tree over five integers,
+    rounded once to e6. Scale: one partial+final hash aggregate to
+    the parameter-sized cells relation; everything after is bounded
+    by |langs|×|sources|."""
+    d = _t(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count("*").alias("n_obs"))
+    tot = cells.agg(
+        F.sum("n_obs").alias("nt"),
+        F.countDistinct("lang").alias("nl"),
+        F.countDistinct("source").alias("ns"),
+    )
+    wl = Window.partitionBy("lang")
+    ws = Window.partitionBy("source")
+    rc = (
+        cells.withColumn("rl", F.sum("n_obs").over(wl))
+        .withColumn("cs", F.sum("n_obs").over(ws))
+        .crossJoin(F.broadcast(tot))
+    )
+    c2 = rc.select(
+        F.expr(
+            """CAST(ROUND(1000000.0
+                 * CAST(n_obs * nt - rl * cs AS DOUBLE)
+                 * CAST(n_obs * nt - rl * cs AS DOUBLE)
+                 / (CAST(rl AS DOUBLE) * CAST(cs AS DOUBLE)
+                    * CAST(nt AS DOUBLE))) AS BIGINT)"""
+        ).alias("contrib_e6"),
+        "nt",
+        "nl",
+        "ns",
+    )
+    s = c2.agg(
+        F.max("nt").cast("bigint").alias("n"),
+        F.max("nl").cast("bigint").alias("nl"),
+        F.max("ns").cast("bigint").alias("ns"),
+        F.sum("contrib_e6").cast("bigint").alias("chi2_e6"),
+    )
+    return s.select(
+        "n",
+        "nl",
+        "ns",
+        F.expr("CAST((nl - 1) * (ns - 1) AS BIGINT)").alias("dof"),
+        "chi2_e6",
+        F.expr(
+            """CASE WHEN n > 0 AND LEAST(nl, ns) > 1 THEN
+                 CAST(FLOOR(SQRT(
+                   CAST(chi2_e6 AS DOUBLE) / 1e6
+                   / (CAST(n AS DOUBLE) * (LEAST(nl, ns) - 1.0)))
+                   * 1e6 + 0.5) AS BIGINT)
+               END"""
+        ).alias("v_e6"),
+        F.expr(
+            """CASE WHEN n > 1 AND LEAST(
+                      nl - (nl - 1.0) * (nl - 1.0) / (n - 1.0),
+                      ns - (ns - 1.0) * (ns - 1.0) / (n - 1.0)) > 1.0 THEN
+                 CAST(FLOOR(SQRT(
+                   GREATEST(0.0, CAST(chi2_e6 AS DOUBLE) / 1e6 / n
+                     - (nl - 1.0) * (ns - 1.0) / (n - 1.0))
+                   / (LEAST(
+                        nl - (nl - 1.0) * (nl - 1.0) / (n - 1.0),
+                        ns - (ns - 1.0) * (ns - 1.0) / (n - 1.0)) - 1.0))
+                   * 1e6 + 0.5) AS BIGINT)
+               END"""
+        ).alias("v_corrected_e6"),
+    )
+
+
+@query(
+    "js_divergence_sources",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    tok_f AS (SELECT source, tok FROM toks WHERE length(tok) > 0),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS n FROM tok_f GROUP BY tok
+        ORDER BY n DESC, tok LIMIT 500
+      ) v
+    ),
+    corpus AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cn FROM tok_f
+      WHERE tok IN (SELECT tok FROM vocab) GROUP BY tok
+    ),
+    corpus_tot AS (SELECT CAST(SUM(cn) AS BIGINT) AS ct FROM corpus),
+    per_src AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS sn FROM tok_f
+      WHERE tok IN (SELECT tok FROM vocab) GROUP BY source, tok
+    ),
+    src_tot AS (
+      SELECT source, CAST(SUM(sn) AS BIGINT) AS st FROM per_src
+      GROUP BY source
+    ),
+    grid AS (
+      SELECT t.source, t.st, c.tok, c.cn,
+             COALESCE(p.sn, 0) AS sn, ct.ct
+      FROM src_tot t
+      CROSS JOIN corpus c
+      CROSS JOIN corpus_tot ct
+      LEFT JOIN per_src p ON p.source = t.source AND p.tok = c.tok
+    ),
+    terms AS (
+      SELECT source,
+             CAST(ROUND((
+               CASE WHEN sn > 0 AND ct > st THEN
+                 0.5 * (CAST(sn AS DOUBLE) / st)
+                 * LN((CAST(sn AS DOUBLE) / st)
+                      / (0.5 * (CAST(sn AS DOUBLE) / st)
+                         + 0.5 * (CAST(cn - sn AS DOUBLE) / (ct - st))))
+               ELSE 0.0 END
+               +
+               CASE WHEN cn > sn AND ct > st THEN
+                 0.5 * (CAST(cn - sn AS DOUBLE) / (ct - st))
+                 * LN((CAST(cn - sn AS DOUBLE) / (ct - st))
+                      / (0.5 * (CAST(sn AS DOUBLE) / st)
+                         + 0.5 * (CAST(cn - sn AS DOUBLE) / (ct - st))))
+               ELSE 0.0 END) * 1e9) AS BIGINT) AS contrib_e9
+      FROM grid
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(contrib_e9) AS BIGINT) AS jsd_e9
+    FROM terms
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between each source's token
+    distribution and the REST of the corpus over the deterministic
+    top-500 vocabulary — the symmetric, bounded (≤ ln 2) member of
+    the drift family (`token_drift_kl` is asymmetric and unbounded;
+    JSD is what a mixing dashboard thresholds on because 'slice vs
+    rest' and 'rest vs slice' agree). The rest-distribution is the
+    exact complement (cn − sn)/(ct − st), so one tokenize scan feeds
+    everything; the source × vocab grid (|sources| × 500) left-joins
+    the per-source counts so zero-count terms contribute their q-side
+    mass. Each grid term rounds once to an e9 BIGINT and the
+    statistic is the order-independent integer sum — no
+    float-summation drift. Scale: tokenize scan → two bounded
+    groupBys; grid is parameter-sized."""
+    d = _t(spark, sf_dir, "documents")
+    tok_f = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "tok"
+        ),
+    ).filter(F.length("tok") > 0)
+    vocab = (
+        tok_f.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(500)
+        .select("tok")
+    )
+    in_vocab = tok_f.join(F.broadcast(vocab), "tok")
+    corpus = in_vocab.groupBy("tok").agg(
+        F.count("*").cast("bigint").alias("cn")
+    )
+    corpus_tot = corpus.agg(F.sum("cn").cast("bigint").alias("ct"))
+    per_src = in_vocab.groupBy("source", "tok").agg(
+        F.count("*").cast("bigint").alias("sn")
+    )
+    src_tot = per_src.groupBy("source").agg(
+        F.sum("sn").cast("bigint").alias("st")
+    )
+    grid = (
+        src_tot.crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(corpus_tot))
+        .join(F.broadcast(per_src), ["source", "tok"], "left")
+        .select(
+            "source",
+            "st",
+            "cn",
+            "ct",
+            F.coalesce(F.col("sn"), F.lit(0)).cast("bigint").alias("sn"),
+        )
+    )
+    terms = grid.select(
+        "source",
+        F.expr(
+            """CAST(ROUND((
+                 CASE WHEN sn > 0 AND ct > st THEN
+                   0.5 * (CAST(sn AS DOUBLE) / st)
+                   * LN((CAST(sn AS DOUBLE) / st)
+                        / (0.5 * (CAST(sn AS DOUBLE) / st)
+                           + 0.5 * (CAST(cn - sn AS DOUBLE) / (ct - st))))
+                 ELSE 0.0 END
+                 +
+                 CASE WHEN cn > sn AND ct > st THEN
+                   0.5 * (CAST(cn - sn AS DOUBLE) / (ct - st))
+                   * LN((CAST(cn - sn AS DOUBLE) / (ct - st))
+                        / (0.5 * (CAST(sn AS DOUBLE) / st)
+                           + 0.5 * (CAST(cn - sn AS DOUBLE) / (ct - st))))
+                 ELSE 0.0 END) * 1e9) AS BIGINT)"""
+        ).alias("contrib_e9"),
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms"),
+            F.sum("contrib_e9").cast("bigint").alias("jsd_e9"),
+        )
+        .orderBy("source")
+    )

@@ -4585,3 +4585,374 @@ def seasonal_decomposition_weekday(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("isodow")
     )
+
+
+@query(
+    "kruskal_wallis_priority",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderpriority AS prio
+      FROM orders
+    ),
+    pc AS (
+      SELECT cents, prio, CAST(COUNT(*) AS BIGINT) AS cgv
+      FROM o GROUP BY cents, prio
+    ),
+    pv AS (
+      SELECT cents, CAST(SUM(cgv) AS BIGINT) AS cnt FROM pc GROUP BY cents
+    ),
+    cum AS (
+      SELECT cents, cnt, SUM(cnt) OVER (ORDER BY cents) AS cw FROM pv
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_cubes
+      FROM cum
+    ),
+    rg AS (
+      SELECT p.prio,
+             CAST(SUM(p.cgv * (2 * c.cw - c.cnt + 1)) AS BIGINT) AS r_x2,
+             CAST(SUM(p.cgv) AS BIGINT) AS n_g
+      FROM pc p JOIN cum c ON p.cents = c.cents
+      GROUP BY p.prio
+    ),
+    terms AS (
+      SELECT CAST(FLOOR(n_g
+               * (CAST(r_x2 AS DOUBLE) / (2.0 * n_g) - (n + 1.0) / 2.0)
+               * (CAST(r_x2 AS DOUBLE) / (2.0 * n_g) - (n + 1.0) / 2.0)
+               + 0.5) AS BIGINT) AS sg,
+             n, tie_cubes
+      FROM rg CROSS JOIN tot
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS k_groups,
+           CAST(MAX(tie_cubes) AS BIGINT) AS tie_cubes,
+           CAST(SUM(sg) AS BIGINT) AS ssq_dev,
+           CASE WHEN MAX(n) > 1 THEN
+             CAST(FLOOR(
+               12.0 * CAST(SUM(sg) AS DOUBLE)
+               / (CAST(MAX(n) AS DOUBLE) * (MAX(n) + 1.0))
+               / NULLIF(1.0 - CAST(MAX(tie_cubes) AS DOUBLE)
+                        / (CAST(MAX(n) AS DOUBLE) * MAX(n) * MAX(n) - MAX(n)), 0.0)
+               * 1e6 + 0.5) AS BIGINT)
+           END AS h_e6
+    FROM terms
+    """,
+)
+def kruskal_wallis_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test: do the five order priorities draw prices
+    from one distribution? The k-group generalization of
+    `mann_whitney_priority` — same doubled tie-average global ranks
+    from the distributed-rank operator, so every per-group rank sum
+    R_g (carried x2) and the tie term Σ(t³−t) are exact BIGINTs on
+    both engines. The per-group deviation term n_g·(r̄_g − r̄)² is
+    rounded ONCE to an exact integer before the (≤ k-row) cross-group
+    sum — the `anova_f_segments` order-independence idiom — and the
+    tie-corrected H = 12·Σ/ (n(n+1)) / (1 − Σ(t³−t)/(n³−n)) is one
+    identical double tree rounded once to e6. Scale: one hash
+    aggregate to (value, group) cells, rank machinery over distinct
+    values, parameter-sized finals — nothing shuffles more than the
+    distinct-price table."""
+    from local_stream_stack_spark.operators.quantiles import (
+        with_global_rank,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    pc = o.groupBy("cents", "prio").agg(
+        F.count("*").cast("bigint").alias("cgv")
+    )
+    pv = pc.groupBy("cents").agg(F.sum("cgv").cast("bigint").alias("cnt"))
+    cum = with_global_rank(
+        pv, "cents", out_rank="__rn", cumsum={"cnt": "cw"},
+        acc_type="BIGINT", bins=64,
+    )
+    tot = cum.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("bigint")
+        .alias("tie_cubes"),
+    )
+    rg = (
+        pc.join(cum.select("cents", "cnt", "cw"), "cents")
+        .groupBy("prio")
+        .agg(
+            F.sum(F.col("cgv") * (2 * F.col("cw") - F.col("cnt") + 1))
+            .cast("bigint")
+            .alias("r_x2"),
+            F.sum("cgv").cast("bigint").alias("n_g"),
+        )
+    )
+    terms = rg.crossJoin(F.broadcast(tot)).select(
+        F.expr(
+            """CAST(FLOOR(n_g
+                 * (CAST(r_x2 AS DOUBLE) / (2.0 * n_g) - (n + 1.0) / 2.0)
+                 * (CAST(r_x2 AS DOUBLE) / (2.0 * n_g) - (n + 1.0) / 2.0)
+                 + 0.5) AS BIGINT)"""
+        ).alias("sg"),
+        "n",
+        "tie_cubes",
+    )
+    return terms.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k_groups"),
+        F.max("tie_cubes").cast("bigint").alias("tie_cubes"),
+        F.sum("sg").cast("bigint").alias("ssq_dev"),
+        F.expr(
+            """CASE WHEN MAX(n) > 1 THEN
+                 CAST(FLOOR(
+                   12.0 * CAST(SUM(sg) AS DOUBLE)
+                   / (CAST(MAX(n) AS DOUBLE) * (MAX(n) + 1.0))
+                   / NULLIF(1.0 - CAST(MAX(tie_cubes) AS DOUBLE)
+                            / (CAST(MAX(n) AS DOUBLE) * MAX(n) * MAX(n) - MAX(n)), 0.0)
+                   * 1e6 + 0.5) AS BIGINT)
+               END"""
+        ).alias("h_e6"),
+    )
+
+
+@query(
+    "runs_test_daily_revenue",
+    oracle="""
+    WITH days AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS di,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    vals AS (
+      SELECT rev_c, CAST(COUNT(*) AS BIGINT) AS cnt FROM days GROUP BY rev_c
+    ),
+    cumv AS (
+      SELECT rev_c, cnt, SUM(cnt) OVER (ORDER BY rev_c) AS cw FROM vals
+    ),
+    nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vals),
+    med AS (
+      SELECT MIN(CASE WHEN cw >= (n + 1) // 2 THEN rev_c END) AS m
+      FROM cumv CROSS JOIN nn
+    ),
+    flags AS (
+      SELECT di,
+             CASE WHEN rev_c > (SELECT m FROM med) THEN 1 ELSE 0 END AS b,
+             ROW_NUMBER() OVER (ORDER BY di) AS t
+      FROM days
+    ),
+    lagged AS (
+      SELECT b, LAG(b) OVER (ORDER BY t) AS b_prev FROM flags
+    ),
+    trans AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(b) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN b_prev IS NOT NULL AND b <> b_prev
+                      THEN 1 ELSE 0 END) AS BIGINT) + 1 AS n_runs
+      FROM lagged
+    )
+    SELECT n_days, n1, n_days - n1 AS n2, n_runs,
+           CASE WHEN n1 > 0 AND n_days - n1 > 0 AND n_days > 1 THEN
+             CAST(FLOOR(
+               (CAST(n_runs AS DOUBLE)
+                - (2.0 * n1 * (n_days - n1) / n_days + 1.0))
+               / NULLIF(SQRT(
+                   2.0 * n1 * (n_days - n1)
+                   * (2.0 * n1 * (n_days - n1) - n_days)
+                   / (CAST(n_days AS DOUBLE) * n_days * (n_days - 1.0))), 0.0)
+               * 1e6 + 0.5) AS BIGINT)
+           END AS z_e6
+    FROM trans
+    """,
+)
+def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the daily-revenue
+    series around its median — the sequence-randomness member of the
+    statistics family (CUSUM/Pettitt find WHERE a shift is; the runs
+    test asks whether the above/below pattern is serially random at
+    all, the cheap screen before fitting any trend model). Lower
+    median via the distributed-rank cumsum (exact, no single-reducer
+    sort); the run count comes from an adjacent-rank self-join
+    (t ⋈ t−1) over the calendar-bounded day relation instead of an
+    unpartitioned LAG window; n₁/n₂/R are exact BIGINTs and the
+    normal-approximation z is one identical double tree rounded once
+    to e6. Scale: day-grain collapse first; everything after is
+    calendar-bounded."""
+    from local_stream_stack_spark.operators.quantiles import (
+        with_global_rank,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    days = (
+        o.groupBy(
+            F.unix_date(F.col("o_orderdate").cast("date"))
+            .cast("bigint")
+            .alias("di")
+        )
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev_c")
+        )
+    )
+    vals = days.groupBy("rev_c").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    cumv = with_global_rank(
+        vals, "rev_c", out_rank="__rn", cumsum={"cnt": "cw"},
+        acc_type="BIGINT", bins=64,
+    )
+    nn = vals.agg(F.sum("cnt").cast("bigint").alias("n"))
+    med = cumv.crossJoin(F.broadcast(nn)).agg(
+        F.min(
+            F.expr("CASE WHEN cw >= (n + 1) div 2 THEN rev_c END")
+        ).alias("m")
+    )
+    flags = with_global_rank(
+        days.crossJoin(F.broadcast(med)).select(
+            "di",
+            F.expr("CASE WHEN rev_c > m THEN 1 ELSE 0 END").alias("b"),
+        ),
+        "di",
+        out_rank="t",
+        bins=64,
+    )
+    prev = flags.select(
+        (F.col("t") + 1).alias("t"), F.col("b").alias("b_prev")
+    )
+    trans = (
+        flags.join(prev, "t", "left")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.sum("b").cast("bigint").alias("n1"),
+            (
+                F.sum(
+                    F.expr(
+                        "CASE WHEN b_prev IS NOT NULL AND b <> b_prev"
+                        " THEN 1 ELSE 0 END"
+                    )
+                ).cast("bigint")
+                + 1
+            ).alias("n_runs"),
+        )
+    )
+    return trans.select(
+        "n_days",
+        "n1",
+        (F.col("n_days") - F.col("n1")).alias("n2"),
+        "n_runs",
+        F.expr(
+            """CASE WHEN n1 > 0 AND n_days - n1 > 0 AND n_days > 1 THEN
+                 CAST(FLOOR(
+                   (CAST(n_runs AS DOUBLE)
+                    - (2.0 * n1 * (n_days - n1) / n_days + 1.0))
+                   / NULLIF(SQRT(
+                       2.0 * n1 * (n_days - n1)
+                       * (2.0 * n1 * (n_days - n1) - n_days)
+                       / (CAST(n_days AS DOUBLE) * n_days * (n_days - 1.0))), 0.0)
+                   * 1e6 + 0.5) AS BIGINT)
+               END"""
+        ).alias("z_e6"),
+    )
+
+
+@query(
+    "cohens_d_urgent_price",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS HUGEINT) AS c,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+      FROM orders
+    ),
+    m AS (
+      SELECT CAST(SUM(g1) AS BIGINT) AS n1,
+             CAST(COUNT(*) - SUM(g1) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN g1 = 1 THEN c ELSE 0 END) AS DOUBLE) AS s1,
+             CAST(SUM(CASE WHEN g1 = 0 THEN c ELSE 0 END) AS DOUBLE) AS s2,
+             CAST(SUM(CASE WHEN g1 = 1 THEN c * c ELSE 0 END) AS DOUBLE) AS q1,
+             CAST(SUM(CASE WHEN g1 = 0 THEN c * c ELSE 0 END) AS DOUBLE) AS q2
+      FROM o
+    )
+    SELECT n1 AS n_urgent, n2 AS n_rest,
+           CASE WHEN n1 > 1 AND n2 > 1 THEN
+             CAST(FLOOR(
+               (s1 / n1 - s2 / n2)
+               / NULLIF(SQRT(
+                   ((n1 * q1 - s1 * s1) / n1 + (n2 * q2 - s2 * s2) / n2)
+                   / (n1 + n2 - 2.0)), 0.0)
+               * 1e6 + 0.5) AS BIGINT)
+           END AS d_e6,
+           CASE WHEN n1 > 1 AND n2 > 1 THEN
+             CAST(FLOOR(
+               (s1 / n1 - s2 / n2)
+               / NULLIF(SQRT(
+                   ((n1 * q1 - s1 * s1) / n1 + (n2 * q2 - s2 * s2) / n2)
+                   / (n1 + n2 - 2.0)), 0.0)
+               * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0))
+               * 1e6 + 0.5) AS BIGINT)
+           END AS g_e6
+    FROM m
+    """,
+)
+def cohens_d_urgent_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d (pooled-SD standardized mean difference) and its
+    small-sample Hedges' g correction for URGENT vs non-URGENT order
+    prices — the effect-SIZE companion to the significance tests
+    (`welch_t_sources` answers "is there a difference", d answers
+    "how big is it in SD units", the number a curation gate actually
+    thresholds on). One scan produces exact integer moment sums
+    (count / Σx / Σx², accumulated in DECIMAL(38) on Spark and
+    HUGEINT on DuckDB so cents² cannot overflow BIGINT), each cast
+    ONCE to double; d and g are identical double expression trees
+    (pooled variance in the (n·q − s²)/n fold of `welch_t_sources`)
+    rounded once to e6. Scale: one partial+final hash aggregate, one
+    final row."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.expr("CAST(ROUND(o_totalprice * 100) AS DECIMAL(19,0))").alias(
+            "c"
+        ),
+        F.expr(
+            "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END"
+        ).alias("g1"),
+    )
+    m = o.agg(
+        F.sum("g1").cast("bigint").alias("n1"),
+        (F.count("*") - F.sum("g1")).cast("bigint").alias("n2"),
+        F.sum(F.expr("CASE WHEN g1 = 1 THEN c ELSE 0 END"))
+        .cast("double")
+        .alias("s1"),
+        F.sum(F.expr("CASE WHEN g1 = 0 THEN c ELSE 0 END"))
+        .cast("double")
+        .alias("s2"),
+        F.sum(F.expr("CASE WHEN g1 = 1 THEN c * c ELSE 0 END"))
+        .cast("double")
+        .alias("q1"),
+        F.sum(F.expr("CASE WHEN g1 = 0 THEN c * c ELSE 0 END"))
+        .cast("double")
+        .alias("q2"),
+    )
+    return m.select(
+        F.col("n1").alias("n_urgent"),
+        F.col("n2").alias("n_rest"),
+        F.expr(
+            """CASE WHEN n1 > 1 AND n2 > 1 THEN
+                 CAST(FLOOR(
+                   (s1 / n1 - s2 / n2)
+                   / NULLIF(SQRT(
+                       ((n1 * q1 - s1 * s1) / n1 + (n2 * q2 - s2 * s2) / n2)
+                       / (n1 + n2 - 2.0)), 0.0)
+                   * 1e6 + 0.5) AS BIGINT)
+               END"""
+        ).alias("d_e6"),
+        F.expr(
+            """CASE WHEN n1 > 1 AND n2 > 1 THEN
+                 CAST(FLOOR(
+                   (s1 / n1 - s2 / n2)
+                   / NULLIF(SQRT(
+                       ((n1 * q1 - s1 * s1) / n1 + (n2 * q2 - s2 * s2) / n2)
+                       / (n1 + n2 - 2.0)), 0.0)
+                   * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0))
+                   * 1e6 + 0.5) AS BIGINT)
+               END"""
+        ).alias("g_e6"),
+    )

@@ -179,6 +179,11 @@ REPRESENTATIVE = [
     "seasonal_decomposition_weekday",  # 7-day MA seasonal (0 rows)
     "qld_topk_docs",             # Dirichlet LM retrieval
     "rrf_fusion_topk",           # hybrid rank fusion
+    "kruskal_wallis_priority",   # k-group doubled-rank H (NULL row)
+    "runs_test_daily_revenue",   # adjacent-rank run count (NULL row)
+    "cohens_d_urgent_price",     # moment-sum effect size (NULL row)
+    "cramers_v_lang_source",     # integer-chi2 effect size (NULL row)
+    "js_divergence_sources",     # vocab-grid symmetric drift
 ]
 
 
@@ -217,6 +222,10 @@ EXPECT_SUMMARY_ROWS = {
     "conformal_forecast_intervals": 1,  # single summary row
     "hodges_lehmann_urgent_shift": 1,  # single stats row (NULL shift)
     "kendall_tau_daily": 1,      # single stats row (NULL tau)
+    "kruskal_wallis_priority": 1,  # single stats row (NULL H)
+    "runs_test_daily_revenue": 1,  # single stats row (NULL z)
+    "cohens_d_urgent_price": 1,  # single stats row (NULL d)
+    "cramers_v_lang_source": 1,  # single stats row (NULL V)
 }
 
 
