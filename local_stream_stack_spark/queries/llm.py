@@ -7588,3 +7588,248 @@ def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "rm3_expanded_retrieval",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents
+    ),
+    doclen AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avglen
+      FROM doclen
+    ),
+    df AS (
+      SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY tok
+    ),
+    qterms AS (
+      SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 3
+    ),
+    idf AS (
+      SELECT q.tok,
+             CAST(FLOOR(ln((CAST(s.n_docs AS DOUBLE) - q.df + 0.5)
+                           / (q.df + 0.5) + 1.0) * 1e6 + 0.5) AS BIGINT)
+               AS idf_e6
+      FROM qterms q CROSS JOIN stats s
+    ),
+    tf AS (
+      SELECT t.doc_id, t.tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok t JOIN qterms q ON t.tok = q.tok
+      GROUP BY t.doc_id, t.tok
+    ),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(FLOOR(
+               CAST(i.idf_e6 AS DOUBLE) * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1.0 - 0.75
+                                 + 0.75 * dl.len / s.avglen))
+               + 0.5) AS BIGINT) AS c_e6
+      FROM tf
+      JOIN idf i ON i.tok = tf.tok
+      JOIN doclen dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    ),
+    fb AS (
+      SELECT doc_id, CAST(SUM(c_e6) AS BIGINT) AS bm25_e6
+      FROM contrib GROUP BY doc_id
+      ORDER BY bm25_e6 DESC, doc_id
+      LIMIT 10
+    ),
+    fbtf AS (
+      SELECT t.tok,
+             CAST(SUM((cnt * 1000000000) // dl.len) AS BIGINT) AS rm_e9
+      FROM (
+        SELECT f.doc_id, t.tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tok t JOIN fb f ON f.doc_id = t.doc_id
+        GROUP BY f.doc_id, t.tok
+      ) t
+      JOIN doclen dl ON dl.doc_id = t.doc_id
+      GROUP BY t.tok
+    ),
+    rmtot AS (SELECT CAST(SUM(rm_e9) AS BIGINT) AS tot FROM fbtf),
+    weights AS (
+      SELECT COALESCE(r.tok, q.tok) AS tok,
+             CAST(((CASE WHEN q.tok IS NOT NULL THEN 333333333 ELSE 0 END)
+                   + COALESCE((r.rm_e9 * 1000000000) // NULLIF(m.tot, 0), 0))
+                  // 2 AS BIGINT) AS w_e9
+      FROM fbtf r
+      FULL JOIN qterms q ON q.tok = r.tok
+      CROSS JOIN rmtot m
+    ),
+    exp_terms AS (
+      SELECT tok, w_e9 FROM weights ORDER BY w_e9 DESC, tok LIMIT 10
+    ),
+    idf2 AS (
+      SELECT e.tok, e.w_e9,
+             CAST(FLOOR(ln((CAST(s.n_docs AS DOUBLE) - d.df + 0.5)
+                           / (d.df + 0.5) + 1.0) * 1e6 + 0.5) AS BIGINT)
+               AS idf_e6
+      FROM exp_terms e
+      JOIN df d ON d.tok = e.tok
+      CROSS JOIN stats s
+    ),
+    tf2 AS (
+      SELECT t.doc_id, t.tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok t JOIN exp_terms e ON t.tok = e.tok
+      GROUP BY t.doc_id, t.tok
+    ),
+    contrib2 AS (
+      SELECT tf2.doc_id,
+             CAST(i.w_e9 * CAST(FLOOR(
+               CAST(i.idf_e6 AS DOUBLE) * (tf2.tf * 2.2)
+               / (tf2.tf + 1.2 * (1.0 - 0.75
+                                  + 0.75 * dl.len / s.avglen))
+               + 0.5) AS BIGINT) AS BIGINT) AS wc
+      FROM tf2
+      JOIN idf2 i ON i.tok = tf2.tok
+      JOIN doclen dl ON dl.doc_id = tf2.doc_id
+      CROSS JOIN stats s
+    )
+    SELECT doc_id, CAST(SUM(wc) AS BIGINT) AS rm3_e15
+    FROM contrib2 GROUP BY doc_id
+    ORDER BY rm3_e15 DESC, doc_id
+    LIMIT 10
+    """,
+)
+def rm3_expanded_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 pseudo-relevance feedback — the query-expansion member of
+    the retrieval family (`bm25_topk_docs` is the first pass; RM3 is
+    what production rankers actually run on top: take the top-10
+    feedback docs, estimate a relevance language model from them,
+    interpolate it 50/50 with the original query, and rescore with
+    the expanded 10-term query). Determinism: the relevance model is
+    built from integer rationals — each (doc, term) contributes
+    FLOOR(tf·1e9 / len) (truncating division on non-negative
+    BIGINTs), the model normalizes by integer division against its
+    integer total, and the RM3 interpolation ((orig + rm) div 2) and
+    final weighted scores (w_e9 × the e6 BM25 contribution integer)
+    never leave BIGINT; the only doubles are the idf/BM25 trees
+    already proven in `bm25_topk_docs`, each rounded once. Scale: two
+    bounded passes over the token relation (first pass = 3-term
+    probe, second = 10-term probe), feedback set and term lists are
+    broadcast-sized, top-k via TakeOrderedAndProject."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("tok"),
+    )
+    doclen = tok.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("len")
+    )
+    stats = doclen.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.sum("len").cast("double") / F.count("*")).alias("avglen"),
+    )
+    df = tok.groupBy("tok").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    qterms = df.orderBy(F.desc("df"), F.asc("tok")).limit(3)
+    idf = qterms.crossJoin(F.broadcast(stats)).select(
+        "tok",
+        F.expr(
+            "CAST(FLOOR(ln((CAST(n_docs AS DOUBLE) - df + 0.5)"
+            " / (df + 0.5) + 1.0) * 1e6 + 0.5) AS BIGINT)"
+        ).alias("idf_e6"),
+    )
+    tf = (
+        tok.join(F.broadcast(qterms.select("tok")), "tok")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    contrib = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avglen")))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(FLOOR("
+                "CAST(idf_e6 AS DOUBLE) * (tf * 2.2)"
+                " / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len / avglen))"
+                " + 0.5) AS BIGINT)"
+            ).alias("c_e6"),
+        )
+    )
+    fb = (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("c_e6").cast("bigint").alias("bm25_e6"))
+        .orderBy(F.desc("bm25_e6"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id")
+    )
+    fbtf = (
+        tok.join(F.broadcast(fb), "doc_id")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .join(doclen, "doc_id")
+        .groupBy("tok")
+        .agg(
+            F.sum(F.expr("(cnt * 1000000000) div len"))
+            .cast("bigint")
+            .alias("rm_e9")
+        )
+    )
+    rmtot = fbtf.agg(F.sum("rm_e9").cast("bigint").alias("tot"))
+    weights = (
+        fbtf.join(
+            qterms.select("tok").withColumn("is_q", F.lit(1)),
+            "tok",
+            "full_outer",
+        )
+        .crossJoin(F.broadcast(rmtot))
+        .select(
+            "tok",
+            F.expr(
+                """CAST(((CASE WHEN is_q IS NOT NULL THEN 333333333 ELSE 0 END)
+                     + COALESCE((rm_e9 * 1000000000) div NULLIF(tot, 0), 0))
+                    div 2 AS BIGINT)"""
+            ).alias("w_e9"),
+        )
+    )
+    exp_terms = weights.orderBy(F.desc("w_e9"), F.asc("tok")).limit(10)
+    idf2 = (
+        exp_terms.join(df, "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "tok",
+            "w_e9",
+            F.expr(
+                "CAST(FLOOR(ln((CAST(n_docs AS DOUBLE) - df + 0.5)"
+                " / (df + 0.5) + 1.0) * 1e6 + 0.5) AS BIGINT)"
+            ).alias("idf_e6"),
+        )
+    )
+    tf2 = (
+        tok.join(F.broadcast(exp_terms.select("tok")), "tok")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    contrib2 = (
+        tf2.join(F.broadcast(idf2), "tok")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avglen")))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(w_e9 * CAST(FLOOR("
+                "CAST(idf_e6 AS DOUBLE) * (tf * 2.2)"
+                " / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len / avglen))"
+                " + 0.5) AS BIGINT) AS BIGINT)"
+            ).alias("wc"),
+        )
+    )
+    return (
+        contrib2.groupBy("doc_id")
+        .agg(F.sum("wc").cast("bigint").alias("rm3_e15"))
+        .orderBy(F.desc("rm3_e15"), F.asc("doc_id"))
+        .limit(10)
+    )

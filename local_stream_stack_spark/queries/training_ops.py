@@ -3534,3 +3534,236 @@ def cross_entropy_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("train_source", "eval_source")
     )
+
+
+@query(
+    "hits_hubs_authorities",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey < 2000
+    ),
+    h0 AS (
+      SELECT c, CAST(1000000 AS BIGINT) AS h FROM (SELECT DISTINCT c FROM e) t
+    ),
+    a1r AS (
+      SELECT e.p, CAST(SUM(h.h) AS BIGINT) AS a
+      FROM e JOIN h0 h ON h.c = e.c GROUP BY e.p
+    ),
+    a1m AS (SELECT CAST(MAX(a) AS BIGINT) AS ma FROM a1r),
+    a1 AS (
+      SELECT p, CAST((a * 1000000) // ma AS BIGINT) AS a
+      FROM a1r CROSS JOIN a1m
+    ),
+    h1r AS (
+      SELECT e.c, CAST(SUM(a.a) AS BIGINT) AS h
+      FROM e JOIN a1 a ON a.p = e.p GROUP BY e.c
+    ),
+    h1m AS (SELECT CAST(MAX(h) AS BIGINT) AS mh FROM h1r),
+    h1 AS (
+      SELECT c, CAST((h * 1000000) // mh AS BIGINT) AS h
+      FROM h1r CROSS JOIN h1m
+    ),
+    a2r AS (
+      SELECT e.p, CAST(SUM(h.h) AS BIGINT) AS a
+      FROM e JOIN h1 h ON h.c = e.c GROUP BY e.p
+    ),
+    a2m AS (SELECT CAST(MAX(a) AS BIGINT) AS ma FROM a2r),
+    a2 AS (
+      SELECT p, CAST((a * 1000000) // ma AS BIGINT) AS a
+      FROM a2r CROSS JOIN a2m
+    ),
+    indeg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY p)
+    SELECT CAST(a.p AS BIGINT) AS part_id,
+           CAST(a.a AS BIGINT) AS auth_e6,
+           CAST(i.d AS BIGINT) AS in_degree
+    FROM a2 a JOIN indeg i ON i.p = a.p
+    ORDER BY auth_e6 DESC, part_id
+    LIMIT 20
+    """,
+)
+def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (hubs & authorities) over the directed customer→part
+    purchase graph — the bipartite companion of `copurchase_pagerank`
+    (PageRank ranks within the symmetric co-purchase projection; HITS
+    ranks the two sides of the raw purchase relation against each
+    other: customers with broad carts are hubs, parts bought by
+    strong hubs are authorities). Two unrolled mutual-reinforcement
+    rounds a←Σh, h←Σa, each followed by integer max-normalization
+    ((x·1e6) div max — truncating division on non-negative BIGINTs,
+    where Spark `div` and DuckDB `//` agree), so every score is
+    bit-identical to the unrolled oracle with no driver-side state.
+    Scale: per-round cost is one equi-join of the score relation with
+    the edge list + one partial-agg groupBy — score state stays
+    distributed; the max is a 1-row broadcast, top-20 via
+    TakeOrderedAndProject. The o_orderkey < 2000 slice bounds the
+    oracle's edge table while exercising the identical plan."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    h = e.select("c").distinct().withColumn(
+        "h", F.lit(1_000_000).cast("bigint")
+    )
+    a = None
+    for _ in range(2):
+        ar = (
+            e.join(h, "c")
+            .groupBy("p")
+            .agg(F.sum("h").cast("bigint").alias("a"))
+        )
+        am = ar.agg(F.max("a").cast("bigint").alias("ma"))
+        a = ar.crossJoin(F.broadcast(am)).select(
+            "p", F.expr("CAST((a * 1000000) div ma AS BIGINT)").alias("a")
+        )
+        hr = (
+            e.join(a, "p")
+            .groupBy("c")
+            .agg(F.sum("a").cast("bigint").alias("h"))
+        )
+        hm = hr.agg(F.max("h").cast("bigint").alias("mh"))
+        h = hr.crossJoin(F.broadcast(hm)).select(
+            "c", F.expr("CAST((h * 1000000) div mh AS BIGINT)").alias("h")
+        )
+    indeg = e.groupBy("p").agg(F.count("*").cast("bigint").alias("d"))
+    return (
+        a.join(indeg, "p")
+        .select(
+            F.col("p").cast("bigint").alias("part_id"),
+            F.col("a").cast("bigint").alias("auth_e6"),
+            F.col("d").cast("bigint").alias("in_degree"),
+        )
+        .orderBy(F.desc("auth_e6"), F.asc("part_id"))
+        .limit(20)
+    )
+
+
+@query(
+    "adamic_adar_link_prediction",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_orderkey < 2000
+    ),
+    de AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (
+      SELECT src AS s, dst AS d FROM de
+      UNION
+      SELECT dst AS s, src AS d FROM de
+    ),
+    deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS od FROM edges GROUP BY s),
+    cand AS (
+      SELECT e1.s AS u, e2.s AS v, e1.d AS w
+      FROM edges e1 JOIN edges e2
+        ON e1.d = e2.d AND e1.s < e2.s
+    ),
+    newpairs AS (
+      SELECT c.u, c.v, c.w
+      FROM cand c
+      LEFT JOIN de x ON x.src = c.u AND x.dst = c.v
+      WHERE x.src IS NULL
+    ),
+    terms AS (
+      SELECT n.u, n.v,
+             CAST(FLOOR(1e9 / LN(CAST(g.od AS DOUBLE)) + 0.5) AS BIGINT)
+               AS t_e9
+      FROM newpairs n JOIN deg g ON g.s = n.w
+    )
+    SELECT CAST(u AS BIGINT) AS part_a,
+           CAST(v AS BIGINT) AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_common,
+           CAST(SUM(t_e9) AS BIGINT) AS aa_e9
+    FROM terms
+    GROUP BY u, v
+    ORDER BY aa_e9 DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def adamic_adar_link_prediction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Adamic-Adar link prediction over the co-purchase graph: score
+    every NON-adjacent part pair by Σ 1/ln(deg(w)) over their common
+    neighbors w — the classic 'products likely to be co-bought next'
+    recommender signal, and the link-prediction member of the graph
+    family (components/PageRank/k-core describe the graph as it is;
+    Adamic-Adar predicts its next edge). Candidates come from the
+    wedge join (two edge hops through the shared neighbor — the
+    banded shape, never all-pairs); existing edges drop via a
+    left-anti probe of the canonical src<dst edge list. Every common
+    neighbor has degree ≥ 2 (it touches both endpoints), so ln is
+    bounded away from 0; each 1/ln term rounds once to an e9 BIGINT
+    and pair scores are order-independent integer sums. Top-20 via
+    TakeOrderedAndProject. The l_orderkey < 2000 slice bounds the
+    wedge fan-out for the oracle while exercising the identical
+    plan."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 2000)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
+    )
+    de = (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    edges = de.select(
+        F.col("src").alias("s"), F.col("dst").alias("d")
+    ).unionByName(
+        de.select(F.col("dst").alias("s"), F.col("src").alias("d"))
+    ).distinct()
+    deg = edges.groupBy("s").agg(F.count("*").cast("bigint").alias("od"))
+    e1 = edges.select(F.col("s").alias("u"), F.col("d").alias("w"))
+    e2 = edges.select(F.col("s").alias("v"), F.col("d").alias("w"))
+    cand = e1.join(e2, "w").filter(F.col("u") < F.col("v"))
+    newpairs = cand.join(
+        de,
+        (cand["u"] == de["src"]) & (cand["v"] == de["dst"]),
+        "left_anti",
+    )
+    terms = newpairs.join(
+        deg, newpairs["w"] == deg["s"]
+    ).select(
+        "u",
+        "v",
+        F.expr(
+            "CAST(FLOOR(1e9 / LN(CAST(od AS DOUBLE)) + 0.5) AS BIGINT)"
+        ).alias("t_e9"),
+    )
+    return (
+        terms.groupBy("u", "v")
+        .agg(
+            F.count("*").cast("bigint").alias("n_common"),
+            F.sum("t_e9").cast("bigint").alias("aa_e9"),
+        )
+        .select(
+            F.col("u").cast("bigint").alias("part_a"),
+            F.col("v").cast("bigint").alias("part_b"),
+            "n_common",
+            "aa_e9",
+        )
+        .orderBy(F.desc("aa_e9"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )

@@ -184,6 +184,9 @@ REPRESENTATIVE = [
     "cohens_d_urgent_price",     # moment-sum effect size (NULL row)
     "cramers_v_lang_source",     # integer-chi2 effect size (NULL row)
     "js_divergence_sources",     # vocab-grid symmetric drift
+    "hits_hubs_authorities",     # bipartite mutual-reinforcement ranks
+    "adamic_adar_link_prediction",  # wedge-join common neighbors
+    "rm3_expanded_retrieval",    # two-pass feedback retrieval
 ]
 
 
