@@ -2474,3 +2474,386 @@ def stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("chunk", "n_rows", "psi_e6")
         .orderBy("chunk")
     )
+
+
+@query(
+    "stream_cms_heavy_hitters_incremental",
+    oracle="""
+    WITH probes AS (
+      SELECT e.user_id, d.d,
+             CAST('0x' || substring(md5(CAST(e.user_id AS VARCHAR)
+                                        || '|' || CAST(d.d AS VARCHAR)),
+                                    1, 8) AS BIGINT) % 1024 AS w
+      FROM events e CROSS JOIN generate_series(0, 3) d(d)
+    ),
+    grid AS (
+      SELECT d, w, COUNT(*) AS cnt FROM probes GROUP BY d, w
+    ),
+    keyprobes AS (
+      SELECT DISTINCT user_id, d, w FROM probes
+    ),
+    est AS (
+      SELECT k.user_id, MIN(g.cnt) AS est
+      FROM keyprobes k JOIN grid g ON k.d = g.d AND k.w = g.w
+      GROUP BY k.user_id
+    )
+    SELECT user_id, est FROM est
+    ORDER BY est DESC, user_id
+    LIMIT 20
+    """,
+)
+def stream_cms_heavy_hitters_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LIVE maintained count-min sketch: the event stream folds into a
+    4×1024 counter grid maintained as additive epoch deltas (each
+    micro-batch ships at most depth×width cells, regardless of batch
+    size — the counter-grid twin of the KMV view), and heavy-hitter
+    estimates from the FOLDED grid must equal the from-scratch batch
+    sketch — CMS mergeability (grid(A ∪ B) == grid(A) + grid(B),
+    pinned in tests/test_sketches.py) is exactly what makes the
+    sketch maintainable. Portable md5 probes so the oracle replays
+    placement bit-for-bit; estimation joins the candidate keys
+    against the broadcast grid. At 100 TB the per-epoch delta stays
+    grid-sized — O(4096) rows — while the estimate pass is one
+    broadcast join over distinct keys."""
+    from local_stream_stack_spark.catalog import load_table
+    from local_stream_stack_spark.operators.sketches import (
+        _probes,
+        cms_estimate,
+    )
+    from local_stream_stack_spark.streaming.ops import (
+        aggregate_view_stream_parquet,
+        read_aggregate_view,
+    )
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    base = ephemeral_dir(prefix="stream-e2e-cms-")
+    in_dir = os.path.join(base, "in")
+    view = os.path.join(base, "view")
+    cp = os.path.join(base, "cp")
+    _stage_ordered(
+        in_dir,
+        lambda: ev.filter(F.col("event_id") % 2 == 0)
+        .coalesce(1)
+        .write.parquet(in_dir),
+        lambda: ev.filter(F.col("event_id") % 2 == 1)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(in_dir),
+    )
+    stream_cells = (
+        spark.readStream.schema("event_id bigint, user_id bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .select(
+            F.explode(
+                _probes(F.col("user_id"), 4, 1024, portable=True)
+            ).alias("p")
+        )
+        .select(F.col("p.d").alias("d"), F.col("p.w").alias("w"))
+    )
+    q = aggregate_view_stream_parquet(
+        stream_cells,
+        keys=["d", "w"],
+        sum_cols=[],
+        target_path=view,
+        checkpoint_location=cp,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    grid = read_aggregate_view(spark, view).select(
+        "d", "w", F.col("n_rows").alias("cnt")
+    )
+    users = ev.select("user_id").distinct()
+    return (
+        cms_estimate(grid, users, "user_id", depth=4, width=1024, portable=True)
+        .orderBy(F.desc("est"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+@query(
+    "stream_pmi_collocations_incremental",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+      FROM documents
+    ),
+    uni AS (
+      SELECT unnest(t) AS a FROM docs
+    ),
+    unic AS (
+      SELECT a, CAST(COUNT(*) AS BIGINT) AS na FROM uni GROUP BY a
+    ),
+    tot1 AS (SELECT CAST(SUM(na) AS BIGINT) AS t1 FROM unic),
+    big AS (
+      SELECT u['a'] AS a, u['b'] AS b
+      FROM (
+        SELECT unnest([{'a': t[i], 'b': t[i + 1]}
+                       for i in generate_series(1, len(t) - 1)]) AS u
+        FROM docs
+      )
+    ),
+    bigc AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS nab
+      FROM big GROUP BY a, b
+    ),
+    tot2 AS (SELECT CAST(SUM(nab) AS BIGINT) AS t2 FROM bigc)
+    SELECT g.a, g.b, g.nab,
+           CAST(FLOOR(LN(
+             (CAST(g.nab AS DOUBLE) / t2.t2)
+             * (CAST(t1.t1 AS DOUBLE) / ua.na)
+             * (CAST(t1.t1 AS DOUBLE) / ub.na)
+           ) * 1e6 + 0.5) AS BIGINT) AS pmi_e6
+    FROM bigc g
+    JOIN unic ua ON ua.a = g.a
+    JOIN unic ub ON ub.a = g.b
+    CROSS JOIN tot1 t1 CROSS JOIN tot2 t2
+    WHERE g.nab >= 5
+    ORDER BY g.nab DESC, g.a, g.b
+    LIMIT 20
+    """,
+)
+def stream_pmi_collocations_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LIVE maintained collocation model: documents stream in two
+    halves and each micro-batch is tokenized ONCE into additive
+    unigram and adjacent-bigram count deltas (one keyed view,
+    kind='1'/'2' rows), the maintained shape of
+    `token_pmi_collocations`; top-20 PMI collocations computed from
+    the FOLDED view must hash-match the from-scratch batch compute.
+    PMI = ln(p(a,b)/(p(a)p(b))) over exact integer counts — one ln
+    per surviving pair, rounded once to e6 with the division tree
+    written identically on both engines. At 100 TB the per-epoch
+    delta is bounded by the batch's distinct-bigram set (sub-linear
+    in tokens), and the final join is counts-to-counts, never a
+    re-read of text."""
+    from local_stream_stack_spark.catalog import load_table
+    from local_stream_stack_spark.streaming.ops import (
+        aggregate_view_stream_parquet,
+        read_aggregate_view,
+    )
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = ephemeral_dir(prefix="stream-e2e-pmi-")
+    in_dir = os.path.join(base, "in")
+    view = os.path.join(base, "view")
+    cp = os.path.join(base, "cp")
+    _stage_ordered(
+        in_dir,
+        lambda: docs.filter(F.col("doc_id") % 2 == 0)
+        .coalesce(1)
+        .write.parquet(in_dir),
+        lambda: docs.filter(F.col("doc_id") % 2 == 1)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(in_dir),
+    )
+    toked = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .select(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias(
+                "t"
+            )
+        )
+    )
+    uni = toked.select(
+        F.lit("1").alias("kind"),
+        F.explode("t").alias("a"),
+        F.lit("").alias("b"),
+    )
+    big = toked.select(
+        F.lit("2").alias("kind"),
+        F.explode(
+            F.expr(
+                """CASE WHEN size(t) >= 2 THEN
+                     transform(sequence(1, size(t) - 1),
+                       i -> struct(element_at(t, i) AS a,
+                                   element_at(t, i + 1) AS b))
+                   ELSE array() END"""
+            )
+        ).alias("p"),
+    ).select("kind", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    q = aggregate_view_stream_parquet(
+        uni.unionByName(big),
+        keys=["kind", "a", "b"],
+        sum_cols=[],
+        target_path=view,
+        checkpoint_location=cp,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    folded = read_aggregate_view(spark, view)
+    unic = folded.filter(F.col("kind") == "1").select(
+        "a", F.col("n_rows").cast("bigint").alias("na")
+    )
+    bigc = folded.filter(F.col("kind") == "2").select(
+        "a", "b", F.col("n_rows").cast("bigint").alias("nab")
+    )
+    tot1 = unic.agg(F.sum("na").cast("bigint").alias("t1"))
+    tot2 = bigc.agg(F.sum("nab").cast("bigint").alias("t2"))
+    ua = unic.select(F.col("a"), F.col("na").alias("na_a"))
+    ub = unic.select(
+        F.col("a").alias("b"), F.col("na").alias("na_b")
+    )
+    return (
+        bigc.filter(F.col("nab") >= 5)
+        .join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(tot1))
+        .crossJoin(F.broadcast(tot2))
+        .select(
+            "a",
+            "b",
+            "nab",
+            F.expr(
+                """CAST(FLOOR(LN(
+                     (CAST(nab AS DOUBLE) / t2)
+                     * (CAST(t1 AS DOUBLE) / na_a)
+                     * (CAST(t1 AS DOUBLE) / na_b)
+                   ) * 1e6 + 0.5) AS BIGINT)"""
+            ).alias("pmi_e6"),
+        )
+        .orderBy(F.desc("nab"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )
+
+
+@query(
+    "stream_histogram_quantiles_incremental",
+    oracle="""
+    WITH bins AS (
+      SELECT CAST(CASE WHEN value <= 0 THEN -9999
+                       ELSE CAST(FLOOR(LOG2(value)) AS INT) END AS INT)
+               AS bucket_log2,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ),
+    cum AS (
+      SELECT bucket_log2, n_events,
+             SUM(n_events) OVER (ORDER BY bucket_log2) AS cw
+      FROM bins
+    ),
+    tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS n FROM bins),
+    qs AS (SELECT unnest([50, 90, 99]) AS q)
+    SELECT CAST(qs.q AS INT) AS q,
+           CAST(MIN(c.bucket_log2) AS INT) AS bucket_log2,
+           CAST(MAX((qs.q * t.n + 99) // 100) AS BIGINT) AS thr_events,
+           CAST(MAX(t.n) AS BIGINT) AS total_events
+    FROM qs
+    CROSS JOIN tot t
+    JOIN cum c ON c.cw >= (qs.q * t.n + 99) // 100
+    GROUP BY qs.q
+    ORDER BY q
+    """,
+)
+def stream_histogram_quantiles_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LIVE maintained histogram → quantile view: event values stream
+    in two halves into an additive log2-bin histogram (per-epoch
+    delta = O(bins) rows), and p50/p90/p99 bucket estimates computed
+    from the FOLDED histogram must equal the from-scratch batch
+    answer — the maintained-view route to streaming quantiles
+    (per-value exact quantiles are not additively maintainable;
+    bin-grain ones are, which is how production metric stores do it).
+    Bucket = floor(log2(v)) with the ≤0 sentinel of
+    `value_histogram_log2`; the quantile pick is the smallest bucket
+    whose exact integer cumsum reaches ceil(q·n/100), computed via
+    the distributed-rank cumsum — all BIGINTs, no doubles anywhere.
+    At 100 TB: per-epoch delta stays bin-grain and the read side
+    folds |bins| rows."""
+    from local_stream_stack_spark.catalog import load_table
+    from local_stream_stack_spark.operators.quantiles import (
+        with_global_rank,
+    )
+    from local_stream_stack_spark.streaming.ops import (
+        aggregate_view_stream_parquet,
+        read_aggregate_view,
+    )
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    base = ephemeral_dir(prefix="stream-e2e-histq-")
+    in_dir = os.path.join(base, "in")
+    view = os.path.join(base, "view")
+    cp = os.path.join(base, "cp")
+    _stage_ordered(
+        in_dir,
+        lambda: ev.filter(F.col("event_id") % 2 == 0)
+        .coalesce(1)
+        .write.parquet(in_dir),
+        lambda: ev.filter(F.col("event_id") % 2 == 1)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(in_dir),
+    )
+    stream_bins = (
+        spark.readStream.schema("event_id bigint, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .select(
+            F.expr(
+                """CAST(CASE WHEN value <= 0 THEN -9999
+                       ELSE CAST(FLOOR(LOG2(value)) AS INT) END AS INT)"""
+            ).alias("bucket_log2")
+        )
+    )
+    q = aggregate_view_stream_parquet(
+        stream_bins,
+        keys=["bucket_log2"],
+        sum_cols=[],
+        target_path=view,
+        checkpoint_location=cp,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    bins = read_aggregate_view(spark, view).select(
+        "bucket_log2", F.col("n_rows").cast("bigint").alias("n_events")
+    )
+    cum = with_global_rank(
+        bins,
+        "bucket_log2",
+        out_rank="__rn",
+        cumsum={"n_events": "cw"},
+        acc_type="BIGINT",
+        bins=16,
+    )
+    tot = bins.agg(F.sum("n_events").cast("bigint").alias("n"))
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias("q")
+    )
+    return (
+        qs.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(cum.select("bucket_log2", "cw")),
+            F.col("cw") >= F.expr("(q * n + 99) div 100"),
+        )
+        .groupBy("q")
+        .agg(
+            F.min("bucket_log2").cast("int").alias("bucket_log2"),
+            F.max(F.expr("(q * n + 99) div 100"))
+            .cast("bigint")
+            .alias("thr_events"),
+            F.max("n").cast("bigint").alias("total_events"),
+        )
+        .select(
+            F.col("q").cast("int").alias("q"),
+            "bucket_log2",
+            "thr_events",
+            "total_events",
+        )
+        .orderBy("q")
+    )
