@@ -7833,3 +7833,233 @@ def rm3_expanded_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rm3_e15"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+@query(
+    "multimodal_qoi_decode",
+    oracle="""
+    WITH px AS (
+      SELECT d.doc_id,
+             (d.doc_id + 2 * (x.x // 2) + 3 * y.y) % 256 AS r,
+             (d.doc_id + 2 * (x.x // 2) + 3 * y.y + x.x % 3) % 256 AS g,
+             (d.doc_id * 7 + 3 * y.y + 5) % 256 AS b
+      FROM documents d,
+           generate_series(0, 6) x(x),
+           generate_series(0, 4) y(y)
+      WHERE x.x < 4 + d.doc_id % 4 AND y.y < 3 + d.doc_id % 3
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(r) AS BIGINT) AS r_sum,
+           CAST(SUM(g) AS BIGINT) AS g_sum,
+           CAST(SUM(b) AS BIGINT) AS b_sum,
+           CAST(255 * COUNT(*) AS BIGINT) AS a_sum,
+           CAST(MIN(r) AS INT) AS r_min,
+           CAST(MAX(r) AS INT) AS r_max
+    FROM px
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def multimodal_qoi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-bytes QOI decode end to end: per doc a patterned RGB image
+    (doc-varying dims; paired-x / small-green-offset / row-gradient
+    formulas so the encoder emits runs, index hits, DIFF and LUMA ops,
+    not just literals) is encoded and decoded through the full QOI
+    codec (``operators/qoi.py`` — rolling 64-slot hash index, wrapping
+    2-bit/6-bit diffs, biased runs, end marker; every op pinned
+    against hand-assembled spec streams in tests/test_qoi.py) inside
+    one Arrow-batched mapInPandas pass. QOI is lossless, so the
+    oracle recomputes the decoded channel statistics purely
+    arithmetically from the closed-form pixel formulas — a defect in
+    run bias, index hashing, or wrap arithmetic breaks the sums. Same
+    fan-out note as JPEG/GIF/BMP: the id column is repartitioned
+    because the testdata table is one small file."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def run(batches):
+        import pandas as pd
+
+        from local_stream_stack_spark.operators.qoi import (
+            decode_qoi,
+            encode_qoi,
+        )
+
+        cols = [
+            "doc_id", "n_px",
+            "r_sum", "g_sum", "b_sum", "a_sum", "r_min", "r_max",
+        ]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 4, 3 + did % 3
+                rgb = bytes(
+                    v
+                    for y in range(h)
+                    for x in range(w)
+                    for v in (
+                        (did + 2 * (x // 2) + 3 * y) % 256,
+                        (did + 2 * (x // 2) + 3 * y + x % 3) % 256,
+                        (did * 7 + 3 * y + 5) % 256,
+                    )
+                )
+                out = decode_qoi(encode_qoi(w, h, rgb, channels=3))
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_px": out["n_px"],
+                        "r_sum": out["r_sum"],
+                        "g_sum": out["g_sum"],
+                        "b_sum": out["b_sum"],
+                        "a_sum": out["a_sum"],
+                        "r_min": out["r_min"],
+                        "r_max": out["r_max"],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return d.mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, n_px bigint, r_sum bigint, g_sum bigint,"
+            " b_sum bigint, a_sum bigint, r_min int, r_max int"
+        ),
+    ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_ico_decode",
+    oracle="""
+    WITH fpng AS (
+      SELECT d.doc_id,
+             (d.doc_id + x.x) % 256 AS r,
+             (d.doc_id * 3 + y.y) % 256 AS g,
+             (x.x * y.y + 5) % 256 AS b,
+             255 AS a
+      FROM documents d,
+           generate_series(0, 5) x(x),
+           generate_series(0, 3) y(y)
+      WHERE x.x < 3 + d.doc_id % 4 AND y.y < 2 + d.doc_id % 3
+    ),
+    fdib AS (
+      SELECT d.doc_id,
+             (d.doc_id * 7 + x.x) % 256 AS r,
+             (y.y * 9) % 256 AS g,
+             (d.doc_id + x.x + y.y) % 256 AS b,
+             CASE WHEN (x.x + y.y + d.doc_id) % 7 = 0 THEN 0 ELSE 200 END AS a
+      FROM documents d,
+           generate_series(0, 5) x(x),
+           generate_series(0, 2) y(y)
+      WHERE x.x < 4 + d.doc_id % 3 AND y.y < 2 + d.doc_id % 2
+    ),
+    px AS (SELECT * FROM fpng UNION ALL SELECT * FROM fdib)
+    SELECT doc_id,
+           CAST(2 AS INT) AS n_members,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(r) AS BIGINT) AS r_sum,
+           CAST(SUM(g) AS BIGINT) AS g_sum,
+           CAST(SUM(b) AS BIGINT) AS b_sum,
+           CAST(SUM(a) AS BIGINT) AS a_sum
+    FROM px
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def multimodal_ico_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-bytes ICO container decode end to end: per doc an icon
+    file holding a PNG member (delegated to the real PNG codec, all
+    five scanline filters) AND a 32-bit DIB member (doubled-height
+    header, bottom-up BGRA XOR bitmap, 1-bit padded AND mask whose
+    set bits the pattern actually exercises via a==0 pixels) is built
+    and decoded through ``operators/ico.py`` inside one Arrow-batched
+    mapInPandas pass — the CONTAINER member of the codec family
+    (directory parsing + per-member dispatch), pinned member-by-member
+    in tests/test_ico.py. Both members are lossless, so the oracle
+    recomputes the decoded channel statistics arithmetically from the
+    closed-form pixel formulas — a directory-offset, mask, row-order,
+    or channel-swap defect breaks the sums. Same fan-out note as
+    JPEG/GIF/BMP/QOI: the id column is repartitioned because the
+    testdata table is one small file."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def run(batches):
+        import pandas as pd
+
+        from local_stream_stack_spark.operators.ico import (
+            decode_ico,
+            encode_ico,
+        )
+
+        cols = [
+            "doc_id", "n_members", "n_px",
+            "r_sum", "g_sum", "b_sum", "a_sum",
+        ]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w1, h1 = 3 + did % 4, 2 + did % 3
+                png_rgba = bytes(
+                    v
+                    for y in range(h1)
+                    for x in range(w1)
+                    for v in (
+                        (did + x) % 256,
+                        (did * 3 + y) % 256,
+                        (x * y + 5) % 256,
+                        255,
+                    )
+                )
+                w2, h2 = 4 + did % 3, 2 + did % 2
+                dib_rgba = bytes(
+                    v
+                    for y in range(h2)
+                    for x in range(w2)
+                    for v in (
+                        (did * 7 + x) % 256,
+                        (y * 9) % 256,
+                        (did + x + y) % 256,
+                        0 if (x + y + did) % 7 == 0 else 200,
+                    )
+                )
+                out = decode_ico(
+                    encode_ico(
+                        [
+                            {
+                                "width": w1,
+                                "height": h1,
+                                "kind": "png",
+                                "rgba": png_rgba,
+                            },
+                            {
+                                "width": w2,
+                                "height": h2,
+                                "kind": "dib",
+                                "rgba": dib_rgba,
+                            },
+                        ]
+                    )
+                )
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_members": out["n_members"],
+                        "n_px": out["n_px"],
+                        "r_sum": out["r_sum"],
+                        "g_sum": out["g_sum"],
+                        "b_sum": out["b_sum"],
+                        "a_sum": out["a_sum"],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return d.mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, n_members int, n_px bigint, r_sum bigint,"
+            " g_sum bigint, b_sum bigint, a_sum bigint"
+        ),
+    ).orderBy("doc_id")

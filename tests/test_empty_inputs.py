@@ -187,6 +187,8 @@ REPRESENTATIVE = [
     "hits_hubs_authorities",     # bipartite mutual-reinforcement ranks
     "adamic_adar_link_prediction",  # wedge-join common neighbors
     "rm3_expanded_retrieval",    # two-pass feedback retrieval
+    "multimodal_qoi_decode",     # real QOI codec mapInPandas
+    "multimodal_ico_decode",     # real ICO container mapInPandas
 ]
 
 
