@@ -8063,3 +8063,295 @@ def multimodal_ico_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             " g_sum bigint, b_sum bigint, a_sum bigint"
         ),
     ).orderBy("doc_id")
+
+
+@query(
+    "flesch_readability_by_source",
+    oracle="""
+    WITH per_doc AS (
+      SELECT source,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+               AS w,
+             CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS BIGINT) AS s,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS sy
+      FROM documents
+    ),
+    scored AS (
+      SELECT source, w, s, sy,
+             CASE WHEN w > 0 THEN
+               CAST(FLOOR((206.835
+                 - 1.015 * (CAST(w AS DOUBLE) / s)
+                 - 84.6 * (CAST(sy AS DOUBLE) / w)) * 1e3 + 0.5) AS BIGINT)
+             END AS f_e3
+      FROM per_doc
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(w) AS BIGINT) AS sum_words,
+           CAST(SUM(s) AS BIGINT) AS sum_sentences,
+           CAST(SUM(sy) AS BIGINT) AS sum_vowel_groups,
+           CAST(FLOOR(CAST(SUM(f_e3) AS DOUBLE)
+                      / NULLIF(SUM(CASE WHEN f_e3 IS NOT NULL
+                                        THEN 1 ELSE 0 END), 0)
+                      + 0.5) AS BIGINT) AS mean_flesch_e3
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def flesch_readability_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Flesch reading-ease per source — the readability member of the
+    text-quality family (`quality_filter_gopher` gates on structural
+    ratios; Flesch is the classic audience-level score a curation mix
+    reports per slice). Syllables use the standard cheap proxy (vowel
+    GROUPS [aeiouy]+ — groups cannot span non-letters, so one regex
+    over the whole text equals the per-word sum without exploding
+    words); sentences are [.!?]+ runs clamped to ≥1. The per-doc
+    score is one identical double tree over three exact integers,
+    rounded ONCE to an e3 BIGINT, and the per-source mean divides the
+    integer sum — no float accumulation anywhere. Scale: one scan,
+    three regex counters per row (scan-side codegen), one partial+
+    final hash aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        F.expr(
+            "CAST(size(regexp_extract_all(lower(text), '[a-z]+', 0))"
+            " AS BIGINT)"
+        ).alias("w"),
+        F.expr(
+            "CAST(GREATEST(size(regexp_extract_all(text, '[.!?]+', 0)), 1)"
+            " AS BIGINT)"
+        ).alias("s"),
+        F.expr(
+            "CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0))"
+            " AS BIGINT)"
+        ).alias("sy"),
+    )
+    scored = per_doc.withColumn(
+        "f_e3",
+        F.expr(
+            """CASE WHEN w > 0 THEN
+                 CAST(FLOOR((206.835
+                   - 1.015 * (CAST(w AS DOUBLE) / s)
+                   - 84.6 * (CAST(sy AS DOUBLE) / w)) * 1e3 + 0.5) AS BIGINT)
+               END"""
+        ),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("w").cast("bigint").alias("sum_words"),
+            F.sum("s").cast("bigint").alias("sum_sentences"),
+            F.sum("sy").cast("bigint").alias("sum_vowel_groups"),
+            F.expr(
+                """CAST(FLOOR(CAST(SUM(f_e3) AS DOUBLE)
+                     / NULLIF(SUM(CASE WHEN f_e3 IS NOT NULL
+                                       THEN 1 ELSE 0 END), 0)
+                     + 0.5) AS BIGINT)"""
+            ).alias("mean_flesch_e3"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "mojibake_encoding_audit",
+    oracle="""
+    WITH per_doc AS (
+      SELECT source,
+             CAST(len(regexp_extract_all(text, 'Ã[©¨¤¼¶«»±€œ]')) AS BIGINT)
+               AS n_moji,
+             CAST(len(regexp_extract_all(text, 'â€|Â |ï»¿')) AS BIGINT)
+               AS n_punct_moji,
+             CAST(len(regexp_extract_all(text, '�')) AS BIGINT)
+               AS n_replacement,
+             CAST(len(regexp_extract_all(text,
+                      '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) AS BIGINT)
+               AS n_control,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_moji + n_punct_moji + n_replacement
+                              + n_control > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged_docs,
+           CAST(SUM(n_moji) AS BIGINT) AS n_moji,
+           CAST(SUM(n_punct_moji) AS BIGINT) AS n_punct_moji,
+           CAST(SUM(n_replacement) AS BIGINT) AS n_replacement,
+           CAST(SUM(n_control) AS BIGINT) AS n_control,
+           CAST((SUM(n_moji + n_punct_moji + n_replacement + n_control)
+                 * 1000000) // NULLIF(SUM(n_chars), 0) AS BIGINT)
+             AS rate_per_million_chars
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def mojibake_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage audit per source: counts the classic UTF-8
+    double-decoding artifacts (Ã-prefixed Latin-1 pairs, the â€ /
+    Â-nbsp / stray-BOM punctuation family), U+FFFD replacement
+    characters, and C0 control bytes — the signals a crawl-ingest
+    gate uses to quarantine mis-decoded slices before they poison a
+    tokenizer's vocabulary. All counters are exact regex-match
+    integers (scan-side codegen, no UDF); the per-million rate is a
+    truncating integer division, so the whole report is BIGINT
+    end-to-end. Scale: one scan + one partial+final hash aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        F.expr(
+            "CAST(size(regexp_extract_all(text, 'Ã[©¨¤¼¶«»±€œ]', 0))"
+            " AS BIGINT)"
+        ).alias("n_moji"),
+        F.expr(
+            "CAST(size(regexp_extract_all(text, 'â€|Â |ï»¿', 0))"
+            " AS BIGINT)"
+        ).alias("n_punct_moji"),
+        F.expr(
+            "CAST(size(regexp_extract_all(text, '�', 0)) AS BIGINT)"
+        ).alias("n_replacement"),
+        F.expr(
+            "CAST(size(regexp_extract_all(text,"
+            " '[\\\\x00-\\\\x08\\\\x0b\\\\x0c\\\\x0e-\\\\x1f]', 0))"
+            " AS BIGINT)"
+        ).alias("n_control"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN n_moji + n_punct_moji + n_replacement"
+                    " + n_control > 0 THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("n_flagged_docs"),
+            F.sum("n_moji").cast("bigint").alias("n_moji"),
+            F.sum("n_punct_moji").cast("bigint").alias("n_punct_moji"),
+            F.sum("n_replacement").cast("bigint").alias("n_replacement"),
+            F.sum("n_control").cast("bigint").alias("n_control"),
+            F.expr(
+                """CAST((SUM(n_moji + n_punct_moji + n_replacement
+                             + n_control) * 1000000)
+                        div NULLIF(SUM(n_chars), 0) AS BIGINT)"""
+            ).alias("rate_per_million_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "char_entropy_quality",
+    oracle="""
+    WITH chars AS (
+      SELECT d.doc_id, d.source,
+             substring(d.text, i.i, 1) AS ch
+      FROM documents d
+      JOIN generate_series(1, 240) i(i)
+        ON i.i <= LEAST(length(d.text), 240)
+    ),
+    cc AS (
+      SELECT doc_id, source, ch, CAST(COUNT(*) AS BIGINT) AS c
+      FROM chars GROUP BY doc_id, source, ch
+    ),
+    lens AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS l_doc
+      FROM cc GROUP BY doc_id
+    ),
+    terms AS (
+      SELECT cc.doc_id, cc.source, cc.c,
+             CAST(ROUND(-(CAST(cc.c AS DOUBLE) / ln2.l_doc)
+               * LN(CAST(cc.c AS DOUBLE) / ln2.l_doc) * 1e9) AS BIGINT)
+               AS t_e9
+      FROM cc JOIN lens ln2 ON ln2.doc_id = cc.doc_id
+    ),
+    dl AS (
+      SELECT doc_id, source, CAST(SUM(c) AS BIGINT) AS l,
+             CAST(SUM(t_e9) AS BIGINT) AS ent_e9
+      FROM terms GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(ent_e9) AS BIGINT) AS min_ent_e9,
+           CAST(MAX(ent_e9) AS BIGINT) AS max_ent_e9,
+           CAST(FLOOR(CAST(SUM(ent_e9) AS DOUBLE) / COUNT(*) / 1000.0 + 0.5)
+                AS BIGINT) AS mean_ent_e6,
+           CAST(SUM(CASE WHEN ent_e9 < 2500000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low_entropy
+    FROM dl
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy of each document's first 240
+    chars, reported per source — the cheap information-density
+    quality signal (boilerplate, repeated padding, and template spam
+    sit far below natural text's ~4 nats-per-char ceiling; the
+    n_low_entropy count is the quarantine candidate list). The char
+    expansion is BOUNDED (≤240 rows per doc via an explicit position
+    sequence — identical substring semantics on both engines, no
+    empty-separator split ambiguity); each per-char term
+    -(c/L)·ln(c/L) rounds once to an e9 BIGINT so per-doc entropy is
+    an order-independent integer sum, and the per-source mean divides
+    integer sums. Scale: one scan with a 240× bounded fan-out, two
+    hash aggregates partitioned by doc then source."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    chars = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr("sequence(1, GREATEST(LEAST(length(text), 240), 1))")
+        ).alias("i"),
+        "text",
+    ).filter(F.length("text") > 0).select(
+        "doc_id", "source", F.expr("substring(text, i, 1)").alias("ch")
+    )
+    cc = chars.groupBy("doc_id", "source", "ch").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    wdoc = Window.partitionBy("doc_id")
+    terms = cc.withColumn("l_doc", F.sum("c").over(wdoc)).select(
+        "doc_id",
+        "source",
+        "c",
+        F.expr(
+            """CAST(ROUND(-(CAST(c AS DOUBLE) / l_doc)
+                 * LN(CAST(c AS DOUBLE) / l_doc) * 1e9) AS BIGINT)"""
+        ).alias("t_e9"),
+    )
+    dl = terms.groupBy("doc_id", "source").agg(
+        F.sum("c").cast("bigint").alias("l"),
+        F.sum("t_e9").cast("bigint").alias("ent_e9"),
+    )
+    return (
+        dl.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("ent_e9").cast("bigint").alias("min_ent_e9"),
+            F.max("ent_e9").cast("bigint").alias("max_ent_e9"),
+            F.expr(
+                "CAST(FLOOR(CAST(SUM(ent_e9) AS DOUBLE) / COUNT(*)"
+                " / 1000.0 + 0.5) AS BIGINT)"
+            ).alias("mean_ent_e6"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN ent_e9 < 2500000000 THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("n_low_entropy"),
+        )
+        .orderBy("source")
+    )

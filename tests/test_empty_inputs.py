@@ -189,6 +189,9 @@ REPRESENTATIVE = [
     "rm3_expanded_retrieval",    # two-pass feedback retrieval
     "multimodal_qoi_decode",     # real QOI codec mapInPandas
     "multimodal_ico_decode",     # real ICO container mapInPandas
+    "flesch_readability_by_source",  # regex readability battery
+    "mojibake_encoding_audit",   # encoding-damage regex counters
+    "char_entropy_quality",      # bounded char-expansion entropy
 ]
 
 
