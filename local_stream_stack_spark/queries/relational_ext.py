@@ -4956,3 +4956,101 @@ def cohens_d_urgent_price(spark: SparkSession, sf_dir: str) -> DataFrame:
                END"""
         ).alias("g_e6"),
     )
+
+
+@query(
+    "holt_linear_daily_revenue",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1
+    ),
+    seq AS MATERIALIZED (
+      SELECT cents, ROW_NUMBER() OVER (ORDER BY day) AS i,
+             COUNT(*) OVER () AS n
+      FROM daily
+    ),
+    fold AS (
+      SELECT i, n, cents,
+             cents AS l, CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS sae
+      FROM seq WHERE i = 1
+      UNION ALL
+      SELECT s.i, s.n, s.cents,
+             CAST(FLOOR(0.5 * s.cents + 0.5 * (f.l + f.b) + 0.5) AS BIGINT),
+             CAST(FLOOR(0.3 * (CAST(FLOOR(0.5 * s.cents
+                    + 0.5 * (f.l + f.b) + 0.5) AS BIGINT) - f.l)
+                  + 0.7 * f.b + 0.5) AS BIGINT),
+             f.sae + ABS(s.cents - (f.l + f.b))
+      FROM seq s JOIN fold f ON s.i = f.i + 1
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(l AS BIGINT) AS level_cents,
+           CAST(b AS BIGINT) AS trend_cents,
+           CAST(l + b AS BIGINT) AS forecast_1d_cents,
+           CAST(l + 7 * b AS BIGINT) AS forecast_7d_cents,
+           CAST(sae AS BIGINT) AS sum_abs_err_cents
+    FROM fold WHERE i = n
+    """,
+)
+def holt_linear_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing of daily revenue
+    (α=0.5, β=0.3) with 1-day and 7-day-ahead forecasts and the
+    in-sample one-step absolute-error total — the trend member of the
+    forecasting family (`ewma_daily_revenue` smooths LEVEL only;
+    `seasonal_naive_backtest` repeats the weekly shape; Holt is the
+    classic level+trend recursion between them). Inherently a
+    sequential fold, so it runs as ONE ordered array fold over the
+    calendar-bounded day series (`ewma_daily_revenue` idiom) with BOTH
+    state components re-rounded to cents BIGINTs at every step —
+    l ← ⌊αy + (1−α)(l+b)⌋, b ← ⌊β(l′−l) + (1−β)b⌋ — so the recursion
+    is exact integers end-to-end and the oracle replays it as a
+    recursive CTE bit-for-bit. Scale: day-grain collapse first; the
+    fold is calendar-bounded regardless of corpus size."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr("CAST(o_orderdate AS DATE)").alias("day")
+    ).agg(
+        F.sum(
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+        ).alias("cents")
+    )
+    arr = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "cents"))).alias(
+            "__a"
+        )
+    )
+    return arr.select(
+        F.expr(
+            """aggregate(
+                 __a,
+                 named_struct(
+                   'i', CAST(0 AS BIGINT),
+                   'l', CAST(0 AS BIGINT),
+                   'b', CAST(0 AS BIGINT),
+                   'sae', CAST(0 AS BIGINT)),
+                 (acc, x) -> named_struct(
+                   'i', acc.i + 1,
+                   'l', CAST(CASE WHEN acc.i = 0 THEN x.cents
+                        ELSE CAST(FLOOR(0.5 * x.cents
+                             + 0.5 * (acc.l + acc.b) + 0.5) AS BIGINT)
+                        END AS BIGINT),
+                   'b', CAST(CASE WHEN acc.i = 0 THEN 0
+                        ELSE CAST(FLOOR(0.3 * (CAST(FLOOR(0.5 * x.cents
+                               + 0.5 * (acc.l + acc.b) + 0.5) AS BIGINT)
+                               - acc.l)
+                             + 0.7 * acc.b + 0.5) AS BIGINT)
+                        END AS BIGINT),
+                   'sae', CAST(CASE WHEN acc.i = 0 THEN 0
+                          ELSE acc.sae + ABS(x.cents - (acc.l + acc.b))
+                          END AS BIGINT)),
+                 acc -> acc)"""
+        ).alias("st")
+    ).filter(F.expr("st.i > 0")).select(
+        F.expr("st.i").cast("bigint").alias("n_days"),
+        F.expr("st.l").cast("bigint").alias("level_cents"),
+        F.expr("st.b").cast("bigint").alias("trend_cents"),
+        F.expr("st.l + st.b").cast("bigint").alias("forecast_1d_cents"),
+        F.expr("st.l + 7 * st.b").cast("bigint").alias("forecast_7d_cents"),
+        F.expr("st.sae").cast("bigint").alias("sum_abs_err_cents"),
+    )

@@ -3767,3 +3767,89 @@ def adamic_adar_link_prediction(
         .orderBy(F.desc("aa_e9"), F.asc("part_a"), F.asc("part_b"))
         .limit(20)
     )
+
+
+@query(
+    "customer_jaccard_similarity",
+    oracle="""
+    WITH cp AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey < 2000
+    ),
+    deg AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS nd FROM cp GROUP BY c),
+    inter AS (
+      SELECT a.c AS ca, b.c AS cb, CAST(COUNT(*) AS BIGINT) AS ni
+      FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+      GROUP BY a.c, b.c
+    )
+    SELECT CAST(i.ca AS BIGINT) AS cust_a,
+           CAST(i.cb AS BIGINT) AS cust_b,
+           i.ni AS n_common,
+           CAST(da.nd + db.nd - i.ni AS BIGINT) AS n_union,
+           CAST((i.ni * 1000000) // (da.nd + db.nd - i.ni) AS BIGINT)
+             AS jaccard_e6
+    FROM inter i
+    JOIN deg da ON da.c = i.ca
+    JOIN deg db ON db.c = i.cb
+    ORDER BY jaccard_e6 DESC, cust_a, cust_b
+    LIMIT 20
+    """,
+)
+def customer_jaccard_similarity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """User-user collaborative-filtering similarity: top-20 customer
+    pairs by Jaccard overlap of their purchased part sets — the
+    OTHER projection of the purchase bipartite graph (the co-purchase
+    family projects part-part; recommenders need customer-customer
+    too, 'users like you bought'). Candidate pairs come from the
+    part-side inverted index (two hops through a shared part — the
+    banded shape, never all customer pairs); intersections are exact
+    counts and Jaccard = (|∩|·1e6) div |∪| is a truncating division
+    on non-negative BIGINTs, so ranking is integer-stable across
+    engines. Top-20 via TakeOrderedAndProject. The o_orderkey < 2000
+    slice bounds the inverted-index fan-out for the oracle while
+    exercising the identical plan; at scale the hot-part fan-out is
+    the documented LSH-band cap concern, same mitigation."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    deg = cp.groupBy("c").agg(F.count("*").cast("bigint").alias("nd"))
+    a = cp.select(F.col("c").alias("ca"), "p")
+    b = cp.select(F.col("c").alias("cb"), "p")
+    inter = (
+        a.join(b, "p")
+        .filter(F.col("ca") < F.col("cb"))
+        .groupBy("ca", "cb")
+        .agg(F.count("*").cast("bigint").alias("ni"))
+    )
+    da = deg.select(F.col("c").alias("ca"), F.col("nd").alias("nda"))
+    db = deg.select(F.col("c").alias("cb"), F.col("nd").alias("ndb"))
+    return (
+        inter.join(da, "ca")
+        .join(db, "cb")
+        .select(
+            F.col("ca").cast("bigint").alias("cust_a"),
+            F.col("cb").cast("bigint").alias("cust_b"),
+            F.col("ni").alias("n_common"),
+            (F.col("nda") + F.col("ndb") - F.col("ni"))
+            .cast("bigint")
+            .alias("n_union"),
+            F.expr(
+                "CAST((ni * 1000000) div (nda + ndb - ni) AS BIGINT)"
+            ).alias("jaccard_e6"),
+        )
+        .orderBy(F.desc("jaccard_e6"), F.asc("cust_a"), F.asc("cust_b"))
+        .limit(20)
+    )

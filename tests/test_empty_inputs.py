@@ -192,6 +192,8 @@ REPRESENTATIVE = [
     "flesch_readability_by_source",  # regex readability battery
     "mojibake_encoding_audit",   # encoding-damage regex counters
     "char_entropy_quality",      # bounded char-expansion entropy
+    "holt_linear_daily_revenue", # two-state integer fold (0 rows)
+    "customer_jaccard_similarity",  # part-inverted-index pair join
 ]
 
 
