@@ -286,176 +286,355 @@ GATE = {
 #   python tools/record_gate_v3.py   (reads BENCH_DETAIL.json)
 # BEGIN GATE_V3 (auto-generated)
 GATE_V3: dict[str, float] = {
-    "ab_test_analysis": 0.322,
-    "active_streaks": 0.462,
-    "array_hof_order_lines": 0.377,
-    "asof_join_events": 0.618,
-    "asof_join_nearest": 0.834,
-    "attribution_last_touch": 0.912,
-    "autocorr_daily_counts": 0.609,
-    "basket_lift_pairs": 1.614,
-    "benford_first_digit": 0.303,
-    "blocklist_filter_stats": 0.722,
-    "bm25_topk_docs": 0.965,
-    "boilerplate_ngrams": 1.205,
-    "bootstrap_mean_ci": 1.178,
-    "bounce_rate_by_entry": 0.536,
-    "bpe_train_merges": 2.115,
-    "bpe_vocab_counts": 1.908,
-    "chisq_lang_source": 0.518,
-    "cohort_retention_matrix": 0.416,
-    "conversion_lag_quantiles": 2.805,
-    "copurchase_bfs_hops": 2.791,
-    "copurchase_kcore": 2.398,
-    "copurchase_pagerank": 1.044,
-    "corpus_stats_by_lang": 0.708,
-    "corr_matrix_lineitem": 1.340,
-    "cross_entropy_source_pairs": 0.596,
-    "curation_pipeline": 1.563,
-    "curation_pipeline_yaml": 1.622,
-    "customer_decile_transitions": 1.729,
-    "customer_rfm_scores": 3.153,
-    "cusum_changepoint_revenue": 0.929,
-    "daily_count_anomalies": 0.366,
-    "dataset_card_summary": 0.638,
-    "dau_mau_stickiness": 0.380,
-    "dedup_canonical_pick": 0.482,
-    "dedup_cluster_sizes": 5.160,
-    "dedup_containment": 2.712,
-    "dedup_embedding_cosine": 0.793,
-    "dedup_exact": 0.288,
-    "dedup_minhash_lsh": 2.117,
-    "dedup_prefix_clusters": 0.322,
-    "dedup_rate_by_source": 1.891,
-    "dedup_repeated_ngram_spans": 2.507,
-    "dedup_simhash_hamming": 3.862,
-    "dedup_substring_spans": 2.791,
-    "dedup_token_sort": 0.397,
-    "doc_novelty_scores": 1.845,
-    "embedding_centroid_separation": 0.487,
+    "ab_test_analysis": 0.277,
+    "active_streaks": 0.343,
+    "adamic_adar_link_prediction": 1.060,
+    "anova_f_segments": 0.548,
+    "approx_distinct_parts": 6.150,
+    "approx_percentile_qty": 0.614,
+    "array_hof_order_lines": 0.274,
+    "asof_join_events": 0.588,
+    "asof_join_nearest": 0.713,
+    "asof_join_tolerance": 0.696,
+    "attribution_last_touch": 0.592,
+    "autocorr_daily_counts": 0.523,
+    "basket_lift_pairs": 1.236,
+    "benford_first_digit": 0.289,
+    "blocklist_filter_stats": 0.625,
+    "bm25_rank": 0.838,
+    "bm25_topk_docs": 0.837,
+    "boilerplate_ngrams": 0.960,
+    "bootstrap_mean_ci": 0.998,
+    "bounce_rate_by_entry": 0.531,
+    "bpe_train_merges": 1.768,
+    "bpe_vocab_counts": 1.082,
+    "bucketed_join_revenue": 3.029,
+    "case_when_buckets": 0.338,
+    "cdc_merge_summary": 0.410,
+    "char_entropy_quality": 1.620,
+    "chisq_lang_source": 0.343,
+    "chunk_documents": 0.206,
+    "clean_text_scrub": 0.269,
+    "cms_heavy_hitters": 0.948,
+    "cohens_d_urgent_price": 0.536,
+    "cohort_retention": 0.632,
+    "cohort_retention_matrix": 0.347,
+    "collation_group_ci": 0.299,
+    "compaction_bin_packing": 0.331,
+    "compaction_tombstone": 0.366,
+    "conformal_forecast_intervals": 0.935,
+    "conversion_lag_quantiles": 1.727,
+    "copurchase_bfs_hops": 2.159,
+    "copurchase_kcore": 2.062,
+    "copurchase_pagerank": 1.004,
+    "corpus_stats_by_lang": 0.619,
+    "corr_matrix_lineitem": 1.182,
+    "cramers_v_lang_source": 0.463,
+    "cross_entropy_source_pairs": 0.544,
+    "csv_roundtrip_orders": 1.492,
+    "cube_qty": 0.698,
+    "curation_downsample": 0.258,
+    "curation_pipeline": 1.308,
+    "curation_pipeline_yaml": 1.432,
+    "customer_decile_transitions": 1.390,
+    "customer_jaccard_similarity": 0.622,
+    "customer_rfm_scores": 2.728,
+    "cusum_changepoint_revenue": 0.823,
+    "daily_count_anomalies": 0.289,
+    "dataset_card_summary": 0.630,
+    "date_funcs": 0.247,
+    "dau_mau_stickiness": 0.335,
+    "decile_bounds_price": 2.460,
+    "decontaminate_ngram_overlap": 1.331,
+    "decontaminate_splits": 0.483,
+    "dedup_canonical_pick": 0.456,
+    "dedup_cluster_sizes": 4.566,
+    "dedup_components": 4.926,
+    "dedup_containment": 2.032,
+    "dedup_embedding_cosine": 0.665,
+    "dedup_exact": 0.267,
+    "dedup_keys": 0.213,
+    "dedup_minhash_lsh": 1.643,
+    "dedup_ngram_jaccard": 3.773,
+    "dedup_prefix_clusters": 0.351,
+    "dedup_rate_by_source": 1.980,
+    "dedup_repeated_ngram_spans": 2.002,
+    "dedup_simhash": 2.532,
+    "dedup_simhash_hamming": 2.624,
+    "dedup_substring_spans": 2.166,
+    "dedup_token_sort": 0.312,
+    "distinct_rows": 0.248,
+    "doc_fingerprint": 0.317,
+    "doc_length_histogram": 0.209,
+    "doc_novelty_scores": 1.381,
+    "dpp_partitioned_lang_join": 0.569,
+    "dq_expectations_orders": 0.443,
+    "embedding_centroid_separation": 0.428,
     "embedding_dim_variance_audit": 0.357,
-    "embedding_pca_power": 0.929,
-    "embedding_quantize_int8": 0.594,
-    "embedding_quantize_pct": 1.995,
-    "embedding_sim_histogram": 0.577,
-    "event_gap_quantiles_chunked": 3.542,
-    "event_transition_matrix": 0.569,
-    "events_anomaly_mad": 1.916,
-    "ewma_daily_revenue": 0.407,
-    "exact_quantile_distributed": 1.674,
-    "explode_token_counts": 0.238,
-    "fuzzy_entity_clusters": 1.357,
-    "fuzzy_join_symspell": 0.469,
-    "group_split_leakage_audit": 0.611,
-    "grouping_sets_revenue": 1.012,
-    "hash_agg_stats": 0.516,
-    "hhi_market_concentration": 0.693,
-    "hourly_value_quantiles": 1.404,
-    "jl_distortion_audit": 0.668,
-    "join_explosion_audit": 0.624,
-    "k_anonymity_audit": 0.535,
-    "kmeans_embeddings": 1.474,
-    "kmv_distinct_rollup": 0.851,
-    "kmv_overlap_daily": 1.080,
-    "kmv_rolling_wau": 0.796,
-    "knn_label_purity": 2.512,
-    "ks_test_urgent_price": 1.209,
-    "lang_id": 0.529,
-    "lang_id_confusion": 0.575,
-    "latest_per_key": 0.349,
-    "mann_whitney_priority": 0.900,
-    "markov_next_event_accuracy": 0.851,
-    "minhash_band_sweep": 4.224,
-    "minhash_calibration": 5.428,
-    "multimodal_features": 0.614,
-    "multimodal_gif_decode": 0.980,
-    "multimodal_jpeg_decode": 1.621,
-    "multimodal_png_decode": 2.155,
-    "multimodal_video_frames": 3.729,
-    "multimodal_wav_decode": 1.201,
-    "mutual_info_lang_source": 0.492,
-    "orders_backlog_aging": 0.350,
-    "orders_monthly_yoy": 0.926,
-    "percentile_stats": 1.979,
-    "perplexity_bigram_interp": 1.732,
-    "perplexity_unigram": 0.664,
-    "pettitt_changepoint_daily": 2.214,
-    "pii_scrub_stats": 0.585,
-    "pivot_returnflag": 0.543,
-    "psi_price_drift_by_segment": 0.914,
-    "purchase_hazard_curve": 0.695,
-    "q10_returned_revenue": 0.832,
-    "q13_order_count_dist": 0.487,
-    "q18_large_orders": 1.387,
-    "q1_pricing_summary": 0.984,
-    "q21_waiting_suppliers": 0.871,
-    "q2_top_supplier_per_part": 1.392,
-    "q3_shipping_priority": 0.768,
-    "q4_order_priority": 0.808,
-    "q5_local_supplier_volume": 1.347,
-    "q6_forecast_revenue": 0.247,
-    "q7_nation_volume": 1.077,
-    "qq_plot_price": 1.476,
-    "quality_classifier_pr_curve": 1.832,
-    "quality_classifier_reliability": 1.490,
-    "quality_classifier_score": 1.459,
-    "quality_classifier_train": 2.094,
-    "quality_filter_gopher": 1.173,
-    "quantile_by_value_qty": 0.920,
-    "referential_integrity_audit": 0.749,
-    "regression_by_nation": 1.588,
-    "revenue_gini_lorenz": 1.655,
-    "right_to_be_forgotten_audit": 0.370,
-    "schema_evolution_roundtrip": 0.578,
-    "seasonal_naive_backtest": 0.385,
-    "semantic_dedup_components": 3.563,
-    "semantic_dedup_lsh_components": 4.922,
-    "session_entropy_per_user": 0.467,
-    "session_paths_top": 0.528,
-    "sessionize_events": 0.768,
-    "sessionize_events_chunked": 1.079,
-    "ship_lag_quantiles": 0.987,
-    "shuffle_deterministic": 0.957,
-    "sim_bruteforce_topk": 0.656,
-    "sim_ivf_topk": 0.978,
-    "sim_ivfpq_topk": 5.908,
-    "sim_lsh_multiprobe_topk": 0.958,
-    "sim_lsh_topk": 0.943,
-    "sim_pq_topk": 3.782,
-    "sim_recall_calibration": 5.997,
-    "skyline_price_size": 0.351,
-    "snapshot_diff_orders": 0.621,
-    "source_mixing_weights": 0.402,
-    "source_overlap_matrix": 1.927,
-    "spearman_qty_price": 2.577,
-    "stats_profile_orders": 1.292,
-    "stratified_sample_exact": 0.242,
-    "stream_curation_yaml": 2.205,
-    "stream_ingest_dedup": 1.883,
-    "stream_psi_monitor": 2.359,
-    "stream_tumbling_counts": 2.150,
-    "supplier_pareto_abc": 0.968,
-    "table_fingerprint_orders": 0.512,
-    "text_stats": 0.857,
-    "tfidf_top_terms": 0.649,
-    "theil_sen_daily_revenue": 7.417,
-    "tokens_retained_after_dedup": 0.413,
-    "topk_per_group": 0.379,
-    "tumbling_window_agg": 0.363,
-    "user_adoption_curve": 0.709,
-    "value_histogram_log2": 0.231,
-    "vocab_coverage": 0.335,
-    "vocab_coverage_curve": 1.052,
-    "vocab_novelty_by_source": 0.478,
-    "wasserstein_price_urgent": 1.523,
-    "weekday_activity_profile": 0.248,
-    "weighted_median_price_by_flag": 2.086,
-    "welch_t_sources": 0.276,
-    "wilson_ci_urgent_rate": 0.373,
-    "window_frames": 0.457,
-    "window_ranking": 0.458,
-    "zipf_token_fit": 0.881,
-    "zonemap_pruning_stats": 0.502,
+    "embedding_matryoshka_mass": 0.497,
+    "embedding_norms": 0.237,
+    "embedding_pca_power": 0.808,
+    "embedding_quantize_int8": 0.430,
+    "embedding_quantize_pct": 1.331,
+    "embedding_sim_histogram": 0.466,
+    "event_gap_quantiles": 2.399,
+    "event_gap_quantiles_chunked": 2.322,
+    "event_transition_matrix": 0.472,
+    "events_anomaly_mad": 1.660,
+    "ewma_daily_revenue": 0.363,
+    "ewma_latest_per_user": 0.883,
+    "exact_quantile_distributed": 1.358,
+    "explode_outer_rare_tokens": 0.477,
+    "explode_token_counts": 0.185,
+    "filter_predicates": 0.264,
+    "flesch_readability_by_source": 0.457,
+    "friedman_test_segments": 0.731,
+    "funnel_stages": 0.800,
+    "fuzzy_entity_clusters": 1.174,
+    "fuzzy_join_symspell": 0.288,
+    "fuzzy_name_match": 5.717,
+    "gap_fill_locf": 0.458,
+    "group_split_leakage_audit": 0.456,
+    "grouping_sets_revenue": 0.824,
+    "hash_agg_stats": 0.438,
+    "hhi_market_concentration": 0.658,
+    "hits_hubs_authorities": 1.437,
+    "hll_sketch_rollup": 0.638,
+    "hodges_lehmann_urgent_shift": 6.312,
+    "holt_linear_daily_revenue": 0.461,
+    "hourly_value_quantiles": 1.173,
+    "interpolate_linear": 0.795,
+    "interval_join_peak_windows": 0.661,
+    "inverted_index": 1.151,
+    "jl_distortion_audit": 0.623,
+    "join_anti": 0.385,
+    "join_bloom_prefiltered": 1.647,
+    "join_broadcast_dims": 0.648,
+    "join_explosion_audit": 0.599,
+    "join_null_safe": 0.452,
+    "join_outer_full": 0.561,
+    "join_salted_skew": 3.012,
+    "join_semi": 0.498,
+    "join_shuffle_hash_hint": 1.490,
+    "js_divergence_sources": 0.998,
+    "json_funcs": 0.681,
+    "json_roundtrip_orders": 1.084,
+    "k_anonymity_audit": 0.529,
+    "kafka_frame_roundtrip": 1.261,
+    "kendall_tau_daily": 0.468,
+    "kmeans_embeddings": 1.201,
+    "kmv_distinct_rollup": 0.573,
+    "kmv_overlap_daily": 0.592,
+    "kmv_rolling_wau": 0.576,
+    "knn_label_purity": 2.272,
+    "kruskal_wallis_priority": 3.028,
+    "ks_test_urgent_price": 1.077,
+    "label_centroids": 0.361,
+    "lang_id": 0.537,
+    "lang_id_confusion": 0.470,
+    "latest_per_key": 0.329,
+    "levene_brown_forsythe_segments": 2.165,
+    "mad_outliers": 3.770,
+    "mann_whitney_priority": 0.859,
+    "map_explode_customer": 0.442,
+    "markov_next_event_accuracy": 0.778,
+    "math_funcs": 0.600,
+    "minhash_band_sweep": 3.485,
+    "minhash_calibration": 4.465,
+    "mojibake_encoding_audit": 0.454,
+    "multimodal_binary_meta": 0.255,
+    "multimodal_bmp_decode": 0.884,
+    "multimodal_features": 0.501,
+    "multimodal_frame_sample": 0.673,
+    "multimodal_gif_decode": 0.947,
+    "multimodal_ico_decode": 0.931,
+    "multimodal_jpeg_decode": 1.434,
+    "multimodal_png_decode": 1.866,
+    "multimodal_qoi_decode": 0.874,
+    "multimodal_video_frames": 3.867,
+    "multimodal_wav_decode": 1.291,
+    "mutual_info_lang_source": 0.428,
+    "null_semantics": 0.305,
+    "nulls_ordering": 0.300,
+    "ols_slope_per_type": 0.990,
+    "orc_roundtrip_orders": 1.293,
+    "orders_backlog_aging": 0.315,
+    "orders_monthly_yoy": 0.655,
+    "pack_documents": 0.987,
+    "pagerank_copurchase": 2.919,
+    "partitioned_roundtrip_docs": 0.479,
+    "percentile_stats": 1.931,
+    "perplexity_bigram_interp": 1.234,
+    "perplexity_unigram": 0.536,
+    "pettitt_changepoint_daily": 2.520,
+    "pii_scrub_stats": 0.639,
+    "pipe_syntax_revenue": 0.310,
+    "pipeline_yaml_batch": 0.218,
+    "pipeline_yaml_enrich_agg": 0.493,
+    "pivot_returnflag": 0.460,
+    "price_decile_assign": 2.380,
+    "profile_columns": 3.934,
+    "projection_cast": 0.202,
+    "psi_price_drift_by_segment": 0.789,
+    "purchase_hazard_curve": 0.724,
+    "pyds_stream_agg": 4.019,
+    "pyds_synthetic_agg": 4.874,
+    "q10_returned_revenue": 0.628,
+    "q11_important_parts": 0.781,
+    "q12_late_shipments": 0.708,
+    "q13_order_count_dist": 0.537,
+    "q14_promo_revenue": 0.452,
+    "q15_top_supplier": 0.710,
+    "q16_supplier_count": 1.285,
+    "q17_small_qty_revenue": 0.531,
+    "q18_large_orders": 1.326,
+    "q19_or_predicates": 0.462,
+    "q1_pricing_summary": 1.044,
+    "q20_dominant_suppliers": 1.153,
+    "q21_waiting_suppliers": 0.805,
+    "q22_idle_customers": 0.550,
+    "q2_top_supplier_per_part": 1.234,
+    "q3_shipping_priority": 0.806,
+    "q4_order_priority": 0.707,
+    "q5_local_supplier_volume": 1.320,
+    "q6_forecast_revenue": 0.266,
+    "q7_nation_volume": 0.883,
+    "q8_market_share": 1.385,
+    "q9_product_profit": 1.131,
+    "qld_topk_docs": 0.782,
+    "qq_plot_price": 1.195,
+    "quality_classifier_pr_curve": 1.974,
+    "quality_classifier_reliability": 1.562,
+    "quality_classifier_score": 1.551,
+    "quality_classifier_train": 1.979,
+    "quality_filter_gopher": 0.881,
+    "quantile_by_value_qty": 0.654,
+    "range_join_views_before_purchase": 0.628,
+    "recursive_copurchase_reach": 1.774,
+    "referential_integrity_audit": 0.572,
+    "regression_by_nation": 1.123,
+    "repetition_ratio": 45.020,
+    "revenue_gini_lorenz": 1.427,
+    "right_to_be_forgotten_audit": 0.365,
+    "rm3_expanded_retrieval": 2.926,
+    "rollup_revenue": 0.998,
+    "rollup_time_hierarchy": 0.989,
+    "rrf_fusion_topk": 1.169,
+    "runs_test_daily_revenue": 2.888,
+    "sample_per_group": 0.241,
+    "scd2_history": 0.403,
+    "schema_evolution_roundtrip": 0.450,
+    "schema_registry_parse": 0.783,
+    "seasonal_decomposition_weekday": 0.425,
+    "seasonal_naive_backtest": 0.311,
+    "semantic_dedup_components": 2.673,
+    "semantic_dedup_lsh_components": 3.179,
+    "session_entropy_per_user": 0.491,
+    "session_paths_top": 0.356,
+    "session_window_agg": 0.856,
+    "sessionize_events": 0.695,
+    "sessionize_events_chunked": 0.792,
+    "set_ops": 0.470,
+    "set_ops_bag": 0.520,
+    "ship_lag_quantiles": 0.878,
+    "shuffle_deterministic": 0.624,
+    "sim_bruteforce_topk": 0.560,
+    "sim_ivf_topk": 0.811,
+    "sim_ivfpq_topk": 3.292,
+    "sim_lsh_multiprobe_topk": 0.843,
+    "sim_lsh_topk": 0.809,
+    "sim_pq_topk": 3.099,
+    "sim_recall_calibration": 5.712,
+    "skew_diagnostics": 0.356,
+    "skyline_price_size": 0.272,
+    "sliding_window_agg": 0.402,
+    "snapshot_diff_orders": 0.543,
+    "source_char_budget": 0.369,
+    "source_mixing_weights": 0.271,
+    "source_overlap_matrix": 1.793,
+    "spearman_qty_price": 1.878,
+    "sql_api_revenue": 1.408,
+    "sql_udf_netprice": 1.187,
+    "sql_variables_param_revenue": 0.522,
+    "stats_profile_orders": 0.860,
+    "stratified_sample_exact": 0.196,
+    "stratified_sample_sources": 0.247,
+    "stream_aggregate_view": 0.847,
+    "stream_bm25_incremental": 2.703,
+    "stream_cms_heavy_hitters_incremental": 2.165,
+    "stream_corpus_card_incremental": 1.839,
+    "stream_curation_yaml": 2.130,
+    "stream_dedup_keys": 3.386,
+    "stream_embedding_centroids_incremental": 1.887,
+    "stream_histogram_quantiles_incremental": 3.003,
+    "stream_ingest_dedup": 1.471,
+    "stream_ingest_neardup": 21.498,
+    "stream_ingest_neardup_tws": 19.528,
+    "stream_interval_join": 12.548,
+    "stream_interval_join_outer": 13.066,
+    "stream_kmv_distinct_incremental": 1.594,
+    "stream_latest_per_key": 2.013,
+    "stream_parquet_sink": 0.923,
+    "stream_pipeline_yaml": 0.504,
+    "stream_pmi_collocations_incremental": 2.179,
+    "stream_psi_monitor": 2.414,
+    "stream_quality_quarantine": 1.799,
+    "stream_running_totals": 2.496,
+    "stream_running_totals_tws": 6.692,
+    "stream_scd2_dimension": 3.242,
+    "stream_session_windows": 2.887,
+    "stream_skyline_frontier": 1.061,
+    "stream_sliding_counts": 2.479,
+    "stream_static_enrich": 2.230,
+    "stream_topk_per_window": 3.065,
+    "stream_tumbling_counts": 1.821,
+    "stream_unigram_lm_incremental": 1.728,
+    "stream_windowed_rollup_chain": 6.921,
+    "string_funcs": 0.161,
+    "supplier_pareto_abc": 0.916,
+    "table_fingerprint_orders": 0.440,
+    "text_stats": 0.809,
+    "tfidf_top_terms": 0.397,
+    "theil_sen_daily_revenue": 7.270,
+    "time_weighted_avg": 0.974,
+    "token_drift_kl": 1.071,
+    "token_estimate_bpe": 0.481,
+    "token_pmi_collocations": 1.096,
+    "tokens_retained_after_dedup": 0.320,
+    "top_tokens_per_lang": 0.480,
+    "topk_orders": 0.189,
+    "topk_per_group": 0.366,
+    "train_test_split": 0.271,
+    "triangle_count": 0.631,
+    "try_arithmetic_orders": 0.446,
+    "tumbling_window_agg": 0.296,
+    "udaf_trimmed_stats": 7.214,
+    "udtf_tokenize": 0.779,
+    "unicode_nfc_normalize": 0.784,
+    "unpivot_part_measures": 0.286,
+    "user_adoption_curve": 0.538,
+    "value_histogram_log2": 0.174,
+    "variant_extract_orders": 1.180,
+    "vocab_coverage": 0.250,
+    "vocab_coverage_curve": 0.902,
+    "vocab_novelty_by_source": 0.416,
+    "wasserstein_price_urgent": 1.508,
+    "weekday_activity_profile": 0.264,
+    "weighted_median_price_by_flag": 1.535,
+    "weighted_sample": 0.191,
+    "welch_t_sources": 0.280,
+    "wilson_ci_urgent_rate": 0.276,
+    "window_analytic": 0.467,
+    "window_distribution": 0.380,
+    "window_frames": 0.373,
+    "window_range_frame": 0.669,
+    "window_ranking": 0.387,
+    "winsorized_mean_price": 2.664,
+    "xml_roundtrip_orders": 1.426,
+    "zipf_token_fit": 0.789,
+    "zonemap_pruning_stats": 0.356,
+    "zorder_layout_events": 0.462,
+    "zscore_outliers": 0.422,
 }
 # END GATE_V3
 
@@ -464,7 +643,22 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
-    spark = get_spark(app_name="bench")
+    # Bench-only heap (engine defaults untouched, same precedent as
+    # tools/scaling_curve.py): one JVM hosts 349 queries x best-of-N,
+    # including RocksDB transformWithState entries whose state-store
+    # providers stay registered per (checkpoint, partition) for the
+    # session's lifetime — at the default 1g the accumulated heap
+    # OOM'd a hash-aggregate spill read ~23 min into the round-10
+    # extended tier. Applies only when this process creates the
+    # session (the normal bench path).
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_BENCH_MEM", "8g"
+            )
+        },
+    )
 
     # warm the JVM/catalog and the Python/Arrow worker pool so the
     # first measured query isn't paying one-time session/worker spawn
@@ -492,12 +686,20 @@ def main() -> int:
     spark.streams.addListener(listener)
     streaming_detail: dict[str, dict] = {}
 
+    # per-query progress trace to STDERR (stdout stays exactly one
+    # JSON line); off by default so the driver's captured tail never
+    # carries it — export SPARK_GRAFT_BENCH_PROGRESS=1 when bisecting
+    # a mid-bench failure to see which query was running
+    progress = os.environ.get("SPARK_GRAFT_BENCH_PROGRESS", "0") == "1"
+
     def run_set(names: list[str], runs: int = n_runs) -> dict[str, float]:
         timings: dict[str, float] = {}
         for name in names:
             spec = QUERIES.get(name)
             if spec is None:
                 continue
+            if progress:
+                print(f"[bench] {name}", file=sys.stderr, flush=True)
             best = None
             best_batches: list[int] = []
             for _ in range(runs):
