@@ -8355,3 +8355,239 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _mmr_oracle_sql(k: int = 10) -> str:
+    """Unrolled greedy MMR oracle: candidate pool + integer Jaccard
+    similarity matrix, then k−1 argmax steps as chained CTEs (the
+    `copurchase_pagerank` unrolled-iteration idiom). All arithmetic is
+    BIGINT; the MMR combine (7·rel − 3·maxsim) // 10 uses flooring
+    division, matching the Python-side greedy exactly."""
+    head = """
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents
+    ),
+    doclen AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avglen
+      FROM doclen
+    ),
+    df AS (
+      SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY tok
+    ),
+    qterms AS (SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 3),
+    idf AS (
+      SELECT q.tok,
+             CAST(FLOOR(ln((CAST(s.n_docs AS DOUBLE) - q.df + 0.5)
+                           / (q.df + 0.5) + 1.0) * 1e6 + 0.5) AS BIGINT)
+               AS idf_e6
+      FROM qterms q CROSS JOIN stats s
+    ),
+    tf AS (
+      SELECT t.doc_id, t.tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok t JOIN qterms q ON t.tok = q.tok
+      GROUP BY t.doc_id, t.tok
+    ),
+    bm AS (
+      SELECT tf.doc_id,
+             CAST(SUM(CAST(FLOOR(
+               CAST(i.idf_e6 AS DOUBLE) * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.len / s.avglen))
+               + 0.5) AS BIGINT)) AS BIGINT) AS rel
+      FROM tf
+      JOIN idf i ON i.tok = tf.tok
+      JOIN doclen dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    ),
+    cand AS MATERIALIZED (
+      SELECT doc_id, rel FROM bm ORDER BY rel DESC, doc_id LIMIT 20
+    ),
+    relmax AS (SELECT CAST(MAX(rel) AS BIGINT) AS mr FROM cand),
+    candn AS MATERIALIZED (
+      SELECT c.doc_id,
+             CAST((c.rel * 1000000) // m.mr AS BIGINT) AS rel_norm
+      FROM cand c CROSS JOIN relmax m
+    ),
+    ctok AS (
+      SELECT DISTINCT t.doc_id, t.tok
+      FROM tok t JOIN cand c ON c.doc_id = t.doc_id
+    ),
+    csize AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM ctok GROUP BY doc_id
+    ),
+    simm AS MATERIALIZED (
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             CAST((COUNT(*) * 1000000)
+                  // (sa.sz + sb.sz - COUNT(*)) AS BIGINT) AS sim_e6
+      FROM ctok a
+      JOIN ctok b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+      JOIN csize sa ON sa.doc_id = a.doc_id
+      JOIN csize sb ON sb.doc_id = b.doc_id
+      GROUP BY a.doc_id, b.doc_id, sa.sz, sb.sz
+    ),
+    sel1 AS MATERIALIZED (
+      SELECT doc_id, 1 AS step, rel_norm,
+             CAST(NULL AS BIGINT) AS mmr_e6
+      FROM candn ORDER BY rel_norm DESC, doc_id LIMIT 1
+    )"""
+    steps = []
+    prev_union = "SELECT doc_id FROM sel1"
+    prev_all = "sel1"
+    for t in range(2, k + 1):
+        steps.append(f""",
+    pick{t} AS MATERIALIZED (
+      SELECT c.doc_id, {t} AS step, c.rel_norm,
+             CAST((7 * c.rel_norm - 3 * COALESCE(
+               (SELECT MAX(s.sim_e6) FROM simm s
+                WHERE s.da = c.doc_id
+                  AND s.db IN ({prev_union})), 0)) // 10 AS BIGINT)
+               AS mmr_e6
+      FROM candn c
+      WHERE c.doc_id NOT IN ({prev_union})
+      ORDER BY mmr_e6 DESC, c.doc_id LIMIT 1
+    ),
+    sel{t} AS MATERIALIZED (
+      SELECT * FROM {prev_all} UNION ALL
+      SELECT doc_id, step, rel_norm, mmr_e6 FROM pick{t}
+    )""")
+        prev_union = f"SELECT doc_id FROM sel{t}"
+        prev_all = f"sel{t}"
+    tail = f"""
+    SELECT CAST(step AS INT) AS step,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           rel_norm, mmr_e6
+    FROM {prev_all}
+    ORDER BY step
+    """
+    return head + "".join(steps) + tail
+
+
+@query("mmr_diversified_topk", oracle=_mmr_oracle_sql(10))
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking — the diversification
+    member that completes the retrieval tier (BM25 scores relevance;
+    QLD/RM3 re-model the query; RRF fuses rankers; MMR de-duplicates
+    the RESULT LIST: each step picks argmax of
+    λ·relevance − (1−λ)·max-similarity-to-already-selected, λ=0.7).
+    The candidate pool is the BM25 top-20; inter-candidate similarity
+    is integer token Jaccard ((|∩|·1e6) // |∪|); relevance is
+    max-normalized by integer division — so the greedy recursion is
+    BIGINT arithmetic end-to-end, replayed by the oracle as k−1
+    unrolled argmax CTEs (the `copurchase_pagerank` idiom). The
+    greedy itself runs over the PARAMETER-SIZED collected pool (≤20
+    candidates + their ≤380 pairwise sims — the serving-side rerank
+    window; guarded to raise past 64 candidates rather than silently
+    collect at scale); everything corpus-sized (scoring, pool cut,
+    similarity matrix) stays distributed."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("tok"),
+    )
+    doclen = tok.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("len")
+    )
+    stats = doclen.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.sum("len").cast("double") / F.count("*")).alias("avglen"),
+    )
+    df = tok.groupBy("tok").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    qterms = df.orderBy(F.desc("df"), F.asc("tok")).limit(3)
+    idf = qterms.crossJoin(F.broadcast(stats)).select(
+        "tok",
+        F.expr(
+            "CAST(FLOOR(ln((CAST(n_docs AS DOUBLE) - df + 0.5)"
+            " / (df + 0.5) + 1.0) * 1e6 + 0.5) AS BIGINT)"
+        ).alias("idf_e6"),
+    )
+    tf = (
+        tok.join(F.broadcast(qterms.select("tok")), "tok")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    bm = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avglen")))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(FLOOR("
+                    "CAST(idf_e6 AS DOUBLE) * (tf * 2.2)"
+                    " / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len / avglen))"
+                    " + 0.5) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("rel")
+        )
+    )
+    cand = bm.orderBy(F.desc("rel"), F.asc("doc_id")).limit(20)
+    relmax = cand.agg(F.max("rel").cast("bigint").alias("mr"))
+    candn = cand.crossJoin(F.broadcast(relmax)).select(
+        "doc_id",
+        F.expr("CAST((rel * 1000000) div mr AS BIGINT)").alias("rel_norm"),
+    )
+    ctok = tok.join(F.broadcast(cand.select("doc_id")), "doc_id").distinct()
+    csize = ctok.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("sz")
+    )
+    a = ctok.select(F.col("doc_id").alias("da"), "tok")
+    b = ctok.select(F.col("doc_id").alias("db"), "tok")
+    simm = (
+        a.join(b, "tok")
+        .filter(F.col("da") != F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count("*").cast("bigint").alias("ni"))
+        .join(csize.select(F.col("doc_id").alias("da"),
+                           F.col("sz").alias("sza")), "da")
+        .join(csize.select(F.col("doc_id").alias("db"),
+                           F.col("sz").alias("szb")), "db")
+        .select(
+            "da",
+            "db",
+            F.expr(
+                "CAST((ni * 1000000) div (sza + szb - ni) AS BIGINT)"
+            ).alias("sim_e6"),
+        )
+    )
+    pool = candn.collect()
+    if len(pool) > 64:
+        raise ValueError(
+            "MMR rerank pool unexpectedly large "
+            f"({len(pool)} candidates) — the pool cut must stay "
+            "parameter-sized"
+        )
+    sims = {(r["da"], r["db"]): r["sim_e6"] for r in simm.collect()}
+    rel = {r["doc_id"]: r["rel_norm"] for r in pool}
+    remaining = sorted(rel)
+    out = []
+    selected: list[int] = []
+    for step in range(1, min(10, len(remaining)) + 1):
+        if step == 1:
+            pick = max(remaining, key=lambda i: (rel[i], -i))
+            out.append((step, pick, rel[pick], None))
+        else:
+            def mmr(i: int) -> int:
+                ms = max(
+                    (sims.get((i, s), 0) for s in selected), default=0
+                )
+                return (7 * rel[i] - 3 * ms) // 10
+            pick = max(remaining, key=lambda i: (mmr(i), -i))
+            out.append((step, pick, rel[pick], mmr(pick)))
+        selected.append(pick)
+        remaining.remove(pick)
+    return spark.createDataFrame(
+        out, "step int, doc_id bigint, rel_norm bigint, mmr_e6 bigint"
+    ).orderBy("step")

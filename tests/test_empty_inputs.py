@@ -194,6 +194,7 @@ REPRESENTATIVE = [
     "char_entropy_quality",      # bounded char-expansion entropy
     "holt_linear_daily_revenue", # two-state integer fold (0 rows)
     "customer_jaccard_similarity",  # part-inverted-index pair join
+    "mmr_diversified_topk",      # parameter-sized greedy rerank
 ]
 
 
