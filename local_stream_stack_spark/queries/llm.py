@@ -7360,14 +7360,14 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                * 1e6 + 0.5) AS BIGINT)
            END AS v_e6,
            CASE WHEN n > 1 AND LEAST(
-                  nl - (nl - 1.0) * (nl - 1.0) / (n - 1.0),
-                  ns - (ns - 1.0) * (ns - 1.0) / (n - 1.0)) > 1.0 THEN
+                  nl - (CAST(nl AS DOUBLE) - 1.0) * (nl - 1.0) / (n - 1.0),
+                  ns - (CAST(ns AS DOUBLE) - 1.0) * (ns - 1.0) / (n - 1.0)) > 1.0 THEN
              CAST(FLOOR(SQRT(
                GREATEST(0.0, CAST(chi2_e6 AS DOUBLE) / 1e6 / n
-                 - (nl - 1.0) * (ns - 1.0) / (n - 1.0))
+                 - (CAST(nl AS DOUBLE) - 1.0) * (ns - 1.0) / (n - 1.0))
                / (LEAST(
-                    nl - (nl - 1.0) * (nl - 1.0) / (n - 1.0),
-                    ns - (ns - 1.0) * (ns - 1.0) / (n - 1.0)) - 1.0))
+                    nl - (CAST(nl AS DOUBLE) - 1.0) * (nl - 1.0) / (n - 1.0),
+                    ns - (CAST(ns AS DOUBLE) - 1.0) * (ns - 1.0) / (n - 1.0)) - 1.0))
                * 1e6 + 0.5) AS BIGINT)
            END AS v_corrected_e6
     FROM s
@@ -7434,14 +7434,14 @@ def cramers_v_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v_e6"),
         F.expr(
             """CASE WHEN n > 1 AND LEAST(
-                      nl - (nl - 1.0) * (nl - 1.0) / (n - 1.0),
-                      ns - (ns - 1.0) * (ns - 1.0) / (n - 1.0)) > 1.0 THEN
+                      nl - (CAST(nl AS DOUBLE) - 1.0) * (nl - 1.0) / (n - 1.0),
+                      ns - (CAST(ns AS DOUBLE) - 1.0) * (ns - 1.0) / (n - 1.0)) > 1.0 THEN
                  CAST(FLOOR(SQRT(
                    GREATEST(0.0, CAST(chi2_e6 AS DOUBLE) / 1e6 / n
-                     - (nl - 1.0) * (ns - 1.0) / (n - 1.0))
+                     - (CAST(nl AS DOUBLE) - 1.0) * (ns - 1.0) / (n - 1.0))
                    / (LEAST(
-                        nl - (nl - 1.0) * (nl - 1.0) / (n - 1.0),
-                        ns - (ns - 1.0) * (ns - 1.0) / (n - 1.0)) - 1.0))
+                        nl - (CAST(nl AS DOUBLE) - 1.0) * (nl - 1.0) / (n - 1.0),
+                        ns - (CAST(ns AS DOUBLE) - 1.0) * (ns - 1.0) / (n - 1.0)) - 1.0))
                    * 1e6 + 0.5) AS BIGINT)
                END"""
         ).alias("v_corrected_e6"),

@@ -4755,10 +4755,11 @@ def kruskal_wallis_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN n1 > 0 AND n_days - n1 > 0 AND n_days > 1 THEN
              CAST(FLOOR(
                (CAST(n_runs AS DOUBLE)
-                - (2.0 * n1 * (n_days - n1) / n_days + 1.0))
+                - (2.0 * CAST(n1 AS DOUBLE) * (n_days - n1) / n_days
+                   + 1.0))
                / NULLIF(SQRT(
-                   2.0 * n1 * (n_days - n1)
-                   * (2.0 * n1 * (n_days - n1) - n_days)
+                   2.0 * CAST(n1 AS DOUBLE) * (n_days - n1)
+                   * (2.0 * CAST(n1 AS DOUBLE) * (n_days - n1) - n_days)
                    / (CAST(n_days AS DOUBLE) * n_days * (n_days - 1.0))), 0.0)
                * 1e6 + 0.5) AS BIGINT)
            END AS z_e6
@@ -4845,10 +4846,11 @@ def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             """CASE WHEN n1 > 0 AND n_days - n1 > 0 AND n_days > 1 THEN
                  CAST(FLOOR(
                    (CAST(n_runs AS DOUBLE)
-                    - (2.0 * n1 * (n_days - n1) / n_days + 1.0))
+                    - (2.0 * CAST(n1 AS DOUBLE) * (n_days - n1) / n_days
+                       + 1.0))
                    / NULLIF(SQRT(
-                       2.0 * n1 * (n_days - n1)
-                       * (2.0 * n1 * (n_days - n1) - n_days)
+                       2.0 * CAST(n1 AS DOUBLE) * (n_days - n1)
+                       * (2.0 * CAST(n1 AS DOUBLE) * (n_days - n1) - n_days)
                        / (CAST(n_days AS DOUBLE) * n_days * (n_days - 1.0))), 0.0)
                    * 1e6 + 0.5) AS BIGINT)
                END"""

@@ -769,3 +769,197 @@ def test_conformal_intervals_match_python_reference(
     assert row.n_calib == (n_calib or None), (data, row.n_calib, n_calib)
     assert row.q_hat_cents == q_hat, (data, row.q_hat_cents, q_hat)
     assert row.coverage_e6 == want_cov, (data, row.coverage_e6, want_cov)
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from(
+                ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECI", "5-LOW"]
+            ),
+            st.integers(1, 10_000_000),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_kruskal_wallis_matches_python_reference(
+    spark, tmp_path_factory, data
+):
+    """kruskal_wallis_priority == the sequential python definition
+    with the IDENTICAL rounding sequence (doubled tie-average ranks,
+    per-group deviation term floored once to an exact integer, double
+    H tree, e6 half-up) — the rank/moment rounding idiom is exactly
+    the class that drifts silently (VERDICT r9 task #8)."""
+    import pandas as pd
+
+    pdf_o = pd.DataFrame(
+        {
+            "o_totalprice": [c / 100.0 for _, c in data],
+            "o_orderpriority": [p for p, _ in data],
+        }
+    )
+    d = tmp_path_factory.mktemp("kruskal")
+    pdf_o.to_parquet(d / "orders.parquet")
+
+    from local_stream_stack_spark.queries.relational_ext import (
+        kruskal_wallis_priority,
+    )
+
+    row = kruskal_wallis_priority(spark, str(d)).collect()[0]
+
+    vals = [c for _, c in data]
+    n = len(vals)
+    # doubled tie-average rank per distinct value:
+    # 2*avg_rank(v) = 2*cum_before(v) + cnt(v) + 1
+    from collections import Counter
+
+    cnt = Counter(vals)
+    svals = sorted(cnt)
+    cumb = {}
+    run = 0
+    for v in svals:
+        cumb[v] = run
+        run += cnt[v]
+    r2 = {v: 2 * cumb[v] + cnt[v] + 1 for v in svals}
+    groups: dict[str, list[int]] = {}
+    for p, c in data:
+        groups.setdefault(p, []).append(c)
+    tie_cubes = sum(t * t * t - t for t in cnt.values())
+    ssq = 0
+    for g in groups.values():
+        n_g = len(g)
+        r_x2 = sum(r2[v] for v in g)
+        dg = r_x2 / (2.0 * n_g) - (n + 1.0) / 2.0
+        ssq += math.floor(n_g * dg * dg + 0.5)
+    want = None
+    if n > 1:
+        den = 1.0 - float(tie_cubes) / (float(n) * n * n - n)
+        if den != 0.0:
+            want = math.floor(
+                12.0 * float(ssq) / (float(n) * (n + 1.0)) / den * 1e6
+                + 0.5
+            )
+    assert row.n == n and row.k_groups == len(groups)
+    assert row.tie_cubes == tie_cubes and row.ssq_dev == ssq
+    assert row.h_e6 == want, (data, row.h_e6, want)
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(1, 10_000_000)),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_runs_test_matches_python_reference(spark, tmp_path_factory, data):
+    """runs_test_daily_revenue == the sequential python definition:
+    day-grain sums, lower median, run count over the day-ordered
+    above/below flags, identical z tree rounded once to e6."""
+    import datetime
+
+    import pandas as pd
+
+    base = datetime.date(1995, 1, 1)
+    pdf_o = pd.DataFrame(
+        {
+            "o_orderdate": pd.to_datetime(
+                [base + datetime.timedelta(days=o) for o, _ in data]
+            ).astype("datetime64[us]"),
+            "o_totalprice": [c / 100.0 for _, c in data],
+        }
+    )
+    d = tmp_path_factory.mktemp("runs")
+    pdf_o.to_parquet(d / "orders.parquet")
+
+    from local_stream_stack_spark.queries.relational_ext import (
+        runs_test_daily_revenue,
+    )
+
+    row = runs_test_daily_revenue(spark, str(d)).collect()[0]
+
+    daily: dict[int, int] = {}
+    for o, c in data:
+        daily[o] = daily.get(o, 0) + c
+    revs = [daily[k] for k in sorted(daily)]
+    n = len(revs)
+    med = sorted(revs)[(n + 1) // 2 - 1]  # lower median
+    flags = [1 if r > med else 0 for r in revs]
+    n1 = sum(flags)
+    n2 = n - n1
+    runs = 1 + sum(
+        1 for a, b in zip(flags, flags[1:]) if a != b
+    )
+    want = None
+    if n1 > 0 and n2 > 0 and n > 1:
+        den = math.sqrt(
+            2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+            / (float(n) * n * (n - 1.0))
+        )
+        if den != 0.0:
+            want = math.floor(
+                (float(runs) - (2.0 * n1 * n2 / n + 1.0)) / den * 1e6
+                + 0.5
+            )
+    assert row.n_days == n and row.n1 == n1 and row.n2 == n2
+    assert row.n_runs == runs
+    assert row.z_e6 == want, (data, row.z_e6, want)
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(1, 10_000_000)),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_holt_fold_matches_python_reference(spark, tmp_path_factory, data):
+    """holt_linear_daily_revenue == the sequential python recursion
+    with both state components re-rounded to integers each step —
+    pins the ordered-array-fold idiom (sort_array + aggregate) and
+    the exact double->floor sequence at every step."""
+    import datetime
+
+    import pandas as pd
+
+    base = datetime.date(1995, 1, 1)
+    pdf_o = pd.DataFrame(
+        {
+            "o_orderdate": pd.to_datetime(
+                [base + datetime.timedelta(days=o) for o, _ in data]
+            ).astype("datetime64[us]"),
+            "o_totalprice": [c / 100.0 for _, c in data],
+        }
+    )
+    d = tmp_path_factory.mktemp("holt")
+    pdf_o.to_parquet(d / "orders.parquet")
+
+    from local_stream_stack_spark.queries.relational_ext import (
+        holt_linear_daily_revenue,
+    )
+
+    row = holt_linear_daily_revenue(spark, str(d)).collect()[0]
+
+    daily: dict[int, int] = {}
+    for o, c in data:
+        daily[o] = daily.get(o, 0) + c
+    series = [daily[k] for k in sorted(daily)]
+    # 0.5/0.3/0.7 literals parse as DECIMALs on BOTH engines, so the
+    # fold is exact rational arithmetic: floor((c + l + b + 1)/2) and
+    # floor((3*(l'-l) + 7*b + 5)/10) — pure integer floor divisions
+    l = series[0]
+    b = 0
+    sae = 0
+    for c in series[1:]:
+        sae += abs(c - (l + b))
+        l_new = (c + l + b + 1) // 2
+        b = (3 * (l_new - l) + 7 * b + 5) // 10
+        l = l_new
+    assert row.n_days == len(series)
+    assert row.level_cents == l and row.trend_cents == b
+    assert row.forecast_1d_cents == l + b
+    assert row.forecast_7d_cents == l + 7 * b
+    assert row.sum_abs_err_cents == sae, (data, row.sum_abs_err_cents, sae)
