@@ -361,7 +361,11 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
 # Round-start: emptied after folding CORRECTNESS_r09 (50/50 green).
 # Repopulate with this round's highest-risk additions/rewrites so the
 # driver window leads with them.
-NEW_THIS_ROUND: frozenset[str] = frozenset()
+# conformal_forecast_intervals: REWRITTEN round-10 post-close (the
+# hypothesis pin caught the empty-test-half n_calib/q_hat collapse;
+# engine side restructured to the oracle's one-row-aggregate shape) —
+# its r09 green row proves nothing about the rewrite.
+NEW_THIS_ROUND: frozenset[str] = frozenset({"conformal_forecast_intervals"})
 
 # Queries whose defining file was git-modified AFTER the round that
 # recorded their last green driver row (VERDICT r5 "What's wrong" #2:

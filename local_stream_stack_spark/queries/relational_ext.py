@@ -3944,6 +3944,12 @@ def conformal_forecast_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("is_calib"),
     )
     calib = resid.filter("is_calib").select("ar", "di")
+    # nc/qhat/test mirror the oracle's CTE shape EXACTLY: each is a
+    # one-row aggregate, composed at the end by 1x1 cross joins.
+    # (Previously n_calib/q_hat rode THROUGH the test aggregate's
+    # cross join, so an empty test half collapsed them to NULL while
+    # the oracle kept them — an edge the hypothesis pin caught.)
+    nc = calib.agg(F.count("*").cast("bigint").alias("n_calib"))
     ranked = with_global_rank(
         calib, "ar", tiebreak_cols=["di"], out_rank="rn",
         total_col="n_calib", bins=64,
@@ -3953,10 +3959,7 @@ def conformal_forecast_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn")
             >= F.expr("CAST(ceil(0.9 * n_calib) AS BIGINT)")
         )
-        .agg(
-            F.min("ar").alias("q_hat"),
-            F.max("n_calib").cast("bigint").alias("n_calib"),
-        )
+        .agg(F.min("ar").alias("q_hat"))
     )
     test = (
         resid.filter(~F.col("is_calib"))
@@ -3968,19 +3971,21 @@ def conformal_forecast_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("bigint")
             .alias("n_covered"),
-            F.max("q_hat").alias("q_hat_cents"),
-            F.max("n_calib").alias("n_calib"),
         )
     )
-    return test.select(
-        "n_calib",
-        "q_hat_cents",
-        "n_test",
-        "n_covered",
-        F.expr(
-            "CAST(CAST(n_covered AS DECIMAL(38,0)) * 1000000"
-            " div NULLIF(n_test, 0) AS BIGINT)"
-        ).alias("coverage_e6"),
+    return (
+        nc.crossJoin(F.broadcast(qhat))
+        .crossJoin(F.broadcast(test))
+        .select(
+            "n_calib",
+            F.col("q_hat").alias("q_hat_cents"),
+            "n_test",
+            "n_covered",
+            F.expr(
+                "CAST(CAST(n_covered AS DECIMAL(38,0)) * 1000000"
+                " div NULLIF(n_test, 0) AS BIGINT)"
+            ).alias("coverage_e6"),
+        )
     )
 
 

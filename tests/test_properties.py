@@ -766,7 +766,7 @@ def test_conformal_intervals_match_python_reference(
     assert row.n_test == n_test and row.n_covered == n_covered, (
         data, row, (n_test, n_covered)
     )
-    assert row.n_calib == (n_calib or None), (data, row.n_calib, n_calib)
+    assert row.n_calib == n_calib, (data, row.n_calib, n_calib)
     assert row.q_hat_cents == q_hat, (data, row.q_hat_cents, q_hat)
     assert row.coverage_e6 == want_cov, (data, row.coverage_e6, want_cov)
 
