@@ -40,6 +40,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
     {
         "ab_test_analysis",
         "active_streaks",
+        "adamic_adar_link_prediction",
         "anova_f_segments",
         "approx_distinct_parts",
         "approx_percentile_qty",
@@ -62,10 +63,12 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "bucketed_join_revenue",
         "case_when_buckets",
         "cdc_merge_summary",
+        "char_entropy_quality",
         "chisq_lang_source",
         "chunk_documents",
         "clean_text_scrub",
         "cms_heavy_hitters",
+        "cohens_d_urgent_price",
         "cohort_retention",
         "cohort_retention_matrix",
         "collation_group_ci",
@@ -78,6 +81,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "copurchase_pagerank",
         "corpus_stats_by_lang",
         "corr_matrix_lineitem",
+        "cramers_v_lang_source",
         "cross_entropy_source_pairs",
         "csv_roundtrip_orders",
         "cube_qty",
@@ -85,6 +89,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "curation_pipeline",
         "curation_pipeline_yaml",
         "customer_decile_transitions",
+        "customer_jaccard_similarity",
         "customer_rfm_scores",
         "cusum_changepoint_revenue",
         "daily_count_anomalies",
@@ -134,6 +139,8 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "explode_outer_rare_tokens",
         "explode_token_counts",
         "filter_predicates",
+        "flesch_readability_by_source",
+        "friedman_test_segments",
         "funnel_stages",
         "fuzzy_entity_clusters",
         "fuzzy_join_symspell",
@@ -143,7 +150,10 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "grouping_sets_revenue",
         "hash_agg_stats",
         "hhi_market_concentration",
+        "hits_hubs_authorities",
         "hll_sketch_rollup",
+        "hodges_lehmann_urgent_shift",
+        "holt_linear_daily_revenue",
         "hourly_value_quantiles",
         "interpolate_linear",
         "interval_join_peak_windows",
@@ -158,20 +168,24 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "join_salted_skew",
         "join_semi",
         "join_shuffle_hash_hint",
+        "js_divergence_sources",
         "json_funcs",
         "json_roundtrip_orders",
         "k_anonymity_audit",
         "kafka_frame_roundtrip",
+        "kendall_tau_daily",
         "kmeans_embeddings",
         "kmv_distinct_rollup",
         "kmv_overlap_daily",
         "kmv_rolling_wau",
         "knn_label_purity",
+        "kruskal_wallis_priority",
         "ks_test_urgent_price",
         "label_centroids",
         "lang_id",
         "lang_id_confusion",
         "latest_per_key",
+        "levene_brown_forsythe_segments",
         "mad_outliers",
         "mann_whitney_priority",
         "map_explode_customer",
@@ -179,12 +193,17 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "math_funcs",
         "minhash_band_sweep",
         "minhash_calibration",
+        "mmr_diversified_topk",
+        "mojibake_encoding_audit",
         "multimodal_binary_meta",
+        "multimodal_bmp_decode",
         "multimodal_features",
         "multimodal_frame_sample",
         "multimodal_gif_decode",
+        "multimodal_ico_decode",
         "multimodal_jpeg_decode",
         "multimodal_png_decode",
+        "multimodal_qoi_decode",
         "multimodal_video_frames",
         "multimodal_wav_decode",
         "mutual_info_lang_source",
@@ -235,6 +254,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "q7_nation_volume",
         "q8_market_share",
         "q9_product_profit",
+        "qld_topk_docs",
         "qq_plot_price",
         "quality_classifier_pr_curve",
         "quality_classifier_reliability",
@@ -249,12 +269,16 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "repetition_ratio",
         "revenue_gini_lorenz",
         "right_to_be_forgotten_audit",
+        "rm3_expanded_retrieval",
         "rollup_revenue",
         "rollup_time_hierarchy",
+        "rrf_fusion_topk",
+        "runs_test_daily_revenue",
         "sample_per_group",
         "scd2_history",
         "schema_evolution_roundtrip",
         "schema_registry_parse",
+        "seasonal_decomposition_weekday",
         "seasonal_naive_backtest",
         "semantic_dedup_components",
         "semantic_dedup_lsh_components",
@@ -289,25 +313,35 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "stratified_sample_exact",
         "stratified_sample_sources",
         "stream_aggregate_view",
+        "stream_bm25_incremental",
+        "stream_cms_heavy_hitters_incremental",
+        "stream_corpus_card_incremental",
         "stream_curation_yaml",
         "stream_dedup_keys",
+        "stream_embedding_centroids_incremental",
+        "stream_histogram_quantiles_incremental",
         "stream_ingest_dedup",
         "stream_ingest_neardup",
+        "stream_ingest_neardup_tws",
         "stream_interval_join",
         "stream_interval_join_outer",
+        "stream_kmv_distinct_incremental",
         "stream_latest_per_key",
         "stream_parquet_sink",
         "stream_pipeline_yaml",
+        "stream_pmi_collocations_incremental",
         "stream_psi_monitor",
         "stream_quality_quarantine",
         "stream_running_totals",
         "stream_running_totals_tws",
+        "stream_scd2_dimension",
         "stream_session_windows",
         "stream_skyline_frontier",
         "stream_sliding_counts",
         "stream_static_enrich",
         "stream_topk_per_window",
         "stream_tumbling_counts",
+        "stream_unigram_lm_incremental",
         "stream_windowed_rollup_chain",
         "string_funcs",
         "supplier_pareto_abc",
@@ -357,15 +391,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
     }
 )
 
-
-# Round-start: emptied after folding CORRECTNESS_r09 (50/50 green).
-# Repopulate with this round's highest-risk additions/rewrites so the
-# driver window leads with them.
-# conformal_forecast_intervals: REWRITTEN round-10 post-close (the
-# hypothesis pin caught the empty-test-half n_calib/q_hat collapse;
-# engine side restructured to the oracle's one-row-aggregate shape) —
-# its r09 green row proves nothing about the rewrite.
-NEW_THIS_ROUND: frozenset[str] = frozenset({"conformal_forecast_intervals"})
+NEW_THIS_ROUND: frozenset[str] = frozenset()
 
 # Queries whose defining file was git-modified AFTER the round that
 # recorded their last green driver row (VERDICT r5 "What's wrong" #2:
