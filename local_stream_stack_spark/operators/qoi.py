@@ -143,10 +143,17 @@ def decode_qoi(data: bytes) -> dict:
             raise ValueError("truncated QOI body")
         op = data[i]
         i += 1
+        # Operand bounds are checked against body_end per op: a
+        # truncated body must raise, not silently read the 8-byte end
+        # marker's zeros as pixel operands (ADVICE r10).
         if op == _OP_RGB:
+            if i + 3 > body_end:
+                raise ValueError("truncated QOI body")
             r, g, b = data[i], data[i + 1], data[i + 2]
             i += 3
         elif op == _OP_RGBA:
+            if i + 4 > body_end:
+                raise ValueError("truncated QOI body")
             r, g, b, a = data[i], data[i + 1], data[i + 2], data[i + 3]
             i += 4
         else:
@@ -159,6 +166,8 @@ def decode_qoi(data: bytes) -> dict:
                 b = (b + (op & 0x03) - 2) % 256
             elif tag == _OP_LUMA:
                 dg = (op & 0x3F) - 32
+                if i + 1 > body_end:
+                    raise ValueError("truncated QOI body")
                 b2 = data[i]
                 i += 1
                 r = (r + dg + ((b2 >> 4) & 0x0F) - 8) % 256
@@ -178,6 +187,8 @@ def decode_qoi(data: bytes) -> dict:
         o = p * 4
         px[o], px[o + 1], px[o + 2], px[o + 3] = r, g, b, a
         p += 1
+    if i != body_end:
+        raise ValueError("trailing bytes after QOI body")
     rs = px[0::4]
     gs = px[1::4]
     bs = px[2::4]

@@ -3890,11 +3890,17 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(DISTINCT source) AS ns
       FROM cells
     ),
+    grid AS (
+      SELECT l.lang, s.source, COALESCE(c.n_obs, 0) AS n_obs
+      FROM (SELECT DISTINCT lang FROM cells) l
+      CROSS JOIN (SELECT DISTINCT source FROM cells) s
+      LEFT JOIN cells c ON c.lang = l.lang AND c.source = s.source
+    ),
     rc AS (
       SELECT lang, source, n_obs,
              SUM(n_obs) OVER (PARTITION BY lang) AS rl,
              SUM(n_obs) OVER (PARTITION BY source) AS cs
-      FROM cells
+      FROM grid
     ),
     c2 AS (
       SELECT lang, source, n_obs, rl, cs, nt, nl, ns,
@@ -3936,10 +3942,21 @@ def chisq_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("lang").alias("nl"),
         F.countDistinct("source").alias("ns"),
     )
+    # Complete the lang × source grid (ADVICE r10): zero-count cells
+    # still contribute (0 − E)²/E = R·C/N to the statistic; omitting
+    # them understates χ². The grid is parameter-sized (|langs| ×
+    # |sources|), so the cross join is bounded at any corpus scale.
+    grid = (
+        cells.select("lang")
+        .distinct()
+        .crossJoin(F.broadcast(cells.select("source").distinct()))
+        .join(cells, ["lang", "source"], "left")
+        .withColumn("n_obs", F.coalesce(F.col("n_obs"), F.lit(0)))
+    )
     wl = Window.partitionBy("lang")
     ws = Window.partitionBy("source")
     rc = (
-        cells.withColumn("rl", F.sum("n_obs").over(wl))
+        grid.withColumn("rl", F.sum("n_obs").over(wl))
         .withColumn("cs", F.sum("n_obs").over(ws))
         .crossJoin(F.broadcast(tot))
     )
@@ -7328,11 +7345,17 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(DISTINCT source) AS ns
       FROM cells
     ),
+    grid AS (
+      SELECT l.lang, s.source, COALESCE(c.n_obs, 0) AS n_obs
+      FROM (SELECT DISTINCT lang FROM cells) l
+      CROSS JOIN (SELECT DISTINCT source FROM cells) s
+      LEFT JOIN cells c ON c.lang = l.lang AND c.source = s.source
+    ),
     rc AS (
       SELECT lang, source, n_obs,
              SUM(n_obs) OVER (PARTITION BY lang) AS rl,
              SUM(n_obs) OVER (PARTITION BY source) AS cs
-      FROM cells
+      FROM grid
     ),
     c2 AS (
       SELECT CAST(ROUND(1000000.0
@@ -7393,10 +7416,20 @@ def cramers_v_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("lang").alias("nl"),
         F.countDistinct("source").alias("ns"),
     )
+    # Complete the lang × source grid (ADVICE r10): zero-count cells
+    # contribute R·C/N each; omitting them understates χ²/V. Bounded
+    # by |langs| × |sources| — a parameter-sized relation.
+    grid = (
+        cells.select("lang")
+        .distinct()
+        .crossJoin(F.broadcast(cells.select("source").distinct()))
+        .join(cells, ["lang", "source"], "left")
+        .withColumn("n_obs", F.coalesce(F.col("n_obs"), F.lit(0)))
+    )
     wl = Window.partitionBy("lang")
     ws = Window.partitionBy("source")
     rc = (
-        cells.withColumn("rl", F.sum("n_obs").over(wl))
+        grid.withColumn("rl", F.sum("n_obs").over(wl))
         .withColumn("cs", F.sum("n_obs").over(ws))
         .crossJoin(F.broadcast(tot))
     )
@@ -7657,7 +7690,9 @@ def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights AS (
       SELECT COALESCE(r.tok, q.tok) AS tok,
              CAST(((CASE WHEN q.tok IS NOT NULL THEN 333333333 ELSE 0 END)
-                   + COALESCE((r.rm_e9 * 1000000000) // NULLIF(m.tot, 0), 0))
+                   + COALESCE(CAST((CAST(r.rm_e9 AS HUGEINT) * 1000000000)
+                                   // NULLIF(CAST(m.tot AS HUGEINT), 0)
+                                   AS BIGINT), 0))
                   // 2 AS BIGINT) AS w_e9
       FROM fbtf r
       FULL JOIN qterms q ON q.tok = r.tok
@@ -7789,8 +7824,13 @@ def rm3_expanded_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "tok",
             F.expr(
+                # rm_e9 can reach ~1e10 (a token dominating all 10
+                # feedback docs); ×1e9 overflows BIGINT, so the product
+                # routes through DECIMAL(38,0) / HUGEINT on both
+                # engines (ADVICE r10) — same idiom as vocab coverage.
                 """CAST(((CASE WHEN is_q IS NOT NULL THEN 333333333 ELSE 0 END)
-                     + COALESCE((rm_e9 * 1000000000) div NULLIF(tot, 0), 0))
+                     + COALESCE(CAST(CAST(rm_e9 AS DECIMAL(38,0)) * 1000000000
+                                     div NULLIF(tot, 0) AS BIGINT), 0))
                     div 2 AS BIGINT)"""
             ).alias("w_e9"),
         )

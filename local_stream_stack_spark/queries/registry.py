@@ -391,7 +391,12 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
     }
 )
 
-NEW_THIS_ROUND: frozenset[str] = frozenset()
+NEW_THIS_ROUND: frozenset[str] = frozenset(
+    {
+        "stream_bm25_compacted",
+        "stream_ingest_dedup_compacted",
+    }
+)
 
 # Queries whose defining file was git-modified AFTER the round that
 # recorded their last green driver row (VERDICT r5 "What's wrong" #2:

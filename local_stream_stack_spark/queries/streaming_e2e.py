@@ -991,6 +991,229 @@ def stream_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_bm25_compacted",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents
+    ),
+    doclen AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avglen
+      FROM doclen
+    ),
+    df AS (
+      SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY tok
+    ),
+    qterms AS (
+      SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 3
+    ),
+    idf AS (
+      SELECT q.tok, q.df,
+             CAST(FLOOR(ln((CAST(s.n_docs AS DOUBLE) - q.df + 0.5)
+                           / (q.df + 0.5) + 1.0) * 1e6 + 0.5) AS BIGINT)
+               AS idf_e6
+      FROM qterms q CROSS JOIN stats s
+    ),
+    tf AS (
+      SELECT t.doc_id, t.tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok t JOIN qterms q ON t.tok = q.tok
+      GROUP BY t.doc_id, t.tok
+    ),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(FLOOR(
+               CAST(i.idf_e6 AS DOUBLE) * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1.0 - 0.75
+                                 + 0.75 * dl.len / s.avglen))
+               + 0.5) AS BIGINT) AS c_e6
+      FROM tf
+      JOIN idf i ON i.tok = tf.tok
+      JOIN doclen dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    ),
+    scored AS (
+      SELECT doc_id, CAST(SUM(c_e6) AS BIGINT) AS bm25_e6
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, bm25_e6
+    FROM scored
+    ORDER BY bm25_e6 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def stream_bm25_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained-store EPOCH COMPACTION under the oracle (VERDICT r10
+    task #2 — the last designed-not-built 100 TB component): the
+    corpus streams in two epochs into the maintained BM25 index, the
+    accumulated epoch deltas are folded into a TERM-BUCKETED base
+    generation (``compact_bm25_index``, manifest-committed via atomic
+    rename), the stream then RESUMES on the same checkpoint and folds
+    a third epoch on top of the generation, and the final top-20 is
+    scored from generation + live delta — it must hash-match the
+    from-scratch batch oracle over the full corpus
+    (`bm25_topk_docs`'s SQL verbatim), proving the fold, the swap,
+    and the post-swap delta path are all exact. Scale: this is what
+    bounds read cost for a year of daily increments — O(1) generation
+    + O(days since last compaction) deltas instead of O(all epochs)
+    (SCALE.md has the measured decade curve)."""
+    from local_stream_stack_spark.catalog import load_table
+    from local_stream_stack_spark.streaming.compaction import (
+        compact_bm25_index,
+    )
+    from local_stream_stack_spark.streaming.ops import (
+        maintain_bm25_index_stream_parquet,
+        read_bm25_index_topk,
+    )
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = ephemeral_dir(prefix="stream-e2e-bm25c-")
+    in_dir = os.path.join(base, "in")
+    store = os.path.join(base, "store")
+    cp = os.path.join(base, "cp")
+
+    def run():
+        q = maintain_bm25_index_stream_parquet(
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir),
+            id_col="doc_id",
+            text_col="text",
+            store_path=store,
+            checkpoint_location=cp,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _stage_ordered(
+        in_dir,
+        lambda: docs.filter(F.col("doc_id") % 3 == 0)
+        .coalesce(1)
+        .write.parquet(in_dir),
+        lambda: docs.filter(F.col("doc_id") % 3 == 1)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(in_dir),
+    )
+    run()
+    compact_bm25_index(spark, store, id_col="doc_id", n_buckets=8)
+    _stage_ordered(
+        in_dir,
+        lambda: None,  # existing files keep their order
+        lambda: docs.filter(F.col("doc_id") % 3 == 2)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(in_dir),
+    )
+    run()
+    return read_bm25_index_topk(spark, store, id_col="doc_id", k=20)
+
+
+@query(
+    "stream_ingest_dedup_compacted",
+    oracle="""
+    SELECT doc_id, fp, lang
+    FROM (
+      SELECT doc_id, md5(text) AS fp, lang,
+             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+               AS rn
+      FROM documents
+    ) t
+    WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def stream_ingest_dedup_compacted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming ingest dedup across a store compaction: the corpus
+    streams in two epochs, the fingerprint store is folded into one
+    fingerprint-bucketed generation (``compact_ingest_store``), and a
+    FULL DUPLICATE of the corpus (+1e6 doc_ids) then streams in on the
+    resumed checkpoint — every duplicate must be rejected against the
+    GENERATION (the epoch dirs are gone), leaving exactly the
+    first-seen representative per distinct text, same oracle as
+    `stream_ingest_dedup`. The post-swap admit path reads generation
+    rows as ``__epoch = -1`` (strictly earlier than any live epoch),
+    which is also what makes crash-replay of a folded epoch
+    re-admit nothing."""
+    from local_stream_stack_spark.catalog import load_table
+    from local_stream_stack_spark.streaming.compaction import (
+        compact_ingest_store,
+    )
+    from local_stream_stack_spark.streaming.ops import (
+        ingest_dedup_stream_parquet,
+        read_ingest_store,
+    )
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    base = ephemeral_dir(prefix="stream-e2e-ingestc-")
+    in_dir = os.path.join(base, "in")
+    store = os.path.join(base, "store")
+    cp = os.path.join(base, "cp")
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                "doc_id bigint, text string, lang string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+            .withColumn("fp", F.md5("text"))
+        )
+        q = ingest_dedup_stream_parquet(
+            stream,
+            fp_col="fp",
+            order_col="doc_id",
+            store_path=store,
+            checkpoint_location=cp,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _stage_ordered(
+        in_dir,
+        lambda: docs.filter(F.col("doc_id") % 2 == 0)
+        .coalesce(1)
+        .write.parquet(in_dir),
+        lambda: docs.filter(F.col("doc_id") % 2 == 1)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(in_dir),
+    )
+    run()
+    compact_ingest_store(spark, store, fp_col="fp", n_buckets=8)
+    _stage_ordered(
+        in_dir,
+        lambda: None,
+        lambda: docs.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang"
+        )
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(in_dir),
+    )
+    run()
+    return (
+        read_ingest_store(spark, store)
+        .select("doc_id", "fp", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "stream_scd2_dimension",
     oracle="""
     WITH ev AS (

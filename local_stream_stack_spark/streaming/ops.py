@@ -736,16 +736,20 @@ def ingest_dedup_stream_parquet(
         # Replay safety: on crash-replay of epoch N the store may already
         # contain N's own prior (possibly partial) write; anti-joining the
         # batch against itself would empty `novel` and the overwrite would
-        # permanently delete the epoch's documents. Keep the __epoch
-        # partition column and consider strictly EARLIER epochs only —
-        # partition pruning drops the excluded dirs at the scan.
-        if _store_has_epochs(spark, store_path):
-            known = (
-                spark.read.option("basePath", store_path)
-                .parquet(f"{store_path}/__epoch=*")
-                .filter(F.col("__epoch") < F.lit(int(epoch_id)))
-                .select(fp_col)
-            )
+        # permanently delete the epoch's documents. Consider strictly
+        # EARLIER epochs only — the generation-manifest resolver tags
+        # compacted rows __epoch = -1 (always earlier; a replayed folded
+        # epoch then collides with its own rows in the generation and
+        # re-admits nothing, keeping the store exactly-once).
+        from local_stream_stack_spark.streaming import compaction
+
+        store_df = compaction.read_family(
+            spark, store_path, "", with_epoch=True
+        )
+        if store_df is not None:
+            known = store_df.filter(
+                F.col("__epoch") < F.lit(int(epoch_id))
+            ).select(fp_col)
             # store >> batch for any long-lived stream, so probe the
             # store with the BROADCAST batch fingerprints (inner join:
             # pure scan + hash probe, no sort/shuffle of the store)
@@ -811,13 +815,17 @@ def _path_has_partitions(spark, base_path: str, glob: str) -> bool:
 
 
 def read_ingest_store(spark, store_path: str) -> DataFrame:
-    """All admitted rows of an ``ingest_dedup_stream_parquet`` store.
-    Epoch dirs are underscore-prefixed (hidden from plain listings),
-    so the read addresses them via an explicit glob + basePath — the
-    same access pattern as ``read_aggregate_view``."""
-    return spark.read.option("basePath", store_path).parquet(
-        f"{store_path}/__epoch=*"
-    ).drop("__epoch")
+    """All admitted rows of an ``ingest_dedup_stream_parquet`` store:
+    the latest committed compaction generation (if any) plus the live
+    epoch deltas beyond its fold point — resolved through the
+    generation manifest so a compacted and an uncompacted store read
+    identically (``streaming/compaction.py``)."""
+    from local_stream_stack_spark.streaming import compaction
+
+    df = compaction.read_family(spark, store_path, "")
+    if df is None:
+        raise FileNotFoundError(f"empty ingest store at {store_path}")
+    return df
 
 
 def ingest_neardup_stream_parquet(
@@ -885,15 +893,18 @@ def ingest_neardup_stream_parquet(
         # every document would collide with itself, turning the epoch
         # overwrite into a permanent delete. Store-read errors propagate
         # (only a missing store means "first epoch").
-        if _store_has_epochs(spark, f"{store_path}/keys"):
-            known = (
-                spark.read.option("basePath", f"{store_path}/keys")
-                .parquet(f"{store_path}/keys/__epoch=*")
-                .filter(F.col("__epoch") < F.lit(int(epoch_id)))
-                .select("band", "bh")
-            )
-        else:
-            known = None
+        from local_stream_stack_spark.streaming import compaction
+
+        keys_df = compaction.read_family(
+            spark, store_path, "keys", with_epoch=True
+        )
+        known = (
+            keys_df.filter(
+                F.col("__epoch") < F.lit(int(epoch_id))
+            ).select("band", "bh")
+            if keys_df is not None
+            else None
+        )
         # probe the store with the BROADCAST batch keys (scan + hash
         # probe; no sort/shuffle of the admitted-key store) instead of
         # semi-joining the batch against the store side, which sorts
@@ -952,10 +963,14 @@ def ingest_neardup_stream_parquet(
 
 
 def read_neardup_store(spark, store_path: str) -> DataFrame:
-    """Admitted rows of an ``ingest_neardup_stream_parquet`` store."""
-    return spark.read.option("basePath", f"{store_path}/rows").parquet(
-        f"{store_path}/rows/__epoch=*"
-    ).drop("__epoch")
+    """Admitted rows of an ``ingest_neardup_stream_parquet`` store
+    (generation + live epoch deltas, manifest-resolved)."""
+    from local_stream_stack_spark.streaming import compaction
+
+    df = compaction.read_family(spark, store_path, "rows")
+    if df is None:
+        raise FileNotFoundError(f"empty near-dup store at {store_path}")
+    return df
 
 
 def ingest_neardup_stream_tws(
@@ -1536,14 +1551,26 @@ def read_bm25_index_topk(
     (idf rounded once to e6, one identical double tree per (doc,term)
     contribution, integer sums), so the incremental result is
     bit-equal to a from-scratch batch compute over the union of all
-    epochs."""
+    epochs.
 
-    def _fam(name: str) -> DataFrame:
-        return spark.read.option(
-            "basePath", f"{store_path}/{name}"
-        ).parquet(f"{store_path}/{name}/__epoch=*").drop("__epoch")
+    On a COMPACTED store (``compaction.compact_bm25_index``) every
+    family resolves through the generation manifest, and the postings
+    scan prunes to the term-bucket directories of the query terms —
+    the driver collects the (bounded, ``n_query_terms``-sized) term
+    list, recomputes each term's CRC32 bucket, and reads only those
+    ``__bucket=`` dirs instead of every epoch's postings."""
+    import zlib
 
-    postings = _fam("postings")
+    from local_stream_stack_spark.streaming import compaction
+
+    def _fam(name: str, **kw) -> DataFrame:
+        df = compaction.read_family(spark, store_path, name, **kw)
+        if df is None:
+            raise FileNotFoundError(
+                f"BM25 store family {name!r} empty at {store_path}"
+            )
+        return df
+
     doclen = _fam("doclen")
     termdf = _fam("termdf").groupBy("tok").agg(
         F.sum("df_delta").cast("bigint").alias("df")
@@ -1560,6 +1587,21 @@ def read_bm25_index_topk(
     qterms = termdf.orderBy(F.desc("df"), F.asc("tok")).limit(
         n_query_terms
     )
+    gen, manifest = compaction.latest_generation(spark, store_path)
+    post_meta = (
+        manifest["families"].get("postings", {}) if gen is not None else {}
+    )
+    if post_meta.get("n_buckets"):
+        # bounded collect (n_query_terms rows) purely to prune the
+        # bucketed postings scan to the terms' own bucket dirs
+        terms = [r["tok"] for r in qterms.select("tok").collect()]
+        nb = int(post_meta["n_buckets"])
+        buckets = sorted(
+            {zlib.crc32(t.encode("utf-8")) % nb for t in terms}
+        )
+        postings = _fam("postings", bucket_in=buckets)
+    else:
+        postings = _fam("postings")
     idf = qterms.crossJoin(F.broadcast(stats)).select(
         "tok",
         "df",

@@ -1,0 +1,301 @@
+"""Generation-based store compaction (streaming/compaction.py):
+folding epoch deltas must never change what a reader sees, must stay
+crash-safe (unmanifested generations invisible, vacuum-less folds
+don't double-count), and the maintaining stream must keep rejecting
+duplicates against the folded generation after a restart."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from local_stream_stack_spark.streaming.compaction import (
+    compact_bm25_index,
+    compact_ingest_store,
+    compact_neardup_store,
+    latest_generation,
+    read_family,
+)
+from local_stream_stack_spark.streaming.ops import (
+    ingest_dedup_stream_parquet,
+    ingest_neardup_stream_parquet,
+    maintain_bm25_index_stream_parquet,
+    read_bm25_index_topk,
+    read_ingest_store,
+    read_neardup_store,
+)
+
+
+def _write_docs(spark, path, rows, mode="overwrite"):
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode(mode).parquet(path)
+
+
+def _run_bm25(spark, in_dir, store, cp):
+    q = maintain_bm25_index_stream_parquet(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir),
+        id_col="doc_id",
+        text_col="text",
+        store_path=store,
+        checkpoint_location=cp,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+ROWS1 = [
+    (1, "spark shuffles data between stages during wide joins"),
+    (2, "spark spark spark broadcast joins avoid the shuffle"),
+    (3, "the maintained view folds data deltas into data tables"),
+]
+ROWS2 = [
+    (4, "data pipelines fold data into maintained data views"),
+    (5, "the shuffle is the bottleneck the optimizer removes"),
+]
+ROWS3 = [
+    (6, "spark folds the shuffle data into the maintained index"),
+]
+
+
+def test_bm25_compaction_preserves_topk_and_prunes_dirs(spark, tmp_path):
+    in_dir, store, cp = (
+        str(tmp_path / "in"),
+        str(tmp_path / "store"),
+        str(tmp_path / "cp"),
+    )
+    _write_docs(spark, in_dir, ROWS1)
+    time.sleep(1.1)
+    _write_docs(spark, in_dir, ROWS2, mode="append")
+    _run_bm25(spark, in_dir, store, cp)
+
+    before = read_bm25_index_topk(spark, store, k=20).collect()
+    gen = compact_bm25_index(spark, store, n_buckets=4)
+    assert gen == 0
+    after = read_bm25_index_topk(spark, store, k=20).collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in before]
+
+    # folded epoch dirs are vacuumed; the generation is term-bucketed
+    import os
+
+    assert not any(
+        d.startswith("__epoch=") for d in os.listdir(f"{store}/postings")
+    )
+    assert os.path.isdir(f"{store}/postings/__gen=0")
+    assert any(
+        d.startswith("__bucket=")
+        for d in os.listdir(f"{store}/postings/__gen=0")
+    )
+    g, manifest = latest_generation(spark, store)
+    assert g == 0
+    assert manifest["families"]["postings"]["fold_max"] == 1
+    assert manifest["families"]["postings"]["n_buckets"] == 4
+
+
+def test_bm25_post_compaction_epochs_fold_into_next_generation(
+    spark, tmp_path
+):
+    in_dir, store, cp = (
+        str(tmp_path / "in"),
+        str(tmp_path / "store"),
+        str(tmp_path / "cp"),
+    )
+    _write_docs(spark, in_dir, ROWS1)
+    time.sleep(1.1)
+    _write_docs(spark, in_dir, ROWS2, mode="append")
+    _run_bm25(spark, in_dir, store, cp)
+    compact_bm25_index(spark, store, n_buckets=4)
+
+    # the stream resumes on the SAME checkpoint and folds a new epoch
+    # on top of the generation
+    time.sleep(1.1)
+    _write_docs(spark, in_dir, ROWS3, mode="append")
+    _run_bm25(spark, in_dir, store, cp)
+
+    live = read_bm25_index_topk(spark, store, k=20).collect()
+
+    # reference: one-shot maintained store over the full corpus
+    ref_in, ref_store, ref_cp = (
+        str(tmp_path / "rin"),
+        str(tmp_path / "rstore"),
+        str(tmp_path / "rcp"),
+    )
+    _write_docs(spark, ref_in, ROWS1 + ROWS2 + ROWS3)
+    _run_bm25(spark, ref_in, ref_store, ref_cp)
+    want = read_bm25_index_topk(spark, ref_store, k=20).collect()
+    assert [tuple(r) for r in live] == [tuple(r) for r in want]
+
+    # second compaction folds gen 0 + the new epoch into gen 1
+    gen = compact_bm25_index(spark, store, n_buckets=4)
+    assert gen == 1
+    again = read_bm25_index_topk(spark, store, k=20).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in want]
+    import os
+
+    assert not os.path.isdir(f"{store}/postings/__gen=0")
+
+
+def test_compaction_without_vacuum_never_double_counts(spark, tmp_path):
+    in_dir, store, cp = (
+        str(tmp_path / "in"),
+        str(tmp_path / "store"),
+        str(tmp_path / "cp"),
+    )
+    _write_docs(spark, in_dir, ROWS1)
+    time.sleep(1.1)
+    _write_docs(spark, in_dir, ROWS2, mode="append")
+    _run_bm25(spark, in_dir, store, cp)
+    before = read_bm25_index_topk(spark, store, k=20).collect()
+    compact_bm25_index(spark, store, n_buckets=4, vacuum=False)
+    # stale folded epoch dirs remain on disk (crash between commit and
+    # vacuum); the resolver must skip them, not double-count
+    import os
+
+    assert any(
+        d.startswith("__epoch=") for d in os.listdir(f"{store}/postings")
+    )
+    after = read_bm25_index_topk(spark, store, k=20).collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in before]
+
+
+def test_unmanifested_generation_is_invisible(spark, tmp_path):
+    in_dir, store, cp = (
+        str(tmp_path / "in"),
+        str(tmp_path / "store"),
+        str(tmp_path / "cp"),
+    )
+    _write_docs(spark, in_dir, ROWS1)
+    _run_bm25(spark, in_dir, store, cp)
+    before = read_bm25_index_topk(spark, store, k=20).collect()
+    # a crash mid-compaction leaves __gen dirs with NO manifest — the
+    # resolver must never read them
+    spark.createDataFrame(
+        [(999, "garbage", 999)], "doc_id long, tok string, tf long"
+    ).write.parquet(f"{store}/postings/__gen=7")
+    after = read_bm25_index_topk(spark, store, k=20).collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in before]
+
+
+def test_ingest_dedup_rejects_against_compacted_generation(
+    spark, tmp_path
+):
+    in_dir, store, cp = (
+        str(tmp_path / "in"),
+        str(tmp_path / "store"),
+        str(tmp_path / "cp"),
+    )
+
+    def stream():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+            .withColumn("fp", F.md5("text"))
+        )
+
+    def run():
+        q = ingest_dedup_stream_parquet(
+            stream(),
+            fp_col="fp",
+            order_col="doc_id",
+            store_path=store,
+            checkpoint_location=cp,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _write_docs(spark, in_dir, [(1, "alpha"), (2, "beta")])
+    time.sleep(1.1)
+    _write_docs(spark, in_dir, [(3, "gamma")], mode="append")
+    run()
+    compact_ingest_store(spark, store, fp_col="fp", n_buckets=4)
+    import os
+
+    assert not any(
+        d.startswith("__epoch=") for d in os.listdir(store)
+    )
+
+    # post-compaction epoch: one duplicate (must be rejected against
+    # the GENERATION, not an epoch dir) and one novel row
+    time.sleep(1.1)
+    _write_docs(
+        spark, in_dir, [(4, "alpha"), (5, "delta")], mode="append"
+    )
+    run()
+    got = {
+        (r.doc_id, r.text)
+        for r in read_ingest_store(spark, store).collect()
+    }
+    assert got == {(1, "alpha"), (2, "beta"), (3, "gamma"), (5, "delta")}
+
+
+def test_neardup_store_compaction_preserves_rows_and_keys(
+    spark, tmp_path
+):
+    in_dir, store, cp = (
+        str(tmp_path / "in"),
+        str(tmp_path / "store"),
+        str(tmp_path / "cp"),
+    )
+    docs1 = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "a completely different document about spark shuffles"),
+    ]
+    docs2 = [
+        # light edit of doc 1 -> must be rejected
+        (10, "the quick brown fox jumps over the lazy dog today"),
+        (11, "another unrelated text on broadcast joins and buckets"),
+    ]
+    _write_docs(spark, in_dir, docs1)
+    time.sleep(1.1)
+    _write_docs(spark, in_dir, docs2, mode="append")
+
+    def run():
+        q = ingest_neardup_stream_parquet(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir),
+            id_col="doc_id",
+            text_col="text",
+            order_col="doc_id",
+            store_path=store,
+            checkpoint_location=cp,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run()
+    before = {r.doc_id for r in read_neardup_store(spark, store).collect()}
+    assert before == {1, 2, 11}
+    keys_before = read_family(spark, store, "keys").count()
+
+    compact_neardup_store(spark, store, n_buckets=4)
+    after = {r.doc_id for r in read_neardup_store(spark, store).collect()}
+    assert after == before
+    assert read_family(spark, store, "keys").count() == keys_before
+
+    # a re-text of doc 2 arriving AFTER compaction must be rejected
+    # against the generation's band keys
+    time.sleep(1.1)
+    _write_docs(
+        spark,
+        in_dir,
+        [(20, "a completely different document about spark shuffles")],
+        mode="append",
+    )
+    run()
+    final = {r.doc_id for r in read_neardup_store(spark, store).collect()}
+    assert final == before
+
+
+def test_read_family_empty_store_returns_none(spark, tmp_path):
+    assert read_family(spark, str(tmp_path / "nothing"), "") is None

@@ -195,6 +195,9 @@ REPRESENTATIVE = [
     "holt_linear_daily_revenue", # two-state integer fold (0 rows)
     "customer_jaccard_similarity",  # part-inverted-index pair join
     "mmr_diversified_topk",      # parameter-sized greedy rerank
+    # round-11 additions
+    "stream_bm25_compacted",     # maintained index + generation fold
+    "stream_ingest_dedup_compacted",  # dedup store survives the fold
 ]
 
 

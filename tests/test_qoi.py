@@ -125,3 +125,23 @@ def test_guards():
     # truncated body: header claims 2 px, stream provides 1
     with pytest.raises(ValueError):
         decode_qoi(_hdr(2, 1) + bytes((0xFE, 1, 2, 3)) + _END)
+
+
+def test_truncated_operands_raise_not_decode_end_marker():
+    # ADVICE r10: multi-byte operands must not read into the 8-byte
+    # end marker. A trailing bare OP_RGB tag would otherwise decode
+    # the marker's zeros as pixel (0,0,0,255).
+    with pytest.raises(ValueError, match="truncated"):
+        decode_qoi(_hdr(1, 1) + bytes((0xFE,)) + _END)
+    # OP_RGB with only 2 of 3 operand bytes present
+    with pytest.raises(ValueError, match="truncated"):
+        decode_qoi(_hdr(1, 1) + bytes((0xFE, 1, 2)) + _END)
+    # bare OP_RGBA tag
+    with pytest.raises(ValueError, match="truncated"):
+        decode_qoi(_hdr(1, 1) + bytes((0xFF,)) + _END)
+    # OP_LUMA missing its second byte
+    with pytest.raises(ValueError, match="truncated"):
+        decode_qoi(_hdr(2, 1) + bytes((0xFE, 1, 2, 3, 0x80 | 42)) + _END)
+    # trailing garbage after the last pixel must raise, not pass
+    with pytest.raises(ValueError, match="trailing"):
+        decode_qoi(_hdr(1, 1) + bytes((0xFE, 1, 2, 3, 0x55)) + _END)
