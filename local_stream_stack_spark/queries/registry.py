@@ -395,6 +395,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
     {
         "stream_bm25_compacted",
         "stream_ingest_dedup_compacted",
+        "stream_join_enriched_incremental",
     }
 )
 

@@ -1214,6 +1214,133 @@ def stream_ingest_dedup_compacted(
 
 
 @query(
+    "stream_join_enriched_incremental",
+    oracle="""
+    SELECT o.o_custkey AS custkey,
+           o.o_orderkey,
+           o.o_totalprice,
+           c.c_name,
+           c.c_mktsegment
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_orderkey
+    """,
+)
+def stream_join_enriched_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incrementally-maintained JOIN view (VERDICT r10 task #5 — the
+    denormalized orders ⋈ customer feature table, the most common
+    maintained view in training-data pipelines): both relations
+    stream in tagged and interleaved (half the customers, half the
+    orders, compaction fold, then the other halves), each epoch
+    emitting only the two-sided join DELTA (ΔR⋈S ∪ R⋈ΔS ∪ ΔR⋈ΔS)
+    against the accumulated side stores. The final view union must
+    hash-match the from-scratch batch join — including pairs whose
+    order arrived EPOCHS BEFORE its customer (created by the
+    R_old ⋈ ΔS term) and pairs probed against the folded GENERATION
+    rather than epoch dirs (the mid-stream ``compact_join_view``).
+    Scale: every epoch is two standing-store scans probed by
+    broadcast micro-batch deltas — the stores are never shuffled, and
+    the generation fold keeps their file listing O(1) in stream
+    lifetime."""
+    from local_stream_stack_spark.catalog import load_table
+    from local_stream_stack_spark.streaming.ops import (
+        compact_join_view,
+        maintain_join_view_stream_parquet,
+        read_join_view,
+    )
+
+    configure_for_oracle(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_name", "c_mktsegment"
+    )
+
+    def tagged(df: DataFrame, side: str) -> DataFrame:
+        base = df.withColumn("side", F.lit(side))
+        for c in ["o_orderkey", "o_totalprice", "c_name", "c_mktsegment"]:
+            if c not in df.columns:
+                typ = {
+                    "o_orderkey": "bigint",
+                    "o_totalprice": "double",
+                    "c_name": "string",
+                    "c_mktsegment": "string",
+                }[c]
+                base = base.withColumn(c, F.lit(None).cast(typ))
+        return base.select(
+            "side", "custkey", "o_orderkey", "o_totalprice",
+            "c_name", "c_mktsegment",
+        )
+
+    base = ephemeral_dir(prefix="stream-e2e-joinview-")
+    in_dir = os.path.join(base, "in")
+    store = os.path.join(base, "store")
+    cp = os.path.join(base, "cp")
+    schema = (
+        "side string, custkey bigint, o_orderkey bigint,"
+        " o_totalprice double, c_name string, c_mktsegment string"
+    )
+
+    def run():
+        q = maintain_join_view_stream_parquet(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir),
+            side_col="side",
+            left_tag="orders",
+            right_tag="customer",
+            left_cols=["custkey", "o_orderkey", "o_totalprice"],
+            right_cols=["custkey", "c_name", "c_mktsegment"],
+            on=["custkey"],
+            store_path=store,
+            checkpoint_location=cp,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _stage_ordered(
+        in_dir,
+        lambda: tagged(customer.filter(F.col("custkey") % 2 == 0), "customer")
+        .coalesce(1)
+        .write.parquet(in_dir),
+        lambda: tagged(orders.filter(F.col("o_orderkey") % 2 == 0), "orders")
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(in_dir),
+    )
+    run()
+    compact_join_view(spark, store, key="custkey", n_buckets=8)
+    _stage_ordered(
+        in_dir,
+        lambda: None,
+        lambda: tagged(orders.filter(F.col("o_orderkey") % 2 == 1), "orders")
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(in_dir),
+        lambda: tagged(
+            customer.filter(F.col("custkey") % 2 == 1), "customer"
+        )
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(in_dir),
+    )
+    run()
+    return (
+        read_join_view(spark, store)
+        .select(
+            "custkey", "o_orderkey", "o_totalprice", "c_name",
+            "c_mktsegment",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
     "stream_scd2_dimension",
     oracle="""
     WITH ev AS (

@@ -1461,6 +1461,126 @@ def read_kmv_view(spark, target_path: str, k: int = 64) -> DataFrame:
     return merged.agg(*kmv_estimate_cols(k))
 
 
+def maintain_join_view_stream_parquet(
+    df: DataFrame,
+    side_col: str,
+    left_tag: str,
+    right_tag: str,
+    left_cols: Sequence[str],
+    right_cols: Sequence[str],
+    on: Sequence[str],
+    store_path: str,
+    checkpoint_location: str,
+):
+    """Incrementally MAINTAIN an equi-JOIN view as BOTH relations
+    stream in — the denormalized feature table every training-data
+    pipeline keeps (fact ⋈ dimension, orders ⋈ customer), maintained
+    by the classic two-sided delta rule instead of a from-scratch
+    re-join of the full tables:
+
+        Δ(R ⋈ S) = ΔR ⋈ S_old  ∪  R_old ⋈ ΔS  ∪  ΔR ⋈ ΔS
+
+    The input stream carries both relations tagged by ``side_col``;
+    each micro-batch splits into ΔR/ΔS, joins each delta against the
+    OTHER side's accumulated store (strictly earlier epochs — the
+    generation-manifest resolver makes compacted rows "earlier" by
+    construction), adds the intra-batch ΔR ⋈ ΔS term, and appends the
+    resulting join-delta rows to the ``view`` family while the deltas
+    themselves land in the ``left`` / ``right`` families. For
+    insert-only streams every (r, s) pair appears in exactly one
+    epoch — the one where its LATER side arrived — so the view union
+    equals the batch join whatever the interleaving was, and epoch-dir
+    overwrites keep crash-replay exactly-once like every store here.
+
+    Scale: each epoch is two scans probed by BROADCAST deltas (the
+    micro-batch bounds both broadcast sides by construction) plus one
+    tiny delta × delta join — the standing stores are never shuffled,
+    and ``compaction.compact_store`` folds their epoch dirs into
+    key-bucketed generations so the scan side stays one listing.
+    """
+    lcols = list(left_cols)
+    rcols = list(right_cols)
+    keys = list(on)
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)
+        d_left = batch_df.filter(
+            F.col(side_col) == F.lit(left_tag)
+        ).select(*lcols)
+        d_right = batch_df.filter(
+            F.col(side_col) == F.lit(right_tag)
+        ).select(*rcols)
+        from local_stream_stack_spark.streaming import compaction
+
+        def _old(family: str) -> DataFrame | None:
+            old = compaction.read_family(
+                spark, store_path, family, with_epoch=True
+            )
+            if old is None:
+                return None
+            return old.filter(
+                F.col("__epoch") < F.lit(int(epoch_id))
+            ).drop("__epoch")
+
+        old_left = _old("left")
+        old_right = _old("right")
+        parts = [d_left.join(F.broadcast(d_right), keys)]
+        if old_right is not None:
+            parts.append(d_left.hint("broadcast").join(old_right, keys))
+        if old_left is not None:
+            parts.append(old_left.join(F.broadcast(d_right), keys))
+        view_delta = parts[0]
+        for p in parts[1:]:
+            view_delta = view_delta.unionByName(p)
+        view_delta.coalesce(1).write.mode("overwrite").parquet(
+            f"{store_path}/view/__epoch={epoch_id}"
+        )
+        d_left.coalesce(1).write.mode("overwrite").parquet(
+            f"{store_path}/left/__epoch={epoch_id}"
+        )
+        d_right.coalesce(1).write.mode("overwrite").parquet(
+            f"{store_path}/right/__epoch={epoch_id}"
+        )
+
+    return (
+        df.writeStream.outputMode("append")
+        .foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_location)
+        .start()
+    )
+
+
+def read_join_view(spark, store_path: str) -> DataFrame:
+    """Current contents of a ``maintain_join_view_stream_parquet``
+    view (generation + live epoch deltas, manifest-resolved)."""
+    from local_stream_stack_spark.streaming import compaction
+
+    df = compaction.read_family(spark, store_path, "view")
+    if df is None:
+        raise FileNotFoundError(f"empty join view at {store_path}")
+    return df
+
+
+def compact_join_view(
+    spark, store_path: str, key: str, n_buckets: int = 16
+) -> int:
+    """Fold a join-view store's epoch dirs into one generation: all
+    three families are append-only unions; the sides bucket on the
+    join key so future delta probes co-locate."""
+    from local_stream_stack_spark.streaming import compaction
+
+    return compaction.compact_store(
+        spark,
+        store_path,
+        {
+            "view": {"bucket_col": key, "n_buckets": n_buckets},
+            "left": {"bucket_col": key, "n_buckets": n_buckets},
+            "right": {"bucket_col": key, "n_buckets": n_buckets},
+        },
+    )
+
+
 def maintain_bm25_index_stream_parquet(
     df: DataFrame,
     id_col: str,

@@ -198,6 +198,7 @@ REPRESENTATIVE = [
     # round-11 additions
     "stream_bm25_compacted",     # maintained index + generation fold
     "stream_ingest_dedup_compacted",  # dedup store survives the fold
+    "stream_join_enriched_incremental",  # two-sided join delta view
 ]
 
 

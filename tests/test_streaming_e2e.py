@@ -661,3 +661,71 @@ def test_scd2_dimension_carry_semantics(spark, tmp_path):
         (2, "B", 35, None),
         (3, "B", 15, None),  # carried forward untouched
     ]
+
+
+def test_join_view_late_dimension_rows_and_epoch_exactness(
+    spark, tmp_path
+):
+    """Two-sided incremental join maintenance: a fact row whose
+    dimension row arrives EPOCHS LATER must appear exactly once (via
+    the R_old ⋈ ΔS delta term), same-epoch pairs exactly once (ΔR ⋈
+    ΔS), and pairs never duplicate across epochs."""
+    import time
+
+    from local_stream_stack_spark.streaming.ops import (
+        maintain_join_view_stream_parquet,
+        read_join_view,
+    )
+
+    schema = "side string, k long, fact string, dim string"
+
+    def rows(side, data):
+        return spark.createDataFrame(
+            [
+                (side, k, v if side == "f" else None,
+                 v if side == "d" else None)
+                for k, v in data
+            ],
+            schema,
+        )
+
+    in_dir = str(tmp_path / "in")
+    # epoch 0: facts f1(k=1), f2(k=2); dim d1(k=1) -> same-epoch pair
+    rows("f", [(1, "f1"), (2, "f2")]).unionByName(
+        rows("d", [(1, "d1")])
+    ).coalesce(1).write.parquet(in_dir)
+    time.sleep(1.1)
+    # epoch 1: dim d2(k=2) arrives late -> pairs with f2 via R_old⋈ΔS;
+    # fact f3(k=1) joins the OLD dim d1 via ΔR⋈S_old
+    rows("d", [(2, "d2")]).unionByName(
+        rows("f", [(3, None)]).selectExpr(
+            "side", "1 AS k", "'f3' AS fact", "dim"
+        )
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    q = maintain_join_view_stream_parquet(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir),
+        side_col="side",
+        left_tag="f",
+        right_tag="d",
+        left_cols=["k", "fact"],
+        right_cols=["k", "dim"],
+        on=["k"],
+        store_path=str(tmp_path / "store"),
+        checkpoint_location=str(tmp_path / "cp"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r.k, r.fact, r.dim)
+        for r in read_join_view(spark, str(tmp_path / "store")).collect()
+    )
+    assert got == [
+        (1, "f1", "d1"),
+        (1, "f3", "d1"),
+        (2, "f2", "d2"),
+    ]
