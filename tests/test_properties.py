@@ -963,3 +963,373 @@ def test_holt_fold_matches_python_reference(spark, tmp_path_factory, data):
     assert row.forecast_1d_cents == l + b
     assert row.forecast_7d_cents == l + 7 * b
     assert row.sum_abs_err_cents == sae, (data, row.sum_abs_err_cents, sae)
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from(["AUTOMOBILE", "BUILDING", "MACHINERY"]),
+            st.integers(0, 5),
+            st.integers(1, 10_000_000),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_friedman_matches_python_reference(spark, tmp_path_factory, data):
+    """friedman_test_segments == the sequential python definition:
+    complete blocks only, doubled within-block tie-average ranks,
+    integer rank sums, one double chi-square tree rounded to e6."""
+    import datetime
+
+    import pandas as pd
+
+    base = datetime.date(1995, 1, 1)
+    pdf_o = pd.DataFrame(
+        {
+            "o_custkey": [
+                ["AUTOMOBILE", "BUILDING", "MACHINERY"].index(s)
+                for s, _, _ in data
+            ],
+            "o_orderdate": pd.to_datetime(
+                [base + datetime.timedelta(days=d) for _, d, _ in data]
+            ).astype("datetime64[us]"),
+            "o_totalprice": [c / 100.0 for _, _, c in data],
+        }
+    )
+    pdf_c = pd.DataFrame(
+        {
+            "c_custkey": [0, 1, 2],
+            "c_mktsegment": ["AUTOMOBILE", "BUILDING", "MACHINERY"],
+        }
+    )
+    d = tmp_path_factory.mktemp("friedman")
+    pdf_o.to_parquet(d / "orders.parquet")
+    pdf_c.to_parquet(d / "customer.parquet")
+
+    from local_stream_stack_spark.queries.relational_ext import (
+        friedman_test_segments,
+    )
+
+    rows = friedman_test_segments(spark, str(d)).collect()
+
+    # python reference
+    cells: dict[tuple[int, str], int] = {}
+    for s, day, c in data:
+        di = (base + datetime.timedelta(days=day) - datetime.date(1970, 1, 1)).days
+        cells[(di, s)] = cells.get((di, s), 0) + c
+    segs = sorted({s for _, s in cells})
+    k = len(segs)
+    by_day: dict[int, dict[str, int]] = {}
+    for (di, s), rev in cells.items():
+        by_day.setdefault(di, {})[s] = rev
+    full = {di: m for di, m in by_day.items() if len(m) == k}
+    n_days = len(full)
+    r2sum: dict[str, int] = {s: 0 for s in segs}
+    for m in full.values():
+        vals = sorted(m.values())
+        for s, v in m.items():
+            rank = 1 + sum(1 for w in vals if w < v)
+            ties = sum(1 for w in vals if w == v)
+            r2sum[s] += 2 * rank + ties - 1
+    if not full:
+        assert rows == []
+        return
+    s2 = sum(v * v for v in r2sum.values())
+    chi = math.floor(
+        (
+            3.0 * s2 / (float(n_days) * k * (k + 1))
+            - 3.0 * n_days * (k + 1)
+        )
+        * 1e6
+        + 0.5
+    )
+    want = [(s, r2sum[s], n_days, chi) for s in segs]
+    got = [
+        (r.segment, r.rank2_sum, r.n_days, r.friedman_chi2_e6)
+        for r in rows
+    ]
+    assert got == want, (data, got, want)
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from(["AUTOMOBILE", "BUILDING", "MACHINERY"]),
+            st.integers(1, 10_000_000),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_brown_forsythe_matches_python_reference(
+    spark, tmp_path_factory, data
+):
+    """levene_brown_forsythe_segments == the sequential python
+    definition: doubled group medians, integer |2x - med2|
+    deviations, per-group s²/n rounded once, double F tree, e6."""
+    import pandas as pd
+
+    pdf_o = pd.DataFrame(
+        {
+            "o_custkey": [
+                ["AUTOMOBILE", "BUILDING", "MACHINERY"].index(s)
+                for s, _ in data
+            ],
+            "o_totalprice": [c / 100.0 for _, c in data],
+        }
+    )
+    pdf_c = pd.DataFrame(
+        {
+            "c_custkey": [0, 1, 2],
+            "c_mktsegment": ["AUTOMOBILE", "BUILDING", "MACHINERY"],
+        }
+    )
+    d = tmp_path_factory.mktemp("bf")
+    pdf_o.to_parquet(d / "orders.parquet")
+    pdf_c.to_parquet(d / "customer.parquet")
+
+    from local_stream_stack_spark.queries.relational_ext import (
+        levene_brown_forsythe_segments,
+    )
+
+    row = levene_brown_forsythe_segments(spark, str(d)).collect()[0]
+
+    groups: dict[str, list[int]] = {}
+    for s, c in data:
+        groups.setdefault(s, []).append(c)
+
+    def med2(vals: list[int]) -> int:
+        sv = sorted(vals)
+        n = len(sv)
+        lo = sv[(n + 1) // 2 - 1]
+        hi = sv[n // 2]
+        return lo + hi
+
+    zs: dict[str, list[int]] = {
+        s: [abs(2 * c - med2(g)) for c in g] for s, g in groups.items()
+    }
+    nn = len(data)
+    k = len(groups)
+    st_sum = sum(sum(z) for z in zs.values())
+    sst = sum(v * v for z in zs.values() for v in z)
+    sum_sq_over_n = sum(
+        math.floor(float(sum(z)) * sum(z) / len(z) + 0.5)
+        for z in zs.values()
+    )
+    ssb = float(sum_sq_over_n) - float(st_sum) * st_sum / nn
+    ssw = float(sst) - float(sum_sq_over_n)
+    want = None
+    if k > 1 and nn > k:
+        den = ssw / (nn - float(k))
+        if den != 0.0:
+            want = math.floor((ssb / (k - 1.0)) / den * 1e6 + 0.5)
+    assert row.n_rows == nn and row.n_groups == k
+    assert row.bf_stat_e6 == want, (data, row.bf_stat_e6, want)
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.booleans(),  # urgent?
+            st.integers(0, 5),
+            st.integers(1, 10_000_000),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+)
+def test_hodges_lehmann_matches_python_reference(
+    spark, tmp_path_factory, data
+):
+    """hodges_lehmann_urgent_shift == the python definition: doubled
+    median of all pairwise daily-revenue differences, integer cents
+    end to end."""
+    import datetime
+
+    import pandas as pd
+
+    base = datetime.date(1995, 1, 1)
+    pdf_o = pd.DataFrame(
+        {
+            "o_orderpriority": [
+                "1-URGENT" if u else "3-MEDIUM" for u, _, _ in data
+            ],
+            "o_orderdate": pd.to_datetime(
+                [base + datetime.timedelta(days=d) for _, d, _ in data]
+            ).astype("datetime64[us]"),
+            "o_totalprice": [c / 100.0 for _, _, c in data],
+        }
+    )
+    d = tmp_path_factory.mktemp("hl")
+    pdf_o.to_parquet(d / "orders.parquet")
+
+    from local_stream_stack_spark.queries.relational_ext import (
+        hodges_lehmann_urgent_shift,
+    )
+
+    row = hodges_lehmann_urgent_shift(spark, str(d)).collect()[0]
+
+    xd: dict[int, int] = {}
+    yd: dict[int, int] = {}
+    for u, day, c in data:
+        tgt = xd if u else yd
+        tgt[day] = tgt.get(day, 0) + c
+    diffs = sorted(x - y for x in xd.values() for y in yd.values())
+    n_pairs = len(diffs)
+    if n_pairs:
+        hl2 = diffs[(n_pairs + 1) // 2 - 1] + diffs[n_pairs // 2]
+    else:
+        hl2 = None
+    assert row.n_x == len(xd) and row.n_y == len(yd)
+    assert (row.n_pairs or 0) == n_pairs or (
+        row.n_pairs is None and n_pairs == 0
+    )
+    assert row.hl_shift2_cents == hl2, (data, row.hl_shift2_cents, hl2)
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 13), st.integers(1, 10_000_000)),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_seasonal_decomposition_matches_python_reference(
+    spark, tmp_path_factory, data
+):
+    """seasonal_decomposition_weekday == the python definition: exact
+    7-day trend sums over complete neighborhoods, integer detrended
+    cents, one double mean per ISO weekday rounded to e6."""
+    import datetime
+
+    import pandas as pd
+
+    base = datetime.date(1995, 1, 1)
+    pdf_o = pd.DataFrame(
+        {
+            "o_orderdate": pd.to_datetime(
+                [base + datetime.timedelta(days=d) for d, _ in data]
+            ).astype("datetime64[us]"),
+            "o_totalprice": [c / 100.0 for _, c in data],
+        }
+    )
+    d = tmp_path_factory.mktemp("seasonal")
+    pdf_o.to_parquet(d / "orders.parquet")
+
+    from local_stream_stack_spark.queries.relational_ext import (
+        seasonal_decomposition_weekday,
+    )
+
+    rows = seasonal_decomposition_weekday(spark, str(d)).collect()
+
+    days: dict[int, int] = {}
+    epoch = datetime.date(1970, 1, 1)
+    for day, c in data:
+        di = (base + datetime.timedelta(days=day) - epoch).days
+        days[di] = days.get(di, 0) + c
+    per_dow: dict[int, list[int]] = {}
+    for di, rev in days.items():
+        nbs = [days[j] for j in range(di - 3, di + 4) if j in days]
+        if len(nbs) != 7:
+            continue
+        isodow = (di + 3) % 7 + 1  # 1970-01-01 is a Thursday (ISO 4)
+        per_dow.setdefault(isodow, []).append(7 * rev - sum(nbs))
+    want = [
+        (
+            dow,
+            len(v),
+            math.floor(
+                float(sum(v)) / (7.0 * len(v)) * 1e6 + 0.5
+            ),
+        )
+        for dow, v in sorted(per_dow.items())
+    ]
+    got = [(r.isodow, r.n_days, r.seasonal_e6_cents) for r in rows]
+    assert got == want, (data, got, want)
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de", "fr"]),
+            st.sampled_from(["web", "wiki", "book", "code"]),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_cramers_v_matches_python_reference(
+    spark, tmp_path_factory, data
+):
+    """cramers_v_lang_source == the python definition over the
+    COMPLETED lang × source grid (zero cells contribute R·C/N), with
+    the identical per-cell double tree rounded once to e6 and the
+    Bergsma-corrected V."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(data)),
+            "lang": [l for l, _ in data],
+            "source": [s for _, s in data],
+        }
+    )
+    d = tmp_path_factory.mktemp("cramers")
+    pdf.to_parquet(d / "documents.parquet")
+
+    from local_stream_stack_spark.queries.llm import (
+        cramers_v_lang_source,
+    )
+
+    row = cramers_v_lang_source(spark, str(d)).collect()[0]
+
+    from collections import Counter
+
+    cells = Counter(data)
+    langs = sorted({l for l, _ in data})
+    sources = sorted({s for _, s in data})
+    nt = len(data)
+    nl, ns = len(langs), len(sources)
+    rl = {l: sum(c for (ll, _), c in cells.items() if ll == l) for l in langs}
+    cs = {s: sum(c for (_, ss), c in cells.items() if ss == s) for s in sources}
+    chi2_e6 = 0
+    for l in langs:
+        for s in sources:
+            n_obs = cells.get((l, s), 0)
+            a = float(n_obs * nt - rl[l] * cs[s])
+            contrib = (
+                1000000.0 * a * a
+                / (float(rl[l]) * float(cs[s]) * float(nt))
+            )
+            chi2_e6 += math.floor(contrib + 0.5)
+    v = None
+    if nt > 0 and min(nl, ns) > 1:
+        v = math.floor(
+            math.sqrt(chi2_e6 / 1e6 / (float(nt) * (min(nl, ns) - 1.0)))
+            * 1e6
+            + 0.5
+        )
+    vc = None
+    if nt > 1:
+        kl = nl - (float(nl) - 1.0) * (nl - 1.0) / (nt - 1.0)
+        ks = ns - (float(ns) - 1.0) * (ns - 1.0) / (nt - 1.0)
+        if min(kl, ks) > 1.0:
+            phi2c = max(
+                0.0,
+                chi2_e6 / 1e6 / nt
+                - (float(nl) - 1.0) * (ns - 1.0) / (nt - 1.0),
+            )
+            vc = math.floor(
+                math.sqrt(phi2c / (min(kl, ks) - 1.0)) * 1e6 + 0.5
+            )
+    assert (row.n, row.nl, row.ns) == (nt, nl, ns)
+    assert row.dof == (nl - 1) * (ns - 1)
+    assert row.chi2_e6 == chi2_e6, (data, row.chi2_e6, chi2_e6)
+    assert row.v_e6 == v, (data, row.v_e6, v)
+    assert row.v_corrected_e6 == vc, (data, row.v_corrected_e6, vc)
