@@ -47,6 +47,13 @@ def test_bench_stdout_is_single_json_line_with_streaming_query(tmp_path):
         f"expected exactly one stdout line, got {len(out_lines)}:\n"
         + proc.stdout[-2000:]
     )
+    # the COMBINED tail must be clean too (VERDICT r10 task #4): fd 2
+    # is rerouted to a side log before the JVM launches, so no async
+    # Traceback / py4j frame can crowd the JSON out of the driver's
+    # captured window
+    assert proc.stderr.strip() == "", (
+        "stderr leaked into the captured stream:\n" + proc.stderr[-2000:]
+    )
     payload = json.loads(out_lines[0])
     assert payload["metric"] == "total_headline_query_sec"
     assert "q1_pricing_summary" in payload["queries"]
