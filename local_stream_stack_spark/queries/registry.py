@@ -410,202 +410,6 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
 # filler slots.
 # BEGIN CHANGED_SINCE_GREEN (auto-generated)
 CHANGED_SINCE_GREEN: frozenset[str] = frozenset(
-    {
-        "anova_f_segments",
-        "approx_percentile_qty",
-        "basket_lift_pairs",
-        "benford_first_digit",
-        "blocklist_filter_stats",
-        "bm25_rank",
-        "bm25_topk_docs",
-        "boilerplate_ngrams",
-        "bpe_train_merges",
-        "bpe_vocab_counts",
-        "bucketed_join_revenue",
-        "cdc_merge_summary",
-        "chisq_lang_source",
-        "chunk_documents",
-        "clean_text_scrub",
-        "conformal_forecast_intervals",
-        "copurchase_bfs_hops",
-        "copurchase_kcore",
-        "copurchase_pagerank",
-        "corpus_stats_by_lang",
-        "corr_matrix_lineitem",
-        "cross_entropy_source_pairs",
-        "curation_downsample",
-        "curation_pipeline",
-        "curation_pipeline_yaml",
-        "customer_decile_transitions",
-        "customer_rfm_scores",
-        "cusum_changepoint_revenue",
-        "dataset_card_summary",
-        "decile_bounds_price",
-        "decontaminate_ngram_overlap",
-        "decontaminate_splits",
-        "dedup_canonical_pick",
-        "dedup_cluster_sizes",
-        "dedup_components",
-        "dedup_containment",
-        "dedup_embedding_cosine",
-        "dedup_exact",
-        "dedup_minhash_lsh",
-        "dedup_ngram_jaccard",
-        "dedup_prefix_clusters",
-        "dedup_rate_by_source",
-        "dedup_repeated_ngram_spans",
-        "dedup_simhash",
-        "dedup_simhash_hamming",
-        "dedup_substring_spans",
-        "dedup_token_sort",
-        "doc_fingerprint",
-        "doc_length_histogram",
-        "doc_novelty_scores",
-        "dpp_partitioned_lang_join",
-        "dq_expectations_orders",
-        "embedding_centroid_separation",
-        "embedding_dim_variance_audit",
-        "embedding_matryoshka_mass",
-        "embedding_norms",
-        "embedding_pca_power",
-        "embedding_quantize_int8",
-        "embedding_quantize_pct",
-        "embedding_sim_histogram",
-        "ewma_daily_revenue",
-        "fuzzy_entity_clusters",
-        "fuzzy_join_symspell",
-        "fuzzy_name_match",
-        "group_split_leakage_audit",
-        "grouping_sets_revenue",
-        "hhi_market_concentration",
-        "inverted_index",
-        "jl_distortion_audit",
-        "join_explosion_audit",
-        "join_salted_skew",
-        "k_anonymity_audit",
-        "kmeans_embeddings",
-        "knn_label_purity",
-        "ks_test_urgent_price",
-        "label_centroids",
-        "lang_id",
-        "lang_id_confusion",
-        "mad_outliers",
-        "mann_whitney_priority",
-        "minhash_band_sweep",
-        "minhash_calibration",
-        "multimodal_binary_meta",
-        "multimodal_features",
-        "multimodal_frame_sample",
-        "multimodal_gif_decode",
-        "multimodal_jpeg_decode",
-        "multimodal_png_decode",
-        "multimodal_video_frames",
-        "multimodal_wav_decode",
-        "mutual_info_lang_source",
-        "orders_backlog_aging",
-        "orders_monthly_yoy",
-        "pack_documents",
-        "pagerank_copurchase",
-        "partitioned_roundtrip_docs",
-        "percentile_stats",
-        "perplexity_bigram_interp",
-        "perplexity_unigram",
-        "pettitt_changepoint_daily",
-        "pii_scrub_stats",
-        "price_decile_assign",
-        "profile_columns",
-        "psi_price_drift_by_segment",
-        "pyds_stream_agg",
-        "q10_returned_revenue",
-        "q14_promo_revenue",
-        "q17_small_qty_revenue",
-        "q18_large_orders",
-        "q19_or_predicates",
-        "q22_idle_customers",
-        "q4_order_priority",
-        "q7_nation_volume",
-        "qq_plot_price",
-        "quality_classifier_pr_curve",
-        "quality_classifier_reliability",
-        "quality_classifier_score",
-        "quality_classifier_train",
-        "quality_filter_gopher",
-        "quantile_by_value_qty",
-        "recursive_copurchase_reach",
-        "referential_integrity_audit",
-        "regression_by_nation",
-        "repetition_ratio",
-        "revenue_gini_lorenz",
-        "sample_per_group",
-        "schema_evolution_roundtrip",
-        "semantic_dedup_components",
-        "semantic_dedup_lsh_components",
-        "ship_lag_quantiles",
-        "shuffle_deterministic",
-        "sim_bruteforce_topk",
-        "sim_ivf_topk",
-        "sim_ivfpq_topk",
-        "sim_lsh_multiprobe_topk",
-        "sim_lsh_topk",
-        "sim_pq_topk",
-        "sim_recall_calibration",
-        "skew_diagnostics",
-        "skyline_price_size",
-        "snapshot_diff_orders",
-        "source_char_budget",
-        "source_mixing_weights",
-        "source_overlap_matrix",
-        "spearman_qty_price",
-        "stats_profile_orders",
-        "stratified_sample_exact",
-        "stratified_sample_sources",
-        "stream_aggregate_view",
-        "stream_curation_yaml",
-        "stream_dedup_keys",
-        "stream_ingest_dedup",
-        "stream_ingest_neardup",
-        "stream_interval_join",
-        "stream_interval_join_outer",
-        "stream_latest_per_key",
-        "stream_parquet_sink",
-        "stream_pipeline_yaml",
-        "stream_psi_monitor",
-        "stream_quality_quarantine",
-        "stream_running_totals",
-        "stream_running_totals_tws",
-        "stream_session_windows",
-        "stream_skyline_frontier",
-        "stream_sliding_counts",
-        "stream_static_enrich",
-        "stream_topk_per_window",
-        "stream_tumbling_counts",
-        "stream_windowed_rollup_chain",
-        "supplier_pareto_abc",
-        "table_fingerprint_orders",
-        "text_stats",
-        "tfidf_top_terms",
-        "theil_sen_daily_revenue",
-        "token_drift_kl",
-        "token_estimate_bpe",
-        "token_pmi_collocations",
-        "tokens_retained_after_dedup",
-        "top_tokens_per_lang",
-        "train_test_split",
-        "triangle_count",
-        "try_arithmetic_orders",
-        "unicode_nfc_normalize",
-        "variant_extract_orders",
-        "vocab_coverage",
-        "vocab_coverage_curve",
-        "vocab_novelty_by_source",
-        "wasserstein_price_urgent",
-        "weighted_median_price_by_flag",
-        "weighted_sample",
-        "welch_t_sources",
-        "wilson_ci_urgent_rate",
-        "winsorized_mean_price",
-        "zipf_token_fit",
-    }
 )
 # END CHANGED_SINCE_GREEN
 
