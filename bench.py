@@ -288,90 +288,90 @@ GATE = {
 GATE_V3: dict[str, float] = {
     "ab_test_analysis": 0.277,
     "active_streaks": 0.343,
-    "adamic_adar_link_prediction": 1.060,
-    "anova_f_segments": 0.548,
-    "approx_distinct_parts": 6.150,
+    "adamic_adar_link_prediction": 0.734,
+    "anova_f_segments": 0.533,
+    "approx_distinct_parts": 4.278,
     "approx_percentile_qty": 0.614,
     "array_hof_order_lines": 0.274,
     "asof_join_events": 0.588,
-    "asof_join_nearest": 0.713,
-    "asof_join_tolerance": 0.696,
+    "asof_join_nearest": 0.690,
+    "asof_join_tolerance": 0.672,
     "attribution_last_touch": 0.592,
-    "autocorr_daily_counts": 0.523,
+    "autocorr_daily_counts": 0.501,
     "basket_lift_pairs": 1.236,
-    "benford_first_digit": 0.289,
+    "benford_first_digit": 0.270,
     "blocklist_filter_stats": 0.625,
     "bm25_rank": 0.838,
-    "bm25_topk_docs": 0.837,
+    "bm25_topk_docs": 0.804,
     "boilerplate_ngrams": 0.960,
     "bootstrap_mean_ci": 0.998,
     "bounce_rate_by_entry": 0.531,
-    "bpe_train_merges": 1.768,
+    "bpe_train_merges": 1.433,
     "bpe_vocab_counts": 1.082,
-    "bucketed_join_revenue": 3.029,
+    "bucketed_join_revenue": 1.050,
     "case_when_buckets": 0.338,
     "cdc_merge_summary": 0.410,
     "char_entropy_quality": 1.620,
     "chisq_lang_source": 0.343,
     "chunk_documents": 0.206,
     "clean_text_scrub": 0.269,
-    "cms_heavy_hitters": 0.948,
+    "cms_heavy_hitters": 0.781,
     "cohens_d_urgent_price": 0.536,
-    "cohort_retention": 0.632,
+    "cohort_retention": 0.557,
     "cohort_retention_matrix": 0.347,
-    "collation_group_ci": 0.299,
-    "compaction_bin_packing": 0.331,
+    "collation_group_ci": 0.214,
+    "compaction_bin_packing": 0.208,
     "compaction_tombstone": 0.366,
     "conformal_forecast_intervals": 0.935,
     "conversion_lag_quantiles": 1.727,
     "copurchase_bfs_hops": 2.159,
     "copurchase_kcore": 2.062,
-    "copurchase_pagerank": 1.004,
+    "copurchase_pagerank": 0.929,
     "corpus_stats_by_lang": 0.619,
-    "corr_matrix_lineitem": 1.182,
+    "corr_matrix_lineitem": 1.173,
     "cramers_v_lang_source": 0.463,
     "cross_entropy_source_pairs": 0.544,
     "csv_roundtrip_orders": 1.492,
-    "cube_qty": 0.698,
+    "cube_qty": 0.670,
     "curation_downsample": 0.258,
     "curation_pipeline": 1.308,
     "curation_pipeline_yaml": 1.432,
     "customer_decile_transitions": 1.390,
-    "customer_jaccard_similarity": 0.622,
+    "customer_jaccard_similarity": 0.473,
     "customer_rfm_scores": 2.728,
-    "cusum_changepoint_revenue": 0.823,
+    "cusum_changepoint_revenue": 0.693,
     "daily_count_anomalies": 0.289,
-    "dataset_card_summary": 0.630,
+    "dataset_card_summary": 0.542,
     "date_funcs": 0.247,
-    "dau_mau_stickiness": 0.335,
+    "dau_mau_stickiness": 0.327,
     "decile_bounds_price": 2.460,
     "decontaminate_ngram_overlap": 1.331,
     "decontaminate_splits": 0.483,
     "dedup_canonical_pick": 0.456,
-    "dedup_cluster_sizes": 4.566,
+    "dedup_cluster_sizes": 4.454,
     "dedup_components": 4.926,
     "dedup_containment": 2.032,
     "dedup_embedding_cosine": 0.665,
     "dedup_exact": 0.267,
-    "dedup_keys": 0.213,
+    "dedup_keys": 0.189,
     "dedup_minhash_lsh": 1.643,
-    "dedup_ngram_jaccard": 3.773,
-    "dedup_prefix_clusters": 0.351,
-    "dedup_rate_by_source": 1.980,
-    "dedup_repeated_ngram_spans": 2.002,
-    "dedup_simhash": 2.532,
-    "dedup_simhash_hamming": 2.624,
-    "dedup_substring_spans": 2.166,
+    "dedup_ngram_jaccard": 3.370,
+    "dedup_prefix_clusters": 0.318,
+    "dedup_rate_by_source": 1.804,
+    "dedup_repeated_ngram_spans": 1.827,
+    "dedup_simhash": 2.275,
+    "dedup_simhash_hamming": 2.570,
+    "dedup_substring_spans": 2.151,
     "dedup_token_sort": 0.312,
-    "distinct_rows": 0.248,
+    "distinct_rows": 0.179,
     "doc_fingerprint": 0.317,
     "doc_length_histogram": 0.209,
     "doc_novelty_scores": 1.381,
-    "dpp_partitioned_lang_join": 0.569,
-    "dq_expectations_orders": 0.443,
+    "dpp_partitioned_lang_join": 0.254,
+    "dq_expectations_orders": 0.438,
     "embedding_centroid_separation": 0.428,
-    "embedding_dim_variance_audit": 0.357,
-    "embedding_matryoshka_mass": 0.497,
+    "embedding_dim_variance_audit": 0.348,
+    "embedding_matryoshka_mass": 0.439,
     "embedding_norms": 0.237,
     "embedding_pca_power": 0.808,
     "embedding_quantize_int8": 0.430,
@@ -381,94 +381,95 @@ GATE_V3: dict[str, float] = {
     "event_gap_quantiles_chunked": 2.322,
     "event_transition_matrix": 0.472,
     "events_anomaly_mad": 1.660,
-    "ewma_daily_revenue": 0.363,
-    "ewma_latest_per_user": 0.883,
-    "exact_quantile_distributed": 1.358,
+    "ewma_daily_revenue": 0.350,
+    "ewma_latest_per_user": 0.736,
+    "exact_quantile_distributed": 1.255,
     "explode_outer_rare_tokens": 0.477,
     "explode_token_counts": 0.185,
     "filter_predicates": 0.264,
-    "flesch_readability_by_source": 0.457,
+    "flesch_readability_by_source": 0.401,
     "friedman_test_segments": 0.731,
-    "funnel_stages": 0.800,
+    "funnel_stages": 0.647,
     "fuzzy_entity_clusters": 1.174,
     "fuzzy_join_symspell": 0.288,
     "fuzzy_name_match": 5.717,
     "gap_fill_locf": 0.458,
     "group_split_leakage_audit": 0.456,
-    "grouping_sets_revenue": 0.824,
-    "hash_agg_stats": 0.438,
-    "hhi_market_concentration": 0.658,
-    "hits_hubs_authorities": 1.437,
-    "hll_sketch_rollup": 0.638,
+    "grouping_sets_revenue": 0.814,
+    "hash_agg_stats": 0.416,
+    "hhi_market_concentration": 0.653,
+    "hits_hubs_authorities": 1.214,
+    "hll_sketch_rollup": 0.439,
     "hodges_lehmann_urgent_shift": 6.312,
     "holt_linear_daily_revenue": 0.461,
     "hourly_value_quantiles": 1.173,
     "interpolate_linear": 0.795,
-    "interval_join_peak_windows": 0.661,
-    "inverted_index": 1.151,
+    "interval_join_peak_windows": 0.544,
+    "inverted_index": 0.855,
     "jl_distortion_audit": 0.623,
-    "join_anti": 0.385,
-    "join_bloom_prefiltered": 1.647,
+    "join_anti": 0.334,
+    "join_bloom_prefiltered": 1.292,
     "join_broadcast_dims": 0.648,
     "join_explosion_audit": 0.599,
-    "join_null_safe": 0.452,
+    "join_null_safe": 0.362,
     "join_outer_full": 0.561,
     "join_salted_skew": 3.012,
     "join_semi": 0.498,
-    "join_shuffle_hash_hint": 1.490,
+    "join_shuffle_hash_hint": 0.828,
     "js_divergence_sources": 0.998,
     "json_funcs": 0.681,
-    "json_roundtrip_orders": 1.084,
-    "k_anonymity_audit": 0.529,
+    "json_roundtrip_orders": 0.823,
+    "k_anonymity_audit": 0.453,
     "kafka_frame_roundtrip": 1.261,
     "kendall_tau_daily": 0.468,
-    "kmeans_embeddings": 1.201,
+    "kmeans_embeddings": 1.023,
     "kmv_distinct_rollup": 0.573,
     "kmv_overlap_daily": 0.592,
     "kmv_rolling_wau": 0.576,
-    "knn_label_purity": 2.272,
+    "knn_label_purity": 2.238,
     "kruskal_wallis_priority": 3.028,
     "ks_test_urgent_price": 1.077,
     "label_centroids": 0.361,
-    "lang_id": 0.537,
-    "lang_id_confusion": 0.470,
+    "lang_id": 0.523,
+    "lang_id_confusion": 0.436,
     "latest_per_key": 0.329,
-    "levene_brown_forsythe_segments": 2.165,
+    "levene_brown_forsythe_segments": 2.156,
     "mad_outliers": 3.770,
     "mann_whitney_priority": 0.859,
     "map_explode_customer": 0.442,
-    "markov_next_event_accuracy": 0.778,
+    "markov_next_event_accuracy": 0.777,
     "math_funcs": 0.600,
-    "minhash_band_sweep": 3.485,
+    "minhash_band_sweep": 2.785,
     "minhash_calibration": 4.465,
-    "mojibake_encoding_audit": 0.454,
-    "multimodal_binary_meta": 0.255,
+    "mmr_diversified_topk": 4.251,
+    "mojibake_encoding_audit": 0.401,
+    "multimodal_binary_meta": 0.238,
     "multimodal_bmp_decode": 0.884,
-    "multimodal_features": 0.501,
-    "multimodal_frame_sample": 0.673,
-    "multimodal_gif_decode": 0.947,
+    "multimodal_features": 0.497,
+    "multimodal_frame_sample": 0.564,
+    "multimodal_gif_decode": 0.944,
     "multimodal_ico_decode": 0.931,
     "multimodal_jpeg_decode": 1.434,
-    "multimodal_png_decode": 1.866,
+    "multimodal_png_decode": 1.820,
     "multimodal_qoi_decode": 0.874,
-    "multimodal_video_frames": 3.867,
-    "multimodal_wav_decode": 1.291,
-    "mutual_info_lang_source": 0.428,
+    "multimodal_video_frames": 3.698,
+    "multimodal_wav_decode": 1.101,
+    "mutual_info_lang_source": 0.398,
     "null_semantics": 0.305,
     "nulls_ordering": 0.300,
-    "ols_slope_per_type": 0.990,
-    "orc_roundtrip_orders": 1.293,
+    "ols_slope_per_type": 0.814,
+    "orc_roundtrip_orders": 0.709,
     "orders_backlog_aging": 0.315,
     "orders_monthly_yoy": 0.655,
-    "pack_documents": 0.987,
+    "pack_documents": 0.830,
     "pagerank_copurchase": 2.919,
-    "partitioned_roundtrip_docs": 0.479,
-    "percentile_stats": 1.931,
+    "partitioned_roundtrip_docs": 0.436,
+    "percentile_stats": 1.738,
     "perplexity_bigram_interp": 1.234,
-    "perplexity_unigram": 0.536,
-    "pettitt_changepoint_daily": 2.520,
+    "perplexity_unigram": 0.535,
+    "pettitt_changepoint_daily": 2.001,
     "pii_scrub_stats": 0.639,
-    "pipe_syntax_revenue": 0.310,
+    "pipe_syntax_revenue": 0.294,
     "pipeline_yaml_batch": 0.218,
     "pipeline_yaml_enrich_agg": 0.493,
     "pivot_returnflag": 0.460,
@@ -477,65 +478,65 @@ GATE_V3: dict[str, float] = {
     "projection_cast": 0.202,
     "psi_price_drift_by_segment": 0.789,
     "purchase_hazard_curve": 0.724,
-    "pyds_stream_agg": 4.019,
-    "pyds_synthetic_agg": 4.874,
+    "pyds_stream_agg": 3.038,
+    "pyds_synthetic_agg": 0.891,
     "q10_returned_revenue": 0.628,
     "q11_important_parts": 0.781,
     "q12_late_shipments": 0.708,
-    "q13_order_count_dist": 0.537,
-    "q14_promo_revenue": 0.452,
+    "q13_order_count_dist": 0.423,
+    "q14_promo_revenue": 0.317,
     "q15_top_supplier": 0.710,
-    "q16_supplier_count": 1.285,
-    "q17_small_qty_revenue": 0.531,
-    "q18_large_orders": 1.326,
-    "q19_or_predicates": 0.462,
-    "q1_pricing_summary": 1.044,
+    "q16_supplier_count": 0.988,
+    "q17_small_qty_revenue": 0.495,
+    "q18_large_orders": 1.202,
+    "q19_or_predicates": 0.425,
+    "q1_pricing_summary": 0.935,
     "q20_dominant_suppliers": 1.153,
-    "q21_waiting_suppliers": 0.805,
-    "q22_idle_customers": 0.550,
-    "q2_top_supplier_per_part": 1.234,
-    "q3_shipping_priority": 0.806,
-    "q4_order_priority": 0.707,
-    "q5_local_supplier_volume": 1.320,
-    "q6_forecast_revenue": 0.266,
-    "q7_nation_volume": 0.883,
+    "q21_waiting_suppliers": 0.750,
+    "q22_idle_customers": 0.539,
+    "q2_top_supplier_per_part": 1.001,
+    "q3_shipping_priority": 0.769,
+    "q4_order_priority": 0.694,
+    "q5_local_supplier_volume": 1.263,
+    "q6_forecast_revenue": 0.254,
+    "q7_nation_volume": 0.870,
     "q8_market_share": 1.385,
     "q9_product_profit": 1.131,
     "qld_topk_docs": 0.782,
-    "qq_plot_price": 1.195,
-    "quality_classifier_pr_curve": 1.974,
-    "quality_classifier_reliability": 1.562,
-    "quality_classifier_score": 1.551,
+    "qq_plot_price": 1.163,
+    "quality_classifier_pr_curve": 1.753,
+    "quality_classifier_reliability": 1.367,
+    "quality_classifier_score": 1.469,
     "quality_classifier_train": 1.979,
     "quality_filter_gopher": 0.881,
     "quantile_by_value_qty": 0.654,
-    "range_join_views_before_purchase": 0.628,
+    "range_join_views_before_purchase": 0.588,
     "recursive_copurchase_reach": 1.774,
     "referential_integrity_audit": 0.572,
     "regression_by_nation": 1.123,
     "repetition_ratio": 45.020,
     "revenue_gini_lorenz": 1.427,
     "right_to_be_forgotten_audit": 0.365,
-    "rm3_expanded_retrieval": 2.926,
+    "rm3_expanded_retrieval": 2.888,
     "rollup_revenue": 0.998,
-    "rollup_time_hierarchy": 0.989,
+    "rollup_time_hierarchy": 0.969,
     "rrf_fusion_topk": 1.169,
     "runs_test_daily_revenue": 2.888,
     "sample_per_group": 0.241,
-    "scd2_history": 0.403,
-    "schema_evolution_roundtrip": 0.450,
-    "schema_registry_parse": 0.783,
+    "scd2_history": 0.348,
+    "schema_evolution_roundtrip": 0.441,
+    "schema_registry_parse": 0.729,
     "seasonal_decomposition_weekday": 0.425,
     "seasonal_naive_backtest": 0.311,
     "semantic_dedup_components": 2.673,
     "semantic_dedup_lsh_components": 3.179,
-    "session_entropy_per_user": 0.491,
+    "session_entropy_per_user": 0.449,
     "session_paths_top": 0.356,
-    "session_window_agg": 0.856,
+    "session_window_agg": 0.693,
     "sessionize_events": 0.695,
-    "sessionize_events_chunked": 0.792,
+    "sessionize_events_chunked": 0.768,
     "set_ops": 0.470,
-    "set_ops_bag": 0.520,
+    "set_ops_bag": 0.438,
     "ship_lag_quantiles": 0.878,
     "shuffle_deterministic": 0.624,
     "sim_bruteforce_topk": 0.560,
@@ -543,98 +544,101 @@ GATE_V3: dict[str, float] = {
     "sim_ivfpq_topk": 3.292,
     "sim_lsh_multiprobe_topk": 0.843,
     "sim_lsh_topk": 0.809,
-    "sim_pq_topk": 3.099,
-    "sim_recall_calibration": 5.712,
-    "skew_diagnostics": 0.356,
+    "sim_pq_topk": 3.001,
+    "sim_recall_calibration": 5.247,
+    "skew_diagnostics": 0.253,
     "skyline_price_size": 0.272,
-    "sliding_window_agg": 0.402,
-    "snapshot_diff_orders": 0.543,
-    "source_char_budget": 0.369,
+    "sliding_window_agg": 0.394,
+    "snapshot_diff_orders": 0.498,
+    "source_char_budget": 0.249,
     "source_mixing_weights": 0.271,
-    "source_overlap_matrix": 1.793,
+    "source_overlap_matrix": 1.610,
     "spearman_qty_price": 1.878,
     "sql_api_revenue": 1.408,
-    "sql_udf_netprice": 1.187,
-    "sql_variables_param_revenue": 0.522,
+    "sql_udf_netprice": 1.143,
+    "sql_variables_param_revenue": 0.367,
     "stats_profile_orders": 0.860,
     "stratified_sample_exact": 0.196,
-    "stratified_sample_sources": 0.247,
-    "stream_aggregate_view": 0.847,
+    "stratified_sample_sources": 0.230,
+    "stream_aggregate_view": 0.690,
+    "stream_bm25_compacted": 6.294,
     "stream_bm25_incremental": 2.703,
     "stream_cms_heavy_hitters_incremental": 2.165,
-    "stream_corpus_card_incremental": 1.839,
-    "stream_curation_yaml": 2.130,
+    "stream_corpus_card_incremental": 1.580,
+    "stream_curation_yaml": 2.076,
     "stream_dedup_keys": 3.386,
-    "stream_embedding_centroids_incremental": 1.887,
-    "stream_histogram_quantiles_incremental": 3.003,
+    "stream_embedding_centroids_incremental": 1.428,
+    "stream_histogram_quantiles_incremental": 2.834,
     "stream_ingest_dedup": 1.471,
-    "stream_ingest_neardup": 21.498,
+    "stream_ingest_dedup_compacted": 2.793,
+    "stream_ingest_neardup": 18.787,
     "stream_ingest_neardup_tws": 19.528,
     "stream_interval_join": 12.548,
-    "stream_interval_join_outer": 13.066,
-    "stream_kmv_distinct_incremental": 1.594,
-    "stream_latest_per_key": 2.013,
-    "stream_parquet_sink": 0.923,
-    "stream_pipeline_yaml": 0.504,
+    "stream_interval_join_outer": 11.545,
+    "stream_join_enriched_incremental": 6.035,
+    "stream_kmv_distinct_incremental": 1.276,
+    "stream_latest_per_key": 2.007,
+    "stream_parquet_sink": 0.753,
+    "stream_pipeline_yaml": 0.502,
     "stream_pmi_collocations_incremental": 2.179,
-    "stream_psi_monitor": 2.414,
-    "stream_quality_quarantine": 1.799,
-    "stream_running_totals": 2.496,
-    "stream_running_totals_tws": 6.692,
+    "stream_psi_monitor": 2.274,
+    "stream_quality_quarantine": 1.517,
+    "stream_running_totals": 2.404,
+    "stream_running_totals_tws": 6.613,
     "stream_scd2_dimension": 3.242,
     "stream_session_windows": 2.887,
     "stream_skyline_frontier": 1.061,
-    "stream_sliding_counts": 2.479,
-    "stream_static_enrich": 2.230,
+    "stream_sliding_counts": 2.250,
+    "stream_static_enrich": 1.799,
     "stream_topk_per_window": 3.065,
-    "stream_tumbling_counts": 1.821,
-    "stream_unigram_lm_incremental": 1.728,
-    "stream_windowed_rollup_chain": 6.921,
+    "stream_tumbling_counts": 1.790,
+    "stream_unigram_lm_incremental": 1.335,
+    "stream_windowed_rollup_chain": 6.211,
     "string_funcs": 0.161,
-    "supplier_pareto_abc": 0.916,
+    "supplier_pareto_abc": 0.868,
     "table_fingerprint_orders": 0.440,
-    "text_stats": 0.809,
+    "text_stats": 0.765,
     "tfidf_top_terms": 0.397,
     "theil_sen_daily_revenue": 7.270,
-    "time_weighted_avg": 0.974,
-    "token_drift_kl": 1.071,
-    "token_estimate_bpe": 0.481,
+    "time_weighted_avg": 0.647,
+    "token_drift_kl": 0.982,
+    "token_estimate_bpe": 0.359,
     "token_pmi_collocations": 1.096,
     "tokens_retained_after_dedup": 0.320,
-    "top_tokens_per_lang": 0.480,
+    "top_tokens_per_lang": 0.340,
     "topk_orders": 0.189,
     "topk_per_group": 0.366,
     "train_test_split": 0.271,
-    "triangle_count": 0.631,
+    "triangle_count": 0.469,
     "try_arithmetic_orders": 0.446,
     "tumbling_window_agg": 0.296,
-    "udaf_trimmed_stats": 7.214,
-    "udtf_tokenize": 0.779,
-    "unicode_nfc_normalize": 0.784,
+    "udaf_trimmed_stats": 6.915,
+    "udtf_tokenize": 0.599,
+    "unicode_nfc_normalize": 0.487,
     "unpivot_part_measures": 0.286,
     "user_adoption_curve": 0.538,
-    "value_histogram_log2": 0.174,
+    "value_histogram_log2": 0.165,
     "variant_extract_orders": 1.180,
     "vocab_coverage": 0.250,
-    "vocab_coverage_curve": 0.902,
+    "vocab_coverage_curve": 0.861,
     "vocab_novelty_by_source": 0.416,
-    "wasserstein_price_urgent": 1.508,
-    "weekday_activity_profile": 0.264,
+    "wasserstein_price_urgent": 1.495,
+    "weekday_activity_profile": 0.237,
     "weighted_median_price_by_flag": 1.535,
-    "weighted_sample": 0.191,
-    "welch_t_sources": 0.280,
+    "weighted_sample": 0.147,
+    "welch_t_sources": 0.224,
     "wilson_ci_urgent_rate": 0.276,
-    "window_analytic": 0.467,
-    "window_distribution": 0.380,
+    "window_analytic": 0.351,
+    "window_distribution": 0.288,
     "window_frames": 0.373,
     "window_range_frame": 0.669,
     "window_ranking": 0.387,
     "winsorized_mean_price": 2.664,
-    "xml_roundtrip_orders": 1.426,
+    "xml_roundtrip_orders": 1.037,
     "zipf_token_fit": 0.789,
     "zonemap_pruning_stats": 0.356,
-    "zorder_layout_events": 0.462,
-    "zscore_outliers": 0.422,
+    "zorder_layout_events": 0.339,
+    "zscore_outliers": 0.401,
 }
 # END GATE_V3
 
