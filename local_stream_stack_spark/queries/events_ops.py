@@ -3785,3 +3785,125 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_number")
     )
+
+
+@query(
+    "bloom_filter_fp_audit",
+    oracle="""
+    WITH members AS (
+      SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    probes AS (
+      SELECT c_custkey AS k FROM customer WHERE c_mktsegment <> 'BUILDING'
+    ),
+    bits AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5('bloom' || i.i || ':'
+                                      || CAST(m.k AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 4096 AS pos
+      FROM members m, generate_series(0, 2) i(i)
+    ),
+    probe_pos AS (
+      SELECT p.k, i.i,
+             CAST(('0x' || substr(md5('bloom' || i.i || ':'
+                                      || CAST(p.k AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 4096 AS pos
+      FROM probes p, generate_series(0, 2) i(i)
+    ),
+    hits AS (
+      SELECT pp.k, CAST(COUNT(*) AS BIGINT) AS n_hit
+      FROM probe_pos pp JOIN bits b ON pp.pos = b.pos
+      GROUP BY pp.k
+    ),
+    agg AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM members) AS n_members,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM probes) AS n_probes,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM hits WHERE n_hit = 3)
+               AS n_fp
+    )
+    SELECT n_members, n_bits_set, n_probes, n_fp,
+           CASE WHEN n_probes > 0 THEN
+             CAST(n_fp * 1000000 // n_probes AS BIGINT)
+           END AS fp_rate_e6,
+           CAST(FLOOR(POW(n_bits_set / 4096.0, 3) * 1e6 + 0.5) AS BIGINT)
+             AS theory_e6
+    FROM agg
+    """,
+)
+def bloom_filter_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter false-positive audit — the sketch the 100 TB join
+    prefilter actually ships (`join_bloom_prefiltered` uses Spark's
+    opaque builtin; this one builds a PORTABLE bloom from first
+    principles so the false-positive rate itself is oracle-checkable):
+    m=4096 bits, kₕ=3 md5-derived positions per key, membership = all
+    three bits set. The BUILDING-segment customers populate the
+    filter; every other customer probes it; the measured FP count is
+    exact set arithmetic on both engines, and the observed rate is
+    compared against the (bits_set/m)^kₕ theoretical rate — the audit
+    that tells an engineer whether the filter is sized right before
+    it gates a shuffle. Scale: the bit-set relation is bounded by m
+    (broadcast); probes are one scan + broadcast hash semi-join; no
+    shuffle of the probe side."""
+    configure_for_oracle(spark)
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    members = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    probes = c.filter(F.col("c_mktsegment") != "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    ks = spark.range(0, 3).select(F.col("id").cast("int").alias("i"))
+
+    def pos_expr():
+        return F.expr(
+            "CAST(conv(substring(md5(concat('bloom', i, ':',"
+            " CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % 4096"
+        ).alias("pos")
+
+    bits = (
+        members.crossJoin(F.broadcast(ks)).select(pos_expr()).distinct()
+    )
+    probe_pos = probes.crossJoin(F.broadcast(ks)).select("k", pos_expr())
+    hits = (
+        probe_pos.join(F.broadcast(bits), "pos")
+        .groupBy("k")
+        .agg(F.count("*").cast("bigint").alias("n_hit"))
+    )
+    agg = (
+        members.agg(F.count("*").cast("bigint").alias("n_members"))
+        .crossJoin(
+            F.broadcast(
+                bits.agg(F.count("*").cast("bigint").alias("n_bits_set"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                probes.agg(F.count("*").cast("bigint").alias("n_probes"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                hits.filter(F.col("n_hit") == 3).agg(
+                    F.count("*").cast("bigint").alias("n_fp")
+                )
+            )
+        )
+    )
+    return agg.select(
+        "n_members",
+        "n_bits_set",
+        "n_probes",
+        "n_fp",
+        F.expr(
+            """CASE WHEN n_probes > 0 THEN
+                 CAST(n_fp * 1000000 div n_probes AS BIGINT)
+               END"""
+        ).alias("fp_rate_e6"),
+        F.expr(
+            "CAST(FLOOR(POW(n_bits_set / 4096.0, 3) * 1e6 + 0.5)"
+            " AS BIGINT)"
+        ).alias("theory_e6"),
+    )

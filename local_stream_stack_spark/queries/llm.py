@@ -7970,6 +7970,244 @@ def multimodal_qoi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_tga_decode",
+    oracle="""
+    WITH f2 AS (
+      SELECT d.doc_id,
+             (d.doc_id + 4 * x.x + 9 * y.y) % 256 AS r,
+             (d.doc_id * 3 + y.y) % 256 AS g,
+             (d.doc_id * 13 + 2 * x.x) % 256 AS b
+      FROM documents d,
+           generate_series(0, 7) x(x),
+           generate_series(0, 5) y(y)
+      WHERE x.x < 3 + d.doc_id % 5 AND y.y < 2 + d.doc_id % 4
+    ),
+    f10 AS (
+      SELECT d.doc_id,
+             ((d.doc_id + x.x // 3 + 2 * y.y) * 17) % 256 AS r,
+             ((d.doc_id + x.x // 3 + 2 * y.y) * 23 + 1) % 256 AS g,
+             ((d.doc_id + x.x // 3 + 2 * y.y) * 5 + 9) % 256 AS b
+      FROM documents d,
+           generate_series(0, 6) x(x),
+           generate_series(0, 4) y(y)
+      WHERE x.x < 4 + d.doc_id % 3 AND y.y < 2 + d.doc_id % 3
+    ),
+    px AS (SELECT * FROM f2 UNION ALL SELECT * FROM f10)
+    SELECT doc_id,
+           CAST(2 AS INT) AS n_images,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(r) AS BIGINT) AS r_sum,
+           CAST(SUM(g) AS BIGINT) AS g_sum,
+           CAST(SUM(b) AS BIGINT) AS b_sum,
+           CAST(MIN(r) AS INT) AS r_min,
+           CAST(MAX(r) AS INT) AS r_max
+    FROM px
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def multimodal_tga_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-bytes TGA decode end to end: per doc an uncompressed
+    24-bit type-2 TGA (bottom-origin — the format default, so the row
+    flip is exercised) AND an RLE type-10 TGA (top-origin,
+    run-friendly x//3 bands so RLE and raw packets both occur) are
+    encoded and decoded through the full codec (``operators/tga.py``
+    — BGR order, origin normalization, RLE packets; pinned against
+    hand-assembled spec streams incl. color-mapped type 1 in
+    tests/test_tga.py) inside one Arrow-batched mapInPandas pass.
+    Lossless, so the oracle recomputes the decoded channel statistics
+    arithmetically from the closed-form pixel formulas — a defect in
+    packet framing, BGR swap, or the bottom-up flip breaks the sums.
+    Same fan-out note as the other codecs: the id column is
+    repartitioned because the testdata table is one small file."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def run(batches):
+        import pandas as pd
+
+        from local_stream_stack_spark.operators.tga import (
+            decode_tga,
+            encode_tga24,
+            encode_tga_rle24,
+        )
+
+        cols = [
+            "doc_id", "n_images", "n_px",
+            "r_sum", "g_sum", "b_sum", "r_min", "r_max",
+        ]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w1, h1 = 3 + did % 5, 2 + did % 4
+                rgb1 = bytes(
+                    v
+                    for y in range(h1)
+                    for x in range(w1)
+                    for v in (
+                        (did + 4 * x + 9 * y) % 256,
+                        (did * 3 + y) % 256,
+                        (did * 13 + 2 * x) % 256,
+                    )
+                )
+                w2, h2 = 4 + did % 3, 2 + did % 3
+                rgb2 = bytes(
+                    v
+                    for y in range(h2)
+                    for x in range(w2)
+                    for v in (
+                        ((did + x // 3 + 2 * y) * 17) % 256,
+                        ((did + x // 3 + 2 * y) * 23 + 1) % 256,
+                        ((did + x // 3 + 2 * y) * 5 + 9) % 256,
+                    )
+                )
+                a = decode_tga(encode_tga24(w1, h1, rgb1))
+                b = decode_tga(
+                    encode_tga_rle24(w2, h2, rgb2, top_origin=True)
+                )
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_images": 2,
+                        "n_px": a["n_px"] + b["n_px"],
+                        "r_sum": a["r_sum"] + b["r_sum"],
+                        "g_sum": a["g_sum"] + b["g_sum"],
+                        "b_sum": a["b_sum"] + b["b_sum"],
+                        "r_min": min(a["r_min"], b["r_min"]),
+                        "r_max": max(a["r_max"], b["r_max"]),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return d.mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, n_images int, n_px bigint, r_sum bigint,"
+            " g_sum bigint, b_sum bigint, r_min int, r_max int"
+        ),
+    ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_pcx_decode",
+    oracle="""
+    WITH f8 AS (
+      SELECT d.doc_id,
+             (((d.doc_id * 3 + 5 * x.x + 7 * y.y) % 256) * 3 + d.doc_id)
+               % 256 AS r,
+             (((d.doc_id * 3 + 5 * x.x + 7 * y.y) % 256) * 3 + 7
+               + d.doc_id) % 256 AS g,
+             (((d.doc_id * 3 + 5 * x.x + 7 * y.y) % 256) * 3 + 14
+               + d.doc_id) % 256 AS b
+      FROM documents d,
+           generate_series(0, 6) x(x),
+           generate_series(0, 4) y(y)
+      WHERE x.x < 3 + d.doc_id % 4 AND y.y < 2 + d.doc_id % 3
+    ),
+    f24 AS (
+      SELECT d.doc_id,
+             (x.x * 9 + y.y + d.doc_id) % 256 AS r,
+             (x.x + y.y * 13) % 256 AS g,
+             (200 + x.x + d.doc_id) % 256 AS b
+      FROM documents d,
+           generate_series(0, 6) x(x),
+           generate_series(0, 4) y(y)
+      WHERE x.x < 4 + d.doc_id % 3 AND y.y < 3 + d.doc_id % 2
+    ),
+    px AS (SELECT * FROM f8 UNION ALL SELECT * FROM f24)
+    SELECT doc_id,
+           CAST(2 AS INT) AS n_images,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(r) AS BIGINT) AS r_sum,
+           CAST(SUM(g) AS BIGINT) AS g_sum,
+           CAST(SUM(b) AS BIGINT) AS b_sum,
+           CAST(MIN(r) AS INT) AS r_min,
+           CAST(MAX(r) AS INT) AS r_max
+    FROM px
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def multimodal_pcx_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-bytes PCX decode end to end: per doc an 8-bit
+    palette-indexed PCX (256-color VGA palette after the 0x0C marker,
+    doc-varying palette so the lookup is exercised, padded
+    bytes_per_line) AND a 24-bit 3-plane PCX (per-scan-line R/G/B
+    plane RLE) are encoded and decoded through the full codec
+    (``operators/pcx.py``, hand-assembled-stream-pinned in
+    tests/test_pcx.py) inside one Arrow-batched mapInPandas pass.
+    Lossless, so the oracle recomputes the channel statistics
+    arithmetically — a defect in RLE framing, plane deinterleave,
+    line padding, or palette lookup breaks the sums."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def run(batches):
+        import pandas as pd
+
+        from local_stream_stack_spark.operators.pcx import (
+            decode_pcx,
+            encode_pcx8,
+            encode_pcx24,
+        )
+
+        cols = [
+            "doc_id", "n_images", "n_px",
+            "r_sum", "g_sum", "b_sum", "r_min", "r_max",
+        ]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                pal = bytes(
+                    (i * 3 + c * 7 + did) % 256
+                    for i in range(256)
+                    for c in range(3)
+                )
+                w1, h1 = 3 + did % 4, 2 + did % 3
+                idx = bytes(
+                    (did * 3 + 5 * x + 7 * y) % 256
+                    for y in range(h1)
+                    for x in range(w1)
+                )
+                w2, h2 = 4 + did % 3, 3 + did % 2
+                rgb = bytes(
+                    v
+                    for y in range(h2)
+                    for x in range(w2)
+                    for v in (
+                        (x * 9 + y + did) % 256,
+                        (x + y * 13) % 256,
+                        (200 + x + did) % 256,
+                    )
+                )
+                a = decode_pcx(encode_pcx8(w1, h1, idx, pal))
+                b = decode_pcx(encode_pcx24(w2, h2, rgb))
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_images": 2,
+                        "n_px": a["n_px"] + b["n_px"],
+                        "r_sum": a["r_sum"] + b["r_sum"],
+                        "g_sum": a["g_sum"] + b["g_sum"],
+                        "b_sum": a["b_sum"] + b["b_sum"],
+                        "r_min": min(a["r_min"], b["r_min"]),
+                        "r_max": max(a["r_max"], b["r_max"]),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return d.mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, n_images int, n_px bigint, r_sum bigint,"
+            " g_sum bigint, b_sum bigint, r_min int, r_max int"
+        ),
+    ).orderBy("doc_id")
+
+
+@query(
     "multimodal_ico_decode",
     oracle="""
     WITH fpng AS (
@@ -8631,3 +8869,133 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "step int, doc_id bigint, rel_norm bigint, mmr_e6 bigint"
     ).orderBy("step")
+
+
+@query(
+    "tfidf_cosine_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, tok
+    ),
+    nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+    df AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+    ),
+    idf AS (
+      SELECT d.tok, d.df,
+             CAST(FLOOR(ln((1.0 + n.n_docs) / (1.0 + d.df)) * 1e6 + 0.5)
+                  AS BIGINT) + 1000000 AS idf_e6
+      FROM df d CROSS JOIN nn n
+    ),
+    w AS (
+      SELECT t.doc_id, t.tok,
+             CAST(t.tf * i.idf_e6 AS HUGEINT) AS w
+      FROM tf t JOIN idf i ON i.tok = t.tok
+    ),
+    norms AS (
+      SELECT doc_id, CAST(SUM(w * w) AS HUGEINT) AS nd2
+      FROM w GROUP BY doc_id
+    ),
+    qterms AS (
+      SELECT tok, idf_e6 FROM idf ORDER BY df DESC, tok LIMIT 3
+    ),
+    nq AS (
+      SELECT CAST(SUM(CAST(idf_e6 AS HUGEINT) * idf_e6) AS HUGEINT) AS nq2
+      FROM qterms
+    ),
+    dots AS (
+      SELECT w.doc_id,
+             CAST(SUM(CAST(w.w AS HUGEINT) * q.idf_e6) AS HUGEINT) AS dot
+      FROM w JOIN qterms q ON q.tok = w.tok
+      GROUP BY w.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(FLOOR(CAST(d.dot AS DOUBLE)
+                      / SQRT(CAST(n.nd2 AS DOUBLE))
+                      / SQRT(CAST(q.nq2 AS DOUBLE))
+                      * 1e6 + 0.5) AS BIGINT) AS cosine_e6
+    FROM dots d
+    JOIN norms n ON n.doc_id = d.doc_id
+    CROSS JOIN nq q
+    ORDER BY cosine_e6 DESC, d.doc_id
+    LIMIT 20
+    """,
+)
+def tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic vector-space tf-idf cosine retrieval — the third member
+    of the lexical ranking family (BM25 saturates tf, QLD smooths a
+    language model; tf-idf cosine is the length-normalized baseline
+    every retrieval benchmark still reports). Smoothed idf
+    (ln((1+N)/(1+df)) + 1, sklearn's convention) floors once to an e6
+    integer; per-(doc,term) weights and the FULL-vocabulary document
+    norms are exact DECIMAL(38,0)/HUGEINT sums (a weight can reach
+    ~2e10, its square 4e20); the cosine is one double tree with two
+    sqrts rounded once to e6. Scale: two hash aggregates over the
+    token relation + a broadcast 3-term probe; the norm pass reuses
+    the weight relation, and top-k is TakeOrderedAndProject."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("tok"),
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    nn = tf.agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+    df = tf.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    idf = df.crossJoin(F.broadcast(nn)).select(
+        "tok",
+        "df",
+        (
+            F.expr(
+                "CAST(FLOOR(ln((1.0 + n_docs) / (1.0 + df)) * 1e6 + 0.5)"
+                " AS BIGINT)"
+            )
+            + F.lit(1000000)
+        ).alias("idf_e6"),
+    )
+    w = tf.join(idf.select("tok", "idf_e6"), "tok").select(
+        "doc_id",
+        "tok",
+        F.expr("CAST(tf * idf_e6 AS DECIMAL(38,0))").alias("w"),
+    )
+    norms = w.groupBy("doc_id").agg(F.sum(F.expr("w * w")).alias("nd2"))
+    qterms = idf.orderBy(F.desc("df"), F.asc("tok")).limit(3).select(
+        "tok", "idf_e6"
+    )
+    nq = qterms.agg(
+        F.sum(
+            F.expr("CAST(idf_e6 AS DECIMAL(38,0)) * idf_e6")
+        ).alias("nq2")
+    )
+    dots = (
+        w.join(F.broadcast(qterms), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr("CAST(w AS DECIMAL(38,0)) * idf_e6")
+            ).alias("dot")
+        )
+    )
+    return (
+        dots.join(norms, "doc_id")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "doc_id",
+            F.expr(
+                """CAST(FLOOR(CAST(dot AS DOUBLE)
+                           / SQRT(CAST(nd2 AS DOUBLE))
+                           / SQRT(CAST(nq2 AS DOUBLE))
+                           * 1e6 + 0.5) AS BIGINT)"""
+            ).alias("cosine_e6"),
+        )
+        .orderBy(F.desc("cosine_e6"), F.asc("doc_id"))
+        .limit(20)
+    )

@@ -396,6 +396,17 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "stream_bm25_compacted",
         "stream_ingest_dedup_compacted",
         "stream_join_enriched_incremental",
+        "stream_aggregate_view_compacted",
+        "mann_kendall_trend_daily",
+        "durbin_watson_daily_revenue",
+        "ljung_box_daily_revenue",
+        "cochran_q_daily",
+        "page_trend_test_segments",
+        "bloom_filter_fp_audit",
+        "tfidf_cosine_topk",
+        "clustering_coefficient_nodes",
+        "multimodal_tga_decode",
+        "multimodal_pcx_decode",
     }
 )
 

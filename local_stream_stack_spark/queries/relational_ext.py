@@ -5061,3 +5061,700 @@ def holt_linear_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("st.l + 7 * st.b").cast("bigint").alias("forecast_7d_cents"),
         F.expr("st.sae").cast("bigint").alias("sum_abs_err_cents"),
     )
+
+
+@query(
+    "mann_kendall_trend_daily",
+    oracle="""
+    WITH days AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS di,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT b.rev_c - a.rev_c AS dx, b.di - a.di AS dd
+      FROM days a JOIN days b ON b.di > a.di
+    ),
+    sc AS (
+      SELECT CAST(SUM(CASE WHEN dx > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+             CAST(SUM(CASE WHEN dx < 0 THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM pairs
+    ),
+    ties AS (
+      SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_term
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM days GROUP BY rev_c) g
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM days),
+    sl AS (
+      SELECT CAST(FLOOR(1e6 * CAST(dx AS DOUBLE) / dd) AS BIGINT) AS s_e6,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM pairs GROUP BY 1
+    ),
+    slc AS (
+      SELECT s_e6, cnt,
+             SUM(cnt) OVER (ORDER BY s_e6) AS cw,
+             SUM(cnt) OVER () AS m
+      FROM sl
+    ),
+    sen AS (
+      SELECT MIN(CASE WHEN cw >= (m + 1) // 2 THEN s_e6 END)
+               + MIN(CASE WHEN cw >= m // 2 + 1 THEN s_e6 END) AS slope2_e6
+      FROM slc
+    )
+    SELECT nn.n AS n_days,
+           sc.nc - sc.nd AS s_stat,
+           sc.nc, sc.nd,
+           CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - t.tie_term AS BIGINT)
+             AS var18,
+           CASE WHEN nn.n * (nn.n - 1) * (2 * nn.n + 5) - t.tie_term > 0
+                THEN CAST(FLOOR(
+                  (CASE WHEN sc.nc - sc.nd > 0 THEN sc.nc - sc.nd - 1.0
+                        WHEN sc.nc - sc.nd < 0 THEN sc.nc - sc.nd + 1.0
+                        ELSE 0.0 END)
+                  / SQRT((nn.n * (nn.n - 1.0) * (2 * nn.n + 5) - t.tie_term)
+                         / 18.0)
+                  * 1e6 + 0.5) AS BIGINT)
+           END AS z_e6,
+           CAST(s.slope2_e6 AS BIGINT) AS sen_slope2_e6
+    FROM nn CROSS JOIN sc CROSS JOIN ties t CROSS JOIN sen s
+    """,
+)
+def mann_kendall_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test + Sen's slope over daily revenue — the
+    monotone-trend member of the statistics family (Kendall tau-b
+    correlates TWO series; MK asks whether ONE series trends against
+    time, and Sen's slope is its robust effect size — the standard
+    pre-forecasting screen). Day-grain collapse first, so the
+    quadratic pair stage is |days|² via broadcast theta-join
+    (calendar-bounded); S and the tie-corrected 18·Var(S) are exact
+    integers; z is one double tree (single sqrt) rounded once to e6;
+    Sen's slope floors each pairwise slope once to an e6 integer and
+    takes the doubled median via the distributed-rank cumsum — no
+    ordered global window anywhere."""
+    from local_stream_stack_spark.operators.quantiles import (
+        with_global_rank,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    days = (
+        o.groupBy(
+            F.unix_date(F.col("o_orderdate").cast("date"))
+            .cast("bigint")
+            .alias("di")
+        )
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev_c")
+        )
+    )
+    a = days.select(F.col("di").alias("dia"), F.col("rev_c").alias("ra"))
+    b = days.select(F.col("di").alias("dib"), F.col("rev_c").alias("rb"))
+    pairs = a.join(F.broadcast(b), F.col("dib") > F.col("dia")).select(
+        (F.col("rb") - F.col("ra")).alias("dx"),
+        (F.col("dib") - F.col("dia")).alias("dd"),
+    )
+    sc = pairs.agg(
+        F.sum(F.expr("CASE WHEN dx > 0 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("nc"),
+        F.sum(F.expr("CASE WHEN dx < 0 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("nd"),
+    )
+    ties = (
+        days.groupBy("rev_c")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.expr("t * (t - 1) * (2 * t + 5)")
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    nn = days.agg(F.count("*").cast("bigint").alias("n"))
+    sl = pairs.groupBy(
+        F.expr("CAST(FLOOR(1e6 * CAST(dx AS DOUBLE) / dd) AS BIGINT)").alias(
+            "s_e6"
+        )
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    slc = with_global_rank(
+        sl, "s_e6", out_rank="__rn", cumsum={"cnt": "cw"},
+        acc_type="BIGINT", bins=128,
+    )
+    m = sl.agg(F.sum("cnt").cast("bigint").alias("m"))
+    sen = slc.crossJoin(F.broadcast(m)).agg(
+        (
+            F.min(F.expr("CASE WHEN cw >= (m + 1) div 2 THEN s_e6 END"))
+            + F.min(F.expr("CASE WHEN cw >= m div 2 + 1 THEN s_e6 END"))
+        )
+        .cast("bigint")
+        .alias("slope2_e6")
+    )
+    return (
+        nn.crossJoin(F.broadcast(sc))
+        .crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(sen))
+        .select(
+            F.col("n").alias("n_days"),
+            (F.col("nc") - F.col("nd")).cast("bigint").alias("s_stat"),
+            "nc",
+            "nd",
+            F.expr(
+                "CAST(n * (n - 1) * (2 * n + 5) - tie_term AS BIGINT)"
+            ).alias("var18"),
+            F.expr(
+                """CASE WHEN n * (n - 1) * (2 * n + 5) - tie_term > 0
+                     THEN CAST(FLOOR(
+                       (CASE WHEN nc - nd > 0 THEN nc - nd - 1.0
+                             WHEN nc - nd < 0 THEN nc - nd + 1.0
+                             ELSE 0.0 END)
+                       / SQRT((n * (n - 1.0) * (2 * n + 5) - tie_term)
+                              / 18.0)
+                       * 1e6 + 0.5) AS BIGINT)
+                   END"""
+            ).alias("z_e6"),
+            F.col("slope2_e6").alias("sen_slope2_e6"),
+        )
+    )
+
+
+@query(
+    "durbin_watson_daily_revenue",
+    oracle="""
+    WITH days AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS di,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    nn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rev_c) AS BIGINT) AS s
+      FROM days
+    ),
+    rk AS (
+      SELECT di, rev_c, ROW_NUMBER() OVER (ORDER BY di) AS t FROM days
+    ),
+    e AS (
+      SELECT t, CAST(n * rev_c - s AS HUGEINT) AS e
+      FROM rk CROSS JOIN nn
+    ),
+    agg AS (
+      SELECT
+        (SELECT CAST(SUM(e * e) AS HUGEINT) FROM e) AS den,
+        (SELECT CAST(SUM((c.e - p.e) * (c.e - p.e)) AS HUGEINT)
+         FROM e c JOIN e p ON p.t = c.t - 1) AS num
+    )
+    SELECT nn.n AS n_days,
+           CASE WHEN agg.den > 0 THEN
+             CAST(FLOOR(CAST(agg.num AS DOUBLE) / CAST(agg.den AS DOUBLE)
+                        * 1e6 + 0.5) AS BIGINT)
+           END AS dw_e6
+    FROM nn CROSS JOIN agg
+    """,
+)
+def durbin_watson_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Durbin-Watson first-order autocorrelation statistic over the
+    mean-centered daily-revenue series — the serial-correlation screen
+    a forecasting pipeline runs on residuals (DW ≈ 2(1 − ρ₁); the
+    runs test checks the SIGN pattern, DW the magnitudes). Residuals
+    are scaled by n (e_t = n·x_t − Σx) so they stay exact integers;
+    squares and cross terms route through DECIMAL(38,0)/HUGEINT (a
+    day's scaled residual can reach ~1e12 at sf0.1, its square 1e24);
+    adjacency is the rank self-join (t ⋈ t−1), never an unpartitioned
+    LAG window; DW is one double division rounded once to e6 — the
+    n² scaling cancels in the ratio."""
+    from local_stream_stack_spark.operators.quantiles import (
+        with_global_rank,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    days = (
+        o.groupBy(
+            F.unix_date(F.col("o_orderdate").cast("date"))
+            .cast("bigint")
+            .alias("di")
+        )
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev_c")
+        )
+    )
+    nn = days.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("rev_c").cast("bigint").alias("s"),
+    )
+    rk = with_global_rank(days, "di", out_rank="t", bins=64)
+    e = rk.crossJoin(F.broadcast(nn)).select(
+        "t",
+        F.expr("CAST(n * rev_c - s AS DECIMAL(38,0))").alias("e"),
+    )
+    den = e.agg(F.sum(F.expr("e * e")).alias("den"))
+    prev = e.select((F.col("t") + 1).alias("t"), F.col("e").alias("ep"))
+    num = (
+        e.join(prev, "t")
+        .agg(F.sum(F.expr("(e - ep) * (e - ep)")).alias("num"))
+    )
+    return (
+        nn.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(num))
+        .select(
+            F.col("n").alias("n_days"),
+            F.expr(
+                """CASE WHEN den > 0 THEN
+                     CAST(FLOOR(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                                * 1e6 + 0.5) AS BIGINT)
+                   END"""
+            ).alias("dw_e6"),
+        )
+    )
+
+
+@query(
+    "ljung_box_daily_revenue",
+    oracle="""
+    WITH days AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS di,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    nn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rev_c) AS BIGINT) AS s
+      FROM days
+    ),
+    rk AS (
+      SELECT rev_c, ROW_NUMBER() OVER (ORDER BY di) AS t FROM days
+    ),
+    e AS (
+      SELECT t, CAST(n * rev_c - s AS HUGEINT) AS e
+      FROM rk CROSS JOIN nn
+    ),
+    den AS (SELECT CAST(SUM(e * e) AS HUGEINT) AS den FROM e),
+    lag_c AS (
+      SELECT k.k, CAST(SUM(c.e * f.e) AS HUGEINT) AS ck
+      FROM generate_series(1, 7) k(k)
+      JOIN e c ON TRUE
+      JOIN e f ON f.t = c.t + k.k
+      GROUP BY k.k
+    ),
+    terms AS (
+      SELECT l.k,
+             CAST(FLOOR(
+               (CAST(l.ck AS DOUBLE) / CAST(d.den AS DOUBLE))
+               * (CAST(l.ck AS DOUBLE) / CAST(d.den AS DOUBLE))
+               / (n.n - l.k) * 1e9 + 0.5) AS BIGINT) AS term_e9
+      FROM lag_c l CROSS JOIN den d CROSS JOIN nn n
+      WHERE d.den > 0
+    )
+    SELECT nn.n AS n_days,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM terms) AS m_lags,
+           CASE WHEN dd.den > 0 AND nn.n > 1 THEN
+             CAST((nn.n * (nn.n + 2)
+                   * (SELECT COALESCE(SUM(term_e9), 0) FROM terms))
+                  // 1000 AS BIGINT)
+           END AS q_e6
+    FROM nn CROSS JOIN den dd
+    """,
+)
+def ljung_box_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test over the first 7 autocorrelation
+    lags of daily revenue — the whiteness test that decides whether a
+    residual series still carries structure (Durbin-Watson is lag 1
+    only; Ljung-Box pools a lag window). Determinism: residuals are
+    n-scaled exact integers, each lag's cross-product sum routes
+    through DECIMAL(38,0)/HUGEINT, each lag's r_k²/(n−k) term is one
+    identical double tree floored once to an e9 integer, and the
+    final Q = n(n+2)·Σterms is pure INTEGER arithmetic (the e9→e6
+    rescale is integer division) — no float summation across lags on
+    either engine. Scale: day-grain collapse first; the 7 lag joins
+    run on the calendar-bounded rank relation."""
+    from local_stream_stack_spark.operators.quantiles import (
+        with_global_rank,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    days = (
+        o.groupBy(
+            F.unix_date(F.col("o_orderdate").cast("date"))
+            .cast("bigint")
+            .alias("di")
+        )
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev_c")
+        )
+    )
+    nn = days.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("rev_c").cast("bigint").alias("s"),
+    )
+    rk = with_global_rank(days, "di", out_rank="t", bins=64)
+    e = rk.crossJoin(F.broadcast(nn)).select(
+        "t",
+        F.expr("CAST(n * rev_c - s AS DECIMAL(38,0))").alias("e"),
+    )
+    den = e.agg(F.sum(F.expr("e * e")).alias("den"))
+    ks = spark.range(1, 8).select(F.col("id").cast("bigint").alias("k"))
+    fwd = e.select(F.col("t").alias("tf"), F.col("e").alias("ef"))
+    lag_c = (
+        e.crossJoin(F.broadcast(ks))
+        .join(
+            F.broadcast(fwd),
+            F.col("tf") == F.col("t") + F.col("k"),
+        )
+        .groupBy("k")
+        .agg(F.sum(F.expr("e * ef")).alias("ck"))
+    )
+    terms = (
+        lag_c.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(nn))
+        .filter(F.col("den") > 0)
+        .select(
+            F.expr(
+                """CAST(FLOOR(
+                     (CAST(ck AS DOUBLE) / CAST(den AS DOUBLE))
+                     * (CAST(ck AS DOUBLE) / CAST(den AS DOUBLE))
+                     / (n - k) * 1e9 + 0.5) AS BIGINT)"""
+            ).alias("term_e9")
+        )
+    )
+    tsum = terms.agg(
+        F.count("*").cast("bigint").alias("m_lags"),
+        F.coalesce(F.sum("term_e9"), F.lit(0))
+        .cast("bigint")
+        .alias("sum_e9"),
+    )
+    return (
+        nn.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(tsum))
+        .select(
+            F.col("n").alias("n_days"),
+            "m_lags",
+            F.expr(
+                """CASE WHEN den > 0 AND n > 1 THEN
+                     CAST((n * (n + 2) * sum_e9) div 1000 AS BIGINT)
+                   END"""
+            ).alias("q_e6"),
+        )
+    )
+
+
+@query(
+    "cochran_q_daily",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS di,
+             c.c_mktsegment AS segment,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    kk AS (SELECT CAST(COUNT(DISTINCT segment) AS BIGINT) AS k FROM cells),
+    full_days AS (
+      SELECT di FROM cells CROSS JOIN kk GROUP BY di, k HAVING COUNT(*) = k
+    ),
+    fc AS (
+      SELECT c.di, c.segment, c.rev_c FROM cells c
+      JOIN full_days f ON c.di = f.di
+    ),
+    med AS (
+      SELECT di,
+             MIN(CASE WHEN cw >= (cnt_all + 1) // 2 THEN rev_c END)
+               + MIN(CASE WHEN cw >= cnt_all // 2 + 1 THEN rev_c END)
+               AS med2
+      FROM (
+        SELECT di, rev_c,
+               COUNT(*) OVER (PARTITION BY di ORDER BY rev_c, segment)
+                 AS cw,
+               COUNT(*) OVER (PARTITION BY di) AS cnt_all
+        FROM fc
+      ) t
+      GROUP BY di
+    ),
+    x AS (
+      SELECT f.di, f.segment,
+             CASE WHEN 2 * f.rev_c > m.med2 THEN 1 ELSE 0 END AS x
+      FROM fc f JOIN med m ON f.di = m.di
+    ),
+    cj AS (SELECT segment, CAST(SUM(x) AS BIGINT) AS cjs FROM x GROUP BY segment),
+    ri AS (SELECT di, CAST(SUM(x) AS BIGINT) AS ris FROM x GROUP BY di),
+    tot AS (
+      SELECT (SELECT CAST(SUM(cjs) AS BIGINT) FROM cj) AS nsucc,
+             (SELECT CAST(SUM(ris * ris) AS BIGINT) FROM ri) AS r2,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM full_days) AS b,
+             (SELECT k FROM kk) AS k
+    )
+    SELECT t.b AS n_blocks, t.k AS k_groups,
+           t.nsucc AS n_success,
+           CASE WHEN t.k * t.nsucc - t.r2 > 0 THEN
+             CAST(FLOOR(
+               CAST((t.k - 1)
+                    * (SELECT SUM((t.k * cjs - t.nsucc)
+                                  * (t.k * cjs - t.nsucc)) FROM cj)
+                    AS DOUBLE)
+               / CAST(t.k * (t.k * t.nsucc - t.r2) AS DOUBLE)
+               * 1e6 + 0.5) AS BIGINT)
+           END AS q_e6
+    FROM tot t
+    """,
+)
+def cochran_q_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test over the day-blocked binary outcome "did the
+    segment beat that day's median revenue" — the k-related-samples
+    test for BINARY responses (Friedman handles ordinal ranks; Q is
+    its dichotomous sibling, the standard A/B/n daily-winner audit).
+    Complete blocks only; the per-day doubled median is exact integer
+    arithmetic over the k-row block; C_j/R_i/N are integer totals and
+    Q = (k−1)·Σ(kC_j − N)² / (k(kN − ΣR_i²)) is one double division
+    over two exact integers, rounded once to e6. Scale: one broadcast
+    dim join + hash aggregate to the (day, segment) grid; every
+    window partition is exactly k rows."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.unix_date(F.col("o_orderdate").cast("date"))
+            .cast("bigint")
+            .alias("di"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev_c")
+        )
+    )
+    kk = cells.agg(F.countDistinct("segment").cast("bigint").alias("k"))
+    full_days = (
+        cells.crossJoin(F.broadcast(kk))
+        .groupBy("di", "k")
+        .agg(F.count("*").alias("__cnt"))
+        .filter(F.col("__cnt") == F.col("k"))
+        .select("di")
+    )
+    fc = cells.join(full_days, "di")
+    wcw = Window.partitionBy("di").orderBy("rev_c", "segment")
+    wall = Window.partitionBy("di")
+    med = (
+        fc.withColumn("cw", F.count("*").over(wcw))
+        .withColumn("cnt_all", F.count("*").over(wall))
+        .groupBy("di")
+        .agg(
+            (
+                F.min(
+                    F.expr(
+                        "CASE WHEN cw >= (cnt_all + 1) div 2"
+                        " THEN rev_c END"
+                    )
+                )
+                + F.min(
+                    F.expr(
+                        "CASE WHEN cw >= cnt_all div 2 + 1"
+                        " THEN rev_c END"
+                    )
+                )
+            ).alias("med2")
+        )
+    )
+    x = fc.join(med, "di").select(
+        "di",
+        "segment",
+        F.expr("CASE WHEN 2 * rev_c > med2 THEN 1 ELSE 0 END").alias("x"),
+    )
+    cj = x.groupBy("segment").agg(F.sum("x").cast("bigint").alias("cjs"))
+    ri = x.groupBy("di").agg(F.sum("x").cast("bigint").alias("ris"))
+    tot = (
+        cj.agg(F.sum("cjs").cast("bigint").alias("nsucc"))
+        .crossJoin(
+            F.broadcast(
+                ri.agg(
+                    F.sum(F.expr("ris * ris")).cast("bigint").alias("r2")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                full_days.agg(F.count("*").cast("bigint").alias("b"))
+            )
+        )
+        .crossJoin(F.broadcast(kk))
+    )
+    num = (
+        cj.crossJoin(F.broadcast(tot.select("nsucc", "k")))
+        .agg(
+            F.sum(
+                F.expr("(k * cjs - nsucc) * (k * cjs - nsucc)")
+            )
+            .cast("bigint")
+            .alias("num")
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(num))
+        .select(
+            F.col("b").alias("n_blocks"),
+            F.col("k").alias("k_groups"),
+            F.col("nsucc").alias("n_success"),
+            F.expr(
+                """CASE WHEN k * nsucc - r2 > 0 THEN
+                     CAST(FLOOR(
+                       CAST((k - 1) * num AS DOUBLE)
+                       / CAST(k * (k * nsucc - r2) AS DOUBLE)
+                       * 1e6 + 0.5) AS BIGINT)
+                   END"""
+            ).alias("q_e6"),
+        )
+    )
+
+
+@query(
+    "page_trend_test_segments",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS di,
+             c.c_mktsegment AS segment,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    kk AS (SELECT CAST(COUNT(DISTINCT segment) AS BIGINT) AS k FROM cells),
+    full_days AS (
+      SELECT di FROM cells CROSS JOIN kk GROUP BY di, k HAVING COUNT(*) = k
+    ),
+    r AS (
+      SELECT c.di, c.segment,
+             CAST(2 * RANK() OVER (PARTITION BY c.di ORDER BY c.rev_c)
+                  + COUNT(*) OVER (PARTITION BY c.di, c.rev_c) - 1
+                  AS BIGINT) AS r2
+      FROM cells c JOIN full_days f ON c.di = f.di
+    ),
+    rs AS (
+      SELECT segment, CAST(SUM(r2) AS BIGINT) AS rank2_sum
+      FROM r GROUP BY segment
+    ),
+    w AS (
+      SELECT a.segment, a.rank2_sum,
+             CAST((SELECT COUNT(*) FROM rs b WHERE b.segment <= a.segment)
+                  AS BIGINT) AS j
+      FROM rs a
+    ),
+    tot AS (
+      SELECT CAST(SUM(j * rank2_sum) AS BIGINT) AS l2,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM full_days) AS b,
+             (SELECT k FROM kk) AS k
+      FROM w
+    )
+    SELECT b AS n_blocks, k AS k_groups, l2 AS l2_stat,
+           CASE WHEN k > 1 AND b > 0 THEN
+             CAST(FLOOR(
+               (l2 - CAST(b * k * (k + 1) * (k + 1) // 2 AS DOUBLE))
+               / (2.0 * SQRT(b * CAST(k AS DOUBLE) * k * (k + 1)
+                             * (k * k - 1) / 144.0))
+               * 1e6 + 0.5) AS BIGINT)
+           END AS z_e6
+    FROM tot
+    """,
+)
+def page_trend_test_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L trend test over the Friedman rank table — the ORDERED
+    alternative to Friedman (Friedman asks "do the k segments differ
+    at all"; Page asks "do they trend in a predicted order", here the
+    alphabetical segment order as the fixed reference ordering).
+    Reuses the doubled within-block tie-average ranks; L2 = Σ j·R2_j
+    is an exact integer (twice Page's L), the null mean b·k(k+1)²/2
+    is exact integer arithmetic (k(k+1)² is always even), and z is
+    one double tree with a single sqrt rounded once to e6. The
+    alphabetical weight j comes from a k²-row self-join count, not an
+    unpartitioned window. Scale: identical profile to
+    `friedman_test_segments`."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.unix_date(F.col("o_orderdate").cast("date"))
+            .cast("bigint")
+            .alias("di"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev_c")
+        )
+    )
+    kk = cells.agg(F.countDistinct("segment").cast("bigint").alias("k"))
+    full_days = (
+        cells.crossJoin(F.broadcast(kk))
+        .groupBy("di", "k")
+        .agg(F.count("*").alias("__cnt"))
+        .filter(F.col("__cnt") == F.col("k"))
+        .select("di")
+    )
+    wd = Window.partitionBy("di").orderBy("rev_c")
+    we = Window.partitionBy("di", "rev_c")
+    r = cells.join(full_days, "di").select(
+        "segment",
+        (2 * F.rank().over(wd) + F.count("*").over(we) - 1)
+        .cast("bigint")
+        .alias("r2"),
+    )
+    rs = r.groupBy("segment").agg(
+        F.sum("r2").cast("bigint").alias("rank2_sum")
+    )
+    other = rs.select(F.col("segment").alias("seg_b"))
+    w = (
+        rs.join(
+            F.broadcast(other),
+            F.col("seg_b") <= F.col("segment"),
+        )
+        .groupBy("segment", "rank2_sum")
+        .agg(F.count("*").cast("bigint").alias("j"))
+    )
+    tot = (
+        w.agg(
+            F.sum(F.expr("j * rank2_sum")).cast("bigint").alias("l2")
+        )
+        .crossJoin(
+            F.broadcast(
+                full_days.agg(F.count("*").cast("bigint").alias("b"))
+            )
+        )
+        .crossJoin(F.broadcast(kk))
+    )
+    return tot.select(
+        F.col("b").alias("n_blocks"),
+        F.col("k").alias("k_groups"),
+        F.col("l2").alias("l2_stat"),
+        F.expr(
+            """CASE WHEN k > 1 AND b > 0 THEN
+                 CAST(FLOOR(
+                   (l2 - CAST(b * k * (k + 1) * (k + 1) div 2 AS DOUBLE))
+                   / (2.0 * SQRT(b * CAST(k AS DOUBLE) * k * (k + 1)
+                                 * (k * k - 1) / 144.0))
+                   * 1e6 + 0.5) AS BIGINT)
+               END"""
+        ).alias("z_e6"),
+    )

@@ -1963,6 +1963,94 @@ def stream_aggregate_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_aggregate_view_compacted",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def stream_aggregate_view_compacted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Additive-aggregate view maintenance ACROSS a generation fold:
+    two epochs of per-user deltas, ``compact_aggregate_view`` (now on
+    the Hadoop-FS generation machinery — the pre-round-11 compactor
+    walked the local filesystem and could not fold an HDFS/S3 store),
+    a third epoch folded ON TOP of the generation on the resumed
+    checkpoint, and the final read (generation + live delta) must
+    equal the batch aggregate — same oracle as
+    `stream_aggregate_view`. Integer cents keep the sums
+    accumulation-order-exact."""
+    from local_stream_stack_spark.catalog import load_table
+    from local_stream_stack_spark.streaming.ops import (
+        aggregate_view_stream_parquet,
+        compact_aggregate_view,
+        read_aggregate_view,
+    )
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    base = ephemeral_dir(prefix="stream-e2e-ivmc-")
+    in_dir = os.path.join(base, "in")
+    target = os.path.join(base, "view")
+    cp = os.path.join(base, "cp")
+
+    def run():
+        q = aggregate_view_stream_parquet(
+            spark.readStream.schema(
+                "event_id bigint, user_id bigint, cents bigint"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+            .select("user_id", "cents"),
+            keys=["user_id"],
+            sum_cols=["cents"],
+            target_path=target,
+            checkpoint_location=cp,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _stage_ordered(
+        in_dir,
+        lambda: ev.filter(F.col("event_id") % 3 == 0)
+        .coalesce(1)
+        .write.parquet(in_dir),
+        lambda: ev.filter(F.col("event_id") % 3 == 1)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(in_dir),
+    )
+    run()
+    compact_aggregate_view(spark, target)
+    _stage_ordered(
+        in_dir,
+        lambda: None,
+        lambda: ev.filter(F.col("event_id") % 3 == 2)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(in_dir),
+    )
+    run()
+    return (
+        read_aggregate_view(spark, target)
+        .select("user_id", "n_rows", F.col("sum_cents").cast("bigint"))
+        .orderBy("user_id")
+    )
+
+
+@query(
     "pyds_stream_agg",
     oracle="""
     SELECT CAST(g % 10 AS INT) AS bucket,

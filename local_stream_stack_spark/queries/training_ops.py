@@ -3853,3 +3853,129 @@ def customer_jaccard_similarity(
         .orderBy(F.desc("jaccard_e6"), F.asc("cust_a"), F.asc("cust_b"))
         .limit(20)
     )
+
+
+@query(
+    "clustering_coefficient_nodes",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_orderkey < 2000
+    ),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+      SELECT e1.s AS x, e1.d AS y, e2.d AS z
+      FROM edges e1
+      JOIN edges e2 ON e1.d = e2.s
+      JOIN edges e3 ON e1.s = e3.s AND e2.d = e3.d
+    ),
+    tri_nodes AS (
+      SELECT x AS v FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    ),
+    tcnt AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS n_tri
+      FROM tri_nodes GROUP BY v
+    ),
+    deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (
+        SELECT s AS v FROM edges UNION ALL SELECT d FROM edges
+      ) t GROUP BY v
+    )
+    SELECT d.v AS part, d.degree,
+           COALESCE(t.n_tri, 0) AS n_tri,
+           CAST((2 * COALESCE(t.n_tri, 0) * 1000000)
+                // (d.degree * (d.degree - 1)) AS BIGINT) AS cc_e6
+    FROM deg d LEFT JOIN tcnt t ON t.v = d.v
+    WHERE d.degree > 1
+    ORDER BY cc_e6 DESC, part
+    LIMIT 20
+    """,
+)
+def clustering_coefficient_nodes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-node local clustering coefficient on the co-purchase graph
+    — the node-level refinement of `triangle_count` (the global count
+    says how clustered the graph is; the per-node coefficient
+    2T_v/(deg_v(deg_v−1)) finds WHICH parts sit in dense communities,
+    the feature a graph-aware sampler weights by). Triangles come
+    from the same oriented two-hop + closing-edge join and explode to
+    their three member nodes (each triangle counted once per node);
+    degrees come from the undirected incidence union; the coefficient
+    is pure integer arithmetic (truncating e6 division — both engines
+    floor non-negative division identically). Scale: identical join
+    profile to `triangle_count` — equi-joins only, bounded per-order
+    fan-out; the top-k is TakeOrderedAndProject."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 2000)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d")
+        )
+        .distinct()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.d") == F.col("e2.s"))
+        .join(
+            e3,
+            (F.col("e1.s") == F.col("e3.s"))
+            & (F.col("e2.d") == F.col("e3.d")),
+        )
+        .select(
+            F.col("e1.s").alias("x"),
+            F.col("e1.d").alias("y"),
+            F.col("e2.d").alias("z"),
+        )
+    )
+    tri_nodes = (
+        tri.select(F.col("x").alias("v"))
+        .unionAll(tri.select(F.col("y").alias("v")))
+        .unionAll(tri.select(F.col("z").alias("v")))
+    )
+    tcnt = tri_nodes.groupBy("v").agg(
+        F.count("*").cast("bigint").alias("n_tri")
+    )
+    deg = (
+        edges.select(F.col("s").alias("v"))
+        .unionAll(edges.select(F.col("d").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    return (
+        deg.join(tcnt, "v", "left")
+        .filter(F.col("degree") > 1)
+        .select(
+            F.col("v").alias("part"),
+            "degree",
+            F.coalesce(F.col("n_tri"), F.lit(0))
+            .cast("bigint")
+            .alias("n_tri"),
+            F.expr(
+                "CAST((2 * COALESCE(n_tri, 0) * 1000000)"
+                " div (degree * (degree - 1)) AS BIGINT)"
+            ).alias("cc_e6"),
+        )
+        .orderBy(F.desc("cc_e6"), F.asc("part"))
+        .limit(20)
+    )

@@ -485,10 +485,14 @@ def aggregate_view_stream_parquet(
 
 def read_aggregate_view(spark, target_path: str) -> DataFrame:
     """Current totals of an ``aggregate_view_stream_parquet`` view:
-    sum of all epoch deltas per key (additivity makes the fold exact)."""
-    deltas = spark.read.option("basePath", target_path).parquet(
-        f"{target_path}/__epoch=*"
-    )
+    sum of the compacted base generation (if any) plus all live epoch
+    deltas per key (additivity makes the fold exact whatever mix of
+    generation and epochs is on disk)."""
+    from local_stream_stack_spark.streaming import compaction
+
+    deltas = compaction.read_family(spark, target_path, "")
+    if deltas is None:
+        raise FileNotFoundError(f"empty aggregate view at {target_path}")
     value_cols = [c for c in deltas.columns if c.startswith("sum_") or c == "n_rows"]
     key_cols = [c for c in deltas.columns if c not in value_cols and c != "__epoch"]
     return deltas.groupBy(*key_cols).agg(
@@ -496,22 +500,35 @@ def read_aggregate_view(spark, target_path: str) -> DataFrame:
     )
 
 
-def compact_aggregate_view(spark, target_path: str) -> None:
-    """Fold all epoch deltas into a single base delta (epoch -1): read
-    totals, write them as one epoch dir, remove the rest. Run
-    periodically so read-side fan-in stays bounded; the fold is safe
-    because the totals are themselves an additive delta."""
-    import shutil
+def compact_aggregate_view(spark, target_path: str) -> int:
+    """Fold all epoch deltas into one base GENERATION (additive
+    group-sum re-merge), committed atomically through the generation
+    manifest — Hadoop FS API end to end, so the fold works on any
+    supported scheme (the pre-round-11 version walked the local
+    filesystem with os.listdir/shutil and silently could not compact
+    an HDFS/S3 store). Run periodically so read-side fan-in stays
+    bounded; the fold is safe because the totals are themselves an
+    additive delta. Returns the new generation id."""
+    from local_stream_stack_spark.streaming import compaction
 
-    totals = read_aggregate_view(spark, target_path)
-    tmp = f"{target_path}/__compact_tmp"
-    totals.coalesce(1).write.mode("overwrite").parquet(tmp)
-    import os
+    probe = compaction.read_family(spark, target_path, "")
+    if probe is None:
+        raise FileNotFoundError(f"empty aggregate view at {target_path}")
+    value_cols = [
+        c for c in probe.columns if c.startswith("sum_") or c == "n_rows"
+    ]
+    key_cols = [
+        c for c in probe.columns if c not in value_cols and c != "__epoch"
+    ]
 
-    for d in os.listdir(target_path):
-        if d.startswith("__epoch="):
-            shutil.rmtree(os.path.join(target_path, d), ignore_errors=True)
-    os.rename(tmp, f"{target_path}/__epoch=-1")
+    def fold(df: DataFrame) -> DataFrame:
+        return df.groupBy(*key_cols).agg(
+            *[F.sum(c).alias(c) for c in value_cols]
+        )
+
+    return compaction.compact_store(
+        spark, target_path, {"": {"fold": fold}}
+    )
 
 
 def read_compacted_view(spark, target_path: str) -> DataFrame:

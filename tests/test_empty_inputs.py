@@ -199,6 +199,17 @@ REPRESENTATIVE = [
     "stream_bm25_compacted",     # maintained index + generation fold
     "stream_ingest_dedup_compacted",  # dedup store survives the fold
     "stream_join_enriched_incremental",  # two-sided join delta view
+    "stream_aggregate_view_compacted",  # additive view across the fold
+    "mann_kendall_trend_daily",  # pairwise trend + Sen slope (NULL row)
+    "durbin_watson_daily_revenue",  # adjacent-residual ratio (NULL row)
+    "ljung_box_daily_revenue",   # lag-window portmanteau (NULL row)
+    "cochran_q_daily",           # binary blocked test (NULL row)
+    "page_trend_test_segments",  # ordered Friedman (0 rows empty)
+    "bloom_filter_fp_audit",     # portable bloom build + probe
+    "tfidf_cosine_topk",         # vector-space retrieval top-20
+    "clustering_coefficient_nodes",  # per-node triangle density
+    "multimodal_tga_decode",     # real TGA codec mapInPandas
+    "multimodal_pcx_decode",     # real PCX codec mapInPandas
 ]
 
 
@@ -241,6 +252,12 @@ EXPECT_SUMMARY_ROWS = {
     "runs_test_daily_revenue": 1,  # single stats row (NULL z)
     "cohens_d_urgent_price": 1,  # single stats row (NULL d)
     "cramers_v_lang_source": 1,  # single stats row (NULL V)
+    "mann_kendall_trend_daily": 1,   # single stats row (NULL z/slope)
+    "durbin_watson_daily_revenue": 1,  # single stats row (NULL dw)
+    "ljung_box_daily_revenue": 1,    # single stats row (NULL q)
+    "cochran_q_daily": 1,            # single stats row (NULL q)
+    "page_trend_test_segments": 1,   # single stats row (NULL z)
+    "bloom_filter_fp_audit": 1,      # single audit row (0 members)
 }
 
 

@@ -505,10 +505,13 @@ def test_aggregate_view_stream_parquet_ivm(spark, tmpdir):
     }
     assert got == {(1, 2, 600), (2, 1, 200)}
 
-    compact_aggregate_view(spark, target)
+    gen = compact_aggregate_view(spark, target)
     import glob
+    import os as _os
 
-    assert glob.glob(f"{target}/__epoch=*") == [f"{target}/__epoch=-1"]
+    # epoch dirs folded away into a committed generation
+    assert glob.glob(f"{target}/__epoch=*") == []
+    assert _os.path.isdir(f"{target}/__gen={gen}")
     got = {
         (r.user_id, r.n_rows, r.sum_cents)
         for r in read_aggregate_view(spark, target).collect()
