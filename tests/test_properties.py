@@ -1333,3 +1333,276 @@ def test_cramers_v_matches_python_reference(
     assert row.chi2_e6 == chi2_e6, (data, row.chi2_e6, chi2_e6)
     assert row.v_e6 == v, (data, row.v_e6, v)
     assert row.v_corrected_e6 == vc, (data, row.v_corrected_e6, vc)
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 10), st.integers(1, 10_000_000)),
+        min_size=1,
+        max_size=30,
+    ),
+)
+def test_mann_kendall_matches_python_reference(
+    spark, tmp_path_factory, data
+):
+    """mann_kendall_trend_daily == the python definition: pairwise
+    sign counts, tie-corrected 18·Var(S), continuity-corrected z
+    (one double tree), Sen slope as the doubled median of per-pair
+    e6-floored slopes."""
+    import datetime
+
+    import pandas as pd
+
+    base = datetime.date(1995, 1, 1)
+    pdf_o = pd.DataFrame(
+        {
+            "o_orderdate": pd.to_datetime(
+                [base + datetime.timedelta(days=d) for d, _ in data]
+            ).astype("datetime64[us]"),
+            "o_totalprice": [c / 100.0 for _, c in data],
+        }
+    )
+    d = tmp_path_factory.mktemp("mk")
+    pdf_o.to_parquet(d / "orders.parquet")
+
+    from local_stream_stack_spark.queries.relational_ext import (
+        mann_kendall_trend_daily,
+    )
+
+    row = mann_kendall_trend_daily(spark, str(d)).collect()[0]
+
+    days: dict[int, int] = {}
+    for day, c in data:
+        days[day] = days.get(day, 0) + c
+    seq = [days[k] for k in sorted(days)]
+    dis = sorted(days)
+    n = len(seq)
+    nc = nd = 0
+    slopes = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = seq[j] - seq[i]
+            if dx > 0:
+                nc += 1
+            elif dx < 0:
+                nd += 1
+            slopes.append(
+                math.floor(1e6 * float(dx) / (dis[j] - dis[i]))
+            )
+    s = nc - nd
+    from collections import Counter
+
+    ties = sum(
+        t * (t - 1) * (2 * t + 5) for t in Counter(seq).values()
+    )
+    var18 = n * (n - 1) * (2 * n + 5) - ties
+    z = None
+    if var18 > 0:
+        num = s - 1.0 if s > 0 else (s + 1.0 if s < 0 else 0.0)
+        z = math.floor(
+            num / math.sqrt(
+                (n * (n - 1.0) * (2 * n + 5) - ties) / 18.0
+            )
+            * 1e6
+            + 0.5
+        )
+    slopes.sort()
+    m = len(slopes)
+    sen2 = (
+        slopes[(m + 1) // 2 - 1] + slopes[m // 2] if m else None
+    )
+    assert row.n_days == n
+    # no pairs (n == 1) -> the sign-count aggregates are NULL
+    assert row.s_stat == (s if m else None), (data, row.s_stat, s)
+    assert row.var18 == var18
+    assert row.z_e6 == z, (data, row.z_e6, z)
+    assert row.sen_slope2_e6 == sen2, (data, row.sen_slope2_e6, sen2)
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(1, 10_000_000)),
+        min_size=1,
+        max_size=30,
+    ),
+)
+def test_durbin_watson_and_ljung_box_match_python(
+    spark, tmp_path_factory, data
+):
+    """durbin_watson_daily_revenue and ljung_box_daily_revenue == the
+    sequential python definitions over the same day-grain series:
+    n-scaled integer residuals, exact integer square/cross sums, and
+    the identical double trees (DW one division; LB per-lag e9 floor
+    then pure-integer Q)."""
+    import datetime
+
+    import pandas as pd
+
+    base = datetime.date(1995, 1, 1)
+    pdf_o = pd.DataFrame(
+        {
+            "o_orderdate": pd.to_datetime(
+                [base + datetime.timedelta(days=d) for d, _ in data]
+            ).astype("datetime64[us]"),
+            "o_totalprice": [c / 100.0 for _, c in data],
+        }
+    )
+    d = tmp_path_factory.mktemp("dwlb")
+    pdf_o.to_parquet(d / "orders.parquet")
+
+    from local_stream_stack_spark.queries.relational_ext import (
+        durbin_watson_daily_revenue,
+        ljung_box_daily_revenue,
+    )
+
+    dw_row = durbin_watson_daily_revenue(spark, str(d)).collect()[0]
+    lb_row = ljung_box_daily_revenue(spark, str(d)).collect()[0]
+
+    days: dict[int, int] = {}
+    for day, c in data:
+        days[day] = days.get(day, 0) + c
+    seq = [days[k] for k in sorted(days)]
+    n = len(seq)
+    s = sum(seq)
+    e = [n * x - s for x in seq]
+    den = sum(v * v for v in e)
+    num = sum((e[t] - e[t - 1]) ** 2 for t in range(1, n))
+    dw = (
+        math.floor(float(num) / float(den) * 1e6 + 0.5)
+        if den > 0
+        else None
+    )
+    assert dw_row.n_days == n and dw_row.dw_e6 == dw, (data, dw_row, dw)
+
+    sum_e9 = 0
+    m_lags = 0
+    if den > 0:
+        for k in range(1, 8):
+            if n - k <= 0:
+                continue
+            pairs = [(e[t], e[t + k]) for t in range(n - k)]
+            if not pairs:
+                continue
+            m_lags += 1
+            ck = sum(a * b for a, b in pairs)
+            r = float(ck) / float(den)
+            sum_e9 += math.floor(r * r / (n - k) * 1e9 + 0.5)
+    q = None
+    if den > 0 and n > 1:
+        q = (n * (n + 2) * sum_e9) // 1000
+    assert lb_row.n_days == n
+    assert lb_row.m_lags == (m_lags if den > 0 else 0)
+    assert lb_row.q_e6 == q, (data, lb_row.q_e6, q)
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from(["AUTOMOBILE", "BUILDING", "MACHINERY"]),
+            st.integers(0, 5),
+            st.integers(1, 10_000_000),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_cochran_q_and_page_trend_match_python(
+    spark, tmp_path_factory, data
+):
+    """cochran_q_daily and page_trend_test_segments == sequential
+    python over the same complete-block table: day doubled medians,
+    binary winners, all-integer Q; doubled ranks, alphabetical
+    weights, integer L2 and the one-double-tree z."""
+    import datetime
+
+    import pandas as pd
+
+    segs3 = ["AUTOMOBILE", "BUILDING", "MACHINERY"]
+    base = datetime.date(1995, 1, 1)
+    pdf_o = pd.DataFrame(
+        {
+            "o_custkey": [segs3.index(s) for s, _, _ in data],
+            "o_orderdate": pd.to_datetime(
+                [base + datetime.timedelta(days=dd) for _, dd, _ in data]
+            ).astype("datetime64[us]"),
+            "o_totalprice": [c / 100.0 for _, _, c in data],
+        }
+    )
+    pdf_c = pd.DataFrame(
+        {"c_custkey": [0, 1, 2], "c_mktsegment": segs3}
+    )
+    d = tmp_path_factory.mktemp("cqpt")
+    pdf_o.to_parquet(d / "orders.parquet")
+    pdf_c.to_parquet(d / "customer.parquet")
+
+    from local_stream_stack_spark.queries.relational_ext import (
+        cochran_q_daily,
+        page_trend_test_segments,
+    )
+
+    cq = cochran_q_daily(spark, str(d)).collect()[0]
+    pt = page_trend_test_segments(spark, str(d)).collect()[0]
+
+    cells: dict[tuple[int, str], int] = {}
+    for s, dd, c in data:
+        cells[(dd, s)] = cells.get((dd, s), 0) + c
+    segs = sorted({s for _, s in cells})
+    k = len(segs)
+    by_day: dict[int, dict[str, int]] = {}
+    for (dd, s), rev in cells.items():
+        by_day.setdefault(dd, {})[s] = rev
+    full = {dd: m for dd, m in by_day.items() if len(m) == k}
+    b = len(full)
+
+    # Cochran Q over "beat the day's doubled median"
+    cj = {s: 0 for s in segs}
+    ris = []
+    for m in full.values():
+        sv = sorted(m.values())
+        med2 = sv[(k + 1) // 2 - 1] + sv[k // 2]
+        ri = 0
+        for s, v in m.items():
+            x = 1 if 2 * v > med2 else 0
+            cj[s] += x
+            ri += x
+        ris.append(ri)
+    nsucc = sum(cj.values())
+    r2 = sum(r * r for r in ris)
+    q = None
+    if full and k * nsucc - r2 > 0:
+        num = (k - 1) * sum((k * cj[s] - nsucc) ** 2 for s in segs)
+        q = math.floor(
+            float(num) / float(k * (k * nsucc - r2)) * 1e6 + 0.5
+        )
+    assert cq.n_blocks == b and cq.k_groups == k
+    assert cq.n_success == (nsucc if full else None)
+    assert cq.q_e6 == q, (data, cq.q_e6, q)
+
+    # Page trend over the doubled rank sums, alphabetical weights
+    r2sum = {s: 0 for s in segs}
+    for m in full.values():
+        vals = sorted(m.values())
+        for s, v in m.items():
+            rank = 1 + sum(1 for w in vals if w < v)
+            ties = sum(1 for w in vals if w == v)
+            r2sum[s] += 2 * rank + ties - 1
+    l2 = sum((i + 1) * r2sum[s] for i, s in enumerate(segs))
+    z = None
+    if k > 1 and b > 0:
+        z = math.floor(
+            (l2 - float(b * k * (k + 1) * (k + 1) // 2))
+            / (
+                2.0
+                * math.sqrt(
+                    b * float(k) * k * (k + 1) * (k * k - 1) / 144.0
+                )
+            )
+            * 1e6
+            + 0.5
+        )
+    assert pt.n_blocks == b and pt.k_groups == k
+    assert pt.l2_stat == (l2 if full else None)
+    assert pt.z_e6 == z, (data, pt.z_e6, z)
