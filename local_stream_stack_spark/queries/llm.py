@@ -8999,3 +8999,251 @@ def tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine_e6"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+@query(
+    "pl2_topk_docs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents
+    ),
+    doclen AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avglen
+      FROM doclen
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, tok
+    ),
+    cf AS (
+      SELECT tok,
+             CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(tf) AS BIGINT) AS coll_tf
+      FROM tf GROUP BY tok
+    ),
+    qterms AS (
+      SELECT tok, df, coll_tf FROM cf ORDER BY df DESC, tok LIMIT 3
+    ),
+    contrib AS (
+      SELECT t.doc_id,
+             CAST(FLOOR(
+               (1.0 / ((t.tf * ln(1.0 + s.avglen / dl.len)
+                        * 1.4426950408889634) + 1.0))
+               * ((t.tf * ln(1.0 + s.avglen / dl.len)
+                   * 1.4426950408889634)
+                  * (ln((t.tf * ln(1.0 + s.avglen / dl.len)
+                         * 1.4426950408889634)
+                        / (CAST(q.coll_tf AS DOUBLE) / s.n_docs))
+                     * 1.4426950408889634)
+                  + ((CAST(q.coll_tf AS DOUBLE) / s.n_docs)
+                     - (t.tf * ln(1.0 + s.avglen / dl.len)
+                        * 1.4426950408889634))
+                    * 1.4426950408889634
+                  + 0.5 * (ln(6.283185307179586
+                              * (t.tf * ln(1.0 + s.avglen / dl.len)
+                                 * 1.4426950408889634))
+                           * 1.4426950408889634))
+               * 1e6 + 0.5) AS BIGINT) AS c_e6
+      FROM tf t
+      JOIN qterms q ON q.tok = t.tok
+      JOIN doclen dl ON dl.doc_id = t.doc_id
+      CROSS JOIN stats s
+    ),
+    scored AS (
+      SELECT doc_id, CAST(SUM(c_e6) AS BIGINT) AS pl2_e6
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, pl2_e6
+    FROM scored
+    ORDER BY pl2_e6 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def pl2_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PL2 divergence-from-randomness ranking — the fourth member of
+    the lexical retrieval family (BM25 = probabilistic saturation,
+    QLD = Dirichlet language model, tf-idf = vector space; PL2 is the
+    DFR model Terrier ships as its default: Poisson randomness model,
+    Laplace after-effect, H2 length normalization with c=1). Each
+    (doc, term) contribution — tfn = tf·log2(1 + avgdl/dl), score =
+    (tfn·log2(tfn/λ) + (λ−tfn)·log2(e) + ½·log2(2π·tfn)) / (tfn+1)
+    with λ = coll_tf/N — is ONE double expression tree (log2 expanded
+    as ln·1/ln2 so both engines evaluate the identical ln-based tree)
+    floored once to an e6 integer; per-doc scores are exact integer
+    sums. Scale: same profile as `bm25_topk_docs` — one tokenize
+    pass, broadcast 3-term probe, TakeOrderedAndProject."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("tok"),
+    )
+    doclen = tok.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("len")
+    )
+    stats = doclen.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.sum("len").cast("double") / F.count("*")).alias("avglen"),
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    cf = tf.groupBy("tok").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("coll_tf"),
+    )
+    qterms = cf.orderBy(F.desc("df"), F.asc("tok")).limit(3)
+    contrib = (
+        tf.join(F.broadcast(qterms.select("tok", "coll_tf")), "tok")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(
+                """CAST(FLOOR(
+                     (1.0 / ((tf * ln(1.0 + avglen / len)
+                              * 1.4426950408889634) + 1.0))
+                     * ((tf * ln(1.0 + avglen / len)
+                         * 1.4426950408889634)
+                        * (ln((tf * ln(1.0 + avglen / len)
+                               * 1.4426950408889634)
+                              / (CAST(coll_tf AS DOUBLE) / n_docs))
+                           * 1.4426950408889634)
+                        + ((CAST(coll_tf AS DOUBLE) / n_docs)
+                           - (tf * ln(1.0 + avglen / len)
+                              * 1.4426950408889634))
+                          * 1.4426950408889634
+                        + 0.5 * (ln(6.283185307179586
+                                    * (tf * ln(1.0 + avglen / len)
+                                       * 1.4426950408889634))
+                                 * 1.4426950408889634))
+                     * 1e6 + 0.5) AS BIGINT)"""
+            ).alias("c_e6"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("c_e6").cast("bigint").alias("pl2_e6"))
+        .orderBy(F.desc("pl2_e6"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@query(
+    "multimodal_midi_decode",
+    oracle="""
+    WITH t1 AS (
+      SELECT d.doc_id,
+             (d.doc_id * 7 + 5 * i.i) % 128 AS pitch,
+             (d.doc_id + 11 * i.i) % 127 + 1 AS vel
+      FROM documents d, generate_series(0, 7) i(i)
+      WHERE i.i < 3 + d.doc_id % 5
+    ),
+    t2 AS (
+      SELECT d.doc_id,
+             (d.doc_id * 3 + 9 * i.i) % 128 AS pitch,
+             (d.doc_id * 5 + i.i) % 127 + 1 AS vel
+      FROM documents d, generate_series(0, 4) i(i)
+      WHERE i.i < 2 + d.doc_id % 3
+    ),
+    notes AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2),
+    per AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_notes,
+             CAST(SUM(pitch) AS BIGINT) AS pitch_sum,
+             CAST(SUM(vel) AS BIGINT) AS velocity_sum
+      FROM notes GROUP BY doc_id
+    ),
+    dims AS (
+      SELECT doc_id,
+             3 + doc_id % 5 AS n1,
+             2 + doc_id % 3 AS n2
+      FROM documents
+    )
+    SELECT p.doc_id,
+           CAST(3 AS INT) AS n_tracks,
+           p.n_notes, p.pitch_sum, p.velocity_sum,
+           CAST(GREATEST(30 * d.n1 + d.n1 * (d.n1 - 1),
+                         35 * d.n2 + 3 * d.n2 * (d.n2 - 1) // 2)
+                AS BIGINT) AS ticks_max
+    FROM per p JOIN dims d ON d.doc_id = p.doc_id
+    ORDER BY p.doc_id
+    """,
+)
+def multimodal_midi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-bytes Standard-MIDI-File decode end to end: per doc a
+    format-1 SMF (conductor tempo track + two note tracks with
+    doc-varying note counts) is encoded WITH running status and
+    vel-0 note-offs and decoded through the full parser
+    (``operators/midi.py`` — VLQ deltas, running status, meta/SysEx
+    framing, end-of-track enforcement; hand-assembled-stream-pinned
+    in tests/test_midi.py) inside one Arrow-batched mapInPandas pass.
+    The event stream is lossless symbolic data, so the oracle
+    recomputes note counts, pitch/velocity sums, and the per-track
+    tick totals purely arithmetically — a defect in VLQ decoding,
+    running-status reuse, or the vel-0-is-off rule breaks the sums.
+    This closes the symbolic-audio modality next to WAV's PCM one."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def run(batches):
+        import pandas as pd
+
+        from local_stream_stack_spark.operators.midi import (
+            decode_midi,
+            encode_midi,
+        )
+
+        cols = [
+            "doc_id", "n_tracks", "n_notes",
+            "pitch_sum", "velocity_sum", "ticks_max",
+        ]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n1, n2 = 3 + did % 5, 2 + did % 3
+                tr1 = [
+                    (
+                        10 + i,
+                        (did * 7 + 5 * i) % 128,
+                        (did + 11 * i) % 127 + 1,
+                        20 + (i % 7),
+                    )
+                    for i in range(n1)
+                ]
+                tr2 = [
+                    (
+                        5 + 2 * i,
+                        (did * 3 + 9 * i) % 128,
+                        (did * 5 + i) % 127 + 1,
+                        30 + i,
+                    )
+                    for i in range(n2)
+                ]
+                out = decode_midi(encode_midi([tr1, tr2]))
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_tracks": out["n_tracks"],
+                        "n_notes": out["n_notes"],
+                        "pitch_sum": out["pitch_sum"],
+                        "velocity_sum": out["velocity_sum"],
+                        "ticks_max": out["ticks_max"],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return d.mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, n_tracks int, n_notes bigint,"
+            " pitch_sum bigint, velocity_sum bigint, ticks_max bigint"
+        ),
+    ).orderBy("doc_id")

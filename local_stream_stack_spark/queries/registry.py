@@ -407,6 +407,11 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "clustering_coefficient_nodes",
         "multimodal_tga_decode",
         "multimodal_pcx_decode",
+        "stream_ingest_neardup_compacted",
+        "jonckheere_terpstra_priority",
+        "pl2_topk_docs",
+        "label_propagation_communities",
+        "multimodal_midi_decode",
     }
 )
 

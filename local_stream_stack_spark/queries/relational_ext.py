@@ -5758,3 +5758,149 @@ def page_trend_test_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                END"""
         ).alias("z_e6"),
     )
+
+
+@query(
+    "jonckheere_terpstra_priority",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderpriority AS prio,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    pc AS (
+      SELECT prio, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM o GROUP BY prio, cents
+    ),
+    grid AS (
+      SELECT p.prio, v.cents, COALESCE(c.cnt, 0) AS cnt
+      FROM (SELECT DISTINCT prio FROM pc) p
+      CROSS JOIN (SELECT DISTINCT cents FROM pc) v
+      LEFT JOIN pc c ON c.prio = p.prio AND c.cents = v.cents
+    ),
+    cum AS (
+      SELECT prio, cents, cnt,
+             SUM(cnt) OVER (PARTITION BY prio ORDER BY cents) - cnt
+               AS below
+      FROM grid
+    ),
+    j2t AS (
+      SELECT CAST(SUM(h.cnt * (2 * g.below + g.cnt)) AS BIGINT) AS j2
+      FROM pc h JOIN cum g ON g.cents = h.cents AND g.prio < h.prio
+    ),
+    gs AS (
+      SELECT prio, CAST(SUM(cnt) AS BIGINT) AS n_g FROM pc GROUP BY prio
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n_g * n_g) AS BIGINT) AS sn2,
+             CAST(SUM(n_g * n_g * (2 * n_g + 3)) AS BIGINT) AS sn23
+      FROM gs
+    ),
+    ties AS (
+      SELECT CAST(SUM(tcnt * (tcnt - 1)) AS BIGINT) AS tie_pairs2
+      FROM (SELECT CAST(SUM(cnt) AS BIGINT) AS tcnt FROM pc GROUP BY cents) t
+    )
+    SELECT t.n, t.k,
+           j.j2 AS j2_stat,
+           CAST((t.n * t.n - t.sn2) AS BIGINT) AS mean2,
+           ti.tie_pairs2,
+           CASE WHEN t.n * t.n * (2 * t.n + 3) - t.sn23 > 0 THEN
+             CAST(FLOOR(
+               (j.j2 - CAST(t.n * t.n - t.sn2 AS DOUBLE) / 2.0)
+               / (2.0 * SQRT((t.n * CAST(t.n AS DOUBLE) * (2 * t.n + 3)
+                              - t.sn23) / 72.0))
+               * 1e6 + 0.5) AS BIGINT)
+           END AS z_e6
+    FROM tot t CROSS JOIN j2t j CROSS JOIN ties ti
+    """,
+)
+def jonckheere_terpstra_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Jonckheere-Terpstra trend test across the ordered priority
+    classes — the ORDERED alternative for INDEPENDENT groups
+    (Kruskal-Wallis asks "do the k priorities differ at all"; J-T
+    asks "does price increase monotonically along the priority
+    order", which is the hypothesis a dashboard actually has; Page's
+    test is its blocked sibling). J2 = Σ_{g<h} (2·#{x<y} + #{x=y}) is
+    an exact doubled integer computed from the value grid: per-group
+    cumulative counts over the DISTINCT-cents grid (windows partition
+    by group — bounded by distinct values, never a global sort) joined
+    pairwise on equal cents, so the pair stage is value-grid-sized,
+    not |rows|². The z normal approximation uses the classic no-ties
+    variance (tie mass is reported alongside as tie_pairs2 so a
+    downstream consumer can judge the approximation); one double tree,
+    one sqrt, rounded once to e6."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    pc = o.groupBy("prio", "cents").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    grid = (
+        pc.select("cents")
+        .distinct()
+        .crossJoin(F.broadcast(pc.select("prio").distinct()))
+        .join(pc, ["prio", "cents"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+    )
+    wg = Window.partitionBy("prio").orderBy("cents")
+    cum = grid.withColumn(
+        "below", F.sum("cnt").over(wg) - F.col("cnt")
+    )
+    j2t = (
+        pc.alias("h")
+        .join(
+            cum.alias("g"),
+            (F.col("g.cents") == F.col("h.cents"))
+            & (F.col("g.prio") < F.col("h.prio")),
+        )
+        .agg(
+            F.sum(
+                F.expr("h.cnt * (2 * g.below + g.cnt)")
+            )
+            .cast("bigint")
+            .alias("j2")
+        )
+    )
+    gs = pc.groupBy("prio").agg(F.sum("cnt").cast("bigint").alias("n_g"))
+    tot = gs.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum(F.expr("n_g * n_g")).cast("bigint").alias("sn2"),
+        F.sum(F.expr("n_g * n_g * (2 * n_g + 3)"))
+        .cast("bigint")
+        .alias("sn23"),
+    )
+    ties = (
+        pc.groupBy("cents")
+        .agg(F.sum("cnt").cast("bigint").alias("tcnt"))
+        .agg(
+            F.sum(F.expr("tcnt * (tcnt - 1)"))
+            .cast("bigint")
+            .alias("tie_pairs2")
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(j2t))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "n",
+            "k",
+            F.col("j2").alias("j2_stat"),
+            F.expr("CAST((n * n - sn2) AS BIGINT)").alias("mean2"),
+            "tie_pairs2",
+            F.expr(
+                """CASE WHEN n * n * (2 * n + 3) - sn23 > 0 THEN
+                     CAST(FLOOR(
+                       (j2 - CAST(n * n - sn2 AS DOUBLE) / 2.0)
+                       / (2.0 * SQRT((n * CAST(n AS DOUBLE) * (2 * n + 3)
+                                      - sn23) / 72.0))
+                       * 1e6 + 0.5) AS BIGINT)
+                   END"""
+            ).alias("z_e6"),
+        )
+    )

@@ -750,6 +750,76 @@ def stream_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_ingest_neardup_compacted",
+    oracle=_neardup_stream_oracle_sql(),
+)
+def stream_ingest_neardup_compacted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming NEAR-dup ingestion across a store compaction: epoch 0
+    (the corpus) streams into the MinHash-band store, BOTH families
+    (admitted rows + band keys) fold into hash-bucketed generations
+    (``compact_neardup_store``), and the full duplicate corpus then
+    streams in on the resumed checkpoint — every re-text must collide
+    against the GENERATION's band keys (the epoch dirs are gone).
+    Same portable-hash semantics and the same two-epoch SQL replay
+    oracle as `stream_ingest_neardup`, so the fold is proven
+    invisible to the admit path under the driver's hash gate."""
+    from local_stream_stack_spark.catalog import load_table
+    from local_stream_stack_spark.streaming.compaction import (
+        compact_neardup_store,
+    )
+    from local_stream_stack_spark.streaming.ops import (
+        ingest_neardup_stream_parquet,
+        read_neardup_store,
+    )
+
+    configure_for_oracle(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = ephemeral_dir(prefix="stream-e2e-neardupc-")
+    in_dir = os.path.join(base, "in")
+    store = os.path.join(base, "store")
+    cp = os.path.join(base, "cp")
+
+    def run():
+        q = ingest_neardup_stream_parquet(
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir),
+            id_col="doc_id",
+            text_col="text",
+            order_col="doc_id",
+            store_path=store,
+            checkpoint_location=cp,
+            portable=True,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _stage_ordered(
+        in_dir,
+        lambda: docs.coalesce(1).write.parquet(in_dir),
+    )
+    run()
+    compact_neardup_store(spark, store, id_col="doc_id", n_buckets=8)
+    _stage_ordered(
+        in_dir,
+        lambda: None,
+        lambda: docs.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        ).coalesce(1).write.mode("append").parquet(in_dir),
+    )
+    run()
+    return (
+        read_neardup_store(spark, store)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def _neardup_tws_oracle_sql() -> str:
     """Replay the two-epoch TWS (indexed-state-store) near-dup
     ingestion in SQL. Identical to ``_neardup_stream_oracle_sql``

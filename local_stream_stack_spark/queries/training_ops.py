@@ -3979,3 +3979,125 @@ def clustering_coefficient_nodes(
         .orderBy(F.desc("cc_e6"), F.asc("part"))
         .limit(20)
     )
+
+
+def _lpa_round_sql(prev: str, out: str) -> str:
+    """One synchronous label-propagation round as chained CTEs:
+    neighbor-label counts -> per-node max count -> min label among
+    the argmax set (the deterministic tie-break), keep-old-label for
+    isolated nodes (none exist on this slice, but the FULL OUTER
+    keeps the rule total)."""
+    return f"""
+    cnt_{out} AS (
+      SELECT d.s AS v, l.lbl, CAST(COUNT(*) AS BIGINT) AS c
+      FROM dir_edges d JOIN {prev} l ON l.v = d.d
+      GROUP BY d.s, l.lbl
+    ),
+    mx_{out} AS (
+      SELECT v, MAX(c) AS cmax FROM cnt_{out} GROUP BY v
+    ),
+    {out} AS (
+      SELECT c.v, MIN(c.lbl) AS lbl
+      FROM cnt_{out} c JOIN mx_{out} m
+        ON m.v = c.v AND c.c = m.cmax
+      GROUP BY c.v
+    )"""
+
+
+@query(
+    "label_propagation_communities",
+    oracle=f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_orderkey < 2000
+    ),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    dir_edges AS (
+      SELECT s, d FROM edges UNION ALL SELECT d AS s, s AS d FROM edges
+    ),
+    l0 AS (SELECT DISTINCT s AS v, s AS lbl FROM dir_edges),
+    {_lpa_round_sql('l0', 'l1')},
+    {_lpa_round_sql('l1', 'l2')},
+    {_lpa_round_sql('l2', 'l3')}
+    SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS size
+    FROM l3
+    GROUP BY lbl
+    ORDER BY size DESC, community
+    LIMIT 20
+    """,
+)
+def label_propagation_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Synchronous label propagation (3 unrolled rounds) on the
+    co-purchase graph — the community-detection member of the graph
+    family (PageRank ranks centrality, k-core finds density shells;
+    LPA assigns COMMUNITIES, the partition a curriculum sampler or
+    dedup-sharding step uses). Fully deterministic variant: every
+    node adopts the minimum label among its neighbors' most frequent
+    labels each round (argmax by count, min-label tie-break — plain
+    groupBy/join arithmetic, no window, no randomness), so the
+    3-round state is bit-reproducible and the oracle replays it as
+    three chained CTE rounds. Spark side localCheckpoints each round
+    to keep the unrolled lineage flat (the PageRank lineage-control
+    precedent, `operators/graph.py`). Scale: each round is one
+    |E|-sized equi-join + two hash aggregates — per-round cost is
+    edge-linear, and the bounded slice keeps the oracle cheap while
+    exercising the identical plan."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 2000)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d")
+        )
+        .distinct()
+    )
+    dir_edges = edges.unionAll(
+        edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        dir_edges.select(F.col("s").alias("v"))
+        .distinct()
+        .withColumn("lbl", F.col("v"))
+    )
+    for _ in range(3):
+        cnt = (
+            dir_edges.join(
+                labels.select(F.col("v").alias("d"), "lbl"), "d"
+            )
+            .groupBy(F.col("s").alias("v"), "lbl")
+            .agg(F.count("*").cast("bigint").alias("c"))
+        )
+        mx = cnt.groupBy("v").agg(F.max("c").alias("cmax")).select(
+            F.col("v").alias("mv"), "cmax"
+        )
+        labels = (
+            cnt.join(
+                mx,
+                (F.col("v") == F.col("mv")) & (F.col("c") == F.col("cmax")),
+            )
+            .groupBy("v")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count("*").cast("bigint").alias("size"))
+        .orderBy(F.desc("size"), F.asc("community"))
+        .limit(20)
+    )

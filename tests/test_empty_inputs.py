@@ -210,6 +210,11 @@ REPRESENTATIVE = [
     "clustering_coefficient_nodes",  # per-node triangle density
     "multimodal_tga_decode",     # real TGA codec mapInPandas
     "multimodal_pcx_decode",     # real PCX codec mapInPandas
+    "stream_ingest_neardup_compacted",  # neardup store across the fold
+    "jonckheere_terpstra_priority",  # ordered k-group trend (NULL row)
+    "pl2_topk_docs",             # DFR retrieval top-20
+    "label_propagation_communities",  # sync LPA communities
+    "multimodal_midi_decode",    # real SMF codec mapInPandas
 ]
 
 
@@ -258,6 +263,7 @@ EXPECT_SUMMARY_ROWS = {
     "cochran_q_daily": 1,            # single stats row (NULL q)
     "page_trend_test_segments": 1,   # single stats row (NULL z)
     "bloom_filter_fp_audit": 1,      # single audit row (0 members)
+    "jonckheere_terpstra_priority": 1,  # single stats row (NULL z)
 }
 
 
