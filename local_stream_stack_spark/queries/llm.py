@@ -9247,3 +9247,251 @@ def multimodal_midi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             " pitch_sum bigint, velocity_sum bigint, ticks_max bigint"
         ),
     ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_au_g711_decode",
+    oracle="""
+    WITH mu AS (
+      SELECT d.doc_id,
+             255 - ((d.doc_id * 13 + 7 * i.i) % 256) AS u
+      FROM documents d, generate_series(0, 56) i(i)
+      WHERE i.i < 40 + d.doc_id % 17
+    ),
+    mu_pcm AS (
+      SELECT doc_id,
+             CASE WHEN u >= 128 THEN
+               -(((u % 16) * 8 + 132)
+                 * CAST(POW(2, (u // 16) % 8) AS BIGINT) - 132)
+             ELSE
+               ((u % 16) * 8 + 132)
+               * CAST(POW(2, (u // 16) % 8) AS BIGINT) - 132
+             END AS s
+      FROM mu
+    ),
+    al AS (
+      SELECT d.doc_id,
+             xor((d.doc_id * 11 + 5 * i.i) % 256, 85) AS a
+      FROM documents d, generate_series(0, 42) i(i)
+      WHERE i.i < 30 + d.doc_id % 13
+    ),
+    al_pcm AS (
+      SELECT doc_id,
+             CASE WHEN a >= 128 THEN
+               CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8
+                    ELSE ((a % 16) * 16 + 264)
+                         * CAST(POW(2, (a // 16) % 8 - 1) AS BIGINT)
+               END
+             ELSE
+               -(CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8
+                      ELSE ((a % 16) * 16 + 264)
+                           * CAST(POW(2, (a // 16) % 8 - 1) AS BIGINT)
+                 END)
+             END AS s
+      FROM al
+    ),
+    pcm AS (SELECT * FROM mu_pcm UNION ALL SELECT * FROM al_pcm)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(s) AS BIGINT) AS pcm_sum,
+           CAST(SUM(ABS(s)) AS BIGINT) AS abs_sum,
+           CAST(MIN(s) AS BIGINT) AS pcm_min,
+           CAST(MAX(s) AS BIGINT) AS pcm_max
+    FROM pcm
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def multimodal_au_g711_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL-bytes Sun AU / G.711 decode end to end: per doc a µ-law
+    AU file (with an annotation field, so the variable data offset is
+    exercised) AND an A-law AU file are framed and decoded through
+    the full codec (``operators/au.py`` — header parse, companded
+    expansion; reference-value-pinned in tests/test_au.py incl. the
+    ITU sign conventions, which differ between the two laws) inside
+    one Arrow-batched mapInPandas pass. The G.711 expansions are pure
+    integer arithmetic, so the oracle replays them IN SQL byte for
+    byte — a defect in the complement/XOR fold, segment shift, bias,
+    or either law's sign convention breaks the sums. Closes the
+    companded-telephony-audio modality next to WAV's linear PCM."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def run(batches):
+        import pandas as pd
+
+        from local_stream_stack_spark.operators.au import (
+            decode_au,
+            encode_au,
+        )
+
+        cols = [
+            "doc_id", "n_samples", "pcm_sum",
+            "abs_sum", "pcm_min", "pcm_max",
+        ]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n1, n2 = 40 + did % 17, 30 + did % 13
+                mu_body = bytes(
+                    (did * 13 + 7 * i) % 256 for i in range(n1)
+                )
+                al_body = bytes(
+                    (did * 11 + 5 * i) % 256 for i in range(n2)
+                )
+                a = decode_au(
+                    encode_au(mu_body, encoding=1, annotation=b"lss\x00")
+                )
+                b = decode_au(encode_au(al_body, encoding=27))
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_samples": a["n_samples"] + b["n_samples"],
+                        "pcm_sum": a["pcm_sum"] + b["pcm_sum"],
+                        "abs_sum": a["abs_sum"] + b["abs_sum"],
+                        "pcm_min": min(a["pcm_min"], b["pcm_min"]),
+                        "pcm_max": max(a["pcm_max"], b["pcm_max"]),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return d.mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, n_samples bigint, pcm_sum bigint,"
+            " abs_sum bigint, pcm_min bigint, pcm_max bigint"
+        ),
+    ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_pnm_decode",
+    oracle="""
+    WITH p6 AS (
+      SELECT d.doc_id,
+             (d.doc_id + 2 * x.x) % 256 AS r,
+             (d.doc_id * 3 + y.y) % 256 AS g,
+             (x.x + y.y + d.doc_id) % 256 AS b
+      FROM documents d,
+           generate_series(0, 6) x(x), generate_series(0, 4) y(y)
+      WHERE x.x < 3 + d.doc_id % 4 AND y.y < 2 + d.doc_id % 3
+    ),
+    p5 AS (
+      SELECT d.doc_id,
+             ((d.doc_id * 37 + 13 * x.x + 29 * y.y) % 1024 * 255 + 511)
+               // 1023 AS v
+      FROM documents d,
+           generate_series(0, 6) x(x), generate_series(0, 3) y(y)
+      WHERE x.x < 4 + d.doc_id % 3 AND y.y < 2 + d.doc_id % 2
+    ),
+    p4 AS (
+      SELECT d.doc_id,
+             CASE WHEN (x.x + y.y + d.doc_id) % 2 = 1 THEN 0 ELSE 255 END
+               AS v
+      FROM documents d,
+           generate_series(0, 8) x(x), generate_series(0, 1) y(y)
+      WHERE x.x < 5 + d.doc_id % 4
+    ),
+    px AS (
+      SELECT doc_id, r, g, b FROM p6
+      UNION ALL SELECT doc_id, v, v, v FROM p5
+      UNION ALL SELECT doc_id, v, v, v FROM p4
+    )
+    SELECT doc_id,
+           CAST(3 AS INT) AS n_images,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(r) AS BIGINT) AS r_sum,
+           CAST(SUM(g) AS BIGINT) AS g_sum,
+           CAST(SUM(b) AS BIGINT) AS b_sum,
+           CAST(MIN(r) AS INT) AS r_min,
+           CAST(MAX(r) AS INT) AS r_max
+    FROM px
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def multimodal_pnm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-bytes netpbm decode end to end: per doc a binary P6
+    pixmap, a 16-BIT P5 graymap (maxval 1023 — two-byte big-endian
+    samples with the exact integer rescale (v·255 + 511)//1023), and
+    a packed P4 bitmap (MSB-first rows with pad bits) are encoded and
+    decoded through the full codec (``operators/pnm.py`` — the ASCII
+    P1/P2/P3 tokenizer with comments and ragged whitespace is pinned
+    by hand-assembled streams in tests/test_pnm.py) inside one
+    Arrow-batched mapInPandas pass. Lossless formats + integer
+    rescale ⇒ the oracle recomputes every channel statistic
+    arithmetically; a defect in the binary separator, row packing,
+    byte order, or maxval scaling breaks the sums."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def run(batches):
+        import pandas as pd
+
+        from local_stream_stack_spark.operators.pnm import (
+            decode_pnm,
+            encode_pnm,
+        )
+
+        cols = [
+            "doc_id", "n_images", "n_px",
+            "r_sum", "g_sum", "b_sum", "r_min", "r_max",
+        ]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w1, h1 = 3 + did % 4, 2 + did % 3
+                rgb = [
+                    v
+                    for y in range(h1)
+                    for x in range(w1)
+                    for v in (
+                        (did + 2 * x) % 256,
+                        (did * 3 + y) % 256,
+                        (x + y + did) % 256,
+                    )
+                ]
+                w2, h2 = 4 + did % 3, 2 + did % 2
+                grays = [
+                    (did * 37 + 13 * x + 29 * y) % 1024
+                    for y in range(h2)
+                    for x in range(w2)
+                ]
+                w3, h3 = 5 + did % 4, 2
+                bits = [
+                    (x + y + did) % 2
+                    for y in range(h3)
+                    for x in range(w3)
+                ]
+                a = decode_pnm(encode_pnm("P6", w1, h1, rgb, 255))
+                b = decode_pnm(encode_pnm("P5", w2, h2, grays, 1023))
+                c = decode_pnm(encode_pnm("P4", w3, h3, bits))
+                rs = (
+                    a["pixels"][0::4] + b["pixels"][0::4]
+                    + c["pixels"][0::4]
+                )
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_images": 3,
+                        "n_px": a["n_px"] + b["n_px"] + c["n_px"],
+                        "r_sum": a["r_sum"] + b["r_sum"] + c["r_sum"],
+                        "g_sum": a["g_sum"] + b["g_sum"] + c["g_sum"],
+                        "b_sum": a["b_sum"] + b["b_sum"] + c["b_sum"],
+                        "r_min": min(rs),
+                        "r_max": max(rs),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return d.mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, n_images int, n_px bigint, r_sum bigint,"
+            " g_sum bigint, b_sum bigint, r_min int, r_max int"
+        ),
+    ).orderBy("doc_id")

@@ -412,6 +412,9 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "pl2_topk_docs",
         "label_propagation_communities",
         "multimodal_midi_decode",
+        "stream_ivf_index_incremental",
+        "multimodal_au_g711_decode",
+        "multimodal_pnm_decode",
     }
 )
 

@@ -1411,6 +1411,152 @@ def stream_join_enriched_incremental(
 
 
 @query(
+    "stream_ivf_index_incremental",
+    oracle="""
+    WITH ev AS (
+      SELECT vec_id, label, i.i AS i,
+             CAST(FLOOR(CAST(embedding[i.i + 1] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS x
+      FROM embeddings, generate_series(0, 63) i(i)
+    ),
+    cent AS (SELECT label, i, SUM(x) AS s FROM ev GROUP BY label, i),
+    centn AS (SELECT label, SUM(s * s) AS ss FROM cent GROUP BY label),
+    qn AS (SELECT vec_id, SUM(x * x) AS qq
+           FROM ev WHERE vec_id < 5 GROUP BY vec_id),
+    cn AS (SELECT vec_id, SUM(x * x) AS cc FROM ev GROUP BY vec_id),
+    qdot AS (
+      SELECT q.vec_id, c.label, SUM(q.x * c.s) AS dot
+      FROM ev q JOIN cent c ON q.i = c.i
+      WHERE q.vec_id < 5
+      GROUP BY q.vec_id, c.label
+    ),
+    csim AS (
+      SELECT d.vec_id AS query_id, d.label,
+             CAST(ROUND(CAST(d.dot AS DOUBLE)
+                        / (sqrt(CAST(q.qq AS DOUBLE))
+                           * sqrt(CAST(n.ss AS DOUBLE))) * 1000000)
+                  AS BIGINT) AS cent_sim_e6
+      FROM qdot d
+      JOIN qn q ON q.vec_id = d.vec_id
+      JOIN centn n ON n.label = d.label
+    ),
+    probes AS (
+      SELECT query_id, label FROM (
+        SELECT query_id, label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cent_sim_e6 DESC, label) AS pr
+        FROM csim) t
+      WHERE pr <= 3
+    ),
+    pairdot AS (
+      SELECT p.query_id, e.vec_id AS corpus_id, SUM(q.x * e.x) AS dot
+      FROM probes p
+      JOIN ev e ON e.label = p.label
+      JOIN ev q ON q.vec_id = p.query_id AND q.i = e.i
+      GROUP BY p.query_id, e.vec_id
+    ),
+    scored AS (
+      SELECT pd.query_id, pd.corpus_id,
+             CAST(ROUND(CAST(pd.dot AS DOUBLE)
+                        / (sqrt(CAST(qn.qq AS DOUBLE))
+                           * sqrt(CAST(cn.cc AS DOUBLE))) * 1000000)
+                  AS BIGINT) AS cosine_sim_e6
+      FROM pairdot pd
+      JOIN qn ON qn.vec_id = pd.query_id
+      JOIN cn ON cn.vec_id = pd.corpus_id
+      WHERE pd.corpus_id <> pd.query_id
+    ),
+    ranked AS (
+      SELECT query_id, corpus_id, cosine_sim_e6,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim_e6 DESC, corpus_id)
+               AS rk
+      FROM scored
+    )
+    SELECT query_id, corpus_id, cosine_sim_e6, rk
+    FROM ranked WHERE rk <= 10
+    ORDER BY query_id, rk
+    """,
+)
+def stream_ivf_index_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incrementally-maintained IVF ANN index — the vector-search
+    member of the maintained-view tier (the BM25 index maintains the
+    lexical side; this maintains the embedding side, which is what a
+    production retrieval stack actually keeps warm): embeddings
+    stream in two epochs into cell-partitioned inverted lists plus
+    ADDITIVE per-cell integer centroid sums, the store folds into a
+    cell-bucketed generation mid-stream (``compact_ivf_index``), a
+    third epoch lands on the generation, and the final nprobe=3 /
+    top-10 probe of the MAINTAINED index must hash-match the
+    from-scratch batch `sim_ivf_topk` oracle over the full corpus —
+    exact because centroid sums are order-independent BIGINTs and
+    cosine is scale-invariant (the sum points exactly where the mean
+    does). Scale: per-epoch work is one quantize pass + a cells×dim
+    aggregate; probe-side reads prune to the queried cells' buckets
+    after compaction."""
+    from local_stream_stack_spark.catalog import load_table
+    from local_stream_stack_spark.streaming.ops import (
+        compact_ivf_index,
+        maintain_ivf_index_stream_parquet,
+        read_ivf_index_topk,
+    )
+
+    configure_for_oracle(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    base = ephemeral_dir(prefix="stream-e2e-ivf-")
+    in_dir = os.path.join(base, "in")
+    store = os.path.join(base, "store")
+    cp = os.path.join(base, "cp")
+
+    def run():
+        q = maintain_ivf_index_stream_parquet(
+            spark.readStream.schema(
+                "vec_id bigint, label int, embedding array<float>"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir),
+            id_col="vec_id",
+            label_col="label",
+            vec_col="embedding",
+            store_path=store,
+            checkpoint_location=cp,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _stage_ordered(
+        in_dir,
+        lambda: emb.filter(F.col("vec_id") % 3 == 0)
+        .coalesce(1)
+        .write.parquet(in_dir),
+        lambda: emb.filter(F.col("vec_id") % 3 == 1)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(in_dir),
+    )
+    run()
+    compact_ivf_index(spark, store, n_buckets=8)
+    _stage_ordered(
+        in_dir,
+        lambda: None,
+        lambda: emb.filter(F.col("vec_id") % 3 == 2)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(in_dir),
+    )
+    run()
+    return read_ivf_index_topk(
+        spark, store, id_col="vec_id", query_ids_below=5, nprobe=3, k=10
+    )
+
+
+@query(
     "stream_scd2_dimension",
     oracle="""
     WITH ev AS (

@@ -1892,3 +1892,184 @@ def read_skyline_store(
         & (F.col("__dv") <= F.col(value_col)),
         "left_anti",
     )
+
+
+def maintain_ivf_index_stream_parquet(
+    df: DataFrame,
+    id_col: str,
+    label_col: str,
+    vec_col: str,
+    store_path: str,
+    checkpoint_location: str,
+):
+    """Incrementally MAINTAIN an IVF (inverted-file) ANN index as
+    embeddings stream in — the vector-search twin of the maintained
+    BM25 index (`maintain_bm25_index_stream_parquet`): a standing
+    index folded from per-epoch deltas, never a from-scratch rebuild
+    of the whole corpus.
+
+    Two column families per epoch:
+
+    - ``vecs/``  (id, cell, x: array<bigint>) — the inverted lists,
+      vectors floor-quantized to 1e-6 BIGINT grids (the same
+      integer-exact recipe as the batch `sim_ivf_topk`)
+    - ``csum/``  (cell, pos, s_delta) — per-cell per-dimension
+      centroid SUM deltas. Centroid sums are ADDITIVE integers, so
+      the folded centroid is bit-equal to the batch centroid however
+      the stream was split — cosine is scale-invariant, so the sum
+      points exactly where the mean does, and the maintained index
+      scores bit-equal to batch.
+
+    Epoch-dir overwrites make at-least-once delivery exactly-once;
+    ``compaction.compact_store`` folds the lists into cell-bucketed
+    generations (probe-side partition pruning) and the centroid
+    deltas into one base row set."""
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        q = batch_df.select(
+            F.col(id_col),
+            F.col(label_col).alias("cell"),
+            F.transform(
+                vec_col,
+                lambda v: F.floor(
+                    v.cast("double") * F.lit(1000000.0)
+                ).cast("bigint"),
+            ).alias("x"),
+        ).localCheckpoint(eager=True)
+        q.coalesce(1).write.mode("overwrite").parquet(
+            f"{store_path}/vecs/__epoch={epoch_id}"
+        )
+        (
+            q.select("cell", F.posexplode("x").alias("pos", "xv"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("xv").cast("bigint").alias("s_delta"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{store_path}/csum/__epoch={epoch_id}")
+        )
+
+    return (
+        df.writeStream.outputMode("append")
+        .foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_location)
+        .start()
+    )
+
+
+def compact_ivf_index(
+    spark, store_path: str, n_buckets: int = 16, vacuum: bool = True
+) -> int:
+    """Fold a maintained IVF index into one generation: inverted
+    lists bucket by cell (probe-time partition pruning), centroid
+    sums re-merge by exact integer group-sum."""
+    from local_stream_stack_spark.streaming import compaction
+
+    return compaction.compact_store(
+        spark,
+        store_path,
+        {
+            "vecs": {"bucket_col": "cell", "n_buckets": n_buckets},
+            "csum": {
+                "fold": lambda df: df.groupBy("cell", "pos").agg(
+                    F.sum("s_delta").cast("bigint").alias("s_delta")
+                )
+            },
+        },
+        vacuum=vacuum,
+    )
+
+
+def read_ivf_index_topk(
+    spark,
+    store_path: str,
+    id_col: str = "vec_id",
+    query_ids_below: int = 5,
+    nprobe: int = 3,
+    k: int = 10,
+) -> DataFrame:
+    """Score the maintained IVF index: fold the centroid-sum deltas
+    (exact BIGINT group-sums), pick each query's nprobe nearest cells,
+    re-score only those inverted lists — the identical integer/double
+    recipe as the batch `sim_ivf_topk`, so the maintained result is
+    bit-equal to batch over the union of all epochs."""
+    from pyspark.sql.window import Window
+
+    from local_stream_stack_spark.streaming import compaction
+
+    def doti(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    def sim_e6(dot, n1, n2):
+        return F.round(
+            dot.cast("double")
+            / (F.sqrt(n1) * F.sqrt(n2))
+            * F.lit(1000000.0)
+        ).cast("bigint")
+
+    vecs = compaction.read_family(spark, store_path, "vecs")
+    csum = compaction.read_family(spark, store_path, "csum")
+    if vecs is None or csum is None:
+        raise FileNotFoundError(f"empty IVF index at {store_path}")
+    cent = (
+        csum.groupBy("cell", "pos")
+        .agg(F.sum("s_delta").cast("bigint").alias("s"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda st: st.s,
+            ).alias("cvec")
+        )
+        .withColumn("ss", doti(F.col("cvec"), F.col("cvec")))
+    )
+    q = vecs.filter(F.col(id_col) < query_ids_below).select(
+        F.col(id_col).alias("query_id"),
+        F.col("x").alias("__qx"),
+        doti(F.col("x"), F.col("x")).alias("__qq"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("cent_sim_e6"), F.asc("cell")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "cent_sim_e6",
+            sim_e6(
+                doti(F.col("__qx"), F.col("cvec")),
+                F.col("__qq"),
+                F.col("ss"),
+            ),
+        )
+        .withColumn("__pr", F.row_number().over(wq))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", "__qx", "__qq", "cell")
+    )
+    c = vecs.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col("cell"),
+        F.col("x").alias("__cx"),
+        doti(F.col("x"), F.col("x")).alias("__cc"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim_e6"), F.asc("corpus_id")
+    )
+    return (
+        c.join(F.broadcast(probes), on="cell")
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            sim_e6(
+                doti(F.col("__qx"), F.col("__cx")),
+                F.col("__qq"),
+                F.col("__cc"),
+            ).alias("cosine_sim_e6"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .orderBy("query_id", "rk")
+    )

@@ -215,6 +215,9 @@ REPRESENTATIVE = [
     "pl2_topk_docs",             # DFR retrieval top-20
     "label_propagation_communities",  # sync LPA communities
     "multimodal_midi_decode",    # real SMF codec mapInPandas
+    "stream_ivf_index_incremental",  # maintained ANN index + fold
+    "multimodal_au_g711_decode",  # real AU/G.711 codec mapInPandas
+    "multimodal_pnm_decode",     # real netpbm codec mapInPandas
 ]
 
 
