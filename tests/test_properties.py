@@ -1606,3 +1606,84 @@ def test_cochran_q_and_page_trend_match_python(
     assert pt.n_blocks == b and pt.k_groups == k
     assert pt.l2_stat == (l2 if full else None)
     assert pt.z_e6 == z, (data, pt.z_e6, z)
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from(["1-URGENT", "2-HIGH", "3-MEDIUM"]),
+            st.integers(1, 1_000_000),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_jonckheere_terpstra_matches_python_reference(
+    spark, tmp_path_factory, data
+):
+    """jonckheere_terpstra_priority == the sequential python
+    definition: doubled pairwise counts across ordered group pairs,
+    no-ties variance, one double tree rounded once to e6."""
+    import pandas as pd
+
+    pdf_o = pd.DataFrame(
+        {
+            "o_orderpriority": [p for p, _ in data],
+            "o_totalprice": [c / 100.0 for _, c in data],
+        }
+    )
+    d = tmp_path_factory.mktemp("jt")
+    pdf_o.to_parquet(d / "orders.parquet")
+
+    from local_stream_stack_spark.queries.relational_ext import (
+        jonckheere_terpstra_priority,
+    )
+
+    row = jonckheere_terpstra_priority(spark, str(d)).collect()[0]
+
+    groups: dict[str, list[int]] = {}
+    for p, c in data:
+        groups.setdefault(p, []).append(c)
+    segs = sorted(groups)
+    k = len(segs)
+    nn = len(data)
+    j2 = 0
+    any_pair = False
+    for gi in range(k):
+        for hi in range(gi + 1, k):
+            any_pair = True
+            for x in groups[segs[gi]]:
+                for y in groups[segs[hi]]:
+                    if x < y:
+                        j2 += 2
+                    elif x == y:
+                        j2 += 1
+    sn2 = sum(len(g) ** 2 for g in groups.values())
+    sn23 = sum(
+        len(g) ** 2 * (2 * len(g) + 3) for g in groups.values()
+    )
+    var72 = nn * nn * (2 * nn + 3) - sn23
+    z = None
+    if var72 > 0:
+        z = math.floor(
+            (j2 - float(nn * nn - sn2) / 2.0)
+            / (
+                2.0
+                * math.sqrt(
+                    (nn * float(nn) * (2 * nn + 3) - sn23) / 72.0
+                )
+            )
+            * 1e6
+            + 0.5
+        )
+    from collections import Counter
+
+    tie2 = sum(
+        t * (t - 1) for t in Counter(c for _, c in data).values()
+    )
+    assert row.n == nn and row.k == k
+    assert row.j2_stat == (j2 if any_pair else None)
+    assert row.mean2 == nn * nn - sn2
+    assert row.tie_pairs2 == tie2
+    assert row.z_e6 == z, (data, row.z_e6, z)
