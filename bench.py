@@ -301,6 +301,7 @@ GATE_V3: dict[str, float] = {
     "basket_lift_pairs": 1.236,
     "benford_first_digit": 0.270,
     "blocklist_filter_stats": 0.625,
+    "bloom_filter_fp_audit": 1.175,
     "bm25_rank": 0.838,
     "bm25_topk_docs": 0.804,
     "boilerplate_ngrams": 0.960,
@@ -315,7 +316,9 @@ GATE_V3: dict[str, float] = {
     "chisq_lang_source": 0.343,
     "chunk_documents": 0.206,
     "clean_text_scrub": 0.269,
+    "clustering_coefficient_nodes": 0.886,
     "cms_heavy_hitters": 0.781,
+    "cochran_q_daily": 2.716,
     "cohens_d_urgent_price": 0.536,
     "cohort_retention": 0.557,
     "cohort_retention_matrix": 0.347,
@@ -369,6 +372,7 @@ GATE_V3: dict[str, float] = {
     "doc_novelty_scores": 1.381,
     "dpp_partitioned_lang_join": 0.254,
     "dq_expectations_orders": 0.438,
+    "durbin_watson_daily_revenue": 1.247,
     "embedding_centroid_separation": 0.428,
     "embedding_dim_variance_audit": 0.348,
     "embedding_matryoshka_mass": 0.439,
@@ -416,6 +420,7 @@ GATE_V3: dict[str, float] = {
     "join_salted_skew": 3.012,
     "join_semi": 0.498,
     "join_shuffle_hash_hint": 0.828,
+    "jonckheere_terpstra_priority": 1.756,
     "js_divergence_sources": 0.998,
     "json_funcs": 0.681,
     "json_roundtrip_orders": 0.823,
@@ -430,11 +435,14 @@ GATE_V3: dict[str, float] = {
     "kruskal_wallis_priority": 3.028,
     "ks_test_urgent_price": 1.077,
     "label_centroids": 0.361,
+    "label_propagation_communities": 1.686,
     "lang_id": 0.523,
     "lang_id_confusion": 0.436,
     "latest_per_key": 0.329,
     "levene_brown_forsythe_segments": 2.156,
+    "ljung_box_daily_revenue": 1.688,
     "mad_outliers": 3.770,
+    "mann_kendall_trend_daily": 8.881,
     "mann_whitney_priority": 0.859,
     "map_explode_customer": 0.442,
     "markov_next_event_accuracy": 0.777,
@@ -443,6 +451,7 @@ GATE_V3: dict[str, float] = {
     "minhash_calibration": 4.465,
     "mmr_diversified_topk": 4.251,
     "mojibake_encoding_audit": 0.401,
+    "multimodal_au_g711_decode": 1.445,
     "multimodal_binary_meta": 0.238,
     "multimodal_bmp_decode": 0.884,
     "multimodal_features": 0.497,
@@ -450,8 +459,12 @@ GATE_V3: dict[str, float] = {
     "multimodal_gif_decode": 0.944,
     "multimodal_ico_decode": 0.931,
     "multimodal_jpeg_decode": 1.434,
+    "multimodal_midi_decode": 1.154,
+    "multimodal_pcx_decode": 1.186,
     "multimodal_png_decode": 1.820,
+    "multimodal_pnm_decode": 1.307,
     "multimodal_qoi_decode": 0.874,
+    "multimodal_tga_decode": 1.184,
     "multimodal_video_frames": 3.698,
     "multimodal_wav_decode": 1.101,
     "mutual_info_lang_source": 0.398,
@@ -462,6 +475,7 @@ GATE_V3: dict[str, float] = {
     "orders_backlog_aging": 0.315,
     "orders_monthly_yoy": 0.655,
     "pack_documents": 0.830,
+    "page_trend_test_segments": 1.036,
     "pagerank_copurchase": 2.919,
     "partitioned_roundtrip_docs": 0.436,
     "percentile_stats": 1.738,
@@ -473,6 +487,7 @@ GATE_V3: dict[str, float] = {
     "pipeline_yaml_batch": 0.218,
     "pipeline_yaml_enrich_agg": 0.493,
     "pivot_returnflag": 0.460,
+    "pl2_topk_docs": 1.100,
     "price_decile_assign": 2.380,
     "profile_columns": 3.934,
     "projection_cast": 0.202,
@@ -561,6 +576,7 @@ GATE_V3: dict[str, float] = {
     "stratified_sample_exact": 0.196,
     "stratified_sample_sources": 0.230,
     "stream_aggregate_view": 0.690,
+    "stream_aggregate_view_compacted": 2.593,
     "stream_bm25_compacted": 6.294,
     "stream_bm25_incremental": 2.703,
     "stream_cms_heavy_hitters_incremental": 2.165,
@@ -572,9 +588,11 @@ GATE_V3: dict[str, float] = {
     "stream_ingest_dedup": 1.471,
     "stream_ingest_dedup_compacted": 2.793,
     "stream_ingest_neardup": 18.787,
+    "stream_ingest_neardup_compacted": 21.691,
     "stream_ingest_neardup_tws": 19.528,
     "stream_interval_join": 12.548,
     "stream_interval_join_outer": 11.545,
+    "stream_ivf_index_incremental": 4.516,
     "stream_join_enriched_incremental": 6.035,
     "stream_kmv_distinct_incremental": 1.276,
     "stream_latest_per_key": 2.007,
@@ -598,6 +616,7 @@ GATE_V3: dict[str, float] = {
     "supplier_pareto_abc": 0.868,
     "table_fingerprint_orders": 0.440,
     "text_stats": 0.765,
+    "tfidf_cosine_topk": 2.343,
     "tfidf_top_terms": 0.397,
     "theil_sen_daily_revenue": 7.270,
     "time_weighted_avg": 0.647,
