@@ -1461,21 +1461,43 @@ def kmv_view_stream_parquet(
 
 def read_kmv_view(spark, target_path: str, k: int = 64) -> DataFrame:
     """Current global sketch of a ``kmv_view_stream_parquet`` view:
-    k smallest of the distinct union of the epoch sketches, with the
-    (k_used, kth_hash, est_distinct) estimator columns."""
+    k smallest of the distinct union of the generation (if compacted)
+    plus the live epoch sketches, with the (k_used, kth_hash,
+    est_distinct) estimator columns."""
     from local_stream_stack_spark.operators.sketches import (
         kmv_estimate_cols,
     )
+    from local_stream_stack_spark.streaming import compaction
 
+    deltas = compaction.read_family(spark, target_path, "")
+    if deltas is None:
+        raise FileNotFoundError(f"empty KMV view at {target_path}")
     merged = (
-        spark.read.option("basePath", target_path)
-        .parquet(f"{target_path}/__epoch=*")
-        .select("h")
-        .distinct()
-        .orderBy("h")
-        .limit(k)
+        deltas.select("h").distinct().orderBy("h").limit(k)
     )
     return merged.agg(*kmv_estimate_cols(k))
+
+
+def compact_kmv_view(spark, target_path: str, k: int = 64) -> int:
+    """Fold a KMV view's epoch sketches into one generation: the k
+    smallest distinct hashes of the union. LOSSLESS for the sketch —
+    KMV merge keeps only the global k minima, and a hash outside them
+    can never re-enter any future merge, so the folded store reads
+    identically to the unfolded one at every later epoch."""
+    from local_stream_stack_spark.streaming import compaction
+
+    return compaction.compact_store(
+        spark,
+        target_path,
+        {
+            "": {
+                "fold": lambda df: df.select("h")
+                .distinct()
+                .orderBy("h")
+                .limit(k)
+            }
+        },
+    )
 
 
 def maintain_join_view_stream_parquet(

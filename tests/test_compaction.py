@@ -299,3 +299,82 @@ def test_neardup_store_compaction_preserves_rows_and_keys(
 
 def test_read_family_empty_store_returns_none(spark, tmp_path):
     assert read_family(spark, str(tmp_path / "nothing"), "") is None
+
+
+def test_kmv_view_compaction_is_lossless(spark, tmp_path):
+    """KMV fold keeps only the global k minima — lossless for the
+    sketch: reads are identical across the fold, and epochs arriving
+    AFTER the fold merge exactly as if no fold had happened."""
+    from local_stream_stack_spark.streaming.ops import (
+        compact_kmv_view,
+        kmv_view_stream_parquet,
+        read_kmv_view,
+    )
+
+    in_dir, view, cp = (
+        str(tmp_path / "in"),
+        str(tmp_path / "view"),
+        str(tmp_path / "cp"),
+    )
+
+    def run():
+        q = kmv_view_stream_parquet(
+            spark.readStream.schema("k long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir),
+            key_col="k",
+            target_path=view,
+            checkpoint_location=cp,
+            k=16,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    spark.createDataFrame(
+        [(i,) for i in range(0, 40)], "k long"
+    ).coalesce(1).write.parquet(in_dir)
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(i,) for i in range(20, 60)], "k long"
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+    before = read_kmv_view(spark, view, k=16).collect()[0]
+    compact_kmv_view(spark, view, k=16)
+    import os
+
+    assert not any(d.startswith("__epoch=") for d in os.listdir(view))
+    after = read_kmv_view(spark, view, k=16).collect()[0]
+    assert tuple(after) == tuple(before)
+
+    # a post-fold epoch with overlapping + new keys merges exactly
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(i,) for i in range(50, 90)], "k long"
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+    live = read_kmv_view(spark, view, k=16).collect()[0]
+
+    # reference: one-shot view over the full key stream
+    rin, rview, rcp = (
+        str(tmp_path / "rin"),
+        str(tmp_path / "rview"),
+        str(tmp_path / "rcp"),
+    )
+    spark.createDataFrame(
+        [(i,) for i in range(0, 90)], "k long"
+    ).coalesce(1).write.parquet(rin)
+    q = kmv_view_stream_parquet(
+        spark.readStream.schema("k long").parquet(rin),
+        key_col="k",
+        target_path=rview,
+        checkpoint_location=rcp,
+        k=16,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    want = read_kmv_view(spark, rview, k=16).collect()[0]
+    assert tuple(live) == tuple(want)
