@@ -594,6 +594,7 @@ GATE_V3: dict[str, float] = {
     "stream_interval_join_outer": 11.545,
     "stream_ivf_index_incremental": 4.516,
     "stream_join_enriched_incremental": 6.035,
+    "stream_kmv_compacted": 3.342,
     "stream_kmv_distinct_incremental": 1.276,
     "stream_latest_per_key": 2.007,
     "stream_parquet_sink": 0.753,

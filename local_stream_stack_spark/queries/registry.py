@@ -415,6 +415,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "stream_ivf_index_incremental",
         "multimodal_au_g711_decode",
         "multimodal_pnm_decode",
+        "stream_kmv_compacted",
     }
 )
 

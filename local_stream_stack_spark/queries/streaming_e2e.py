@@ -1736,6 +1736,87 @@ def stream_kmv_distinct_incremental(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "stream_kmv_compacted",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT
+             CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) + 1 AS h
+      FROM events
+    ),
+    topk AS (SELECT h FROM h ORDER BY h LIMIT 64)
+    SELECT CAST(COUNT(*) AS INT) AS k_used,
+           CAST(MAX(h) AS BIGINT) AS kth_hash,
+           CAST(CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+                     ELSE CAST(ROUND(270582939648.0 / MAX(h)) AS BIGINT)
+                END AS BIGINT) AS est_distinct
+    FROM topk
+    """,
+)
+def stream_kmv_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV view maintenance ACROSS a generation fold: two epochs of
+    k-minimum deltas, ``compact_kmv_view`` (the fold keeps only the
+    global k minima — LOSSLESS for the sketch, since a hash outside
+    them can never re-enter a future merge), a third epoch merged on
+    top of the generation on the resumed checkpoint, and the final
+    sketch must equal the from-scratch sketch of the whole stream —
+    same oracle as `stream_kmv_distinct_incremental`. This puts the
+    last maintained-store family's fold under the driver's hash
+    gate."""
+    from local_stream_stack_spark.catalog import load_table
+    from local_stream_stack_spark.streaming.ops import (
+        compact_kmv_view,
+        kmv_view_stream_parquet,
+        read_kmv_view,
+    )
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    base = ephemeral_dir(prefix="stream-e2e-kmvc-")
+    in_dir = os.path.join(base, "in")
+    view = os.path.join(base, "view")
+    cp = os.path.join(base, "cp")
+
+    def run():
+        q = kmv_view_stream_parquet(
+            spark.readStream.schema("event_id bigint, user_id bigint")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir),
+            key_col="user_id",
+            target_path=view,
+            checkpoint_location=cp,
+            k=64,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _stage_ordered(
+        in_dir,
+        lambda: ev.filter(F.col("event_id") % 3 == 0)
+        .coalesce(1)
+        .write.parquet(in_dir),
+        lambda: ev.filter(F.col("event_id") % 3 == 1)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(in_dir),
+    )
+    run()
+    compact_kmv_view(spark, view, k=64)
+    _stage_ordered(
+        in_dir,
+        lambda: None,
+        lambda: ev.filter(F.col("event_id") % 3 == 2)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(in_dir),
+    )
+    run()
+    return read_kmv_view(spark, view, k=64)
+
+
+@query(
     "stream_unigram_lm_incremental",
     oracle="""
     WITH tok AS (

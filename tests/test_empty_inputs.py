@@ -218,6 +218,7 @@ REPRESENTATIVE = [
     "stream_ivf_index_incremental",  # maintained ANN index + fold
     "multimodal_au_g711_decode",  # real AU/G.711 codec mapInPandas
     "multimodal_pnm_decode",     # real netpbm codec mapInPandas
+    "stream_kmv_compacted",      # KMV sketch across the fold
 ]
 
 
@@ -267,6 +268,7 @@ EXPECT_SUMMARY_ROWS = {
     "page_trend_test_segments": 1,   # single stats row (NULL z)
     "bloom_filter_fp_audit": 1,      # single audit row (0 members)
     "jonckheere_terpstra_priority": 1,  # single stats row (NULL z)
+    "stream_kmv_compacted": 1,       # single sketch row (k_used 0)
 }
 
 
