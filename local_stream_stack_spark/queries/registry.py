@@ -53,6 +53,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "basket_lift_pairs",
         "benford_first_digit",
         "blocklist_filter_stats",
+        "bloom_filter_fp_audit",
         "bm25_rank",
         "bm25_topk_docs",
         "boilerplate_ngrams",
@@ -67,7 +68,9 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "chisq_lang_source",
         "chunk_documents",
         "clean_text_scrub",
+        "clustering_coefficient_nodes",
         "cms_heavy_hitters",
+        "cochran_q_daily",
         "cohens_d_urgent_price",
         "cohort_retention",
         "cohort_retention_matrix",
@@ -121,6 +124,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "doc_novelty_scores",
         "dpp_partitioned_lang_join",
         "dq_expectations_orders",
+        "durbin_watson_daily_revenue",
         "embedding_centroid_separation",
         "embedding_dim_variance_audit",
         "embedding_matryoshka_mass",
@@ -168,6 +172,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "join_salted_skew",
         "join_semi",
         "join_shuffle_hash_hint",
+        "jonckheere_terpstra_priority",
         "js_divergence_sources",
         "json_funcs",
         "json_roundtrip_orders",
@@ -182,11 +187,14 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "kruskal_wallis_priority",
         "ks_test_urgent_price",
         "label_centroids",
+        "label_propagation_communities",
         "lang_id",
         "lang_id_confusion",
         "latest_per_key",
         "levene_brown_forsythe_segments",
+        "ljung_box_daily_revenue",
         "mad_outliers",
+        "mann_kendall_trend_daily",
         "mann_whitney_priority",
         "map_explode_customer",
         "markov_next_event_accuracy",
@@ -195,6 +203,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "minhash_calibration",
         "mmr_diversified_topk",
         "mojibake_encoding_audit",
+        "multimodal_au_g711_decode",
         "multimodal_binary_meta",
         "multimodal_bmp_decode",
         "multimodal_features",
@@ -202,8 +211,12 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "multimodal_gif_decode",
         "multimodal_ico_decode",
         "multimodal_jpeg_decode",
+        "multimodal_midi_decode",
+        "multimodal_pcx_decode",
         "multimodal_png_decode",
+        "multimodal_pnm_decode",
         "multimodal_qoi_decode",
+        "multimodal_tga_decode",
         "multimodal_video_frames",
         "multimodal_wav_decode",
         "mutual_info_lang_source",
@@ -214,6 +227,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "orders_backlog_aging",
         "orders_monthly_yoy",
         "pack_documents",
+        "page_trend_test_segments",
         "pagerank_copurchase",
         "partitioned_roundtrip_docs",
         "percentile_stats",
@@ -225,6 +239,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "pipeline_yaml_batch",
         "pipeline_yaml_enrich_agg",
         "pivot_returnflag",
+        "pl2_topk_docs",
         "price_decile_assign",
         "profile_columns",
         "projection_cast",
@@ -313,6 +328,8 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "stratified_sample_exact",
         "stratified_sample_sources",
         "stream_aggregate_view",
+        "stream_aggregate_view_compacted",
+        "stream_bm25_compacted",
         "stream_bm25_incremental",
         "stream_cms_heavy_hitters_incremental",
         "stream_corpus_card_incremental",
@@ -321,10 +338,15 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "stream_embedding_centroids_incremental",
         "stream_histogram_quantiles_incremental",
         "stream_ingest_dedup",
+        "stream_ingest_dedup_compacted",
         "stream_ingest_neardup",
+        "stream_ingest_neardup_compacted",
         "stream_ingest_neardup_tws",
         "stream_interval_join",
         "stream_interval_join_outer",
+        "stream_ivf_index_incremental",
+        "stream_join_enriched_incremental",
+        "stream_kmv_compacted",
         "stream_kmv_distinct_incremental",
         "stream_latest_per_key",
         "stream_parquet_sink",
@@ -347,6 +369,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "supplier_pareto_abc",
         "table_fingerprint_orders",
         "text_stats",
+        "tfidf_cosine_topk",
         "tfidf_top_terms",
         "theil_sen_daily_revenue",
         "time_weighted_avg",
@@ -391,33 +414,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
     }
 )
 
-NEW_THIS_ROUND: frozenset[str] = frozenset(
-    {
-        "stream_bm25_compacted",
-        "stream_ingest_dedup_compacted",
-        "stream_join_enriched_incremental",
-        "stream_aggregate_view_compacted",
-        "mann_kendall_trend_daily",
-        "durbin_watson_daily_revenue",
-        "ljung_box_daily_revenue",
-        "cochran_q_daily",
-        "page_trend_test_segments",
-        "bloom_filter_fp_audit",
-        "tfidf_cosine_topk",
-        "clustering_coefficient_nodes",
-        "multimodal_tga_decode",
-        "multimodal_pcx_decode",
-        "stream_ingest_neardup_compacted",
-        "jonckheere_terpstra_priority",
-        "pl2_topk_docs",
-        "label_propagation_communities",
-        "multimodal_midi_decode",
-        "stream_ivf_index_incremental",
-        "multimodal_au_g711_decode",
-        "multimodal_pnm_decode",
-        "stream_kmv_compacted",
-    }
-)
+NEW_THIS_ROUND: frozenset[str] = frozenset()
 
 # Queries whose defining file was git-modified AFTER the round that
 # recorded their last green driver row (VERDICT r5 "What's wrong" #2:
