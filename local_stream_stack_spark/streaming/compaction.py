@@ -175,6 +175,7 @@ def read_family(
     family: str = "",
     with_epoch: bool = False,
     bucket_in: list[int] | None = None,
+    snapshot: tuple | None = None,
 ) -> DataFrame | None:
     """Current contents of one store family: the latest committed
     generation (if any) unioned with the live epoch directories newer
@@ -188,16 +189,31 @@ def read_family(
     lookup reads only the buckets that can contain its terms); live
     epochs are never bucketed and are read in full.
 
+    ``snapshot`` is a ``(gen, manifest)`` pair from a single
+    :func:`latest_generation` call; a reader assembling SEVERAL
+    families of one store resolves the manifest once and threads the
+    snapshot through so a compaction committing mid-assembly can't mix
+    generations across families (ADVICE r11).
+
+    A store with no manifest but an ``__epoch=-1`` directory is a
+    legacy pre-generation base: ``-1`` counts as a live epoch until a
+    fold has recorded it (the ``-2`` sentinel below), so legacy bases
+    stay visible (ADVICE r11).
+
     Returns ``None`` when the family has no data at all.
     """
     fpath = _family_path(store_path, family)
-    gen, manifest = latest_generation(spark, store_path)
-    fold_max = -1
+    gen, manifest = (
+        latest_generation(spark, store_path) if snapshot is None else snapshot
+    )
+    fold_max = -2
     parts: list[DataFrame] = []
     if gen is not None and family in manifest["families"]:
         fam_meta = manifest["families"][family]
         fold_max = int(fam_meta["fold_max"])
-        gen_dir = f"{fpath}/__gen={gen}"
+        # carried-forward families (folded by an earlier generation,
+        # untouched since) point at their own __gen dir
+        gen_dir = f"{fpath}/__gen={int(fam_meta.get('gen', gen))}"
         if fam_meta.get("n_buckets"):
             # only non-empty buckets exist as directories (an all-empty
             # fold writes none); prune the request to what's on disk so
@@ -273,20 +289,47 @@ def compact_store(
     the generation already holds its rows, and the resolver ignores
     its rewritten directory).
 
+    Safety properties (each closing an ADVICE r11 finding):
+
+    - epoch directories are listed ONCE per family and the vacuum
+      deletes exactly that listing — an epoch landing between fold
+      and vacuum (a micro-batch racing an ill-timed compaction) is
+      neither folded nor deleted, it just stays live for the next run;
+    - a legacy ``__epoch=-1`` base dir (pre-generation
+      ``compact_aggregate_view`` layout) is folded like any other
+      epoch on the first generation fold (``-2`` sentinel), never
+      silently dropped;
+    - families present in the previous manifest but NOT passed to this
+      call are carried forward verbatim (their ``__gen`` dirs are
+      untouched and the per-family ``gen`` pointer keeps resolving
+      them) — compacting a subset of families can't orphan the rest;
+    - superseded generation directories are vacuumed ONE CYCLE LATE
+      (recorded in the manifest's ``defer_vacuum``, deleted by the
+      NEXT compaction): a reader that planned its scan against the
+      previous generation gets a grace window instead of a mid-query
+      FileNotFound.
+
     Returns the new generation id.
     """
     prev_gen, prev_manifest = latest_generation(spark, store_path)
     new_gen = 0 if prev_gen is None else prev_gen + 1
-    manifest: dict = {"gen": new_gen, "families": {}}
+    manifest: dict = {"gen": new_gen, "families": {}, "defer_vacuum": []}
     vacuum_targets: list[str] = []
+    if vacuum and prev_manifest:
+        # generation dirs superseded by the PREVIOUS fold have had
+        # their one-cycle grace window — delete them now
+        for path in prev_manifest.get("defer_vacuum", []):
+            _delete(spark, path)
     for family, spec in families.items():
         fpath = _family_path(store_path, family)
-        prev_fold_max = -1
+        # -2 sentinel: no fold point yet, so a legacy __epoch=-1 base
+        # participates in the fold
+        prev_fold_max = -2
         parts: list[DataFrame] = []
         if prev_gen is not None and family in prev_manifest["families"]:
             pm = prev_manifest["families"][family]
             prev_fold_max = int(pm["fold_max"])
-            prev_dir = f"{fpath}/__gen={prev_gen}"
+            prev_dir = f"{fpath}/__gen={int(pm.get('gen', prev_gen))}"
             pdf = (
                 spark.read.option("basePath", prev_dir)
                 .parquet(f"{prev_dir}/__bucket=*")
@@ -295,21 +338,24 @@ def compact_store(
                 else spark.read.parquet(prev_dir)
             )
             parts.append(pdf)
-            vacuum_targets.append(prev_dir)
-        epochs = [
-            e for e in _glob_epoch_ids(spark, fpath) if e > prev_fold_max
-        ]
+            if vacuum:
+                manifest["defer_vacuum"].append(prev_dir)
+        # ONE listing per family: the fold set and the vacuum set are
+        # computed from the same snapshot, so an epoch dir written
+        # after this line is untouched by this run
+        all_epochs = _glob_epoch_ids(spark, fpath)
+        epochs = [e for e in all_epochs if e > prev_fold_max]
         if epochs:
             parts.append(
                 spark.read.option("basePath", fpath)
                 .parquet(*[f"{fpath}/__epoch={e}" for e in epochs])
                 .drop("__epoch")
             )
-        # stale dirs at or below the previous fold point (crash between
-        # an earlier commit and its vacuum) are dead — clean them too
+        # every listed epoch is dead after this fold commits: either
+        # folded now (> prev_fold_max) or folded by an earlier
+        # generation whose vacuum never ran (crash window)
         vacuum_targets.extend(
-            f"{fpath}/__epoch={e}"
-            for e in _glob_epoch_ids(spark, fpath)
+            f"{fpath}/__epoch={e}" for e in all_epochs
         )
         if not parts:
             continue
@@ -334,9 +380,18 @@ def compact_store(
             df.coalesce(1).write.mode("overwrite").parquet(gen_dir)
         manifest["families"][family] = {
             "fold_max": max(epochs) if epochs else prev_fold_max,
+            "gen": new_gen,
             "n_buckets": n_buckets if bucket_col else 0,
             "bucket_col": bucket_col,
         }
+    if prev_manifest:
+        # carry forward families folded by earlier generations but not
+        # re-folded here — their data stays in their own __gen dirs
+        for fam, pm in prev_manifest["families"].items():
+            if fam not in manifest["families"]:
+                carried = dict(pm)
+                carried["gen"] = int(pm.get("gen", prev_gen))
+                manifest["families"][fam] = carried
     _atomic_write_json(
         spark,
         store_path.rstrip("/") + "/" + _GEN_DIR,

@@ -1552,9 +1552,12 @@ def maintain_join_view_stream_parquet(
         ).select(*rcols)
         from local_stream_stack_spark.streaming import compaction
 
+        # one manifest resolution for both side families (ADVICE r11)
+        snap = compaction.latest_generation(spark, store_path)
+
         def _old(family: str) -> DataFrame | None:
             old = compaction.read_family(
-                spark, store_path, family, with_epoch=True
+                spark, store_path, family, with_epoch=True, snapshot=snap
             )
             if old is None:
                 return None
@@ -1717,13 +1720,23 @@ def read_bm25_index_topk(
     scan prunes to the term-bucket directories of the query terms —
     the driver collects the (bounded, ``n_query_terms``-sized) term
     list, recomputes each term's CRC32 bucket, and reads only those
-    ``__bucket=`` dirs instead of every epoch's postings."""
+    ``__bucket=`` dirs instead of every epoch's postings.
+
+    The generation manifest is resolved ONCE and the ``(gen,
+    manifest)`` snapshot threaded through every family read — a
+    compaction committing mid-assembly can't mix generations across
+    families (ADVICE r11), and compaction's one-cycle deferred vacuum
+    keeps the snapshot's directories alive for the read."""
     import zlib
 
     from local_stream_stack_spark.streaming import compaction
 
+    snap = compaction.latest_generation(spark, store_path)
+
     def _fam(name: str, **kw) -> DataFrame:
-        df = compaction.read_family(spark, store_path, name, **kw)
+        df = compaction.read_family(
+            spark, store_path, name, snapshot=snap, **kw
+        )
         if df is None:
             raise FileNotFoundError(
                 f"BM25 store family {name!r} empty at {store_path}"
@@ -1746,7 +1759,7 @@ def read_bm25_index_topk(
     qterms = termdf.orderBy(F.desc("df"), F.asc("tok")).limit(
         n_query_terms
     )
-    gen, manifest = compaction.latest_generation(spark, store_path)
+    gen, manifest = snap
     post_meta = (
         manifest["families"].get("postings", {}) if gen is not None else {}
     )
@@ -2032,8 +2045,11 @@ def read_ivf_index_topk(
             * F.lit(1000000.0)
         ).cast("bigint")
 
-    vecs = compaction.read_family(spark, store_path, "vecs")
-    csum = compaction.read_family(spark, store_path, "csum")
+    # one manifest resolution for both families (ADVICE r11: a
+    # compaction committing between the reads must not mix generations)
+    snap = compaction.latest_generation(spark, store_path)
+    vecs = compaction.read_family(spark, store_path, "vecs", snapshot=snap)
+    csum = compaction.read_family(spark, store_path, "csum", snapshot=snap)
     if vecs is None or csum is None:
         raise FileNotFoundError(f"empty IVF index at {store_path}")
     cent = (

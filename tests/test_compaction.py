@@ -130,14 +130,22 @@ def test_bm25_post_compaction_epochs_fold_into_next_generation(
     want = read_bm25_index_topk(spark, ref_store, k=20).collect()
     assert [tuple(r) for r in live] == [tuple(r) for r in want]
 
-    # second compaction folds gen 0 + the new epoch into gen 1
+    # second compaction folds gen 0 + the new epoch into gen 1; gen 0's
+    # directories get a ONE-CYCLE grace window (an in-flight reader that
+    # planned its scan against gen 0 must not FileNotFound mid-query,
+    # ADVICE r11) and are vacuumed by the NEXT compaction
     gen = compact_bm25_index(spark, store, n_buckets=4)
     assert gen == 1
     again = read_bm25_index_topk(spark, store, k=20).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in want]
     import os
 
+    assert os.path.isdir(f"{store}/postings/__gen=0")
+    gen = compact_bm25_index(spark, store, n_buckets=4)
+    assert gen == 2
     assert not os.path.isdir(f"{store}/postings/__gen=0")
+    final = read_bm25_index_topk(spark, store, k=20).collect()
+    assert [tuple(r) for r in final] == [tuple(r) for r in want]
 
 
 def test_compaction_without_vacuum_never_double_counts(spark, tmp_path):
@@ -378,3 +386,154 @@ def test_kmv_view_compaction_is_lossless(spark, tmp_path):
         q.stop()
     want = read_kmv_view(spark, rview, k=16).collect()[0]
     assert tuple(live) == tuple(want)
+
+
+def test_legacy_epoch_minus_one_base_is_read_and_folded(spark, tmp_path):
+    """ADVICE r11: a pre-generation store whose old compactor wrote its
+    base as ``__epoch=-1`` must stay visible to the manifest reader
+    (no manifest -> -1 is live state) and must be FOLDED — not
+    vacuumed unfolded — by the first generation compaction."""
+    from local_stream_stack_spark.streaming.compaction import compact_store
+    from local_stream_stack_spark.streaming.ops import read_aggregate_view
+
+    store = str(tmp_path / "legacy")
+    spark.createDataFrame(
+        [("a", 10), ("b", 5)], "k string, n_rows long"
+    ).coalesce(1).write.parquet(f"{store}/__epoch=-1")
+    spark.createDataFrame(
+        [("a", 1), ("c", 2)], "k string, n_rows long"
+    ).coalesce(1).write.parquet(f"{store}/__epoch=3")
+
+    want = {("a", 11), ("b", 5), ("c", 2)}
+
+    def totals():
+        return {
+            tuple(r) for r in read_aggregate_view(spark, store).collect()
+        }
+
+    assert totals() == want
+
+    def fold(df):
+        return df.groupBy("k").agg(F.sum("n_rows").alias("n_rows"))
+
+    compact_store(spark, store, {"": {"fold": fold}})
+    import os
+
+    # the legacy base was folded into the generation, then vacuumed
+    assert not os.path.isdir(f"{store}/__epoch=-1")
+    assert not os.path.isdir(f"{store}/__epoch=3")
+    assert totals() == want
+
+
+def test_vacuum_only_deletes_the_epochs_this_run_listed(spark, tmp_path):
+    """ADVICE r11: an epoch directory appearing AFTER the compactor's
+    listing (a racing micro-batch) must survive the vacuum un-folded.
+    Simulated by monkeypatching the lister to hide the late epoch."""
+    from local_stream_stack_spark.streaming import compaction
+
+    store = str(tmp_path / "race")
+    spark.createDataFrame(
+        [("a", 1)], "k string, n_rows long"
+    ).coalesce(1).write.parquet(f"{store}/__epoch=0")
+    spark.createDataFrame(
+        [("a", 7)], "k string, n_rows long"
+    ).coalesce(1).write.parquet(f"{store}/__epoch=1")
+
+    real = compaction._glob_epoch_ids
+
+    def hide_late(spark_, fpath):
+        return [e for e in real(spark_, fpath) if e != 1]
+
+    compaction._glob_epoch_ids = hide_late
+    try:
+        compaction.compact_store(
+            spark,
+            store,
+            {"": {"fold": lambda df: df.groupBy("k").agg(
+                F.sum("n_rows").alias("n_rows"))}},
+        )
+    finally:
+        compaction._glob_epoch_ids = real
+    import os
+
+    # epoch 1 landed "after the listing": not folded, NOT deleted
+    assert os.path.isdir(f"{store}/__epoch=1")
+    assert not os.path.isdir(f"{store}/__epoch=0")
+    from local_stream_stack_spark.streaming.ops import read_aggregate_view
+
+    got = {tuple(r) for r in read_aggregate_view(spark, store).collect()}
+    assert got == {("a", 8)}
+
+
+def test_subset_family_compaction_carries_others_forward(spark, tmp_path):
+    """ADVICE r11: folding a SUBSET of a store's families must not
+    orphan the families folded by an earlier generation — their
+    manifest entries (and __gen dirs) carry forward."""
+    from local_stream_stack_spark.streaming.compaction import (
+        compact_store,
+        read_family,
+    )
+
+    store = str(tmp_path / "multi")
+    spark.createDataFrame(
+        [("x", 1)], "k string, v long"
+    ).coalesce(1).write.parquet(f"{store}/fam_a/__epoch=0")
+    spark.createDataFrame(
+        [("y", 2)], "k string, v long"
+    ).coalesce(1).write.parquet(f"{store}/fam_b/__epoch=0")
+
+    compact_store(spark, store, {"fam_a": {}, "fam_b": {}})
+    # second compaction touches only fam_a
+    spark.createDataFrame(
+        [("x", 3)], "k string, v long"
+    ).coalesce(1).write.parquet(f"{store}/fam_a/__epoch=1")
+    compact_store(spark, store, {"fam_a": {}})
+
+    a = {tuple(r) for r in read_family(spark, store, "fam_a").collect()}
+    b = {tuple(r) for r in read_family(spark, store, "fam_b").collect()}
+    assert a == {("x", 1), ("x", 3)}
+    assert b == {("y", 2)}  # fam_b survived the subset fold
+
+    # and a third fold touching only fam_a STILL must not vacuum
+    # fam_b's carried generation directory
+    compact_store(spark, store, {"fam_a": {}})
+    b2 = {tuple(r) for r in read_family(spark, store, "fam_b").collect()}
+    assert b2 == {("y", 2)}
+
+
+def test_read_family_snapshot_pins_generation(spark, tmp_path):
+    """ADVICE r11: a reader threading one (gen, manifest) snapshot
+    through several family reads keeps resolving that generation even
+    after a new one commits (the one-cycle vacuum grace keeps its
+    directories alive)."""
+    from local_stream_stack_spark.streaming.compaction import (
+        compact_store,
+        latest_generation,
+        read_family,
+    )
+
+    store = str(tmp_path / "snap")
+    spark.createDataFrame(
+        [("x", 1)], "k string, v long"
+    ).coalesce(1).write.parquet(f"{store}/fam/__epoch=0")
+    compact_store(spark, store, {"fam": {}})
+
+    snap = latest_generation(spark, store)
+    assert snap[0] == 0
+
+    spark.createDataFrame(
+        [("x", 9)], "k string, v long"
+    ).coalesce(1).write.parquet(f"{store}/fam/__epoch=1")
+    compact_store(spark, store, {"fam": {}})  # gen 1 commits mid-read
+
+    pinned = {
+        tuple(r)
+        for r in read_family(spark, store, "fam", snapshot=snap).collect()
+    }
+    # gen 0 plus the (not-yet-folded-at-snapshot-time) epoch 1 — NOT
+    # gen 1's refold; the grace window kept __gen=0 on disk
+    assert ("x", 1) in pinned
+    fresh = {
+        tuple(r) for r in read_family(spark, store, "fam").collect()
+    }
+    assert fresh == {("x", 1), ("x", 9)}
