@@ -60,3 +60,52 @@ def test_bench_stdout_is_single_json_line_with_streaming_query(tmp_path):
     assert "worst5_vs_gate_v3" in payload
     # the streaming entry ran (it's in the headline tier)
     assert "stream_tumbling_counts" in payload["queries"]
+
+
+def test_subset_bench_never_clobbers_full_detail_artifact():
+    """VERDICT r11 #3: a subset run (SPARK_GRAFT_BENCH_QUERIES set,
+    no explicit detail path) writes BENCH_DETAIL.partial.json and
+    leaves the full-run BENCH_DETAIL.json artifact untouched. The
+    retry pass is exercised in the same subprocess (retry thresholds
+    forced to zero so every measured entry is a candidate) — the
+    detail JSON records the candidates and the compact line reports
+    n_retried (VERDICT r11 #2)."""
+    full = os.path.join(ROOT, "BENCH_DETAIL.json")
+    partial = os.path.join(ROOT, "BENCH_DETAIL.partial.json")
+    before = open(full, "rb").read() if os.path.exists(full) else None
+    if os.path.exists(partial):
+        os.remove(partial)
+    env = dict(os.environ)
+    env.pop("SPARK_GRAFT_BENCH_DETAIL", None)
+    env.update(
+        {
+            "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
+            "SPARK_GRAFT_BENCH_RUNS": "1",
+            "SPARK_GRAFT_BENCH_QUERIES": "q1_pricing_summary,q6_forecast_revenue",
+            "SPARK_GRAFT_CPUS": "4",
+            "SPARK_GRAFT_BENCH_RETRY_RATIO": "0.0001",
+            "SPARK_GRAFT_BENCH_RETRY_FLOOR": "-1000",
+        }
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=ROOT,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    after = open(full, "rb").read() if os.path.exists(full) else None
+    assert after == before, "subset run clobbered BENCH_DETAIL.json"
+    assert os.path.exists(partial), "subset run wrote no partial detail"
+    detail = json.load(open(partial))
+    assert set(detail["retry_candidates"]) == {
+        "q1_pricing_summary",
+        "q6_forecast_revenue",
+    }
+    payload = json.loads(
+        [l for l in proc.stdout.splitlines() if l.strip()][0]
+    )
+    assert "n_retried" in payload
+    os.remove(partial)
