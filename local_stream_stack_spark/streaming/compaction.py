@@ -404,6 +404,43 @@ def compact_store(
     return new_gen
 
 
+def auto_compact_if_due(
+    spark,
+    store_path: str,
+    every_n: int | None,
+    compactor,
+    probe_family: str = "",
+):
+    """Auto-compaction trigger policy (VERDICT r11 #4): invoke
+    ``compactor`` (a zero-arg callable wrapping the store's fold) once
+    the probe family's LIVE epoch count — epoch dirs beyond the latest
+    generation's fold point — reaches ``every_n``.
+
+    The maintained-view writers call this at the END of their
+    ``foreachBatch`` fold: between micro-batches the stream is by
+    construction not admitting, which is exactly the stream-idle
+    window ``compact_store`` asks for, so a deployment gets bounded
+    live-epoch counts without an operator cron. Crash safety is the
+    fold's own: a crash after the fold but before the batch's
+    checkpoint commit replays the folded epoch, which re-admits
+    nothing against the generation and rewrites a directory the
+    resolver ignores.
+
+    Returns the new generation id when a fold ran, else ``None``.
+    """
+    if not every_n or every_n <= 0:
+        return None
+    gen, manifest = latest_generation(spark, store_path)
+    fold_max = -2
+    if gen is not None and probe_family in manifest["families"]:
+        fold_max = int(manifest["families"][probe_family]["fold_max"])
+    fpath = _family_path(store_path, probe_family)
+    live = [e for e in _glob_epoch_ids(spark, fpath) if e > fold_max]
+    if len(live) >= every_n:
+        return compactor()
+    return None
+
+
 # --------------------------------------------------------------------------
 # Store-specific wrappers
 # --------------------------------------------------------------------------

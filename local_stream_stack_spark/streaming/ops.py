@@ -443,6 +443,7 @@ def aggregate_view_stream_parquet(
     sum_cols: Sequence[str],
     target_path: str,
     checkpoint_location: str,
+    compact_every_n_epochs: int | None = None,
 ):
     """Incremental view maintenance for additive aggregates: keep a
     per-key (count, sums...) view of a stream as parquet epoch deltas,
@@ -460,6 +461,11 @@ def aggregate_view_stream_parquet(
     accumulated deltas into one base epoch when the directory count
     grows. min/max are not subtractable — use the compaction view for
     those; avg derives from (sum, count).
+
+    ``compact_every_n_epochs`` turns the fold on automatically: when
+    the live-epoch count reaches N the writer folds OFF the admit path
+    (between micro-batches — the stream-idle window the compactor
+    asks for), bounding read fan-in without an operator cron.
     """
     key_list = list(keys)
     sums = list(sum_cols)
@@ -474,6 +480,16 @@ def aggregate_view_stream_parquet(
             .write.mode("overwrite")
             .parquet(f"{target_path}/__epoch={epoch_id}")
         )
+        if compact_every_n_epochs:
+            from local_stream_stack_spark.streaming import compaction
+
+            spark = batch_df.sparkSession
+            compaction.auto_compact_if_due(
+                spark,
+                target_path,
+                compact_every_n_epochs,
+                lambda: compact_aggregate_view(spark, target_path),
+            )
 
     return (
         df.writeStream.outputMode("update")
@@ -719,6 +735,8 @@ def ingest_dedup_stream_parquet(
     order_col: str,
     store_path: str,
     checkpoint_location: str,
+    compact_every_n_epochs: int | None = None,
+    compact_n_buckets: int = 16,
 ):
     """Streaming ingestion dedup against a PERSISTENT fingerprint
     store — the crawl-pipeline pattern: every micro-batch of incoming
@@ -791,6 +809,20 @@ def ingest_dedup_stream_parquet(
             .write.mode("overwrite")
             .parquet(f"{store_path}/__epoch={epoch_id}")
         )
+        if compact_every_n_epochs:
+            from local_stream_stack_spark.streaming import compaction
+
+            compaction.auto_compact_if_due(
+                spark,
+                store_path,
+                compact_every_n_epochs,
+                lambda: compaction.compact_ingest_store(
+                    spark,
+                    store_path,
+                    fp_col=fp_col,
+                    n_buckets=compact_n_buckets,
+                ),
+            )
 
     return (
         df.writeStream.outputMode("append")
@@ -858,6 +890,9 @@ def ingest_neardup_stream_parquet(
     shingle_k: int = 3,
     shingle: str = "word",
     portable: bool = False,
+
+    compact_every_n_epochs: int | None = None,
+    compact_n_buckets: int = 16,
 ):
     """Streaming NEAR-dup ingestion: the MinHash-band twin of
     ``ingest_dedup_stream_parquet``. Each micro-batch computes MinHash
@@ -970,6 +1005,19 @@ def ingest_neardup_stream_parquet(
         ).coalesce(1).sortWithinPartitions("band", "bh").write.mode(
             "overwrite"
         ).parquet(f"{store_path}/keys/__epoch={epoch_id}")
+        if compact_every_n_epochs:
+            compaction.auto_compact_if_due(
+                spark,
+                store_path,
+                compact_every_n_epochs,
+                lambda: compaction.compact_neardup_store(
+                    spark,
+                    store_path,
+                    id_col=id_col,
+                    n_buckets=compact_n_buckets,
+                ),
+                probe_family="rows",
+            )
 
     return (
         df.writeStream.outputMode("append")
@@ -1422,6 +1470,7 @@ def kmv_view_stream_parquet(
     target_path: str,
     checkpoint_location: str,
     k: int = 64,
+    compact_every_n_epochs: int | None = None,
 ):
     """Incremental maintenance of a K-minimum-values cardinality
     sketch: each micro-batch writes ITS OWN k-smallest distinct
@@ -1450,6 +1499,16 @@ def kmv_view_stream_parquet(
             .write.mode("overwrite")
             .parquet(f"{target_path}/__epoch={epoch_id}")
         )
+        if compact_every_n_epochs:
+            from local_stream_stack_spark.streaming import compaction
+
+            spark = batch_df.sparkSession
+            compaction.auto_compact_if_due(
+                spark,
+                target_path,
+                compact_every_n_epochs,
+                lambda: compact_kmv_view(spark, target_path, k=k),
+            )
 
     return (
         df.writeStream.outputMode("append")
@@ -1510,6 +1569,9 @@ def maintain_join_view_stream_parquet(
     on: Sequence[str],
     store_path: str,
     checkpoint_location: str,
+
+    compact_every_n_epochs: int | None = None,
+    compact_n_buckets: int = 16,
 ):
     """Incrementally MAINTAIN an equi-JOIN view as BOTH relations
     stream in — the denormalized feature table every training-data
@@ -1584,6 +1646,19 @@ def maintain_join_view_stream_parquet(
         d_right.coalesce(1).write.mode("overwrite").parquet(
             f"{store_path}/right/__epoch={epoch_id}"
         )
+        if compact_every_n_epochs:
+            compaction.auto_compact_if_due(
+                spark,
+                store_path,
+                compact_every_n_epochs,
+                lambda: compact_join_view(
+                    spark,
+                    store_path,
+                    key=list(on)[0],
+                    n_buckets=compact_n_buckets,
+                ),
+                probe_family="view",
+            )
 
     return (
         df.writeStream.outputMode("append")
@@ -1629,6 +1704,8 @@ def maintain_bm25_index_stream_parquet(
     text_col: str,
     store_path: str,
     checkpoint_location: str,
+    compact_every_n_epochs: int | None = None,
+    compact_n_buckets: int = 16,
 ):
     """Incrementally MAINTAIN a BM25 inverted index as documents
     stream in — the maintained-view shape a 100 TB corpus actually
@@ -1691,6 +1768,22 @@ def maintain_bm25_index_stream_parquet(
         ).na.fill(0).coalesce(1).write.mode("overwrite").parquet(
             f"{store_path}/corpus/__epoch={epoch_id}"
         )
+        if compact_every_n_epochs:
+            from local_stream_stack_spark.streaming import compaction
+
+            spark = batch_df.sparkSession
+            compaction.auto_compact_if_due(
+                spark,
+                store_path,
+                compact_every_n_epochs,
+                lambda: compaction.compact_bm25_index(
+                    spark,
+                    store_path,
+                    id_col=id_col,
+                    n_buckets=compact_n_buckets,
+                ),
+                probe_family="postings",
+            )
 
     return (
         df.writeStream.outputMode("append")
@@ -1936,6 +2029,8 @@ def maintain_ivf_index_stream_parquet(
     vec_col: str,
     store_path: str,
     checkpoint_location: str,
+    compact_every_n_epochs: int | None = None,
+    compact_n_buckets: int = 16,
 ):
     """Incrementally MAINTAIN an IVF (inverted-file) ANN index as
     embeddings stream in — the vector-search twin of the maintained
@@ -1982,6 +2077,19 @@ def maintain_ivf_index_stream_parquet(
             .write.mode("overwrite")
             .parquet(f"{store_path}/csum/__epoch={epoch_id}")
         )
+        if compact_every_n_epochs:
+            from local_stream_stack_spark.streaming import compaction
+
+            spark = batch_df.sparkSession
+            compaction.auto_compact_if_due(
+                spark,
+                store_path,
+                compact_every_n_epochs,
+                lambda: compact_ivf_index(
+                    spark, store_path, n_buckets=compact_n_buckets
+                ),
+                probe_family="vecs",
+            )
 
     return (
         df.writeStream.outputMode("append")
