@@ -5904,3 +5904,684 @@ def jonckheere_terpstra_priority(
             ).alias("z_e6"),
         )
     )
+
+
+@query(
+    "sign_test_daily_revenue",
+    oracle="""
+    WITH days AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS di,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT b.rev_c - a.rev_c AS dx
+      FROM days a JOIN days b ON b.di = a.di + 1
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN dx <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nonzero,
+             CAST(SUM(CASE WHEN dx > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS s_pos
+      FROM pairs
+    )
+    SELECT n_pairs, n_nonzero, s_pos,
+           CASE WHEN n_nonzero > 0 THEN
+             CAST(FLOOR(
+               (2.0 * s_pos - n_nonzero)
+               / SQRT(CAST(n_nonzero AS DOUBLE))
+               * 1e6 + 0.5) AS BIGINT)
+           END AS z_e6
+    FROM agg
+    """,
+)
+def sign_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign test on day-over-day revenue — the distribution-free
+    sibling of the Wilcoxon pair: under H0 (no drift) tomorrow is as
+    likely up as down, so S = #(up) among the nonzero consecutive-day
+    diffs is Binomial(n, 1/2) and z = (2S − n)/√n. Consecutive days
+    pair by an EQUI-join on di+1 (day-grain collapse first, so the
+    join is calendar-bounded and broadcastable — no ordered global
+    window, no LAG over an unpartitioned frame); counts are exact
+    integers and z is one double tree rounded once to e6."""
+    o = _t(spark, sf_dir, "orders")
+    days = o.groupBy(
+        F.unix_date(F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("di")
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    nxt = days.select(
+        (F.col("di") - 1).alias("di"), F.col("rev_c").alias("rev_next")
+    )
+    pairs = days.join(F.broadcast(nxt), "di").select(
+        (F.col("rev_next") - F.col("rev_c")).alias("dx")
+    )
+    return pairs.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum(F.expr("CASE WHEN dx <> 0 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_nonzero"),
+        F.sum(F.expr("CASE WHEN dx > 0 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("s_pos"),
+    ).select(
+        "n_pairs",
+        "n_nonzero",
+        "s_pos",
+        F.expr(
+            """CASE WHEN n_nonzero > 0 THEN
+                 CAST(FLOOR(
+                   (2.0 * s_pos - n_nonzero)
+                   / SQRT(CAST(n_nonzero AS DOUBLE))
+                   * 1e6 + 0.5) AS BIGINT)
+               END"""
+        ).alias("z_e6"),
+    )
+
+
+@query(
+    "grubbs_outlier_daily",
+    oracle="""
+    WITH days AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS di,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rev_c) AS HUGEINT) AS s,
+             CAST(SUM(CAST(rev_c AS HUGEINT) * rev_c) AS HUGEINT) AS q
+      FROM days
+    ),
+    dev AS (
+      SELECT d.di, d.rev_c,
+             ABS(CAST(m.n AS HUGEINT) * d.rev_c - m.s) AS dev_n
+      FROM days d CROSS JOIN mom m
+    ),
+    top AS (
+      SELECT di, rev_c, dev_n FROM dev
+      ORDER BY dev_n DESC, di LIMIT 1
+    )
+    SELECT m.n AS n_days,
+           t.di AS argmax_day,
+           t.rev_c AS argmax_rev_c,
+           CASE WHEN m.n > 1
+                 AND CAST(m.n AS DOUBLE) * CAST(m.q AS DOUBLE)
+                     - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE) > 0 THEN
+             CAST(FLOOR(
+               CAST(t.dev_n AS DOUBLE)
+               / (CAST(m.n AS DOUBLE)
+                  * SQRT((CAST(m.n AS DOUBLE) * CAST(m.q AS DOUBLE)
+                          - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE))
+                         / (CAST(m.n AS DOUBLE) * (m.n - 1.0))))
+               * 1e6 + 0.5) AS BIGINT)
+           END AS g_e6
+    FROM mom m CROSS JOIN top t
+    """,
+)
+def grubbs_outlier_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' outlier statistic on daily revenue: G = max|x − x̄|/s,
+    plus WHICH day attains it — the screening step before dropping a
+    spike day from a trend fit. The deviation is kept integer-exact as
+    |n·x_i − Σx| (scaled by n, so no double mean enters the argmax;
+    ties break to the earliest day) and only the final G is one double
+    tree — max_dev/(n·s) with s from the exact integer moments — 
+    rounded once to e6. Scale: day-grain collapse, one broadcast of
+    the 3-number moment row, TakeOrderedAndProject(1) for the argmax."""
+    o = _t(spark, sf_dir, "orders")
+    days = o.groupBy(
+        F.unix_date(F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("di")
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    mom = days.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("rev_c").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.col("rev_c").cast("decimal(38,0)")
+            * F.col("rev_c").cast("decimal(38,0)")
+        ).alias("q"),
+    )
+    top = (
+        days.crossJoin(F.broadcast(mom))
+        .select(
+            "di",
+            "rev_c",
+            "n",
+            "s",
+            "q",
+            F.expr(
+                "ABS(CAST(n AS DECIMAL(38,0)) * rev_c - s)"
+            ).alias("dev_n"),
+        )
+        .orderBy(F.desc("dev_n"), F.asc("di"))
+        .limit(1)
+    )
+    return top.select(
+        F.col("n").alias("n_days"),
+        F.col("di").alias("argmax_day"),
+        F.col("rev_c").alias("argmax_rev_c"),
+        F.expr(
+            """CASE WHEN n > 1
+                     AND CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) > 0 THEN
+                 CAST(FLOOR(
+                   CAST(dev_n AS DOUBLE)
+                   / (CAST(n AS DOUBLE)
+                      * SQRT((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                             / (CAST(n AS DOUBLE) * (n - 1.0))))
+                   * 1e6 + 0.5) AS BIGINT)
+               END"""
+        ).alias("g_e6"),
+    )
+
+
+@query(
+    "moods_median_priority",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderpriority AS prio,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    med AS (
+      SELECT CAST(ROUND(2.0 * quantile_cont(CAST(cents AS DOUBLE), 0.5))
+                  AS BIGINT) AS m2
+      FROM o
+    ),
+    cls AS (
+      SELECT prio,
+             CAST(SUM(CASE WHEN 2 * cents > m.m2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN 2 * cents < m.m2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b
+      FROM o CROSS JOIN med m
+      GROUP BY prio, m.m2
+    ),
+    tot AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS ta,
+             CAST(SUM(b) AS BIGINT) AS tb,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM cls
+    ),
+    contrib AS (
+      SELECT CAST(FLOOR(
+               (POWER(c.a - (c.a + c.b) * CAST(t.ta AS DOUBLE)
+                              / (t.ta + t.tb), 2)
+                / ((c.a + c.b) * CAST(t.ta AS DOUBLE) / (t.ta + t.tb))
+                + POWER(c.b - (c.a + c.b) * CAST(t.tb AS DOUBLE)
+                                / (t.ta + t.tb), 2)
+                  / ((c.a + c.b) * CAST(t.tb AS DOUBLE) / (t.ta + t.tb)))
+               * 1e6 + 0.5) AS BIGINT) AS c_e6
+      FROM cls c CROSS JOIN tot t
+    )
+    SELECT t.k, m.m2,
+           t.ta AS n_above, t.tb AS n_below,
+           (SELECT CAST(SUM(c_e6) AS BIGINT) FROM contrib) AS chi2_e6
+    FROM tot t CROSS JOIN med m
+    """,
+)
+def moods_median_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across the five order priorities: classify
+    every order as above/below the GRAND median price and chi-square
+    the k×2 table — the coarsest (and most outlier-proof) of the
+    k-sample location tests, the one a skew-heavy money column
+    actually wants. The doubled grand median (2·quantile_cont, an
+    exact integer since cents are fixed-point) comes from the
+    value-histogram quantile operator — shuffle bounded by distinct
+    cent values, never a global sort; equal-to-median rows drop on
+    both sides (the classic convention). Per-group chi-square
+    contributions are floored once to e6 integers so the k-row sum is
+    order-independent."""
+    from local_stream_stack_spark.operators.quantiles import (
+        exact_quantiles_by_value,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    med = exact_quantiles_by_value(
+        o, {"cents": [0.5]}, keys=[], out_cols={"cents": ["med"]}
+    ).select(
+        F.expr("CAST(ROUND(2.0 * med) AS BIGINT)").alias("m2")
+    )
+    cls = (
+        o.crossJoin(F.broadcast(med))
+        .groupBy("prio", "m2")
+        .agg(
+            F.sum(F.expr("CASE WHEN 2 * cents > m2 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("a"),
+            F.sum(F.expr("CASE WHEN 2 * cents < m2 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("b"),
+        )
+    )
+    tot = cls.agg(
+        F.sum("a").cast("bigint").alias("ta"),
+        F.sum("b").cast("bigint").alias("tb"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    chi2 = (
+        cls.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                """CAST(FLOOR(
+                     (POWER(a - (a + b) * CAST(ta AS DOUBLE)
+                                  / (ta + tb), 2)
+                      / ((a + b) * CAST(ta AS DOUBLE) / (ta + tb))
+                      + POWER(b - (a + b) * CAST(tb AS DOUBLE)
+                                    / (ta + tb), 2)
+                        / ((a + b) * CAST(tb AS DOUBLE) / (ta + tb)))
+                     * 1e6 + 0.5) AS BIGINT)"""
+            ).alias("c_e6")
+        )
+        .agg(F.sum("c_e6").cast("bigint").alias("chi2_e6"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(chi2))
+        .select(
+            "k",
+            "m2",
+            F.col("ta").alias("n_above"),
+            F.col("tb").alias("n_below"),
+            "chi2_e6",
+        )
+    )
+
+
+@query(
+    "bartlett_test_priority",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderpriority AS prio,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    g AS (
+      SELECT prio,
+             CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(cents) AS HUGEINT) AS s,
+             CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS q
+      FROM o GROUP BY prio
+    ),
+    pg AS (
+      SELECT prio, n_g,
+             (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                    / n_g) / (n_g - 1) AS s2
+      FROM g WHERE n_g > 1
+    ),
+    terms AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR((n_g - 1) * s2) AS BIGINT)) AS BIGINT)
+               AS w_sum,
+             CAST(SUM(CAST(FLOOR((n_g - 1) * LN(s2) * 1e9 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS lnterm_e9,
+             CAST(SUM(CAST(FLOOR(1e15 / (n_g - 1)) AS BIGINT)) AS BIGINT)
+               AS inv_e15
+      FROM pg
+    )
+    SELECT k, n,
+           CAST(FLOOR(
+             ((n - k) * LN(CAST(w_sum AS DOUBLE) / (n - k))
+              - CAST(lnterm_e9 AS DOUBLE) / 1e9)
+             / (1.0 + (CAST(inv_e15 AS DOUBLE) / 1e15
+                       - 1.0 / (n - k)) / (3.0 * (k - 1)))
+             * 1e6 + 0.5) AS BIGINT) AS t_e6
+    FROM terms
+    """,
+)
+def bartlett_test_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test for homogeneity of variances across the five
+    order priorities — the parametric gate before pooling variances
+    in an ANOVA (Levene/Brown-Forsythe, already in the family, is its
+    robust sibling; Bartlett is the more powerful choice when the
+    normality assumption holds). Per-group variances come from exact
+    integer moment sums; every cross-group reduction of doubles is
+    floored to a scaled integer FIRST ((n_g−1)s² to units, the
+    (n_g−1)·ln s² terms to e9, the 1/(n_g−1) correction terms to e15)
+    so the k-row sums are order-independent, and the final statistic
+    is one double tree rounded once to e6."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    g = o.groupBy("prio").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)")
+            * F.col("cents").cast("decimal(38,0)")
+        ).alias("q"),
+    )
+    pg = g.filter(F.col("n_g") > 1).select(
+        "prio",
+        "n_g",
+        F.expr(
+            "(CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+            " / n_g) / (n_g - 1)"
+        ).alias("s2"),
+    )
+    terms = pg.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum(F.expr("CAST(FLOOR((n_g - 1) * s2) AS BIGINT)"))
+        .cast("bigint")
+        .alias("w_sum"),
+        F.sum(
+            F.expr("CAST(FLOOR((n_g - 1) * LN(s2) * 1e9 + 0.5) AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("lnterm_e9"),
+        F.sum(F.expr("CAST(FLOOR(1e15 / (n_g - 1)) AS BIGINT)"))
+        .cast("bigint")
+        .alias("inv_e15"),
+    )
+    return terms.select(
+        "k",
+        "n",
+        F.expr(
+            """CAST(FLOOR(
+                 ((n - k) * LN(CAST(w_sum AS DOUBLE) / (n - k))
+                  - CAST(lnterm_e9 AS DOUBLE) / 1e9)
+                 / (1.0 + (CAST(inv_e15 AS DOUBLE) / 1e15
+                           - 1.0 / (n - k)) / (3.0 * (k - 1)))
+                 * 1e6 + 0.5) AS BIGINT)"""
+        ).alias("t_e6"),
+    )
+
+
+@query(
+    "kendall_w_nation_months",
+    oracle="""
+    WITH nm AS (
+      SELECT n.n_name AS judge,
+             CAST(EXTRACT(month FROM CAST(o.o_orderdate AS DATE)) AS BIGINT)
+               AS item,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT judge, item,
+             2 * RANK() OVER (PARTITION BY judge ORDER BY rev_c)
+               + CAST(COUNT(*) OVER (PARTITION BY judge, rev_c) AS BIGINT)
+               - 1 AS r2
+      FROM nm
+    ),
+    sizes AS (
+      SELECT CAST(COUNT(DISTINCT judge) AS BIGINT) AS m,
+             CAST(COUNT(DISTINCT item) AS BIGINT) AS n
+      FROM nm
+    ),
+    rsum AS (
+      SELECT item, CAST(SUM(r2) AS BIGINT) AS r2_i FROM ranked GROUP BY item
+    ),
+    s4 AS (
+      SELECT CAST(SUM((r.r2_i - z.m * (z.n + 1))
+                      * (r.r2_i - z.m * (z.n + 1))) AS BIGINT) AS s4
+      FROM rsum r CROSS JOIN sizes z
+    ),
+    tie AS (
+      SELECT CAST(COALESCE(SUM(t * t * t - t), 0) AS BIGINT) AS tj
+      FROM (
+        SELECT CAST(COUNT(*) AS BIGINT) AS t
+        FROM nm GROUP BY judge, rev_c
+      ) x
+    )
+    SELECT z.m, z.n, s.s4, t.tj,
+           CAST(FLOOR(
+             3.0 * s.s4
+             / (CAST(z.m AS DOUBLE) * z.m * (z.n * z.n * z.n - z.n)
+                - z.m * t.tj)
+             * 1e6 + 0.5) AS BIGINT) AS w_e6
+    FROM sizes z CROSS JOIN s4 s CROSS JOIN tie t
+    """,
+)
+def kendall_w_nation_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's W (coefficient of concordance): do the 25 nations
+    agree on WHICH calendar months are the big-revenue months? Each
+    nation ranks the 12 months by its own monthly revenue (average
+    ranks for ties, kept as exact DOUBLED integers r2 = 2·rank +
+    t − 1), W = 12·S/(m²(n³−n) − m·ΣT) computed from the doubled rank
+    sums as 3·S4/denominator where S4 = Σ(R2_i − m(n+1))² — every
+    intermediate an exact integer, one double division rounded once
+    to e6. Ranking windows partition per judge (25 × 12 rows after
+    the group-by collapse); the pair stage is rank-sum-sized, never
+    |rows|²."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    nm = (
+        o.join(
+            F.broadcast(
+                c.select("c_custkey", "c_nationkey")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("judge"),
+            F.month(F.col("o_orderdate").cast("date"))
+            .cast("bigint")
+            .alias("item"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev_c")
+        )
+    )
+    wrank = Window.partitionBy("judge").orderBy("rev_c")
+    wtie = Window.partitionBy("judge", "rev_c")
+    ranked = nm.select(
+        "judge",
+        "item",
+        (
+            2 * F.rank().over(wrank)
+            + F.count("*").over(wtie).cast("bigint")
+            - 1
+        ).alias("r2"),
+    )
+    sizes = nm.agg(
+        F.countDistinct("judge").cast("bigint").alias("m"),
+        F.countDistinct("item").cast("bigint").alias("n"),
+    )
+    rsum = ranked.groupBy("item").agg(
+        F.sum("r2").cast("bigint").alias("r2_i")
+    )
+    s4 = (
+        rsum.crossJoin(F.broadcast(sizes))
+        .select(
+            F.expr(
+                "(r2_i - m * (n + 1)) * (r2_i - m * (n + 1))"
+            ).alias("d2")
+        )
+        .agg(F.sum("d2").cast("bigint").alias("s4"))
+    )
+    tie = (
+        nm.groupBy("judge", "rev_c")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .agg(
+            F.coalesce(F.sum(F.expr("t * t * t - t")), F.lit(0))
+            .cast("bigint")
+            .alias("tj")
+        )
+    )
+    return (
+        sizes.crossJoin(F.broadcast(s4))
+        .crossJoin(F.broadcast(tie))
+        .select(
+            "m",
+            "n",
+            "s4",
+            "tj",
+            F.expr(
+                """CAST(FLOOR(
+                     3.0 * s4
+                     / (CAST(m AS DOUBLE) * m * (n * n * n - n)
+                        - m * tj)
+                     * 1e6 + 0.5) AS BIGINT)"""
+            ).alias("w_e6"),
+        )
+    )
+
+
+@query(
+    "fleiss_kappa_daily_raters",
+    oracle="""
+    WITH rated AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS subject,
+             o_orderpriority AS cat,
+             ROW_NUMBER() OVER (
+               PARTITION BY CAST(o_orderdate AS DATE)
+               ORDER BY o_orderkey) AS rn
+      FROM orders
+    ),
+    kept AS (
+      SELECT subject, cat FROM rated WHERE rn <= 5
+    ),
+    full_subj AS (
+      SELECT subject FROM kept GROUP BY subject HAVING COUNT(*) = 5
+    ),
+    nij AS (
+      SELECT k.subject, k.cat, CAST(COUNT(*) AS BIGINT) AS n_ij
+      FROM kept k JOIN full_subj f ON f.subject = k.subject
+      GROUP BY k.subject, k.cat
+    ),
+    agg AS (
+      SELECT CAST(COUNT(DISTINCT subject) AS BIGINT) AS n_subjects,
+             CAST(SUM(n_ij * n_ij) AS BIGINT) AS sq_sum
+      FROM nij
+    ),
+    catsum AS (
+      SELECT CAST(SUM(cj * cj) AS HUGEINT) AS c2_sum
+      FROM (SELECT CAST(SUM(n_ij) AS BIGINT) AS cj FROM nij GROUP BY cat) x
+    )
+    SELECT a.n_subjects,
+           CAST(5 AS BIGINT) AS m_raters,
+           CAST(FLOOR(
+             (CAST(a.sq_sum - a.n_subjects * 5 AS DOUBLE)
+              / (a.n_subjects * 5.0 * 4.0)) * 1e6 + 0.5) AS BIGINT)
+             AS pbar_e6,
+           CAST(FLOOR(
+             (CAST(c.c2_sum AS DOUBLE)
+              / (CAST(a.n_subjects AS DOUBLE) * 5.0
+                 * CAST(a.n_subjects AS DOUBLE) * 5.0))
+             * 1e6 + 0.5) AS BIGINT) AS pe_e6,
+           CAST(FLOOR(
+             ((CAST(a.sq_sum - a.n_subjects * 5 AS DOUBLE)
+               / (a.n_subjects * 5.0 * 4.0))
+              - (CAST(c.c2_sum AS DOUBLE)
+                 / (CAST(a.n_subjects AS DOUBLE) * 5.0
+                    * CAST(a.n_subjects AS DOUBLE) * 5.0)))
+             / (1.0 - (CAST(c.c2_sum AS DOUBLE)
+                       / (CAST(a.n_subjects AS DOUBLE) * 5.0
+                          * CAST(a.n_subjects AS DOUBLE) * 5.0)))
+             * 1e6 + 0.5) AS BIGINT) AS kappa_e6
+    FROM agg a CROSS JOIN catsum c
+    """,
+)
+def fleiss_kappa_daily_raters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fleiss' kappa — inter-annotator agreement for m raters per
+    subject, the LLM-pipeline statistic for label-quality audits
+    (Cohen's kappa handles exactly two raters; Fleiss generalizes to
+    the m-way panels real annotation jobs run). Deterministic panel:
+    each order DAY is a subject, its 5 lowest-orderkey orders are the
+    raters, the priority class is the assigned category; days with
+    fewer than 5 orders are dropped (Fleiss requires equal panel
+    size). P̄ and P̄e reduce to three exact integers (Σn_ij², N, ΣC_j²)
+    so kappa is one double tree rounded once to e6; the per-day
+    panel-pick window partitions by day."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("subject").orderBy("o_orderkey")
+    kept = (
+        o.select(
+            F.unix_date(F.col("o_orderdate").cast("date"))
+            .cast("bigint")
+            .alias("subject"),
+            F.col("o_orderpriority").alias("cat"),
+            "o_orderkey",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )
+    full_subj = (
+        kept.groupBy("subject")
+        .agg(F.count("*").alias("n_r"))
+        .filter(F.col("n_r") == 5)
+        .select("subject")
+    )
+    nij = (
+        kept.join(full_subj, "subject")
+        .groupBy("subject", "cat")
+        .agg(F.count("*").cast("bigint").alias("n_ij"))
+    )
+    agg = nij.agg(
+        F.countDistinct("subject").cast("bigint").alias("n_subjects"),
+        F.sum(F.expr("n_ij * n_ij")).cast("bigint").alias("sq_sum"),
+    )
+    catsum = (
+        nij.groupBy("cat")
+        .agg(F.sum("n_ij").cast("bigint").alias("cj"))
+        .agg(
+            F.sum(
+                F.col("cj").cast("decimal(38,0)")
+                * F.col("cj").cast("decimal(38,0)")
+            ).alias("c2_sum")
+        )
+    )
+    return agg.crossJoin(F.broadcast(catsum)).select(
+        "n_subjects",
+        F.lit(5).cast("bigint").alias("m_raters"),
+        F.expr(
+            """CAST(FLOOR(
+                 (CAST(sq_sum - n_subjects * 5 AS DOUBLE)
+                  / (n_subjects * 5.0 * 4.0)) * 1e6 + 0.5) AS BIGINT)"""
+        ).alias("pbar_e6"),
+        F.expr(
+            """CAST(FLOOR(
+                 (CAST(c2_sum AS DOUBLE)
+                  / (CAST(n_subjects AS DOUBLE) * 5.0
+                     * CAST(n_subjects AS DOUBLE) * 5.0))
+                 * 1e6 + 0.5) AS BIGINT)"""
+        ).alias("pe_e6"),
+        F.expr(
+            """CAST(FLOOR(
+                 ((CAST(sq_sum - n_subjects * 5 AS DOUBLE)
+                   / (n_subjects * 5.0 * 4.0))
+                  - (CAST(c2_sum AS DOUBLE)
+                     / (CAST(n_subjects AS DOUBLE) * 5.0
+                        * CAST(n_subjects AS DOUBLE) * 5.0)))
+                 / (1.0 - (CAST(c2_sum AS DOUBLE)
+                           / (CAST(n_subjects AS DOUBLE) * 5.0
+                              * CAST(n_subjects AS DOUBLE) * 5.0)))
+                 * 1e6 + 0.5) AS BIGINT)"""
+        ).alias("kappa_e6"),
+    )
