@@ -829,3 +829,36 @@ def sql_variables_param_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"st1": "F", "st2": "P"},
     )
+
+
+_LATERAL_SQL = """
+SELECT n_name AS nation, s_name AS supplier, t.bal_c AS acctbal_c,
+       t.rnk
+FROM nation,
+LATERAL (
+  SELECT s_name,
+         CAST(ROUND(s_acctbal * 100) AS BIGINT) AS bal_c,
+         CAST(ROW_NUMBER() OVER (ORDER BY s_acctbal DESC, s_name)
+              AS BIGINT) AS rnk
+  FROM supplier
+  WHERE s_nationkey = n_nationkey
+  ORDER BY s_acctbal DESC, s_name
+  LIMIT 3
+) t
+ORDER BY nation, t.rnk
+"""
+
+
+@query("lateral_topk_suppliers", oracle=_LATERAL_SQL)
+def lateral_topk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery in the FROM clause — the SQL:1999
+    surface for per-row dependent subplans (each nation row drives its
+    own top-3-suppliers subquery). The IDENTICAL SQL string runs on
+    Spark (which plans the correlated LATERAL as a ranked window over
+    the decorrelated join — no per-row re-execution) and on DuckDB as
+    the oracle. Balances as exact integer cents; a total ORDER BY
+    inside the lateral (acctbal DESC, name) makes the top-3 pick
+    deterministic."""
+    for name in ("nation", "supplier"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_LATERAL_SQL)

@@ -9495,3 +9495,334 @@ def multimodal_pnm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             " g_sum bigint, b_sum bigint, r_min int, r_max int"
         ),
     ).orderBy("doc_id")
+
+
+@query(
+    "dph_topk_docs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents
+    ),
+    doclen AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avglen
+      FROM doclen
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, tok
+    ),
+    cf AS (
+      SELECT tok,
+             CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(tf) AS BIGINT) AS coll_tf
+      FROM tf GROUP BY tok
+    ),
+    qterms AS (
+      SELECT tok, df, coll_tf FROM cf ORDER BY df DESC, tok LIMIT 3
+    ),
+    contrib AS (
+      SELECT t.doc_id,
+             CASE WHEN t.tf >= dl.len THEN CAST(0 AS BIGINT) ELSE
+               CAST(FLOOR(
+                 ((1.0 - CAST(t.tf AS DOUBLE) / dl.len)
+                  * (1.0 - CAST(t.tf AS DOUBLE) / dl.len)
+                  / (t.tf + 1.0))
+                 * (t.tf * (ln(t.tf * (s.avglen / dl.len)
+                               * (CAST(s.n_docs AS DOUBLE) / q.coll_tf))
+                            * 1.4426950408889634)
+                    + 0.5 * (ln(6.283185307179586 * t.tf
+                                * (1.0 - CAST(t.tf AS DOUBLE) / dl.len))
+                             * 1.4426950408889634))
+                 * 1e6 + 0.5) AS BIGINT)
+             END AS c_e6
+      FROM tf t
+      JOIN qterms q ON q.tok = t.tok
+      JOIN doclen dl ON dl.doc_id = t.doc_id
+      CROSS JOIN stats s
+    ),
+    scored AS (
+      SELECT doc_id, CAST(SUM(c_e6) AS BIGINT) AS dph_e6
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, dph_e6
+    FROM scored
+    ORDER BY dph_e6 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def dph_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPH divergence-from-randomness ranking — the PARAMETER-FREE
+    member of the lexical retrieval family (BM25 tunes k1/b, PL2
+    tunes c; DPH's hypergeometric model has no free parameter, which
+    is why it's the zero-config baseline in Terrier). Per (doc, term):
+    f = tf/len, norm = (1−f)²/(tf+1), score = norm·(tf·log2(tf·
+    (avglen/len)·(N/coll_tf)) + ½·log2(2π·tf·(1−f))) — one double
+    tree with log2 expanded as ln·1/ln2 so both engines evaluate the
+    identical ln-based expression, floored once to an e6 integer
+    (tf = len, where the Bernoulli factor vanishes and the log term
+    is singular, contributes exactly 0); per-doc scores are exact
+    integer sums. Scale: one tokenize pass, broadcast 3-term probe,
+    TakeOrderedAndProject — same profile as `bm25_topk_docs` /
+    `pl2_topk_docs`."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("tok"),
+    )
+    doclen = tok.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("len")
+    )
+    stats = doclen.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.sum("len").cast("double") / F.count("*")).alias("avglen"),
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    cf = tf.groupBy("tok").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("coll_tf"),
+    )
+    qterms = cf.orderBy(F.desc("df"), F.asc("tok")).limit(3)
+    contrib = (
+        tf.join(F.broadcast(qterms.select("tok", "coll_tf")), "tok")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(
+                """CASE WHEN tf >= len THEN CAST(0 AS BIGINT) ELSE
+                     CAST(FLOOR(
+                       ((1.0 - CAST(tf AS DOUBLE) / len)
+                        * (1.0 - CAST(tf AS DOUBLE) / len)
+                        / (tf + 1.0))
+                       * (tf * (ln(tf * (avglen / len)
+                                   * (CAST(n_docs AS DOUBLE) / coll_tf))
+                                * 1.4426950408889634)
+                          + 0.5 * (ln(6.283185307179586 * tf
+                                      * (1.0 - CAST(tf AS DOUBLE) / len))
+                                   * 1.4426950408889634))
+                       * 1e6 + 0.5) AS BIGINT)
+                   END"""
+            ).alias("c_e6"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("c_e6").cast("bigint").alias("dph_e6"))
+        .orderBy(F.desc("dph_e6"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@query(
+    "token_budget_truncation",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+                  AS BIGINT) AS toks
+      FROM documents
+    ),
+    cum AS (
+      SELECT lang, toks,
+             SUM(toks) OVER (
+               PARTITION BY lang
+               ORDER BY toks DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_toks
+      FROM d
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS docs_total,
+           CAST(SUM(CASE WHEN cum_toks <= 50000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_kept,
+           CAST(SUM(toks) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN cum_toks <= 50000 THEN toks ELSE 0 END)
+                AS BIGINT) AS tokens_kept
+    FROM cum
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def token_budget_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget truncation — the mixture-building
+    step after weights are chosen (`source_mixing_weights` decides HOW
+    MUCH of each language; this op decides WHICH documents fill the
+    budget): rank each language's documents by token count (longest
+    first, doc_id tiebreak — a deterministic stand-in for the quality
+    ordering a curation score would give) and keep the prefix whose
+    running token total fits the 50k-token budget. The running sum is
+    a window PARTITIONED by language (never global); at 100 TB the
+    per-lang ordering reuses the distributed-rank cumsum operator if
+    a single language's corpus outgrows one reducer — the documented
+    escalation path of `pack_documents`."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "CAST(size(regexp_extract_all(lower(text), '[a-z]+', 0))"
+            " AS BIGINT)"
+        ).alias("toks"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("toks"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = d.withColumn("cum_toks", F.sum("toks").over(w))
+    return (
+        cum.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("docs_total"),
+            F.sum(
+                F.expr("CASE WHEN cum_toks <= 50000 THEN 1 ELSE 0 END")
+            )
+            .cast("bigint")
+            .alias("docs_kept"),
+            F.sum("toks").cast("bigint").alias("tokens_total"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN cum_toks <= 50000 THEN toks ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "multimodal_tiff_decode",
+    oracle="""
+    WITH g AS (
+      SELECT d.doc_id,
+             (d.doc_id * 7 + 5 * x.x + 3 * y.y) % 256 AS v
+      FROM documents d,
+           generate_series(0, 7) x(x),
+           generate_series(0, 5) y(y)
+      WHERE x.x < 3 + d.doc_id % 5 AND y.y < 2 + d.doc_id % 4
+    ),
+    c AS (
+      SELECT d.doc_id,
+             (d.doc_id + 11 * x.x + y.y) % 256 AS r,
+             (d.doc_id * 5 + x.x) % 256 AS gg,
+             (d.doc_id * 9 + 4 * y.y) % 256 AS b
+      FROM documents d,
+           generate_series(0, 6) x(x),
+           generate_series(0, 4) y(y)
+      WHERE x.x < 4 + d.doc_id % 3 AND y.y < 2 + d.doc_id % 3
+    ),
+    ga AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS g_px,
+             CAST(SUM(v) AS BIGINT) AS gray_sum,
+             CAST(MIN(v) AS INT) AS gmin,
+             CAST(MAX(v) AS INT) AS gmax
+      FROM g GROUP BY doc_id
+    ),
+    ca AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS c_px,
+             CAST(SUM(r) AS BIGINT) AS r_sum,
+             CAST(SUM(gg) AS BIGINT) AS g_sum,
+             CAST(SUM(b) AS BIGINT) AS b_sum
+      FROM c GROUP BY doc_id
+    )
+    SELECT ga.doc_id,
+           CAST(2 AS INT) AS n_images,
+           ga.g_px + ca.c_px AS n_px,
+           ga.gray_sum, ga.gmin, ga.gmax,
+           ca.r_sum, ca.g_sum, ca.b_sum
+    FROM ga JOIN ca ON ca.doc_id = ga.doc_id
+    ORDER BY ga.doc_id
+    """,
+)
+def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-bytes baseline-TIFF decode end to end: per doc a
+    MULTI-STRIP little-endian 8-bit grayscale TIFF (rows_per_strip=2,
+    so strip assembly is exercised) AND a big-endian RGB TIFF are
+    encoded and decoded through the full container parser
+    (``operators/tiff.py`` — byte-order mark, IFD walk,
+    inline-vs-offset values, strip concatenation; pinned against a
+    hand-assembled spec stream in tests/test_tiff.py) inside one
+    Arrow-batched mapInPandas pass. Lossless, so the oracle recomputes
+    the channel statistics arithmetically from the closed-form pixel
+    formulas — a defect in IFD parsing, endian handling, or strip
+    framing breaks the sums. Same fan-out note as the other codecs:
+    the id column is repartitioned because the testdata table is one
+    small file."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def run(batches):
+        import pandas as pd
+
+        from local_stream_stack_spark.operators.tiff import (
+            decode_tiff,
+            encode_tiff_gray8,
+            encode_tiff_rgb8,
+        )
+
+        cols = [
+            "doc_id", "n_images", "n_px",
+            "gray_sum", "gmin", "gmax", "r_sum", "g_sum", "b_sum",
+        ]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w1, h1 = 3 + did % 5, 2 + did % 4
+                gray = bytes(
+                    (did * 7 + 5 * x + 3 * y) % 256
+                    for y in range(h1)
+                    for x in range(w1)
+                )
+                w2, h2 = 4 + did % 3, 2 + did % 3
+                rgb = bytes(
+                    v
+                    for y in range(h2)
+                    for x in range(w2)
+                    for v in (
+                        (did + 11 * x + y) % 256,
+                        (did * 5 + x) % 256,
+                        (did * 9 + 4 * y) % 256,
+                    )
+                )
+                a = decode_tiff(
+                    encode_tiff_gray8(w1, h1, gray, rows_per_strip=2)
+                )
+                b = decode_tiff(
+                    encode_tiff_rgb8(w2, h2, rgb, big_endian=True)
+                )
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_images": 2,
+                        "n_px": a["n_px"] + b["n_px"],
+                        "gray_sum": a["r_sum"],
+                        "gmin": a["s_min"],
+                        "gmax": a["s_max"],
+                        "r_sum": b["r_sum"],
+                        "g_sum": b["g_sum"],
+                        "b_sum": b["b_sum"],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return d.mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, n_images int, n_px bigint, gray_sum bigint,"
+            " gmin int, gmax int, r_sum bigint, g_sum bigint,"
+            " b_sum bigint"
+        ),
+    ).orderBy("doc_id")

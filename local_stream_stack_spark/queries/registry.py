@@ -417,6 +417,18 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
 NEW_THIS_ROUND: frozenset[str] = frozenset(
     {
         "stream_restart_resume_view",
+        "stream_minmax_view_incremental",
+        "sign_test_daily_revenue",
+        "grubbs_outlier_daily",
+        "moods_median_priority",
+        "bartlett_test_priority",
+        "kendall_w_nation_months",
+        "fleiss_kappa_daily_raters",
+        "benjamini_hochberg_nations",
+        "dph_topk_docs",
+        "lateral_topk_suppliers",
+        "token_budget_truncation",
+        "multimodal_tiff_decode",
     }
 )
 

@@ -6119,19 +6119,25 @@ def grubbs_outlier_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cls
     ),
     contrib AS (
-      SELECT CAST(FLOOR(
-               (POWER(c.a - (c.a + c.b) * CAST(t.ta AS DOUBLE)
-                              / (t.ta + t.tb), 2)
-                / ((c.a + c.b) * CAST(t.ta AS DOUBLE) / (t.ta + t.tb))
-                + POWER(c.b - (c.a + c.b) * CAST(t.tb AS DOUBLE)
+      SELECT CASE WHEN t.ta = 0 OR t.tb = 0 OR c.a + c.b = 0
+                  THEN CAST(0 AS BIGINT) ELSE
+               CAST(FLOOR(
+                 (POWER(c.a - (c.a + c.b) * CAST(t.ta AS DOUBLE)
                                 / (t.ta + t.tb), 2)
-                  / ((c.a + c.b) * CAST(t.tb AS DOUBLE) / (t.ta + t.tb)))
-               * 1e6 + 0.5) AS BIGINT) AS c_e6
+                  / ((c.a + c.b) * CAST(t.ta AS DOUBLE) / (t.ta + t.tb))
+                  + POWER(c.b - (c.a + c.b) * CAST(t.tb AS DOUBLE)
+                                  / (t.ta + t.tb), 2)
+                    / ((c.a + c.b) * CAST(t.tb AS DOUBLE)
+                       / (t.ta + t.tb)))
+                 * 1e6 + 0.5) AS BIGINT)
+             END AS c_e6
       FROM cls c CROSS JOIN tot t
     )
     SELECT t.k, m.m2,
            t.ta AS n_above, t.tb AS n_below,
-           (SELECT CAST(SUM(c_e6) AS BIGINT) FROM contrib) AS chi2_e6
+           CASE WHEN t.ta > 0 AND t.tb > 0 THEN
+             (SELECT CAST(SUM(c_e6) AS BIGINT) FROM contrib)
+           END AS chi2_e6
     FROM tot t CROSS JOIN med m
     """,
 )
@@ -6181,14 +6187,18 @@ def moods_median_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         cls.crossJoin(F.broadcast(tot))
         .select(
             F.expr(
-                """CAST(FLOOR(
-                     (POWER(a - (a + b) * CAST(ta AS DOUBLE)
-                                  / (ta + tb), 2)
-                      / ((a + b) * CAST(ta AS DOUBLE) / (ta + tb))
-                      + POWER(b - (a + b) * CAST(tb AS DOUBLE)
+                """CASE WHEN ta = 0 OR tb = 0 OR a + b = 0
+                        THEN CAST(0 AS BIGINT) ELSE
+                     CAST(FLOOR(
+                       (POWER(a - (a + b) * CAST(ta AS DOUBLE)
                                     / (ta + tb), 2)
-                        / ((a + b) * CAST(tb AS DOUBLE) / (ta + tb)))
-                     * 1e6 + 0.5) AS BIGINT)"""
+                        / ((a + b) * CAST(ta AS DOUBLE) / (ta + tb))
+                        + POWER(b - (a + b) * CAST(tb AS DOUBLE)
+                                      / (ta + tb), 2)
+                          / ((a + b) * CAST(tb AS DOUBLE)
+                             / (ta + tb)))
+                       * 1e6 + 0.5) AS BIGINT)
+                   END"""
             ).alias("c_e6")
         )
         .agg(F.sum("c_e6").cast("bigint").alias("chi2_e6"))
@@ -6201,7 +6211,9 @@ def moods_median_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "m2",
             F.col("ta").alias("n_above"),
             F.col("tb").alias("n_below"),
-            "chi2_e6",
+            F.expr(
+                "CASE WHEN ta > 0 AND tb > 0 THEN chi2_e6 END"
+            ).alias("chi2_e6"),
         )
     )
 
@@ -6222,10 +6234,12 @@ def moods_median_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM o GROUP BY prio
     ),
     pg AS (
-      SELECT prio, n_g,
-             (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
-                                    / n_g) / (n_g - 1) AS s2
-      FROM g WHERE n_g > 1
+      SELECT * FROM (
+        SELECT prio, n_g,
+               (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                      / n_g) / (n_g - 1) AS s2
+        FROM g WHERE n_g > 1
+      ) x WHERE s2 > 0
     ),
     terms AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS k,
@@ -6239,12 +6253,14 @@ def moods_median_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pg
     )
     SELECT k, n,
-           CAST(FLOOR(
-             ((n - k) * LN(CAST(w_sum AS DOUBLE) / (n - k))
-              - CAST(lnterm_e9 AS DOUBLE) / 1e9)
-             / (1.0 + (CAST(inv_e15 AS DOUBLE) / 1e15
-                       - 1.0 / (n - k)) / (3.0 * (k - 1)))
-             * 1e6 + 0.5) AS BIGINT) AS t_e6
+           CASE WHEN k > 1 AND w_sum > 0 THEN
+             CAST(FLOOR(
+               ((n - k) * LN(CAST(w_sum AS DOUBLE) / (n - k))
+                - CAST(lnterm_e9 AS DOUBLE) / 1e9)
+               / (1.0 + (CAST(inv_e15 AS DOUBLE) / 1e15
+                         - 1.0 / (n - k)) / (3.0 * (k - 1)))
+               * 1e6 + 0.5) AS BIGINT)
+           END AS t_e6
     FROM terms
     """,
 )
@@ -6271,13 +6287,17 @@ def bartlett_test_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.col("cents").cast("decimal(38,0)")
         ).alias("q"),
     )
-    pg = g.filter(F.col("n_g") > 1).select(
-        "prio",
-        "n_g",
-        F.expr(
-            "(CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
-            " / n_g) / (n_g - 1)"
-        ).alias("s2"),
+    pg = (
+        g.filter(F.col("n_g") > 1)
+        .select(
+            "prio",
+            "n_g",
+            F.expr(
+                "(CAST(q AS DOUBLE) - CAST(s AS DOUBLE)"
+                " * CAST(s AS DOUBLE) / n_g) / (n_g - 1)"
+            ).alias("s2"),
+        )
+        .filter(F.col("s2") > 0)
     )
     terms = pg.agg(
         F.count("*").cast("bigint").alias("k"),
@@ -6298,12 +6318,14 @@ def bartlett_test_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         "n",
         F.expr(
-            """CAST(FLOOR(
-                 ((n - k) * LN(CAST(w_sum AS DOUBLE) / (n - k))
-                  - CAST(lnterm_e9 AS DOUBLE) / 1e9)
-                 / (1.0 + (CAST(inv_e15 AS DOUBLE) / 1e15
-                           - 1.0 / (n - k)) / (3.0 * (k - 1)))
-                 * 1e6 + 0.5) AS BIGINT)"""
+            """CASE WHEN k > 1 AND w_sum > 0 THEN
+                 CAST(FLOOR(
+                   ((n - k) * LN(CAST(w_sum AS DOUBLE) / (n - k))
+                    - CAST(lnterm_e9 AS DOUBLE) / 1e9)
+                   / (1.0 + (CAST(inv_e15 AS DOUBLE) / 1e15
+                             - 1.0 / (n - k)) / (3.0 * (k - 1)))
+                   * 1e6 + 0.5) AS BIGINT)
+               END"""
         ).alias("t_e6"),
     )
 
@@ -6584,4 +6606,176 @@ def fleiss_kappa_daily_raters(
                               * CAST(n_subjects AS DOUBLE) * 5.0)))
                  * 1e6 + 0.5) AS BIGINT)"""
         ).alias("kappa_e6"),
+    )
+
+
+@query(
+    "benjamini_hochberg_nations",
+    oracle="""
+    WITH o AS (
+      SELECT c.c_nationkey AS nk,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    g AS (
+      SELECT n.n_name AS nation,
+             CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(cents) AS HUGEINT) AS s_g
+      FROM o JOIN nation n ON n.n_nationkey = o.nk
+      GROUP BY n.n_name
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS HUGEINT) AS s,
+             CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS q
+      FROM o
+    ),
+    ztab AS (
+      SELECT g.nation, g.n_g,
+             (CAST(g.s_g AS DOUBLE) / g.n_g - CAST(t.s AS DOUBLE) / t.n)
+             / (SQRT((CAST(t.q AS DOUBLE) - CAST(t.s AS DOUBLE)
+                      * CAST(t.s AS DOUBLE) / t.n) / (t.n - 1))
+                / SQRT(CAST(g.n_g AS DOUBLE))) AS z
+      FROM g CROSS JOIN tot t
+    ),
+    ptab AS (
+      SELECT nation, n_g,
+             CAST(FLOOR(z * 1e6 + 0.5) AS BIGINT) AS z_e6,
+             1.0 - SQRT(1.0 - EXP(-2.0 * z * z / 3.141592653589793)) AS p
+      FROM ztab
+    ),
+    ranked AS (
+      SELECT a.nation, a.n_g, a.z_e6, a.p,
+             CAST(COUNT(*) AS BIGINT) AS rnk
+      FROM ptab a JOIN ptab b
+        ON b.p < a.p OR (b.p = a.p AND b.nation <= a.nation)
+      GROUP BY a.nation, a.n_g, a.z_e6, a.p
+    ),
+    cutoff AS (
+      SELECT COALESCE(MAX(CASE WHEN p * 10 * (SELECT COUNT(*) FROM ptab)
+                                    <= rnk THEN rnk END), 0) AS d
+      FROM ranked
+    )
+    SELECT r.nation, r.n_g, r.z_e6,
+           CAST(FLOOR(r.p * 1e9 + 0.5) AS BIGINT) AS p_e9,
+           r.rnk,
+           r.rnk <= c.d AS rejected
+    FROM ranked r CROSS JOIN cutoff c
+    ORDER BY r.rnk, r.nation
+    """,
+)
+def benjamini_hochberg_nations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Benjamini-Hochberg FDR correction over 25 simultaneous
+    per-nation mean tests — the multiple-testing control every
+    segment-level dashboard needs (25 uncorrected z-tests at p<0.1
+    expect 2.5 false alarms; BH bounds the FALSE DISCOVERY RATE at
+    q=0.10 by rejecting ranks 1..d where d = max{i : p(i) <= q·i/m}).
+    The per-nation z uses exact integer moments; the two-sided p is
+    the Polya closed form 1 − √(1 − exp(−2z²/π)) — an algebraic tree
+    both engines evaluate identically (no erf dependency). Ranking is
+    a broadcast theta-self-join over the 25-row p table (rank = count
+    of (p, nation) pairs at-or-below — a total order, no global
+    window); the cutoff comparison is cross-multiplied
+    (10·p·m <= rank) so no division enters the decision."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "customer").select(
+                    "c_custkey", "c_nationkey"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_nationkey").alias("nk"),
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    g = (
+        o.join(F.broadcast(n), F.col("nk") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_g"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).alias("s_g"),
+        )
+    )
+    tot = o.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)")
+            * F.col("cents").cast("decimal(38,0)")
+        ).alias("q"),
+    )
+    ptab = (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "nation",
+            "n_g",
+            F.expr(
+                """(CAST(s_g AS DOUBLE) / n_g - CAST(s AS DOUBLE) / n)
+                   / (SQRT((CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+                            * CAST(s AS DOUBLE) / n) / (n - 1))
+                      / SQRT(CAST(n_g AS DOUBLE)))"""
+            ).alias("z"),
+        )
+        .select(
+            "nation",
+            "n_g",
+            F.expr("CAST(FLOOR(z * 1e6 + 0.5) AS BIGINT)").alias("z_e6"),
+            F.expr(
+                "1.0 - SQRT(1.0 - EXP(-2.0 * z * z"
+                " / 3.141592653589793))"
+            ).alias("p"),
+        )
+    )
+    a = ptab.alias("a")
+    b = ptab.select(
+        F.col("nation").alias("nation_b"), F.col("p").alias("p_b")
+    )
+    ranked = (
+        a.join(
+            F.broadcast(b),
+            (F.col("p_b") < F.col("p"))
+            | (
+                (F.col("p_b") == F.col("p"))
+                & (F.col("nation_b") <= F.col("nation"))
+            ),
+        )
+        .groupBy("nation", "n_g", "z_e6", "p")
+        .agg(F.count("*").cast("bigint").alias("rnk"))
+    )
+    m = ptab.agg(F.count("*").cast("bigint").alias("m"))
+    cutoff = (
+        ranked.crossJoin(F.broadcast(m))
+        .agg(
+            F.coalesce(
+                F.max(
+                    F.expr(
+                        "CASE WHEN p * 10 * m <= rnk THEN rnk END"
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("d")
+        )
+    )
+    return (
+        ranked.crossJoin(F.broadcast(cutoff))
+        .select(
+            "nation",
+            "n_g",
+            "z_e6",
+            F.expr("CAST(FLOOR(p * 1e9 + 0.5) AS BIGINT)").alias("p_e9"),
+            "rnk",
+            (F.col("rnk") <= F.col("d")).alias("rejected"),
+        )
+        .orderBy("rnk", "nation")
     )

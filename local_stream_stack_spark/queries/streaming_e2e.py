@@ -3730,3 +3730,101 @@ def stream_histogram_quantiles_incremental(
         )
         .orderBy("q")
     )
+
+
+@query(
+    "stream_minmax_view_incremental",
+    oracle="""
+    SELECT user_id,
+           CAST(MIN(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS min_cents,
+           CAST(MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS max_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def stream_minmax_view_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Maintained MIN/MAX/COUNT view — the non-subtractable aggregate
+    family under the live micro-batch engine: three epochs of per-user
+    deltas with the writer's ``compact_every_n_epochs=2`` auto-trigger
+    folding mid-stream (min/max are associative under insert-only
+    streams, so the folded generation reads identically to the delta
+    union), a third epoch landing live on the resumed checkpoint, and
+    the final read must equal the batch aggregate. Integer cents keep
+    the extrema exact."""
+    from local_stream_stack_spark.catalog import load_table
+    from local_stream_stack_spark.streaming.compaction import (
+        latest_generation,
+    )
+    from local_stream_stack_spark.streaming.ops import (
+        minmax_view_stream_parquet,
+        read_minmax_view,
+    )
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    base = ephemeral_dir(prefix="stream-e2e-minmax-")
+    in_dir = os.path.join(base, "in")
+    target = os.path.join(base, "view")
+    cp = os.path.join(base, "cp")
+
+    def run():
+        q = minmax_view_stream_parquet(
+            spark.readStream.schema(
+                "event_id bigint, user_id bigint, cents bigint"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+            .select("user_id", "cents"),
+            keys=["user_id"],
+            val_col="cents",
+            target_path=target,
+            checkpoint_location=cp,
+            compact_every_n_epochs=2,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _stage_ordered(
+        in_dir,
+        lambda: ev.filter(F.col("event_id") % 3 == 0)
+        .coalesce(1)
+        .write.parquet(in_dir),
+        lambda: ev.filter(F.col("event_id") % 3 == 1)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(in_dir),
+    )
+    run()
+    gen, _ = latest_generation(spark, target)
+    assert gen is not None, "auto-compaction trigger never fired"
+    _stage_ordered(
+        in_dir,
+        lambda: None,
+        lambda: ev.filter(F.col("event_id") % 3 == 2)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(in_dir),
+    )
+    run()
+    return (
+        read_minmax_view(spark, target)
+        .select(
+            "user_id",
+            F.col("min_v").alias("min_cents"),
+            F.col("max_v").alias("max_cents"),
+            "n_rows",
+        )
+        .orderBy("user_id")
+    )

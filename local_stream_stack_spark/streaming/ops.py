@@ -499,6 +499,92 @@ def aggregate_view_stream_parquet(
     )
 
 
+def minmax_view_stream_parquet(
+    df: DataFrame,
+    keys: Sequence[str],
+    val_col: str,
+    target_path: str,
+    checkpoint_location: str,
+    compact_every_n_epochs: int | None = None,
+):
+    """Incremental view maintenance for MIN/MAX/COUNT — the
+    non-subtractable half of the additive family
+    (``aggregate_view_stream_parquet`` covers count/sum, which are
+    group-invertible; min/max are NOT invertible under deletion but
+    ARE associative under insert-only streams, so each micro-batch's
+    per-key (min, max, count) delta folds exactly: min of mins is the
+    min). Same epoch-directory protocol as every view store here —
+    replay overwrites its own epoch, ``read_minmax_view`` folds the
+    generation + live deltas, ``compact_minmax_view`` re-merges them
+    into one base generation, and ``compact_every_n_epochs`` triggers
+    the fold automatically off the admit path."""
+    key_list = list(keys)
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        delta = batch_df.groupBy(*key_list).agg(
+            F.min(val_col).alias("min_v"),
+            F.max(val_col).alias("max_v"),
+            F.count("*").alias("n_rows"),
+        )
+        (
+            delta.coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{target_path}/__epoch={epoch_id}")
+        )
+        if compact_every_n_epochs:
+            from local_stream_stack_spark.streaming import compaction
+
+            spark = batch_df.sparkSession
+            compaction.auto_compact_if_due(
+                spark,
+                target_path,
+                compact_every_n_epochs,
+                lambda: compact_minmax_view(spark, target_path),
+            )
+
+    return (
+        df.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_location)
+        .start()
+    )
+
+
+def _minmax_fold(df: DataFrame) -> DataFrame:
+    value_cols = {"min_v", "max_v", "n_rows"}
+    key_cols = [
+        c for c in df.columns if c not in value_cols and c != "__epoch"
+    ]
+    return df.groupBy(*key_cols).agg(
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+    )
+
+
+def read_minmax_view(spark, target_path: str) -> DataFrame:
+    """Current per-key (min, max, count) of a
+    ``minmax_view_stream_parquet`` view: fold of the compacted base
+    generation (if any) plus all live epoch deltas."""
+    from local_stream_stack_spark.streaming import compaction
+
+    deltas = compaction.read_family(spark, target_path, "")
+    if deltas is None:
+        raise FileNotFoundError(f"empty minmax view at {target_path}")
+    return _minmax_fold(deltas)
+
+
+def compact_minmax_view(spark, target_path: str) -> int:
+    """Fold all epoch deltas of a minmax view into one base
+    generation (associative min/max + additive count re-merge),
+    committed atomically through the generation manifest."""
+    from local_stream_stack_spark.streaming import compaction
+
+    return compaction.compact_store(
+        spark, target_path, {"": {"fold": _minmax_fold}}
+    )
+
+
 def read_aggregate_view(spark, target_path: str) -> DataFrame:
     """Current totals of an ``aggregate_view_stream_parquet`` view:
     sum of the compacted base generation (if any) plus all live epoch

@@ -219,6 +219,18 @@ REPRESENTATIVE = [
     "multimodal_au_g711_decode",  # real AU/G.711 codec mapInPandas
     "multimodal_pnm_decode",     # real netpbm codec mapInPandas
     "stream_kmv_compacted",      # KMV sketch across the fold
+    # round-12 families
+    "sign_test_daily_revenue",   # consecutive-day pair stats
+    "grubbs_outlier_daily",      # argmax-deviation stats
+    "moods_median_priority",     # value-histogram median + chi2
+    "bartlett_test_priority",    # per-group variance logs
+    "kendall_w_nation_months",   # concordance rank sums
+    "fleiss_kappa_daily_raters", # rater-panel agreement
+    "benjamini_hochberg_nations",# FDR over per-nation tests
+    "dph_topk_docs",             # parameter-free DFR ranker
+    "lateral_topk_suppliers",    # correlated LATERAL subquery
+    "token_budget_truncation",   # per-lang budget cumsum
+    "multimodal_tiff_decode",    # real TIFF codec mapInPandas
 ]
 
 
@@ -269,6 +281,11 @@ EXPECT_SUMMARY_ROWS = {
     "bloom_filter_fp_audit": 1,      # single audit row (0 members)
     "jonckheere_terpstra_priority": 1,  # single stats row (NULL z)
     "stream_kmv_compacted": 1,       # single sketch row (k_used 0)
+    "sign_test_daily_revenue": 1,    # single stats row (NULL z)
+    "moods_median_priority": 1,      # single stats row (k=0, NULLs)
+    "bartlett_test_priority": 1,     # single stats row (k=0)
+    "kendall_w_nation_months": 1,    # single stats row (NULL W)
+    "fleiss_kappa_daily_raters": 1,  # single stats row (NULL kappa)
 }
 
 

@@ -1687,3 +1687,277 @@ def test_jonckheere_terpstra_matches_python_reference(
     assert row.mean2 == nn * nn - sn2
     assert row.tie_pairs2 == tie2
     assert row.z_e6 == z, (data, row.z_e6, z)
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(-10_000, 10_000)),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_sign_test_matches_python_reference(
+    spark, tmp_path_factory, data
+):
+    """sign_test_daily_revenue == the sequential python definition:
+    consecutive-calendar-day pairs only, zero diffs dropped from n,
+    z = (2S - n)/sqrt(n) floored once at e6."""
+    import pandas as pd
+
+    pdf_o = pd.DataFrame(
+        {
+            "o_orderdate": pd.to_datetime(
+                [di for di, _ in data], unit="D", origin="1970-01-01"
+            ).astype("datetime64[us]"),
+            "o_totalprice": [c / 100.0 for _, c in data],
+        }
+    )
+    d = tmp_path_factory.mktemp("signt")
+    pdf_o.to_parquet(d / "orders.parquet")
+
+    from local_stream_stack_spark.queries.relational_ext import (
+        sign_test_daily_revenue,
+    )
+
+    row = sign_test_daily_revenue(spark, str(d)).collect()[0]
+
+    rev: dict[int, int] = {}
+    for di, c in data:
+        rev[di] = rev.get(di, 0) + c
+    pairs = [
+        (rev[di], rev[di + 1]) for di in sorted(rev) if di + 1 in rev
+    ]
+    n_pairs = len(pairs)
+    n_nonzero = sum(1 for a, b in pairs if a != b)
+    s_pos = sum(1 for a, b in pairs if b > a)
+    z = (
+        math.floor(
+            (2.0 * s_pos - n_nonzero)
+            / math.sqrt(float(n_nonzero))
+            * 1e6
+            + 0.5
+        )
+        if n_nonzero > 0
+        else None
+    )
+    assert row.n_pairs == (n_pairs if n_pairs else None) or (
+        row.n_pairs == 0 and n_pairs == 0
+    )
+    if n_pairs == 0:
+        # global agg over zero pairs: count 0, sums NULL
+        assert row.n_pairs == 0
+        return
+    assert (row.n_pairs, row.n_nonzero, row.s_pos) == (
+        n_pairs,
+        n_nonzero,
+        s_pos,
+    )
+    assert row.z_e6 == z, (data, row.z_e6, z)
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(-10_000, 10_000)),
+        min_size=2,
+        max_size=40,
+    ),
+)
+def test_grubbs_matches_python_reference(spark, tmp_path_factory, data):
+    """grubbs_outlier_daily == python: integer-scaled argmax deviation
+    (ties to the earliest day), G = max|x-mean|/s floored at e6."""
+    import pandas as pd
+
+    pdf_o = pd.DataFrame(
+        {
+            "o_orderdate": pd.to_datetime(
+                [di for di, _ in data], unit="D", origin="1970-01-01"
+            ).astype("datetime64[us]"),
+            "o_totalprice": [c / 100.0 for _, c in data],
+        }
+    )
+    d = tmp_path_factory.mktemp("grubbs")
+    pdf_o.to_parquet(d / "orders.parquet")
+
+    from local_stream_stack_spark.queries.relational_ext import (
+        grubbs_outlier_daily,
+    )
+
+    row = grubbs_outlier_daily(spark, str(d)).collect()[0]
+
+    rev: dict[int, int] = {}
+    for di, c in data:
+        rev[di] = rev.get(di, 0) + c
+    n = len(rev)
+    s = sum(rev.values())
+    q = sum(v * v for v in rev.values())
+    best = max(
+        rev, key=lambda di: (abs(n * rev[di] - s), -di)
+    )
+    g = None
+    if n > 1 and float(n) * q - float(s) * s > 0:
+        g = math.floor(
+            abs(n * rev[best] - s)
+            / (
+                float(n)
+                * math.sqrt(
+                    (float(n) * q - float(s) * s) / (float(n) * (n - 1.0))
+                )
+            )
+            * 1e6
+            + 0.5
+        )
+    assert row.n_days == n
+    assert row.argmax_day == best, (data, row.argmax_day, best)
+    assert row.argmax_rev_c == rev[best]
+    assert row.g_e6 == g, (data, row.g_e6, g)
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from(["1-URGENT", "2-HIGH", "3-MEDIUM"]),
+            st.integers(1, 100_000),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_moods_median_matches_python_reference(
+    spark, tmp_path_factory, data
+):
+    """moods_median_priority == python: quantile_cont doubled grand
+    median, strict above/below split, per-group chi2 contributions
+    floored at e6 before the integer sum."""
+    import pandas as pd
+
+    pdf_o = pd.DataFrame(
+        {
+            "o_orderpriority": [p for p, _ in data],
+            "o_totalprice": [c / 100.0 for _, c in data],
+        }
+    )
+    d = tmp_path_factory.mktemp("moods")
+    pdf_o.to_parquet(d / "orders.parquet")
+
+    from local_stream_stack_spark.queries.relational_ext import (
+        moods_median_priority,
+    )
+
+    row = moods_median_priority(spark, str(d)).collect()[0]
+
+    cents = sorted(c for _, c in data)
+    n = len(cents)
+    h = (n - 1) * 0.5
+    lo, hi = cents[math.floor(h)], cents[math.ceil(h)]
+    m2 = round(2.0 * (lo + (h - math.floor(h)) * (hi - lo)))
+    groups: dict[str, list[int]] = {}
+    for p, c in data:
+        groups.setdefault(p, []).append(c)
+    cls = {
+        p: (
+            sum(1 for c in v if 2 * c > m2),
+            sum(1 for c in v if 2 * c < m2),
+        )
+        for p, v in groups.items()
+    }
+    ta = sum(a for a, _ in cls.values())
+    tb = sum(b for _, b in cls.values())
+    chi2 = None
+    if ta > 0 and tb > 0:
+        chi2 = 0
+        for a, b in cls.values():
+            ea = (a + b) * float(ta) / (ta + tb)
+            eb = (a + b) * float(tb) / (ta + tb)
+            if ea > 0 and eb > 0:
+                chi2 += math.floor(
+                    ((a - ea) ** 2 / ea + (b - eb) ** 2 / eb) * 1e6 + 0.5
+                )
+    assert row.k == len(groups)
+    assert row.m2 == m2, (data, row.m2, m2)
+    assert (row.n_above, row.n_below) == (ta, tb)
+    if ta > 0 and tb > 0:
+        assert row.chi2_e6 == chi2, (data, row.chi2_e6, chi2)
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from(["1-URGENT", "2-HIGH", "3-MEDIUM"]),
+            st.integers(1, 100_000),
+        ),
+        min_size=4,
+        max_size=40,
+    ),
+)
+def test_bartlett_matches_python_reference(
+    spark, tmp_path_factory, data
+):
+    """bartlett_test_priority == python: groups of size > 1 only,
+    e9/e15-floored cross-group terms, one final double tree at e6."""
+    import pandas as pd
+
+    pdf_o = pd.DataFrame(
+        {
+            "o_orderpriority": [p for p, _ in data],
+            "o_totalprice": [c / 100.0 for _, c in data],
+        }
+    )
+    d = tmp_path_factory.mktemp("bartlett")
+    pdf_o.to_parquet(d / "orders.parquet")
+
+    from local_stream_stack_spark.queries.relational_ext import (
+        bartlett_test_priority,
+    )
+
+    row = bartlett_test_priority(spark, str(d)).collect()[0]
+
+    groups: dict[str, list[int]] = {}
+    for p, c in data:
+        groups.setdefault(p, []).append(c)
+    def s2_of(v):
+        ng = len(v)
+        sm = sum(v)
+        qq = sum(x * x for x in v)
+        return (qq - float(sm) * sm / ng) / (ng - 1)
+
+    # the query drops size-1 and zero-variance groups (ln(0) is not
+    # the statistic's domain) — mirror that rule exactly
+    gs = {
+        p: v
+        for p, v in groups.items()
+        if len(v) > 1 and s2_of(v) > 0
+    }
+    k = len(gs)
+    nn = sum(len(v) for v in gs.values())
+    assert row.k == k
+    assert row.n == (nn if gs else None)
+    if k < 2:
+        assert row.t_e6 is None
+        return
+    w_sum = 0
+    lnterm_e9 = 0
+    inv_e15 = 0
+    for v in gs.values():
+        ng = len(v)
+        s2 = s2_of(v)
+        w_sum += math.floor((ng - 1) * s2)
+        lnterm_e9 += math.floor((ng - 1) * math.log(s2) * 1e9 + 0.5)
+        inv_e15 += math.floor(1e15 / (ng - 1))
+    if w_sum <= 0:
+        assert row.t_e6 is None
+        return
+    t = math.floor(
+        (
+            (nn - k) * math.log(float(w_sum) / (nn - k))
+            - lnterm_e9 / 1e9
+        )
+        / (1.0 + (inv_e15 / 1e15 - 1.0 / (nn - k)) / (3.0 * (k - 1)))
+        * 1e6
+        + 0.5
+    )
+    assert row.k == k and row.n == nn
+    assert row.t_e6 == t, (data, row.t_e6, t)
