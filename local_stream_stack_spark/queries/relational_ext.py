@@ -6244,8 +6244,9 @@ def moods_median_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS k,
              CAST(SUM(n_g) AS BIGINT) AS n,
-             CAST(SUM(CAST(FLOOR((n_g - 1) * s2) AS BIGINT)) AS BIGINT)
-               AS w_sum,
+             list_reduce(
+               list(CAST((n_g - 1) * s2 AS DOUBLE) ORDER BY prio),
+               (a, b) -> a + b) AS w_sum,
              CAST(SUM(CAST(FLOOR((n_g - 1) * LN(s2) * 1e9 + 0.5)
                            AS BIGINT)) AS BIGINT) AS lnterm_e9,
              CAST(SUM(CAST(FLOOR(1e15 / (n_g - 1)) AS BIGINT)) AS BIGINT)
@@ -6255,7 +6256,7 @@ def moods_median_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT k, n,
            CASE WHEN k > 1 AND w_sum > 0 THEN
              CAST(FLOOR(
-               ((n - k) * LN(CAST(w_sum AS DOUBLE) / (n - k))
+               ((n - k) * LN(w_sum / (n - k))
                 - CAST(lnterm_e9 AS DOUBLE) / 1e9)
                / (1.0 + (CAST(inv_e15 AS DOUBLE) / 1e15
                          - 1.0 / (n - k)) / (3.0 * (k - 1)))
@@ -6302,9 +6303,18 @@ def bartlett_test_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = pg.agg(
         F.count("*").cast("bigint").alias("k"),
         F.sum("n_g").cast("bigint").alias("n"),
-        F.sum(F.expr("CAST(FLOOR((n_g - 1) * s2) AS BIGINT)"))
-        .cast("bigint")
-        .alias("w_sum"),
+        # the pooled-variance numerator reaches ~9e18 cents^2 at
+        # sf0.1 (the x1/x10 curve caught a raw-BIGINT floor overflow,
+        # and Spark's FLOOR(double) SATURATES at Long.MAX rather than
+        # widening) — so the k-term double sum is made order-
+        # independent by FIXING the fold order instead of
+        # integerizing: both engines fold the per-group terms sorted
+        # by group key, left to right
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(prio,"
+            " CAST((n_g - 1) * s2 AS DOUBLE) AS wg))),"
+            " CAST(0.0 AS DOUBLE), (a, x) -> a + x.wg)"
+        ).alias("w_sum"),
         F.sum(
             F.expr("CAST(FLOOR((n_g - 1) * LN(s2) * 1e9 + 0.5) AS BIGINT)")
         )
@@ -6320,7 +6330,7 @@ def bartlett_test_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             """CASE WHEN k > 1 AND w_sum > 0 THEN
                  CAST(FLOOR(
-                   ((n - k) * LN(CAST(w_sum AS DOUBLE) / (n - k))
+                   ((n - k) * LN(w_sum / (n - k))
                     - CAST(lnterm_e9 AS DOUBLE) / 1e9)
                    / (1.0 + (CAST(inv_e15 AS DOUBLE) / 1e15
                              - 1.0 / (n - k)) / (3.0 * (k - 1)))

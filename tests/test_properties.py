@@ -1938,21 +1938,24 @@ def test_bartlett_matches_python_reference(
     if k < 2:
         assert row.t_e6 is None
         return
-    w_sum = 0
+    # the engines fold the k double terms sorted by group key, left
+    # to right — python float adds in the same order reproduce it
+    w_sum = 0.0
     lnterm_e9 = 0
     inv_e15 = 0
-    for v in gs.values():
+    for p_ in sorted(gs):
+        v = gs[p_]
         ng = len(v)
         s2 = s2_of(v)
-        w_sum += math.floor((ng - 1) * s2)
+        w_sum = w_sum + (ng - 1) * s2
         lnterm_e9 += math.floor((ng - 1) * math.log(s2) * 1e9 + 0.5)
         inv_e15 += math.floor(1e15 / (ng - 1))
-    if w_sum <= 0:
+    if not w_sum > 0:
         assert row.t_e6 is None
         return
     t = math.floor(
         (
-            (nn - k) * math.log(float(w_sum) / (nn - k))
+            (nn - k) * math.log(w_sum / (nn - k))
             - lnterm_e9 / 1e9
         )
         / (1.0 + (inv_e15 / 1e15 - 1.0 / (nn - k)) / (3.0 * (k - 1)))
