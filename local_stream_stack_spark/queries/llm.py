@@ -9826,3 +9826,182 @@ def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             " b_sum bigint"
         ),
     ).orderBy("doc_id")
+
+
+@query(
+    "keywords_per_doc_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, tok
+    ),
+    df AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+    scored AS (
+      SELECT t.doc_id, t.tok,
+             CAST(FLOOR(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df)
+                        * 1e6 + 0.5) AS BIGINT) AS score_e6
+      FROM tf t JOIN df d ON d.tok = t.tok CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, tok, score_e6,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY doc_id
+               ORDER BY score_e6 DESC, tok) AS BIGINT) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, rnk, tok, score_e6
+    FROM ranked WHERE rnk <= 3
+    ORDER BY doc_id, rnk
+    """,
+)
+def keywords_per_doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by TF-IDF — the
+    doc-level twin of the corpus-level `tfidf_top_terms` (that one
+    asks "which terms characterize the corpus"; this one asks "which
+    terms characterize EACH document", the form a tagging/labeling
+    pipeline consumes). Scores are floored once to e6 integers BEFORE
+    the ranking window so the per-doc order (score desc, term asc) is
+    a total integer order — no cross-engine double-comparison ties.
+    Scale: one tokenize pass, the df side is a term-grain aggregate
+    (vocab-bounded), and the window partitions per doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("tok"),
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    df = tf.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    n = tf.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs")
+    )
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.expr(
+                "CAST(FLOOR(tf * ln(CAST(n_docs AS DOUBLE) / df)"
+                " * 1e6 + 0.5) AS BIGINT)"
+            ).alias("score_e6"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_e6"), F.asc("tok")
+    )
+    return (
+        scored.withColumn(
+            "rnk", F.row_number().over(w).cast("bigint")
+        )
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "tok", "score_e6")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+@query(
+    "theil_u_lang_source",
+    oracle="""
+    WITH c AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_ls
+      FROM documents GROUP BY lang, source
+    ),
+    tot AS (SELECT CAST(SUM(n_ls) AS BIGINT) AS n FROM c),
+    lm AS (SELECT lang, CAST(SUM(n_ls) AS BIGINT) AS n_l FROM c GROUP BY lang),
+    sm AS (
+      SELECT source, CAST(SUM(n_ls) AS BIGINT) AS n_s FROM c GROUP BY source
+    ),
+    hl AS (
+      SELECT CAST(SUM(CAST(FLOOR(
+               (CAST(n_l AS DOUBLE) / t.n)
+               * ln(CAST(t.n AS DOUBLE) / n_l) * 1e9 + 0.5)
+             AS BIGINT)) AS BIGINT) AS h_lang_e9
+      FROM lm CROSS JOIN tot t
+    ),
+    mi AS (
+      SELECT CAST(SUM(CAST(FLOOR(
+               (CAST(c.n_ls AS DOUBLE) / t.n)
+               * ln(CAST(c.n_ls AS DOUBLE) * t.n
+                    / (CAST(l.n_l AS DOUBLE) * s.n_s)) * 1e9 + 0.5)
+             AS BIGINT)) AS BIGINT) AS mi_e9
+      FROM c
+      JOIN lm l ON l.lang = c.lang
+      JOIN sm s ON s.source = c.source
+      CROSS JOIN tot t
+    )
+    SELECT h.h_lang_e9, m.mi_e9,
+           CASE WHEN h.h_lang_e9 > 0 THEN
+             CAST(FLOOR(CAST(m.mi_e9 AS DOUBLE) / h.h_lang_e9
+                        * 1e6 + 0.5) AS BIGINT)
+           END AS u_e6
+    FROM hl h CROSS JOIN mi m
+    """,
+)
+def theil_u_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficient U(lang | source) = I(lang;
+    source) / H(lang) — the ASYMMETRIC, [0,1]-normalized association
+    measure (`mutual_info_lang_source` reports raw MI in nats;
+    Cramér's V is symmetric; U answers "how much of the language
+    distribution does knowing the source explain", the direction a
+    corpus-curation dashboard reads). Every entropy/MI cell
+    contribution is floored once to an e9 integer so the cross-cell
+    sums are order-independent; the final ratio is one double
+    division rounded to e6. Contingency grid is category-bounded —
+    one scan, tiny shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n_ls")
+    )
+    tot = c.agg(F.sum("n_ls").cast("bigint").alias("n"))
+    lm = c.groupBy("lang").agg(F.sum("n_ls").cast("bigint").alias("n_l"))
+    sm = c.groupBy("source").agg(
+        F.sum("n_ls").cast("bigint").alias("n_s")
+    )
+    hl = (
+        lm.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                """CAST(FLOOR(
+                     (CAST(n_l AS DOUBLE) / n)
+                     * ln(CAST(n AS DOUBLE) / n_l) * 1e9 + 0.5)
+                   AS BIGINT)"""
+            ).alias("h_c")
+        )
+        .agg(F.sum("h_c").cast("bigint").alias("h_lang_e9"))
+    )
+    mi = (
+        c.join(F.broadcast(lm), "lang")
+        .join(F.broadcast(sm), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                """CAST(FLOOR(
+                     (CAST(n_ls AS DOUBLE) / n)
+                     * ln(CAST(n_ls AS DOUBLE) * n
+                          / (CAST(n_l AS DOUBLE) * n_s)) * 1e9 + 0.5)
+                   AS BIGINT)"""
+            ).alias("mi_c")
+        )
+        .agg(F.sum("mi_c").cast("bigint").alias("mi_e9"))
+    )
+    return hl.crossJoin(F.broadcast(mi)).select(
+        "h_lang_e9",
+        "mi_e9",
+        F.expr(
+            """CASE WHEN h_lang_e9 > 0 THEN
+                 CAST(FLOOR(CAST(mi_e9 AS DOUBLE) / h_lang_e9
+                            * 1e6 + 0.5) AS BIGINT)
+               END"""
+        ).alias("u_e6"),
+    )

@@ -429,6 +429,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "lateral_topk_suppliers",
         "token_budget_truncation",
         "multimodal_tiff_decode",
+        "recursive_cte_day_streaks",
     }
 )
 

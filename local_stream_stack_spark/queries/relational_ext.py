@@ -6789,3 +6789,321 @@ def benjamini_hochberg_nations(
         )
         .orderBy("rnk", "nation")
     )
+
+
+@query(
+    "ansari_bradley_urgent",
+    oracle="""
+    WITH o AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+               AS grp1,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    hist AS (
+      SELECT cents,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(grp1) AS BIGINT) AS cnt1
+      FROM o GROUP BY cents
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(cnt1) AS BIGINT) AS n1
+      FROM hist
+    ),
+    ranked AS (
+      SELECT cents, cnt, cnt1,
+             SUM(cnt) OVER (ORDER BY cents) AS cw
+      FROM hist
+    ),
+    scored AS (
+      SELECT r.cnt, r.cnt1,
+             -- tie block covers ranks [a, b]; S2 = 2 * sum of
+             -- Ansari scores min(i, N+1-i) over the block, exact
+             -- integers via the piecewise arithmetic-series split at
+             -- the center m = (N+1)/2
+             CAST(FLOOR(CAST(
+               (CASE WHEN LEAST(r.cw, (t.n + 1) // 2)
+                          >= r.cw - r.cnt + 1
+                     THEN (r.cw - r.cnt + 1 + LEAST(r.cw, (t.n + 1) // 2))
+                          * (LEAST(r.cw, (t.n + 1) // 2)
+                             - (r.cw - r.cnt + 1) + 1)
+                     ELSE 0 END)
+               + (CASE WHEN r.cw >= GREATEST(r.cw - r.cnt + 1,
+                                             (t.n + 1) // 2 + 1)
+                       THEN 2 * (t.n + 1)
+                            * (r.cw - GREATEST(r.cw - r.cnt + 1,
+                                               (t.n + 1) // 2 + 1) + 1)
+                            - (GREATEST(r.cw - r.cnt + 1,
+                                        (t.n + 1) // 2 + 1) + r.cw)
+                              * (r.cw - GREATEST(r.cw - r.cnt + 1,
+                                                 (t.n + 1) // 2 + 1) + 1)
+                       ELSE 0 END)
+               AS DOUBLE) / (2.0 * r.cnt) * 1e6 + 0.5) AS BIGINT)
+               AS score_e6
+      FROM ranked r CROSS JOIN tot t
+    ),
+    ab AS (
+      SELECT CAST(SUM(cnt1 * score_e6) AS BIGINT) AS ab_e6 FROM scored
+    )
+    SELECT t.n1,
+           t.n - t.n1 AS n2,
+           a.ab_e6,
+           CASE WHEN t.n1 > 0 AND t.n - t.n1 > 0 AND t.n > 2 THEN
+             CAST(FLOOR(
+               (CAST(a.ab_e6 AS DOUBLE) / 1e6
+                - (CASE WHEN t.n % 2 = 0
+                        THEN t.n1 * (t.n + 2.0) / 4.0
+                        ELSE t.n1 * (t.n + 1.0) * (t.n + 1.0)
+                             / (4.0 * t.n) END))
+               / SQRT(CASE WHEN t.n % 2 = 0
+                           THEN t.n1 * (t.n - t.n1) * (t.n + 2.0)
+                                * (t.n - 2.0) / (48.0 * (t.n - 1.0))
+                           ELSE t.n1 * (t.n - t.n1) * (t.n + 1.0)
+                                * (3.0 + t.n * CAST(t.n AS DOUBLE))
+                                / (48.0 * t.n * CAST(t.n AS DOUBLE))
+                      END)
+               * 1e6 + 0.5) AS BIGINT)
+           END AS z_e6
+    FROM tot t CROSS JOIN ab a
+    """,
+)
+def ansari_bradley_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley scale test: do URGENT order prices have the same
+    DISPERSION as the rest? — the rank-based member of the
+    equal-variance family (Bartlett assumes normality, Levene/BF is
+    moment-robust; A-B ranks from BOTH ENDS inward, so it needs no
+    moments at all). Scores min(rank, N+1−rank) are computed per
+    DISTINCT value block with exact arithmetic-series sums split at
+    the center (doubled to stay integer), tie blocks get their exact
+    average score floored once to e6, and the group-1 score sum is an
+    exact integer. z uses the classic no-ties mean/variance (odd/even
+    N forms). Scale: the cumulative rank over distinct cents runs on
+    the distributed-rank operator (bin counts + partitioned windows —
+    no single-reducer sort); everything downstream is
+    histogram-sized."""
+    from local_stream_stack_spark.operators.quantiles import (
+        with_global_rank,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.expr(
+            "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END"
+        ).alias("grp1"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    hist = o.groupBy("cents").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("grp1").cast("bigint").alias("cnt1"),
+    )
+    tot = hist.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum("cnt1").cast("bigint").alias("n1"),
+    )
+    ranked = with_global_rank(
+        hist,
+        "cents",
+        out_rank="__rn",
+        cumsum={"cnt": "cw"},
+        acc_type="BIGINT",
+        bins=64,
+    )
+    scored = ranked.crossJoin(F.broadcast(tot)).select(
+        "cnt",
+        "cnt1",
+        F.expr(
+            """CAST(FLOOR(CAST(
+                 (CASE WHEN LEAST(cw, (n + 1) DIV 2) >= cw - cnt + 1
+                       THEN (cw - cnt + 1 + LEAST(cw, (n + 1) DIV 2))
+                            * (LEAST(cw, (n + 1) DIV 2)
+                               - (cw - cnt + 1) + 1)
+                       ELSE 0 END)
+                 + (CASE WHEN cw >= GREATEST(cw - cnt + 1,
+                                             (n + 1) DIV 2 + 1)
+                         THEN 2 * (n + 1)
+                              * (cw - GREATEST(cw - cnt + 1,
+                                               (n + 1) DIV 2 + 1) + 1)
+                              - (GREATEST(cw - cnt + 1,
+                                          (n + 1) DIV 2 + 1) + cw)
+                                * (cw - GREATEST(cw - cnt + 1,
+                                                 (n + 1) DIV 2 + 1) + 1)
+                         ELSE 0 END)
+                 AS DOUBLE) / (2.0 * cnt) * 1e6 + 0.5) AS BIGINT)"""
+        ).alias("score_e6"),
+    )
+    ab = scored.agg(
+        F.sum(F.expr("cnt1 * score_e6")).cast("bigint").alias("ab_e6")
+    )
+    return tot.crossJoin(F.broadcast(ab)).select(
+        "n1",
+        (F.col("n") - F.col("n1")).alias("n2"),
+        "ab_e6",
+        F.expr(
+            """CASE WHEN n1 > 0 AND n - n1 > 0 AND n > 2 THEN
+                 CAST(FLOOR(
+                   (CAST(ab_e6 AS DOUBLE) / 1e6
+                    - (CASE WHEN n % 2 = 0
+                            THEN n1 * (n + 2.0) / 4.0
+                            ELSE n1 * (n + 1.0) * (n + 1.0)
+                                 / (4.0 * n) END))
+                   / SQRT(CASE WHEN n % 2 = 0
+                               THEN n1 * (n - n1) * (n + 2.0)
+                                    * (n - 2.0) / (48.0 * (n - 1.0))
+                               ELSE n1 * (n - n1) * (n + 1.0)
+                                    * (3.0 + n * CAST(n AS DOUBLE))
+                                    / (48.0 * n * CAST(n AS DOUBLE))
+                          END)
+                   * 1e6 + 0.5) AS BIGINT)
+               END"""
+        ).alias("z_e6"),
+    )
+
+
+@query(
+    "cronbach_alpha_nation_months",
+    oracle="""
+    WITH nm AS (
+      SELECT c.c_nationkey AS subj,
+             CAST(EXTRACT(month FROM CAST(o.o_orderdate AS DATE))
+                  AS BIGINT) AS item,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    subjects AS (SELECT CAST(COUNT(DISTINCT subj) AS BIGINT) AS n FROM nm),
+    items AS (
+      SELECT item,
+             CAST(SUM(x) AS HUGEINT) AS s_i,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q_i
+      FROM nm GROUP BY item
+    ),
+    k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM items),
+    itemvar AS (
+      SELECT list_reduce(
+               list(CAST(
+                 (CAST(i.q_i AS DOUBLE)
+                  - CAST(i.s_i AS DOUBLE) * CAST(i.s_i AS DOUBLE) / z.n)
+                 / (z.n - 1) AS DOUBLE) ORDER BY i.item),
+               (a, b) -> a + b) AS sum_var_i
+      FROM items i CROSS JOIN subjects z
+      GROUP BY z.n
+    ),
+    rows_tot AS (
+      SELECT subj, CAST(SUM(x) AS BIGINT) AS t FROM nm GROUP BY subj
+    ),
+    totvar AS (
+      SELECT CAST(SUM(CAST(t AS HUGEINT)) AS HUGEINT) AS st,
+             CAST(SUM(CAST(t AS HUGEINT) * t) AS HUGEINT) AS qt
+      FROM rows_tot
+    )
+    SELECT kk.k AS k_items, z.n AS n_subjects,
+           CASE WHEN kk.k > 1 AND z.n > 1
+                 AND CAST(tv.qt AS DOUBLE)
+                     - CAST(tv.st AS DOUBLE) * CAST(tv.st AS DOUBLE)
+                       / z.n > 0 THEN
+             CAST(FLOOR(
+               (CAST(kk.k AS DOUBLE) / (kk.k - 1))
+               * (1.0 - iv.sum_var_i
+                        / ((CAST(tv.qt AS DOUBLE)
+                            - CAST(tv.st AS DOUBLE)
+                              * CAST(tv.st AS DOUBLE) / z.n)
+                           / (z.n - 1)))
+               * 1e6 + 0.5) AS BIGINT)
+           END AS alpha_e6
+    FROM k kk CROSS JOIN subjects z CROSS JOIN itemvar iv
+    CROSS JOIN totvar tv
+    """,
+)
+def cronbach_alpha_nation_months(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cronbach's alpha — internal-consistency reliability of the 12
+    monthly revenue "items" across the 25 nation "subjects" (the
+    psychometrics statistic a feature-quality audit reuses: do the
+    months move together across nations, i.e. is "annual revenue
+    level" a reliable one-dimensional signal?). alpha = k/(k−1) ·
+    (1 − Σ var_item / var_rowsum); all moments are exact integers
+    (missing cells contribute 0 through the sum-over-present-cells
+    identity), and the k per-item variance doubles fold in a PINNED
+    month order on both engines (the Bartlett lesson: order-fixing
+    beats integerizing when cents² magnitudes brush Long.MAX).
+    Grain-bounded: nothing downstream of the (nation × month) grid
+    exceeds 300 rows."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    nm = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("subj"),
+            F.month(F.col("o_orderdate").cast("date"))
+            .cast("bigint")
+            .alias("item"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    subjects = nm.agg(
+        F.countDistinct("subj").cast("bigint").alias("n")
+    )
+    items = nm.groupBy("item").agg(
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("s_i"),
+        F.sum(
+            F.col("x").cast("decimal(38,0)")
+            * F.col("x").cast("decimal(38,0)")
+        ).alias("q_i"),
+    )
+    k = items.agg(F.count("*").cast("bigint").alias("k"))
+    itemvar = (
+        items.crossJoin(F.broadcast(subjects))
+        .groupBy("n")
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(item,"
+                " CAST((CAST(q_i AS DOUBLE) - CAST(s_i AS DOUBLE)"
+                " * CAST(s_i AS DOUBLE) / n) / (n - 1) AS DOUBLE)"
+                " AS vi))), CAST(0.0 AS DOUBLE), (a, x) -> a + x.vi)"
+            ).alias("sum_var_i")
+        )
+        .select("sum_var_i")
+    )
+    rows_tot = nm.groupBy("subj").agg(
+        F.sum("x").cast("bigint").alias("t")
+    )
+    totvar = rows_tot.agg(
+        F.sum(F.col("t").cast("decimal(38,0)")).alias("st"),
+        F.sum(
+            F.col("t").cast("decimal(38,0)")
+            * F.col("t").cast("decimal(38,0)")
+        ).alias("qt"),
+    )
+    return (
+        k.crossJoin(F.broadcast(subjects))
+        .crossJoin(F.broadcast(itemvar))
+        .crossJoin(F.broadcast(totvar))
+        .select(
+            F.col("k").alias("k_items"),
+            F.col("n").alias("n_subjects"),
+            F.expr(
+                """CASE WHEN k > 1 AND n > 1
+                         AND CAST(qt AS DOUBLE)
+                             - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                               / n > 0 THEN
+                     CAST(FLOOR(
+                       (CAST(k AS DOUBLE) / (k - 1))
+                       * (1.0 - sum_var_i
+                                / ((CAST(qt AS DOUBLE)
+                                    - CAST(st AS DOUBLE)
+                                      * CAST(st AS DOUBLE) / n)
+                                   / (n - 1)))
+                       * 1e6 + 0.5) AS BIGINT)
+                   END"""
+            ).alias("alpha_e6"),
+        )
+    )

@@ -231,6 +231,7 @@ REPRESENTATIVE = [
     "lateral_topk_suppliers",    # correlated LATERAL subquery
     "token_budget_truncation",   # per-lang budget cumsum
     "multimodal_tiff_decode",    # real TIFF codec mapInPandas
+    "recursive_cte_day_streaks", # WITH RECURSIVE iteration
 ]
 
 
