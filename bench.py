@@ -288,377 +288,395 @@ GATE = {
 GATE_V3: dict[str, float] = {
     "ab_test_analysis": 0.277,
     "active_streaks": 0.343,
-    "adamic_adar_link_prediction": 0.734,
-    "anova_f_segments": 0.533,
-    "approx_distinct_parts": 4.278,
-    "approx_percentile_qty": 0.614,
+    "adamic_adar_link_prediction": 0.723,
+    "anova_f_segments": 0.500,
+    "ansari_bradley_urgent": 1.186,
+    "approx_distinct_parts": 3.126,
+    "approx_percentile_qty": 0.513,
     "array_hof_order_lines": 0.274,
     "asof_join_events": 0.588,
     "asof_join_nearest": 0.690,
-    "asof_join_tolerance": 0.672,
+    "asof_join_tolerance": 0.595,
     "attribution_last_touch": 0.592,
-    "autocorr_daily_counts": 0.501,
+    "autocorr_daily_counts": 0.499,
+    "bartlett_test_priority": 0.394,
     "basket_lift_pairs": 1.236,
     "benford_first_digit": 0.270,
-    "blocklist_filter_stats": 0.625,
-    "bloom_filter_fp_audit": 1.175,
-    "bm25_rank": 0.838,
-    "bm25_topk_docs": 0.804,
+    "benjamini_hochberg_nations": 1.128,
+    "blocklist_filter_stats": 0.592,
+    "bloom_filter_fp_audit": 0.560,
+    "bm25_rank": 0.545,
+    "bm25_topk_docs": 0.800,
     "boilerplate_ngrams": 0.960,
     "bootstrap_mean_ci": 0.998,
-    "bounce_rate_by_entry": 0.531,
+    "bounce_rate_by_entry": 0.527,
     "bpe_train_merges": 1.433,
     "bpe_vocab_counts": 1.082,
-    "bucketed_join_revenue": 1.050,
-    "case_when_buckets": 0.338,
-    "cdc_merge_summary": 0.410,
-    "char_entropy_quality": 1.620,
+    "bucketed_join_revenue": 0.608,
+    "case_when_buckets": 0.280,
+    "cdc_merge_summary": 0.407,
+    "char_entropy_quality": 1.328,
     "chisq_lang_source": 0.343,
-    "chunk_documents": 0.206,
+    "chunk_documents": 0.200,
     "clean_text_scrub": 0.269,
-    "clustering_coefficient_nodes": 0.886,
-    "cms_heavy_hitters": 0.781,
-    "cochran_q_daily": 2.716,
-    "cohens_d_urgent_price": 0.536,
-    "cohort_retention": 0.557,
-    "cohort_retention_matrix": 0.347,
+    "clustering_coefficient_nodes": 0.611,
+    "cms_heavy_hitters": 0.623,
+    "cochran_q_daily": 1.493,
+    "cohens_d_urgent_price": 0.275,
+    "cohort_retention": 0.478,
+    "cohort_retention_matrix": 0.314,
     "collation_group_ci": 0.214,
     "compaction_bin_packing": 0.208,
-    "compaction_tombstone": 0.366,
+    "compaction_tombstone": 0.357,
     "conformal_forecast_intervals": 0.935,
     "conversion_lag_quantiles": 1.727,
     "copurchase_bfs_hops": 2.159,
-    "copurchase_kcore": 2.062,
+    "copurchase_kcore": 1.790,
     "copurchase_pagerank": 0.929,
     "corpus_stats_by_lang": 0.619,
     "corr_matrix_lineitem": 1.173,
     "cramers_v_lang_source": 0.463,
-    "cross_entropy_source_pairs": 0.544,
-    "csv_roundtrip_orders": 1.492,
-    "cube_qty": 0.670,
-    "curation_downsample": 0.258,
+    "cronbach_alpha_nation_months": 0.726,
+    "cross_entropy_source_pairs": 0.533,
+    "csv_roundtrip_orders": 0.792,
+    "cube_qty": 0.438,
+    "curation_downsample": 0.234,
     "curation_pipeline": 1.308,
     "curation_pipeline_yaml": 1.432,
-    "customer_decile_transitions": 1.390,
+    "customer_decile_transitions": 1.374,
     "customer_jaccard_similarity": 0.473,
     "customer_rfm_scores": 2.728,
-    "cusum_changepoint_revenue": 0.693,
+    "cusum_changepoint_revenue": 0.675,
     "daily_count_anomalies": 0.289,
-    "dataset_card_summary": 0.542,
-    "date_funcs": 0.247,
+    "dataset_card_summary": 0.526,
+    "date_funcs": 0.215,
     "dau_mau_stickiness": 0.327,
-    "decile_bounds_price": 2.460,
-    "decontaminate_ngram_overlap": 1.331,
-    "decontaminate_splits": 0.483,
-    "dedup_canonical_pick": 0.456,
+    "decile_bounds_price": 2.066,
+    "decontaminate_ngram_overlap": 1.170,
+    "decontaminate_splits": 0.432,
+    "dedup_canonical_pick": 0.433,
     "dedup_cluster_sizes": 4.454,
-    "dedup_components": 4.926,
+    "dedup_components": 4.056,
     "dedup_containment": 2.032,
     "dedup_embedding_cosine": 0.665,
-    "dedup_exact": 0.267,
-    "dedup_keys": 0.189,
+    "dedup_exact": 0.264,
+    "dedup_keys": 0.135,
     "dedup_minhash_lsh": 1.643,
-    "dedup_ngram_jaccard": 3.370,
+    "dedup_ngram_jaccard": 2.386,
     "dedup_prefix_clusters": 0.318,
-    "dedup_rate_by_source": 1.804,
+    "dedup_rate_by_source": 1.718,
     "dedup_repeated_ngram_spans": 1.827,
-    "dedup_simhash": 2.275,
-    "dedup_simhash_hamming": 2.570,
+    "dedup_simhash": 1.928,
+    "dedup_simhash_hamming": 2.411,
     "dedup_substring_spans": 2.151,
     "dedup_token_sort": 0.312,
-    "distinct_rows": 0.179,
+    "distinct_rows": 0.110,
     "doc_fingerprint": 0.317,
-    "doc_length_histogram": 0.209,
+    "doc_length_histogram": 0.205,
     "doc_novelty_scores": 1.381,
-    "dpp_partitioned_lang_join": 0.254,
-    "dq_expectations_orders": 0.438,
-    "durbin_watson_daily_revenue": 1.247,
+    "dph_topk_docs": 0.731,
+    "dpp_partitioned_lang_join": 0.233,
+    "dq_expectations_orders": 0.427,
+    "durbin_watson_daily_revenue": 0.936,
     "embedding_centroid_separation": 0.428,
-    "embedding_dim_variance_audit": 0.348,
-    "embedding_matryoshka_mass": 0.439,
-    "embedding_norms": 0.237,
-    "embedding_pca_power": 0.808,
+    "embedding_dim_variance_audit": 0.331,
+    "embedding_matryoshka_mass": 0.366,
+    "embedding_norms": 0.199,
+    "embedding_pca_power": 0.767,
     "embedding_quantize_int8": 0.430,
     "embedding_quantize_pct": 1.331,
-    "embedding_sim_histogram": 0.466,
-    "event_gap_quantiles": 2.399,
+    "embedding_sim_histogram": 0.459,
+    "event_gap_quantiles": 1.938,
     "event_gap_quantiles_chunked": 2.322,
     "event_transition_matrix": 0.472,
-    "events_anomaly_mad": 1.660,
-    "ewma_daily_revenue": 0.350,
-    "ewma_latest_per_user": 0.736,
+    "events_anomaly_mad": 1.414,
+    "ewma_daily_revenue": 0.339,
+    "ewma_latest_per_user": 0.597,
     "exact_quantile_distributed": 1.255,
-    "explode_outer_rare_tokens": 0.477,
+    "explode_outer_rare_tokens": 0.317,
     "explode_token_counts": 0.185,
-    "filter_predicates": 0.264,
+    "filter_predicates": 0.189,
+    "fleiss_kappa_daily_raters": 0.897,
     "flesch_readability_by_source": 0.401,
     "friedman_test_segments": 0.731,
-    "funnel_stages": 0.647,
+    "funnel_stages": 0.412,
     "fuzzy_entity_clusters": 1.174,
     "fuzzy_join_symspell": 0.288,
     "fuzzy_name_match": 5.717,
-    "gap_fill_locf": 0.458,
+    "gap_fill_locf": 0.313,
     "group_split_leakage_audit": 0.456,
-    "grouping_sets_revenue": 0.814,
+    "grouping_sets_revenue": 0.803,
+    "grubbs_outlier_daily": 0.297,
     "hash_agg_stats": 0.416,
-    "hhi_market_concentration": 0.653,
+    "hhi_market_concentration": 0.599,
     "hits_hubs_authorities": 1.214,
     "hll_sketch_rollup": 0.439,
     "hodges_lehmann_urgent_shift": 6.312,
-    "holt_linear_daily_revenue": 0.461,
+    "holt_linear_daily_revenue": 0.278,
     "hourly_value_quantiles": 1.173,
-    "interpolate_linear": 0.795,
-    "interval_join_peak_windows": 0.544,
+    "interpolate_linear": 0.510,
+    "interval_join_peak_windows": 0.427,
     "inverted_index": 0.855,
-    "jl_distortion_audit": 0.623,
-    "join_anti": 0.334,
-    "join_bloom_prefiltered": 1.292,
-    "join_broadcast_dims": 0.648,
-    "join_explosion_audit": 0.599,
-    "join_null_safe": 0.362,
-    "join_outer_full": 0.561,
-    "join_salted_skew": 3.012,
-    "join_semi": 0.498,
-    "join_shuffle_hash_hint": 0.828,
-    "jonckheere_terpstra_priority": 1.756,
-    "js_divergence_sources": 0.998,
-    "json_funcs": 0.681,
-    "json_roundtrip_orders": 0.823,
-    "k_anonymity_audit": 0.453,
-    "kafka_frame_roundtrip": 1.261,
-    "kendall_tau_daily": 0.468,
+    "jl_distortion_audit": 0.613,
+    "join_anti": 0.241,
+    "join_bloom_prefiltered": 1.221,
+    "join_broadcast_dims": 0.380,
+    "join_explosion_audit": 0.598,
+    "join_null_safe": 0.307,
+    "join_outer_full": 0.303,
+    "join_salted_skew": 2.572,
+    "join_semi": 0.291,
+    "join_shuffle_hash_hint": 0.768,
+    "jonckheere_terpstra_priority": 1.746,
+    "js_divergence_sources": 0.782,
+    "json_funcs": 0.656,
+    "json_roundtrip_orders": 0.644,
+    "k_anonymity_audit": 0.441,
+    "kafka_frame_roundtrip": 1.202,
+    "kendall_tau_daily": 0.428,
+    "kendall_w_nation_months": 0.849,
+    "keywords_per_doc_tfidf": 0.981,
     "kmeans_embeddings": 1.023,
     "kmv_distinct_rollup": 0.573,
     "kmv_overlap_daily": 0.592,
     "kmv_rolling_wau": 0.576,
-    "knn_label_purity": 2.238,
-    "kruskal_wallis_priority": 3.028,
-    "ks_test_urgent_price": 1.077,
-    "label_centroids": 0.361,
-    "label_propagation_communities": 1.686,
+    "knn_label_purity": 2.123,
+    "kruskal_wallis_priority": 1.560,
+    "ks_test_urgent_price": 1.065,
+    "label_centroids": 0.258,
+    "label_propagation_communities": 1.440,
     "lang_id": 0.523,
     "lang_id_confusion": 0.436,
-    "latest_per_key": 0.329,
-    "levene_brown_forsythe_segments": 2.156,
-    "ljung_box_daily_revenue": 1.688,
-    "mad_outliers": 3.770,
+    "lateral_topk_suppliers": 0.391,
+    "latest_per_key": 0.324,
+    "levene_brown_forsythe_segments": 2.154,
+    "ljung_box_daily_revenue": 1.053,
+    "mad_outliers": 3.284,
     "mann_kendall_trend_daily": 8.881,
     "mann_whitney_priority": 0.859,
-    "map_explode_customer": 0.442,
+    "map_explode_customer": 0.243,
     "markov_next_event_accuracy": 0.777,
-    "math_funcs": 0.600,
-    "minhash_band_sweep": 2.785,
-    "minhash_calibration": 4.465,
-    "mmr_diversified_topk": 4.251,
+    "math_funcs": 0.583,
+    "minhash_band_sweep": 2.570,
+    "minhash_calibration": 4.324,
+    "mmr_diversified_topk": 3.473,
     "mojibake_encoding_audit": 0.401,
-    "multimodal_au_g711_decode": 1.445,
-    "multimodal_binary_meta": 0.238,
-    "multimodal_bmp_decode": 0.884,
+    "moods_median_priority": 1.200,
+    "multimodal_au_g711_decode": 0.940,
+    "multimodal_binary_meta": 0.233,
+    "multimodal_bmp_decode": 0.835,
     "multimodal_features": 0.497,
     "multimodal_frame_sample": 0.564,
-    "multimodal_gif_decode": 0.944,
-    "multimodal_ico_decode": 0.931,
-    "multimodal_jpeg_decode": 1.434,
-    "multimodal_midi_decode": 1.154,
-    "multimodal_pcx_decode": 1.186,
+    "multimodal_gif_decode": 0.867,
+    "multimodal_ico_decode": 0.884,
+    "multimodal_jpeg_decode": 1.285,
+    "multimodal_midi_decode": 0.962,
+    "multimodal_pcx_decode": 0.858,
     "multimodal_png_decode": 1.820,
-    "multimodal_pnm_decode": 1.307,
+    "multimodal_pnm_decode": 0.946,
     "multimodal_qoi_decode": 0.874,
-    "multimodal_tga_decode": 1.184,
-    "multimodal_video_frames": 3.698,
-    "multimodal_wav_decode": 1.101,
+    "multimodal_tga_decode": 0.921,
+    "multimodal_tiff_decode": 1.049,
+    "multimodal_video_frames": 3.642,
+    "multimodal_wav_decode": 1.082,
     "mutual_info_lang_source": 0.398,
-    "null_semantics": 0.305,
-    "nulls_ordering": 0.300,
+    "null_semantics": 0.242,
+    "nulls_ordering": 0.268,
     "ols_slope_per_type": 0.814,
-    "orc_roundtrip_orders": 0.709,
+    "orc_roundtrip_orders": 0.578,
     "orders_backlog_aging": 0.315,
     "orders_monthly_yoy": 0.655,
-    "pack_documents": 0.830,
-    "page_trend_test_segments": 1.036,
-    "pagerank_copurchase": 2.919,
-    "partitioned_roundtrip_docs": 0.436,
-    "percentile_stats": 1.738,
+    "pack_documents": 0.746,
+    "page_trend_test_segments": 0.973,
+    "pagerank_copurchase": 2.419,
+    "partitioned_roundtrip_docs": 0.431,
+    "percentile_stats": 1.732,
     "perplexity_bigram_interp": 1.234,
     "perplexity_unigram": 0.535,
     "pettitt_changepoint_daily": 2.001,
-    "pii_scrub_stats": 0.639,
-    "pipe_syntax_revenue": 0.294,
-    "pipeline_yaml_batch": 0.218,
-    "pipeline_yaml_enrich_agg": 0.493,
+    "pii_scrub_stats": 0.600,
+    "pipe_syntax_revenue": 0.236,
+    "pipeline_yaml_batch": 0.179,
+    "pipeline_yaml_enrich_agg": 0.405,
     "pivot_returnflag": 0.460,
-    "pl2_topk_docs": 1.100,
-    "price_decile_assign": 2.380,
-    "profile_columns": 3.934,
-    "projection_cast": 0.202,
+    "pl2_topk_docs": 0.818,
+    "price_decile_assign": 2.360,
+    "profile_columns": 3.059,
+    "projection_cast": 0.149,
     "psi_price_drift_by_segment": 0.789,
-    "purchase_hazard_curve": 0.724,
+    "purchase_hazard_curve": 0.643,
     "pyds_stream_agg": 3.038,
-    "pyds_synthetic_agg": 0.891,
+    "pyds_synthetic_agg": 0.543,
     "q10_returned_revenue": 0.628,
-    "q11_important_parts": 0.781,
-    "q12_late_shipments": 0.708,
+    "q11_important_parts": 0.572,
+    "q12_late_shipments": 0.482,
     "q13_order_count_dist": 0.423,
-    "q14_promo_revenue": 0.317,
-    "q15_top_supplier": 0.710,
-    "q16_supplier_count": 0.988,
-    "q17_small_qty_revenue": 0.495,
+    "q14_promo_revenue": 0.298,
+    "q15_top_supplier": 0.422,
+    "q16_supplier_count": 0.639,
+    "q17_small_qty_revenue": 0.424,
     "q18_large_orders": 1.202,
     "q19_or_predicates": 0.425,
     "q1_pricing_summary": 0.935,
-    "q20_dominant_suppliers": 1.153,
+    "q20_dominant_suppliers": 0.776,
     "q21_waiting_suppliers": 0.750,
-    "q22_idle_customers": 0.539,
+    "q22_idle_customers": 0.403,
     "q2_top_supplier_per_part": 1.001,
     "q3_shipping_priority": 0.769,
     "q4_order_priority": 0.694,
     "q5_local_supplier_volume": 1.263,
     "q6_forecast_revenue": 0.254,
     "q7_nation_volume": 0.870,
-    "q8_market_share": 1.385,
-    "q9_product_profit": 1.131,
-    "qld_topk_docs": 0.782,
-    "qq_plot_price": 1.163,
-    "quality_classifier_pr_curve": 1.753,
+    "q8_market_share": 0.898,
+    "q9_product_profit": 0.876,
+    "qld_topk_docs": 0.639,
+    "qq_plot_price": 1.125,
+    "quality_classifier_pr_curve": 1.552,
     "quality_classifier_reliability": 1.367,
-    "quality_classifier_score": 1.469,
-    "quality_classifier_train": 1.979,
+    "quality_classifier_score": 1.272,
+    "quality_classifier_train": 1.790,
     "quality_filter_gopher": 0.881,
     "quantile_by_value_qty": 0.654,
-    "range_join_views_before_purchase": 0.588,
-    "recursive_copurchase_reach": 1.774,
+    "range_join_views_before_purchase": 0.491,
+    "recursive_copurchase_reach": 1.367,
+    "recursive_cte_day_streaks": 3.039,
     "referential_integrity_audit": 0.572,
-    "regression_by_nation": 1.123,
-    "repetition_ratio": 45.020,
+    "regression_by_nation": 1.117,
+    "repetition_ratio": 37.921,
     "revenue_gini_lorenz": 1.427,
-    "right_to_be_forgotten_audit": 0.365,
-    "rm3_expanded_retrieval": 2.888,
-    "rollup_revenue": 0.998,
-    "rollup_time_hierarchy": 0.969,
+    "right_to_be_forgotten_audit": 0.345,
+    "rm3_expanded_retrieval": 2.744,
+    "rollup_revenue": 0.882,
+    "rollup_time_hierarchy": 0.624,
     "rrf_fusion_topk": 1.169,
-    "runs_test_daily_revenue": 2.888,
-    "sample_per_group": 0.241,
-    "scd2_history": 0.348,
+    "runs_test_daily_revenue": 2.031,
+    "sample_per_group": 0.229,
+    "scd2_history": 0.332,
     "schema_evolution_roundtrip": 0.441,
-    "schema_registry_parse": 0.729,
-    "seasonal_decomposition_weekday": 0.425,
-    "seasonal_naive_backtest": 0.311,
+    "schema_registry_parse": 0.551,
+    "seasonal_decomposition_weekday": 0.387,
+    "seasonal_naive_backtest": 0.298,
     "semantic_dedup_components": 2.673,
     "semantic_dedup_lsh_components": 3.179,
     "session_entropy_per_user": 0.449,
     "session_paths_top": 0.356,
-    "session_window_agg": 0.693,
-    "sessionize_events": 0.695,
+    "session_window_agg": 0.590,
+    "sessionize_events": 0.694,
     "sessionize_events_chunked": 0.768,
-    "set_ops": 0.470,
+    "set_ops": 0.338,
     "set_ops_bag": 0.438,
-    "ship_lag_quantiles": 0.878,
+    "ship_lag_quantiles": 0.873,
     "shuffle_deterministic": 0.624,
+    "sign_test_daily_revenue": 0.314,
     "sim_bruteforce_topk": 0.560,
     "sim_ivf_topk": 0.811,
     "sim_ivfpq_topk": 3.292,
     "sim_lsh_multiprobe_topk": 0.843,
     "sim_lsh_topk": 0.809,
     "sim_pq_topk": 3.001,
-    "sim_recall_calibration": 5.247,
-    "skew_diagnostics": 0.253,
+    "sim_recall_calibration": 5.064,
+    "skew_diagnostics": 0.240,
     "skyline_price_size": 0.272,
-    "sliding_window_agg": 0.394,
+    "sliding_window_agg": 0.341,
     "snapshot_diff_orders": 0.498,
-    "source_char_budget": 0.249,
+    "source_char_budget": 0.238,
     "source_mixing_weights": 0.271,
     "source_overlap_matrix": 1.610,
     "spearman_qty_price": 1.878,
-    "sql_api_revenue": 1.408,
-    "sql_udf_netprice": 1.143,
-    "sql_variables_param_revenue": 0.367,
+    "sql_api_revenue": 1.060,
+    "sql_udf_netprice": 1.078,
+    "sql_variables_param_revenue": 0.328,
     "stats_profile_orders": 0.860,
-    "stratified_sample_exact": 0.196,
-    "stratified_sample_sources": 0.230,
+    "stratified_sample_exact": 0.179,
+    "stratified_sample_sources": 0.210,
     "stream_aggregate_view": 0.690,
     "stream_aggregate_view_compacted": 2.593,
     "stream_bm25_compacted": 6.294,
     "stream_bm25_incremental": 2.703,
-    "stream_cms_heavy_hitters_incremental": 2.165,
+    "stream_cms_heavy_hitters_incremental": 2.116,
     "stream_corpus_card_incremental": 1.580,
     "stream_curation_yaml": 2.076,
-    "stream_dedup_keys": 3.386,
+    "stream_dedup_keys": 3.223,
     "stream_embedding_centroids_incremental": 1.428,
-    "stream_histogram_quantiles_incremental": 2.834,
+    "stream_histogram_quantiles_incremental": 2.106,
     "stream_ingest_dedup": 1.471,
     "stream_ingest_dedup_compacted": 2.793,
     "stream_ingest_neardup": 18.787,
-    "stream_ingest_neardup_compacted": 21.691,
+    "stream_ingest_neardup_compacted": 20.671,
     "stream_ingest_neardup_tws": 19.528,
-    "stream_interval_join": 12.548,
-    "stream_interval_join_outer": 11.545,
-    "stream_ivf_index_incremental": 4.516,
+    "stream_interval_join": 12.146,
+    "stream_interval_join_outer": 11.544,
+    "stream_ivf_index_incremental": 4.410,
     "stream_join_enriched_incremental": 6.035,
-    "stream_kmv_compacted": 3.342,
+    "stream_kmv_compacted": 2.627,
     "stream_kmv_distinct_incremental": 1.276,
-    "stream_latest_per_key": 2.007,
+    "stream_latest_per_key": 1.925,
+    "stream_minmax_view_incremental": 2.762,
     "stream_parquet_sink": 0.753,
     "stream_pipeline_yaml": 0.502,
-    "stream_pmi_collocations_incremental": 2.179,
-    "stream_psi_monitor": 2.274,
-    "stream_quality_quarantine": 1.517,
-    "stream_running_totals": 2.404,
-    "stream_running_totals_tws": 6.613,
+    "stream_pmi_collocations_incremental": 1.888,
+    "stream_psi_monitor": 2.109,
+    "stream_quality_quarantine": 1.399,
+    "stream_restart_resume_view": 16.755,
+    "stream_running_totals": 2.233,
+    "stream_running_totals_tws": 3.725,
     "stream_scd2_dimension": 3.242,
-    "stream_session_windows": 2.887,
-    "stream_skyline_frontier": 1.061,
+    "stream_session_windows": 2.468,
+    "stream_skyline_frontier": 0.949,
     "stream_sliding_counts": 2.250,
     "stream_static_enrich": 1.799,
-    "stream_topk_per_window": 3.065,
-    "stream_tumbling_counts": 1.790,
+    "stream_topk_per_window": 3.013,
+    "stream_tumbling_counts": 1.756,
     "stream_unigram_lm_incremental": 1.335,
-    "stream_windowed_rollup_chain": 6.211,
-    "string_funcs": 0.161,
+    "stream_windowed_rollup_chain": 5.684,
+    "string_funcs": 0.122,
     "supplier_pareto_abc": 0.868,
     "table_fingerprint_orders": 0.440,
-    "text_stats": 0.765,
-    "tfidf_cosine_topk": 2.343,
+    "text_stats": 0.726,
+    "tfidf_cosine_topk": 1.252,
     "tfidf_top_terms": 0.397,
-    "theil_sen_daily_revenue": 7.270,
-    "time_weighted_avg": 0.647,
-    "token_drift_kl": 0.982,
-    "token_estimate_bpe": 0.359,
-    "token_pmi_collocations": 1.096,
+    "theil_sen_daily_revenue": 7.180,
+    "theil_u_lang_source": 0.356,
+    "time_weighted_avg": 0.529,
+    "token_budget_truncation": 0.349,
+    "token_drift_kl": 0.827,
+    "token_estimate_bpe": 0.342,
+    "token_pmi_collocations": 0.961,
     "tokens_retained_after_dedup": 0.320,
-    "top_tokens_per_lang": 0.340,
-    "topk_orders": 0.189,
+    "top_tokens_per_lang": 0.331,
+    "topk_orders": 0.111,
     "topk_per_group": 0.366,
-    "train_test_split": 0.271,
-    "triangle_count": 0.469,
-    "try_arithmetic_orders": 0.446,
+    "train_test_split": 0.227,
+    "triangle_count": 0.394,
+    "try_arithmetic_orders": 0.293,
     "tumbling_window_agg": 0.296,
-    "udaf_trimmed_stats": 6.915,
-    "udtf_tokenize": 0.599,
+    "udaf_trimmed_stats": 6.145,
+    "udtf_tokenize": 0.415,
     "unicode_nfc_normalize": 0.487,
-    "unpivot_part_measures": 0.286,
+    "unpivot_part_measures": 0.184,
     "user_adoption_curve": 0.538,
     "value_histogram_log2": 0.165,
-    "variant_extract_orders": 1.180,
+    "variant_extract_orders": 0.836,
     "vocab_coverage": 0.250,
-    "vocab_coverage_curve": 0.861,
+    "vocab_coverage_curve": 0.826,
     "vocab_novelty_by_source": 0.416,
     "wasserstein_price_urgent": 1.495,
-    "weekday_activity_profile": 0.237,
+    "weekday_activity_profile": 0.218,
     "weighted_median_price_by_flag": 1.535,
     "weighted_sample": 0.147,
-    "welch_t_sources": 0.224,
+    "welch_t_sources": 0.222,
     "wilson_ci_urgent_rate": 0.276,
-    "window_analytic": 0.351,
+    "window_analytic": 0.328,
     "window_distribution": 0.288,
     "window_frames": 0.373,
-    "window_range_frame": 0.669,
+    "window_range_frame": 0.523,
     "window_ranking": 0.387,
-    "winsorized_mean_price": 2.664,
-    "xml_roundtrip_orders": 1.037,
+    "winsorized_mean_price": 1.924,
+    "xml_roundtrip_orders": 1.022,
     "zipf_token_fit": 0.789,
     "zonemap_pruning_stats": 0.356,
     "zorder_layout_events": 0.339,
-    "zscore_outliers": 0.401,
+    "zscore_outliers": 0.340,
 }
 # END GATE_V3
 

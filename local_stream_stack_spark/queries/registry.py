@@ -430,6 +430,10 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "token_budget_truncation",
         "multimodal_tiff_decode",
         "recursive_cte_day_streaks",
+        "keywords_per_doc_tfidf",
+        "theil_u_lang_source",
+        "ansari_bradley_urgent",
+        "cronbach_alpha_nation_months",
     }
 )
 

@@ -232,6 +232,10 @@ REPRESENTATIVE = [
     "token_budget_truncation",   # per-lang budget cumsum
     "multimodal_tiff_decode",    # real TIFF codec mapInPandas
     "recursive_cte_day_streaks", # WITH RECURSIVE iteration
+    "keywords_per_doc_tfidf",    # per-doc ranked extraction
+    "theil_u_lang_source",       # entropy/MI cell sums
+    "ansari_bradley_urgent",     # both-ends rank dispersion
+    "cronbach_alpha_nation_months",  # item-reliability moments
 ]
 
 
@@ -287,6 +291,8 @@ EXPECT_SUMMARY_ROWS = {
     "bartlett_test_priority": 1,     # single stats row (k=0)
     "kendall_w_nation_months": 1,    # single stats row (NULL W)
     "fleiss_kappa_daily_raters": 1,  # single stats row (NULL kappa)
+    "ansari_bradley_urgent": 1,      # single stats row (NULL z)
+    "theil_u_lang_source": 1,        # single stats row (NULL U)
 }
 
 

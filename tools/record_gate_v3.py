@@ -29,6 +29,22 @@ def main() -> int:
         **detail["queries_extended"],
         **detail.get("queries_tier3", {}),
     }
+    # min-merge with the existing block (round-11 precedent): anchors
+    # only ever TIGHTEN, so one hot recording can never loosen the
+    # gate; brand-new queries take their fresh reading
+    path = os.path.join(ROOT, "bench.py")
+    src = open(path).read()
+    m = re.search(
+        r"# BEGIN GATE_V3 \(auto-generated\)\n(.*?)# END GATE_V3",
+        src,
+        flags=re.S,
+    )
+    if m:
+        for name, val in re.findall(
+            r'"([^"]+)":\s*([0-9.]+),', m.group(1)
+        ):
+            if name in anchors:
+                anchors[name] = min(anchors[name], float(val))
     lines = ["GATE_V3: dict[str, float] = {"]
     for name in sorted(anchors):
         lines.append(f'    "{name}": {anchors[name]:.3f},')
@@ -38,8 +54,6 @@ def main() -> int:
         + "\n".join(lines)
         + "\n# END GATE_V3"
     )
-    path = os.path.join(ROOT, "bench.py")
-    src = open(path).read()
     new = re.sub(
         r"# BEGIN GATE_V3 \(auto-generated\)\n.*?# END GATE_V3",
         block,
