@@ -10005,3 +10005,58 @@ def theil_u_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                END"""
         ).alias("u_e6"),
     )
+
+
+@query(
+    "sentence_split_stats",
+    oracle="""
+    WITH sents AS (
+      SELECT doc_id, lang,
+             len(list_filter(
+               string_split_regex(text, '[.!?]+'),
+               s -> len(trim(s)) > 0)) AS n_sents,
+             CAST(len(text) AS BIGINT) AS n_chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_sents) AS BIGINT) AS sents_total,
+           CAST(MAX(n_sents) AS BIGINT) AS sents_max,
+           CAST(FLOOR(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_sents)
+                      * 1e6 + 0.5) AS BIGINT) AS chars_per_sent_e6
+    FROM sents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def sentence_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation statistics per language — the unit every
+    context-window packer and per-sentence quality scorer chops on
+    (`chunk_documents` cuts on tokens; real curation cuts on sentence
+    boundaries first). Sentences = non-blank spans between [.!?]+
+    runs, counted with the same regex split + trim filter on both
+    engines; per-lang totals are exact integers and the mean sentence
+    length is one double division rounded to e6. One scan, lang-grain
+    aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    sents = d.select(
+        "lang",
+        F.expr(
+            "size(filter(split(text, '[.!?]+'),"
+            " s -> length(trim(s)) > 0))"
+        ).alias("n_sents"),
+        F.expr("CAST(length(text) AS BIGINT)").alias("n_chars"),
+    )
+    return (
+        sents.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_sents").cast("bigint").alias("sents_total"),
+            F.max("n_sents").cast("bigint").alias("sents_max"),
+            F.expr(
+                "CAST(FLOOR(CAST(SUM(n_chars) AS DOUBLE)"
+                " / SUM(n_sents) * 1e6 + 0.5) AS BIGINT)"
+            ).alias("chars_per_sent_e6"),
+        )
+        .orderBy("lang")
+    )

@@ -434,6 +434,9 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "theil_u_lang_source",
         "ansari_bradley_urgent",
         "cronbach_alpha_nation_months",
+        "copurchase_ktruss",
+        "mode_qty_by_flag",
+        "sentence_split_stats",
     }
 )
 

@@ -7107,3 +7107,50 @@ def cronbach_alpha_nation_months(
             ).alias("alpha_e6"),
         )
     )
+
+
+@query(
+    "mode_qty_by_flag",
+    oracle="""
+    WITH h AS (
+      SELECT l_returnflag AS flag,
+             CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ),
+    mx AS (
+      SELECT flag, MAX(cnt) AS max_cnt FROM h GROUP BY flag
+    )
+    SELECT h.flag,
+           CAST(MIN(h.qty) AS BIGINT) AS mode_qty,
+           CAST(MAX(h.cnt) AS BIGINT) AS mode_count
+    FROM h JOIN mx ON mx.flag = h.flag AND h.cnt = mx.max_cnt
+    GROUP BY h.flag
+    ORDER BY h.flag
+    """,
+)
+def mode_qty_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE per group: the most frequent quantity per
+    return flag with ties broken to the SMALLEST value — built-in
+    mode() aggregates (Spark's and DuckDB's alike) leave tie order
+    unspecified, which is exactly the nondeterminism a reproducible
+    pipeline can't ship, so the mode is derived from the value
+    histogram instead: (flag, qty) counts (partial-agg, shuffle
+    bounded by distinct values), per-flag max count broadcast back,
+    MIN over the argmax set. Everything integer-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    h = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.expr("CAST(ROUND(l_quantity) AS BIGINT)").alias("qty"),
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    mx = h.groupBy("flag").agg(F.max("cnt").alias("max_cnt"))
+    return (
+        h.join(F.broadcast(mx), "flag")
+        .filter(F.col("cnt") == F.col("max_cnt"))
+        .groupBy("flag")
+        .agg(
+            F.min("qty").cast("bigint").alias("mode_qty"),
+            F.max("cnt").cast("bigint").alias("mode_count"),
+        )
+        .orderBy("flag")
+    )

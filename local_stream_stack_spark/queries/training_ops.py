@@ -4101,3 +4101,110 @@ def label_propagation_communities(
         .orderBy(F.desc("size"), F.asc("community"))
         .limit(20)
     )
+
+
+def _ktruss_oracle_sql(support: int = 2, rounds: int = 5) -> str:
+    sql = ["""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_orderkey < 2000
+    ),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    adj0 AS MATERIALIZED (
+      SELECT u AS s, v AS d FROM e0 UNION SELECT v AS s, u AS d FROM e0
+    )"""]
+    for t in range(1, rounds + 1):
+        sql.append(f""",
+    e{t} AS MATERIALIZED (
+      SELECT e.u, e.v
+      FROM e{t-1} e
+      JOIN adj{t-1} a ON a.s = e.u
+      JOIN adj{t-1} b ON b.s = e.v AND b.d = a.d
+      GROUP BY e.u, e.v
+      HAVING COUNT(*) >= {support}
+    ),
+    adj{t} AS MATERIALIZED (
+      SELECT u AS s, v AS d FROM e{t} UNION SELECT v AS s, u AS d FROM e{t}
+    )""")
+    selects = [
+        f"SELECT CAST({t} AS INT) AS round,"
+        f" CAST(COUNT(*) AS BIGINT) AS n_edges FROM e{t}"
+        for t in range(rounds + 1)
+    ]
+    sql.append("\n    " + "\n    UNION ALL ".join(selects))
+    sql.append("\n    ORDER BY round")
+    return "".join(sql)
+
+
+@query("copurchase_ktruss", oracle=_ktruss_oracle_sql())
+def copurchase_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss decomposition of the co-purchase graph by iterative
+    triangle-support peeling: each round drops every edge in fewer
+    than 2 surviving triangles (the EDGE-grain sibling of the
+    node-grain `copurchase_kcore` — a 4-truss is strictly denser than
+    a 3-core, since every remaining edge must close 2+ triangles, the
+    cohesion standard community-mining uses when degree alone
+    overstates connectivity). Each round is the canonical two-hop
+    wedge join (edge (u,v) ⋈ adj(u) ⋈ adj(v) on the shared endpoint —
+    never an all-pairs product), re-materialized with localCheckpoint
+    so the plan stays bounded; only the per-round edge counts leave
+    the executors. Fixed 5 rounds on both engines keep the unrolled
+    oracle bit-identical whether or not the peel has converged."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 2000)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
+    )
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    profile = [
+        e.agg(F.count("*").cast("bigint").alias("n_edges")).select(
+            F.lit(0).cast("int").alias("round"), "n_edges"
+        )
+    ]
+    for t in range(1, 6):
+        adj = e.select(
+            F.col("u").alias("s"), F.col("v").alias("d")
+        ).union(e.select(F.col("v").alias("s"), F.col("u").alias("d")))
+        e = (
+            e.join(
+                adj.select(F.col("s").alias("u"), F.col("d").alias("w")),
+                "u",
+            )
+            .join(
+                adj.select(
+                    F.col("s").alias("v"), F.col("d").alias("w")
+                ),
+                ["v", "w"],
+            )
+            .groupBy("u", "v")
+            .agg(F.count("*").alias("supp"))
+            .filter(F.col("supp") >= 2)
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        profile.append(
+            e.agg(F.count("*").cast("bigint").alias("n_edges")).select(
+                F.lit(t).cast("int").alias("round"), "n_edges"
+            )
+        )
+    out = profile[0]
+    for p in profile[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("round")

@@ -236,6 +236,9 @@ REPRESENTATIVE = [
     "theil_u_lang_source",       # entropy/MI cell sums
     "ansari_bradley_urgent",     # both-ends rank dispersion
     "cronbach_alpha_nation_months",  # item-reliability moments
+    "copurchase_ktruss",         # iterative triangle peeling
+    "mode_qty_by_flag",          # histogram-derived mode
+    "sentence_split_stats",      # regex segmentation stats
 ]
 
 
@@ -293,6 +296,7 @@ EXPECT_SUMMARY_ROWS = {
     "fleiss_kappa_daily_raters": 1,  # single stats row (NULL kappa)
     "ansari_bradley_urgent": 1,      # single stats row (NULL z)
     "theil_u_lang_source": 1,        # single stats row (NULL U)
+    "copurchase_ktruss": 6,          # one profile row per round
 }
 
 
