@@ -7154,3 +7154,52 @@ def mode_qty_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+@query(
+    "grouping_id_revenue",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '<all>') AS flag,
+           COALESCE(l_linestatus, '<all>') AS status,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus)
+                AS INT) AS gid,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS rev_c,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), (l_linestatus), ())
+    ORDER BY gid, flag, status
+    """,
+)
+def grouping_id_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() markers over GROUPING SETS — the SQL-standard way a
+    consumer tells a subtotal row from a genuine NULL group
+    (`grouping_sets_revenue` covers the expansion itself; this adds
+    the GROUPING/GROUPING_ID discriminator surface, with the composed
+    gid = 2·g(flag) + g(status) matching the bit layout both engines
+    define). COALESCE labels make the subtotal rows self-describing;
+    revenue in exact integer cents. One Expand + partial/final hash
+    aggregate — the same single-shuffle profile as any grouping-sets
+    plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, '<all>') AS flag,
+               COALESCE(l_linestatus, '<all>') AS status,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus)
+                    AS INT) AS gid,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_c,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus), ())
+        ORDER BY gid, flag, status
+        """
+    )
