@@ -292,7 +292,7 @@ GATE_V3: dict[str, float] = {
     "anova_f_segments": 0.500,
     "ansari_bradley_urgent": 1.186,
     "approx_distinct_parts": 3.126,
-    "approx_percentile_qty": 0.513,
+    "approx_percentile_qty": 0.511,
     "array_hof_order_lines": 0.274,
     "asof_join_events": 0.588,
     "asof_join_nearest": 0.690,
@@ -312,7 +312,7 @@ GATE_V3: dict[str, float] = {
     "bounce_rate_by_entry": 0.527,
     "bpe_train_merges": 1.433,
     "bpe_vocab_counts": 1.082,
-    "bucketed_join_revenue": 0.608,
+    "bucketed_join_revenue": 0.529,
     "case_when_buckets": 0.280,
     "cdc_merge_summary": 0.407,
     "char_entropy_quality": 1.328,
@@ -327,20 +327,21 @@ GATE_V3: dict[str, float] = {
     "cohort_retention_matrix": 0.314,
     "collation_group_ci": 0.214,
     "compaction_bin_packing": 0.208,
-    "compaction_tombstone": 0.357,
+    "compaction_tombstone": 0.325,
     "conformal_forecast_intervals": 0.935,
     "conversion_lag_quantiles": 1.727,
     "copurchase_bfs_hops": 2.159,
     "copurchase_kcore": 1.790,
+    "copurchase_ktruss": 1.910,
     "copurchase_pagerank": 0.929,
     "corpus_stats_by_lang": 0.619,
     "corr_matrix_lineitem": 1.173,
-    "cramers_v_lang_source": 0.463,
+    "cramers_v_lang_source": 0.384,
     "cronbach_alpha_nation_months": 0.726,
-    "cross_entropy_source_pairs": 0.533,
+    "cross_entropy_source_pairs": 0.502,
     "csv_roundtrip_orders": 0.792,
     "cube_qty": 0.438,
-    "curation_downsample": 0.234,
+    "curation_downsample": 0.232,
     "curation_pipeline": 1.308,
     "curation_pipeline_yaml": 1.432,
     "customer_decile_transitions": 1.374,
@@ -352,7 +353,7 @@ GATE_V3: dict[str, float] = {
     "date_funcs": 0.215,
     "dau_mau_stickiness": 0.327,
     "decile_bounds_price": 2.066,
-    "decontaminate_ngram_overlap": 1.170,
+    "decontaminate_ngram_overlap": 1.132,
     "decontaminate_splits": 0.432,
     "dedup_canonical_pick": 0.433,
     "dedup_cluster_sizes": 4.454,
@@ -362,7 +363,7 @@ GATE_V3: dict[str, float] = {
     "dedup_exact": 0.264,
     "dedup_keys": 0.135,
     "dedup_minhash_lsh": 1.643,
-    "dedup_ngram_jaccard": 2.386,
+    "dedup_ngram_jaccard": 2.318,
     "dedup_prefix_clusters": 0.318,
     "dedup_rate_by_source": 1.718,
     "dedup_repeated_ngram_spans": 1.827,
@@ -371,7 +372,7 @@ GATE_V3: dict[str, float] = {
     "dedup_substring_spans": 2.151,
     "dedup_token_sort": 0.312,
     "distinct_rows": 0.110,
-    "doc_fingerprint": 0.317,
+    "doc_fingerprint": 0.276,
     "doc_length_histogram": 0.205,
     "doc_novelty_scores": 1.381,
     "dph_topk_docs": 0.731,
@@ -396,8 +397,8 @@ GATE_V3: dict[str, float] = {
     "explode_outer_rare_tokens": 0.317,
     "explode_token_counts": 0.185,
     "filter_predicates": 0.189,
-    "fleiss_kappa_daily_raters": 0.897,
-    "flesch_readability_by_source": 0.401,
+    "fleiss_kappa_daily_raters": 0.643,
+    "flesch_readability_by_source": 0.360,
     "friedman_test_segments": 0.731,
     "funnel_stages": 0.412,
     "fuzzy_entity_clusters": 1.174,
@@ -405,6 +406,7 @@ GATE_V3: dict[str, float] = {
     "fuzzy_name_match": 5.717,
     "gap_fill_locf": 0.313,
     "group_split_leakage_audit": 0.456,
+    "grouping_id_revenue": 0.710,
     "grouping_sets_revenue": 0.803,
     "grubbs_outlier_daily": 0.297,
     "hash_agg_stats": 0.416,
@@ -416,7 +418,7 @@ GATE_V3: dict[str, float] = {
     "hourly_value_quantiles": 1.173,
     "interpolate_linear": 0.510,
     "interval_join_peak_windows": 0.427,
-    "inverted_index": 0.855,
+    "inverted_index": 0.766,
     "jl_distortion_audit": 0.613,
     "join_anti": 0.241,
     "join_bloom_prefiltered": 1.221,
@@ -428,22 +430,22 @@ GATE_V3: dict[str, float] = {
     "join_semi": 0.291,
     "join_shuffle_hash_hint": 0.768,
     "jonckheere_terpstra_priority": 1.746,
-    "js_divergence_sources": 0.782,
-    "json_funcs": 0.656,
+    "js_divergence_sources": 0.644,
+    "json_funcs": 0.570,
     "json_roundtrip_orders": 0.644,
     "k_anonymity_audit": 0.441,
-    "kafka_frame_roundtrip": 1.202,
+    "kafka_frame_roundtrip": 1.156,
     "kendall_tau_daily": 0.428,
     "kendall_w_nation_months": 0.849,
-    "keywords_per_doc_tfidf": 0.981,
+    "keywords_per_doc_tfidf": 0.902,
     "kmeans_embeddings": 1.023,
     "kmv_distinct_rollup": 0.573,
     "kmv_overlap_daily": 0.592,
     "kmv_rolling_wau": 0.576,
     "knn_label_purity": 2.123,
     "kruskal_wallis_priority": 1.560,
-    "ks_test_urgent_price": 1.065,
-    "label_centroids": 0.258,
+    "ks_test_urgent_price": 1.011,
+    "label_centroids": 0.219,
     "label_propagation_communities": 1.440,
     "lang_id": 0.523,
     "lang_id_confusion": 0.436,
@@ -459,27 +461,28 @@ GATE_V3: dict[str, float] = {
     "math_funcs": 0.583,
     "minhash_band_sweep": 2.570,
     "minhash_calibration": 4.324,
-    "mmr_diversified_topk": 3.473,
-    "mojibake_encoding_audit": 0.401,
+    "mmr_diversified_topk": 3.318,
+    "mode_qty_by_flag": 0.397,
+    "mojibake_encoding_audit": 0.368,
     "moods_median_priority": 1.200,
-    "multimodal_au_g711_decode": 0.940,
-    "multimodal_binary_meta": 0.233,
+    "multimodal_au_g711_decode": 0.830,
+    "multimodal_binary_meta": 0.230,
     "multimodal_bmp_decode": 0.835,
     "multimodal_features": 0.497,
-    "multimodal_frame_sample": 0.564,
+    "multimodal_frame_sample": 0.483,
     "multimodal_gif_decode": 0.867,
-    "multimodal_ico_decode": 0.884,
+    "multimodal_ico_decode": 0.855,
     "multimodal_jpeg_decode": 1.285,
-    "multimodal_midi_decode": 0.962,
+    "multimodal_midi_decode": 0.870,
     "multimodal_pcx_decode": 0.858,
     "multimodal_png_decode": 1.820,
-    "multimodal_pnm_decode": 0.946,
-    "multimodal_qoi_decode": 0.874,
-    "multimodal_tga_decode": 0.921,
-    "multimodal_tiff_decode": 1.049,
+    "multimodal_pnm_decode": 0.894,
+    "multimodal_qoi_decode": 0.670,
+    "multimodal_tga_decode": 0.750,
+    "multimodal_tiff_decode": 0.847,
     "multimodal_video_frames": 3.642,
     "multimodal_wav_decode": 1.082,
-    "mutual_info_lang_source": 0.398,
+    "mutual_info_lang_source": 0.373,
     "null_semantics": 0.242,
     "nulls_ordering": 0.268,
     "ols_slope_per_type": 0.814,
@@ -487,17 +490,17 @@ GATE_V3: dict[str, float] = {
     "orders_backlog_aging": 0.315,
     "orders_monthly_yoy": 0.655,
     "pack_documents": 0.746,
-    "page_trend_test_segments": 0.973,
+    "page_trend_test_segments": 0.866,
     "pagerank_copurchase": 2.419,
     "partitioned_roundtrip_docs": 0.431,
     "percentile_stats": 1.732,
     "perplexity_bigram_interp": 1.234,
     "perplexity_unigram": 0.535,
-    "pettitt_changepoint_daily": 2.001,
+    "pettitt_changepoint_daily": 1.977,
     "pii_scrub_stats": 0.600,
     "pipe_syntax_revenue": 0.236,
     "pipeline_yaml_batch": 0.179,
-    "pipeline_yaml_enrich_agg": 0.405,
+    "pipeline_yaml_enrich_agg": 0.343,
     "pivot_returnflag": 0.460,
     "pl2_topk_docs": 0.818,
     "price_decile_assign": 2.360,
@@ -508,7 +511,7 @@ GATE_V3: dict[str, float] = {
     "pyds_stream_agg": 3.038,
     "pyds_synthetic_agg": 0.543,
     "q10_returned_revenue": 0.628,
-    "q11_important_parts": 0.572,
+    "q11_important_parts": 0.541,
     "q12_late_shipments": 0.482,
     "q13_order_count_dist": 0.423,
     "q14_promo_revenue": 0.298,
@@ -539,32 +542,33 @@ GATE_V3: dict[str, float] = {
     "quantile_by_value_qty": 0.654,
     "range_join_views_before_purchase": 0.491,
     "recursive_copurchase_reach": 1.367,
-    "recursive_cte_day_streaks": 3.039,
+    "recursive_cte_day_streaks": 2.979,
     "referential_integrity_audit": 0.572,
     "regression_by_nation": 1.117,
     "repetition_ratio": 37.921,
     "revenue_gini_lorenz": 1.427,
     "right_to_be_forgotten_audit": 0.345,
-    "rm3_expanded_retrieval": 2.744,
+    "rm3_expanded_retrieval": 2.193,
     "rollup_revenue": 0.882,
     "rollup_time_hierarchy": 0.624,
     "rrf_fusion_topk": 1.169,
     "runs_test_daily_revenue": 2.031,
-    "sample_per_group": 0.229,
+    "sample_per_group": 0.216,
     "scd2_history": 0.332,
     "schema_evolution_roundtrip": 0.441,
-    "schema_registry_parse": 0.551,
+    "schema_registry_parse": 0.481,
     "seasonal_decomposition_weekday": 0.387,
     "seasonal_naive_backtest": 0.298,
     "semantic_dedup_components": 2.673,
     "semantic_dedup_lsh_components": 3.179,
+    "sentence_split_stats": 0.256,
     "session_entropy_per_user": 0.449,
     "session_paths_top": 0.356,
     "session_window_agg": 0.590,
     "sessionize_events": 0.694,
     "sessionize_events_chunked": 0.768,
     "set_ops": 0.338,
-    "set_ops_bag": 0.438,
+    "set_ops_bag": 0.432,
     "ship_lag_quantiles": 0.873,
     "shuffle_deterministic": 0.624,
     "sign_test_daily_revenue": 0.314,
@@ -588,15 +592,15 @@ GATE_V3: dict[str, float] = {
     "sql_variables_param_revenue": 0.328,
     "stats_profile_orders": 0.860,
     "stratified_sample_exact": 0.179,
-    "stratified_sample_sources": 0.210,
+    "stratified_sample_sources": 0.200,
     "stream_aggregate_view": 0.690,
     "stream_aggregate_view_compacted": 2.593,
     "stream_bm25_compacted": 6.294,
     "stream_bm25_incremental": 2.703,
     "stream_cms_heavy_hitters_incremental": 2.116,
-    "stream_corpus_card_incremental": 1.580,
+    "stream_corpus_card_incremental": 1.577,
     "stream_curation_yaml": 2.076,
-    "stream_dedup_keys": 3.223,
+    "stream_dedup_keys": 3.001,
     "stream_embedding_centroids_incremental": 1.428,
     "stream_histogram_quantiles_incremental": 2.106,
     "stream_ingest_dedup": 1.471,
@@ -604,44 +608,44 @@ GATE_V3: dict[str, float] = {
     "stream_ingest_neardup": 18.787,
     "stream_ingest_neardup_compacted": 20.671,
     "stream_ingest_neardup_tws": 19.528,
-    "stream_interval_join": 12.146,
+    "stream_interval_join": 11.187,
     "stream_interval_join_outer": 11.544,
-    "stream_ivf_index_incremental": 4.410,
+    "stream_ivf_index_incremental": 4.360,
     "stream_join_enriched_incremental": 6.035,
-    "stream_kmv_compacted": 2.627,
+    "stream_kmv_compacted": 2.471,
     "stream_kmv_distinct_incremental": 1.276,
-    "stream_latest_per_key": 1.925,
+    "stream_latest_per_key": 1.723,
     "stream_minmax_view_incremental": 2.762,
     "stream_parquet_sink": 0.753,
     "stream_pipeline_yaml": 0.502,
     "stream_pmi_collocations_incremental": 1.888,
     "stream_psi_monitor": 2.109,
     "stream_quality_quarantine": 1.399,
-    "stream_restart_resume_view": 16.755,
-    "stream_running_totals": 2.233,
+    "stream_restart_resume_view": 16.675,
+    "stream_running_totals": 1.998,
     "stream_running_totals_tws": 3.725,
     "stream_scd2_dimension": 3.242,
     "stream_session_windows": 2.468,
     "stream_skyline_frontier": 0.949,
-    "stream_sliding_counts": 2.250,
+    "stream_sliding_counts": 2.200,
     "stream_static_enrich": 1.799,
-    "stream_topk_per_window": 3.013,
-    "stream_tumbling_counts": 1.756,
+    "stream_topk_per_window": 2.402,
+    "stream_tumbling_counts": 1.743,
     "stream_unigram_lm_incremental": 1.335,
-    "stream_windowed_rollup_chain": 5.684,
+    "stream_windowed_rollup_chain": 5.680,
     "string_funcs": 0.122,
     "supplier_pareto_abc": 0.868,
-    "table_fingerprint_orders": 0.440,
+    "table_fingerprint_orders": 0.429,
     "text_stats": 0.726,
-    "tfidf_cosine_topk": 1.252,
+    "tfidf_cosine_topk": 1.120,
     "tfidf_top_terms": 0.397,
     "theil_sen_daily_revenue": 7.180,
     "theil_u_lang_source": 0.356,
     "time_weighted_avg": 0.529,
-    "token_budget_truncation": 0.349,
-    "token_drift_kl": 0.827,
-    "token_estimate_bpe": 0.342,
-    "token_pmi_collocations": 0.961,
+    "token_budget_truncation": 0.316,
+    "token_drift_kl": 0.779,
+    "token_estimate_bpe": 0.308,
+    "token_pmi_collocations": 0.865,
     "tokens_retained_after_dedup": 0.320,
     "top_tokens_per_lang": 0.331,
     "topk_orders": 0.111,
@@ -663,16 +667,16 @@ GATE_V3: dict[str, float] = {
     "wasserstein_price_urgent": 1.495,
     "weekday_activity_profile": 0.218,
     "weighted_median_price_by_flag": 1.535,
-    "weighted_sample": 0.147,
+    "weighted_sample": 0.135,
     "welch_t_sources": 0.222,
     "wilson_ci_urgent_rate": 0.276,
     "window_analytic": 0.328,
-    "window_distribution": 0.288,
+    "window_distribution": 0.272,
     "window_frames": 0.373,
     "window_range_frame": 0.523,
     "window_ranking": 0.387,
     "winsorized_mean_price": 1.924,
-    "xml_roundtrip_orders": 1.022,
+    "xml_roundtrip_orders": 0.940,
     "zipf_token_fit": 0.789,
     "zonemap_pruning_stats": 0.356,
     "zorder_layout_events": 0.339,

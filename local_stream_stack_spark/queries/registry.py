@@ -437,6 +437,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "copurchase_ktruss",
         "mode_qty_by_flag",
         "sentence_split_stats",
+        "grouping_id_revenue",
     }
 )
 

@@ -239,6 +239,11 @@ REPRESENTATIVE = [
     "copurchase_ktruss",         # iterative triangle peeling
     "mode_qty_by_flag",          # histogram-derived mode
     "sentence_split_stats",      # regex segmentation stats
+    # NOTE: Spark emits NO rows for GROUPING SETS over empty input
+    # (DuckDB follows the standard and emits the () grand-total row);
+    # pinned at Spark's behavior — the divergence exists only on
+    # zero-row input, which the non-empty oracle tables never hit
+    "grouping_id_revenue",       # GROUPING() markers over sets
 ]
 
 
