@@ -10060,3 +10060,116 @@ def sentence_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "quantile_normalize_doclen",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, CAST(len(text) AS BIGINT) AS x FROM documents
+    ),
+    lranks AS (
+      SELECT lang, doc_id, x,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY x, doc_id) AS BIGINT) AS r,
+             CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_l
+      FROM d
+    ),
+    hist AS (
+      SELECT x AS c, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY x
+    ),
+    cum AS (
+      SELECT c, cnt, SUM(cnt) OVER (ORDER BY c) AS cw FROM hist
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_g FROM hist),
+    targets AS (
+      SELECT l.lang, l.doc_id,
+             GREATEST(CAST(1 AS BIGINT),
+               LEAST(t.n_g,
+                 ((2 * l.r - 1) * t.n_g + l.n_l) // (2 * l.n_l)))
+               AS g
+      FROM lranks l CROSS JOIN tot t
+    ),
+    mapped AS (
+      SELECT t.lang, t.doc_id,
+             (SELECT MIN(c) FROM cum WHERE cw >= t.g) AS norm_x
+      FROM targets t
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(norm_x) AS BIGINT) AS norm_sum,
+           CAST(MIN(norm_x) AS BIGINT) AS norm_min,
+           CAST(MAX(norm_x) AS BIGINT) AS norm_max
+    FROM mapped
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of per-language document lengths onto
+    the pooled global distribution — the batch-effect correction step
+    (classic in bioinformatics, equally the right tool when one
+    source's length distribution must be reshaped to the corpus
+    reference before length-based quality cuts): each doc's
+    within-language rank r maps to the global order statistic at the
+    same quantile, g = ((2r−1)·N_g + N_l) div (2·N_l), all integer
+    arithmetic. The global value-at-rank lookup runs against the
+    length VALUE HISTOGRAM's running counts (distributed-rank
+    operator — histogram-sized, no global row sort) via a BROADCAST
+    range probe; within-language ranks are partitioned windows.
+    Output: per-language moments of the normalized lengths, exact
+    integers."""
+    from local_stream_stack_spark.operators.quantiles import (
+        with_global_rank,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.expr("CAST(length(text) AS BIGINT)").alias("x"),
+    )
+    wl = Window.partitionBy("lang").orderBy("x", "doc_id")
+    lranks = d.select(
+        "lang",
+        "doc_id",
+        "x",
+        F.row_number().over(wl).cast("bigint").alias("r"),
+        F.count("*")
+        .over(Window.partitionBy("lang"))
+        .cast("bigint")
+        .alias("n_l"),
+    )
+    hist = d.groupBy(F.col("x").alias("c")).agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    cum = with_global_rank(
+        hist, "c", out_rank="__rn", cumsum={"cnt": "cw"},
+        acc_type="BIGINT", bins=64,
+    ).select("c", "cnt", "cw")
+    tot = hist.agg(F.sum("cnt").cast("bigint").alias("n_g"))
+    targets = lranks.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "doc_id",
+        F.expr(
+            "GREATEST(CAST(1 AS BIGINT), LEAST(n_g,"
+            " ((2 * r - 1) * n_g + n_l) DIV (2 * n_l)))"
+        ).alias("g"),
+    )
+    # value-at-rank: smallest histogram value whose running count
+    # reaches g — a broadcast range probe against the tiny cumulative
+    # histogram (cw - cnt < g <= cw picks exactly one bucket)
+    mapped = targets.join(
+        F.broadcast(cum),
+        (F.col("cw") >= F.col("g"))
+        & (F.col("cw") - F.col("cnt") < F.col("g")),
+    ).select("lang", F.col("c").alias("norm_x"))
+    return (
+        mapped.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("norm_x").cast("bigint").alias("norm_sum"),
+            F.min("norm_x").cast("bigint").alias("norm_min"),
+            F.max("norm_x").cast("bigint").alias("norm_max"),
+        )
+        .orderBy("lang")
+    )

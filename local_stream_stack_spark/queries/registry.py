@@ -438,6 +438,9 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "mode_qty_by_flag",
         "sentence_split_stats",
         "grouping_id_revenue",
+        "stream_mode_median_incremental",
+        "quantile_normalize_doclen",
+        "brunner_munzel_urgent",
     }
 )
 

@@ -7203,3 +7203,191 @@ def grouping_id_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY gid, flag, status
         """
     )
+
+
+@query(
+    "brunner_munzel_urgent",
+    oracle="""
+    WITH o AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+               AS g1,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    hist AS (
+      SELECT cents,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(g1) AS BIGINT) AS cnt1
+      FROM o GROUP BY cents
+    ),
+    cum AS (
+      SELECT cents, cnt, cnt1, cnt - cnt1 AS cnt2,
+             SUM(cnt) OVER (ORDER BY cents) AS cw,
+             SUM(cnt1) OVER (ORDER BY cents) AS cw1,
+             SUM(cnt - cnt1) OVER (ORDER BY cents) AS cw2
+      FROM hist
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt1) AS BIGINT) AS n1,
+             CAST(SUM(cnt - cnt1) AS BIGINT) AS n2
+      FROM hist
+    ),
+    marks AS (
+      SELECT cnt1, cnt2,
+             2 * (cw - cnt) + cnt + 1 AS m2,
+             2 * cw1 - cnt1 + 1 AS m2g1,
+             2 * cw2 - cnt2 + 1 AS m2g2
+      FROM cum
+    ),
+    rsums AS (
+      SELECT CAST(SUM(cnt1 * m2) AS HUGEINT) AS s2x,
+             CAST(SUM(cnt2 * m2) AS HUGEINT) AS s2y
+      FROM marks
+    ),
+    devs AS (
+      SELECT
+        CAST(SUM(CASE WHEN m.cnt1 > 0 THEN m.cnt1 *
+          CAST(t.n1 * (m.m2 - m.m2g1) - r.s2x + t.n1 * (t.n1 + 1)
+               AS HUGEINT)
+          * CAST(t.n1 * (m.m2 - m.m2g1) - r.s2x + t.n1 * (t.n1 + 1)
+                 AS HUGEINT) ELSE 0 END) AS HUGEINT) AS ds1,
+        CAST(SUM(CASE WHEN m.cnt2 > 0 THEN m.cnt2 *
+          CAST(t.n2 * (m.m2 - m.m2g2) - r.s2y + t.n2 * (t.n2 + 1)
+               AS HUGEINT)
+          * CAST(t.n2 * (m.m2 - m.m2g2) - r.s2y + t.n2 * (t.n2 + 1)
+                 AS HUGEINT) ELSE 0 END) AS HUGEINT) AS ds2
+      FROM marks m CROSS JOIN tot t CROSS JOIN rsums r
+    )
+    SELECT t.n1, t.n2,
+           CAST(FLOOR(
+             (CAST(r.s2y AS DOUBLE) / (2.0 * t.n2) - (t.n2 + 1) / 2.0)
+             / t.n1 * 1e6 + 0.5) AS BIGINT) AS p_hat_e6,
+           CASE WHEN t.n1 > 1 AND t.n2 > 1
+                 AND CAST(d.ds1 AS DOUBLE) + CAST(d.ds2 AS DOUBLE) > 0
+           THEN
+             CAST(FLOOR(
+               CAST(t.n1 AS DOUBLE) * t.n2
+               * (CAST(r.s2y AS DOUBLE) / (2.0 * t.n2)
+                  - CAST(r.s2x AS DOUBLE) / (2.0 * t.n1))
+               / ((t.n1 + t.n2)
+                  * SQRT(t.n1 * (CAST(d.ds1 AS DOUBLE)
+                                 / (4.0 * t.n1 * t.n1 * (t.n1 - 1)))
+                         + t.n2 * (CAST(d.ds2 AS DOUBLE)
+                                   / (4.0 * t.n2 * t.n2 * (t.n2 - 1)))))
+               * 1e6 + 0.5) AS BIGINT)
+           END AS w_e6
+    FROM tot t CROSS JOIN rsums r CROSS JOIN devs d
+    """,
+)
+def brunner_munzel_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brunner-Munzel test (URGENT vs rest order prices) — the
+    modern replacement for Mann-Whitney when the two groups may have
+    UNEQUAL variances/shapes (MW assumes exchangeability under H0; BM
+    estimates the relative effect p̂ = P(X<Y) + ½P(X=Y) with its own
+    variance from pooled-vs-within rank placements). Pooled and
+    within-group TIE-AVERAGE ranks come from one multi-cumsum pass of
+    the distributed-rank operator over the value histogram (doubled-
+    integer midranks, no global row sort); each squared placement
+    deviation is an exact scaled integer (×2n_g), summed in
+    DECIMAL(38,0); the statistic is one double tree rounded once to
+    e6 — the scipy `brunnermunzel` W under identical arithmetic."""
+    from local_stream_stack_spark.operators.quantiles import (
+        with_global_rank,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.expr(
+            "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END"
+        ).alias("g1"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    hist = o.groupBy("cents").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("g1").cast("bigint").alias("cnt1"),
+    ).withColumn("cnt2", F.col("cnt") - F.col("cnt1"))
+    cum = with_global_rank(
+        hist,
+        "cents",
+        out_rank="__rn",
+        cumsum={"cnt": "cw", "cnt1": "cw1", "cnt2": "cw2"},
+        acc_type="BIGINT",
+        bins=64,
+    )
+    tot = hist.agg(
+        F.sum("cnt1").cast("bigint").alias("n1"),
+        F.sum("cnt2").cast("bigint").alias("n2"),
+    )
+    marks = cum.select(
+        "cnt1",
+        "cnt2",
+        (2 * (F.col("cw") - F.col("cnt")) + F.col("cnt") + 1).alias("m2"),
+        (2 * F.col("cw1") - F.col("cnt1") + 1).alias("m2g1"),
+        (2 * F.col("cw2") - F.col("cnt2") + 1).alias("m2g2"),
+    )
+    rsums = marks.agg(
+        F.sum(
+            F.col("cnt1").cast("decimal(38,0)")
+            * F.col("m2").cast("decimal(38,0)")
+        ).alias("s2x"),
+        F.sum(
+            F.col("cnt2").cast("decimal(38,0)")
+            * F.col("m2").cast("decimal(38,0)")
+        ).alias("s2y"),
+    )
+    devs = (
+        marks.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(rsums))
+        .agg(
+            F.sum(
+                F.expr(
+                    """CASE WHEN cnt1 > 0 THEN
+                         CAST(cnt1 AS DECIMAL(38,0))
+                         * CAST(n1 * (m2 - m2g1) - s2x + n1 * (n1 + 1)
+                                AS DECIMAL(38,0))
+                         * CAST(n1 * (m2 - m2g1) - s2x + n1 * (n1 + 1)
+                                AS DECIMAL(38,0))
+                       ELSE CAST(0 AS DECIMAL(38,0)) END"""
+                )
+            ).alias("ds1"),
+            F.sum(
+                F.expr(
+                    """CASE WHEN cnt2 > 0 THEN
+                         CAST(cnt2 AS DECIMAL(38,0))
+                         * CAST(n2 * (m2 - m2g2) - s2y + n2 * (n2 + 1)
+                                AS DECIMAL(38,0))
+                         * CAST(n2 * (m2 - m2g2) - s2y + n2 * (n2 + 1)
+                                AS DECIMAL(38,0))
+                       ELSE CAST(0 AS DECIMAL(38,0)) END"""
+                )
+            ).alias("ds2"),
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(rsums))
+        .crossJoin(F.broadcast(devs))
+        .select(
+            "n1",
+            "n2",
+            F.expr(
+                """CAST(FLOOR(
+                     (CAST(s2y AS DOUBLE) / (2.0 * n2) - (n2 + 1) / 2.0)
+                     / n1 * 1e6 + 0.5) AS BIGINT)"""
+            ).alias("p_hat_e6"),
+            F.expr(
+                """CASE WHEN n1 > 1 AND n2 > 1
+                         AND CAST(ds1 AS DOUBLE) + CAST(ds2 AS DOUBLE) > 0
+                   THEN
+                     CAST(FLOOR(
+                       CAST(n1 AS DOUBLE) * n2
+                       * (CAST(s2y AS DOUBLE) / (2.0 * n2)
+                          - CAST(s2x AS DOUBLE) / (2.0 * n1))
+                       / ((n1 + n2)
+                          * SQRT(n1 * (CAST(ds1 AS DOUBLE)
+                                       / (4.0 * n1 * n1 * (n1 - 1)))
+                                 + n2 * (CAST(ds2 AS DOUBLE)
+                                         / (4.0 * n2 * n2 * (n2 - 1)))))
+                       * 1e6 + 0.5) AS BIGINT)
+                   END"""
+            ).alias("w_e6"),
+        )
+    )

@@ -3828,3 +3828,148 @@ def stream_minmax_view_incremental(
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "stream_mode_median_incremental",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c FROM events
+    ),
+    h AS (
+      SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt FROM cents GROUP BY c
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM h),
+    mode_pick AS (
+      SELECT MIN(c) AS mode_c, MAX(cnt) AS mode_cnt
+      FROM h WHERE cnt = (SELECT MAX(cnt) FROM h)
+    ),
+    cum AS (
+      SELECT c, cnt, SUM(cnt) OVER (ORDER BY c) AS cw FROM h
+    ),
+    med AS (
+      SELECT MIN(CASE WHEN cw >= (t.n + 1) // 2 THEN c END)
+             + MIN(CASE WHEN cw >= t.n // 2 + 1 THEN c END) AS med2_c
+      FROM cum CROSS JOIN tot t GROUP BY t.n
+    )
+    SELECT t.n, m.mode_c, m.mode_cnt, d.med2_c
+    FROM tot t CROSS JOIN mode_pick m CROSS JOIN med d
+    """,
+)
+def stream_mode_median_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ORDER STATISTICS from a maintained ADDITIVE view: the stream
+    maintains an exact VALUE HISTOGRAM (per-cent counts — just
+    `aggregate_view_stream_parquet` keyed by the value itself, so
+    epoch-delta replay safety, the read-side fold, the generation
+    compactor, and the `compact_every_n_epochs=2` auto-trigger are
+    ALL inherited from the additive machinery), and the read derives
+    the deterministic MODE (smallest value among max counts) and the
+    exact DOUBLED MEDIAN (sum of bracketing order statistics) from
+    the folded counts — the standing-histogram pattern that gives a
+    100 TB deployment exact order statistics at any point in stream
+    lifetime without re-scanning history. Three epochs, fold
+    mid-stream, third epoch on the resumed checkpoint; the result
+    must equal the batch statistics over the whole stream."""
+    from local_stream_stack_spark.catalog import load_table
+    from local_stream_stack_spark.streaming.compaction import (
+        latest_generation,
+    )
+    from local_stream_stack_spark.streaming.ops import (
+        aggregate_view_stream_parquet,
+        read_aggregate_view,
+    )
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("c"),
+    )
+    base = ephemeral_dir(prefix="stream-e2e-modemed-")
+    in_dir = os.path.join(base, "in")
+    target = os.path.join(base, "view")
+    cp = os.path.join(base, "cp")
+
+    def run():
+        q = aggregate_view_stream_parquet(
+            spark.readStream.schema("event_id bigint, c bigint")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+            .select("c"),
+            keys=["c"],
+            sum_cols=[],
+            target_path=target,
+            checkpoint_location=cp,
+            compact_every_n_epochs=2,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _stage_ordered(
+        in_dir,
+        lambda: ev.filter(F.col("event_id") % 3 == 0)
+        .coalesce(1)
+        .write.parquet(in_dir),
+        lambda: ev.filter(F.col("event_id") % 3 == 1)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(in_dir),
+    )
+    run()
+    gen, _ = latest_generation(spark, target)
+    assert gen is not None, "auto-compaction trigger never fired"
+    _stage_ordered(
+        in_dir,
+        lambda: None,
+        lambda: ev.filter(F.col("event_id") % 3 == 2)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(in_dir),
+    )
+    run()
+
+    h = read_aggregate_view(spark, target).select(
+        "c", F.col("n_rows").alias("cnt")
+    )
+    tot = h.agg(F.sum("cnt").cast("bigint").alias("n"))
+    mx = h.agg(F.max("cnt").alias("mode_cnt"))
+    mode_pick = (
+        h.join(F.broadcast(mx), F.col("cnt") == F.col("mode_cnt"))
+        .agg(
+            F.min("c").cast("bigint").alias("mode_c"),
+            F.max("cnt").cast("bigint").alias("mode_cnt"),
+        )
+    )
+    from local_stream_stack_spark.operators.quantiles import (
+        with_global_rank,
+    )
+
+    cum = with_global_rank(
+        h, "c", out_rank="__rn", cumsum={"cnt": "cw"},
+        acc_type="BIGINT", bins=64,
+    )
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            (
+                F.min(
+                    F.expr("CASE WHEN cw >= (n + 1) DIV 2 THEN c END")
+                )
+                + F.min(
+                    F.expr("CASE WHEN cw >= n DIV 2 + 1 THEN c END")
+                )
+            )
+            .cast("bigint")
+            .alias("med2_c")
+        )
+        .select("med2_c")
+    )
+    return (
+        tot.crossJoin(F.broadcast(mode_pick))
+        .crossJoin(F.broadcast(med))
+        .select("n", "mode_c", "mode_cnt", "med2_c")
+    )

@@ -244,6 +244,8 @@ REPRESENTATIVE = [
     # pinned at Spark's behavior — the divergence exists only on
     # zero-row input, which the non-empty oracle tables never hit
     "grouping_id_revenue",       # GROUPING() markers over sets
+    "quantile_normalize_doclen", # rank-to-order-statistic remap
+    "brunner_munzel_urgent",     # pooled-vs-within rank placements
 ]
 
 
@@ -302,6 +304,7 @@ EXPECT_SUMMARY_ROWS = {
     "ansari_bradley_urgent": 1,      # single stats row (NULL z)
     "theil_u_lang_source": 1,        # single stats row (NULL U)
     "copurchase_ktruss": 6,          # one profile row per round
+    "brunner_munzel_urgent": 1,      # single stats row (NULL w)
 }
 
 
