@@ -312,6 +312,7 @@ GATE_V3: dict[str, float] = {
     "bounce_rate_by_entry": 0.527,
     "bpe_train_merges": 1.433,
     "bpe_vocab_counts": 1.082,
+    "brunner_munzel_urgent": 3.937,
     "bucketed_join_revenue": 0.529,
     "case_when_buckets": 0.280,
     "cdc_merge_summary": 0.407,
@@ -540,6 +541,7 @@ GATE_V3: dict[str, float] = {
     "quality_classifier_train": 1.790,
     "quality_filter_gopher": 0.881,
     "quantile_by_value_qty": 0.654,
+    "quantile_normalize_doclen": 2.120,
     "range_join_views_before_purchase": 0.491,
     "recursive_copurchase_reach": 1.367,
     "recursive_cte_day_streaks": 2.979,
@@ -616,6 +618,7 @@ GATE_V3: dict[str, float] = {
     "stream_kmv_distinct_incremental": 1.276,
     "stream_latest_per_key": 1.723,
     "stream_minmax_view_incremental": 2.762,
+    "stream_mode_median_incremental": 4.813,
     "stream_parquet_sink": 0.753,
     "stream_pipeline_yaml": 0.502,
     "stream_pmi_collocations_incremental": 1.888,
