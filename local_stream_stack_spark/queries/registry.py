@@ -42,6 +42,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "active_streaks",
         "adamic_adar_link_prediction",
         "anova_f_segments",
+        "ansari_bradley_urgent",
         "approx_distinct_parts",
         "approx_percentile_qty",
         "array_hof_order_lines",
@@ -50,8 +51,10 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "asof_join_tolerance",
         "attribution_last_touch",
         "autocorr_daily_counts",
+        "bartlett_test_priority",
         "basket_lift_pairs",
         "benford_first_digit",
+        "benjamini_hochberg_nations",
         "blocklist_filter_stats",
         "bloom_filter_fp_audit",
         "bm25_rank",
@@ -61,6 +64,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "bounce_rate_by_entry",
         "bpe_train_merges",
         "bpe_vocab_counts",
+        "brunner_munzel_urgent",
         "bucketed_join_revenue",
         "case_when_buckets",
         "cdc_merge_summary",
@@ -81,10 +85,12 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "conversion_lag_quantiles",
         "copurchase_bfs_hops",
         "copurchase_kcore",
+        "copurchase_ktruss",
         "copurchase_pagerank",
         "corpus_stats_by_lang",
         "corr_matrix_lineitem",
         "cramers_v_lang_source",
+        "cronbach_alpha_nation_months",
         "cross_entropy_source_pairs",
         "csv_roundtrip_orders",
         "cube_qty",
@@ -122,6 +128,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "doc_fingerprint",
         "doc_length_histogram",
         "doc_novelty_scores",
+        "dph_topk_docs",
         "dpp_partitioned_lang_join",
         "dq_expectations_orders",
         "durbin_watson_daily_revenue",
@@ -143,6 +150,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "explode_outer_rare_tokens",
         "explode_token_counts",
         "filter_predicates",
+        "fleiss_kappa_daily_raters",
         "flesch_readability_by_source",
         "friedman_test_segments",
         "funnel_stages",
@@ -151,7 +159,9 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "fuzzy_name_match",
         "gap_fill_locf",
         "group_split_leakage_audit",
+        "grouping_id_revenue",
         "grouping_sets_revenue",
+        "grubbs_outlier_daily",
         "hash_agg_stats",
         "hhi_market_concentration",
         "hits_hubs_authorities",
@@ -179,6 +189,8 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "k_anonymity_audit",
         "kafka_frame_roundtrip",
         "kendall_tau_daily",
+        "kendall_w_nation_months",
+        "keywords_per_doc_tfidf",
         "kmeans_embeddings",
         "kmv_distinct_rollup",
         "kmv_overlap_daily",
@@ -190,6 +202,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "label_propagation_communities",
         "lang_id",
         "lang_id_confusion",
+        "lateral_topk_suppliers",
         "latest_per_key",
         "levene_brown_forsythe_segments",
         "ljung_box_daily_revenue",
@@ -202,7 +215,9 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "minhash_band_sweep",
         "minhash_calibration",
         "mmr_diversified_topk",
+        "mode_qty_by_flag",
         "mojibake_encoding_audit",
+        "moods_median_priority",
         "multimodal_au_g711_decode",
         "multimodal_binary_meta",
         "multimodal_bmp_decode",
@@ -217,6 +232,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "multimodal_pnm_decode",
         "multimodal_qoi_decode",
         "multimodal_tga_decode",
+        "multimodal_tiff_decode",
         "multimodal_video_frames",
         "multimodal_wav_decode",
         "mutual_info_lang_source",
@@ -277,8 +293,10 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "quality_classifier_train",
         "quality_filter_gopher",
         "quantile_by_value_qty",
+        "quantile_normalize_doclen",
         "range_join_views_before_purchase",
         "recursive_copurchase_reach",
+        "recursive_cte_day_streaks",
         "referential_integrity_audit",
         "regression_by_nation",
         "repetition_ratio",
@@ -297,6 +315,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "seasonal_naive_backtest",
         "semantic_dedup_components",
         "semantic_dedup_lsh_components",
+        "sentence_split_stats",
         "session_entropy_per_user",
         "session_paths_top",
         "session_window_agg",
@@ -306,6 +325,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "set_ops_bag",
         "ship_lag_quantiles",
         "shuffle_deterministic",
+        "sign_test_daily_revenue",
         "sim_bruteforce_topk",
         "sim_ivf_topk",
         "sim_ivfpq_topk",
@@ -349,11 +369,14 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "stream_kmv_compacted",
         "stream_kmv_distinct_incremental",
         "stream_latest_per_key",
+        "stream_minmax_view_incremental",
+        "stream_mode_median_incremental",
         "stream_parquet_sink",
         "stream_pipeline_yaml",
         "stream_pmi_collocations_incremental",
         "stream_psi_monitor",
         "stream_quality_quarantine",
+        "stream_restart_resume_view",
         "stream_running_totals",
         "stream_running_totals_tws",
         "stream_scd2_dimension",
@@ -372,7 +395,9 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
         "tfidf_cosine_topk",
         "tfidf_top_terms",
         "theil_sen_daily_revenue",
+        "theil_u_lang_source",
         "time_weighted_avg",
+        "token_budget_truncation",
         "token_drift_kl",
         "token_estimate_bpe",
         "token_pmi_collocations",
@@ -414,35 +439,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
     }
 )
 
-NEW_THIS_ROUND: frozenset[str] = frozenset(
-    {
-        "stream_restart_resume_view",
-        "stream_minmax_view_incremental",
-        "sign_test_daily_revenue",
-        "grubbs_outlier_daily",
-        "moods_median_priority",
-        "bartlett_test_priority",
-        "kendall_w_nation_months",
-        "fleiss_kappa_daily_raters",
-        "benjamini_hochberg_nations",
-        "dph_topk_docs",
-        "lateral_topk_suppliers",
-        "token_budget_truncation",
-        "multimodal_tiff_decode",
-        "recursive_cte_day_streaks",
-        "keywords_per_doc_tfidf",
-        "theil_u_lang_source",
-        "ansari_bradley_urgent",
-        "cronbach_alpha_nation_months",
-        "copurchase_ktruss",
-        "mode_qty_by_flag",
-        "sentence_split_stats",
-        "grouping_id_revenue",
-        "stream_mode_median_incremental",
-        "quantile_normalize_doclen",
-        "brunner_munzel_urgent",
-    }
-)
+NEW_THIS_ROUND: frozenset[str] = frozenset()
 
 # Queries whose defining file was git-modified AFTER the round that
 # recorded their last green driver row (VERDICT r5 "What's wrong" #2:
