@@ -878,30 +878,68 @@ def _run_bench() -> int:
         os.environ.get("SPARK_GRAFT_BENCH_RETRY_FLOOR", "0.25")
     )
     retry_cap = int(os.environ.get("SPARK_GRAFT_BENCH_RETRY_CAP", "20"))
-    merged = {**timings, **extended, **tier3}
-    candidates = sorted(
-        (
-            n
-            for n, t in merged.items()
-            if _anchor_ratio(n, t) > retry_ratio
-            and t - min(
-                g for g in (GATE.get(n), GATE_V3.get(n)) if g
-            ) >= retry_floor
-        ),
-        key=lambda n: _anchor_ratio(n, merged[n]),
-        reverse=True,
-    )[:retry_cap]
+    retry_budget = float(
+        os.environ.get("SPARK_GRAFT_BENCH_RETRY_BUDGET_SEC", "180")
+    )
+
+    def _breach_candidates() -> list[str]:
+        merged = {**timings, **extended, **tier3}
+        return sorted(
+            (
+                n
+                for n, t in merged.items()
+                if _anchor_ratio(n, t) > retry_ratio
+                and t - min(
+                    g for g in (GATE.get(n), GATE_V3.get(n)) if g
+                ) >= retry_floor
+            ),
+            key=lambda n: _anchor_ratio(n, merged[n]),
+            reverse=True,
+        )
+
+    # Run the retry pass TO CONVERGENCE (VERDICT r12 #2): a fixed cap
+    # of 20 fossilized five phantom breaches in r12 when >20 entries
+    # read hot — so loop, recomputing the breach set after each
+    # best-of-3 batch, until it is empty, the wall-clock budget is
+    # spent, or a full pass cleared nothing (the residue is then a
+    # genuine regression, not heat). Unretried breaches go first in
+    # each batch so every breach gets at least one re-measure before
+    # the loop concludes anything.
     retried: dict[str, dict] = {}
-    if candidates:
-        remeasured = run_set(candidates, runs=max(3, n_runs))
+    retried_names: set[str] = set()
+    all_candidates: list[str] = []
+    retry_rounds = 0
+    retry_start = time.time()
+    prev_set: set[str] | None = None
+    while True:
+        candidates = _breach_candidates()
+        if not candidates:
+            break
+        unretried = [n for n in candidates if n not in retried_names]
+        if retry_rounds > 0:
+            if time.time() - retry_start > retry_budget:
+                break
+            if not unretried and set(candidates) == prev_set:
+                break  # nothing cleared with everyone re-measured
+        batch = (
+            unretried
+            + [n for n in candidates if n in retried_names]
+        )[:retry_cap]
+        prev_set = set(candidates)
+        retry_rounds += 1
+        all_candidates.extend(n for n in batch if n not in all_candidates)
+        retried_names.update(batch)
+        remeasured = run_set(batch, runs=max(3, n_runs))
         for tier in (timings, extended, tier3):
             for n in list(tier):
                 if n in remeasured and remeasured[n] < tier[n]:
-                    retried[n] = {
-                        "first": tier[n],
-                        "retry": remeasured[n],
-                    }
+                    entry = retried.setdefault(
+                        n, {"first": tier[n], "rounds": 0}
+                    )
+                    entry["retry"] = remeasured[n]
+                    entry["rounds"] += 1
                     tier[n] = remeasured[n]
+    candidates = all_candidates
 
     total = round(sum(timings.values()), 3)
 
@@ -951,6 +989,7 @@ def _run_bench() -> int:
         "vs_gate_v3_ratios": ratios_v3,
         "retry_candidates": candidates,
         "retried_hot_entries": retried,
+        "retry_rounds": retry_rounds,
         "sf": sf,
     }
     detail_path = os.environ.get(
@@ -969,6 +1008,7 @@ def _run_bench() -> int:
         "sf": sf,
         "n_queries": len(timings) + len(extended) + len(tier3),
         "n_retried": len(retried),
+        "retry_rounds": retry_rounds,
         "worst5_vs_gate": worst5,
         "worst5_vs_gate_v3": worst5_v3,
     }

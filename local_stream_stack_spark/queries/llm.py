@@ -10022,8 +10022,10 @@ def theil_u_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_sents) AS BIGINT) AS sents_total,
            CAST(MAX(n_sents) AS BIGINT) AS sents_max,
-           CAST(FLOOR(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_sents)
-                      * 1e6 + 0.5) AS BIGINT) AS chars_per_sent_e6
+           CASE WHEN SUM(n_sents) > 0 THEN
+             CAST(FLOOR(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_sents)
+                        * 1e6 + 0.5) AS BIGINT)
+           END AS chars_per_sent_e6
     FROM sents
     GROUP BY lang
     ORDER BY lang
@@ -10053,9 +10055,14 @@ def sentence_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_docs"),
             F.sum("n_sents").cast("bigint").alias("sents_total"),
             F.max("n_sents").cast("bigint").alias("sents_max"),
+            # zero-sentence languages (no [.!?] anywhere) must yield
+            # NULL on both engines, not Infinity — Spark's non-ANSI
+            # CAST would saturate to Long.MAX while DuckDB errors
+            # (ADVICE r12)
             F.expr(
-                "CAST(FLOOR(CAST(SUM(n_chars) AS DOUBLE)"
-                " / SUM(n_sents) * 1e6 + 0.5) AS BIGINT)"
+                "CASE WHEN SUM(n_sents) > 0 THEN"
+                " CAST(FLOOR(CAST(SUM(n_chars) AS DOUBLE)"
+                " / SUM(n_sents) * 1e6 + 0.5) AS BIGINT) END"
             ).alias("chars_per_sent_e6"),
         )
         .orderBy("lang")

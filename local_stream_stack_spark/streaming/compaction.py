@@ -281,20 +281,25 @@ def compact_store(
     the generation).
 
     Protocol: write every family's ``__gen=<g>`` directory first, then
-    commit ``_generations/<g>.json`` atomically; only then (optionally)
-    vacuum the folded inputs.  Run it while the maintaining stream is
+    commit ``_generations/<g>.json`` atomically.  Nothing this fold
+    supersedes — the previous generation directory AND the epoch
+    directories it folded — is deleted by this run: every superseded
+    directory is recorded in the new manifest's ``defer_vacuum`` and
+    deleted at the START of the NEXT ``vacuum=True`` compaction, after
+    its one-cycle grace window.  Run it while the maintaining stream is
     idle or stopped — the same discipline every table-format OPTIMIZE
     requires; correctness against crash-REPLAY of a folded epoch is
     preserved regardless (the replayed epoch re-admits nothing because
     the generation already holds its rows, and the resolver ignores
     its rewritten directory).
 
-    Safety properties (each closing an ADVICE r11 finding):
+    Safety properties (each closing an ADVICE r11/r12 finding):
 
-    - epoch directories are listed ONCE per family and the vacuum
-      deletes exactly that listing — an epoch landing between fold
-      and vacuum (a micro-batch racing an ill-timed compaction) is
-      neither folded nor deleted, it just stays live for the next run;
+    - epoch directories are listed ONCE per family and the deferred
+      vacuum list records exactly that listing — an epoch landing
+      after the listing (a micro-batch racing an ill-timed compaction)
+      is neither folded nor ever deleted, it just stays live for the
+      next run;
     - a legacy ``__epoch=-1`` base dir (pre-generation
       ``compact_aggregate_view`` layout) is folded like any other
       epoch on the first generation fold (``-2`` sentinel), never
@@ -303,23 +308,38 @@ def compact_store(
       call are carried forward verbatim (their ``__gen`` dirs are
       untouched and the per-family ``gen`` pointer keeps resolving
       them) — compacting a subset of families can't orphan the rest;
-    - superseded generation directories are vacuumed ONE CYCLE LATE
-      (recorded in the manifest's ``defer_vacuum``, deleted by the
-      NEXT compaction): a reader that planned its scan against the
-      previous generation gets a grace window instead of a mid-query
-      FileNotFound.
+    - superseded generation directories AND the epoch directories this
+      fold consumed are both vacuumed ONE CYCLE LATE (recorded in the
+      manifest's ``defer_vacuum``, deleted by the NEXT ``vacuum=True``
+      compaction): a reader that resolved a ``(gen, manifest)``
+      snapshot just before this commit plans its scan against the
+      previous generation plus then-live epoch dirs, and BOTH stay on
+      disk for the grace window instead of FileNotFound-ing mid-query
+      (ADVICE r12);
+    - ``vacuum=False`` (crash-window simulation / read-only
+      environments) still RECORDS everything this fold superseded and
+      carries the previous manifest's ``defer_vacuum`` entries
+      forward, so a later ``vacuum=True`` run can garbage-collect the
+      whole backlog — no directory ever becomes untracked (ADVICE
+      r12).
 
     Returns the new generation id.
     """
     prev_gen, prev_manifest = latest_generation(spark, store_path)
     new_gen = 0 if prev_gen is None else prev_gen + 1
     manifest: dict = {"gen": new_gen, "families": {}, "defer_vacuum": []}
-    vacuum_targets: list[str] = []
-    if vacuum and prev_manifest:
-        # generation dirs superseded by the PREVIOUS fold have had
-        # their one-cycle grace window — delete them now
-        for path in prev_manifest.get("defer_vacuum", []):
+    prev_defer = (
+        list(prev_manifest.get("defer_vacuum", [])) if prev_manifest else []
+    )
+    if vacuum:
+        # directories superseded by the PREVIOUS fold have had their
+        # one-cycle grace window — delete them now
+        for path in prev_defer:
             _delete(spark, path)
+    else:
+        # no vacuum this run: keep the backlog tracked so a future
+        # vacuum=True run can collect it (ADVICE r12)
+        manifest["defer_vacuum"].extend(prev_defer)
     for family, spec in families.items():
         fpath = _family_path(store_path, family)
         # -2 sentinel: no fold point yet, so a legacy __epoch=-1 base
@@ -338,11 +358,10 @@ def compact_store(
                 else spark.read.parquet(prev_dir)
             )
             parts.append(pdf)
-            if vacuum:
-                manifest["defer_vacuum"].append(prev_dir)
-        # ONE listing per family: the fold set and the vacuum set are
-        # computed from the same snapshot, so an epoch dir written
-        # after this line is untouched by this run
+            manifest["defer_vacuum"].append(prev_dir)
+        # ONE listing per family: the fold set and the deferred-vacuum
+        # set are computed from the same snapshot, so an epoch dir
+        # written after this line is untouched by this run
         all_epochs = _glob_epoch_ids(spark, fpath)
         epochs = [e for e in all_epochs if e > prev_fold_max]
         if epochs:
@@ -353,8 +372,10 @@ def compact_store(
             )
         # every listed epoch is dead after this fold commits: either
         # folded now (> prev_fold_max) or folded by an earlier
-        # generation whose vacuum never ran (crash window)
-        vacuum_targets.extend(
+        # generation whose vacuum never ran (crash window).  Deferred,
+        # not deleted — a snapshot reader may still be scanning them
+        # (ADVICE r12).
+        manifest["defer_vacuum"].extend(
             f"{fpath}/__epoch={e}" for e in all_epochs
         )
         if not parts:
@@ -392,15 +413,15 @@ def compact_store(
                 carried = dict(pm)
                 carried["gen"] = int(pm.get("gen", prev_gen))
                 manifest["families"][fam] = carried
+    # dedupe (a vacuum=False chain re-lists still-present epoch dirs
+    # that are also carried forward) while preserving order
+    manifest["defer_vacuum"] = list(dict.fromkeys(manifest["defer_vacuum"]))
     _atomic_write_json(
         spark,
         store_path.rstrip("/") + "/" + _GEN_DIR,
         str(new_gen),
         manifest,
     )
-    if vacuum:
-        for path in vacuum_targets:
-            _delete(spark, path)
     return new_gen
 
 

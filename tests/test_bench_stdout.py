@@ -109,3 +109,70 @@ def test_subset_bench_never_clobbers_full_detail_artifact():
     )
     assert "n_retried" in payload
     os.remove(partial)
+
+
+def test_retry_pass_converges_past_the_per_round_cap(tmp_path):
+    """VERDICT r12 #2: with MORE breaches than the per-batch retry cap
+    (here 22 artificial breaches vs a cap of 20), the convergence loop
+    must keep iterating until every breach got a best-of-3 re-measure —
+    the r12 failure mode was a single capped pass fossilizing hot
+    reads on ranks 21+. Thresholds are forced to zero so every entry
+    permanently 'breaches'; the loop must still terminate (no-progress
+    rule) after covering all of them."""
+    names = [
+        "projection_cast",
+        "distinct_rows",
+        "topk_orders",
+        "math_funcs",
+        "string_funcs",
+        "date_funcs",
+        "json_funcs",
+        "case_when_buckets",
+        "set_ops",
+        "join_semi",
+        "filter_predicates",
+        "hash_agg_stats",
+        "set_ops_bag",
+        "topk_per_group",
+        "join_broadcast_dims",
+        "rollup_revenue",
+        "cube_qty",
+        "window_ranking",
+        "window_frames",
+        "window_analytic",
+        "null_semantics",
+        "try_arithmetic_orders",
+    ]
+    assert len(names) == 22
+    env = dict(os.environ)
+    env.update(
+        {
+            "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
+            "SPARK_GRAFT_BENCH_RUNS": "1",
+            "SPARK_GRAFT_BENCH_QUERIES": ",".join(names),
+            "SPARK_GRAFT_CPUS": "4",
+            "SPARK_GRAFT_BENCH_DETAIL": str(tmp_path / "detail.json"),
+            "SPARK_GRAFT_BENCH_RETRY_RATIO": "0.0001",
+            "SPARK_GRAFT_BENCH_RETRY_FLOOR": "-1000",
+            "SPARK_GRAFT_BENCH_RETRY_CAP": "20",
+            "SPARK_GRAFT_BENCH_RETRY_BUDGET_SEC": "600",
+        }
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=ROOT,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    detail = json.load(open(tmp_path / "detail.json"))
+    # every artificial breach was retried — the cap bounded each
+    # BATCH, not total coverage
+    assert set(detail["retry_candidates"]) == set(names)
+    assert detail["retry_rounds"] >= 2
+    payload = json.loads(
+        [l for l in proc.stdout.splitlines() if l.strip()][0]
+    )
+    assert payload["retry_rounds"] == detail["retry_rounds"]

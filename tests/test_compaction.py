@@ -80,10 +80,11 @@ def test_bm25_compaction_preserves_topk_and_prunes_dirs(spark, tmp_path):
     after = read_bm25_index_topk(spark, store, k=20).collect()
     assert [tuple(r) for r in after] == [tuple(r) for r in before]
 
-    # folded epoch dirs are vacuumed; the generation is term-bucketed
+    # folded epoch dirs get the one-cycle grace window (ADVICE r12):
+    # on disk but ignored, recorded for the next compaction's vacuum
     import os
 
-    assert not any(
+    assert any(
         d.startswith("__epoch=") for d in os.listdir(f"{store}/postings")
     )
     assert os.path.isdir(f"{store}/postings/__gen=0")
@@ -95,6 +96,16 @@ def test_bm25_compaction_preserves_topk_and_prunes_dirs(spark, tmp_path):
     assert g == 0
     assert manifest["families"]["postings"]["fold_max"] == 1
     assert manifest["families"]["postings"]["n_buckets"] == 4
+    assert f"{store}/postings/__epoch=0" in manifest["defer_vacuum"]
+
+    # the NEXT compaction actually vacuums them
+    gen = compact_bm25_index(spark, store, n_buckets=4)
+    assert gen == 1
+    assert not any(
+        d.startswith("__epoch=") for d in os.listdir(f"{store}/postings")
+    )
+    final = read_bm25_index_topk(spark, store, k=20).collect()
+    assert [tuple(r) for r in final] == [tuple(r) for r in before]
 
 
 def test_bm25_post_compaction_epochs_fold_into_next_generation(
@@ -170,6 +181,26 @@ def test_compaction_without_vacuum_never_double_counts(spark, tmp_path):
     after = read_bm25_index_topk(spark, store, k=20).collect()
     assert [tuple(r) for r in after] == [tuple(r) for r in before]
 
+    # ADVICE r12: vacuum=False still TRACKS everything it superseded,
+    # and a later vacuum=False fold carries the backlog forward (plus
+    # its own superseded gen-0 dir) instead of orphaning it ...
+    _, m0 = latest_generation(spark, store)
+    assert f"{store}/postings/__epoch=0" in m0["defer_vacuum"]
+    compact_bm25_index(spark, store, n_buckets=4, vacuum=False)
+    _, m1 = latest_generation(spark, store)
+    assert f"{store}/postings/__epoch=0" in m1["defer_vacuum"]
+    assert f"{store}/postings/__gen=0" in m1["defer_vacuum"]
+    # ... so a final vacuum=True fold garbage-collects the whole chain
+    compact_bm25_index(spark, store, n_buckets=4, vacuum=True)
+    assert not any(
+        d.startswith("__epoch=") for d in os.listdir(f"{store}/postings")
+    )
+    assert not os.path.isdir(f"{store}/postings/__gen=0")
+    # gen 1 was superseded by THIS fold — it keeps its own grace cycle
+    assert os.path.isdir(f"{store}/postings/__gen=1")
+    final = read_bm25_index_topk(spark, store, k=20).collect()
+    assert [tuple(r) for r in final] == [tuple(r) for r in before]
+
 
 def test_unmanifested_generation_is_invisible(spark, tmp_path):
     in_dir, store, cp = (
@@ -223,6 +254,9 @@ def test_ingest_dedup_rejects_against_compacted_generation(
     time.sleep(1.1)
     _write_docs(spark, in_dir, [(3, "gamma")], mode="append")
     run()
+    compact_ingest_store(spark, store, fp_col="fp", n_buckets=4)
+    # second fold vacuums the deferred epoch dirs, so the rejection
+    # below can only come from the GENERATION
     compact_ingest_store(spark, store, fp_col="fp", n_buckets=4)
     import os
 
@@ -352,6 +386,9 @@ def test_kmv_view_compaction_is_lossless(spark, tmp_path):
     compact_kmv_view(spark, view, k=16)
     import os
 
+    # folded epoch dirs deferred one cycle; a second fold vacuums them
+    assert any(d.startswith("__epoch=") for d in os.listdir(view))
+    compact_kmv_view(spark, view, k=16)
     assert not any(d.startswith("__epoch=") for d in os.listdir(view))
     after = read_kmv_view(spark, view, k=16).collect()[0]
     assert tuple(after) == tuple(before)
@@ -419,7 +456,11 @@ def test_legacy_epoch_minus_one_base_is_read_and_folded(spark, tmp_path):
     compact_store(spark, store, {"": {"fold": fold}})
     import os
 
-    # the legacy base was folded into the generation, then vacuumed
+    # the legacy base was folded into the generation; deferred one
+    # cycle, then vacuumed by the next fold
+    assert os.path.isdir(f"{store}/__epoch=-1")
+    assert totals() == want
+    compact_store(spark, store, {"": {"fold": fold}})
     assert not os.path.isdir(f"{store}/__epoch=-1")
     assert not os.path.isdir(f"{store}/__epoch=3")
     assert totals() == want
@@ -427,7 +468,8 @@ def test_legacy_epoch_minus_one_base_is_read_and_folded(spark, tmp_path):
 
 def test_vacuum_only_deletes_the_epochs_this_run_listed(spark, tmp_path):
     """ADVICE r11: an epoch directory appearing AFTER the compactor's
-    listing (a racing micro-batch) must survive the vacuum un-folded.
+    listing (a racing micro-batch) must never enter the deferred-vacuum
+    set — it survives the fold AND the next fold's vacuum as live data.
     Simulated by monkeypatching the lister to hide the late epoch."""
     from local_stream_stack_spark.streaming import compaction
 
@@ -444,23 +486,30 @@ def test_vacuum_only_deletes_the_epochs_this_run_listed(spark, tmp_path):
     def hide_late(spark_, fpath):
         return [e for e in real(spark_, fpath) if e != 1]
 
+    fold_spec = {"": {"fold": lambda df: df.groupBy("k").agg(
+        F.sum("n_rows").alias("n_rows"))}}
     compaction._glob_epoch_ids = hide_late
     try:
-        compaction.compact_store(
-            spark,
-            store,
-            {"": {"fold": lambda df: df.groupBy("k").agg(
-                F.sum("n_rows").alias("n_rows"))}},
-        )
+        compaction.compact_store(spark, store, fold_spec)
     finally:
         compaction._glob_epoch_ids = real
     import os
 
-    # epoch 1 landed "after the listing": not folded, NOT deleted
+    # epoch 1 landed "after the listing": not folded, not in the
+    # deferred set; epoch 0 was folded and is deferred (still on disk)
+    _, manifest = compaction.latest_generation(spark, store)
+    assert f"{store}/__epoch=0" in manifest["defer_vacuum"]
+    assert f"{store}/__epoch=1" not in manifest["defer_vacuum"]
     assert os.path.isdir(f"{store}/__epoch=1")
-    assert not os.path.isdir(f"{store}/__epoch=0")
     from local_stream_stack_spark.streaming.ops import read_aggregate_view
 
+    got = {tuple(r) for r in read_aggregate_view(spark, store).collect()}
+    assert got == {("a", 8)}
+
+    # the next fold vacuums the deferred epoch 0 and FOLDS epoch 1
+    compaction.compact_store(spark, store, fold_spec)
+    assert not os.path.isdir(f"{store}/__epoch=0")
+    assert os.path.isdir(f"{store}/__epoch=1")  # deferred this cycle
     got = {tuple(r) for r in read_aggregate_view(spark, store).collect()}
     assert got == {("a", 8)}
 
@@ -531,8 +580,10 @@ def test_read_family_snapshot_pins_generation(spark, tmp_path):
         for r in read_family(spark, store, "fam", snapshot=snap).collect()
     }
     # gen 0 plus the (not-yet-folded-at-snapshot-time) epoch 1 — NOT
-    # gen 1's refold; the grace window kept __gen=0 on disk
-    assert ("x", 1) in pinned
+    # gen 1's refold; the grace window kept BOTH __gen=0 AND the
+    # concurrently-folded __epoch=1 on disk (ADVICE r12: the epoch-1
+    # row must survive, not just the gen-0 row)
+    assert pinned == {("x", 1), ("x", 9)}
     fresh = {
         tuple(r) for r in read_family(spark, store, "fam").collect()
     }

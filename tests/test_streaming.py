@@ -509,8 +509,17 @@ def test_aggregate_view_stream_parquet_ivm(spark, tmpdir):
     import glob
     import os as _os
 
-    # epoch dirs folded away into a committed generation
-    assert glob.glob(f"{target}/__epoch=*") == []
+    # folded epoch dirs get a one-cycle vacuum grace window (ADVICE
+    # r12): still on disk, ignored by the resolver, tracked in the
+    # manifest for the next compaction's vacuum
+    from local_stream_stack_spark.streaming.compaction import (
+        latest_generation as _latest_gen,
+    )
+
+    folded = sorted(glob.glob(f"{target}/__epoch=*"))
+    assert folded
+    _, manifest = _latest_gen(spark, target)
+    assert sorted(manifest["defer_vacuum"]) == folded
     assert _os.path.isdir(f"{target}/__gen={gen}")
     got = {
         (r.user_id, r.n_rows, r.sum_cents)

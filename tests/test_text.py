@@ -257,3 +257,35 @@ def test_vocab_coverage_small_vocab_and_hapax(spark, tmp_path):
     assert r.n_types == 4 and r.n_occurrences == 9
     assert r.n_hapax_types == 2
     assert r.top1000_occurrences == 9 and r.coverage_e4 == 10_000
+
+
+def test_sentence_split_stats_zero_sentence_lang_is_null(spark, tmp_path):
+    """ADVICE r12: a language whose documents contain no [.!?]
+    terminators has SUM(n_sents)=0 — chars_per_sent_e6 must be NULL
+    (guarded division), never Long.MAX via Spark's saturating CAST of
+    Infinity."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        [
+            # all-terminator text: the split yields only blank spans,
+            # so n_sents = 0 (unterminated prose would count as ONE
+            # trailing sentence, not zero)
+            (0, "?!.!!", "xx", "s1", 5),
+            (1, "...", "xx", "s1", 3),
+            (2, "One. Two. Three.", "en", "s1", 16),
+        ],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    d = tmp_path / "nosent"
+    d.mkdir()
+    pdf.to_parquet(d / "documents.parquet")
+
+    from local_stream_stack_spark.queries.llm import sentence_split_stats
+
+    rows = {r.lang: r for r in sentence_split_stats(spark, str(d)).collect()}
+    assert rows["xx"].sents_total == 0
+    assert rows["xx"].chars_per_sent_e6 is None
+    assert rows["en"].sents_total == 3
+    # 16 chars / 3 sentences (split keeps trailing-space spans trimmed)
+    assert rows["en"].chars_per_sent_e6 is not None
