@@ -439,7 +439,11 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
     }
 )
 
-NEW_THIS_ROUND: frozenset[str] = frozenset()
+NEW_THIS_ROUND: frozenset[str] = frozenset(
+    {
+        "multimodal_mp3_meta",
+    }
+)
 
 # Queries whose defining file was git-modified AFTER the round that
 # recorded their last green driver row (VERDICT r5 "What's wrong" #2:

@@ -80,6 +80,25 @@ def _glob_epoch_ids(spark, family_path: str) -> list[int]:
     return sorted(out)
 
 
+def _committed_epoch_ids(spark, family_path: str) -> list[int]:
+    """Epoch ids whose directory carries the job-commit ``_SUCCESS``
+    marker.  A micro-batch writer racing the compactor creates its
+    ``__epoch=<id>`` directory BEFORE the parquet job commits its task
+    files — folding that listing would record ``fold_max`` over a torn
+    (possibly empty) read and lose the epoch's rows forever.  The
+    compactor therefore folds only committed epochs; an in-flight one
+    is left alone (neither folded nor deferred) and folds next run."""
+    fs, _, jvm = _fs(spark, family_path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    out = []
+    for e in _glob_epoch_ids(spark, family_path):
+        if fs.exists(
+            Path(f"{family_path.rstrip('/')}/__epoch={e}/_SUCCESS")
+        ):
+            out.append(e)
+    return out
+
+
 def _glob_bucket_ids(spark, gen_dir: str) -> set[int]:
     """Bucket ids present as ``__bucket=<id>`` children of a
     generation directory (``partitionBy`` writes only non-empty
@@ -361,8 +380,11 @@ def compact_store(
             manifest["defer_vacuum"].append(prev_dir)
         # ONE listing per family: the fold set and the deferred-vacuum
         # set are computed from the same snapshot, so an epoch dir
-        # written after this line is untouched by this run
-        all_epochs = _glob_epoch_ids(spark, fpath)
+        # written after this line is untouched by this run.  Committed
+        # (_SUCCESS) epochs only — a dir mid-write by a racing
+        # micro-batch is neither folded nor deferred (it folds next
+        # run once its job commit lands).
+        all_epochs = _committed_epoch_ids(spark, fpath)
         epochs = [e for e in all_epochs if e > prev_fold_max]
         if epochs:
             parts.append(

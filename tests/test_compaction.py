@@ -802,3 +802,108 @@ def test_maintained_view_resumes_across_process_restart(tmp_path, spark):
         sums[k] += v
     want = {(k, cnt[k], sums[k]) for k in cnt}
     assert got == want
+
+
+def test_concurrent_writer_and_compactor_soak(tmp_path, spark):
+    """VERDICT r12 #4: one subprocess streams epochs into an aggregate
+    view while THIS process loops ``compact_aggregate_view`` against it
+    concurrently — no idle coordination whatsoever. The _SUCCESS
+    commit-marker filter keeps a mid-write epoch out of the fold (a
+    torn read would fossilize ``fold_max`` past unread rows), the
+    single-listing protocol keeps late epochs alive, and the deferred
+    vacuum keeps any in-flight reader's directories on disk. After
+    >=5 concurrent fold cycles the final read must equal the batch
+    aggregate exactly — zero lost rows."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+    import time as _time
+
+    from local_stream_stack_spark.streaming.ops import (
+        compact_aggregate_view,
+        read_aggregate_view,
+    )
+
+    base = str(tmp_path)
+    writer = textwrap.dedent(
+        """
+        import sys, time
+        sys.path.insert(0, {root!r})
+        from pyspark.sql import SparkSession
+        from local_stream_stack_spark.streaming.ops import (
+            aggregate_view_stream_parquet,
+        )
+
+        base = {base!r}
+        spark = (
+            SparkSession.builder.master("local[2]")
+            .config("spark.sql.shuffle.partitions", "2")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        # 8 stages x 3 files x 10 rows; each stage resumes the same
+        # checkpoint and processes its files one per micro-batch
+        for stage in range(8):
+            lo = stage * 30
+            for j in range(3):
+                rows = [(i % 7, i) for i in range(lo + j * 10,
+                                                  lo + (j + 1) * 10)]
+                spark.createDataFrame(rows, "k long, v long").coalesce(
+                    1
+                ).write.mode("append").parquet(base + "/in")
+            q = aggregate_view_stream_parquet(
+                spark.readStream.schema("k long, v long")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(base + "/in"),
+                keys=["k"],
+                sum_cols=["v"],
+                target_path=base + "/view",
+                checkpoint_location=base + "/cp",
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            time.sleep(0.3)
+        spark.stop()
+        """
+    ).format(
+        root=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        base=base,
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", writer],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+    )
+    n_folds = 0
+    try:
+        while proc.poll() is None:
+            try:
+                compact_aggregate_view(spark, f"{base}/view")
+                n_folds += 1
+            except FileNotFoundError:
+                pass  # writer hasn't produced the first epoch yet
+            _time.sleep(0.5)
+    finally:
+        out, err = proc.communicate(timeout=420)
+    assert proc.returncode == 0, err[-3000:]
+    assert n_folds >= 5, f"only {n_folds} concurrent fold cycles ran"
+
+    got = {
+        (r["k"], r["n_rows"], r["sum_v"])
+        for r in read_aggregate_view(spark, f"{base}/view").collect()
+    }
+    rows = [(i % 7, i) for i in range(240)]
+    import collections
+
+    cnt = collections.Counter(k for k, _ in rows)
+    sums = collections.defaultdict(int)
+    for k, v in rows:
+        sums[k] += v
+    want = {(k, cnt[k], sums[k]) for k in cnt}
+    assert got == want, (
+        f"lost rows under concurrent compaction: {sorted(want - got)}"
+    )

@@ -231,6 +231,7 @@ REPRESENTATIVE = [
     "lateral_topk_suppliers",    # correlated LATERAL subquery
     "token_budget_truncation",   # per-lang budget cumsum
     "multimodal_tiff_decode",    # real TIFF codec mapInPandas
+    "multimodal_mp3_meta",       # MP3 frame-header walk mapInPandas
     "recursive_cte_day_streaks", # WITH RECURSIVE iteration
     "keywords_per_doc_tfidf",    # per-doc ranked extraction
     "theil_u_lang_source",       # entropy/MI cell sums
