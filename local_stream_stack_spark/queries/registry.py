@@ -442,6 +442,7 @@ DRIVER_VERIFIED_PREVIOUSLY: frozenset[str] = frozenset(
 NEW_THIS_ROUND: frozenset[str] = frozenset(
     {
         "multimodal_mp3_meta",
+        "decontaminate_semantic",
     }
 )
 

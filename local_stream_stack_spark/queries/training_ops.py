@@ -589,6 +589,176 @@ def semantic_dedup_lsh_components(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "decontaminate_semantic",
+    oracle="""
+    WITH RECURSIVE npc AS (
+      SELECT GREATEST(8, length(bin(GREATEST(COUNT(*) // 32, 1))) - 1 + 1)
+               AS np
+      FROM embeddings
+    ),
+    planes AS (
+      SELECT t.t, j.j, i.i,
+             CAST('0x' || substring(md5(concat(t.t,'|',j.j,'|',i.i)), 1, 4)
+                  AS INT) % 7 - 3 AS w
+      FROM generate_series(0,7) t(t),
+           generate_series(0,30) j(j),
+           generate_series(0,63) i(i)
+      WHERE j.j < (SELECT np FROM npc)
+    ),
+    qv AS (
+      SELECT vec_id, i.i AS i,
+             CAST(FLOOR(CAST(embedding[i.i + 1] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS x
+      FROM embeddings, generate_series(0,63) i(i)
+    ),
+    proj AS (
+      SELECT q.vec_id, p.t, p.j, SUM(q.x * p.w) AS s
+      FROM qv q JOIN planes p ON q.i = p.i
+      GROUP BY q.vec_id, p.t, p.j
+    ),
+    sig AS (
+      SELECT vec_id, t,
+             SUM(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) << j
+                      ELSE CAST(0 AS BIGINT) END) AS bucket
+      FROM proj GROUP BY vec_id, t
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sig a
+      JOIN sig b ON a.t = b.t AND a.bucket = b.bucket
+                AND a.vec_id < b.vec_id
+    ),
+    sp AS (
+      SELECT vec_id,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+                             1, 4)) AS INT) % 100 < 80
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM embeddings
+    ),
+    cx AS (
+      SELECT CASE WHEN sa.split = 'eval' THEN c.id_a ELSE c.id_b END
+               AS eval_id,
+             CASE WHEN sa.split = 'eval' THEN c.id_b ELSE c.id_a END
+               AS train_id
+      FROM cand c
+      JOIN sp sa ON sa.vec_id = c.id_a
+      JOIN sp sb ON sb.vec_id = c.id_b
+      WHERE sa.split <> sb.split
+    ),
+    jp AS (
+      SELECT cx.eval_id, cx.train_id,
+             ROUND(list_reduce(list_transform(
+                     generate_series(1, len(a.embedding)),
+                     i -> CAST(a.embedding[i] AS DOUBLE)
+                        * CAST(b.embedding[i] AS DOUBLE)),
+                   (x, y) -> x + y)
+               / (sqrt(list_reduce(list_transform(a.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                     (x,y) -> x+y))
+                * sqrt(list_reduce(list_transform(b.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                     (x,y) -> x+y))),
+               6) AS cos6
+      FROM cx
+      JOIN embeddings a ON a.vec_id = cx.eval_id
+      JOIN embeddings b ON b.vec_id = cx.train_id
+    ),
+    hits AS (SELECT * FROM jp WHERE cos6 >= 0.40)
+    SELECT eval_id AS vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_train_near,
+           CAST(FLOOR(MAX(cos6) * 1e6 + 0.5) AS BIGINT) AS max_cos_e6
+    FROM hits GROUP BY eval_id ORDER BY vec_id
+    """,
+)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination (VERDICT r12 #7): eval-split
+    vectors with a TRAIN-split near-duplicate in cosine space — the
+    sweep real pipelines run after the prefix-hash
+    (``decontaminate_splits``) and token-8-gram
+    (``decontaminate_ngram_overlap``) passes, catching paraphrase-level
+    leakage the lexical passes miss.
+
+    Scale shape: candidates come from the SAME deterministic integer
+    LSH bucketing as ``semantic_dedup_lsh_components`` (md5-derived
+    hyperplanes, bucket space scaled to corpus size) — never a
+    cross-split all-pairs product; the split filter then keeps only
+    eval x train candidate pairs before the exact-cosine verify
+    touches any vectors. Split assignment is the md5-bucket scheme of
+    ``decontaminate_splits`` (80/20), replayed bit-for-bit by the
+    oracle. The verify threshold and e6 rounding are the established
+    cross-engine-deterministic forms."""
+    from local_stream_stack_spark.operators.similarity import (
+        cosine,
+        lsh_candidate_pairs_deterministic,
+        scaled_n_planes,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    n_vecs = e.count()
+    n_planes = scaled_n_planes(n_vecs)
+    cand = lsh_candidate_pairs_deterministic(
+        e, id_col="vec_id", vec_col="embedding", dim=64,
+        n_tables=8, n_planes=n_planes,
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10
+        ).cast("int")
+        % 100
+    )
+    sp = e.select(
+        "vec_id",
+        F.when(bucket < 80, F.lit("train"))
+        .otherwise(F.lit("eval"))
+        .alias("split"),
+    )
+    sa = sp.select(
+        F.col("vec_id").alias("id_a"), F.col("split").alias("__sa")
+    )
+    sb = sp.select(
+        F.col("vec_id").alias("id_b"), F.col("split").alias("__sb")
+    )
+    cx = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("__sa") != F.col("__sb"))
+        .select(
+            F.when(F.col("__sa") == "eval", F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("eval_id"),
+            F.when(F.col("__sa") == "eval", F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("train_id"),
+        )
+    )
+    ea = e.select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("__va")
+    )
+    eb = e.select(
+        F.col("vec_id").alias("train_id"), F.col("embedding").alias("__vb")
+    )
+    hits = (
+        cx.join(ea, "eval_id")
+        .join(eb, "train_id")
+        .select(
+            "eval_id",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos6"),
+        )
+        .filter(F.col("cos6") >= F.lit(0.40))
+    )
+    return (
+        hits.groupBy(F.col("eval_id").alias("vec_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_train_near"),
+            F.expr(
+                "CAST(FLOOR(MAX(cos6) * 1e6 + 0.5) AS BIGINT)"
+            ).alias("max_cos_e6"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
     "perplexity_unigram",
     oracle="""
     WITH toks AS (

@@ -232,6 +232,7 @@ REPRESENTATIVE = [
     "token_budget_truncation",   # per-lang budget cumsum
     "multimodal_tiff_decode",    # real TIFF codec mapInPandas
     "multimodal_mp3_meta",       # MP3 frame-header walk mapInPandas
+    "decontaminate_semantic",    # cross-split LSH + cosine verify
     "recursive_cte_day_streaks", # WITH RECURSIVE iteration
     "keywords_per_doc_tfidf",    # per-doc ranked extraction
     "theil_u_lang_source",       # entropy/MI cell sums
