@@ -443,6 +443,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
     {
         "multimodal_mp3_meta",
         "decontaminate_semantic",
+        "active_streaks_doubling",
     }
 )
 

@@ -826,9 +826,12 @@ def test_concurrent_writer_and_compactor_soak(tmp_path, spark):
     )
 
     base = str(tmp_path)
+    # stop-file handshake, not a stage count: the writer keeps landing
+    # micro-batch epochs until the parent has finished its 5 concurrent
+    # fold cycles, so the test's fold count is host-load-independent
     writer = textwrap.dedent(
         """
-        import sys, time
+        import os, sys
         sys.path.insert(0, {root!r})
         from pyspark.sql import SparkSession
         from local_stream_stack_spark.streaming.ops import (
@@ -842,30 +845,33 @@ def test_concurrent_writer_and_compactor_soak(tmp_path, spark):
             .config("spark.ui.enabled", "false")
             .getOrCreate()
         )
-        # 8 stages x 3 files x 10 rows; each stage resumes the same
-        # checkpoint and processes its files one per micro-batch
-        for stage in range(8):
-            lo = stage * 30
-            for j in range(3):
-                rows = [(i % 7, i) for i in range(lo + j * 10,
-                                                  lo + (j + 1) * 10)]
-                spark.createDataFrame(rows, "k long, v long").coalesce(
-                    1
-                ).write.mode("append").parquet(base + "/in")
-            q = aggregate_view_stream_parquet(
-                spark.readStream.schema("k long, v long")
-                .option("maxFilesPerTrigger", "1")
-                .parquet(base + "/in"),
-                keys=["k"],
-                sum_cols=["v"],
-                target_path=base + "/view",
-                checkpoint_location=base + "/cp",
-            )
-            try:
+        def land(stage):
+            rows = [(i % 7, i) for i in range(stage * 10,
+                                              (stage + 1) * 10)]
+            spark.createDataFrame(rows, "k long, v long").coalesce(
+                1
+            ).write.mode("append").parquet(base + "/in")
+
+        land(0)  # source dir must exist before the stream is defined
+        q = aggregate_view_stream_parquet(
+            spark.readStream.schema("k long, v long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(base + "/in"),
+            keys=["k"],
+            sum_cols=["v"],
+            target_path=base + "/view",
+            checkpoint_location=base + "/cp",
+        )
+        try:
+            q.processAllAvailable()
+            for stage in range(1, 120):
+                land(stage)
                 q.processAllAvailable()
-            finally:
-                q.stop()
-            time.sleep(0.3)
+                if os.path.exists(base + "/stop") and stage >= 5:
+                    break
+        finally:
+            q.stop()
+        print("STAGES", stage + 1, flush=True)
         spark.stop()
         """
     ).format(
@@ -886,17 +892,20 @@ def test_concurrent_writer_and_compactor_soak(tmp_path, spark):
                 n_folds += 1
             except FileNotFoundError:
                 pass  # writer hasn't produced the first epoch yet
+            if n_folds >= 5 and not os.path.exists(f"{base}/stop"):
+                open(f"{base}/stop", "w").close()
             _time.sleep(0.5)
     finally:
         out, err = proc.communicate(timeout=420)
     assert proc.returncode == 0, err[-3000:]
     assert n_folds >= 5, f"only {n_folds} concurrent fold cycles ran"
+    n_stages = int(out.strip().rsplit("STAGES", 1)[1])
 
     got = {
         (r["k"], r["n_rows"], r["sum_v"])
         for r in read_aggregate_view(spark, f"{base}/view").collect()
     }
-    rows = [(i % 7, i) for i in range(240)]
+    rows = [(i % 7, i) for i in range(n_stages * 10)]
     import collections
 
     cnt = collections.Counter(k for k, _ in rows)

@@ -233,6 +233,7 @@ REPRESENTATIVE = [
     "multimodal_tiff_decode",    # real TIFF codec mapInPandas
     "multimodal_mp3_meta",       # MP3 frame-header walk mapInPandas
     "decontaminate_semantic",    # cross-split LSH + cosine verify
+    "active_streaks_doubling",   # log2 self-join chain doubling
     "recursive_cte_day_streaks", # WITH RECURSIVE iteration
     "keywords_per_doc_tfidf",    # per-doc ranked extraction
     "theil_u_lang_source",       # entropy/MI cell sums
