@@ -7391,3 +7391,537 @@ def brunner_munzel_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w_e6"),
         )
     )
+
+
+@query(
+    "mcnemar_paired_flags",
+    oracle="""
+    WITH l AS (
+      SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS x,
+             CASE WHEN l_receiptdate > l_commitdate THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c
+      FROM l
+    )
+    SELECT n, b, c,
+           CASE WHEN b + c > 0 THEN
+             CAST(FLOOR(
+               POWER(ABS(CAST(b AS DOUBLE) - c) - 1.0, 2)
+               / (CAST(b AS DOUBLE) + c) * 1e6 + 0.5) AS BIGINT)
+           END AS chi2_e6
+    FROM agg
+    """,
+)
+def mcnemar_paired_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on paired binary outcomes per lineitem — is a
+    RETURNED line more likely than a kept line to also be LATE
+    (receipt after commit)? The paired-proportions classic: only the
+    discordant cells matter (b = returned & on-time, c = kept & late),
+    chi2 = (|b − c| − 1)² / (b + c) with the standard continuity
+    correction. One scan, three exact integer counts, one double tree
+    rounded once to e6 — the cheapest entry in the paired-test family
+    (sign test = its sequential sibling on day pairs)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.expr("CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END").alias("x"),
+        F.expr(
+            "CASE WHEN l_receiptdate > l_commitdate THEN 1 ELSE 0 END"
+        ).alias("y"),
+    )
+    return li.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.expr("CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.expr("CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("c"),
+    ).select(
+        "n",
+        "b",
+        "c",
+        F.expr(
+            """CASE WHEN b + c > 0 THEN
+                 CAST(FLOOR(
+                   POWER(ABS(CAST(b AS DOUBLE) - c) - 1.0, 2)
+                   / (CAST(b AS DOUBLE) + c) * 1e6 + 0.5) AS BIGINT)
+               END"""
+        ).alias("chi2_e6"),
+    )
+
+
+@query(
+    "jarque_bera_daily_revenue",
+    oracle="""
+    WITH days AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS di,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rev_c) AS BIGINT) AS s
+      FROM days
+    ),
+    dev AS (
+      SELECT CAST(FLOOR(POWER((d.rev_c - CAST(t.s AS DOUBLE) / t.n)
+                              / 1e8, 2) * 1e6 + 0.5) AS BIGINT) AS u2,
+             CAST(FLOOR(POWER((d.rev_c - CAST(t.s AS DOUBLE) / t.n)
+                              / 1e8, 3) * 1e6 + 0.5) AS BIGINT) AS u3,
+             CAST(FLOOR(POWER((d.rev_c - CAST(t.s AS DOUBLE) / t.n)
+                              / 1e8, 4) * 1e6 + 0.5) AS BIGINT) AS u4
+      FROM days d CROSS JOIN tot t
+    ),
+    m AS (
+      SELECT CAST(SUM(u2) AS BIGINT) AS s2,
+             CAST(SUM(u3) AS BIGINT) AS s3,
+             CAST(SUM(u4) AS BIGINT) AS s4
+      FROM dev
+    )
+    SELECT t.n,
+           CASE WHEN t.n > 1 AND m.s2 > 0 THEN
+             CAST(FLOOR(
+               (CAST(m.s3 AS DOUBLE) / t.n / 1e6)
+               / POWER(CAST(m.s2 AS DOUBLE) / t.n / 1e6, 1.5)
+               * 1e6 + 0.5) AS BIGINT)
+           END AS skew_e6,
+           CASE WHEN t.n > 1 AND m.s2 > 0 THEN
+             CAST(FLOOR(
+               (CAST(m.s4 AS DOUBLE) / t.n / 1e6)
+               / POWER(CAST(m.s2 AS DOUBLE) / t.n / 1e6, 2)
+               * 1e6 + 0.5) AS BIGINT)
+           END AS kurt_e6,
+           CASE WHEN t.n > 1 AND m.s2 > 0 THEN
+             CAST(FLOOR(
+               CAST(t.n AS DOUBLE) / 6.0
+               * (POWER((CAST(m.s3 AS DOUBLE) / t.n / 1e6)
+                        / POWER(CAST(m.s2 AS DOUBLE) / t.n / 1e6, 1.5), 2)
+                  + POWER((CAST(m.s4 AS DOUBLE) / t.n / 1e6)
+                          / POWER(CAST(m.s2 AS DOUBLE) / t.n / 1e6, 2)
+                          - 3.0, 2) / 4.0)
+               * 1e6 + 0.5) AS BIGINT)
+           END AS jb_e6
+    FROM tot t CROSS JOIN m
+    """,
+)
+def jarque_bera_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test on the daily-revenue series — the
+    moment-based gate (skewness² + excess-kurtosis²) the z-score
+    anomaly entries implicitly assume passes. Two passes: exact
+    integer day-grain sums give the mean; per-day deviations are
+    rescaled by a FIXED constant (skewness/kurtosis are
+    scale-invariant, so /1e8 just keeps u⁴ inside BIGINT after the e6
+    floor) and floored to integers BEFORE the cross-day sums, making
+    the central moments order-independent; the statistic is one double
+    tree per output rounded once to e6."""
+    o = _t(spark, sf_dir, "orders")
+    days = o.groupBy(
+        F.unix_date(F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("di")
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    tot = days.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("rev_c").cast("bigint").alias("s"),
+    )
+    dev = days.crossJoin(F.broadcast(tot)).select(
+        F.expr(
+            "CAST(FLOOR(POWER((rev_c - CAST(s AS DOUBLE) / n)"
+            " / 1e8, 2) * 1e6 + 0.5) AS BIGINT)"
+        ).alias("u2"),
+        F.expr(
+            "CAST(FLOOR(POWER((rev_c - CAST(s AS DOUBLE) / n)"
+            " / 1e8, 3) * 1e6 + 0.5) AS BIGINT)"
+        ).alias("u3"),
+        F.expr(
+            "CAST(FLOOR(POWER((rev_c - CAST(s AS DOUBLE) / n)"
+            " / 1e8, 4) * 1e6 + 0.5) AS BIGINT)"
+        ).alias("u4"),
+    )
+    m = dev.agg(
+        F.sum("u2").cast("bigint").alias("s2"),
+        F.sum("u3").cast("bigint").alias("s3"),
+        F.sum("u4").cast("bigint").alias("s4"),
+    )
+    return tot.crossJoin(F.broadcast(m)).select(
+        "n",
+        F.expr(
+            """CASE WHEN n > 1 AND s2 > 0 THEN
+                 CAST(FLOOR(
+                   (CAST(s3 AS DOUBLE) / n / 1e6)
+                   / POWER(CAST(s2 AS DOUBLE) / n / 1e6, 1.5)
+                   * 1e6 + 0.5) AS BIGINT)
+               END"""
+        ).alias("skew_e6"),
+        F.expr(
+            """CASE WHEN n > 1 AND s2 > 0 THEN
+                 CAST(FLOOR(
+                   (CAST(s4 AS DOUBLE) / n / 1e6)
+                   / POWER(CAST(s2 AS DOUBLE) / n / 1e6, 2)
+                   * 1e6 + 0.5) AS BIGINT)
+               END"""
+        ).alias("kurt_e6"),
+        F.expr(
+            """CASE WHEN n > 1 AND s2 > 0 THEN
+                 CAST(FLOOR(
+                   CAST(n AS DOUBLE) / 6.0
+                   * (POWER((CAST(s3 AS DOUBLE) / n / 1e6)
+                            / POWER(CAST(s2 AS DOUBLE) / n / 1e6, 1.5), 2)
+                      + POWER((CAST(s4 AS DOUBLE) / n / 1e6)
+                              / POWER(CAST(s2 AS DOUBLE) / n / 1e6, 2)
+                              - 3.0, 2) / 4.0)
+                   * 1e6 + 0.5) AS BIGINT)
+               END"""
+        ).alias("jb_e6"),
+    )
+
+
+@query(
+    "kuiper_test_urgent_price",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+      FROM orders
+    ),
+    grp AS (
+      SELECT cents,
+             CAST(SUM(g1) AS BIGINT) AS c1,
+             CAST(SUM(1 - g1) AS BIGINT) AS c2
+      FROM o GROUP BY cents
+    ),
+    cum AS (
+      SELECT cents,
+             SUM(c1) OVER (ORDER BY cents) AS f1,
+             SUM(c2) OVER (ORDER BY cents) AS f2
+      FROM grp
+    ),
+    tot AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+      FROM grp
+    ),
+    d AS (
+      SELECT CAST(MAX(f1 * t.n2 - f2 * t.n1) AS BIGINT) AS d_plus,
+             CAST(MAX(f2 * t.n1 - f1 * t.n2) AS BIGINT) AS d_minus
+      FROM cum CROSS JOIN tot t
+    )
+    SELECT t.n1, t.n2, d.d_plus, d.d_minus,
+           CAST((CAST(d.d_plus AS HUGEINT) + d.d_minus) * 1000000
+                // NULLIF(CAST(t.n1 AS HUGEINT) * t.n2, 0) AS BIGINT)
+             AS v_e6
+    FROM d CROSS JOIN tot t
+    """,
+)
+def kuiper_test_urgent_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kuiper's statistic between URGENT and non-urgent order prices —
+    the cyclic-sensitive sibling of the KS test (V = D⁺ + D⁻ weighs
+    both tails equally, where KS's single sup-gap under-weights
+    differences split across the tails). Same all-integer machinery as
+    ``ks_test_urgent_price``: ECDF gaps maximized over the
+    cross-multiplied integers f1·n2 − f2·n1 in BOTH directions, the
+    distributed-rank cumsums over distinct cents, and one
+    overflow-safe scaled division at the end."""
+    from local_stream_stack_spark.operators.quantiles import (
+        with_global_rank,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.expr(
+            "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END"
+        ).alias("g1"),
+    )
+    grp = o.groupBy("cents").agg(
+        F.sum("g1").cast("bigint").alias("c1"),
+        F.sum(1 - F.col("g1")).cast("bigint").alias("c2"),
+    )
+    cum = with_global_rank(
+        grp, "cents", out_rank="__rn",
+        cumsum={"c1": "f1", "c2": "f2"}, acc_type="BIGINT", bins=64,
+    )
+    tot = grp.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+            .cast("bigint")
+            .alias("d_plus"),
+            F.max(F.col("f2") * F.col("n1") - F.col("f1") * F.col("n2"))
+            .cast("bigint")
+            .alias("d_minus"),
+        )
+    )
+    return d.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n2",
+        "d_plus",
+        "d_minus",
+        F.expr(
+            "CAST((CAST(d_plus AS DECIMAL(38,0)) + d_minus) * 1000000"
+            " div NULLIF(CAST(n1 AS DECIMAL(38,0)) * n2, 0) AS BIGINT)"
+        ).alias("v_e6"),
+    )
+
+
+@query(
+    "dixon_q_daily_revenue",
+    oracle="""
+    WITH days AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS di,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    ext AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(MIN(rev_c) AS BIGINT) AS x_lo,
+             CAST(MAX(rev_c) AS BIGINT) AS x_hi
+      FROM days
+    ),
+    inner_ext AS (
+      SELECT CAST(MIN(CASE WHEN d.rev_c > e.x_lo THEN d.rev_c END)
+                  AS BIGINT) AS x_lo2,
+             CAST(MAX(CASE WHEN d.rev_c < e.x_hi THEN d.rev_c END)
+                  AS BIGINT) AS x_hi2
+      FROM days d CROSS JOIN ext e
+    )
+    SELECT e.n, e.x_lo, e.x_hi,
+           CASE WHEN e.x_hi > e.x_lo AND i.x_lo2 IS NOT NULL THEN
+             CAST(FLOOR(CAST(i.x_lo2 - e.x_lo AS DOUBLE)
+                        / (e.x_hi - e.x_lo) * 1e6 + 0.5) AS BIGINT)
+           END AS q_low_e6,
+           CASE WHEN e.x_hi > e.x_lo AND i.x_hi2 IS NOT NULL THEN
+             CAST(FLOOR(CAST(e.x_hi - i.x_hi2 AS DOUBLE)
+                        / (e.x_hi - e.x_lo) * 1e6 + 0.5) AS BIGINT)
+           END AS q_high_e6
+    FROM ext e CROSS JOIN inner_ext i
+    """,
+)
+def dixon_q_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dixon's Q ratio for the candidate outlier at each end of the
+    daily-revenue series — gap-to-range screening (r10 form), the
+    small-sample complement to Grubbs' z-based flag already in the
+    family: Q = (nearest-neighbor gap of the suspect extreme) / range.
+    Two aggregate passes over the calendar-bounded day grain (extremes,
+    then conditional inner extremes against the broadcast extremes);
+    every input to the final ratios is an exact integer."""
+    o = _t(spark, sf_dir, "orders")
+    days = o.groupBy(
+        F.unix_date(F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("di")
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    ext = days.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min("rev_c").cast("bigint").alias("x_lo"),
+        F.max("rev_c").cast("bigint").alias("x_hi"),
+    )
+    inner = days.crossJoin(F.broadcast(ext)).agg(
+        F.min(F.expr("CASE WHEN rev_c > x_lo THEN rev_c END"))
+        .cast("bigint")
+        .alias("x_lo2"),
+        F.max(F.expr("CASE WHEN rev_c < x_hi THEN rev_c END"))
+        .cast("bigint")
+        .alias("x_hi2"),
+    )
+    return ext.crossJoin(F.broadcast(inner)).select(
+        "n",
+        "x_lo",
+        "x_hi",
+        F.expr(
+            """CASE WHEN x_hi > x_lo AND x_lo2 IS NOT NULL THEN
+                 CAST(FLOOR(CAST(x_lo2 - x_lo AS DOUBLE)
+                            / (x_hi - x_lo) * 1e6 + 0.5) AS BIGINT)
+               END"""
+        ).alias("q_low_e6"),
+        F.expr(
+            """CASE WHEN x_hi > x_lo AND x_hi2 IS NOT NULL THEN
+                 CAST(FLOOR(CAST(x_hi - x_hi2 AS DOUBLE)
+                            / (x_hi - x_lo) * 1e6 + 0.5) AS BIGINT)
+               END"""
+        ).alias("q_high_e6"),
+    )
+
+
+@query(
+    "anderson_darling_daily_revenue",
+    oracle="""
+    WITH days AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS di,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rev_c) AS HUGEINT) AS s,
+             CAST(SUM(CAST(rev_c AS HUGEINT) * rev_c) AS HUGEINT) AS q
+      FROM days
+    ),
+    grp AS (
+      SELECT rev_c AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM days GROUP BY rev_c
+    ),
+    cum AS (
+      SELECT v, c, SUM(c) OVER (ORDER BY v) AS f FROM grp
+    ),
+    zt AS (
+      SELECT cm.c, cm.f, t.n,
+             (cm.v - CAST(t.s AS DOUBLE) / t.n)
+             / SQRT((CAST(t.q AS DOUBLE) - CAST(t.s AS DOUBLE)
+                     * CAST(t.s AS DOUBLE) / t.n) / (t.n - 1)) AS z
+      FROM cum cm CROSS JOIN tot t
+      WHERE t.n > 1
+        AND (CAST(t.q AS DOUBLE) - CAST(t.s AS DOUBLE)
+             * CAST(t.s AS DOUBLE) / t.n) > 0
+    ),
+    terms AS (
+      SELECT CAST(SUM(CAST(FLOOR(
+               (c * (2 * f - c)
+                * LN(GREATEST(CASE WHEN z >= 0
+                       THEN 0.5 * (1.0 + SQRT(1.0 - EXP(-2.0 * z * z
+                                                / 3.141592653589793)))
+                       ELSE 0.5 * (1.0 - SQRT(1.0 - EXP(-2.0 * z * z
+                                                / 3.141592653589793)))
+                     END, 1e-300))
+                + c * (2 * n - 2 * f + c)
+                  * LN(GREATEST(CASE WHEN z >= 0
+                         THEN 0.5 * (1.0 - SQRT(1.0 - EXP(-2.0 * z * z
+                                                  / 3.141592653589793)))
+                         ELSE 0.5 * (1.0 + SQRT(1.0 - EXP(-2.0 * z * z
+                                                  / 3.141592653589793)))
+                       END, 1e-300)))
+               * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s_e6
+      FROM zt
+    )
+    SELECT t.n,
+           CASE WHEN t.n > 1
+                 AND (CAST(t.q AS DOUBLE) - CAST(t.s AS DOUBLE)
+                      * CAST(t.s AS DOUBLE) / t.n) > 0 THEN
+             CAST(FLOOR(
+               (-CAST(t.n AS DOUBLE)
+                - CAST(x.s_e6 AS DOUBLE) / 1e6 / t.n)
+               * 1e6 + 0.5) AS BIGINT)
+           END AS a2_e6
+    FROM tot t CROSS JOIN terms x
+    """,
+)
+def anderson_darling_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Anderson-Darling normality statistic for the daily-revenue
+    series — the tail-weighted upgrade of the moment-based Jarque-Bera
+    gate (A² weighs ECDF deviations by 1/(Φ(1−Φ)), so heavy tails that
+    JB's kurtosis can miss dominate the sum). Fully distributed and
+    order-independent: mean/sd from exact integer moments; the sorted
+    ranks come from the distinct-value histogram + partitioned cumsum
+    (the per-rank weights (2i−1) collapse per distinct value to the
+    closed forms c(2F−c) and c(2n−2F+c), so ties need no ordering
+    convention); Φ is the Pólya closed form with a 1e-300 clamp under
+    the logs; every per-value term is floored to e6 BEFORE the global
+    sum."""
+    from local_stream_stack_spark.operators.quantiles import (
+        with_global_rank,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    days = o.groupBy(
+        F.unix_date(F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("di")
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    tot = days.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("rev_c").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.col("rev_c").cast("decimal(38,0)")
+            * F.col("rev_c").cast("decimal(38,0)")
+        ).alias("q"),
+    )
+    grp = days.groupBy(F.col("rev_c").alias("v")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    cum = with_global_rank(
+        grp, "v", out_rank="__rn", cumsum={"c": "f"},
+        acc_type="BIGINT", bins=64,
+    )
+    zt = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(
+            F.expr(
+                "n > 1 AND (CAST(q AS DOUBLE) - CAST(s AS DOUBLE)"
+                " * CAST(s AS DOUBLE) / n) > 0"
+            )
+        )
+        .select(
+            "c",
+            "f",
+            "n",
+            F.expr(
+                """(v - CAST(s AS DOUBLE) / n)
+                   / SQRT((CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+                           * CAST(s AS DOUBLE) / n) / (n - 1))"""
+            ).alias("z"),
+        )
+    )
+    terms = zt.agg(
+        F.sum(
+            F.expr(
+                """CAST(FLOOR(
+                     (c * (2 * f - c)
+                      * LN(GREATEST(CASE WHEN z >= 0
+                             THEN 0.5 * (1.0 + SQRT(1.0 - EXP(-2.0 * z * z
+                                                      / 3.141592653589793)))
+                             ELSE 0.5 * (1.0 - SQRT(1.0 - EXP(-2.0 * z * z
+                                                      / 3.141592653589793)))
+                           END, 1e-300))
+                      + c * (2 * n - 2 * f + c)
+                        * LN(GREATEST(CASE WHEN z >= 0
+                               THEN 0.5 * (1.0 - SQRT(1.0 - EXP(-2.0 * z * z
+                                                        / 3.141592653589793)))
+                               ELSE 0.5 * (1.0 + SQRT(1.0 - EXP(-2.0 * z * z
+                                                        / 3.141592653589793)))
+                             END, 1e-300)))
+                     * 1e6 + 0.5) AS BIGINT)"""
+            )
+        )
+        .cast("bigint")
+        .alias("s_e6")
+    )
+    return tot.crossJoin(F.broadcast(terms)).select(
+        "n",
+        F.expr(
+            """CASE WHEN n > 1
+                     AND (CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+                          * CAST(s AS DOUBLE) / n) > 0 THEN
+                 CAST(FLOOR(
+                   (-CAST(n AS DOUBLE)
+                    - CAST(s_e6 AS DOUBLE) / 1e6 / n)
+                   * 1e6 + 0.5) AS BIGINT)
+               END"""
+        ).alias("a2_e6"),
+    )
