@@ -444,6 +444,11 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "multimodal_mp3_meta",
         "decontaminate_semantic",
         "active_streaks_doubling",
+        "mcnemar_paired_flags",
+        "jarque_bera_daily_revenue",
+        "kuiper_test_urgent_price",
+        "dixon_q_daily_revenue",
+        "anderson_darling_daily_revenue",
     }
 )
 

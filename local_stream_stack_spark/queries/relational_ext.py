@@ -7398,7 +7398,7 @@ def brunner_munzel_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH l AS (
       SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS x,
-             CASE WHEN l_receiptdate > l_commitdate THEN 1 ELSE 0 END AS y
+             CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS y
       FROM lineitem
     ),
     agg AS (
@@ -7420,9 +7420,9 @@ def brunner_munzel_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mcnemar_paired_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """McNemar's test on paired binary outcomes per lineitem — is a
-    RETURNED line more likely than a kept line to also be LATE
-    (receipt after commit)? The paired-proportions classic: only the
-    discordant cells matter (b = returned & on-time, c = kept & late),
+    RETURNED line more likely than a kept line to also carry a deep
+    discount? The paired-proportions classic: only the discordant
+    cells matter (b = returned & low-discount, c = kept & deep),
     chi2 = (|b − c| − 1)² / (b + c) with the standard continuity
     correction. One scan, three exact integer counts, one double tree
     rounded once to e6 — the cheapest entry in the paired-test family
@@ -7430,7 +7430,7 @@ def mcnemar_paired_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         F.expr("CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END").alias("x"),
         F.expr(
-            "CASE WHEN l_receiptdate > l_commitdate THEN 1 ELSE 0 END"
+            "CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END"
         ).alias("y"),
     )
     return li.agg(

@@ -234,6 +234,11 @@ REPRESENTATIVE = [
     "multimodal_mp3_meta",       # MP3 frame-header walk mapInPandas
     "decontaminate_semantic",    # cross-split LSH + cosine verify
     "active_streaks_doubling",   # log2 self-join chain doubling
+    "mcnemar_paired_flags",      # paired-binary discordance counts
+    "jarque_bera_daily_revenue", # moment-based normality gate
+    "kuiper_test_urgent_price",  # two-sided ECDF gap statistic
+    "dixon_q_daily_revenue",     # gap-to-range outlier ratios
+    "anderson_darling_daily_revenue",  # tail-weighted normality
     "recursive_cte_day_streaks", # WITH RECURSIVE iteration
     "keywords_per_doc_tfidf",    # per-doc ranked extraction
     "theil_u_lang_source",       # entropy/MI cell sums
@@ -308,6 +313,11 @@ EXPECT_SUMMARY_ROWS = {
     "theil_u_lang_source": 1,        # single stats row (NULL U)
     "copurchase_ktruss": 6,          # one profile row per round
     "brunner_munzel_urgent": 1,      # single stats row (NULL w)
+    "mcnemar_paired_flags": 1,       # single stats row (NULL chi2)
+    "jarque_bera_daily_revenue": 1,  # single stats row (NULLs)
+    "kuiper_test_urgent_price": 1,   # single stats row (NULL v)
+    "dixon_q_daily_revenue": 1,      # single stats row (NULLs)
+    "anderson_darling_daily_revenue": 1,  # single stats row (NULL a2)
 }
 
 

@@ -1,0 +1,244 @@
+"""Goldens for the round-13 stats batch: McNemar, Jarque-Bera,
+Kuiper, Dixon's Q, Anderson-Darling — each against a hand-computed or
+sequential-python reference on tiny fixtures (the sf tables only
+exercise one regime per statistic; these cover the branch structure
+and the closed forms)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pandas as pd
+
+
+def _orders(tmp_path, rows, sub="wh"):
+    d = tmp_path / sub
+    d.mkdir(exist_ok=True)
+    pd.DataFrame(
+        rows,
+        columns=["o_orderkey", "o_custkey", "o_totalprice",
+                 "o_orderdate", "o_orderpriority"],
+    ).astype({"o_orderdate": "datetime64[us]"}).to_parquet(
+        d / "orders.parquet"
+    )
+    return str(d)
+
+
+def _lineitem(tmp_path, rows):
+    d = tmp_path / "wh"
+    d.mkdir(exist_ok=True)
+    pd.DataFrame(
+        rows, columns=["l_orderkey", "l_returnflag", "l_discount"]
+    ).to_parquet(d / "lineitem.parquet")
+    return str(d)
+
+
+def test_mcnemar_hand_counts(spark, tmp_path):
+    """b=3 discordant (R, low-discount), c=1 discordant (kept, deep)
+    -> chi2 = (|3-1|-1)^2 / 4 = 0.25."""
+    rows = (
+        [(i, "R", 0.00) for i in range(3)]        # b cells
+        + [(10, "N", 0.06)]                       # c cell
+        + [(20, "R", 0.06), (21, "N", 0.00)]      # concordant
+    )
+    sf = _lineitem(tmp_path, rows)
+    from local_stream_stack_spark.queries.relational_ext import (
+        mcnemar_paired_flags,
+    )
+
+    row = mcnemar_paired_flags(spark, sf).collect()[0]
+    assert (row.n, row.b, row.c) == (6, 3, 1)
+    assert row.chi2_e6 == 250_000
+
+
+def test_mcnemar_no_discordance_is_null(spark, tmp_path):
+    sf = _lineitem(tmp_path, [(1, "R", 0.06), (2, "N", 0.00)])
+    from local_stream_stack_spark.queries.relational_ext import (
+        mcnemar_paired_flags,
+    )
+
+    row = mcnemar_paired_flags(spark, sf).collect()[0]
+    assert (row.b, row.c) == (0, 0)
+    assert row.chi2_e6 is None
+
+
+def _daily_orders(tmp_path, day_revenues, sub="wh"):
+    """One order per (day, revenue) pair; revenues in dollars."""
+    rows = []
+    ok = 0
+    base = dt.datetime(2024, 1, 1)
+    for i, rev in enumerate(day_revenues):
+        ok += 1
+        rows.append((ok, 1, rev, base + dt.timedelta(days=i), "1-URGENT"))
+    return _orders(tmp_path, rows, sub=sub)
+
+
+def _jb_reference(xs_cents):
+    n = len(xs_cents)
+    mean = sum(xs_cents) / n
+    u = [(x - mean) / 1e8 for x in xs_cents]
+    s2 = sum(math.floor(v * v * 1e6 + 0.5) for v in u) / n / 1e6
+    s3 = sum(math.floor(v ** 3 * 1e6 + 0.5) for v in u) / n / 1e6
+    s4 = sum(math.floor(v ** 4 * 1e6 + 0.5) for v in u) / n / 1e6
+    skew = s3 / s2 ** 1.5
+    kurt = s4 / s2 ** 2
+    jb = n / 6.0 * (skew ** 2 + (kurt - 3.0) ** 2 / 4.0)
+    return skew, kurt, jb
+
+
+def test_jarque_bera_python_reference(spark, tmp_path):
+    revs = [1000.0, 2000.0, 1500.0, 8000.0, 1200.0, 1800.0, 2200.0]
+    sf = _daily_orders(tmp_path, revs)
+    from local_stream_stack_spark.queries.relational_ext import (
+        jarque_bera_daily_revenue,
+    )
+
+    row = jarque_bera_daily_revenue(spark, sf).collect()[0]
+    skew, kurt, jb = _jb_reference([round(r * 100) for r in revs])
+    assert row.n == 7
+    assert abs(row.skew_e6 / 1e6 - skew) < 2e-6
+    assert abs(row.kurt_e6 / 1e6 - kurt) < 2e-6
+    assert abs(row.jb_e6 / 1e6 - jb) < 2e-6
+
+
+def test_jarque_bera_constant_series_is_null(spark, tmp_path):
+    sf = _daily_orders(tmp_path, [500.0] * 5)
+    from local_stream_stack_spark.queries.relational_ext import (
+        jarque_bera_daily_revenue,
+    )
+
+    row = jarque_bera_daily_revenue(spark, sf).collect()[0]
+    assert row.n == 5
+    assert row.skew_e6 is None and row.jb_e6 is None
+
+
+def test_kuiper_equals_sum_of_one_sided_gaps(spark, tmp_path):
+    """Urgent = {10, 20}, other = {15, 25}: D+ = sup(F1-F2) = 1/2 at
+    x=10 and 20, D- = sup(F2-F1) = 0 ... hand ECDF: at 10: F1=.5,F2=0;
+    at 15: F1=.5,F2=.5; at 20: F1=1,F2=.5; at 25: 1,1 -> D+=.5, D-=0,
+    V=0.5."""
+    rows = [
+        (1, 1, 10.0, dt.datetime(2024, 1, 1), "1-URGENT"),
+        (2, 1, 20.0, dt.datetime(2024, 1, 1), "1-URGENT"),
+        (3, 1, 15.0, dt.datetime(2024, 1, 1), "3-MEDIUM"),
+        (4, 1, 25.0, dt.datetime(2024, 1, 1), "3-MEDIUM"),
+    ]
+    sf = _orders(tmp_path, rows)
+    from local_stream_stack_spark.queries.relational_ext import (
+        kuiper_test_urgent_price,
+    )
+
+    row = kuiper_test_urgent_price(spark, sf).collect()[0]
+    assert (row.n1, row.n2) == (2, 2)
+    assert row.d_plus == 2 and row.d_minus == 0
+    assert row.v_e6 == 500_000
+
+
+def test_kuiper_split_tails_beats_ks(spark, tmp_path):
+    """A distribution pair with differences split across both tails:
+    V must equal D+ + D- and exceed the KS sup gap."""
+    rows = []
+    ok = 0
+    for p in (5.0, 30.0):          # urgent mass at the two tails
+        ok += 1
+        rows.append((ok, 1, p, dt.datetime(2024, 1, 1), "1-URGENT"))
+    for p in (15.0, 20.0):         # others in the middle
+        ok += 1
+        rows.append((ok, 1, p, dt.datetime(2024, 1, 1), "3-MEDIUM"))
+    sf = _orders(tmp_path, rows)
+    from local_stream_stack_spark.queries.relational_ext import (
+        kuiper_test_urgent_price,
+    )
+
+    row = kuiper_test_urgent_price(spark, sf).collect()[0]
+    # ECDFs: at 5 F1=.5 F2=0; at 15 .5/.5; at 20 .5/1; at 30 1/1
+    assert row.d_plus == 2 and row.d_minus == 2
+    assert row.v_e6 == 1_000_000  # V = 1.0, while KS D = 0.5
+
+
+def test_dixon_q_hand_values(spark, tmp_path):
+    """Series 100, 110, 120, 130, 200: range 100, low gap 10 -> 0.10,
+    high gap 70 -> 0.70."""
+    revs = [100.0, 110.0, 120.0, 130.0, 200.0]
+    sf = _daily_orders(tmp_path, revs)
+    from local_stream_stack_spark.queries.relational_ext import (
+        dixon_q_daily_revenue,
+    )
+
+    row = dixon_q_daily_revenue(spark, sf).collect()[0]
+    assert row.n == 5
+    assert row.q_low_e6 == 100_000
+    assert row.q_high_e6 == 700_000
+
+
+def test_dixon_q_constant_series_is_null(spark, tmp_path):
+    sf = _daily_orders(tmp_path, [42.0] * 4)
+    from local_stream_stack_spark.queries.relational_ext import (
+        dixon_q_daily_revenue,
+    )
+
+    row = dixon_q_daily_revenue(spark, sf).collect()[0]
+    assert row.q_low_e6 is None and row.q_high_e6 is None
+
+
+def _phi(z):
+    t = math.sqrt(1.0 - math.exp(-2.0 * z * z / math.pi))
+    return 0.5 * (1.0 + t) if z >= 0 else 0.5 * (1.0 - t)
+
+
+def _ad_reference(xs_cents):
+    n = len(xs_cents)
+    mean = sum(xs_cents) / n
+    var = (
+        sum(x * x for x in xs_cents) - sum(xs_cents) ** 2 / n
+    ) / (n - 1)
+    sd = math.sqrt(var)
+    # distinct-value form with per-value e6 floors, as registered
+    from collections import Counter
+
+    cnt = Counter(xs_cents)
+    s = 0
+    f = 0
+    for v in sorted(cnt):
+        c = cnt[v]
+        f += c
+        z = (v - mean) / sd
+        phi = max(_phi(z), 1e-300)
+        one_m = max(_phi(-z), 1e-300)
+        term = (
+            c * (2 * f - c) * math.log(phi)
+            + c * (2 * n - 2 * f + c) * math.log(one_m)
+        )
+        s += math.floor(term * 1e6 + 0.5)
+    return -n - s / 1e6 / n
+
+
+def test_anderson_darling_python_reference(spark, tmp_path):
+    revs = [10.0, 12.0, 11.0, 14.0, 13.0, 45.0, 12.5, 11.5]
+    sf = _daily_orders(tmp_path, revs)
+    from local_stream_stack_spark.queries.relational_ext import (
+        anderson_darling_daily_revenue,
+    )
+
+    row = anderson_darling_daily_revenue(spark, sf).collect()[0]
+    want = _ad_reference([round(r * 100) for r in revs])
+    assert row.n == 8
+    assert abs(row.a2_e6 / 1e6 - want) < 2e-6
+    # the planted far outlier (45 vs ~12) must push A2 well above the
+    # 1% critical value (~1.09) — the tail sensitivity the test is for
+    assert row.a2_e6 > 1_090_000
+
+
+def test_anderson_darling_near_normal_is_small(spark, tmp_path):
+    # symmetric, near-normal layout -> A2 far below the 10% critical
+    revs = [10.0, 11.0, 11.5, 12.0, 12.0, 12.5, 13.0, 14.0]
+    sf = _daily_orders(tmp_path, revs)
+    from local_stream_stack_spark.queries.relational_ext import (
+        anderson_darling_daily_revenue,
+    )
+
+    row = anderson_darling_daily_revenue(spark, sf).collect()[0]
+    want = _ad_reference([round(r * 100) for r in revs])
+    assert abs(row.a2_e6 / 1e6 - want) < 2e-6
+    assert row.a2_e6 < 631_000  # 10% critical value ~0.631
