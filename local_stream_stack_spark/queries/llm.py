@@ -9944,6 +9944,118 @@ def multimodal_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_flac_meta",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             ([32000,44100,48000])[1 + doc_id % 3] AS sr,
+             1 + doc_id % 2 AS ch,
+             16 + 8 * (doc_id % 2) AS bps,
+             ([32000,44100,48000])[1 + doc_id % 3] * (1 + doc_id % 4)
+               + doc_id % 1000 AS total,
+             (doc_id % 5) * 7 AS pad,
+             doc_id % 4 AS vc,
+             50 + doc_id % 20 AS audio
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(sr AS BIGINT) AS sample_rate,
+           CAST(ch AS INT) AS channels,
+           CAST(bps AS INT) AS bits_per_sample,
+           CAST(total AS BIGINT) AS total_samples,
+           CAST(total * 1000000 // sr AS BIGINT) AS duration_us,
+           CAST(1 + CASE WHEN vc > 0 THEN 1 ELSE 0 END
+                  + CASE WHEN pad > 0 THEN 1 ELSE 0 END AS INT)
+             AS n_blocks,
+           CAST(pad AS BIGINT) AS padding_bytes,
+           CAST(vc AS BIGINT) AS vorbis_comments,
+           CAST(4 + 38
+                + CASE WHEN vc > 0 THEN 4 + 17 + 9 * vc ELSE 0 END
+                + CASE WHEN pad > 0 THEN 4 + pad ELSE 0 END
+                AS BIGINT) AS meta_bytes,
+           CAST(4 + 38
+                + CASE WHEN vc > 0 THEN 4 + 17 + 9 * vc ELSE 0 END
+                + CASE WHEN pad > 0 THEN 4 + pad ELSE 0 END
+                + audio AS BIGINT) AS n_bytes
+    FROM p ORDER BY doc_id
+    """,
+)
+def multimodal_flac_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-bytes FLAC container decode end to end: per doc a
+    syntactically-valid FLAC stream (STREAMINFO with the packed
+    20/3/5/36-bit field group, optional VORBIS_COMMENT and PADDING
+    blocks, filler audio region) is built and parsed back through the
+    full metadata-block walk (``operators/flac.py``; pinned against
+    hand-assembled spec streams in tests/test_flac.py) inside one
+    Arrow-batched mapInPandas pass.  The container layout is pure
+    arithmetic, so the oracle recomputes every field in closed form —
+    a defect in the bit unpacking, the 24-bit block-length walk, or
+    the little-endian Vorbis framing breaks the sums.  Audio decode
+    (Rice/LPC subframes) is the documented capability boundary.  Same
+    fan-out note as the other codecs: the id column is repartitioned
+    because the testdata table is one small file."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def run(batches):
+        import pandas as pd
+
+        from local_stream_stack_spark.operators.flac import (
+            decode_flac_meta,
+            encode_flac_meta,
+        )
+
+        cols = [
+            "doc_id", "sample_rate", "channels", "bits_per_sample",
+            "total_samples", "duration_us", "n_blocks",
+            "padding_bytes", "vorbis_comments", "meta_bytes", "n_bytes",
+        ]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                sr = [32000, 44100, 48000][did % 3]
+                raw = encode_flac_meta(
+                    sample_rate=sr,
+                    channels=1 + did % 2,
+                    bits_per_sample=16 + 8 * (did % 2),
+                    total_samples=sr * (1 + did % 4) + did % 1000,
+                    block_size=1024,
+                    padding=(did % 5) * 7,
+                    vorbis_comments=did % 4,
+                    audio_bytes=50 + did % 20,
+                )
+                m = decode_flac_meta(raw)
+                assert m["valid"] == 1
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "sample_rate": m["sample_rate"],
+                        "channels": m["channels"],
+                        "bits_per_sample": m["bits_per_sample"],
+                        "total_samples": m["total_samples"],
+                        "duration_us": m["duration_us"],
+                        "n_blocks": m["n_blocks"],
+                        "padding_bytes": m["padding_bytes"],
+                        "vorbis_comments": m["vorbis_comments"],
+                        "meta_bytes": m["meta_bytes"],
+                        "n_bytes": m["n_bytes"],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return d.mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, sample_rate bigint, channels int,"
+            " bits_per_sample int, total_samples bigint,"
+            " duration_us bigint, n_blocks int, padding_bytes bigint,"
+            " vorbis_comments bigint, meta_bytes bigint, n_bytes bigint"
+        ),
+    ).orderBy("doc_id")
+
+
+@query(
     "keywords_per_doc_tfidf",
     oracle="""
     WITH tok AS (

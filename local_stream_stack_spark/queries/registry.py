@@ -449,6 +449,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "kuiper_test_urgent_price",
         "dixon_q_daily_revenue",
         "anderson_darling_daily_revenue",
+        "multimodal_flac_meta",
     }
 )
 

@@ -232,6 +232,7 @@ REPRESENTATIVE = [
     "token_budget_truncation",   # per-lang budget cumsum
     "multimodal_tiff_decode",    # real TIFF codec mapInPandas
     "multimodal_mp3_meta",       # MP3 frame-header walk mapInPandas
+    "multimodal_flac_meta",      # FLAC block-chain walk mapInPandas
     "decontaminate_semantic",    # cross-split LSH + cosine verify
     "active_streaks_doubling",   # log2 self-join chain doubling
     "mcnemar_paired_flags",      # paired-binary discordance counts
