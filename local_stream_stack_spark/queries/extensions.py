@@ -691,6 +691,30 @@ def collation_group_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GROUP_BY_ALL_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS rev_c
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@query("group_by_all_revenue", oracle=_GROUP_BY_ALL_SQL)
+def group_by_all_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` + ``ORDER BY ALL`` — the DuckDB-originated
+    SQL sugar Spark 4 adopted (group by every non-aggregate select
+    item; order by every output column left-to-right). The IDENTICAL
+    SQL text runs on both engines, so the oracle checks the CLAUSE
+    semantics themselves, not a hand-expanded rewrite — the same
+    same-text discipline as `lateral_topk_suppliers` and the recursive
+    CTEs. Revenue as exact integer cents."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GROUP_BY_ALL_SQL)
+
+
 @query(
     "pipe_syntax_revenue",
     oracle="""

@@ -240,3 +240,89 @@ def zonemap_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stats(F.expr("zval div 1024"), "zorder"))
         .orderBy("layout")
     )
+
+
+@query(
+    "bitmap_zone_intersection",
+    oracle="""
+    WITH b AS (
+      SELECT event_id // 62 AS zone,
+             event_id % 62 AS pos,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pa,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS pb
+      FROM events
+    ),
+    z AS (
+      SELECT zone,
+             CAST(bit_or(CASE WHEN pa = 1
+                  THEN CAST(1 AS BIGINT) << pos ELSE 0 END) AS BIGINT)
+               AS ma,
+             CAST(bit_or(CASE WHEN pb = 1
+                  THEN CAST(1 AS BIGINT) << pos ELSE 0 END) AS BIGINT)
+               AS mb
+      FROM b GROUP BY zone
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_zones,
+           CAST(SUM(bit_count(ma)) AS BIGINT) AS rows_a,
+           CAST(SUM(bit_count(mb)) AS BIGINT) AS rows_b,
+           CAST(SUM(bit_count(ma & mb)) AS BIGINT) AS rows_and,
+           CAST(SUM(CASE WHEN ma <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS zones_a,
+           CAST(SUM(CASE WHEN mb <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS zones_b,
+           CAST(SUM(CASE WHEN (ma & mb) <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS zones_and
+    FROM z
+    """,
+)
+def bitmap_zone_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index intersection audit — the zone-level AND that a
+    bitmap-indexed store (Druid/Pinot/ORC row-group bloom layouts)
+    runs to combine two predicates before touching any rows: each
+    62-row zone packs per-predicate membership into one BIGINT mask
+    (event_id is dense and unique, so ``id % 62`` is collision-free
+    within its ``id // 62`` zone), predicate conjunction becomes
+    ``bit_count(ma & mb)``, and zone pruning is ``(ma & mb) <> 0``.
+    One shuffle on the zone key, then a scalar roll-up: rows_and
+    equals the direct conjunctive count by construction (that's the
+    audit), and the zones_and/n_zones ratio is the fraction of zones
+    a combined scan must read."""
+    e = _t(spark, sf_dir, "events").select(
+        F.expr("event_id div 62").alias("zone"),
+        F.expr("event_id % 62").alias("pos"),
+        F.expr(
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+        ).alias("pa"),
+        F.expr("CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END").alias("pb"),
+    )
+    z = e.groupBy("zone").agg(
+        F.expr(
+            "bit_or(CASE WHEN pa = 1"
+            " THEN shiftleft(CAST(1 AS BIGINT), pos) ELSE 0 END)"
+        )
+        .cast("bigint")
+        .alias("ma"),
+        F.expr(
+            "bit_or(CASE WHEN pb = 1"
+            " THEN shiftleft(CAST(1 AS BIGINT), pos) ELSE 0 END)"
+        )
+        .cast("bigint")
+        .alias("mb"),
+    )
+    return z.agg(
+        F.count("*").cast("bigint").alias("n_zones"),
+        F.sum(F.bit_count("ma")).cast("bigint").alias("rows_a"),
+        F.sum(F.bit_count("mb")).cast("bigint").alias("rows_b"),
+        F.sum(F.bit_count(F.expr("ma & mb"))).cast("bigint").alias(
+            "rows_and"
+        ),
+        F.sum(F.expr("CASE WHEN ma <> 0 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("zones_a"),
+        F.sum(F.expr("CASE WHEN mb <> 0 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("zones_b"),
+        F.sum(F.expr("CASE WHEN (ma & mb) <> 0 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("zones_and"),
+    )

@@ -450,6 +450,8 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "dixon_q_daily_revenue",
         "anderson_darling_daily_revenue",
         "multimodal_flac_meta",
+        "group_by_all_revenue",
+        "bitmap_zone_intersection",
     }
 )
 

@@ -240,6 +240,8 @@ REPRESENTATIVE = [
     "kuiper_test_urgent_price",  # two-sided ECDF gap statistic
     "dixon_q_daily_revenue",     # gap-to-range outlier ratios
     "anderson_darling_daily_revenue",  # tail-weighted normality
+    "group_by_all_revenue",      # GROUP BY ALL / ORDER BY ALL surface
+    "bitmap_zone_intersection",  # per-zone bigint mask AND
     "recursive_cte_day_streaks", # WITH RECURSIVE iteration
     "keywords_per_doc_tfidf",    # per-doc ranked extraction
     "theil_u_lang_source",       # entropy/MI cell sums
@@ -319,6 +321,7 @@ EXPECT_SUMMARY_ROWS = {
     "kuiper_test_urgent_price": 1,   # single stats row (NULL v)
     "dixon_q_daily_revenue": 1,      # single stats row (NULLs)
     "anderson_darling_daily_revenue": 1,  # single stats row (NULL a2)
+    "bitmap_zone_intersection": 1,   # single audit row of zero counts
 }
 
 
