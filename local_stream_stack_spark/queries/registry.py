@@ -452,6 +452,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "multimodal_flac_meta",
         "group_by_all_revenue",
         "bitmap_zone_intersection",
+        "stream_bitmap_index_incremental",
     }
 )
 

@@ -3831,6 +3831,127 @@ def stream_minmax_view_incremental(
 
 
 @query(
+    "stream_bitmap_index_incremental",
+    oracle="""
+    WITH b AS (
+      SELECT event_id // 62 AS zone,
+             event_id % 62 AS pos,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pa,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS pb
+      FROM events
+    ),
+    z AS (
+      SELECT zone,
+             CAST(bit_or(CASE WHEN pa = 1
+                  THEN CAST(1 AS BIGINT) << pos ELSE 0 END) AS BIGINT)
+               AS ma,
+             CAST(bit_or(CASE WHEN pb = 1
+                  THEN CAST(1 AS BIGINT) << pos ELSE 0 END) AS BIGINT)
+               AS mb
+      FROM b GROUP BY zone
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_zones,
+           CAST(SUM(bit_count(ma)) AS BIGINT) AS rows_a,
+           CAST(SUM(bit_count(mb)) AS BIGINT) AS rows_b,
+           CAST(SUM(bit_count(ma & mb)) AS BIGINT) AS rows_and,
+           CAST(SUM(CASE WHEN (ma & mb) <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS zones_and
+    FROM z
+    """,
+)
+def stream_bitmap_index_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Maintained per-zone BITMAP INDEX under the live micro-batch
+    engine — the idempotent-associative end of the maintained-view
+    algebra (OR masks merge exactly under folds, live deltas AND
+    replays): three epochs of events land as per-zone predicate
+    masks, the writer's ``compact_every_n_epochs=2`` auto-trigger
+    folds mid-stream, a third epoch lands live on the resumed
+    checkpoint, and the final mask roll-up (zone counts, per-predicate
+    populations, AND intersections) must equal the batch bitmap audit
+    (``bitmap_zone_intersection``) over the same events."""
+    from local_stream_stack_spark.catalog import load_table
+    from local_stream_stack_spark.streaming.compaction import (
+        latest_generation,
+    )
+    from local_stream_stack_spark.streaming.ops import (
+        bitmap_view_stream_parquet,
+        read_bitmap_view,
+    )
+
+    configure_for_oracle(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("event_id div 62").alias("zone"),
+        F.expr("event_id % 62").alias("pos"),
+        F.expr(
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+        ).alias("pa"),
+        F.expr("CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END").alias("pb"),
+    )
+    base = ephemeral_dir(prefix="stream-e2e-bitmap-")
+    in_dir = os.path.join(base, "in")
+    target = os.path.join(base, "view")
+    cp = os.path.join(base, "cp")
+
+    def run():
+        q = bitmap_view_stream_parquet(
+            spark.readStream.schema(
+                "event_id bigint, zone bigint, pos bigint,"
+                " pa int, pb int"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+            .select("zone", "pos", "pa", "pb"),
+            zone_col="zone",
+            pos_col="pos",
+            flag_cols=["pa", "pb"],
+            target_path=target,
+            checkpoint_location=cp,
+            compact_every_n_epochs=2,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _stage_ordered(
+        in_dir,
+        lambda: ev.filter(F.col("event_id") % 3 == 0)
+        .coalesce(1)
+        .write.parquet(in_dir),
+        lambda: ev.filter(F.col("event_id") % 3 == 1)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(in_dir),
+    )
+    run()
+    gen, _ = latest_generation(spark, target)
+    assert gen is not None, "auto-compaction trigger never fired"
+    _stage_ordered(
+        in_dir,
+        lambda: None,
+        lambda: ev.filter(F.col("event_id") % 3 == 2)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(in_dir),
+    )
+    run()
+    return read_bitmap_view(spark, target).agg(
+        F.count("*").cast("bigint").alias("n_zones"),
+        F.sum(F.bit_count("m_pa")).cast("bigint").alias("rows_a"),
+        F.sum(F.bit_count("m_pb")).cast("bigint").alias("rows_b"),
+        F.sum(F.bit_count(F.expr("m_pa & m_pb")))
+        .cast("bigint")
+        .alias("rows_and"),
+        F.sum(F.expr("CASE WHEN (m_pa & m_pb) <> 0 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("zones_and"),
+    )
+
+
+@query(
     "stream_mode_median_incremental",
     oracle="""
     WITH cents AS (

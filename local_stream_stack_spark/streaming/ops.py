@@ -550,6 +550,104 @@ def minmax_view_stream_parquet(
     )
 
 
+def bitmap_view_stream_parquet(
+    df: DataFrame,
+    zone_col: str,
+    pos_col: str,
+    flag_cols: Sequence[str],
+    target_path: str,
+    checkpoint_location: str,
+    compact_every_n_epochs: int | None = None,
+):
+    """Incremental maintenance of a per-zone BITMAP INDEX — the
+    predicate-membership masks ``bitmap_zone_intersection`` audits in
+    batch, kept current under a stream: each micro-batch folds its
+    rows into one BIGINT mask per (zone, predicate) via ``bit_or(1 <<
+    pos)``, and because OR is associative AND idempotent the view
+    merges exactly under any mix of generation folds, live epochs and
+    replays (the strongest merge algebra in the maintained-view
+    family — min/max are associative only, sums not even idempotent).
+    Same epoch-directory protocol as every view store here; ``read_
+    bitmap_view`` folds generation + deltas, ``compact_bitmap_view``
+    re-merges into one base, ``compact_every_n_epochs`` auto-triggers
+    the fold off the admit path."""
+    flags = list(flag_cols)
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        delta = batch_df.groupBy(zone_col).agg(
+            *[
+                F.expr(
+                    f"bit_or(CASE WHEN {c} = 1 THEN"
+                    f" shiftleft(CAST(1 AS BIGINT), {pos_col})"
+                    " ELSE 0 END)"
+                )
+                .cast("bigint")
+                .alias(f"m_{c}")
+                for c in flags
+            ]
+        )
+        (
+            delta.coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{target_path}/__epoch={epoch_id}")
+        )
+        if compact_every_n_epochs:
+            from local_stream_stack_spark.streaming import compaction
+
+            spark = batch_df.sparkSession
+            compaction.auto_compact_if_due(
+                spark,
+                target_path,
+                compact_every_n_epochs,
+                lambda: compact_bitmap_view(spark, target_path),
+            )
+
+    return (
+        df.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_location)
+        .start()
+    )
+
+
+def _bitmap_fold(df: DataFrame) -> DataFrame:
+    mask_cols = [c for c in df.columns if c.startswith("m_")]
+    key_cols = [
+        c
+        for c in df.columns
+        if not c.startswith("m_") and c != "__epoch"
+    ]
+    return df.groupBy(*key_cols).agg(
+        *[
+            F.expr(f"bit_or({c})").cast("bigint").alias(c)
+            for c in mask_cols
+        ]
+    )
+
+
+def read_bitmap_view(spark, target_path: str) -> DataFrame:
+    """Current per-zone masks of a ``bitmap_view_stream_parquet``
+    view: OR-fold of the compacted base generation (if any) plus all
+    live epoch deltas."""
+    from local_stream_stack_spark.streaming import compaction
+
+    deltas = compaction.read_family(spark, target_path, "")
+    if deltas is None:
+        raise FileNotFoundError(f"empty bitmap view at {target_path}")
+    return _bitmap_fold(deltas)
+
+
+def compact_bitmap_view(spark, target_path: str) -> int:
+    """Fold all epoch deltas of a bitmap view into one base
+    generation (idempotent-associative OR re-merge), committed
+    atomically through the generation manifest."""
+    from local_stream_stack_spark.streaming import compaction
+
+    return compaction.compact_store(
+        spark, target_path, {"": {"fold": _bitmap_fold}}
+    )
+
+
 def _minmax_fold(df: DataFrame) -> DataFrame:
     value_cols = {"min_v", "max_v", "n_rows"}
     key_cols = [

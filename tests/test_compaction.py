@@ -916,3 +916,95 @@ def test_concurrent_writer_and_compactor_soak(tmp_path, spark):
     assert got == want, (
         f"lost rows under concurrent compaction: {sorted(want - got)}"
     )
+
+
+def test_bitmap_view_compaction_is_lossless_and_idempotent(
+    spark, tmp_path
+):
+    """Bitmap-view fold (OR re-merge) preserves reads across the fold,
+    merges post-fold epochs exactly, and — the algebra the family is
+    registered for — REPLAYED rows change nothing (OR idempotence)."""
+    import time
+
+    from local_stream_stack_spark.streaming.ops import (
+        bitmap_view_stream_parquet,
+        compact_bitmap_view,
+        read_bitmap_view,
+    )
+
+    in_dir, view, cp = (
+        str(tmp_path / "in"),
+        str(tmp_path / "view"),
+        str(tmp_path / "cp"),
+    )
+
+    def run():
+        q = bitmap_view_stream_parquet(
+            spark.readStream.schema(
+                "zone bigint, pos bigint, pa int, pb int"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir),
+            zone_col="zone",
+            pos_col="pos",
+            flag_cols=["pa", "pb"],
+            target_path=view,
+            checkpoint_location=cp,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def rows(ids):
+        return [(i // 62, i % 62, 1 if i % 3 == 0 else 0,
+                 1 if i % 2 == 0 else 0) for i in ids]
+
+    schema = "zone bigint, pos bigint, pa int, pb int"
+    spark.createDataFrame(rows(range(0, 100)), schema).coalesce(
+        1
+    ).write.parquet(in_dir)
+    time.sleep(1.1)
+    # second epoch REPLAYS ids 50-99 (idempotent under OR) + new ones
+    spark.createDataFrame(
+        rows(range(50, 180)), schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+    before = {
+        (r.zone, r.m_pa, r.m_pb)
+        for r in read_bitmap_view(spark, view).collect()
+    }
+    # reference masks straight from python
+    import collections
+
+    want = collections.defaultdict(lambda: [0, 0])
+    for z, p, pa, pb in rows(range(0, 180)):
+        if pa:
+            want[z][0] |= 1 << p
+        if pb:
+            want[z][1] |= 1 << p
+    assert before == {(z, m[0], m[1]) for z, m in want.items()}
+
+    compact_bitmap_view(spark, view)
+    after = {
+        (r.zone, r.m_pa, r.m_pb)
+        for r in read_bitmap_view(spark, view).collect()
+    }
+    assert after == before
+
+    # post-fold epoch overlapping old zones merges exactly
+    time.sleep(1.1)
+    spark.createDataFrame(
+        rows(range(150, 250)), schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+    for z, p, pa, pb in rows(range(180, 250)):
+        if pa:
+            want[z][0] |= 1 << p
+        if pb:
+            want[z][1] |= 1 << p
+    final = {
+        (r.zone, r.m_pa, r.m_pb)
+        for r in read_bitmap_view(spark, view).collect()
+    }
+    assert final == {(z, m[0], m[1]) for z, m in want.items()}
