@@ -6718,6 +6718,223 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "proximity_boost_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents
+    ),
+    df AS (
+      SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY tok
+    ),
+    qterms AS (
+      SELECT tok, ROW_NUMBER() OVER (ORDER BY df DESC, tok) AS qi
+      FROM df ORDER BY df DESC, tok LIMIT 2
+    ),
+    pos AS (
+      SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS p
+      FROM (SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z]+') AS l
+            FROM documents) d
+    ),
+    qpos AS (
+      SELECT p.doc_id, q.qi, p.p
+      FROM pos p JOIN qterms q ON q.tok = p.tok
+    ),
+    mind AS (
+      SELECT a.doc_id,
+             CAST(MIN(ABS(a.p - b.p)) AS BIGINT) AS min_dist
+      FROM qpos a JOIN qpos b
+        ON b.doc_id = a.doc_id AND a.qi = 1 AND b.qi = 2
+      GROUP BY a.doc_id
+    ),
+    tf AS (
+      SELECT t.doc_id, q.qi, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok t JOIN qterms q ON q.tok = t.tok
+      GROUP BY t.doc_id, q.qi
+    ),
+    base AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(FLOOR(1e6 * tf / (tf + 1.2) + 0.5) AS BIGINT))
+                  AS BIGINT) AS tf_sat_e6
+      FROM tf GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           b.tf_sat_e6,
+           CAST(COALESCE(m.min_dist, -1) AS BIGINT) AS min_dist,
+           CAST(b.tf_sat_e6
+                + COALESCE(CAST(1000000 // (1 + m.min_dist) AS BIGINT), 0)
+                AS BIGINT) AS score_e6
+    FROM base b LEFT JOIN mind m ON m.doc_id = b.doc_id
+    ORDER BY score_e6 DESC, b.doc_id
+    LIMIT 20
+    """,
+)
+def proximity_boost_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity-boosted retrieval — term-distance ranking on top of
+    the saturated-TF base, the classic phrase-awareness upgrade the
+    pure bag-of-words tier (BM25/QLD/PL2/DPH) cannot express: docs
+    where the two query terms appear CLOSE together outrank docs that
+    merely contain both. The positional index comes from one
+    posexplode pass (position = array ordinal, identical on both
+    engines); the per-doc minimum pair distance is a self-join of the
+    two terms' position lists WITHIN each doc (bounded by per-doc term
+    frequency — never a cross-doc product); the boost 1e6/(1+dist) is
+    integer division of exact integers. Query terms are the corpus's
+    two highest-df tokens (deterministic)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("l"),
+    )
+    tok = toks.select(
+        "doc_id", F.explode("l").alias("tok")
+    )
+    df = tok.groupBy("tok").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    # parameter-sized driver collect (2 rows), the iterative-trainer
+    # pattern — avoids an ordered global window for the rank
+    top2 = df.orderBy(F.desc("df"), F.asc("tok")).limit(2).collect()
+    qterms = spark.createDataFrame(
+        [(r["tok"], i + 1) for i, r in enumerate(top2)],
+        "tok string, qi int",
+    )
+    pos = toks.select(
+        "doc_id", F.posexplode("l").alias("p", "tok")
+    )
+    qpos = pos.join(F.broadcast(qterms), "tok").select(
+        "doc_id", "qi", "p"
+    )
+    a = qpos.filter(F.col("qi") == 1).select(
+        "doc_id", F.col("p").alias("pa")
+    )
+    b = qpos.filter(F.col("qi") == 2).select(
+        "doc_id", F.col("p").alias("pb")
+    )
+    mind = (
+        a.join(b, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.min(F.abs(F.col("pa") - F.col("pb")))
+            .cast("bigint")
+            .alias("min_dist")
+        )
+    )
+    tf = (
+        tok.join(F.broadcast(qterms), "tok")
+        .groupBy("doc_id", "qi")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    base = tf.groupBy("doc_id").agg(
+        F.sum(
+            F.expr("CAST(FLOOR(1e6 * tf / (tf + 1.2) + 0.5) AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("tf_sat_e6")
+    )
+    return (
+        base.join(mind, "doc_id", "left")
+        .select(
+            "doc_id",
+            "tf_sat_e6",
+            F.coalesce(F.col("min_dist"), F.lit(-1))
+            .cast("bigint")
+            .alias("min_dist"),
+            (
+                F.col("tf_sat_e6")
+                + F.coalesce(
+                    F.expr("CAST(1000000 div (1 + min_dist) AS BIGINT)"),
+                    F.lit(0),
+                )
+            )
+            .cast("bigint")
+            .alias("score_e6"),
+        )
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@query(
+    "term_burstiness_top",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, tok
+    ),
+    g AS (
+      SELECT tok,
+             CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(tf) AS BIGINT) AS s,
+             CAST(SUM(tf * tf) AS BIGINT) AS q
+      FROM tf GROUP BY tok
+    )
+    SELECT tok, df, s AS tf_total,
+           CAST(FLOOR(CAST(s AS DOUBLE) / df * 1e6 + 0.5) AS BIGINT)
+             AS mean_tf_e6,
+           CAST(FLOOR(
+             ((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / df) / (df - 1))
+             / (CAST(s AS DOUBLE) / df) * 1e6 + 0.5) AS BIGINT) AS vmr_e6
+    FROM g
+    WHERE df >= 10 AND s > df
+    ORDER BY vmr_e6 DESC, tok
+    LIMIT 20
+    """,
+)
+def term_burstiness_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Church-Gale): variance-to-mean ratio of a
+    term's per-document frequency across the documents that contain
+    it — topical/content terms burst (VMR >> 1: absent mostly, heavy
+    where present) while function words spread evenly (VMR ~ 1). The
+    corpus-linguistics diagnostic behind stopword induction and
+    keyword weighting, computed from exact integer moment sums per
+    token (df, Σtf, Σtf²) in one tokenize scan + one hash aggregate;
+    each output is a single double tree over those integers, rounded
+    once to e6. Filtered to df >= 10 and s > df (a term with all
+    tf = 1 has zero variance by construction)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("tok"),
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    g = tf.groupBy("tok").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("s"),
+        F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("q"),
+    )
+    return (
+        g.filter((F.col("df") >= 10) & (F.col("s") > F.col("df")))
+        .select(
+            "tok",
+            "df",
+            F.col("s").alias("tf_total"),
+            F.expr(
+                "CAST(FLOOR(CAST(s AS DOUBLE) / df * 1e6 + 0.5) AS BIGINT)"
+            ).alias("mean_tf_e6"),
+            F.expr(
+                """CAST(FLOOR(
+                     ((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / df)
+                      / (df - 1))
+                     / (CAST(s AS DOUBLE) / df) * 1e6 + 0.5) AS BIGINT)"""
+            ).alias("vmr_e6"),
+        )
+        .orderBy(F.desc("vmr_e6"), F.asc("tok"))
+        .limit(20)
+    )
+
+
+@query(
     "mutual_info_lang_source",
     oracle="""
     WITH cells AS (

@@ -453,6 +453,8 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "group_by_all_revenue",
         "bitmap_zone_intersection",
         "stream_bitmap_index_incremental",
+        "proximity_boost_topk",
+        "term_burstiness_top",
     }
 )
 

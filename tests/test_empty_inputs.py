@@ -242,6 +242,8 @@ REPRESENTATIVE = [
     "anderson_darling_daily_revenue",  # tail-weighted normality
     "group_by_all_revenue",      # GROUP BY ALL / ORDER BY ALL surface
     "bitmap_zone_intersection",  # per-zone bigint mask AND
+    "proximity_boost_topk",      # positional-index pair distances
+    "term_burstiness_top",       # per-term VMR moment sums
     "recursive_cte_day_streaks", # WITH RECURSIVE iteration
     "keywords_per_doc_tfidf",    # per-doc ranked extraction
     "theil_u_lang_source",       # entropy/MI cell sums
