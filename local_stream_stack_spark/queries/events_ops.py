@@ -3907,3 +3907,94 @@ def bloom_filter_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("theory_e6"),
     )
+
+
+@query(
+    "markov_entropy_rate",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    c AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    rt AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS t
+           FROM c GROUP BY prev_type),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS big_n,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells
+            FROM c),
+    cells AS (
+      SELECT CAST(FLOOR(-c.n * LN(CAST(c.n AS DOUBLE) / rt.t)
+                        * 1e9 + 0.5) AS BIGINT) AS h_e9
+      FROM c JOIN rt ON rt.prev_type = c.prev_type
+    ),
+    hs AS (SELECT CAST(SUM(h_e9) AS BIGINT) AS h_sum_e9 FROM cells)
+    SELECT t.big_n AS n_transitions,
+           t.n_cells,
+           CAST((SELECT COUNT(*) FROM rt) AS BIGINT) AS n_states,
+           CASE WHEN t.big_n > 0 THEN
+             CAST(FLOOR(CAST(h.h_sum_e9 AS DOUBLE) / 1e9 / t.big_n
+                        * 1e6 + 0.5) AS BIGINT)
+           END AS h_rate_e6
+    FROM tot t CROSS JOIN hs h
+    """,
+)
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the first-order event Markov chain — the
+    information-theoretic scalar on top of the transition matrix
+    already in the family: H(next | current) = −Σ_ij p(i,j)·ln
+    p(j|i), the expected per-step surprise of user behavior (bots and
+    replayed traffic drive it toward 0; uniform exploration toward
+    ln k). Transition counts are exact integers from the per-user lag
+    window; each cell's −n·ln(n/t) is floored to an e9 integer BEFORE
+    the global sum (order-independent), and the rate is one double
+    division rounded to e6."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    c = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    rt = c.groupBy("prev_type").agg(F.sum("n").cast("bigint").alias("t"))
+    tot = c.agg(
+        F.sum("n").cast("bigint").alias("big_n"),
+        F.count("*").cast("bigint").alias("n_cells"),
+    )
+    nstates = rt.agg(F.count("*").cast("bigint").alias("n_states"))
+    hs = (
+        c.join(F.broadcast(rt), "prev_type")
+        .select(
+            F.expr(
+                "CAST(FLOOR(-n * LN(CAST(n AS DOUBLE) / t)"
+                " * 1e9 + 0.5) AS BIGINT)"
+            ).alias("h_e9")
+        )
+        .agg(F.sum("h_e9").cast("bigint").alias("h_sum_e9"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(nstates))
+        .crossJoin(F.broadcast(hs))
+        .select(
+            F.col("big_n").alias("n_transitions"),
+            "n_cells",
+            "n_states",
+            F.expr(
+                """CASE WHEN big_n > 0 THEN
+                     CAST(FLOOR(CAST(h_sum_e9 AS DOUBLE) / 1e9 / big_n
+                                * 1e6 + 0.5) AS BIGINT)
+                   END"""
+            ).alias("h_rate_e6"),
+        )
+    )

@@ -455,6 +455,9 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "stream_bitmap_index_incremental",
         "proximity_boost_topk",
         "term_burstiness_top",
+        "cramer_von_mises_urgent_price",
+        "periodogram_daily_revenue",
+        "markov_entropy_rate",
     }
 )
 

@@ -7925,3 +7925,219 @@ def anderson_darling_daily_revenue(
                END"""
         ).alias("a2_e6"),
     )
+
+
+@query(
+    "cramer_von_mises_urgent_price",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+      FROM orders
+    ),
+    grp AS (
+      SELECT cents,
+             CAST(SUM(g1) AS BIGINT) AS c1,
+             CAST(SUM(1 - g1) AS BIGINT) AS c2
+      FROM o GROUP BY cents
+    ),
+    cum AS (
+      SELECT cents, c1, c2,
+             SUM(c1) OVER (ORDER BY cents) AS f1,
+             SUM(c2) OVER (ORDER BY cents) AS f2
+      FROM grp
+    ),
+    tot AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+      FROM grp
+    ),
+    s AS (
+      SELECT CAST(SUM(CAST(c1 + c2 AS HUGEINT)
+                      * (f1 * t.n2 - f2 * t.n1)
+                      * (f1 * t.n2 - f2 * t.n1)) AS HUGEINT) AS num
+      FROM cum CROSS JOIN tot t
+    )
+    SELECT t.n1, t.n2,
+           CASE WHEN t.n1 > 0 AND t.n2 > 0 THEN
+             CAST(FLOOR(
+               CAST(s.num AS DOUBLE)
+               / (CAST(t.n1 AS DOUBLE) * t.n2
+                  * (t.n1 + t.n2) * (t.n1 + t.n2))
+               * 1e6 + 0.5) AS BIGINT)
+           END AS t_e6
+    FROM s CROSS JOIN tot t
+    """,
+)
+def cramer_von_mises_urgent_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-sample Cramér-von Mises criterion between URGENT and
+    non-urgent order prices — the INTEGRATED-squared-gap member of the
+    ECDF family (KS takes the sup, Kuiper the two one-sided sups; CvM
+    sums (F1−F2)² over every pooled observation, so diffuse
+    distributional differences that never produce one big gap still
+    register). Computational form T = Σ c·(f1·n2 − f2·n1)² /
+    (n1·n2·N²) over the distinct-value histogram: the same
+    cross-multiplied integers as the KS machinery, squared and
+    count-weighted (DECIMAL/HUGEINT per-term products — they reach
+    ~1e20 at sf0.1), with one double division at the end rounded to
+    e6."""
+    from local_stream_stack_spark.operators.quantiles import (
+        with_global_rank,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.expr(
+            "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END"
+        ).alias("g1"),
+    )
+    grp = o.groupBy("cents").agg(
+        F.sum("g1").cast("bigint").alias("c1"),
+        F.sum(1 - F.col("g1")).cast("bigint").alias("c2"),
+    )
+    cum = with_global_rank(
+        grp, "cents", out_rank="__rn",
+        cumsum={"c1": "f1", "c2": "f2"}, acc_type="BIGINT", bins=64,
+    )
+    tot = grp.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    s = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                """CAST(c1 + c2 AS DECIMAL(38,0))
+                   * CAST(f1 * n2 - f2 * n1 AS DECIMAL(38,0))
+                   * CAST(f1 * n2 - f2 * n1 AS DECIMAL(38,0))"""
+            ).alias("term")
+        )
+        .agg(F.sum("term").alias("num"))
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n2",
+        F.expr(
+            """CASE WHEN n1 > 0 AND n2 > 0 THEN
+                 CAST(FLOOR(
+                   CAST(num AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) * n2
+                      * (n1 + n2) * (n1 + n2))
+                   * 1e6 + 0.5) AS BIGINT)
+               END"""
+        ).alias("t_e6"),
+    )
+
+
+@query(
+    "periodogram_daily_revenue",
+    oracle="""
+    WITH days AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS di,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rev_c) AS BIGINT) AS s
+      FROM days
+    ),
+    periods AS (SELECT unnest([7, 14, 30]) AS p),
+    terms AS (
+      SELECT p.p,
+             CAST(SUM(CAST(FLOOR(
+               ((d.rev_c - CAST(t.s AS DOUBLE) / t.n) / 1e8)
+               * COS(2.0 * 3.141592653589793 * (d.di % p.p) / p.p)
+               * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sc_e6,
+             CAST(SUM(CAST(FLOOR(
+               ((d.rev_c - CAST(t.s AS DOUBLE) / t.n) / 1e8)
+               * SIN(2.0 * 3.141592653589793 * (d.di % p.p) / p.p)
+               * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS ss_e6
+      FROM days d CROSS JOIN tot t CROSS JOIN periods p
+      GROUP BY p.p
+    )
+    SELECT CAST(x.p AS INT) AS period,
+           x.sc_e6, x.ss_e6,
+           CASE WHEN t.n > 0 THEN
+             CAST(FLOOR(
+               (POWER(CAST(x.sc_e6 AS DOUBLE) / 1e6, 2)
+                + POWER(CAST(x.ss_e6 AS DOUBLE) / 1e6, 2)) / t.n
+               * 1e6 + 0.5) AS BIGINT)
+           END AS power_e6
+    FROM terms x CROSS JOIN tot t
+    ORDER BY period
+    """,
+)
+def periodogram_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schuster periodogram of the daily-revenue series at the
+    candidate calendar periods (7/14/30 days) — the frequency-domain
+    seasonality probe next to the time-domain tier (autocorrelation,
+    seasonal-naive backtest, weekday decomposition): power at period p
+    is the squared projection of the mean-centered series onto the
+    cos/sin pair at that frequency. Deviations are rescaled by the
+    same fixed constant as the Jarque-Bera entry, each cos/sin term is
+    floored to an e6 integer BEFORE the cross-day sums (the memory
+    rule for order-independent double folds), and the power roll-up is
+    one double tree per period."""
+    o = _t(spark, sf_dir, "orders")
+    days = o.groupBy(
+        F.unix_date(F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("di")
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    tot = days.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("rev_c").cast("bigint").alias("s"),
+    )
+    periods = spark.createDataFrame([(7,), (14,), (30,)], "p int")
+    terms = (
+        days.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(periods))
+        .groupBy("p")
+        .agg(
+            F.sum(
+                F.expr(
+                    """CAST(FLOOR(
+                         ((rev_c - CAST(s AS DOUBLE) / n) / 1e8)
+                         * COS(2.0 * 3.141592653589793 * (di % p) / p)
+                         * 1e6 + 0.5) AS BIGINT)"""
+                )
+            )
+            .cast("bigint")
+            .alias("sc_e6"),
+            F.sum(
+                F.expr(
+                    """CAST(FLOOR(
+                         ((rev_c - CAST(s AS DOUBLE) / n) / 1e8)
+                         * SIN(2.0 * 3.141592653589793 * (di % p) / p)
+                         * 1e6 + 0.5) AS BIGINT)"""
+                )
+            )
+            .cast("bigint")
+            .alias("ss_e6"),
+        )
+    )
+    return (
+        terms.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("p").cast("int").alias("period"),
+            "sc_e6",
+            "ss_e6",
+            F.expr(
+                """CASE WHEN n > 0 THEN
+                     CAST(FLOOR(
+                       (POWER(CAST(sc_e6 AS DOUBLE) / 1e6, 2)
+                        + POWER(CAST(ss_e6 AS DOUBLE) / 1e6, 2)) / n
+                       * 1e6 + 0.5) AS BIGINT)
+                   END"""
+            ).alias("power_e6"),
+        )
+        .orderBy("period")
+    )

@@ -244,6 +244,9 @@ REPRESENTATIVE = [
     "bitmap_zone_intersection",  # per-zone bigint mask AND
     "proximity_boost_topk",      # positional-index pair distances
     "term_burstiness_top",       # per-term VMR moment sums
+    "cramer_von_mises_urgent_price",  # integrated ECDF gap
+    "periodogram_daily_revenue", # cos/sin projections per period
+    "markov_entropy_rate",       # conditional entropy of transitions
     "recursive_cte_day_streaks", # WITH RECURSIVE iteration
     "keywords_per_doc_tfidf",    # per-doc ranked extraction
     "theil_u_lang_source",       # entropy/MI cell sums
@@ -324,6 +327,8 @@ EXPECT_SUMMARY_ROWS = {
     "dixon_q_daily_revenue": 1,      # single stats row (NULLs)
     "anderson_darling_daily_revenue": 1,  # single stats row (NULL a2)
     "bitmap_zone_intersection": 1,   # single audit row of zero counts
+    "cramer_von_mises_urgent_price": 1,  # single stats row (NULL t)
+    "markov_entropy_rate": 1,        # single stats row (NULL h)
 }
 
 

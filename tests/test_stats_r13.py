@@ -242,3 +242,117 @@ def test_anderson_darling_near_normal_is_small(spark, tmp_path):
     want = _ad_reference([round(r * 100) for r in revs])
     assert abs(row.a2_e6 / 1e6 - want) < 2e-6
     assert row.a2_e6 < 631_000  # 10% critical value ~0.631
+
+
+def test_cramer_von_mises_python_reference(spark, tmp_path):
+    """ECDF-form reference: T = sum over pooled obs of
+    c*(f1*n2-f2*n1)^2 / (n1*n2*N^2)."""
+    urgent = [10.0, 11.0, 30.0, 31.0]
+    other = [20.0, 21.0, 22.0, 20.0]
+    rows = []
+    ok = 0
+    for p in urgent:
+        ok += 1
+        rows.append((ok, 1, p, dt.datetime(2024, 1, 1), "1-URGENT"))
+    for p in other:
+        ok += 1
+        rows.append((ok, 1, p, dt.datetime(2024, 1, 1), "3-MEDIUM"))
+    sf = _orders(tmp_path, rows)
+    from local_stream_stack_spark.queries.relational_ext import (
+        cramer_von_mises_urgent_price,
+    )
+
+    row = cramer_von_mises_urgent_price(spark, sf).collect()[0]
+    # python reference over distinct cents
+    from collections import Counter
+
+    c1 = Counter(round(p * 100) for p in urgent)
+    c2 = Counter(round(p * 100) for p in other)
+    n1, n2 = len(urgent), len(other)
+    f1 = f2 = 0
+    num = 0
+    for v in sorted(set(c1) | set(c2)):
+        f1 += c1.get(v, 0)
+        f2 += c2.get(v, 0)
+        num += (c1.get(v, 0) + c2.get(v, 0)) * (f1 * n2 - f2 * n1) ** 2
+    want = num / (n1 * n2 * (n1 + n2) ** 2)
+    assert (row.n1, row.n2) == (4, 4)
+    assert abs(row.t_e6 / 1e6 - want) < 2e-6
+    # split-tail alternative scores high while a same-sample pair is 0
+    assert row.t_e6 > 0
+
+
+def test_cramer_von_mises_identical_samples_is_zero(spark, tmp_path):
+    rows = []
+    ok = 0
+    for prio in ("1-URGENT", "3-MEDIUM"):
+        for p in (10.0, 20.0, 30.0):
+            ok += 1
+            rows.append((ok, 1, p, dt.datetime(2024, 1, 1), prio))
+    sf = _orders(tmp_path, rows)
+    from local_stream_stack_spark.queries.relational_ext import (
+        cramer_von_mises_urgent_price,
+    )
+
+    row = cramer_von_mises_urgent_price(spark, sf).collect()[0]
+    assert row.t_e6 == 0  # ECDFs coincide at every pooled value
+
+
+def test_periodogram_pure_weekly_signal(spark, tmp_path):
+    """A pure 7-day cosine (in units of 1e8 cents) concentrates power
+    at period 7; periods 14/30 stay near the noise floor."""
+    revs = []
+    for t in range(70):
+        revs.append(50_000_000.0 + 30_000_000.0 * math.cos(
+            2 * math.pi * t / 7))
+    sf = _daily_orders(tmp_path, [r / 100.0 for r in revs])
+    from local_stream_stack_spark.queries.relational_ext import (
+        periodogram_daily_revenue,
+    )
+
+    rows = {r.period: r for r in
+            periodogram_daily_revenue(spark, sf).collect()}
+    assert set(rows) == {7, 14, 30}
+    assert rows[7].power_e6 > 50 * max(
+        rows[14].power_e6, rows[30].power_e6
+    )
+
+
+def _events_table(tmp_path, seqs):
+    """seqs: per-user list of event types, 1s apart."""
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 1, 1)
+    for uid, types in enumerate(seqs):
+        for i, t in enumerate(types):
+            eid += 1
+            rows.append((eid, uid, base + dt.timedelta(seconds=i), t, 1.0))
+    d = tmp_path / "wh"
+    d.mkdir(exist_ok=True)
+    pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts", "event_type", "value"]
+    ).astype({"ts": "datetime64[us]"}).to_parquet(d / "events.parquet")
+    return str(d)
+
+
+def test_markov_entropy_deterministic_chain_is_zero(spark, tmp_path):
+    sf = _events_table(tmp_path, [["a", "b", "a", "b", "a", "b"]] * 3)
+    from local_stream_stack_spark.queries.events_ops import (
+        markov_entropy_rate,
+    )
+
+    row = markov_entropy_rate(spark, sf).collect()[0]
+    assert row.h_rate_e6 == 0  # every transition is certain
+
+
+def test_markov_entropy_uniform_two_state_is_ln2(spark, tmp_path):
+    # the cycle a,a,b,b,a contains each of the four transitions once,
+    # so both rows of the chain are uniform -> H = ln 2
+    seqs = [["a", "a", "b", "b", "a"]] * 2
+    sf = _events_table(tmp_path, seqs)
+    from local_stream_stack_spark.queries.events_ops import (
+        markov_entropy_rate,
+    )
+
+    row = markov_entropy_rate(spark, sf).collect()[0]
+    assert abs(row.h_rate_e6 / 1e6 - math.log(2)) < 2e-6
