@@ -458,6 +458,8 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "cramer_von_mises_urgent_price",
         "periodogram_daily_revenue",
         "markov_entropy_rate",
+        "pacf_daily_revenue",
+        "decision_stump_train",
     }
 )
 

@@ -8141,3 +8141,296 @@ def periodogram_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("period")
     )
+
+
+@query(
+    "pacf_daily_revenue",
+    oracle="""
+    WITH days AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS di,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rev_c) AS BIGINT) AS s
+      FROM days
+    ),
+    s0 AS (
+      SELECT CAST(SUM(CAST(FLOOR(
+               POWER((d.rev_c - CAST(t.s AS DOUBLE) / t.n) / 1e8, 2)
+               * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS v
+      FROM days d CROSS JOIN tot t
+    ),
+    s1 AS (
+      SELECT CAST(SUM(CAST(FLOOR(
+               ((a.rev_c - CAST(t.s AS DOUBLE) / t.n) / 1e8)
+               * ((b.rev_c - CAST(t.s AS DOUBLE) / t.n) / 1e8)
+               * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS v
+      FROM days a JOIN days b ON b.di = a.di + 1 CROSS JOIN tot t
+    ),
+    s2 AS (
+      SELECT CAST(SUM(CAST(FLOOR(
+               ((a.rev_c - CAST(t.s AS DOUBLE) / t.n) / 1e8)
+               * ((b.rev_c - CAST(t.s AS DOUBLE) / t.n) / 1e8)
+               * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS v
+      FROM days a JOIN days b ON b.di = a.di + 2 CROSS JOIN tot t
+    )
+    SELECT t.n,
+           CASE WHEN s0.v > 0 THEN
+             CAST(FLOOR(CAST(s1.v AS DOUBLE) / s0.v * 1e6 + 0.5) AS BIGINT)
+           END AS r1_e6,
+           CASE WHEN s0.v > 0 THEN
+             CAST(FLOOR(CAST(s2.v AS DOUBLE) / s0.v * 1e6 + 0.5) AS BIGINT)
+           END AS r2_e6,
+           CASE WHEN s0.v > 0
+                 AND ABS(1.0 - POWER(CAST(s1.v AS DOUBLE) / s0.v, 2))
+                     > 1e-12 THEN
+             CAST(FLOOR(
+               (CAST(s2.v AS DOUBLE) / s0.v
+                - POWER(CAST(s1.v AS DOUBLE) / s0.v, 2))
+               / (1.0 - POWER(CAST(s1.v AS DOUBLE) / s0.v, 2))
+               * 1e6 + 0.5) AS BIGINT)
+           END AS pacf2_e6
+    FROM tot t CROSS JOIN s0 CROSS JOIN s1 CROSS JOIN s2
+    """,
+)
+def pacf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of daily revenue at lag 2 via the
+    Durbin-Levinson closed form φ22 = (r2 − r1²)/(1 − r1²) — the AR
+    order-selection diagnostic next to the raw autocorrelation entry
+    (r2 can be large purely because r1 is; φ22 isolates the DIRECT
+    lag-2 effect). Lag pairs come from calendar equi-joins on di+k
+    (the sign-test idiom — no ordered global window); every cross-day
+    product is floored to an e6 integer before summing (the
+    order-independence rule), and r1/r2/φ22 are double trees over
+    those integer sums rounded once to e6. Biased (n-denominator) ACF
+    normalization: both lags share the same Σu² denominator, which
+    cancels in φ22's ratio structure."""
+    o = _t(spark, sf_dir, "orders")
+    days = o.groupBy(
+        F.unix_date(F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("di")
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    tot = days.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("rev_c").cast("bigint").alias("s"),
+    )
+    s0 = (
+        days.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(FLOOR(POWER((rev_c - CAST(s AS DOUBLE) / n)"
+                    " / 1e8, 2) * 1e6 + 0.5) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("s0")
+        )
+    )
+
+    def lag_sum(k: int, alias: str):
+        b = days.select(
+            (F.col("di") - k).alias("di"),
+            F.col("rev_c").alias("rev_b"),
+        )
+        return (
+            days.join(F.broadcast(b), "di")
+            .crossJoin(F.broadcast(tot))
+            .agg(
+                F.sum(
+                    F.expr(
+                        "CAST(FLOOR("
+                        "((rev_c - CAST(s AS DOUBLE) / n) / 1e8)"
+                        " * ((rev_b - CAST(s AS DOUBLE) / n) / 1e8)"
+                        " * 1e6 + 0.5) AS BIGINT)"
+                    )
+                )
+                .cast("bigint")
+                .alias(alias)
+            )
+        )
+
+    s1 = lag_sum(1, "s1")
+    s2 = lag_sum(2, "s2")
+    return (
+        tot.crossJoin(F.broadcast(s0))
+        .crossJoin(F.broadcast(s1))
+        .crossJoin(F.broadcast(s2))
+        .select(
+            "n",
+            F.expr(
+                """CASE WHEN s0 > 0 THEN
+                     CAST(FLOOR(CAST(s1 AS DOUBLE) / s0 * 1e6 + 0.5)
+                          AS BIGINT)
+                   END"""
+            ).alias("r1_e6"),
+            F.expr(
+                """CASE WHEN s0 > 0 THEN
+                     CAST(FLOOR(CAST(s2 AS DOUBLE) / s0 * 1e6 + 0.5)
+                          AS BIGINT)
+                   END"""
+            ).alias("r2_e6"),
+            F.expr(
+                """CASE WHEN s0 > 0
+                         AND ABS(1.0 - POWER(CAST(s1 AS DOUBLE) / s0, 2))
+                             > 1e-12 THEN
+                     CAST(FLOOR(
+                       (CAST(s2 AS DOUBLE) / s0
+                        - POWER(CAST(s1 AS DOUBLE) / s0, 2))
+                       / (1.0 - POWER(CAST(s1 AS DOUBLE) / s0, 2))
+                       * 1e6 + 0.5) AS BIGINT)
+                   END"""
+            ).alias("pacf2_e6"),
+        )
+    )
+
+
+@query(
+    "decision_stump_train",
+    oracle="""
+    WITH li AS (
+      SELECT CAST(l_quantity AS BIGINT) AS qty,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_c,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    feat AS (
+      SELECT 'quantity' AS feature, qty AS v, y FROM li
+      UNION ALL
+      SELECT 'discount_c' AS feature, disc_c AS v, y FROM li
+    ),
+    grp AS (
+      SELECT feature, v,
+             CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(y) AS BIGINT) AS p
+      FROM feat GROUP BY feature, v
+    ),
+    cum AS (
+      SELECT feature, v,
+             SUM(c) OVER (PARTITION BY feature ORDER BY v) AS n_l,
+             SUM(p) OVER (PARTITION BY feature ORDER BY v) AS p_l
+      FROM grp
+    ),
+    tot AS (
+      SELECT feature, CAST(SUM(c) AS BIGINT) AS big_n,
+             CAST(SUM(p) AS BIGINT) AS big_p
+      FROM grp GROUP BY feature
+    ),
+    cand AS (
+      SELECT c.feature, c.v AS threshold,
+             CAST(c.n_l AS BIGINT) AS n_left,
+             CAST(t.big_n - c.n_l AS BIGINT) AS n_right,
+             CAST(c.p_l AS BIGINT) AS pos_left,
+             CAST(t.big_p - c.p_l AS BIGINT) AS pos_right,
+             CAST(FLOOR(
+               (2.0 * t.big_p / t.big_n * (1.0 - CAST(t.big_p AS DOUBLE)
+                                                  / t.big_n)
+                - CAST(c.n_l AS DOUBLE) / t.big_n
+                  * (2.0 * c.p_l / c.n_l
+                     * (1.0 - CAST(c.p_l AS DOUBLE) / c.n_l))
+                - CAST(t.big_n - c.n_l AS DOUBLE) / t.big_n
+                  * (2.0 * (t.big_p - c.p_l) / (t.big_n - c.n_l)
+                     * (1.0 - CAST(t.big_p - c.p_l AS DOUBLE)
+                              / (t.big_n - c.n_l))))
+               * 1e9 + 0.5) AS BIGINT) AS gain_e9
+      FROM cum c JOIN tot t ON t.feature = c.feature
+      WHERE c.n_l > 0 AND t.big_n - c.n_l > 0
+    )
+    SELECT feature, threshold, n_left, n_right, pos_left, pos_right,
+           gain_e9
+    FROM cand
+    ORDER BY gain_e9 DESC, feature, threshold
+    LIMIT 1
+    """,
+)
+def decision_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-level decision-tree training (a Gini stump) — the
+    interpretable baseline every quality-classifier stack starts from
+    (the logreg trainer in the family is its iterative sibling):
+    over two integer features (quantity, discount cents) find the
+    single split x <= t maximizing Gini gain for predicting a
+    returned line. Every candidate threshold is evaluated from the
+    per-feature distinct-value histogram + partitioned cumulative
+    sums (counts and positives left of t are exact integers; the scan
+    never re-reads data per threshold), the gain is one double tree
+    per candidate floored to e9, and the argmax is a deterministic
+    ORDER BY ... LIMIT 1 over those integers. Scale: one scan, one
+    hash aggregate per feature, candidate set bounded by distinct
+    feature values — the classic distributed-histogram tree-split
+    pattern (XGBoost/LightGBM's approx mode)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(l_quantity AS BIGINT)").alias("qty"),
+        F.expr("CAST(ROUND(l_discount * 100) AS BIGINT)").alias("disc_c"),
+        F.expr("CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END").alias(
+            "y"
+        ),
+    )
+    feat = li.select(
+        F.lit("quantity").alias("feature"),
+        F.col("qty").alias("v"),
+        "y",
+    ).unionByName(
+        li.select(
+            F.lit("discount_c").alias("feature"),
+            F.col("disc_c").alias("v"),
+            "y",
+        )
+    )
+    grp = feat.groupBy("feature", "v").agg(
+        F.count("*").cast("bigint").alias("c"),
+        F.sum("y").cast("bigint").alias("p"),
+    )
+    w = Window.partitionBy("feature").orderBy("v")
+    cum = grp.select(
+        "feature",
+        "v",
+        F.sum("c").over(w).alias("n_l"),
+        F.sum("p").over(w).alias("p_l"),
+    )
+    tot = grp.groupBy("feature").agg(
+        F.sum("c").cast("bigint").alias("big_n"),
+        F.sum("p").cast("bigint").alias("big_p"),
+    )
+    cand = (
+        cum.join(F.broadcast(tot), "feature")
+        .filter(
+            (F.col("n_l") > 0) & (F.col("big_n") - F.col("n_l") > 0)
+        )
+        .select(
+            "feature",
+            F.col("v").alias("threshold"),
+            F.col("n_l").cast("bigint").alias("n_left"),
+            (F.col("big_n") - F.col("n_l"))
+            .cast("bigint")
+            .alias("n_right"),
+            F.col("p_l").cast("bigint").alias("pos_left"),
+            (F.col("big_p") - F.col("p_l"))
+            .cast("bigint")
+            .alias("pos_right"),
+            F.expr(
+                """CAST(FLOOR(
+                     (2.0 * big_p / big_n * (1.0 - CAST(big_p AS DOUBLE)
+                                                    / big_n)
+                      - CAST(n_l AS DOUBLE) / big_n
+                        * (2.0 * p_l / n_l
+                           * (1.0 - CAST(p_l AS DOUBLE) / n_l))
+                      - CAST(big_n - n_l AS DOUBLE) / big_n
+                        * (2.0 * (big_p - p_l) / (big_n - n_l)
+                           * (1.0 - CAST(big_p - p_l AS DOUBLE)
+                                    / (big_n - n_l))))
+                     * 1e9 + 0.5) AS BIGINT)"""
+            ).alias("gain_e9"),
+        )
+    )
+    return cand.orderBy(
+        F.desc("gain_e9"), F.asc("feature"), F.asc("threshold")
+    ).limit(1)

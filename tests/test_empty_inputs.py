@@ -247,6 +247,8 @@ REPRESENTATIVE = [
     "cramer_von_mises_urgent_price",  # integrated ECDF gap
     "periodogram_daily_revenue", # cos/sin projections per period
     "markov_entropy_rate",       # conditional entropy of transitions
+    "pacf_daily_revenue",        # lag-join partial autocorrelation
+    "decision_stump_train",      # histogram Gini split search
     "recursive_cte_day_streaks", # WITH RECURSIVE iteration
     "keywords_per_doc_tfidf",    # per-doc ranked extraction
     "theil_u_lang_source",       # entropy/MI cell sums
@@ -329,6 +331,7 @@ EXPECT_SUMMARY_ROWS = {
     "bitmap_zone_intersection": 1,   # single audit row of zero counts
     "cramer_von_mises_urgent_price": 1,  # single stats row (NULL t)
     "markov_entropy_rate": 1,        # single stats row (NULL h)
+    "pacf_daily_revenue": 1,         # single stats row (NULLs)
 }
 
 

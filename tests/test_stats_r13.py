@@ -356,3 +356,77 @@ def test_markov_entropy_uniform_two_state_is_ln2(spark, tmp_path):
 
     row = markov_entropy_rate(spark, sf).collect()[0]
     assert abs(row.h_rate_e6 / 1e6 - math.log(2)) < 2e-6
+
+
+def _pacf_reference(xs_cents):
+    n = len(xs_cents)
+    mean = sum(xs_cents) / n
+    u = [(x - mean) / 1e8 for x in xs_cents]
+    s0 = sum(math.floor(v * v * 1e6 + 0.5) for v in u)
+    s1 = sum(
+        math.floor(u[i] * u[i + 1] * 1e6 + 0.5) for i in range(n - 1)
+    )
+    s2 = sum(
+        math.floor(u[i] * u[i + 2] * 1e6 + 0.5) for i in range(n - 2)
+    )
+    r1, r2 = s1 / s0, s2 / s0
+    return r1, r2, (r2 - r1 * r1) / (1 - r1 * r1)
+
+
+def test_pacf_python_reference_and_ar1_shape(spark, tmp_path):
+    # an AR(1)-like geometric decay: r2 ~ r1^2, so phi22 ~ 0
+    revs = [1000.0 * (0.6 ** t) + 500.0 for t in range(24)]
+    sf = _daily_orders(tmp_path, revs)
+    from local_stream_stack_spark.queries.relational_ext import (
+        pacf_daily_revenue,
+    )
+
+    row = pacf_daily_revenue(spark, sf).collect()[0]
+    r1, r2, p2 = _pacf_reference([round(r * 100) for r in revs])
+    assert row.n == 24
+    assert abs(row.r1_e6 / 1e6 - r1) < 2e-6
+    assert abs(row.r2_e6 / 1e6 - r2) < 2e-6
+    assert abs(row.pacf2_e6 / 1e6 - p2) < 2e-6
+
+
+def test_pacf_constant_series_is_null(spark, tmp_path):
+    sf = _daily_orders(tmp_path, [100.0] * 6)
+    from local_stream_stack_spark.queries.relational_ext import (
+        pacf_daily_revenue,
+    )
+
+    row = pacf_daily_revenue(spark, sf).collect()[0]
+    assert row.r1_e6 is None and row.pacf2_e6 is None
+
+
+def _stump_lineitem(tmp_path, rows):
+    d = tmp_path / "wh"
+    d.mkdir(exist_ok=True)
+    pd.DataFrame(
+        rows,
+        columns=["l_orderkey", "l_quantity", "l_discount",
+                 "l_returnflag"],
+    ).to_parquet(d / "lineitem.parquet")
+    return str(d)
+
+
+def test_decision_stump_finds_the_perfect_split(spark, tmp_path):
+    """Label is exactly qty <= 10; discount is uninformative. The
+    stump must pick (quantity, 10) with gain = parent Gini (children
+    are pure)."""
+    rows = []
+    for i in range(20):
+        qty = 5 if i < 10 else 20
+        rows.append((i, float(qty), 0.05 * (i % 2), "R" if qty <= 10 else "N"))
+    sf = _stump_lineitem(tmp_path, rows)
+    from local_stream_stack_spark.queries.relational_ext import (
+        decision_stump_train,
+    )
+
+    row = decision_stump_train(spark, sf).collect()[0]
+    assert row.feature == "quantity"
+    assert row.threshold == 5  # the left-pure boundary value
+    assert (row.n_left, row.n_right) == (10, 10)
+    assert (row.pos_left, row.pos_right) == (10, 0)
+    # parent p = 0.5 -> Gini 0.5; pure children -> gain = 0.5
+    assert row.gain_e9 == 500_000_000
