@@ -460,6 +460,7 @@ NEW_THIS_ROUND: frozenset[str] = frozenset(
         "markov_entropy_rate",
         "pacf_daily_revenue",
         "decision_stump_train",
+        "welch_anova_priority",
     }
 )
 

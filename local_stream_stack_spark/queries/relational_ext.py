@@ -8434,3 +8434,148 @@ def decision_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.orderBy(
         F.desc("gain_e9"), F.asc("feature"), F.asc("threshold")
     ).limit(1)
+
+
+@query(
+    "welch_anova_priority",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderpriority AS prio,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    g AS (
+      SELECT prio,
+             CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(cents) AS HUGEINT) AS s,
+             CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS q
+      FROM o GROUP BY prio
+    ),
+    pg AS (
+      SELECT * FROM (
+        SELECT prio, n_g,
+               CAST(s AS DOUBLE) / n_g AS mean_g,
+               (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                      / n_g) / (n_g - 1) AS s2
+        FROM g WHERE n_g > 1
+      ) x WHERE s2 > 0
+    ),
+    wsum AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             list_reduce(list(n_g / s2 ORDER BY prio),
+                         (a, b) -> a + b) AS w,
+             list_reduce(list(n_g / s2 * mean_g ORDER BY prio),
+                         (a, b) -> a + b) AS wm
+      FROM pg
+    ),
+    parts AS (
+      SELECT z.k, z.w,
+             list_reduce(
+               list(p.n_g / p.s2
+                    * POWER(p.mean_g - z.wm / z.w, 2) ORDER BY p.prio),
+               (a, b) -> a + b) AS num,
+             list_reduce(
+               list(POWER(1.0 - (p.n_g / p.s2) / z.w, 2) / (p.n_g - 1)
+                    ORDER BY p.prio),
+               (a, b) -> a + b) AS h
+      FROM pg p CROSS JOIN wsum z
+      GROUP BY z.k, z.w, z.wm
+    )
+    SELECT k,
+           CASE WHEN k > 1 THEN
+             CAST(FLOOR(
+               (num / (k - 1))
+               / (1.0 + 2.0 * (k - 2) / (CAST(k AS DOUBLE) * k - 1.0) * h)
+               * 1e6 + 0.5) AS BIGINT)
+           END AS f_e6,
+           CASE WHEN k > 1 THEN
+             CAST(FLOOR(
+               (CAST(k AS DOUBLE) * k - 1.0) / (3.0 * h) * 1e6 + 0.5)
+               AS BIGINT)
+           END AS df2_e6
+    FROM parts
+    """,
+)
+def welch_anova_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA across the five order
+    priorities — the k-sample mean test that does NOT assume equal
+    variances (classic ANOVA F, already in the family, pools them;
+    Bartlett gates that pooling; Welch is what you run when Bartlett
+    rejects). Per-group means/variances come from exact integer
+    moment sums; every cross-group reduction of doubles (Σw_j,
+    Σw_j·x̄_j, the weighted between-group sum, the h correction) is a
+    PINNED-ORDER fold over the group key (the Bartlett idiom — both
+    engines fold sorted by priority, left to right), and the statistic
+    plus its Welch-Satterthwaite df2 are double trees rounded once to
+    e6."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    g = o.groupBy("prio").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)")
+            * F.col("cents").cast("decimal(38,0)")
+        ).alias("q"),
+    )
+    pg = (
+        g.filter(F.col("n_g") > 1)
+        .select(
+            "prio",
+            "n_g",
+            F.expr("CAST(s AS DOUBLE) / n_g").alias("mean_g"),
+            F.expr(
+                "(CAST(q AS DOUBLE) - CAST(s AS DOUBLE)"
+                " * CAST(s AS DOUBLE) / n_g) / (n_g - 1)"
+            ).alias("s2"),
+        )
+        .filter(F.col("s2") > 0)
+    )
+    wsum = pg.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(prio,"
+            " n_g / s2 AS wg))), CAST(0.0 AS DOUBLE),"
+            " (a, x) -> a + x.wg)"
+        ).alias("w"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(prio,"
+            " n_g / s2 * mean_g AS wmg))), CAST(0.0 AS DOUBLE),"
+            " (a, x) -> a + x.wmg)"
+        ).alias("wm"),
+    )
+    parts = pg.crossJoin(F.broadcast(wsum)).agg(
+        F.max("k").alias("k"),
+        F.max("w").alias("w"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(prio,"
+            " n_g / s2 * POWER(mean_g - wm / w, 2) AS t))),"
+            " CAST(0.0 AS DOUBLE), (a, x) -> a + x.t)"
+        ).alias("num"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(prio,"
+            " POWER(1.0 - (n_g / s2) / w, 2) / (n_g - 1) AS t))),"
+            " CAST(0.0 AS DOUBLE), (a, x) -> a + x.t)"
+        ).alias("h"),
+    )
+    return parts.select(
+        "k",
+        F.expr(
+            """CASE WHEN k > 1 THEN
+                 CAST(FLOOR(
+                   (num / (k - 1))
+                   / (1.0 + 2.0 * (k - 2)
+                      / (CAST(k AS DOUBLE) * k - 1.0) * h)
+                   * 1e6 + 0.5) AS BIGINT)
+               END"""
+        ).alias("f_e6"),
+        F.expr(
+            """CASE WHEN k > 1 THEN
+                 CAST(FLOOR(
+                   (CAST(k AS DOUBLE) * k - 1.0) / (3.0 * h)
+                   * 1e6 + 0.5) AS BIGINT)
+               END"""
+        ).alias("df2_e6"),
+    )

@@ -249,6 +249,7 @@ REPRESENTATIVE = [
     "markov_entropy_rate",       # conditional entropy of transitions
     "pacf_daily_revenue",        # lag-join partial autocorrelation
     "decision_stump_train",      # histogram Gini split search
+    "welch_anova_priority",      # heteroscedastic k-sample F
     "recursive_cte_day_streaks", # WITH RECURSIVE iteration
     "keywords_per_doc_tfidf",    # per-doc ranked extraction
     "theil_u_lang_source",       # entropy/MI cell sums
@@ -332,6 +333,7 @@ EXPECT_SUMMARY_ROWS = {
     "cramer_von_mises_urgent_price": 1,  # single stats row (NULL t)
     "markov_entropy_rate": 1,        # single stats row (NULL h)
     "pacf_daily_revenue": 1,         # single stats row (NULLs)
+    "welch_anova_priority": 1,       # single stats row (k=0, NULLs)
 }
 
 

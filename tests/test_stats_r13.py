@@ -430,3 +430,41 @@ def test_decision_stump_finds_the_perfect_split(spark, tmp_path):
     assert (row.pos_left, row.pos_right) == (10, 0)
     # parent p = 0.5 -> Gini 0.5; pure children -> gain = 0.5
     assert row.gain_e9 == 500_000_000
+
+
+def test_welch_anova_python_reference(spark, tmp_path):
+    groups = {
+        "1-URGENT": [10.0, 12.0, 11.0, 13.0],
+        "2-HIGH": [20.0, 25.0, 22.0, 30.0, 24.0],
+        "3-MEDIUM": [15.0, 15.5, 16.0],
+    }
+    rows = []
+    ok = 0
+    for prio, vals in groups.items():
+        for v in vals:
+            ok += 1
+            rows.append((ok, 1, v, dt.datetime(2024, 1, 1), prio))
+    sf = _orders(tmp_path, rows)
+    from local_stream_stack_spark.queries.relational_ext import (
+        welch_anova_priority,
+    )
+
+    row = welch_anova_priority(spark, sf).collect()[0]
+    # sequential python reference (same fold order: sorted by prio)
+    stats = []
+    for prio in sorted(groups):
+        xs = [round(v * 100) for v in groups[prio]]
+        n = len(xs)
+        m = sum(xs) / n
+        s2 = (sum(x * x for x in xs) - sum(xs) ** 2 / n) / (n - 1)
+        stats.append((n, m, s2))
+    w = sum(n / s2 for n, m, s2 in stats)
+    wm = sum(n / s2 * m for n, m, s2 in stats)
+    num = sum(n / s2 * (m - wm / w) ** 2 for n, m, s2 in stats)
+    h = sum((1 - (n / s2) / w) ** 2 / (n - 1) for n, m, s2 in stats)
+    k = len(stats)
+    f = (num / (k - 1)) / (1 + 2 * (k - 2) / (k * k - 1.0) * h)
+    df2 = (k * k - 1.0) / (3 * h)
+    assert row.k == 3
+    assert abs(row.f_e6 / 1e6 - f) < 2e-6
+    assert abs(row.df2_e6 / 1e6 - df2) < 2e-6
