@@ -862,9 +862,17 @@ def test_concurrent_writer_and_compactor_soak(tmp_path, spark):
             target_path=base + "/view",
             checkpoint_location=base + "/cp",
         )
+        # purely stop-file driven (no stage cap): under heavy host
+        # load the parent's folds can be arbitrarily slow, and a stage
+        # cap would let the writer finish before 5 folds happened; the
+        # wall-clock guard only protects against a wedged parent
+        import time
+        deadline = time.time() + 360
+        stage = 0
         try:
             q.processAllAvailable()
-            for stage in range(1, 120):
+            while time.time() < deadline:
+                stage += 1
                 land(stage)
                 q.processAllAvailable()
                 if os.path.exists(base + "/stop") and stage >= 5:
