@@ -99,15 +99,27 @@ def char_shingles(text_col, k: int = 5):
     )
 
 
-def word_shingles(text_col, k: int = 3):
-    """Column expr: distinct k-word shingles (array<string>).
-
-    ~6x fewer shingles than 5-char shingling on prose, so minhash cost
-    drops proportionally — the standard choice for document-level
-    near-dup at corpus scale.
-    """
+def nonempty_tokens(text_col):
+    """Column expr: non-empty whitespace tokens of a string
+    (array<string>) — the shared tokenization of the word-shingle
+    pipelines. Callers that feed the result to a higher-order function
+    should MATERIALIZE it as a projection column first (see
+    ``word_shingles_of``): HOFs are interpreted (no codegen, no
+    subexpression elimination), so a lambda body referencing this
+    expression TREE re-runs the regex split per array element, turning
+    an O(words) shingle pass into O(words²). An attribute reference is
+    a per-element field read instead."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = F.filter(F.split(F.trim(c), r"\s+"), lambda t: F.length(t) > 0)
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: F.length(t) > 0)
+
+
+def word_shingles_of(toks_col, k: int = 3):
+    """Column expr: distinct k-word shingles (array<string>) over an
+    already-MATERIALIZED token-array column (``nonempty_tokens`` staged
+    through a select/withColumn). The lambda references the column >1
+    time, which keeps CollapseProject from inlining the token expression
+    back into the per-element body."""
+    toks = F.col(toks_col) if isinstance(toks_col, str) else toks_col
     n = F.size(toks) - (k - 1)
     return F.when(
         n >= 1,
@@ -118,6 +130,21 @@ def word_shingles(text_col, k: int = 3):
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(text_col, k: int = 3):
+    """Column expr: distinct k-word shingles (array<string>).
+
+    ~6x fewer shingles than 5-char shingling on prose, so minhash cost
+    drops proportionally — the standard choice for document-level
+    near-dup at corpus scale.
+
+    NOTE (perf): prefer staging ``nonempty_tokens`` as a projection
+    column and calling :func:`word_shingles_of` on it — this inline
+    form re-evaluates the tokenization tree per shingle element inside
+    the interpreted transform (O(words²) regex splits per row).
+    """
+    return word_shingles_of(nonempty_tokens(text_col), k)
 
 
 def minhash_signatures(
@@ -141,12 +168,15 @@ def minhash_signatures(
     shuffle only on paper.)
     """
     params = _perm_params(n_hashes, seed)
-    shingle_expr = (
-        word_shingles(text_col, shingle_k)
-        if shingle == "word"
-        else char_shingles(text_col, shingle_k)
-    )
     df = _spread_by_key(df, id_col)
+    if shingle == "word":
+        # materialize the token array BEFORE the shingle transform:
+        # the interpreted HOF otherwise re-runs the regex tokenization
+        # tree per shingle element (O(words²) splits per row)
+        df = df.select(F.col(id_col), nonempty_tokens(text_col).alias("__toks"))
+        shingle_expr = word_shingles_of("__toks", shingle_k)
+    else:
+        shingle_expr = char_shingles(text_col, shingle_k)
     # hash INSIDE the shingle array, then explode: the explode
     # materializes 8-byte longs instead of shingle strings (~10% off
     # the whole signature pass; fold the signed 64-bit hash into the
@@ -187,12 +217,13 @@ def minhash_signatures_portable(
     Use the xxhash64 variant when raw speed matters more than
     cross-engine replay."""
     params = _perm_params(n_hashes, seed)
-    shingle_expr = (
-        word_shingles(text_col, shingle_k)
-        if shingle == "word"
-        else char_shingles(text_col, shingle_k)
-    )
     df = _spread_by_key(df, id_col)
+    if shingle == "word":
+        # materialized token column — see minhash_signatures
+        df = df.select(F.col(id_col), nonempty_tokens(text_col).alias("__toks"))
+        shingle_expr = word_shingles_of("__toks", shingle_k)
+    else:
+        shingle_expr = char_shingles(text_col, shingle_k)
     hashed_arr = F.transform(
         shingle_expr,
         lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
@@ -293,11 +324,14 @@ def minhash_band_keys_rowwise(
     docs simply vanish from the key relation.
     """
     params = _perm_params(n_hashes, seed)
-    shingle_expr = (
-        word_shingles(text_col, shingle_k)
-        if shingle == "word"
-        else char_shingles(text_col, shingle_k)
-    )
+    if shingle == "word":
+        # materialized token column — see minhash_signatures; keeps
+        # the interpreted shingle transform from re-running the regex
+        # tokenization per element (streaming-safe: plain projection)
+        df = df.select("*", nonempty_tokens(text_col).alias("__toks"))
+        shingle_expr = word_shingles_of("__toks", shingle_k)
+    else:
+        shingle_expr = char_shingles(text_col, shingle_k)
     hashed = F.transform(
         shingle_expr,
         lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
@@ -470,12 +504,22 @@ def ngram_jaccard_pairs(
     """
     if max_df is None:
         # exact path: per-doc count is the shingle-array size, no
-        # extra shuffle
-        grams = _spread_by_key(df, id_col).select(
-            F.col(id_col),
-            *[F.col(c) for c in block_cols],
-            F.size(char_shingles(text_col, n)).alias("__n_grams"),
-            F.explode(char_shingles(text_col, n)).alias("__g"),
+        # extra shuffle. Shingle array staged as a column so the row
+        # builds it ONCE (size + explode would otherwise each
+        # construct it).
+        grams = (
+            _spread_by_key(df, id_col)
+            .select(
+                F.col(id_col),
+                *[F.col(c) for c in block_cols],
+                char_shingles(text_col, n).alias("__sh"),
+            )
+            .select(
+                F.col(id_col),
+                *[F.col(c) for c in block_cols],
+                F.size("__sh").alias("__n_grams"),
+                F.explode("__sh").alias("__g"),
+            )
         )
     else:
         exploded = _spread_by_key(df, id_col).select(

@@ -223,6 +223,7 @@ def with_global_rank(
     descending: bool = False,
     bins: int = 1024,
     total_col: str | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Global (or per-``keys``) ROW_NUMBER — and optionally running
     SUMs — without the single-reducer sort of an unpartitioned window.
@@ -273,6 +274,15 @@ def with_global_rank(
     if descending:
         p = -p
     work = df.withColumn("__wgr_p", p)
+    # The three passes below (extent agg, per-bin counts, final
+    # bin-partitioned window) each re-execute ``work``'s lineage.
+    # ``materialize=True`` localCheckpoints it once so DERIVED inputs
+    # (pair joins, aggregates) compute a single time; leave False for
+    # raw scan projections, where a column-pruned parquet re-scan is
+    # cheaper than writing the rows out (measured in round 5 for
+    # percentile_stats). Guide §3.3/§5 (materialize intermediates).
+    if materialize:
+        work = work.localCheckpoint(eager=True)
 
     ext_aggs = [
         F.min("__wgr_p").alias("__wgr_lo"),

@@ -180,11 +180,18 @@ def with_repetition_stats(
 
     repetition_ratio = 1 - distinct_ngrams/total_ngrams, 0.0 for docs
     with < n words. Array higher-order functions only (transform over a
-    sequence + array_distinct) — JVM codegen, scan-shaped, no Python
-    and no shuffle.
+    sequence + array_distinct), scan-shaped, no Python and no shuffle.
+
+    The word and gram arrays are STAGED as projection columns: HOFs are
+    interpreted (no subexpression elimination), so inlining the split
+    tree into the gram lambda re-runs the regex split per gram element,
+    and inlining the gram tree into each of the three consumers
+    (n_ngrams / n_distinct / ratio) multiplies that again — measured
+    ~25x slower than this staged form at sf0.1. Multiple references to
+    each staged column keep CollapseProject from inlining them back.
     """
     t = F.col(text_col)
-    words = F.split(F.trim(t), r"\s+")
+    words = F.col("__rr_w")
     n_words = F.size(words)
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.get(words, i + F.lit(j)) for j in range(n)]
@@ -193,18 +200,24 @@ def with_repetition_stats(
         n_words >= n,
         F.transform(F.sequence(F.lit(0), n_words - n), gram),
     ).otherwise(F.array().cast("array<string>"))
-    n_grams = F.size(grams).cast("bigint")
-    n_distinct = F.size(F.array_distinct(grams)).cast("bigint")
+    n_grams = F.size(F.col("__rr_g")).cast("bigint")
+    n_distinct = F.size(F.array_distinct(F.col("__rr_g"))).cast("bigint")
     ratio = F.when(
-        n_grams > 0,
+        F.col("n_ngrams") > 0,
         F.round(
-            F.lit(1.0) - n_distinct.cast("double") / n_grams.cast("double"), 6
+            F.lit(1.0)
+            - F.col("n_distinct_ngrams").cast("double")
+            / F.col("n_ngrams").cast("double"),
+            6,
         ),
     ).otherwise(F.lit(0.0))
     return (
-        df.withColumn("n_ngrams", n_grams)
+        df.withColumn("__rr_w", F.split(F.trim(t), r"\s+"))
+        .withColumn("__rr_g", grams)
+        .withColumn("n_ngrams", n_grams)
         .withColumn("n_distinct_ngrams", n_distinct)
         .withColumn("repetition_ratio", ratio)
+        .drop("__rr_w", "__rr_g")
     )
 
 

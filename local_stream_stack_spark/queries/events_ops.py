@@ -2454,6 +2454,7 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["r"],
         out_rank="rk",
         total_col="n_reps",
+        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
     ).select(
         "r",
         "n",
@@ -2658,6 +2659,7 @@ def user_adoption_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_rank="__rn",
         cumsum={"n_new": "__cum"},
         acc_type="BIGINT",
+        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
     )
     return (
         cum.crossJoin(F.broadcast(tot))
@@ -3754,8 +3756,9 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def rank_select_median(df, val, tie):
         ranked = with_global_rank(
-            df, val, [tie], out_rank="__rn", total_col="__n"
-        )
+            df, val, [tie], out_rank="__rn", total_col="__n",
+        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
+    )
         return ranked.filter(
             F.expr("__rn = (__n - 1) div 2 + 1")
         ).select(F.col(val).alias("__m"))

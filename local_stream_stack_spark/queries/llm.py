@@ -2403,6 +2403,7 @@ def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         cumsum={"n_tokens": "__cum"},
         acc_type="BIGINT",
         out_rank="__rn",
+        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
     ).withColumn("start_off", F.col("__cum") - F.col("n_tokens"))
     return (
         placed.select(
@@ -4502,7 +4503,8 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from local_stream_stack_spark.operators.dedup import (
         minhash_lsh_candidates,
         minhash_signatures_portable,
-        word_shingles,
+        nonempty_tokens,
+        word_shingles_of,
     )
 
     d = _t(spark, sf_dir, "documents")
@@ -4534,7 +4536,11 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this removes the repeated lineage instead of caching it).
     # Identical result: |A∩B| over distinct shingles, union by
     # inclusion-exclusion.
-    sharr = d.select("doc_id", word_shingles("text", 3).alias("__sh"))
+    # token array staged before the shingle transform (interpreted HOF
+    # would otherwise re-tokenize per shingle element — guide §1.2/§4.1)
+    sharr = d.select("doc_id", nonempty_tokens("text").alias("__t")).select(
+        "doc_id", word_shingles_of("__t", 3).alias("__sh")
+    )
     ta = sharr.select(
         F.col("doc_id").alias("id_a"), F.col("__sh").alias("__sha")
     )
@@ -4652,7 +4658,8 @@ def zipf_token_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     freq = tok.groupBy("t").agg(F.count("*").alias("n"))
     ranked = with_global_rank(
-        freq, "n", ["t"], descending=True, out_rank="r"
+        freq, "n", ["t"], descending=True, out_rank="r",
+        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
     ).select("n", "r")
     b = ranked.select(
         "n",
@@ -4866,6 +4873,7 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_rank="rk",
         cumsum={"n": "cum"},
         acc_type="BIGINT",
+        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
     ).select("n", "rk", "cum")
     tot = freq.agg(
         F.sum("n").alias("total"), F.count("*").alias("n_types")
@@ -10596,6 +10604,7 @@ def quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = with_global_rank(
         hist, "c", out_rank="__rn", cumsum={"cnt": "cw"},
         acc_type="BIGINT", bins=64,
+        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
     ).select("c", "cnt", "cw")
     tot = hist.agg(F.sum("cnt").cast("bigint").alias("n_g"))
     targets = lranks.crossJoin(F.broadcast(tot)).select(

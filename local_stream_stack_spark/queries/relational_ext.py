@@ -1475,6 +1475,7 @@ def orders_monthly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.withColumn("__ym", F.col("yr") * 12 + F.col("mo")),
         "__ym",
         out_rank="__rn",
+        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
     )
     lag1 = ranked.select(
         F.col("__rn").alias("__rn1"), F.col("rev").alias("__rev_m1")
@@ -1580,6 +1581,7 @@ def customer_decile_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["yr"],
         out_rank="__rn",
         total_col="__nk",
+        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
     ).withColumn("decile", ntile_expr("__rn", "__nk", 10))
     a = dd.select(
         F.col("o_custkey").alias("ck"),
@@ -1653,11 +1655,18 @@ def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary"
         ),
     )
+    # each with_global_rank makes 3 passes over its input; CHAINED,
+    # the per-customer aggregate would re-execute multiplicatively
+    # (3 -> 9 -> 27 subtree references). materialize=True truncates
+    # the lineage at every stage (guide §5, §3.3).
     x = with_global_rank(
-        agg, "last_order", ["o_custkey"], out_rank="__rr", total_col="__n"
+        agg, "last_order", ["o_custkey"], out_rank="__rr", total_col="__n",
+        materialize=True,
     )
-    x = with_global_rank(x, "freq", ["o_custkey"], out_rank="__rf")
-    x = with_global_rank(x, "monetary", ["o_custkey"], out_rank="__rm")
+    x = with_global_rank(x, "freq", ["o_custkey"], out_rank="__rf",
+                         materialize=True)
+    x = with_global_rank(x, "monetary", ["o_custkey"], out_rank="__rm",
+                         materialize=True)
     scored = x.select(
         "o_custkey",
         ntile_expr("__rr", "__n", 5).alias("r"),
@@ -1736,6 +1745,7 @@ def supplier_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_rank="__rn",
         cumsum={"rev": "cum"},
         acc_type="DECIMAL(38,2)",
+        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
     ).crossJoin(F.broadcast(t))
     cls = c.select(
         "l_suppkey",
@@ -1825,7 +1835,8 @@ def revenue_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))").alias("rev_c")
     )
     ranked = with_global_rank(
-        rev, "rev_c", ["o_custkey"], out_rank="i", total_col="__n"
+        rev, "rev_c", ["o_custkey"], out_rank="i", total_col="__n",
+        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
     )
     tot = ranked.agg(
         F.expr("COUNT(*)").alias("n"),
@@ -1843,6 +1854,7 @@ def revenue_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_rank="__rn",
         cumsum={"drev": "crev"},
         acc_type="DECIMAL(38,0)",
+        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
     ).crossJoin(F.broadcast(tot))
     return cum.select(
         F.col("decile").cast("int").alias("decile"),
@@ -2285,6 +2297,7 @@ def cusum_changepoint_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_rank="__rn",
         cumsum={"__dev": "c"},
         acc_type="BIGINT",
+        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
     ).select("day", "n", "c", F.abs(F.col("__dev")).alias("adev"))
     norm = cusum.agg(F.sum("adev").alias("total_dev"))
     return (
@@ -2960,6 +2973,7 @@ def weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame
         cumsum={"w": "cw"},
         acc_type="BIGINT",
         bins=64,
+        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
     )
     tot = grp.groupBy("flag").agg(F.sum("w").alias("tot"))
     return (
@@ -3050,6 +3064,7 @@ def mann_whitney_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = with_global_rank(
         grp, "cents", out_rank="__rn", cumsum={"cnt": "cw"},
         acc_type="BIGINT", bins=64,
+        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
     )
     s = cum.agg(
         F.sum("n1v").cast("bigint").alias("n1"),
@@ -3218,7 +3233,8 @@ def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         r = with_global_rank(
             g, col, out_rank="__rn", cumsum={"cnt": "cw"},
             acc_type="BIGINT", bins=64,
-        )
+        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
+    )
         return r.select(
             col,
             (2 * F.col("cw") - F.col("cnt") + 1).alias(out),
@@ -3316,6 +3332,9 @@ def theil_sen_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = with_global_rank(
         slopes, "slope", tiebreak_cols=["dia", "dib"],
         out_rank="rn", total_col="m", bins=128,
+        # the ~|days|² theta-join pair stage would otherwise re-execute
+        # once per rank pass (3x) — materialize it once (guide §5)
+        materialize=True,
     )
     n_days = days.agg(F.count("*").cast("bigint").alias("n_days"))
     return (
@@ -3408,6 +3427,7 @@ def pettitt_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     r2map = with_global_rank(
         vals, "rev_c", out_rank="__rn", cumsum={"cnt": "cw"},
         acc_type="BIGINT", bins=64,
+        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
     ).select("rev_c", (2 * F.col("cw") - F.col("cnt") + 1).alias("r2"))
     ordered = with_global_rank(
         days.join(r2map, "rev_c"),
@@ -3417,6 +3437,7 @@ def pettitt_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         acc_type="BIGINT",
         total_col="n",
         bins=64,
+        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
     )
     u = ordered.filter(F.col("t") < F.col("n")).select(
         "di", (F.col("s2") - F.col("t") * (F.col("n") + 1)).alias("ut")
@@ -3508,6 +3529,7 @@ def ks_test_urgent_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = with_global_rank(
         grp, "cents", out_rank="__rn",
         cumsum={"c1": "f1", "c2": "f2"}, acc_type="BIGINT", bins=64,
+        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
     )
     tot = grp.agg(
         F.sum("c1").cast("bigint").alias("n1"),
@@ -3728,6 +3750,7 @@ def wasserstein_price_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = with_global_rank(
         grp, "cents", out_rank="rn",
         cumsum={"c1": "f1", "c2": "f2"}, acc_type="BIGINT", bins=64,
+        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
     )
     nxt = cum.select(
         (F.col("rn") - 1).alias("rn"), F.col("cents").alias("next_cents")
@@ -3953,6 +3976,7 @@ def conformal_forecast_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = with_global_rank(
         calib, "ar", tiebreak_cols=["di"], out_rank="rn",
         total_col="n_calib", bins=64,
+        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
     )
     qhat = (
         ranked.filter(
@@ -4198,6 +4222,7 @@ def levene_brown_forsythe_segments(spark: SparkSession, sf_dir: str) -> DataFram
         cumsum={"cnt": "cw"},
         acc_type="BIGINT",
         bins=64,
+        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
     )
     ng = vals.groupBy("segment").agg(
         F.sum("cnt").cast("bigint").alias("n")
@@ -4348,6 +4373,10 @@ def hodges_lehmann_urgent_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(yd.select(F.col("rev_c").alias("yr"))))
         .groupBy((F.col("xr") - F.col("yr")).alias("d"))
         .agg(F.count("*").cast("bigint").alias("cnt"))
+        # the |days_x|*|days_y| cross join + groupBy feeds the 3-pass
+        # distributed rank AND the m total — materialize once instead
+        # of 4 executions (guide §5; bounded: distinct diffs + counts)
+        .localCheckpoint(eager=True)
     )
     ranked = with_global_rank(
         vals,
@@ -4674,6 +4703,7 @@ def kruskal_wallis_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = with_global_rank(
         pv, "cents", out_rank="__rn", cumsum={"cnt": "cw"},
         acc_type="BIGINT", bins=64,
+        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
     )
     tot = cum.agg(
         F.sum("cnt").cast("bigint").alias("n"),
@@ -4807,6 +4837,7 @@ def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumv = with_global_rank(
         vals, "rev_c", out_rank="__rn", cumsum={"cnt": "cw"},
         acc_type="BIGINT", bins=64,
+        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
     )
     nn = vals.agg(F.sum("cnt").cast("bigint").alias("n"))
     med = cumv.crossJoin(F.broadcast(nn)).agg(
@@ -4822,6 +4853,7 @@ def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "di",
         out_rank="t",
         bins=64,
+        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
     )
     prev = flags.select(
         (F.col("t") + 1).alias("t"), F.col("b").alias("b_prev")
@@ -5158,6 +5190,11 @@ def mann_kendall_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rb") - F.col("ra")).alias("dx"),
         (F.col("dib") - F.col("dia")).alias("dd"),
     )
+    # the ~|days|² theta-join feeds sc, the slope groupBy (which itself
+    # feeds the 3-pass distributed rank AND the m total) — without this
+    # the pair stage re-executes ~6x (guide §5: materialize reused
+    # intermediates; bounded: 2 bigints per calendar pair)
+    pairs = pairs.localCheckpoint(eager=True)
     sc = pairs.agg(
         F.sum(F.expr("CASE WHEN dx > 0 THEN 1 ELSE 0 END"))
         .cast("bigint")
@@ -5189,6 +5226,9 @@ def mann_kendall_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     slc = with_global_rank(
         sl, "s_e6", out_rank="__rn", cumsum={"cnt": "cw"},
         acc_type="BIGINT", bins=128,
+        # the slope groupBy over the checkpointed pairs still runs once
+        # per rank pass without this (guide §5)
+        materialize=True,
     )
     m = sl.agg(F.sum("cnt").cast("bigint").alias("m"))
     sen = slc.crossJoin(F.broadcast(m)).agg(
@@ -5297,7 +5337,9 @@ def durbin_watson_daily_revenue(
         F.count("*").cast("bigint").alias("n"),
         F.sum("rev_c").cast("bigint").alias("s"),
     )
-    rk = with_global_rank(days, "di", out_rank="t", bins=64)
+    rk = with_global_rank(days, "di", out_rank="t", bins=64,
+        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
+    )
     e = rk.crossJoin(F.broadcast(nn)).select(
         "t",
         F.expr("CAST(n * rev_c - s AS DECIMAL(38,0))").alias("e"),
@@ -5405,7 +5447,9 @@ def ljung_box_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.sum("rev_c").cast("bigint").alias("s"),
     )
-    rk = with_global_rank(days, "di", out_rank="t", bins=64)
+    rk = with_global_rank(days, "di", out_rank="t", bins=64,
+        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
+    )
     e = rk.crossJoin(F.broadcast(nn)).select(
         "t",
         F.expr("CAST(n * rev_c - s AS DECIMAL(38,0))").alias("e"),
@@ -6907,6 +6951,7 @@ def ansari_bradley_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
         cumsum={"cnt": "cw"},
         acc_type="BIGINT",
         bins=64,
+        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
     )
     scored = ranked.crossJoin(F.broadcast(tot)).select(
         "cnt",
@@ -7312,6 +7357,7 @@ def brunner_munzel_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
         cumsum={"cnt": "cw", "cnt1": "cw1", "cnt2": "cw2"},
         acc_type="BIGINT",
         bins=64,
+        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
     )
     tot = hist.agg(
         F.sum("cnt1").cast("bigint").alias("n1"),
@@ -7649,6 +7695,7 @@ def kuiper_test_urgent_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = with_global_rank(
         grp, "cents", out_rank="__rn",
         cumsum={"c1": "f1", "c2": "f2"}, acc_type="BIGINT", bins=64,
+        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
     )
     tot = grp.agg(
         F.sum("c1").cast("bigint").alias("n1"),
@@ -7868,6 +7915,7 @@ def anderson_darling_daily_revenue(
     cum = with_global_rank(
         grp, "v", out_rank="__rn", cumsum={"c": "f"},
         acc_type="BIGINT", bins=64,
+        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
     )
     zt = (
         cum.crossJoin(F.broadcast(tot))
@@ -7999,6 +8047,7 @@ def cramer_von_mises_urgent_price(
     cum = with_global_rank(
         grp, "cents", out_rank="__rn",
         cumsum={"c1": "f1", "c2": "f2"}, acc_type="BIGINT", bins=64,
+        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
     )
     tot = grp.agg(
         F.sum("c1").cast("bigint").alias("n1"),

@@ -80,6 +80,9 @@ def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_rank="__rnb",
         cumsum={"__n": "__cum"},
         acc_type="BIGINT",
+        # 256-row aggregate over a full scan: materialize once instead
+        # of re-scanning documents per rank pass (guide §5)
+        materialize=True,
     ).select("__b", (F.col("__cum") - F.col("__n")).alias("__off"))
     wb = Window.partitionBy("__b").orderBy("__h", "doc_id")
     return (

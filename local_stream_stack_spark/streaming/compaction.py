@@ -255,7 +255,11 @@ def read_family(
             gdf = spark.read.parquet(gen_dir)
         if gdf is not None:
             parts.append(gdf.withColumn("__epoch", F.lit(-1)))
-    live = [e for e in _glob_epoch_ids(spark, fpath) if e > fold_max]
+    # committed (_SUCCESS) epochs only: a writer racing this read
+    # creates its __epoch dir before the parquet job commits, and a
+    # torn dir either crashes schema inference (empty) or silently
+    # returns partial rows — same rule the fold path applies
+    live = [e for e in _committed_epoch_ids(spark, fpath) if e > fold_max]
     if live:
         parts.append(
             spark.read.option("basePath", fpath).parquet(

@@ -1116,13 +1116,22 @@ def ingest_neardup_stream_parquet(
             shingle=shingle,
         )
         order_map = batch_df.select(id_col, order_col)
-        keys = minhash_band_keys(
-            sigs,
-            id_col,
-            bands=bands,
-            rows_per_band=rows_per_band,
-            portable_keys=portable,
-        ).join(order_map, id_col)
+        # keys feeds FOUR consumers (store probe, both sides of the
+        # in-batch self-join, the store write); without materialization
+        # each re-executes the whole signature pipeline (shingle, hash,
+        # explode, groupBy) per epoch. Micro-batch-bounded, so the
+        # checkpoint is small by construction (guide §3.3/§5).
+        keys = (
+            minhash_band_keys(
+                sigs,
+                id_col,
+                bands=bands,
+                rows_per_band=rows_per_band,
+                portable_keys=portable,
+            )
+            .join(order_map, id_col)
+            .localCheckpoint(eager=True)
+        )
         # Replay safety (see ingest_dedup_stream_parquet.admit): only
         # band keys from strictly EARLIER epochs may reject this batch —
         # on crash-replay the store already holds epoch N's own keys and
@@ -1173,7 +1182,7 @@ def ingest_neardup_stream_parquet(
         )
         rejected = (
             hit_batch if hit_store is None else hit_batch.union(hit_store).distinct()
-        )
+        ).localCheckpoint(eager=True)  # consumed by BOTH anti-joins below
         admitted = batch_df.join(rejected, id_col, "left_anti")
         admitted.coalesce(1).write.mode("overwrite").parquet(
             f"{store_path}/rows/__epoch={epoch_id}"
