@@ -32,11 +32,13 @@ TRIMMED_SCHEMA = (
 
 
 def _trimmed_stats(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-group trimmed mean over integer cents.
+    """Vectorized per-user trimmed mean over integer cents for ONE
+    coarse group (many users per call).
 
     All arithmetic is int64 (cents), so the result is exact and
     independent of pandas' row order — required for the DuckDB oracle
-    hash compare. The one division happens on exact integers.
+    hash compare. The divisions happen on exact integers (<= 2^53 in
+    the double), bit-identical to the previous one-user-per-call form.
     """
     import numpy as np
 
@@ -44,28 +46,50 @@ def _trimmed_stats(pdf: pd.DataFrame) -> pd.DataFrame:
     # (numpy .round() would use half-even, DuckDB ROUND half-away —
     # this form is the one both engines compute bit-identically)
     cents = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64")
-    cents = pd.Series(cents)
-    n = len(cents)
-    total = int(cents.sum())
-    if n > 2:
-        tm = (total - int(cents.min()) - int(cents.max())) / (100.0 * (n - 2))
-    else:
-        tm = total / (100.0 * n)
+    g = pd.DataFrame(
+        {"user_id": pdf["user_id"].to_numpy(), "c": cents}
+    ).groupby("user_id", sort=False)["c"]
+    n = g.size().to_numpy()
+    total = g.sum().to_numpy()
+    mn = g.min().to_numpy()
+    mx = g.max().to_numpy()
+    # select numerator/denominator BEFORE dividing so the n==2 lane
+    # never evaluates a zero denominator
+    num = np.where(n > 2, total - mn - mx, total)
+    den = np.where(n > 2, 100.0 * (n - 2), 100.0 * n)
     return pd.DataFrame(
         {
-            "user_id": [int(pdf["user_id"].iloc[0])],
-            "n_events": [n],
-            "sum_cents": [total],
-            "trimmed_mean": [tm],
+            "user_id": g.size().index.to_numpy().astype("int64"),
+            "n_events": n,
+            "sum_cents": total,
+            "trimmed_mean": num / den,
         }
     )
 
 
-def trimmed_stats_per_user(df: DataFrame) -> DataFrame:
+def trimmed_stats_per_user(df: DataFrame, coarse: int = 256) -> DataFrame:
     """Grouped-map UDAF: per-user robust (min/max-trimmed) mean of
-    ``value``, computed in pandas. ONE shuffle on user_id; each group
-    crosses the Python boundary as a single Arrow batch."""
-    return df.groupBy("user_id").applyInPandas(_trimmed_stats, TRIMMED_SCHEMA)
+    ``value``, computed in pandas.
+
+    The shuffle groups on a deterministic COARSE key
+    (``pmod(user_id, coarse)``) rather than on ``user_id`` itself:
+    every row of a user still lands in exactly one group, but the
+    Python side is invoked ``coarse`` times total instead of once per
+    user, and the per-user aggregation inside runs as ONE vectorized
+    pandas groupby over the whole Arrow batch (guide §4.2 — hand whole
+    batches to vectorized code; per-group dispatch was ~85% of this
+    operator's wall time at sf0.1). Per-task memory is bounded by
+    |users|/coarse histories — size ``coarse`` with the data, the same
+    dial as any salt count."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.withColumn(
+            "__cg", F.pmod(F.col("user_id"), F.lit(coarse)).cast("int")
+        )
+        .groupBy("__cg")
+        .applyInPandas(_trimmed_stats, TRIMMED_SCHEMA)
+    )
 
 
 @udtf(returnType="pos int, token string, token_len int", useArrow=True)

@@ -3757,8 +3757,8 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     def rank_select_median(df, val, tie):
         ranked = with_global_rank(
             df, val, [tie], out_rank="__rn", total_col="__n",
-        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
-    )
+            materialize=True,  # derived-aggregate input: avoid 3x lineage re-execution (guide §5)
+        )
         return ranked.filter(
             F.expr("__rn = (__n - 1) div 2 + 1")
         ).select(F.col(val).alias("__m"))

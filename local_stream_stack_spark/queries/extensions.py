@@ -54,9 +54,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 )
 def udaf_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map UDAF via applyInPandas: per-user min/max-trimmed
-    mean of event values, computed on exact integer cents. One
-    shuffle on user_id; each user's history crosses to Python as one
-    Arrow batch (see operators/udx.py scale notes)."""
+    mean of event values, computed on exact integer cents. One shuffle
+    on a deterministic coarse key (pmod(user_id, 256)); each coarse
+    group crosses to Python as Arrow batches and the per-user
+    aggregation runs as one vectorized pandas groupby per batch — the
+    guide §4.2 shape (see operators/udx.py scale notes)."""
     e = _t(spark, sf_dir, "events").select("user_id", "value")
     return trimmed_stats_per_user(e).orderBy("user_id")
 

@@ -1498,6 +1498,7 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id")
 
     def run(batches):
+        import numpy as np
         import pandas as pd
 
         from local_stream_stack_spark.operators.avi import (
@@ -1514,13 +1515,19 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did in pdf["doc_id"]:
                 did = int(did)
                 w, h, nf = 9 + did % 6, 5 + did % 4, 2 + did % 3
+                # vectorized synthetic-pixel generation (guide §4.2):
+                # same (did*7 + f*31 + 13y + 5x + 3c) % 256 bytes the
+                # per-pixel generator produced, via one broadcast per
+                # frame instead of w*h*3 Python iterations
+                grid = (
+                    13 * np.arange(h, dtype=np.int64).reshape(h, 1, 1)
+                    + 5 * np.arange(w, dtype=np.int64).reshape(1, w, 1)
+                    + 3 * np.arange(3, dtype=np.int64).reshape(1, 1, 3)
+                )
                 frames = [
-                    bytes(
-                        (did * 7 + f * 31 + y * 13 + x * 5 + c * 3) % 256
-                        for y in range(h)
-                        for x in range(w)
-                        for c in range(3)
-                    )
+                    ((did * 7 + f * 31 + grid) % 256)
+                    .astype(np.uint8)
+                    .tobytes()
                     for f in range(nf)
                 ]
                 v = decode_video(encode_avi(w, h, frames, fps=10))
@@ -2403,7 +2410,6 @@ def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         cumsum={"n_tokens": "__cum"},
         acc_type="BIGINT",
         out_rank="__rn",
-        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
     ).withColumn("start_off", F.col("__cum") - F.col("n_tokens"))
     return (
         placed.select(
@@ -4767,19 +4773,32 @@ def sim_recall_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     scheduling floor that amortizes at scale — and ~2.9 s the fused
     scoring action. Dropping the sub-vector checkpoint was tried and
     measured SLOWER (7.4 s vs 6.1 s warm), so it stays."""
-    exact = sim_bruteforce_topk(spark, sf_dir).select(
-        "query_id", "corpus_id"
-    )
-    tiers = None
-    for tier, fn in (
+    # build the four independent tier graphs from a small thread pool
+    # (guide §2.6 — overlap independent jobs): IVF-PQ alone runs six
+    # sequential parameter-sized driver jobs (checkpoints + Lloyd
+    # collects) that otherwise serialize on the driver while the
+    # cluster idles; submitted concurrently they back-fill each
+    # other's scheduling gaps. Each fn touches only its own lineage
+    # (localCheckpoints + bounded collects, no temp views), so
+    # concurrent construction is safe; union order stays (lsh, ivf,
+    # ivfpq) and the result is orderBy-deterministic regardless.
+    from concurrent.futures import ThreadPoolExecutor
+
+    tier_fns = (
         ("lsh", sim_lsh_topk),
         ("ivf", sim_ivf_topk),
         ("ivfpq", sim_ivfpq_topk),
-    ):
-        t = fn(spark, sf_dir).select(
-            F.lit(tier).alias("tier"), "query_id", "corpus_id"
-        )
-        tiers = t if tiers is None else tiers.unionByName(t)
+    )
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        exact_fut = pool.submit(sim_bruteforce_topk, spark, sf_dir)
+        futs = [(tier, pool.submit(fn, spark, sf_dir)) for tier, fn in tier_fns]
+        exact = exact_fut.result().select("query_id", "corpus_id")
+        tiers = None
+        for tier, fut in futs:
+            t = fut.result().select(
+                F.lit(tier).alias("tier"), "query_id", "corpus_id"
+            )
+            tiers = t if tiers is None else tiers.unionByName(t)
     hits = (
         tiers.join(
             exact.withColumn("__hit", F.lit(1)),
@@ -4873,7 +4892,6 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_rank="rk",
         cumsum={"n": "cum"},
         acc_type="BIGINT",
-        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
     ).select("n", "rk", "cum")
     tot = freq.agg(
         F.sum("n").alias("total"), F.count("*").alias("n_types")
@@ -5262,10 +5280,15 @@ def minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents")
+    # make the docstring's "runs ONCE" true in EXECUTION, not just in
+    # the plan: three configs x two self-join sides = six references
+    # to the signature pipeline (shingle explode + min-hash groupBy)
+    # without this pin. The signature table is n_docs x 32 bigints —
+    # tiny next to the corpus (guide §5).
     sigs = minhash_signatures_portable(
         d, id_col="doc_id", text_col="text", n_hashes=32,
         shingle_k=3, shingle="word",
-    )
+    ).localCheckpoint(eager=True)
     parts = []
     for bands, rpb in ((4, 8), (8, 4), (16, 2)):
         cands = minhash_lsh_candidates(
@@ -9036,13 +9059,25 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rel")
         )
     )
-    cand = bm.orderBy(F.desc("rel"), F.asc("doc_id")).limit(20)
+    # two materialization points (guide §5): the query ends in TWO
+    # driver collects (pool + sim matrix) plus branch fan-out, and the
+    # corpus token-explode subtree appears under doclen/df/tf/ctok —
+    # without these, `tok` re-evaluates ~10x across the actions.
+    # `cand` (<= 20 rows) caps the whole BM25 chain; `ctok` (tokens of
+    # those 20 docs) caps the corpus for the similarity matrix.
+    cand = bm.orderBy(F.desc("rel"), F.asc("doc_id")).limit(
+        20
+    ).localCheckpoint(eager=True)
     relmax = cand.agg(F.max("rel").cast("bigint").alias("mr"))
     candn = cand.crossJoin(F.broadcast(relmax)).select(
         "doc_id",
         F.expr("CAST((rel * 1000000) div mr AS BIGINT)").alias("rel_norm"),
     )
-    ctok = tok.join(F.broadcast(cand.select("doc_id")), "doc_id").distinct()
+    ctok = (
+        tok.join(F.broadcast(cand.select("doc_id")), "doc_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     csize = ctok.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("sz")
     )
@@ -10604,7 +10639,6 @@ def quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = with_global_rank(
         hist, "c", out_rank="__rn", cumsum={"cnt": "cw"},
         acc_type="BIGINT", bins=64,
-        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
     ).select("c", "cnt", "cw")
     tot = hist.agg(F.sum("cnt").cast("bigint").alias("n_g"))
     targets = lranks.crossJoin(F.broadcast(tot)).select(

@@ -592,7 +592,17 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted_join docstring for when AQE skew-join suffices instead."""
     from local_stream_stack_spark.operators.joins import salted_join
 
-    li = _t(spark, sf_dir, "lineitem")
+    # project BEFORE salting: the salt is pmod(xxhash64(<all left
+    # columns>), n), so an unprojected left side forces the scan to
+    # read every lineitem column just to compute the salt (the hash
+    # defeats column pruning). Hashing the 3-column projection instead
+    # changes WHICH salt each row gets — never the join result (the
+    # salt is semantically invisible by construction) — and the scan
+    # reads 3 columns instead of 16 (guide §2.3 project before the
+    # exchange; ReadSchema is the proof).
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
     o = _t(spark, sf_dir, "orders").withColumnRenamed(
         "o_orderkey", "l_orderkey"
     ).select("l_orderkey", "o_orderpriority")
@@ -1745,7 +1755,6 @@ def supplier_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_rank="__rn",
         cumsum={"rev": "cum"},
         acc_type="DECIMAL(38,2)",
-        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
     ).crossJoin(F.broadcast(t))
     cls = c.select(
         "l_suppkey",
@@ -2973,7 +2982,6 @@ def weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame
         cumsum={"w": "cw"},
         acc_type="BIGINT",
         bins=64,
-        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
     )
     tot = grp.groupBy("flag").agg(F.sum("w").alias("tot"))
     return (
@@ -3233,8 +3241,7 @@ def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         r = with_global_rank(
             g, col, out_rank="__rn", cumsum={"cnt": "cw"},
             acc_type="BIGINT", bins=64,
-        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
-    )
+        )
         return r.select(
             col,
             (2 * F.col("cw") - F.col("cnt") + 1).alias(out),
@@ -3304,6 +3311,10 @@ def theil_sen_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     o = _t(spark, sf_dir, "orders")
+    # pin the calendar-day aggregate once (~|days| rows): it feeds both
+    # theta-join sides plus n_days, and every rank pass over the lazy
+    # slope relation re-derives it — checkpointing the SMALL day table
+    # (not the |days|² slopes) is the cheap side of the guide §5 trade
     days = (
         o.groupBy(
             F.unix_date(F.col("o_orderdate").cast("date"))
@@ -3315,6 +3326,7 @@ def theil_sen_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("rev_c")
         )
+        .localCheckpoint(eager=True)
     )
     a = days.select(F.col("di").alias("dia"), F.col("rev_c").alias("ra"))
     b = days.select(F.col("di").alias("dib"), F.col("rev_c").alias("rb"))
@@ -3332,9 +3344,11 @@ def theil_sen_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = with_global_rank(
         slopes, "slope", tiebreak_cols=["dia", "dib"],
         out_rank="rn", total_col="m", bins=128,
-        # the ~|days|² theta-join pair stage would otherwise re-execute
-        # once per rank pass (3x) — materialize it once (guide §5)
-        materialize=True,
+        # measured (r13): materializing the ~3M-row slope relation cost
+        # MORE than regenerating it per rank pass from the checkpointed
+        # day table — the broadcast theta-join is codegen with no
+        # shuffle, so only `days` is worth pinning (guide §1.1 —
+        # re-measure, don't assume)
     )
     n_days = days.agg(F.count("*").cast("bigint").alias("n_days"))
     return (
@@ -3529,7 +3543,6 @@ def ks_test_urgent_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = with_global_rank(
         grp, "cents", out_rank="__rn",
         cumsum={"c1": "f1", "c2": "f2"}, acc_type="BIGINT", bins=64,
-        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
     )
     tot = grp.agg(
         F.sum("c1").cast("bigint").alias("n1"),
@@ -3750,7 +3763,6 @@ def wasserstein_price_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = with_global_rank(
         grp, "cents", out_rank="rn",
         cumsum={"c1": "f1", "c2": "f2"}, acc_type="BIGINT", bins=64,
-        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
     )
     nxt = cum.select(
         (F.col("rn") - 1).alias("rn"), F.col("cents").alias("next_cents")
@@ -4222,7 +4234,6 @@ def levene_brown_forsythe_segments(spark: SparkSession, sf_dir: str) -> DataFram
         cumsum={"cnt": "cw"},
         acc_type="BIGINT",
         bins=64,
-        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
     )
     ng = vals.groupBy("segment").agg(
         F.sum("cnt").cast("bigint").alias("n")
@@ -4366,17 +4377,19 @@ def hodges_lehmann_urgent_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    xd = daily("o_orderpriority = '1-URGENT'")
-    yd = daily("o_orderpriority <> '1-URGENT'")
+    # pin the two tiny day tables (~|days| rows each), NOT the diff
+    # histogram: measured (r13) — checkpointing the ~|days_x|*|days_y|
+    # distinct-diff relation doubled the query (millions of rows
+    # written for nothing), while regenerating it per consumer from
+    # the pinned day tables is a no-shuffle broadcast cross join.
+    # Guide §5/§1.1 (measure, don't assume).
+    xd = daily("o_orderpriority = '1-URGENT'").localCheckpoint(eager=True)
+    yd = daily("o_orderpriority <> '1-URGENT'").localCheckpoint(eager=True)
     vals = (
         xd.select(F.col("rev_c").alias("xr"))
         .crossJoin(F.broadcast(yd.select(F.col("rev_c").alias("yr"))))
         .groupBy((F.col("xr") - F.col("yr")).alias("d"))
         .agg(F.count("*").cast("bigint").alias("cnt"))
-        # the |days_x|*|days_y| cross join + groupBy feeds the 3-pass
-        # distributed rank AND the m total — materialize once instead
-        # of 4 executions (guide §5; bounded: distinct diffs + counts)
-        .localCheckpoint(eager=True)
     )
     ranked = with_global_rank(
         vals,
@@ -5172,6 +5185,12 @@ def mann_kendall_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     o = _t(spark, sf_dir, "orders")
+    # pin the calendar-day aggregate once: it feeds both theta-join
+    # sides, ties and nn, and every consumer of the lazy pair relation
+    # re-derives it. Measured (r13): checkpointing the |days|² PAIRS
+    # instead was 1.4x SLOWER — materializing millions of pair rows
+    # costs more than regenerating them from the tiny pinned day table
+    # (broadcast theta-join, codegen, no shuffle). Guide §5/§1.1.
     days = (
         o.groupBy(
             F.unix_date(F.col("o_orderdate").cast("date"))
@@ -5183,6 +5202,7 @@ def mann_kendall_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("rev_c")
         )
+        .localCheckpoint(eager=True)
     )
     a = days.select(F.col("di").alias("dia"), F.col("rev_c").alias("ra"))
     b = days.select(F.col("di").alias("dib"), F.col("rev_c").alias("rb"))
@@ -5190,11 +5210,6 @@ def mann_kendall_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rb") - F.col("ra")).alias("dx"),
         (F.col("dib") - F.col("dia")).alias("dd"),
     )
-    # the ~|days|² theta-join feeds sc, the slope groupBy (which itself
-    # feeds the 3-pass distributed rank AND the m total) — without this
-    # the pair stage re-executes ~6x (guide §5: materialize reused
-    # intermediates; bounded: 2 bigints per calendar pair)
-    pairs = pairs.localCheckpoint(eager=True)
     sc = pairs.agg(
         F.sum(F.expr("CASE WHEN dx > 0 THEN 1 ELSE 0 END"))
         .cast("bigint")
@@ -5226,9 +5241,6 @@ def mann_kendall_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     slc = with_global_rank(
         sl, "s_e6", out_rank="__rn", cumsum={"cnt": "cw"},
         acc_type="BIGINT", bins=128,
-        # the slope groupBy over the checkpointed pairs still runs once
-        # per rank pass without this (guide §5)
-        materialize=True,
     )
     m = sl.agg(F.sum("cnt").cast("bigint").alias("m"))
     sen = slc.crossJoin(F.broadcast(m)).agg(
@@ -6951,7 +6963,6 @@ def ansari_bradley_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
         cumsum={"cnt": "cw"},
         acc_type="BIGINT",
         bins=64,
-        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
     )
     scored = ranked.crossJoin(F.broadcast(tot)).select(
         "cnt",
@@ -7357,7 +7368,6 @@ def brunner_munzel_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
         cumsum={"cnt": "cw", "cnt1": "cw1", "cnt2": "cw2"},
         acc_type="BIGINT",
         bins=64,
-        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
     )
     tot = hist.agg(
         F.sum("cnt1").cast("bigint").alias("n1"),
@@ -7695,7 +7705,6 @@ def kuiper_test_urgent_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = with_global_rank(
         grp, "cents", out_rank="__rn",
         cumsum={"c1": "f1", "c2": "f2"}, acc_type="BIGINT", bins=64,
-        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
     )
     tot = grp.agg(
         F.sum("c1").cast("bigint").alias("n1"),
@@ -7915,7 +7924,6 @@ def anderson_darling_daily_revenue(
     cum = with_global_rank(
         grp, "v", out_rank="__rn", cumsum={"c": "f"},
         acc_type="BIGINT", bins=64,
-        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
     )
     zt = (
         cum.crossJoin(F.broadcast(tot))
@@ -8047,7 +8055,6 @@ def cramer_von_mises_urgent_price(
     cum = with_global_rank(
         grp, "cents", out_rank="__rn",
         cumsum={"c1": "f1", "c2": "f2"}, acc_type="BIGINT", bins=64,
-        materialize=True,  # input is a derived aggregate: avoid 3x lineage re-execution (guide §5)
     )
     tot = grp.agg(
         F.sum("c1").cast("bigint").alias("n1"),

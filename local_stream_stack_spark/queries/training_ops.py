@@ -80,9 +80,6 @@ def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_rank="__rnb",
         cumsum={"__n": "__cum"},
         acc_type="BIGINT",
-        # 256-row aggregate over a full scan: materialize once instead
-        # of re-scanning documents per rank pass (guide §5)
-        materialize=True,
     ).select("__b", (F.col("__cum") - F.col("__n")).alias("__off"))
     wb = Window.partitionBy("__b").orderBy("__h", "doc_id")
     return (
@@ -1160,11 +1157,17 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.p_partkey").alias("key_b"),
             F.col("a.p_name").alias("name_a"),
             F.col("b.p_name").alias("name_b"),
-            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            # bounded levenshtein (threshold arg, Spark 3.5+): banded
+            # O(len * k) DP with early abandon instead of the full
+            # O(len_a * len_b) matrix; returns -1 above the bound and
+            # the EXACT distance at or below it, so the kept rows are
+            # byte-identical to the unbounded form (guide §1.2 —
+            # per-task work; this is the dominant cost of the query)
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 12)
             .cast("int")
             .alias("edit_dist"),
         )
-        .filter(F.col("edit_dist") <= 12)
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= 12))
         .orderBy("key_a", "key_b")
     )
 
@@ -2137,10 +2140,16 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
     )
+    # dfc >= 2 is a pure pair-pruning bound, not a semantic change: a
+    # gram in ONE document joins only with itself and doc_a < doc_b
+    # drops every same-doc pair, so df=1 grams (the overwhelming
+    # majority of a real corpus) contribute zero output rows. Filtering
+    # them here shrinks the inverted-index self-join input to the
+    # co-occurring sliver (guide §2.3: shuffle fewer bytes).
     ok = (
         grams.groupBy("g")
         .agg(F.countDistinct("doc_id").alias("dfc"))
-        .filter(F.col("dfc") <= 8)
+        .filter((F.col("dfc") >= 2) & (F.col("dfc") <= 8))
         .select("g")
     )
     gk = grams.join(ok, "g")
