@@ -55,6 +55,27 @@ def connected_components(
         .withColumn("c", F.col("n"))
         .localCheckpoint(eager=True)
     )
+    # Convergence check: min-label propagation only ever DECREASES a
+    # node's label and never changes the node set, so for NUMERIC ids
+    # Σc strictly decreases iff any label changed this round. Tracking
+    # the exact decimal sum replaces the former per-round
+    # join-and-compare against the previous labels (one extra shuffle
+    # join per round) with a single aggregate over the already-
+    # checkpointed table — same decision, one cheap job (guide §2.4;
+    # DECIMAL(38,0) cannot overflow: |nodes| * max id fits 38 digits
+    # for any BIGINT ids). Non-numeric ids (string entity keys) keep
+    # the exact join-based comparison — no numeric monotone summary
+    # exists for lexicographic minima.
+    numeric_ids = dict(labels.dtypes)["c"] in (
+        "tinyint", "smallint", "int", "bigint",
+    )
+
+    def _label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.expr("CAST(c AS DECIMAL(38,0))")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _label_sum(labels) if numeric_ids else None
     for _ in range(max_iter):
         nbr = und.join(labels, und["s"] == labels["n"]).select(
             F.col("d").alias("n"), F.col("c")
@@ -65,16 +86,23 @@ def connected_components(
             .agg(F.min("c").alias("c"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("a")
-            .join(labels.alias("b"), "n")
-            .filter(F.col("a.c") != F.col("b.c"))
-            .limit(1)
-            .count()
-        )
-        labels = new
-        if changed == 0:
-            break
+        if numeric_ids:
+            new_sum = _label_sum(new)
+            labels = new
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+        else:
+            changed = (
+                new.alias("a")
+                .join(labels.alias("b"), "n")
+                .filter(F.col("a.c") != F.col("b.c"))
+                .limit(1)
+                .count()
+            )
+            labels = new
+            if changed == 0:
+                break
     return labels.select(F.col("n").alias("node"), F.col("c").alias("component"))
 
 

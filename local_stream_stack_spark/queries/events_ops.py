@@ -1247,6 +1247,10 @@ def event_gap_quantiles_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("gap_us").isNotNull())
         .select("event_type", F.col("gap_us").cast("double").alias("gap_us"))
+        # chunked-lag stage (chunk shuffle + boundary fix-up) feeds the
+        # count agg AND the 3-pass quantile operator — pin once instead
+        # of 4 re-executions (guide §5)
+        .localCheckpoint(eager=True)
     )
     counts = gaps.groupBy("event_type").agg(F.count("*").alias("n_gaps"))
     q = exact_quantiles(
@@ -1315,6 +1319,10 @@ def event_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("gap_us", F.col("t_us") - F.lag("t_us").over(w))
         .filter(F.col("gap_us").isNotNull())
         .select("event_type", F.col("gap_us").cast("double").alias("gap_us"))
+        # the per-user lag window (shuffle + sort) feeds the count agg
+        # AND the 3-pass quantile operator — pin the 2-column gap
+        # relation once instead of 4 window re-executions (guide §5)
+        .localCheckpoint(eager=True)
     )
     counts = gaps.groupBy("event_type").agg(F.count("*").alias("n_gaps"))
     q = exact_quantiles(
@@ -1862,11 +1870,19 @@ def conversion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["touch_key"],
         tolerance="INTERVAL 1 HOUR",
     )
-    lags = j.filter(F.col("touch_key").isNotNull()).select(
-        F.substring_index("touch_key", ":", -1).alias("touch_type"),
-        (epoch_us(F.col("ts")) - epoch_us(F.col("right_ts")))
-        .cast("double")
-        .alias("lag_us"),
+    lags = (
+        j.filter(F.col("touch_key").isNotNull())
+        .select(
+            F.substring_index("touch_key", ":", -1).alias("touch_type"),
+            (epoch_us(F.col("ts")) - epoch_us(F.col("right_ts")))
+            .cast("double")
+            .alias("lag_us"),
+        )
+        # the as-of join (union + user_id shuffle + window) feeds the
+        # 3-pass quantile operator AND the count aggregate — pin the
+        # 2-column lag relation once instead of 4 re-executions
+        # (guide §5; bounded: one narrow row per conversion)
+        .localCheckpoint(eager=True)
     )
     qs = exact_quantiles(
         lags, "lag_us", [0.5, 0.9], ["touch_type"],

@@ -6311,7 +6311,13 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     from local_stream_stack_spark.operators.dedup import simhash_portable
 
     d = _t(spark, sf_dir, "documents")
-    sig = simhash_portable(d, id_col="doc_id", text_col="text")
+    # the signature pipeline (tokenize + per-bit majority vote) feeds
+    # THREE consumers through `chunks` (bucket counts, both self-join
+    # sides) — pin the (doc_id, signature) table once instead of three
+    # full tokenize re-executions (guide §5; 2 bigints per doc)
+    sig = simhash_portable(
+        d, id_col="doc_id", text_col="text"
+    ).localCheckpoint(eager=True)
     sig_col = [c for c in sig.columns if c != "doc_id"][0]
     chunks = sig.select(
         "doc_id",
@@ -7999,12 +8005,17 @@ def rm3_expanded_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe, second = 10-term probe), feedback set and term lists are
     broadcast-sized, top-k via TakeOrderedAndProject."""
     d = _t(spark, sf_dir, "documents")
+    # the corpus token relation feeds FIVE consumers (doclen, df, both
+    # probe tf passes, the feedback language model) — stage the regex
+    # tokenization once instead of five explode re-executions
+    # (guide §5; regex split over full text is the dominant per-pass
+    # cost, same finding as the repetition/minhash staging)
     tok = d.select(
         "doc_id",
         F.explode(
             F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
         ).alias("tok"),
-    )
+    ).localCheckpoint(eager=True)
     doclen = tok.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("len")
     )

@@ -4090,6 +4090,10 @@ def friedman_test_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("rev_c")
         )
+        # same fan-out as cochran_q_daily/page_trend: pin the tiny
+        # (day, segment) grid once instead of ~6 re-executions
+        # (guide §5)
+        .localCheckpoint(eager=True)
     )
     kk = cells.agg(
         F.countDistinct("segment").cast("bigint").alias("k")
@@ -5599,6 +5603,11 @@ def cochran_q_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("rev_c")
         )
+        # the (day, segment) grid aggregate fans out into k, the
+        # complete-block filter and the downstream rank/indicator
+        # consumers — pin the ~|days|*k-row grid once instead of ~6
+        # join+groupBy re-executions (guide §5)
+        .localCheckpoint(eager=True)
     )
     kk = cells.agg(F.countDistinct("segment").cast("bigint").alias("k"))
     full_days = (
@@ -5760,6 +5769,11 @@ def page_trend_test_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("rev_c")
         )
+        # the (day, segment) grid aggregate fans out into k, the
+        # complete-block filter and the downstream rank/indicator
+        # consumers — pin the ~|days|*k-row grid once instead of ~6
+        # join+groupBy re-executions (guide §5)
+        .localCheckpoint(eager=True)
     )
     kk = cells.agg(F.countDistinct("segment").cast("bigint").alias("k"))
     full_days = (
@@ -5893,8 +5907,14 @@ def jonckheere_terpstra_priority(
         F.col("o_orderpriority").alias("prio"),
         F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
     )
-    pc = o.groupBy("prio", "cents").agg(
-        F.count("*").cast("bigint").alias("cnt")
+    pc = (
+        o.groupBy("prio", "cents")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        # the (prio, cents) grid aggregate feeds SIX consumers (both
+        # grid distincts, the grid join, the J2 pair join, group sizes,
+        # tie mass) — pin the value-grid-sized relation once instead of
+        # six scan+groupBy re-executions (guide §5)
+        .localCheckpoint(eager=True)
     )
     grid = (
         pc.select("cents")

@@ -206,8 +206,13 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = exact_quantiles(
         e, "value", [0.5], ["event_type"], out_cols=["med"]
     )
-    dev = e.join(F.broadcast(med), "event_type").withColumn(
-        "adev", F.abs(F.col("value") - F.col("med"))
+    dev = (
+        e.join(F.broadcast(med), "event_type")
+        .withColumn("adev", F.abs(F.col("value") - F.col("med")))
+        # the deviation relation feeds the 3-pass MAD quantile AND the
+        # final scoring pass — pin once instead of 4 scan+join
+        # re-executions (guide §5; bounded: one row per event)
+        .localCheckpoint(eager=True)
     )
     mad = exact_quantiles(
         dev, "adev", [0.5], ["event_type"], out_cols=["mad"]
@@ -1157,17 +1162,17 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.p_partkey").alias("key_b"),
             F.col("a.p_name").alias("name_a"),
             F.col("b.p_name").alias("name_b"),
-            # bounded levenshtein (threshold arg, Spark 3.5+): banded
-            # O(len * k) DP with early abandon instead of the full
-            # O(len_a * len_b) matrix; returns -1 above the bound and
-            # the EXACT distance at or below it, so the kept rows are
-            # byte-identical to the unbounded form (guide §1.2 —
-            # per-task work; this is the dominant cost of the query)
-            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 12)
+            # measured (r13): the bounded levenshtein(…, threshold=12)
+            # variant was 1.8x SLOWER here — p_name is ~30 chars, so
+            # the banded DP's early-abandon bookkeeping costs more than
+            # the 12-wide band saves; the plain full-matrix form wins
+            # at this string length (guide §1.1 — measure, don't
+            # assume)
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
             .cast("int")
             .alias("edit_dist"),
         )
-        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= 12))
+        .filter(F.col("edit_dist") <= 12)
         .orderBy("key_a", "key_b")
     )
 
@@ -2251,6 +2256,11 @@ def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
         .distinct()
+        # the distinct-gram relation (tokenize + 8-gram explode +
+        # dedup shuffle) feeds the first-occurrence MIN AND the join
+        # back — pin it once instead of two explode+shuffle
+        # re-executions (guide §5)
+        .localCheckpoint(eager=True)
     )
     first_seen = g.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     per = (
@@ -2675,9 +2685,16 @@ def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts; ratios are single divisions of exact integers rounded
     to scaled BIGINTs, and the top-10 is TakeOrderedAndProject with
     full deterministic tie-break."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        # the distinct basket relation (scan + dedup SHUFFLE) feeds
+        # FOUR consumers (order count, item supports, both self-join
+        # sides) — pin it once instead of four shuffle re-executions
+        # (guide §5; 2 bigints per distinct basket line)
+        .localCheckpoint(eager=True)
+    )
     n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     item = li.groupBy("l_partkey").agg(F.count("*").alias("supp"))
     a = li.alias("a")
