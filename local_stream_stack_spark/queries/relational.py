@@ -329,10 +329,24 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct counts. HLL sketches differ across engines, so this gets
     the rows-only check; test_relational.py bounds its error vs exact."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    # computed as two independent subtrees instead of one fused agg
+    # (r13, measured): mixing the HLL imperative aggregate with an
+    # exact distinct forced a 2-way Expand + SortAggregate over every
+    # row; separately, the HLL side is a plain object-hash aggregate
+    # and the exact side is the two-level (flag, partkey) distinct →
+    # count hash aggregate — both partial-aggregated scan-side, joined
+    # on the 3-row flag key. Identical results: HLL is duplicate- and
+    # order-insensitive, the exact count is the same set (guide §2.4).
+    apx = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
     )
+    exact = (
+        li.select("l_returnflag", "l_partkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count("l_partkey").alias("exact_parts"))
+    )
+    return apx.join(exact, "l_returnflag")
 
 
 @query(

@@ -837,24 +837,29 @@ def winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-table column profile (null counts, exact distinct
-    cardinalities, typed min/max) in ONE scan — the data-quality
-    summary every ingestion gate runs. All 6 columns' aggregates
-    compute in a single pass (Catalyst plans the multi-distinct via
-    one Expand), then the 1-row result pivots to long form with
-    ``stack`` driver-side — the oracle recomputes each column
-    independently, so the single-pass fusion is what's being proven.
-    At 100 TB swap COUNT(DISTINCT) for approx_count_distinct to
-    avoid the Expand blow-up; min/max/null-counts are already
-    partial-aggregated scan-side. Timestamps profile as epoch-us."""
+    cardinalities, typed min/max) — the data-quality summary every
+    ingestion gate runs.
+
+    Plan shape (r13, measured): the former fused multi-distinct form
+    planned as a 7-way Expand whose buffer carried string min/max, so
+    EVERY aggregate fell back to SortAggregate — three full sorts of
+    |rows|*7 wide rows. Split instead into (a) ONE hash-aggregate
+    pass for null counts + numeric/date min/max (fixed-width buffer,
+    partial-aggregated scan-side) and (b) one two-phase distinct
+    aggregate PER COLUMN, each scanning a single parquet column and
+    shuffling only its per-partition distinct values; string min/max
+    fold over the (tiny) distinct sets. The six per-column subtrees
+    hang off broadcast joins of 1-row relations, so they execute
+    concurrently. No Expand, no wide-row sort, same exact numbers —
+    and at 100 TB each shuffle is bounded by column cardinality, not
+    7x the row count (guide §2.3/§2.4). Timestamps profile as
+    epoch-us."""
     o = _t(spark, sf_dir, "orders")
     num_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
     str_cols = ["o_orderstatus", "o_orderpriority"]
     aggs = []
     for c in num_cols + str_cols + ["o_orderdate"]:
-        aggs += [
-            (F.count(F.lit(1)) - F.count(c)).alias(f"nn_{c}"),
-            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
-        ]
+        aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"nn_{c}"))
     for c in num_cols:
         aggs += [
             F.min(c).cast("double").alias(f"mn_{c}"),
@@ -868,9 +873,16 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("mx_o_orderdate"),
     ]
-    for c in str_cols:
-        aggs += [F.min(c).alias(f"mns_{c}"), F.max(c).alias(f"mxs_{c}")]
     row = o.agg(*aggs)
+    for c in num_cols + str_cols + ["o_orderdate"]:
+        dist = o.select(c).distinct()
+        col_aggs = [F.count(F.col(c)).alias(f"nd_{c}")]
+        if c in str_cols:
+            col_aggs += [
+                F.min(c).alias(f"mns_{c}"),
+                F.max(c).alias(f"mxs_{c}"),
+            ]
+        row = row.crossJoin(F.broadcast(dist.agg(*col_aggs)))
 
     def entry(c: str, numeric: bool) -> str:
         if numeric:

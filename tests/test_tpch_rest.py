@@ -130,3 +130,31 @@ def test_hll_sketch_rollup_error_bound(spark, sf_dir):
         .collect()
     }
     assert est == direct
+
+
+def test_approx_distinct_parts_split_form_matches_fused(spark, sf_dir):
+    """r13 restructure pin: the two-subtree form (separate HLL agg +
+    two-level exact distinct, joined on flag) must return the same
+    rows as the former fused multi-distinct aggregate — the HLL
+    estimate is duplicate/order-insensitive, the exact side is the
+    same set."""
+    from pyspark.sql import functions as F
+
+    from local_stream_stack_spark.catalog import load_table
+    from local_stream_stack_spark.queries import QUERIES
+
+    got = {
+        r.l_returnflag: (r.approx_parts, r.exact_parts)
+        for r in QUERIES["approx_distinct_parts"].fn(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    fused = {
+        r.l_returnflag: (r.a, r.e)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("a"),
+            F.countDistinct("l_partkey").alias("e"),
+        )
+        .collect()
+    }
+    assert got == fused
