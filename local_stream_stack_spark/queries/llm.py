@@ -6702,12 +6702,15 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join against the 3-row broadcast term list -> top-20 via
     TakeOrderedAndProject (never a global window)."""
     d = _t(spark, sf_dir, "documents")
+    # the corpus token relation feeds the doclen/df/tf consumers —
+    # stage the regex tokenization once instead of re-exploding per
+    # consumer (guide §5; same finding as the RM3/minhash staging)
     tok = d.select(
         "doc_id",
         F.explode(
             F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
         ).alias("tok"),
-    )
+    ).localCheckpoint(eager=True)
     doclen = tok.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("len")
     )
@@ -7212,12 +7215,15 @@ def qld_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the all-docs x 3-terms cell grid is linear in docs with a
     broadcast term list."""
     d = _t(spark, sf_dir, "documents")
+    # the corpus token relation feeds the doclen/df/tf consumers —
+    # stage the regex tokenization once instead of re-exploding per
+    # consumer (guide §5; same finding as the RM3/minhash staging)
     tok = d.select(
         "doc_id",
         F.explode(
             F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
         ).alias("tok"),
-    )
+    ).localCheckpoint(eager=True)
     doclen = tok.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("len")
     )
@@ -7354,12 +7360,15 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents")
+    # the corpus token relation feeds the doclen/df/tf consumers —
+    # stage the regex tokenization once instead of re-exploding per
+    # consumer (guide §5; same finding as the RM3/minhash staging)
     tok = d.select(
         "doc_id",
         F.explode(
             F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
         ).alias("tok"),
-    )
+    ).localCheckpoint(eager=True)
     doclen = tok.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("len")
     )
@@ -9023,12 +9032,15 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect at scale); everything corpus-sized (scoring, pool cut,
     similarity matrix) stays distributed."""
     d = _t(spark, sf_dir, "documents")
+    # the corpus token relation feeds the doclen/df/tf consumers —
+    # stage the regex tokenization once instead of re-exploding per
+    # consumer (guide §5; same finding as the RM3/minhash staging)
     tok = d.select(
         "doc_id",
         F.explode(
             F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
         ).alias("tok"),
-    )
+    ).localCheckpoint(eager=True)
     doclen = tok.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("len")
     )
@@ -9210,12 +9222,15 @@ def tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     token relation + a broadcast 3-term probe; the norm pass reuses
     the weight relation, and top-k is TakeOrderedAndProject."""
     d = _t(spark, sf_dir, "documents")
+    # the corpus token relation feeds the doclen/df/tf consumers —
+    # stage the regex tokenization once instead of re-exploding per
+    # consumer (guide §5; same finding as the RM3/minhash staging)
     tok = d.select(
         "doc_id",
         F.explode(
             F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
         ).alias("tok"),
-    )
+    ).localCheckpoint(eager=True)
     tf = tok.groupBy("doc_id", "tok").agg(
         F.count("*").cast("bigint").alias("tf")
     )
@@ -9349,12 +9364,15 @@ def pl2_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums. Scale: same profile as `bm25_topk_docs` — one tokenize
     pass, broadcast 3-term probe, TakeOrderedAndProject."""
     d = _t(spark, sf_dir, "documents")
+    # the corpus token relation feeds the doclen/df/tf consumers —
+    # stage the regex tokenization once instead of re-exploding per
+    # consumer (guide §5; same finding as the RM3/minhash staging)
     tok = d.select(
         "doc_id",
         F.explode(
             F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
         ).alias("tok"),
-    )
+    ).localCheckpoint(eager=True)
     doclen = tok.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("len")
     )
@@ -9841,12 +9859,15 @@ def dph_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject — same profile as `bm25_topk_docs` /
     `pl2_topk_docs`."""
     d = _t(spark, sf_dir, "documents")
+    # the corpus token relation feeds the doclen/df/tf consumers —
+    # stage the regex tokenization once instead of re-exploding per
+    # consumer (guide §5; same finding as the RM3/minhash staging)
     tok = d.select(
         "doc_id",
         F.explode(
             F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
         ).alias("tok"),
-    )
+    ).localCheckpoint(eager=True)
     doclen = tok.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("len")
     )
@@ -10376,8 +10397,13 @@ def keywords_per_doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
         ).alias("tok"),
     )
-    tf = tok.groupBy("doc_id", "tok").agg(
-        F.count("*").cast("bigint").alias("tf")
+    tf = (
+        tok.groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        # the (doc, term) tf aggregate feeds df, the doc count AND the
+        # scoring join — pin it once instead of three tokenize+groupBy
+        # re-executions (guide §5)
+        .localCheckpoint(eager=True)
     )
     df = tf.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
     n = tf.agg(
