@@ -540,3 +540,229 @@ def exact_quantiles_by_value(
         for i in range(len(qs_per[c]))
     ]
     return picked.groupBy(*keys).agg(*finals)
+
+
+def values_at_global_ranks(
+    df: DataFrame,
+    order_col: str,
+    ranks_df: DataFrame,
+    rank_cols: Sequence[str],
+    out_cols: Sequence[str],
+    bins: int = 4096,
+    keys: Sequence[str] = (),
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Exact ORDER STATISTICS without ranking every row: the value of
+    ``order_col`` at each requested 1-indexed rank (global, or per
+    ``keys`` group), where the ranks themselves are data-dependent
+    (columns of ``ranks_df`` — ONE row globally, or one row per key
+    group carrying the key columns — e.g. median positions derived
+    from a count).
+
+    ``with_global_rank`` assigns a rank to EVERY row, which costs a
+    full shuffle of the input into bin partitions plus a per-bin sort
+    — wasted work when only a few order statistics are consumed (a
+    median, nine deciles). This operator refines instead (the
+    ``exact_quantiles_multi`` idea applied to rank selection):
+
+    1. pass 0 — per-key (min, max) of the double proxy: codegen
+       aggregate, broadcast back.
+    2. pass 1 — per-(key, bin) counts over ``bins`` equi-width bins:
+       partial aggregation means the shuffle carries at most ``bins``
+       rows per key per map task; the exclusive running counts over
+       the <=bins rows per key are folded inside ONE collected array
+       row (sort_array + aggregate — never an unpartitioned window),
+       and the bins containing any requested rank are selected by a
+       broadcast join against ``ranks_df``.
+    3. pass 2 — only rows INSIDE target bins survive the filter (a
+       broadcast join on (key, bin), so non-target rows never
+       shuffle); they collapse to a per-value histogram, and the
+       value at rank ``r`` is picked by an array fold over the in-bin
+       histogram at offset ``r - below``.
+
+    With ``weight_col`` (integer, non-negative), "rank" generalizes
+    to a cumulative-WEIGHT threshold: the result for threshold ``t``
+    is the smallest value whose inclusive running weight (in value
+    order) reaches ``t`` — the lower weighted-median convention when
+    ``t = (total + 1) div 2``. Plain ranks are the weight==1 case.
+
+    Every pass re-executes ``df``'s lineage (pin upstream relations
+    that are expensive to regenerate); no pass shuffles more than the
+    target-bin subset, no window is unpartitioned, nothing is
+    collected to the driver. Returns, per ``ranks_df`` row, every
+    ``ranks_df`` column plus, for each (rank, out) pair, the value at
+    that rank — NULL when the rank is outside [1, n] (out-of-range /
+    empty-input ranks yield NULL, never an error; with ``keys``, key
+    groups absent from ``df`` yield no row). Degenerate all-equal
+    inputs collapse to one bin whose per-value histogram is a single
+    row — the same documented bound as ``exact_quantiles``. Order
+    values must be non-null and non-NaN; rank columns must be
+    BIGINT-compatible.
+    """
+    rank_cols = list(rank_cols)
+    out_cols = list(out_cols)
+    keys = list(keys)
+    if len(rank_cols) != len(out_cols):
+        raise ValueError("rank_cols and out_cols must match in length")
+    if not rank_cols:
+        raise ValueError("at least one rank required")
+    vtype = dict(df.dtypes).get(order_col)
+    if vtype is None:
+        raise ValueError(f"unknown order column {order_col!r}")
+    wexpr = (
+        F.expr(f"CAST({weight_col} AS BIGINT)")
+        if weight_col
+        else F.lit(1).cast("bigint")
+    )
+
+    work = df.withColumn("__vgr_p", F.col(order_col).cast("double"))
+    ext_aggs = [
+        F.min("__vgr_p").alias("__vgr_lo"),
+        F.max("__vgr_p").alias("__vgr_hi"),
+    ]
+    # The tiny state tables (ext: one row per key; tgt: one row per
+    # target bin per key) are PINNED eagerly: ext is referenced inside
+    # every ``binned`` consumer and tgt's subtree embeds the whole
+    # pass-1 plan, so without the pins pass 2 re-executes pass 1 (and
+    # every pass re-executes pass 0) — the lazy nesting multiplied the
+    # input lineage ~4x (measured r13: mann_kendall 13.7 s with lazy
+    # state vs 2.5 s pinned). The pinned rows are bounded by keys x
+    # bins, never by input size (guide §5).
+    ext = (
+        (work.groupBy(*keys).agg(*ext_aggs) if keys else work.agg(*ext_aggs))
+        .withColumn(
+            "__vgr_w",
+            (F.col("__vgr_hi") - F.col("__vgr_lo")) / F.lit(float(bins)),
+        )
+        .localCheckpoint(eager=True)
+    )
+    joined = (
+        work.join(F.broadcast(ext), keys)
+        if keys
+        else work.crossJoin(F.broadcast(ext))
+    )
+    binned = joined.withColumn(
+        "__vgr_bin",
+        F.when(
+            F.col("__vgr_w") > 0,
+            F.least(
+                F.floor(
+                    (F.col("__vgr_p") - F.col("__vgr_lo")) / F.col("__vgr_w")
+                ).cast("bigint"),
+                F.lit(bins - 1),
+            ),
+        ).otherwise(F.lit(0)),
+    )
+    per_bin = binned.groupBy(*keys, "__vgr_bin").agg(
+        F.sum(wexpr).alias("__vgr_bc")
+    )
+    coll = F.sort_array(
+        F.collect_list(F.struct("__vgr_bin", "__vgr_bc"))
+    ).alias("__vgr_arr")
+    arr = per_bin.groupBy(*keys).agg(coll) if keys else per_bin.agg(coll)
+    out_t = "struct<bin:bigint,below:bigint,bc:bigint>"
+    zero = (
+        "named_struct('rc', CAST(0 AS BIGINT),"
+        f" 'out', CAST(array() AS array<{out_t}>))"
+    )
+    step = (
+        "named_struct('rc', a.rc + x.__vgr_bc,"
+        " 'out', array_append(a.out, named_struct("
+        "'bin', x.__vgr_bin, 'below', a.rc, 'bc', x.__vgr_bc)))"
+    )
+    below = arr.select(
+        *keys,
+        F.explode(
+            F.expr(
+                f"aggregate(__vgr_arr, {zero}, (a, x) -> {step}, a -> a.out)"
+            )
+        ).alias("__vgr_b"),
+    ).select(
+        *keys,
+        F.col("__vgr_b.bin").alias("__tb_bin"),
+        F.col("__vgr_b.below").alias("__tb_below"),
+        F.col("__vgr_b.bc").alias("__tb_bc"),
+    )
+    hit = None
+    for rc in rank_cols:
+        cond = (F.col("__tb_below") < F.col(rc)) & (
+            F.col(rc) <= F.col("__tb_below") + F.col("__tb_bc")
+        )
+        hit = cond if hit is None else (hit | cond)
+    tgt = (
+        (
+            below.join(F.broadcast(ranks_df), keys)
+            if keys
+            else below.crossJoin(F.broadcast(ranks_df))
+        )
+        .filter(hit)
+        .select(*keys, "__tb_bin", "__tb_below", "__tb_bc")
+        .localCheckpoint(eager=True)
+    )
+    surv = binned.join(
+        F.broadcast(tgt.withColumnRenamed("__tb_bin", "__vgr_bin")),
+        keys + ["__vgr_bin"],
+    ).groupBy(
+        *keys,
+        "__vgr_bin",
+        "__tb_below",
+        "__tb_bc",
+        F.col(order_col).alias("__vgr_v"),
+    ).agg(F.sum(wexpr).alias("__vgr_cnt"))
+    per_tbin = surv.groupBy(
+        *keys, "__vgr_bin", "__tb_below", "__tb_bc"
+    ).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("__vgr_v").alias("v"),
+                    F.col("__vgr_cnt").alias("cnt"),
+                )
+            )
+        ).alias("__vgr_a")
+    )
+    coll_bins = F.collect_list(
+        F.struct(
+            F.col("__tb_below").alias("below"),
+            F.col("__tb_bc").alias("bc"),
+            F.col("__vgr_a").alias("a"),
+        )
+    ).alias("__vgr_bins")
+    one = (
+        per_tbin.groupBy(*keys).agg(coll_bins)
+        if keys
+        else per_tbin.agg(coll_bins)
+    )
+    res = (
+        one.join(F.broadcast(ranks_df), keys)
+        if keys
+        else one.crossJoin(F.broadcast(ranks_df))
+    )
+    for rc, oc in zip(rank_cols, out_cols):
+        tcol = f"__vgr_t_{oc}"
+        res = res.withColumn(
+            tcol,
+            F.expr(
+                "try_element_at(filter(__vgr_bins,"
+                f" e -> e.below < {rc} AND {rc} <= e.below + e.bc), 1)"
+            ),
+        )
+        res = res.withColumn(
+            oc,
+            F.expr(
+                f"aggregate({tcol}.a,"
+                " named_struct('cum', CAST(0 AS BIGINT),"
+                f" 'v', CAST(NULL AS {vtype})),"
+                " (a, x) -> named_struct('cum', a.cum + x.cnt,"
+                " 'v', CASE WHEN a.v IS NULL"
+                f" AND a.cum + x.cnt >= {rc} - {tcol}.below"
+                " THEN x.v ELSE a.v END),"
+                " a -> a.v)"
+            ),
+        )
+    # the result is one row per ranks_df row — pin it so callers that
+    # feed it to several consumers (a median broadcast into a scoring
+    # pass AND a final summary) never re-execute the three passes
+    return res.select(*ranks_df.columns, *out_cols).localCheckpoint(
+        eager=True
+    )

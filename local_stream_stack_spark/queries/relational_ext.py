@@ -3315,11 +3315,17 @@ def theil_sen_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     enumeration runs over |days|² via a broadcast theta-join (~3M
     pairs here, bounded by the calendar, never by corpus rows); each
     slope is ONE division of exact integer diffs (identical doubles
-    on both engines), and the median is picked by exact distributed
-    rank (`with_global_rank` — bin counts + partitioned windows), not
-    a single-reducer sort. Rounded once to e6 after selection."""
+    on both engines), and the median is picked by exact rank-SELECT
+    (`values_at_global_ranks` — bin counts + in-target-bin
+    refinement), not a single-reducer sort and not a full distributed
+    rank: only the median position is consumed, so ranking every
+    slope (a full shuffle + per-bin sort per rank pass) was wasted
+    work — m is n(n-1)/2 from the day count, and no pass shuffles
+    more than the per-bin count table + the target-bin subset
+    (measured r13: 8.4 -> ~2.5 s at sf0.1, guide §2.3/§2.4).
+    Rounded once to e6 after selection."""
     from local_stream_stack_spark.operators.quantiles import (
-        with_global_rank,
+        values_at_global_ranks,
     )
 
     o = _t(spark, sf_dir, "orders")
@@ -3338,6 +3344,11 @@ def theil_sen_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("rev_c")
         )
+        # spread the tiny day table over the cores BEFORE pinning: AQE
+        # coalesces the aggregate to ONE partition, which would run
+        # every downstream broadcast theta-join pass single-threaded
+        # (measured r13: the whole pair stage serialized onto one core)
+        .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint(eager=True)
     )
     a = days.select(F.col("di").alias("dia"), F.col("rev_c").alias("ra"))
@@ -3345,34 +3356,33 @@ def theil_sen_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     slopes = (
         a.join(F.broadcast(b), F.col("dib") > F.col("dia"))
         .select(
-            "dia",
-            "dib",
             (
                 (F.col("rb") - F.col("ra")).cast("double")
                 / (F.col("dib") - F.col("dia"))
             ).alias("slope"),
         )
     )
-    ranked = with_global_rank(
-        slopes, "slope", tiebreak_cols=["dia", "dib"],
-        out_rank="rn", total_col="m", bins=128,
-        # measured (r13): materializing the ~3M-row slope relation cost
-        # MORE than regenerating it per rank pass from the checkpointed
-        # day table — the broadcast theta-join is codegen with no
-        # shuffle, so only `days` is worth pinning (guide §1.1 —
-        # re-measure, don't assume)
+    # measured (r13): materializing the ~3M-row slope relation cost
+    # MORE than regenerating it per rank pass from the checkpointed
+    # day table — the broadcast theta-join is codegen with no
+    # shuffle, so only `days` is worth pinning (guide §1.1 —
+    # re-measure, don't assume)
+    ranks = days.agg(F.count("*").cast("bigint").alias("n_days")).select(
+        "n_days",
+        F.expr("n_days * (n_days - 1) div 2").cast("bigint").alias("__m"),
+        F.expr("(n_days * (n_days - 1) div 2 + 1) div 2")
+        .cast("bigint")
+        .alias("__r1"),
     )
-    n_days = days.agg(F.count("*").cast("bigint").alias("n_days"))
-    return (
-        ranked.filter(F.expr("rn = (m + 1) div 2"))
-        .crossJoin(F.broadcast(n_days))
-        .select(
-            "n_days",
-            F.col("m").cast("bigint").alias("n_pairs"),
-            F.expr(
-                "CAST(FLOOR(slope * 1e6 + 0.5) AS BIGINT)"
-            ).alias("slope_e6_cents_per_day"),
-        )
+    med = values_at_global_ranks(slopes, "slope", ranks, ["__r1"], ["__v1"])
+    # rank 0 (no pairs: 0 or 1 days) selects nothing -> NULL -> no row,
+    # matching the oracle's empty result from an empty `ranked` CTE
+    return med.filter(F.col("__v1").isNotNull()).select(
+        "n_days",
+        F.col("__m").cast("bigint").alias("n_pairs"),
+        F.expr(
+            "CAST(FLOOR(__v1 * 1e6 + 0.5) AS BIGINT)"
+        ).alias("slope_e6_cents_per_day"),
     )
 
 
@@ -4365,13 +4375,17 @@ def hodges_lehmann_urgent_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     only says WHETHER the distributions differ, not by how much).
     Day-grain collapse first, so the quadratic pair stage is
     |days_x|*|days_y| via a broadcast nested-loop cross join (bounded
-    by the calendar, never corpus rows); pair differences collapse to
-    DISTINCT values with counts, and the doubled median (exact even-n
-    averaging without leaving integers) is picked from the
-    distributed-rank cumulative weights. Everything is integer cents
-    end to end."""
+    by the calendar, never corpus rows); the doubled median (exact
+    even-n averaging without leaving integers) is picked by exact
+    rank-SELECT (`values_at_global_ranks` — bin counts +
+    in-target-bin refinement): m = |days_x|*|days_y| is known from
+    the two day counts, so only the two median positions are ever
+    ranked — the old distinct-diff histogram got ~no compression
+    (differences are near-distinct), so every rank pass re-shuffled
+    ~|days_x|*|days_y| rows (measured r13: 7.1 -> ~2.4 s at sf0.1,
+    guide §2.3/§2.4). Everything is integer cents end to end."""
     from local_stream_stack_spark.operators.quantiles import (
-        with_global_rank,
+        values_at_global_ranks,
     )
 
     o = _t(spark, sf_dir, "orders")
@@ -4399,45 +4413,41 @@ def hodges_lehmann_urgent_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # written for nothing), while regenerating it per consumer from
     # the pinned day tables is a no-shuffle broadcast cross join.
     # Guide §5/§1.1 (measure, don't assume).
-    xd = daily("o_orderpriority = '1-URGENT'").localCheckpoint(eager=True)
+    # xd streams through the cross join — spread it over the cores
+    # before pinning (AQE coalesces the aggregate to one partition,
+    # serializing every pair pass); yd only ever broadcasts
+    xd = (
+        daily("o_orderpriority = '1-URGENT'")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
     yd = daily("o_orderpriority <> '1-URGENT'").localCheckpoint(eager=True)
-    vals = (
+    diffs = (
         xd.select(F.col("rev_c").alias("xr"))
         .crossJoin(F.broadcast(yd.select(F.col("rev_c").alias("yr"))))
-        .groupBy((F.col("xr") - F.col("yr")).alias("d"))
-        .agg(F.count("*").cast("bigint").alias("cnt"))
-    )
-    ranked = with_global_rank(
-        vals,
-        "d",
-        out_rank="__rn",
-        cumsum={"cnt": "cw"},
-        acc_type="BIGINT",
-        bins=128,
-    )
-    m = vals.agg(F.sum("cnt").cast("bigint").alias("m"))
-    med = (
-        ranked.crossJoin(F.broadcast(m))
-        .agg(
-            F.max("m").cast("bigint").alias("n_pairs"),
-            (
-                F.min(
-                    F.expr("CASE WHEN cw >= (m + 1) div 2 THEN d END")
-                )
-                + F.min(
-                    F.expr("CASE WHEN cw >= m div 2 + 1 THEN d END")
-                )
-            )
-            .cast("bigint")
-            .alias("hl_shift2_cents"),
-        )
+        .select((F.col("xr") - F.col("yr")).alias("d"))
     )
     nx = xd.agg(F.count("*").cast("bigint").alias("n_x"))
     ny = yd.agg(F.count("*").cast("bigint").alias("n_y"))
-    return (
-        nx.crossJoin(F.broadcast(ny))
-        .crossJoin(F.broadcast(med))
-        .select("n_x", "n_y", "n_pairs", "hl_shift2_cents")
+    ranks = nx.crossJoin(F.broadcast(ny)).select(
+        "n_x",
+        "n_y",
+        F.expr("n_x * n_y").cast("bigint").alias("__m"),
+        F.expr("(n_x * n_y + 1) div 2").cast("bigint").alias("__r1"),
+        F.expr("n_x * n_y div 2 + 1").cast("bigint").alias("__r2"),
+    )
+    med = values_at_global_ranks(
+        diffs, "d", ranks, ["__r1", "__r2"], ["__v1", "__v2"]
+    )
+    # m = 0 (either side empty) -> NULL n_pairs/shift, matching the
+    # oracle's aggregate over an empty `cum` CTE
+    return med.select(
+        "n_x",
+        "n_y",
+        F.expr("CASE WHEN __m > 0 THEN __m END")
+        .cast("bigint")
+        .alias("n_pairs"),
+        (F.col("__v1") + F.col("__v2")).cast("bigint").alias("hl_shift2_cents"),
     )
 
 
@@ -5194,10 +5204,11 @@ def mann_kendall_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     (calendar-bounded); S and the tie-corrected 18·Var(S) are exact
     integers; z is one double tree (single sqrt) rounded once to e6;
     Sen's slope floors each pairwise slope once to an e6 integer and
-    takes the doubled median via the distributed-rank cumsum — no
-    ordered global window anywhere."""
+    takes the doubled median via exact rank-SELECT
+    (`values_at_global_ranks`) — no ordered global window anywhere,
+    and no full rank of the near-distinct slope multiset either."""
     from local_stream_stack_spark.operators.quantiles import (
-        with_global_rank,
+        values_at_global_ranks,
     )
 
     o = _t(spark, sf_dir, "orders")
@@ -5218,6 +5229,11 @@ def mann_kendall_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("rev_c")
         )
+        # spread the tiny day table over the cores BEFORE pinning: AQE
+        # coalesces the aggregate to ONE partition, which would run
+        # every downstream broadcast theta-join pass single-threaded
+        # (measured r13: the whole pair stage serialized onto one core)
+        .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint(eager=True)
     )
     a = days.select(F.col("di").alias("dia"), F.col("rev_c").alias("ra"))
@@ -5249,23 +5265,31 @@ def mann_kendall_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     nn = days.agg(F.count("*").cast("bigint").alias("n"))
-    sl = pairs.groupBy(
+    # Sen's doubled median = the values at ranks (m+1) div 2 and
+    # m div 2 + 1 of the slope multiset, where m = n(n-1)/2 is known
+    # from the day count — so rank-SELECT (bin counts + in-target-bin
+    # refinement) replaces the full distributed rank: the old slope
+    # histogram groupBy got ~no compression (slopes are near-distinct),
+    # so every rank pass re-shuffled ~|days|²/2 rows; now no pass
+    # shuffles more than the per-bin count table + the target-bin
+    # subset (measured r13: 7.5 -> ~2.5 s at sf0.1). Guide §2.3/§2.4.
+    slopes_e6 = pairs.select(
         F.expr("CAST(FLOOR(1e6 * CAST(dx AS DOUBLE) / dd) AS BIGINT)").alias(
             "s_e6"
         )
-    ).agg(F.count("*").cast("bigint").alias("cnt"))
-    slc = with_global_rank(
-        sl, "s_e6", out_rank="__rn", cumsum={"cnt": "cw"},
-        acc_type="BIGINT", bins=128,
     )
-    m = sl.agg(F.sum("cnt").cast("bigint").alias("m"))
-    sen = slc.crossJoin(F.broadcast(m)).agg(
-        (
-            F.min(F.expr("CASE WHEN cw >= (m + 1) div 2 THEN s_e6 END"))
-            + F.min(F.expr("CASE WHEN cw >= m div 2 + 1 THEN s_e6 END"))
-        )
+    ranks = days.agg(F.count("*").cast("bigint").alias("__n")).select(
+        F.expr("(__n * (__n - 1) div 2 + 1) div 2")
         .cast("bigint")
-        .alias("slope2_e6")
+        .alias("__r1"),
+        F.expr("(__n * (__n - 1) div 2) div 2 + 1")
+        .cast("bigint")
+        .alias("__r2"),
+    )
+    sen = values_at_global_ranks(
+        slopes_e6, "s_e6", ranks, ["__r1", "__r2"], ["__v1", "__v2"]
+    ).select(
+        (F.col("__v1") + F.col("__v2")).cast("bigint").alias("slope2_e6")
     )
     return (
         nn.crossJoin(F.broadcast(sc))

@@ -552,3 +552,124 @@ def test_with_global_rank_plan_has_no_unpartitioned_window(spark):
     )
     assert "Window" in plan  # the partitioned within-bin windows
     assert not has_unpartitioned_window(plan)
+
+
+def test_values_at_global_ranks_matches_sort(spark):
+    """values_at_global_ranks must return the exact order statistic at
+    each requested 1-indexed rank — duplicates, all-equal single-bin
+    degenerate, extreme-outlier bin skew, doubles, empty input, and
+    out-of-range ranks (NULL, never an error) — and must do it under
+    ANSI mode (try_element_at on the empty target-bin filter)."""
+    from local_stream_stack_spark.operators.quantiles import (
+        values_at_global_ranks,
+    )
+
+    def check(vals, ranks, typ="bigint", bins=16):
+        df = spark.createDataFrame([(v,) for v in vals], f"v {typ}")
+        rdf = spark.range(1).select(
+            *[
+                F.lit(r).cast("bigint").alias(f"r{i}")
+                for i, r in enumerate(ranks)
+            ]
+        )
+        rows = values_at_global_ranks(
+            df,
+            "v",
+            rdf,
+            [f"r{i}" for i in range(len(ranks))],
+            [f"o{i}" for i in range(len(ranks))],
+            bins=bins,
+        ).collect()
+        assert len(rows) == 1
+        s = sorted(vals)
+        for i, r in enumerate(ranks):
+            exp = s[r - 1] if 1 <= r <= len(s) else None
+            assert rows[0][f"o{i}"] == exp, (r, rows[0][f"o{i}"], exp)
+
+    rng = random.Random(7)
+    check([rng.randint(-50, 50) for _ in range(1000)],
+          [1, 500, 501, 1000, 0, 1001])
+    check([7] * 100, [1, 50, 100])       # all-equal: one bin
+    check([], [1])                        # empty input: NULL
+    check([0] * 999 + [10 ** 12], [1, 500, 999, 1000])  # outlier skew
+    check([rng.gauss(0.0, 1.0) for _ in range(2000)],
+          [1, 1000, 1001, 2000], typ="double", bins=64)
+    check([42], [1])
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        check([rng.randint(-5, 5) for _ in range(200)],
+              [1, 100, 101, 200, 0, 201], bins=8)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
+def test_values_at_global_ranks_plan_has_no_unpartitioned_window(spark):
+    """The rank-select plan must contain no window at all and no
+    single-partition Exchange over the input relation."""
+    from local_stream_stack_spark.operators.quantiles import (
+        values_at_global_ranks,
+    )
+
+    df = spark.range(10000).select((F.col("id") % 97).alias("v"))
+    rdf = spark.range(1).select(F.lit(5000).cast("bigint").alias("r"))
+    out = values_at_global_ranks(df, "v", rdf, ["r"], ["o"], bins=32)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+
+
+def test_values_at_global_ranks_keyed_and_weighted(spark):
+    """Per-key rank selection must match a per-key sort, and the
+    weighted form must return the smallest value whose inclusive
+    running weight reaches the threshold (lower weighted median)."""
+    from local_stream_stack_spark.operators.quantiles import (
+        values_at_global_ranks,
+    )
+
+    rng = random.Random(13)
+    rows = [
+        (k, rng.randint(-100, 100), rng.randint(1, 9))
+        for k in ("a", "b", "c")
+        for _ in range(rng.choice([50, 137, 400]))
+    ]
+    df = spark.createDataFrame(rows, "k string, v bigint, w bigint")
+
+    # keyed (unweighted): median + max per key
+    import collections
+    per_key = collections.defaultdict(list)
+    for k, v, w in rows:
+        per_key[k].append((v, w))
+    cnt = {k: len(vs) for k, vs in per_key.items()}
+    rdf = spark.createDataFrame(
+        [(k, (cnt[k] + 1) // 2, cnt[k]) for k in per_key],
+        "k string, r1 bigint, r2 bigint",
+    )
+    got = {
+        r.k: (r.o1, r.o2)
+        for r in values_at_global_ranks(
+            df, "v", rdf, ["r1", "r2"], ["o1", "o2"], bins=16, keys=["k"]
+        ).collect()
+    }
+    for k, vs in per_key.items():
+        s = sorted(v for v, _ in vs)
+        assert got[k] == (s[(len(s) + 1) // 2 - 1], s[-1]), k
+
+    # keyed + weighted: lower weighted median per key
+    tot = {k: sum(w for _, w in vs) for k, vs in per_key.items()}
+    rdf_w = spark.createDataFrame(
+        [(k, (tot[k] + 1) // 2) for k in per_key], "k string, t bigint"
+    )
+    got_w = {
+        r.k: r.o
+        for r in values_at_global_ranks(
+            df, "v", rdf_w, ["t"], ["o"], bins=16, keys=["k"],
+            weight_col="w",
+        ).collect()
+    }
+    for k, vs in per_key.items():
+        cum, want = 0, None
+        for v, w in sorted(vs):
+            cum += w
+            if 2 * cum >= tot[k]:
+                want = v
+                break
+        assert got_w[k] == want, (k, got_w[k], want)
