@@ -1156,7 +1156,7 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a.first_word") == F.col("b.first_word"))
         & (F.col("a.p_partkey") < F.col("b.p_partkey")),
     )
-    return (
+    matched = (
         joined.select(
             F.col("a.p_partkey").alias("key_a"),
             F.col("b.p_partkey").alias("key_b"),
@@ -1173,8 +1173,14 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("edit_dist"),
         )
         .filter(F.col("edit_dist") <= 12)
-        .orderBy("key_a", "key_b")
+        # pin before the global sort: the subtree below is NARROW
+        # (broadcast self-join, no exchange), so the range
+        # partitioner's sampling job would otherwise re-execute the
+        # whole ~1M-pair join + levenshtein a second time just to
+        # pick sort bounds (guide §5 localCheckpoint / §2.4)
+        .localCheckpoint(eager=True)
     )
+    return matched.orderBy("key_a", "key_b")
 
 
 @query(
