@@ -954,7 +954,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         "frame_ms",
         F.lower(F.hex("frame")).alias("frame_md5"),
-    ).orderBy("id", "frame_idx")
+    # pin before the global sort: narrow scan->sample subtree below,
+    # so the sort's bound-sampling job would re-run the whole frame
+    # expansion a second time (guide §5)
+    ).localCheckpoint(eager=True).orderBy("id", "frame_idx")
 
 
 @query(
@@ -983,7 +986,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_multimodal.py."""
     d = _t(spark, sf_dir, "documents")
     mm = attach_binary_payload(d, text_col="text", id_col="doc_id")
-    return extract_features(mm).orderBy("id")
+    # pin before the global sort: narrow scan->extract subtree below,
+    # so the sort's bound-sampling job would re-run the whole feature
+    # extraction a second time (guide §5)
+    return extract_features(mm).localCheckpoint(eager=True).orderBy("id")
 
 
 @query(
@@ -1057,13 +1063,21 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=cols)
 
-    return d.mapInPandas(
-        run,
-        schema=(
-            "doc_id bigint, width int, height int, px_sum bigint,"
-            " px_min int, px_max int"
-        ),
-    ).orderBy("doc_id")
+    return (
+        d.mapInPandas(
+            run,
+            schema=(
+                "doc_id bigint, width int, height int, px_sum bigint,"
+                " px_min int, px_max int"
+            ),
+        )
+        # pin before the global sort: the subtree below is narrow
+        # (scan -> decode, no exchange), so the range partitioner's
+        # bound-sampling job would re-run the WHOLE PNG decode a
+        # second time just to pick sort bounds (guide §5)
+        .localCheckpoint(eager=True)
+        .orderBy("doc_id")
+    )
 
 
 @query(
@@ -1439,7 +1453,10 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             " n_frames int, duration_ms int, amp_sum bigint,"
             " amp_min int, amp_max int"
         ),
-    ).orderBy("doc_id")
+    # pin before the global sort: narrow scan->decode subtree below,
+    # so the sort's bound-sampling job would re-run the whole WAV
+    # decode a second time (guide §5)
+    ).localCheckpoint(eager=True).orderBy("doc_id")
 
 
 @query(
@@ -1553,7 +1570,10 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id bigint, frame_idx int, width int, height int,"
             " px_sum bigint, px_min int, px_max int, px_weighted bigint"
         ),
-    ).orderBy("doc_id", "frame_idx")
+    # pin before the global sort: narrow scan->decode subtree below,
+    # so the sort's bound-sampling job would re-run the whole AVI
+    # decode a second time (guide §5)
+    ).localCheckpoint(eager=True).orderBy("doc_id", "frame_idx")
 
 
 @query(
