@@ -341,6 +341,10 @@ def kafka_frame_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         framed.select(F.from_json("value", back_schema).alias("p"))
         .select("p.event_id", "p.event_type", "p.user_id")
+        # pin before the global sort: narrow scan->to_json->from_json
+        # subtree below, so the sort's bound-sampling job would re-run
+        # the whole serialize/parse round-trip a second time (guide §5)
+        .localCheckpoint(eager=True)
         .orderBy("event_id")
     )
 

@@ -1715,6 +1715,10 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "digit_ratio",
             "quality_score",
         )
+        # pin before the global sort: narrow scan->regex subtree below,
+        # so the sort's bound-sampling job would re-run every
+        # regexp_count a second time (guide §5)
+        .localCheckpoint(eager=True)
         .orderBy("doc_id")
     )
 
@@ -2196,6 +2200,10 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         with_repetition_stats(d, text_col="text", n=3)
         .select("doc_id", "n_ngrams", "n_distinct_ngrams", "repetition_ratio")
+        # pin before the global sort: narrow scan->HOF subtree below,
+        # so the sort's bound-sampling job would re-run the whole
+        # tokenize+gram pass a second time (guide §5)
+        .localCheckpoint(eager=True)
         .orderBy("doc_id")
     )
 
@@ -3900,6 +3908,10 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ok_repetition",
             "keep",
         )
+        # pin before the global sort: narrow scan->regex subtree below,
+        # so the sort's bound-sampling job would re-run every quality
+        # regex a second time (guide §5)
+        .localCheckpoint(eager=True)
         .orderBy("doc_id")
     )
 
