@@ -1221,7 +1221,10 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             " y_sum bigint, y_min int, y_max int, cb_sum bigint,"
             " cr_sum bigint"
         ),
-    ).orderBy("doc_id")
+    # pin before the global sort: narrow scan->decode subtree below,
+    # so the sort's bound-sampling job would re-run the whole decode
+    # a second time (guide §5)
+    ).localCheckpoint(eager=True).orderBy("doc_id")
 
 
 @query(
@@ -1343,7 +1346,10 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id bigint, n_frames int, n_px bigint, r_sum bigint,"
             " g_sum bigint, b_sum bigint, r_min int, r_max int"
         ),
-    ).orderBy("doc_id")
+    # pin before the global sort: narrow scan->decode subtree below,
+    # so the sort's bound-sampling job would re-run the whole decode
+    # a second time (guide §5)
+    ).localCheckpoint(eager=True).orderBy("doc_id")
 
 
 @query(
@@ -7624,7 +7630,10 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id bigint, n_images int, n_px bigint, r_sum bigint,"
             " g_sum bigint, b_sum bigint, r_min int, r_max int"
         ),
-    ).orderBy("doc_id")
+    # pin before the global sort: narrow scan->decode subtree below,
+    # so the sort's bound-sampling job would re-run the whole decode
+    # a second time (guide §5)
+    ).localCheckpoint(eager=True).orderBy("doc_id")
 
 
 @query(
@@ -8266,7 +8275,10 @@ def multimodal_qoi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id bigint, n_px bigint, r_sum bigint, g_sum bigint,"
             " b_sum bigint, a_sum bigint, r_min int, r_max int"
         ),
-    ).orderBy("doc_id")
+    # pin before the global sort: narrow scan->decode subtree below,
+    # so the sort's bound-sampling job would re-run the whole decode
+    # a second time (guide §5)
+    ).localCheckpoint(eager=True).orderBy("doc_id")
 
 
 @query(
@@ -8386,7 +8398,10 @@ def multimodal_tga_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id bigint, n_images int, n_px bigint, r_sum bigint,"
             " g_sum bigint, b_sum bigint, r_min int, r_max int"
         ),
-    ).orderBy("doc_id")
+    # pin before the global sort: narrow scan->decode subtree below,
+    # so the sort's bound-sampling job would re-run the whole decode
+    # a second time (guide §5)
+    ).localCheckpoint(eager=True).orderBy("doc_id")
 
 
 @query(
@@ -8504,7 +8519,10 @@ def multimodal_pcx_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id bigint, n_images int, n_px bigint, r_sum bigint,"
             " g_sum bigint, b_sum bigint, r_min int, r_max int"
         ),
-    ).orderBy("doc_id")
+    # pin before the global sort: narrow scan->decode subtree below,
+    # so the sort's bound-sampling job would re-run the whole decode
+    # a second time (guide §5)
+    ).localCheckpoint(eager=True).orderBy("doc_id")
 
 
 @query(
@@ -8640,7 +8658,10 @@ def multimodal_ico_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id bigint, n_members int, n_px bigint, r_sum bigint,"
             " g_sum bigint, b_sum bigint, a_sum bigint"
         ),
-    ).orderBy("doc_id")
+    # pin before the global sort: narrow scan->decode subtree below,
+    # so the sort's bound-sampling job would re-run the whole decode
+    # a second time (guide §5)
+    ).localCheckpoint(eager=True).orderBy("doc_id")
 
 
 @query(
@@ -9567,7 +9588,10 @@ def multimodal_midi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id bigint, n_tracks int, n_notes bigint,"
             " pitch_sum bigint, velocity_sum bigint, ticks_max bigint"
         ),
-    ).orderBy("doc_id")
+    # pin before the global sort: narrow scan->decode subtree below,
+    # so the sort's bound-sampling job would re-run the whole decode
+    # a second time (guide §5)
+    ).localCheckpoint(eager=True).orderBy("doc_id")
 
 
 @query(
@@ -9685,7 +9709,10 @@ def multimodal_au_g711_decode(
             "doc_id bigint, n_samples bigint, pcm_sum bigint,"
             " abs_sum bigint, pcm_min bigint, pcm_max bigint"
         ),
-    ).orderBy("doc_id")
+    # pin before the global sort: narrow scan->decode subtree below,
+    # so the sort's bound-sampling job would re-run the whole decode
+    # a second time (guide §5)
+    ).localCheckpoint(eager=True).orderBy("doc_id")
 
 
 @query(
@@ -9815,7 +9842,10 @@ def multimodal_pnm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id bigint, n_images int, n_px bigint, r_sum bigint,"
             " g_sum bigint, b_sum bigint, r_min int, r_max int"
         ),
-    ).orderBy("doc_id")
+    # pin before the global sort: narrow scan->decode subtree below,
+    # so the sort's bound-sampling job would re-run the whole decode
+    # a second time (guide §5)
+    ).localCheckpoint(eager=True).orderBy("doc_id")
 
 
 @query(
@@ -10149,7 +10179,10 @@ def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             " gmin int, gmax int, r_sum bigint, g_sum bigint,"
             " b_sum bigint"
         ),
-    ).orderBy("doc_id")
+    # pin before the global sort: narrow scan->decode subtree below,
+    # so the sort's bound-sampling job would re-run the whole decode
+    # a second time (guide §5)
+    ).localCheckpoint(eager=True).orderBy("doc_id")
 
 
 @query(
@@ -10264,7 +10297,10 @@ def multimodal_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             " kbps_sum bigint, n_bytes bigint, is_vbr int,"
             " has_xing int, xing_frames bigint, id3_bytes bigint"
         ),
-    ).orderBy("doc_id")
+    # pin before the global sort: narrow scan->decode subtree below,
+    # so the sort's bound-sampling job would re-run the whole decode
+    # a second time (guide §5)
+    ).localCheckpoint(eager=True).orderBy("doc_id")
 
 
 @query(
@@ -10376,7 +10412,10 @@ def multimodal_flac_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             " duration_us bigint, n_blocks int, padding_bytes bigint,"
             " vorbis_comments bigint, meta_bytes bigint, n_bytes bigint"
         ),
-    ).orderBy("doc_id")
+    # pin before the global sort: narrow scan->decode subtree below,
+    # so the sort's bound-sampling job would re-run the whole decode
+    # a second time (guide §5)
+    ).localCheckpoint(eager=True).orderBy("doc_id")
 
 
 @query(
