@@ -1757,6 +1757,10 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lang_id_scores(d, "text")
         .select("doc_id", "lang", "predicted_lang")
+        # pin before the global sort: narrow scan->regex subtree below,
+        # so the sort's bound-sampling job would re-run all four
+        # language-marker regex counts a second time (guide §5)
+        .localCheckpoint(eager=True)
         .orderBy("doc_id")
     )
 
