@@ -47,10 +47,14 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     t = F.col(text_col)
     n_chars = F.length(t)
-    n_alpha = F.regexp_count(t, F.lit("[A-Za-z]"))
-    n_digit = F.regexp_count(t, F.lit("[0-9]"))
-    n_space = F.regexp_count(t, F.lit(" "))
-    n_punct = F.regexp_count(t, F.lit("[.,;:!?'\"()\\[\\]{}-]"))
+    # fixed single-char classes: count via translate (one char-map
+    # pass) instead of regexp_count (regex engine per char) — same
+    # integer counts, measured markedly cheaper on the corpus scan
+    _alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+    n_alpha = n_chars - F.length(F.translate(t, _alpha, ""))
+    n_digit = n_chars - F.length(F.translate(t, "0123456789", ""))
+    n_space = n_chars - F.length(F.translate(t, " ", ""))
+    n_punct = n_chars - F.length(F.translate(t, ".,;:!?'\"()[]{}-", ""))
     n_tok = token_count(t)
     safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
     return (
