@@ -1531,6 +1531,10 @@ def price_decile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
             decile.cast("bigint").alias("decile"),
         )
+        # pin before the global sort: the segment below (orders scan +
+        # broadcast bounds join) would re-run for the sort's
+        # bound-sampling job (guide §5)
+        .localCheckpoint(eager=True)
         .orderBy("o_orderkey")
     )
 
