@@ -4,6 +4,8 @@ the oracle-gate strategy over a wider input space."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 import shutil
 import tempfile
@@ -42,6 +44,7 @@ def _orders_dir(revenues_cents):
 @given(
     cents=st.lists(st.integers(1, 10_000_00), min_size=1, max_size=40)
 )
+@pytest.mark.soak
 def test_gini_matches_python_reference(spark, cents):
     """gini_e6 equals the textbook 2*sum(i*x)-(n+1)*sum(x) over
     n*sum(x) formula (truncated to e6) on sorted values, and the

@@ -11,6 +11,11 @@ parseable JSON line.
 
 from __future__ import annotations
 
+import pytest
+
+# soak tier (opt-in, `-m soak`): each test runs bench.py as a real subprocess JVM (~30-60 s each)
+pytestmark = pytest.mark.soak
+
 import json
 import os
 import subprocess

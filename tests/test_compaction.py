@@ -6,6 +6,11 @@ duplicates against the folded generation after a restart."""
 
 from __future__ import annotations
 
+import pytest
+
+# soak tier (opt-in, `-m soak`): multi-minute lifecycle proof; default-tier coverage of the operator itself lives in the oracle parity gate and the faster unit tests
+pytestmark = pytest.mark.soak
+
 import time
 
 from pyspark.sql import functions as F

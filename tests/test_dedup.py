@@ -3,6 +3,8 @@ driver's documents table has no dups, so behavior is pinned here)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from local_stream_stack_spark.operators.dedup import (
@@ -213,6 +215,7 @@ def test_connected_components_converges_on_long_path(spark):
     assert got == {i: 1 for i in range(1, 13)}
 
 
+@pytest.mark.soak
 def test_twostar_components_match_minlabel(spark):
     """Large-star/small-star contraction must produce the identical
     (node, component) mapping as min-label propagation on all three

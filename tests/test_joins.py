@@ -109,6 +109,7 @@ def test_salted_join_tolerates_map_columns_and_salt_name(spark):
     assert dict(rows[0].m) == {"a": "x"}
 
 
+@pytest.mark.soak
 def test_binned_interval_join_equals_inequality_join(spark):
     """Binned equi-join must return exactly the pairs the plain
     interval predicate returns, including points on interval

@@ -373,3 +373,71 @@ def test_join_explosion_audit_topk_and_partial_agg(spark):
     plan = _plan(spark, "join_explosion_audit")
     assert "TakeOrderedAndProject" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+# --- sort-sampling double-execution guard (VERDICT r13 #4) ----------
+# The round-13 family: an expensive narrow segment directly under an
+# Exchange rangepartitioning is re-executed by the range partitioner's
+# bound-sampling job. tools/audit_plans.py flags the pattern; these
+# tests pin the detector itself (a deliberately-unpinned fixture IS
+# flagged, its pinned twin is NOT) and spot-check representative
+# queries from the pinned family. The full-catalog sweep runs via
+# `python tools/audit_plans.py` (soak tier / round closeout).
+
+def _hazards(df) -> list:
+    from tools.audit_plans import range_exchange_hazards
+
+    return range_exchange_hazards(
+        df._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_sort_sampling_guard_flags_unpinned_fixture(spark):
+    from pyspark.sql import functions as F
+
+    base = spark.range(200).select(
+        F.col("id"),
+        F.explode(F.array(F.lit("a b"), F.lit("c d"))).alias("t"),
+    ).withColumn("n", F.regexp_count("t", F.lit("[a-z]+")))
+    # sort on derived columns: spark.range leaves are already
+    # range-partitioned on id, so an id-prefix sort plans NO exchange
+    flagged = _hazards(base.orderBy("t", "n"))
+    assert flagged, "unpinned Generate+regex under orderBy must flag"
+    assert "Generate" in flagged[0]
+
+
+def test_sort_sampling_guard_accepts_pinned_fixture(spark):
+    from pyspark.sql import functions as F
+
+    base = spark.range(200).select(
+        F.col("id"),
+        F.explode(F.array(F.lit("a b"), F.lit("c d"))).alias("t"),
+    ).withColumn("n", F.regexp_count("t", F.lit("[a-z]+")))
+    pinned = base.localCheckpoint(eager=True).orderBy("t", "n")
+    assert _hazards(pinned) == []
+
+
+def test_sort_sampling_guard_accepts_exchange_below_sort(spark):
+    """A shuffle below the sort is a materialization barrier (map
+    outputs are reused by the sampling job) — not a hazard."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(200).select(
+        (F.col("id") % 7).alias("k"),
+        F.explode(F.array(F.lit("a"), F.lit("b"))).alias("t"),
+    )
+    agg = base.groupBy("k").count().orderBy("k")
+    assert _hazards(agg) == []
+
+
+def test_sort_sampling_guard_pinned_family_clean(spark):
+    """Representative members of the round-13 pin family stay pinned."""
+    for name in ("text_stats", "lang_id", "fuzzy_name_match",
+                 "multimodal_features"):
+        plan = _plan(spark, name)
+        from tools.audit_plans import range_exchange_hazards
+
+        # non-vacuous: the presentation sort must actually plan a
+        # range exchange in these queries
+        assert "Exchange rangepartitioning" in plan, name
+        assert range_exchange_hazards(plan) == [], name

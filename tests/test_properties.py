@@ -8,6 +8,8 @@ input space than the fixed harness tables.
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from hypothesis import given, settings, HealthCheck, strategies as st
@@ -30,6 +32,7 @@ _SETTINGS = dict(
     ),
     q=st.floats(0.0, 1.0),
 )
+@pytest.mark.soak
 def test_exact_quantile_matches_percentile(spark, values, q):
     df = spark.createDataFrame([("k", float(v)) for v in values], "k string, v double")
     got = exact_quantile(df, "v", q, ["k"], bins=16, out_col="out").collect()[0].out
@@ -267,6 +270,7 @@ def test_round_half_up_division_idiom(s, n):
         max_size=30,
     ).filter(lambda es: any(a != b for a, b in es)),
 )
+@pytest.mark.soak
 def test_bfs_hops_matches_python_bfs(spark, edges):
     """Distributed frontier BFS == textbook queue BFS on random
     undirected graphs (seeded at the minimum endpoint)."""
@@ -427,6 +431,7 @@ def test_asof_join_nearest_matches_pandas(spark, lefts, rights):
         max_size=25,
     )
 )
+@pytest.mark.soak
 def test_twostar_components_match_union_find(spark, edges):
     """The large-star/small-star contraction must agree with a plain
     union-find on random multigraphs, same contract as min-label."""
@@ -484,6 +489,7 @@ def test_twostar_components_match_union_find(spark, edges):
     descending=st.booleans(),
     k=st.integers(min_value=1, max_value=7),
 )
+@pytest.mark.soak
 def test_with_global_rank_property_vs_window(spark, rows, descending, k):
     """with_global_rank + ntile_expr must replay an unpartitioned
     window's row_number / running sum / NTILE on ANY input: duplicate
@@ -567,6 +573,7 @@ def test_train_logreg_matches_python_reference(spark, data, lr):
         max_size=50,
     ),
 )
+@pytest.mark.soak
 def test_doubled_rank_stats_match_bruteforce(spark, data):
     """The doubled tie-average-rank idiom behind the round-9 rank
     statistics (Mann-Whitney 2U, cross-multiplied KS sup gap) equals
@@ -784,6 +791,7 @@ def test_conformal_intervals_match_python_reference(
         max_size=40,
     ),
 )
+@pytest.mark.soak
 def test_kruskal_wallis_matches_python_reference(
     spark, tmp_path_factory, data
 ):
@@ -854,6 +862,7 @@ def test_kruskal_wallis_matches_python_reference(
         max_size=40,
     ),
 )
+@pytest.mark.soak
 def test_runs_test_matches_python_reference(spark, tmp_path_factory, data):
     """runs_test_daily_revenue == the sequential python definition:
     day-grain sums, lower median, run count over the day-ordered
@@ -1064,6 +1073,7 @@ def test_friedman_matches_python_reference(spark, tmp_path_factory, data):
         max_size=40,
     ),
 )
+@pytest.mark.soak
 def test_brown_forsythe_matches_python_reference(
     spark, tmp_path_factory, data
 ):
@@ -1428,6 +1438,7 @@ def test_mann_kendall_matches_python_reference(
         max_size=30,
     ),
 )
+@pytest.mark.soak
 def test_durbin_watson_and_ljung_box_match_python(
     spark, tmp_path_factory, data
 ):
@@ -1509,6 +1520,7 @@ def test_durbin_watson_and_ljung_box_match_python(
         max_size=40,
     ),
 )
+@pytest.mark.soak
 def test_cochran_q_and_page_trend_match_python(
     spark, tmp_path_factory, data
 ):

@@ -204,6 +204,7 @@ def test_latest_per_key_stream_parquet_incremental_merge(spark, tmpdir):
     assert got == {(2, 7.0), (3, 9.0)}
 
 
+@pytest.mark.soak
 def test_stream_stream_interval_join(spark, tmpdir):
     """Views joined to purchases by the same user within 30 min."""
     views = [
@@ -262,6 +263,7 @@ def test_stream_static_join(spark, tmpdir, sf_dir):
     assert row.user_id == 3 and row.c_name is not None
 
 
+@pytest.mark.soak
 def test_checkpoint_recovery_no_reprocessing(spark, tmpdir):
     """SURVEY.md §2B 'checkpoint-based recovery': restarting a query
     from its checkpoint must pick up only NEW files — no duplicate
@@ -402,6 +404,7 @@ def test_transform_with_state_running_totals(spark, tmpdir):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
+@pytest.mark.soak
 def test_metrics_listener_collects_batches(spark, tmpdir):
     """MetricsListener must see one progress row per micro-batch with
     true input-row counts; maxFilesPerTrigger=1 forces multiple
@@ -536,6 +539,7 @@ def test_aggregate_view_stream_parquet_ivm(spark, tmpdir):
     assert got == {(1, 2, 600), (2, 2, 300)}
 
 
+@pytest.mark.soak
 def test_available_now_trigger_backfills_and_stops(spark, tmpdir):
     """Trigger.AvailableNow: process everything present at start in
     bounded micro-batches, then stop on its own — the backfill mode a
@@ -616,6 +620,7 @@ def test_state_store_reader_matches_sink(spark, tmpdir):
     assert state == sink == {(0, 10), (1, 10), (2, 10)}
 
 
+@pytest.mark.soak
 def test_skyline_stream_multi_epoch_matches_batch(spark, tmp_path):
     """The streaming frontier merge is a semigroup: three single-file
     epochs (forced by maxFilesPerTrigger=1) must converge to exactly

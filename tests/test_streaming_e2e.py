@@ -7,6 +7,8 @@ plan produces exactly the batch result on a bounded replay.
 
 from __future__ import annotations
 
+import pytest
+
 from local_stream_stack_spark.queries.streaming_e2e import (
     stream_dedup_keys,
     stream_latest_per_key,
@@ -105,6 +107,7 @@ def test_stream_tumbling_multi_batch_converges(spark, sf_dir, tmp_path):
     assert got == want
 
 
+@pytest.mark.soak
 def test_ingest_dedup_admits_only_novel_rows(spark, tmp_path):
     """File-per-trigger replay: batch 2 mixes duplicates of batch 1
     with genuinely new rows; only the new rows may enter the store."""
@@ -147,6 +150,7 @@ def test_ingest_dedup_admits_only_novel_rows(spark, tmp_path):
     assert got == {(1, "alpha"), (2, "beta"), (5, "gamma")}
 
 
+@pytest.mark.soak
 def test_ingest_neardup_rejects_duplicates_across_epochs(spark, tmp_path):
     """Near-dup streaming ingestion: exact re-texts and lightly edited
     copies must be rejected against earlier epochs; unrelated docs
@@ -201,6 +205,7 @@ def test_ingest_neardup_rejects_duplicates_across_epochs(spark, tmp_path):
     assert 11 not in got
 
 
+@pytest.mark.soak
 def test_ingest_dedup_replay_is_lossless(spark, tmp_path):
     """Crash-replay: the store already holds epoch 0's own write but
     the checkpoint never committed (crash between store write and
@@ -246,6 +251,7 @@ def test_ingest_dedup_replay_is_lossless(spark, tmp_path):
     assert got == {(1, "alpha"), (2, "beta")}
 
 
+@pytest.mark.soak
 def test_ingest_neardup_replay_is_lossless(spark, tmp_path):
     """Near-dup twin of the replay test: epoch 0's rows AND band keys
     are already in the store when epoch 0 re-runs; every document
@@ -336,6 +342,7 @@ def test_stream_quality_quarantine_routes_and_reasons(spark, tmp_path):
     assert got2 == {("clean", "ok"): 1}
 
 
+@pytest.mark.soak
 def test_stream_running_totals_tws_equals_v1(spark, sf_dir):
     """The transformWithStateInPandas query must equal the
     applyInPandasWithState one row-for-row — same state math on the
@@ -376,6 +383,7 @@ def _with_rocksdb_provider(spark):
     return restore
 
 
+@pytest.mark.soak
 def test_ingest_neardup_tws_rejects_duplicates_across_epochs(spark, tmp_path):
     """The indexed-state-store (transformWithState) near-dup twin must
     reject exact re-texts and lightly edited copies against earlier
@@ -436,6 +444,7 @@ def test_ingest_neardup_tws_rejects_duplicates_across_epochs(spark, tmp_path):
     assert 11 not in got
 
 
+@pytest.mark.soak
 def test_ingest_neardup_tws_short_and_empty_docs_admitted(spark, tmp_path):
     """Docs with fewer words than the shingle width carry no real band
     keys; the sentinel (band=-1, unique bh) row must flow them through
@@ -485,6 +494,7 @@ def test_ingest_neardup_tws_short_and_empty_docs_admitted(spark, tmp_path):
     assert got == {1, 2, 10, 11}
 
 
+@pytest.mark.soak
 def test_bm25_incremental_index_equals_batch(spark, tmp_path):
     """The maintained BM25 index folded across two epochs must score
     bit-equal to the from-scratch batch query over the union corpus —
@@ -610,6 +620,7 @@ def test_bm25_incremental_replay_is_idempotent(spark, tmp_path):
     assert before == after
 
 
+@pytest.mark.soak
 def test_scd2_dimension_carry_semantics(spark, tmp_path):
     """The SCD-2 fold's open-tail carry: a run spanning the epoch
     boundary keeps its original valid_from; an attribute change at the
@@ -663,6 +674,7 @@ def test_scd2_dimension_carry_semantics(spark, tmp_path):
     ]
 
 
+@pytest.mark.soak
 def test_join_view_late_dimension_rows_and_epoch_exactness(
     spark, tmp_path
 ):

@@ -18,6 +18,9 @@ from __future__ import annotations
 
 import pyspark.sql.types as T
 import pytest
+
+# soak tier (opt-in, `-m soak`): multi-minute lifecycle proof; default-tier coverage of the operator itself lives in the oracle parity gate and the faster unit tests
+pytestmark = pytest.mark.soak
 from pyspark.sql import functions as F
 
 from local_stream_stack_spark.pipeline import Pipeline

@@ -11,6 +11,14 @@ Checks each registered query's physical plan at the given sf dir for:
   Partition Defined": ships every input row to ONE task; the
   distributed-rank operator with_global_rank is the sanctioned
   replacement)
+- sort-sampling double execution (the round-13 family): an
+  ``Exchange rangepartitioning`` (global orderBy) whose child segment
+  contains an expensive operator (Python evaluation, Generate, a
+  join, or a regex-heavy projection) with NO materialization boundary
+  in between (another Exchange / Scan ExistingRDD / cached relation).
+  The range partitioner's bound-sampling job re-executes that whole
+  child segment a second time; pin it (localCheckpoint before the
+  sort) or put an exchange below the sort.
 
 stream_* queries are skipped: calling them executes a streaming job;
 their batch-side plans are covered by their batch twins.
@@ -65,6 +73,102 @@ def has_unpartitioned_window(plan: str) -> bool:
     return False
 
 
+# Nodes that MATERIALIZE their subtree for re-executions of the plan:
+# a shuffle exchange keeps its map outputs (resample jobs reuse them),
+# a broadcast exchange computes its relation once per plan, and a
+# pinned/cached relation scans an RDD. Anything below one of these is
+# NOT re-executed by the range partitioner's sampling job.
+_SAMPLING_BARRIERS = (
+    "Exchange ",
+    "BroadcastExchange",
+    "ReusedExchange",
+    "AQEShuffleRead",
+    "Scan ExistingRDD",
+    "InMemoryTableScan",
+    "LocalTableScan",
+    "TableCacheQueryStage",
+    "BroadcastQueryStage",
+    "ShuffleQueryStage",
+)
+
+# Operators expensive enough that executing them twice for sort-bound
+# sampling is a real regression (the round-13 pin family).
+_EXPENSIVE_NODES = (
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "MapInPandas",
+    "MapInArrow",
+    "FlatMapGroupsInPandas",
+    "TransformWithStateInPandas",
+    "Generate",
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+)
+
+# Expression markers that make a plain Project/Filter expensive enough
+# to matter when doubled (regex engine / edit distance per row).
+_EXPENSIVE_EXPRS = ("regexp_", "levenshtein", "split(", "rlike")
+
+
+def _node_depth(line: str) -> int:
+    """Character offset where the operator name starts in a plan line
+    (the tree prefix is drawn from ``: ``, ``+-``, ``:-``, spaces)."""
+    i = 0
+    while i < len(line) and line[i] in " :+-|*(0123456789)":
+        i += 1
+    return i
+
+
+def range_exchange_hazards(plan: str) -> list[str]:
+    """Sort-sampling double-execution hazards in a physical plan.
+
+    For every ``Exchange rangepartitioning`` node, walk its child
+    segment — stopping each branch at the first materialization
+    barrier (``_SAMPLING_BARRIERS``) — and report the expensive
+    operators the bound-sampling job would re-execute. Returns one
+    string per flagged exchange, empty when clean."""
+    lines = plan.splitlines()
+    hazards: list[str] = []
+    for i, line in enumerate(lines):
+        d = _node_depth(line)
+        node = line[d:]
+        if not node.startswith("Exchange rangepartitioning"):
+            continue
+        found: list[str] = []
+        skip_deeper_than: int | None = None
+        for sub in lines[i + 1:]:
+            sd = _node_depth(sub)
+            if sd <= d:
+                break  # left the exchange's subtree
+            if skip_deeper_than is not None:
+                if sd > skip_deeper_than:
+                    continue  # inside a barrier's subtree
+                skip_deeper_than = None
+            name = sub[sd:]
+            if any(name.startswith(b) for b in _SAMPLING_BARRIERS):
+                skip_deeper_than = sd
+                continue
+            hit = next(
+                (n for n in _EXPENSIVE_NODES if name.startswith(n)), None
+            )
+            if hit is None and (
+                name.startswith("Project") or name.startswith("Filter")
+            ):
+                if any(m in name for m in _EXPENSIVE_EXPRS):
+                    hit = "regex-heavy " + name.split(" ")[0]
+            if hit and hit not in found:
+                found.append(hit)
+        if found:
+            hazards.append(
+                "rangepartitioning resamples unpinned segment with: "
+                + ", ".join(found)
+            )
+    return hazards
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark(app_name="plan-audit", shuffle_partitions=4)
@@ -90,6 +194,7 @@ def main() -> int:
             flags.append("row-at-a-time PythonUDF")
         if has_unpartitioned_window(plan):
             flags.append("unpartitioned Window")
+        flags.extend(range_exchange_hazards(plan))
         for line in plan.splitlines():
             if "BroadcastNestedLoopJoin" in line and "BuildLeft" not in line and "BuildRight" not in line:
                 flags.append("non-broadcast BNLJ")
