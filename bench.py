@@ -770,6 +770,29 @@ def _run_bench() -> int:
     spark.streams.addListener(listener)
     streaming_detail: dict[str, dict] = {}
 
+    # Per-query executor TASK-TIME alongside wall-clock (VERDICT r13
+    # #9): at sf0.1 every headline query sits at the per-job
+    # scheduling floor, so the 8-vs-32-core wall ratio carries no
+    # parallelism signal — task-time/wall does. Sum of per-executor
+    # totalDuration from the AppStatusStore (listener-bus maintained;
+    # task-end events land before the job returns, so a
+    # delta around the timed window attributes cleanly).
+    _status_store = spark.sparkContext._jsc.sc().statusStore()
+
+    def _task_time_ms() -> int:
+        try:
+            execs = _status_store.executorList(False)
+            return int(
+                sum(
+                    execs.apply(i).totalDuration()
+                    for i in range(execs.size())
+                )
+            )
+        except Exception:
+            return 0
+
+    task_time: dict[str, float] = {}
+
     # per-query progress trace to STDERR (stdout stays exactly one
     # JSON line); off by default so the driver's captured tail never
     # carries it — export SPARK_GRAFT_BENCH_PROGRESS=1 when bisecting
@@ -788,11 +811,13 @@ def _run_bench() -> int:
             best_batches: list[int] = []
             for _ in range(runs):
                 n_seen = len(listener.snapshot())
+                tt0 = _task_time_ms()
                 t0 = time.time()
                 spec.fn(spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 dt = time.time() - t0
+                run_task_ms = _task_time_ms() - tt0
                 if _is_streaming(name):
                     # progress events are delivered on the listener
                     # bus asynchronously AFTER the query stops — poll
@@ -805,6 +830,7 @@ def _run_bench() -> int:
                         time.sleep(0.05)
                 if best is None or dt < best:
                     best = dt
+                    task_time[name] = round(run_task_ms / 1000.0, 3)
                     best_batches = [
                         e["batch_duration_ms"]
                         for e in listener.snapshot()[n_seen:]
@@ -985,6 +1011,7 @@ def _run_bench() -> int:
         "queries_extended": extended,
         "queries_tier3": tier3,
         "queries_streaming_detail": streaming_detail,
+        "queries_task_time": task_time,
         "vs_gate_ratios": ratios,
         "vs_gate_v3_ratios": ratios_v3,
         "retry_candidates": candidates,

@@ -551,6 +551,8 @@ def values_at_global_ranks(
     bins: int = 4096,
     keys: Sequence[str] = (),
     weight_col: str | None = None,
+    ext_df: DataFrame | None = None,
+    pin_result: bool = True,
 ) -> DataFrame:
     """Exact ORDER STATISTICS without ranking every row: the value of
     ``order_col`` at each requested 1-indexed rank (global, or per
@@ -585,6 +587,24 @@ def values_at_global_ranks(
     is the smallest value whose inclusive running weight (in value
     order) reaches ``t`` — the lower weighted-median convention when
     ``t = (total + 1) div 2``. Plain ranks are the weight==1 case.
+
+    With ``ext_df``, pass 0 is skipped entirely: the caller supplies
+    the bin range as a relation with columns ``keys + [__vgr_lo,
+    __vgr_hi]`` (both DOUBLE; one row globally, or one per key group).
+    This is the lever when ``df`` is an expensive derived stream whose
+    extremes have a CLOSED FORM over a cheap base relation — e.g. the
+    min/max pairwise slope over day-ordered points is attained by an
+    ADJACENT pair (any chord slope is a day-gap-weighted average of
+    the adjacent slopes under it, so it lies between their extremes),
+    and the min/max pairwise difference x - y is max(x)-min(y) /
+    min(x)-max(y) — so one pass over the tiny base table replaces a
+    full execution of the pair stream. Correctness does NOT depend on
+    the bounds being the exact extremes: bin indices are computed by
+    the same expression on both remaining passes (indices below 0 or
+    above ``bins-1`` stay consistent), so any finite bounds with
+    ``hi >= lo`` yield exact results — tight bounds only keep the
+    bins balanced. NULL bounds (empty input) reproduce the empty-
+    input behavior of the computed pass 0.
 
     Every pass re-executes ``df``'s lineage (pin upstream relations
     that are expensive to regenerate); no pass shuffles more than the
@@ -621,21 +641,37 @@ def values_at_global_ranks(
         F.max("__vgr_p").alias("__vgr_hi"),
     ]
     # The tiny state tables (ext: one row per key; tgt: one row per
-    # target bin per key) are PINNED eagerly: ext is referenced inside
-    # every ``binned`` consumer and tgt's subtree embeds the whole
-    # pass-1 plan, so without the pins pass 2 re-executes pass 1 (and
-    # every pass re-executes pass 0) — the lazy nesting multiplied the
-    # input lineage ~4x (measured r13: mann_kendall 13.7 s with lazy
-    # state vs 2.5 s pinned). The pinned rows are bounded by keys x
-    # bins, never by input size (guide §5).
-    ext = (
-        (work.groupBy(*keys).agg(*ext_aggs) if keys else work.agg(*ext_aggs))
-        .withColumn(
-            "__vgr_w",
-            (F.col("__vgr_hi") - F.col("__vgr_lo")) / F.lit(float(bins)),
+    # target bin per key) are PINNED eagerly on the COMPUTED-ext path:
+    # ext is referenced inside every ``binned`` consumer and tgt's
+    # subtree embeds the whole pass-1 plan, so without the pins pass 2
+    # re-executes pass 1 (and every pass re-executes pass 0) — the
+    # lazy nesting multiplied the input lineage ~4x (measured r13:
+    # mann_kendall 13.7 s with lazy state vs 2.5 s pinned). The pinned
+    # rows are bounded by keys x bins, never by input size (guide §5).
+    #
+    # With a caller-supplied ``ext_df`` (CHEAP lineage by contract),
+    # that multiplier is gone — re-deriving ext inside each consumer
+    # costs a tiny fold, not a pass over ``df`` — so the ext and tgt
+    # pins are SKIPPED: every pin is a sequential driver job at the
+    # local scheduling floor, and dropping them folds pass 1 into the
+    # final action as a broadcast subtree (measured r14: the pin chain,
+    # not the pair passes, dominated the pair-median family).
+    pin_state = ext_df is None
+    ext_base = (
+        ext_df.select(*keys, "__vgr_lo", "__vgr_hi")
+        if ext_df is not None
+        else (
+            work.groupBy(*keys).agg(*ext_aggs)
+            if keys
+            else work.agg(*ext_aggs)
         )
-        .localCheckpoint(eager=True)
     )
+    ext = ext_base.withColumn(
+        "__vgr_w",
+        (F.col("__vgr_hi") - F.col("__vgr_lo")) / F.lit(float(bins)),
+    )
+    if pin_state:
+        ext = ext.localCheckpoint(eager=True)
     joined = (
         work.join(F.broadcast(ext), keys)
         if keys
@@ -697,8 +733,9 @@ def values_at_global_ranks(
         )
         .filter(hit)
         .select(*keys, "__tb_bin", "__tb_below", "__tb_bc")
-        .localCheckpoint(eager=True)
     )
+    if pin_state:
+        tgt = tgt.localCheckpoint(eager=True)
     surv = binned.join(
         F.broadcast(tgt.withColumnRenamed("__tb_bin", "__vgr_bin")),
         keys + ["__vgr_bin"],
@@ -760,9 +797,10 @@ def values_at_global_ranks(
                 " a -> a.v)"
             ),
         )
-    # the result is one row per ranks_df row — pin it so callers that
-    # feed it to several consumers (a median broadcast into a scoring
-    # pass AND a final summary) never re-execute the three passes
-    return res.select(*ranks_df.columns, *out_cols).localCheckpoint(
-        eager=True
-    )
+    # the result is one row per ranks_df row — pinned by default so
+    # callers that feed it to several consumers (a median broadcast
+    # into a scoring pass AND a final summary) never re-execute the
+    # passes; single-consumer callers pass ``pin_result=False`` to
+    # fold everything into their final action (one driver job fewer)
+    out = res.select(*ranks_df.columns, *out_cols)
+    return out.localCheckpoint(eager=True) if pin_result else out

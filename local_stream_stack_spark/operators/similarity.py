@@ -96,6 +96,7 @@ def cosine_allpairs_threshold_blocked(
     extra_cols: list[str] | None = None,
     round_dp: int = 6,
     n_blocks: int | None = None,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine >= threshold, fully distributed (no
     driver collect) — the scale form of ``cosine_allpairs_threshold``.
@@ -127,6 +128,18 @@ def cosine_allpairs_threshold_blocked(
         par = spark.sparkContext.defaultParallelism
         # smallest B with B(B+1)/2 >= 2*par
         n_blocks = max(2, math.ceil((math.sqrt(16.0 * par + 1) - 1) / 2))
+        if approx_rows is not None:
+            # cap B by DATA SIZE, not core count (VERDICT r13 #7): a
+            # core-derived B over a small corpus over-fans the matmul
+            # into tiny per-group batches where Python dispatch +
+            # B-fold row replication dominate the FLOPs (measured:
+            # faster on 8 cores than 32 purely from fewer groups;
+            # B-sweep r14 at 1000 rows: B=2-4 ~0.7s vs B=11 ~1.0-1.2s
+            # on dedup_embedding_cosine, B=4 best on the components
+            # consumer). ~256 rows/block keeps each group's numpy fold
+            # large enough to amortize dispatch while per-task memory
+            # stays ~(256 x dim) x 2 doubles.
+            n_blocks = max(2, min(n_blocks, round(approx_rows / 256)))
     pre_cut = threshold - 1e-6
 
     base = corpus.select(id_col, vec_col, *extra_cols).withColumn(

@@ -699,7 +699,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cosine_allpairs_threshold_blocked(
         e, id_col="vec_id", vec_col="embedding", threshold=0.40,
-        extra_cols=["label"],
+        extra_cols=["label"], approx_rows=_COSINE_TWIN_CAP,
     ).orderBy("id_a", "id_b")
 
 

@@ -36,6 +36,46 @@ from local_stream_stack_spark.session import configure_for_oracle
 from local_stream_stack_spark.utils.ts import epoch_us
 
 
+def _adjacent_slope_ext(days: DataFrame, slope_sql: str) -> DataFrame:
+    """(__vgr_lo, __vgr_hi) bounds for the PAIRWISE-slope stream of a
+    day-grain (di, rev_c) table, computed WITHOUT executing the
+    |days|^2 pair stream: the extreme pairwise slope is attained by an
+    ADJACENT pair (any chord slope is a day-gap-weighted average of
+    the adjacent slopes it spans, hence between their extremes), so
+    one sorted fold over the tiny day table replaces a full pair-pass
+    for the rank-SELECT's pass 0 (guide §2.4 — remove a pass outright).
+
+    ``slope_sql`` computes the adjacent-pair slope from
+    ``(a.pd, a.pr)`` = previous (di, rev_c) and ``x`` = current row,
+    with the SAME arithmetic shape as the pair stream. Floating-point
+    rounding of near-tied slopes can leave individual pairs a hair
+    outside [lo, hi]; ``values_at_global_ranks`` stays exact for any
+    covering-ish bounds (bin indices out of [0, bins) are consistent
+    between its passes — documented there). NULL bounds when < 2 days
+    reproduce the computed pass 0 on an empty pair stream."""
+    step = (
+        "named_struct("
+        "'pd', x.di, 'pr', x.rev_c,"
+        " 'lo', CASE WHEN a.pd IS NULL THEN a.lo"
+        f" ELSE least(a.lo, CAST({slope_sql} AS DOUBLE)) END,"
+        " 'hi', CASE WHEN a.pd IS NULL THEN a.hi"
+        f" ELSE greatest(a.hi, CAST({slope_sql} AS DOUBLE)) END)"
+    )
+    return days.agg(
+        F.expr(
+            "aggregate(sort_array(collect_list(struct(di, rev_c))),"
+            " named_struct("
+            "'pd', CAST(NULL AS BIGINT), 'pr', CAST(NULL AS BIGINT),"
+            " 'lo', CAST(NULL AS DOUBLE), 'hi', CAST(NULL AS DOUBLE)),"
+            f" (a, x) -> {step},"
+            " a -> named_struct('lo', a.lo, 'hi', a.hi))"
+        ).alias("__ext")
+    ).select(
+        F.col("__ext.lo").alias("__vgr_lo"),
+        F.col("__ext.hi").alias("__vgr_hi"),
+    )
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure_for_oracle(spark)
     return load_table(spark, sf_dir, name)
@@ -3374,7 +3414,17 @@ def theil_sen_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("__r1"),
     )
-    med = values_at_global_ranks(slopes, "slope", ranks, ["__r1"], ["__v1"])
+    # pass-0 bounds in closed form from the tiny day table (the
+    # extreme pairwise slope is an ADJACENT-pair slope), so the pair
+    # stream executes for bin counts + target-bin refinement only:
+    # 3 full pair passes -> 2 (guide §2.4)
+    ext = _adjacent_slope_ext(
+        days, "CAST(x.rev_c - a.pr AS DOUBLE) / (x.di - a.pd)"
+    )
+    med = values_at_global_ranks(
+        slopes, "slope", ranks, ["__r1"], ["__v1"], ext_df=ext,
+        pin_result=False,
+    )
     # rank 0 (no pairs: 0 or 1 days) selects nothing -> NULL -> no row,
     # matching the oracle's empty result from an empty `ranked` CTE
     return med.filter(F.col("__v1").isNotNull()).select(
@@ -4436,8 +4486,30 @@ def hodges_lehmann_urgent_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(n_x * n_y + 1) div 2").cast("bigint").alias("__r1"),
         F.expr("n_x * n_y div 2 + 1").cast("bigint").alias("__r2"),
     )
+    # pass-0 bounds in closed form: min/max pairwise difference is
+    # min(x)-max(y) / max(x)-min(y) — two tiny aggregates over the
+    # pinned day tables replace a full |days_x|*|days_y| pair pass
+    # (3 pair passes -> 2, guide §2.4); exact integer arithmetic
+    ext = (
+        xd.agg(
+            F.min("rev_c").alias("__xlo"), F.max("rev_c").alias("__xhi")
+        )
+        .crossJoin(
+            F.broadcast(
+                yd.agg(
+                    F.min("rev_c").alias("__ylo"),
+                    F.max("rev_c").alias("__yhi"),
+                )
+            )
+        )
+        .select(
+            (F.col("__xlo") - F.col("__yhi")).cast("double").alias("__vgr_lo"),
+            (F.col("__xhi") - F.col("__ylo")).cast("double").alias("__vgr_hi"),
+        )
+    )
     med = values_at_global_ranks(
-        diffs, "d", ranks, ["__r1", "__r2"], ["__v1", "__v2"]
+        diffs, "d", ranks, ["__r1", "__r2"], ["__v1", "__v2"], ext_df=ext,
+        pin_result=False,
     )
     # m = 0 (either side empty) -> NULL n_pairs/shift, matching the
     # oracle's aggregate over an empty `cum` CTE
@@ -5286,8 +5358,18 @@ def mann_kendall_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("__r2"),
     )
+    # pass-0 bounds in closed form from the tiny day table: floor and
+    # the 1e6 scale are monotone, so the extreme s_e6 is the e6-floored
+    # ADJACENT-pair slope — one fold over |days| rows replaces a full
+    # |days|^2 pair pass (4 pair passes -> 3 incl. the S-stat pass)
+    ext = _adjacent_slope_ext(
+        days,
+        "CAST(FLOOR(1e6 * CAST(x.rev_c - a.pr AS DOUBLE) / (x.di - a.pd))"
+        " AS BIGINT)",
+    )
     sen = values_at_global_ranks(
-        slopes_e6, "s_e6", ranks, ["__r1", "__r2"], ["__v1", "__v2"]
+        slopes_e6, "s_e6", ranks, ["__r1", "__r2"], ["__v1", "__v2"],
+        ext_df=ext, pin_result=False,
     ).select(
         (F.col("__v1") + F.col("__v2")).cast("bigint").alias("slope2_e6")
     )

@@ -433,7 +433,8 @@ def semantic_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_EXACT_TWIN_CAP)
     )
     pairs = cosine_allpairs_threshold_blocked(
-        e, id_col="vec_id", vec_col="embedding", threshold=0.40
+        e, id_col="vec_id", vec_col="embedding", threshold=0.40,
+        approx_rows=_EXACT_TWIN_CAP,
     )
     return (
         connected_components(pairs, src="id_a", dst="id_b")
