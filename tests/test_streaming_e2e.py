@@ -383,7 +383,8 @@ def _with_rocksdb_provider(spark):
     return restore
 
 
-@pytest.mark.soak
+# default tier: the focused semantics test for the r14 shard-claims
+# rewrite of neardup_claims_stream_tws (operator internals changed)
 def test_ingest_neardup_tws_rejects_duplicates_across_epochs(spark, tmp_path):
     """The indexed-state-store (transformWithState) near-dup twin must
     reject exact re-texts and lightly edited copies against earlier
