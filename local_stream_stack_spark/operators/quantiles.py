@@ -28,6 +28,15 @@ degrade to the in-bin subset only (and a single-valued key short-
 circuits via min == max). Cost: 3 column-pruned scans — for any number
 of columns and quantiles — which at scale beats one scan that ships
 100 TB into a handful of reducers.
+
+On ``localCheckpoint`` pins (used here for the tiny state tables and
+by callers for expensive inputs): a pin stores partitions in executor
+block storage and truncates lineage, so on a multi-executor cluster
+an executor loss after the pin fails the job instead of recomputing —
+the price of never re-executing the pinned subtree. Everything pinned
+in this module is state-table-sized (keys x bins rows at most), so
+the storage footprint is negligible; see queries/llm.py for the
+measured pin-vs-repartition trade at the large pin sites.
 """
 
 from __future__ import annotations
