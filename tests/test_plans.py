@@ -392,28 +392,29 @@ def _hazards(df) -> list:
     )
 
 
-def test_sort_sampling_guard_flags_unpinned_fixture(spark):
+def _guard_fixture(spark):
+    # must scan a BASE TABLE: the detector only flags segments that
+    # re-execute corpus-scale work (a spark.range leaf is both cheap
+    # and already range-partitioned on id, so it would be vacuous)
     from pyspark.sql import functions as F
 
-    base = spark.range(200).select(
-        F.col("id"),
-        F.explode(F.array(F.lit("a b"), F.lit("c d"))).alias("t"),
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return d.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), " ")).alias("t"),
     ).withColumn("n", F.regexp_count("t", F.lit("[a-z]+")))
-    # sort on derived columns: spark.range leaves are already
-    # range-partitioned on id, so an id-prefix sort plans NO exchange
-    flagged = _hazards(base.orderBy("t", "n"))
-    assert flagged, "unpinned Generate+regex under orderBy must flag"
+
+
+def test_sort_sampling_guard_flags_unpinned_fixture(spark):
+    flagged = _hazards(_guard_fixture(spark).orderBy("t", "n"))
+    assert flagged, "unpinned scan->Generate+regex under orderBy must flag"
     assert "Generate" in flagged[0]
 
 
 def test_sort_sampling_guard_accepts_pinned_fixture(spark):
-    from pyspark.sql import functions as F
-
-    base = spark.range(200).select(
-        F.col("id"),
-        F.explode(F.array(F.lit("a b"), F.lit("c d"))).alias("t"),
-    ).withColumn("n", F.regexp_count("t", F.lit("[a-z]+")))
-    pinned = base.localCheckpoint(eager=True).orderBy("t", "n")
+    pinned = _guard_fixture(spark).localCheckpoint(eager=True).orderBy(
+        "t", "n"
+    )
     assert _hazards(pinned) == []
 
 
